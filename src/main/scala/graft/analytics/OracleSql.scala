@@ -1,0 +1,79 @@
+package graft.analytics
+
+/** DuckDB oracle SQL for the general query surface.
+  * Column aliases match the Spark results exactly; float aggregates are
+  * rounded identically on both sides. */
+object OracleSql {
+  val q1Agg: String = """
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 6) AS avg_qty,
+      round(avg(l_discount), 6) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  val q3Join: String = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+  val qTopkWindow: String = """
+    WITH ranked AS (
+      SELECT o_custkey,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+        o_orderkey, o_totalprice
+      FROM orders)
+    SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM ranked
+    WHERE rk <= 3 AND n_orders >= 5
+    ORDER BY o_custkey, rk"""
+
+  val qAntiJoin: String = """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey"""
+
+  val qAsofJoin: String = """
+    WITH cand AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, ts,
+      o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+    FROM cand WHERE rn = 1
+    ORDER BY event_id"""
+
+  val qRollup: String = """
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  val all: Map[String, String] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_join" -> q3Join,
+    "q_topk_window" -> qTopkWindow,
+    "q_anti_join" -> qAntiJoin,
+    "q_asof_join" -> qAsofJoin,
+    "q_rollup" -> qRollup)
+}

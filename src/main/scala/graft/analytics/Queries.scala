@@ -1,0 +1,120 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** General relational query surface.
+  *
+  * The reference exposes free-form SQL over its timeseries tables
+  * (StationBases.get_df `sql_add_where`, get_quotient views); this module
+  * demonstrates the equivalent declarative surface on the TPC-H-ish
+  * tables. All plans are built so Catalyst can push filters/projections
+  * into the parquet scan and pick broadcast joins for the dimension
+  * tables.
+  */
+object Queries {
+
+  /** Flagship pricing summary (filter + groupBy + multi-agg).
+    * Scale: fully map-side partial aggregation, single shuffle over a
+    * low-cardinality key; filter + column pruning pushed to parquet. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Multi-way join + agg + top-N (shipping-priority style).
+    * customer is small → broadcast; orders⋈lineitem co-shuffle on the
+    * orderkey. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Top-k per group via window rank: 3 highest-value orders per
+    * customer (only customers with >= 5 orders, keeps output stable).
+    * Scale: one shuffle on the partition key, no global sort. */
+  def qTopkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_orders", count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+      .filter(col("rk") <= 3 && col("n_orders") >= 5)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Anti join: customers that never placed an URGENT order.
+    * left_anti keeps the big side unshuffled when orders' keys fit in a
+    * broadcast; otherwise a shuffled anti join — both beat a NOT IN
+    * subquery re-scan. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Point-in-time (as-of) join: for each event of a user, the most
+    * recent order of the matching customer at or before the event time.
+    *
+    * Implemented as the scalable union-and-window pattern: tag both
+    * sides, union on (key, time), then `last(ignoreNulls)` over a
+    * window partitioned by key — a single shuffle on the key, no
+    * row-explosion like an inequality join would cause. (Reference
+    * equivalent: daily <-> 10min timeseries date matching,
+    * station/StationP.py:572-613.) */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("key"), col("ts").as("t"),
+        col("event_id"), lit(null).cast("long").as("o_key_in"),
+        lit(null).cast("timestamp").as("o_date_in"), lit(1).as("is_probe"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"), col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey").as("o_key_in"),
+        col("o_orderdate").as("o_date_in"), lit(0).as("is_probe"))
+    // build side sorts before probe side at equal timestamps (as-of is
+    // inclusive: ts >= orderdate); ties on orderdate resolve to the
+    // highest orderkey (ascending => last() picks the max)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("is_probe"), col("o_key_in").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("last_orderkey", last(col("o_key_in"), ignoreNulls = true).over(w))
+      .withColumn("last_orderdate", last(col("o_date_in"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
+        col("last_orderkey"), col("last_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+}
