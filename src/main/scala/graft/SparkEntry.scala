@@ -16,9 +16,9 @@ object SparkEntry {
     "q_anti_join" -> (Queries.qAntiJoin _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_rollup" -> (Queries.qRollup _)
-  )
+  ) ++ graft.tsdb.TsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = OracleSql.all
+  def oracleSql: Map[String, String] = OracleSql.all ++ graft.tsdb.TsOracle.all
 }
