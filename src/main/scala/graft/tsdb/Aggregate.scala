@@ -1,0 +1,101 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Constants._
+
+/** Temporal aggregation and series retrieval utilities.
+  *
+  * Reference: StationBases.get_df (StationBases.py:2463-2649) — the
+  * `date_trunc` aggregation with the >20%-missing → NULL completeness
+  * rule, na_share columns; get_filled_period (2083); count_holes
+  * (1925); GroupStation.get_df wide export (GroupStation.py:135).
+  */
+object Aggregate {
+
+  /** Completeness-gated aggregate: NULL when more than 20% of the
+    * group's slots are missing (StationBases.py:2567). */
+  private def gated(agg: org.apache.spark.sql.Column, cnt: org.apache.spark.sql.Column) =
+    when(cnt.cast("double") / count(lit(1)) > AggMinShare, agg).otherwise(lit(null))
+
+  /** Monthly sum aggregation (P/ET semantics) of qc + filled kinds,
+    * with na_share columns. */
+  def aggMonthSum(filledSeries: DataFrame): DataFrame =
+    filledSeries
+      .groupBy(col("station_id"), trunc(col("day"), "month").as("month"))
+      .agg(
+        gated(round(sum(col("qc")), 3), count(col("qc"))).as("qc"),
+        gated(round(sum(col("filled")), 3), count(col("filled"))).as("filled"),
+        round((count(lit(1)) - count(col("qc"))).cast("double") / count(lit(1)) * 100, 6)
+          .as("qc_na_share"),
+        round((count(lit(1)) - count(col("filled"))).cast("double") / count(lit(1)) * 100, 6)
+          .as("filled_na_share"))
+
+  /** Monthly mean aggregation (T semantics). */
+  def aggMonthMean(filledSeries: DataFrame): DataFrame =
+    filledSeries
+      .groupBy(col("station_id"), trunc(col("day"), "month").as("month"))
+      .agg(
+        gated(round(avg(col("qc")), 6), count(col("qc"))).as("qc"),
+        gated(round(avg(col("filled")), 6), count(col("filled"))).as("filled"))
+
+  /** Wide multi-parameter frame per (station, day): the GroupStation
+    * export joining the P/T/ET-like series of one location. */
+  def groupWide(events: DataFrame): DataFrame = {
+    val p = Series.dailyRaw(events).select(col("station_id"), col("day"), col("raw").as("p_raw"))
+    val t = Series.dailyTemp(events).select(col("station_id"), col("day"), col("t").as("t_raw"))
+    val et = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").cast("long").as("station_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")) / 10, 3).as("et_raw"))
+    p.join(t, Seq("station_id", "day"), "left")
+      .join(et, Seq("station_id", "day"), "left")
+  }
+
+  /** Per-station, per-kind min/max day with data — the meta-table
+    * period bounds (raw_from/until, qc_…, filled_…). */
+  def filledPeriod(filledSeries: DataFrame): DataFrame = {
+    val agg = filledSeries.groupBy(col("station_id")).agg(
+      min(when(col("raw").isNotNull, col("day"))).as("raw_from"),
+      max(when(col("raw").isNotNull, col("day"))).as("raw_until"),
+      min(when(col("qc").isNotNull, col("day"))).as("qc_from"),
+      max(when(col("qc").isNotNull, col("day"))).as("qc_until"),
+      min(when(col("filled").isNotNull, col("day"))).as("filled_from"),
+      max(when(col("filled").isNotNull, col("day"))).as("filled_until"))
+    agg.select(col("station_id"), expr(
+      """stack(3,
+         'raw', raw_from, raw_until,
+         'qc', qc_from, qc_until,
+         'filled', filled_from, filled_until) AS (kind, date_from, date_until)"""))
+  }
+
+  /** Gap census: per station, number of gaps between successive
+    * observations (period bounds included as virtual observations)
+    * of at least k days, k ∈ {3,5,7,10} (count_holes,
+    * StationBases.py:1925-2029). */
+  def countHoles(qcSeries: DataFrame): DataFrame = {
+    val bounds = qcSeries.groupBy(col("station_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val obsDays = qcSeries.filter(col("qc").isNotNull).select(col("station_id"), col("day"))
+      .unionByName(bounds.select(col("station_id"), col("d0").as("day")))
+      .unionByName(bounds.select(col("station_id"), col("d1").as("day")))
+      .distinct()
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    obsDays
+      .withColumn("diff", datediff(col("day"), lag(col("day"), 1).over(w)))
+      .groupBy(col("station_id"))
+      .agg(
+        count(when(col("diff") >= 3, lit(1))).as("holes_ge_3"),
+        count(when(col("diff") >= 5, lit(1))).as("holes_ge_5"),
+        count(when(col("diff") >= 7, lit(1))).as("holes_ge_7"),
+        count(when(col("diff") >= 10, lit(1))).as("holes_ge_10"))
+  }
+
+  /** Batch twin of the streaming pipeline: 6-hour tumbling windows per
+    * event type (graft.streaming runs the same plan on readStream). */
+  def streamWindowBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(timestamp_seconds(floor(col("ts").cast("long") / 21600) * 21600).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+}

@@ -1,0 +1,121 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Constants._
+
+/** Gap filling from neighbor stations (reference: StationBases.py
+  * fillup, lines 1347-1669).
+  *
+  * The reference loops over neighbor stations in distance order inside
+  * a PL/pgSQL DO block, updating unfilled rows per neighbor. Here the
+  * whole loop collapses into one declarative plan: join the NULL rows
+  * against all k candidate neighbors at once, rank candidates by
+  * neighbor distance per (station, day), keep the best — one pass,
+  * no iteration, same result as the reference's first-non-null-neighbor
+  * semantics.
+  *
+  * Scale: neighbor map + MA coefficients are O(#stations) → broadcast.
+  * The series is shuffled once keyed by (nb_id, day); candidate ranking
+  * is a window over (station, day) — partial aggregation and AQE keep
+  * the k-fold candidate expansion bounded by the NULL share, not the
+  * full series size (only unfilled rows join).
+  */
+object Fillup {
+
+  /** Per-station MA means of the qc kind, for regionalization. */
+  private def maQc(qcSeries: DataFrame): DataFrame =
+    Series.maMean(qcSeries, "qc")
+
+  private def coefJoin(knn: DataFrame, ma: DataFrame, multiplicative: Boolean): DataFrame = {
+    val c = knn
+      .join(ma.select(col("station_id"), col("ma").as("ma_stat")), Seq("station_id"))
+      .join(ma.select(col("station_id").as("nb_id"), col("ma").as("ma_other")), Seq("nb_id"))
+    val coef = if (multiplicative) round(col("ma_stat") / col("ma_other"), 6)
+      else round(col("ma_stat") - col("ma_other"), 6)
+    c.withColumn("coef", coef).select(col("station_id"), col("nb_id"), col("rank"), col("coef"))
+  }
+
+  /** Candidate fill values: for each unfilled (station, day), every
+    * neighbor with a non-NULL qc value, regionalized. */
+  private def candidates(qcSeries: DataFrame, meta: DataFrame, k: Int,
+      multiplicative: Boolean): DataFrame = {
+    val knn = Neighbors.knnDist(meta, k)
+    val coefs = coefJoin(knn, maQc(qcSeries), multiplicative)
+    val raw = if (multiplicative) col("nb_qc") * col("coef") else col("nb_qc") + col("coef")
+    broadcast(coefs)
+      .join(qcSeries.filter(col("qc").isNotNull)
+        .select(col("station_id").as("nb_id"), col("day"), col("qc").as("nb_qc")), Seq("nb_id"))
+      .withColumn("cand_raw", raw)
+      .withColumn("cand", round(raw, 2))
+  }
+
+  /** First-non-null-neighbor fill with multiplicative regionalization
+    * (P/ET-style: coef = ma_stat / ma_other). Output adds
+    * `filled` and `filled_by`. */
+  def fillNeighbor(qcSeries: DataFrame, meta: DataFrame, k: Int = FillK,
+      multiplicative: Boolean = true): DataFrame = {
+    val cand = candidates(qcSeries, meta, k, multiplicative)
+    val w = Window.partitionBy(col("station_id"), col("day")).orderBy(col("rank"))
+    val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("station_id"), col("day"), col("cand"), col("nb_id"))
+      .drop("cand_raw")
+    qcSeries.join(best, Seq("station_id", "day"), "left")
+      .withColumn("filled", coalesce(col("qc"), col("cand")))
+      .withColumn("filled_by", when(col("qc").isNull, col("nb_id")).otherwise(lit(null)))
+      .drop("cand", "nb_id")
+  }
+
+  /** T-style additive variant (coef = ma_stat − ma_other). */
+  def fillAdditive(qcSeries: DataFrame, meta: DataFrame, k: Int = FillK): DataFrame =
+    fillNeighbor(qcSeries, meta, k, multiplicative = false)
+
+  /** P-style median-of-5-regionalized-neighbors fill
+    * (StationBases.py:1474-1480: percentile_cont(0.5) over nb_mean).
+    * The median runs over unrounded regionalized values — rounding the
+    * candidates first would park even-count medians exactly on the
+    * .xx5 rounding boundary, where engines disagree. */
+  def fillMedian(qcSeries: DataFrame, meta: DataFrame, k: Int = FillMedianK): DataFrame = {
+    val med = candidates(qcSeries, meta, k, multiplicative = true)
+      .groupBy(col("station_id"), col("day"))
+      .agg(round(median(col("cand_raw")), 2).as("med"))
+    qcSeries.join(med, Seq("station_id", "day"), "left")
+      .withColumn("filled", coalesce(col("qc"), col("med")))
+      .withColumn("filled_by", when(col("qc").isNull && col("med").isNotNull, lit(-2L)).otherwise(lit(null)))
+      .drop("med")
+  }
+
+  /** Linear interpolation of short gaps (≤ maxGap consecutive NULL
+    * days strictly between observations), filled_by = −1 as in the
+    * reference (StationBases.py:1494-1560). */
+  def fillInterp(qcSeries: DataFrame, maxGap: Int = InterpMaxGap): DataFrame = {
+    val wPrev = Window.partitionBy(col("station_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("station_id")).orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obs = when(col("qc").isNotNull, struct(col("day").as("d"), col("qc").as("v")))
+    val df = qcSeries
+      .withColumn("prev", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("next", first(obs, ignoreNulls = true).over(wNext))
+    val gapLen = datediff(col("next.d"), col("prev.d")) - 1
+    val frac = datediff(col("day"), col("prev.d")).cast("double") /
+      datediff(col("next.d"), col("prev.d")).cast("double")
+    df.withColumn("filled",
+        when(col("qc").isNotNull, col("qc"))
+          .when(col("prev").isNotNull && col("next").isNotNull && gapLen <= maxGap,
+            round(col("prev.v") + (col("next.v") - col("prev.v")) * frac, 3))
+          .otherwise(lit(null)))
+      .withColumn("filled_by",
+        when(col("qc").isNull && col("filled").isNotNull, lit(-1L)).otherwise(lit(null)))
+      .drop("prev", "next")
+  }
+
+  /** Share of gap-filled values per aggregation group
+    * (StationBases.py:2577-2579 filled_share). */
+  def filledShare(filledSeries: DataFrame): DataFrame =
+    filledSeries
+      .groupBy(col("station_id"), trunc(col("day"), "month").as("month"))
+      .agg(round(count(col("filled_by")).cast("double") / count(lit(1)) * 100, 6)
+        .as("filled_share"))
+}

@@ -194,7 +194,296 @@ object TsOracle {
       round((count(raw) - count(qc))::DOUBLE / count(raw), 4) * 100 AS qc_dropped
     FROM qc_all GROUP BY station_id ORDER BY station_id"""
 
+  /** Fill-up CTEs: qc MA means, k=FillK neighbor ranking,
+    * multiplicative coefficients, best-candidate fill. */
+  val fillCte: String = s"""
+    ma_qc AS (SELECT station_id, round(avg(qc), 6) AS ma FROM qc_all GROUP BY 1),
+    knn10 AS (
+      SELECT station_id, nb_id, rank FROM (
+        SELECT station_id, nb_id,
+          row_number() OVER (PARTITION BY station_id ORDER BY d2, nb_id) AS rank
+        FROM pairs) WHERE rank <= $FillK),
+    coefs10 AS (
+      SELECT k.station_id, k.nb_id, k.rank, round(ms.ma / mo.ma, 6) AS coef
+      FROM knn10 k
+      JOIN ma_qc ms ON ms.station_id = k.station_id
+      JOIN ma_qc mo ON mo.station_id = k.nb_id),
+    cand AS (
+      SELECT c.station_id, s.day, round(s.qc * c.coef, 2) AS cand, c.nb_id, c.rank
+      FROM coefs10 c JOIN qc_all s ON s.station_id = c.nb_id AND s.qc IS NOT NULL),
+    best AS (
+      SELECT station_id, day, cand, nb_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY station_id, day ORDER BY rank) AS rn
+        FROM cand) WHERE rn = 1),
+    filled_s AS (
+      SELECT q.station_id, q.day, q.raw, q.n_obs, q.qc,
+        coalesce(q.qc, b.cand) AS filled,
+        CASE WHEN q.qc IS NULL THEN b.nb_id END AS filled_by
+      FROM qc_all q LEFT JOIN best b USING (station_id, day))"""
+
+  private def withFill(tail: String): String =
+    s"WITH $world,\n$qcAllCte,\n$fillCte\n$tail"
+
+  val qFillNeighbor: String = withFill(s"""
+    SELECT station_id, day, raw, qc, filled, filled_by
+    FROM filled_s ORDER BY station_id, day""")
+
+  val qFillMedian5: String = withFill(s"""
+    , med AS (
+      SELECT c.station_id, s.day, round(median(s.qc * c.coef), 2) AS med
+      FROM coefs10 c JOIN qc_all s ON s.station_id = c.nb_id AND s.qc IS NOT NULL
+      WHERE c.rank <= $FillMedianK
+      GROUP BY c.station_id, s.day)
+    SELECT q.station_id, q.day, q.qc,
+      coalesce(q.qc, m.med) AS filled,
+      CASE WHEN q.qc IS NULL AND m.med IS NOT NULL THEN -2 END AS filled_by
+    FROM qc_all q LEFT JOIN med m USING (station_id, day)
+    ORDER BY q.station_id, q.day""")
+
+  val qFillAdditive: String = s"""
+    WITH $world,
+    $qcAllCte,
+    ma_qc AS (SELECT station_id, round(avg(qc), 6) AS ma FROM qc_all GROUP BY 1),
+    knn10 AS (
+      SELECT station_id, nb_id, rank FROM (
+        SELECT station_id, nb_id,
+          row_number() OVER (PARTITION BY station_id ORDER BY d2, nb_id) AS rank
+        FROM pairs) WHERE rank <= $FillK),
+    coefs10 AS (
+      SELECT k.station_id, k.nb_id, k.rank, round(ms.ma - mo.ma, 6) AS coef
+      FROM knn10 k
+      JOIN ma_qc ms ON ms.station_id = k.station_id
+      JOIN ma_qc mo ON mo.station_id = k.nb_id),
+    cand AS (
+      SELECT c.station_id, s.day, round(s.qc + c.coef, 2) AS cand, c.nb_id, c.rank
+      FROM coefs10 c JOIN qc_all s ON s.station_id = c.nb_id AND s.qc IS NOT NULL),
+    best AS (
+      SELECT station_id, day, cand, nb_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY station_id, day ORDER BY rank) AS rn
+        FROM cand) WHERE rn = 1)
+    SELECT q.station_id, q.day, q.qc,
+      coalesce(q.qc, b.cand) AS filled,
+      CASE WHEN q.qc IS NULL THEN b.nb_id END AS filled_by
+    FROM qc_all q LEFT JOIN best b USING (station_id, day)
+    ORDER BY q.station_id, q.day"""
+
+  val qFillInterp: String = s"""
+    WITH $world,
+    $qcAllCte,
+    pn AS (
+      SELECT station_id, day, qc,
+        last_value(CASE WHEN qc IS NOT NULL THEN {'d': day, 'v': qc} END IGNORE NULLS)
+          OVER (PARTITION BY station_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+        first_value(CASE WHEN qc IS NOT NULL THEN {'d': day, 'v': qc} END IGNORE NULLS)
+          OVER (PARTITION BY station_id ORDER BY day
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next
+      FROM qc_all)
+    SELECT station_id, day, qc,
+      CASE WHEN qc IS NOT NULL THEN qc
+           WHEN prev IS NOT NULL AND next IS NOT NULL
+                AND (next.d - prev.d - 1) <= $InterpMaxGap
+           THEN round(prev.v + (next.v - prev.v) *
+                ((day - prev.d)::DOUBLE / (next.d - prev.d)::DOUBLE), 3)
+      END AS filled,
+      CASE WHEN qc IS NULL AND (prev IS NOT NULL AND next IS NOT NULL
+                AND (next.d - prev.d - 1) <= $InterpMaxGap)
+           THEN -1 END AS filled_by
+    FROM pn ORDER BY station_id, day"""
+
+  val qFillShare: String = withFill(s"""
+    SELECT station_id, date_trunc('month', day)::date AS month,
+      round(count(filled_by)::DOUBLE / count(*) * 100, 6) AS filled_share
+    FROM filled_s GROUP BY 1, 2 ORDER BY station_id, month""")
+
+  private val maKindsCte: String = """
+    ma_kinds AS (
+      SELECT station_id, 'raw' AS kind, round(avg(raw), 6) AS value FROM filled_s GROUP BY 1
+      UNION ALL
+      SELECT station_id, 'qc', round(avg(qc), 6) FROM filled_s GROUP BY 1
+      UNION ALL
+      SELECT station_id, 'filled', round(avg(filled), 6) FROM filled_s GROUP BY 1)"""
+
+  private val rasterCte: String = s"""
+    raster AS (
+      SELECT station_id,
+        $RasterPBase + ((station_id * $RasterPMulA) % $RasterPModA) * $RasterPScale AS raster_p,
+        $RasterTBase + ((station_id * $RasterTMulA) % $RasterTModA) * $RasterTScale AS raster_t
+      FROM stations)"""
+
+  val qMaTimeseries: String = withFill(s"""
+    , $maKindsCte
+    SELECT station_id, kind, value FROM ma_kinds ORDER BY station_id, kind""")
+
+  val qQuotientKinds: String = withFill(s"""
+    , $maKindsCte
+    SELECT n.station_id, n.kind AS kind_num, d.kind AS kind_denom,
+      round(n.value / d.value, 6) AS value
+    FROM ma_kinds n JOIN ma_kinds d USING (station_id)
+    WHERE n.kind != d.kind
+    ORDER BY station_id, kind_num, kind_denom""")
+
+  val qQuotientRaster: String = withFill(s"""
+    , $maKindsCte, $rasterCte
+    SELECT m.station_id, m.kind, round(m.value / r.raster_p, 6) AS value
+    FROM ma_kinds m JOIN raster r USING (station_id)
+    ORDER BY station_id, kind""")
+
+  val qAdjustMult: String = withFill(s"""
+    , $rasterCte,
+    ma_f AS (SELECT station_id, round(avg(filled), 6) AS ma FROM filled_s GROUP BY 1)
+    SELECT f.station_id, f.day, f.filled,
+      round(f.filled * r.raster_p / m.ma, 3) AS adj
+    FROM filled_s f JOIN ma_f m USING (station_id) JOIN raster r USING (station_id)
+    ORDER BY station_id, day""")
+
+  val qAdjustAdd: String = withFill(s"""
+    , $rasterCte,
+    ma_f AS (SELECT station_id, round(avg(filled), 6) AS ma FROM filled_s GROUP BY 1)
+    SELECT f.station_id, f.day, f.filled,
+      round(f.filled + (r.raster_t - m.ma), 3) AS adj
+    FROM filled_s f JOIN ma_f m USING (station_id) JOIN raster r USING (station_id)
+    ORDER BY station_id, day""")
+
+  val qAggMonth: String = withFill(s"""
+    SELECT station_id, date_trunc('month', day)::date AS month,
+      CASE WHEN count(qc)::DOUBLE / count(*) > $AggMinShare
+        THEN round(sum(qc), 3) END AS qc,
+      CASE WHEN count(filled)::DOUBLE / count(*) > $AggMinShare
+        THEN round(sum(filled), 3) END AS filled,
+      round((count(*) - count(qc))::DOUBLE / count(*) * 100, 6) AS qc_na_share,
+      round((count(*) - count(filled))::DOUBLE / count(*) * 100, 6) AS filled_na_share
+    FROM filled_s GROUP BY 1, 2 ORDER BY station_id, month""")
+
+  val qAggMonthMean: String = withFill(s"""
+    SELECT station_id, date_trunc('month', day)::date AS month,
+      CASE WHEN count(qc)::DOUBLE / count(*) > $AggMinShare
+        THEN round(avg(qc), 6) END AS qc,
+      CASE WHEN count(filled)::DOUBLE / count(*) > $AggMinShare
+        THEN round(avg(filled), 6) END AS filled
+    FROM filled_s GROUP BY 1, 2 ORDER BY station_id, month""")
+
+  val qGroupWide: String = s"""
+    WITH $world,
+    t_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value), 6) - $TempShift AS t_raw
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    et_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(sum(value) / 10, 3) AS et_raw
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT r.station_id, r.day, r.raw AS p_raw, t.t_raw, e.et_raw
+    FROM raw_daily r
+    LEFT JOIN t_daily t USING (station_id, day)
+    LEFT JOIN et_daily e USING (station_id, day)
+    ORDER BY station_id, day"""
+
+  val qFilledPeriod: String = withFill(s"""
+    , fp AS (
+      SELECT station_id,
+        min(CASE WHEN raw IS NOT NULL THEN day END) AS raw_from,
+        max(CASE WHEN raw IS NOT NULL THEN day END) AS raw_until,
+        min(CASE WHEN qc IS NOT NULL THEN day END) AS qc_from,
+        max(CASE WHEN qc IS NOT NULL THEN day END) AS qc_until,
+        min(CASE WHEN filled IS NOT NULL THEN day END) AS filled_from,
+        max(CASE WHEN filled IS NOT NULL THEN day END) AS filled_until
+      FROM filled_s GROUP BY 1)
+    SELECT station_id, 'raw' AS kind, raw_from AS date_from, raw_until AS date_until FROM fp
+    UNION ALL SELECT station_id, 'qc', qc_from, qc_until FROM fp
+    UNION ALL SELECT station_id, 'filled', filled_from, filled_until FROM fp
+    ORDER BY station_id, kind""")
+
+  val qCountHoles: String = s"""
+    WITH $world,
+    $qcAllCte,
+    sb AS (SELECT station_id, min(day) AS d0, max(day) AS d1 FROM qc_all GROUP BY 1),
+    obs AS (
+      SELECT DISTINCT station_id, day FROM (
+        SELECT station_id, day FROM qc_all WHERE qc IS NOT NULL
+        UNION ALL SELECT station_id, d0 FROM sb
+        UNION ALL SELECT station_id, d1 FROM sb)),
+    diffs AS (
+      SELECT station_id,
+        day - lag(day, 1) OVER (PARTITION BY station_id ORDER BY day) AS diff
+      FROM obs)
+    SELECT station_id,
+      count(CASE WHEN diff >= 3 THEN 1 END) AS holes_ge_3,
+      count(CASE WHEN diff >= 5 THEN 1 END) AS holes_ge_5,
+      count(CASE WHEN diff >= 7 THEN 1 END) AS holes_ge_7,
+      count(CASE WHEN diff >= 10 THEN 1 END) AS holes_ge_10
+    FROM diffs GROUP BY 1 ORDER BY station_id"""
+
+  private val richterClassCase: String = """
+      CASE WHEN horizon >= 12 THEN 'heavy-protection'
+           WHEN horizon >= 7 THEN 'protected'
+           WHEN horizon >= 3 THEN 'little-protection'
+           WHEN horizon >= 0 THEN 'no-protection' END"""
+
+  val qRichterClass: String = s"""
+    WITH $world
+    SELECT station_id, horizon, $richterClassCase AS richter_class
+    FROM meta ORDER BY station_id"""
+
+  val qRichterCorrect: String = withFill(s"""
+    , temp_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value), 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    rc AS (SELECT station_id, $richterClassCase AS richter_class FROM meta),
+    rp AS (SELECT * FROM (VALUES
+      ('precip_summer', 0.38, 0.345, 0.31, 0.28, 0.245),
+      ('precip_winter', 0.46, 0.34, 0.28, 0.24, 0.19),
+      ('mix', 0.55, 0.535, 0.39, 0.305, 0.185),
+      ('snow', 0.82, 0.72, 0.51, 0.33, 0.21))
+      t(precipitation_typ, e, b_no, b_little, b_prot, b_heavy)),
+    typed AS (
+      SELECT f.station_id, f.day, f.filled, td.t,
+        CASE WHEN td.t >= $RainTemp AND month(f.day) IN (1,2,3,10,11,12) THEN 'precip_winter'
+             WHEN td.t >= $RainTemp THEN 'precip_summer'
+             WHEN td.t <= $SnowTemp THEN 'snow'
+             WHEN td.t IS NULL THEN NULL
+             ELSE 'mix' END AS precipitation_typ
+      FROM filled_s f LEFT JOIN temp_daily td USING (station_id, day)),
+    corr_c AS (
+      SELECT ty.station_id, ty.day, ty.filled, ty.t, ty.precipitation_typ,
+        CASE WHEN ty.precipitation_typ IS NULL THEN 0.0
+             ELSE round(
+               CASE WHEN rc.richter_class = 'no-protection' THEN rp.b_no
+                    WHEN rc.richter_class = 'little-protection' THEN rp.b_little
+                    WHEN rc.richter_class = 'protected' THEN rp.b_prot
+                    ELSE rp.b_heavy END * pow(ty.filled, rp.e), 6) END AS delta
+      FROM typed ty
+      JOIN rc ON rc.station_id = ty.station_id
+      LEFT JOIN rp ON rp.precipitation_typ = ty.precipitation_typ)
+    SELECT station_id, day, filled, t, precipitation_typ,
+      CASE WHEN filled > 0 THEN round(filled + delta, 3) ELSE filled END AS corr
+    FROM corr_c ORDER BY station_id, day""")
+
+  val qStreamWindow: String = """
+    SELECT make_timestamp((floor(epoch(ts) / 21600)::BIGINT * 21600) * 1000000) AS window_start,
+      event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
   val all: Map[String, String] = Map(
+    "q_fill_neighbor" -> qFillNeighbor,
+    "q_fill_median5" -> qFillMedian5,
+    "q_fill_additive" -> qFillAdditive,
+    "q_fill_interp" -> qFillInterp,
+    "q_fill_share" -> qFillShare,
+    "q_ma_timeseries" -> qMaTimeseries,
+    "q_quotient_kinds" -> qQuotientKinds,
+    "q_quotient_raster" -> qQuotientRaster,
+    "q_adjust_mult" -> qAdjustMult,
+    "q_adjust_add" -> qAdjustAdd,
+    "q_agg_month" -> qAggMonth,
+    "q_agg_month_mean" -> qAggMonthMean,
+    "q_group_wide" -> qGroupWide,
+    "q_filled_period" -> qFilledPeriod,
+    "q_count_holes" -> qCountHoles,
+    "q_richter_class" -> qRichterClass,
+    "q_richter_correct" -> qRichterCorrect,
+    "q_stream_window" -> qStreamWindow,
     "q_meta_derive" -> qMetaDerive,
     "q_expand_grid" -> qExpandGrid,
     "q_knn_dist" -> qKnnDist,

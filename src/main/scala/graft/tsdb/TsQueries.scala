@@ -55,7 +55,96 @@ object TsQueries {
   def qQcDroppedShare(s: SparkSession, d: String): DataFrame =
     QualityCheck.droppedShare(qcAll(s, d)).orderBy(col("station_id"))
 
+  /** Standard filled series: combined QC + multiplicative neighbor fill. */
+  def filledSeries(s: SparkSession, d: String): DataFrame =
+    Fillup.fillNeighbor(qcAll(s, d), Series.stationMeta(ev(s, d)))
+
+  def qFillNeighbor(s: SparkSession, d: String): DataFrame =
+    filledSeries(s, d)
+      .select("station_id", "day", "raw", "qc", "filled", "filled_by")
+      .orderBy(col("station_id"), col("day"))
+
+  def qFillMedian5(s: SparkSession, d: String): DataFrame =
+    Fillup.fillMedian(qcAll(s, d), Series.stationMeta(ev(s, d)))
+      .select("station_id", "day", "qc", "filled", "filled_by")
+      .orderBy(col("station_id"), col("day"))
+
+  def qFillAdditive(s: SparkSession, d: String): DataFrame =
+    Fillup.fillAdditive(qcAll(s, d), Series.stationMeta(ev(s, d)))
+      .select("station_id", "day", "qc", "filled", "filled_by")
+      .orderBy(col("station_id"), col("day"))
+
+  def qFillInterp(s: SparkSession, d: String): DataFrame =
+    Fillup.fillInterp(qcAll(s, d))
+      .select("station_id", "day", "qc", "filled", "filled_by")
+      .orderBy(col("station_id"), col("day"))
+
+  def qFillShare(s: SparkSession, d: String): DataFrame =
+    Fillup.filledShare(filledSeries(s, d)).orderBy(col("station_id"), col("month"))
+
+  def qMaTimeseries(s: SparkSession, d: String): DataFrame =
+    MultiAnnual.maTimeseries(filledSeries(s, d)).orderBy(col("station_id"), col("kind"))
+
+  def qQuotientKinds(s: SparkSession, d: String): DataFrame =
+    MultiAnnual.quotientKinds(filledSeries(s, d))
+      .orderBy(col("station_id"), col("kind_num"), col("kind_denom"))
+
+  def qQuotientRaster(s: SparkSession, d: String): DataFrame =
+    MultiAnnual.quotientRaster(filledSeries(s, d), Series.raster(ev(s, d)))
+      .orderBy(col("station_id"), col("kind"))
+
+  def qAdjustMult(s: SparkSession, d: String): DataFrame =
+    MultiAnnual.adjustMult(filledSeries(s, d), Series.raster(ev(s, d)))
+      .orderBy(col("station_id"), col("day"))
+
+  def qAdjustAdd(s: SparkSession, d: String): DataFrame =
+    MultiAnnual.adjustAdd(filledSeries(s, d), Series.raster(ev(s, d)))
+      .orderBy(col("station_id"), col("day"))
+
+  def qAggMonth(s: SparkSession, d: String): DataFrame =
+    Aggregate.aggMonthSum(filledSeries(s, d)).orderBy(col("station_id"), col("month"))
+
+  def qAggMonthMean(s: SparkSession, d: String): DataFrame =
+    Aggregate.aggMonthMean(filledSeries(s, d)).orderBy(col("station_id"), col("month"))
+
+  def qGroupWide(s: SparkSession, d: String): DataFrame =
+    Aggregate.groupWide(ev(s, d)).orderBy(col("station_id"), col("day"))
+
+  def qFilledPeriod(s: SparkSession, d: String): DataFrame =
+    Aggregate.filledPeriod(filledSeries(s, d)).orderBy(col("station_id"), col("kind"))
+
+  def qCountHoles(s: SparkSession, d: String): DataFrame =
+    Aggregate.countHoles(qcAll(s, d)).orderBy(col("station_id"))
+
+  def qRichterClass(s: SparkSession, d: String): DataFrame =
+    Richter.richterClass(Series.stationMeta(ev(s, d))).orderBy(col("station_id"))
+
+  def qRichterCorrect(s: SparkSession, d: String): DataFrame =
+    Richter.correct(s, filledSeries(s, d), Series.dailyTemp(ev(s, d)), Series.stationMeta(ev(s, d)))
+      .orderBy(col("station_id"), col("day"))
+
+  def qStreamWindow(s: SparkSession, d: String): DataFrame =
+    Aggregate.streamWindowBatch(ev(s, d)).orderBy(col("window_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fill_neighbor" -> (qFillNeighbor _),
+    "q_fill_median5" -> (qFillMedian5 _),
+    "q_fill_additive" -> (qFillAdditive _),
+    "q_fill_interp" -> (qFillInterp _),
+    "q_fill_share" -> (qFillShare _),
+    "q_ma_timeseries" -> (qMaTimeseries _),
+    "q_quotient_kinds" -> (qQuotientKinds _),
+    "q_quotient_raster" -> (qQuotientRaster _),
+    "q_adjust_mult" -> (qAdjustMult _),
+    "q_adjust_add" -> (qAdjustAdd _),
+    "q_agg_month" -> (qAggMonth _),
+    "q_agg_month_mean" -> (qAggMonthMean _),
+    "q_group_wide" -> (qGroupWide _),
+    "q_filled_period" -> (qFilledPeriod _),
+    "q_count_holes" -> (qCountHoles _),
+    "q_richter_class" -> (qRichterClass _),
+    "q_richter_correct" -> (qRichterCorrect _),
+    "q_stream_window" -> (qStreamWindow _),
     "q_meta_derive" -> (qMetaDerive _),
     "q_expand_grid" -> (qExpandGrid _),
     "q_knn_dist" -> (qKnnDist _),
