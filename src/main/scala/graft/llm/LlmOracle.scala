@@ -1,0 +1,187 @@
+package graft.llm
+
+import graft.text.TextFns.{P, NumHashes, NumBands, SimHashBits}
+import graft.text.TextAnalysis.Profiles
+
+/** DuckDB oracle SQL for the LLM-pipeline operators. The hash
+  * primitives mirror graft.text.TextFns bit-for-bit (polynomial hashes
+  * over code points, left folds in index order). */
+object LlmOracle {
+
+  /** Polynomial rolling hash of a string expression (DuckDB). */
+  private def ph(s: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($s) + 1), " +
+      s"i -> unicode($s[i]))), (acc, ch) -> (acc * 31 + ch) % $P)"
+
+  private val toks = "string_split(lower(text), ' ')"
+
+  private val shingles: String =
+    s"""CASE WHEN len(sw) >= 3
+        THEN list_distinct([sw[i] || ' ' || sw[i+1] || ' ' || sw[i+2]
+                            for i in range(1, len(sw) - 1)])
+        ELSE [] END"""
+
+  private val shCte: String = s"""
+    sw_t AS (SELECT doc_id, $toks AS sw FROM documents),
+    sh_t AS (SELECT doc_id, $shingles AS sh FROM sw_t),
+    hash_t AS (SELECT doc_id, sh, list_transform(sh, s -> ${ph("s")}) AS hashes FROM sh_t)"""
+
+  private val sigCte: String = s"""
+    sig_t AS (
+      SELECT doc_id, list_transform(range(0, $NumHashes),
+        i -> list_min(list_transform(hashes, h -> (h * (1 + 2*i) + i * 12289) % $P))) AS sig
+      FROM hash_t),
+    band_t AS (
+      SELECT doc_id, unnest(range(0, $NumBands)) AS band, sig FROM sig_t),
+    band_k AS (
+      SELECT doc_id, band, sig[2*band + 1] AS k1, sig[2*band + 2] AS k2
+      FROM band_t WHERE sig[2*band + 1] IS NOT NULL AND sig[2*band + 2] IS NOT NULL),
+    cand_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+      FROM band_k a JOIN band_k b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+  val qDedupExact: String = s"""
+    WITH keyed AS (
+      SELECT doc_id, ${ph("regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')")} AS key
+      FROM documents)
+    SELECT min(doc_id) AS canonical_id, key, count(*) AS group_size
+    FROM keyed GROUP BY key ORDER BY canonical_id"""
+
+  val qDedupMinhashBands: String = s"""
+    WITH $shCte, $sigCte
+    SELECT id_a, id_b, n_bands FROM cand_pairs ORDER BY id_a, id_b"""
+
+  /** Exact Jaccard pairs — the LSH+verify Spark path must equal this
+    * (collision probability ≈ 1 − 1e-4 at the 0.5 threshold). */
+  val qDedupJaccard: String = s"""
+    WITH $shCte
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  private val simhashExpr: String =
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $SimHashBits),
+        j -> CASE WHEN list_reduce(list_prepend(0::BIGINT,
+               list_transform(thashes, h -> ((h >> j) & 1) * 2 - 1)), (a, b) -> a + b) > 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a, b) -> a + b)"""
+
+  val qDedupSimhash: String = s"""
+    WITH th AS (SELECT doc_id, list_transform($toks, t -> ${ph("t")}) AS thashes FROM documents),
+    sims AS (SELECT doc_id, $simhashExpr AS sim FROM th),
+    keyed AS (
+      SELECT doc_id, sim, 0 AS half, sim >> 15 AS bucket FROM sims
+      UNION ALL SELECT doc_id, sim, 1, sim & 32767 FROM sims),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.sim, b.sim)) AS hamming
+      FROM keyed a JOIN keyed b
+        ON a.half = b.half AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"""
+
+  private val normCte: String = """
+    n_t AS (
+      SELECT vec_id, embedding,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) AS nrm
+      FROM embeddings)"""
+
+  private val dotAB: String =
+    """list_reduce(list_prepend(0.0::DOUBLE,
+       list_transform(range(1, len(a.embedding) + 1),
+         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)"""
+
+  val qDedupEmbedding: String = s"""
+    WITH $normCte
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round($dotAB / (a.nrm * b.nrm), 6) AS cosine
+      FROM n_t a JOIN n_t b ON a.vec_id < b.vec_id)
+    WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
+
+  val qAnnTopk: String = s"""
+    WITH $normCte,
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS nb_id,
+        $dotAB / (a.nrm * b.nrm) AS cosine
+      FROM n_t a JOIN n_t b ON a.vec_id < 10 AND a.vec_id != b.vec_id)
+    SELECT query_id, rank, nb_id, round(cosine, 6) AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nb_id) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private def profList(words: Seq[String]): String =
+    words.mkString("['", "', '", "']")
+
+  val qTextLangid: String = {
+    val scores = Profiles.map { case (l, ws) =>
+      s"len(list_filter($toks, t -> list_contains(${profList(ws)}, t))) AS score_$l"
+    }.mkString(",\n        ")
+    val maxS = Profiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+    val pred = Profiles.map { case (l, _) =>
+      s"WHEN score_$l >= $maxS AND score_$l > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        $scores
+      FROM documents)
+    SELECT *, $pred AS predicted FROM scored ORDER BY doc_id"""
+  }
+
+  val qTextQuality: String = {
+    val stop = s"len(list_filter($toks, t -> list_contains(${profList(Profiles.head._2)}, t)))::DOUBLE"
+    s"""
+    WITH f AS (
+      SELECT doc_id, length(text) AS n_chars_m, len($toks) AS n_tokens,
+        round((length(text) - len($toks) + 1)::DOUBLE / len($toks), 6) AS mean_word_len,
+        round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+          / length(text), 6) AS punct_ratio,
+        round($stop / len($toks), 6) AS stopword_ratio
+      FROM documents)
+    SELECT *, round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) *
+      (0.5 + least(0.5, stopword_ratio * 2.0)), 6) AS quality_score
+    FROM f ORDER BY doc_id"""
+  }
+
+  val qTextTokens: String = s"""
+    SELECT doc_id, len($toks) AS n_ws_tokens,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+    FROM documents ORDER BY doc_id"""
+
+  val qTextFingerprint: String = s"""
+    WITH $shCte
+    SELECT d.doc_id, ${ph("d.text")} AS doc_hash,
+      list_min(h.hashes) AS min_shingle_hash,
+      list_max(h.hashes) AS max_shingle_hash
+    FROM documents d JOIN hash_t h ON d.doc_id = h.doc_id
+    ORDER BY d.doc_id"""
+
+  val qMultimodalMeta: String = """
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      octet_length(encode(text)) AS n_bytes,
+      hex(encode(substring(text, 1, 4))) AS magic,
+      CASE WHEN doc_id % 3 = 0 THEN (doc_id * 37) % 1280 + 64 END AS width,
+      CASE WHEN doc_id % 3 = 0 THEN (doc_id * 53) % 720 + 64 END AS height,
+      CASE WHEN doc_id % 3 != 0 THEN round(((doc_id * 7) % 300 + 1) / 10.0, 1) END AS duration_s
+    FROM documents ORDER BY doc_id"""
+
+  val all: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_minhash_bands" -> qDedupMinhashBands,
+    "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_ann_topk" -> qAnnTopk,
+    "q_text_langid" -> qTextLangid,
+    "q_text_quality" -> qTextQuality,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_multimodal_meta" -> qMultimodalMeta)
+    // q_ann_lsh intentionally omitted: approximate → rows-only check
+}

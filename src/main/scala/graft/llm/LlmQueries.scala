@@ -1,0 +1,35 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+
+/** Driver-contract entries for the LLM-training-data operators. */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("canonical_id"))),
+    "q_dedup_minhash_bands" -> ((s, d) =>
+      Dedup.minhashBands(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingPairs(embs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_ann_topk" -> ((s, d) => Ann.bruteTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
+    "q_ann_lsh" -> ((s, d) => Ann.lshTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
+    "q_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
+    "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))))
+}

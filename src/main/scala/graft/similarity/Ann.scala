@@ -1,0 +1,69 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Brute-force cosine top-k is the correctness baseline (and is exact);
+  * the random-hyperplane LSH variant is the 100 TB path: each vector
+  * hashes to a small signature, the join happens per bucket, and only
+  * bucket-local candidates are scored. Dot products run through
+  * codegen'd higher-order functions (zip_with/aggregate), left-fold in
+  * index order so results are bit-deterministic.
+  */
+object Ann {
+
+  private val dot =
+    "aggregate(zip_with(va, vb, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"
+
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
+      expr("sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v))").as("nrm"))
+
+  /** Exact top-k cosine neighbors for each query vector (default: the
+    * vectors with vec_id < nQueries), ties broken by neighbor id. */
+  def bruteTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val n = withNorm(embeddings)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"), col("nrm").as("na"))
+    val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val scored = q.join(broadcast(c), col("query_id") =!= col("nb_id"))
+      .withColumn("cosine", expr(dot) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nb_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane j,
+    * dimension i: arithmetic-only so the signature is reproducible
+    * anywhere (value in [-0.5, 0.5)). */
+  private def planeComponent: String =
+    "(((pj * 64 + i) * 2654435761L) % 1000003) / 1000003.0D - 0.5D"
+
+  /** Signature: nPlanes sign bits of hyperplane projections. */
+  private def signature(nPlanes: Int): String =
+    s"aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, pj) -> acc + " +
+      s"(CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D, " +
+      s"(s, i) -> s + cast(element_at(embedding, i + 1) AS double) * ($planeComponent)) > 0D " +
+      s"THEN shiftleft(1L, pj) ELSE 0L END))"
+
+  /** LSH-bucketed ANN: candidates share the signature bucket; exact
+    * cosine re-ranking within the bucket. Approximate by construction
+    * (driver records a rows-only check). */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nPlanes: Int = 8): DataFrame = {
+    val sigs = withNorm(embeddings).withColumn("bucket", expr(signature(nPlanes)))
+    val q = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
+        col("nrm").as("na"), col("bucket"))
+    val c = sigs.select(col("vec_id").as("nb_id"), col("embedding").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("nb_id"))
+      .withColumn("cosine", expr(dot) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nb_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.text
+
+/** Column-expression builders for text processing, written as Spark SQL
+  * expression strings (all codegen'd higher-order functions — no UDFs).
+  *
+  * Every function here has a bit-identical DuckDB mirror in
+  * `graft.llm.LlmOracle`: hashes are deterministic polynomial hashes
+  * over code points (NOT murmur/xxhash, which differ between engines),
+  * so the oracle can reproduce MinHash/SimHash/fingerprint results
+  * value-for-value.
+  */
+object TextFns {
+  /** Modulus for all polynomial hashes (fits multiplication by small
+    * coefficients into a long without overflow). */
+  val P = 1000000007L
+  /** MinHash family: h_i(x) = (x*(1+2i) + i*12289) mod P. */
+  val NumHashes = 64
+  val NumBands = 32 // 2 rows per band
+  /** SimHash uses the low 30 bits of the polynomial token hash. */
+  val SimHashBits = 30
+
+  /** Polynomial rolling hash of a string expression: fold
+    * (acc*31 + codepoint) mod P over the characters. */
+  def polyHash(s: String): String =
+    s"aggregate(transform(sequence(1, length($s)), i -> ascii(substr($s, i, 1))), " +
+      s"0L, (acc, ch) -> (acc * 31 + ch) % ${P}L)"
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(s: String): String = s"split(lower($s), ' ')"
+
+  /** Distinct word-3-gram shingles (empty for texts under 3 words). */
+  def shingles(s: String): String = {
+    val w = tokens(s)
+    s"CASE WHEN size($w) >= 3 THEN array_distinct(transform(sequence(0, size($w) - 3), " +
+      s"i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2), ' ', element_at($w, i + 3)))) " +
+      "ELSE array() END"
+  }
+
+  /** Hashes of the distinct shingles. */
+  def shingleHashes(s: String): String = {
+    val sh = shingles(s)
+    s"transform($sh, sh_w -> ${polyHash("sh_w")})"
+  }
+
+  /** MinHash signature (array of NumHashes minima) over a column named
+    * `hashes` (array<long> of shingle hashes). */
+  def minhashSig(hashesCol: String): String =
+    s"transform(sequence(0, ${NumHashes - 1}), i -> " +
+      s"array_min(transform($hashesCol, h -> (h * (1 + 2*i) + i * 12289) % ${P}L)))"
+
+  /** SimHash over a column named `thashes` (array<long> of token
+    * hashes WITH multiplicity): bit j set iff the majority of tokens
+    * have bit j set. */
+  def simhash(thashesCol: String): String =
+    s"aggregate(sequence(0, ${SimHashBits - 1}), 0L, (acc, j) -> acc + " +
+      s"(CASE WHEN aggregate($thashesCol, 0L, (c, h) -> c + (shiftright(h, j) & 1) * 2 - 1) > 0 " +
+      s"THEN shiftleft(1L, j) ELSE 0L END))"
+}
