@@ -10,6 +10,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ingest_dedup" -> (Queries.qIngestDedup _),
     "q1_agg" -> (Queries.q1Agg _),
     "q3_join" -> (Queries.q3Join _),
     "q_topk_window" -> (Queries.qTopkWindow _),

@@ -69,7 +69,14 @@ object OracleSql {
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
 
+  val qIngestDedup: String = """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY event_id"""
+
   val all: Map[String, String] = Map(
+    "q_ingest_dedup" -> qIngestDedup,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q_topk_window" -> qTopkWindow,

@@ -109,6 +109,12 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Ingest normalization: duplicate (station, ts) measurements resolve
+    * to the latest import — Sources.ingestDedup over the events feed. */
+  def qIngestDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.ingestDedup(Tables.events(spark, dir))
+      .orderBy(col("event_id"))
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

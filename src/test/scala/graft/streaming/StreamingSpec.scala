@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("windowed aggregation over a memory stream matches the batch twin") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedAgg(df).writeStream
+      .format("memory").queryName("win_agg").outputMode("complete").start()
+    input.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(7), "click", 4.0))
+    q.processAllAvailable()
+    val out = spark.table("win_agg").orderBy("window_start")
+      .select("n", "sum_value").as[(Long, Double)].collect()
+    q.stop()
+    assert(out.toSeq === Seq((2L, 3.0), (1L, 4.0)))
+  }
+
+  test("gap detector emits alerts across micro-batches via state") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Streaming.StationEvent]
+    val q = Streaming.gapDetector(input.toDS(), maxGapHours = 2.0).writeStream
+      .format("memory").queryName("gaps").outputMode("append").start()
+    input.addData(Streaming.StationEvent(1L, ts(0), 1.0), Streaming.StationEvent(1L, ts(1), 1.0))
+    q.processAllAvailable()
+    input.addData(Streaming.StationEvent(1L, ts(9), 1.0)) // 8h silence -> alert
+    q.processAllAvailable()
+    val out = spark.table("gaps").as[Streaming.GapAlert].collect()
+    q.stop()
+    assert(out.length === 1)
+    assert(out.head.station_id === 1L)
+    assert(out.head.gap_hours === 8.0)
+    assert(out.head.gap_start === ts(1))
+  }
+}

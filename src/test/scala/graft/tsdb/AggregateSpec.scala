@@ -1,0 +1,54 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+class AggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("monthly aggregation gates on >20% missing") {
+    // 10 days in Jan: 8 non-null qc (80% == not > 0.8 -> NULL),
+    // 9 non-null filled (90% -> sum)
+    val rows = (1 to 10).map { d =>
+      val qc = if (d <= 8) Some(d.toDouble) else None
+      val filled = if (d <= 9) Some(d.toDouble) else None
+      (1L, Date.valueOf(f"2024-01-$d%02d"), qc, qc, filled)
+    }
+    val df = rows.toDF("station_id", "day", "raw", "qc", "filled")
+    val out = Aggregate.aggMonthSum(df).collect().head
+    assert(out.getAs[Any]("qc") === null)
+    assert(out.getAs[Double]("filled") === 45.0)
+    assert(out.getAs[Double]("qc_na_share") === 20.0)
+  }
+
+  test("count_holes counts boundary gaps via virtual period observations") {
+    // observations on days 5 and 6 of a 1..10 grid: gaps 1->5 (4d) and 6->10 (4d)
+    val rows = (1 to 10).map { d =>
+      val qc = if (d == 5 || d == 6) Some(1.0) else None
+      (1L, Date.valueOf(f"2024-01-$d%02d"), qc, qc)
+    }
+    val out = Aggregate.countHoles(rows.toDF("station_id", "day", "raw", "qc")).collect().head
+    assert(out.getAs[Long]("holes_ge_3") === 2L)
+    assert(out.getAs[Long]("holes_ge_5") === 0L)
+  }
+
+  test("knn ranks by exact squared distance with id tie-breaks") {
+    val meta = Seq((0L, 0.0, 0.0, 0.0), (1L, 1.0, 0.0, 0.0),
+      (2L, 0.0, 1.0, 0.0), (3L, 2.0, 0.0, 0.0)).toDF("station_id", "x", "y", "elev")
+    val out = Neighbors.knnDist(meta, 3).filter($"station_id" === 0)
+      .orderBy("rank").select("nb_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L, 3L)) // d2: 1 (tie -> id), 1, 4
+  }
+
+  test("elevation weighting reorders neighbors") {
+    val meta = Seq((0L, 0.0, 0.0, 0.0), (1L, 1.0, 0.0, 900.0), (2L, 3.0, 0.0, 0.0))
+      .toDF("station_id", "x", "y", "elev")
+    val plain = Neighbors.knnDist(meta, 1).filter($"station_id" === 0)
+      .select("nb_id").as[Long].collect()
+    val weighted = Neighbors.knnElev(meta, 1).filter($"station_id" === 0)
+      .select("nb_id").as[Long].collect()
+    assert(plain.head === 1L)   // closest horizontally
+    assert(weighted.head === 2L) // 900m elevation difference penalized
+  }
+}

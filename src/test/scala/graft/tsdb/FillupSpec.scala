@@ -1,0 +1,70 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+class FillupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(d: Int): Date = Date.valueOf(f"2024-01-$d%02d")
+
+  private def qcSeries(rows: Seq[(Long, Int, Option[Double])]) =
+    rows.map { case (s, d, v) => (s, day(d), v, v, 1L) }
+      .toDF("station_id", "day", "raw", "qc", "n_obs")
+
+  private val meta = Seq((0L, 0.0, 0.0, 0.0), (1L, 1.0, 0.0, 0.0), (2L, 5.0, 0.0, 0.0))
+    .toDF("station_id", "x", "y", "elev")
+
+  test("neighbor fill takes the nearest non-null neighbor, regionalized") {
+    val s = qcSeries(Seq(
+      (0L, 1, Some(100.0)), (0L, 2, None),
+      (1L, 1, Some(200.0)), (1L, 2, Some(200.0)),
+      (2L, 1, Some(400.0)), (2L, 2, Some(400.0))))
+    val out = Fillup.fillNeighbor(s, meta)
+      .filter($"station_id" === 0).orderBy("day")
+      .select("filled", "filled_by").as[(Option[Double], Option[Long])].collect()
+    assert(out(0) === ((Some(100.0), None)))
+    // ma0=100, ma1=200 -> coef 0.5; nearest neighbor (1) value 200*0.5=100
+    assert(out(1) === ((Some(100.0), Some(1L))))
+  }
+
+  test("neighbor fill falls through to the next neighbor when nearest is null") {
+    val s = qcSeries(Seq(
+      (0L, 1, Some(100.0)), (0L, 2, None),
+      (1L, 1, Some(200.0)), (1L, 2, None),
+      (2L, 1, Some(400.0)), (2L, 2, Some(400.0))))
+    val out = Fillup.fillNeighbor(s, meta)
+      .filter($"station_id" === 0 && $"day" === day(2))
+      .select("filled", "filled_by").as[(Option[Double], Option[Long])].collect()
+    // ma0=100, ma2=400 -> coef 0.25; neighbor 2 value 400*0.25=100
+    assert(out.head === ((Some(100.0), Some(2L))))
+  }
+
+  test("interpolation fills only gaps within the limit, linearly") {
+    val s = qcSeries(Seq(
+      (0L, 1, Some(10.0)), (0L, 2, None), (0L, 3, None), (0L, 4, Some(40.0)), // gap 2 <= 3
+      (0L, 5, None), (0L, 6, None), (0L, 7, None), (0L, 8, None), (0L, 9, None),
+      (0L, 10, Some(100.0)))) // gap 5 > 3 -> left null
+    val out = Fillup.fillInterp(s).orderBy("day")
+      .select("filled", "filled_by").as[(Option[Double], Option[Long])].collect()
+    assert(out(1) === ((Some(20.0), Some(-1L))))
+    assert(out(2) === ((Some(30.0), Some(-1L))))
+    assert(out(4)._1 === None)
+    assert(out(9) === ((Some(100.0), None)))
+  }
+
+  test("median fill uses the median of regionalized neighbor values") {
+    val s = qcSeries(Seq(
+      (0L, 1, Some(100.0)), (0L, 2, None),
+      (1L, 1, Some(100.0)), (1L, 2, Some(120.0)),
+      (2L, 1, Some(100.0)), (2L, 2, Some(140.0))))
+    val out = Fillup.fillMedian(s, meta)
+      .filter($"station_id" === 0 && $"day" === day(2))
+      .select("filled", "filled_by").as[(Option[Double], Option[Long])].collect()
+    // ma0=100, ma1=110, ma2=120 -> cands 120*(100/110), 140*(100/120)
+    // median of {109.090909, 116.666667} = 112.878788
+    assert(out.head._1.exists(v => math.abs(v - 112.88) < 0.005))
+    assert(out.head._2 === Some(-2L))
+  }
+}
