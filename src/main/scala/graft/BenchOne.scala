@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a subset of queries, printing one line per query as
+  * it finishes (unlike Bench, which prints a single summary line). */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"$name ERROR ${e.getMessage}"); -1L }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"$name%-24s cold=${times.head._1}%7.2f s warm=${times(1)._1}%7.2f s  rows=${times(1)._2}")
+    }
+    spark.stop()
+  }
+}

@@ -36,6 +36,17 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Small parquet files arrive as one split, which would serialize
+    * the expensive per-document hash/vector projections onto a single
+    * core; spread them across the session's parallelism. At cluster
+    * scale real inputs have many splits and this is a no-op. */
+  def ensureParallelism(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    ensureParallelism(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    ensureParallelism(s, load(s, d, "embeddings"))
 }

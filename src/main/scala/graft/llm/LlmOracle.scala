@@ -59,9 +59,9 @@ object LlmOracle {
     WITH $shCte
     SELECT id_a, id_b, jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-      FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id)
+        round(len(list_intersect(a.hashes, b.hashes))::DOUBLE /
+          (len(a.hashes) + len(b.hashes) - len(list_intersect(a.hashes, b.hashes))), 6) AS jaccard
+      FROM hash_t a JOIN hash_t b ON a.doc_id < b.doc_id)
     WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
 
   private val simhashExpr: String =

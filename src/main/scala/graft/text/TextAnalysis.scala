@@ -69,9 +69,11 @@ object TextAnalysis {
 
   /** Document fingerprints: whole-text polynomial hash plus the
     * min/max shingle hash (winnowing-style representative hashes). */
-  def fingerprint(documents: DataFrame): DataFrame =
+  def fingerprint(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"),
       expr(polyHash("text")).as("doc_hash"),
       expr(s"array_min(${shingleHashes("text")})").as("min_shingle_hash"),
       expr(s"array_max(${shingleHashes("text")})").as("max_shingle_hash"))
+  }
 }

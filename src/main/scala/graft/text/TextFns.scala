@@ -20,10 +20,10 @@ object TextFns {
   val SimHashBits = 30
 
   /** Polynomial rolling hash of a string expression: fold
-    * (acc*31 + codepoint) mod P over the characters. */
-  def polyHash(s: String): String =
-    s"aggregate(transform(sequence(1, length($s)), i -> ascii(substr($s, i, 1))), " +
-      s"0L, (acc, ch) -> (acc * 31 + ch) % ${P}L)"
+    * (acc*31 + codepoint) mod P over the characters. Backed by the
+    * native codegen'd graft.functions.PolyHash expression (requires
+    * GraftFunctions.register on the session). */
+  def polyHash(s: String): String = s"graft_polyhash($s)"
 
   /** Whitespace tokens of the lowercased text. */
   def tokens(s: String): String = s"split(lower($s), ' ')"
@@ -43,10 +43,10 @@ object TextFns {
   }
 
   /** MinHash signature (array of NumHashes minima) over a column named
-    * `hashes` (array<long> of shingle hashes). */
+    * `hashes` (array<long> of shingle hashes). Backed by the native
+    * codegen'd graft.functions.MinHashSig expression. */
   def minhashSig(hashesCol: String): String =
-    s"transform(sequence(0, ${NumHashes - 1}), i -> " +
-      s"array_min(transform($hashesCol, h -> (h * (1 + 2*i) + i * 12289) % ${P}L)))"
+    s"graft_minhash_sig($hashesCol, $NumHashes)"
 
   /** SimHash over a column named `thashes` (array<long> of token
     * hashes WITH multiplicity): bit j set iff the majority of tokens

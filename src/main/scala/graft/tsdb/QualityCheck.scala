@@ -83,7 +83,9 @@ object QualityCheck {
     * broadcast; the series is shuffled once keyed by (nb_id, day) to
     * fetch neighbor values, then hash-aggregated back to
     * (station_id, day) — two shuffles of the big frame total. */
-  def neighborMedian(series: DataFrame, meta: DataFrame): DataFrame = {
+  /** The regionalized neighbor median frame (station_id, day,
+    * nbs_median) — shared by neighborMedian and `all`. */
+  def nbMedian(series: DataFrame, meta: DataFrame): DataFrame = {
     val ma = Series.maMean(series, "raw")
     val knn = Neighbors.knnDist(meta, NeighborK)
     val coefs = knn
@@ -94,33 +96,54 @@ object QualityCheck {
       .join(series.select(col("station_id").as("nb_id"), col("day"), col("raw").as("nb_raw")),
         Seq("nb_id"))
       .withColumn("adj", col("nb_raw") + col("coef"))
-    val med = nbVals.groupBy(col("station_id"), col("day"))
+    nbVals.groupBy(col("station_id"), col("day"))
       .agg(round(median(col("adj")), 6).as("nbs_median"))
-    series.join(med, Seq("station_id", "day"), "left")
+  }
+
+  def neighborMedian(series: DataFrame, meta: DataFrame): DataFrame = {
+    series.join(nbMedian(series, meta), Seq("station_id", "day"), "left")
       .withColumn("qc",
         when(abs(col("raw") - col("nbs_median")) > NeighborMedianMaxDiff, lit(null))
           .otherwise(col("raw")))
   }
 
   /** All rules combined (union of failed timestamps, like the
-    * reference's quality_check building one `new_qc` frame). */
+    * reference's quality_check building one `new_qc` frame).
+    *
+    * Computed in a single pass: the window rules share one window spec
+    * (one shuffle + sort per station), the daily reference and the
+    * neighbor median each join once — instead of running the five rule
+    * pipelines separately and five-way joining their outputs (which
+    * would recompute the base series per rule). */
   def all(series: DataFrame, ref: DataFrame, meta: DataFrame): DataFrame = {
-    val r = range(series).select(col("station_id"), col("day"), col("qc").as("qc_range"))
-    val rep = repeats(series).select(col("station_id"), col("day"), col("qc").as("qc_rep"))
-    val sp = spike(series).select(col("station_id"), col("day"), col("qc").as("qc_spike"))
-    val dc = dailyCompare(series, ref).select(col("station_id"), col("day"), col("qc").as("qc_daily"))
-    val nm = neighborMedian(series, meta).select(col("station_id"), col("day"), col("qc").as("qc_nb"))
-    series
-      .join(r, Seq("station_id", "day"))
-      .join(rep, Seq("station_id", "day"))
-      .join(sp, Seq("station_id", "day"))
-      .join(dc, Seq("station_id", "day"))
-      .join(nm, Seq("station_id", "day"))
-      .withColumn("qc",
+    val med = nbMedian(series, meta)
+    val r = round(col("raw"), RepeatRound)
+    val v = coalesce(col("raw"), lit(0.0))
+    val df = series
+      .join(ref, Seq("station_id", "day"), "left")
+      .join(med, Seq("station_id", "day"), "left")
+      .withColumn("r", r)
+      .withColumn("l1", lag(col("r"), 1).over(wDay))
+      .withColumn("l2", lag(col("r"), 2).over(wDay))
+      .withColumn("n1", lead(col("r"), 1).over(wDay))
+      .withColumn("n2", lead(col("r"), 2).over(wDay))
+      .withColumn("pv", lag(v, 1).over(wDay))
+      .withColumn("nv", lead(v, 1).over(wDay))
+    val fRange = col("raw") < 0 || col("raw") >= RangeMax
+    val fRep = col("r").isNotNull && col("r") > RepeatLimit && (
+      (col("r") <=> col("l1") && col("r") <=> col("l2")) ||
+      (col("r") <=> col("l1") && col("r") <=> col("n1")) ||
+      (col("r") <=> col("n1") && col("r") <=> col("n2")))
+    val fSpike = col("raw") > SpikeThreshold && col("pv") === 0.0 && col("nv") === 0.0
+    val fDaily = (coalesce(col("raw"), lit(0.0)) === 0.0 && coalesce(col("ref"), lit(0.0)) =!= 0.0) ||
+      (col("raw").isNotNull && col("ref").isNotNull &&
+        col("raw") >= DailyCmpMin && col("raw") >= col("ref") * 2)
+    val fNb = abs(col("raw") - col("nbs_median")) > NeighborMedianMaxDiff
+    df.withColumn("qc",
         when(col("raw").isNotNull &&
-          col("qc_range").isNotNull && col("qc_rep").isNotNull &&
-          col("qc_spike").isNotNull && col("qc_daily").isNotNull &&
-          col("qc_nb").isNotNull, col("raw")).otherwise(lit(null)))
+          !coalesce(fRange, lit(false)) && !coalesce(fRep, lit(false)) &&
+          !coalesce(fSpike, lit(false)) && !coalesce(fDaily, lit(false)) &&
+          !coalesce(fNb, lit(false)), col("raw")).otherwise(lit(null)))
       .select(col("station_id"), col("day"), col("raw"), col("n_obs"), col("qc"))
   }
 

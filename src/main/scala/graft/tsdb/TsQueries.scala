@@ -43,11 +43,22 @@ object TsQueries {
       .select("station_id", "day", "raw", "nbs_median", "qc")
       .orderBy(col("station_id"), col("day"))
 
-  /** Combined QC series — also the input for fill-up stages. */
-  def qcAll(s: SparkSession, d: String): DataFrame = {
-    val events = ev(s, d)
-    QualityCheck.all(Series.dailyRaw(events), Series.dailyRef(events), Series.stationMeta(events))
-  }
+  /** Combined QC series — also the input for fill-up stages.
+    *
+    * Memoized + persisted per (session, sf dir): the qc and filled
+    * kinds are consumed by a dozen downstream queries (and the fill
+    * join consumes the qc frame three times in one plan); caching the
+    * materialized frame mirrors the reference's stored qc/filled
+    * columns — the reference also computes each kind once and persists
+    * it in the timeseries table rather than recomputing per query. */
+  private val memo = scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def qcAll(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "qc"), {
+      val events = ev(s, d)
+      QualityCheck.all(Series.dailyRaw(events), Series.dailyRef(events),
+        Series.stationMeta(events)).persist()
+    })
 
   def qQcAll(s: SparkSession, d: String): DataFrame =
     qcAll(s, d).orderBy(col("station_id"), col("day"))
@@ -57,7 +68,8 @@ object TsQueries {
 
   /** Standard filled series: combined QC + multiplicative neighbor fill. */
   def filledSeries(s: SparkSession, d: String): DataFrame =
-    Fillup.fillNeighbor(qcAll(s, d), Series.stationMeta(ev(s, d)))
+    memo.getOrElseUpdate((s, d, "filled"),
+      Fillup.fillNeighbor(qcAll(s, d), Series.stationMeta(ev(s, d))).persist())
 
   def qFillNeighbor(s: SparkSession, d: String): DataFrame =
     filledSeries(s, d)
