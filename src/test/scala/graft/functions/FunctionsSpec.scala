@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 1000000007L
+
+  test("native polyhash equals the interpreted higher-order expression") {
+    GraftFunctions.register(spark)
+    val interp = "aggregate(transform(sequence(1, length(s)), i -> ascii(substr(s, i, 1))), " +
+      s"0L, (acc, ch) -> (acc * 31 + ch) % ${P}L)"
+    val df = Seq("", "a", "hello world", "the quick brown fox", "x" * 500)
+      .toDF("s")
+      .withColumn("native", expr("graft_polyhash(s)"))
+      .withColumn("interp", expr(interp))
+    assert(df.filter($"native" =!= $"interp").count() === 0)
+  }
+
+  test("polyhash matches a hand-computed fold") {
+    // "ab" -> ((0*31+97)%P)*31 + 98 = 97*31+98 = 3105
+    assert(PolyHash.hash("ab") === 3105L)
+    assert(PolyHash.hash("") === 0L)
+  }
+
+  test("native minhash signature equals the interpreted expression") {
+    GraftFunctions.register(spark)
+    val interp = s"transform(sequence(0, 63), i -> " +
+      s"array_min(transform(h, x -> (x * (1 + 2*i) + i * 12289) % ${P}L)))"
+    val df = Seq(Seq(5L, 999999L, 123456789L), Seq(42L))
+      .toDF("h")
+      .withColumn("native", expr("graft_minhash_sig(h, 64)"))
+      .withColumn("interp", expr(interp))
+    assert(df.filter(expr("native != interp")).count() === 0)
+  }
+
+  test("empty shingle set yields an all-null signature") {
+    GraftFunctions.register(spark)
+    val out = Seq(Seq.empty[Long]).toDF("h")
+      .select(expr("graft_minhash_sig(h, 4)")).as[Seq[Option[Long]]].collect().head
+    assert(out === Seq(None, None, None, None))
+  }
+
+  test("extensions class injects both functions without error") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+}
