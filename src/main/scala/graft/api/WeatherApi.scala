@@ -1,0 +1,107 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, TimestampPeriod}
+import graft.tsdb._
+
+/** Typed facade mirroring the reference's user API
+  * (station.StationP/T/ET, stations.StationsBase, GroupStation,
+  * broker.Broker) so a WeatherDB user can switch: one object per
+  * station exposing the per-kind series, one grouping object for
+  * all-stations actions, a group view joining parameters per location.
+  *
+  * All methods are lazy plan builders over the shared engine pipeline —
+  * selecting one station is a partition-pruned filter on the tall
+  * frame, not a separate table as in the reference.
+  */
+class WeatherDb(val spark: SparkSession, val dir: String) {
+  lazy val events: DataFrame = Tables.events(spark, dir)
+  lazy val meta: DataFrame = Series.stationMeta(events)
+  lazy val raw: DataFrame = Series.dailyRaw(events)
+  lazy val qc: DataFrame = TsQueries.qcAll(spark, dir)
+  lazy val filled: DataFrame = TsQueries.filledSeries(spark, dir)
+  lazy val corr: DataFrame =
+    Richter.correct(spark, filled, Series.dailyTemp(events), meta)
+
+  def station(id: Long): Station = new Station(this, id)
+  def stations: Stations = new Stations(this)
+  def groupStation(id: Long): GroupStation = new GroupStation(this, id)
+
+  private[api] def inPeriod(df: DataFrame, period: TimestampPeriod): DataFrame = {
+    val s = period.start.map(d => df.col("day") >= lit(java.sql.Date.valueOf(d)))
+    val e = period.end.map(d => df.col("day") <= lit(java.sql.Date.valueOf(d)))
+    (s ++ e).reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+}
+
+/** One station, one parameter — the reference's StationBase surface. */
+class Station(db: WeatherDb, val id: Long) {
+  private def only(df: DataFrame) = df.filter(col("station_id") === id)
+
+  /** get_df: selected kinds over a period (StationBases.py:2463). */
+  def getDf(kinds: Seq[String] = Seq("raw", "qc", "filled"),
+      period: TimestampPeriod = TimestampPeriod.empty): DataFrame =
+    db.inPeriod(only(db.filled), period)
+      .select((col("day") +: kinds.map(col)): _*)
+      .orderBy(col("day"))
+
+  def getRaw(period: TimestampPeriod = TimestampPeriod.empty): DataFrame =
+    getDf(Seq("raw"), period)
+  def getQc(period: TimestampPeriod = TimestampPeriod.empty): DataFrame =
+    getDf(Seq("qc"), period)
+  def getFilled(period: TimestampPeriod = TimestampPeriod.empty): DataFrame =
+    getDf(Seq("filled", "filled_by"), period)
+  /** Richter-corrected series (StationP.get_corr). */
+  def getCorr(period: TimestampPeriod = TimestampPeriod.empty): DataFrame =
+    db.inPeriod(only(db.corr), period).select("day", "corr").orderBy("day")
+
+  def getMeta: DataFrame = only(db.meta)
+
+  /** get_neighboor_stids (StationBases.py:2211). */
+  def getNeighbors(n: Int = Constants.NeighborK, elevationWeighted: Boolean = false): Seq[Long] = {
+    val knn = if (elevationWeighted) Neighbors.knnElev(db.meta, n)
+      else Neighbors.knnDist(db.meta, n)
+    only(knn).orderBy(col("rank")).select(col("nb_id")).collect().map(_.getLong(0)).toSeq
+  }
+
+  /** get_filled_period for a kind (StationBases.py:2083). */
+  def getFilledPeriod(kind: String = "filled"): TimestampPeriod = {
+    val r = only(db.filled).agg(
+      min(when(col(kind).isNotNull, col("day"))).as("from"),
+      max(when(col(kind).isNotNull, col("day"))).as("until")).collect().head
+    TimestampPeriod(
+      Option(r.getDate(0)).map(_.toLocalDate),
+      Option(r.getDate(1)).map(_.toLocalDate))
+  }
+
+  /** count_holes (StationBases.py:1925). */
+  def countHoles: DataFrame = only(Aggregate.countHoles(db.qc))
+}
+
+/** All stations of one parameter — the reference's StationsBase. */
+class Stations(db: WeatherDb) {
+  def getMeta: DataFrame = db.meta
+  /** quality_check over all stations (StationsBase.quality_check). */
+  def qualityCheck: DataFrame = db.qc
+  /** fillup over all stations (StationsBase.fillup). */
+  def fillup: DataFrame = db.filled
+  /** richter_correct over all stations (broker.richter_correct). */
+  def richterCorrect: DataFrame = db.corr
+  /** get_quotient (StationsBase.get_quotient). */
+  def getQuotient(kindsNum: Seq[String], kindsDenom: Seq[String]): DataFrame =
+    MultiAnnual.quotientKinds(db.filled)
+      .filter(col("kind_num").isin(kindsNum: _*) && col("kind_denom").isin(kindsDenom: _*))
+  /** count_holes for all stations (StationsBase.count_holes). */
+  def countHoles: DataFrame = Aggregate.countHoles(db.qc)
+}
+
+/** All parameters of one location — the reference's GroupStation
+  * (create_ts model-input export). */
+class GroupStation(db: WeatherDb, val id: Long) {
+  /** Wide per-day frame of the P/T/ET-like parameters
+    * (GroupStation.get_df / create_ts). */
+  def getDf(period: TimestampPeriod = TimestampPeriod.empty): DataFrame =
+    db.inPeriod(Aggregate.groupWide(db.events).filter(col("station_id") === id), period)
+      .orderBy(col("day"))
+}

@@ -67,9 +67,40 @@ object Fillup {
       .drop("cand", "nb_id")
   }
 
-  /** T-style additive variant (coef = ma_stat − ma_other). */
-  def fillAdditive(qcSeries: DataFrame, meta: DataFrame, k: Int = FillK): DataFrame =
-    fillNeighbor(qcSeries, meta, k, multiplicative = false)
+  /** T-style additive variant (coef = ma_stat − ma_other) with the
+    * reference's min/max companion columns: when a day is gap-filled,
+    * filled_min/filled_max come from the SAME neighbor with the same
+    * additive coefficient (StationT.py:122-143
+    * `_sql_fillup_extra_dict`). `minMax` is the (station_id, day,
+    * raw_min, raw_max) frame. */
+  def fillAdditive(qcSeries: DataFrame, meta: DataFrame, minMax: DataFrame,
+      k: Int = FillK): DataFrame = {
+    val knn = Neighbors.knnDist(meta, k)
+    val coefs = coefJoin(knn, maQc(qcSeries), multiplicative = false)
+    val nbSeries = qcSeries.filter(col("qc").isNotNull)
+      .select(col("station_id").as("nb_id"), col("day"), col("qc").as("nb_qc"))
+      .join(minMax.select(col("station_id").as("nb_id"), col("day"),
+        col("raw_min").as("nb_min"), col("raw_max").as("nb_max")), Seq("nb_id", "day"), "left")
+    val cand = broadcast(coefs).join(nbSeries, Seq("nb_id"))
+      .withColumn("cand", round(col("nb_qc") + col("coef"), 2))
+      .withColumn("cand_min", round(col("nb_min") + col("coef"), 2))
+      .withColumn("cand_max", round(col("nb_max") + col("coef"), 2))
+    val w = Window.partitionBy(col("station_id"), col("day")).orderBy(col("rank"))
+    val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("station_id"), col("day"), col("cand"), col("cand_min"),
+        col("cand_max"), col("nb_id"))
+    qcSeries
+      .join(minMax.select(col("station_id"), col("day"), col("raw_min"), col("raw_max")),
+        Seq("station_id", "day"), "left")
+      .join(best, Seq("station_id", "day"), "left")
+      .withColumn("filled", coalesce(col("qc"), col("cand")))
+      .withColumn("filled_min",
+        when(col("qc").isNotNull, col("raw_min")).otherwise(col("cand_min")))
+      .withColumn("filled_max",
+        when(col("qc").isNotNull, col("raw_max")).otherwise(col("cand_max")))
+      .withColumn("filled_by", when(col("qc").isNull, col("nb_id")).otherwise(lit(null)))
+      .drop("cand", "cand_min", "cand_max", "nb_id")
+  }
 
   /** P-style median-of-5-regionalized-neighbors fill
     * (StationBases.py:1474-1480: percentile_cont(0.5) over nb_mean).

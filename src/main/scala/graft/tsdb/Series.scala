@@ -56,6 +56,15 @@ object Series {
     grid(events).join(daily, Seq("station_id", "day"), "left")
   }
 
+  /** Daily min/max companion series (the reference's raw_min/raw_max
+    * columns of the temperature tables, StationT.py:70-88). */
+  def dailyMinMax(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id").cast("long").as("station_id"), to_date(col("ts")).as("day"))
+      .agg(round(min(col("value")), 3).as("raw_min"), round(max(col("value")), 3).as("raw_max"))
+    grid(events).join(daily, Seq("station_id", "day"), "left")
+  }
+
   /** Daily reference series excluding 'error' events — the independent
     * daily measurement of the daily-compare QC rule (StationP.py:103). */
   def dailyRef(events: DataFrame): DataFrame =

@@ -254,17 +254,30 @@ object TsOracle {
       FROM knn10 k
       JOIN ma_qc ms ON ms.station_id = k.station_id
       JOIN ma_qc mo ON mo.station_id = k.nb_id),
+    mm AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(min(value), 3) AS raw_min, round(max(value), 3) AS raw_max
+      FROM events GROUP BY 1, 2),
     cand AS (
-      SELECT c.station_id, s.day, round(s.qc + c.coef, 2) AS cand, c.nb_id, c.rank
-      FROM coefs10 c JOIN qc_all s ON s.station_id = c.nb_id AND s.qc IS NOT NULL),
+      SELECT c.station_id, s.day, round(s.qc + c.coef, 2) AS cand,
+        round(m.raw_min + c.coef, 2) AS cand_min,
+        round(m.raw_max + c.coef, 2) AS cand_max,
+        c.nb_id, c.rank
+      FROM coefs10 c
+      JOIN qc_all s ON s.station_id = c.nb_id AND s.qc IS NOT NULL
+      LEFT JOIN mm m ON m.station_id = c.nb_id AND m.day = s.day),
     best AS (
-      SELECT station_id, day, cand, nb_id FROM (
+      SELECT station_id, day, cand, cand_min, cand_max, nb_id FROM (
         SELECT *, row_number() OVER (PARTITION BY station_id, day ORDER BY rank) AS rn
         FROM cand) WHERE rn = 1)
     SELECT q.station_id, q.day, q.qc,
       coalesce(q.qc, b.cand) AS filled,
+      CASE WHEN q.qc IS NOT NULL THEN m.raw_min ELSE b.cand_min END AS filled_min,
+      CASE WHEN q.qc IS NOT NULL THEN m.raw_max ELSE b.cand_max END AS filled_max,
       CASE WHEN q.qc IS NULL THEN b.nb_id END AS filled_by
-    FROM qc_all q LEFT JOIN best b USING (station_id, day)
+    FROM qc_all q
+    LEFT JOIN mm m USING (station_id, day)
+    LEFT JOIN best b USING (station_id, day)
     ORDER BY q.station_id, q.day"""
 
   val qFillInterp: String = s"""
@@ -487,6 +500,8 @@ object TsOracle {
     "q_meta_derive" -> qMetaDerive,
     "q_expand_grid" -> qExpandGrid,
     "q_knn_dist" -> qKnnDist,
+    // exact on this density (see Neighbors.knnDistBucketed): same oracle
+    "q_knn_bucketed" -> qKnnDist,
     "q_knn_elev" -> qKnnElev,
     "q_qc_range" -> qQcRange,
     "q_qc_repeats" -> qQcRepeats,

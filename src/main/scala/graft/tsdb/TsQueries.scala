@@ -18,6 +18,10 @@ object TsQueries {
   def qKnnDist(s: SparkSession, d: String): DataFrame =
     Neighbors.knnDist(Series.stationMeta(ev(s, d))).orderBy(col("station_id"), col("rank"))
 
+  def qKnnBucketed(s: SparkSession, d: String): DataFrame =
+    Neighbors.knnDistBucketed(Series.stationMeta(ev(s, d)))
+      .orderBy(col("station_id"), col("rank"))
+
   def qKnnElev(s: SparkSession, d: String): DataFrame =
     Neighbors.knnElev(Series.stationMeta(ev(s, d))).orderBy(col("station_id"), col("rank"))
 
@@ -82,8 +86,8 @@ object TsQueries {
       .orderBy(col("station_id"), col("day"))
 
   def qFillAdditive(s: SparkSession, d: String): DataFrame =
-    Fillup.fillAdditive(qcAll(s, d), Series.stationMeta(ev(s, d)))
-      .select("station_id", "day", "qc", "filled", "filled_by")
+    Fillup.fillAdditive(qcAll(s, d), Series.stationMeta(ev(s, d)), Series.dailyMinMax(ev(s, d)))
+      .select("station_id", "day", "qc", "filled", "filled_min", "filled_max", "filled_by")
       .orderBy(col("station_id"), col("day"))
 
   def qFillInterp(s: SparkSession, d: String): DataFrame =
@@ -160,6 +164,7 @@ object TsQueries {
     "q_meta_derive" -> (qMetaDerive _),
     "q_expand_grid" -> (qExpandGrid _),
     "q_knn_dist" -> (qKnnDist _),
+    "q_knn_bucketed" -> (qKnnBucketed _),
     "q_knn_elev" -> (qKnnElev _),
     "q_qc_range" -> (qQcRange _),
     "q_qc_repeats" -> (qQcRepeats _),

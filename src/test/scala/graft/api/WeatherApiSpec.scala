@@ -1,0 +1,37 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.core.TimestampPeriod
+
+class WeatherApiSpec extends SparkSpec {
+
+  private lazy val db = new WeatherDb(spark, "/root/testdata/sf0.001")
+
+  test("station series retrieval with period filter") {
+    val s = db.station(0L)
+    val all = s.getDf()
+    val period = TimestampPeriod.of("2024-01-05", "2024-01-10")
+    val windowed = s.getDf(period = period)
+    assert(all.count() === 30)
+    assert(windowed.count() === 6)
+    assert(windowed.columns.toSeq === Seq("day", "raw", "qc", "filled"))
+  }
+
+  test("neighbors, filled period, corrected series") {
+    val s = db.station(0L)
+    val nbs = s.getNeighbors(3)
+    assert(nbs.size === 3 && !nbs.contains(0L))
+    val fp = s.getFilledPeriod("raw")
+    assert(fp.start.nonEmpty && fp.end.nonEmpty)
+    assert(s.getCorr().count() === 30)
+  }
+
+  test("stations-level actions and group view") {
+    assert(db.stations.getMeta.count() > 0)
+    val q = db.stations.getQuotient(Seq("filled"), Seq("raw"))
+    assert(q.count() > 0)
+    val g = db.groupStation(0L).getDf()
+    assert(g.columns.toSeq === Seq("station_id", "day", "p_raw", "t_raw", "et_raw"))
+    assert(g.count() === 30)
+  }
+}

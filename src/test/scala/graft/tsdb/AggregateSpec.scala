@@ -41,6 +41,15 @@ class AggregateSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 2L, 3L)) // d2: 1 (tie -> id), 1, 4
   }
 
+  test("bucketed knn equals brute-force knn on a dense grid") {
+    val meta = (0L until 60L).map(i => (i, (i % 10).toDouble, (i / 10).toDouble, 0.0))
+      .toDF("station_id", "x", "y", "elev")
+    val brute = Neighbors.knnDist(meta, 5).orderBy("station_id", "rank").collect()
+    val bucketed = Neighbors.knnDistBucketed(meta, 5, cellSize = 3.0)
+      .orderBy("station_id", "rank").collect()
+    assert(brute.toSeq === bucketed.toSeq)
+  }
+
   test("elevation weighting reorders neighbors") {
     val meta = Seq((0L, 0.0, 0.0, 0.0), (1L, 1.0, 0.0, 900.0), (2L, 3.0, 0.0, 0.0))
       .toDF("station_id", "x", "y", "elev")
