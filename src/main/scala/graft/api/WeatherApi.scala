@@ -65,6 +65,17 @@ class Station(db: WeatherDb, val id: Long) {
     only(knn).orderBy(col("rank")).select(col("nb_id")).collect().map(_.getLong(0)).toSeq
   }
 
+  /** get_coef (StationBases.py:2423): regionalization coefficient
+    * against another station — ratio of MA means (P/ET semantics) or
+    * difference (T semantics). */
+  def getCoef(otherId: Long, multiplicative: Boolean = true): Option[Double] = {
+    val ma = Series.maMean(db.raw, "raw")
+      .filter(col("station_id").isin(id, otherId))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (a <- ma.get(id); b <- ma.get(otherId))
+      yield if (multiplicative) a / b else a - b
+  }
+
   /** get_filled_period for a kind (StationBases.py:2083). */
   def getFilledPeriod(kind: String = "filled"): TimestampPeriod = {
     val r = only(db.filled).agg(

@@ -32,6 +32,19 @@ object Aggregate {
         round((count(lit(1)) - count(col("filled"))).cast("double") / count(lit(1)) * 100, 6)
           .as("filled_na_share"))
 
+  /** Hourly series → daily aggregation with the completeness gate —
+    * the reference's finer agg_to step (10 min → hour/day,
+    * StationBases.py:2547-2574). With sparse hourly coverage most days
+    * gate to NULL, exactly as the reference warns for NA-heavy
+    * aggregation (hence the na_share column). */
+  def aggDayFromHourly(hourlySeries: DataFrame): DataFrame =
+    hourlySeries
+      .groupBy(col("station_id"), to_date(col("hour")).as("day"))
+      .agg(
+        gated(round(sum(col("raw")), 3), count(col("raw"))).as("raw"),
+        round((count(lit(1)) - count(col("raw"))).cast("double") / count(lit(1)) * 100, 6)
+          .as("raw_na_share"))
+
   /** Monthly mean aggregation (T semantics). */
   def aggMonthMean(filledSeries: DataFrame): DataFrame =
     filledSeries

@@ -56,6 +56,27 @@ object Series {
     grid(events).join(daily, Seq("station_id", "day"), "left")
   }
 
+  /** Dense (station_id, hour) grid over the global period — the finer
+    * analog of the reference's 10-min base interval. */
+  def hourlyGrid(events: DataFrame): DataFrame = {
+    val b = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    stations(events).crossJoin(broadcast(b))
+      .select(col("station_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+  }
+
+  /** Hourly raw series on the dense grid (sum of event values in the
+    * hour, NULL where no events). */
+  def hourlyRaw(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id").cast("long").as("station_id"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum(col("value")), 3).as("raw"))
+    hourlyGrid(events).join(hourly, Seq("station_id", "hour"), "left")
+  }
+
   /** Daily min/max companion series (the reference's raw_min/raw_max
     * columns of the temperature tables, StationT.py:70-88). */
   def dailyMinMax(events: DataFrame): DataFrame = {

@@ -358,6 +358,24 @@ object TsOracle {
     FROM filled_s f JOIN ma_f m USING (station_id) JOIN raster r USING (station_id)
     ORDER BY station_id, day""")
 
+  val qAggDay: String = s"""
+    WITH stations AS (SELECT DISTINCT user_id::BIGINT AS station_id FROM events),
+    hb AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+    hgrid AS (
+      SELECT s.station_id, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM stations s, hb b),
+    hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value), 3) AS raw
+      FROM events GROUP BY 1, 2),
+    hseries AS (
+      SELECT g.station_id, g.hour, h.raw FROM hgrid g LEFT JOIN hourly h USING (station_id, hour))
+    SELECT station_id, hour::date AS day,
+      CASE WHEN count(raw)::DOUBLE / count(*) > $AggMinShare
+        THEN round(sum(raw), 3) END AS raw,
+      round((count(*) - count(raw))::DOUBLE / count(*) * 100, 6) AS raw_na_share
+    FROM hseries GROUP BY 1, 2 ORDER BY station_id, day"""
+
   val qAggMonth: String = withFill(s"""
     SELECT station_id, date_trunc('month', day)::date AS month,
       CASE WHEN count(qc)::DOUBLE / count(*) > $AggMinShare
@@ -489,6 +507,7 @@ object TsOracle {
     "q_quotient_raster" -> qQuotientRaster,
     "q_adjust_mult" -> qAdjustMult,
     "q_adjust_add" -> qAdjustAdd,
+    "q_agg_day" -> qAggDay,
     "q_agg_month" -> qAggMonth,
     "q_agg_month_mean" -> qAggMonthMean,
     "q_group_wide" -> qGroupWide,

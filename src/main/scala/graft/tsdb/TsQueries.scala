@@ -117,6 +117,10 @@ object TsQueries {
     MultiAnnual.adjustAdd(filledSeries(s, d), Series.raster(ev(s, d)))
       .orderBy(col("station_id"), col("day"))
 
+  def qAggDay(s: SparkSession, d: String): DataFrame =
+    Aggregate.aggDayFromHourly(Series.hourlyRaw(ev(s, d)))
+      .orderBy(col("station_id"), col("day"))
+
   def qAggMonth(s: SparkSession, d: String): DataFrame =
     Aggregate.aggMonthSum(filledSeries(s, d)).orderBy(col("station_id"), col("month"))
 
@@ -153,6 +157,7 @@ object TsQueries {
     "q_quotient_raster" -> (qQuotientRaster _),
     "q_adjust_mult" -> (qAdjustMult _),
     "q_adjust_add" -> (qAdjustAdd _),
+    "q_agg_day" -> (qAggDay _),
     "q_agg_month" -> (qAggMonth _),
     "q_agg_month_mean" -> (qAggMonthMean _),
     "q_group_wide" -> (qGroupWide _),

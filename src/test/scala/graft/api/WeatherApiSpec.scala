@@ -23,6 +23,8 @@ class WeatherApiSpec extends SparkSpec {
     assert(nbs.size === 3 && !nbs.contains(0L))
     val fp = s.getFilledPeriod("raw")
     assert(fp.start.nonEmpty && fp.end.nonEmpty)
+    val coef = s.getCoef(nbs.head)
+    assert(coef.exists(c => c > 0))
     assert(s.getCorr().count() === 30)
   }
 
