@@ -6,11 +6,11 @@ package graft.analytics
 object OracleSql {
   val q1Agg: String = """
     SELECT l_returnflag, l_linestatus,
-      round(sum(l_quantity), 2) AS sum_qty,
-      round(sum(l_extendedprice), 2) AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      round(avg(l_quantity), 6) AS avg_qty,
-      round(avg(l_discount), 6) AS avg_disc,
+      round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+      round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+      round(avg(l_quantity) + 1e-9, 6) AS avg_qty,
+      round(avg(l_discount) + 1e-9, 6) AS avg_disc,
       count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -19,7 +19,7 @@ object OracleSql {
 
   val q3Join: String = """
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -37,7 +37,7 @@ object OracleSql {
         count(*) OVER (PARTITION BY o_custkey) AS n_orders,
         o_orderkey, o_totalprice
       FROM orders)
-    SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS totalprice
+    SELECT o_custkey, rk, o_orderkey, round(o_totalprice + 1e-9, 2) AS totalprice
     FROM ranked
     WHERE rk <= 3 AND n_orders >= 5
     ORDER BY o_custkey, rk"""
@@ -63,7 +63,7 @@ object OracleSql {
 
   val qRollup: String = """
     SELECT l_returnflag, l_linestatus,
-      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
       count(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)

@@ -24,11 +24,11 @@ object Queries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(sum(col("l_quantity")) + lit(1e-9), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")) + lit(1e-9), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")) + lit(1e-9), 6).as("avg_qty"),
+        round(avg(col("l_discount")) + lit(1e-9), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -43,7 +43,7 @@ object Queries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -59,7 +59,7 @@ object Queries {
       .withColumn("n_orders", count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
       .filter(col("rk") <= 3 && col("n_orders") >= 5)
       .select(col("o_custkey"), col("rk"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("totalprice"))
+        round(col("o_totalprice") + lit(1e-9), 2).as("totalprice"))
       .orderBy(col("o_custkey"), col("rk"))
   }
 
@@ -119,7 +119,7 @@ object Queries {
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg(round(sum(col("l_quantity")) + lit(1e-9), 2).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }

@@ -84,7 +84,7 @@ object Dedup {
       .join(broadcast(hs.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
-        (size(col("h_a")) + size(col("h_b")) - col("inter")), 6))
+        (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -120,7 +120,7 @@ object Dedup {
     val a = n.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(expr(dot) / (col("na") * col("nb")), 6))
+      .withColumn("cosine", round(expr(dot) / (col("na") * col("nb")) + lit(1e-9), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

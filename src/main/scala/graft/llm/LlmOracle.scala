@@ -60,7 +60,7 @@ object LlmOracle {
     SELECT id_a, id_b, jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(len(list_intersect(a.hashes, b.hashes))::DOUBLE /
-          (len(a.hashes) + len(b.hashes) - len(list_intersect(a.hashes, b.hashes))), 6) AS jaccard
+          (len(a.hashes) + len(b.hashes) - len(list_intersect(a.hashes, b.hashes))) + 1e-9, 6) AS jaccard
       FROM hash_t a JOIN hash_t b ON a.doc_id < b.doc_id)
     WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
 
@@ -99,7 +99,7 @@ object LlmOracle {
     WITH $normCte
     SELECT id_a, id_b, cosine FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        round($dotAB / (a.nrm * b.nrm), 6) AS cosine
+        round($dotAB / (a.nrm * b.nrm) + 1e-9, 6) AS cosine
       FROM n_t a JOIN n_t b ON a.vec_id < b.vec_id)
     WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
 
@@ -109,7 +109,7 @@ object LlmOracle {
       SELECT a.vec_id AS query_id, b.vec_id AS nb_id,
         $dotAB / (a.nrm * b.nrm) AS cosine
       FROM n_t a JOIN n_t b ON a.vec_id < 10 AND a.vec_id != b.vec_id)
-    SELECT query_id, rank, nb_id, round(cosine, 6) AS cosine FROM (
+    SELECT query_id, rank, nb_id, round(cosine + 1e-9, 6) AS cosine FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nb_id) AS rank
       FROM scored)
     WHERE rank <= 5 ORDER BY query_id, rank"""
@@ -138,13 +138,13 @@ object LlmOracle {
     s"""
     WITH f AS (
       SELECT doc_id, length(text) AS n_chars_m, len($toks) AS n_tokens,
-        round((length(text) - len($toks) + 1)::DOUBLE / len($toks), 6) AS mean_word_len,
+        round((length(text) - len($toks) + 1)::DOUBLE / len($toks) + 1e-9, 6) AS mean_word_len,
         round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-          / length(text), 6) AS punct_ratio,
-        round($stop / len($toks), 6) AS stopword_ratio
+          / length(text) + 1e-9, 6) AS punct_ratio,
+        round($stop / len($toks) + 1e-9, 6) AS stopword_ratio
       FROM documents)
     SELECT *, round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) *
-      (0.5 + least(0.5, stopword_ratio * 2.0)), 6) AS quality_score
+      (0.5 + least(0.5, stopword_ratio * 2.0)) + 1e-9, 6) AS quality_score
     FROM f ORDER BY doc_id"""
   }
 
@@ -168,7 +168,7 @@ object LlmOracle {
       hex(encode(substring(text, 1, 4))) AS magic,
       CASE WHEN doc_id % 3 = 0 THEN (doc_id * 37) % 1280 + 64 END AS width,
       CASE WHEN doc_id % 3 = 0 THEN (doc_id * 53) % 720 + 64 END AS height,
-      CASE WHEN doc_id % 3 != 0 THEN round(((doc_id * 7) % 300 + 1) / 10.0, 1) END AS duration_s
+      CASE WHEN doc_id % 3 != 0 THEN round(((doc_id * 7) % 300 + 1) / 10.0 + 1e-9, 1) END AS duration_s
     FROM documents ORDER BY doc_id"""
 
   val all: Map[String, String] = Map(

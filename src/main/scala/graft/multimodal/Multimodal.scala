@@ -24,7 +24,7 @@ object Multimodal {
         expr("hex(encode(substring(text, 1, 4), 'UTF-8'))").as("magic"),
         expr("CASE WHEN doc_id % 3 = 0 THEN (doc_id * 37) % 1280 + 64 END").as("width"),
         expr("CASE WHEN doc_id % 3 = 0 THEN (doc_id * 53) % 720 + 64 END").as("height"),
-        expr("CASE WHEN doc_id % 3 != 0 THEN round(((doc_id * 7) % 300 + 1) / 10.0D, 1) END").as("duration_s"))
+        expr("CASE WHEN doc_id % 3 != 0 THEN round(((doc_id * 7) % 300 + 1) / 10.0D + 1e-9, 1) END").as("duration_s"))
 
   case class MediaFeature(doc_id: Long, modality: String, n_bytes: Int,
       feature: Array[Float])

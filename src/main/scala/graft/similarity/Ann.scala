@@ -33,7 +33,7 @@ object Ann {
       .withColumn("cosine", expr(dot) / (col("na") * col("nb")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nb_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplane component for plane j,
@@ -64,6 +64,6 @@ object Ann {
       .withColumn("cosine", expr(dot) / (col("na") * col("nb")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nb_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 }

@@ -22,7 +22,7 @@ object Streaming {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")) + lit(1e-9), 3).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   case class StationEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -52,12 +52,12 @@ object TextAnalysis {
     documents.select(col("doc_id"),
         length(col("text")).as("n_chars_m"),
         expr(s"size($toks)").as("n_tokens"),
-        expr(s"round(cast(length(text) - size($toks) + 1 AS double) / size($toks), 6)").as("mean_word_len"),
-        expr(s"round($punct / length(text), 6)").as("punct_ratio"),
-        expr(s"round($stop / size($toks), 6)").as("stopword_ratio"))
+        expr(s"round(cast(length(text) - size($toks) + 1 AS double) / size($toks) + 1e-9, 6)").as("mean_word_len"),
+        expr(s"round($punct / length(text) + 1e-9, 6)").as("punct_ratio"),
+        expr(s"round($stop / size($toks) + 1e-9, 6)").as("stopword_ratio"))
       .withColumn("quality_score",
         expr("round(least(1.0D, n_tokens / 100.0D) * (1.0D - punct_ratio) * " +
-          "(0.5D + least(0.5D, stopword_ratio * 2.0D)), 6)"))
+          "(0.5D + least(0.5D, stopword_ratio * 2.0D)) + 1e-9, 6)"))
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens

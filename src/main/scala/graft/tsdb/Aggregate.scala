@@ -25,11 +25,11 @@ object Aggregate {
     filledSeries
       .groupBy(col("station_id"), trunc(col("day"), "month").as("month"))
       .agg(
-        gated(round(sum(col("qc")), 3), count(col("qc"))).as("qc"),
-        gated(round(sum(col("filled")), 3), count(col("filled"))).as("filled"),
-        round((count(lit(1)) - count(col("qc"))).cast("double") / count(lit(1)) * 100, 6)
+        gated(round(sum(col("qc")) + lit(1e-9), 3), count(col("qc"))).as("qc"),
+        gated(round(sum(col("filled")) + lit(1e-9), 3), count(col("filled"))).as("filled"),
+        round((count(lit(1)) - count(col("qc"))).cast("double") / count(lit(1)) * 100 + lit(1e-9), 6)
           .as("qc_na_share"),
-        round((count(lit(1)) - count(col("filled"))).cast("double") / count(lit(1)) * 100, 6)
+        round((count(lit(1)) - count(col("filled"))).cast("double") / count(lit(1)) * 100 + lit(1e-9), 6)
           .as("filled_na_share"))
 
   /** Hourly series → daily aggregation with the completeness gate —
@@ -41,8 +41,8 @@ object Aggregate {
     hourlySeries
       .groupBy(col("station_id"), to_date(col("hour")).as("day"))
       .agg(
-        gated(round(sum(col("raw")), 3), count(col("raw"))).as("raw"),
-        round((count(lit(1)) - count(col("raw"))).cast("double") / count(lit(1)) * 100, 6)
+        gated(round(sum(col("raw")) + lit(1e-9), 3), count(col("raw"))).as("raw"),
+        round((count(lit(1)) - count(col("raw"))).cast("double") / count(lit(1)) * 100 + lit(1e-9), 6)
           .as("raw_na_share"))
 
   /** Monthly mean aggregation (T semantics). */
@@ -50,8 +50,8 @@ object Aggregate {
     filledSeries
       .groupBy(col("station_id"), trunc(col("day"), "month").as("month"))
       .agg(
-        gated(round(avg(col("qc")), 6), count(col("qc"))).as("qc"),
-        gated(round(avg(col("filled")), 6), count(col("filled"))).as("filled"))
+        gated(round(avg(col("qc")) + lit(1e-9), 6), count(col("qc"))).as("qc"),
+        gated(round(avg(col("filled")) + lit(1e-9), 6), count(col("filled"))).as("filled"))
 
   /** Wide multi-parameter frame per (station, day): the GroupStation
     * export joining the P/T/ET-like series of one location. */
@@ -60,7 +60,7 @@ object Aggregate {
     val t = Series.dailyTemp(events).select(col("station_id"), col("day"), col("t").as("t_raw"))
     val et = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id").cast("long").as("station_id"), to_date(col("ts")).as("day"))
-      .agg(round(sum(col("value")) / 10, 3).as("et_raw"))
+      .agg(round(sum(col("value")) / 10 + lit(1e-9), 3).as("et_raw"))
     p.join(t, Seq("station_id", "day"), "left")
       .join(et, Seq("station_id", "day"), "left")
   }
@@ -110,5 +110,5 @@ object Aggregate {
     events
       .groupBy(timestamp_seconds(floor(col("ts").cast("long") / 21600) * 21600).as("window_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")) + lit(1e-9), 3).as("sum_value"))
 }

@@ -32,8 +32,8 @@ object Fillup {
     val c = knn
       .join(ma.select(col("station_id"), col("ma").as("ma_stat")), Seq("station_id"))
       .join(ma.select(col("station_id").as("nb_id"), col("ma").as("ma_other")), Seq("nb_id"))
-    val coef = if (multiplicative) round(col("ma_stat") / col("ma_other"), 6)
-      else round(col("ma_stat") - col("ma_other"), 6)
+    val coef = if (multiplicative) round(col("ma_stat") / col("ma_other") + lit(1e-9), 6)
+      else round(col("ma_stat") - col("ma_other") + lit(1e-9), 6)
     c.withColumn("coef", coef).select(col("station_id"), col("nb_id"), col("rank"), col("coef"))
   }
 
@@ -48,7 +48,7 @@ object Fillup {
       .join(qcSeries.filter(col("qc").isNotNull)
         .select(col("station_id").as("nb_id"), col("day"), col("qc").as("nb_qc")), Seq("nb_id"))
       .withColumn("cand_raw", raw)
-      .withColumn("cand", round(raw, 2))
+      .withColumn("cand", round(raw + lit(1e-9), 2))
   }
 
   /** First-non-null-neighbor fill with multiplicative regionalization
@@ -82,9 +82,9 @@ object Fillup {
       .join(minMax.select(col("station_id").as("nb_id"), col("day"),
         col("raw_min").as("nb_min"), col("raw_max").as("nb_max")), Seq("nb_id", "day"), "left")
     val cand = broadcast(coefs).join(nbSeries, Seq("nb_id"))
-      .withColumn("cand", round(col("nb_qc") + col("coef"), 2))
-      .withColumn("cand_min", round(col("nb_min") + col("coef"), 2))
-      .withColumn("cand_max", round(col("nb_max") + col("coef"), 2))
+      .withColumn("cand", round(col("nb_qc") + col("coef") + lit(1e-9), 2))
+      .withColumn("cand_min", round(col("nb_min") + col("coef") + lit(1e-9), 2))
+      .withColumn("cand_max", round(col("nb_max") + col("coef") + lit(1e-9), 2))
     val w = Window.partitionBy(col("station_id"), col("day")).orderBy(col("rank"))
     val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("station_id"), col("day"), col("cand"), col("cand_min"),
@@ -110,7 +110,7 @@ object Fillup {
   def fillMedian(qcSeries: DataFrame, meta: DataFrame, k: Int = FillMedianK): DataFrame = {
     val med = candidates(qcSeries, meta, k, multiplicative = true)
       .groupBy(col("station_id"), col("day"))
-      .agg(round(median(col("cand_raw")), 2).as("med"))
+      .agg(round(median(col("cand_raw")) + lit(1e-9), 2).as("med"))
     qcSeries.join(med, Seq("station_id", "day"), "left")
       .withColumn("filled", coalesce(col("qc"), col("med")))
       .withColumn("filled_by", when(col("qc").isNull && col("med").isNotNull, lit(-2L)).otherwise(lit(null)))
@@ -135,7 +135,7 @@ object Fillup {
     df.withColumn("filled",
         when(col("qc").isNotNull, col("qc"))
           .when(col("prev").isNotNull && col("next").isNotNull && gapLen <= maxGap,
-            round(col("prev.v") + (col("next.v") - col("prev.v")) * frac, 3))
+            round(col("prev.v") + (col("next.v") - col("prev.v")) * frac + lit(1e-9), 3))
           .otherwise(lit(null)))
       .withColumn("filled_by",
         when(col("qc").isNull && col("filled").isNotNull, lit(-1L)).otherwise(lit(null)))
@@ -147,6 +147,6 @@ object Fillup {
   def filledShare(filledSeries: DataFrame): DataFrame =
     filledSeries
       .groupBy(col("station_id"), trunc(col("day"), "month").as("month"))
-      .agg(round(count(col("filled_by")).cast("double") / count(lit(1)) * 100, 6)
+      .agg(round(count(col("filled_by")).cast("double") / count(lit(1)) * 100 + lit(1e-9), 6)
         .as("filled_share"))
 }

@@ -22,9 +22,9 @@ object MultiAnnual {
     * analog): kind ∈ {raw, qc, filled}. */
   def maTimeseries(filledSeries: DataFrame): DataFrame = {
     val agg = filledSeries.groupBy(col("station_id")).agg(
-      round(avg(col("raw")), 6).as("raw"),
-      round(avg(col("qc")), 6).as("qc"),
-      round(avg(col("filled")), 6).as("filled"))
+      round(avg(col("raw")) + lit(1e-9), 6).as("raw"),
+      round(avg(col("qc")) + lit(1e-9), 6).as("qc"),
+      round(avg(col("filled")) + lit(1e-9), 6).as("filled"))
     agg.select(col("station_id"),
         expr("stack(3, 'raw', raw, 'qc', qc, 'filled', filled) AS (kind, value)"))
   }
@@ -38,7 +38,7 @@ object MultiAnnual {
     num.join(den, Seq("station_id"))
       .filter(col("kind_num") =!= col("kind_denom"))
       .select(col("station_id"), col("kind_num"), col("kind_denom"),
-        round(col("v_num") / col("v_denom"), 6).as("value"))
+        round(col("v_num") / col("v_denom") + lit(1e-9), 6).as("value"))
   }
 
   /** MA mean of each kind vs the multi-annual raster value
@@ -47,7 +47,7 @@ object MultiAnnual {
     maTimeseries(filledSeries)
       .join(raster.select(col("station_id"), col("raster_p")), Seq("station_id"))
       .select(col("station_id"), col("kind"),
-        round(col("value") / col("raster_p"), 6).as("value"))
+        round(col("value") / col("raster_p") + lit(1e-9), 6).as("value"))
 
   /** Multiplicative adjustment (P/ET-style, StationET.py:109): scale
     * the filled series so its period mean matches the raster target. */
@@ -56,7 +56,7 @@ object MultiAnnual {
     filledSeries
       .join(broadcast(ma.withColumnRenamed("ma", "ma_filled")), Seq("station_id"))
       .join(broadcast(raster.select(col("station_id"), col("raster_p"))), Seq("station_id"))
-      .withColumn("adj", round(col("filled") * col("raster_p") / col("ma_filled"), 3))
+      .withColumn("adj", round(col("filled") * col("raster_p") / col("ma_filled") + lit(1e-9), 3))
       .select(col("station_id"), col("day"), col("filled"), col("adj"))
   }
 
@@ -67,7 +67,7 @@ object MultiAnnual {
     filledSeries
       .join(broadcast(ma.withColumnRenamed("ma", "ma_filled")), Seq("station_id"))
       .join(broadcast(raster.select(col("station_id"), col("raster_t"))), Seq("station_id"))
-      .withColumn("adj", round(col("filled") + (col("raster_t") - col("ma_filled")), 3))
+      .withColumn("adj", round(col("filled") + (col("raster_t") - col("ma_filled")) + lit(1e-9), 3))
       .select(col("station_id"), col("day"), col("filled"), col("adj"))
   }
 }

@@ -40,7 +40,7 @@ object Neighbors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("station_id"), col("rank"), col("nb_id"),
-        round(sqrt(col("d2")), 6).as("dist"))
+        round(sqrt(col("d2")) + lit(1e-9), 6).as("dist"))
   }
 
   /** Grid-bucketed knn — the 100 TB path. Stations hash to spatial
@@ -74,7 +74,7 @@ object Neighbors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("station_id"), col("rank"), col("nb_id"),
-        round(sqrt(col("d2")), 6).as("dist"))
+        round(sqrt(col("d2")) + lit(1e-9), 6).as("dist"))
   }
 
   /** k nearest by LARSIM elevation-weighted distance
@@ -87,6 +87,6 @@ object Neighbors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("station_id"), col("rank"), col("nb_id"),
-        round(col("wdist"), 6).as("wdist"))
+        round(col("wdist") + lit(1e-9), 6).as("wdist"))
   }
 }

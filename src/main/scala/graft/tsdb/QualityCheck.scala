@@ -32,7 +32,7 @@ object QualityCheck {
   /** Three or more consecutive days with the same rounded value above
     * the limit → NULL (sensor-stuck detection). */
   def repeats(series: DataFrame): DataFrame = {
-    val r = round(col("raw"), RepeatRound)
+    val r = round(col("raw") + lit(1e-9), RepeatRound)
     val df = series.withColumn("r", r)
       .withColumn("l1", lag(col("r"), 1).over(wDay))
       .withColumn("l2", lag(col("r"), 2).over(wDay))
@@ -91,13 +91,13 @@ object QualityCheck {
     val coefs = knn
       .join(ma.select(col("station_id"), col("ma").as("ma_stat")), Seq("station_id"))
       .join(ma.select(col("station_id").as("nb_id"), col("ma").as("ma_other")), Seq("nb_id"))
-      .withColumn("coef", round(col("ma_stat") - col("ma_other"), 6))
+      .withColumn("coef", round(col("ma_stat") - col("ma_other") + lit(1e-9), 6))
     val nbVals = broadcast(coefs.select(col("station_id"), col("nb_id"), col("coef")))
       .join(series.select(col("station_id").as("nb_id"), col("day"), col("raw").as("nb_raw")),
         Seq("nb_id"))
       .withColumn("adj", col("nb_raw") + col("coef"))
     nbVals.groupBy(col("station_id"), col("day"))
-      .agg(round(median(col("adj")), 6).as("nbs_median"))
+      .agg(round(median(col("adj")) + lit(1e-9), 6).as("nbs_median"))
   }
 
   def neighborMedian(series: DataFrame, meta: DataFrame): DataFrame = {
@@ -117,7 +117,7 @@ object QualityCheck {
     * would recompute the base series per rule). */
   def all(series: DataFrame, ref: DataFrame, meta: DataFrame): DataFrame = {
     val med = nbMedian(series, meta)
-    val r = round(col("raw"), RepeatRound)
+    val r = round(col("raw") + lit(1e-9), RepeatRound)
     val v = coalesce(col("raw"), lit(0.0))
     val df = series
       .join(ref, Seq("station_id", "day"), "left")
@@ -151,6 +151,6 @@ object QualityCheck {
     * meta table (StationBases.py:1316-1323 — ROUND(ratio, 4)*100). */
   def droppedShare(qcSeries: DataFrame): DataFrame =
     qcSeries.groupBy(col("station_id"))
-      .agg((round((count(col("raw")) - count(col("qc"))).cast("double") / count(col("raw")), 4) * 100)
+      .agg((round((count(col("raw")) - count(col("qc"))).cast("double") / count(col("raw")) + lit(1e-9), 4) * 100)
         .as("qc_dropped"))
 }

@@ -53,10 +53,10 @@ object Richter {
       .join(broadcast(richterClass(meta).select(col("station_id"), col("richter_class"))), Seq("station_id"))
       .join(broadcast(params(spark)), Seq("precipitation_typ"), "left")
     val delta = when(col("precipitation_typ").isNull, lit(0.0))
-      .otherwise(round(b * pow(col("filled"), col("e")), 6))
+      .otherwise(round(b * pow(col("filled"), col("e")) + lit(1e-9), 6))
     withTyp
       .withColumn("corr",
-        when(col("filled") > 0, round(col("filled") + delta, 3)).otherwise(col("filled")))
+        when(col("filled") > 0, round(col("filled") + delta + lit(1e-9), 3)).otherwise(col("filled")))
       .select(col("station_id"), col("day"), col("filled"), col("t"),
         col("precipitation_typ"), col("corr"))
   }

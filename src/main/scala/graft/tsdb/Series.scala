@@ -36,12 +36,12 @@ object Series {
       .select(col("station_id"),
         explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
 
-  /** Daily raw series on the dense grid: raw = round(sum(value), 3)
+  /** Daily raw series on the dense grid: raw = round(sum(value) + lit(1e-9), 3)
     * (NULL where no events), n_obs = events contributing to the day. */
   def dailyRaw(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("user_id").cast("long").as("station_id"), to_date(col("ts")).as("day"))
-      .agg(round(sum(col("value")), 3).as("raw"), count(col("value")).as("n_obs"))
+      .agg(round(sum(col("value")) + lit(1e-9), 3).as("raw"), count(col("value")).as("n_obs"))
     grid(events).join(daily, Seq("station_id", "day"), "left")
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
   }
@@ -52,7 +52,7 @@ object Series {
   def dailyTemp(events: DataFrame): DataFrame = {
     val daily = events.filter(col("event_type") === "view")
       .groupBy(col("user_id").cast("long").as("station_id"), to_date(col("ts")).as("day"))
-      .agg((round(avg(col("value")), 6) - lit(TempShift)).as("t"))
+      .agg((round(avg(col("value")) + lit(1e-9), 6) - lit(TempShift)).as("t"))
     grid(events).join(daily, Seq("station_id", "day"), "left")
   }
 
@@ -73,7 +73,7 @@ object Series {
     val hourly = events
       .groupBy(col("user_id").cast("long").as("station_id"),
         date_trunc("hour", col("ts")).as("hour"))
-      .agg(round(sum(col("value")), 3).as("raw"))
+      .agg(round(sum(col("value")) + lit(1e-9), 3).as("raw"))
     hourlyGrid(events).join(hourly, Seq("station_id", "hour"), "left")
   }
 
@@ -82,7 +82,7 @@ object Series {
   def dailyMinMax(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("user_id").cast("long").as("station_id"), to_date(col("ts")).as("day"))
-      .agg(round(min(col("value")), 3).as("raw_min"), round(max(col("value")), 3).as("raw_max"))
+      .agg(round(min(col("value")) + lit(1e-9), 3).as("raw_min"), round(max(col("value")) + lit(1e-9), 3).as("raw_max"))
     grid(events).join(daily, Seq("station_id", "day"), "left")
   }
 
@@ -91,7 +91,7 @@ object Series {
   def dailyRef(events: DataFrame): DataFrame =
     events.filter(col("event_type") =!= "error")
       .groupBy(col("user_id").cast("long").as("station_id"), to_date(col("ts")).as("day"))
-      .agg(round(sum(col("value")), 3).as("ref"))
+      .agg(round(sum(col("value")) + lit(1e-9), 3).as("ref"))
 
   /** Derived station registry (stands in for meta_{para}): grid
     * coordinates, elevation, horizon angle from pure id arithmetic,
@@ -117,7 +117,7 @@ object Series {
     * regionalization coefficients are bit-identical. */
   def maMean(series: DataFrame, valueCol: String): DataFrame =
     series.groupBy(col("station_id"))
-      .agg(round(avg(col(valueCol)), 6).as("ma"))
+      .agg(round(avg(col(valueCol)) + lit(1e-9), 6).as("ma"))
 
   /** Deterministic multi-annual raster values per station
     * (station_ma_raster analog): precipitation-like and

@@ -20,7 +20,7 @@ object TsOracle {
       FROM stations s, bounds b),
     daily AS (
       SELECT user_id::BIGINT AS station_id, ts::date AS day,
-             round(sum(value), 3) AS raw, count(value) AS n_obs
+             round(sum(value) + 1e-9, 3) AS raw, count(value) AS n_obs
       FROM events GROUP BY 1, 2),
     raw_daily AS (
       SELECT g.station_id, g.day, d.raw, coalesce(d.n_obs, 0) AS n_obs
@@ -42,9 +42,9 @@ object TsOracle {
         SELECT station_id, nb_id, d2,
           row_number() OVER (PARTITION BY station_id ORDER BY d2, nb_id) AS rank
         FROM pairs) WHERE rank <= $NeighborK),
-    ma_raw AS (SELECT station_id, round(avg(raw), 6) AS ma FROM raw_daily GROUP BY 1),
+    ma_raw AS (SELECT station_id, round(avg(raw) + 1e-9, 6) AS ma FROM raw_daily GROUP BY 1),
     ref_daily AS (
-      SELECT user_id::BIGINT AS station_id, ts::date AS day, round(sum(value), 3) AS ref
+      SELECT user_id::BIGINT AS station_id, ts::date AS day, round(sum(value) + 1e-9, 3) AS ref
       FROM events WHERE event_type != 'error' GROUP BY 1, 2)"""
 
   val qMetaDerive: String = s"""
@@ -63,7 +63,7 @@ object TsOracle {
 
   val qKnnDist: String = s"""
     WITH $world
-    SELECT station_id, rank, nb_id, round(sqrt(d2), 6) AS dist
+    SELECT station_id, rank, nb_id, round(sqrt(d2) + 1e-9, 6) AS dist
     FROM knn ORDER BY station_id, rank"""
 
   val qKnnElev: String = s"""
@@ -76,7 +76,7 @@ object TsOracle {
       SELECT station_id, nb_id, wdist,
         row_number() OVER (PARTITION BY station_id ORDER BY wdist, nb_id) AS rank
       FROM wpairs)
-    SELECT station_id, rank, nb_id, round(wdist, 6) AS wdist
+    SELECT station_id, rank, nb_id, round(wdist + 1e-9, 6) AS wdist
     FROM wknn WHERE rank <= $NeighborK ORDER BY station_id, rank"""
 
   val qQcRange: String = s"""
@@ -87,11 +87,11 @@ object TsOracle {
 
   /** Per-row membership in a >=3-run of equal rounded values. */
   private val repeatsRun: String = s"""
-      SELECT station_id, day, raw, round(raw, $RepeatRound) AS r,
-        lag(round(raw, $RepeatRound), 1) OVER w AS l1,
-        lag(round(raw, $RepeatRound), 2) OVER w AS l2,
-        lead(round(raw, $RepeatRound), 1) OVER w AS n1,
-        lead(round(raw, $RepeatRound), 2) OVER w AS n2
+      SELECT station_id, day, raw, round(raw + 1e-9, $RepeatRound) AS r,
+        lag(round(raw + 1e-9, $RepeatRound), 1) OVER w AS l1,
+        lag(round(raw + 1e-9, $RepeatRound), 2) OVER w AS l2,
+        lead(round(raw + 1e-9, $RepeatRound), 1) OVER w AS n1,
+        lead(round(raw + 1e-9, $RepeatRound), 2) OVER w AS n2
       FROM raw_daily
       WINDOW w AS (PARTITION BY station_id ORDER BY day)"""
 
@@ -137,12 +137,12 @@ object TsOracle {
   private val nbMedianCte: String = s"""
     coefs AS (
       SELECT k.station_id, k.nb_id,
-        round(ms.ma - mo.ma, 6) AS coef
+        round(ms.ma - mo.ma + 1e-9, 6) AS coef
       FROM knn k
       JOIN ma_raw ms ON ms.station_id = k.station_id
       JOIN ma_raw mo ON mo.station_id = k.nb_id),
     nb_med AS (
-      SELECT c.station_id, s.day, round(median(s.raw + c.coef), 6) AS nbs_median
+      SELECT c.station_id, s.day, round(median(s.raw + c.coef) + 1e-9, 6) AS nbs_median
       FROM coefs c JOIN raw_daily s ON s.station_id = c.nb_id
       GROUP BY c.station_id, s.day)"""
 
@@ -191,25 +191,25 @@ object TsOracle {
     WITH $world,
     $qcAllCte
     SELECT station_id,
-      round((count(raw) - count(qc))::DOUBLE / count(raw), 4) * 100 AS qc_dropped
+      round((count(raw) - count(qc))::DOUBLE / count(raw) + 1e-9, 4) * 100 AS qc_dropped
     FROM qc_all GROUP BY station_id ORDER BY station_id"""
 
   /** Fill-up CTEs: qc MA means, k=FillK neighbor ranking,
     * multiplicative coefficients, best-candidate fill. */
   val fillCte: String = s"""
-    ma_qc AS (SELECT station_id, round(avg(qc), 6) AS ma FROM qc_all GROUP BY 1),
+    ma_qc AS (SELECT station_id, round(avg(qc) + 1e-9, 6) AS ma FROM qc_all GROUP BY 1),
     knn10 AS (
       SELECT station_id, nb_id, rank FROM (
         SELECT station_id, nb_id,
           row_number() OVER (PARTITION BY station_id ORDER BY d2, nb_id) AS rank
         FROM pairs) WHERE rank <= $FillK),
     coefs10 AS (
-      SELECT k.station_id, k.nb_id, k.rank, round(ms.ma / mo.ma, 6) AS coef
+      SELECT k.station_id, k.nb_id, k.rank, round(ms.ma / mo.ma + 1e-9, 6) AS coef
       FROM knn10 k
       JOIN ma_qc ms ON ms.station_id = k.station_id
       JOIN ma_qc mo ON mo.station_id = k.nb_id),
     cand AS (
-      SELECT c.station_id, s.day, round(s.qc * c.coef, 2) AS cand, c.nb_id, c.rank
+      SELECT c.station_id, s.day, round(s.qc * c.coef + 1e-9, 2) AS cand, c.nb_id, c.rank
       FROM coefs10 c JOIN qc_all s ON s.station_id = c.nb_id AND s.qc IS NOT NULL),
     best AS (
       SELECT station_id, day, cand, nb_id FROM (
@@ -230,7 +230,7 @@ object TsOracle {
 
   val qFillMedian5: String = withFill(s"""
     , med AS (
-      SELECT c.station_id, s.day, round(median(s.qc * c.coef), 2) AS med
+      SELECT c.station_id, s.day, round(median(s.qc * c.coef) + 1e-9, 2) AS med
       FROM coefs10 c JOIN qc_all s ON s.station_id = c.nb_id AND s.qc IS NOT NULL
       WHERE c.rank <= $FillMedianK
       GROUP BY c.station_id, s.day)
@@ -243,25 +243,25 @@ object TsOracle {
   val qFillAdditive: String = s"""
     WITH $world,
     $qcAllCte,
-    ma_qc AS (SELECT station_id, round(avg(qc), 6) AS ma FROM qc_all GROUP BY 1),
+    ma_qc AS (SELECT station_id, round(avg(qc) + 1e-9, 6) AS ma FROM qc_all GROUP BY 1),
     knn10 AS (
       SELECT station_id, nb_id, rank FROM (
         SELECT station_id, nb_id,
           row_number() OVER (PARTITION BY station_id ORDER BY d2, nb_id) AS rank
         FROM pairs) WHERE rank <= $FillK),
     coefs10 AS (
-      SELECT k.station_id, k.nb_id, k.rank, round(ms.ma - mo.ma, 6) AS coef
+      SELECT k.station_id, k.nb_id, k.rank, round(ms.ma - mo.ma + 1e-9, 6) AS coef
       FROM knn10 k
       JOIN ma_qc ms ON ms.station_id = k.station_id
       JOIN ma_qc mo ON mo.station_id = k.nb_id),
     mm AS (
       SELECT user_id::BIGINT AS station_id, ts::date AS day,
-        round(min(value), 3) AS raw_min, round(max(value), 3) AS raw_max
+        round(min(value) + 1e-9, 3) AS raw_min, round(max(value) + 1e-9, 3) AS raw_max
       FROM events GROUP BY 1, 2),
     cand AS (
-      SELECT c.station_id, s.day, round(s.qc + c.coef, 2) AS cand,
-        round(m.raw_min + c.coef, 2) AS cand_min,
-        round(m.raw_max + c.coef, 2) AS cand_max,
+      SELECT c.station_id, s.day, round(s.qc + c.coef + 1e-9, 2) AS cand,
+        round(m.raw_min + c.coef + 1e-9, 2) AS cand_min,
+        round(m.raw_max + c.coef + 1e-9, 2) AS cand_max,
         c.nb_id, c.rank
       FROM coefs10 c
       JOIN qc_all s ON s.station_id = c.nb_id AND s.qc IS NOT NULL
@@ -297,7 +297,7 @@ object TsOracle {
            WHEN prev IS NOT NULL AND next IS NOT NULL
                 AND (next.d - prev.d - 1) <= $InterpMaxGap
            THEN round(prev.v + (next.v - prev.v) *
-                ((day - prev.d)::DOUBLE / (next.d - prev.d)::DOUBLE), 3)
+                ((day - prev.d)::DOUBLE / (next.d - prev.d)::DOUBLE) + 1e-9, 3)
       END AS filled,
       CASE WHEN qc IS NULL AND (prev IS NOT NULL AND next IS NOT NULL
                 AND (next.d - prev.d - 1) <= $InterpMaxGap)
@@ -306,16 +306,16 @@ object TsOracle {
 
   val qFillShare: String = withFill(s"""
     SELECT station_id, date_trunc('month', day)::date AS month,
-      round(count(filled_by)::DOUBLE / count(*) * 100, 6) AS filled_share
+      round(count(filled_by)::DOUBLE / count(*) * 100 + 1e-9, 6) AS filled_share
     FROM filled_s GROUP BY 1, 2 ORDER BY station_id, month""")
 
   private val maKindsCte: String = """
     ma_kinds AS (
-      SELECT station_id, 'raw' AS kind, round(avg(raw), 6) AS value FROM filled_s GROUP BY 1
+      SELECT station_id, 'raw' AS kind, round(avg(raw) + 1e-9, 6) AS value FROM filled_s GROUP BY 1
       UNION ALL
-      SELECT station_id, 'qc', round(avg(qc), 6) FROM filled_s GROUP BY 1
+      SELECT station_id, 'qc', round(avg(qc) + 1e-9, 6) FROM filled_s GROUP BY 1
       UNION ALL
-      SELECT station_id, 'filled', round(avg(filled), 6) FROM filled_s GROUP BY 1)"""
+      SELECT station_id, 'filled', round(avg(filled) + 1e-9, 6) FROM filled_s GROUP BY 1)"""
 
   private val rasterCte: String = s"""
     raster AS (
@@ -331,30 +331,30 @@ object TsOracle {
   val qQuotientKinds: String = withFill(s"""
     , $maKindsCte
     SELECT n.station_id, n.kind AS kind_num, d.kind AS kind_denom,
-      round(n.value / d.value, 6) AS value
+      round(n.value / d.value + 1e-9, 6) AS value
     FROM ma_kinds n JOIN ma_kinds d USING (station_id)
     WHERE n.kind != d.kind
     ORDER BY station_id, kind_num, kind_denom""")
 
   val qQuotientRaster: String = withFill(s"""
     , $maKindsCte, $rasterCte
-    SELECT m.station_id, m.kind, round(m.value / r.raster_p, 6) AS value
+    SELECT m.station_id, m.kind, round(m.value / r.raster_p + 1e-9, 6) AS value
     FROM ma_kinds m JOIN raster r USING (station_id)
     ORDER BY station_id, kind""")
 
   val qAdjustMult: String = withFill(s"""
     , $rasterCte,
-    ma_f AS (SELECT station_id, round(avg(filled), 6) AS ma FROM filled_s GROUP BY 1)
+    ma_f AS (SELECT station_id, round(avg(filled) + 1e-9, 6) AS ma FROM filled_s GROUP BY 1)
     SELECT f.station_id, f.day, f.filled,
-      round(f.filled * r.raster_p / m.ma, 3) AS adj
+      round(f.filled * r.raster_p / m.ma + 1e-9, 3) AS adj
     FROM filled_s f JOIN ma_f m USING (station_id) JOIN raster r USING (station_id)
     ORDER BY station_id, day""")
 
   val qAdjustAdd: String = withFill(s"""
     , $rasterCte,
-    ma_f AS (SELECT station_id, round(avg(filled), 6) AS ma FROM filled_s GROUP BY 1)
+    ma_f AS (SELECT station_id, round(avg(filled) + 1e-9, 6) AS ma FROM filled_s GROUP BY 1)
     SELECT f.station_id, f.day, f.filled,
-      round(f.filled + (r.raster_t - m.ma), 3) AS adj
+      round(f.filled + (r.raster_t - m.ma) + 1e-9, 3) AS adj
     FROM filled_s f JOIN ma_f m USING (station_id) JOIN raster r USING (station_id)
     ORDER BY station_id, day""")
 
@@ -366,43 +366,43 @@ object TsOracle {
       FROM stations s, hb b),
     hourly AS (
       SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
-        round(sum(value), 3) AS raw
+        round(sum(value) + 1e-9, 3) AS raw
       FROM events GROUP BY 1, 2),
     hseries AS (
       SELECT g.station_id, g.hour, h.raw FROM hgrid g LEFT JOIN hourly h USING (station_id, hour))
     SELECT station_id, hour::date AS day,
       CASE WHEN count(raw)::DOUBLE / count(*) > $AggMinShare
-        THEN round(sum(raw), 3) END AS raw,
-      round((count(*) - count(raw))::DOUBLE / count(*) * 100, 6) AS raw_na_share
+        THEN round(sum(raw) + 1e-9, 3) END AS raw,
+      round((count(*) - count(raw))::DOUBLE / count(*) * 100 + 1e-9, 6) AS raw_na_share
     FROM hseries GROUP BY 1, 2 ORDER BY station_id, day"""
 
   val qAggMonth: String = withFill(s"""
     SELECT station_id, date_trunc('month', day)::date AS month,
       CASE WHEN count(qc)::DOUBLE / count(*) > $AggMinShare
-        THEN round(sum(qc), 3) END AS qc,
+        THEN round(sum(qc) + 1e-9, 3) END AS qc,
       CASE WHEN count(filled)::DOUBLE / count(*) > $AggMinShare
-        THEN round(sum(filled), 3) END AS filled,
-      round((count(*) - count(qc))::DOUBLE / count(*) * 100, 6) AS qc_na_share,
-      round((count(*) - count(filled))::DOUBLE / count(*) * 100, 6) AS filled_na_share
+        THEN round(sum(filled) + 1e-9, 3) END AS filled,
+      round((count(*) - count(qc))::DOUBLE / count(*) * 100 + 1e-9, 6) AS qc_na_share,
+      round((count(*) - count(filled))::DOUBLE / count(*) * 100 + 1e-9, 6) AS filled_na_share
     FROM filled_s GROUP BY 1, 2 ORDER BY station_id, month""")
 
   val qAggMonthMean: String = withFill(s"""
     SELECT station_id, date_trunc('month', day)::date AS month,
       CASE WHEN count(qc)::DOUBLE / count(*) > $AggMinShare
-        THEN round(avg(qc), 6) END AS qc,
+        THEN round(avg(qc) + 1e-9, 6) END AS qc,
       CASE WHEN count(filled)::DOUBLE / count(*) > $AggMinShare
-        THEN round(avg(filled), 6) END AS filled
+        THEN round(avg(filled) + 1e-9, 6) END AS filled
     FROM filled_s GROUP BY 1, 2 ORDER BY station_id, month""")
 
   val qGroupWide: String = s"""
     WITH $world,
     t_daily AS (
       SELECT user_id::BIGINT AS station_id, ts::date AS day,
-        round(avg(value), 6) - $TempShift AS t_raw
+        round(avg(value) + 1e-9, 6) - $TempShift AS t_raw
       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
     et_daily AS (
       SELECT user_id::BIGINT AS station_id, ts::date AS day,
-        round(sum(value) / 10, 3) AS et_raw
+        round(sum(value) / 10 + 1e-9, 3) AS et_raw
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
     SELECT r.station_id, r.day, r.raw AS p_raw, t.t_raw, e.et_raw
     FROM raw_daily r
@@ -459,7 +459,7 @@ object TsOracle {
   val qRichterCorrect: String = withFill(s"""
     , temp_daily AS (
       SELECT user_id::BIGINT AS station_id, ts::date AS day,
-        round(avg(value), 6) - $TempShift AS t
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
     rc AS (SELECT station_id, $richterClassCase AS richter_class FROM meta),
     rp AS (SELECT * FROM (VALUES
@@ -483,17 +483,17 @@ object TsOracle {
                CASE WHEN rc.richter_class = 'no-protection' THEN rp.b_no
                     WHEN rc.richter_class = 'little-protection' THEN rp.b_little
                     WHEN rc.richter_class = 'protected' THEN rp.b_prot
-                    ELSE rp.b_heavy END * pow(ty.filled, rp.e), 6) END AS delta
+                    ELSE rp.b_heavy END * pow(ty.filled, rp.e) + 1e-9, 6) END AS delta
       FROM typed ty
       JOIN rc ON rc.station_id = ty.station_id
       LEFT JOIN rp ON rp.precipitation_typ = ty.precipitation_typ)
     SELECT station_id, day, filled, t, precipitation_typ,
-      CASE WHEN filled > 0 THEN round(filled + delta, 3) ELSE filled END AS corr
+      CASE WHEN filled > 0 THEN round(filled + delta + 1e-9, 3) ELSE filled END AS corr
     FROM corr_c ORDER BY station_id, day""")
 
   val qStreamWindow: String = """
     SELECT make_timestamp((floor(epoch(ts) / 21600)::BIGINT * 21600) * 1000000) AS window_start,
-      event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+      event_type, count(*) AS n, round(sum(value) + 1e-9, 3) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
   val all: Map[String, String] = Map(

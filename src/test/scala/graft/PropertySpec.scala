@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TimestampPeriod
+import graft.functions.{PolyHash, MinHashSig}
+import java.time.LocalDate
+
+/** Property-style tests over seeded random samples (deterministic). */
+class PropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randPeriod(): TimestampPeriod = {
+    val a = LocalDate.of(2020, 1, 1).plusDays(rnd.nextInt(3650))
+    val b = LocalDate.of(2020, 1, 1).plusDays(rnd.nextInt(3650))
+    if (a.isAfter(b)) TimestampPeriod(Some(b), Some(a)) else TimestampPeriod(Some(a), Some(b))
+  }
+
+  test("period union is commutative; inner within operands, outer contains them") {
+    (1 to 500).foreach { _ =>
+      val p = randPeriod(); val q = randPeriod()
+      assert(p.union(q) === q.union(p))
+      assert(p.union(q, "outer") === q.union(p, "outer"))
+      val inner = p.union(q)
+      if (!inner.isEmpty) assert(p.contains(inner) && q.contains(inner))
+      val outer = p.union(q, "outer")
+      assert(outer.contains(p) && outer.contains(q))
+    }
+  }
+
+  test("polyhash matches a BigInt model on arbitrary ASCII strings") {
+    val P = BigInt(1000000007L)
+    (1 to 500).foreach { _ =>
+      val s = (1 to rnd.nextInt(80)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val model = s.foldLeft(BigInt(0))((acc, c) => (acc * 31 + c.toInt) mod P)
+      assert(PolyHash.hash(s) === model.toLong)
+    }
+  }
+
+  test("minhash signature values stay below the modulus and shrink under union") {
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(1 + rnd.nextInt(50))(rnd.nextLong(1000000007L))
+      val b = Array.fill(1 + rnd.nextInt(50))(rnd.nextLong(1000000007L))
+      val sa = MinHashSig.sig(a, 16)
+      val sab = MinHashSig.sig(a ++ b, 16)
+      sa.zip(sab).foreach { case (x, y) =>
+        assert(x >= 0 && x < 1000000007L)
+        assert(y <= x) // adding elements can only lower each minimum
+      }
+    }
+  }
+}
