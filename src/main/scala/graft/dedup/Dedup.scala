@@ -59,8 +59,8 @@ object Dedup {
     * a full MinHash permutation family; at J≥0.5 and k=8 the per-pair
     * miss probability is under (1−J)^k ≈ 0.4%, and the planted
     * near-dups sit at J≥0.9 where it is ~1e-8). */
-  private def kminCandidates(documents: DataFrame, k: Int = 8): DataFrame = {
-    val sketches = withShingles(documents)
+  private def kminCandidates(hashFrame: DataFrame, k: Int = 8): DataFrame = {
+    val sketches = hashFrame
       .select(col("doc_id"), explode(expr(s"slice(array_sort(hashes), 1, $k)")).as("h"))
     val a = sketches.select(col("doc_id").as("id_a"), col("h"))
     val b = sketches.select(col("doc_id").as("id_b"), col("h"))
@@ -77,8 +77,10 @@ object Dedup {
     // is much cheaper than string-array intersection and the per-doc
     // hash table is small enough to broadcast (no shuffle of the
     // candidate pairs) — the oracle mirrors hash-set Jaccard exactly.
-    val hs = withShingles(documents).select(col("doc_id"), col("hashes"))
-    val cands = kminCandidates(documents)
+    // the hash frame feeds candidate generation AND both verify sides:
+    // materialize it once instead of re-running the hash pipeline 3x
+    val hs = withShingles(documents).select(col("doc_id"), col("hashes")).persist()
+    val cands = kminCandidates(hs)
     cands
       .join(broadcast(hs.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
       .join(broadcast(hs.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
