@@ -102,6 +102,47 @@ object Fillup {
       .drop("cand", "cand_min", "cand_max", "nb_id")
   }
 
+  /** P-style seasonal regionalization (StationBases.py:1406-1425,
+    * StationPBase `_ma_terms = ["wihy","suhy"]`): separate
+    * winter-half-year (Oct–Mar) and summer-half-year (Apr–Sep)
+    * coefficients; each day is filled with the coefficient of its
+    * season. A neighbor is eligible when ANY seasonal MA exists
+    * (cond_mas_not_null); a NULL seasonal coefficient yields no
+    * candidate for days of that season, falling through to the next
+    * neighbor — exactly the reference's loop behavior. */
+  def fillSeasonal(qcSeries: DataFrame, meta: DataFrame, k: Int = FillK): DataFrame = {
+    val isWinter = month(col("day")).isin(1, 2, 3, 10, 11, 12)
+    def seasonalMa(winter: Boolean, name: String) =
+      qcSeries.filter(if (winter) isWinter else !isWinter)
+        .groupBy(col("station_id")).agg(round(avg(col("qc")) + lit(1e-9), 6).as(name))
+    val maW = seasonalMa(winter = true, "ma_wi")
+    val maS = seasonalMa(winter = false, "ma_so")
+    val knn = Neighbors.knnDist(meta, k)
+    val coefs = knn
+      .join(maW.select(col("station_id"), col("ma_wi").as("wi_stat")), Seq("station_id"), "left")
+      .join(maS.select(col("station_id"), col("ma_so").as("so_stat")), Seq("station_id"), "left")
+      .join(maW.select(col("station_id").as("nb_id"), col("ma_wi").as("wi_other")), Seq("nb_id"), "left")
+      .join(maS.select(col("station_id").as("nb_id"), col("ma_so").as("so_other")), Seq("nb_id"), "left")
+      .withColumn("coef_wi", round(col("wi_stat") / col("wi_other") + lit(1e-9), 6))
+      .withColumn("coef_so", round(col("so_stat") / col("so_other") + lit(1e-9), 6))
+      .filter(col("coef_wi").isNotNull || col("coef_so").isNotNull)
+      .select(col("station_id"), col("nb_id"), col("rank"), col("coef_wi"), col("coef_so"))
+    val cand = broadcast(coefs)
+      .join(qcSeries.filter(col("qc").isNotNull)
+        .select(col("station_id").as("nb_id"), col("day"), col("qc").as("nb_qc")), Seq("nb_id"))
+      .withColumn("cand",
+        round(col("nb_qc") * when(isWinter, col("coef_wi")).otherwise(col("coef_so")) + lit(1e-9), 2))
+      .filter(col("cand").isNotNull)
+    val w = Window.partitionBy(col("station_id"), col("day")).orderBy(col("rank"))
+    val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("station_id"), col("day"), col("cand"), col("nb_id"))
+    qcSeries.join(best, Seq("station_id", "day"), "left")
+      .withColumn("is_winter", isWinter)
+      .withColumn("filled", coalesce(col("qc"), col("cand")))
+      .withColumn("filled_by", when(col("qc").isNull, col("nb_id")).otherwise(lit(null)))
+      .drop("cand", "nb_id")
+  }
+
   /** P-style median-of-5-regionalized-neighbors fill
     * (StationBases.py:1474-1480: percentile_cont(0.5) over nb_mean).
     * The median runs over unrounded regionalized values — rounding the

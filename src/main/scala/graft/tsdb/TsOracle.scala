@@ -228,6 +228,48 @@ object TsOracle {
     SELECT station_id, day, raw, qc, filled, filled_by
     FROM filled_s ORDER BY station_id, day""")
 
+  val qFillSeasonal: String = s"""
+    WITH $world,
+    $qcAllCte,
+    ma_wi AS (
+      SELECT station_id, round(avg(qc) + 1e-9, 6) AS ma FROM qc_all
+      WHERE month(day) IN (1,2,3,10,11,12) GROUP BY 1),
+    ma_so AS (
+      SELECT station_id, round(avg(qc) + 1e-9, 6) AS ma FROM qc_all
+      WHERE month(day) NOT IN (1,2,3,10,11,12) GROUP BY 1),
+    knn10s AS (
+      SELECT station_id, nb_id, rank FROM (
+        SELECT station_id, nb_id,
+          row_number() OVER (PARTITION BY station_id ORDER BY d2, nb_id) AS rank
+        FROM pairs) WHERE rank <= $FillK),
+    coefs_s AS (
+      SELECT k.station_id, k.nb_id, k.rank,
+        round(ws.ma / wo.ma + 1e-9, 6) AS coef_wi,
+        round(ss.ma / so.ma + 1e-9, 6) AS coef_so
+      FROM knn10s k
+      LEFT JOIN ma_wi ws ON ws.station_id = k.station_id
+      LEFT JOIN ma_so ss ON ss.station_id = k.station_id
+      LEFT JOIN ma_wi wo ON wo.station_id = k.nb_id
+      LEFT JOIN ma_so so ON so.station_id = k.nb_id),
+    cand_s AS (
+      SELECT c.station_id, s.day,
+        round(s.qc * CASE WHEN month(s.day) IN (1,2,3,10,11,12)
+                          THEN c.coef_wi ELSE c.coef_so END + 1e-9, 2) AS cand,
+        c.nb_id, c.rank
+      FROM coefs_s c
+      JOIN qc_all s ON s.station_id = c.nb_id AND s.qc IS NOT NULL
+      WHERE c.coef_wi IS NOT NULL OR c.coef_so IS NOT NULL),
+    best_s AS (
+      SELECT station_id, day, cand, nb_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY station_id, day ORDER BY rank) AS rn
+        FROM cand_s WHERE cand IS NOT NULL) WHERE rn = 1)
+    SELECT q.station_id, q.day,
+      month(q.day) IN (1,2,3,10,11,12) AS is_winter, q.qc,
+      coalesce(q.qc, b.cand) AS filled,
+      CASE WHEN q.qc IS NULL THEN b.nb_id END AS filled_by
+    FROM qc_all q LEFT JOIN best_s b USING (station_id, day)
+    ORDER BY q.station_id, q.day"""
+
   val qFillMedian5: String = withFill(s"""
     , med AS (
       SELECT c.station_id, s.day, round(median(s.qc * c.coef) + 1e-9, 2) AS med
@@ -498,6 +540,7 @@ object TsOracle {
 
   val all: Map[String, String] = Map(
     "q_fill_neighbor" -> qFillNeighbor,
+    "q_fill_seasonal" -> qFillSeasonal,
     "q_fill_median5" -> qFillMedian5,
     "q_fill_additive" -> qFillAdditive,
     "q_fill_interp" -> qFillInterp,

@@ -13,7 +13,7 @@ object TsQueries {
     Series.stationMeta(ev(s, d)).orderBy(col("station_id"))
 
   def qExpandGrid(s: SparkSession, d: String): DataFrame =
-    Series.dailyRaw(ev(s, d)).orderBy(col("station_id"), col("day"))
+    rawDaily(s, d).orderBy(col("station_id"), col("day"))
 
   def qKnnDist(s: SparkSession, d: String): DataFrame =
     Neighbors.knnDist(Series.stationMeta(ev(s, d))).orderBy(col("station_id"), col("rank"))
@@ -57,10 +57,15 @@ object TsQueries {
     * it in the timeseries table rather than recomputing per query. */
   private val memo = scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Memoized + persisted base daily series (consumed by every QC rule
+    * branch and several retrieval queries). */
+  def rawDaily(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "raw"), Series.dailyRaw(ev(s, d)).persist())
+
   def qcAll(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "qc"), {
       val events = ev(s, d)
-      QualityCheck.all(Series.dailyRaw(events), Series.dailyRef(events),
+      QualityCheck.all(rawDaily(s, d), Series.dailyRef(events),
         Series.stationMeta(events)).persist()
     })
 
@@ -78,6 +83,11 @@ object TsQueries {
   def qFillNeighbor(s: SparkSession, d: String): DataFrame =
     filledSeries(s, d)
       .select("station_id", "day", "raw", "qc", "filled", "filled_by")
+      .orderBy(col("station_id"), col("day"))
+
+  def qFillSeasonal(s: SparkSession, d: String): DataFrame =
+    Fillup.fillSeasonal(qcAll(s, d), Series.stationMeta(ev(s, d)))
+      .select("station_id", "day", "is_winter", "qc", "filled", "filled_by")
       .orderBy(col("station_id"), col("day"))
 
   def qFillMedian5(s: SparkSession, d: String): DataFrame =
@@ -148,6 +158,7 @@ object TsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fill_neighbor" -> (qFillNeighbor _),
+    "q_fill_seasonal" -> (qFillSeasonal _),
     "q_fill_median5" -> (qFillMedian5 _),
     "q_fill_additive" -> (qFillAdditive _),
     "q_fill_interp" -> (qFillInterp _),

@@ -54,6 +54,26 @@ class FillupSpec extends SparkSpec {
     assert(out(9) === ((Some(100.0), None)))
   }
 
+  test("seasonal fill applies the winter or summer coefficient per day") {
+    def d(m: Int, day: Int) = Date.valueOf(f"2024-$m%02d-$day%02d")
+    // station 0: winter mean 100, summer mean 10; station 1 (neighbor):
+    // winter mean 250, summer mean 50 -> coef_wi=0.4, coef_so=0.2
+    val rows = Seq(
+      (0L, d(1, 1), Some(100.0)), (0L, d(1, 2), None),
+      (0L, d(7, 1), Some(10.0)), (0L, d(7, 2), None),
+      (1L, d(1, 1), Some(200.0)), (1L, d(1, 2), Some(300.0)),
+      (1L, d(7, 1), Some(40.0)), (1L, d(7, 2), Some(60.0)))
+    val s = rows.map { case (id, dy, v) => (id, dy, v, v, 1L) }
+      .toDF("station_id", "day", "raw", "qc", "n_obs")
+    val meta = Seq((0L, 0.0, 0.0, 0.0), (1L, 1.0, 0.0, 0.0))
+      .toDF("station_id", "x", "y", "elev")
+    val out = Fillup.fillSeasonal(s, meta)
+      .filter($"station_id" === 0 && $"qc".isNull)
+      .orderBy("day").select("day", "filled").collect()
+    assert(out(0).getDouble(1) === 120.0) // winter: 300 * (100/250)
+    assert(out(1).getDouble(1) === 12.0)  // summer: 60 * (10/50)
+  }
+
   test("median fill uses the median of regionalized neighbor values") {
     val s = qcSeries(Seq(
       (0L, 1, Some(100.0)), (0L, 2, None),
