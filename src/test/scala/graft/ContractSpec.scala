@@ -1,0 +1,36 @@
+package graft
+
+/** Guards the driver contract: every oracle belongs to a query, the
+  * bench headline set exists, and the flagship entry returns rows. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key has a matching query") {
+    val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphan.isEmpty, s"oracles without queries: $orphan")
+  }
+
+  test("only the approximate queries lack an oracle") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q_ann_lsh"), s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("bench headline queries all exist") {
+    val missing = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"headline names without queries: $missing")
+  }
+
+  test("flagship entry returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and returns a non-empty result at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      if (n == 0) Some(name) else None
+    }
+    // pair-finding queries may legitimately be empty at tiny scale —
+    // document which, so a regression to empty elsewhere is caught
+    assert(empty.forall(_.startsWith("q_dedup_")) && empty.size <= 2,
+      s"unexpectedly empty results: $empty")
+  }
+}
