@@ -161,6 +161,17 @@ object LlmOracle {
     FROM documents d JOIN hash_t h ON d.doc_id = h.doc_id
     ORDER BY d.doc_id"""
 
+  val qTextBigrams: String = s"""
+    WITH sw AS (SELECT doc_id, $toks AS w FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        ELSE [] END) AS bigram
+      FROM sw)
+    SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20"""
+
   val qMultimodalMeta: String = """
     SELECT doc_id,
       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -182,6 +193,7 @@ object LlmOracle {
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_bigrams" -> qTextBigrams,
     "q_multimodal_meta" -> qMultimodalMeta)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

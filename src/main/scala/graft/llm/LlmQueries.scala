@@ -31,5 +31,6 @@ object LlmQueries {
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_bigrams" -> ((s, d) => TextAnalysis.topBigrams(docs(s, d))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))))
 }

@@ -67,6 +67,20 @@ object TextAnalysis {
       expr(s"size(${tokens("text")})").as("n_ws_tokens"),
       expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_re_tokens"))
 
+  /** Corpus-level top-k word bigrams with document frequency — the
+    * vocabulary/statistics sweep of a training-data pipeline. */
+  def topBigrams(documents: DataFrame, k: Int = 20): DataFrame = {
+    val w = tokens("text")
+    val bigrams = s"CASE WHEN size($w) >= 2 THEN transform(sequence(0, size($w) - 2), " +
+      s"i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2))) ELSE array() END"
+    documents
+      .select(col("doc_id"), explode(expr(bigrams)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Document fingerprints: whole-text polynomial hash plus the
     * min/max shingle hash (winnowing-style representative hashes). */
   def fingerprint(documents: DataFrame): DataFrame = {

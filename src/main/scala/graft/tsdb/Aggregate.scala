@@ -104,6 +104,32 @@ object Aggregate {
         count(when(col("diff") >= 10, lit(1))).as("holes_ge_10"))
   }
 
+  /** Sessionization: consecutive events of a station gap-split at
+    * `gapMinutes` of silence; one row per session with bounds, counts
+    * and value sum. The batch twin of the streaming gap detector
+    * (graft.streaming.Streaming.gapDetector) and the inverse view of
+    * count_holes. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val newSession = when(
+      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wOrd) >
+        gapMinutes * 60L * 1000000L, 1L)
+      .otherwise(lit(0L))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s")).over(wCum))
+      .groupBy(col("user_id").cast("long").as("station_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")) + lit(1e-9), 3).as("sum_value"),
+        round((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1e6) + lit(1e-9), 3)
+          .as("duration_s"))
+  }
+
   /** Batch twin of the streaming pipeline: 6-hour tumbling windows per
     * event type (graft.streaming runs the same plan on readStream). */
   def streamWindowBatch(events: DataFrame): DataFrame =

@@ -533,6 +533,24 @@ object TsOracle {
       CASE WHEN filled > 0 THEN round(filled + delta + 1e-9, 3) ELSE filled END AS corr
     FROM corr_c ORDER BY station_id, day""")
 
+  val qSessionize: String = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+      SELECT user_id, ts, value,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id::BIGINT AS station_id, session_id,
+      min(ts) AS session_start, max(ts) AS session_end,
+      count(*) AS n_events,
+      round(sum(value) + 1e-9, 3) AS sum_value,
+      round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 + 1e-9, 3) AS duration_s
+    FROM sessions GROUP BY 1, 2 ORDER BY station_id, session_id"""
+
   val qStreamWindow: String = """
     SELECT make_timestamp((floor(epoch(ts) / 21600)::BIGINT * 21600) * 1000000) AS window_start,
       event_type, count(*) AS n, round(sum(value) + 1e-9, 3) AS sum_value
@@ -558,6 +576,7 @@ object TsOracle {
     "q_count_holes" -> qCountHoles,
     "q_richter_class" -> qRichterClass,
     "q_richter_correct" -> qRichterCorrect,
+    "q_sessionize" -> qSessionize,
     "q_stream_window" -> qStreamWindow,
     "q_meta_derive" -> qMetaDerive,
     "q_expand_grid" -> qExpandGrid,

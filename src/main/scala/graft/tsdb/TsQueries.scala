@@ -153,6 +153,9 @@ object TsQueries {
     Richter.correct(s, filledSeries(s, d), Series.dailyTemp(ev(s, d)), Series.stationMeta(ev(s, d)))
       .orderBy(col("station_id"), col("day"))
 
+  def qSessionize(s: SparkSession, d: String): DataFrame =
+    Aggregate.sessionize(ev(s, d)).orderBy(col("station_id"), col("session_id"))
+
   def qStreamWindow(s: SparkSession, d: String): DataFrame =
     Aggregate.streamWindowBatch(ev(s, d)).orderBy(col("window_start"), col("event_type"))
 
@@ -176,6 +179,7 @@ object TsQueries {
     "q_count_holes" -> (qCountHoles _),
     "q_richter_class" -> (qRichterClass _),
     "q_richter_correct" -> (qRichterCorrect _),
+    "q_sessionize" -> (qSessionize _),
     "q_stream_window" -> (qStreamWindow _),
     "q_meta_derive" -> (qMetaDerive _),
     "q_expand_grid" -> (qExpandGrid _),
