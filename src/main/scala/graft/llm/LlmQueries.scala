@@ -24,6 +24,8 @@ object LlmQueries {
       Dedup.simhashPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(embs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingPairsLsh(embs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_ann_topk" -> ((s, d) => Ann.bruteTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),

@@ -110,12 +110,14 @@ object Aggregate {
     * (graft.streaming.Streaming.gapDetector) and the inverse view of
     * count_holes. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // event_id tiebreaker: duplicate (user_id, ts) rows at a session
+    // boundary must land in the same session on every engine
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val newSession = when(
       unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wOrd) >
         gapMinutes * 60L * 1000000L, 1L)
       .otherwise(lit(0L))
-    val wCum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .withColumn("new_s", newSession)

@@ -87,7 +87,9 @@ object QualityCheck {
     * nbs_median) — shared by neighborMedian and `all`. */
   def nbMedian(series: DataFrame, meta: DataFrame): DataFrame = {
     val ma = Series.maMean(series, "raw")
-    val knn = Neighbors.knnDist(meta, NeighborK)
+    // grid-bucketed knn (O(9n) spatial join) is the default scale path;
+    // brute-force knnDist remains only as the test oracle's cross-check
+    val knn = Neighbors.knnDistBucketed(meta, NeighborK)
     val coefs = knn
       .join(ma.select(col("station_id"), col("ma").as("ma_stat")), Seq("station_id"))
       .join(ma.select(col("station_id").as("nb_id"), col("ma").as("ma_other")), Seq("nb_id"))

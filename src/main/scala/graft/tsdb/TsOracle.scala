@@ -535,14 +535,16 @@ object TsOracle {
 
   val qSessionize: String = """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
         CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
+      -- ::BIGINT: DuckDB's windowed sum yields HUGEINT, which pandas
+      -- turns into float64 — Spark's bigint would hash-mismatch on type
       SELECT user_id, ts, value,
-        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
       FROM flagged)
     SELECT user_id::BIGINT AS station_id, session_id,
       min(ts) AS session_start, max(ts) AS session_end,

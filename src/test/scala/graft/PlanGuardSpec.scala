@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Plan-regression guard: no query may plan a CartesianProduct or an
+  * unbounded BroadcastNestedLoopJoin — the two shapes that silently
+  * turn a working sf0.01 query into an O(n²) scale-killer.
+  *
+  * A BNLJ is tolerated only when one side is provably a scalar frame
+  * (a global aggregate with no grouping — e.g. the 1-row period-bounds
+  * frame the dense grid cross-joins). Cached subplans are descended so
+  * memoized qc/filled frames can't hide a bad join.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Deliberate brute-force reference variants, each with a registered
+    * scale-path twin (q_knn_bucketed, q_ann_lsh / q_dedup_embedding_lsh). */
+  private val exempt = Set("q_ann_topk", "q_ann_lsh", "q_knn_dist", "q_knn_elev")
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p.collect { case n => n }
+    here ++ here.flatMap {
+      case s: InMemoryTableScanExec => allNodes(s.relation.cachedPlan)
+      case _ => Nil
+    }
+  }
+
+  private def hasScalarSide(j: BroadcastNestedLoopJoinExec): Boolean =
+    j.children.exists(_.collectFirst {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+    }.nonEmpty)
+
+  test("no cartesian product / unbounded nested-loop join in any query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => exempt(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
+        allNodes(plan).collect {
+          case _: CartesianProductExec => s"$name: CartesianProduct"
+          case j: BroadcastNestedLoopJoinExec if !hasScalarSide(j) =>
+            s"$name: unbounded BroadcastNestedLoopJoin"
+        }
+      }
+    assert(offenders.isEmpty, s"scale-killer plans: ${offenders.distinct.mkString("; ")}")
+  }
+}

@@ -59,6 +59,23 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq === Seq(3L, 1L, 2L))
   }
 
+  test("block-join embedding dedup equals exact all-pairs; LSH variant is a high-precision subset") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.embeddingPairs(embs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size === 66) // verified against the DuckDB all-pairs oracle
+    // block decomposition must be invariant to the block count
+    val otherB = Dedup.embeddingPairs(embs, nBlocks = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(otherB === exact)
+    val lsh = Dedup.embeddingPairsLsh(embs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // deterministic hyperplanes -> recall is a fixed property of the data;
+    // floor documents the banding math (r=6,b=8 at tau=0.4 is recall-capped)
+    assert(lsh.size.toDouble / exact.size >= 0.2, s"lsh recall ${lsh.size}/${exact.size}")
+  }
+
   test("multimodal metadata extracts byte length and magic prefix") {
     val out = Multimodal.metadata(docs).filter($"doc_id" === 0).collect().head
     assert(out.getAs[Int]("n_bytes") === 65)
