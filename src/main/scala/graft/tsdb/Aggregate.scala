@@ -19,18 +19,48 @@ object Aggregate {
   private def gated(agg: org.apache.spark.sql.Column, cnt: org.apache.spark.sql.Column) =
     when(cnt.cast("double") / count(lit(1)) > AggMinShare, agg).otherwise(lit(null))
 
+  /** The reference's agg_to granularity ladder (StationBases.py:365-380
+    * AGG_TO): a series may only be aggregated to a COARSER granularity,
+    * and the target name doubles as the output time column. */
+  val AggToLadder: Seq[String] = Seq("hour", "day", "month", "year")
+
+  /** Generalized agg_to: aggregate `valueCols` of a series at `from`
+    * granularity up to `to`, with sum (P/ET) or mean (T) semantics, the
+    * >20%-missing completeness gate, and optional `{col}_na_share`
+    * percentage columns (StationBases.py:2547-2596).
+    *
+    * Scale: a single map-side-combinable hash aggregation keyed on
+    * (station_id, truncated time) — one shuffle, partial aggregation
+    * before it, no window. */
+  def aggTo(series: DataFrame, timeCol: String, from: String, to: String,
+      mean: Boolean, valueCols: Seq[String], naShare: Boolean = true): DataFrame = {
+    val fi = AggToLadder.indexOf(from); val ti = AggToLadder.indexOf(to)
+    require(fi >= 0 && ti >= 0, s"unknown agg_to granularity: $from -> $to")
+    require(ti > fi,
+      s"agg_to only aggregates coarser ($from -> $to), per the reference's AGG_TO validation")
+    val grp = to match {
+      case "hour"  => date_trunc("hour", col(timeCol))
+      case "day"   => to_date(col(timeCol))
+      case "month" => trunc(col(timeCol), "month")
+      case "year"  => trunc(col(timeCol), "year")
+    }
+    val vals = valueCols.map { c =>
+      val agg = if (mean) round(avg(col(c)) + lit(1e-9), 6)
+                else round(sum(col(c)) + lit(1e-9), 3)
+      gated(agg, count(col(c))).as(c)
+    }
+    val shares = if (naShare) valueCols.map { c =>
+      round((count(lit(1)) - count(col(c))).cast("double") / count(lit(1)) * 100 + lit(1e-9), 6)
+        .as(s"${c}_na_share")
+    } else Nil
+    val aggs = vals ++ shares
+    series.groupBy(col("station_id"), grp.as(to)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Monthly sum aggregation (P/ET semantics) of qc + filled kinds,
     * with na_share columns. */
   def aggMonthSum(filledSeries: DataFrame): DataFrame =
-    filledSeries
-      .groupBy(col("station_id"), trunc(col("day"), "month").as("month"))
-      .agg(
-        gated(round(sum(col("qc")) + lit(1e-9), 3), count(col("qc"))).as("qc"),
-        gated(round(sum(col("filled")) + lit(1e-9), 3), count(col("filled"))).as("filled"),
-        round((count(lit(1)) - count(col("qc"))).cast("double") / count(lit(1)) * 100 + lit(1e-9), 6)
-          .as("qc_na_share"),
-        round((count(lit(1)) - count(col("filled"))).cast("double") / count(lit(1)) * 100 + lit(1e-9), 6)
-          .as("filled_na_share"))
+    aggTo(filledSeries, "day", "day", "month", mean = false, Seq("qc", "filled"))
 
   /** Hourly series → daily aggregation with the completeness gate —
     * the reference's finer agg_to step (10 min → hour/day,
@@ -38,20 +68,15 @@ object Aggregate {
     * gate to NULL, exactly as the reference warns for NA-heavy
     * aggregation (hence the na_share column). */
   def aggDayFromHourly(hourlySeries: DataFrame): DataFrame =
-    hourlySeries
-      .groupBy(col("station_id"), to_date(col("hour")).as("day"))
-      .agg(
-        gated(round(sum(col("raw")) + lit(1e-9), 3), count(col("raw"))).as("raw"),
-        round((count(lit(1)) - count(col("raw"))).cast("double") / count(lit(1)) * 100 + lit(1e-9), 6)
-          .as("raw_na_share"))
+    aggTo(hourlySeries, "hour", "hour", "day", mean = false, Seq("raw"))
 
   /** Monthly mean aggregation (T semantics). */
   def aggMonthMean(filledSeries: DataFrame): DataFrame =
-    filledSeries
-      .groupBy(col("station_id"), trunc(col("day"), "month").as("month"))
-      .agg(
-        gated(round(avg(col("qc")) + lit(1e-9), 6), count(col("qc"))).as("qc"),
-        gated(round(avg(col("filled")) + lit(1e-9), 6), count(col("filled"))).as("filled"))
+    aggTo(filledSeries, "day", "day", "month", mean = true, Seq("qc", "filled"), naShare = false)
+
+  /** Yearly sum aggregation with the completeness gate. */
+  def aggYearSum(filledSeries: DataFrame): DataFrame =
+    aggTo(filledSeries, "day", "day", "year", mean = false, Seq("qc", "filled"))
 
   /** Wide multi-parameter frame per (station, day): the GroupStation
     * export joining the P/T/ET-like series of one location. */

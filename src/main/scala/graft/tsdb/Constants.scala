@@ -21,14 +21,16 @@ object Constants {
   val ElevMul = 37; val ElevMod = 500
   val HorizonMul = 7; val HorizonMod = 16
 
-  // quality check thresholds
-  val RangeMax = 500.0           // P: raw >= 50mm/10min -> NULL (StationP.py:177)
+  // quality check thresholds — values TUNED to the synthetic
+  // distribution (see header); the reference's own value is quoted
+  // separately per line
+  val RangeMax = 500.0           // tuned; reference P: raw >= 50 mm/10min -> NULL (StationP.py:177)
   val RepeatRound = -1           // compare values rounded to nearest 10
-  val RepeatLimit = 50.0         // only drop repeats above limit (StationP.py:90)
-  val SpikeThreshold = 300.0     // isolated peak > 5mm with 0 before/after (StationP.py:132)
-  val DailyCmpMin = 100.0        // agg >= 10mm and >= 2x daily ref (StationP.py:118)
+  val RepeatLimit = 50.0         // tuned; reference drops only repeats above 0 (StationP.py:144)
+  val SpikeThreshold = 300.0     // tuned; reference: isolated peak > 5 mm (StationP.py:132)
+  val DailyCmpMin = 100.0        // tuned; reference: agg >= 10 mm and >= 2x daily ref (StationP.py:118)
   val NeighborK = 5              // 5 nearest stations (StationBases.py:2211)
-  val NeighborMedianMaxDiff = 200.0 // |raw - nbs_median| > 5K -> NULL (StationT.py:101)
+  val NeighborMedianMaxDiff = 200.0 // tuned; reference T: |raw - nbs_median| > 5 K (StationT.py:101)
 
   // fillup
   val FillK = 10                 // neighbor candidates in distance order
@@ -57,6 +59,7 @@ object Constants {
     "snow" -> (0.82, 0.72, 0.51, 0.33, 0.21))
   val SnowTemp = -0.7            // t <= -0.7C -> snow (StationP.py:577)
   val RainTemp = 3.0             // t >= 3C -> liquid (StationP.py:575)
+  val PDecimals = 100            // P integer scaling (models.py: raw int = value * 100)
   val TempShift = 50.0           // temperature proxy = avg(view value) - 50
 
   // deterministic multi-annual "raster" values per station (pure

@@ -428,6 +428,16 @@ object TsOracle {
       round((count(*) - count(filled))::DOUBLE / count(*) * 100 + 1e-9, 6) AS filled_na_share
     FROM filled_s GROUP BY 1, 2 ORDER BY station_id, month""")
 
+  val qAggYear: String = withFill(s"""
+    SELECT station_id, date_trunc('year', day)::date AS year,
+      CASE WHEN count(qc)::DOUBLE / count(*) > $AggMinShare
+        THEN round(sum(qc) + 1e-9, 3) END AS qc,
+      CASE WHEN count(filled)::DOUBLE / count(*) > $AggMinShare
+        THEN round(sum(filled) + 1e-9, 3) END AS filled,
+      round((count(*) - count(qc))::DOUBLE / count(*) * 100 + 1e-9, 6) AS qc_na_share,
+      round((count(*) - count(filled))::DOUBLE / count(*) * 100 + 1e-9, 6) AS filled_na_share
+    FROM filled_s GROUP BY 1, 2 ORDER BY station_id, year""")
+
   val qAggMonthMean: String = withFill(s"""
     SELECT station_id, date_trunc('month', day)::date AS month,
       CASE WHEN count(qc)::DOUBLE / count(*) > $AggMinShare
@@ -533,6 +543,59 @@ object TsOracle {
       CASE WHEN filled > 0 THEN round(filled + delta + 1e-9, 3) ELSE filled END AS corr
     FROM corr_c ORDER BY station_id, day""")
 
+  /** Sub-daily correction: integer-scaled daily delta spread over wet
+    * hourly intervals (delta/count_n semantics, StationP.py:553-612). */
+  val qRichterCorrectHourly: String = s"""
+    WITH $world,
+    hb AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+    hgrid AS (
+      SELECT s.station_id, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM stations s, hb b),
+    hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    hseries AS (
+      SELECT g.station_id, g.hour, h.raw FROM hgrid g LEFT JOIN hourly h USING (station_id, hour)),
+    p_daily AS (
+      SELECT station_id, hour::date AS day, round(sum(raw) + 1e-9, 3) AS p_d,
+        count(CASE WHEN raw > 0 THEN 1 END) AS count_n
+      FROM hseries GROUP BY 1, 2),
+    temp_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    rc AS (SELECT station_id, $richterClassCase AS richter_class FROM meta),
+    rp AS (SELECT * FROM (VALUES
+      ('precip_summer', 0.38, 0.345, 0.31, 0.28, 0.245),
+      ('precip_winter', 0.46, 0.34, 0.28, 0.24, 0.19),
+      ('mix', 0.55, 0.535, 0.39, 0.305, 0.185),
+      ('snow', 0.82, 0.72, 0.51, 0.33, 0.21))
+      t(precipitation_typ, e, b_no, b_little, b_prot, b_heavy)),
+    typed AS (
+      SELECT p.station_id, p.day, p.p_d, p.count_n,
+        CASE WHEN td.t >= $RainTemp AND month(p.day) IN (1,2,3,10,11,12) THEN 'precip_winter'
+             WHEN td.t >= $RainTemp THEN 'precip_summer'
+             WHEN td.t <= $SnowTemp THEN 'snow'
+             WHEN td.t IS NULL THEN NULL
+             ELSE 'mix' END AS precipitation_typ
+      FROM p_daily p LEFT JOIN temp_daily td USING (station_id, day)),
+    deltas AS (
+      SELECT ty.station_id, ty.day,
+        CASE WHEN ty.count_n > 0 AND ty.precipitation_typ IS NOT NULL
+          THEN round(
+            CASE WHEN rc.richter_class = 'no-protection' THEN rp.b_no
+                 WHEN rc.richter_class = 'little-protection' THEN rp.b_little
+                 WHEN rc.richter_class = 'protected' THEN rp.b_prot
+                 ELSE rp.b_heavy END * pow(ty.p_d, rp.e) * $PDecimals / ty.count_n + 1e-9)::BIGINT
+          ELSE 0 END AS delta_scaled
+      FROM typed ty JOIN rc USING (station_id)
+      LEFT JOIN rp ON rp.precipitation_typ = ty.precipitation_typ)
+    SELECT h.station_id, h.hour, h.raw, d.delta_scaled,
+      CASE WHEN h.raw > 0 THEN round(h.raw + d.delta_scaled / $PDecimals.0 + 1e-9, 3) ELSE h.raw END AS corr
+    FROM hseries h LEFT JOIN deltas d ON d.station_id = h.station_id AND d.day = h.hour::date
+    ORDER BY h.station_id, h.hour"""
+
   val qSessionize: String = """
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
@@ -573,11 +636,13 @@ object TsOracle {
     "q_agg_day" -> qAggDay,
     "q_agg_month" -> qAggMonth,
     "q_agg_month_mean" -> qAggMonthMean,
+    "q_agg_year" -> qAggYear,
     "q_group_wide" -> qGroupWide,
     "q_filled_period" -> qFilledPeriod,
     "q_count_holes" -> qCountHoles,
     "q_richter_class" -> qRichterClass,
     "q_richter_correct" -> qRichterCorrect,
+    "q_richter_correct_hourly" -> qRichterCorrectHourly,
     "q_sessionize" -> qSessionize,
     "q_stream_window" -> qStreamWindow,
     "q_meta_derive" -> qMetaDerive,

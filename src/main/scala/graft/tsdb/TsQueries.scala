@@ -137,6 +137,9 @@ object TsQueries {
   def qAggMonthMean(s: SparkSession, d: String): DataFrame =
     Aggregate.aggMonthMean(filledSeries(s, d)).orderBy(col("station_id"), col("month"))
 
+  def qAggYear(s: SparkSession, d: String): DataFrame =
+    Aggregate.aggYearSum(filledSeries(s, d)).orderBy(col("station_id"), col("year"))
+
   def qGroupWide(s: SparkSession, d: String): DataFrame =
     Aggregate.groupWide(ev(s, d)).orderBy(col("station_id"), col("day"))
 
@@ -152,6 +155,11 @@ object TsQueries {
   def qRichterCorrect(s: SparkSession, d: String): DataFrame =
     Richter.correct(s, filledSeries(s, d), Series.dailyTemp(ev(s, d)), Series.stationMeta(ev(s, d)))
       .orderBy(col("station_id"), col("day"))
+
+  def qRichterCorrectHourly(s: SparkSession, d: String): DataFrame =
+    Richter.correctHourly(s, Series.hourlyRaw(ev(s, d)), Series.dailyTemp(ev(s, d)),
+      Series.stationMeta(ev(s, d)))
+      .orderBy(col("station_id"), col("hour"))
 
   def qSessionize(s: SparkSession, d: String): DataFrame =
     Aggregate.sessionize(ev(s, d)).orderBy(col("station_id"), col("session_id"))
@@ -174,11 +182,13 @@ object TsQueries {
     "q_agg_day" -> (qAggDay _),
     "q_agg_month" -> (qAggMonth _),
     "q_agg_month_mean" -> (qAggMonthMean _),
+    "q_agg_year" -> (qAggYear _),
     "q_group_wide" -> (qGroupWide _),
     "q_filled_period" -> (qFilledPeriod _),
     "q_count_holes" -> (qCountHoles _),
     "q_richter_class" -> (qRichterClass _),
     "q_richter_correct" -> (qRichterCorrect _),
+    "q_richter_correct_hourly" -> (qRichterCorrectHourly _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_window" -> (qStreamWindow _),
     "q_meta_derive" -> (qMetaDerive _),
