@@ -198,6 +198,38 @@ object Fillup {
       .drop("prev", "next")
   }
 
+  /** Temperature-companion fill for the virtual-station cycle: every
+    * NULL (station, day) of the T series is filled from the nearest
+    * neighbor with a real value that day, additively regionalized with
+    * RASTER climate values (raster_t(stat) − raster_t(nb)) — the
+    * reference's fillup coefficients come from station_ma_raster, which
+    * exists at EVERY location, so a station with zero T observations
+    * (is_real = false, StationBases.py:683-771) still gets a complete
+    * companion series for daily-compare QC and Richter typing
+    * (StationPD.py:19-25, richter_correct's stat_t.fillup call).
+    * Output adds `t_filled`. */
+  def fillTemp(tempSeries: DataFrame, meta: DataFrame, raster: DataFrame,
+      k: Int = FillK): DataFrame = {
+    val knn = Neighbors.knnDistBucketed(meta, k)
+    val coefs = knn
+      .join(raster.select(col("station_id"), col("raster_t").as("ma_stat")), Seq("station_id"))
+      .join(raster.select(col("station_id").as("nb_id"), col("raster_t").as("ma_other")), Seq("nb_id"))
+      .withColumn("coef", round(col("ma_stat") - col("ma_other") + lit(1e-9), 6))
+      .select(col("station_id"), col("nb_id"), col("rank"), col("coef"))
+    val holes = tempSeries.filter(col("t").isNull).select(col("station_id"), col("day"))
+    val cand = holes
+      .join(broadcast(coefs), Seq("station_id"))
+      .join(tempSeries.filter(col("t").isNotNull)
+        .select(col("station_id").as("nb_id"), col("day"), col("t").as("nb_t")), Seq("nb_id", "day"))
+      .withColumn("cand", round(col("nb_t") + col("coef") + lit(1e-9), 2))
+    val w = Window.partitionBy(col("station_id"), col("day")).orderBy(col("rank"))
+    val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("station_id"), col("day"), col("cand"))
+    tempSeries.join(best, Seq("station_id", "day"), "left")
+      .withColumn("t_filled", coalesce(col("t"), col("cand")))
+      .drop("cand")
+  }
+
   /** Share of gap-filled values per aggregation group
     * (StationBases.py:2577-2579 filled_share). */
   def filledShare(filledSeries: DataFrame): DataFrame =

@@ -102,13 +102,19 @@ object Series {
       .groupBy(col("user_id").cast("long").as("station_id"))
       .agg(min(to_date(col("ts"))).as("raw_from"),
         max(to_date(col("ts"))).as("raw_until"),
-        count(lit(1)).as("n_obs"))
+        count(lit(1)).as("n_obs"),
+        count(when(col("event_type") === "view", lit(1))).as("n_view"))
     obs.select(col("station_id"),
       (col("station_id") % GridW).cast("double").as("x"),
       expr(s"station_id div $GridW").cast("double").as("y"),
       ((col("station_id") * ElevMul) % ElevMod).cast("double").as("elev"),
       ((col("station_id") * HorizonMul) % HorizonMod).cast("double").as("horizon"),
-      col("raw_from"), col("raw_until"), col("n_obs"))
+      col("raw_from"), col("raw_until"), col("n_obs"),
+      // virtual-station flag (StationCanVirtualBase, StationBases.py:
+      // 683-771): a station whose temperature companion has no real
+      // observations exists only virtually for the T parameter — its
+      // T series is neighbor-filled, never measured
+      (col("n_view") > 0).as("is_real"))
   }
 
   /** Per-station multi-annual mean of a series column (the

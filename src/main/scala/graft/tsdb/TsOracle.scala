@@ -50,10 +50,11 @@ object TsOracle {
   val qMetaDerive: String = s"""
     WITH $world
     SELECT m.station_id, m.x, m.y, m.elev, m.horizon,
-           o.raw_from, o.raw_until, o.n_obs
+           o.raw_from, o.raw_until, o.n_obs, o.is_real
     FROM meta m JOIN (
       SELECT user_id::BIGINT AS station_id, min(ts)::date AS raw_from,
-             max(ts)::date AS raw_until, count(*) AS n_obs
+             max(ts)::date AS raw_until, count(*) AS n_obs,
+             count(CASE WHEN event_type = 'view' THEN 1 END) > 0 AS is_real
       FROM events GROUP BY 1) o USING (station_id)
     ORDER BY station_id"""
 
@@ -497,6 +498,32 @@ object TsOracle {
       count(CASE WHEN diff >= 10 THEN 1 END) AS holes_ge_10
     FROM diffs GROUP BY 1 ORDER BY station_id"""
 
+  /** Virtual-station temperature fill: dense T grid, NULLs filled from
+    * the nearest neighbor with a value that day, additively
+    * regionalized with raster climate values (raster exists at every
+    * location, so is_real=false stations still get a full companion).
+    * Requires grid, knn10, raster and temp_daily CTEs in scope. */
+  private val tempFillCte: String = """
+    t_dense AS (
+      SELECT g.station_id, g.day, td.t
+      FROM grid g LEFT JOIN temp_daily td USING (station_id, day)),
+    t_coefs AS (
+      SELECT k.station_id, k.nb_id, k.rank,
+        round(rs.raster_t - ro.raster_t + 1e-9, 6) AS coef
+      FROM knn10 k
+      JOIN raster rs ON rs.station_id = k.station_id
+      JOIN raster ro ON ro.station_id = k.nb_id),
+    t_cand AS (
+      SELECT c.station_id, s.day, round(s.t + c.coef + 1e-9, 2) AS cand, c.rank
+      FROM t_coefs c JOIN t_dense s ON s.station_id = c.nb_id AND s.t IS NOT NULL),
+    t_best AS (
+      SELECT station_id, day, cand FROM (
+        SELECT *, row_number() OVER (PARTITION BY station_id, day ORDER BY rank) AS rn
+        FROM t_cand) WHERE rn = 1),
+    t_filled AS (
+      SELECT g.station_id, g.day, coalesce(g.t, b.cand) AS t
+      FROM t_dense g LEFT JOIN t_best b USING (station_id, day))"""
+
   private val richterClassCase: String = """
       CASE WHEN horizon >= 12 THEN 'heavy-protection'
            WHEN horizon >= 7 THEN 'protected'
@@ -513,6 +540,8 @@ object TsOracle {
       SELECT user_id::BIGINT AS station_id, ts::date AS day,
         round(avg(value) + 1e-9, 6) - $TempShift AS t
       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    $rasterCte,
+    $tempFillCte,
     rc AS (SELECT station_id, $richterClassCase AS richter_class FROM meta),
     rp AS (SELECT * FROM (VALUES
       ('precip_summer', 0.38, 0.345, 0.31, 0.28, 0.245),
@@ -527,7 +556,7 @@ object TsOracle {
              WHEN td.t <= $SnowTemp THEN 'snow'
              WHEN td.t IS NULL THEN NULL
              ELSE 'mix' END AS precipitation_typ
-      FROM filled_s f LEFT JOIN temp_daily td USING (station_id, day)),
+      FROM filled_s f LEFT JOIN t_filled td USING (station_id, day)),
     corr_c AS (
       SELECT ty.station_id, ty.day, ty.filled, ty.t, ty.precipitation_typ,
         CASE WHEN ty.precipitation_typ IS NULL THEN 0.0
@@ -565,6 +594,13 @@ object TsOracle {
       SELECT user_id::BIGINT AS station_id, ts::date AS day,
         round(avg(value) + 1e-9, 6) - $TempShift AS t
       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    knn10 AS (
+      SELECT station_id, nb_id, rank FROM (
+        SELECT station_id, nb_id,
+          row_number() OVER (PARTITION BY station_id ORDER BY d2, nb_id) AS rank
+        FROM pairs) WHERE rank <= $FillK),
+    $rasterCte,
+    $tempFillCte,
     rc AS (SELECT station_id, $richterClassCase AS richter_class FROM meta),
     rp AS (SELECT * FROM (VALUES
       ('precip_summer', 0.38, 0.345, 0.31, 0.28, 0.245),
@@ -579,7 +615,7 @@ object TsOracle {
              WHEN td.t <= $SnowTemp THEN 'snow'
              WHEN td.t IS NULL THEN NULL
              ELSE 'mix' END AS precipitation_typ
-      FROM p_daily p LEFT JOIN temp_daily td USING (station_id, day)),
+      FROM p_daily p LEFT JOIN t_filled td USING (station_id, day)),
     deltas AS (
       SELECT ty.station_id, ty.day,
         CASE WHEN ty.count_n > 0 AND ty.precipitation_typ IS NOT NULL

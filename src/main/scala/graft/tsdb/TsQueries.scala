@@ -152,12 +152,24 @@ object TsQueries {
   def qRichterClass(s: SparkSession, d: String): DataFrame =
     Richter.richterClass(Series.stationMeta(ev(s, d))).orderBy(col("station_id"))
 
+  /** Filled temperature companion (virtual-station cycle): the Richter
+    * typing joins the T station's FILLED series, as the reference does
+    * (StationP.py:604 joins tst."filled" after forcing stat_t.fillup). */
+  private def tempFilled(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "tfill"), {
+      val events = ev(s, d)
+      Fillup.fillTemp(Series.dailyTemp(events), Series.stationMeta(events),
+          Series.raster(events))
+        .select(col("station_id"), col("day"), col("t_filled").as("t"))
+        .persist()
+    })
+
   def qRichterCorrect(s: SparkSession, d: String): DataFrame =
-    Richter.correct(s, filledSeries(s, d), Series.dailyTemp(ev(s, d)), Series.stationMeta(ev(s, d)))
+    Richter.correct(s, filledSeries(s, d), tempFilled(s, d), Series.stationMeta(ev(s, d)))
       .orderBy(col("station_id"), col("day"))
 
   def qRichterCorrectHourly(s: SparkSession, d: String): DataFrame =
-    Richter.correctHourly(s, Series.hourlyRaw(ev(s, d)), Series.dailyTemp(ev(s, d)),
+    Richter.correctHourly(s, Series.hourlyRaw(ev(s, d)), tempFilled(s, d),
       Series.stationMeta(ev(s, d)))
       .orderBy(col("station_id"), col("hour"))
 

@@ -41,6 +41,36 @@ class FillupSpec extends SparkSpec {
     assert(out.head === ((Some(100.0), Some(2L))))
   }
 
+  test("virtual station: a P-only station gets a filled T companion and a non-NULL corr") {
+    // station 1 has precipitation events but NO 'view' (temperature)
+    // events -> is_real = false; raster regionalization still yields a
+    // companion T series, so Richter typing works at that location
+    val ts = java.sql.Timestamp.valueOf("2024-07-01 12:00:00")
+    val events = Seq(
+      (1L, ts, 0L, "click", 100.0),
+      (2L, ts, 1L, "view", 80.0), // neighbor temps: 80-50=30 deg
+      (3L, ts, 1L, "click", 100.0),
+      (4L, ts, 2L, "view", 80.0),
+      (5L, ts, 2L, "click", 100.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val meta = Series.stationMeta(events)
+    assert(meta.filter($"station_id" === 0).head.getAs[Boolean]("is_real") === false)
+    val tFilled = Fillup.fillTemp(Series.dailyTemp(events), meta, Series.raster(events))
+    val t0 = tFilled.filter($"station_id" === 0).head.getAs[Double]("t_filled")
+    assert(!tFilled.filter($"station_id" === 0).head.isNullAt(
+      tFilled.columns.indexOf("t_filled")), "virtual station must get a filled T")
+    val filled = qcSeries(Seq((0L, 1, Some(100.0)), (1L, 1, Some(100.0)), (2L, 1, Some(100.0))))
+      .withColumn("day", lit(Date.valueOf("2024-07-01")))
+      .withColumn("filled", $"qc")
+    val corr = Richter.correct(spark, filled,
+        tFilled.select($"station_id", $"day", $"t_filled".as("t")), meta)
+      .filter($"station_id" === 0).head
+    assert(corr.getAs[String]("precipitation_typ") != null,
+      s"typing must use the virtual T (t=$t0)")
+    assert(corr.getAs[Double]("corr") > corr.getAs[Double]("filled"),
+      "undercatch delta must be applied at the virtual station")
+  }
+
   test("interpolation fills only gaps within the limit, linearly") {
     val s = qcSeries(Seq(
       (0L, 1, Some(10.0)), (0L, 2, None), (0L, 3, None), (0L, 4, Some(40.0)), // gap 2 <= 3
