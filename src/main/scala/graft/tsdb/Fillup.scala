@@ -51,9 +51,9 @@ object Fillup {
     * for NULL slots (hole × k-neighbors join, then one equi-join of
     * the non-NULL series on (nb_id, day)). */
   private def candidates(qcSeries: DataFrame, meta: DataFrame, k: Int,
-      multiplicative: Boolean): DataFrame = {
+      multiplicative: Boolean, maSeries: DataFrame = null): DataFrame = {
     val knn = Neighbors.knnDistBucketed(meta, k)
-    val coefs = coefJoin(knn, maQc(qcSeries), multiplicative)
+    val coefs = coefJoin(knn, maQc(Option(maSeries).getOrElse(qcSeries)), multiplicative)
     val raw = if (multiplicative) col("nb_qc") * col("coef") else col("nb_qc") + col("coef")
     nullSlots(qcSeries)
       .join(broadcast(coefs), Seq("station_id"))
@@ -67,8 +67,8 @@ object Fillup {
     * (P/ET-style: coef = ma_stat / ma_other). Output adds
     * `filled` and `filled_by`. */
   def fillNeighbor(qcSeries: DataFrame, meta: DataFrame, k: Int = FillK,
-      multiplicative: Boolean = true): DataFrame = {
-    val cand = candidates(qcSeries, meta, k, multiplicative)
+      multiplicative: Boolean = true, maSeries: DataFrame = null): DataFrame = {
+    val cand = candidates(qcSeries, meta, k, multiplicative, maSeries)
     val w = Window.partitionBy(col("station_id"), col("day")).orderBy(col("rank"))
     val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("station_id"), col("day"), col("cand"), col("nb_id"))

@@ -84,9 +84,13 @@ object QualityCheck {
     * fetch neighbor values, then hash-aggregated back to
     * (station_id, day) — two shuffles of the big frame total. */
   /** The regionalized neighbor median frame (station_id, day,
-    * nbs_median) — shared by neighborMedian and `all`. */
-  def nbMedian(series: DataFrame, meta: DataFrame): DataFrame = {
-    val ma = Series.maMean(series, "raw")
+    * nbs_median) — shared by neighborMedian and `all`. `maSeries` is
+    * the frame the regionalization MA means come from: the series
+    * itself in a full run, the FULL series during a period-scoped
+    * incremental run (the reference reads stored MA values then). */
+  def nbMedian(series: DataFrame, meta: DataFrame,
+      maSeries: DataFrame = null): DataFrame = {
+    val ma = Series.maMean(Option(maSeries).getOrElse(series), "raw")
     // grid-bucketed knn (O(9n) spatial join) is the default scale path;
     // brute-force knnDist remains only as the test oracle's cross-check
     val knn = Neighbors.knnDistBucketed(meta, NeighborK)
@@ -117,8 +121,9 @@ object QualityCheck {
     * neighbor median each join once — instead of running the five rule
     * pipelines separately and five-way joining their outputs (which
     * would recompute the base series per rule). */
-  def all(series: DataFrame, ref: DataFrame, meta: DataFrame): DataFrame = {
-    val med = nbMedian(series, meta)
+  def all(series: DataFrame, ref: DataFrame, meta: DataFrame,
+      maSeries: DataFrame = null): DataFrame = {
+    val med = nbMedian(series, meta, maSeries)
     val r = round(col("raw") + lit(1e-9), RepeatRound)
     val v = coalesce(col("raw"), lit(0.0))
     val df = series

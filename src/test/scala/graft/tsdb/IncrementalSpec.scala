@@ -1,0 +1,79 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+/** Proves the last-import contract: a period-scoped incremental update
+  * merged into the persisted frame equals a full recompute on the
+  * touched period (and leaves untouched history bit-identical). */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lo = Date.valueOf("2024-02-01")
+  private val hi = Date.valueOf("2024-02-10")
+
+  /** Deterministic synthetic events over Jan 1 – Feb 10; the
+    * "last import" adds February. */
+  private def mkEvents(untilFeb: Boolean): DataFrame = {
+    val days = if (untilFeb) 41 else 31
+    val rows = for {
+      st <- 0L until 9L
+      d <- 1 until days
+      // station-dependent gaps so the fill path actually fires
+      if (st + d) % 7 != 0
+    } yield {
+      val day = Date.valueOf("2024-01-01").toLocalDate.plusDays(d - 1)
+      val v = ((st * 31 + d * 17) % 97).toDouble + 1
+      val typ = if ((st + d) % 3 == 0) "view" else "click"
+      (st * 100 + d, java.sql.Timestamp.valueOf(day.atTime(12, 0)), st, typ, v)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private def world(events: DataFrame) = (
+    Series.dailyRaw(events), Series.dailyRef(events), Series.stationMeta(events))
+
+  private def sliceEq(a: DataFrame, b: DataFrame, keys: Seq[String]): Unit = {
+    val (af, bf) = (a.filter(col("day").between(lit(lo), lit(hi))),
+      b.filter(col("day").between(lit(lo), lit(hi))))
+    assert(af.count() === bf.count())
+    assert(af.except(bf).count() === 0, s"incremental != full on touched period")
+    assert(bf.except(af).count() === 0, s"full != incremental on touched period")
+  }
+
+  test("incremental qc equals full recompute on the touched period") {
+    val (oldRaw, oldRef, oldMeta) = world(mkEvents(untilFeb = false))
+    val prevQc = QualityCheck.all(oldRaw, oldRef, oldMeta)
+    val (newRaw, newRef, newMeta) = world(mkEvents(untilFeb = true))
+    val inc = Incremental.updateQc(prevQc, newRaw, newRef, newMeta, lo, hi)
+    val full = QualityCheck.all(newRaw, newRef, newMeta)
+    sliceEq(inc, full, Seq("station_id", "day"))
+    // untouched history must be exactly the persisted frame
+    val jan = inc.filter(col("day") < lit(lo))
+    assert(jan.except(prevQc.filter(col("day") < lit(lo))).count() === 0)
+  }
+
+  test("incremental fillup equals full recompute on the touched period") {
+    val (newRaw, newRef, newMeta) = world(mkEvents(untilFeb = true))
+    val qc = QualityCheck.all(newRaw, newRef, newMeta)
+    val prevFilled = Fillup.fillNeighbor(qc.filter(col("day") < lit(lo)), newMeta)
+    val inc = Incremental.updateFilled(prevFilled, qc, newMeta, lo, hi)
+    val full = Fillup.fillNeighbor(qc, newMeta)
+    sliceEq(inc, full, Seq("station_id", "day"))
+  }
+
+  test("incremental corr equals full recompute on the touched period") {
+    val events = mkEvents(untilFeb = true)
+    val (newRaw, newRef, newMeta) = world(events)
+    val qc = QualityCheck.all(newRaw, newRef, newMeta)
+    val filled = Fillup.fillNeighbor(qc, newMeta)
+    val temp = Fillup.fillTemp(Series.dailyTemp(events), newMeta, Series.raster(events))
+      .select(col("station_id"), col("day"), col("t_filled").as("t"))
+    val prevCorr = Richter.correct(spark, filled.filter(col("day") < lit(lo)), temp, newMeta)
+    val inc = Incremental.updateCorr(prevCorr, filled, temp, newMeta, lo, hi)
+    val full = Richter.correct(spark, filled, temp, newMeta)
+    sliceEq(inc, full, Seq("station_id", "day"))
+  }
+}
