@@ -21,8 +21,13 @@ class WeatherDb(val spark: SparkSession, val dir: String) {
   lazy val raw: DataFrame = Series.dailyRaw(events)
   lazy val qc: DataFrame = TsQueries.qcAll(spark, dir)
   lazy val filled: DataFrame = TsQueries.filledSeries(spark, dir)
+  /** Filled temperature companion — virtual-station cycle, see
+    * Fillup.fillTemp. */
+  lazy val tempFilled: DataFrame =
+    Fillup.fillTemp(Series.dailyTemp(events), meta, Series.raster(events))
+      .select(col("station_id"), col("day"), col("t_filled").as("t"))
   lazy val corr: DataFrame =
-    Richter.correct(spark, filled, Series.dailyTemp(events), meta)
+    Richter.correct(spark, filled, tempFilled, meta)
 
   def station(id: Long): Station = new Station(this, id)
   def stations: Stations = new Stations(this)
@@ -39,12 +44,26 @@ class WeatherDb(val spark: SparkSession, val dir: String) {
 class Station(db: WeatherDb, val id: Long) {
   private def only(df: DataFrame) = df.filter(col("station_id") === id)
 
-  /** get_df: selected kinds over a period (StationBases.py:2463). */
+  /** get_df: selected kinds over a period (StationBases.py:2463), with
+    * the reference's free-form filter (`sql_add_where`,
+    * StationBases.py:2463-2530) and `agg_to` granularity. The filter is
+    * a SQL boolean expression over the kind columns — it enters the
+    * plan as a Catalyst predicate, so it is pushed into the parquet
+    * scan like any native filter, not applied post-hoc. */
   def getDf(kinds: Seq[String] = Seq("raw", "qc", "filled"),
-      period: TimestampPeriod = TimestampPeriod.empty): DataFrame =
-    db.inPeriod(only(db.filled), period)
-      .select((col("day") +: kinds.map(col)): _*)
-      .orderBy(col("day"))
+      period: TimestampPeriod = TimestampPeriod.empty,
+      sqlAddWhere: String = null,
+      aggTo: String = null): DataFrame = {
+    val base = db.inPeriod(only(db.filled), period)
+    val filtered = Option(sqlAddWhere).map(w => base.filter(expr(w))).getOrElse(base)
+    Option(aggTo) match {
+      case Some(g) =>
+        Aggregate.aggTo(filtered, "day", "day", g, mean = false, kinds)
+          .drop("station_id").orderBy(col(g))
+      case None =>
+        filtered.select((col("day") +: kinds.map(col)): _*).orderBy(col("day"))
+    }
+  }
 
   def getRaw(period: TimestampPeriod = TimestampPeriod.empty): DataFrame =
     getDf(Seq("raw"), period)

@@ -54,16 +54,20 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Cheap high-recall candidate pairs: documents sharing any of the k
-    * smallest shingle hashes (k-min sketch — one hash pass instead of
-    * a full MinHash permutation family; at J≥0.5 and k=8 the per-pair
-    * miss probability is under (1−J)^k ≈ 0.4%, and the planted
-    * near-dups sit at J≥0.9 where it is ~1e-8). */
-  private def kminCandidates(hashFrame: DataFrame, k: Int = 8): DataFrame = {
-    val sketches = hashFrame
-      .select(col("doc_id"), explode(expr(s"slice(array_sort(hashes), 1, $k)")).as("h"))
-    val a = sketches.select(col("doc_id").as("id_a"), col("h"))
-    val b = sketches.select(col("doc_id").as("id_b"), col("h"))
+  /** Candidate pairs with PROVABLY complete recall via prefix filtering
+    * (the AllPairs/PPJoin prefix principle): two sets with Jaccard ≥ t
+    * must share at least |X∩Y| ≥ ceil(t·|X|) elements, so they must
+    * collide inside their (|X| − ceil(t·|X|) + 1)-element prefixes of
+    * the globally hash-ordered element lists. Exploding only prefixes
+    * (≈ |X|·(1−t/(1+t)) ≈ half the tokens at t=0.5) keeps the join
+    * bucketed and sub-quadratic, and — unlike a probabilistic sketch —
+    * guarantees the verified output EQUALS the exact all-pairs result. */
+  private def prefixCandidates(hashFrame: DataFrame, threshold: Double): DataFrame = {
+    val pref = s"slice(array_sort(hashes), 1, " +
+      s"cast(size(hashes) - ceil($threshold * size(hashes)) + 1 AS int))"
+    val p = hashFrame.select(col("doc_id"), explode(expr(pref)).as("h"))
+    val a = p.select(col("doc_id").as("id_a"), col("h"))
+    val b = p.select(col("doc_id").as("id_b"), col("h"))
     a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
@@ -82,7 +86,7 @@ object Dedup {
     // the hash frame feeds candidate generation AND both verify sides:
     // materialize it once instead of re-running the hash pipeline 3x
     val hs = withShingles(documents).select(col("doc_id"), col("hashes")).persist()
-    val cands = kminCandidates(hs)
+    val cands = prefixCandidates(hs, threshold)
     val candIds = cands.select(col("id_a").as("doc_id"))
       .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
     val hsC = hs.join(candIds, Seq("doc_id"), "left_semi")
@@ -97,21 +101,26 @@ object Dedup {
   }
 
   /** SimHash near-duplicates: 30-bit signatures, pairs within Hamming
-    * distance maxHamming. Candidate generation buckets on the top 15
-    * bits OR bottom 15 bits (a pair within distance ≤ maxHamming ≤ a
-    * few bits usually agrees on one half — with the planted near-dups
-    * this is exact; a production variant would use 4-way band OR). */
+    * distance maxHamming. Candidate generation buckets on FOUR bands
+    * (8+8+7+7 bits): by pigeonhole, ≤ 3 differing bits can touch at
+    * most 3 of the 4 bands, so every pair within Hamming ≤ 3 shares at
+    * least one band bucket — candidate recall is exactly 1 and the
+    * output equals the all-pairs result. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = reg(documents)
       .withColumn("thashes", expr(s"transform(${tokens("text")}, t -> ${polyHash("t")})"))
       .withColumn("sim", expr(simhash("thashes")))
       .select(col("doc_id"), col("sim"))
     val keyed = sigs.select(col("doc_id"), col("sim"),
-        posexplode(array(expr("shiftright(sim, 15)"), expr("sim & 32767"))))
-      .withColumnRenamed("pos", "half").withColumnRenamed("col", "bucket")
-    val a = keyed.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("half"), col("bucket"))
-    val b = keyed.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("half"), col("bucket"))
-    a.join(b, Seq("half", "bucket")).filter(col("id_a") < col("id_b"))
+        posexplode(array(
+          expr("sim & 255"),
+          expr("shiftright(sim, 8) & 255"),
+          expr("shiftright(sim, 16) & 127"),
+          expr("shiftright(sim, 23) & 127"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = keyed.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("band"), col("bucket"))
+    val b = keyed.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)

@@ -74,13 +74,15 @@ object LlmOracle {
     WITH th AS (SELECT doc_id, list_transform($toks, t -> ${ph("t")}) AS thashes FROM documents),
     sims AS (SELECT doc_id, $simhashExpr AS sim FROM th),
     keyed AS (
-      SELECT doc_id, sim, 0 AS half, sim >> 15 AS bucket FROM sims
-      UNION ALL SELECT doc_id, sim, 1, sim & 32767 FROM sims),
+      SELECT doc_id, sim, 0 AS band, sim & 255 AS bucket FROM sims
+      UNION ALL SELECT doc_id, sim, 1, (sim >> 8) & 255 FROM sims
+      UNION ALL SELECT doc_id, sim, 2, (sim >> 16) & 127 FROM sims
+      UNION ALL SELECT doc_id, sim, 3, (sim >> 23) & 127 FROM sims),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         bit_count(xor(a.sim, b.sim)) AS hamming
       FROM keyed a JOIN keyed b
-        ON a.half = b.half AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
     SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"""
 
   private val normCte: String = """

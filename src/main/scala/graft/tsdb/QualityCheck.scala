@@ -151,7 +151,17 @@ object QualityCheck {
           !coalesce(fRange, lit(false)) && !coalesce(fRep, lit(false)) &&
           !coalesce(fSpike, lit(false)) && !coalesce(fDaily, lit(false)) &&
           !coalesce(fNb, lit(false)), col("raw")).otherwise(lit(null)))
-      .select(col("station_id"), col("day"), col("raw"), col("n_obs"), col("qc"))
+      // quality note (the reference's `qn` column, models.py:84): which
+      // rule dropped the value — provenance for every NULLed slot
+      .withColumn("qn",
+        when(col("raw").isNull, lit(null).cast("string"))
+          .when(coalesce(fRange, lit(false)), lit("range"))
+          .when(coalesce(fRep, lit(false)), lit("repeat"))
+          .when(coalesce(fSpike, lit(false)), lit("spike"))
+          .when(coalesce(fDaily, lit(false)), lit("daily_compare"))
+          .when(coalesce(fNb, lit(false)), lit("neighbor_median"))
+          .otherwise(lit(null).cast("string")))
+      .select(col("station_id"), col("day"), col("raw"), col("n_obs"), col("qc"), col("qn"))
   }
 
   /** Share of raw values dropped by QC per station, as stored in the

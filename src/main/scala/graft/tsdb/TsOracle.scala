@@ -180,13 +180,19 @@ object TsOracle {
         CASE WHEN raw IS NOT NULL AND NOT coalesce(f_range, false)
                AND NOT coalesce(f_rep, false) AND NOT coalesce(f_spike, false)
                AND NOT coalesce(f_daily, false) AND NOT coalesce(f_nb, false)
-          THEN raw ELSE NULL END AS qc
+          THEN raw ELSE NULL END AS qc,
+        CASE WHEN raw IS NULL THEN NULL
+             WHEN coalesce(f_range, false) THEN 'range'
+             WHEN coalesce(f_rep, false) THEN 'repeat'
+             WHEN coalesce(f_spike, false) THEN 'spike'
+             WHEN coalesce(f_daily, false) THEN 'daily_compare'
+             WHEN coalesce(f_nb, false) THEN 'neighbor_median' END AS qn
       FROM qc_parts)"""
 
   val qQcAll: String = s"""
     WITH $world,
     $qcAllCte
-    SELECT station_id, day, raw, n_obs, qc FROM qc_all ORDER BY station_id, day"""
+    SELECT station_id, day, raw, n_obs, qc, qn FROM qc_all ORDER BY station_id, day"""
 
   val qQcDroppedShare: String = s"""
     WITH $world,

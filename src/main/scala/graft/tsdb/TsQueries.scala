@@ -70,7 +70,8 @@ object TsQueries {
     })
 
   def qQcAll(s: SparkSession, d: String): DataFrame =
-    qcAll(s, d).orderBy(col("station_id"), col("day"))
+    qcAll(s, d).select("station_id", "day", "raw", "n_obs", "qc", "qn")
+      .orderBy(col("station_id"), col("day"))
 
   def qQcDroppedShare(s: SparkSession, d: String): DataFrame =
     QualityCheck.droppedShare(qcAll(s, d)).orderBy(col("station_id"))

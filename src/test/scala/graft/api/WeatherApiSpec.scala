@@ -28,6 +28,19 @@ class WeatherApiSpec extends SparkSpec {
     assert(s.getCorr().count() === 30)
   }
 
+  test("free-form filter is pushed into the scan and agg_to aggregates") {
+    val s = db.station(0L)
+    val flt = s.getDf(Seq("raw", "filled"), sqlAddWhere = "filled > 100")
+    assert(flt.count() > 0)
+    assert(flt.collect().forall(_.getAs[Double]("filled") > 100))
+    // the predicate must reach the scan-side filter, not a post-sort step
+    assert(flt.queryExecution.optimizedPlan.toString.contains("100.0"))
+    val monthly = s.getDf(Seq("filled"), aggTo = "month")
+    assert(monthly.columns.toSeq === Seq("month", "filled", "filled_na_share"))
+    assert(monthly.count() === 1)
+    intercept[IllegalArgumentException] { s.getDf(Seq("filled"), aggTo = "minute") }
+  }
+
   test("stations-level actions and group view") {
     assert(db.stations.getMeta.count() > 0)
     val q = db.stations.getQuotient(Seq("filled"), Seq("raw"))
