@@ -9,9 +9,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_join", "q_asof_join", "q_topk_window",
     "q_expand_grid", "q_qc_all", "q_fill_neighbor", "q_richter_correct",
-    "q_agg_month", "q_knn_elev",
-    "q_dedup_jaccard", "q_dedup_embedding", "q_ann_topk",
-    "q_text_fingerprint", "q_stream_window")
+    "q_richter_correct_hourly", "q_agg_month", "q_knn_elev",
+    "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_embedding_lsh",
+    "q_ann_topk", "q_text_fingerprint", "q_stream_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

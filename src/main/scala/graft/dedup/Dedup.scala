@@ -65,10 +65,15 @@ object Dedup {
   private def prefixCandidates(hashFrame: DataFrame, threshold: Double): DataFrame = {
     val pref = s"slice(array_sort(hashes), 1, " +
       s"cast(size(hashes) - ceil($threshold * size(hashes)) + 1 AS int))"
-    val p = hashFrame.select(col("doc_id"), explode(expr(pref)).as("h"))
-    val a = p.select(col("doc_id").as("id_a"), col("h"))
-    val b = p.select(col("doc_id").as("id_b"), col("h"))
-    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+    val p = hashFrame.select(col("doc_id"), size(col("hashes")).as("sz"),
+      explode(expr(pref)).as("h"))
+    val a = p.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
+    val b = p.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
+    // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t —
+    // prunes size-mismatched collisions before the distinct/verify
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b") &&
+        col("sz_b") >= ceil(col("sz_a") * threshold) &&
+        col("sz_b") <= col("sz_a") / threshold)
       .select(col("id_a"), col("id_b")).distinct()
   }
 
