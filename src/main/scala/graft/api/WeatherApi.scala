@@ -32,6 +32,7 @@ class WeatherDb(val spark: SparkSession, val dir: String) {
   def station(id: Long): Station = new Station(this, id)
   def stations: Stations = new Stations(this)
   def groupStation(id: Long): GroupStation = new GroupStation(this, id)
+  def broker: Broker = new Broker(this)
 
   private[api] def inPeriod(df: DataFrame, period: TimestampPeriod): DataFrame = {
     val s = period.start.map(d => df.col("day") >= lit(java.sql.Date.valueOf(d)))
@@ -124,6 +125,31 @@ class Stations(db: WeatherDb) {
       .filter(col("kind_num").isin(kindsNum: _*) && col("kind_denom").isin(kindsDenom: _*))
   /** count_holes for all stations (StationsBase.count_holes). */
   def countHoles: DataFrame = Aggregate.countHoles(db.qc)
+}
+
+/** The reference's Broker (broker.py): orchestrates the update cycle —
+  * full runs over all stations and period-scoped last-import runs that
+  * merge into the persisted frames (`last_imp_quality_check`,
+  * `last_imp_fillup`, `last_imp_corr`, `update_db`). */
+class Broker(db: WeatherDb) {
+  import java.sql.Date
+
+  /** update_db: the full cycle raw → qc → fillup → corr; returns the
+    * final corrected frame (each stage persists via the db fields). */
+  def updateDb: DataFrame = db.corr
+
+  /** last_imp_quality_check: QC only for the last-import window,
+    * merged into the persisted qc frame. */
+  def lastImpQualityCheck(prevQc: DataFrame, lo: Date, hi: Date): DataFrame =
+    Incremental.updateQc(prevQc, db.raw, Series.dailyRef(db.events), db.meta, lo, hi)
+
+  /** last_imp_fillup: fill-up only for the last-import window. */
+  def lastImpFillup(prevFilled: DataFrame, qc: DataFrame, lo: Date, hi: Date): DataFrame =
+    Incremental.updateFilled(prevFilled, qc, db.meta, lo, hi)
+
+  /** last_imp_corr: Richter correction only for the last-import window. */
+  def lastImpCorr(prevCorr: DataFrame, filled: DataFrame, lo: Date, hi: Date): DataFrame =
+    Incremental.updateCorr(prevCorr, filled, db.tempFilled, db.meta, lo, hi)
 }
 
 /** All parameters of one location — the reference's GroupStation

@@ -41,6 +41,17 @@ class WeatherApiSpec extends SparkSpec {
     intercept[IllegalArgumentException] { s.getDf(Seq("filled"), aggTo = "minute") }
   }
 
+  test("broker last-import cycle merges window recompute into persisted frames") {
+    import java.sql.Date
+    val b = db.broker
+    val lo = Date.valueOf("2024-01-20"); val hi = Date.valueOf("2024-01-30")
+    val inc = b.lastImpQualityCheck(db.qc, lo, hi)
+    assert(inc.count() === db.qc.count())
+    // the merge must be a no-op when prev already equals the full run
+    assert(inc.except(db.qc).count() === 0)
+    assert(b.updateDb.columns.contains("corr"))
+  }
+
   test("stations-level actions and group view") {
     assert(db.stations.getMeta.count() > 0)
     val q = db.stations.getQuotient(Seq("filled"), Seq("raw"))
