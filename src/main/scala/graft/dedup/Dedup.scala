@@ -91,10 +91,12 @@ object Dedup {
     // the hash frame feeds candidate generation AND both verify sides:
     // materialize it once instead of re-running the hash pipeline 3x
     val hs = withShingles(documents).select(col("doc_id"), col("hashes")).persist()
-    val cands = prefixCandidates(hs, threshold)
+    // candidate generation is the expensive stage; persist it so the
+    // id-collection pass and the final verify join share one run
+    val cands = prefixCandidates(hs, threshold).persist()
     val candIds = cands.select(col("id_a").as("doc_id"))
       .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
-    val hsC = hs.join(candIds, Seq("doc_id"), "left_semi")
+    val hsC = hs.join(candIds, Seq("doc_id"), "left_semi").persist()
     cands
       .join(broadcast(hsC.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
       .join(broadcast(hsC.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))

@@ -29,6 +29,25 @@ object MultiAnnual {
         expr("stack(3, 'raw', raw, 'qc', qc, 'filled', filled) AS (kind, value)"))
   }
 
+  /** MA means per station, kind AND term — the reference's `_ma_terms`
+    * (StationBases.py:931, StationPBase `_ma_terms=["wihy","suhy"]`,
+    * models.py StationMATimeserie): term ∈ {year, wihy, suhy}, where
+    * wihy = winter half-year (Oct–Mar) and suhy = summer half-year. */
+  def maTimeseriesTerms(filledSeries: DataFrame): DataFrame = {
+    val isWinter = month(col("day")).isin(1, 2, 3, 10, 11, 12)
+    val term = filledSeries.withColumn("wi", isWinter)
+    def agg(df: DataFrame, name: String) = df.groupBy(col("station_id")).agg(
+      round(avg(col("raw")) + lit(1e-9), 6).as("raw"),
+      round(avg(col("qc")) + lit(1e-9), 6).as("qc"),
+      round(avg(col("filled")) + lit(1e-9), 6).as("filled"))
+      .select(col("station_id"), lit(name).as("term"),
+        expr("stack(3, 'raw', raw, 'qc', qc, 'filled', filled) AS (kind, value)"))
+    agg(term, "year")
+      .unionByName(agg(term.filter(col("wi")), "wihy"))
+      .unionByName(agg(term.filter(!col("wi")), "suhy"))
+      .select(col("station_id"), col("kind"), col("term"), col("value"))
+  }
+
   /** Quotients between the MA means of two kinds, for every ordered
     * pair of distinct kinds (StationKindQuotientView). */
   def quotientKinds(filledSeries: DataFrame): DataFrame = {

@@ -43,17 +43,38 @@ object Neighbors {
         round(sqrt(col("d2")) + lit(1e-9), 6).as("dist"))
   }
 
-  /** Grid-bucketed knn — the 100 TB path. Stations hash to spatial
-    * cells of side `cellSize`; candidate pairs come only from the 3×3
-    * cell neighborhood, so the data movement is O(9n) instead of the
-    * all-pairs O(n²) of the broadcast cross join.
+  /** Grid-bucketed knn — the 100 TB path, EXACT for any data. Stations
+    * hash to spatial cells of side `cellSize`; candidate pairs come
+    * only from the 3×3 cell neighborhood, so the data movement is
+    * O(9n) instead of the all-pairs O(n²) of the broadcast cross join.
     *
-    * Exact whenever every station's k-th neighbor lies within
-    * `cellSize` (the 3×3 ring covers at least that radius); pick the
-    * cell size from the station density (here: default 3 covers the
-    * synthetic grid's 5-nn radius with margin — asserted equal to the
-    * brute-force ranking in NeighborsSpec). */
-  def knnDistBucketed(meta: DataFrame, k: Int = NeighborK, cellSize: Double = 3.0): DataFrame = {
+    * Exactness is SELF-VERIFIED, not assumed: any point within
+    * `cellSize` of a station is inside its 3×3 ring (|Δx| ≤ c ⟹
+    * |Δcell| ≤ 1), so a station whose k-th found candidate lies within
+    * `cellSize` provably has its true k nearest among the candidates —
+    * a missed point sits outside the ring and therefore strictly
+    * farther than `cellSize`. Stations that fail the check (fewer than
+    * k candidates, or k-th beyond `cellSize` — low-density corners)
+    * fall back to the exact broadcast ranking; at realistic densities
+    * that is a vanishing fraction, and in the worst case the operator
+    * degrades gracefully to the brute cost instead of returning a
+    * wrong ranking. */
+  /** The knn result is O(#stations × k) — a dimension table. It is
+    * consumed by every fill variant, the QC neighbor median and the
+    * temperature fill of one session, so it is memoized + persisted per
+    * (input plan, k, cellSize) exactly like the qc/filled kinds in
+    * TsQueries (the reference likewise stores the neighbor ranking in
+    * its meta tables rather than recomputing it per query). */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int, Int, Long), DataFrame]
+
+  def knnDistBucketed(meta: DataFrame, k: Int = NeighborK, cellSize: Double = 3.0): DataFrame =
+    memo.getOrElseUpdate(
+      (meta.sparkSession, meta.queryExecution.analyzed.semanticHash(), k,
+        java.lang.Double.doubleToLongBits(cellSize)),
+      knnDistBucketedUncached(meta, k, cellSize).persist())
+
+  private def knnDistBucketedUncached(meta: DataFrame, k: Int, cellSize: Double): DataFrame = {
     val cells = meta.select(col("station_id"), col("x"), col("y"),
       floor(col("x") / cellSize).as("cx"), floor(col("y") / cellSize).as("cy"))
     // each station is replicated into its 9 surrounding cells on the
@@ -70,9 +91,41 @@ object Neighbors {
       .withColumn("d2", (col("x") - col("nb_x")) * (col("x") - col("nb_x"))
         + (col("y") - col("nb_y")) * (col("y") - col("nb_y")))
     val w = Window.partitionBy(col("station_id")).orderBy(col("d2"), col("nb_id"))
-    pairs
+    // consumed twice (safety check + final output) within one
+    // materialization — persist the tiny O(n·k) frame
+    val ranked = pairs
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select(col("station_id"), col("rank"), col("nb_id"), col("d2"))
+      .persist()
+    val safety = ranked.groupBy(col("station_id")).agg(
+      count(lit(1)).as("n_found"), max(col("d2")).as("max_d2"))
+    val unsafeIds = safety
+      .filter(col("n_found") < k || col("max_d2") > cellSize * cellSize)
+      .select(col("station_id"))
+      .unionByName( // stations with NO candidate at all never reach `ranked`
+        meta.select(col("station_id"))
+          .join(safety.select(col("station_id")), Seq("station_id"), "left_anti"))
+    val unsafeMeta = meta.join(unsafeIds, Seq("station_id"), "left_semi")
+    val rescued = {
+      // deliberate bounded nested-loop: the station registry is
+      // O(#stations) and broadcast everywhere else in the engine; only
+      // the (normally vanishing) unsafe probe side replicates against
+      // it. The rescue_* column names are the structural marker that
+      // lets PlanGuardSpec distinguish this reviewed pattern from an
+      // accidental cross join.
+      val a = unsafeMeta.select(col("station_id"), col("x"), col("y"))
+      val b = meta.select(col("station_id").as("rescue_nb_id"),
+        col("x").as("rescue_nb_x"), col("y").as("rescue_nb_y"))
+      val bp = a.crossJoin(broadcast(b)).filter(col("station_id") =!= col("rescue_nb_id"))
+        .withColumn("d2", (col("x") - col("rescue_nb_x")) * (col("x") - col("rescue_nb_x"))
+          + (col("y") - col("rescue_nb_y")) * (col("y") - col("rescue_nb_y")))
+      val wr = Window.partitionBy(col("station_id")).orderBy(col("d2"), col("rescue_nb_id"))
+      bp.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
+        .select(col("station_id"), col("rank"), col("rescue_nb_id").as("nb_id"), col("d2"))
+    }
+    ranked.join(unsafeIds, Seq("station_id"), "left_anti")
+      .unionByName(rescued)
       .select(col("station_id"), col("rank"), col("nb_id"),
         round(sqrt(col("d2")) + lit(1e-9), 6).as("dist"))
   }

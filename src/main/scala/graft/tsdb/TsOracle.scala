@@ -377,6 +377,27 @@ object TsOracle {
     , $maKindsCte
     SELECT station_id, kind, value FROM ma_kinds ORDER BY station_id, kind""")
 
+  val qMaSeasonal: String = withFill(s"""
+    , terms AS (
+      SELECT station_id, 'year' AS term, raw, qc, filled FROM filled_s
+      UNION ALL
+      SELECT station_id, 'wihy', raw, qc, filled FROM filled_s
+      WHERE month(day) IN (1,2,3,10,11,12)
+      UNION ALL
+      SELECT station_id, 'suhy', raw, qc, filled FROM filled_s
+      WHERE month(day) NOT IN (1,2,3,10,11,12)),
+    ma_t AS (
+      SELECT station_id, term,
+        round(avg(raw) + 1e-9, 6) AS raw,
+        round(avg(qc) + 1e-9, 6) AS qc,
+        round(avg(filled) + 1e-9, 6) AS filled
+      FROM terms GROUP BY 1, 2)
+    SELECT station_id, kind, term, value FROM (
+      SELECT station_id, term, 'raw' AS kind, raw AS value FROM ma_t
+      UNION ALL SELECT station_id, term, 'qc', qc FROM ma_t
+      UNION ALL SELECT station_id, term, 'filled', filled FROM ma_t)
+    ORDER BY station_id, kind, term""")
+
   val qQuotientKinds: String = withFill(s"""
     , $maKindsCte
     SELECT n.station_id, n.kind AS kind_num, d.kind AS kind_denom,
@@ -671,6 +692,7 @@ object TsOracle {
     "q_fill_interp" -> qFillInterp,
     "q_fill_share" -> qFillShare,
     "q_ma_timeseries" -> qMaTimeseries,
+    "q_ma_seasonal" -> qMaSeasonal,
     "q_quotient_kinds" -> qQuotientKinds,
     "q_quotient_raster" -> qQuotientRaster,
     "q_adjust_mult" -> qAdjustMult,

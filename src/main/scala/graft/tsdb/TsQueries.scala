@@ -112,6 +112,10 @@ object TsQueries {
   def qMaTimeseries(s: SparkSession, d: String): DataFrame =
     MultiAnnual.maTimeseries(filledSeries(s, d)).orderBy(col("station_id"), col("kind"))
 
+  def qMaSeasonal(s: SparkSession, d: String): DataFrame =
+    MultiAnnual.maTimeseriesTerms(filledSeries(s, d))
+      .orderBy(col("station_id"), col("kind"), col("term"))
+
   def qQuotientKinds(s: SparkSession, d: String): DataFrame =
     MultiAnnual.quotientKinds(filledSeries(s, d))
       .orderBy(col("station_id"), col("kind_num"), col("kind_denom"))
@@ -188,6 +192,7 @@ object TsQueries {
     "q_fill_interp" -> (qFillInterp _),
     "q_fill_share" -> (qFillShare _),
     "q_ma_timeseries" -> (qMaTimeseries _),
+    "q_ma_seasonal" -> (qMaSeasonal _),
     "q_quotient_kinds" -> (qQuotientKinds _),
     "q_quotient_raster" -> (qQuotientRaster _),
     "q_adjust_mult" -> (qAdjustMult _),

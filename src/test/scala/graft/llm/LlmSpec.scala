@@ -40,6 +40,22 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("4-band simhash candidates are complete: output equals brute force at hamming <= 3") {
+    import graft.text.TextFns._
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val banded = Dedup.simhashPairs(corpus)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigs = corpus.selectExpr("doc_id",
+      s"${simhash(s"transform(${tokens("text")}, t -> ${polyHash("t")})")} AS sim")
+    val a = sigs.select($"doc_id".as("id_a"), $"sim".as("sa"))
+    val b = sigs.select($"doc_id".as("id_b"), $"sim".as("sb"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .filter(expr("bit_count(sa ^ sb) <= 3"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute, "pigeonhole banding must find exactly the brute-force pairs")
+  }
+
   test("language id picks the profile with most stopword hits") {
     val out = TextAnalysis.langId(docs).select("doc_id", "predicted")
       .as[(Long, String)].collect().toMap

@@ -38,6 +38,21 @@ class QualityCheckSpec extends SparkSpec {
     assert(out.toSeq === Seq(Some(400.0), None, None, None, Some(350.0), Some(1.0)))
   }
 
+  test("qn quality note records which rule dropped each value") {
+    // stations on a wide grid so the neighbor-median rule stays quiet
+    val s = series(Seq(
+      (1L, 1, Some(600.0)),                               // range
+      (1L, 2, Some(100.0)), (1L, 3, Some(101.0)), (1L, 4, Some(99.0)), // repeat run
+      (1L, 5, None), (1L, 6, Some(400.0)), (1L, 7, None), // spike
+      (1L, 8, Some(50.0))))                               // clean
+    val ref = Seq((1L, day(8), 10.0)).toDF("station_id", "day", "ref")
+    val meta = Seq((1L, 0.0, 0.0, 0.0)).toDF("station_id", "x", "y", "elev")
+    val out = QualityCheck.all(s, ref, meta).orderBy("day")
+      .select("qn").as[Option[String]].collect()
+    assert(out.toSeq === Seq(Some("range"), Some("repeat"), Some("repeat"), Some("repeat"),
+      None, Some("spike"), None, None))
+  }
+
   test("daily-compare flags aggregate >= 2x substantial reference") {
     val s = series(Seq((1L, 1, Some(250.0)), (1L, 2, Some(250.0))))
     val ref = Seq((1L, day(1), 100.0), (1L, day(2), 200.0)).toDF("station_id", "day", "ref")
