@@ -25,6 +25,76 @@ object Streaming {
       .agg(count(lit(1)).as("n"), round(sum(col("value")) + lit(1e-9), 3).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Continuous update cycle — the streaming form of broker.update_db:
+    * every micro-batch of imported events triggers a period-scoped
+    * incremental qc recompute (graft.tsdb.Incremental) merged into the
+    * maintained qc frame, instead of a full-series rerun.
+    *
+    * In production the store is the day-partitioned raw table (the
+    * batch appends day partitions; the slice read is partition-pruned)
+    * and the maintained frame is the persisted qc table; here both are
+    * held as persisted DataFrames so MemoryStream tests can drive the
+    * cycle deterministically. New stations require a one-time full
+    * init, exactly like the reference's first-time station import. */
+  class ContinuousQc(spark: SparkSession) {
+    import graft.tsdb.{Incremental, QualityCheck, Series}
+    @volatile private var store: Option[DataFrame] = None
+    @volatile private var qcFrame: Option[DataFrame] = None
+
+    /** The maintained qc frame after all processed batches. */
+    def qc: Option[DataFrame] = qcFrame
+
+    /** Attach to a streaming events frame (same schema as the batch
+      * events table); one incremental update per micro-batch. */
+    def attach(streamEvents: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      streamEvents.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          update(batch.toDF())
+        }
+        .start()
+
+    /** One import: append the batch, recompute only its day window. */
+    def update(batch: DataFrame): Unit = synchronized {
+      val b = batch.persist()
+      if (b.isEmpty) { b.unpersist(); return }
+      val evts = store.map(_.unionByName(b)).getOrElse(b).persist()
+      val bounds = b.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
+      // widen the recompute window to any dense-grid expansion: days
+      // between the old period end and the batch (a gap after silence)
+      // exist in neither the previous frame nor the batch window
+      val (bLo, bHi) = (bounds.getDate(0), bounds.getDate(1))
+      val old = store.map(_.agg(min(to_date(col("ts"))).as("o0"), max(to_date(col("ts"))).as("o1")).head())
+      // batch entirely after the old period: re-cover from the day
+      // after the old end; entirely before: up to the day before the
+      // old start (both directions of grid growth)
+      val loW = old.map(_.getDate(1)) match {
+        case Some(o1) if o1.before(bLo) => java.sql.Date.valueOf(o1.toLocalDate.plusDays(1))
+        case _ => bLo
+      }
+      val hiW = old.map(_.getDate(0)) match {
+        case Some(o0) if bHi.before(o0) => java.sql.Date.valueOf(o0.toLocalDate.minusDays(1))
+        case _ => bHi
+      }
+      val raw = Series.dailyRaw(evts)
+      val ref = Series.dailyRef(evts)
+      val meta = Series.stationMeta(evts)
+      val next = (qcFrame match {
+        case Some(prev) if sameStations(prev, meta) =>
+          Incremental.updateQc(prev, raw, ref, meta, loW, hiW)
+        case _ => QualityCheck.all(raw, ref, meta) // first import / new station init
+      }).persist()
+      next.count() // materialize before replacing the previous frame
+      store = Some(evts)
+      qcFrame = Some(next)
+    }
+
+    private def sameStations(prev: DataFrame, meta: DataFrame): Boolean =
+      meta.select("station_id")
+        .join(prev.select("station_id").distinct(), Seq("station_id"), "left_anti")
+        .isEmpty
+  }
+
   case class StationEvent(user_id: Long, ts: Timestamp, value: Double)
   case class GapState(lastTs: Long)
   case class GapAlert(station_id: Long, gap_start: Timestamp, gap_hours: Double)

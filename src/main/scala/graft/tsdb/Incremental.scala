@@ -36,15 +36,23 @@ object Incremental {
     * days, interpolation bridges gaps of up to InterpMaxGap days. */
   val Reach: Int = math.max(2, InterpMaxGap + 1)
 
-  private def between(lo: Date, hi: Date) = col("day").between(lit(lo), lit(hi))
+  /** The merge window extends `Reach` days BACKWARD of the import
+    * period: new data changes the qc of immediately preceding days
+    * through the forward-looking window rules (spike/repeat lead), so
+    * those days are re-checked and re-merged too — keeping the merged
+    * frame equal to a full recompute on the whole affected range. */
+  private def mergeWindow(lo: Date, hi: Date) =
+    col("day").between(date_sub(lit(lo), Reach), lit(hi))
 
+  /** The recompute slice additionally covers the reach of the merge
+    * window itself (2×Reach back, Reach forward). */
   private def slice(df: DataFrame, lo: Date, hi: Date): DataFrame =
-    df.filter(col("day").between(date_sub(lit(lo), Reach), date_add(lit(hi), Reach)))
+    df.filter(col("day").between(date_sub(lit(lo), 2 * Reach), date_add(lit(hi), Reach)))
 
-  /** Keep `prev` outside the period, the recomputed rows inside it. */
+  /** Keep `prev` outside the merge window, the recomputed rows inside. */
   private def merge(prev: DataFrame, recomputed: DataFrame, lo: Date, hi: Date): DataFrame =
-    prev.filter(!between(lo, hi))
-      .unionByName(recomputed.filter(between(lo, hi)).select(prev.columns.map(col): _*))
+    prev.filter(!mergeWindow(lo, hi))
+      .unionByName(recomputed.filter(mergeWindow(lo, hi)).select(prev.columns.map(col): _*))
 
   /** Incremental quality check: recompute qc only for `[lo, hi]` of
     * the (already updated) raw series and merge into `prevQc`. */

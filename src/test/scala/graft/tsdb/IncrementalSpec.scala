@@ -35,12 +35,18 @@ class IncrementalSpec extends SparkSpec {
   private def world(events: DataFrame) = (
     Series.dailyRaw(events), Series.dailyRef(events), Series.stationMeta(events))
 
+  /** The incremental contract covers the WHOLE affected range: the
+    * import period plus the Reach days before it that forward-looking
+    * window rules can flip. */
+  private val affectedLo =
+    Date.valueOf(lo.toLocalDate.minusDays(Incremental.Reach))
+
   private def sliceEq(a: DataFrame, b: DataFrame, keys: Seq[String]): Unit = {
-    val (af, bf) = (a.filter(col("day").between(lit(lo), lit(hi))),
-      b.filter(col("day").between(lit(lo), lit(hi))))
+    val (af, bf) = (a.filter(col("day").between(lit(affectedLo), lit(hi))),
+      b.filter(col("day").between(lit(affectedLo), lit(hi))))
     assert(af.count() === bf.count())
-    assert(af.except(bf).count() === 0, s"incremental != full on touched period")
-    assert(bf.except(af).count() === 0, s"full != incremental on touched period")
+    assert(af.except(bf).count() === 0, s"incremental != full on affected range")
+    assert(bf.except(af).count() === 0, s"full != incremental on affected range")
   }
 
   test("incremental qc equals full recompute on the touched period") {
@@ -51,8 +57,8 @@ class IncrementalSpec extends SparkSpec {
     val full = QualityCheck.all(newRaw, newRef, newMeta)
     sliceEq(inc, full, Seq("station_id", "day"))
     // untouched history must be exactly the persisted frame
-    val jan = inc.filter(col("day") < lit(lo))
-    assert(jan.except(prevQc.filter(col("day") < lit(lo))).count() === 0)
+    val jan = inc.filter(col("day") < lit(affectedLo))
+    assert(jan.except(prevQc.filter(col("day") < lit(affectedLo))).count() === 0)
   }
 
   test("incremental fillup equals full recompute on the touched period") {
