@@ -29,6 +29,60 @@ object Multimodal {
   case class MediaFeature(doc_id: Long, modality: String, n_bytes: Int,
       feature: Array[Float])
 
+  case class Thumb(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** Image resize seam: for image-modality rows, produce a fixed
+    * `w × h` thumbnail payload partition-locally. The byte content is
+    * a STUB (deterministic stride-sampling of the source payload —
+    * a real impl decodes + resamples pixels here); the Spark plumbing
+    * is real: modality filter pushed to the scan, binary column
+    * batched per partition, fixed-size binary output schema. */
+  def resize(spark: SparkSession, documents: DataFrame, w: Int = 32, h: Int = 32): Dataset[Thumb] = {
+    import spark.implicits._
+    documents
+      .filter(expr("doc_id % 3 = 0")) // image modality only
+      .select(col("doc_id"), expr("encode(text, 'UTF-8')").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          // --- decode/resample STUB: real impl decodes pixels here ---
+          val out = Array.tabulate(w * h) { i =>
+            if (payload.isEmpty) 0.toByte
+            else payload((i.toLong * 2654435761L % payload.length).toInt)
+          }
+          Thumb(id, w, h, out)
+        }
+      }
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_ts_s: Double, frame: Array[Byte])
+
+  /** Video frame-sampling seam: one row per sampled frame at
+    * `everyS`-second stride across the clip duration (from the typed
+    * metadata), payload sliced deterministically per frame (STUB for
+    * the real demuxer). The explode happens in the plan (posexplode
+    * over a computed frame count), so a 10-hour clip fans out across
+    * the cluster instead of materializing on one task. */
+  def frameSample(spark: SparkSession, documents: DataFrame, everyS: Double = 5.0): Dataset[Frame] = {
+    import spark.implicits._
+    metadata(documents)
+      .filter(col("modality") === "video")
+      .join(documents.select(col("doc_id"), expr("encode(text, 'UTF-8')").as("payload")), Seq("doc_id"))
+      .select(col("doc_id"), col("duration_s"), col("payload"),
+        posexplode(expr(s"sequence(0, cast(floor(duration_s / ${everyS}D) AS int))")))
+      .select(col("doc_id"), col("pos").as("frame_idx"),
+        round(col("col") * everyS + lit(1e-9), 3).as("frame_ts_s"), col("payload"))
+      .as[(Long, Int, Double, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, idx, ts, payload) =>
+          // --- demux STUB: real impl seeks + decodes the frame here ---
+          val sliceLen = math.max(1, payload.length / 8)
+          val start = if (payload.length == 0) 0 else (idx * sliceLen) % payload.length
+          Frame(id, idx, ts, payload.slice(start, math.min(start + sliceLen, payload.length)))
+        }
+      }
+  }
+
   /** Partition-local decode + feature extraction over the binary
     * column — the seam where a real image/audio decoder would run
     * (reference architecture: mapInPandas batches; here

@@ -49,6 +49,42 @@ object Ann {
       s"(s, i) -> s + cast(element_at(embedding, i + 1) AS double) * ($planeComponent)) > 0D " +
       s"THEN shiftleft(1L, pj) ELSE 0L END))"
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer route:
+    * vectors are assigned to their nearest of `nCells` centroid cells
+    * (one broadcast argmin join — production would k-means the
+    * centroids; here the first nCells vectors serve as the deterministic
+    * coarse codebook, the shape k-means init actually uses), each query
+    * probes its `nProbe` nearest cells, and exact cosine re-ranks only
+    * the probed cells' vectors. Search cost per query is
+    * n·nProbe/nCells instead of n; the cell assignment is an equi-join
+    * key, so the probe is a bucketed join, never a cross join.
+    * Approximate by construction (rows-only; recall vs brute asserted
+    * in LlmSpec). */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val n = withNorm(embeddings)
+    val cents = n.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("vb"), col("nrm").as("nb"))
+    def nearestCells(df: DataFrame, take: Int, idCol: String): DataFrame = {
+      // O(n·nCells) bounded broadcast argmin — the quantizer pass
+      val scored = df.select(col("vec_id").as(idCol), col("embedding").as("va"), col("nrm").as("na"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", expr(dot) / (col("na") * col("nb")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= take)
+        .select(col(idCol), col("cell"))
+    }
+    val assigned = nearestCells(n, 1, "nb_id")
+      .join(n.select(col("vec_id").as("nb_id"), col("embedding").as("vb"), col("nrm").as("nb")), Seq("nb_id"))
+    val probes = nearestCells(n.filter(col("vec_id") < nQueries), nProbe, "query_id")
+      .join(n.select(col("vec_id").as("query_id"), col("embedding").as("va"), col("nrm").as("na")), Seq("query_id"))
+    val scored = probes.join(assigned, Seq("cell")).filter(col("query_id") =!= col("nb_id"))
+      .withColumn("cosine", expr(dot) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nb_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+
   /** LSH-bucketed ANN: candidates share the signature bucket; exact
     * cosine re-ranking within the bucket. Approximate by construction
     * (driver records a rows-only check). */

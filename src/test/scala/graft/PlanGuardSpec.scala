@@ -18,7 +18,7 @@ class PlanGuardSpec extends SparkSpec {
 
   /** Deliberate brute-force reference variants, each with a registered
     * scale-path twin (q_knn_bucketed, q_ann_lsh / q_dedup_embedding_lsh). */
-  private val exempt = Set("q_ann_topk", "q_ann_lsh", "q_knn_dist", "q_knn_elev")
+  private val exempt = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_knn_dist", "q_knn_elev")
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val here = p.collect { case n => n }
