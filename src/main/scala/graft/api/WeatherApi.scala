@@ -160,4 +160,17 @@ class GroupStation(db: WeatherDb, val id: Long) {
   def getDf(period: TimestampPeriod = TimestampPeriod.empty): DataFrame =
     db.inPeriod(Aggregate.groupWide(db.events).filter(col("station_id") === id), period)
       .orderBy(col("day"))
+
+  /** create_ts: write the model-input export — one delimited text file
+    * per location with a date column and the parameter columns
+    * (GroupStation.py create_ts / _create_ts). Single station → one
+    * output partition; the all-stations variant would
+    * partitionBy(station_id) instead. */
+  def createTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty): Unit =
+    getDf(period)
+      .select(date_format(col("day"), "yyyyMMdd").as("date"),
+        col("p_raw"), col("t_raw"), col("et_raw"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").option("sep", "\t")
+      .csv(outDir)
 }

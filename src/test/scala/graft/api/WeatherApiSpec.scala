@@ -60,4 +60,14 @@ class WeatherApiSpec extends SparkSpec {
     assert(g.columns.toSeq === Seq("station_id", "day", "p_raw", "t_raw", "et_raw"))
     assert(g.count() === 30)
   }
+
+  test("create_ts writes the delimited model-input export") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ts").toString + "/st0"
+    db.groupStation(0L).createTs(out)
+    val back = spark.read.option("header", "true").option("sep", "\t").csv(out)
+    assert(back.count() === 30)
+    assert(back.columns.toSeq === Seq("date", "p_raw", "t_raw", "et_raw"))
+    assert(back.select("date").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().forall(_.matches("\\d{8}")))
+  }
 }
