@@ -113,6 +113,15 @@ class Station(db: WeatherDb, val id: Long) {
 /** All stations of one parameter — the reference's StationsBase. */
 class Stations(db: WeatherDb) {
   def getMeta: DataFrame = db.meta
+  /** get_df over ALL stations: tall (station_id, day, kinds…) frame
+    * with period + free-form filter (StationsBase.get_df). */
+  def getDf(kinds: Seq[String] = Seq("raw", "qc", "filled"),
+      period: TimestampPeriod = TimestampPeriod.empty,
+      sqlAddWhere: String = null): DataFrame = {
+    val base = db.inPeriod(db.filled, period)
+    Option(sqlAddWhere).map(w => base.filter(expr(w))).getOrElse(base)
+      .select((col("station_id") +: col("day") +: kinds.map(col)): _*)
+  }
   /** quality_check over all stations (StationsBase.quality_check). */
   def qualityCheck: DataFrame = db.qc
   /** fillup over all stations (StationsBase.fillup). */
