@@ -70,6 +70,24 @@ class IncrementalSpec extends SparkSpec {
     sliceEq(inc, full, Seq("station_id", "day"))
   }
 
+  test("incremental qc contract holds for arbitrary import windows (seeded sweep)") {
+    val (newRaw, newRef, newMeta) = world(mkEvents(untilFeb = true))
+    val full = QualityCheck.all(newRaw, newRef, newMeta)
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { _ =>
+      val startOff = rnd.nextInt(30)
+      val len = 1 + rnd.nextInt(10)
+      val wLo = Date.valueOf("2024-01-05").toLocalDate.plusDays(startOff)
+      val wHi = wLo.plusDays(len)
+      val (plo, phi) = (Date.valueOf(wLo), Date.valueOf(wHi))
+      // prev = full run (steady state); updating any window must be a no-op
+      val inc = Incremental.updateQc(full, newRaw, newRef, newMeta, plo, phi)
+      assert(inc.count() === full.count(), s"window $plo..$phi changed row count")
+      assert(inc.except(full).count() === 0, s"window $plo..$phi diverged")
+      assert(full.except(inc).count() === 0, s"window $plo..$phi lost rows")
+    }
+  }
+
   test("incremental corr equals full recompute on the touched period") {
     val events = mkEvents(untilFeb = true)
     val (newRaw, newRef, newMeta) = world(events)
