@@ -63,8 +63,11 @@ object Dedup {
     * bucketed and sub-quadratic, and — unlike a probabilistic sketch —
     * guarantees the verified output EQUALS the exact all-pairs result. */
   private def prefixCandidates(hashFrame: DataFrame, threshold: Double): DataFrame = {
+    // the 1e-9 nudge inside ceil keeps the bound conservative when
+    // t*size is inexact in binary (e.g. 0.1*30 = 3.0000000000000004
+    // would otherwise over-prune an exact-threshold pair)
     val pref = s"slice(array_sort(hashes), 1, " +
-      s"cast(size(hashes) - ceil($threshold * size(hashes)) + 1 AS int))"
+      s"cast(size(hashes) - ceil($threshold * size(hashes) - 1e-9) + 1 AS int))"
     val p = hashFrame.select(col("doc_id"), size(col("hashes")).as("sz"),
       explode(expr(pref)).as("h"))
     val a = p.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
@@ -72,8 +75,8 @@ object Dedup {
     // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t —
     // prunes size-mismatched collisions before the distinct/verify
     a.join(b, Seq("h")).filter(col("id_a") < col("id_b") &&
-        col("sz_b") >= ceil(col("sz_a") * threshold) &&
-        col("sz_b") <= col("sz_a") / threshold)
+        col("sz_b") >= ceil(col("sz_a") * threshold - lit(1e-9)) &&
+        col("sz_b") <= col("sz_a") / threshold + lit(1e-9))
       .select(col("id_a"), col("id_b")).distinct()
   }
 
@@ -114,6 +117,9 @@ object Dedup {
     * least one band bucket — candidate recall is exactly 1 and the
     * output equals the all-pairs result. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band bucketing guarantees complete recall only for hamming <= 3 (got $maxHamming); " +
+        "use maxHamming + 1 bands for larger radii")
     val sigs = reg(documents)
       .withColumn("thashes", expr(s"transform(${tokens("text")}, t -> ${polyHash("t")})"))
       .withColumn("sim", expr(simhash("thashes")))

@@ -39,9 +39,10 @@ object Multimodal {
     * batched per partition, fixed-size binary output schema. */
   def resize(spark: SparkSession, documents: DataFrame, w: Int = 32, h: Int = 32): Dataset[Thumb] = {
     import spark.implicits._
-    documents
-      .filter(expr("doc_id % 3 = 0")) // image modality only
-      .select(col("doc_id"), expr("encode(text, 'UTF-8')").as("payload"))
+    metadata(documents)
+      .filter(col("modality") === "image") // single source of the modality rule
+      .join(documents.select(col("doc_id"), expr("encode(text, 'UTF-8')").as("payload")), Seq("doc_id"))
+      .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>

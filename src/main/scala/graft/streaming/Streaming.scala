@@ -40,17 +40,22 @@ object Streaming {
     import graft.tsdb.{Incremental, QualityCheck, Series}
     @volatile private var store: Option[DataFrame] = None
     @volatile private var qcFrame: Option[DataFrame] = None
+    @volatile private var lastBatchId: Long = -1L
 
     /** The maintained qc frame after all processed batches. */
     def qc: Option[DataFrame] = qcFrame
 
     /** Attach to a streaming events frame (same schema as the batch
-      * events table); one incremental update per micro-batch. */
+      * events table); one incremental update per micro-batch.
+      * foreachBatch is at-least-once: a batch redelivered after a
+      * restart (same batchId) must not be double-counted. */
     def attach(streamEvents: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
       streamEvents.writeStream
         .outputMode("append")
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          update(batch.toDF())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          synchronized {
+            if (batchId > lastBatchId) { update(batch.toDF()); lastBatchId = batchId }
+          }
         }
         .start()
 
@@ -85,8 +90,14 @@ object Streaming {
         case _ => QualityCheck.all(raw, ref, meta) // first import / new station init
       }).persist()
       next.count() // materialize before replacing the previous frame
+      // release superseded caches — a long-running stream must not
+      // accumulate one pinned frame per micro-batch
+      val (oldStore, oldQc) = (store, qcFrame)
       store = Some(evts)
       qcFrame = Some(next)
+      oldStore.foreach(_.unpersist())
+      oldQc.foreach(_.unpersist())
+      if (oldStore.isDefined) b.unpersist() // on the first batch evts IS b
     }
 
     private def sameStations(prev: DataFrame, meta: DataFrame): Boolean =

@@ -36,18 +36,19 @@ object Incremental {
     * days, interpolation bridges gaps of up to InterpMaxGap days. */
   val Reach: Int = math.max(2, InterpMaxGap + 1)
 
-  /** The merge window extends `Reach` days BACKWARD of the import
-    * period: new data changes the qc of immediately preceding days
-    * through the forward-looking window rules (spike/repeat lead), so
-    * those days are re-checked and re-merged too — keeping the merged
+  /** The merge window extends `Reach` days on BOTH sides of the import
+    * period: new data changes the qc of neighboring days through the
+    * lag/lead window rules (spike/repeat) — preceding days on an
+    * append, following days on a backfill into existing history — so
+    * those days are re-checked and re-merged too, keeping the merged
     * frame equal to a full recompute on the whole affected range. */
   private def mergeWindow(lo: Date, hi: Date) =
-    col("day").between(date_sub(lit(lo), Reach), lit(hi))
+    col("day").between(date_sub(lit(lo), Reach), date_add(lit(hi), Reach))
 
   /** The recompute slice additionally covers the reach of the merge
-    * window itself (2×Reach back, Reach forward). */
+    * window itself (2×Reach on both sides). */
   private def slice(df: DataFrame, lo: Date, hi: Date): DataFrame =
-    df.filter(col("day").between(date_sub(lit(lo), 2 * Reach), date_add(lit(hi), Reach)))
+    df.filter(col("day").between(date_sub(lit(lo), 2 * Reach), date_add(lit(hi), 2 * Reach)))
 
   /** Keep `prev` outside the merge window, the recomputed rows inside. */
   private def merge(prev: DataFrame, recomputed: DataFrame, lo: Date, hi: Date): DataFrame =

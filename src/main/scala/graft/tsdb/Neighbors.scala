@@ -64,17 +64,43 @@ object Neighbors {
     * temperature fill of one session, so it is memoized + persisted per
     * (input plan, k, cellSize) exactly like the qc/filled kinds in
     * TsQueries (the reference likewise stores the neighbor ranking in
-    * its meta tables rather than recomputing it per query). */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int, Int, Long), DataFrame]
+    * its meta tables rather than recomputing it per query).
+    * semanticHash is only the lookup key — equality is confirmed with
+    * sameResult() so a 32-bit collision can never return a wrong
+    * neighbor map — and the memo is size-bounded with eviction
+    * (continuous pipelines create a fresh meta plan per micro-batch). */
+  private case class KnnEntry(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      df: DataFrame)
+  private val memo = new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, Int, Int, Long), KnnEntry](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, Int, Int, Long), KnnEntry]): Boolean = {
+      val evict = size() > 8
+      if (evict) e.getValue.df.unpersist()
+      evict
+    }
+  }
 
   def knnDistBucketed(meta: DataFrame, k: Int = NeighborK, cellSize: Double = 3.0): DataFrame =
-    memo.getOrElseUpdate(
-      (meta.sparkSession, meta.queryExecution.analyzed.semanticHash(), k,
-        java.lang.Double.doubleToLongBits(cellSize)),
-      knnDistBucketedUncached(meta, k, cellSize).persist())
+    memo.synchronized {
+      val plan = meta.queryExecution.analyzed
+      val key = (meta.sparkSession, plan.semanticHash(), k,
+        java.lang.Double.doubleToLongBits(cellSize))
+      val hit = Option(memo.get(key)).filter(_.plan.sameResult(plan))
+      hit.map(_.df).getOrElse {
+        val (df0, scratch) = knnDistBucketedUncached(meta, k, cellSize)
+        val df = df0.persist()
+        df.count() // eager: the O(n·k) frame caches, the scratch frees
+        scratch.unpersist()
+        memo.put(key, KnnEntry(plan, df))
+        df
+      }
+    }
 
-  private def knnDistBucketedUncached(meta: DataFrame, k: Int, cellSize: Double): DataFrame = {
+  /** Returns (result, scratch): `scratch` is the internally persisted
+    * candidate ranking, released by the memoizing wrapper once the
+    * result is materialized. */
+  private def knnDistBucketedUncached(meta: DataFrame, k: Int, cellSize: Double): (DataFrame, DataFrame) = {
     val cells = meta.select(col("station_id"), col("x"), col("y"),
       floor(col("x") / cellSize).as("cx"), floor(col("y") / cellSize).as("cy"))
     // each station is replicated into its 9 surrounding cells on the
@@ -124,10 +150,11 @@ object Neighbors {
       bp.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
         .select(col("station_id"), col("rank"), col("rescue_nb_id").as("nb_id"), col("d2"))
     }
-    ranked.join(unsafeIds, Seq("station_id"), "left_anti")
+    val out = ranked.join(unsafeIds, Seq("station_id"), "left_anti")
       .unionByName(rescued)
       .select(col("station_id"), col("rank"), col("nb_id"),
         round(sqrt(col("d2")) + lit(1e-9), 6).as("dist"))
+    (out, ranked)
   }
 
   /** k nearest by LARSIM elevation-weighted distance
