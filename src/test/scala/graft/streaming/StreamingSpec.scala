@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSpec {
     assert(full.except(maintained).count() === 0)
   }
 
+  test("continuous qc cycle handles a backfill batch before existing history") {
+    implicit val sc = spark.sqlContext
+    def dts(d: Int, h: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    def mkBatch(days: Range): Seq[(Long, Timestamp, Long, String, Double)] =
+      for (d <- days; st <- 0L to 1L; h <- Seq(6, 12))
+        yield (d * 100L + st * 10 + h, dts(d, h), st,
+          if ((d + h) % 3 == 0) "view" else "click", ((st * 31 + d * 17 + h) % 97).toDouble + 1)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cq = new Streaming.ContinuousQc(spark)
+    val q = cq.attach(input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    input.addData(mkBatch(12 to 20): _*); q.processAllAvailable() // history first
+    input.addData(mkBatch(1 to 8): _*); q.processAllAvailable()   // backfill BEFORE it
+    q.stop()
+    val allEvents = (mkBatch(12 to 20) ++ mkBatch(1 to 8))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val full = graft.tsdb.QualityCheck.all(graft.tsdb.Series.dailyRaw(allEvents),
+      graft.tsdb.Series.dailyRef(allEvents), graft.tsdb.Series.stationMeta(allEvents))
+    val maintained = cq.qc.get
+    assert(maintained.count() === full.count())
+    assert(maintained.except(full).count() === 0, "backfill diverged from batch recompute")
+    assert(full.except(maintained).count() === 0)
+  }
+
   test("gap detector emits alerts across micro-batches via state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Streaming.StationEvent]
