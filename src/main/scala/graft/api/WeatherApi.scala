@@ -85,6 +85,22 @@ class Station(db: WeatherDb, val id: Long) {
     only(knn).orderBy(col("rank")).select(col("nb_id")).collect().map(_.getLong(0)).toSeq
   }
 
+  /** is_real / is_virtual (StationCanVirtualBase): whether the
+    * station's temperature companion has real observations. */
+  def isReal: Boolean =
+    getMeta.select(col("is_real")).head.getBoolean(0)
+  def isVirtual: Boolean = !isReal
+
+  /** get_dist (StationBases.py): distance to another station, from the
+    * neighbor ranking's metric. */
+  def getDist(otherId: Long): Double = {
+    val m = db.meta.filter(col("station_id").isin(id, otherId))
+      .select(col("station_id"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (a, b) = (m(id), m(otherId))
+    math.sqrt((a._1 - b._1) * (a._1 - b._1) + (a._2 - b._2) * (a._2 - b._2))
+  }
+
   /** get_coef (StationBases.py:2423): regionalization coefficient
     * against another station — ratio of MA means (P/ET semantics) or
     * difference (T semantics). */
@@ -134,6 +150,10 @@ class Stations(db: WeatherDb) {
       .filter(col("kind_num").isin(kindsNum: _*) && col("kind_denom").isin(kindsDenom: _*))
   /** count_holes for all stations (StationsBase.count_holes). */
   def countHoles: DataFrame = Aggregate.countHoles(db.qc)
+  /** get_valid_stids / get_stations (StationsBase). */
+  def getValidStids: Seq[Long] =
+    db.meta.select(col("station_id")).orderBy(col("station_id"))
+      .collect().map(_.getLong(0)).toSeq
 }
 
 /** The reference's Broker (broker.py): orchestrates the update cycle —

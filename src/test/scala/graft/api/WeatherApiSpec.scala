@@ -26,6 +26,9 @@ class WeatherApiSpec extends SparkSpec {
     val coef = s.getCoef(nbs.head)
     assert(coef.exists(c => c > 0))
     assert(s.getCorr().count() === 30)
+    assert(s.getDist(1L) === 1.0) // grid neighbors are unit-spaced
+    assert(s.isReal || s.isVirtual)
+    assert(db.stations.getValidStids.contains(0L))
   }
 
   test("free-form filter is pushed into the scan and agg_to aggregates") {
