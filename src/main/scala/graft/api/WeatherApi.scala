@@ -202,4 +202,17 @@ class GroupStation(db: WeatherDb, val id: Long) {
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").option("sep", "\t")
       .csv(outDir)
+
+  /** create_roger_ts (GroupStation.py:347): the RoGeR model-input
+    * wrapper around create_ts — fixed column set with an R/R0 ratio
+    * column on the ET series. */
+  def createRogerTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty,
+      rR0: Double = 1.0): Unit =
+    getDf(period)
+      .select(date_format(col("day"), "yyyyMMdd").as("date"),
+        col("p_raw").as("P"), col("t_raw").as("T"), col("et_raw").as("ET"),
+        lit(rR0).as("R_R0"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").option("sep", "\t")
+      .csv(outDir)
 }
