@@ -167,18 +167,39 @@ class Broker(db: WeatherDb) {
     * final corrected frame (each stage persists via the db fields). */
   def updateDb: DataFrame = db.corr
 
+  /** A last-imp merge is only valid when the previous frame already
+    * covers every current station: a first-time station import has no
+    * history rows in `prev`, so a window-scoped merge would silently
+    * leave its out-of-window history missing and its neighbors'
+    * knn-dependent stages stale. The reference likewise routes new
+    * stations through the full first-time import before last-imp runs
+    * (broker.py update_db vs last_imp_* cycle). */
+  private def coversAllStations(prev: DataFrame): Boolean =
+    db.meta.select(col("station_id"))
+      .join(prev.select(col("station_id")).distinct(), Seq("station_id"), "left_anti")
+      .isEmpty
+
   /** last_imp_quality_check: QC only for the last-import window,
-    * merged into the persisted qc frame. */
+    * merged into the persisted qc frame. Falls back to a full QC run
+    * when the import introduced stations absent from `prevQc`. */
   def lastImpQualityCheck(prevQc: DataFrame, lo: Date, hi: Date): DataFrame =
-    Incremental.updateQc(prevQc, db.raw, Series.dailyRef(db.events), db.meta, lo, hi)
+    if (coversAllStations(prevQc))
+      Incremental.updateQc(prevQc, db.raw, Series.dailyRef(db.events), db.meta, lo, hi)
+    else db.qc
 
-  /** last_imp_fillup: fill-up only for the last-import window. */
+  /** last_imp_fillup: fill-up only for the last-import window; full
+    * recompute when `prevFilled` misses a (new) station. */
   def lastImpFillup(prevFilled: DataFrame, qc: DataFrame, lo: Date, hi: Date): DataFrame =
-    Incremental.updateFilled(prevFilled, qc, db.meta, lo, hi)
+    if (coversAllStations(prevFilled))
+      Incremental.updateFilled(prevFilled, qc, db.meta, lo, hi)
+    else Fillup.fillNeighbor(qc, db.meta)
 
-  /** last_imp_corr: Richter correction only for the last-import window. */
+  /** last_imp_corr: Richter correction only for the last-import window;
+    * full recompute when `prevCorr` misses a (new) station. */
   def lastImpCorr(prevCorr: DataFrame, filled: DataFrame, lo: Date, hi: Date): DataFrame =
-    Incremental.updateCorr(prevCorr, filled, db.tempFilled, db.meta, lo, hi)
+    if (coversAllStations(prevCorr))
+      Incremental.updateCorr(prevCorr, filled, db.tempFilled, db.meta, lo, hi)
+    else Richter.correct(db.spark, filled, db.tempFilled, db.meta)
 }
 
 /** All parameters of one location — the reference's GroupStation

@@ -97,17 +97,27 @@ object Dedup {
     // candidate generation is the expensive stage; persist it so the
     // id-collection pass and the final verify join share one run
     val cands = prefixCandidates(hs, threshold).persist()
-    val candIds = cands.select(col("id_a").as("doc_id"))
-      .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
-    val hsC = hs.join(candIds, Seq("doc_id"), "left_semi").persist()
-    cands
-      .join(broadcast(hsC.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
-      .join(broadcast(hsC.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    try {
+      val candIds = cands.select(col("id_a").as("doc_id"))
+        .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
+      val hsC = hs.join(candIds, Seq("doc_id"), "left_semi").persist()
+      try {
+        // the result is O(actual near-dups) — tiny; materialize it
+        // eagerly so the three scratch frames above can be released
+        // instead of staying pinned for the session lifetime
+        val result = cands
+          .join(broadcast(hsC.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
+          .join(broadcast(hsC.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
+          .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
+          .withColumn("jaccard", round(col("inter") /
+            (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .persist()
+        result.count()
+        result
+      } finally hsC.unpersist()
+    } finally { cands.unpersist(); hs.unpersist() }
   }
 
   /** SimHash near-duplicates: 30-bit signatures, pairs within Hamming
@@ -169,7 +179,11 @@ object Dedup {
       expr("sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v))").as("nrm"))
       .as[(Long, Array[Double], Double)]
     val replicated = vecs.flatMap { case (id, emb, nrm) =>
-      val blk = (id % B).toInt
+      // floorMod: a negative id must land in [0, B) like everyone else —
+      // (id % B) would put it in a phantom negative block that only ever
+      // appears as the 'lo' side of non-diagonal groups, so two
+      // negative-block vectors would never be scored against each other
+      val blk = java.lang.Math.floorMod(id, B.toLong).toInt
       (0 until B).iterator.map { other =>
         val lo = math.min(blk, other); val hi = math.max(blk, other)
         (lo * B + hi, blk == lo, id, emb, nrm)

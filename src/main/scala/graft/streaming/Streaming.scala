@@ -59,11 +59,20 @@ object Streaming {
         }
         .start()
 
-    /** One import: append the batch, recompute only its day window. */
+    /** One import: append the batch, recompute only its day window.
+      *
+      * Both maintained frames are localCheckpoint(eager)ed, not merely
+      * persisted: each batch builds the new store/qc as a plan over the
+      * previous one (union / merge), so with plain persist the logical
+      * plan deepens linearly and an evicted block would recompute
+      * through every prior micro-batch — whose source frames are long
+      * unpersisted. The checkpoint truncates lineage each batch (the
+      * frames are fully materialized per batch anyway, so this adds no
+      * extra pass); production replaces it with a backing table write. */
     def update(batch: DataFrame): Unit = synchronized {
       val b = batch.persist()
       if (b.isEmpty) { b.unpersist(); return }
-      val evts = store.map(_.unionByName(b)).getOrElse(b).persist()
+      val evts = store.map(_.unionByName(b)).getOrElse(b.toDF()).localCheckpoint(true)
       val bounds = b.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
       // widen the recompute window to any dense-grid expansion: days
       // between the old period end and the batch (a gap after silence)
@@ -88,8 +97,7 @@ object Streaming {
         case Some(prev) if sameStations(prev, meta) =>
           Incremental.updateQc(prev, raw, ref, meta, loW, hiW)
         case _ => QualityCheck.all(raw, ref, meta) // first import / new station init
-      }).persist()
-      next.count() // materialize before replacing the previous frame
+      }).localCheckpoint(true) // eager: materialized before replacing prev
       // release superseded caches — a long-running stream must not
       // accumulate one pinned frame per micro-batch
       val (oldStore, oldQc) = (store, qcFrame)
@@ -97,7 +105,7 @@ object Streaming {
       qcFrame = Some(next)
       oldStore.foreach(_.unpersist())
       oldQc.foreach(_.unpersist())
-      if (oldStore.isDefined) b.unpersist() // on the first batch evts IS b
+      b.unpersist() // evts is checkpointed — independent of b's blocks
     }
 
     private def sameStations(prev: DataFrame, meta: DataFrame): Boolean =

@@ -92,6 +92,10 @@ object Neighbors {
         val df = df0.persist()
         df.count() // eager: the O(n·k) frame caches, the scratch frees
         scratch.unpersist()
+        // a semanticHash collision (key present, sameResult false) would
+        // otherwise overwrite the displaced entry without releasing its
+        // pinned O(n·k) cache — unpersist it before replacing
+        Option(memo.get(key)).foreach(_.df.unpersist())
         memo.put(key, KnnEntry(plan, df))
         df
       }
