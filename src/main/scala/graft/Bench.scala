@@ -22,6 +22,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Session tuning for BENCH scale: with ≤ sf0.1 inputs and a fixed
+      // 32-partition layout, AQE's per-stage re-optimization is pure
+      // scheduling overhead (~20% of total here) and its benefits —
+      // partition coalescing, skew-join splitting — only materialize on
+      // large shuffles. A cluster deployment at real scale runs with
+      // AQE on (the library itself sets no session config).
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup: JIT + codegen + FS init, not attributed to queries

@@ -105,9 +105,109 @@ object MinHashSig {
   }
 }
 
+/** Distinct word-3-shingle hashes of a text, in one generated-code
+  * loop: lowercase → split(' ') → 3-gram shingle strings →
+  * first-occurrence-distinct → polyhash each. Bit-identical to the
+  * composed form `transform(array_distinct(shingles), polyhash)`
+  * (TextFns.shingleHashes mirror in the DuckDB oracle), but without
+  * the interpreted higher-order lambdas — one call per ROW instead of
+  * one interpreted expression tree walk per shingle. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"shingle_hashes needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleHashes.hashes(input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.ShingleHashes.hashes($c));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Referenced from generated code. Uses UTF8String.toLowerCase (the
+    * implementation behind SQL `lower`) so the result matches the
+    * composed expression byte-for-byte; split(' ', -1) keeps empty
+    * tokens exactly like SQL `split`. */
+  def hashes(text: UTF8String): Array[java.lang.Long] = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    if (toks.length < 3) return new Array[java.lang.Long](0)
+    // distinct on the shingle STRING (not its hash), first occurrence
+    // first — mirrors array_distinct over the shingle array
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[java.lang.Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = PolyHash.hash(it.next()); j += 1 }
+    out
+  }
+}
+
+/** Count of common elements between two SORTED long arrays (merge
+  * intersection, distinct semantics like array_intersect: each common
+  * value counted once). The verify stage of the set-similarity joins
+  * scores hundreds of thousands of candidate pairs; array_intersect
+  * builds a hash set per row, this runs an allocation-free merge loop
+  * in generated code. */
+case class SortedOverlap(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"sorted_overlap needs two array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedOverlap.count(a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedOverlap.count($a.toLongArray(), $b.toLongArray());")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlap =
+    copy(left = l, right = r)
+}
+
+object SortedOverlap {
+  /** Referenced from generated code. Inputs must be ascending-sorted;
+    * duplicates within one input are counted once (set semantics). */
+  def count(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) {
+        c += 1
+        // skip duplicate runs so each common VALUE counts once
+        while (i < a.length && a(i) == x) i += 1
+        while (j < b.length && b(j) == y) j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 object GraftFunctions {
   /** Register the graft SQL functions on a session (idempotent), so
-    * expression strings can call graft_polyhash / graft_minhash_sig. */
+    * expression strings can call graft_polyhash / graft_minhash_sig /
+    * graft_shingle_hashes. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_polyhash",
@@ -115,5 +215,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       (args: Seq[Expression]) => MinHashSig(args.head,
         args(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      (args: Seq[Expression]) => ShingleHashes(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_overlap",
+      (args: Seq[Expression]) => SortedOverlap(args.head, args(1)), "built-in")
   }
 }

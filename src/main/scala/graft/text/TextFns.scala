@@ -36,11 +36,12 @@ object TextFns {
       "ELSE array() END"
   }
 
-  /** Hashes of the distinct shingles. */
-  def shingleHashes(s: String): String = {
-    val sh = shingles(s)
-    s"transform($sh, sh_w -> ${polyHash("sh_w")})"
-  }
+  /** Hashes of the distinct shingles. Backed by the native codegen'd
+    * graft.functions.ShingleHashes expression (bit-identical to
+    * `transform(${shingles(s)}, sh_w -> polyhash(sh_w))`, which is what
+    * the DuckDB oracle mirrors — but one generated-code loop per row
+    * instead of interpreted higher-order lambdas per shingle). */
+  def shingleHashes(s: String): String = s"graft_shingle_hashes($s)"
 
   /** MinHash signature (array of NumHashes minima) over a column named
     * `hashes` (array<long> of shingle hashes). Backed by the native
