@@ -69,8 +69,8 @@ object Dedup {
     // any total order shared by all docs, but only the rare-first order
     // keeps corpus-common shingles ("of the and"-style trigrams) out of
     // every prefix — with a value-ordered prefix each common shingle
-    // forms a near-quadratic candidate clique (measured: 430k candidate
-    // pairs from 5k docs at sf0.1 vs ~400 with frequency ordering).
+    // forms a near-quadratic candidate clique; at corpus scale a single
+    // boilerplate trigram in prefixes is an O(df²) join group.
     // The df map is computed from the same frame (one agg + one keyed
     // join — no broadcast: at corpus scale it is O(vocabulary)).
     //
@@ -197,10 +197,10 @@ object Dedup {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val B = nBlocks
-    val vecs = embeddings.select(
+    val vecs = reg(embeddings).select(
       col("vec_id").cast("long").as("id"),
       expr("transform(embedding, x -> cast(x AS double))").as("emb"),
-      expr("sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v))").as("nrm"))
+      expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
       .as[(Long, Array[Double], Double)]
     val replicated = vecs.flatMap { case (id, emb, nrm) =>
       // floorMod: a negative id must land in [0, B) like everyone else —
@@ -265,22 +265,18 @@ object Dedup {
   def embeddingPairsLsh(embeddings: DataFrame, threshold: Double = 0.4,
       bands: Int = 8, rowsPerBand: Int = 6): DataFrame = {
     // same arithmetic hyperplane family as graft.similarity.Ann:
-    // component(pj, i) deterministic in plane index pj and dimension i
-    val plane = "(((pj * 64 + i) * 2654435761L) % 1000003) / 1000003.0D - 0.5D"
-    val proj = s"aggregate(sequence(0, size(embedding) - 1), 0D, " +
-      s"(s, i) -> s + cast(element_at(embedding, i + 1) AS double) * ($plane))"
-    val bandSig = s"transform(sequence(0, ${bands - 1}), bd -> " +
-      s"aggregate(sequence(bd * $rowsPerBand, bd * $rowsPerBand + ${rowsPerBand - 1}), 0L, " +
-      s"(acc, pj) -> acc * 2 + (CASE WHEN $proj > 0D THEN 1L ELSE 0L END)))"
-    val sigs = embeddings.select(col("vec_id"), col("embedding"),
-        expr("sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v))").as("nrm"),
-        posexplode(expr(bandSig)))
+    // component(pj, i) deterministic in plane index pj and dimension i —
+    // native single-loop signatures (graft.functions.HyperplaneBands),
+    // bit-identical to the composed aggregate-over-sequence SQL form
+    val sigs = reg(embeddings).select(col("vec_id"), col("embedding"),
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"),
+        posexplode(expr(s"graft_hyperplane_bands(embedding, $bands, $rowsPerBand)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
     val a = sigs.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("nrm").as("na"), col("band"), col("sig"))
     val b = sigs.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
       col("nrm").as("nb"), col("band"), col("sig"))
-    val dot = "aggregate(zip_with(va, vb, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"
+    val dot = "graft_dot(va, vb)"
     a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
       .dropDuplicates("id_a", "id_b")

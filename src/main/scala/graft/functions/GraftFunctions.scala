@@ -204,6 +204,129 @@ object SortedOverlap {
   }
 }
 
+/** Left-fold dot product of two numeric arrays (float or double
+  * elements), accumulating in double in index order — bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, +)`
+  * and to the DuckDB list_reduce mirror, but one generated-code loop
+  * instead of interpreted lambdas per element. Null elements are not
+  * supported (embedding vectors are dense). */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def ok(t: DataType) = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes() =
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"dot needs array<float|double>, got ${left.dataType}, ${right.dataType}")
+
+  private def toD(t: DataType, a: ArrayData): Array[Double] = t match {
+    case ArrayType(FloatType, _) =>
+      val f = a.toFloatArray(); val d = new Array[Double](f.length)
+      var i = 0; while (i < f.length) { d(i) = f(i).toDouble; i += 1 }; d
+    case _ => a.toDoubleArray()
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(toD(left.dataType, a.asInstanceOf[ArrayData]),
+      toD(right.dataType, b.asInstanceOf[ArrayData]))
+
+  private def cvt(t: DataType, v: String): String = t match {
+    case ArrayType(FloatType, _) =>
+      s"graft.functions.DotProduct.widen($v.toFloatArray())"
+    case _ => s"$v.toDoubleArray()"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProduct.dot(${cvt(left.dataType, a)}, ${cvt(right.dataType, b)});")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+object DotProduct {
+  def widen(f: Array[Float]): Array[Double] = {
+    val d = new Array[Double](f.length)
+    var i = 0; while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+    d
+  }
+  /** Index-order left fold — the cross-engine determinism contract. */
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+}
+
+/** Banded random-hyperplane signatures: `nBands` longs, band `bd` =
+  * fold acc*2 + signBit(projection on plane bd*rowsPerBand + j) over
+  * its `rowsPerBand` planes. The deterministic plane family is
+  * component(pj, i) = ((pj*64 + i) * 2654435761 mod 1000003) / 1000003
+  * − 0.5 — the same arithmetic family as the composed SQL form in
+  * graft.similarity.Ann, evaluated in one generated-code loop. */
+case class HyperplaneBands(child: Expression, nBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"hyperplane_bands needs array<float|double>, got $t")
+  }
+
+  private def toD(a: ArrayData): Array[Double] = child.dataType match {
+    case ArrayType(FloatType, _) => DotProduct.widen(a.toFloatArray())
+    case _ => a.toDoubleArray()
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HyperplaneBands.sig(toD(input.asInstanceOf[ArrayData]),
+      nBands, rowsPerBand).asInstanceOf[Array[Any]])
+
+  private def cvt(v: String): String = child.dataType match {
+    case ArrayType(FloatType, _) => s"graft.functions.DotProduct.widen($v.toFloatArray())"
+    case _ => s"$v.toDoubleArray()"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.HyperplaneBands.sig(${cvt(c)}, $nBands, $rowsPerBand));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
+object HyperplaneBands {
+  def sig(emb: Array[Double], nBands: Int, rowsPerBand: Int): Array[java.lang.Long] = {
+    val out = new Array[java.lang.Long](nBands)
+    var bd = 0
+    while (bd < nBands) {
+      var acc = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val pj = bd * rowsPerBand + j
+        var s = 0.0
+        var i = 0
+        while (i < emb.length) {
+          s += emb(i) * ((((pj * 64L + i) * 2654435761L) % 1000003L) / 1000003.0 - 0.5)
+          i += 1
+        }
+        acc = acc * 2 + (if (s > 0.0) 1L else 0L)
+        j += 1
+      }
+      out(bd) = acc
+      bd += 1
+    }
+    out
+  }
+}
+
 object GraftFunctions {
   /** Register the graft SQL functions on a session (idempotent), so
     * expression strings can call graft_polyhash / graft_minhash_sig /
@@ -219,5 +342,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => ShingleHashes(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_overlap",
       (args: Seq[Expression]) => SortedOverlap(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      (args: Seq[Expression]) => DotProduct(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_bands",
+      (args: Seq[Expression]) => HyperplaneBands(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

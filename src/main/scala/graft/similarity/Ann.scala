@@ -15,12 +15,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  private val dot =
-    "aggregate(zip_with(va, vb, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"
+  /** Native left-fold dot (graft.functions.DotProduct): bit-identical
+    * to the composed `aggregate(zip_with(...))` form the DuckDB oracle
+    * mirrors, minus the interpreted per-element lambdas. */
+  private val dot = "graft_dot(va, vb)"
 
-  private def withNorm(embeddings: DataFrame): DataFrame =
+  private def withNorm(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), col("embedding"),
-      expr("sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v))").as("nrm"))
+      expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+  }
 
   /** Exact top-k cosine neighbors for each query vector (default: the
     * vectors with vec_id < nQueries), ties broken by neighbor id. */
@@ -36,18 +40,13 @@ object Ann {
       .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane j,
-    * dimension i: arithmetic-only so the signature is reproducible
-    * anywhere (value in [-0.5, 0.5)). */
-  private def planeComponent: String =
-    "(((pj * 64 + i) * 2654435761L) % 1000003) / 1000003.0D - 0.5D"
-
-  /** Signature: nPlanes sign bits of hyperplane projections. */
+  /** Signature: nPlanes sign bits of deterministic hyperplane
+    * projections, packed into one long (native single-loop expression,
+    * graft.functions.HyperplaneBands with one band; any injective
+    * packing of the same sign bits yields the identical bucket
+    * partition, so results match the composed-SQL form). */
   private def signature(nPlanes: Int): String =
-    s"aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, pj) -> acc + " +
-      s"(CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D, " +
-      s"(s, i) -> s + cast(element_at(embedding, i + 1) AS double) * ($planeComponent)) > 0D " +
-      s"THEN shiftleft(1L, pj) ELSE 0L END))"
+    s"element_at(graft_hyperplane_bands(embedding, 1, $nPlanes), 1)"
 
   /** IVF (inverted-file) ANN — the classic coarse-quantizer route:
     * vectors are assigned to their nearest of `nCells` centroid cells
