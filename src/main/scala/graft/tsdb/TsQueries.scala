@@ -10,40 +10,40 @@ object TsQueries {
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
   def qMetaDerive(s: SparkSession, d: String): DataFrame =
-    Series.stationMeta(ev(s, d)).orderBy(col("station_id"))
+    meta(s, d).orderBy(col("station_id"))
 
   def qExpandGrid(s: SparkSession, d: String): DataFrame =
     rawDaily(s, d).orderBy(col("station_id"), col("day"))
 
   def qKnnDist(s: SparkSession, d: String): DataFrame =
-    Neighbors.knnDist(Series.stationMeta(ev(s, d))).orderBy(col("station_id"), col("rank"))
+    Neighbors.knnDist(meta(s, d)).orderBy(col("station_id"), col("rank"))
 
   def qKnnBucketed(s: SparkSession, d: String): DataFrame =
-    Neighbors.knnDistBucketed(Series.stationMeta(ev(s, d)))
+    Neighbors.knnDistBucketed(meta(s, d))
       .orderBy(col("station_id"), col("rank"))
 
   def qKnnElev(s: SparkSession, d: String): DataFrame =
-    Neighbors.knnElev(Series.stationMeta(ev(s, d))).orderBy(col("station_id"), col("rank"))
+    Neighbors.knnElev(meta(s, d)).orderBy(col("station_id"), col("rank"))
 
   def qQcRange(s: SparkSession, d: String): DataFrame =
-    QualityCheck.range(Series.dailyRaw(ev(s, d)))
+    QualityCheck.range(rawDaily(s, d))
       .select("station_id", "day", "raw", "qc").orderBy(col("station_id"), col("day"))
 
   def qQcRepeats(s: SparkSession, d: String): DataFrame =
-    QualityCheck.repeats(Series.dailyRaw(ev(s, d)))
+    QualityCheck.repeats(rawDaily(s, d))
       .select("station_id", "day", "raw", "qc").orderBy(col("station_id"), col("day"))
 
   def qQcSpike(s: SparkSession, d: String): DataFrame =
-    QualityCheck.spike(Series.dailyRaw(ev(s, d)))
+    QualityCheck.spike(rawDaily(s, d))
       .select("station_id", "day", "raw", "qc").orderBy(col("station_id"), col("day"))
 
   def qQcDailyCompare(s: SparkSession, d: String): DataFrame =
-    QualityCheck.dailyCompare(Series.dailyRaw(ev(s, d)), Series.dailyRef(ev(s, d)))
+    QualityCheck.dailyCompare(rawDaily(s, d), ref(s, d))
       .select("station_id", "day", "raw", "ref", "day_failed", "qc")
       .orderBy(col("station_id"), col("day"))
 
   def qQcNeighborMedian(s: SparkSession, d: String): DataFrame =
-    QualityCheck.neighborMedian(Series.dailyRaw(ev(s, d)), Series.stationMeta(ev(s, d)))
+    QualityCheck.neighborMedian(rawDaily(s, d), meta(s, d))
       .select("station_id", "day", "raw", "nbs_median", "qc")
       .orderBy(col("station_id"), col("day"))
 
@@ -62,12 +62,25 @@ object TsQueries {
   def rawDaily(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "raw"), Series.dailyRaw(ev(s, d)).persist())
 
+  /** Memoized station registry — one events scan + agg consumed by
+    * nearly every timeseries query (knn, QC, every fill variant,
+    * Richter); the O(#stations) frame mirrors the reference's persisted
+    * meta_{para} table. */
+  def meta(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "meta"), Series.stationMeta(ev(s, d)).persist())
+
+  /** Memoized independent daily reference series (daily-compare QC). */
+  def ref(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "ref"), Series.dailyRef(ev(s, d)).persist())
+
+  /** Memoized dense hourly series (agg_to ladder base + sub-daily
+    * Richter). */
+  def hourly(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "hourly"), Series.hourlyRaw(ev(s, d)).persist())
+
   def qcAll(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d, "qc"), {
-      val events = ev(s, d)
-      QualityCheck.all(rawDaily(s, d), Series.dailyRef(events),
-        Series.stationMeta(events)).persist()
-    })
+    memo.getOrElseUpdate((s, d, "qc"),
+      QualityCheck.all(rawDaily(s, d), ref(s, d), meta(s, d)).persist())
 
   def qQcAll(s: SparkSession, d: String): DataFrame =
     qcAll(s, d).select("station_id", "day", "raw", "n_obs", "qc", "qn")
@@ -79,7 +92,7 @@ object TsQueries {
   /** Standard filled series: combined QC + multiplicative neighbor fill. */
   def filledSeries(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "filled"),
-      Fillup.fillNeighbor(qcAll(s, d), Series.stationMeta(ev(s, d))).persist())
+      Fillup.fillNeighbor(qcAll(s, d), meta(s, d)).persist())
 
   def qFillNeighbor(s: SparkSession, d: String): DataFrame =
     filledSeries(s, d)
@@ -87,17 +100,17 @@ object TsQueries {
       .orderBy(col("station_id"), col("day"))
 
   def qFillSeasonal(s: SparkSession, d: String): DataFrame =
-    Fillup.fillSeasonal(qcAll(s, d), Series.stationMeta(ev(s, d)))
+    Fillup.fillSeasonal(qcAll(s, d), meta(s, d))
       .select("station_id", "day", "is_winter", "qc", "filled", "filled_by")
       .orderBy(col("station_id"), col("day"))
 
   def qFillMedian5(s: SparkSession, d: String): DataFrame =
-    Fillup.fillMedian(qcAll(s, d), Series.stationMeta(ev(s, d)))
+    Fillup.fillMedian(qcAll(s, d), meta(s, d))
       .select("station_id", "day", "qc", "filled", "filled_by")
       .orderBy(col("station_id"), col("day"))
 
   def qFillAdditive(s: SparkSession, d: String): DataFrame =
-    Fillup.fillAdditive(qcAll(s, d), Series.stationMeta(ev(s, d)), Series.dailyMinMax(ev(s, d)))
+    Fillup.fillAdditive(qcAll(s, d), meta(s, d), Series.dailyMinMax(ev(s, d)))
       .select("station_id", "day", "qc", "filled", "filled_min", "filled_max", "filled_by")
       .orderBy(col("station_id"), col("day"))
 
@@ -133,7 +146,7 @@ object TsQueries {
       .orderBy(col("station_id"), col("day"))
 
   def qAggDay(s: SparkSession, d: String): DataFrame =
-    Aggregate.aggDayFromHourly(Series.hourlyRaw(ev(s, d)))
+    Aggregate.aggDayFromHourly(hourly(s, d))
       .orderBy(col("station_id"), col("day"))
 
   def qAggMonth(s: SparkSession, d: String): DataFrame =
@@ -155,7 +168,7 @@ object TsQueries {
     Aggregate.countHoles(qcAll(s, d)).orderBy(col("station_id"))
 
   def qRichterClass(s: SparkSession, d: String): DataFrame =
-    Richter.richterClass(Series.stationMeta(ev(s, d))).orderBy(col("station_id"))
+    Richter.richterClass(meta(s, d)).orderBy(col("station_id"))
 
   /** Filled temperature companion (virtual-station cycle): the Richter
     * typing joins the T station's FILLED series, as the reference does
@@ -163,19 +176,19 @@ object TsQueries {
   private def tempFilled(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "tfill"), {
       val events = ev(s, d)
-      Fillup.fillTemp(Series.dailyTemp(events), Series.stationMeta(events),
+      Fillup.fillTemp(Series.dailyTemp(events), meta(s, d),
           Series.raster(events))
         .select(col("station_id"), col("day"), col("t_filled").as("t"))
         .persist()
     })
 
   def qRichterCorrect(s: SparkSession, d: String): DataFrame =
-    Richter.correct(s, filledSeries(s, d), tempFilled(s, d), Series.stationMeta(ev(s, d)))
+    Richter.correct(s, filledSeries(s, d), tempFilled(s, d), meta(s, d))
       .orderBy(col("station_id"), col("day"))
 
   def qRichterCorrectHourly(s: SparkSession, d: String): DataFrame =
-    Richter.correctHourly(s, Series.hourlyRaw(ev(s, d)), tempFilled(s, d),
-      Series.stationMeta(ev(s, d)))
+    Richter.correctHourly(s, hourly(s, d), tempFilled(s, d),
+      meta(s, d))
       .orderBy(col("station_id"), col("hour"))
 
   def qSessionize(s: SparkSession, d: String): DataFrame =
