@@ -32,6 +32,7 @@ class WeatherDb(val spark: SparkSession, val dir: String) {
   def station(id: Long): Station = new Station(this, id)
   def stations: Stations = new Stations(this)
   def groupStation(id: Long): GroupStation = new GroupStation(this, id)
+  def groupStations: GroupStations = new GroupStations(this)
   def broker: Broker = new Broker(this)
 
   private[api] def inPeriod(df: DataFrame, period: TimestampPeriod): DataFrame = {
@@ -78,11 +79,27 @@ class Station(db: WeatherDb, val id: Long) {
 
   def getMeta: DataFrame = only(db.meta)
 
-  /** get_neighboor_stids (StationBases.py:2211). */
-  def getNeighbors(n: Int = Constants.NeighborK, elevationWeighted: Boolean = false): Seq[Long] = {
-    val knn = if (elevationWeighted) Neighbors.knnElev(db.meta, n)
-      else Neighbors.knnDist(db.meta, n)
+  /** get_neighboor_stids (StationBases.py:2211): `onlyReal` mirrors
+    * the reference's only_real=True default (virtual stations are
+    * never donors); `pElev` is the optional LARSIM (P1, P2) elevation
+    * weighting — None means plain distance, like the reference's
+    * p_elev=None (T/ET pass their (250, 1.5) default). */
+  def getNeighbors(n: Int = Constants.NeighborK, onlyReal: Boolean = true,
+      pElev: Option[(Double, Double)] = None): Seq[Long] = {
+    val knn = pElev match {
+      case Some((p1, p2)) => Neighbors.knnElev(db.meta, n, p1, p2, onlyReal)
+      case None => Neighbors.knnDist(db.meta, n, onlyReal)
+    }
     only(knn).orderBy(col("rank")).select(col("nb_id")).collect().map(_.getLong(0)).toSeq
+  }
+
+  /** get_max_period (StationBases.py:2133): NAs allowed → the full
+    * grid extent; else the inner union of the kinds' filled periods. */
+  def getMaxPeriod(kinds: Seq[String] = Seq("raw", "qc", "filled"),
+      nasAllowed: Boolean = false): TimestampPeriod = {
+    val r = only(Aggregate.maxPeriod(db.filled, kinds)).collect().head
+    val (f, u) = if (nasAllowed) (r.getDate(1), r.getDate(2)) else (r.getDate(3), r.getDate(4))
+    TimestampPeriod(Option(f).map(_.toLocalDate), Option(u).map(_.toLocalDate))
   }
 
   /** is_real / is_virtual (StationCanVirtualBase): whether the
@@ -226,7 +243,9 @@ class GroupStation(db: WeatherDb, val id: Long) {
 
   /** create_roger_ts (GroupStation.py:347): the RoGeR model-input
     * wrapper around create_ts — fixed column set with an R/R0 ratio
-    * column on the ET series. */
+    * column on the ET series (single-location form; see
+    * [[GroupStations.createTs]] for the partitioned all-locations
+    * export). */
   def createRogerTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty,
       rR0: Double = 1.0): Unit =
     getDf(period)
@@ -235,5 +254,29 @@ class GroupStation(db: WeatherDb, val id: Long) {
         lit(rR0).as("R_R0"))
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").option("sep", "\t")
+      .csv(outDir)
+}
+
+/** All group stations — the reference's GroupStations
+  * (GroupStations.py: create_ts over every location). */
+class GroupStations(db: WeatherDb) {
+  /** get_valid_stids (GroupStations.py:37). */
+  def getValidStids: Seq[Long] = new Stations(db).getValidStids
+
+  /** create_ts for ALL locations in one distributed write: the
+    * reference loops stations and writes one text file each
+    * (GroupStations.py:296); here the wide frame is written ONCE,
+    * partitioned by station — `partitionBy` gives the same
+    * one-directory-per-location layout while each executor writes its
+    * own stations, so the export scales with the cluster instead of a
+    * driver loop. */
+  def createTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty): Unit =
+    db.inPeriod(Aggregate.groupWide(db.events), period)
+      .select(col("station_id"), date_format(col("day"), "yyyyMMdd").as("date"),
+        col("p_raw"), col("t_raw"), col("et_raw"))
+      .repartition(col("station_id"))
+      .sortWithinPartitions(col("station_id"), col("date"))
+      .write.mode("overwrite").partitionBy("station_id")
+      .option("header", "true").option("sep", "\t")
       .csv(outDir)
 }

@@ -107,6 +107,32 @@ object Aggregate {
          'filled', filled_from, filled_until) AS (kind, date_from, date_until)"""))
   }
 
+  /** Maximum available period per station (get_max_period,
+    * StationBases.py:2133-2177): `grid_from/until` is the NAs-allowed
+    * variant (the full grid extent); `max_from/until` is the inner
+    * union of the per-kind filled periods — the latest start and
+    * earliest end across the kinds, NULL when the kinds never
+    * overlap. */
+  def maxPeriod(filledSeries: DataFrame,
+      kinds: Seq[String] = Seq("raw", "qc", "filled")): DataFrame = {
+    val aggs = kinds.flatMap(k => Seq(
+      min(when(col(k).isNotNull, col("day"))).as(s"${k}_from"),
+      max(when(col(k).isNotNull, col("day"))).as(s"${k}_until")))
+    // a kind with NO data, or kinds that never overlap, yield an empty
+    // (NULL) inner period — greatest/least skip NULLs, so the per-kind
+    // NULLs and start <= end are checked explicitly
+    val anyKindEmpty = kinds.map(k => col(s"${k}_from").isNull).reduce(_ || _)
+    val mf = greatest(kinds.map(k => col(s"${k}_from")): _*)
+    val mu = least(kinds.map(k => col(s"${k}_until")): _*)
+    val nonEmpty = !anyKindEmpty && mf <= mu
+    filledSeries.groupBy(col("station_id"))
+      .agg(min(col("day")).as("grid_from"),
+        (max(col("day")).as("grid_until") +: aggs): _*)
+      .select(col("station_id"), col("grid_from"), col("grid_until"),
+        when(nonEmpty, mf).as("max_from"),
+        when(nonEmpty, mu).as("max_until"))
+  }
+
   /** Gap census: per station, number of gaps between successive
     * observations (period bounds included as virtual observations)
     * of at least k days, k ∈ {3,5,7,10} (count_holes,

@@ -21,12 +21,20 @@ import Constants._
   */
 object Neighbors {
 
+  /** The neighbor (donor) side of the ranking: with `onlyReal` set,
+    * virtual stations (is_real = false — no measured companion data,
+    * StationCanVirtualBase) are excluded as DONORS while every station
+    * still appears as a probe — the reference's `only_real=True`
+    * default on get_neighboor_stids (StationBases.py:2211, 2251). */
+  private def donors(meta: DataFrame, onlyReal: Boolean): DataFrame =
+    if (onlyReal) meta.filter(col("is_real")) else meta
+
   /** All station pairs with squared grid distance (exact integers) and
     * elevation difference. */
-  private def pairs(meta: DataFrame): DataFrame = {
+  private def pairs(meta: DataFrame, onlyReal: Boolean = false): DataFrame = {
     val a = meta.select(col("station_id"), col("x"), col("y"), col("elev"))
-    val b = a.select(col("station_id").as("nb_id"), col("x").as("nb_x"),
-      col("y").as("nb_y"), col("elev").as("nb_elev"))
+    val b = donors(meta, onlyReal).select(col("station_id").as("nb_id"),
+      col("x").as("nb_x"), col("y").as("nb_y"), col("elev").as("nb_elev"))
     a.crossJoin(broadcast(b)).filter(col("station_id") =!= col("nb_id"))
       .withColumn("d2", (col("x") - col("nb_x")) * (col("x") - col("nb_x"))
         + (col("y") - col("nb_y")) * (col("y") - col("nb_y")))
@@ -34,9 +42,9 @@ object Neighbors {
 
   /** k nearest stations by plain distance. Output:
     * station_id, rank, nb_id, dist (rounded 6). */
-  def knnDist(meta: DataFrame, k: Int = NeighborK): DataFrame = {
+  def knnDist(meta: DataFrame, k: Int = NeighborK, onlyReal: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("station_id")).orderBy(col("d2"), col("nb_id"))
-    pairs(meta)
+    pairs(meta, onlyReal)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("station_id"), col("rank"), col("nb_id"),
@@ -71,24 +79,25 @@ object Neighbors {
     * (continuous pipelines create a fresh meta plan per micro-batch). */
   private case class KnnEntry(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       df: DataFrame)
-  private val memo = new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, Int, Int, Long), KnnEntry](
+  private val memo = new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, Int, Int, Long, Boolean), KnnEntry](
       16, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, Int, Int, Long), KnnEntry]): Boolean = {
+        e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, Int, Int, Long, Boolean), KnnEntry]): Boolean = {
       val evict = size() > 8
       if (evict) e.getValue.df.unpersist()
       evict
     }
   }
 
-  def knnDistBucketed(meta: DataFrame, k: Int = NeighborK, cellSize: Double = 3.0): DataFrame =
+  def knnDistBucketed(meta: DataFrame, k: Int = NeighborK, cellSize: Double = 3.0,
+      onlyReal: Boolean = false): DataFrame =
     memo.synchronized {
       val plan = meta.queryExecution.analyzed
       val key = (meta.sparkSession, plan.semanticHash(), k,
-        java.lang.Double.doubleToLongBits(cellSize))
+        java.lang.Double.doubleToLongBits(cellSize), onlyReal)
       val hit = Option(memo.get(key)).filter(_.plan.sameResult(plan))
       hit.map(_.df).getOrElse {
-        val (df0, scratch) = knnDistBucketedUncached(meta, k, cellSize)
+        val (df0, scratch) = knnDistBucketedUncached(meta, k, cellSize, onlyReal)
         val df = df0.persist()
         df.count() // eager: the O(n·k) frame caches, the scratch frees
         scratch.unpersist()
@@ -104,13 +113,16 @@ object Neighbors {
   /** Returns (result, scratch): `scratch` is the internally persisted
     * candidate ranking, released by the memoizing wrapper once the
     * result is materialized. */
-  private def knnDistBucketedUncached(meta: DataFrame, k: Int, cellSize: Double): (DataFrame, DataFrame) = {
+  private def knnDistBucketedUncached(meta: DataFrame, k: Int, cellSize: Double,
+      onlyReal: Boolean = false): (DataFrame, DataFrame) = {
     val cells = meta.select(col("station_id"), col("x"), col("y"),
+      floor(col("x") / cellSize).as("cx"), floor(col("y") / cellSize).as("cy"))
+    val donorCells = donors(meta, onlyReal).select(col("station_id"), col("x"), col("y"),
       floor(col("x") / cellSize).as("cx"), floor(col("y") / cellSize).as("cy"))
     // each station is replicated into its 9 surrounding cells on the
     // build side; probe side stays in its own cell
     val offsets = Seq(-1, 0, 1)
-    val build = cells.select(col("station_id").as("nb_id"), col("x").as("nb_x"),
+    val build = donorCells.select(col("station_id").as("nb_id"), col("x").as("nb_x"),
         col("y").as("nb_y"), col("cx"), col("cy"))
       .withColumn("off", explode(array(offsets.flatMap(dx =>
         offsets.map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)))
@@ -145,7 +157,7 @@ object Neighbors {
       // lets PlanGuardSpec distinguish this reviewed pattern from an
       // accidental cross join.
       val a = unsafeMeta.select(col("station_id"), col("x"), col("y"))
-      val b = meta.select(col("station_id").as("rescue_nb_id"),
+      val b = donors(meta, onlyReal).select(col("station_id").as("rescue_nb_id"),
         col("x").as("rescue_nb_x"), col("y").as("rescue_nb_y"))
       val bp = a.crossJoin(broadcast(b)).filter(col("station_id") =!= col("rescue_nb_id"))
         .withColumn("d2", (col("x") - col("rescue_nb_x")) * (col("x") - col("rescue_nb_x"))
@@ -162,11 +174,13 @@ object Neighbors {
   }
 
   /** k nearest by LARSIM elevation-weighted distance
-    * `d * (1 + (|Δelev|/P1)^P2)` with P1=250, P2=1.5. */
-  def knnElev(meta: DataFrame, k: Int = NeighborK): DataFrame = {
-    val wd = sqrt(col("d2")) * (lit(1.0) + pow(abs(col("elev") - col("nb_elev")) / lit(PElev1), lit(PElev2)))
+    * `d * (1 + (|Δelev|/P1)^P2)`, default P1=250, P2=1.5 — the
+    * reference's `p_elev` override (StationBases.py:2196, 2919). */
+  def knnElev(meta: DataFrame, k: Int = NeighborK, p1: Double = PElev1,
+      p2: Double = PElev2, onlyReal: Boolean = false): DataFrame = {
+    val wd = sqrt(col("d2")) * (lit(1.0) + pow(abs(col("elev") - col("nb_elev")) / lit(p1), lit(p2)))
     val w = Window.partitionBy(col("station_id")).orderBy(col("wdist"), col("nb_id"))
-    pairs(meta)
+    pairs(meta, onlyReal)
       .withColumn("wdist", wd)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

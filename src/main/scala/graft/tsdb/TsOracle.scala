@@ -80,6 +80,22 @@ object TsOracle {
     SELECT station_id, rank, nb_id, round(wdist + 1e-9, 6) AS wdist
     FROM wknn WHERE rank <= $NeighborK ORDER BY station_id, rank"""
 
+  /** only_real donors: ranking restricted to stations with measured
+    * (view-event) data, every station still probed. */
+  val qKnnReal: String = s"""
+    WITH $world,
+    real_s AS (
+      SELECT user_id::BIGINT AS station_id,
+             count(CASE WHEN event_type = 'view' THEN 1 END) > 0 AS is_real
+      FROM events GROUP BY 1),
+    rknn AS (
+      SELECT p.station_id, p.nb_id, p.d2,
+        row_number() OVER (PARTITION BY p.station_id ORDER BY p.d2, p.nb_id) AS rank
+      FROM pairs p JOIN real_s r ON p.nb_id = r.station_id
+      WHERE r.is_real)
+    SELECT station_id, rank, nb_id, round(sqrt(d2) + 1e-9, 6) AS dist
+    FROM rknn WHERE rank <= $NeighborK ORDER BY station_id, rank"""
+
   val qQcRange: String = s"""
     WITH $world
     SELECT station_id, day, raw,
@@ -505,6 +521,32 @@ object TsOracle {
     UNION ALL SELECT station_id, 'filled', filled_from, filled_until FROM fp
     ORDER BY station_id, kind""")
 
+  /** get_max_period: grid extent (NAs allowed) + inner union of the
+    * per-kind filled periods (latest start, earliest end; NULL when a
+    * kind is empty or the kinds never overlap). */
+  val qMaxPeriod: String = withFill(s"""
+    , fp AS (
+      SELECT station_id,
+        min(day) AS grid_from, max(day) AS grid_until,
+        min(CASE WHEN raw IS NOT NULL THEN day END) AS raw_from,
+        max(CASE WHEN raw IS NOT NULL THEN day END) AS raw_until,
+        min(CASE WHEN qc IS NOT NULL THEN day END) AS qc_from,
+        max(CASE WHEN qc IS NOT NULL THEN day END) AS qc_until,
+        min(CASE WHEN filled IS NOT NULL THEN day END) AS filled_from,
+        max(CASE WHEN filled IS NOT NULL THEN day END) AS filled_until
+      FROM filled_s GROUP BY 1)
+    SELECT station_id, grid_from, grid_until,
+      CASE WHEN ok THEN mf END AS max_from,
+      CASE WHEN ok THEN mu END AS max_until
+    FROM (
+      SELECT *, greatest(raw_from, qc_from, filled_from) AS mf,
+        least(raw_until, qc_until, filled_until) AS mu,
+        raw_from IS NOT NULL AND qc_from IS NOT NULL AND filled_from IS NOT NULL
+          AND greatest(raw_from, qc_from, filled_from)
+              <= least(raw_until, qc_until, filled_until) AS ok
+      FROM fp)
+    ORDER BY station_id""")
+
   val qCountHoles: String = s"""
     WITH $world,
     $qcAllCte,
@@ -703,6 +745,8 @@ object TsOracle {
     "q_agg_year" -> qAggYear,
     "q_group_wide" -> qGroupWide,
     "q_filled_period" -> qFilledPeriod,
+    "q_max_period" -> qMaxPeriod,
+    "q_knn_real" -> qKnnReal,
     "q_count_holes" -> qCountHoles,
     "q_richter_class" -> qRichterClass,
     "q_richter_correct" -> qRichterCorrect,

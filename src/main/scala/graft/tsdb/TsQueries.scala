@@ -25,6 +25,13 @@ object TsQueries {
   def qKnnElev(s: SparkSession, d: String): DataFrame =
     Neighbors.knnElev(meta(s, d)).orderBy(col("station_id"), col("rank"))
 
+  /** only_real neighbor selection (reference default): virtual
+    * stations never serve as donors; still via the bucketed scale
+    * path. */
+  def qKnnReal(s: SparkSession, d: String): DataFrame =
+    Neighbors.knnDistBucketed(meta(s, d), onlyReal = true)
+      .orderBy(col("station_id"), col("rank"))
+
   def qQcRange(s: SparkSession, d: String): DataFrame =
     QualityCheck.range(rawDaily(s, d))
       .select("station_id", "day", "raw", "qc").orderBy(col("station_id"), col("day"))
@@ -164,6 +171,9 @@ object TsQueries {
   def qFilledPeriod(s: SparkSession, d: String): DataFrame =
     Aggregate.filledPeriod(filledSeries(s, d)).orderBy(col("station_id"), col("kind"))
 
+  def qMaxPeriod(s: SparkSession, d: String): DataFrame =
+    Aggregate.maxPeriod(filledSeries(s, d)).orderBy(col("station_id"))
+
   def qCountHoles(s: SparkSession, d: String): DataFrame =
     Aggregate.countHoles(qcAll(s, d)).orderBy(col("station_id"))
 
@@ -227,6 +237,8 @@ object TsQueries {
     "q_knn_dist" -> (qKnnDist _),
     "q_knn_bucketed" -> (qKnnBucketed _),
     "q_knn_elev" -> (qKnnElev _),
+    "q_knn_real" -> (qKnnReal _),
+    "q_max_period" -> (qMaxPeriod _),
     "q_qc_range" -> (qQcRange _),
     "q_qc_repeats" -> (qQcRepeats _),
     "q_qc_spike" -> (qQcSpike _),

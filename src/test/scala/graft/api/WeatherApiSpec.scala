@@ -73,4 +73,32 @@ class WeatherApiSpec extends SparkSpec {
     assert(back.select("date").as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().forall(_.matches("\\d{8}")))
   }
+
+  test("get_max_period: inner union of kinds vs full grid extent") {
+    val s = db.station(0L)
+    val inner = s.getMaxPeriod()
+    val outer = s.getMaxPeriod(nasAllowed = true)
+    assert(inner.start.nonEmpty && inner.end.nonEmpty)
+    assert(outer.contains(inner)) // the NAs-allowed extent covers the inner period
+  }
+
+  test("all-stations create_ts writes one partition directory per location") {
+    val out = java.nio.file.Files.createTempDirectory("graft_all_ts").toString + "/all"
+    db.groupStations.createTs(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("station_id=")).toSeq
+    assert(dirs.size === db.groupStations.getValidStids.size)
+    val back = spark.read.option("header", "true").option("sep", "\t").csv(out)
+    assert(back.count() === db.groupStation(0L).getDf().count() * dirs.size)
+  }
+
+  test("neighbor options: only_real default and elevation weighting") {
+    val s = db.station(0L)
+    val realIds = db.meta.filter(org.apache.spark.sql.functions.col("is_real"))
+      .select("station_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val nbs = s.getNeighbors(3) // onlyReal = true by default, like the reference
+    assert(nbs.forall(realIds.contains))
+    val weighted = s.getNeighbors(3, pElev = Some((250.0, 1.5)))
+    assert(weighted.size === 3 && weighted.forall(realIds.contains))
+  }
 }

@@ -60,4 +60,49 @@ class AggregateSpec extends SparkSpec {
     assert(plain.head === 1L)   // closest horizontally
     assert(weighted.head === 2L) // 900m elevation difference penalized
   }
+
+  test("only_real neighbor selection excludes virtual donors but still probes them") {
+    // station 1 is virtual: nearest to 0, but never a donor
+    val meta = Seq((0L, 0.0, 0.0, 0.0, true), (1L, 1.0, 0.0, 0.0, false),
+      (2L, 2.0, 0.0, 0.0, true), (3L, 3.0, 0.0, 0.0, true))
+      .toDF("station_id", "x", "y", "elev", "is_real")
+    val out = Neighbors.knnDist(meta, 2, onlyReal = true)
+      .filter($"station_id" === 0).orderBy("rank").select("nb_id").as[Long].collect()
+    assert(out.toSeq === Seq(2L, 3L)) // 1 skipped despite being closest
+    // the virtual station itself still gets (real) neighbors
+    val probe = Neighbors.knnDist(meta, 2, onlyReal = true)
+      .filter($"station_id" === 1).orderBy("rank").select("nb_id").as[Long].collect()
+    assert(probe.toSeq === Seq(0L, 2L))
+    // bucketed scale path agrees with brute force under only_real
+    val brute = Neighbors.knnDist(meta, 2, onlyReal = true)
+      .orderBy("station_id", "rank").collect()
+    val bucketed = Neighbors.knnDistBucketed(meta, 2, cellSize = 3.0, onlyReal = true)
+      .orderBy("station_id", "rank").collect()
+    assert(brute.toSeq === bucketed.toSeq)
+  }
+
+  test("max_period: inner union of kind periods, NULL when disjoint or empty") {
+    val d = (n: Int) => Date.valueOf(f"2024-01-$n%02d")
+    // raw spans 1-8, qc spans 3-10, filled spans 2-9 -> inner 3-8
+    val rows = (1 to 10).map { i =>
+      (1L, d(i),
+        if (i <= 8) Some(i.toDouble) else None,
+        if (i >= 3) Some(i.toDouble) else None,
+        if (i >= 2 && i <= 9) Some(i.toDouble) else None)
+    } ++
+      // station 2: qc entirely empty -> inner period NULL
+      (1 to 5).map(i => (2L, d(i), Some(i.toDouble), Option.empty[Double], Some(i.toDouble))) ++
+      // station 3: raw 1-2 and qc 4-5 never overlap -> NULL
+      (1 to 5).map { i =>
+        (3L, d(i), if (i <= 2) Some(i.toDouble) else None,
+          if (i >= 4) Some(i.toDouble) else None,
+          Some(i.toDouble))
+      }
+    val out = Aggregate.maxPeriod(rows.toDF("station_id", "day", "raw", "qc", "filled"))
+      .orderBy("station_id").collect()
+    assert(out(0).getDate(1) === d(1) && out(0).getDate(2) === d(10)) // grid extent
+    assert(out(0).getDate(3) === d(3) && out(0).getDate(4) === d(8))  // inner union
+    assert(out(1).getAs[Any]("max_from") === null)
+    assert(out(2).getAs[Any]("max_from") === null && out(2).getAs[Any]("max_until") === null)
+  }
 }
