@@ -144,6 +144,49 @@ object Dedup {
     } finally { cands.unpersist(); hs.unpersist() }
   }
 
+  /** Duplicate-cluster canonicalization — the final step of a dedup
+    * pipeline: the near-dup pairs form a graph; every document maps to
+    * the minimum doc_id of its connected component (its canonical
+    * representative), so `keep = (doc_id == component)` dedups the
+    * corpus with one filter. Docs in no pair are their own singleton
+    * component.
+    *
+    * Algorithm: distributed min-label propagation — each iteration is
+    * one join + groupBy(min), labels localCheckpoint'ed so lineage
+    * stays flat; converges in O(component diameter) rounds (near-dup
+    * clusters are shallow — for adversarial chain-shaped graphs switch
+    * the step to large-star/small-star for O(log n) rounds). All data
+    * movement is keyed shuffles of the (id, label) frame; nothing
+    * all-pairs, nothing driver-side except the per-round convergence
+    * count — the textbook 100 TB connected-components shape. */
+  def components(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = jaccardPairs(documents, threshold)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    try {
+      var labels = documents.select(col("doc_id"), col("doc_id").as("comp"))
+        .localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val propagated = edges
+          .join(labels.select(col("doc_id").as("dst"), col("comp")), Seq("dst"))
+          .select(col("src").as("doc_id"), col("comp"))
+        val next = labels.unionByName(propagated)
+          .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("doc_id"))
+          .filter(col("comp") =!= col("prev")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      labels.join(sizes, Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("comp_size"))
+    } finally edges.unpersist()
+  }
+
   /** SimHash near-duplicates: 30-bit signatures, pairs within Hamming
     * distance maxHamming. Candidate generation buckets on FOUR bands
     * (8+8+7+7 bits): by pigeonhole, ≤ 3 differing bits can touch at

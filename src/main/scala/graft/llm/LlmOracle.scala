@@ -64,6 +64,30 @@ object LlmOracle {
       FROM hash_t a JOIN hash_t b ON a.doc_id < b.doc_id)
     WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
 
+  /** Connected components of the exact Jaccard near-dup graph:
+    * transitive min-label closure via a recursive CTE (the engine's
+    * distributed label propagation must agree exactly). */
+  val qDedupComponents: String = s"""
+    WITH RECURSIVE $shCte,
+    jpairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(len(list_intersect(a.hashes, b.hashes))::DOUBLE /
+            (len(a.hashes) + len(b.hashes) - len(list_intersect(a.hashes, b.hashes))) + 1e-9, 6) AS jaccard
+        FROM hash_t a JOIN hash_t b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION ALL SELECT id_b, id_a FROM jpairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY 1),
+    sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.comp, s.comp_size
+    FROM comp c JOIN sizes s USING (comp) ORDER BY c.doc_id"""
+
   private val simhashExpr: String =
     s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $SimHashBits),
         j -> CASE WHEN list_reduce(list_prepend(0::BIGINT,
@@ -188,6 +212,7 @@ object LlmOracle {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_bands" -> qDedupMinhashBands,
     "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_components" -> qDedupComponents,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_ann_topk" -> qAnnTopk,

@@ -22,6 +22,8 @@ object LlmQueries {
       Dedup.jaccardPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_components" -> ((s, d) =>
+      Dedup.components(docs(s, d)).orderBy(col("doc_id"))),
     "q_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(embs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_embedding_lsh" -> ((s, d) =>

@@ -73,23 +73,7 @@ object Streaming {
       val b = batch.persist()
       if (b.isEmpty) { b.unpersist(); return }
       val evts = store.map(_.unionByName(b)).getOrElse(b.toDF()).localCheckpoint(true)
-      val bounds = b.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
-      // widen the recompute window to any dense-grid expansion: days
-      // between the old period end and the batch (a gap after silence)
-      // exist in neither the previous frame nor the batch window
-      val (bLo, bHi) = (bounds.getDate(0), bounds.getDate(1))
-      val old = store.map(_.agg(min(to_date(col("ts"))).as("o0"), max(to_date(col("ts"))).as("o1")).head())
-      // batch entirely after the old period: re-cover from the day
-      // after the old end; entirely before: up to the day before the
-      // old start (both directions of grid growth)
-      val loW = old.map(_.getDate(1)) match {
-        case Some(o1) if o1.before(bLo) => java.sql.Date.valueOf(o1.toLocalDate.plusDays(1))
-        case _ => bLo
-      }
-      val hiW = old.map(_.getDate(0)) match {
-        case Some(o0) if bHi.before(o0) => java.sql.Date.valueOf(o0.toLocalDate.minusDays(1))
-        case _ => bHi
-      }
+      val (loW, hiW) = batchWindow(store, b)
       val raw = Series.dailyRaw(evts)
       val ref = Series.dailyRef(evts)
       val meta = Series.stationMeta(evts)
@@ -106,6 +90,91 @@ object Streaming {
       oldStore.foreach(_.unpersist())
       oldQc.foreach(_.unpersist())
       b.unpersist() // evts is checkpointed — independent of b's blocks
+    }
+
+    private def sameStations(prev: DataFrame, meta: DataFrame): Boolean =
+      meta.select("station_id")
+        .join(prev.select("station_id").distinct(), Seq("station_id"), "left_anti")
+        .isEmpty
+  }
+
+  /** Recompute-window bounds for an incoming batch given the previous
+    * store's period: the batch's day span, widened to cover any
+    * dense-grid growth between the old period end and the batch (days
+    * that exist in neither the previous frame nor the batch window). */
+  private[streaming] def batchWindow(store: Option[DataFrame], b: DataFrame):
+      (java.sql.Date, java.sql.Date) = {
+    val bounds = b.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
+    val (bLo, bHi) = (bounds.getDate(0), bounds.getDate(1))
+    val old = store.map(_.agg(min(to_date(col("ts"))).as("o0"), max(to_date(col("ts"))).as("o1")).head())
+    val loW = old.map(_.getDate(1)) match {
+      case Some(o1) if o1.before(bLo) => java.sql.Date.valueOf(o1.toLocalDate.plusDays(1))
+      case _ => bLo
+    }
+    val hiW = old.map(_.getDate(0)) match {
+      case Some(o0) if bHi.before(o0) => java.sql.Date.valueOf(o0.toLocalDate.minusDays(1))
+      case _ => bHi
+    }
+    (loW, hiW)
+  }
+
+  /** The FULL continuous update cycle — broker.update_db as a stream:
+    * every micro-batch runs the period-scoped incremental qc → fillup →
+    * richter-correct chain (graft.tsdb.Incremental) and merges each
+    * stage into its maintained frame. Fill and correction are day-local
+    * given the chain's global-MA convention, so the same recompute
+    * window is exact for all three stages; the temperature companion is
+    * rebuilt per batch (O(#virtual-station holes), tiny next to the
+    * series). Same at-least-once batchId guard and localCheckpoint
+    * lineage discipline as [[ContinuousQc]]. */
+  class ContinuousCycle(spark: SparkSession) {
+    import graft.tsdb.{Fillup, Incremental, QualityCheck, Richter, Series}
+    @volatile private var store: Option[DataFrame] = None
+    @volatile private var frames: Option[(DataFrame, DataFrame, DataFrame)] = None
+    @volatile private var lastBatchId: Long = -1L
+
+    def qc: Option[DataFrame] = frames.map(_._1)
+    def filled: Option[DataFrame] = frames.map(_._2)
+    def corr: Option[DataFrame] = frames.map(_._3)
+
+    def attach(streamEvents: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      streamEvents.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          synchronized {
+            if (batchId > lastBatchId) { update(batch.toDF()); lastBatchId = batchId }
+          }
+        }
+        .start()
+
+    def update(batch: DataFrame): Unit = synchronized {
+      val b = batch.persist()
+      if (b.isEmpty) { b.unpersist(); return }
+      val evts = store.map(_.unionByName(b)).getOrElse(b.toDF()).localCheckpoint(true)
+      val (loW, hiW) = batchWindow(store, b)
+      val raw = Series.dailyRaw(evts)
+      val ref = Series.dailyRef(evts)
+      val meta = Series.stationMeta(evts)
+      val temp = Fillup.fillTemp(Series.dailyTemp(evts), meta, Series.raster(evts))
+        .select(col("station_id"), col("day"), col("t_filled").as("t"))
+      val next = frames match {
+        case Some((prevQc, prevFilled, prevCorr)) if sameStations(prevQc, meta) =>
+          val nQc = Incremental.updateQc(prevQc, raw, ref, meta, loW, hiW).localCheckpoint(true)
+          val nFill = Incremental.updateFilled(prevFilled, nQc, meta, loW, hiW).localCheckpoint(true)
+          val nCorr = Incremental.updateCorr(prevCorr, nFill, temp, meta, loW, hiW).localCheckpoint(true)
+          (nQc, nFill, nCorr)
+        case _ => // first import / new station init: full chain
+          val nQc = QualityCheck.all(raw, ref, meta).localCheckpoint(true)
+          val nFill = Fillup.fillNeighbor(nQc, meta).localCheckpoint(true)
+          val nCorr = Richter.correct(spark, nFill, temp, meta).localCheckpoint(true)
+          (nQc, nFill, nCorr)
+      }
+      val (oldStore, oldFrames) = (store, frames)
+      store = Some(evts)
+      frames = Some(next)
+      oldStore.foreach(_.unpersist())
+      oldFrames.foreach { case (a, c, d) => a.unpersist(); c.unpersist(); d.unpersist() }
+      b.unpersist()
     }
 
     private def sameStations(prev: DataFrame, meta: DataFrame): Boolean =
