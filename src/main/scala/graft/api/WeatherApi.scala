@@ -35,6 +35,21 @@ class WeatherDb(val spark: SparkSession, val dir: String) {
   def groupStations: GroupStations = new GroupStations(this)
   def broker: Broker = new Broker(this)
 
+  /** Register the engine's frames as temp views so users can run free
+    * SQL over them (`spark.sql("SELECT ... FROM graft_filled ...")`) —
+    * the Spark-native form of the reference's free SQL access to its
+    * timeseries tables (get_df / sql_add_where). Views are lazy plans:
+    * predicates written against them reach the parquet scans through
+    * the usual pushdown. */
+  def createViews(prefix: String = "graft_"): Unit = {
+    events.createOrReplaceTempView(s"${prefix}events")
+    meta.createOrReplaceTempView(s"${prefix}meta")
+    raw.createOrReplaceTempView(s"${prefix}raw")
+    qc.createOrReplaceTempView(s"${prefix}qc")
+    filled.createOrReplaceTempView(s"${prefix}filled")
+    corr.createOrReplaceTempView(s"${prefix}corr")
+  }
+
   private[api] def inPeriod(df: DataFrame, period: TimestampPeriod): DataFrame = {
     val s = period.start.map(d => df.col("day") >= lit(java.sql.Date.valueOf(d)))
     val e = period.end.map(d => df.col("day") <= lit(java.sql.Date.valueOf(d)))
@@ -100,6 +115,17 @@ class Station(db: WeatherDb, val id: Long) {
     val r = only(Aggregate.maxPeriod(db.filled, kinds)).collect().head
     val (f, u) = if (nasAllowed) (r.getDate(1), r.getDate(2)) else (r.getDate(3), r.getDate(4))
     TimestampPeriod(Option(f).map(_.toLocalDate), Option(u).map(_.toLocalDate))
+  }
+
+  /** get_name (StationBases.py:1872) — the registry has no name
+    * column; the id-derived label mirrors the derived meta model. */
+  def getName: String = s"station_$id"
+
+  /** get_geom (StationBases.py:1817): WKT point of the station's
+    * (grid-UTM-like) coordinates. */
+  def getGeom: String = {
+    val r = getMeta.select(col("x"), col("y")).head
+    s"POINT (${r.getDouble(0)} ${r.getDouble(1)})"
   }
 
   /** is_real / is_virtual (StationCanVirtualBase): whether the

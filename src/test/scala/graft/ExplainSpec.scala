@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-shape regression guard for the scale claims SURVEY §5 makes:
+  * filters and projections must reach the parquet scan, and the as-of
+  * join must stay a single-shuffle union+window plan. PlanGuardSpec
+  * guards against O(n²) shapes; this spec guards the pushdown/pruning
+  * and shuffle-count properties that make the healthy plans healthy. */
+class ExplainSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The physical plan with the AQE wrapper peeled (an
+    * AdaptiveSparkPlanExec exposes no children to collect()). */
+  private def physical(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def scans(name: String): Seq[FileSourceScanExec] =
+    physical(name).collect { case s: FileSourceScanExec => s }
+
+  test("q1_agg pushes both predicates and prunes to the 6 needed columns") {
+    val s = scans("q1_agg")
+    assert(s.nonEmpty)
+    val lineitem = s.find(_.metadata.getOrElse("Location", "").contains("lineitem")).get
+    assert(lineitem.metadata("PushedFilters").contains("LessThanOrEqual"),
+      s"no pushed filter: ${lineitem.metadata("PushedFilters")}")
+    // schema pruning: the scan must not read all 16 lineitem columns
+    assert(lineitem.requiredSchema.size <= 7,
+      s"scan reads ${lineitem.requiredSchema.size} columns: ${lineitem.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("as-of join plans a single shuffle (union + window, no join node)") {
+    val plan = physical("q_asof_join")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // one hash exchange for the window partitioning; the driver-contract
+    // orderBy adds one range exchange for the final sort — nothing else
+    assert(shuffles.size <= 2, s"as-of join grew to ${shuffles.size} shuffles")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"as-of join regressed to a join-based plan: ${joins.map(_.nodeName)}")
+  }
+
+  test("free SQL over the registered views still reaches the parquet scan") {
+    val db = new graft.api.WeatherDb(spark, sf)
+    db.createViews()
+    val out = spark.sql(
+      "SELECT station_id, day, filled FROM graft_filled WHERE filled > 100")
+    assert(out.count() > 0)
+    // the predicate must appear as a filter over the cached/scan plan,
+    // not as a post-processing step above a sort
+    assert(out.queryExecution.optimizedPlan.toString.contains("100.0"))
+  }
+}
