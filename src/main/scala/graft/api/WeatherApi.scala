@@ -111,11 +111,13 @@ class Station(db: WeatherDb, val id: Long) {
   /** get_max_period (StationBases.py:2133): NAs allowed → the full
     * grid extent; else the inner union of the kinds' filled periods. */
   def getMaxPeriod(kinds: Seq[String] = Seq("raw", "qc", "filled"),
-      nasAllowed: Boolean = false): TimestampPeriod = {
-    val r = only(Aggregate.maxPeriod(db.filled, kinds)).collect().head
-    val (f, u) = if (nasAllowed) (r.getDate(1), r.getDate(2)) else (r.getDate(3), r.getDate(4))
-    TimestampPeriod(Option(f).map(_.toLocalDate), Option(u).map(_.toLocalDate))
-  }
+      nasAllowed: Boolean = false): TimestampPeriod =
+    only(Aggregate.maxPeriod(db.filled, kinds)).collect().headOption match {
+      case None => TimestampPeriod.empty // unknown station: no period
+      case Some(r) =>
+        val (f, u) = if (nasAllowed) (r.getDate(1), r.getDate(2)) else (r.getDate(3), r.getDate(4))
+        TimestampPeriod(Option(f).map(_.toLocalDate), Option(u).map(_.toLocalDate))
+    }
 
   /** get_name (StationBases.py:1872) — the registry has no name
     * column; the id-derived label mirrors the derived meta model. */
@@ -123,10 +125,12 @@ class Station(db: WeatherDb, val id: Long) {
 
   /** get_geom (StationBases.py:1817): WKT point of the station's
     * (grid-UTM-like) coordinates. */
-  def getGeom: String = {
-    val r = getMeta.select(col("x"), col("y")).head
-    s"POINT (${r.getDouble(0)} ${r.getDouble(1)})"
-  }
+  def getGeom: String =
+    getMeta.select(col("x"), col("y")).collect().headOption match {
+      case Some(r) => s"POINT (${r.getDouble(0)} ${r.getDouble(1)})"
+      case None => throw new IllegalArgumentException(
+        s"station $id is not in the registry") // reference: _check_isin_meta
+    }
 
   /** is_real / is_virtual (StationCanVirtualBase): whether the
     * station's temperature companion has real observations. */

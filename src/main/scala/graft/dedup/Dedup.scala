@@ -161,15 +161,29 @@ object Dedup {
     * count — the textbook 100 TB connected-components shape. */
   def components(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = jaccardPairs(documents, threshold)
+    // jaccardPairs returns its (tiny) result eagerly persisted; this
+    // consumer only derives edges from it, so release it once the
+    // propagation below has materialized
+    try componentsFromPairs(documents.select(col("doc_id")),
+      pairs.select(col("id_a"), col("id_b")))
+    finally pairs.unpersist()
+  }
+
+  /** Connected components of an arbitrary (id_a, id_b) pair graph over
+    * `ids` (doc_id); exposed separately so any dedup pair source
+    * (minhash bands, simhash, embeddings) can be canonicalized — and
+    * property-tested against a union-find model. */
+  def componentsFromPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     try {
-      var labels = documents.select(col("doc_id"), col("doc_id").as("comp"))
+      var labels = ids.select(col("doc_id"), col("doc_id").as("comp"))
         .localCheckpoint(true)
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 50) {
+      val maxRounds = 50
+      while (!converged && rounds < maxRounds) {
         val propagated = edges
           .join(labels.select(col("doc_id").as("dst"), col("comp")), Seq("dst"))
           .select(col("src").as("doc_id"), col("comp"))
@@ -178,9 +192,15 @@ object Dedup {
           .localCheckpoint(true)
         converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("doc_id"))
           .filter(col("comp") =!= col("prev")).isEmpty
+        labels.unpersist() // superseded checkpoint — release explicitly
         labels = next
         rounds += 1
       }
+      // silent truncation would return a component split in two and the
+      // caller would keep duplicate documents — fail loudly instead
+      if (!converged) throw new IllegalStateException(
+        s"component propagation did not converge in $maxRounds rounds " +
+          "(component diameter too large — switch the step to large-star/small-star)")
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
       labels.join(sizes, Seq("comp"))
         .select(col("doc_id"), col("comp"), col("comp_size"))

@@ -254,11 +254,15 @@ object DotProduct {
     var i = 0; while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
     d
   }
-  /** Index-order left fold — the cross-engine determinism contract. */
+  /** Index-order left fold — the cross-engine determinism contract.
+    * Ragged inputs fail loudly: the composed zip_with form yielded NULL
+    * (pair silently dropped); truncating to min(len) would instead emit
+    * a bogus similarity, so a length mismatch is a data error here. */
   def dot(a: Array[Double], b: Array[Double]): Double = {
-    val n = math.min(a.length, b.length)
+    if (a.length != b.length) throw new IllegalArgumentException(
+      s"dot product over ragged vectors (${a.length} vs ${b.length} dims)")
     var acc = 0.0; var i = 0
-    while (i < n) { acc += a(i) * b(i); i += 1 }
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
 }

@@ -53,29 +53,29 @@ object LlmOracle {
     WITH $shCte, $sigCte
     SELECT id_a, id_b, n_bands FROM cand_pairs ORDER BY id_a, id_b"""
 
-  /** Exact Jaccard pairs — the LSH+verify Spark path must equal this
-    * (collision probability ≈ 1 − 1e-4 at the 0.5 threshold). */
-  val qDedupJaccard: String = s"""
-    WITH $shCte
+  /** Exact Jaccard ≥ 0.5 pairs over hash_t — shared by the pair query
+    * and the components closure so a threshold/epsilon tweak can never
+    * make the two oracles disagree. */
+  private val jpairsBody: String = s"""
     SELECT id_a, id_b, jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(len(list_intersect(a.hashes, b.hashes))::DOUBLE /
           (len(a.hashes) + len(b.hashes) - len(list_intersect(a.hashes, b.hashes))) + 1e-9, 6) AS jaccard
       FROM hash_t a JOIN hash_t b ON a.doc_id < b.doc_id)
-    WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+    WHERE jaccard >= 0.5"""
+
+  /** Exact Jaccard pairs — the LSH+verify Spark path must equal this
+    * (collision probability ≈ 1 − 1e-4 at the 0.5 threshold). */
+  val qDedupJaccard: String = s"""
+    WITH $shCte
+    $jpairsBody ORDER BY id_a, id_b"""
 
   /** Connected components of the exact Jaccard near-dup graph:
     * transitive min-label closure via a recursive CTE (the engine's
     * distributed label propagation must agree exactly). */
   val qDedupComponents: String = s"""
     WITH RECURSIVE $shCte,
-    jpairs AS (
-      SELECT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          round(len(list_intersect(a.hashes, b.hashes))::DOUBLE /
-            (len(a.hashes) + len(b.hashes) - len(list_intersect(a.hashes, b.hashes))) + 1e-9, 6) AS jaccard
-        FROM hash_t a JOIN hash_t b ON a.doc_id < b.doc_id)
-      WHERE jaccard >= 0.5),
+    jpairs AS (SELECT id_a, id_b FROM ($jpairsBody)),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM jpairs
       UNION ALL SELECT id_b, id_a FROM jpairs),

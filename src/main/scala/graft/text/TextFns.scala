@@ -40,8 +40,12 @@ object TextFns {
     * graft.functions.ShingleHashes expression (bit-identical to
     * `transform(${shingles(s)}, sh_w -> polyhash(sh_w))`, which is what
     * the DuckDB oracle mirrors — but one generated-code loop per row
-    * instead of interpreted higher-order lambdas per shingle). */
-  def shingleHashes(s: String): String = s"graft_shingle_hashes($s)"
+    * instead of interpreted higher-order lambdas per shingle). The
+    * coalesce restores the composed form's NULL-text behavior: an empty
+    * shingle set, not a NULL row that would silently drop the doc from
+    * the dedup pipeline. */
+  def shingleHashes(s: String): String =
+    s"coalesce(graft_shingle_hashes($s), cast(array() AS array<bigint>))"
 
   /** MinHash signature (array of NumHashes minima) over a column named
     * `hashes` (array<long> of shingle hashes). Backed by the native

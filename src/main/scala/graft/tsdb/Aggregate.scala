@@ -118,12 +118,18 @@ object Aggregate {
     val aggs = kinds.flatMap(k => Seq(
       min(when(col(k).isNotNull, col("day"))).as(s"${k}_from"),
       max(when(col(k).isNotNull, col("day"))).as(s"${k}_until")))
+    require(kinds.nonEmpty, "maxPeriod needs at least one kind")
     // a kind with NO data, or kinds that never overlap, yield an empty
     // (NULL) inner period — greatest/least skip NULLs, so the per-kind
     // NULLs and start <= end are checked explicitly
+    // (greatest/least require >= 2 arguments; a single kind is its own
+    // inner union)
+    def combine(f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column,
+        cols: Seq[org.apache.spark.sql.Column]) =
+      if (cols.size == 1) cols.head else f(cols)
     val anyKindEmpty = kinds.map(k => col(s"${k}_from").isNull).reduce(_ || _)
-    val mf = greatest(kinds.map(k => col(s"${k}_from")): _*)
-    val mu = least(kinds.map(k => col(s"${k}_until")): _*)
+    val mf = combine(cs => greatest(cs: _*), kinds.map(k => col(s"${k}_from")))
+    val mu = combine(cs => least(cs: _*), kinds.map(k => col(s"${k}_until")))
     val nonEmpty = !anyKindEmpty && mf <= mu
     filledSeries.groupBy(col("station_id"))
       .agg(min(col("day")).as("grid_from"),

@@ -135,4 +135,27 @@ class LlmSpec extends SparkSpec {
     assert(f0.feature.toSeq === f4.feature.toSeq) // same payload -> same stub feature
     assert(f0.feature.forall(v => v >= 0f && v < 1f))
   }
+
+  test("label propagation equals a union-find model on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+      // union-find reference model
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = graft.dedup.Dedup.componentsFromPairs(
+          (0L until n.toLong).toDF("doc_id"), edges.toDF("id_a", "id_b"))
+        .select("doc_id", "comp").as[(Long, Long)].collect().toMap
+      assert(got === expected)
+    }
+  }
 }
