@@ -180,6 +180,14 @@ object Dedup {
     try {
       var labels = ids.select(col("doc_id"), col("doc_id").as("comp"))
         .localCheckpoint(true)
+      // fixpoint detection without a join: labels only ever DECREASE
+      // under min-propagation, so the exact (decimal, overflow-free)
+      // label sum is strictly monotone until convergence — one cheap
+      // aggregate per round over the just-checkpointed frame
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO) // empty ids frame
+      var prevSum = labelSum(labels)
       var converged = false
       var rounds = 0
       val maxRounds = 50
@@ -190,8 +198,9 @@ object Dedup {
         val next = labels.unionByName(propagated)
           .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
           .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("doc_id"))
-          .filter(col("comp") =!= col("prev")).isEmpty
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         labels.unpersist() // superseded checkpoint — release explicitly
         labels = next
         rounds += 1

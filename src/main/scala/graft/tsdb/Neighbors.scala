@@ -148,6 +148,15 @@ object Neighbors {
       .unionByName( // stations with NO candidate at all never reach `ranked`
         meta.select(col("station_id"))
           .join(safety.select(col("station_id")), Seq("station_id"), "left_anti"))
+    // common case: every station passed the self-check — return the
+    // bucketed ranking directly instead of planning (and compiling) the
+    // rescue join + anti-join union that would process zero rows (the
+    // check itself is one cheap action over the persisted ranking)
+    if (unsafeIds.isEmpty) {
+      val out = ranked.select(col("station_id"), col("rank"), col("nb_id"),
+        round(sqrt(col("d2")) + lit(1e-9), 6).as("dist"))
+      return (out, ranked)
+    }
     val unsafeMeta = meta.join(unsafeIds, Seq("station_id"), "left_semi")
     val rescued = {
       // deliberate bounded nested-loop: the station registry is
