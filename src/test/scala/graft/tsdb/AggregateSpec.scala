@@ -61,6 +61,18 @@ class AggregateSpec extends SparkSpec {
     assert(weighted.head === 2L) // 900m elevation difference penalized
   }
 
+  test("bucketed knn rescues low-density geometries (k-th neighbor beyond the cell ring)") {
+    // 8 stations on a sparse line, 4 units apart: with cellSize 3 the
+    // 3x3 ring sees at most the adjacent stations, so the k=5 check
+    // fails everywhere and the exact rescue ranking must take over
+    val meta = (0L until 8L).map(i => (i, i * 4.0, 0.0, 0.0))
+      .toDF("station_id", "x", "y", "elev")
+    val brute = Neighbors.knnDist(meta, 5).orderBy("station_id", "rank").collect()
+    val bucketed = Neighbors.knnDistBucketed(meta, 5, cellSize = 3.0)
+      .orderBy("station_id", "rank").collect()
+    assert(brute.toSeq === bucketed.toSeq)
+  }
+
   test("only_real neighbor selection excludes virtual donors but still probes them") {
     // station 1 is virtual: nearest to 0, but never a donor
     val meta = Seq((0L, 0.0, 0.0, 0.0, true), (1L, 1.0, 0.0, 0.0, false),
