@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** End-to-end corpus cleaning — the composition a training-data
+  * pipeline actually runs over the operator library: language ID +
+  * quality scoring + near-dup canonicalization, folded into per-doc
+  * keep/drop decisions with provenance.
+  *
+  * Every stage is one of the library's oracle-verified operators; the
+  * composition adds only column logic, so the plan inherits their
+  * scale shapes (scans + keyed shuffles, no all-pairs work). The
+  * output keeps EVERY input doc with a `keep` flag and a `drop_reason`
+  * (lang / quality / duplicate) — filtering is the caller's one-line
+  * decision, and rejected docs stay auditable, which is how production
+  * corpus pipelines are debugged.
+  */
+object Corpus {
+
+  /** Per-doc keep/drop frame.
+    *
+    * @param langs      accepted predicted languages (empty = accept all)
+    * @param minQuality minimum quality_score (0..1)
+    * @param threshold  Jaccard near-dup threshold for canonicalization
+    */
+  def clean(documents: DataFrame, langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.2, threshold: Double = 0.5): DataFrame = {
+    val lang = TextAnalysis.langId(documents).select(col("doc_id"), col("predicted"))
+    val quality = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
+    val comp = Dedup.components(documents, threshold)
+      .select(col("doc_id"), col("comp").as("canonical_id"), col("comp_size"))
+    val langOk = if (langs.isEmpty) lit(true) else col("predicted").isin(langs: _*)
+    documents.select(col("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(comp, Seq("doc_id"))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .withColumn("drop_reason",
+        when(!langOk, lit("lang"))
+          .when(col("quality_score") < minQuality, lit("quality"))
+          .when(!col("is_canonical"), lit("duplicate"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull)
+      .select(col("doc_id"), col("predicted").as("lang"), col("quality_score"),
+        col("canonical_id"), col("comp_size"), col("keep"), col("drop_reason"))
+  }
+}

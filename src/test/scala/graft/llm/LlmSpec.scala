@@ -136,6 +136,28 @@ class LlmSpec extends SparkSpec {
     assert(f0.feature.forall(v => v >= 0f && v < 1f))
   }
 
+  test("corpus clean composes langid, quality and dedup into auditable keep flags") {
+    val documents = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Corpus.clean(documents).persist()
+    try {
+      // every input doc is present exactly once, kept or not
+      assert(out.count() === documents.count())
+      assert(out.filter(col("keep")).count() > 0)
+      // kept docs satisfy every gate
+      val kept = out.filter(col("keep"))
+      assert(kept.filter(col("lang") =!= "en").count() === 0)
+      assert(kept.filter(col("quality_score") < 0.2).count() === 0)
+      assert(kept.filter(col("doc_id") =!= col("canonical_id")).count() === 0)
+      // dropped docs carry a reason; kept carry none
+      assert(out.filter(!col("keep") && col("drop_reason").isNull).count() === 0)
+      assert(out.filter(col("keep") && col("drop_reason").isNotNull).count() === 0)
+      // exactly one canonical per near-dup component among docs passing
+      // the other gates is kept — duplicates are dropped AS duplicates
+      assert(out.filter(col("drop_reason") === "duplicate")
+        .filter(col("doc_id") === col("canonical_id")).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("label propagation equals a union-find model on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
