@@ -80,14 +80,20 @@ object Dedup {
     val ex = hashFrame.select(col("doc_id"), size(col("hashes")).as("sz"),
       explode(col("hashes")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))
+    // per-doc prefix extraction as a hash aggregate + one local array
+    // sort of ≤ |doc| elements (cheaper than a sort-based window over
+    // the exploded frame, and the ex↔dfreq join reuses the same h-keyed
+    // exchange as the dfreq aggregate itself).
     // the prefix frame feeds both sides of the self-join below as the
     // IDENTICAL subplan — Spark's ReusedExchange computes it once per
     // action, so no persist is needed (and none stays pinned)
     val p = ex.join(dfreq, Seq("h"))
-      .withColumn("rk", row_number().over(wDoc))
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("sz"), col("h"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(array_sort(ranked), 1, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
+      .select(col("doc_id"), col("sz"), col("rh.h").as("h"))
     val a = p.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
     val b = p.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
     // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t —
