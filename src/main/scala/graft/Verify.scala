@@ -13,8 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // small-scale session tuning, semantically neutral (see Bench)
-      .config("spark.sql.adaptive.enabled", "false")
+      // AQE stays at its default (ON) here, unlike Bench: correctness
+      // must be exercised under the adaptive plans a real deployment
+      // runs; only the latency-focused bench disables it.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -106,7 +106,13 @@ object Dedup {
   /** Near-duplicate pairs with exact word-3-shingle Jaccard ≥ threshold,
     * sketch-accelerated: k-min sketch proposes candidates, exact
     * verification filters them — output equals the exact all-pairs
-    * result without ever materializing all pairs. */
+    * result without ever materializing all pairs.
+    *
+    * @note the returned frame is eagerly persisted (it is tiny —
+    *       O(actual near-dup pairs) — and materializing it lets the
+    *       large scratch frames be released before returning). Callers
+    *       holding a long-lived session should `unpersist()` it once
+    *       consumed, as [[components]] does. */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     // verify on the (distinct) shingle HASH sets: integer intersection
     // is much cheaper than string-array intersection. Only the hash
@@ -206,7 +212,9 @@ object Dedup {
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
-        labels.unpersist() // superseded checkpoint — release explicitly
+        // superseded checkpoint: release its backing RDD blocks now
+        // (Dataset.unpersist would be a CacheManager no-op here)
+        graft.core.Checkpoints.release(labels)
         labels = next
         rounds += 1
       }

@@ -22,6 +22,14 @@ object Corpus {
 
   /** Per-doc keep/drop frame.
     *
+    * Canonicalization runs AFTER the lang/quality gates, over the
+    * gate-passing docs only: the canonical representative of each
+    * near-dup cluster is chosen among docs that survive the other
+    * gates, so a cluster whose min-id member fails langid or quality
+    * still keeps exactly one representative (a min-id-first precedence
+    * could silently delete an entire cluster). Gate-failed docs carry
+    * NULL canonical_id/comp_size — they never reached dedup.
+    *
     * @param langs      accepted predicted languages (empty = accept all)
     * @param minQuality minimum quality_score (0..1)
     * @param threshold  Jaccard near-dup threshold for canonicalization
@@ -30,19 +38,24 @@ object Corpus {
       minQuality: Double = 0.2, threshold: Double = 0.5): DataFrame = {
     val lang = TextAnalysis.langId(documents).select(col("doc_id"), col("predicted"))
     val quality = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
-    val comp = Dedup.components(documents, threshold)
-      .select(col("doc_id"), col("comp").as("canonical_id"), col("comp_size"))
     val langOk = if (langs.isEmpty) lit(true) else col("predicted").isin(langs: _*)
-    documents.select(col("doc_id"))
+    val gated = documents.select(col("doc_id"))
       .join(lang, Seq("doc_id"))
       .join(quality, Seq("doc_id"))
-      .join(comp, Seq("doc_id"))
-      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
-      .withColumn("drop_reason",
+      .withColumn("gate_reason",
         when(!langOk, lit("lang"))
           .when(col("quality_score") < minQuality, lit("quality"))
-          .when(!col("is_canonical"), lit("duplicate"))
           .otherwise(lit(null).cast("string")))
+    val passing = documents.join(
+      gated.filter(col("gate_reason").isNull).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val comp = Dedup.components(passing, threshold)
+      .select(col("doc_id"), col("comp").as("canonical_id"), col("comp_size"))
+    gated.join(comp, Seq("doc_id"), "left")
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .withColumn("drop_reason",
+        coalesce(col("gate_reason"),
+          when(!col("is_canonical"), lit("duplicate"))))
       .withColumn("keep", col("drop_reason").isNull)
       .select(col("doc_id"), col("predicted").as("lang"), col("quality_score"),
         col("canonical_id"), col("comp_size"), col("keep"), col("drop_reason"))

@@ -82,13 +82,15 @@ object Streaming {
           Incremental.updateQc(prev, raw, ref, meta, loW, hiW)
         case _ => QualityCheck.all(raw, ref, meta) // first import / new station init
       }).localCheckpoint(true) // eager: materialized before replacing prev
-      // release superseded caches — a long-running stream must not
-      // accumulate one pinned frame per micro-batch
+      // release superseded checkpoint blocks — a long-running stream
+      // must not accumulate one pinned frame per micro-batch. These
+      // frames are localCheckpoint'ed, so Dataset.unpersist would be a
+      // no-op; Checkpoints.release unpersists the backing RDD itself.
       val (oldStore, oldQc) = (store, qcFrame)
       store = Some(evts)
       qcFrame = Some(next)
-      oldStore.foreach(_.unpersist())
-      oldQc.foreach(_.unpersist())
+      oldStore.foreach(graft.core.Checkpoints.release)
+      oldQc.foreach(graft.core.Checkpoints.release)
       b.unpersist() // evts is checkpointed — independent of b's blocks
     }
 
@@ -172,8 +174,12 @@ object Streaming {
       val (oldStore, oldFrames) = (store, frames)
       store = Some(evts)
       frames = Some(next)
-      oldStore.foreach(_.unpersist())
-      oldFrames.foreach { case (a, c, d) => a.unpersist(); c.unpersist(); d.unpersist() }
+      oldStore.foreach(graft.core.Checkpoints.release)
+      oldFrames.foreach { case (a, c, d) =>
+        graft.core.Checkpoints.release(a)
+        graft.core.Checkpoints.release(c)
+        graft.core.Checkpoints.release(d)
+      }
       b.unpersist()
     }
 

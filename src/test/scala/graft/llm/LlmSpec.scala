@@ -155,6 +155,14 @@ class LlmSpec extends SparkSpec {
       // the other gates is kept — duplicates are dropped AS duplicates
       assert(out.filter(col("drop_reason") === "duplicate")
         .filter(col("doc_id") === col("canonical_id")).count() === 0)
+      // re-canonicalization: every cluster with >= 1 gate-passing member
+      // keeps exactly one representative (no all-dropped clusters), and
+      // gate-failed docs never reached dedup (NULL canonical_id)
+      assert(out.filter(col("keep")).count() ===
+        out.filter(col("canonical_id").isNotNull)
+          .select("canonical_id").distinct().count())
+      assert(out.filter(col("drop_reason").isin("lang", "quality") &&
+        col("canonical_id").isNotNull).count() === 0)
     } finally out.unpersist()
   }
 
