@@ -64,6 +64,15 @@ object TsQueries {
     * it in the timeseries table rather than recomputing per query. */
   private val memo = scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Drop this session's memoized kind frames. Benchmark hygiene: a
+    * timed re-run must recompute the real distributed plans rather
+    * than read the previous run's cache — clearing the memo between
+    * runs separates "the compute is fast" from "the cache is warm". */
+  def clearMemo(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(_.unpersist())
+    }
+
   /** Memoized + persisted base daily series (consumed by every QC rule
     * branch and several retrieval queries). */
   def rawDaily(s: SparkSession, d: String): DataFrame =
