@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
+import graft.text.TextFns._
 
 /** End-to-end corpus cleaning — the composition a training-data
   * pipeline actually runs over the operator library: language ID +
@@ -59,5 +60,49 @@ object Corpus {
       .withColumn("keep", col("drop_reason").isNull)
       .select(col("doc_id"), col("predicted").as("lang"), col("quality_score"),
         col("canonical_id"), col("comp_size"), col("keep"), col("drop_reason"))
+  }
+
+  /** Benchmark-contamination scan — flags training docs sharing any
+    * word-shingle with the held-out evaluation set (the n-gram-overlap
+    * decontamination step every serious training pipeline runs before
+    * a model sees the data). The eval set here is the deterministic
+    * `doc_id % evalMod == 0` slice standing in for an external
+    * benchmark suite.
+    *
+    * Scale shape: the eval side is a benchmark suite — thousands of
+    * docs against a 100 TB corpus — so its exploded shingle frame is
+    * broadcast and the scan over training shingles never shuffles; the
+    * per-doc aggregation is one keyed shuffle of the (rare) matches. */
+  def contamination(documents: DataFrame, evalMod: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val hashed = documents.select(col("doc_id"),
+      expr(shingleHashes("text")).as("hashes"))
+    val train = hashed.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), explode(col("hashes")).as("h"))
+    val eval = hashed.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("hashes")).as("h"))
+    train.join(broadcast(eval), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Deterministic train/val/test assignment by stable content-free
+    * hash of the doc id (8/1/1 buckets), reported as per-language split
+    * counts and shares — the reproducible corpus-split bookkeeping of a
+    * training run. A pure scan + one tiny aggregation; re-running on a
+    * grown corpus never reassigns an existing doc. */
+  def splitCounts(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .withColumn("bucket",
+        expr(s"${polyHash("concat('split:', cast(doc_id AS string))")} % 10"))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+      .withColumn("share", expr(
+        "round(n / cast(sum(n) OVER (PARTITION BY lang) AS double) + 1e-9, 6)"))
   }
 }

@@ -53,16 +53,19 @@ object LlmOracle {
     WITH $shCte, $sigCte
     SELECT id_a, id_b, n_bands FROM cand_pairs ORDER BY id_a, id_b"""
 
-  /** Exact Jaccard ≥ 0.5 pairs over hash_t — shared by the pair query
-    * and the components closure so a threshold/epsilon tweak can never
-    * make the two oracles disagree. */
-  private val jpairsBody: String = s"""
+  /** Exact Jaccard ≥ 0.5 pairs over a (doc_id, hashes) table — shared
+    * by the pair query, the components closure and the corpus-clean
+    * composition so a threshold/epsilon tweak can never make the
+    * oracles disagree. */
+  private def jpairsOver(t: String): String = s"""
     SELECT id_a, id_b, jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(len(list_intersect(a.hashes, b.hashes))::DOUBLE /
           (len(a.hashes) + len(b.hashes) - len(list_intersect(a.hashes, b.hashes))) + 1e-9, 6) AS jaccard
-      FROM hash_t a JOIN hash_t b ON a.doc_id < b.doc_id)
+      FROM $t a JOIN $t b ON a.doc_id < b.doc_id)
     WHERE jaccard >= 0.5"""
+
+  private val jpairsBody: String = jpairsOver("hash_t")
 
   /** Exact Jaccard pairs — the LSH+verify Spark path must equal this
     * (collision probability ≈ 1 − 1e-4 at the 0.5 threshold). */
@@ -198,6 +201,120 @@ object LlmOracle {
     FROM bg GROUP BY bigram
     ORDER BY n DESC, bigram LIMIT 20"""
 
+  val qTextRepetition: String = s"""
+    WITH tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM (
+        SELECT doc_id, unnest($toks) AS tok FROM documents)
+      GROUP BY 1, 2),
+    ts AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_c,
+        count(*) AS n_distinct
+      FROM tc GROUP BY 1),
+    bc AS (
+      SELECT doc_id, bigram, count(*) AS c FROM (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+          THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+          ELSE [] END) AS bigram
+        FROM (SELECT doc_id, $toks AS w FROM documents))
+      GROUP BY 1, 2),
+    bs AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_bg
+      FROM bc GROUP BY 1)
+    SELECT t.doc_id, t.n_tokens,
+      round(t.top_c / t.n_tokens::DOUBLE + 1e-9, 6) AS top_word_share,
+      round(1.0 - t.n_distinct / t.n_tokens::DOUBLE + 1e-9, 6) AS dup_word_share,
+      round(b.top_bg / b.n_bigrams::DOUBLE + 1e-9, 6) AS top_bigram_share
+    FROM ts t LEFT JOIN bs b USING (doc_id) ORDER BY t.doc_id"""
+
+  val qTextTfidf: String = s"""
+    WITH tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM (
+        SELECT doc_id, unnest($toks) AS tok FROM documents)
+      GROUP BY 1, 2),
+    nt AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens FROM tc GROUP BY 1),
+    dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tc GROUP BY 1),
+    nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      SELECT tc.doc_id, tc.tok, dfq.df,
+        round((tc.c / nt.n_tokens::DOUBLE) * ((nd.n_docs + 1.0) / (dfq.df + 1.0)) + 1e-9, 6) AS score
+      FROM tc JOIN nt USING (doc_id) JOIN dfq USING (tok) CROSS JOIN nd)
+    SELECT doc_id, rank, tok, score, df FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+      FROM scored)
+    WHERE rank <= 3 ORDER BY doc_id, rank"""
+
+  val qContamination: String = s"""
+    WITH $shCte,
+    tr AS (SELECT doc_id, unnest(hashes) AS h FROM hash_t WHERE doc_id % 20 != 0),
+    ev AS (SELECT doc_id AS eval_id, unnest(hashes) AS h FROM hash_t WHERE doc_id % 20 = 0)
+    SELECT doc_id, count(DISTINCT h) AS n_shared,
+      count(DISTINCT eval_id) AS n_eval_docs
+    FROM tr JOIN ev USING (h) GROUP BY 1 ORDER BY doc_id"""
+
+  val qCorpusSplit: String = s"""
+    WITH tagged AS (
+      SELECT lang, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT lang, ${ph("('split:' || doc_id::VARCHAR)")} % 10 AS b FROM documents)),
+    g AS (SELECT lang, split, count(*) AS n FROM tagged GROUP BY 1, 2)
+    SELECT lang, split, n,
+      round(n / (sum(n) OVER (PARTITION BY lang))::DOUBLE + 1e-9, 6) AS share
+    FROM g ORDER BY lang, split"""
+
+  /** Corpus.clean composition: langid + quality gates first, then the
+    * exact-Jaccard component closure over gate-PASSING docs only (the
+    * canonical representative is always a surviving doc). */
+  val qCorpusClean: String = {
+    val scores = Profiles.map { case (l, ws) =>
+      s"len(list_filter($toks, t -> list_contains(${profList(ws)}, t))) AS score_$l"
+    }.mkString(",\n        ")
+    val maxS = Profiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+    val pred = Profiles.map { case (l, _) =>
+      s"WHEN score_$l >= $maxS AND score_$l > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    val stop = s"len(list_filter($toks, t -> list_contains(${profList(Profiles.head._2)}, t)))::DOUBLE"
+    s"""
+    WITH RECURSIVE $shCte,
+    lang_s AS (SELECT doc_id, $scores FROM documents),
+    lang_p AS (SELECT doc_id, $pred AS predicted FROM lang_s),
+    qual_f AS (
+      SELECT doc_id, len($toks) AS n_tokens,
+        round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+          / length(text) + 1e-9, 6) AS punct_ratio,
+        round($stop / len($toks) + 1e-9, 6) AS stopword_ratio
+      FROM documents),
+    qual AS (
+      SELECT doc_id, round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) *
+        (0.5 + least(0.5, stopword_ratio * 2.0)) + 1e-9, 6) AS quality_score
+      FROM qual_f),
+    gated AS (
+      SELECT d.doc_id, l.predicted, q.quality_score,
+        CASE WHEN l.predicted != 'en' THEN 'lang'
+             WHEN q.quality_score < 0.2 THEN 'quality' END AS gate_reason
+      FROM documents d JOIN lang_p l USING (doc_id) JOIN qual q USING (doc_id)),
+    p_hash AS (
+      SELECT h.doc_id, h.hashes FROM hash_t h JOIN gated g USING (doc_id)
+      WHERE g.gate_reason IS NULL),
+    jp AS (${jpairsOver("p_hash")}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM gated WHERE gate_reason IS NULL
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY 1),
+    sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY 1)
+    SELECT g.doc_id, g.predicted AS lang, g.quality_score,
+      c.comp AS canonical_id, s.comp_size,
+      coalesce(g.gate_reason,
+        CASE WHEN g.doc_id != c.comp THEN 'duplicate' END) IS NULL AS keep,
+      coalesce(g.gate_reason,
+        CASE WHEN g.doc_id != c.comp THEN 'duplicate' END) AS drop_reason
+    FROM gated g LEFT JOIN comp c USING (doc_id)
+      LEFT JOIN sizes s ON s.comp = c.comp
+    ORDER BY g.doc_id"""
+  }
+
   val qMultimodalMeta: String = """
     SELECT doc_id,
       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -221,6 +338,11 @@ object LlmOracle {
     "q_text_tokens" -> qTextTokens,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_bigrams" -> qTextBigrams,
+    "q_text_repetition" -> qTextRepetition,
+    "q_text_tfidf" -> qTextTfidf,
+    "q_contamination" -> qContamination,
+    "q_corpus_split" -> qCorpusSplit,
+    "q_corpus_clean" -> qCorpusClean,
     "q_multimodal_meta" -> qMultimodalMeta)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

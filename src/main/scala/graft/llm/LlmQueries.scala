@@ -37,5 +37,14 @@ object LlmQueries {
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_bigrams" -> ((s, d) => TextAnalysis.topBigrams(docs(s, d))),
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTop(docs(s, d)).orderBy(col("doc_id"), col("rank"))),
+    "q_contamination" -> ((s, d) =>
+      Corpus.contamination(docs(s, d)).orderBy(col("doc_id"))),
+    "q_corpus_split" -> ((s, d) =>
+      Corpus.splitCounts(docs(s, d)).orderBy(col("lang"), col("split"))),
+    "q_corpus_clean" -> ((s, d) => Corpus.clean(docs(s, d)).orderBy(col("doc_id"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))))
 }

@@ -81,6 +81,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Gopher-style repetition signals per document — the classic
+    * quality gates for machine-generated / boilerplate text: share of
+    * the most frequent word, duplicate-word share, share of the most
+    * frequent bigram. Two keyed aggregations with map-side combine
+    * (token and bigram counts), embarrassingly parallel — the per-doc
+    * cardinality is bounded by doc length, so nothing skews at corpus
+    * scale. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val w = tokens("text")
+    val tokStats = documents.select(col("doc_id"), explode(expr(w)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"),
+        count(lit(1)).as("n_distinct"))
+    val big = s"CASE WHEN size($w) >= 2 THEN transform(sequence(0, size($w) - 2), " +
+      s"i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2))) ELSE array() END"
+    val bgStats = documents.select(col("doc_id"), explode(expr(big)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bg"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("round(top_c / cast(n_tokens AS double) + 1e-9, 6)").as("top_word_share"),
+        expr("round(1.0D - n_distinct / cast(n_tokens AS double) + 1e-9, 6)").as("dup_word_share"),
+        expr("round(top_bg / cast(n_bigrams AS double) + 1e-9, 6)").as("top_bigram_share"))
+  }
+
+  /** Top-k characteristic terms per document by TF-IDF with a rational
+    * idf `(N+1)/(df+1)` (log-free: ln() is the one primitive whose
+    * last-ulp behavior differs between engines, and ranking is
+    * invariant to the monotone transform). Corpus document frequency
+    * is one keyed aggregation; N is a broadcast 1-row frame, so the
+    * plan is scans + keyed shuffles and a per-doc top-k window —
+    * nothing global. Ties rank lexicographically for determinism. */
+  def tfidfTop(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = tokens("text")
+    val tc = documents.select(col("doc_id"), explode(expr(w)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val nt = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
+    val dfreq = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    tc.join(nt, Seq("doc_id")).join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr(
+        "round((c / cast(n_tokens AS double)) * ((n_docs + 1.0D) / (df + 1.0D)) + 1e-9, 6)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("score"), col("df"))
+  }
+
   /** Document fingerprints: whole-text polynomial hash plus the
     * min/max shingle hash (winnowing-style representative hashes). */
   def fingerprint(documents: DataFrame): DataFrame = {

@@ -136,6 +136,55 @@ class LlmSpec extends SparkSpec {
     assert(f0.feature.forall(v => v >= 0f && v < 1f))
   }
 
+  test("repetition signals flag the repetitive doc, not the diverse one") {
+    val rep = Seq(
+      (0L, "spam spam spam spam spam eggs", "en"),
+      (1L, "one two three four five six", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.repetition(rep).orderBy("doc_id").collect()
+    val spammy = out(0); val diverse = out(1)
+    assert(spammy.getAs[Long]("n_tokens") === 6L)
+    assert(spammy.getAs[Double]("top_word_share") > 0.8) // 5/6
+    assert(spammy.getAs[Double]("dup_word_share") > 0.6) // 1 - 2/6
+    assert(spammy.getAs[Double]("top_bigram_share") === 0.8) // 4/5 'spam spam'
+    assert(diverse.getAs[Double]("top_word_share") < 0.2)
+    assert(diverse.getAs[Double]("dup_word_share") === 0.0)
+  }
+
+  test("tfidf ranks a doc's distinctive term above corpus-common terms") {
+    val out = TextAnalysis.tfidfTop(docs, k = 3)
+      .filter($"doc_id" === 3L).orderBy("rank").collect()
+    // doc 3's terms are unique to it (df = 1) — its top term must NOT
+    // be one of the corpus-wide 'the/quick/brown...' vocabulary
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("df") === 1L))
+    // ranks are dense, deterministic and capped at k
+    assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to out.length))
+  }
+
+  test("contamination flags exactly the train docs sharing a shingle with the eval slice") {
+    // evalMod=2: evens are the benchmark, odds the training corpus.
+    // doc 1 (near-dup of eval doc 0) must be flagged; doc 3 shares no
+    // 3-shingle with any even doc and must not appear.
+    val out = Corpus.contamination(docs, evalMod = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.contains(1L))
+    assert(!out.contains(3L))
+  }
+
+  test("corpus split is deterministic, content-free and covers every doc") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Corpus.splitCounts(corpus).persist()
+    try {
+      assert(out.agg(sum($"n")).head.getLong(0) === corpus.count())
+      // per-language shares sum to ~1
+      val shares = out.groupBy("lang").agg(sum($"share").as("s")).collect()
+      assert(shares.forall(r => math.abs(r.getAs[Double]("s") - 1.0) < 1e-4))
+      // stable across runs (pure function of doc_id)
+      val again = Corpus.splitCounts(corpus)
+      assert(out.unionByName(again).distinct().count() === out.count())
+    } finally out.unpersist()
+  }
+
   test("corpus clean composes langid, quality and dedup into auditable keep flags") {
     val documents = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Corpus.clean(documents).persist()
