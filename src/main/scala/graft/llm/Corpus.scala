@@ -87,6 +87,26 @@ object Corpus {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** Deterministic per-language downsampling — mixture rebalancing by
+    * stable content-free hash: each doc keeps iff its hash bucket (of
+    * 1000) falls under its language's rate. Reproducible across runs
+    * and engines (no RNG), embarrassingly parallel (pure filter on a
+    * scan — the predicate pushes into the reader), and a grown corpus
+    * never flips an existing doc's decision.
+    *
+    * @param rates per-mill keep rate per language; absent → keep all */
+  def sample(documents: DataFrame, rates: Map[String, Int] = Map("en" -> 500)): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val rate = rates.foldLeft(lit(1000)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents
+      .withColumn("bucket",
+        expr(s"${polyHash("concat('sample:', cast(doc_id AS string))")} % 1000"))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Deterministic train/val/test assignment by stable content-free
     * hash of the doc id (8/1/1 buckets), reported as per-language split
     * counts and shares — the reproducible corpus-split bookkeeping of a

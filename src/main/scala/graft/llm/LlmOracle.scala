@@ -315,6 +315,50 @@ object LlmOracle {
     ORDER BY g.doc_id"""
   }
 
+  /** Deterministic k-means oracle: same seeding, fixed Lloyd rounds,
+    * quantized centroids, lowest-cid tiebreak as Cluster.kmeans. */
+  val qEmbedCluster: String = {
+    val k = 8; val iters = 2
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
+        s"i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def scoreCte(i: Int): String = s"""
+    s$i AS (
+      SELECT e.vec_id, c.cid,
+        ${dot("e.emb", "c.cvec")} / (sqrt(${dot("e.emb", "e.emb")}) * sqrt(${dot("c.cvec", "c.cvec")})) AS cos
+      FROM e CROSS JOIN c$i c),
+    a$i AS (
+      SELECT vec_id, cid AS cluster, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM s$i)
+      WHERE rn = 1)"""
+    def reestCte(i: Int): String = s"""
+    m$i AS (
+      SELECT cluster AS cid, i, round(avg(emb[i]) + 1e-9, 6) AS v FROM (
+        SELECT a$i.cluster, e.emb, unnest(range(1, len(e.emb) + 1)) AS i
+        FROM a$i JOIN e USING (vec_id))
+      GROUP BY 1, 2),
+    c${i + 1} AS (SELECT cid, list(v ORDER BY i) AS cvec FROM m$i GROUP BY cid)"""
+    val rounds = (0 until iters).map(i => scoreCte(i) + "," + reestCte(i)).mkString(",")
+    s"""
+    WITH e AS (
+      SELECT vec_id::BIGINT AS vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    c0 AS (SELECT vec_id::INT AS cid, emb AS cvec FROM e WHERE vec_id < $k),
+    $rounds,
+    ${scoreCte(iters)}
+    SELECT vec_id, cluster, round(cos + 1e-9, 6) AS cosine
+    FROM a$iters ORDER BY vec_id"""
+  }
+
+  val qCorpusSample: String = s"""
+    WITH b AS (
+      SELECT doc_id, lang, ${ph("('sample:' || doc_id::VARCHAR)")} % 1000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
+    ORDER BY doc_id"""
+
   val qMultimodalMeta: String = """
     SELECT doc_id,
       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -343,6 +387,8 @@ object LlmOracle {
     "q_contamination" -> qContamination,
     "q_corpus_split" -> qCorpusSplit,
     "q_corpus_clean" -> qCorpusClean,
+    "q_corpus_sample" -> qCorpusSample,
+    "q_embed_cluster" -> qEmbedCluster,
     "q_multimodal_meta" -> qMultimodalMeta)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.Dedup
-import graft.similarity.Ann
+import graft.similarity.{Ann, Cluster}
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
 
@@ -46,5 +46,7 @@ object LlmQueries {
     "q_corpus_split" -> ((s, d) =>
       Corpus.splitCounts(docs(s, d)).orderBy(col("lang"), col("split"))),
     "q_corpus_clean" -> ((s, d) => Corpus.clean(docs(s, d)).orderBy(col("doc_id"))),
+    "q_corpus_sample" -> ((s, d) => Corpus.sample(docs(s, d)).orderBy(col("doc_id"))),
+    "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))))
 }

@@ -1,0 +1,72 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for corpus curation (the SemDeDup /
+  * semantic-mixture-balancing step of a training-data pipeline):
+  * k-means over the embedding column, made fully deterministic so the
+  * DuckDB oracle can iterate to bit-identical centroids:
+  *
+  *  - centroids seeded from the k lowest vec_ids (content-free,
+  *    reproducible — no RNG);
+  *  - a FIXED number of Lloyd rounds (no convergence test whose float
+  *    comparison could diverge between engines);
+  *  - assignment by maximum cosine, ties broken toward the lowest
+  *    centroid id;
+  *  - re-estimated centroids quantized per dimension to 6 decimals
+  *    (`round(avg + 1e-9, 6)`) so the order-dependent partial-sum tail
+  *    of the mean never reaches the next round's comparisons — both
+  *    engines iterate on identical numbers (the repo-wide determinism
+  *    strategy, SURVEY §6).
+  *
+  * Scale shape: the centroid frame is k rows → broadcast; assignment
+  * is a map-side argmax over the scan (no shuffle of the vectors);
+  * re-estimation shuffles (cluster, dim, partial-sum) pairs with
+  * map-side combine — k·d cells regardless of corpus size. This is the
+  * textbook distributed k-means; iterations multiply the constant, not
+  * the shape. Dot products run through the native codegen'd
+  * `graft_dot` (index-order fold, mirrored by the oracle).
+  */
+object Cluster {
+
+  /** Per-vector cluster assignment after `iters` deterministic Lloyd
+    * rounds: (vec_id, cluster, cosine to its centroid). */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+
+    val cos = "graft_dot(emb, cvec) / (sqrt(graft_dot(emb, emb)) * sqrt(graft_dot(cvec, cvec)))"
+    // argmax cosine, ties -> lowest centroid id: max over (cos, -cid).
+    // The centroid side carries an explicit limit(k): semantically a
+    // no-op (the frame is ≤ k rows by construction), but it makes the
+    // broadcast side's bound STRUCTURAL, so the plan guard can prove
+    // this nested-loop join is k-bounded, not an O(n²) scale-killer.
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents.limit(k)))
+        .withColumn("cos", expr(cos))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("best"))
+        .select(col("vec_id"), (-col("best.negcid")).as("cluster"),
+          col("best.cos").as("cos"))
+
+    // per-dimension means, quantized; a cluster that lost every member
+    // drops out (identically on both engines)
+    def reestimate(assigned: DataFrame): DataFrame =
+      assigned.join(vecs, Seq("vec_id"))
+        .select(col("cluster").as("cid"), posexplode(col("emb")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col")) + lit(1e-9), 6).as("v"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)")
+          .as("cvec"))
+
+    var cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("emb").as("cvec"))
+    for (_ <- 1 to iters) cents = reestimate(assign(cents))
+    assign(cents)
+      .select(col("vec_id"), col("cluster"),
+        round(col("cos") + lit(1e-9), 6).as("cosine"))
+  }
+}

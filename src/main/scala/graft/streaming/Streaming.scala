@@ -189,6 +189,18 @@ object Streaming {
         .isEmpty
   }
 
+  /** Streaming ingest dedup — the streaming twin of q_ingest_dedup's
+    * keep-one-per-(station, ts) normalization: re-delivered raw
+    * imports (at-least-once sources, overlapping DWD files) are
+    * dropped while their key can still recur (within the watermark),
+    * so downstream incremental QC never double-counts an interval.
+    * State is bounded: dropDuplicatesWithinWatermark evicts keys once
+    * the event-time watermark passes them. */
+  def ingestDedup(streamEvents: DataFrame, lateness: String = "1 hour"): DataFrame =
+    streamEvents
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "ts"))
+
   case class StationEvent(user_id: Long, ts: Timestamp, value: Double)
   case class GapState(lastTs: Long)
   case class GapAlert(station_id: Long, gap_start: Timestamp, gap_hours: Double)

@@ -28,14 +28,19 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  /** A BNLJ is tolerated only for two reviewed shapes: a provably
+  /** A BNLJ is tolerated only for three reviewed shapes: a provably
     * scalar side (global aggregate, e.g. the 1-row period-bounds frame
-    * the dense grid joins) or the knn exactness-rescue join, marked
-    * structurally by its rescue_* columns (Neighbors.knnDistBucketed —
-    * registry-bounded broadcast with a vanishing probe side). */
+    * the dense grid joins), a side under an explicit constant LIMIT
+    * (e.g. the k-row centroid broadcast of Cluster.kmeans), or the knn
+    * exactness-rescue join, marked structurally by its rescue_* columns
+    * (Neighbors.knnDistBucketed — registry-bounded broadcast with a
+    * vanishing probe side). */
   private def allowedBnlj(j: BroadcastNestedLoopJoinExec): Boolean =
     j.children.exists(_.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+    }.nonEmpty) ||
+    j.children.exists(_.collectFirst {
+      case l: org.apache.spark.sql.execution.GlobalLimitExec => l
     }.nonEmpty) ||
     j.children.exists(_.output.exists(_.name.startsWith("rescue_")))
 

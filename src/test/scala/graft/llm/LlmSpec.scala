@@ -171,6 +171,21 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("corpus sample keeps all unrated languages and roughly the en rate") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = Corpus.sample(corpus, rates = Map("en" -> 500)).persist()
+    try {
+      val nonEn = corpus.filter($"lang" =!= "en").count()
+      assert(kept.filter($"lang" =!= "en").count() === nonEn)
+      val en = corpus.filter($"lang" === "en").count()
+      val enKept = kept.filter($"lang" === "en").count()
+      assert(enKept > 0 && enKept < en) // downsampled, not emptied
+      // decision is per-doc stable: resampling yields the identical set
+      val again = Corpus.sample(corpus, rates = Map("en" -> 500))
+      assert(kept.except(again).count() === 0 && again.except(kept).count() === 0)
+    } finally kept.unpersist()
+  }
+
   test("corpus split is deterministic, content-free and covers every doc") {
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Corpus.splitCounts(corpus).persist()

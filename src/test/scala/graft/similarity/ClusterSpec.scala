@@ -1,0 +1,41 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans groups by direction and is deterministic across runs") {
+    // two tight direction bundles + the two seeds (ids 0, 1) one in each
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(1.0f, 0.1f, 0.1f)),
+      (1L, Array(0.0f, 1.0f, 0.1f)),
+      (3L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.0f, 1.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Cluster.kmeans(embs, k = 2, iters = 2)
+    val byId = out.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(byId(0) === byId(2) && byId(0) === byId(4))
+    assert(byId(1) === byId(3) && byId(1) === byId(5))
+    assert(byId(0) !== byId(1))
+    // every member sits closer (in cosine) to its own centroid
+    assert(out.agg(min($"cosine")).head.getDouble(0) > 0.9)
+    // pure function of the input: bit-identical on a second run
+    val again = Cluster.kmeans(embs, k = 2, iters = 2)
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+  }
+
+  test("kmeans on the test corpus: every vector assigned once, k clusters max") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Cluster.kmeans(embs, k = 8, iters = 2).persist()
+    try {
+      assert(out.count() === embs.count())
+      assert(out.select("vec_id").distinct().count() === embs.count())
+      assert(out.select("cluster").distinct().count() <= 8)
+    } finally out.unpersist()
+  }
+}

@@ -114,6 +114,23 @@ class StreamingSpec extends SparkSpec {
       "corr diverged from full recompute on the affected range")
   }
 
+  test("streaming ingest dedup drops redelivered (station, ts) keys across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.ingestDedup(df).writeStream
+      .format("memory").queryName("ingest_dedup").outputMode("append").start()
+    input.addData((1L, ts(10), 1.0), (1L, ts(10), 1.0), (2L, ts(10), 5.0))
+    q.processAllAvailable()
+    input.addData((1L, ts(10), 99.0), (1L, ts(10, 30), 2.0)) // redelivery + new key
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ingest_dedup")
+      .select("user_id", "ts").as[(Long, Timestamp)].collect().toSeq
+    assert(out.size === 3, s"expected 3 unique keys, got $out")
+    assert(out.toSet === Set((1L, ts(10)), (2L, ts(10)), (1L, ts(10, 30))))
+  }
+
   test("gap detector emits alerts across micro-batches via state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Streaming.StationEvent]
