@@ -252,4 +252,17 @@ class LlmSpec extends SparkSpec {
       assert(got === expected)
     }
   }
+
+  test("pointer jumping collapses a 300-node chain within the round bound") {
+    import spark.implicits._
+    // plain O(diameter) min-label propagation would need 300 rounds and
+    // trip the 50-round bound; path doubling needs ~log2(300) ≈ 9
+    val n = 300L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val got = graft.dedup.Dedup.componentsFromPairs(
+        (0L until n).toDF("doc_id"), chain.toDF("id_a", "id_b"))
+      .select("doc_id", "comp").as[(Long, Long)].collect()
+    assert(got.length === n)
+    assert(got.forall(_._2 === 0L), "every chain node must label to the minimum id")
+  }
 }
