@@ -315,9 +315,49 @@ object LlmOracle {
     ORDER BY g.doc_id"""
   }
 
-  /** Deterministic k-means oracle: same seeding, fixed Lloyd rounds,
-    * quantized centroids, lowest-cid tiebreak as Cluster.kmeans. */
-  val qEmbedCluster: String = {
+  val qTextDupngrams: String = s"""
+    WITH $shCte,
+    ex AS (SELECT doc_id, unnest(hashes) AS h FROM hash_t),
+    dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY 1),
+    per AS (
+      SELECT ex.doc_id, count(*) AS n_shingles,
+        sum(CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+      FROM ex JOIN dfq USING (h) GROUP BY 1)
+    SELECT d.doc_id,
+      coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+      coalesce(p.n_dup, 0)::BIGINT AS n_dup,
+      round(coalesce(p.n_dup, 0) / coalesce(p.n_shingles, 0)::DOUBLE + 1e-9, 6) AS dup_share
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id"""
+
+  val qPackSequences: String = s"""
+    WITH t AS (
+      SELECT doc_id, lang, len($toks) AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT lang, ((cum - n_tokens) // 256)::BIGINT AS bin,
+      count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2 ORDER BY lang, bin"""
+
+  val qCorpusStats: String = s"""
+    WITH t AS (SELECT lang, len($toks) AS n_tokens FROM documents)
+    SELECT lang, count(*) AS n_docs,
+      round(avg(n_tokens) + 1e-9, 6) AS mean_tokens,
+      round(quantile_cont(n_tokens, 0.25) + 1e-9, 6) AS p25_tokens,
+      round(quantile_cont(n_tokens, 0.5) + 1e-9, 6) AS p50_tokens,
+      round(quantile_cont(n_tokens, 0.75) + 1e-9, 6) AS p75_tokens,
+      min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+    FROM t GROUP BY 1 ORDER BY lang"""
+
+  /** Deterministic k-means CTE chain (same seeding, fixed Lloyd
+    * rounds, quantized centroids, lowest-cid tiebreak as
+    * Cluster.kmeans); yields (cte block, final assignment table) so
+    * the cluster and outlier oracles share one body. */
+  private def kmeansCtes: (String, String) = {
     val k = 8; val iters = 2
     def dot(a: String, b: String): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
@@ -340,15 +380,39 @@ object LlmOracle {
       GROUP BY 1, 2),
     c${i + 1} AS (SELECT cid, list(v ORDER BY i) AS cvec FROM m$i GROUP BY cid)"""
     val rounds = (0 until iters).map(i => scoreCte(i) + "," + reestCte(i)).mkString(",")
-    s"""
-    WITH e AS (
+    (s"""
+    e AS (
       SELECT vec_id::BIGINT AS vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
       FROM embeddings),
     c0 AS (SELECT vec_id::INT AS cid, emb AS cvec FROM e WHERE vec_id < $k),
     $rounds,
-    ${scoreCte(iters)}
+    ${scoreCte(iters)}""", s"a$iters")
+  }
+
+  val qEmbedCluster: String = {
+    val (ctes, fin) = kmeansCtes
+    s"""
+    WITH $ctes
     SELECT vec_id, cluster, round(cos + 1e-9, 6) AS cosine
-    FROM a$iters ORDER BY vec_id"""
+    FROM $fin ORDER BY vec_id"""
+  }
+
+  /** Outlier pruning on the kmeans assignment: rank over the QUANTIZED
+    * cosine (vec_id tiebreak), integer 10%-cutoff — mirrors
+    * Cluster.outliers. */
+  val qEmbedOutliers: String = {
+    val (ctes, fin) = kmeansCtes
+    s"""
+    WITH $ctes,
+    q AS (SELECT vec_id, cluster, round(cos + 1e-9, 6) AS cosine FROM $fin),
+    r AS (
+      SELECT vec_id, cluster, cosine,
+        row_number() OVER (PARTITION BY cluster ORDER BY cosine ASC, vec_id) AS rank_far,
+        count(*) OVER (PARTITION BY cluster) AS n_cluster
+      FROM q)
+    SELECT vec_id, cluster, cosine, rank_far, n_cluster,
+      rank_far * 10 <= n_cluster AS is_outlier
+    FROM r ORDER BY vec_id"""
   }
 
   val qCorpusSample: String = s"""
@@ -384,6 +448,10 @@ object LlmOracle {
     "q_text_bigrams" -> qTextBigrams,
     "q_text_repetition" -> qTextRepetition,
     "q_text_tfidf" -> qTextTfidf,
+    "q_text_dupngrams" -> qTextDupngrams,
+    "q_pack_sequences" -> qPackSequences,
+    "q_corpus_stats" -> qCorpusStats,
+    "q_embed_outliers" -> qEmbedOutliers,
     "q_contamination" -> qContamination,
     "q_corpus_split" -> qCorpusSplit,
     "q_corpus_clean" -> qCorpusClean,

@@ -41,6 +41,14 @@ object LlmQueries {
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(docs(s, d)).orderBy(col("doc_id"), col("rank"))),
+    "q_text_dupngrams" -> ((s, d) =>
+      TextAnalysis.dupNgrams(docs(s, d)).orderBy(col("doc_id"))),
+    "q_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(docs(s, d)).orderBy(col("lang"), col("bin"))),
+    "q_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(docs(s, d)).orderBy(col("lang"))),
+    "q_embed_outliers" -> ((s, d) =>
+      Cluster.outliers(embs(s, d)).orderBy(col("vec_id"))),
     "q_contamination" -> ((s, d) =>
       Corpus.contamination(docs(s, d)).orderBy(col("doc_id"))),
     "q_corpus_split" -> ((s, d) =>

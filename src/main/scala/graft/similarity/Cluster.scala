@@ -69,4 +69,24 @@ object Cluster {
       .select(col("vec_id"), col("cluster"),
         round(col("cos") + lit(1e-9), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic outlier pruning on top of [[kmeans]]: in
+    * each cluster, the 10% of vectors farthest from their centroid
+    * (lowest cosine) are flagged. Ranking runs over the QUANTIZED
+    * cosine with a vec_id tiebreak, and the 10%-cutoff is integer
+    * arithmetic (`rank·10 ≤ cluster size`) — no float boundary can
+    * disagree between engines. Per-cluster window over the k-bounded
+    * assignment frame; nothing global. */
+  def outliers(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = kmeans(embeddings, k, iters)
+    val w = Window.partitionBy(col("cluster"))
+    assigned
+      .withColumn("rank_far", row_number().over(
+        w.orderBy(col("cosine").asc, col("vec_id"))))
+      .withColumn("n_cluster", count(lit(1)).over(w))
+      .withColumn("is_outlier", col("rank_far") * 10 <= col("n_cluster"))
+      .select(col("vec_id"), col("cluster"), col("cosine"),
+        col("rank_far"), col("n_cluster"), col("is_outlier"))
+  }
 }

@@ -133,6 +133,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("tok"), col("score"), col("df"))
   }
 
+  /** Duplicated-ngram share per document (RefinedWeb/Dolma-style
+    * boilerplate signal): the fraction of a doc's distinct word-3-gram
+    * shingles that occur in more than one corpus document. One keyed
+    * aggregation for corpus shingle frequency, one keyed join back —
+    * the same two-shuffle shape as tf-idf; per-doc shingle sets are
+    * already distinct, so `count(*)` per hash IS the document
+    * frequency. Docs under 3 words have no shingles → NULL share. */
+  def dupNgrams(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val ex = documents.select(col("doc_id"),
+      explode(expr(shingleHashes("text"))).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val per = ex.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+    documents.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        expr("round(n_dup / cast(n_shingles AS double) + 1e-9, 6)").as("dup_share"))
+  }
+
+  /** Concat-and-chunk sequence packing bookkeeping (the GPT-style
+    * pre-training batching step): per language, documents are laid out
+    * in doc_id order and cut into fixed token-budget bins; a doc's bin
+    * is the bin of its starting offset. Per (lang, bin): doc count,
+    * token sum, id range. The running-offset window is partition-local
+    * per language; at corpus scale the partition key becomes
+    * (lang, shard) with per-shard offsets — the layout stays
+    * deterministic and the window never goes global. */
+  def packSequences(documents: DataFrame, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("lang"), expr(s"size(${tokens("text")})").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"cast((cum - n_tokens) div $budget AS bigint)"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Per-language corpus statistics: doc count, mean and exact
+    * interpolated quartiles of the whitespace token count. Exact
+    * percentiles are not partial-aggregatable — at 100 TB swap in
+    * approx_percentile; the oracle-gated exact form pins the
+    * cross-engine interpolation semantics (index p·(n−1), linear). */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), expr(s"size(${tokens("text")})").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("round(avg(n_tokens) + 1e-9, 6)").as("mean_tokens"),
+        expr("round(percentile(n_tokens, 0.25D) + 1e-9, 6)").as("p25_tokens"),
+        expr("round(percentile(n_tokens, 0.5D) + 1e-9, 6)").as("p50_tokens"),
+        expr("round(percentile(n_tokens, 0.75D) + 1e-9, 6)").as("p75_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
   /** Document fingerprints: whole-text polynomial hash plus the
     * min/max shingle hash (winnowing-style representative hashes). */
   def fingerprint(documents: DataFrame): DataFrame = {

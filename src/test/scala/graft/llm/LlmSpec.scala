@@ -230,6 +230,42 @@ class LlmSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("duplicated-ngram share is 1 for exact dups, 0 for unique docs") {
+    val out = TextAnalysis.dupNgrams(docs)
+      .select("doc_id", "dup_share").as[(Long, Double)].collect().toMap
+    assert(out(0L) === 1.0) // identical twin doc 4 duplicates every shingle
+    assert(out(4L) === 1.0)
+    assert(out(3L) === 0.0) // unique wording
+    assert(out(2L) === 0.0)
+    assert(out(1L) > 0.0 && out(1L) < 1.0) // near-dup: most but not all shingles shared
+  }
+
+  test("sequence packing bins are contiguous per language with conserved tokens") {
+    val five = "a b c d e" // 5 whitespace tokens
+    val pdocs = (0L until 6L).map(i => (i, five, "en")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.packSequences(pdocs, budget = 10)
+      .orderBy("bin").collect()
+    // starts at offsets 0,5,10,...,25 -> bins 0,0,1,1,2,2
+    assert(out.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"))).toSeq
+      === Seq((0L, 2L), (1L, 2L), (2L, 2L)))
+    assert(out.map(_.getAs[Long]("bin_tokens")).sum === 30L)
+    assert(out.head.getAs[Long]("first_doc") === 0L)
+    assert(out.last.getAs[Long]("last_doc") === 5L)
+  }
+
+  test("corpus stats quartiles use linear interpolation over token counts") {
+    val sdocs = Seq(
+      (0L, "a", "en"), (1L, "a b", "en"), (2L, "a b c", "en"), (3L, "a b c d", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.corpusStats(sdocs).collect().head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Double]("p25_tokens") === 1.75)
+    assert(r.getAs[Double]("p50_tokens") === 2.5)
+    assert(r.getAs[Double]("p75_tokens") === 3.25)
+    assert(r.getAs[Int]("min_tokens") === 1)
+    assert(r.getAs[Int]("max_tokens") === 4)
+  }
+
   test("label propagation equals a union-find model on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

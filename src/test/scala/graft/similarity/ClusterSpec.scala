@@ -38,4 +38,26 @@ class ClusterSpec extends SparkSpec {
       assert(out.select("cluster").distinct().count() <= 8)
     } finally out.unpersist()
   }
+
+  test("outliers flag exactly the farthest tenth of each cluster") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Cluster.outliers(embs).persist()
+    try {
+      assert(out.count() === embs.count())
+      // per cluster: flagged count == n/10 (integer cutoff), and every
+      // flagged cosine <= every kept cosine
+      val perCluster = out.groupBy($"cluster")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"is_outlier", 1L).otherwise(0L)).as("flagged"),
+          max(when($"is_outlier", $"cosine")).as("worst_kept_out"),
+          min(when(!$"is_outlier", $"cosine")).as("best_kept_in"))
+        .collect()
+      perCluster.foreach { r =>
+        assert(r.getAs[Long]("flagged") === r.getAs[Long]("n") / 10)
+        val out0 = Option(r.getAs[java.lang.Double]("worst_kept_out"))
+        val in0 = Option(r.getAs[java.lang.Double]("best_kept_in"))
+        for (o <- out0; i <- in0) assert(o <= i)
+      }
+    } finally out.unpersist()
+  }
 }
