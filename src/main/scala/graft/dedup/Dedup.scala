@@ -375,10 +375,15 @@ object Dedup {
     val b = sigs.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
       col("nrm").as("nb"), col("band"), col("sig"))
     val dot = "graft_dot(va, vb)"
+    // score at the collision site, THEN dedup multi-band collisions as
+    // a scalar hash aggregate: every collision of a pair computes the
+    // identical cosine, so min() is exact — and the dedup shuffle moves
+    // (id, id, cosine) triples instead of embedding arrays (at corpus
+    // scale the post-join dedup is the big exchange; d-dimensional
+    // payloads there would multiply it by the vector width)
     a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", round(expr(dot) / (col("na") * col("nb")) + lit(1e-9), 6))
+      .groupBy(col("id_a"), col("id_b")).agg(min(col("cosine")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
