@@ -19,5 +19,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_overlap"),
+      new ExpressionInfo(classOf[SortedOverlap].getName, "graft_sorted_overlap"),
+      (args: Seq[Expression]) => SortedOverlap(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (args: Seq[Expression]) => CharEntropy(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "graft_hyperplane_bands"),
+      (args: Seq[Expression]) => HyperplaneBands(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -331,6 +331,55 @@ object HyperplaneBands {
   }
 }
 
+/** Shannon entropy (bits) of a text's code-point distribution:
+  * H = −Σ (c/n)·log2(c/n) over per-code-point counts — the classic
+  * character-entropy quality signal (gibberish and boilerplate sit at
+  * the distribution's tails). Summed in ascending code-point order so
+  * the result is deterministic across runs; one generated-code loop
+  * per row, no shuffle (the corpus-wide alternative — explode every
+  * character and groupBy — would shuffle the whole corpus text). */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"char_entropy needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.entropy(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropy.entropy($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  /** Referenced from generated code. Empty text → 0.0. */
+  def entropy(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    h
+  }
+}
+
 object GraftFunctions {
   /** Register the graft SQL functions on a session (idempotent), so
     * expression strings can call graft_polyhash / graft_minhash_sig /
@@ -348,6 +397,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => SortedOverlap(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProduct(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_entropy",
+      (args: Seq[Expression]) => CharEntropy(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_bands",
       (args: Seq[Expression]) => HyperplaneBands(args.head,
         args(1).eval().asInstanceOf[Number].intValue(),

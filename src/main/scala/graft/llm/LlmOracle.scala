@@ -190,6 +190,27 @@ object LlmOracle {
     FROM documents d JOIN hash_t h ON d.doc_id = h.doc_id
     ORDER BY d.doc_id"""
 
+  /** Shannon entropy of the per-doc code-point distribution — the
+    * Spark side folds counts in ascending code-point order inside one
+    * generated loop; summation-order drift is absorbed by the +1e-9
+    * round-6 convention. */
+  val qTextEntropy: String = """
+    WITH chars AS (
+      SELECT doc_id, substring(text, i, 1) AS ch
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+    freq AS (
+      SELECT doc_id, ch, count(*)::DOUBLE AS c FROM chars GROUP BY 1, 2),
+    ent AS (
+      SELECT f.doc_id,
+        round(-sum((f.c / t.n) * log2(f.c / t.n)) + 1e-9, 6) AS entropy
+      FROM freq f JOIN (SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1) t
+        USING (doc_id)
+      GROUP BY f.doc_id)
+    SELECT d.doc_id, length(d.text) AS n_chars,
+      coalesce(e.entropy, 0.0) AS entropy
+    FROM documents d LEFT JOIN ent e USING (doc_id)
+    ORDER BY d.doc_id"""
+
   val qTextBigrams: String = s"""
     WITH sw AS (SELECT doc_id, $toks AS w FROM documents),
     bg AS (
@@ -445,6 +466,7 @@ object LlmOracle {
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_entropy" -> qTextEntropy,
     "q_text_bigrams" -> qTextBigrams,
     "q_text_repetition" -> qTextRepetition,
     "q_text_tfidf" -> qTextTfidf,

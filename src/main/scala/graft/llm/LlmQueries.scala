@@ -36,6 +36,8 @@ object LlmQueries {
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_bigrams" -> ((s, d) => TextAnalysis.topBigrams(docs(s, d))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),

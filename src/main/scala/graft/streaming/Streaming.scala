@@ -14,7 +14,10 @@ import java.sql.Timestamp
   * streaming paths share the logical plan shape and are covered by
   * MemoryStream tests.
   */
-object Streaming {
+// Serializable: the sessionizer's state closure calls the module's
+// micros/tsOf/emit helpers, so executors deserialize the (stateless)
+// module reference along with the closure
+object Streaming extends Serializable {
 
   /** Tumbling 6h windowed aggregation with a 1h watermark: counts and
     * value sums per (window, event_type). */
@@ -204,6 +207,76 @@ object Streaming {
   case class StationEvent(user_id: Long, ts: Timestamp, value: Double)
   case class GapState(lastTs: Long)
   case class GapAlert(station_id: Long, gap_start: Timestamp, gap_hours: Double)
+
+  case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  case class SessState(sessionIdx: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class Session(station_id: Long, session_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, sum_value: Double, duration_s: Double)
+
+  private def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** Streaming sessionization — the streaming twin of
+    * Aggregate.sessionize: per-station event runs gap-split at
+    * `gapMinutes` of event-time silence. A session is emitted once the
+    * WATERMARK passes its end + gap (EventTimeTimeout), i.e. when no
+    * in-order event can extend it anymore; `session_id` is the same
+    * 0-based per-station counter the batch cumulative-sum produces, so
+    * on identical input the emitted rows equal the batch frame
+    * value-for-value (asserted in StreamingSpec).
+    *
+    * Scale: state is one fixed-size [[SessState]] per ACTIVE station —
+    * closed sessions leave the store immediately, and a station silent
+    * past the watermark times out and frees its slot; the only shuffle
+    * is the groupByKey hash exchange on station id. */
+  def sessionizeStream(events: Dataset[SessEvent], gapMinutes: Int = 30,
+      lateness: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def emit(uid: Long, s: SessState): Session =
+      Session(uid, s.sessionIdx, tsOf(s.startUs), tsOf(s.lastUs), s.n,
+        math.round((s.sum + 1e-9) * 1000) / 1000.0,
+        math.round(((s.lastUs - s.startUs) / 1e6 + 1e-9) * 1000) / 1000.0)
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(emit(uid, closed))
+          } else {
+            // within a micro-batch, order by (ts, event_id) — the same
+            // tiebreaker the batch window uses for duplicate timestamps
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption
+            sorted.foreach { e =>
+              val ts = micros(e.ts)
+              st = st match {
+                case Some(s) if ts - s.lastUs > gapUs =>
+                  out += emit(uid, s)
+                  Some(SessState(s.sessionIdx + 1, ts, ts, 1, e.value))
+                case Some(s) =>
+                  Some(SessState(s.sessionIdx, s.startUs, math.max(s.lastUs, ts),
+                    s.n + 1, s.sum + e.value))
+                case None => Some(SessState(0, ts, ts, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // close once the watermark passes session_end + gap
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60000L)
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** Stateful gap detector: emits an alert when a station goes silent
     * for more than `maxGapHours` between consecutive events —

@@ -194,6 +194,20 @@ object TextAnalysis {
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"))
 
+  /** Character-entropy quality signal: Shannon entropy (bits) of each
+    * document's code-point distribution — low entropy flags repeated-
+    * character boilerplate, high entropy flags binary-ish gibberish.
+    * One native generated-code loop per row (graft.functions
+    * .CharEntropy) — an embarrassingly parallel scan; the corpus-wide
+    * alternative (explode chars + groupBy) would shuffle the entire
+    * corpus text. */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(col("doc_id"),
+      length(col("text")).as("n_chars"),
+      expr("round(graft_char_entropy(text) + 1e-9, 6)").as("entropy"))
+  }
+
   /** Document fingerprints: whole-text polynomial hash plus the
     * min/max shingle hash (winnowing-style representative hashes). */
   def fingerprint(documents: DataFrame): DataFrame = {

@@ -161,6 +161,23 @@ object Aggregate {
         count(when(col("diff") >= 10, lit(1))).as("holes_ge_10"))
   }
 
+  /** Rolling k-day statistics of the filled series per station —
+    * running means/extremes over the trailing window (climatology
+    * smoothing, antecedent-index precursors). All four aggregates
+    * share ONE window spec, so the plan is a single Window node: one
+    * hash shuffle on station_id plus a per-partition sort by day —
+    * the same shape as the QC window rules, no second shuffle, and
+    * the trailing-rows frame keeps state O(k) per partition. */
+  def rollingStats(filledSeries: DataFrame, k: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    filledSeries.select(col("station_id"), col("day"), col("filled"))
+      .withColumn("roll_mean", round(avg(col("filled")).over(w) + lit(1e-9), 6))
+      .withColumn("roll_min", min(col("filled")).over(w))
+      .withColumn("roll_max", max(col("filled")).over(w))
+      .withColumn("roll_n", count(col("filled")).over(w))
+  }
+
   /** Sessionization: consecutive events of a station gap-split at
     * `gapMinutes` of silence; one row per session with bounds, counts
     * and value sum. The batch twin of the streaming gap detector

@@ -238,6 +238,37 @@ object Fillup {
       .drop("cand")
   }
 
+  /** Inverse-distance-weighted regionalization fill: every unfilled
+    * (station, day) slot gets `sum(qc_nb / d²) / sum(1 / d²)` over the
+    * k nearest neighbors with data that day — classic IDW
+    * interpolation, the distance-based alternative to the reference's
+    * single-donor regionalized fill (the reference regionalizes
+    * through raster multi-annual fields; IDW interpolates on the
+    * station set itself). `n_donors` records how many neighbors
+    * contributed to a filled slot.
+    *
+    * Scale shape is the same as [[fillNeighbor]]'s candidate stage:
+    * NULL-slot frame × broadcast knn map, one equi-join of the
+    * non-NULL series on (nb_id, day), then a partial-aggregatable hash
+    * aggregate on the slot key — no window, no sort, volume
+    * proportional to NULL-share × k. */
+  def fillIdw(qcSeries: DataFrame, meta: DataFrame, k: Int = FillK): DataFrame = {
+    val knn = Neighbors.knnDistBucketed(meta, k)
+      .select(col("station_id"), col("nb_id"), col("dist"))
+    val wgt = lit(1.0) / (col("dist") * col("dist"))
+    val est = nullSlots(qcSeries)
+      .join(broadcast(knn), Seq("station_id"))
+      .join(qcSeries.filter(col("qc").isNotNull)
+        .select(col("station_id").as("nb_id"), col("day"), col("qc").as("nb_qc")), Seq("nb_id", "day"))
+      .groupBy(col("station_id"), col("day"))
+      .agg(round(sum(col("nb_qc") * wgt) / sum(wgt) + lit(1e-9), 2).as("idw"),
+        count(lit(1)).as("nd"))
+    qcSeries.join(est, Seq("station_id", "day"), "left")
+      .withColumn("filled", coalesce(col("qc"), col("idw")))
+      .withColumn("n_donors", when(col("qc").isNull, col("nd")).otherwise(lit(null)))
+      .drop("idw", "nd")
+  }
+
   /** Share of gap-filled values per aggregation group
     * (StationBases.py:2577-2579 filled_share). */
   def filledShare(filledSeries: DataFrame): DataFrame =

@@ -251,6 +251,40 @@ object TsOracle {
     SELECT station_id, day, raw, qc, filled, filled_by
     FROM filled_s ORDER BY station_id, day""")
 
+  /** IDW fill: weights from the SAME rounded dist the Spark knn frame
+    * exposes (round(sqrt(d2)+1e-9, 6)), so both engines weight with
+    * bit-identical operands. */
+  val qFillIdw: String = s"""
+    WITH $world,
+    $qcAllCte,
+    knn_d AS (
+      SELECT station_id, nb_id, round(sqrt(d2) + 1e-9, 6) AS dist FROM (
+        SELECT station_id, nb_id, d2,
+          row_number() OVER (PARTITION BY station_id ORDER BY d2, nb_id) AS rank
+        FROM pairs) WHERE rank <= $FillK),
+    idw_est AS (
+      SELECT n.station_id, s.day,
+        round(sum(s.qc / (n.dist * n.dist)) / sum(1.0 / (n.dist * n.dist)) + 1e-9, 2) AS idw,
+        count(*) AS nd
+      FROM knn_d n JOIN qc_all s ON s.station_id = n.nb_id AND s.qc IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT q.station_id, q.day, q.qc,
+      coalesce(q.qc, c.idw) AS filled,
+      CASE WHEN q.qc IS NULL THEN c.nd END AS n_donors
+    FROM qc_all q LEFT JOIN idw_est c USING (station_id, day)
+    ORDER BY q.station_id, q.day"""
+
+  val qRollingStats: String = withFill(s"""
+    SELECT station_id, day, filled,
+      round(avg(filled) OVER w + 1e-9, 6) AS roll_mean,
+      min(filled) OVER w AS roll_min,
+      max(filled) OVER w AS roll_max,
+      count(filled) OVER w AS roll_n
+    FROM filled_s
+    WINDOW w AS (PARTITION BY station_id ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY station_id, day""")
+
   val qFillSeasonal: String = s"""
     WITH $world,
     $qcAllCte,
@@ -733,6 +767,8 @@ object TsOracle {
     "q_fill_additive" -> qFillAdditive,
     "q_fill_interp" -> qFillInterp,
     "q_fill_share" -> qFillShare,
+    "q_fill_idw" -> qFillIdw,
+    "q_rolling_stats" -> qRollingStats,
     "q_ma_timeseries" -> qMaTimeseries,
     "q_ma_seasonal" -> qMaSeasonal,
     "q_quotient_kinds" -> qQuotientKinds,

@@ -138,6 +138,15 @@ object TsQueries {
   def qFillShare(s: SparkSession, d: String): DataFrame =
     Fillup.filledShare(filledSeries(s, d)).orderBy(col("station_id"), col("month"))
 
+  def qFillIdw(s: SparkSession, d: String): DataFrame =
+    Fillup.fillIdw(qcAll(s, d), meta(s, d))
+      .select("station_id", "day", "qc", "filled", "n_donors")
+      .orderBy(col("station_id"), col("day"))
+
+  def qRollingStats(s: SparkSession, d: String): DataFrame =
+    Aggregate.rollingStats(filledSeries(s, d))
+      .orderBy(col("station_id"), col("day"))
+
   def qMaTimeseries(s: SparkSession, d: String): DataFrame =
     MultiAnnual.maTimeseries(filledSeries(s, d)).orderBy(col("station_id"), col("kind"))
 
@@ -223,6 +232,8 @@ object TsQueries {
     "q_fill_additive" -> (qFillAdditive _),
     "q_fill_interp" -> (qFillInterp _),
     "q_fill_share" -> (qFillShare _),
+    "q_fill_idw" -> (qFillIdw _),
+    "q_rolling_stats" -> (qRollingStats _),
     "q_ma_timeseries" -> (qMaTimeseries _),
     "q_ma_seasonal" -> (qMaSeasonal _),
     "q_quotient_kinds" -> (qQuotientKinds _),

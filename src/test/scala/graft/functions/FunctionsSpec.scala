@@ -44,7 +44,23 @@ class FunctionsSpec extends SparkSpec {
     assert(out === Seq(None, None, None, None))
   }
 
-  test("extensions class injects both functions without error") {
+  test("char entropy matches hand-computed distributions") {
+    // "aab": p(a)=2/3, p(b)=1/3 -> H = -(2/3)log2(2/3) - (1/3)log2(1/3)
+    val expected = -(2.0 / 3) * (math.log(2.0 / 3) / math.log(2)) -
+      (1.0 / 3) * (math.log(1.0 / 3) / math.log(2))
+    assert(math.abs(CharEntropy.entropy("aab") - expected) < 1e-12)
+    assert(CharEntropy.entropy("") === 0.0)
+    assert(CharEntropy.entropy("aaaa") === 0.0) // single symbol: no surprise
+    assert(CharEntropy.entropy("ab") === 1.0)   // uniform over 2 symbols: 1 bit
+    // supplementary code points count as ONE symbol each
+    assert(CharEntropy.entropy("😀😀") === 0.0)
+    GraftFunctions.register(spark)
+    val viaSql = Seq("aab").toDF("s")
+      .select(expr("graft_char_entropy(s)").as("h")).head.getDouble(0)
+    assert(math.abs(viaSql - expected) < 1e-12)
+  }
+
+  test("extensions class injects every graft function without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 }

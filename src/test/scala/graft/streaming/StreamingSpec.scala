@@ -131,6 +131,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet === Set((1L, ts(10)), (2L, ts(10)), (1L, ts(10, 30))))
   }
 
+  test("streaming sessionization equals the batch sessionize frame on closed sessions") {
+    implicit val sc = spark.sqlContext
+    // two stations, three sessions: station 1 splits at an hour of
+    // silence (gap > 30 min); station 2 has one session spanning
+    // batches. Values chosen binary-exact so sums compare exactly.
+    val real = Seq(
+      Streaming.SessEvent(1L, 1L, ts(0, 0), 1.5),
+      Streaming.SessEvent(1L, 2L, ts(0, 10), 2.25),
+      Streaming.SessEvent(1L, 3L, ts(0, 20), 0.5),
+      Streaming.SessEvent(2L, 4L, ts(0, 5), 4.0),
+      // batch 2 (continues station 2's session, opens station 1's 2nd)
+      Streaming.SessEvent(1L, 5L, ts(2, 0), 3.0),
+      Streaming.SessEvent(1L, 6L, ts(2, 15), 1.0),
+      Streaming.SessEvent(2L, 7L, ts(0, 25), 0.25))
+    val input = MemoryStream[Streaming.SessEvent]
+    val q = Streaming.sessionizeStream(input.toDS()).writeStream
+      .format("memory").queryName("sess").outputMode("append").start()
+    input.addData(real.take(4): _*); q.processAllAvailable()
+    input.addData(real.drop(4): _*); q.processAllAvailable()
+    // two watermark-advancing sentinel batches: the first raises the
+    // watermark past every open session's end + gap, the second forces
+    // the batch in which those timeouts actually fire
+    input.addData(Streaming.SessEvent(999L, 8L, ts(8, 0), 0.0)); q.processAllAvailable()
+    input.addData(Streaming.SessEvent(999L, 9L, ts(9, 0), 0.0)); q.processAllAvailable()
+    val out = spark.table("sess").filter(col("station_id") =!= 999)
+      .select("station_id", "session_id", "session_start", "session_end",
+        "n_events", "sum_value", "duration_s")
+      .as[(Long, Long, Timestamp, Timestamp, Long, Double, Double)]
+      .collect().toSeq.sorted
+    q.stop()
+    val batchDf = real.map(e => (e.event_id, e.ts, e.user_id, "click", e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = graft.tsdb.Aggregate.sessionize(batchDf)
+      .select("station_id", "session_id", "session_start", "session_end",
+        "n_events", "sum_value", "duration_s")
+      .as[(Long, Long, Timestamp, Timestamp, Long, Double, Double)]
+      .collect().toSeq.sorted
+    assert(out === expected)
+  }
+
   test("gap detector emits alerts across micro-batches via state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Streaming.StationEvent]

@@ -22,6 +22,19 @@ class AggregateSpec extends SparkSpec {
     assert(out.getAs[Double]("qc_na_share") === 20.0)
   }
 
+  test("rolling stats computes trailing-window mean/min/max/count per station") {
+    val rows = (1 to 10).map(d => (1L, Date.valueOf(f"2024-01-$d%02d"), Some(d.toDouble)))
+    val out = Aggregate.rollingStats(rows.toDF("station_id", "day", "filled"))
+      .orderBy("day").collect()
+    // day 3: trailing window {1,2,3}; day 10: {4..10}
+    assert(out(2).getAs[Double]("roll_mean") === 2.0)
+    assert(out(2).getAs[Long]("roll_n") === 3L)
+    assert(out(9).getAs[Double]("roll_mean") === 7.0)
+    assert(out(9).getAs[Double]("roll_min") === 4.0)
+    assert(out(9).getAs[Double]("roll_max") === 10.0)
+    assert(out(9).getAs[Long]("roll_n") === 7L)
+  }
+
   test("count_holes counts boundary gaps via virtual period observations") {
     // observations on days 5 and 6 of a 1..10 grid: gaps 1->5 (4d) and 6->10 (4d)
     val rows = (1 to 10).map { d =>

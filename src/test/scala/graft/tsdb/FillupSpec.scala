@@ -41,6 +41,20 @@ class FillupSpec extends SparkSpec {
     assert(out.head === ((Some(100.0), Some(2L))))
   }
 
+  test("idw fill weights neighbor values by inverse squared distance") {
+    val s = qcSeries(Seq(
+      (0L, 1, Some(100.0)), (0L, 2, None),
+      (1L, 1, Some(200.0)), (1L, 2, Some(200.0)),
+      (2L, 1, Some(400.0)), (2L, 2, Some(400.0))))
+    val out = Fillup.fillIdw(s, meta)
+      .filter($"station_id" === 0).orderBy("day")
+      .select("filled", "n_donors").as[(Option[Double], Option[Long])].collect()
+    assert(out(0) === ((Some(100.0), None))) // observed day untouched
+    // d(0,1)=1, d(0,2)=5 -> w 1 and 0.04:
+    // (200*1 + 400*0.04) / 1.04 = 216/1.04 = 207.6923... -> 207.69
+    assert(out(1) === ((Some(207.69), Some(2L))))
+  }
+
   test("virtual station: a P-only station gets a filled T companion and a non-NULL corr") {
     // station 1 has precipitation events but NO 'view' (temperature)
     // events -> is_real = false; raster regionalization still yields a
