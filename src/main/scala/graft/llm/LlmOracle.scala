@@ -211,6 +211,21 @@ object LlmOracle {
     FROM documents d LEFT JOIN ent e USING (doc_id)
     ORDER BY d.doc_id"""
 
+  /** Unigram log-prob proxy: ln() last-ulp drift between engines is
+    * absorbed by the +1e-9 round-6 convention (terms are O(1), docs
+    * are a few hundred tokens). */
+  val qTextLogprob: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest($toks) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    cf AS (SELECT tok, sum(c)::BIGINT AS cf FROM tc GROUP BY 1),
+    tot AS (SELECT sum(cf)::DOUBLE AS n_corpus FROM cf)
+    SELECT tc.doc_id, sum(tc.c)::BIGINT AS n_tokens,
+      round(-sum(tc.c * ln(cf.cf / t.n_corpus)) / sum(tc.c) + 1e-9, 6)
+        AS mean_neglogprob
+    FROM tc JOIN cf USING (tok), tot t
+    GROUP BY tc.doc_id ORDER BY tc.doc_id"""
+
   val qTextBigrams: String = s"""
     WITH sw AS (SELECT doc_id, $toks AS w FROM documents),
     bg AS (
@@ -467,6 +482,7 @@ object LlmOracle {
     "q_text_tokens" -> qTextTokens,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_entropy" -> qTextEntropy,
+    "q_text_logprob" -> qTextLogprob,
     "q_text_bigrams" -> qTextBigrams,
     "q_text_repetition" -> qTextRepetition,
     "q_text_tfidf" -> qTextTfidf,

@@ -38,6 +38,8 @@ object LlmQueries {
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_entropy" -> ((s, d) =>
       TextAnalysis.charEntropy(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogprob(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_bigrams" -> ((s, d) => TextAnalysis.topBigrams(docs(s, d))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),

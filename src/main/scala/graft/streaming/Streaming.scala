@@ -229,10 +229,13 @@ object Streaming extends Serializable {
     * on identical input the emitted rows equal the batch frame
     * value-for-value (asserted in StreamingSpec).
     *
-    * Scale: state is one fixed-size [[SessState]] per ACTIVE station —
-    * closed sessions leave the store immediately, and a station silent
-    * past the watermark times out and frees its slot; the only shuffle
-    * is the groupByKey hash exchange on station id. */
+    * Scale: state is one fixed-size [[SessState]] per station — after
+    * a timeout the slot degrades to an idle counter (n = 0) rather
+    * than being removed, because the batch-equivalent session ordinal
+    * must survive the silence between two sessions. One 40-byte slot
+    * per station ever seen is the cost of stable ordinals; a pipeline
+    * that can tolerate per-restart ordinals can remove() on timeout
+    * instead. The only shuffle is the groupByKey hash exchange. */
   def sessionizeStream(events: Dataset[SessEvent], gapMinutes: Int = 30,
       lateness: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -248,7 +251,9 @@ object Streaming extends Serializable {
         (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val closed = state.get
-            state.remove()
+            // keep an idle counter slot (n = 0): the next session of
+            // this station must continue the batch-equivalent ordinal
+            state.update(SessState(closed.sessionIdx + 1, 0L, 0L, 0L, 0.0))
             Iterator.single(emit(uid, closed))
           } else {
             // within a micro-batch, order by (ts, event_id) — the same
@@ -259,6 +264,8 @@ object Streaming extends Serializable {
             sorted.foreach { e =>
               val ts = micros(e.ts)
               st = st match {
+                case Some(s) if s.n == 0L => // idle counter slot
+                  Some(SessState(s.sessionIdx, ts, ts, 1, e.value))
                 case Some(s) if ts - s.lastUs > gapUs =>
                   out += emit(uid, s)
                   Some(SessState(s.sessionIdx + 1, ts, ts, 1, e.value))
@@ -270,8 +277,10 @@ object Streaming extends Serializable {
             }
             st.foreach { s =>
               state.update(s)
-              // close once the watermark passes session_end + gap
-              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60000L)
+              // close once the watermark passes session_end + gap (an
+              // idle slot keeps no timeout and just holds the counter)
+              if (s.n > 0L)
+                state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60000L)
             }
             out.iterator
           }

@@ -194,6 +194,28 @@ object TextAnalysis {
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"))
 
+  /** Unigram log-probability quality proxy (CCNet-style LM filter with
+    * the corpus itself as the unigram model): per doc,
+    * `mean_neglogprob = −Σ c_t·ln(cf_t/N) / n_tokens` — documents of
+    * rare-token gibberish score high, common-prose documents low.
+    * Two keyed aggregations (doc-term counts, corpus term frequency),
+    * a broadcast 1-row total, one keyed join back — the same
+    * scans-plus-keyed-shuffles shape as tf-idf; the corpus-frequency
+    * build side has one row per term, so hot terms fan out on the
+    * probe side only (no both-sides-skew). */
+  def unigramLogprob(documents: DataFrame): DataFrame = {
+    val w = tokens("text")
+    val tc = documents.select(col("doc_id"), explode(expr(w)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val corpus = tc.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
+    val total = corpus.agg(sum(col("cf")).as("n_corpus"))
+    tc.join(corpus, Seq("tok")).crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        expr("round(-sum(c * ln(cf / cast(n_corpus AS double))) / sum(c) + 1e-9, 6)")
+          .as("mean_neglogprob"))
+  }
+
   /** Character-entropy quality signal: Shannon entropy (bits) of each
     * document's code-point distribution — low entropy flags repeated-
     * character boilerplate, high entropy flags binary-ish gibberish.

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.TimestampPeriod
-import graft.functions.{PolyHash, MinHashSig}
+import graft.functions.{CharEntropy, PolyHash, MinHashSig}
 import java.time.LocalDate
 
 /** Property-style tests over seeded random samples (deterministic). */
@@ -34,6 +34,20 @@ class PropertySpec extends AnyFunSuite {
       val s = (1 to rnd.nextInt(80)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
       val model = s.foldLeft(BigInt(0))((acc, c) => (acc * 31 + c.toInt) mod P)
       assert(PolyHash.hash(s) === model.toLong)
+    }
+  }
+
+  test("char entropy is non-negative, bounded by log2(distinct), permutation-invariant") {
+    (1 to 300).foreach { _ =>
+      val s = (1 to 1 + rnd.nextInt(120)).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      val h = CharEntropy.entropy(s)
+      val distinct = s.toSet.size
+      assert(h >= 0.0)
+      assert(h <= math.log(distinct.toDouble) / math.log(2.0) + 1e-12)
+      // counts fold in sorted code-point order -> order of the input
+      // text cannot change even the last ulp
+      val shuffled = rnd.shuffle(s.toList).mkString
+      assert(CharEntropy.entropy(shuffled) === h)
     }
   }
 

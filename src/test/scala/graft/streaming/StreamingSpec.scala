@@ -171,6 +171,43 @@ class StreamingSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("streaming sessionization equals batch on seeded random event sets") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { round =>
+      // events sorted by ts before the batch split, so nothing arrives
+      // behind the watermark (batch sessionize has no late-drop notion);
+      // values are multiples of 0.25 -> binary-exact sums
+      val evs = (1 to 40).map { i =>
+        Streaming.SessEvent(1L + rnd.nextInt(3), i.toLong,
+          new Timestamp(ts(0, 0).getTime + rnd.nextInt(600) * 60000L),
+          rnd.nextInt(8).toDouble / 4.0)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val cut = evs.length / 2
+      val input = MemoryStream[Streaming.SessEvent]
+      val q = Streaming.sessionizeStream(input.toDS()).writeStream
+        .format("memory").queryName(s"sess_prop_$round").outputMode("append").start()
+      input.addData(evs.take(cut): _*); q.processAllAvailable()
+      input.addData(evs.drop(cut): _*); q.processAllAvailable()
+      input.addData(Streaming.SessEvent(999L, 9998L, ts(20, 0), 0.0)); q.processAllAvailable()
+      input.addData(Streaming.SessEvent(999L, 9999L, ts(21, 0), 0.0)); q.processAllAvailable()
+      val cols = Seq("station_id", "session_id", "session_start", "session_end",
+        "n_events", "sum_value", "duration_s")
+      val out = spark.table(s"sess_prop_$round").filter(col("station_id") =!= 999)
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Long, Timestamp, Timestamp, Long, Double, Double)]
+        .collect().toSeq.sorted
+      q.stop()
+      val expected = graft.tsdb.Aggregate.sessionize(
+          evs.map(e => (e.event_id, e.ts, e.user_id, "click", e.value))
+            .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Long, Timestamp, Timestamp, Long, Double, Double)]
+        .collect().toSeq.sorted
+      assert(out === expected, s"seed round $round diverged")
+    }
+  }
+
   test("gap detector emits alerts across micro-batches via state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Streaming.StationEvent]
