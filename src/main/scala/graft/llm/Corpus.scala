@@ -107,6 +107,29 @@ object Corpus {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Quality-stratified downsampling: keep the top `frac` share of
+    * each language's documents by quality score (tie → lower doc_id) —
+    * the "train on the best half" selection step, complementary to the
+    * uniform hash sampling above. One shuffle on lang serves both the
+    * rank and the per-language count (shared window partition key). At
+    * corpus scale a single giant language makes the per-language sort
+    * the bottleneck; the swap-in is an approx_percentile score cutoff
+    * per language (tiny broadcast frame) + a stateless filter, which
+    * keeps the same selection up to quantile error. */
+  def sampleByQuality(documents: DataFrame, frac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.text.TextAnalysis.quality(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val wR = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val wN = Window.partitionBy(col("lang"))
+    documents.select(col("doc_id"), col("lang")).join(q, Seq("doc_id"))
+      .withColumn("rank", row_number().over(wR))
+      .withColumn("n_lang", count(lit(1)).over(wN))
+      .filter(col("rank") <= ceil(col("n_lang") * frac))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("rank"))
+  }
+
   /** Deterministic train/val/test assignment by stable content-free
     * hash of the doc id (8/1/1 buckets), reported as per-language split
     * counts and shares — the reproducible corpus-split bookkeeping of a

@@ -162,20 +162,38 @@ object LlmOracle {
     SELECT *, $pred AS predicted FROM scored ORDER BY doc_id"""
   }
 
-  val qTextQuality: String = {
+  /** Quality features as a reusable CTE block (quality_t): shared by
+    * q_text_quality and q_quality_sample. */
+  private val qualityCte: String = {
     val stop = s"len(list_filter($toks, t -> list_contains(${profList(Profiles.head._2)}, t)))::DOUBLE"
-    s"""
-    WITH f AS (
+    s"""f AS (
       SELECT doc_id, length(text) AS n_chars_m, len($toks) AS n_tokens,
         round((length(text) - len($toks) + 1)::DOUBLE / len($toks) + 1e-9, 6) AS mean_word_len,
         round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
           / length(text) + 1e-9, 6) AS punct_ratio,
         round($stop / len($toks) + 1e-9, 6) AS stopword_ratio
-      FROM documents)
-    SELECT *, round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) *
-      (0.5 + least(0.5, stopword_ratio * 2.0)) + 1e-9, 6) AS quality_score
-    FROM f ORDER BY doc_id"""
+      FROM documents),
+    quality_t AS (
+      SELECT *, round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) *
+        (0.5 + least(0.5, stopword_ratio * 2.0)) + 1e-9, 6) AS quality_score
+      FROM f)"""
   }
+
+  val qTextQuality: String = s"""
+    WITH $qualityCte
+    SELECT * FROM quality_t ORDER BY doc_id"""
+
+  val qQualitySample: String = s"""
+    WITH $qualityCte,
+    ranked AS (
+      SELECT d.lang, q.doc_id, q.quality_score,
+        row_number() OVER (PARTITION BY d.lang
+          ORDER BY q.quality_score DESC, q.doc_id) AS rank,
+        count(*) OVER (PARTITION BY d.lang) AS n_lang
+      FROM quality_t q JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, quality_score, rank
+    FROM ranked WHERE rank <= ceil(n_lang * 0.5)
+    ORDER BY doc_id"""
 
   val qTextTokens: String = s"""
     SELECT doc_id, len($toks) AS n_ws_tokens,
@@ -483,6 +501,7 @@ object LlmOracle {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_entropy" -> qTextEntropy,
     "q_text_logprob" -> qTextLogprob,
+    "q_quality_sample" -> qQualitySample,
     "q_text_bigrams" -> qTextBigrams,
     "q_text_repetition" -> qTextRepetition,
     "q_text_tfidf" -> qTextTfidf,

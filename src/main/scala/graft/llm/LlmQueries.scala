@@ -59,6 +59,8 @@ object LlmQueries {
       Corpus.splitCounts(docs(s, d)).orderBy(col("lang"), col("split"))),
     "q_corpus_clean" -> ((s, d) => Corpus.clean(docs(s, d)).orderBy(col("doc_id"))),
     "q_corpus_sample" -> ((s, d) => Corpus.sample(docs(s, d)).orderBy(col("doc_id"))),
+    "q_quality_sample" -> ((s, d) =>
+      Corpus.sampleByQuality(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))))
 }
