@@ -186,6 +186,26 @@ class LlmSpec extends SparkSpec {
     } finally kept.unpersist()
   }
 
+  test("quality-stratified sample keeps exactly the top half per language") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = Corpus.sampleByQuality(corpus, frac = 0.5).persist()
+    try {
+      val perLang = corpus.groupBy("lang").count().as[(String, Long)].collect().toMap
+      val keptLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+      perLang.foreach { case (l, n) =>
+        assert(keptLang.getOrElse(l, 0L) === (n + 1) / 2, s"lang $l")
+      }
+      // every kept doc's score >= every dropped doc's score, per language
+      val dropped = corpus.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      val minKept = kept.groupBy("lang").agg(min($"quality_score").as("mn"))
+      val maxDrop = graft.text.TextAnalysis.quality(dropped)
+        .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang").agg(max($"quality_score").as("mx"))
+      val bad = minKept.join(maxDrop, Seq("lang")).filter($"mx" > $"mn").count()
+      assert(bad === 0L, "a dropped doc outscored a kept doc")
+    } finally kept.unpersist()
+  }
+
   test("corpus split is deterministic, content-free and covers every doc") {
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Corpus.splitCounts(corpus).persist()
