@@ -171,6 +171,23 @@ class Station(db: WeatherDb, val id: Long) {
 
   /** count_holes (StationBases.py:1925). */
   def countHoles: DataFrame = only(Aggregate.countHoles(db.qc))
+
+  /** get_adj (StationBases.py:2763, StationP.py:3094, StationT.py:3136):
+    * the filled series adjusted so its multi-annual mean matches the
+    * raster climate value — multiplicative scaling for P/ET, additive
+    * shift for T. Same single-station pruned plan as the other kind
+    * accessors. */
+  def getAdj(multiplicative: Boolean = true,
+      period: TimestampPeriod = TimestampPeriod.empty): DataFrame = {
+    val raster = Series.raster(db.events)
+    val adj = if (multiplicative) MultiAnnual.adjustMult(db.filled, raster)
+      else MultiAnnual.adjustAdd(db.filled, raster)
+    db.inPeriod(only(adj), period).select("day", "filled", "adj").orderBy("day")
+  }
+
+  /** get_ma_raster / get_multi_annual_raster (StationBases.py:2298,
+    * 2333): the station's multi-annual raster climate values. */
+  def getMaRaster: DataFrame = only(Series.raster(db.events))
 }
 
 /** All stations of one parameter — the reference's StationsBase. */

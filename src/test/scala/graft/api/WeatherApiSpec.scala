@@ -31,6 +31,18 @@ class WeatherApiSpec extends SparkSpec {
     assert(db.stations.getValidStids.contains(0L))
   }
 
+  test("adjusted series matches the raster target; ma raster accessor prunes") {
+    val s = db.station(0L)
+    val adj = s.getAdj()
+    assert(adj.columns.toSeq === Seq("day", "filled", "adj"))
+    assert(adj.count() === 30)
+    // multiplicative adjustment: mean(adj) lands on the raster_p target
+    val meanAdj = adj.agg(org.apache.spark.sql.functions.avg("adj")).head.getDouble(0)
+    val rasterP = s.getMaRaster.select("raster_p").head.getDouble(0)
+    assert(math.abs(meanAdj - rasterP) < 0.01, s"mean(adj)=$meanAdj vs raster_p=$rasterP")
+    assert(s.getMaRaster.count() === 1)
+  }
+
   test("free-form filter is pushed into the scan and agg_to aggregates") {
     val s = db.station(0L)
     val flt = s.getDf(Seq("raw", "filled"), sqlAddWhere = "filled > 100")
