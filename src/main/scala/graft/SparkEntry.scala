@@ -17,10 +17,12 @@ object SparkEntry {
     "q_anti_join" -> (Queries.qAntiJoin _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_rollup" -> (Queries.qRollup _)
-  ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries
+  ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
+    graft.analytics.EventAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    OracleSql.all ++ graft.tsdb.TsOracle.all ++ graft.llm.LlmOracle.all
+    OracleSql.all ++ graft.tsdb.TsOracle.all ++ graft.llm.LlmOracle.all ++
+      graft.analytics.EventOracle.all
 }

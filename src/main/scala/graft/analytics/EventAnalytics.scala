@@ -1,0 +1,265 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Event-stream analytics over the `events` table — the query shapes a
+  * product/telemetry pipeline runs next to the timeseries engine
+  * (the reference exposes free SQL over its tables via get_df /
+  * sql_add_where, StationBases.py:2463; these are the canonical
+  * aggregation patterns of that surface at fleet scale).
+  *
+  * Scale notes per operator are on each method; the common theme: one
+  * hash shuffle on the natural key (user_id / event_type), everything
+  * else partition-local or map-side combinable.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel per signup cohort: first view, then
+    * first click at-or-after that view, then first purchase
+    * at-or-after that click — stage timestamps must be causally
+    * ordered per user, not merely present (the classic window-funnel
+    * operator, cf. ClickHouse windowFunnel / Spark sessionization
+    * patterns).
+    *
+    * Plan: three Window nodes over the SAME partition key (user_id) —
+    * one hash shuffle total, stage minima computed partition-locally —
+    * then two map-side-combinable hash aggregations (per user, per
+    * cohort day). No self-joins: the naive per-stage join would
+    * re-shuffle the event table once per stage. */
+  def funnel(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val perEvent = events
+      .withColumn("min_view",
+        min(when(col("event_type") === "view", col("ts"))).over(wUser))
+      .withColumn("min_click",
+        min(when(col("event_type") === "click" && col("ts") >= col("min_view"),
+          col("ts"))).over(wUser))
+      .withColumn("min_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("min_click"),
+          col("ts"))).over(wUser))
+    val perUser = perEvent.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"),
+        max(col("min_view")).as("min_view"),
+        max(col("min_click")).as("min_click"),
+        max(col("min_purchase")).as("min_purchase"))
+    perUser.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("min_view")).as("n_view"),
+        count(col("min_click")).as("n_click"),
+        count(col("min_purchase")).as("n_purchase"))
+      .orderBy(col("cohort_day"))
+  }
+
+  /** Cohort retention matrix: users grouped by their first-activity
+    * day; n_active = distinct users of that cohort active again
+    * `offset_days` later. The d0 frame is O(#users) → broadcast at
+    * test scale, co-partitioned shuffle join on user_id at fleet
+    * scale (AQE picks); the distinct + count pair is two
+    * map-side-combinable aggregations. */
+  def retention(events: DataFrame): DataFrame = {
+    val d0 = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(d0, Seq("user_id"))
+      .withColumn("offset_days", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
+  /** Fixed-width value histogram per event type (bucket width 5).
+    * One map-side-combinable hash aggregation over a low-cardinality
+    * composite key — the cheapest possible distribution sketch; at
+    * 100 TB this is a single shuffle of (type, bucket) partial counts,
+    * never of rows. */
+  def histogram(events: DataFrame, width: Double = 5.0): DataFrame =
+    events
+      .withColumn("bucket", floor(col("value") / width).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) + lit(1e-9), 3).as("value_sum"))
+      .withColumn("bucket_lo", round(col("bucket") * width + lit(1e-9), 1))
+      .select(col("event_type"), col("bucket"), col("bucket_lo"), col("n"), col("value_sum"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** Semi-structured props parsing: the JSON `props` column is parsed
+    * with an explicit schema (`from_json` — codegen'd JsonToStructs,
+    * no UDF) and aggregated per event type. The parse stays inside
+    * whole-stage codegen and the parquet scan reads only the two
+    * referenced columns. */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", from_json(col("props"), lit("k BIGINT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        sum(col("k")).as("k_sum"),
+        round(avg(col("k")) + lit(1e-9), 6).as("k_avg"))
+      .orderBy(col("event_type"))
+
+  /** HyperLogLog distinct-user estimate per event type, implemented
+    * with a DETERMINISTIC mirrorable hash so the DuckDB oracle
+    * reproduces it bit-for-bit (production swaps in the built-in
+    * approx_count_distinct, which is HLL++ with the same plan shape).
+    *
+    * Sketch pattern: per-(type, bucket) max-rank is map-side
+    * combinable — each executor reduces its partition to at most
+    * types×64 cells before the shuffle, so the network cost is
+    * O(cardinality of the sketch), not O(rows): the canonical 100 TB
+    * distinct-count shape. The estimate arithmetic is exact in
+    * binary floating point (sum of dyadic rationals 2^-rho, |sum| < 64,
+    * lsb 2^-26 → 32 significand bits), so partial-aggregation order
+    * cannot perturb it.
+    *
+    * h = (user_id * 48271) % 2147483647 (MINSTD LCG step); bucket =
+    * h % 64; rho = 1 + index of lowest set bit of h div 64 (the
+    * div-64 quotient is < 2^25, so rho ≤ 25; quotient 0 → 26). */
+  def hllDistinct(events: DataFrame): DataFrame = {
+    val m = 64
+    val hashed = events
+      .withColumn("h", (col("user_id") * lit(48271L)) % lit(2147483647L))
+      .withColumn("bucket", col("h") % m)
+      .withColumn("rest", expr(s"h div $m"))
+      // rho via exact integer bit arithmetic (bit_count of the
+      // trailing-zero mask) — log2() would be ln(x)/ln(2) on the JVM,
+      // which is off-by-an-ulp even for exact powers of two
+      .withColumn("rho",
+        when(col("rest") === 0, lit(26))
+          .otherwise(expr("bit_count((rest & -rest) - 1) + 1")))
+    val perBucket = hashed.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val est = perBucket.groupBy(col("event_type"))
+      // 2^-mj as exact shift-then-divide (1/2^k is a dyadic rational,
+      // exactly representable; no transcendental pow on either engine)
+      .agg(sum(expr("cast(1 as double) / shiftleft(cast(1 as bigint), mj)")).as("s"),
+        count(lit(1)).as("nb"))
+      // empty buckets contribute 2^0 = 1 each
+      .withColumn("v", lit(m) - col("nb"))
+      .withColumn("e_raw", lit(0.709 * m * m) / (col("s") + col("v")))
+      // standard small-range correction: linear counting when the raw
+      // estimate is ≤ 2.5m and empty buckets remain. ln() is the one
+      // transcendental in the sketch; all 63 possible m·ln(m/V) values
+      // sit ≥ 3e-7 from a 4-decimal rounding boundary, so a 1-ulp
+      // libm difference between engines cannot flip the rounding.
+      .withColumn("hll_estimate",
+        round(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("e_raw")) + lit(1e-9), 4))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .withColumn("rel_err",
+        round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact") + lit(1e-9), 4))
+      .select(col("event_type"), col("n_exact"), col("hll_estimate"), col("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Query-key registry (driver contract). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q_retention" -> ((s, d) => retention(Tables.events(s, d))),
+    "q_histogram" -> ((s, d) => histogram(Tables.events(s, d))),
+    "q_json_props" -> ((s, d) => jsonProps(Tables.events(s, d))),
+    "q_distinct_hll" -> ((s, d) => hllDistinct(Tables.events(s, d))))
+}
+
+/** DuckDB oracle SQL mirrors — identical aliases, identical rounding. */
+object EventOracle {
+  val qFunnel: String = """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+        min(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id) AS min_view
+      FROM events),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= min_view THEN ts END)
+          OVER (PARTITION BY user_id) AS min_click
+      FROM s1),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= min_click THEN ts END)
+          OVER (PARTITION BY user_id) AS min_purchase
+      FROM s2),
+    per_user AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day,
+        max(min_view) AS min_view, max(min_click) AS min_click,
+        max(min_purchase) AS min_purchase
+      FROM s3 GROUP BY user_id)
+    SELECT cohort_day, count(*) AS n_users,
+      count(min_view) AS n_view, count(min_click) AS n_click,
+      count(min_purchase) AS n_purchase
+    FROM per_user GROUP BY cohort_day ORDER BY cohort_day"""
+
+  val qRetention: String = """
+    WITH d0 AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT cohort_day, datediff('day', cohort_day, day) AS offset_days,
+      count(*) AS n_active
+    FROM active JOIN d0 USING (user_id)
+    GROUP BY cohort_day, offset_days
+    ORDER BY cohort_day, offset_days"""
+
+  val qHistogram: String = """
+    SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+      round(CAST(floor(value / 5.0) AS BIGINT) * 5.0 + 1e-9, 1) AS bucket_lo,
+      count(*) AS n, round(sum(value) + 1e-9, 3) AS value_sum
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket"""
+
+  val qJsonProps: String = """
+    WITH parsed AS (
+      SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+    SELECT event_type, count(*) AS n, count(k) AS n_k,
+      min(k) AS k_min, max(k) AS k_max, sum(k) AS k_sum,
+      round(avg(k) + 1e-9, 6) AS k_avg
+    FROM parsed GROUP BY event_type ORDER BY event_type"""
+
+  val qDistinctHll: String = """
+    WITH hashed AS (
+      SELECT event_type,
+        ((user_id * 48271) % 2147483647) % 64 AS bucket,
+        ((user_id * 48271) % 2147483647) // 64 AS rest
+      FROM events),
+    rhos AS (
+      SELECT event_type, bucket,
+        CASE WHEN rest = 0 THEN 26
+             ELSE bit_count((rest & -rest) - 1) + 1 END AS rho
+      FROM hashed),
+    per_bucket AS (
+      SELECT event_type, bucket, max(rho) AS mj
+      FROM rhos GROUP BY event_type, bucket),
+    raw AS (
+      SELECT event_type, 64 - count(*) AS v,
+        CAST(0.709 AS DOUBLE) * 64 * 64 /
+          (sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) + (64 - count(*))) AS e_raw
+      FROM per_bucket GROUP BY event_type),
+    est AS (
+      SELECT event_type,
+        round(CASE WHEN e_raw <= 2.5 * 64 AND v > 0
+                   THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+                   ELSE e_raw END + 1e-9, 4) AS hll_estimate
+      FROM raw),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type)
+    SELECT event_type, n_exact, hll_estimate,
+      round(abs(hll_estimate - n_exact) / n_exact + 1e-9, 4) AS rel_err
+    FROM est JOIN exact USING (event_type)
+    ORDER BY event_type"""
+
+  val all: Map[String, String] = Map(
+    "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
+    "q_histogram" -> qHistogram,
+    "q_json_props" -> qJsonProps,
+    "q_distinct_hll" -> qDistinctHll)
+}

@@ -1,0 +1,79 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: structural invariants that hold on any
+  * input, checked on the sf0.001 driver data. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val events = Tables.events(spark, dir)
+
+  test("funnel stages are monotonically non-increasing") {
+    val rows = EventAnalytics.funnel(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, v, c, p) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(u >= v && v >= c && c >= p, s"non-monotone funnel row: $r")
+    }
+    // total users across cohorts equals the distinct user count
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === events.select(col("user_id")).distinct().count())
+  }
+
+  test("funnel stage counts match an independent join-based rebuild") {
+    // independent implementation: per-stage minima via joins instead
+    // of stacked windows; total converted users must agree
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("mv"))
+    val c = events.filter(col("event_type") === "click").as("e")
+      .join(v, Seq("user_id")).filter(col("ts") >= col("mv"))
+      .groupBy(col("user_id"), col("mv")).agg(min(col("ts")).as("mc"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") >= col("mc"))
+      .select(col("user_id")).distinct()
+    val f = EventAnalytics.funnel(events)
+      .agg(sum(col("n_view")), sum(col("n_click")), sum(col("n_purchase"))).head
+    assert(f.getLong(0) === v.count())
+    assert(f.getLong(1) === c.count())
+    assert(f.getLong(2) === p.count())
+  }
+
+  test("retention offset 0 equals cohort size and all offsets are non-negative") {
+    val r = EventAnalytics.retention(events)
+    assert(r.filter(col("offset_days") < 0).count() === 0)
+    val day0 = r.filter(col("offset_days") === 0)
+      .agg(sum(col("n_active"))).head.getLong(0)
+    // every user is active on their own first day
+    assert(day0 === events.select(col("user_id")).distinct().count())
+  }
+
+  test("histogram counts partition the events exactly") {
+    val h = EventAnalytics.histogram(events)
+    assert(h.agg(sum(col("n"))).head.getLong(0) === events.count())
+    // bucket_lo is consistent with the bucket index
+    assert(h.filter(col("bucket_lo") =!= round(col("bucket") * 5.0 + lit(1e-9), 1))
+      .count() === 0)
+  }
+
+  test("json props parse every row and values stay in the generated domain") {
+    val j = EventAnalytics.jsonProps(events)
+    val bad = j.filter(col("n") =!= col("n_k")).count()
+    assert(bad === 0, "unparseable props rows")
+    j.collect().foreach { r =>
+      assert(!r.isNullAt(3) && !r.isNullAt(4))
+      assert(r.getLong(3) <= r.getLong(4)) // min <= max
+    }
+  }
+
+  test("hll estimate lands within the expected m=64 error band") {
+    // HLL standard error is 1.04/sqrt(64) = 13%; allow 3 sigma
+    val rows = EventAnalytics.hllDistinct(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) < 0.40, s"hll estimate too far off: $r")
+    }
+  }
+}
