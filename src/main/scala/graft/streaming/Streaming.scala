@@ -28,6 +28,17 @@ object Streaming extends Serializable {
       .agg(count(lit(1)).as("n"), round(sum(col("value")) + lit(1e-9), 3).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding (hopping) 2h/30min windowed aggregation with a 1h
+    * watermark — the streaming form of `Aggregate.slidingWindow`
+    * (identical plan, plus state eviction by watermark). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")) + lit(1e-9), 3).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Continuous update cycle — the streaming form of broker.update_db:
     * every micro-batch of imported events triggers a period-scoped
     * incremental qc recompute (graft.tsdb.Incremental) merged into the

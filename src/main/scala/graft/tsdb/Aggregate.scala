@@ -213,4 +213,22 @@ object Aggregate {
       .groupBy(timestamp_seconds(floor(col("ts").cast("long") / 21600) * 21600).as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")) + lit(1e-9), 3).as("sum_value"))
+
+  /** Sliding (hopping) window aggregation: 2-hour windows every 30
+    * minutes, per event type — the overlapping-window form
+    * (`functions.window` with a slide), which is the exact plan a
+    * watermarked `readStream` runs.
+    *
+    * Scale: Spark expands each row into width/slide = 4 window
+    * instances BEFORE the aggregation (codegen'd `Expand` node), then
+    * one map-side-combinable hash aggregate on (window, type) — the
+    * shuffle carries 4× partial aggregates of a low-cardinality key,
+    * never 4× the rows. */
+  def slidingWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")) + lit(1e-9), 3).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
 }

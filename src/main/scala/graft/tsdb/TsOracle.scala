@@ -760,6 +760,21 @@ object TsOracle {
       event_type, count(*) AS n, round(sum(value) + 1e-9, 3) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  // sliding window: each event belongs to width/slide = 4 windows whose
+  // starts step back by the 30-min slide from the event's floor-aligned
+  // slide boundary (same epoch alignment as Spark's window())
+  val qSlidingWindow: String = """
+    WITH hops AS (SELECT unnest(generate_series(0, 3)) AS k),
+    expanded AS (
+      SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS window_start,
+        event_type, value
+      FROM events CROSS JOIN hops)
+    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+      event_type, count(*) AS n, round(sum(value) + 1e-9, 3) AS sum_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type"""
+
   val all: Map[String, String] = Map(
     "q_fill_neighbor" -> qFillNeighbor,
     "q_fill_seasonal" -> qFillSeasonal,
@@ -789,6 +804,7 @@ object TsOracle {
     "q_richter_correct_hourly" -> qRichterCorrectHourly,
     "q_sessionize" -> qSessionize,
     "q_stream_window" -> qStreamWindow,
+    "q_window_sliding" -> qSlidingWindow,
     "q_meta_derive" -> qMetaDerive,
     "q_expand_grid" -> qExpandGrid,
     "q_knn_dist" -> qKnnDist,

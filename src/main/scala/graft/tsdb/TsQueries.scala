@@ -225,6 +225,9 @@ object TsQueries {
   def qStreamWindow(s: SparkSession, d: String): DataFrame =
     Aggregate.streamWindowBatch(ev(s, d)).orderBy(col("window_start"), col("event_type"))
 
+  def qWindowSliding(s: SparkSession, d: String): DataFrame =
+    Aggregate.slidingWindow(ev(s, d)).orderBy(col("window_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fill_neighbor" -> (qFillNeighbor _),
     "q_fill_seasonal" -> (qFillSeasonal _),
@@ -252,6 +255,7 @@ object TsQueries {
     "q_richter_correct_hourly" -> (qRichterCorrectHourly _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_window" -> (qStreamWindow _),
+    "q_window_sliding" -> (qWindowSliding _),
     "q_meta_derive" -> (qMetaDerive _),
     "q_expand_grid" -> (qExpandGrid _),
     "q_knn_dist" -> (qKnnDist _),

@@ -25,6 +25,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("sliding window stream equals the batch slidingWindow frame") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.slidingAgg(df).writeStream
+      .format("memory").queryName("slide_agg").outputMode("complete").start()
+    val data = Seq((ts(0), "click", 1.0), (ts(0, 45), "click", 2.0),
+      (ts(1, 30), "view", 4.0), (ts(3), "click", 8.0))
+    input.addData(data: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("slide_agg")
+      .orderBy("window_start", "event_type")
+      .select("window_start", "window_end", "event_type", "n", "sum_value")
+      .collect().toSeq
+    q.stop()
+    val batch = graft.tsdb.Aggregate.slidingWindow(data.toDF("ts", "event_type", "value"))
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    assert(streamed === batch)
+    // every event appears in exactly width/slide = 4 windows
+    assert(streamed.map(_.getLong(3)).sum === data.size * 4)
+  }
+
   test("continuous qc cycle: per-batch incremental updates converge to the batch result") {
     implicit val sc = spark.sqlContext
     def dts(d: Int, h: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
