@@ -24,7 +24,8 @@ object Bench {
     "q_expand_grid", "q_qc_all", "q_fill_neighbor", "q_richter_correct",
     "q_richter_correct_hourly", "q_agg_month", "q_knn_elev",
     "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_embedding_lsh",
-    "q_ann_topk", "q_text_fingerprint", "q_stream_window")
+    "q_ann_topk", "q_text_fingerprint", "q_stream_window",
+    "q_funnel", "q_distinct_hll", "q_range_join_time", "q_window_sliding")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

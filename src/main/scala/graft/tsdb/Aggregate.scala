@@ -214,6 +214,49 @@ object Aggregate {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")) + lit(1e-9), 3).as("sum_value"))
 
+  /** Inverse of [[groupWide]]: melt the wide per-day parameter frame
+    * back to tall (station_id, day, para, value) via the native
+    * `unpivot` — a codegen'd Expand node, partition-local: no join, no
+    * shuffle, output rows = non-NULL wide cells. */
+  def unpivotWide(wide: DataFrame): DataFrame =
+    wide.unpivot(Array(col("station_id"), col("day")),
+        Array(col("p_raw"), col("t_raw"), col("et_raw")), "para", "value")
+      .filter(col("value").isNotNull)
+
+  /** Banded time range join WITHOUT an equi key: for every event, the
+    * number of OTHER events (any station) within ± `bandMinutes`, and
+    * the distance to the nearest one.
+    *
+    * Scale path: the band predicate alone would be a
+    * BroadcastNestedLoopJoin (O(n²) compares). Bucketing time into
+    * band-width bins turns it into an EQUI join — a match within ±band
+    * is provably in the probe's bin or an adjacent bin, so probes
+    * explode ×3 (bin-1, bin, bin+1) and join on the single bin key;
+    * the shuffle is keyed, partial-aggregatable, and output-bounded by
+    * true matches + same-ring false candidates (< 3× the true pairs) —
+    * the temporal analog of [[Neighbors.knnDistBucketed]]'s spatial
+    * 3-cell ring. */
+  def rangeJoinTime(events: DataFrame, bandMinutes: Int = 30): DataFrame = {
+    val bandUs = bandMinutes * 60L * 1000000L
+    val a = events.select(col("event_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("bin", expr(s"t div $bandUs"))
+    val b = events.select(col("event_id").as("nb_id"), unix_micros(col("ts")).as("nb_t"))
+      .withColumn("jbin", expr(s"nb_t div $bandUs"))
+    val probes = a.withColumn("jbin",
+      explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+    val near = probes.join(b, Seq("jbin"))
+      .filter(col("nb_id") =!= col("event_id") &&
+        abs(col("t") - col("nb_t")) <= bandUs)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby"),
+        min(abs(col("t") - col("nb_t"))).as("mdt"))
+    events.select(col("event_id"))
+      .join(near, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_nearby"), lit(0L)).as("n_nearby"),
+        round(col("mdt") / lit(1e6) + lit(1e-9), 3).as("min_dt_s"))
+  }
+
   /** Sliding (hopping) window aggregation: 2-hour windows every 30
     * minutes, per event type — the overlapping-window form
     * (`functions.window` with a slide), which is the exact plan a

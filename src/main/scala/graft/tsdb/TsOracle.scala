@@ -760,6 +760,42 @@ object TsOracle {
       event_type, count(*) AS n, round(sum(value) + 1e-9, 3) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  val qUnpivot: String = s"""
+    WITH $world,
+    t_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t_raw
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    et_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(sum(value) / 10 + 1e-9, 3) AS et_raw
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    wide AS (
+      SELECT r.station_id, r.day, r.raw AS p_raw, t.t_raw, e.et_raw
+      FROM raw_daily r
+      LEFT JOIN t_daily t USING (station_id, day)
+      LEFT JOIN et_daily e USING (station_id, day))
+    SELECT station_id, day, 'p_raw' AS para, p_raw AS value FROM wide WHERE p_raw IS NOT NULL
+    UNION ALL SELECT station_id, day, 't_raw', t_raw FROM wide WHERE t_raw IS NOT NULL
+    UNION ALL SELECT station_id, day, 'et_raw', et_raw FROM wide WHERE et_raw IS NOT NULL
+    ORDER BY station_id, day, para"""
+
+  // band self-join: DuckDB evaluates the |Δt| predicate directly (its
+  // IEJoin); the Spark side proves the bin-bucketed equi-join rewrite
+  // returns the identical pair set
+  val qRangeJoinTime: String = """
+    WITH near AS (
+      SELECT a.event_id, count(*) AS n_nearby,
+        min(abs(epoch_us(a.ts) - epoch_us(b.ts))) AS mdt
+      FROM events a JOIN events b
+        ON b.event_id <> a.event_id
+        AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+      GROUP BY a.event_id)
+    SELECT e.event_id, coalesce(n.n_nearby, 0) AS n_nearby,
+      round(n.mdt / CAST(1e6 AS DOUBLE) + 1e-9, 3) AS min_dt_s
+    FROM events e LEFT JOIN near n USING (event_id)
+    ORDER BY event_id"""
+
   // sliding window: each event belongs to width/slide = 4 windows whose
   // starts step back by the 30-min slide from the event's floor-aligned
   // slide boundary (same epoch alignment as Spark's window())
@@ -805,6 +841,8 @@ object TsOracle {
     "q_sessionize" -> qSessionize,
     "q_stream_window" -> qStreamWindow,
     "q_window_sliding" -> qSlidingWindow,
+    "q_unpivot" -> qUnpivot,
+    "q_range_join_time" -> qRangeJoinTime,
     "q_meta_derive" -> qMetaDerive,
     "q_expand_grid" -> qExpandGrid,
     "q_knn_dist" -> qKnnDist,

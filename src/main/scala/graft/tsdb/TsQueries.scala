@@ -228,6 +228,13 @@ object TsQueries {
   def qWindowSliding(s: SparkSession, d: String): DataFrame =
     Aggregate.slidingWindow(ev(s, d)).orderBy(col("window_start"), col("event_type"))
 
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Aggregate.unpivotWide(Aggregate.groupWide(ev(s, d)))
+      .orderBy(col("station_id"), col("day"), col("para"))
+
+  def qRangeJoinTime(s: SparkSession, d: String): DataFrame =
+    Aggregate.rangeJoinTime(ev(s, d)).orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fill_neighbor" -> (qFillNeighbor _),
     "q_fill_seasonal" -> (qFillSeasonal _),
@@ -256,6 +263,8 @@ object TsQueries {
     "q_sessionize" -> (qSessionize _),
     "q_stream_window" -> (qStreamWindow _),
     "q_window_sliding" -> (qWindowSliding _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_range_join_time" -> (qRangeJoinTime _),
     "q_meta_derive" -> (qMetaDerive _),
     "q_expand_grid" -> (qExpandGrid _),
     "q_knn_dist" -> (qKnnDist _),
