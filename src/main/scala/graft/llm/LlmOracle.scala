@@ -487,7 +487,39 @@ object LlmOracle {
       CASE WHEN doc_id % 3 != 0 THEN round(((doc_id * 7) % 300 + 1) / 10.0 + 1e-9, 1) END AS duration_s
     FROM documents ORDER BY doc_id"""
 
+  // int8 scalar quantization error report: per-dim corpus bounds, then
+  // per-vector left-fold (list ORDER BY i) of squared reconstruction
+  // errors — same index order as Spark's aggregate() fold
+  val qEmbedQuantize: String = """
+    WITH el AS (
+      SELECT vec_id::BIGINT AS vec_id, embedding,
+        unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings),
+    dim AS (
+      SELECT i, min(embedding[i]::DOUBLE) AS lo, max(embedding[i]::DOUBLE) AS hi
+      FROM el GROUP BY i),
+    errs AS (
+      SELECT e.vec_id, e.i,
+        CASE WHEN d.hi = d.lo THEN CAST(0.0 AS DOUBLE)
+             ELSE e.embedding[e.i]::DOUBLE - (d.lo +
+               round((e.embedding[e.i]::DOUBLE - d.lo)
+                     / ((d.hi - d.lo) / CAST(255.0 AS DOUBLE)) + 1e-9, 0)
+               * ((d.hi - d.lo) / CAST(255.0 AS DOUBLE)))
+        END AS err
+      FROM el e JOIN dim d USING (i)),
+    folded AS (
+      SELECT vec_id, len(list(err ORDER BY i)) AS n_dims,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list(err ORDER BY i), x -> x * x)), (a, b) -> a + b) AS sse,
+        list_max(list_transform(list(err ORDER BY i), x -> abs(x))) AS mx
+      FROM errs GROUP BY vec_id)
+    SELECT vec_id, n_dims::BIGINT AS n_dims,
+      round(sqrt(sse / n_dims) + 1e-9, 6) AS rmse,
+      round(mx + 1e-9, 6) AS max_abs_err
+    FROM folded ORDER BY vec_id"""
+
   val all: Map[String, String] = Map(
+    "q_embed_quantize" -> qEmbedQuantize,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_bands" -> qDedupMinhashBands,
     "q_dedup_jaccard" -> qDedupJaccard,

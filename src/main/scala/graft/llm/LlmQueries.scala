@@ -62,5 +62,7 @@ object LlmQueries {
     "q_quality_sample" -> ((s, d) =>
       Corpus.sampleByQuality(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),
+    "q_embed_quantize" -> ((s, d) =>
+      graft.similarity.Quantize.sq8Report(embs(s, d)).orderBy(col("vec_id"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))))
 }

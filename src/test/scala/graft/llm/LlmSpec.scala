@@ -260,6 +260,22 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) > 0.0 && out(1L) < 1.0) // near-dup: most but not all shingles shared
   }
 
+  test("sq8 quantization error stays within half a quantization step") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rep = graft.similarity.Quantize.sq8Report(embs)
+    // widest per-dimension range bounds the step: |err| <= step/2 + eps
+    val widest = embs.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg((max(col("v").cast("double")) - min(col("v").cast("double"))).as("rng"))
+      .agg(max(col("rng"))).head.getDouble(0)
+    val halfStep = widest / 255.0 / 2.0
+    assert(rep.count() === embs.count())
+    val worst = rep.agg(max(col("max_abs_err"))).head.getDouble(0)
+    assert(worst <= halfStep + 1e-6, s"worst=$worst halfStep=$halfStep")
+    assert(rep.filter(col("rmse") > col("max_abs_err") + lit(1e-9)).count() === 0)
+  }
+
   test("sequence packing bins are contiguous per language with conserved tokens") {
     val five = "a b c d e" // 5 whitespace tokens
     val pdocs = (0L until 6L).map(i => (i, five, "en")).toDF("doc_id", "text", "lang")
