@@ -16,7 +16,8 @@ object SparkEntry {
     "q_topk_window" -> (Queries.qTopkWindow _),
     "q_anti_join" -> (Queries.qAntiJoin _),
     "q_asof_join" -> (Queries.qAsofJoin _),
-    "q_rollup" -> (Queries.qRollup _)
+    "q_rollup" -> (Queries.qRollup _),
+    "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries
 

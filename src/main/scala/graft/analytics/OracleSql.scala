@@ -75,7 +75,25 @@ object OracleSql {
       FROM events) t
     WHERE rn = 1 ORDER BY event_id"""
 
+  // canonical row serialization + polynomial hash, reduced with
+  // order-independent aggregates (bit_xor, modular sum)
+  val qTableChecksum: String = """
+    WITH rows_c AS (
+      SELECT concat_ws('|', event_id, epoch_us(ts), user_id, event_type,
+        CAST(round(value * CAST(1000000 AS DOUBLE) + 1e-9, 0) AS BIGINT),
+        props) AS c
+      FROM events),
+    hashed AS (
+      SELECT list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(1, length(c) + 1), i -> unicode(c[i]))),
+        (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h
+      FROM rows_c)
+    SELECT count(*) AS n_rows, bit_xor(h) AS xor_hash,
+      CAST(sum(h) % 1000000007 AS BIGINT) AS sum_hash_mod
+    FROM hashed"""
+
   val all: Map[String, String] = Map(
+    "q_table_checksum" -> qTableChecksum,
     "q_ingest_dedup" -> qIngestDedup,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,

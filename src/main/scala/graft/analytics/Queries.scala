@@ -115,6 +115,11 @@ object Queries {
     graft.sources.Sources.ingestDedup(Tables.events(spark, dir))
       .orderBy(col("event_id"))
 
+  /** Order-independent table checksum (copy/migration integrity):
+    * see [[graft.sources.Sources.tableChecksum]]. */
+  def qTableChecksum(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.tableChecksum(Tables.events(spark, dir))
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -29,6 +29,35 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Order-independent content checksum of the events table — the
+    * data-integrity primitive of a 100 TB copy/migration: verify
+    * source and destination hold the same rows WITHOUT sorting either
+    * side. Each row serializes canonically (floats as scaled
+    * integers — never engine-dependent float formatting), hashes with
+    * the deterministic polynomial hash, and reduces with
+    * order-independent aggregates:
+    *  - `xor_hash`  — bit_xor of row hashes (any single changed row
+    *    flips it; insensitive to duplicate-pair insertions),
+    *  - `sum_hash`  — modular sum of row hashes (catches what xor
+    *    misses: a row inserted twice),
+    *  - `n_rows`.
+    * Plan: map-side partial aggregation only — the network carries one
+    * 3-field partial per partition, nothing else. */
+  def tableChecksum(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val canon = concat_ws("|",
+      col("event_id"), unix_micros(col("ts")), col("user_id"), col("event_type"),
+      expr("cast(round(value * cast(1000000 as double) + 1e-9, 0) as bigint)"),
+      col("props"))
+    events
+      .withColumn("c", canon)
+      .withColumn("h", expr("graft_polyhash(c)"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_hash"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(1000000007L))
+          .cast("long").as("sum_hash_mod"))
+  }
+
   /** Ingest normalization: exact-duplicate rows collapse; conflicting
     * measurements for the same (station, timestamp) resolve to the
     * latest import (highest event_id) — the reference's

@@ -39,6 +39,17 @@ object Streaming extends Serializable {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: join each arriving event to the station
+    * registry (a static dimension frame). The static side broadcasts —
+    * per micro-batch the stream is enriched map-side with NO shuffle
+    * and no streaming state; a registry update is picked up by the
+    * next micro-batch (Spark re-resolves static V2 sources per batch). */
+  def enrich(streamEvents: DataFrame, meta: DataFrame): DataFrame =
+    streamEvents.join(
+      org.apache.spark.sql.functions.broadcast(meta),
+      streamEvents("user_id") === meta("station_id"), "left")
+      .drop("station_id")
+
   /** Continuous update cycle — the streaming form of broker.update_db:
     * every micro-batch of imported events triggers a period-scoped
     * incremental qc recompute (graft.tsdb.Incremental) merged into the

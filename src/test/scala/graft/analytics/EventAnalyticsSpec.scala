@@ -68,6 +68,21 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("table checksum is partitioning- and order-independent, content-sensitive") {
+    import graft.sources.Sources
+    val base = Sources.tableChecksum(events).head
+    // different partitioning / row order must not change the checksum
+    val shuffled = Sources.tableChecksum(
+      events.repartition(7, col("event_type")).sortWithinPartitions(col("value").desc)).head
+    assert(base === shuffled)
+    // any single-row content change must flip it
+    val tampered = Sources.tableChecksum(
+      events.withColumn("value",
+        when(col("event_id") === 1, col("value") + 1.0).otherwise(col("value")))).head
+    assert(base.getLong(0) === tampered.getLong(0)) // same row count
+    assert(base.getLong(1) !== tampered.getLong(1)) // xor flips
+  }
+
   test("hll estimate lands within the expected m=64 error band") {
     // HLL standard error is 1.04/sqrt(64) = 13%; allow 3 sigma
     val rows = EventAnalytics.hllDistinct(events).collect()

@@ -48,6 +48,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getLong(3)).sum === data.size * 4)
   }
 
+  test("stream-static enrichment joins meta map-side and matches the batch join") {
+    implicit val sc = spark.sqlContext
+    val meta = Seq((1L, 10.0), (2L, 20.0)).toDF("station_id", "elev")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val q = Streaming.enrich(df, meta).writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    input.addData((ts(0), 1L, 1.0), (ts(1), 2L, 2.0), (ts(2), 9L, 3.0))
+    q.processAllAvailable()
+    val out = spark.table("enriched").orderBy("user_id")
+      .select("user_id", "elev").as[(Long, Option[Double])].collect().toSeq
+    q.stop()
+    assert(out === Seq((1L, Some(10.0)), (2L, Some(20.0)), (9L, None)))
+  }
+
   test("continuous qc cycle: per-batch incremental updates converge to the batch result") {
     implicit val sc = spark.sqlContext
     def dts(d: Int, h: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
