@@ -160,13 +160,78 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Exact per-type value quantiles (p50/p90/p99) via the exact
+    * `percentile` aggregate (sort-based linear interpolation — the
+    * same definition as ANSI `percentile_cont`). Exact quantiles
+    * shuffle the group's values once; at 100 TB scale production swaps
+    * in `approx_percentile` (KLL-style mergeable sketch, map-side
+    * combinable partials) with the identical plan shape — the exact
+    * form stays the cross-engine-verifiable oracle anchor. */
+  def quantiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5D)") + lit(1e-9), 6).as("p50"),
+        round(expr("percentile(value, 0.9D)") + lit(1e-9), 6).as("p90"),
+        round(expr("percentile(value, 0.99D)") + lit(1e-9), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** Multi-dimensional CUBE aggregate over (event_type, day): all four
+    * grouping sets in ONE pass — Spark's Expand node emits each row
+    * once per set before a single hash aggregation, so the input scans
+    * once no matter how many sets roll up (vs. four separate
+    * aggregations = four scans). `grouping_id` disambiguates the
+    * subtotal level; NULL group keys render as 'ALL' so the frame is
+    * sentinel-free for downstream string handling. */
+  def cubeAgg(events: DataFrame): DataFrame =
+    events.withColumn("day", to_date(col("ts")).cast("string"))
+      .cube(col("event_type"), col("day"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("value")) + lit(1e-9), 3).as("value_sum"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("gid"), col("n"), col("value_sum"))
+      .orderBy(col("gid"), col("event_type"), col("day"))
+
+  /** Trailing-window z-score anomaly detection: each event scored
+    * against the mean/stddev of its user's previous `lookback` events
+    * (never including itself — no target leakage), flagged when
+    * |z| ≥ `zThresh`. The telemetry outlier-detection staple.
+    *
+    * Plan: ONE window partition key (user_id) computes count, mean and
+    * stddev in a single Window node over the same sliding frame — one
+    * hash shuffle of the events table total, then a stateless filter.
+    * Guards: ≥ 8 prior points and sd above noise floor, else a cold
+    * user's first events all "anomalize" against a degenerate
+    * baseline. */
+  def anomalyZscore(events: DataFrame, lookback: Int = 24,
+      zThresh: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    events
+      .withColumn("n_prior", count(col("value")).over(w))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .filter(col("n_prior") >= 8 && col("sd") > 0.001)
+      .withColumn("z", round((col("value") - col("mu")) / col("sd") + lit(1e-9), 4))
+      .filter(abs(col("z")) >= zThresh)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("mu") + lit(1e-9), 4).as("mu"),
+        round(col("sd") + lit(1e-9), 4).as("sd"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_retention" -> ((s, d) => retention(Tables.events(s, d))),
     "q_histogram" -> ((s, d) => histogram(Tables.events(s, d))),
     "q_json_props" -> ((s, d) => jsonProps(Tables.events(s, d))),
-    "q_distinct_hll" -> ((s, d) => hllDistinct(Tables.events(s, d))))
+    "q_distinct_hll" -> ((s, d) => hllDistinct(Tables.events(s, d))),
+    "q_quantiles" -> ((s, d) => quantiles(Tables.events(s, d))),
+    "q_cube" -> ((s, d) => cubeAgg(Tables.events(s, d))),
+    "q_anomaly_zscore" -> ((s, d) => anomalyZscore(Tables.events(s, d))))
 }
 
 /** DuckDB oracle SQL mirrors — identical aliases, identical rounding. */
@@ -256,10 +321,48 @@ object EventOracle {
     FROM est JOIN exact USING (event_type)
     ORDER BY event_type"""
 
+  val qQuantiles: String = """
+    SELECT event_type, count(*) AS n,
+      round(quantile_cont(value, 0.5) + 1e-9, 6) AS p50,
+      round(quantile_cont(value, 0.9) + 1e-9, 6) AS p90,
+      round(quantile_cont(value, 0.99) + 1e-9, 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  val qCube: String = """
+    WITH d AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value
+      FROM events)
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+      coalesce(day, 'ALL') AS day,
+      GROUPING(event_type, day) AS gid,
+      count(*) AS n, round(sum(value) + 1e-9, 3) AS value_sum
+    FROM d GROUP BY CUBE (event_type, day)
+    ORDER BY gid, event_type, day"""
+
+  val qAnomalyZscore: String = """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+        count(value) OVER win AS n_prior,
+        avg(value) OVER win AS mu,
+        stddev_samp(value) OVER win AS sd
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    scored AS (
+      SELECT event_id, user_id, value,
+        round((value - mu) / sd + 1e-9, 4) AS z,
+        round(mu + 1e-9, 4) AS mu, round(sd + 1e-9, 4) AS sd
+      FROM w WHERE n_prior >= 8 AND sd > 0.001)
+    SELECT event_id, user_id, value, mu, sd, z
+    FROM scored WHERE abs(z) >= 3.0 ORDER BY event_id"""
+
   val all: Map[String, String] = Map(
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_histogram" -> qHistogram,
     "q_json_props" -> qJsonProps,
-    "q_distinct_hll" -> qDistinctHll)
+    "q_distinct_hll" -> qDistinctHll,
+    "q_quantiles" -> qQuantiles,
+    "q_cube" -> qCube,
+    "q_anomaly_zscore" -> qAnomalyZscore)
 }

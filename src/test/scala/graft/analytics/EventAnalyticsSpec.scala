@@ -68,6 +68,51 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("quantiles are ordered and bracket the per-type min/max") {
+    val q = EventAnalytics.quantiles(events).collect()
+    assert(q.nonEmpty)
+    val bounds = events.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    q.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p90 && p90 <= p99, s"unordered quantiles: $r")
+      val (lo, hi) = bounds(r.getString(0))
+      assert(p50 >= lo - 1e-6 && p99 <= hi + 1e-6)
+    }
+  }
+
+  test("cube subtotal levels are mutually consistent") {
+    val c = EventAnalytics.cubeAgg(events).collect()
+    val total = events.count()
+    // gid=3: grand total; each partial level must re-sum to it
+    assert(c.filter(_.getLong(2) == 3L).map(_.getLong(3)).sum === total)
+    assert(c.filter(_.getLong(2) == 2L).map(_.getLong(3)).sum === total) // by day
+    assert(c.filter(_.getLong(2) == 1L).map(_.getLong(3)).sum === total) // by type
+    assert(c.filter(_.getLong(2) == 0L).map(_.getLong(3)).sum === total) // leaves
+    // ALL sentinel appears exactly on the rolled-up dimensions
+    c.foreach { r =>
+      val gid = r.getLong(2)
+      assert((r.getString(0) == "ALL") === ((gid & 2L) != 0), s"bad type roll: $r")
+      assert((r.getString(1) == "ALL") === ((gid & 1L) != 0), s"bad day roll: $r")
+    }
+  }
+
+  test("z-score anomalies exceed the threshold and never use future data") {
+    val a = EventAnalytics.anomalyZscore(events, lookback = 24, zThresh = 2.5)
+    val rows = a.collect()
+    assert(rows.nonEmpty, "expected some anomalies at z>=2.5 on sf0.001")
+    rows.foreach(r => assert(math.abs(r.getDouble(5)) >= 2.5))
+    // leakage check: an injected extreme FIRST event for a fresh user
+    // must never be flagged (no prior baseline exists for it)
+    val spiked = events.unionByName(
+      events.limit(1).select(
+        lit(999999L).as("event_id"), col("ts"), lit(424242L).as("user_id"),
+        col("event_type"), lit(1e6).as("value"), col("props")))
+    assert(EventAnalytics.anomalyZscore(spiked)
+      .filter(col("user_id") === 424242L).count() === 0)
+  }
+
   test("table checksum is partitioning- and order-independent, content-sensitive") {
     import graft.sources.Sources
     val base = Sources.tableChecksum(events).head
