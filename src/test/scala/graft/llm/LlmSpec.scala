@@ -105,6 +105,30 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.2, s"ivf recall $recall")
   }
 
+  test("PQ ANN: codes compress to m bytes and ADC recall tracks exact L2") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 5; val nQ = 10
+    val pq = Ann.pqTopK(embs, k = k, nQueries = nQ)
+      .select("query_id", "nb_id").as[(Long, Long)].collect().toSet
+    assert(pq.size === nQ * k)
+    // exact L2 top-k reference, computed independently on the driver
+    val vecs = embs.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val exact = (for {
+      q <- vecs.keys.filter(_ < nQ)
+      qv = vecs(q)
+      top = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, qv.zip(v).map { case (a, b) => (a - b).toDouble * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(k)
+      (id, _) <- top
+    } yield (q, id)).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    // 8 subspaces x 16 centroids on noise-like data: ADC ordering is
+    // approximate; deterministic for fixed data, floor documents it
+    assert(recall >= 0.3, s"pq recall $recall")
+  }
+
   test("multimodal metadata extracts byte length and magic prefix") {
     val out = Multimodal.metadata(docs).filter($"doc_id" === 0).collect().head
     assert(out.getAs[Int]("n_bytes") === 65)
