@@ -50,6 +50,33 @@ object Streaming extends Serializable {
       streamEvents("user_id") === meta("station_id"), "left")
       .drop("station_id")
 
+  /** Stream-stream interval join: each view joined to the same user's
+    * clicks within [view_ts, view_ts + 30 min]. BOTH sides carry a
+    * watermark and the join condition carries the time bound — that
+    * pair is what lets Spark evict buffered rows: a view older than
+    * watermark + 30 min can never match a future click (and vice
+    * versa), so per-key state is bounded by the interval × arrival
+    * rate, not the stream length. Without the time-range predicate the
+    * state would grow forever and Spark would reject the append-mode
+    * query outright.
+    *
+    * Plan shape: both streams hash-partition on user_id (one shuffle
+    * each) into a co-partitioned symmetric-hash join; at 1000
+    * executors each task owns a user slice and its bounded state
+    * store. */
+  def intervalJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    v.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("click_value"))
+  }
+
   /** Continuous update cycle — the streaming form of broker.update_db:
     * every micro-batch of imported events triggers a period-scoped
     * incremental qc recompute (graft.tsdb.Incremental) merged into the

@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq((1L, Some(10.0)), (2L, Some(20.0)), (9L, None)))
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sc = spark.sqlContext
+    val vIn = MemoryStream[(Timestamp, Long, Double)]
+    val cIn = MemoryStream[(Timestamp, Long, Double)]
+    val views = vIn.toDF().toDF("ts", "user_id", "value")
+    val clicks = cIn.toDF().toDF("ts", "user_id", "value")
+    val q = Streaming.intervalJoin(views, clicks).writeStream
+      .format("memory").queryName("ij").outputMode("append").start()
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    // user 1: click inside the 30-min window; at its edge; outside.
+    // user 2: click before the view (must not match). user 3: no click.
+    vIn.addData((t(60), 1L, 0.0), (t(60), 2L, 0.0), (t(60), 3L, 0.0))
+    cIn.addData((t(75), 1L, 1.5), (t(90), 1L, 2.5), (t(91), 1L, 9.9),
+      (t(45), 2L, 7.7))
+    q.processAllAvailable()
+    val out = spark.table("ij")
+      .select("user_id", "click_value").as[(Long, Double)].collect().toSet
+    q.stop()
+    assert(out === Set((1L, 1.5), (1L, 2.5)))
+  }
+
   test("continuous qc cycle: per-batch incremental updates converge to the batch result") {
     implicit val sc = spark.sqlContext
     def dts(d: Int, h: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
