@@ -70,9 +70,21 @@ object Sources {
   /** Bucketed, sorted parquet table: downstream joins/windows keyed on
     * bucketCol become shuffle-free scans. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int = 32): Unit =
+      nBuckets: Int = 32, basePath: String = "spark-warehouse"): Unit =
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-      .option("path", s"spark-warehouse/$table")
+      .option("path", s"$basePath/$table")
       .saveAsTable(table)
+
+  /** Day-partitioned parquet layout — the 100 TB raw-store convention
+    * (the reference's per-station tables keyed by time): one directory
+    * per day value, so ANY time-ranged query prunes to its days at
+    * PLANNING time (PartitionFilters in the scan — zero I/O for
+    * excluded days, no footer reads, no tasks). Incremental ingest
+    * appends new day directories without touching existing ones, which
+    * is what makes the streaming update cycle's per-batch slice read
+    * O(batch), not O(history). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String = "day"): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }
