@@ -16,6 +16,7 @@ object SparkEntry {
     "q_topk_window" -> (Queries.qTopkWindow _),
     "q_anti_join" -> (Queries.qAntiJoin _),
     "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_asof_native" -> (Queries.qAsofNative _),
     "q_rollup" -> (Queries.qRollup _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++

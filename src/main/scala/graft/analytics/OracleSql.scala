@@ -100,5 +100,7 @@ object OracleSql {
     "q_topk_window" -> qTopkWindow,
     "q_anti_join" -> qAntiJoin,
     "q_asof_join" -> qAsofJoin,
+    // the native operator must reproduce the composed route bit-for-bit
+    "q_asof_native" -> qAsofJoin,
     "q_rollup" -> qRollup)
 }

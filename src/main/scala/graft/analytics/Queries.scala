@@ -109,6 +109,24 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Same as-of semantics through the NATIVE Catalyst operator
+    * ([[graft.plans.AsOf]]): SMJ-shaped exchanges + one streaming
+    * merge scan per partition, no union, no window state. Shares
+    * q_asof_join's oracle — the two routes must hash-match. */
+  def qAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    graft.plans.AsOf.join(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        ord.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        "user_id", "ts", "o_custkey", "o_orderdate",
+        tiebreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("last_orderkey"),
+        col("o_orderdate").cast("timestamp").as("last_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
   /** Ingest normalization: duplicate (station, ts) measurements resolve
     * to the latest import — Sources.ingestDedup over the events feed. */
   def qIngestDedup(spark: SparkSession, dir: String): DataFrame =
