@@ -20,7 +20,7 @@ object Bench {
   /** Representative query per family — relational, timeseries QC/fill/
     * correction/aggregation, dedup, ANN, text, streaming-twin. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_join", "q_asof_join", "q_topk_window",
+    "q1_agg", "q3_join", "q_asof_join", "q_asof_native", "q_topk_window",
     "q_expand_grid", "q_qc_all", "q_fill_neighbor", "q_richter_correct",
     "q_richter_correct_hourly", "q_agg_month", "q_knn_elev",
     "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_embedding_lsh",
@@ -43,12 +43,25 @@ object Bench {
       // large shuffles. A cluster deployment at real scale runs with
       // AQE on (the library itself sets no session config).
       .config("spark.sql.adaptive.enabled", "false")
+      // allow co-partitioned joins on a SUBSET of the join keys: the
+      // engine's frames are all hash-partitioned by station_id, and its
+      // (station_id, day) joins are correct under that partitioning —
+      // with this flag EnsureRequirements recognizes it and the QC/fill
+      // pipeline runs with a single big-frame shuffle end-to-end
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink, not count(): under count() Catalyst prunes every column
+    // the count doesn't need — including whole Window nodes (an as-of
+    // join's matched column, and with it the entire window, vanishes
+    // from the counted plan). The noop write materializes every output
+    // column through the full plan with zero sink cost.
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     // session warmup: FS + parquet footer reads, not attributed to queries
@@ -62,7 +75,7 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = warm.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -102,7 +102,14 @@ object QualityCheck {
       .join(series.select(col("station_id").as("nb_id"), col("day"), col("raw").as("nb_raw")),
         Seq("nb_id"))
       .withColumn("adj", col("nb_raw") + col("coef"))
-    nbVals.groupBy(col("station_id"), col("day"))
+    // shuffle the k×-exploded frame on station_id ALONE (not (station_id,
+    // day)): hashpartitioning(station_id) still satisfies the aggregate's
+    // ClusteredDistribution(station_id, day) — same (station_id, day)
+    // implies same partition — and leaves the result co-partitioned with
+    // the series frame every consumer windows/joins on station_id, so the
+    // downstream join in `all` needs NO exchange on either side
+    nbVals.repartition(col("station_id"))
+      .groupBy(col("station_id"), col("day"))
       .agg(round(median(col("adj")) + lit(1e-9), 6).as("nbs_median"))
   }
 
@@ -126,16 +133,23 @@ object QualityCheck {
     val med = nbMedian(series, meta, maSeries)
     val r = round(col("raw") + lit(1e-9), RepeatRound)
     val v = coalesce(col("raw"), lit(0.0))
-    val df = series
+    // ONE big-frame shuffle total: the window columns are computed FIRST
+    // (they depend only on the series itself; the joins below are
+    // key-preserving left joins, so the results are identical) — all six
+    // lag/leads in one select so they land in a single Window node over
+    // one hashpartitioning(station_id) + (station_id, day) sort. That
+    // sort also IS the sort-merge order of the (station_id, day) join,
+    // and the median frame arrives hashpartitioning(station_id) from
+    // nbMedian — co-partitioned on the subset key — so the join adds no
+    // exchange on either side and nothing is re-shuffled after it.
+    val windowed = series.select(col("*"),
+      lag(r, 1).over(wDay).as("l1"), lag(r, 2).over(wDay).as("l2"),
+      lead(r, 1).over(wDay).as("n1"), lead(r, 2).over(wDay).as("n2"),
+      lag(v, 1).over(wDay).as("pv"), lead(v, 1).over(wDay).as("nv"))
+    val df = windowed
       .join(ref, Seq("station_id", "day"), "left")
       .join(med, Seq("station_id", "day"), "left")
       .withColumn("r", r)
-      .withColumn("l1", lag(col("r"), 1).over(wDay))
-      .withColumn("l2", lag(col("r"), 2).over(wDay))
-      .withColumn("n1", lead(col("r"), 1).over(wDay))
-      .withColumn("n2", lead(col("r"), 2).over(wDay))
-      .withColumn("pv", lag(v, 1).over(wDay))
-      .withColumn("nv", lead(v, 1).over(wDay))
     val fRange = col("raw") < 0 || col("raw") >= RangeMax
     val fRep = col("r").isNotNull && col("r") > RepeatLimit && (
       (col("r") <=> col("l1") && col("r") <=> col("l2")) ||
