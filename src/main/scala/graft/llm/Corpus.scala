@@ -148,4 +148,83 @@ object Corpus {
       .withColumn("share", expr(
         "round(n / cast(sum(n) OVER (PARTITION BY lang) AS double) + 1e-9, 6)"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed n-gram features are under a
+    * target domain than under the raw corpus —
+    * `mean_f c_d(f) · ln(p_target(f) / p_raw(f))` over hashed
+    * unigram+bigram features with add-1 smoothing. The target slice
+    * here is the corpus' `targetLang` documents (the "domain sample"
+    * a practitioner would plug in).
+    *
+    * Scale shape: feature hashing folds the unbounded n-gram space
+    * into `buckets` cells, so both feature distributions are ONE
+    * map-combinable aggregate over the per-doc bucket counts and
+    * broadcast back as a `buckets`-row table; per-doc scoring is a
+    * keyed aggregation — no vocabulary-sized join, no all-pairs
+    * work, and the network carries bucket partials, not tokens. */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val w = tokens("text")
+    val bigrams = s"CASE WHEN size($w) >= 2 THEN transform(sequence(0, size($w) - 2), " +
+      s"i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2))) " +
+      "ELSE array() END"
+    val feats = documents.select(col("doc_id"), col("lang"),
+        explode(concat(expr(w), expr(bigrams))).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(expr(polyHash("f")), lit(buckets)).as("bucket"))
+    val dc = feats.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val bstats = dc.groupBy(col("bucket")).agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L))).as("ct"))
+    val tot = bstats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val logRatio =
+      log((col("ct") + lit(1L)).cast("double") / (col("nt") + lit(buckets.toLong)).cast("double")) -
+      log((col("cr") + lit(1L)).cast("double") / (col("nr") + lit(buckets.toLong)).cast("double"))
+    dc.join(broadcast(bstats), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("c") * logRatio) / sum(col("c")) + lit(1e-9), 6)
+          .as("dsir_logweight"))
+  }
+
+  /** Deterministic corpus shuffle — the "shuffle once before
+    * training" step: a stable content-free pseudo-random key per doc,
+    * a GLOBAL contiguous ordinal under (key, doc_id) order, and a
+    * round-robin shard assignment from the ordinal.
+    *
+    * The global ordinal is computed scalably — NOT as a
+    * single-partition `row_number() OVER (ORDER BY …)`: the keyed
+    * frame is range-partitioned (so partition p holds a contiguous
+    * key range), eagerly localCheckpoint'ed (pinning one set of range
+    * boundaries for both consumers), then
+    * `ordinal = within-partition rank + prefix-sum of partition
+    * counts` — the offsets frame is O(#partitions). The result is
+    * boundary-independent: (key, doc_id) is a total order, so
+    * wherever the sampled range boundaries land, prefix counts +
+    * local ranks compose to the same global rank the oracle's global
+    * window produces. */
+  def shuffle(documents: DataFrame, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val skey = pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P))
+    val ranged = documents.select(col("doc_id"), skey.as("skey"))
+      .repartitionByRange(col("skey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("skey"), col("doc_id"))
+    ranged.join(broadcast(offsets), Seq("pid"))
+      .withColumn("ord", row_number().over(wLocal) + col("offset"))
+      .withColumn("shard", pmod(col("ord") - 1, lit(shards.toLong)))
+      .select(col("doc_id"), col("skey"), col("ord"), col("shard"))
+  }
 }

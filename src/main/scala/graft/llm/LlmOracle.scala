@@ -518,7 +518,65 @@ object LlmOracle {
       round(mx + 1e-9, 6) AS max_abs_err
     FROM folded ORDER BY vec_id"""
 
+  /** DSIR importance weights: hashed unigram+bigram buckets, add-1
+    * smoothed target(en)/raw log ratio — mirrors Corpus.dsirWeights. */
+  val qDsirWeights: String = s"""
+    WITH sw AS (SELECT doc_id, lang, $toks AS w FROM documents),
+    feats AS (
+      SELECT doc_id, lang, unnest(list_concat(w,
+        CASE WHEN len(w) >= 2
+          THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+          ELSE [] END)) AS f
+      FROM sw),
+    fb AS (SELECT doc_id, lang, ${ph("f")} % 256 AS bucket FROM feats),
+    dc AS (SELECT doc_id, lang, bucket, count(*) AS c FROM fb GROUP BY 1, 2, 3),
+    bs AS (SELECT bucket, sum(c)::BIGINT AS cr,
+        sum(CASE WHEN lang = 'en' THEN c ELSE 0 END)::BIGINT AS ct
+      FROM dc GROUP BY 1),
+    tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM bs)
+    SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_feats,
+      round(sum(dc.c * (ln((bs.ct + 1)::DOUBLE / (t.nt + 256)::DOUBLE)
+                      - ln((bs.cr + 1)::DOUBLE / (t.nr + 256)::DOUBLE)))
+            / sum(dc.c) + 1e-9, 6) AS dsir_logweight
+    FROM dc JOIN bs USING (bucket), tot t
+    GROUP BY 1 ORDER BY 1"""
+
+  /** Deterministic corpus shuffle: the oracle states the SPEC as one
+    * global window — the engine's range-partition + prefix-sum route
+    * must reproduce it exactly. */
+  val qCorpusShuffle: String = s"""
+    WITH keyed AS (SELECT doc_id,
+        ((doc_id % $P) * 2654435761) % $P AS skey FROM documents),
+    o AS (SELECT doc_id, skey,
+        row_number() OVER (ORDER BY skey, doc_id) AS ord FROM keyed)
+    SELECT doc_id, skey, ord, (ord - 1) % 8 AS shard
+    FROM o ORDER BY doc_id"""
+
+  /** Interpolated bigram LM score — mirrors TextAnalysis.bigramLogprob. */
+  val qTextLogprob2: String = s"""
+    WITH sw AS (SELECT doc_id, $toks AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM sw),
+    uni AS (SELECT tok, count(*)::BIGINT AS cu FROM tok GROUP BY 1),
+    tot AS (SELECT sum(cu)::BIGINT AS n_corpus FROM uni),
+    bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        THEN [{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]
+        ELSE [] END) AS b FROM sw),
+    bgd AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS c
+      FROM bg GROUP BY 1, 2, 3),
+    cbc AS (SELECT w1, w2, sum(c)::BIGINT AS cb FROM bgd GROUP BY 1, 2)
+    SELECT bgd.doc_id, sum(bgd.c)::BIGINT AS n_bigrams,
+      round(sum(bgd.c * -ln((0.75)::DOUBLE * (cbc.cb::DOUBLE / u1.cu)
+                          + (0.25)::DOUBLE * (u2.cu::DOUBLE / t.n_corpus)))
+            / sum(bgd.c) + 1e-9, 6) AS mean_neglogprob2
+    FROM bgd JOIN cbc USING (w1, w2)
+      JOIN uni u1 ON bgd.w1 = u1.tok
+      JOIN uni u2 ON bgd.w2 = u2.tok, tot t
+    GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
+    "q_dsir_weights" -> qDsirWeights,
+    "q_corpus_shuffle" -> qCorpusShuffle,
+    "q_text_logprob2" -> qTextLogprob2,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_bands" -> qDedupMinhashBands,

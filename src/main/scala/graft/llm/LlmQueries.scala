@@ -41,6 +41,12 @@ object LlmQueries {
       TextAnalysis.charEntropy(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogprob(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_logprob2" -> ((s, d) =>
+      TextAnalysis.bigramLogprob(docs(s, d)).orderBy(col("doc_id"))),
+    "q_dsir_weights" -> ((s, d) =>
+      Corpus.dsirWeights(docs(s, d)).orderBy(col("doc_id"))),
+    "q_corpus_shuffle" -> ((s, d) =>
+      Corpus.shuffle(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_bigrams" -> ((s, d) => TextAnalysis.topBigrams(docs(s, d))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),

@@ -216,6 +216,45 @@ object TextAnalysis {
           .as("mean_neglogprob"))
   }
 
+  /** Interpolated bigram language-model score — the CCNet-style LM
+    * quality filter one model order up from [[unigramLogprob]], with
+    * the corpus as its own model: per doc the mean negative log
+    * probability of its bigram occurrences under
+    * `p(w2|w1) = 0.75·c(w1 w2)/c(w1) + 0.25·c(w2)/N` (fixed-weight
+    * interpolation with the unigram model, so unseen-in-doc bigrams
+    * never hit a zero). Docs with fewer than two tokens have no
+    * bigram occurrences and drop out (both engines).
+    *
+    * Plan shape: two keyed aggregations (corpus bigram counts, corpus
+    * unigram counts), one keyed join of the per-doc bigram counts to
+    * the corpus bigram table, two broadcast joins to the unigram
+    * table, one crossJoin with the 1-row total — the tf-idf shape one
+    * model order up. At 100 TB the unigram table may outgrow
+    * broadcast; the swap-in is the same join keyed. */
+  def bigramLogprob(documents: DataFrame): DataFrame = {
+    val w = tokens("text")
+    val bigramPairs = s"CASE WHEN size($w) >= 2 THEN transform(sequence(0, size($w) - 2), " +
+      s"i -> struct(element_at($w, i + 1) AS w1, element_at($w, i + 2) AS w2)) " +
+      "ELSE array() END"
+    val uni = documents.select(explode(expr(w)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("n_corpus"))
+    val bgd = documents.select(col("doc_id"), explode(expr(bigramPairs)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val cbc = bgd.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+    val p = lit(0.75) * (col("cb").cast("double") / col("cu1")) +
+      lit(0.25) * (col("cu2").cast("double") / col("n_corpus"))
+    bgd.join(cbc, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("cu").as("cu1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("cu2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(sum(col("c") * -log(p)) / sum(col("c")) + lit(1e-9), 6)
+          .as("mean_neglogprob2"))
+  }
+
   /** Character-entropy quality signal: Shannon entropy (bits) of each
     * document's code-point distribution — low entropy flags repeated-
     * character boilerplate, high entropy flags binary-ish gibberish.

@@ -349,6 +349,43 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dsir weights rank target-language docs above the off-target doc") {
+    val out = Corpus.dsirWeights(docs).orderBy("doc_id")
+      .select("doc_id", "dsir_logweight").as[(Long, Double)].collect().toMap
+    assert(out.size === 5)
+    val enMean = Seq(0L, 1L, 3L, 4L).map(out).sum / 4
+    // the German doc's hashed features are rare under the en target
+    // distribution → its importance log-weight must sit below the
+    // english docs' average
+    assert(out(2L) < enMean)
+  }
+
+  test("corpus shuffle ordinals are the global (skey, doc_id) ranks, shards round-robin") {
+    val out = Corpus.shuffle(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("skey"),
+        r.getAs[Long]("ord"), r.getAs[Long]("shard")))
+    assert(out.map(_._3).sorted.toSeq === (1L to 5L)) // contiguous permutation
+    val bySpec = out.sortBy(t => (t._2, t._1)).zipWithIndex
+    bySpec.foreach { case ((_, _, ord, shard), i) =>
+      assert(ord === i + 1L, "ordinal must equal the global (skey, doc_id) rank")
+      assert(shard === i % 8L)
+    }
+  }
+
+  test("bigram logprob scores corpus-common bigrams as more probable") {
+    val out = TextAnalysis.bigramLogprob(docs).orderBy("doc_id")
+      .select("doc_id", "mean_neglogprob2").as[(Long, Double)].collect().toMap
+    // doc 3's bigrams are singletons over singleton contexts —
+    // p(w2|w1) = 0.75·1/1 + ε, a deterministic continuation — while
+    // docs 0/1/4 share ambiguous contexts ("the" continues 3 ways),
+    // so the all-unique doc is the LESS surprising one under a
+    // conditional bigram model (unlike under the unigram model)
+    assert(out(3L) < out(0L))
+    // exact duplicates score identically
+    assert(out(0L) === out(4L))
+    assert(out.values.forall(_ > 0.0))
+  }
+
   test("pointer jumping collapses a 300-node chain within the round bound") {
     import spark.implicits._
     // plain O(diameter) min-label propagation would need 300 rounds and
