@@ -12,6 +12,9 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // match the Bench session so the audited plan is the benched plan
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>

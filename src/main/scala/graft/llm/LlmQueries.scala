@@ -32,6 +32,8 @@ object LlmQueries {
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_ann_pq" -> ((s, d) => Ann.pqTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
+    "q_ann_ivfpq" -> ((s, d) =>
+      Ann.ivfpqTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),

@@ -106,7 +106,45 @@ object Ann {
     * construction → rows-only check; recall vs exact L2 asserted in
     * the spec. */
   def pqTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      m: Int = 8, ks: Int = 16, refine: Int = 4): DataFrame =
+    pqCore(embeddings, k, nQueries, m, ks, refine, route = None)
+
+  /** IVFPQ — the production composition promised by [[pqTopK]]'s
+    * Scaladoc: IVF coarse cells bound WHICH codes each query scans
+    * (nProbe/nCells of the corpus instead of all of it), PQ's ADC
+    * arithmetic scores the scanned codes in the compressed domain
+    * unchanged, and the exact-L2 refine re-ranks the shortlist. The
+    * non-residual variant (codes quantize raw vectors, not cell
+    * residuals): encoding stays ONE map-side scan against a broadcast
+    * codebook, and the candidate generation is an equi-join on the
+    * cell id — never a cross join. Approximate by construction →
+    * rows-only; recall vs exact L2 asserted in the spec. */
+  def ivfpqTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4,
       m: Int = 8, ks: Int = 16, refine: Int = 4): DataFrame = {
+    val n = withNorm(embeddings)
+    val cents = n.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("vb"), col("nrm").as("nb"))
+    def nearestCells(df: DataFrame, take: Int, idCol: String): DataFrame = {
+      val scored = df.select(col("vec_id").as(idCol), col("embedding").as("va"), col("nrm").as("na"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", expr(dot) / (col("na") * col("nb")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= take)
+        .select(col(idCol), col("cell"))
+    }
+    pqCore(embeddings, k, nQueries, m, ks, refine,
+      route = Some((nearestCells(n, 1, "nb_id"),
+        nearestCells(n.filter(col("vec_id") < nQueries), nProbe, "query_id"))))
+  }
+
+  /** Shared PQ encode + ADC + refine pipeline; `route`, when present,
+    * is the (nb_id → cell, query_id → probed cells) pair that bounds
+    * the ADC scan to probed cells (IVFPQ), instead of scanning all
+    * codes (flat PQ). */
+  private def pqCore(embeddings: DataFrame, k: Int, nQueries: Int,
+      m: Int, ks: Int, refine: Int,
+      route: Option[(DataFrame, DataFrame)]): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val ds = s"(size(embedding) div $m)"
     // codebook: array[m] of array[ks] of subvector (ordered by cell id)
@@ -140,7 +178,19 @@ object Ann {
     val queries = encoded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), expr(
         s"""transform(sequence(0, $m - 1), mi -> $distsToCells)""").as("dt"))
-    val scored = cands.join(broadcast(queries), col("query_id") =!= col("nb_id"))
+    val pairs = route match {
+      case Some((assigned, probes)) =>
+        // IVFPQ candidate generation: codes join their cell, queries
+        // join their probed cells — an equi-join on cell bounds the
+        // ADC scan to nProbe/nCells of the corpus
+        cands.join(assigned, Seq("nb_id"))
+          .join(probes, Seq("cell"))
+          .join(broadcast(queries), Seq("query_id"))
+          .filter(col("query_id") =!= col("nb_id"))
+      case None =>
+        cands.join(broadcast(queries), col("query_id") =!= col("nb_id"))
+    }
+    val scored = pairs
       .withColumn("approx_dist", expr(
         """aggregate(zip_with(codes, dt, (c, row) -> element_at(row, c + 1)),
              cast(0.0 as double), (acc, x) -> acc + x)"""))

@@ -17,8 +17,12 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 class PlanGuardSpec extends SparkSpec {
 
   /** Deliberate brute-force reference variants, each with a registered
-    * scale-path twin (q_knn_bucketed, q_ann_lsh / q_dedup_embedding_lsh). */
-  private val exempt = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_knn_dist", "q_knn_elev")
+    * scale-path twin (q_knn_bucketed, q_ann_lsh / q_dedup_embedding_lsh);
+    * q_ann_ivf/q_ann_ivfpq appear for their coarse-quantizer pass — a
+    * crossJoin against the nCells-row centroid broadcast, O(n·nCells)
+    * linear work bounded by the filter-derived codebook, not all-pairs. */
+  private val exempt = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_ivfpq",
+    "q_knn_dist", "q_knn_elev")
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val here = p.collect { case n => n }
