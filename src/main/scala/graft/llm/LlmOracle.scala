@@ -518,6 +518,39 @@ object LlmOracle {
       round(mx + 1e-9, 6) AS max_abs_err
     FROM folded ORDER BY vec_id"""
 
+  /** Bloom ingest screen — mirrors graft.dedup.Bloom bit-for-bit:
+    * band-key hash, 3 probe positions, 65536-bit sketch built from the
+    * even-id corpus half, probed by the odd-id half. */
+  val qDedupBloom: String = s"""
+    WITH $shCte, $sigCte,
+    bk AS (SELECT doc_id, band,
+        (band * 1315423911 + k1 * 31 + k2) % $P AS kh FROM band_k),
+    poss AS (SELECT unnest([((kh * 3 + 17) % $P) % 65536,
+                           ((kh * 1299709 + 101) % $P) % 65536,
+                           ((kh * 15485863 + 1009) % $P) % 65536]) AS p
+      FROM bk WHERE doc_id % 2 = 0),
+    words AS (SELECT p // 64 AS word,
+        bit_or(CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1)::BIGINT
+               ELSE 1::BIGINT << ((p % 64)::INT) END) AS bits
+      FROM poss GROUP BY 1),
+    ppos AS (SELECT doc_id, band, unnest([((kh * 3 + 17) % $P) % 65536,
+                           ((kh * 1299709 + 101) % $P) % 65536,
+                           ((kh * 15485863 + 1009) % $P) % 65536]) AS p
+      FROM bk WHERE doc_id % 2 = 1),
+    chk AS (SELECT pp.doc_id, pp.band,
+        count(*) FILTER (WHERE ((w.bits >> ((pp.p % 64)::INT)) & 1) = 1) AS nbits
+      FROM ppos pp LEFT JOIN words w ON pp.p // 64 = w.word
+      GROUP BY 1, 2),
+    perdoc AS (SELECT doc_id,
+        count(*) FILTER (WHERE nbits = 3) AS n_hit_bands
+      FROM chk GROUP BY 1)
+    SELECT d.doc_id,
+      coalesce(perdoc.n_hit_bands, 0)::INT AS n_hit_bands,
+      coalesce(perdoc.n_hit_bands, 0) > 0 AS maybe_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      LEFT JOIN perdoc USING (doc_id)
+    ORDER BY d.doc_id"""
+
   /** DSIR importance weights: hashed unigram+bigram buckets, add-1
     * smoothed target(en)/raw log ratio — mirrors Corpus.dsirWeights. */
   val qDsirWeights: String = s"""
@@ -574,6 +607,7 @@ object LlmOracle {
     GROUP BY 1 ORDER BY 1"""
 
   val all: Map[String, String] = Map(
+    "q_dedup_bloom" -> qDedupBloom,
     "q_dsir_weights" -> qDsirWeights,
     "q_corpus_shuffle" -> qCorpusShuffle,
     "q_text_logprob2" -> qTextLogprob2,

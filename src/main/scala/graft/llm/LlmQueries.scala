@@ -24,6 +24,8 @@ object LlmQueries {
       Dedup.simhashPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_components" -> ((s, d) =>
       Dedup.components(docs(s, d)).orderBy(col("doc_id"))),
+    "q_dedup_bloom" -> ((s, d) =>
+      graft.dedup.Bloom.screenQuery(docs(s, d)).orderBy(col("doc_id"))),
     "q_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(embs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_embedding_lsh" -> ((s, d) =>

@@ -39,6 +39,19 @@ object Streaming extends Serializable {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming ingest near-dup screen: flag every arriving document
+    * that shares ANY MinHash band with the existing corpus, by probing
+    * a broadcast Bloom sketch of the corpus band index
+    * ([[graft.dedup.Bloom]]) — stateless, per-row, join-free: the
+    * sketch is an 8 KiB single-row frame cross-joined in (stream-static
+    * over a global-aggregate side), so each micro-batch is a map-only
+    * pass whatever the corpus size. A flagged doc proceeds to exact
+    * verification; a clean doc provably shares no band with the corpus
+    * (Bloom has no false negatives). The batch twin is
+    * [[graft.dedup.Bloom.screenQuery]] (q_dedup_bloom, oracled). */
+  def nearDupScreen(streamDocs: DataFrame, corpus: DataFrame): DataFrame =
+    graft.dedup.Bloom.probe(streamDocs, graft.dedup.Bloom.build(corpus))
+
   /** Stream-static enrichment: join each arriving event to the station
     * registry (a static dimension frame). The static side broadcasts —
     * per micro-batch the stream is enriched map-side with NO shuffle

@@ -400,6 +400,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("corpus shuffle ordinals equal the model ranks on a 400-doc random id set") {
+    // exercises the prefix-sum-across-range-partitions arithmetic with
+    // many partitions, not the 5-doc happy path
+    val P = 1000000007L
+    val rnd = new scala.util.Random(7)
+    val ids = Seq.fill(400)(math.abs(rnd.nextLong()) % 1000000L).distinct
+    val df = ids.map(i => (i, s"doc $i", "en")).toDF("doc_id", "text", "lang")
+    val got = Corpus.shuffle(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("skey"), r.getAs[Long]("ord"), r.getAs[Long]("shard"))).toMap
+    val model = ids.map(i => (i, ((i % P) * 2654435761L) % P))
+      .sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, k), i) => id -> ((k, i + 1L, i % 8L)) }.toMap
+    assert(got === model)
+  }
+
   test("bigram logprob scores corpus-common bigrams as more probable") {
     val out = TextAnalysis.bigramLogprob(docs).orderBy("doc_id")
       .select("doc_id", "mean_neglogprob2").as[(Long, Double)].collect().toMap

@@ -63,6 +63,37 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq((1L, Some(10.0)), (2L, Some(20.0)), (9L, None)))
   }
 
+  test("streaming near-dup screen flags corpus near-dups, passes novel docs") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupScreen(input.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("screened").outputMode("append").start()
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 0
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 0
+      (12L, "completely unrelated words about catalyst plans and codegen stages"))
+    q.processAllAvailable()
+    val out = spark.table("screened").orderBy("doc_id")
+      .select("doc_id", "maybe_dup").as[(Long, Boolean)].collect().toMap
+    q.stop()
+    assert(out(10L), "exact duplicate must hit the sketch (no false negatives)")
+    assert(out(11L), "near-dup shares most shingles, so some band must hit")
+    assert(!out(12L), "novel doc shares no band with the tiny corpus")
+    // stream result equals the batch probe of the same frames
+    val batch = graft.dedup.Bloom.probe(
+        Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+          (12L, "completely unrelated words about catalyst plans and codegen stages"))
+          .toDF("doc_id", "text"),
+        graft.dedup.Bloom.build(corpus))
+      .select("doc_id", "maybe_dup").as[(Long, Boolean)].collect().toMap
+    assert(out === batch)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     implicit val sc = spark.sqlContext
     val vIn = MemoryStream[(Timestamp, Long, Double)]
