@@ -84,6 +84,17 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   protected override def doExecute(): RDD[InternalRow] = {
+    // key/time are attribute refs by construction (AsOf.join projects
+    // them as columns) — read them as primitive longs by ordinal; the
+    // interpreted-eval path stays as the fallback for direct plan users
+    def ordinalOf(e: Expression, out: Seq[Attribute]): Int = e match {
+      case a: Attribute => out.indexWhere(_.exprId == a.exprId)
+      case _ => -1
+    }
+    val lkOrd = ordinalOf(leftKey, left.output)
+    val ltOrd = ordinalOf(leftTime, left.output)
+    val rkOrd = ordinalOf(rightKey, right.output)
+    val rtOrd = ordinalOf(rightTime, right.output)
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTime, left.output)
     val rkB = BindReferences.bindReference(rightKey, right.output)
@@ -95,6 +106,7 @@ case class AsOfJoinExec(
       val toUnsafe = UnsafeProjection.create(allOut, lOut ++ rOut)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
+      val rFields = rOut.size
       // one-row lookahead over the right stream, null-keyed rows skipped
       var rHead: InternalRow = null
       var rK = 0L; var rT = 0L
@@ -103,29 +115,58 @@ case class AsOfJoinExec(
         rValid = false
         while (!rValid && rIter.hasNext) {
           val r = rIter.next()
-          val k = rkB.eval(r); val t = rtB.eval(r)
-          if (k != null && t != null) {
-            rHead = r; rK = k.asInstanceOf[Long]; rT = t.asInstanceOf[Long]
-            rValid = true
+          if (rkOrd >= 0 && rtOrd >= 0) {
+            if (!r.isNullAt(rkOrd) && !r.isNullAt(rtOrd)) {
+              rHead = r; rK = r.getLong(rkOrd); rT = r.getLong(rtOrd)
+              rValid = true
+            }
+          } else {
+            val k = rkB.eval(r); val t = rtB.eval(r)
+            if (k != null && t != null) {
+              rHead = r; rK = k.asInstanceOf[Long]; rT = t.asInstanceOf[Long]
+              rValid = true
+            }
           }
         }
       }
       advanceRight()
-      // current best match: the last right row consumed for candK
+      // current best match: the last right row consumed for candK.
+      // Sorter output rows are UnsafeRows whose backing buffer the
+      // iterator reuses — buffer the candidate via copyFrom into ONE
+      // preallocated UnsafeRow instead of allocating a copy per
+      // consumed right row.
+      val candBuf = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rFields)
+      // copyFrom requires a byte[]-backed target at the array base
+      // offset; a bare new UnsafeRow has neither (null base, offset 0)
+      // and copyFrom into it writes wild memory. Seed a real buffer —
+      // copyFrom re-grows it whenever an incoming row is larger.
+      candBuf.pointTo(new Array[Byte](64), 64)
       var cand: InternalRow = null
       var candK = 0L
+      def bufferCandidate(r: InternalRow): Unit = r match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          candBuf.copyFrom(u); cand = candBuf
+        case other => cand = other.copy()
+      }
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lkA = lkB.eval(l); val ltA = ltB.eval(l)
-          if (lkA == null || ltA == null) return toUnsafe(joined(l, nullRight))
-          val lK = lkA.asInstanceOf[Long]; val lT = ltA.asInstanceOf[Long]
+          var lK = 0L; var lT = 0L; var lNull = false
+          if (lkOrd >= 0 && ltOrd >= 0) {
+            lNull = l.isNullAt(lkOrd) || l.isNullAt(ltOrd)
+            if (!lNull) { lK = l.getLong(lkOrd); lT = l.getLong(ltOrd) }
+          } else {
+            val lkA = lkB.eval(l); val ltA = ltB.eval(l)
+            lNull = lkA == null || ltA == null
+            if (!lNull) { lK = lkA.asInstanceOf[Long]; lT = ltA.asInstanceOf[Long] }
+          }
+          if (lNull) return toUnsafe(joined(l, nullRight))
           // consume right rows that are now in the past of (lK, lT);
           // right sort order makes the last consumed row of lK's run
           // the max-(time, tiebreak) match — buffer just that one
           while (rValid && (rK < lK || (rK == lK && rT <= lT))) {
-            if (rK == lK) { cand = rHead.copy(); candK = lK }
+            if (rK == lK) { bufferCandidate(rHead); candK = lK }
             advanceRight()
           }
           if (cand != null && candK == lK) toUnsafe(joined(l, cand))
