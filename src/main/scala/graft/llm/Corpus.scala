@@ -227,4 +227,35 @@ object Corpus {
       .withColumn("shard", pmod(col("ord") - 1, lit(shards.toLong)))
       .select(col("doc_id"), col("skey"), col("ord"), col("shard"))
   }
+
+  /** Source-mixture rebalancing table — the domain-weighting step of a
+    * pre-training pipeline (Pile/Dolma-style mixtures): per source its
+    * doc count, token mass, share of the corpus, and the up/down-
+    * sampling weight that would equalize token mass across sources
+    * (`weight = target_share / token_share`, target = uniform), plus
+    * the capped one-pass sampling rate `min(1, weight)`.
+    *
+    * weight is computed as the integer rational
+    * `tot_tokens / (n_sources · n_tokens)` — never as a quotient of
+    * two already-rounded doubles — so both engines round the same
+    * exact value.
+    *
+    * Scale shape: one keyed aggregation with map-side combine down to
+    * #sources rows, then a broadcast of the single-row total; nothing
+    * after the first shuffle is larger than the source list. */
+  def sourceMix(documents: DataFrame): DataFrame = {
+    val perSrc = documents
+      .select(col("source"), expr(s"size(${graft.text.TextFns.tokens("text")})").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens") + lit(1e-9), 6)
+          .as("token_share"),
+        round(col("tot_tokens").cast("double") / (col("n_sources") * col("n_tokens"))
+          + lit(1e-9), 6).as("weight"))
+      .withColumn("sample_rate", least(lit(1.0), col("weight")))
+  }
 }

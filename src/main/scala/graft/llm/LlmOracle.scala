@@ -477,6 +477,69 @@ object LlmOracle {
     WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
     ORDER BY doc_id"""
 
+  /** Mirrors LlmQueries.piiPayload + TextAnalysis.piiScan. The regex
+    * patterns are shared constants kept inside the Java-regex/RE2
+    * agreement subset; DuckDB regexp_replace needs the explicit 'g'
+    * flag to match Spark's replace-all semantics. */
+  val qTextPii: String = {
+    val em = graft.text.TextAnalysis.EmailRe
+    val ip = graft.text.TextAnalysis.Ipv4Re
+    val phn = graft.text.TextAnalysis.PhoneRe
+    s"""
+    WITH synth AS (
+      SELECT event_id,
+        (CASE WHEN event_type = 'view'
+           THEN 'contact u' || CAST(user_id AS VARCHAR) || '@mail.net '
+           ELSE 'anon ' END)
+        || 'from '
+        || (CASE WHEN event_id % 3 = 0
+            THEN '10.0.' || CAST(user_id % 200 AS VARCHAR) || '.'
+              || CAST(event_id % 250 AS VARCHAR)
+            ELSE 'intranet' END)
+        || (CASE WHEN event_id % 5 = 0
+            THEN ' call +1-555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END) AS payload
+      FROM events)
+    SELECT event_id,
+      len(regexp_extract_all(payload, '$em')) AS n_emails,
+      len(regexp_extract_all(payload, '$ip')) AS n_ipv4,
+      len(regexp_extract_all(payload, '$phn')) AS n_phones,
+      length(regexp_replace(regexp_replace(regexp_replace(
+        payload, '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+        '$phn', '<PHONE>', 'g')) AS redacted_len,
+      len(regexp_extract_all(payload, '$em'))
+        + len(regexp_extract_all(payload, '$ip'))
+        + len(regexp_extract_all(payload, '$phn')) AS pii_total
+    FROM synth ORDER BY event_id"""
+  }
+
+  val qTextChunks: String = s"""
+    WITH starts AS (
+      SELECT doc_id, text,
+        unnest(range(1, greatest(length(text), 1) + 1, 150)) AS chunk_start
+      FROM documents),
+    c AS (SELECT doc_id, chunk_start, substr(text, chunk_start, 200) AS chunk
+          FROM starts)
+    SELECT doc_id, (chunk_start - 1) // 150 AS chunk_idx, chunk_start,
+      length(chunk) AS chunk_len, ${ph("chunk")} AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_start"""
+
+  /** weight mirrors Corpus.sourceMix: the integer rational
+    * tot/(n_sources*n_tokens) rounded once — never a quotient of two
+    * already-rounded doubles. */
+  val qSourceMix: String = """
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+        sum(len(string_split(lower(text), ' '))) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS tot_tokens, count(*) AS n_sources FROM per)
+    SELECT source, n_docs, n_tokens,
+      round(CAST(n_tokens AS DOUBLE) / tot_tokens + 1e-9, 6) AS token_share,
+      round(CAST(tot_tokens AS DOUBLE) / (n_sources * n_tokens) + 1e-9, 6) AS weight,
+      least(CAST(1.0 AS DOUBLE),
+        round(CAST(tot_tokens AS DOUBLE) / (n_sources * n_tokens) + 1e-9, 6)) AS sample_rate
+    FROM per, tot ORDER BY source"""
+
   val qMultimodalMeta: String = """
     SELECT doc_id,
       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -624,6 +687,9 @@ object LlmOracle {
     "q_text_tokens" -> qTextTokens,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_entropy" -> qTextEntropy,
+    "q_text_pii" -> qTextPii,
+    "q_text_chunks" -> qTextChunks,
+    "q_source_mix" -> qSourceMix,
     "q_text_logprob" -> qTextLogprob,
     "q_quality_sample" -> qQualitySample,
     "q_text_bigrams" -> qTextBigrams,

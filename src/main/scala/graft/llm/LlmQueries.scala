@@ -14,6 +14,24 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** Deterministic PII-bearing payload built from events columns — the
+    * test corpus carries no digits at all, so the PII scan's regex
+    * semantics are exercised on a string BOTH engines synthesize
+    * identically from real data (mixed rows: some with an email, some
+    * with an IP, some with a phone, some clean). The operator itself
+    * ([[TextAnalysis.piiScan]]) is generic over any string column. */
+  private def piiPayload: org.apache.spark.sql.Column = concat(
+    when(col("event_type") === "view",
+      concat(lit("contact u"), col("user_id").cast("string"), lit("@mail.net ")))
+      .otherwise(lit("anon ")),
+    lit("from "),
+    when(col("event_id") % 3 === 0,
+      concat(lit("10.0."), (col("user_id") % 200).cast("string"), lit("."),
+        (col("event_id") % 250).cast("string"))).otherwise(lit("intranet")),
+    when(col("event_id") % 5 === 0,
+      concat(lit(" call +1-555-"), lpad((col("event_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("canonical_id"))),
     "q_dedup_minhash_bands" -> ((s, d) =>
@@ -70,6 +88,12 @@ object LlmQueries {
       Corpus.splitCounts(docs(s, d)).orderBy(col("lang"), col("split"))),
     "q_corpus_clean" -> ((s, d) => Corpus.clean(docs(s, d)).orderBy(col("doc_id"))),
     "q_corpus_sample" -> ((s, d) => Corpus.sample(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_pii" -> ((s, d) =>
+      TextAnalysis.piiScan(Tables.events(s, d).withColumn("payload", piiPayload),
+        "event_id", "payload").orderBy(col("event_id"))),
+    "q_text_chunks" -> ((s, d) =>
+      TextAnalysis.chunks(docs(s, d)).orderBy(col("doc_id"), col("chunk_start"))),
+    "q_source_mix" -> ((s, d) => Corpus.sourceMix(docs(s, d)).orderBy(col("source"))),
     "q_quality_sample" -> ((s, d) =>
       Corpus.sampleByQuality(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),

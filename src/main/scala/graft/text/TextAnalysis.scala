@@ -278,4 +278,62 @@ object TextAnalysis {
       expr(s"array_min(${shingleHashes("text")})").as("min_shingle_hash"),
       expr(s"array_max(${shingleHashes("text")})").as("max_shingle_hash"))
   }
+
+  /** PII patterns shared by [[piiScan]] and its oracle mirror — kept to
+    * the regex subset where Java regex and RE2 agree exactly (no
+    * lookaround, no backreferences): character classes, bounded
+    * repetition, word boundaries. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+
+  /** PII detection + redaction over an arbitrary id/text column pair —
+    * the scrub pass a training pipeline runs before any text reaches a
+    * model: per-row counts of emails / IPv4 addresses / intl-format
+    * phone numbers, and the length of the text after replacing each
+    * match class with a fixed placeholder (redaction is `regexp_replace`
+    * of ALL occurrences; the emitted length proves the replacement
+    * happened without shipping the raw text back out).
+    *
+    * Scale shape: a stateless codegen'd projection — no shuffle, no
+    * UDF; at 100 TB this is a pure map over the scan. */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    df.select(col(idCol),
+        regexp_count(t, lit(EmailRe)).as("n_emails"),
+        regexp_count(t, lit(Ipv4Re)).as("n_ipv4"),
+        regexp_count(t, lit(PhoneRe)).as("n_phones"),
+        length(redacted).as("redacted_len"))
+      .withColumn("pii_total", col("n_emails") + col("n_ipv4") + col("n_phones"))
+  }
+
+  /** Fixed-window document chunking with overlap (width 200, stride
+    * 150 → 50-char overlap) — the segmentation step feeding context-
+    * window-bounded training and RAG indexing. Each doc explodes into
+    * its chunk starts (`sequence(1, len, stride)`); every chunk carries
+    * its ordinal, offset, length, and polynomial content hash, so a
+    * downstream pipeline can dedup / align chunks without re-reading
+    * the parent doc.
+    *
+    * Scale shape: per-row explode with fan-out len/stride (no shuffle);
+    * chunk hashing is the native codegen'd polyhash. */
+  def chunks(documents: DataFrame, width: Int = 200, stride: Int = 150): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, greatest(length(text), 1), $stride)")).as("chunk_start"),
+        col("text"))
+      .select(col("doc_id"),
+        expr(s"(chunk_start - 1) div $stride").as("chunk_idx"),
+        col("chunk_start"),
+        expr(s"substring(text, chunk_start, $width)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).as("chunk_len"),
+        expr(polyHash("chunk")).as("chunk_hash"))
+  }
 }

@@ -430,6 +430,65 @@ class LlmSpec extends SparkSpec {
     assert(out.values.forall(_ > 0.0))
   }
 
+  test("pii scan counts and redacts emails, ips and phones; clean rows are untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "mail alice.smith@corp.example.org now"),
+      (1L, "from 192.168.1.17 and 10.0.0.1 twice"),
+      (2L, "call +49-301-1234 or +1-555-0042"),
+      (3L, "nothing sensitive here"),
+      (4L, "bob@ex.io at 8.8.8.8 dial +1-555-9999")
+    ).toDF("id", "t")
+    val out = TextAnalysis.piiScan(rows, "id", "t").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_ipv4"),
+          r.getAs[Int]("n_phones"), r.getAs[Int]("redacted_len")))).toMap
+    assert(out(0L) === ((1, 0, 0, "mail <EMAIL> now".length)))
+    assert(out(1L) === ((0, 2, 0, "from <IP> and <IP> twice".length)))
+    assert(out(2L) === ((0, 0, 2, "call <PHONE> or <PHONE>".length)))
+    assert(out(3L) === ((0, 0, 0, "nothing sensitive here".length)))
+    assert(out(4L) === ((1, 1, 1, "<EMAIL> at <IP> dial <PHONE>".length)))
+  }
+
+  test("chunks cover every doc exactly: offsets stride, lengths sum with overlap") {
+    import spark.implicits._
+    val out = TextAnalysis.chunks(docs, width = 20, stride = 15)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+      .as[(Long, Long, Int, Int)].collect().groupBy(_._1)
+    val lens = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+      .view.mapValues(_.length).toMap
+    for ((id, cs) <- out) {
+      val sorted = cs.sortBy(_._3)
+      // starts are 1, 16, 31, … and idx tracks them
+      assert(sorted.zipWithIndex.forall { case ((_, idx, st, _), i) =>
+        idx == i && st == 1 + i * 15 })
+      // every chunk is full width except the last; the last ends at doc end
+      assert(sorted.init.forall(_._4 == 20))
+      assert(sorted.last._3 + sorted.last._4 - 1 === lens(id))
+      // full coverage: no char past the first stride is missed
+      assert(sorted.last._3 <= lens(id))
+    }
+  }
+
+  test("source mix weights equalize token mass and cap the sampling rate at 1") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d e f g h", "big"), (1L, "a b c d e f g h", "big"),
+      (2L, "a b c d e f g h", "big"), (3L, "x y", "small")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.sourceMix(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"),
+          r.getAs[Double]("sample_rate")))).toMap
+    // 24 + 2 = 26 tokens, uniform target 13 per source
+    assert(out("big")._1 === 24L)
+    assert(out("small")._1 === 2L)
+    assert(math.abs(out("big")._2 - 26.0 / (2 * 24)) < 1e-6)
+    assert(out("big")._3 === out("big")._2, "downsampled source keeps weight as rate")
+    assert(math.abs(out("small")._2 - 26.0 / (2 * 2)) < 1e-6)
+    assert(out("small")._3 === 1.0, "upsampled source caps the one-pass rate at 1")
+  }
+
   test("pointer jumping collapses a 300-node chain within the round bound") {
     import spark.implicits._
     // plain O(diameter) min-label propagation would need 300 rounds and
