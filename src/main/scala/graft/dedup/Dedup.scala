@@ -192,7 +192,15 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     try {
-      var labels = ids.select(col("doc_id"), col("doc_id").as("comp"))
+      // only nodes touched by an edge can ever change label — iterate
+      // over the duplicate SUBGRAPH (O(near-dup docs)), not the whole
+      // corpus: at 100 TB the corpus is billions of ids but the pair
+      // graph is a few percent of it, and every round's shuffles size
+      // to the subgraph. Untouched ids rejoin as singletons at the end.
+      // Both edge directions are present, so src alone covers all
+      // touched nodes.
+      val touched = edges.select(col("src").as("doc_id")).distinct()
+      var labels = touched.select(col("doc_id"), col("doc_id").as("comp"))
         .localCheckpoint(true)
       // fixpoint detection without a join: labels only ever DECREASE
       // under min-propagation, so the exact (decimal, overflow-free)
@@ -237,8 +245,15 @@ object Dedup {
         s"component propagation did not converge in $maxRounds rounds " +
           "(component diameter too large — switch the step to large-star/small-star)")
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
-      labels.join(sizes, Seq("comp"))
+      val clustered = labels.join(sizes, Seq("comp"))
         .select(col("doc_id"), col("comp"), col("comp_size"))
+      // ids in no pair: their own singleton component (anti-join is one
+      // keyed shuffle of the id column only)
+      val singletons = ids.select(col("doc_id"))
+        .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("comp"),
+          lit(1L).as("comp_size"))
+      clustered.unionByName(singletons)
     } finally edges.unpersist()
   }
 
