@@ -258,4 +258,37 @@ object Corpus {
           + lit(1e-9), 6).as("weight"))
       .withColumn("sample_rate", least(lit(1.0), col("weight")))
   }
+
+  /** Cross-source contamination matrix — the train/test-leakage audit
+    * of a corpus assembled from many crawls/dumps: every verified
+    * near-dup pair ([[graft.dedup.Dedup.jaccardPairs]], exact Jaccard ≥
+    * threshold) is attributed to the unordered pair of its documents'
+    * sources; per source pair, the number of duplicate links and their
+    * mean Jaccard. The diagonal (source_a == source_b) is
+    * within-source redundancy; off-diagonal cells are the leakage
+    * signal.
+    *
+    * Scale shape: the pair frame is O(actual near-dups); two broadcast
+    * joins attach the (doc_id → source) dimension (O(corpus) rows but
+    * only two SMALL columns — at 100 TB this side switches to a shuffle
+    * join on doc_id, same semantics), then one keyed aggregation down
+    * to at most #sources² rows. The mean averages already-quantized
+    * 6-dp jaccards, so the partial-sum order cannot move the rounded
+    * result. */
+  def crossSourceDup(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = graft.dedup.Dedup.jaccardPairs(documents, threshold)
+    val src = documents.select(col("doc_id"), col("source"))
+    try {
+      val attributed = pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"),
+          col("jaccard"))
+      val out = attributed.groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")) + lit(1e-9), 6).as("mean_jaccard"))
+      out.localCheckpoint(true)
+    } finally pairs.unpersist()
+  }
 }

@@ -669,7 +669,90 @@ object LlmOracle {
       JOIN uni u2 ON bgd.w2 = u2.tok, tot t
     GROUP BY 1 ORDER BY 1"""
 
+  /** Zipf vocabulary sweep: top-30 tokens with cumulative coverage. */
+  val qVocabCoverage: String = s"""
+    WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+    tot AS (SELECT sum(n)::DOUBLE AS n_corpus FROM cnt),
+    top AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+            FROM cnt ORDER BY n DESC, tok LIMIT 30)
+    SELECT rank, tok, n::BIGINT AS n,
+      round(n / t.n_corpus + 1e-9, 6) AS share,
+      round(sum(n) OVER (ORDER BY rank) / t.n_corpus + 1e-9, 6) AS cum_share
+    FROM top, tot t ORDER BY rank"""
+
+  /** Cross-source near-dup contamination matrix over the exact-Jaccard
+    * pair set (same body as q_dedup_jaccard). */
+  val qDedupCrossSource: String = s"""
+    WITH $shCte,
+    jp AS ($jpairsBody),
+    src AS (SELECT doc_id, source FROM documents),
+    att AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b, jp.jaccard
+      FROM jp JOIN src a ON jp.id_a = a.doc_id
+              JOIN src b ON jp.id_b = b.doc_id)
+    SELECT source_a, source_b, count(*) AS n_pairs,
+      round(avg(jaccard) + 1e-9, 6) AS mean_jaccard
+    FROM att GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** JSONL round-trip: the oracle checksums the synthesized hostile
+    * payload DIRECTLY from parquet; the Spark side must reproduce the
+    * same checksums after an actual JSONL write+read (Sources
+    * .jsonlRoundtrip) — any escaping loss breaks the match. */
+  val qIngestJsonl: String = s"""
+    WITH p AS (
+      SELECT *, '"' || substr(text, 1, 40) || chr(92) || chr(10) || lang ||
+        chr(9) || 'äπ中' || n_chars::VARCHAR AS payload
+      FROM documents)
+    SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+      sum(n_chars)::BIGINT AS sum_chars,
+      sum(${ph("text")})::BIGINT AS text_sum,
+      sum(${ph("payload")})::BIGINT AS payload_sum
+    FROM p GROUP BY 1 ORDER BY source"""
+
+  /** Power-iteration top principal direction, mirroring
+    * Pca.powerProjection CTE-for-frame: quantized mean, content-free
+    * `1/√d` start, per-round quantized direction re-estimate, norms as
+    * index-order folds over already-quantized vectors. */
+  val qEmbedPca: String = {
+    val iters = 2
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
+        s"i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def roundCte(i: Int): String = s"""
+    p$i AS (SELECT c.vec_id, c.c, ${dot("c.c", "v.v")} AS p FROM c CROSS JOIN v${i - 1} v),
+    wt$i AS (
+      SELECT i, round(sum(c[i] * p) + 1e-9, 6) AS w FROM (
+        SELECT c, p, unnest(range(1, len(c) + 1)) AS i FROM p$i)
+      GROUP BY 1),
+    wv$i AS (SELECT list(w ORDER BY i) AS w FROM wt$i),
+    v$i AS (SELECT list_transform(w, x -> round(x / sqrt(${dot("w", "w")}) + 1e-9, 6)) AS v
+            FROM wv$i)"""
+    s"""
+    WITH e AS (
+      SELECT vec_id::BIGINT AS vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    mt AS (
+      SELECT i, round(avg(emb[i]) + 1e-9, 6) AS m FROM (
+        SELECT emb, unnest(range(1, len(emb) + 1)) AS i FROM e)
+      GROUP BY 1),
+    mv AS (SELECT list(m ORDER BY i) AS mvec FROM mt),
+    c AS (
+      SELECT vec_id, list_transform(range(1, len(emb) + 1), i -> emb[i] - mvec[i]) AS c
+      FROM e CROSS JOIN mv),
+    v0 AS (SELECT list_transform(mvec, x -> 1.0::DOUBLE / sqrt(len(mvec)::DOUBLE)) AS v
+           FROM mv),
+    ${(1 to iters).map(roundCte).mkString(",")}
+    SELECT c.vec_id, round(${dot("c.c", "v.v")} + 1e-9, 6) AS proj
+    FROM c CROSS JOIN v$iters v ORDER BY c.vec_id"""
+  }
+
   val all: Map[String, String] = Map(
+    "q_vocab_coverage" -> qVocabCoverage,
+    "q_embed_pca" -> qEmbedPca,
+    "q_dedup_cross_source" -> qDedupCrossSource,
+    "q_ingest_jsonl" -> qIngestJsonl,
     "q_dedup_bloom" -> qDedupBloom,
     "q_dsir_weights" -> qDsirWeights,
     "q_corpus_shuffle" -> qCorpusShuffle,

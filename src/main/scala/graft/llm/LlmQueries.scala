@@ -94,9 +94,17 @@ object LlmQueries {
     "q_text_chunks" -> ((s, d) =>
       TextAnalysis.chunks(docs(s, d)).orderBy(col("doc_id"), col("chunk_start"))),
     "q_source_mix" -> ((s, d) => Corpus.sourceMix(docs(s, d)).orderBy(col("source"))),
+    "q_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(docs(s, d)).orderBy(col("rank"))),
+    "q_dedup_cross_source" -> ((s, d) =>
+      Corpus.crossSourceDup(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
+    "q_ingest_jsonl" -> ((s, d) =>
+      graft.sources.Sources.jsonlRoundtrip(s, d).orderBy(col("source"))),
     "q_quality_sample" -> ((s, d) =>
       Corpus.sampleByQuality(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),
+    "q_embed_pca" -> ((s, d) =>
+      graft.similarity.Pca.powerProjection(embs(s, d)).orderBy(col("vec_id"))),
     "q_embed_quantize" -> ((s, d) =>
       graft.similarity.Quantize.sq8Report(embs(s, d)).orderBy(col("vec_id"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))))

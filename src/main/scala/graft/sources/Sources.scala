@@ -76,6 +76,44 @@ object Sources {
       .option("path", s"$basePath/$table")
       .saveAsTable(table)
 
+  /** JSONL round-trip fidelity check over the documents table — JSONL
+    * is THE corpus interchange format of LLM training pipelines, and
+    * the property that matters is losslessness: every code point,
+    * quote, backslash and newline must survive write → escape → parse.
+    * The corpus text is plain prose, so each doc also gets a
+    * `payload` column synthesized deterministically from its own
+    * fields with the hostile characters baked in (quote, backslash,
+    * newline, tab, and non-ASCII BMP code points) — both engines
+    * build the identical string, but ONLY the Spark side routes it
+    * through an actual JSONL write+read; the oracle checksums the
+    * synthesized column directly, so any escaping defect shows up as
+    * a checksum mismatch.
+    *
+    * Scale shape: the write and read are both fully distributed file
+    * scans (one task per split, no driver involvement); the checksum
+    * is a keyed aggregation with map-side combine down to #sources
+    * rows. */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val payload = concat(
+      lit("\""), substring(col("text"), 1, 40),
+      lit("\\"), lit("\n"), col("lang"), lit("\t"),
+      lit("äπ中"), col("n_chars").cast("string"))
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .withColumn("payload", payload)
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_jsonl_" + Integer.toHexString(sfDir.hashCode)).getPath
+    docs.write.mode("overwrite").json(tmp)
+    val back = spark.read.schema(docs.schema).json(tmp)
+    back.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(expr("graft_polyhash(text)")).as("text_sum"),
+        sum(expr("graft_polyhash(payload)")).as("payload_sum"))
+  }
+
   /** Day-partitioned parquet layout — the 100 TB raw-store convention
     * (the reference's per-station tables keyed by time): one directory
     * per day value, so ANY time-ranged query prunes to its days at

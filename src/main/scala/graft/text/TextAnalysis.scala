@@ -194,6 +194,28 @@ object TextAnalysis {
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"))
 
+  /** Corpus vocabulary Zipf sweep (the tokenizer-vocabulary sizing
+    * question: how much of the corpus do the k most frequent words
+    * cover?): top-k tokens by corpus frequency with rank, corpus
+    * share, and cumulative coverage share. One keyed count with
+    * map-side combine, a broadcast 1-row total, and a
+    * TakeOrderedAndProject top-k — the rank/cumsum windows run over
+    * the k-row result only (the `limit(k)` bounds them structurally),
+    * never over the vocabulary. Ties rank lexicographically. */
+  def vocabCoverage(documents: DataFrame, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents.select(explode(expr(tokens("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("n_corpus"))
+    counts.orderBy(col("n").desc, col("tok")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .crossJoin(broadcast(total))
+      .withColumn("share", expr("round(n / n_corpus + 1e-9, 6)"))
+      .withColumn("cum_share",
+        round(sum(col("n")).over(Window.orderBy(col("rank"))) / col("n_corpus") + lit(1e-9), 6))
+      .select(col("rank"), col("tok"), col("n"), col("share"), col("cum_share"))
+  }
+
   /** Unigram log-probability quality proxy (CCNet-style LM filter with
     * the corpus itself as the unigram model): per doc,
     * `mean_neglogprob = −Σ c_t·ln(cf_t/N) / n_tokens` — documents of

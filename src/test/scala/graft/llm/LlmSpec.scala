@@ -489,6 +489,63 @@ class LlmSpec extends SparkSpec {
     assert(out("small")._3 === 1.0, "upsampled source caps the one-pass rate at 1")
   }
 
+  test("vocab coverage ranks by frequency with monotone cumulative share") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the the the cat sat"), (1L, "the cat ran"), (2L, "dog ran far")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(d, k = 4)
+      .orderBy("rank")
+      .select("rank", "tok", "n", "share", "cum_share")
+      .as[(Int, String, Long, Double, Double)].collect()
+    assert(out.head._2 === "the" && out.head._3 === 4L) // 4 of 11 tokens
+    assert(math.abs(out.head._4 - 4.0 / 11) < 1e-5)
+    // cat(2) and ran(2) tie -> lexicographic
+    assert(out(1)._2 === "cat" && out(2)._2 === "ran")
+    assert(out.sliding(2).forall(p => p(0)._5 < p(1)._5 + 1e-12),
+      "cumulative share must be monotone")
+    assert(out.last._5 <= 1.0 + 1e-9)
+  }
+
+  test("cross-source dup matrix attributes the planted pair to its unordered source cell") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today", "crawl_a"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow", "crawl_b"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today", "crawl_b"),
+      (3L, "completely different words about spark catalyst tungsten execution engines", "crawl_a")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.crossSourceDup(d).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // pairs: (0,1) a-b, (0,2) a-b, (1,2) b-b — cells are unordered
+    assert(out(("crawl_a", "crawl_b")) === 2L)
+    assert(out(("crawl_b", "crawl_b")) === 1L)
+    assert(!out.contains(("crawl_b", "crawl_a")), "cells must be canonicalized unordered")
+  }
+
+  test("jsonl round-trip checksums cover the whole corpus and are reproducible") {
+    val a = graft.sources.Sources.jsonlRoundtrip(spark, "/root/testdata/sf0.001")
+      .orderBy("source").collect()
+    val n = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(a.map(_.getAs[Long]("n_docs")).sum === n, "no row may be lost in the round trip")
+    val b = graft.sources.Sources.jsonlRoundtrip(spark, "/root/testdata/sf0.001")
+      .orderBy("source").collect()
+    assert(a.toSeq === b.toSeq, "re-running the round trip must reproduce every checksum")
+  }
+
+  test("pca power iteration yields a centered, discriminating projection") {
+    import spark.implicits._
+    val out = graft.similarity.Pca.powerProjection(
+        graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      .select("vec_id", "proj").as[(Long, Double)].collect()
+    assert(out.length > 0)
+    val mean = out.map(_._2).sum / out.length
+    assert(math.abs(mean) < 1e-3, "projections of centered data must average ~0")
+    val distinct = out.map(_._2).distinct.length
+    assert(distinct > out.length / 2, "projection must separate the vectors, not collapse them")
+  }
+
   test("pointer jumping collapses a 300-node chain within the round bound") {
     import spark.implicits._
     // plain O(diameter) min-label propagation would need 300 rounds and
