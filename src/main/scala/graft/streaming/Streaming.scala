@@ -376,4 +376,70 @@ object Streaming extends Serializable {
           alerts.iterator
       }
   }
+
+  case class HllEvent(event_type: String, ts: Timestamp, user_id: Long)
+  case class HllKey(event_type: String, window_start_ms: Long)
+  case class HllRegs(regs: Seq[Int])
+  case class HllWindowEstimate(event_type: String, window_start: Timestamp,
+    hll_estimate: Double)
+
+  /** Streaming twin of [[graft.analytics.EventAnalytics.hllDistinct]]:
+    * per (event_type, tumbling window), the 64-register HyperLogLog
+    * distinct-user sketch maintained incrementally in keyed state and
+    * emitted ONCE, when the watermark passes the window end
+    * (EventTimeTimeout) — the continuous-dashboard shape of the batch
+    * sketch. Hash, rho, and estimate arithmetic are byte-identical to
+    * the batch operator (same MINSTD step, integer trailing-zero rho,
+    * dyadic-rational register sum, small-range linear counting), so on
+    * identical input the emitted estimates equal the batch frame
+    * value-for-value (asserted in StreamingSpec).
+    *
+    * Scale: state is one 64-int register array per live
+    * (type, window) — sketches merge by element-wise max, so however
+    * many events a window sees, its state never grows past the m
+    * registers; slots are removed at emission. The only shuffle is the
+    * groupByKey hash exchange, and within a micro-batch the registers
+    * reduce iterator-order-independently (max is commutative). */
+  def hllStream(events: Dataset[HllEvent], windowHours: Int = 6,
+      lateness: String = "1 hour"): Dataset[HllWindowEstimate] = {
+    import events.sparkSession.implicits._
+    val m = 64
+    val windowMs = windowHours * 3600000L
+    events.withWatermark("ts", lateness)
+      .groupByKey(e => HllKey(e.event_type, e.ts.getTime / windowMs * windowMs))
+      .flatMapGroupsWithState[HllRegs, HllWindowEstimate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: HllKey, rows: Iterator[HllEvent], state: GroupState[HllRegs]) =>
+          if (state.hasTimedOut) {
+            val regs = state.get.regs
+            state.remove()
+            // identical estimate arithmetic to the batch operator
+            var s = 0.0; var v = 0
+            regs.foreach { mj =>
+              if (mj == 0) v += 1 else s += 1.0 / (1L << mj)
+            }
+            val eRaw = 0.709 * m * m / (s + v)
+            val est =
+              if (eRaw <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v)
+              else eRaw
+            Iterator.single(HllWindowEstimate(key.event_type,
+              new Timestamp(key.window_start_ms),
+              math.round((est + 1e-9) * 10000) / 10000.0))
+          } else {
+            val regs = state.getOption.map(_.regs.toArray).getOrElse(new Array[Int](m))
+            rows.foreach { e =>
+              val h = e.user_id * 48271L % 2147483647L
+              val bucket = (h % m).toInt
+              val rest = h / m
+              val rho =
+                if (rest == 0L) 26
+                else java.lang.Long.bitCount((rest & -rest) - 1) + 1
+              if (rho > regs(bucket)) regs(bucket) = rho
+            }
+            state.update(HllRegs(regs.toSeq))
+            state.setTimeoutTimestamp(key.window_start_ms + windowMs)
+            Iterator.empty
+          }
+      }
+  }
 }

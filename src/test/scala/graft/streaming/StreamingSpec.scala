@@ -298,6 +298,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming hll sketch equals the batch estimate per closed window") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Streaming.HllEvent]
+    val q = Streaming.hllStream(input.toDS(), windowHours = 6).writeStream
+      .format("memory").queryName("hll_stream").outputMode("append").start()
+    // two 6h windows, two types, duplicate users within a window
+    val w0 = (1 to 40).map(u => Streaming.HllEvent("click", ts(u % 6), u.toLong % 25)) ++
+      (1 to 15).map(u => Streaming.HllEvent("view", ts(u % 6), u.toLong))
+    val w1 = (1 to 30).map(u => Streaming.HllEvent("click", ts(6 + u % 6), u.toLong % 12))
+    input.addData(w0: _*); q.processAllAvailable()
+    input.addData(w1: _*); q.processAllAvailable()
+    // sentinel far past both windows + lateness -> watermark closes them
+    input.addData(Streaming.HllEvent("click", ts(23, 59), 999L))
+    q.processAllAvailable()
+    val streamed = spark.table("hll_stream")
+      .select("event_type", "window_start", "hll_estimate")
+      .as[(String, Timestamp, Double)].collect().toSeq.sorted
+    q.stop()
+    // batch twin on each window slice, same hash/rho/estimate math
+    val all = (w0 ++ w1).map(e => (e.ts, e.user_id, e.event_type))
+      .toDF("ts", "user_id", "event_type")
+    val expected = Seq(ts(0) -> ts(6), ts(6) -> ts(12)).flatMap { case (lo, hi) =>
+      graft.analytics.EventAnalytics.hllDistinct(
+          all.filter(col("ts") >= lo && col("ts") < hi))
+        .select("event_type", "hll_estimate").as[(String, Double)].collect()
+        .map { case (t, est) => (t, lo, est) }
+    }.sorted
+    assert(streamed === expected,
+      "streaming sketch must reproduce the batch estimates exactly")
+  }
+
   test("gap detector emits alerts across micro-batches via state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Streaming.StationEvent]
