@@ -56,13 +56,20 @@ object Bench {
     // join's matched column, and with it the entire window, vanishes
     // from the counted plan). The noop write materializes every output
     // column through the full plan with zero sink cost.
-    def timed(name: String): Double = {
+    // Failure-honest timing: a query that throws must NOT be reported
+    // as a (fast-looking) time — record the error, exclude it from the
+    // totals, and surface it in the JSON so a correctness regression
+    // can never masquerade as a speedup.
+    def timed(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try {
+      val err = try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+        None
+      } catch { case t: Throwable =>
+        Some(Option(t.getMessage).getOrElse(t.getClass.getName).takeWhile(_ != '\n').take(200))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     // session warmup: FS + parquet footer reads, not attributed to queries
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
@@ -71,11 +78,18 @@ object Bench {
     // distributed work, with only the JVM (codegen/JIT) staying warm
     graft.tsdb.TsQueries.clearMemo(spark)
     val warm = headline.map(n => n -> timed(n))
-    def js(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = warm.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"sf":"$sfDir"}""")
+    def jsStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def js(rs: Seq[(String, (Double, Option[String]))]): String =
+      rs.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def errJs(rs: Seq[(String, (Double, Option[String]))]): String =
+      rs.collect { case (k, (_, Some(e))) => "\"" + k + "\":" + jsStr(e) }
+        .mkString("{", ",", "}")
+    // totals cover ONLY queries that ran to completion in that pass
+    val total = warm.collect { case (_, (v, None)) => v }.sum
+    val coldTotal = cold.collect { case (_, (v, None)) => v }.sum
+    val allErrs = (warm ++ cold).collect { case (k, (_, Some(e))) => (k, e) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"errors":${errJs(warm)},"cold_errors":${errJs(cold)},"n_errors":${allErrs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -284,7 +284,7 @@ object EventOracle {
     WITH parsed AS (
       SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
     SELECT event_type, count(*) AS n, count(k) AS n_k,
-      min(k) AS k_min, max(k) AS k_max, sum(k) AS k_sum,
+      min(k) AS k_min, max(k) AS k_max, CAST(sum(k) AS BIGINT) AS k_sum,
       round(avg(k) + 1e-9, 6) AS k_avg
     FROM parsed GROUP BY event_type ORDER BY event_type"""
 

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables.
   *
@@ -26,15 +26,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS); Spark's parquet reader has
-    * no nanos timestamp type, so sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong` and we convert the long
-    * nanos to a microsecond timestamp here (data is micro-aligned). */
+  /** The driver has shipped events.parquet `ts` in several physical
+    * encodings across rounds: TIMESTAMP(NANOS) (read as long nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong`), and parquet
+    * `timestamp[us]` with isAdjustedToUTC=false (read as
+    * TIMESTAMP_NTZ). Normalize every encoding to a plain UTC
+    * TimestampType here — every downstream operator (`unix_micros`,
+    * `cast(ts as bigint)`, window banding) requires it — and fail
+    * loudly if a future driver format change introduces a new one. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val normalized = df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+    require(normalized.schema("ts").dataType == TimestampType,
+      s"events.ts must normalize to TimestampType, got ${df.schema("ts").dataType} " +
+        "— a driver data-format change needs a new branch in Tables.events")
+    normalized
   }
   /** Small parquet files arrive as one split, which would serialize
     * the expensive per-document hash/vector projections onto a single

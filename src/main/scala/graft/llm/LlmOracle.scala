@@ -530,7 +530,7 @@ object LlmOracle {
   val qSourceMix: String = """
     WITH per AS (
       SELECT source, count(*) AS n_docs,
-        sum(len(string_split(lower(text), ' '))) AS n_tokens
+        CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source),
     tot AS (SELECT sum(n_tokens) AS tot_tokens, count(*) AS n_sources FROM per)
     SELECT source, n_docs, n_tokens,

@@ -25,11 +25,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = pd.DataFrame(out)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
+def dtype_family(dtype) -> str:
+    s = str(dtype)
+    if s.startswith("datetime"):
+        return "datetime"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s == "bool":
+        return "bool"
+    return "object"
+
 def compare(name, spark_df, duck_df, tol=1e-9):
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return f"SCHEMA mismatch: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
     if len(spark_df) != len(duck_df):
         return f"ROWS mismatch: spark={len(spark_df)} duck={len(duck_df)}"
+    # The driver's gate hashes the SERIALIZED values, so an int64 Spark
+    # column vs a HUGEINT->float64 oracle column fails there even when
+    # every value matches numerically ("99111" vs "99111.0"). Mirror
+    # that strictness for the int/float axis. (Date columns arrive as
+    # pandas `object`-of-date from Spark parquet but `datetime64` from
+    # DuckDB and serialize identically at the driver — don't flag those.)
+    for c in spark_df.columns:
+        fa, fb = dtype_family(spark_df[c].dtype), dtype_family(duck_df[c].dtype)
+        if {fa, fb} == {"int", "float"}:
+            return (f"DTYPE mismatch col={c}: spark={spark_df[c].dtype} ({fa}) "
+                    f"duck={duck_df[c].dtype} ({fb}) — driver hash would differ")
     a, b = canon(spark_df), canon(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
