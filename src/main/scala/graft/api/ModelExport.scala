@@ -86,10 +86,11 @@ object ModelExport {
               lit(" (ID: "), col("station_id"), lit(s")$tabs\n"),
               lit("Lat: "), coalesce(col("_lat"), lit("")),
               lit("   ,Lon: "), coalesce(col("_lon"), lit("")), lit(s"$tabs\n"),
-              lit(headerLine + "\n"), col("body"), lit("\n")))
+              // the text sink terminates the row with the final newline
+              lit(headerLine + "\n"), col("body")))
         } else
           body.withColumn("text",
-            concat(lit(headerLine + "\n"), col("body"), lit("\n")))
+            concat(lit(headerLine + "\n"), col("body")))
       withText.select(col("station_id"), lit(ps.fileBase).as("file"), col("text"))
     }
     frames.reduce(_ unionByName _)

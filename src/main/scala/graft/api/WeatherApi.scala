@@ -218,6 +218,46 @@ class Stations(db: WeatherDb) {
   def getValidStids: Seq[Long] =
     db.meta.select(col("station_id")).orderBy(col("station_id"))
       .collect().map(_.getLong(0)).toSeq
+
+  /** get_meta_explanation (StationBases.py:1758): the describable
+    * catalog of the meta frame's columns — name → explanation, the
+    * reference's column-comment introspection re-expressed as a static
+    * frame (our meta frame is a plan, not a commented DB table).
+    * `infos = "all"` or a subset of column names, like the reference. */
+  def getMetaExplanation(infos: Seq[String] = Seq("all")): DataFrame = {
+    val all = Stations.metaExplanation
+    val picked = if (infos == Seq("all")) all
+      else {
+        val unknown = infos.filterNot(i => all.exists(_._1 == i))
+        require(unknown.isEmpty, s"unknown meta infos: ${unknown.mkString(", ")}")
+        all.filter { case (k, _) => infos.contains(k) }
+      }
+    import db.spark.implicits._
+    picked.toDF("info", "explanation")
+  }
+
+  /** get_meta_explorer (StationsBase): the explanation joined column-
+    * wise onto the live meta values — one row per station, plus the
+    * catalog available for tooling. Spark-native: the values frame IS
+    * db.meta; this accessor just pins the documented column order. */
+  def getMetaExplorer: DataFrame =
+    db.meta.select(Stations.metaExplanation.map(e => col(e._1)): _*)
+}
+
+object Stations {
+  /** One entry per column of [[WeatherDb.meta]] (Series.stationMeta),
+    * mirroring the reference's meta-table column comments
+    * (models.py MetaBase/MetaP/…, surfaced via get_meta_explanation). */
+  val metaExplanation: Seq[(String, String)] = Seq(
+    "station_id" -> "unique station identifier (the reference's Station_ID)",
+    "x" -> "grid easting of the station location (UTM-like coordinate)",
+    "y" -> "grid northing of the station location (UTM-like coordinate)",
+    "elev" -> "station elevation above sea level (stationshoehe)",
+    "horizon" -> "horizon shading angle used for the Richter exposition class",
+    "raw_from" -> "first timestamp with raw data for this station",
+    "raw_until" -> "last timestamp with raw data for this station",
+    "n_obs" -> "number of raw observations on record",
+    "is_real" -> "whether the station has own measurements (false = virtual station, series filled from neighbors)")
 }
 
 /** The reference's Broker (broker.py): orchestrates the update cycle —
@@ -275,33 +315,29 @@ class GroupStation(db: WeatherDb, val id: Long) {
     db.inPeriod(Aggregate.groupWide(db.events).filter(col("station_id") === id), period)
       .orderBy(col("day"))
 
-  /** create_ts: write the model-input export — one delimited text file
-    * per location with a date column and the parameter columns
-    * (GroupStation.py create_ts / _create_ts). Single station → one
-    * output partition; the all-stations variant would
-    * partitionBy(station_id) instead. */
-  def createTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty): Unit =
-    getDf(period)
-      .select(date_format(col("day"), "yyyyMMdd").as("date"),
-        col("p_raw"), col("t_raw"), col("et_raw"))
-      .coalesce(1)
-      .write.mode("overwrite").option("header", "true").option("sep", "\t")
-      .csv(outDir)
+  /** create_ts: write the model-input export in the reference's text
+    * layout — per-parameter tab-separated files with the 2-line meta
+    * header, split-date columns and empty-string NAs
+    * (GroupStation.py create_ts / _create_ts; layout details in
+    * [[ModelExport]]). */
+  def createTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty,
+      splitDate: Boolean = true, addMeta: Boolean = true): Unit =
+    ModelExport.writeTs(
+      db.inPeriod(Aggregate.groupWide(db.events), period)
+        .filter(col("station_id") === id),
+      db.meta, outDir, ModelExport.defaultParas, splitDate = splitDate,
+      roger = false, addMeta = addMeta)
 
-  /** create_roger_ts (GroupStation.py:347): the RoGeR model-input
-    * wrapper around create_ts — fixed column set with an R/R0 ratio
-    * column on the ET series (single-location form; see
-    * [[GroupStations.createTs]] for the partitioned all-locations
-    * export). */
+  /** create_roger_ts (GroupStation.py:347): the RoGeR toolbox wrapper
+    * around create_ts — PREC/TA/PET column+file names, YYYY/MM/DD date
+    * parts, no meta header, constant R/R0 column on the PET file. */
   def createRogerTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty,
       rR0: Double = 1.0): Unit =
-    getDf(period)
-      .select(date_format(col("day"), "yyyyMMdd").as("date"),
-        col("p_raw").as("P"), col("t_raw").as("T"), col("et_raw").as("ET"),
-        lit(rR0).as("R_R0"))
-      .coalesce(1)
-      .write.mode("overwrite").option("header", "true").option("sep", "\t")
-      .csv(outDir)
+    ModelExport.writeTs(
+      db.inPeriod(Aggregate.groupWide(db.events), period)
+        .filter(col("station_id") === id),
+      db.meta, outDir, ModelExport.rogerParas, splitDate = true,
+      roger = true, addMeta = false, rR0 = Some(rR0))
 }
 
 /** All group stations — the reference's GroupStations
@@ -312,18 +348,15 @@ class GroupStations(db: WeatherDb) {
 
   /** create_ts for ALL locations in one distributed write: the
     * reference loops stations and writes one text file each
-    * (GroupStations.py:296); here the wide frame is written ONCE,
-    * partitioned by station — `partitionBy` gives the same
-    * one-directory-per-location layout while each executor writes its
-    * own stations, so the export scales with the cluster instead of a
-    * driver loop. */
-  def createTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty): Unit =
-    db.inPeriod(Aggregate.groupWide(db.events), period)
-      .select(col("station_id"), date_format(col("day"), "yyyyMMdd").as("date"),
-        col("p_raw"), col("t_raw"), col("et_raw"))
-      .repartition(col("station_id"))
-      .sortWithinPartitions(col("station_id"), col("date"))
-      .write.mode("overwrite").partitionBy("station_id")
-      .option("header", "true").option("sep", "\t")
-      .csv(outDir)
+    * (GroupStations.py:296); here every (station, parameter) file text
+    * is assembled in one shuffle and written partitionBy(station_id,
+    * file) — the same one-directory-per-location layout, but each
+    * executor writes its own stations, so the export scales with the
+    * cluster instead of a driver loop. */
+  def createTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty,
+      splitDate: Boolean = true, addMeta: Boolean = true): Unit =
+    ModelExport.writeTs(
+      db.inPeriod(Aggregate.groupWide(db.events), period),
+      db.meta, outDir, ModelExport.defaultParas, splitDate = splitDate,
+      roger = false, addMeta = addMeta)
 }

@@ -79,11 +79,12 @@ class WeatherApiSpec extends SparkSpec {
   test("create_ts writes the delimited model-input export") {
     val out = java.nio.file.Files.createTempDirectory("graft_ts").toString + "/st0"
     db.groupStation(0L).createTs(out)
-    val back = spark.read.option("header", "true").option("sep", "\t").csv(out)
-    assert(back.count() === 30)
-    assert(back.columns.toSeq === Seq("date", "p_raw", "t_raw", "et_raw"))
-    assert(back.select("date").as[String](org.apache.spark.sql.Encoders.STRING)
-      .collect().forall(_.matches("\\d{8}")))
+    // reference layout: 2 meta-header lines + column header + 30 days
+    val back = spark.read.text(s"$out/station_id=0/file=P.txt")
+    assert(back.count() === 33)
+    val header = back.filter(org.apache.spark.sql.functions.col("value")
+      .startsWith("Jahr\t")).head().getString(0)
+    assert(header === "Jahr\tMonat\tTag\tP")
   }
 
   test("get_max_period: inner union of kinds vs full grid extent") {
@@ -100,8 +101,10 @@ class WeatherApiSpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("station_id=")).toSeq
     assert(dirs.size === db.groupStations.getValidStids.size)
-    val back = spark.read.option("header", "true").option("sep", "\t").csv(out)
-    assert(back.count() === db.groupStation(0L).getDf().count() * dirs.size)
+    // every station dir carries the three per-parameter files
+    val files = new java.io.File(s"$out/${dirs.head}").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(files === Seq("file=ET.txt", "file=P.txt", "file=T.txt"))
   }
 
   test("neighbor options: only_real default and elevation weighting") {
@@ -112,5 +115,23 @@ class WeatherApiSpec extends SparkSpec {
     assert(nbs.forall(realIds.contains))
     val weighted = s.getNeighbors(3, pElev = Some((250.0, 1.5)))
     assert(weighted.size === 3 && weighted.forall(realIds.contains))
+  }
+
+  test("get_meta_explanation documents every meta column") {
+    val exp = db.stations.getMetaExplanation()
+    assert(exp.columns.toSeq === Seq("info", "explanation"))
+    // catalog and live frame must stay in sync, both directions
+    val documented = exp.select("info")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(documented === db.meta.columns.toSet)
+    // subset selection like the reference's infos=[...]
+    val sub = db.stations.getMetaExplanation(Seq("station_id", "elev"))
+    assert(sub.count() === 2)
+    intercept[IllegalArgumentException] {
+      db.stations.getMetaExplanation(Seq("no_such_info"))
+    }
+    // explorer frame exposes the documented columns in catalog order
+    assert(db.stations.getMetaExplorer.columns.toSeq ===
+      Stations.metaExplanation.map(_._1))
   }
 }
