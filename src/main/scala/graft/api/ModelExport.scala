@@ -30,21 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object ModelExport {
   /** One exported parameter: wide-frame source column → file + column
-    * name in the export. */
-  final case class ParaSpec(key: String, valueCol: String, fileBase: String, colName: String)
+    * name in the export. `decimals` is the series' fixed decimal count
+    * (the reference's `_decimals` scaling, StationBases.py:58-112):
+    * values print as `%.{decimals}f` — deterministic across engines,
+    * unlike shortest-double formatting (Java emits `5.0E-4` where
+    * DuckDB/pandas emit `0.0005`). */
+  final case class ParaSpec(key: String, valueCol: String, fileBase: String,
+      colName: String, decimals: Int)
 
   /** RoGeR toolbox naming (GroupStation.py:408-416). */
   val rogerParas: Seq[ParaSpec] = Seq(
-    ParaSpec("p", "p_raw", "PREC.txt", "PREC"),
-    ParaSpec("t", "t_raw", "TA.txt", "TA"),
-    ParaSpec("et", "et_raw", "PET.txt", "PET"))
+    ParaSpec("p", "p_raw", "PREC.txt", "PREC", 3),
+    ParaSpec("t", "t_raw", "TA.txt", "TA", 6),
+    ParaSpec("et", "et_raw", "PET.txt", "PET", 3))
 
   /** Default naming (file `{PARA}_{id}.txt` is flattened to `{PARA}.txt`
     * because the id is already the partition directory). */
   val defaultParas: Seq[ParaSpec] = Seq(
-    ParaSpec("p", "p_raw", "P.txt", "P"),
-    ParaSpec("t", "t_raw", "T.txt", "T"),
-    ParaSpec("et", "et_raw", "ET.txt", "ET"))
+    ParaSpec("p", "p_raw", "P.txt", "P", 3),
+    ParaSpec("t", "t_raw", "T.txt", "T", 6),
+    ParaSpec("et", "et_raw", "ET.txt", "ET", 3))
 
   private def dateCols(splitDate: Boolean, roger: Boolean): Seq[(String, Column)] =
     if (splitDate) {
@@ -65,7 +70,9 @@ object ModelExport {
         if (ps.key == "et") rR0.toSeq.map(v => "R/R0" -> lit(v).cast("string"))
         else Nil
       val valueCols =
-        (ps.colName -> coalesce(col(ps.valueCol).cast("string"), lit(""))) +: extras
+        (ps.colName -> when(col(ps.valueCol).isNotNull,
+          format_string(s"%.${ps.decimals}f", col(ps.valueCol)))
+          .otherwise(lit(""))) +: extras
       val headerLine = (dcs.map(_._1) ++ valueCols.map(_._1)).mkString("\t")
       val nCols = dcs.size + valueCols.size
       val line = concat_ws("\t", (dcs.map(_._2) ++ valueCols.map(_._2)): _*)

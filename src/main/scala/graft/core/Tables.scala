@@ -16,8 +16,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The driver writes timestamps as parquet timestamp[us] with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. The
+    * engine computes in plain UTC TimestampType everywhere (sessions
+    * pin spark.sql.session.timeZone=UTC), so normalize every NTZ
+    * column at the loader — one cast node per column, folded into the
+    * scan's projection, never a per-row cost. */
+  private def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -35,11 +46,10 @@ object Tables {
     * `cast(ts as bigint)`, window banding) requires it — and fail
     * loudly if a future driver format change introduces a new one. */
   def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
+    val df = load(s, d, "events") // NTZ already normalized by load
     val normalized = df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
     }
     require(normalized.schema("ts").dataType == TimestampType,
       s"events.ts must normalize to TimestampType, got ${df.schema("ts").dataType} " +

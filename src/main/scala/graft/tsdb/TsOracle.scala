@@ -540,6 +540,52 @@ object TsOracle {
     LEFT JOIN et_daily e USING (station_id, day)
     ORDER BY station_id, day"""
 
+  /** Reconstructs ModelExport.tsFiles' file text byte-for-byte:
+    * header line + per-day `Jahr\tMonat\tTag\t<value>` rows ordered by
+    * day, NULL → empty string. Both engines print the SAME doubles
+    * (q_group_wide proves bit-equality), and shortest-decimal
+    * formatting of values rounded to 3 decimals in this magnitude
+    * range is identical between Spark's cast-to-string and DuckDB's. */
+  val qModelExport: String = s"""
+    WITH $world,
+    t_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t_raw
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    et_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(sum(value) / 10 + 1e-9, 3) AS et_raw
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    wide AS (
+      SELECT r.station_id, r.day, r.raw AS p_raw, t.t_raw, e.et_raw
+      FROM raw_daily r
+      LEFT JOIN t_daily t USING (station_id, day)
+      LEFT JOIN et_daily e USING (station_id, day)),
+    lines AS (
+      SELECT station_id, day,
+        CAST(year(day) AS VARCHAR) || chr(9) || CAST(month(day) AS VARCHAR)
+          || chr(9) || CAST(day(day) AS VARCHAR) || chr(9) AS date_part,
+        CASE WHEN p_raw IS NULL THEN '' ELSE printf('%.3f', p_raw) END AS p_s,
+        CASE WHEN t_raw IS NULL THEN '' ELSE printf('%.6f', t_raw) END AS t_s,
+        CASE WHEN et_raw IS NULL THEN '' ELSE printf('%.3f', et_raw) END AS et_s
+      FROM wide),
+    files AS (
+      SELECT station_id, 'P.txt' AS file,
+        'Jahr' || chr(9) || 'Monat' || chr(9) || 'Tag' || chr(9) || 'P' || chr(10) ||
+        string_agg(date_part || p_s, chr(10) ORDER BY day) AS text
+      FROM lines GROUP BY station_id
+      UNION ALL
+      SELECT station_id, 'T.txt' AS file,
+        'Jahr' || chr(9) || 'Monat' || chr(9) || 'Tag' || chr(9) || 'T' || chr(10) ||
+        string_agg(date_part || t_s, chr(10) ORDER BY day) AS text
+      FROM lines GROUP BY station_id
+      UNION ALL
+      SELECT station_id, 'ET.txt' AS file,
+        'Jahr' || chr(9) || 'Monat' || chr(9) || 'Tag' || chr(9) || 'ET' || chr(10) ||
+        string_agg(date_part || et_s, chr(10) ORDER BY day) AS text
+      FROM lines GROUP BY station_id)
+    SELECT station_id, file, text FROM files ORDER BY station_id, file"""
+
   val qFilledPeriod: String = withFill(s"""
     , fp AS (
       SELECT station_id,
@@ -843,6 +889,7 @@ object TsOracle {
     "q_window_sliding" -> qSlidingWindow,
     "q_unpivot" -> qUnpivot,
     "q_range_join_time" -> qRangeJoinTime,
+    "q_model_export" -> qModelExport,
     "q_meta_derive" -> qMetaDerive,
     "q_expand_grid" -> qExpandGrid,
     "q_knn_dist" -> qKnnDist,

@@ -235,6 +235,18 @@ object TsQueries {
   def qRangeJoinTime(s: SparkSession, d: String): DataFrame =
     Aggregate.rangeJoinTime(ev(s, d)).orderBy(col("event_id"))
 
+  /** Model-input export as a frame (GroupStation.create_ts,
+    * GroupStation.py:434): one row per (station, parameter file) with
+    * the complete text content — the driver-gated form of
+    * [[graft.api.ModelExport.writeTs]] (header + split date + NA
+    * encoding reproduced byte-for-byte by the DuckDB oracle). */
+  def qModelExport(s: SparkSession, d: String): DataFrame =
+    graft.api.ModelExport.tsFiles(
+      Aggregate.groupWide(ev(s, d)), meta(s, d),
+      graft.api.ModelExport.defaultParas,
+      splitDate = true, roger = false, addMeta = false, rR0 = None)
+      .orderBy(col("station_id"), col("file"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fill_neighbor" -> (qFillNeighbor _),
     "q_fill_seasonal" -> (qFillSeasonal _),
@@ -265,6 +277,7 @@ object TsQueries {
     "q_window_sliding" -> (qWindowSliding _),
     "q_unpivot" -> (qUnpivot _),
     "q_range_join_time" -> (qRangeJoinTime _),
+    "q_model_export" -> (qModelExport _),
     "q_meta_derive" -> (qMetaDerive _),
     "q_expand_grid" -> (qExpandGrid _),
     "q_knn_dist" -> (qKnnDist _),
