@@ -244,16 +244,17 @@ object Aggregate {
       .withColumn("jbin", expr(s"nb_t div $bandUs"))
     val probes = a.withColumn("jbin",
       explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
-    val near = probes.join(b, Seq("jbin"))
-      .filter(col("nb_id") =!= col("event_id") &&
-        abs(col("t") - col("nb_t")) <= bandUs)
+    // Keep the self-match (dt=0, excluded from both measures below):
+    // every event then reaches the aggregate, so no join-back to the
+    // base table is needed to recover zero-neighbor events — that
+    // left join was a full extra shuffle of both sides on event_id.
+    probes.join(b, Seq("jbin"))
+      .filter(abs(col("t") - col("nb_t")) <= bandUs)
       .groupBy(col("event_id"))
-      .agg(count(lit(1)).as("n_nearby"),
-        min(abs(col("t") - col("nb_t"))).as("mdt"))
-    events.select(col("event_id"))
-      .join(near, Seq("event_id"), "left")
-      .select(col("event_id"),
-        coalesce(col("n_nearby"), lit(0L)).as("n_nearby"),
+      .agg((count(lit(1)) - 1L).as("n_nearby"),
+        min(when(col("nb_id") =!= col("event_id"), abs(col("t") - col("nb_t"))))
+          .as("mdt"))
+      .select(col("event_id"), col("n_nearby"),
         round(col("mdt") / lit(1e6) + lit(1e-9), 3).as("min_dt_s"))
   }
 
