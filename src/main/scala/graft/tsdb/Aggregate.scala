@@ -229,33 +229,68 @@ object Aggregate {
     *
     * Scale path: the band predicate alone would be a
     * BroadcastNestedLoopJoin (O(n²) compares). Bucketing time into
-    * band-width bins turns it into an EQUI join — a match within ±band
-    * is provably in the probe's bin or an adjacent bin, so probes
-    * explode ×3 (bin-1, bin, bin+1) and join on the single bin key;
-    * the shuffle is keyed, partial-aggregatable, and output-bounded by
-    * true matches + same-ring false candidates (< 3× the true pairs) —
-    * the temporal analog of [[Neighbors.knnDistBucketed]]'s spatial
-    * 3-cell ring. */
+    * band-width bins bounds each event's window to its own and the two
+    * adjacent bins — but an equi JOIN on the bin key would still
+    * MATERIALIZE every qualifying pair, and with d = events per band
+    * that is O(n·d) rows: quadratic in density (measured: ×10 density
+    * → ×50 runtime). The counts don't need the pairs. Each event is
+    * shuffled to its 3 adjacent bin groups (members), and per group
+    * one sort of the ~3d member times answers every probe of that bin
+    * by binary search: window count = rank(t+band) − rank(t−band) − 1
+    * (self), nearest-other from the sorted neighbors (0 on a duplicate
+    * timestamp). O(n log d) work, O(n) shuffle, nothing pair-shaped —
+    * the same per-block typed iteration pattern as
+    * [[graft.dedup.Dedup]]'s embedding blocks. Group memory is one
+    * long per event within ±1 bin of the probe bin (the inherent
+    * density of the query's own answer). */
   def rangeJoinTime(events: DataFrame, bandMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val bandUs = bandMinutes * 60L * 1000000L
-    val a = events.select(col("event_id"), unix_micros(col("ts")).as("t"))
-      .withColumn("bin", expr(s"t div $bandUs"))
-    val b = events.select(col("event_id").as("nb_id"), unix_micros(col("ts")).as("nb_t"))
-      .withColumn("jbin", expr(s"nb_t div $bandUs"))
-    val probes = a.withColumn("jbin",
-      explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
-    // Keep the self-match (dt=0, excluded from both measures below):
-    // every event then reaches the aggregate, so no join-back to the
-    // base table is needed to recover zero-neighbor events — that
-    // left join was a full extra shuffle of both sides on event_id.
-    probes.join(b, Seq("jbin"))
-      .filter(abs(col("t") - col("nb_t")) <= bandUs)
-      .groupBy(col("event_id"))
-      .agg((count(lit(1)) - 1L).as("n_nearby"),
-        min(when(col("nb_id") =!= col("event_id"), abs(col("t") - col("nb_t"))))
-          .as("mdt"))
+    val evs = events
+      .select(col("event_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+    val exploded = evs.flatMap { case (id, t) =>
+      val bin = Math.floorDiv(t, bandUs)
+      // probe only in its own bin; member of all 3 it can influence
+      Iterator((bin - 1L, id, t, false), (bin, id, t, true), (bin + 1L, id, t, false))
+    }
+    // first index with ts(i) >= x (lower) / ts(i) > x (upper)
+    def bound(ts: Array[Long], x: Long, upper: Boolean): Int = {
+      var lo = 0; var hi = ts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ts(mid) < x || (upper && ts(mid) == x)) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    exploded.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val all = it.toArray
+        val ts = all.map(_._3)
+        java.util.Arrays.sort(ts)
+        all.iterator.filter(_._4).map { case (_, id, t, _) =>
+          val lo = bound(ts, t - bandUs, upper = false)
+          val hi = bound(ts, t + bandUs, upper = true)
+          val nNearby = (hi - lo - 1).toLong // window always contains self
+          val lbT = bound(ts, t, upper = false)
+          val ubT = bound(ts, t, upper = true)
+          // -1 sentinel instead of Option: flat encoder, NULLed in SQL
+          val mdt: Long =
+            if (ubT - lbT >= 2) 0L // another event shares this timestamp
+            else {
+              val prev = if (lbT > 0) t - ts(lbT - 1) else Long.MaxValue
+              val next = if (ubT < ts.length) ts(ubT) - t else Long.MaxValue
+              val m = math.min(prev, next)
+              if (m <= bandUs) m else -1L
+            }
+          (id, nNearby, mdt)
+        }
+      }
+      .toDF("event_id", "n_nearby", "mdt")
       .select(col("event_id"), col("n_nearby"),
-        round(col("mdt") / lit(1e6) + lit(1e-9), 3).as("min_dt_s"))
+        when(col("mdt") >= 0, round(col("mdt") / lit(1e6) + lit(1e-9), 3))
+          .as("min_dt_s"))
   }
 
   /** Sliding (hopping) window aggregation: 2-hour windows every 30
