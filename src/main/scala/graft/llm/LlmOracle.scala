@@ -98,13 +98,15 @@ object LlmOracle {
              THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a, b) -> a + b)"""
 
   val qDedupSimhash: String = s"""
-    WITH th AS (SELECT doc_id, list_transform($toks, t -> ${ph("t")}) AS thashes FROM documents),
+    WITH th AS (SELECT doc_id,
+      list_transform($toks, t -> (${ph("t")} + ((((${ph("t")} * 48271) % 2147483647) & 1073741823) << 30))) AS thashes
+      FROM documents),
     sims AS (SELECT doc_id, $simhashExpr AS sim FROM th),
     keyed AS (
-      SELECT doc_id, sim, 0 AS band, sim & 255 AS bucket FROM sims
-      UNION ALL SELECT doc_id, sim, 1, (sim >> 8) & 255 FROM sims
-      UNION ALL SELECT doc_id, sim, 2, (sim >> 16) & 127 FROM sims
-      UNION ALL SELECT doc_id, sim, 3, (sim >> 23) & 127 FROM sims),
+      SELECT doc_id, sim, 0 AS band, sim & 32767 AS bucket FROM sims
+      UNION ALL SELECT doc_id, sim, 1, (sim >> 15) & 32767 FROM sims
+      UNION ALL SELECT doc_id, sim, 2, (sim >> 30) & 32767 FROM sims
+      UNION ALL SELECT doc_id, sim, 3, (sim >> 45) & 32767 FROM sims),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         bit_count(xor(a.sim, b.sim)) AS hamming

@@ -16,8 +16,18 @@ object TextFns {
   /** MinHash family: h_i(x) = (x*(1+2i) + i*12289) mod P. */
   val NumHashes = 64
   val NumBands = 32 // 2 rows per band
-  /** SimHash uses the low 30 bits of the polynomial token hash. */
-  val SimHashBits = 30
+  /** SimHash signature width. The polynomial token hash only carries
+    * ~30 usable bits (mod 1e9+7), so the upper 30 signature bits come
+    * from an independent Lehmer step of the same hash — see
+    * [[simhashTokenHash]]. 60 bits (not 64) keeps every intermediate
+    * inside non-negative BIGINT range on both engines. */
+  val SimHashBits: Int = graft.functions.SimHashText.Bits
+  /** Band width for the 4-band pigeonhole bucketing: 4×15 bits. The
+    * bucket key space (2^15 per band) must stay large relative to the
+    * docs per shard, or per-bucket join fan-out turns quadratic — the
+    * old 30-bit/8-bit layout collapsed to ≤256 buckets and scaled as
+    * O(n²/256). */
+  val SimHashBandBits = 15
 
   /** Polynomial rolling hash of a string expression: fold
     * (acc*31 + codepoint) mod P over the characters. Backed by the
@@ -53,9 +63,17 @@ object TextFns {
   def minhashSig(hashesCol: String): String =
     s"graft_minhash_sig($hashesCol, $NumHashes)"
 
-  /** SimHash over a column named `thashes` (array<long> of token
-    * hashes WITH multiplicity): bit j set iff the majority of tokens
-    * have bit j set. */
+  /** 60-bit token hash for SimHash: low 30 bits are the polynomial
+    * hash itself (< 2^30), high 30 bits an independent Lehmer LCG step
+    * `(h*48271) mod (2^31-1)` of it — both stay inside BIGINT without
+    * wraparound, so DuckDB (which errors on signed overflow) computes
+    * the identical value. */
+  def simhashTokenHash(h: String): String =
+    s"($h + shiftleft((($h * 48271) % 2147483647) & 1073741823, 30))"
+
+  /** SimHash over a column named `thashes` (array<long> of 60-bit
+    * token hashes WITH multiplicity, see [[simhashTokenHash]]): bit j
+    * set iff the majority of tokens have bit j set. */
   def simhash(thashesCol: String): String =
     s"aggregate(sequence(0, ${SimHashBits - 1}), 0L, (acc, j) -> acc + " +
       s"(CASE WHEN aggregate($thashesCol, 0L, (c, h) -> c + (shiftright(h, j) & 1) * 2 - 1) > 0 " +

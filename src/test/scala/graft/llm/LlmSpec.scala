@@ -47,7 +47,7 @@ class LlmSpec extends SparkSpec {
     val banded = Dedup.simhashPairs(corpus)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val sigs = corpus.selectExpr("doc_id",
-      s"${simhash(s"transform(${tokens("text")}, t -> ${polyHash("t")})")} AS sim")
+      s"${simhash(s"transform(${tokens("text")}, t -> ${simhashTokenHash(polyHash("t"))})")} AS sim")
     val a = sigs.select($"doc_id".as("id_a"), $"sim".as("sa"))
     val b = sigs.select($"doc_id".as("id_b"), $"sim".as("sb"))
     val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
