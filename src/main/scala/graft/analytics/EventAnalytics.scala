@@ -222,8 +222,35 @@ object EventAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** First-order Markov transition matrix of the event-type stream per
+    * user (the user-journey / path-analysis primitive next to funnel
+    * and retention): each user's events ordered by (ts, event_id), the
+    * lag-1 event type is the origin state; output is per (prev_type,
+    * event_type) transition count and the row-normalized probability
+    * share within the origin state.
+    *
+    * Plan: ONE hash shuffle of events on user_id for the lag window;
+    * the transition aggregate is map-side combinable down to at most
+    * |event_type|² rows, and the normalizing window runs over that
+    * ≤ 25-row result — nothing user-count-sized crosses the network
+    * after the first exchange. At 100 TB the shape is unchanged: the
+    * lag is partition-local per user, the matrix is tiny. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n") / sum(col("n")).over(wPrev) + lit(1e-9), 6))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_retention" -> ((s, d) => retention(Tables.events(s, d))),
     "q_histogram" -> ((s, d) => histogram(Tables.events(s, d))),
@@ -356,7 +383,23 @@ object EventOracle {
     SELECT event_id, user_id, value, mu, sd, z
     FROM scored WHERE abs(z) >= 3.0 ORDER BY event_id"""
 
+  val qEventTransitions: String = """
+    WITH lagged AS (
+      SELECT event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events),
+    m AS (
+      SELECT prev_type, event_type, count(*) AS n
+      FROM lagged WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, event_type, n,
+      round(n / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE + 1e-9, 6)
+        AS share
+    FROM m ORDER BY prev_type, event_type"""
+
   val all: Map[String, String] = Map(
+    "q_event_transitions" -> qEventTransitions,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_histogram" -> qHistogram,

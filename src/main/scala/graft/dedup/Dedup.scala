@@ -409,4 +409,66 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Duplicated-span removal bookkeeping — the exact-substring-dedup
+    * step of a training corpus (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": cut every substring
+    * that also occurs in another document), re-expressed over word
+    * n-grams instead of suffix-array byte ranges: a word position is
+    * DUPLICATE when its n-gram occurs in ≥ 2 distinct documents;
+    * maximal runs of duplicate positions are spans covering words
+    * [start, end+n−1]; overlapping or adjacent spans merge. Output per
+    * doc: word count, merged span count, words removed (union of span
+    * coverage), surviving share.
+    *
+    * Plan shape at 100 TB: positional n-gram hashes are a per-row
+    * explode (no shuffle); the corpus df table is ONE keyed aggregation
+    * on the hash (count-distinct-docs is map-side partial over
+    * (h, doc_id) then a keyed count); the join back is hash-keyed; and
+    * every window after it (run grouping, interval merge) partitions by
+    * doc_id — a single exchange of the duplicate POSITIONS (not texts)
+    * covers all three window passes plus the final per-doc aggregate.
+    * Nothing all-pairs, nothing global: the suffix-array batch job of
+    * the paper becomes three keyed shuffles. */
+  def dupSpans(documents: DataFrame, n: Int = 4): DataFrame = {
+    reg(documents)
+    val toks = s"split(lower(text), ' ')"
+    // positional n-gram hashes WITH multiplicity, index order
+    val posHashes = s"CASE WHEN size($toks) >= $n THEN " +
+      s"transform(sequence(0, size($toks) - $n), " +
+      s"i -> graft_polyhash(concat_ws(' ', slice($toks, i + 1, $n)))) " +
+      "ELSE cast(array() AS array<bigint>) END"
+    val pos = documents.select(col("doc_id"),
+      posexplode(expr(posHashes)).as(Seq("pos", "h")))
+    // corpus document frequency per n-gram hash
+    val dfreq = pos.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dup = pos.join(dfreq.filter(col("df") >= 2), Seq("h"))
+    // maximal runs of consecutive duplicate positions → word intervals
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
+    // merge overlapping/adjacent word intervals (classic cummax sweep)
+    val wIv = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val merged = runs
+      .withColumn("pm", max(col("e")).over(wIv.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nf", when(col("pm").isNull || col("s") > col("pm") + 1, 1L).otherwise(0L))
+      .withColumn("mg", sum(col("nf")).over(wIv.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("mg"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("words_removed"))
+    documents.select(col("doc_id"), expr(s"size($toks)").cast("long").as("n_words"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("words_removed"), lit(0L)).as("words_removed"))
+      .withColumn("keep_share",
+        round((col("n_words") - col("words_removed")) /
+          col("n_words").cast("double") + lit(1e-9), 6))
+  }
 }

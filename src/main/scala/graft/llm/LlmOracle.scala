@@ -14,6 +14,7 @@ object LlmOracle {
       s"i -> unicode($s[i]))), (acc, ch) -> (acc * 31 + ch) % $P)"
 
   private val toks = "string_split(lower(text), ' ')"
+  private val toksD = "string_split(lower(d.text), ' ')"
 
   private val shingles: String =
     s"""CASE WHEN len(sw) >= 3
@@ -370,6 +371,92 @@ object LlmOracle {
       LEFT JOIN sizes s ON s.comp = c.comp
     ORDER BY g.doc_id"""
   }
+
+  /** Mirror of TextAnalysis.qualityClassifier: re-trains the logistic
+    * regression to bit-identical weights (fixed rounds, every float
+    * seam quantized `round(x + 1e-9, 6)`), then scores every doc. */
+  val qQualityClassifier: String = {
+    def share(ws: Seq[String]): String =
+      s"round(len(list_filter($toks, t -> list_contains(${profList(ws)}, t)))" +
+        s" / len($toks)::DOUBLE + 1e-9, 6)"
+    val feat = s"""feat AS (
+      SELECT doc_id,
+        CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+        1.0::DOUBLE AS x0,
+        ${share(graft.text.TextAnalysis.Profiles(0)._2)} AS x1,
+        ${share(graft.text.TextAnalysis.Profiles(1)._2)} AS x2,
+        ${share(graft.text.TextAnalysis.Profiles(2)._2)} AS x3
+      FROM documents)"""
+    val sig = "round(1.0::DOUBLE / (1.0::DOUBLE + " +
+      "exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3))) + 1e-9, 6)"
+    def pC(i: Int) = s"p_$i AS (SELECT f.*, $sig AS p FROM feat f, w_${i - 1} w)"
+    def gC(i: Int) = s"g_$i AS (SELECT " +
+      (0 to 3).map(j => s"round(avg((p - y) * x$j) + 1e-9, 6) AS g$j").mkString(", ") +
+      s" FROM p_$i)"
+    def wC(i: Int) = s"w_$i AS (SELECT " +
+      (0 to 3).map(j => s"round(w.w$j - g.g$j + 1e-9, 6) AS w$j").mkString(", ") +
+      s" FROM w_${i - 1} w, g_$i g)"
+    val rounds = (1 to 3).map(i => Seq(pC(i), gC(i), wC(i)).mkString(",\n    "))
+      .mkString(",\n    ")
+    s"""
+    WITH $feat,
+    w_0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+                   0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),
+    $rounds
+    SELECT f.doc_id, f.y, $sig AS score, $sig >= 0.5 AS pred
+    FROM feat f, w_3 w ORDER BY f.doc_id"""
+  }
+
+  /** Mirror of Dedup.dupSpans (word-4-gram duplicated-span removal):
+    * positional hashes with multiplicity, corpus df ≥ 2 marks duplicate
+    * positions, run-grouping + interval-merge windows, per-doc rollup. */
+  val qDedupSpans: String = s"""
+    WITH sw_t AS (SELECT doc_id, $toks AS sw FROM documents),
+    pos_t AS (
+      SELECT doc_id,
+        unnest(CASE WHEN len(sw) >= 4 THEN range(0, len(sw) - 3) ELSE [] END) AS pos,
+        sw
+      FROM sw_t),
+    sstr_t AS (
+      SELECT doc_id, pos,
+        sw[pos+1] || ' ' || sw[pos+2] || ' ' || sw[pos+3] || ' ' || sw[pos+4] AS sstr
+      FROM pos_t),
+    hash_t2 AS (SELECT doc_id, pos, ${ph("sstr")} AS h FROM sstr_t),
+    df_t AS (SELECT h, count(DISTINCT doc_id) AS df FROM hash_t2 GROUP BY h),
+    dup_t AS (
+      SELECT t.doc_id, t.pos FROM hash_t2 t JOIN df_t USING (h) WHERE df >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup_t),
+    iv AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+           FROM isl GROUP BY doc_id, grp),
+    mg_t AS (
+      SELECT doc_id, s, e,
+        max(e) OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv),
+    fl AS (
+      SELECT doc_id, s, e,
+        CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END AS nf
+      FROM mg_t),
+    gr AS (
+      SELECT doc_id, s, e,
+        sum(nf) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mg
+      FROM fl),
+    sp AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM gr GROUP BY doc_id, mg),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_spans,
+        sum(se - ss + 1)::BIGINT AS words_removed
+      FROM sp GROUP BY doc_id)
+    SELECT d.doc_id, len($toksD)::BIGINT AS n_words,
+      coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+      coalesce(per.words_removed, 0)::BIGINT AS words_removed,
+      round((len($toksD) - coalesce(per.words_removed, 0))
+            / len($toksD)::DOUBLE + 1e-9, 6) AS keep_share
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id"""
 
   val qTextDupngrams: String = s"""
     WITH $shCte,
@@ -780,6 +867,8 @@ object LlmOracle {
     "q_text_bigrams" -> qTextBigrams,
     "q_text_repetition" -> qTextRepetition,
     "q_text_tfidf" -> qTextTfidf,
+    "q_dedup_spans" -> qDedupSpans,
+    "q_quality_classifier" -> qQualityClassifier,
     "q_text_dupngrams" -> qTextDupngrams,
     "q_pack_sequences" -> qPackSequences,
     "q_corpus_stats" -> qCorpusStats,

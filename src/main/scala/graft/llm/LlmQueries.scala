@@ -74,6 +74,10 @@ object LlmQueries {
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(docs(s, d)).orderBy(col("doc_id"), col("rank"))),
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.dupSpans(docs(s, d)).orderBy(col("doc_id"))),
+    "q_quality_classifier" -> ((s, d) =>
+      TextAnalysis.qualityClassifier(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_dupngrams" -> ((s, d) =>
       TextAnalysis.dupNgrams(docs(s, d)).orderBy(col("doc_id"))),
     "q_pack_sequences" -> ((s, d) =>

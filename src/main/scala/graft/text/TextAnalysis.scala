@@ -358,4 +358,59 @@ object TextAnalysis {
         length(col("chunk")).as("chunk_len"),
         expr(polyHash("chunk")).as("chunk_hash"))
   }
+
+  /** Distilled linear quality classifier — the logistic-regression
+    * filter of a training-data pipeline (GPT-3's WebText-vs-crawl LR
+    * and the fastText quality filters are this shape): a weak label
+    * from metadata (`lang = 'en'` — any heuristic labeler slots in)
+    * supervises full-batch logistic gradient descent over cheap
+    * content features (per-language stopword-hit shares), then the
+    * fitted weights score EVERY doc. Fully deterministic so the DuckDB
+    * oracle re-trains to bit-identical weights: fixed feature order,
+    * fixed round count, and the repo-wide quantization strategy
+    * (SURVEY §6) applied at every float seam — features, per-doc
+    * sigmoid, gradient components, and weights are each
+    * `round(x + 1e-9, 6)`, so the order-dependent partial-sum tail of
+    * the gradient mean never reaches the next round.
+    *
+    * Scale shape: training is `rounds` × (broadcast 1-row weight frame
+    * → map-side sigmoid → ONE map-combinable 4-cell gradient
+    * aggregate); scoring is a stateless map over the scan. Nothing
+    * sized by the corpus ever moves: the classic "ML on Spark without
+    * MLlib" plan — iterations multiply the constant, not the shape. */
+  def qualityClassifier(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val toksE = tokens("text")
+    def share(words: Seq[String]): String =
+      s"round(size(filter($toksE, t -> array_contains(${profArray(words)}, t))) " +
+        s"/ cast(size($toksE) AS double) + 1e-9, 6)"
+    val feat = documents.select(col("doc_id"),
+      when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("y"),
+      lit(1.0d).as("x0"),
+      expr(share(Profiles(0)._2)).as("x1"),
+      expr(share(Profiles(1)._2)).as("x2"),
+      expr(share(Profiles(2)._2)).as("x3"))
+    // identical textual arithmetic order on both engines: left-assoc dot
+    val pExpr = "round(1.0D / (1.0D + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3))) + 1e-9, 6)"
+    var w: DataFrame = documents.sparkSession.range(1).select(
+      lit(0.0d).as("w0"), lit(0.0d).as("w1"), lit(0.0d).as("w2"), lit(0.0d).as("w3"))
+    for (_ <- 1 to rounds) {
+      val g = feat.crossJoin(broadcast(w.limit(1)))
+        .withColumn("p", expr(pExpr))
+        .agg(
+          round(avg((col("p") - col("y")) * col("x0")) + lit(1e-9), 6).as("g0"),
+          round(avg((col("p") - col("y")) * col("x1")) + lit(1e-9), 6).as("g1"),
+          round(avg((col("p") - col("y")) * col("x2")) + lit(1e-9), 6).as("g2"),
+          round(avg((col("p") - col("y")) * col("x3")) + lit(1e-9), 6).as("g3"))
+      w = w.limit(1).crossJoin(broadcast(g))
+        .select(
+          round(col("w0") - col("g0") + lit(1e-9), 6).as("w0"),
+          round(col("w1") - col("g1") + lit(1e-9), 6).as("w1"),
+          round(col("w2") - col("g2") + lit(1e-9), 6).as("w2"),
+          round(col("w3") - col("g3") + lit(1e-9), 6).as("w3"))
+    }
+    feat.crossJoin(broadcast(w.limit(1)))
+      .withColumn("score", expr(pExpr))
+      .select(col("doc_id"), col("y"), col("score"),
+        (col("score") >= 0.5d).as("pred"))
+  }
 }

@@ -136,4 +136,18 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(r.getDouble(3) < 0.40, s"hll estimate too far off: $r")
     }
   }
+
+  test("transition matrix ties out: counts = events - users, origin shares sum to 1") {
+    val t = EventAnalytics.transitions(events).collect()
+    assert(t.nonEmpty)
+    // each user contributes (n_events - 1) transitions
+    val totalTrans = t.map(_.getAs[Long]("n")).sum
+    val nUsers = events.select(col("user_id")).distinct().count()
+    assert(totalTrans === events.count() - nUsers)
+    // shares are a probability distribution per origin state
+    t.groupBy(_.getAs[String]("prev_type")).foreach { case (origin, rows) =>
+      val s = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"origin $origin shares sum to $s")
+    }
+  }
 }

@@ -34,6 +34,40 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("duplicated-span removal cuts cross-doc repeats, keeps unique docs whole") {
+    val out = Dedup.dupSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("words_removed"), r.getAs[Double]("keep_share"))).toMap
+    // doc 0 == doc 4 verbatim: every 4-gram duplicated, whole doc removed
+    assert(out(0L) === ((13L, 1L, 13L, 0.0)))
+    assert(out(4L) === ((13L, 1L, 13L, 0.0)))
+    // doc 1 shares the 12-word prefix with doc 0: positions 0..8 dup,
+    // one merged span covering words 0..11; the last word survives
+    assert(out(1L)._2 === 1L)
+    assert(out(1L)._3 === 12L)
+    // unique docs lose nothing
+    assert(out(2L) === ((10L, 0L, 0L, 1.0)))
+    assert(out(3L) === ((9L, 0L, 0L, 1.0)))
+  }
+
+  test("quality classifier separates the weak-label classes deterministically") {
+    val out = TextAnalysis.qualityClassifier(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("y"), r.getAs[Double]("score"), r.getAs[Boolean]("pred")))
+      .toMap
+    // en docs carry en-stopword mass, the de doc none: fitted scores
+    // must order them; identical docs score identically
+    assert(out(0L)._2 > out(2L)._2)
+    assert(out(0L)._2 === out(4L)._2)
+    assert(out(3L)._1 === 1.0) // weak label follows metadata
+    out.values.foreach { case (_, s, _) => assert(s > 0.0 && s < 1.0) }
+    // deterministic: a re-run yields bit-identical scores
+    val again = TextAnalysis.qualityClassifier(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    out.foreach { case (id, (_, s, _)) => assert(again(id) === s) }
+  }
+
   test("simhash of identical docs collides at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
