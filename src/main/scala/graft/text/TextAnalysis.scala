@@ -373,11 +373,17 @@ object TextAnalysis {
     * `round(x + 1e-9, 6)`, so the order-dependent partial-sum tail of
     * the gradient mean never reaches the next round.
     *
-    * Scale shape: training is `rounds` × (broadcast 1-row weight frame
-    * → map-side sigmoid → ONE map-combinable 4-cell gradient
-    * aggregate); scoring is a stateless map over the scan. Nothing
-    * sized by the corpus ever moves: the classic "ML on Spark without
-    * MLlib" plan — iterations multiply the constant, not the shape. */
+    * Scale shape: training is `rounds` × (map-side sigmoid under the
+    * current weights → ONE map-combinable 4-cell gradient aggregate →
+    * a 4-double collect); the fitted weights then fold into the
+    * scoring projection as plan literals, so scoring is a stateless
+    * map over the scan with ZERO joins. Nothing sized by the corpus
+    * ever moves: the classic "ML on Spark without MLlib" plan —
+    * iterations multiply the constant, not the shape. (The 4-double
+    * per-round collect is the repo's tiny-dim-collect exception, the
+    * same class as the year-list derivation; broadcasting a 1-row
+    * weight frame instead plans a BroadcastNestedLoopJoin that the
+    * plan guard cannot prove bounded.) */
   def qualityClassifier(documents: DataFrame, rounds: Int = 3): DataFrame = {
     val toksE = tokens("text")
     def share(words: Seq[String]): String =
@@ -389,27 +395,29 @@ object TextAnalysis {
       expr(share(Profiles(0)._2)).as("x1"),
       expr(share(Profiles(1)._2)).as("x2"),
       expr(share(Profiles(2)._2)).as("x3"))
-    // identical textual arithmetic order on both engines: left-assoc dot
-    val pExpr = "round(1.0D / (1.0D + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3))) + 1e-9, 6)"
-    var w: DataFrame = documents.sparkSession.range(1).select(
-      lit(0.0d).as("w0"), lit(0.0d).as("w1"), lit(0.0d).as("w2"), lit(0.0d).as("w3"))
+    // identical left-assoc arithmetic order on both engines; weights
+    // enter as literals so the whole sigmoid codegens to constants + 4
+    // column reads
+    def p(w: Array[Double]) = round(
+      lit(1.0d) / (lit(1.0d) + exp(-(lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")))) + lit(1e-9), 6)
+    // driver-side mirror of Spark's round(double, 6): BigDecimal.valueOf
+    // + HALF_UP — bit-identical to the Round expression the oracle seams
+    // quantize with
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = Array(0.0d, 0.0d, 0.0d, 0.0d)
     for (_ <- 1 to rounds) {
-      val g = feat.crossJoin(broadcast(w.limit(1)))
-        .withColumn("p", expr(pExpr))
+      val g = feat.withColumn("p", p(w))
         .agg(
           round(avg((col("p") - col("y")) * col("x0")) + lit(1e-9), 6).as("g0"),
           round(avg((col("p") - col("y")) * col("x1")) + lit(1e-9), 6).as("g1"),
           round(avg((col("p") - col("y")) * col("x2")) + lit(1e-9), 6).as("g2"),
           round(avg((col("p") - col("y")) * col("x3")) + lit(1e-9), 6).as("g3"))
-      w = w.limit(1).crossJoin(broadcast(g))
-        .select(
-          round(col("w0") - col("g0") + lit(1e-9), 6).as("w0"),
-          round(col("w1") - col("g1") + lit(1e-9), 6).as("w1"),
-          round(col("w2") - col("g2") + lit(1e-9), 6).as("w2"),
-          round(col("w3") - col("g3") + lit(1e-9), 6).as("w3"))
+        .head()
+      for (i <- 0 until 4) w(i) = q6(w(i) - g.getDouble(i) + 1e-9)
     }
-    feat.crossJoin(broadcast(w.limit(1)))
-      .withColumn("score", expr(pExpr))
+    feat.withColumn("score", p(w))
       .select(col("doc_id"), col("y"), col("score"),
         (col("score") >= 0.5d).as("pred"))
   }
