@@ -248,8 +248,39 @@ object EventAnalytics {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** Top user journeys: each user's first `depth` event types in
+    * (ts, event_id) order joined with '>', counted and share-ranked —
+    * the "common paths" view next to [[funnel]] and [[transitions]]
+    * (full-sequence path analysis where transitions is its first-order
+    * Markov summary).
+    *
+    * Plan: ONE hash shuffle of events on user_id; row_number and the
+    * per-user path concat are partition-local (the rn ≤ depth filter
+    * bounds the collect_list at `depth` elements per user — nothing
+    * unbounded is materialized). The path aggregate is map-side
+    * combinable down to ≤ |event_type|^depth rows, and the share
+    * window runs over that bounded frame only. */
+  def userPaths(events: DataFrame, depth: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy()
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= depth)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("share",
+        round(col("n_users") / sum(col("n_users")).over(wAll).cast("double")
+          + lit(1e-9), 6))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_paths" -> ((s, d) => userPaths(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_retention" -> ((s, d) => retention(Tables.events(s, d))),
@@ -398,7 +429,21 @@ object EventOracle {
         AS share
     FROM m ORDER BY prev_type, event_type"""
 
+  val qUserPaths: String = """
+    WITH rn AS (
+      SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM rn WHERE rn <= 5 GROUP BY user_id),
+    m AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+    SELECT path, n_users,
+      round(n_users / (sum(n_users) OVER ())::DOUBLE + 1e-9, 6) AS share
+    FROM m ORDER BY n_users DESC, path"""
+
   val all: Map[String, String] = Map(
+    "q_user_paths" -> qUserPaths,
     "q_event_transitions" -> qEventTransitions,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,

@@ -837,7 +837,42 @@ object LlmOracle {
     FROM c CROSS JOIN v$iters v ORDER BY c.vec_id"""
   }
 
+  val qCcnetBuckets: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest($toks) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    cf AS (SELECT tok, sum(c)::BIGINT AS cf FROM tc GROUP BY 1),
+    tot AS (SELECT sum(cf)::DOUBLE AS n_corpus FROM cf),
+    lp AS (
+      SELECT tc.doc_id,
+        round(-sum(tc.c * ln(cf.cf / t.n_corpus)) / sum(tc.c) + 1e-9, 6)
+          AS mean_neglogprob
+      FROM tc JOIN cf USING (tok), tot t
+      GROUP BY tc.doc_id)
+    SELECT d.doc_id, d.lang, lp.mean_neglogprob,
+      CASE ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY lp.mean_neglogprob, d.doc_id)
+        WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM lp JOIN documents d USING (doc_id)
+    ORDER BY d.doc_id"""
+
+  val qTokenHist: String = s"""
+    WITH per_doc AS (
+      SELECT len($toks)::BIGINT AS n_tokens FROM documents
+      WHERE len($toks) >= 1),
+    agg AS (
+      SELECT CAST(floor(log2(n_tokens)) AS BIGINT) AS bucket,
+        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+      FROM per_doc GROUP BY 1)
+    SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS bucket_lo,
+      n_docs, n_tokens_total,
+      round((sum(n_docs) OVER (ORDER BY bucket)) /
+        (sum(n_docs) OVER ())::DOUBLE + 1e-9, 6) AS cum_share_docs
+    FROM agg ORDER BY bucket"""
+
   val all: Map[String, String] = Map(
+    "q_ccnet_buckets" -> qCcnetBuckets,
+    "q_token_hist" -> qTokenHist,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_embed_pca" -> qEmbedPca,
     "q_dedup_cross_source" -> qDedupCrossSource,

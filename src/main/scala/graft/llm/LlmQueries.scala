@@ -65,6 +65,10 @@ object LlmQueries {
       TextAnalysis.unigramLogprob(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_logprob2" -> ((s, d) =>
       TextAnalysis.bigramLogprob(docs(s, d)).orderBy(col("doc_id"))),
+    "q_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.ccnetBuckets(docs(s, d)).orderBy(col("doc_id"))),
+    "q_token_hist" -> ((s, d) =>
+      TextAnalysis.tokenHistogram(docs(s, d)).orderBy(col("bucket"))),
     "q_dsir_weights" -> ((s, d) =>
       Corpus.dsirWeights(docs(s, d)).orderBy(col("doc_id"))),
     "q_corpus_shuffle" -> ((s, d) =>

@@ -421,4 +421,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("y"), col("score"),
         (col("score") >= 0.5d).as("pred"))
   }
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020): each document's unigram-LM score ([[unigramLogprob]], the
+    * corpus as its own model) is ranked within its language and split
+    * into head / middle / tail terciles — the bucket CCNet uses to
+    * keep the head, sample the middle, and drop the tail of a crawl.
+    * `ntile(3)` over (score, doc_id) is deterministic because doc_id
+    * breaks every tie.
+    *
+    * Plan: the tf-idf-shaped logprob aggregation, one keyed join to
+    * attach `lang`, then ONE hash shuffle on `lang` for the ranking
+    * window. The per-language sort is this oracled variant's only
+    * scale limit (a whole language lands in one partition); the
+    * production path at 100 TB swaps `ntile` for approx-quantile
+    * cutoffs (computed map-side-combinably) + a stateless bucket
+    * comparison, trading exact tercile boundaries for a fully
+    * parallel scan — same output schema, so the swap is invisible to
+    * callers. */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_neglogprob"), col("doc_id"))
+    unigramLogprob(documents)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("tercile") === 1, lit("head"))
+          .when(col("tercile") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("mean_neglogprob"), col("bucket"))
+  }
+
+  /** Power-of-two token-length histogram with cumulative document
+    * share — the sizing pass before sequence packing / context-length
+    * budgeting (how many docs fit a 2^k window, what share of tokens
+    * the long tail holds). Bucket k covers [2^k, 2^(k+1)).
+    *
+    * Plan: a stateless per-doc token count, then one map-side
+    * combinable aggregate down to ≤ 64 bucket rows; the cumulative
+    * windows run over that tiny frame only (single partition is fine
+    * — it can never exceed 64 rows regardless of corpus size). */
+  def tokenHistogram(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = documents
+      .select(size(expr(tokens("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("bucket", floor(log2(col("n_tokens"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_total"))
+    val wCum = Window.orderBy(col("bucket"))
+    val wAll = Window.partitionBy()
+    agg
+      .withColumn("bucket_lo", expr("CAST(pow(2, bucket) AS BIGINT)"))
+      .withColumn("cum_share_docs",
+        round(sum(col("n_docs")).over(wCum) /
+          sum(col("n_docs")).over(wAll).cast("double") + lit(1e-9), 6))
+      .select(col("bucket"), col("bucket_lo"), col("n_docs"),
+        col("n_tokens_total"), col("cum_share_docs"))
+  }
 }

@@ -150,4 +150,17 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(math.abs(s - 1.0) < 1e-4, s"origin $origin shares sum to $s")
     }
   }
+
+  test("user paths cover every user once and shares sum to 1") {
+    val p = EventAnalytics.userPaths(events).collect()
+    assert(p.nonEmpty)
+    val nUsers = events.select(col("user_id")).distinct().count()
+    assert(p.map(_.getAs[Long]("n_users")).sum === nUsers)
+    assert(math.abs(p.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+    // path depth is bounded and order-deterministic: at most 5 stages
+    p.foreach { r =>
+      val path = r.getAs[String]("path")
+      assert(path.split(">").length <= 5, s"path too deep: $path")
+    }
+  }
 }

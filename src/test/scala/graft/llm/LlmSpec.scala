@@ -580,6 +580,36 @@ class LlmSpec extends SparkSpec {
     assert(distinct > out.length / 2, "projection must separate the vectors, not collapse them")
   }
 
+  test("ccnet buckets tercile each language with rarer-token docs toward the tail") {
+    val out = TextAnalysis.ccnetBuckets(docs).collect()
+    assert(out.length === docs.count())
+    // per language the bucket sizes differ by at most one (ntile contract)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_.getAs[String]("bucket")).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+    }
+    // within a language, every head score <= every tail score
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val head = rows.filter(_.getAs[String]("bucket") == "head")
+        .map(_.getAs[Double]("mean_neglogprob"))
+      val tail = rows.filter(_.getAs[String]("bucket") == "tail")
+        .map(_.getAs[Double]("mean_neglogprob"))
+      if (head.nonEmpty && tail.nonEmpty) assert(head.max <= tail.min)
+    }
+  }
+
+  test("token histogram partitions docs into power-of-two buckets, cum share ends at 1") {
+    val out = TextAnalysis.tokenHistogram(docs).orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    out.foreach { r =>
+      val lo = r.getAs[Long]("bucket_lo")
+      assert(lo === (1L << r.getAs[Long]("bucket").toInt))
+    }
+    assert(math.abs(out.last.getAs[Double]("cum_share_docs") - 1.0) < 1e-6)
+    // every doc here has 10-13 tokens -> exactly one bucket (k=3)
+    assert(out.length >= 1 && out.forall(_.getAs[Long]("bucket") >= 0))
+  }
+
   test("pointer jumping collapses a 300-node chain within the round bound") {
     import spark.implicits._
     // plain O(diameter) min-label propagation would need 300 rounds and
