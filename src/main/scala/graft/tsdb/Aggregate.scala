@@ -206,6 +206,28 @@ object Aggregate {
           .as("duration_s"))
   }
 
+  /** Session-length profile over [[sessionize]]: sessions grouped by
+    * their event count, with count share, mean duration and value mass
+    * per length — the engagement-distribution view (bounce share =
+    * the session_len=1 row) a product pipeline reads off sessionized
+    * events.
+    *
+    * Plan: sessionize's ONE user_id exchange, then a map-combinable
+    * aggregate down to ≤ max-session-length rows; the share window
+    * runs over that tiny frame only. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val wAll = Window.partitionBy()
+    sessionize(events, gapMinutes)
+      .groupBy(col("n_events").as("session_len"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("duration_s")) + lit(1e-9), 3).as("mean_duration_s"),
+        round(sum(col("sum_value")) + lit(1e-9), 3).as("total_value"))
+      .withColumn("share",
+        round(col("n_sessions") / sum(col("n_sessions")).over(wAll).cast("double")
+          + lit(1e-9), 6))
+      .orderBy(col("session_len"))
+  }
+
   /** Batch twin of the streaming pipeline: 6-hour tumbling windows per
     * event type (graft.streaming runs the same plan on readStream). */
   def streamWindowBatch(events: DataFrame): DataFrame =

@@ -801,6 +801,31 @@ object TsOracle {
       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 + 1e-9, 3) AS duration_s
     FROM sessions GROUP BY 1, 2 ORDER BY station_id, session_id"""
 
+  val qSessionStats: String = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, value,
+        (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+      FROM flagged),
+    sess AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+        round(sum(value) + 1e-9, 3) AS sum_value,
+        round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 + 1e-9, 3) AS duration_s
+      FROM sessions GROUP BY 1, 2),
+    len AS (
+      SELECT n_events AS session_len, count(*) AS n_sessions,
+        round(avg(duration_s) + 1e-9, 3) AS mean_duration_s,
+        round(sum(sum_value) + 1e-9, 3) AS total_value
+      FROM sess GROUP BY 1)
+    SELECT session_len, n_sessions, mean_duration_s, total_value,
+      round(n_sessions / (sum(n_sessions) OVER ())::DOUBLE + 1e-9, 6) AS share
+    FROM len ORDER BY session_len"""
+
   val qStreamWindow: String = """
     SELECT make_timestamp((floor(epoch(ts) / 21600)::BIGINT * 21600) * 1000000) AS window_start,
       event_type, count(*) AS n, round(sum(value) + 1e-9, 3) AS sum_value
@@ -885,6 +910,7 @@ object TsOracle {
     "q_richter_correct" -> qRichterCorrect,
     "q_richter_correct_hourly" -> qRichterCorrectHourly,
     "q_sessionize" -> qSessionize,
+    "q_session_stats" -> qSessionStats,
     "q_stream_window" -> qStreamWindow,
     "q_window_sliding" -> qSlidingWindow,
     "q_unpivot" -> qUnpivot,

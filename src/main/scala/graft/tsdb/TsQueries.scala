@@ -222,6 +222,9 @@ object TsQueries {
   def qSessionize(s: SparkSession, d: String): DataFrame =
     Aggregate.sessionize(ev(s, d)).orderBy(col("station_id"), col("session_id"))
 
+  def qSessionStats(s: SparkSession, d: String): DataFrame =
+    Aggregate.sessionStats(ev(s, d))
+
   def qStreamWindow(s: SparkSession, d: String): DataFrame =
     Aggregate.streamWindowBatch(ev(s, d)).orderBy(col("window_start"), col("event_type"))
 
@@ -273,6 +276,7 @@ object TsQueries {
     "q_richter_correct" -> (qRichterCorrect _),
     "q_richter_correct_hourly" -> (qRichterCorrectHourly _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_stats" -> (qSessionStats _),
     "q_stream_window" -> (qStreamWindow _),
     "q_window_sliding" -> (qWindowSliding _),
     "q_unpivot" -> (qUnpivot _),
