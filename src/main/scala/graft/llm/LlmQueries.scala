@@ -67,6 +67,8 @@ object LlmQueries {
       TextAnalysis.bigramLogprob(docs(s, d)).orderBy(col("doc_id"))),
     "q_ccnet_buckets" -> ((s, d) =>
       TextAnalysis.ccnetBuckets(docs(s, d)).orderBy(col("doc_id"))),
+    "q_ccnet_buckets_approx" -> ((s, d) =>
+      TextAnalysis.ccnetBucketsApprox(docs(s, d)).orderBy(col("doc_id"))),
     "q_token_hist" -> ((s, d) =>
       TextAnalysis.tokenHistogram(docs(s, d)).orderBy(col("bucket"))),
     "q_dsir_weights" -> ((s, d) =>

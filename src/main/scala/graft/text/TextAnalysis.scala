@@ -453,6 +453,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("mean_neglogprob"), col("bucket"))
   }
 
+  /** The 100 TB production path for [[ccnetBuckets]]: per-language
+    * tercile CUTOFFS via `percentile_approx` (a map-combinable sketch
+    * aggregate — no per-language sort, no single-reducer partition),
+    * broadcast to a stateless bucket comparison. Trades exact tercile
+    * boundaries (ntile's floor/ceil row split) for a fully parallel
+    * scan; LlmSpec asserts the two routes agree on every doc whose
+    * score is not pinned to a cutoff value.
+    *
+    * Plan: the logprob aggregation, ONE map-combinable sketch agg down
+    * to one row per language, broadcast join of that tiny cutoff
+    * table, stateless CASE. The ranking shuffle of the oracled route
+    * is gone entirely. */
+  def ccnetBucketsApprox(documents: DataFrame): DataFrame = {
+    val scored = unigramLogprob(documents)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cutoffs = scored.groupBy(col("lang")).agg(
+      percentile_approx(col("mean_neglogprob"), lit(1.0 / 3), lit(10000)).as("c1"),
+      percentile_approx(col("mean_neglogprob"), lit(2.0 / 3), lit(10000)).as("c2"))
+    scored.join(broadcast(cutoffs), Seq("lang"))
+      .withColumn("bucket",
+        when(col("mean_neglogprob") <= col("c1"), lit("head"))
+          .when(col("mean_neglogprob") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("mean_neglogprob"), col("bucket"))
+  }
+
   /** Power-of-two token-length histogram with cumulative document
     * share — the sizing pass before sequence packing / context-length
     * budgeting (how many docs fit a 2^k window, what share of tokens

@@ -598,6 +598,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("approx ccnet buckets agree with exact terciles off the cutoff values") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.core.Tables.documents(spark, dir)
+    val exact = TextAnalysis.ccnetBuckets(corpus)
+      .select(col("doc_id"), col("lang"), col("mean_neglogprob"),
+        col("bucket").as("b_exact"))
+    val approx = TextAnalysis.ccnetBucketsApprox(corpus)
+      .select(col("doc_id"), col("bucket").as("b_approx"))
+    val j = exact.join(approx, Seq("doc_id")).cache()
+    try {
+      val n = j.count()
+      assert(n === corpus.count(), "both routes must cover every doc")
+      // disagreements can only sit AT a tercile cutoff score (ntile
+      // splits ties positionally; the comparison route can't) — any
+      // doc with a score not shared by docs in both buckets must agree
+      val disagree = j.filter(col("b_exact") =!= col("b_approx"))
+      val nDis = disagree.count()
+      assert(nDis <= n / 20, s"$nDis/$n bucket disagreements — cutoff drift too large")
+      val offCut = disagree.join(
+        j.groupBy(col("lang"), col("mean_neglogprob"))
+          .agg(countDistinct(col("b_exact")).as("nb")).filter(col("nb") === 1)
+          .select(col("lang"), col("mean_neglogprob")),
+        Seq("lang", "mean_neglogprob"), "left_semi")
+      // percentile_approx at accuracy 10000 is exact below 10k rows per
+      // group, so off-cutoff disagreement means a real bug
+      assert(offCut.count() === 0, "approx route disagrees off the cutoff values")
+    } finally j.unpersist()
+  }
+
   test("token histogram partitions docs into power-of-two buckets, cum share ends at 1") {
     val out = TextAnalysis.tokenHistogram(docs).orderBy("bucket").collect()
     assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
