@@ -13,6 +13,7 @@ object SparkEntry {
     "q_ingest_dedup" -> (Queries.qIngestDedup _),
     "q1_agg" -> (Queries.q1Agg _),
     "q3_join" -> (Queries.q3Join _),
+    "q5_region_revenue" -> (Queries.q5RegionRevenue _),
     "q_topk_window" -> (Queries.qTopkWindow _),
     "q_anti_join" -> (Queries.qAntiJoin _),
     "q_asof_join" -> (Queries.qAsofJoin _),

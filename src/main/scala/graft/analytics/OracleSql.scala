@@ -92,7 +92,23 @@ object OracleSql {
       CAST(sum(h) % 1000000007 AS BIGINT) AS sum_hash_mod
     FROM hashed"""
 
+  val q5RegionRevenue: String = """
+    SELECT n_name,
+      round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
   val all: Map[String, String] = Map(
+    "q5_region_revenue" -> q5RegionRevenue,
     "q_table_checksum" -> qTableChecksum,
     "q_ingest_dedup" -> qIngestDedup,
     "q1_agg" -> q1Agg,

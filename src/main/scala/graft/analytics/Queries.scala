@@ -48,6 +48,44 @@ object Queries {
       .limit(10)
   }
 
+  /** Q5-style regional revenue: customer and supplier must sit in the
+    * SAME nation of one region; revenue per nation over a one-year
+    * order window. The densest join tree in the relational surface —
+    * five joins, mixed fact-fact and fact-dim.
+    *
+    * Scale shape: lineitem⋈orders co-shuffle on the orderkey (the only
+    * big-big join); nation⋈region is always tiny → explicit broadcast;
+    * customer and supplier are LEFT to Catalyst/AQE — below the
+    * broadcast threshold they broadcast (as at bench SF), above it AQE
+    * plans keyed shuffles on custkey/suppkey. Forcing a broadcast here
+    * would OOM a 100 TB run; forcing a shuffle would waste the common
+    * case — declarative is exactly right. Date filter and 4-column
+    * projection push into the parquet scan. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        + lit(1e-9), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Top-k per group via window rank: 3 highest-value orders per
     * customer (only customers with >= 5 orders, keeps output stable).
     * Scale: one shuffle on the partition key, no global sort. */
