@@ -435,6 +435,47 @@ object CharEntropy {
   }
 }
 
+/** Morton (Z-curve) interleave of the low 31 bits of two longs into a
+  * 62-bit always-positive code — the clustering key behind
+  * [[graft.sources.Sources.writeZOrdered]]. Branch-free magic-mask bit
+  * spreading, codegen'd into the scan projection. */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (LongType, LongType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"interleave_bits needs two bigint, got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterleaveBits.morton(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.InterleaveBits.morton($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): InterleaveBits =
+    copy(left = l, right = r)
+}
+
+object InterleaveBits {
+  /** Spread the low 31 bits of x to the even bit positions. */
+  def spread(x0: Long): Long = {
+    var x = x0 & 0x7fffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Referenced from generated code. a on even bits, b on odd. */
+  def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
 object GraftFunctions {
   /** Register the graft SQL functions on a session (idempotent), so
     * expression strings can call graft_polyhash / graft_minhash_sig /
@@ -456,6 +497,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProduct(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",
       (args: Seq[Expression]) => CharEntropy(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_interleave_bits",
+      (args: Seq[Expression]) => InterleaveBits(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_bands",
       (args: Seq[Expression]) => HyperplaneBands(args.head,
         args(1).eval().asInstanceOf[Number].intValue(),
