@@ -51,6 +51,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("morton interleave is injective, positive, and bit-exact invertible") {
+    import graft.functions.InterleaveBits._
+    def unspread(z0: Long): Long = {
+      // inverse of spread: gather the even bits back together
+      var x = z0 & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x >> 4)) & 0x00ff00ff00ff00ffL
+      x = (x | (x >> 8)) & 0x0000ffff0000ffffL
+      x = (x | (x >> 16)) & 0x00000000ffffffffL
+      x
+    }
+    val pairs = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    val codes = scala.collection.mutable.HashSet.empty[Long]
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextLong(1L << 20)
+      val b = rnd.nextLong(1L << 20)
+      val z = morton(a, b)
+      assert(z >= 0, "z-code must stay in the positive long range")
+      assert(unspread(z) === a, "even bits must decode to the first column")
+      assert(unspread(z >> 1) === b, "odd bits must decode to the second column")
+      pairs += ((a, b)); codes += z
+    }
+    // injectivity: distinct pairs -> distinct codes (collisions would
+    // interleave unrelated rows in the clustered layout)
+    assert(codes.size === pairs.size)
+    // locality: quadrant prefix — top bits of z order by top bits of inputs
+    assert(morton(0, 0) < morton(1 << 19, 0))
+    assert(morton(0, 0) < morton(0, 1 << 19))
+  }
+
   test("minhash signature values stay below the modulus and shrink under union") {
     (1 to 200).foreach { _ =>
       val a = Array.fill(1 + rnd.nextInt(50))(rnd.nextLong(1000000007L))
