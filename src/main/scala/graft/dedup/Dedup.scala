@@ -257,6 +257,22 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Dedup reporting: distribution of near-dup cluster sizes from
+    * [[components]] — how many clusters of each size, how many docs
+    * they hold, and how many docs a keep-one-per-cluster pass removes
+    * (the summary a dedup run is judged by before committing the
+    * delete).
+    *
+    * Plan: the components propagation, then ONE map-combinable
+    * aggregate down to ≤ max-cluster-size rows. */
+  def clusterSizes(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    components(documents, threshold)
+      .groupBy(col("comp_size"))
+      .agg(countDistinct(col("comp")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("dup_docs", col("n_docs") - col("n_clusters"))
+      .orderBy(col("comp_size"))
+
   /** SimHash near-duplicates: 60-bit signatures, pairs within Hamming
     * distance maxHamming. Candidate generation buckets on FOUR bands
     * of 15 bits: by pigeonhole, ≤ 3 differing bits can touch at most 3

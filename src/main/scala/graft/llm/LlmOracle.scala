@@ -837,6 +837,48 @@ object LlmOracle {
     FROM c CROSS JOIN v$iters v ORDER BY c.vec_id"""
   }
 
+  val qDedupClusterSizes: String = s"""
+    WITH RECURSIVE $shCte,
+    jpairs AS (SELECT id_a, id_b FROM ($jpairsBody)),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION ALL SELECT id_b, id_a FROM jpairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY 1),
+    sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY 1),
+    bysize AS (
+      SELECT comp_size, count(*) AS n_clusters,
+        CAST(sum(comp_size) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY 1)
+    SELECT comp_size, n_clusters, n_docs, n_docs - n_clusters AS dup_docs
+    FROM bysize ORDER BY comp_size"""
+
+  val qLangidConfusion: String = {
+    val scores = Profiles.map { case (l, ws) =>
+      s"len(list_filter($toks, t -> list_contains(${profList(ws)}, t))) AS score_$l"
+    }.mkString(",\n        ")
+    val maxS = Profiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+    val pred = Profiles.map { case (l, _) =>
+      s"WHEN score_$l >= $maxS AND score_$l > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        $scores
+      FROM documents),
+    labeled AS (SELECT lang, $pred AS predicted FROM scored),
+    cells AS (
+      SELECT lang, predicted, count(*) AS n
+      FROM labeled GROUP BY 1, 2)
+    SELECT lang, predicted, n,
+      round(n / (sum(n) OVER (PARTITION BY lang))::DOUBLE + 1e-9, 6)
+        AS recall_share
+    FROM cells ORDER BY lang, predicted"""
+  }
+
   val qCcnetBuckets: String = s"""
     WITH tok AS (
       SELECT doc_id, unnest($toks) AS tok FROM documents),
@@ -872,6 +914,8 @@ object LlmOracle {
 
   val all: Map[String, String] = Map(
     "q_ccnet_buckets" -> qCcnetBuckets,
+    "q_dedup_cluster_sizes" -> qDedupClusterSizes,
+    "q_langid_confusion" -> qLangidConfusion,
     "q_token_hist" -> qTokenHist,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_embed_pca" -> qEmbedPca,

@@ -42,6 +42,8 @@ object LlmQueries {
       Dedup.simhashPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_components" -> ((s, d) =>
       Dedup.components(docs(s, d)).orderBy(col("doc_id"))),
+    "q_dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizes(docs(s, d)).orderBy(col("comp_size"))),
     "q_dedup_bloom" -> ((s, d) =>
       graft.dedup.Bloom.screenQuery(docs(s, d)).orderBy(col("doc_id"))),
     "q_dedup_embedding" -> ((s, d) =>
@@ -55,6 +57,8 @@ object LlmQueries {
     "q_ann_ivfpq" -> ((s, d) =>
       Ann.ivfpqTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
+    "q_langid_confusion" -> ((s, d) =>
+      TextAnalysis.langidConfusion(docs(s, d)).orderBy(col("lang"), col("predicted"))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_fingerprint" -> ((s, d) =>

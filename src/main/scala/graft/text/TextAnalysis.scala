@@ -43,6 +43,25 @@ object TextAnalysis {
     scored.withColumn("predicted", best)
   }
 
+  /** Language-ID evaluation: confusion matrix of [[langId]]'s
+    * prediction against the labeled `lang` column, with per-actual-
+    * language recall share — the quality report run after any
+    * classifier pass over a labeled slice.
+    *
+    * Plan: the langId stateless scan, ONE map-combinable aggregate
+    * down to ≤ (|langs|+1)² cells, recall window over that tiny
+    * frame. */
+  def langidConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wActual = Window.partitionBy(col("lang"))
+    langId(documents)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("recall_share",
+        round(col("n") / sum(col("n")).over(wActual).cast("double") + lit(1e-9), 6))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
   /** Quality features + score: char/token counts, mean word length,
     * punctuation ratio, stopword ratio. */
   def quality(documents: DataFrame): DataFrame = {
