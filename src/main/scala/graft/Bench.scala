@@ -20,7 +20,7 @@ object Bench {
   /** Representative query per family — relational, timeseries QC/fill/
     * correction/aggregation, dedup, ANN, text, streaming-twin. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_join", "q_asof_join", "q_asof_native", "q_topk_window",
+    "q1_agg", "q3_join", "q5_region_revenue", "q_asof_join", "q_asof_native", "q_topk_window",
     "q_expand_grid", "q_qc_all", "q_fill_neighbor", "q_richter_correct",
     "q_richter_correct_hourly", "q_agg_month", "q_knn_elev",
     "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_embedding_lsh",
