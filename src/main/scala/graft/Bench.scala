@@ -67,7 +67,11 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         None
       } catch { case t: Throwable =>
-        Some(Option(t.getMessage).getOrElse(t.getClass.getName).takeWhile(_ != '\n').take(200))
+        // first non-blank line: a message STARTING with a newline (some
+        // ParseExceptions) must not truncate to an empty string
+        val msg = Option(t.getMessage).getOrElse(t.getClass.getName)
+        Some(msg.linesIterator.find(_.trim.nonEmpty)
+          .getOrElse(t.getClass.getName).take(200))
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
@@ -78,8 +82,18 @@ object Bench {
     // distributed work, with only the JVM (codegen/JIT) staying warm
     graft.tsdb.TsQueries.clearMemo(spark)
     val warm = headline.map(n => n -> timed(n))
-    def jsStr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // same escaper contract as Verify's: backslash, quote, and ALL
+    // control chars — a tab or CR inside an exception message must not
+    // make the driver's json.load reject the whole bench line
+    def jsStr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def js(rs: Seq[(String, (Double, Option[String]))]): String =
       rs.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def errJs(rs: Seq[(String, (Double, Option[String]))]): String =

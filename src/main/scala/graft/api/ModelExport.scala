@@ -60,12 +60,21 @@ object ModelExport {
     } else Seq("timestamp" -> date_format(col("day"), "yyyy-MM-dd"))
 
   /** The export as a frame: one row per (station, parameter) with the
-    * complete file text — inspectable/testable without touching disk. */
+    * complete file text — inspectable/testable without touching disk.
+    *
+    * All parameters ride ONE pass over the wide frame: the per-para
+    * line strings are projected side by side, ONE groupBy(station_id)
+    * gathers all bodies (Catalyst does not dedup common subplans
+    * across union branches, so the per-para union alternative would
+    * recompute the upstream wide aggregation once per parameter), and
+    * a partition-local posexplode fans the station row out to its
+    * #paras files. */
   def tsFiles(wide: DataFrame, meta: DataFrame, paras: Seq[ParaSpec],
       splitDate: Boolean, roger: Boolean, addMeta: Boolean,
       rR0: Option[Double]): DataFrame = {
-    val frames = paras.map { ps =>
-      val dcs = dateCols(splitDate, roger)
+    val dcs = dateCols(splitDate, roger)
+    case class Para(ps: ParaSpec, headerLine: String, nCols: Int, line: Column)
+    val pp = paras.map { ps =>
       val extras =
         if (ps.key == "et") rR0.toSeq.map(v => "R/R0" -> lit(v).cast("string"))
         else Nil
@@ -73,34 +82,42 @@ object ModelExport {
         (ps.colName -> when(col(ps.valueCol).isNotNull,
           format_string(s"%.${ps.decimals}f", col(ps.valueCol)))
           .otherwise(lit(""))) +: extras
-      val headerLine = (dcs.map(_._1) ++ valueCols.map(_._1)).mkString("\t")
-      val nCols = dcs.size + valueCols.size
-      val line = concat_ws("\t", (dcs.map(_._2) ++ valueCols.map(_._2)): _*)
-      val body = wide
-        .select(col("station_id"), col("day"), line.as("line"))
-        .groupBy(col("station_id"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("day"), col("line")))),
-            x => x.getField("line")), "\n").as("body"))
-      val withText =
-        if (addMeta) {
-          val tabs = "\t" * (nCols - 1)
-          body.join(broadcast(meta.select(col("station_id"),
-              col("x").cast("string").as("_lon"), col("y").cast("string").as("_lat"))),
-            Seq("station_id"), "left")
-            .withColumn("text", concat(
-              lit("Name: station_"), col("station_id"),
-              lit(" (ID: "), col("station_id"), lit(s")$tabs\n"),
-              lit("Lat: "), coalesce(col("_lat"), lit("")),
-              lit("   ,Lon: "), coalesce(col("_lon"), lit("")), lit(s"$tabs\n"),
-              // the text sink terminates the row with the final newline
-              lit(headerLine + "\n"), col("body")))
-        } else
-          body.withColumn("text",
-            concat(lit(headerLine + "\n"), col("body")))
-      withText.select(col("station_id"), lit(ps.fileBase).as("file"), col("text"))
+      Para(ps, (dcs.map(_._1) ++ valueCols.map(_._1)).mkString("\t"),
+        dcs.size + valueCols.size,
+        concat_ws("\t", (dcs.map(_._2) ++ valueCols.map(_._2)): _*))
     }
-    frames.reduce(_ unionByName _)
+    def bodyAgg(p: Para): Column = array_join(
+      transform(array_sort(collect_list(struct(col("day"), col(s"line_${p.ps.key}")))),
+        x => x.getField(s"line_${p.ps.key}")), "\n").as(s"body_${p.ps.key}")
+    val bodies = wide
+      .select(col("station_id") +: col("day") +:
+        pp.map(p => p.line.as(s"line_${p.ps.key}")): _*)
+      .groupBy(col("station_id"))
+      .agg(bodyAgg(pp.head), pp.tail.map(bodyAgg): _*)
+    val withMeta =
+      if (addMeta)
+        bodies.join(broadcast(meta.select(col("station_id"),
+            col("x").cast("string").as("_lon"), col("y").cast("string").as("_lat"))),
+          Seq("station_id"), "left")
+      else bodies
+    def text(p: Para): Column = {
+      val header = lit(p.headerLine + "\n")
+      if (addMeta) {
+        val tabs = "\t" * (p.nCols - 1)
+        concat(
+          lit("Name: station_"), col("station_id"),
+          lit(" (ID: "), col("station_id"), lit(s")$tabs\n"),
+          lit("Lat: "), coalesce(col("_lat"), lit("")),
+          lit("   ,Lon: "), coalesce(col("_lon"), lit("")), lit(s"$tabs\n"),
+          // the text sink terminates the row with the final newline
+          header, col(s"body_${p.ps.key}"))
+      } else concat(header, col(s"body_${p.ps.key}"))
+    }
+    withMeta
+      .select(col("station_id"),
+        explode(array(pp.map(p =>
+          struct(lit(p.ps.fileBase).as("file"), text(p).as("text"))): _*)).as("ft"))
+      .select(col("station_id"), col("ft.file").as("file"), col("ft.text").as("text"))
   }
 
   /** Distributed write: `outDir/station_id=…/file=PREC.txt/part-*.txt`

@@ -448,7 +448,7 @@ object Dedup {
     * the paper becomes three keyed shuffles. */
   def dupSpans(documents: DataFrame, n: Int = 4): DataFrame = {
     reg(documents)
-    val toks = s"split(lower(text), ' ')"
+    val toks = graft.text.TextFns.tokens("text")
     // positional n-gram hashes WITH multiplicity, index order
     val posHashes = s"CASE WHEN size($toks) >= $n THEN " +
       s"transform(sequence(0, size($toks) - $n), " +

@@ -148,6 +148,10 @@ object Sources {
     val s = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    if (s.isNullAt(0)) { // empty input: nothing to cluster, write as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def scale(c: String, lo: Double, hi: Double): String = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       s"CAST((CAST($c AS DOUBLE) - ${lo}D) / ${span}D * ${(1 << 20) - 1} AS BIGINT)"

@@ -426,16 +426,23 @@ object TextAnalysis {
     def q6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val w = Array(0.0d, 0.0d, 0.0d, 0.0d)
-    for (_ <- 1 to rounds) {
-      val g = feat.withColumn("p", p(w))
-        .agg(
-          round(avg((col("p") - col("y")) * col("x0")) + lit(1e-9), 6).as("g0"),
-          round(avg((col("p") - col("y")) * col("x1")) + lit(1e-9), 6).as("g1"),
-          round(avg((col("p") - col("y")) * col("x2")) + lit(1e-9), 6).as("g2"),
-          round(avg((col("p") - col("y")) * col("x3")) + lit(1e-9), 6).as("g3"))
-        .head()
-      for (i <- 0 until 4) w(i) = q6(w(i) - g.getDouble(i) + 1e-9)
-    }
+    // persist the 6-numeric-column feature frame across the gradient
+    // rounds (tokenize + filter otherwise re-runs per round), release
+    // it before returning — the scoring plan then recomputes it ONCE
+    // at execution: 2 corpus passes total instead of rounds + 1
+    feat.persist()
+    try {
+      for (_ <- 1 to rounds) {
+        val g = feat.withColumn("p", p(w))
+          .agg(
+            round(avg((col("p") - col("y")) * col("x0")) + lit(1e-9), 6).as("g0"),
+            round(avg((col("p") - col("y")) * col("x1")) + lit(1e-9), 6).as("g1"),
+            round(avg((col("p") - col("y")) * col("x2")) + lit(1e-9), 6).as("g2"),
+            round(avg((col("p") - col("y")) * col("x3")) + lit(1e-9), 6).as("g3"))
+          .head()
+        for (i <- 0 until 4) w(i) = q6(w(i) - g.getDouble(i) + 1e-9)
+      }
+    } finally feat.unpersist()
     feat.withColumn("score", p(w))
       .select(col("doc_id"), col("y"), col("score"),
         (col("score") >= 0.5d).as("pred"))
@@ -481,19 +488,31 @@ object TextAnalysis {
     * score is not pinned to a cutoff value.
     *
     * Plan: the logprob aggregation, ONE map-combinable sketch agg down
-    * to one row per language, broadcast join of that tiny cutoff
-    * table, stateless CASE. The ranking shuffle of the oracled route
-    * is gone entirely. */
+    * to one row per language (collected — the tiny-dim exception),
+    * cutoffs folded into the projection as plan literals, stateless
+    * CASE. The ranking shuffle of the oracled route is gone entirely
+    * and the scoring pass carries no join. */
   def ccnetBucketsApprox(documents: DataFrame): DataFrame = {
     val scored = unigramLogprob(documents)
       .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val cutoffs = scored.groupBy(col("lang")).agg(
+    // one row per language — the repo's tiny-dim-collect exception
+    // (same class as the quality classifier's weights): folding the
+    // cutoffs into the projection as plan literals means the scoring
+    // pass carries NO join at all, and `scored` executes exactly once
+    // per pass (cutoff sketch now, bucket scan at execution) instead
+    // of twice inside one plan
+    val cuts = scored.groupBy(col("lang")).agg(
       percentile_approx(col("mean_neglogprob"), lit(1.0 / 3), lit(10000)).as("c1"),
       percentile_approx(col("mean_neglogprob"), lit(2.0 / 3), lit(10000)).as("c2"))
-    scored.join(broadcast(cutoffs), Seq("lang"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val c1 = cuts.foldLeft(lit(Double.MaxValue)) { case (acc, (l, (a, _))) =>
+      when(col("lang") === l, lit(a)).otherwise(acc) }
+    val c2 = cuts.foldLeft(lit(Double.MaxValue)) { case (acc, (l, (_, b))) =>
+      when(col("lang") === l, lit(b)).otherwise(acc) }
+    scored
       .withColumn("bucket",
-        when(col("mean_neglogprob") <= col("c1"), lit("head"))
-          .when(col("mean_neglogprob") <= col("c2"), lit("middle"))
+        when(col("mean_neglogprob") <= c1, lit("head"))
+          .when(col("mean_neglogprob") <= c2, lit("middle"))
           .otherwise(lit("tail")))
       .select(col("doc_id"), col("lang"), col("mean_neglogprob"), col("bucket"))
   }
