@@ -169,6 +169,23 @@ class Station(db: WeatherDb, val id: Long) {
       Option(r.getDate(1)).map(_.toLocalDate))
   }
 
+  /** isin_meta / isin_db (StationBases.py:693,713): registry and data
+    * membership — the guards the reference runs before any per-station
+    * operation. */
+  def isinMeta: Boolean = !getMeta.isEmpty
+  def isinDb: Boolean = !only(db.raw).filter(col("raw").isNotNull).isEmpty
+
+  /** get_period_meta (StationBases.py:2031): the per-kind period from
+    * the (derived) meta model — 'filled' = the kind's filled period,
+    * 'raw' = the raw coverage period, 'max' = the grid extent. */
+  def getPeriodMeta(kind: String = "filled"): TimestampPeriod = kind match {
+    case "filled" => getFilledPeriod("filled")
+    case "raw" => getFilledPeriod("raw")
+    case "max" => getMaxPeriod(nasAllowed = true)
+    case other => throw new IllegalArgumentException(
+      s"unknown period kind '$other' (expected filled|raw|max)")
+  }
+
   /** count_holes (StationBases.py:1925). */
   def countHoles: DataFrame = only(Aggregate.countHoles(db.qc))
 

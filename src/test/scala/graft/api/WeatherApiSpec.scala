@@ -31,6 +31,20 @@ class WeatherApiSpec extends SparkSpec {
     assert(db.stations.getValidStids.contains(0L))
   }
 
+  test("membership guards and per-kind period meta") {
+    val s = db.station(0L)
+    assert(s.isinMeta && s.isinDb)
+    assert(!db.station(99999L).isinMeta)
+    val filled = s.getPeriodMeta("filled")
+    val raw = s.getPeriodMeta("raw")
+    val max = s.getPeriodMeta("max")
+    assert(filled.start.nonEmpty && raw.start.nonEmpty && max.start.nonEmpty)
+    // grid extent contains the per-kind filled periods
+    assert(!max.start.get.isAfter(filled.start.get))
+    assert(!max.end.get.isBefore(filled.end.get))
+    intercept[IllegalArgumentException](s.getPeriodMeta("nope"))
+  }
+
   test("adjusted series matches the raster target; ma raster accessor prunes") {
     val s = db.station(0L)
     val adj = s.getAdj()
