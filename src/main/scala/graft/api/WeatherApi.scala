@@ -231,6 +231,16 @@ class Stations(db: WeatherDb) {
       .filter(col("kind_num").isin(kindsNum: _*) && col("kind_denom").isin(kindsDenom: _*))
   /** count_holes for all stations (StationsBase.count_holes). */
   def countHoles: DataFrame = Aggregate.countHoles(db.qc)
+  /** update (StationsBase.update): the full per-parameter cycle —
+    * identical to Broker.updateDb; the persisted frames ARE the
+    * "tables" the reference's update writes. */
+  def update: DataFrame = db.corr
+  /** update_ma_timeseries (StationsBase): the multi-annual means
+    * derived from the current series — a recompute of the derived
+    * frame, not a side-effecting table write. */
+  def updateMaTimeseries: DataFrame = Series.maMean(db.raw, "raw")
+  /** update_ma_raster (StationsBase): the raster climate values. */
+  def updateMaRaster: DataFrame = Series.raster(db.events)
   /** get_valid_stids / get_stations (StationsBase). */
   def getValidStids: Seq[Long] =
     db.meta.select(col("station_id")).orderBy(col("station_id"))
@@ -376,4 +386,14 @@ class GroupStations(db: WeatherDb) {
       db.inPeriod(Aggregate.groupWide(db.events), period),
       db.meta, outDir, ModelExport.defaultParas, splitDate = splitDate,
       roger = false, addMeta = addMeta)
+
+  /** create_roger_ts for ALL locations (GroupStations.py create_roger_ts):
+    * the RoGeR toolbox layout — YYYY/MM/DD columns, PREC/TA/PET names,
+    * constant R/R0 on the PET file, no meta header. */
+  def createRogerTs(outDir: String, period: TimestampPeriod = TimestampPeriod.empty,
+      rR0: Double = 1.0): Unit =
+    ModelExport.writeTs(
+      db.inPeriod(Aggregate.groupWide(db.events), period),
+      db.meta, outDir, ModelExport.rogerParas, splitDate = true,
+      roger = true, addMeta = false, rR0 = Some(rR0))
 }

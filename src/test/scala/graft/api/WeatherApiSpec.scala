@@ -121,6 +121,21 @@ class WeatherApiSpec extends SparkSpec {
     assert(files === Seq("file=ET.txt", "file=P.txt", "file=T.txt"))
   }
 
+  test("all-stations create_roger_ts uses toolbox names and MA accessors derive") {
+    val out = java.nio.file.Files.createTempDirectory("graft_all_rg").toString + "/rg"
+    db.groupStations.createRogerTs(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("station_id=")).toSeq
+    assert(dirs.size === db.groupStations.getValidStids.size)
+    val files = new java.io.File(s"$out/${dirs.head}").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(files === Seq("file=PET.txt", "file=PREC.txt", "file=TA.txt"))
+    assert(db.stations.update.count() > 0)
+    assert(db.stations.updateMaTimeseries.count() ===
+      db.stations.getValidStids.size)
+    assert(db.stations.updateMaRaster.count() > 0)
+  }
+
   test("neighbor options: only_real default and elevation weighting") {
     val s = db.station(0L)
     val realIds = db.meta.filter(org.apache.spark.sql.functions.col("is_real"))
