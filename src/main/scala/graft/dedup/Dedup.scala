@@ -54,6 +54,51 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Sketch calibration report: for every MinHash band candidate pair,
+    * the signature-estimated Jaccard (matching positions / NumHashes)
+    * next to the EXACT shingle Jaccard and their absolute error — the
+    * evaluation a pipeline runs before trusting a sketch threshold
+    * (E[est] = exact; observed spread at 64 hashes ≈ ±0.12).
+    *
+    * Plan: ONE shingle+signature pass shared by candidate generation
+    * and verification (persisted for the two consumers, released
+    * eagerly — [[minhashBands]] would recompute it); the band
+    * self-join is bucketed on (band, k1, k2); est and exact are
+    * per-pair native/codegen array ops over the O(candidates) frame. */
+  def minhashCalibration(documents: DataFrame): DataFrame = {
+    val sigs = withShingles(documents)
+      .withColumn("sig", expr(minhashSig("hashes")))
+      .select(col("doc_id"), col("sig"), array_sort(col("hashes")).as("sh"))
+      .persist()
+    try {
+      val bands = sigs.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${NumBands - 1}), b -> " +
+          "struct(b AS band, element_at(sig, 2*b + 1) AS k1, element_at(sig, 2*b + 2) AS k2))")).as("bd"))
+        .select(col("doc_id"), col("bd.band"), col("bd.k1"), col("bd.k2"))
+        .filter(col("k1").isNotNull && col("k2").isNotNull)
+      val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("k1"), col("k2"))
+        .join(bands.select(col("doc_id").as("id_b"), col("band"), col("k1"), col("k2")),
+          Seq("band", "k1", "k2"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
+      val result = cand
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("sh").as("h_a")), Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("sh").as("h_b")), Seq("id_b"))
+        .withColumn("est", round(
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
+            lit(NumHashes.toDouble) + lit(1e-9), 6))
+        .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
+        .withColumn("exact", round(col("inter") /
+          (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
+        .withColumn("abs_err", round(abs(col("est") - col("exact")) + lit(1e-9), 6))
+        .select(col("id_a"), col("id_b"), col("n_bands"),
+          col("est"), col("exact"), col("abs_err"))
+        .persist()
+      result.count() // materialize so the sigs scratch frame can release
+      result
+    } finally sigs.unpersist()
+  }
+
   /** Candidate pairs with PROVABLY complete recall via prefix filtering
     * (the AllPairs/PPJoin prefix principle): two sets with Jaccard ≥ t
     * must share at least |X∩Y| ≥ ceil(t·|X|) elements, so they must

@@ -879,6 +879,26 @@ object LlmOracle {
     FROM cells ORDER BY lang, predicted"""
   }
 
+  val qMinhashCalibration: String = s"""
+    WITH $shCte, $sigCte,
+    sorted AS (SELECT doc_id, list_sort(hashes) AS sh FROM hash_t),
+    scored AS (
+      SELECT p.id_a, p.id_b, p.n_bands,
+        round(len(list_filter(range(1, $NumHashes + 1),
+            i -> sa.sig[i] = sb.sig[i])) / CAST($NumHashes AS DOUBLE) + 1e-9, 6)
+          AS est,
+        round(len(list_intersect(ha.sh, hb.sh)) /
+            CAST(len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)) AS DOUBLE)
+          + 1e-9, 6) AS exact
+      FROM cand_pairs p
+      JOIN sig_t sa ON sa.doc_id = p.id_a
+      JOIN sig_t sb ON sb.doc_id = p.id_b
+      JOIN sorted ha ON ha.doc_id = p.id_a
+      JOIN sorted hb ON hb.doc_id = p.id_b)
+    SELECT id_a, id_b, n_bands, est, exact,
+      round(abs(est - exact) + 1e-9, 6) AS abs_err
+    FROM scored ORDER BY id_a, id_b"""
+
   val qCcnetBuckets: String = s"""
     WITH tok AS (
       SELECT doc_id, unnest($toks) AS tok FROM documents),
@@ -914,6 +934,7 @@ object LlmOracle {
 
   val all: Map[String, String] = Map(
     "q_ccnet_buckets" -> qCcnetBuckets,
+    "q_minhash_calibration" -> qMinhashCalibration,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
     "q_langid_confusion" -> qLangidConfusion,
     "q_token_hist" -> qTokenHist,

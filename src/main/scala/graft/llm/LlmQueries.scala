@@ -36,6 +36,8 @@ object LlmQueries {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("canonical_id"))),
     "q_dedup_minhash_bands" -> ((s, d) =>
       Dedup.minhashBands(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, d) =>
