@@ -126,6 +126,32 @@ object Sources {
       partitionCol: String = "day"): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Small-file compaction: rewrite a (flat) parquet dataset into
+    * ≈`targetMB` files — the maintenance pass every long-lived 100 TB
+    * table needs after streaming/incremental ingest leaves thousands
+    * of tiny files (each costing a footer read + a scheduler task per
+    * scan). File COUNT comes from the filesystem's size summary (a
+    * driver-side STATUS listing; no data moves through the driver);
+    * the rewrite is one distributed round-robin repartition. Writes to
+    * a sibling tmp dir and swaps, so a failed compaction never
+    * destroys the source. Day-partitioned layouts compact per
+    * partition dir instead (pass the partition path), keeping the
+    * directory pruning contract intact. Returns the target file
+    * count. */
+  def compact(spark: SparkSession, path: String, targetMB: Int = 128): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(
+      s"compaction swap failed: $tmp -> $p (source removed, data in tmp)")
+    nFiles
+  }
+
   /** Z-order clustered parquet layout: rows sorted along a Morton
     * curve over TWO query dimensions, so per-file (and per-row-group)
     * min/max stats stay tight on BOTH columns — a 2-D range query

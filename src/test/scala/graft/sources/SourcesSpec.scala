@@ -67,6 +67,21 @@ class SourcesSpec extends SparkSpec {
       fact.join(dim, Seq("user_id")).count())
   }
 
+  test("compaction collapses a fragmented dataset losslessly") {
+    val dir = Files.createTempDirectory("graft_frag").toString + "/t"
+    events.repartition(64).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before === 64)
+    val checksum = events.agg(sum(col("event_id"))).head().getLong(0)
+    Sources.compact(spark, dir, targetMB = 128)
+    assert(parquetFiles < before, "compaction must reduce the file count")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === events.count())
+    assert(back.agg(sum(col("event_id"))).head().getLong(0) === checksum)
+  }
+
   test("z-ordered layout keeps 2-D file stats tight: box query touches fewer files") {
     val nFiles = 16
     val zDir = Files.createTempDirectory("graft_z").toString
