@@ -899,6 +899,19 @@ object LlmOracle {
       round(abs(est - exact) + 1e-9, 6) AS abs_err
     FROM scored ORDER BY id_a, id_b"""
 
+  val qBpePairs: String = s"""
+    WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+    pairs AS (
+      SELECT unnest(CASE WHEN length(tok) >= 2
+        THEN list_transform(range(1, length(tok)), i -> tok[i:i+1])
+        ELSE [] END) AS pair
+      FROM tk),
+    counts AS (SELECT pair, count(*) AS n FROM pairs GROUP BY 1),
+    ranked AS (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+      FROM counts)
+    SELECT rank, pair, n FROM ranked WHERE rank <= 20 ORDER BY rank"""
+
   val qCcnetBuckets: String = s"""
     WITH tok AS (
       SELECT doc_id, unnest($toks) AS tok FROM documents),
@@ -934,6 +947,7 @@ object LlmOracle {
 
   val all: Map[String, String] = Map(
     "q_ccnet_buckets" -> qCcnetBuckets,
+    "q_bpe_pairs" -> qBpePairs,
     "q_minhash_calibration" -> qMinhashCalibration,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
     "q_langid_confusion" -> qLangidConfusion,

@@ -82,6 +82,7 @@ object LlmQueries {
     "q_corpus_shuffle" -> ((s, d) =>
       Corpus.shuffle(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_bigrams" -> ((s, d) => TextAnalysis.topBigrams(docs(s, d))),
+    "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(docs(s, d)).orderBy(col("rank"))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tfidf" -> ((s, d) =>

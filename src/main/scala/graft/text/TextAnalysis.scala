@@ -43,6 +43,27 @@ object TextAnalysis {
     scored.withColumn("predicted", best)
   }
 
+  /** Tokenizer-fit primitive: the first BPE iteration's merge table —
+    * top-k adjacent character pairs within words, ranked by corpus
+    * frequency (Sennrich et al. 2016: each merge round picks the
+    * most frequent symbol pair; this is the round-1 candidate list a
+    * BPE trainer consumes; subsequent rounds re-tokenize and repeat).
+    *
+    * Plan: stateless per-doc pair explode, ONE map-combinable count
+    * keyed on the pair, TakeOrderedAndProject top-k — the rank window
+    * runs over the k-row result only (same shape as vocabCoverage). */
+  def bpePairs(documents: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairsE = s"flatten(transform(${tokens("text")}, tok -> " +
+      "CASE WHEN length(tok) >= 2 THEN transform(sequence(1, length(tok) - 1), " +
+      "i -> substring(tok, i, 2)) ELSE CAST(array() AS array<string>) END))"
+    documents.select(explode(expr(pairsE)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("n"))
+  }
+
   /** Language-ID evaluation: confusion matrix of [[langId]]'s
     * prediction against the labeled `lang` column, with per-actual-
     * language recall share — the quality report run after any
