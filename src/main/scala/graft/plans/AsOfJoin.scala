@@ -194,19 +194,25 @@ object AsOf {
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
       tiebreak: Seq[String] = Nil): DataFrame = {
-    val l = left.withColumn("__asof_k", col(leftKey).cast("long"))
-      .withColumn("__asof_t", col(leftTime).cast("timestamp"))
-    val r = right.withColumn("__asof_k", col(rightKey).cast("long"))
-      .withColumn("__asof_t", col(rightTime).cast("timestamp"))
-    val lp = l.queryExecution.analyzed
-    val rp = r.queryExecution.analyzed
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     def att(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
-    val plan = AsOfJoinPlan(
-      att(lp, "__asof_k"), att(lp, "__asof_t"),
-      att(rp, "__asof_k"), att(rp, "__asof_t"),
-      tiebreak.map(att(rp, _)), lp, rp)
+    // already-long keys / already-timestamp times are used DIRECTLY
+    // (no helper cast column): user filters then sit on the very
+    // attribute the operator declares as its key, which is what lets
+    // AsOfFilterPushdown mirror them to the other side
+    def prep(df: DataFrame, key: String, time: String): (LogicalPlan, Attribute, Attribute) = {
+      val needK = df.schema(key).dataType != LongType
+      val needT = df.schema(time).dataType != TimestampType
+      val df2 = if (needK) df.withColumn("__asof_k", col(key).cast("long")) else df
+      val df3 = if (needT) df2.withColumn("__asof_t", col(time).cast("timestamp")) else df2
+      val p = df3.queryExecution.analyzed
+      (p, att(p, if (needK) "__asof_k" else key), att(p, if (needT) "__asof_t" else time))
+    }
+    val (lp, lk, lt) = prep(left, leftKey, leftTime)
+    val (rp, rk, rt) = prep(right, rightKey, rightTime)
+    val plan = AsOfJoinPlan(lk, lt, rk, rt, tiebreak.map(att(rp, _)), lp, rp)
     GraftSqlBridge.ofRows(left.sparkSession, plan, AsOfJoinStrategy)
       .drop("__asof_k", "__asof_t")
   }

@@ -23,6 +23,13 @@ object GraftSqlBridge {
       cs.experimental.extraStrategies =
         cs.experimental.extraStrategies :+ strategy
     }
+    // custom plans are opaque to PushDownPredicate — restore filter
+    // pushdown through them (runs in the user-provided optimizer batch)
+    val pushdown = graft.plans.AsOfFilterPushdown
+    if (!cs.experimental.extraOptimizations.contains(pushdown)) {
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ pushdown
+    }
     classic.Dataset.ofRows(cs, plan)
   }
 }

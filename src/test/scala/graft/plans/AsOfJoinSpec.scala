@@ -61,4 +61,41 @@ class AsOfJoinSpec extends SparkSpec {
     // exactly the two SMJ-style keyed exchanges, none after the join
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2)
   }
+
+  test("filters push through the as-of plan: key to both sides, time bound to the build side") {
+    val ev = Tables.events(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    def joined = AsOf.join(
+      ev.select("event_id", "user_id", "ts"),
+      ord.select("o_orderkey", "o_custkey", "o_orderdate"),
+      "user_id", "ts", "o_custkey", "o_orderdate", tiebreak = Seq("o_orderkey"))
+    val cut = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val filtered = joined
+      .filter($"user_id" < 50 && $"ts" <= cut && $"event_id" % 2 === 0)
+
+    // 1) the optimized logical plan has Filters BELOW the as-of node
+    val opt = filtered.queryExecution.optimizedPlan
+    val asOf = opt.collectFirst { case j: AsOfJoinPlan => j }.get
+    def hasFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.nonEmpty
+    assert(hasFilter(asOf.left), "left-side filter not pushed")
+    assert(hasFilter(asOf.right), "right-side key/time mirror not pushed")
+
+    // 2) the parquet scans carry the pushed predicates
+    val phys = filtered.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") &&
+      "LessThan\\(user_id,50\\)|LessThan\\(o_custkey,50\\)".r.findFirstIn(phys).nonEmpty,
+      s"no pushed key predicate in scans:\n$phys")
+
+    // 3) semantics unchanged: equals the composed route filtered above
+    val expected = graft.analytics.Queries.qAsofJoin(spark, dir)
+      .filter($"user_id" < 50 && $"ts" <= cut && $"event_id" % 2 === 0)
+      .select($"event_id", $"user_id", $"ts", $"last_orderkey", $"last_orderdate")
+    val actual = filtered
+      .select($"event_id", $"user_id", $"ts",
+        $"o_orderkey".as("last_orderkey"),
+        $"o_orderdate".cast("timestamp").as("last_orderdate"))
+    assert(actual.count() === expected.count())
+    assert(actual.intersect(expected).count() === expected.count())
+  }
 }
