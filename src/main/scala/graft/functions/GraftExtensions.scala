@@ -12,8 +12,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: the native streaming-merge as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // optimizer extension: predicate pushdown through the as-of plan
+    // optimizer extensions: predicate pushdown + column pruning
+    // through the as-of plan (opaque to the built-in rules)
     ext.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
     ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),

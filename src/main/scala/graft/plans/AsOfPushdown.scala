@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Expression, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule restoring predicate pushdown THROUGH the custom
@@ -72,5 +72,28 @@ object AsOfFilterPushdown extends Rule[LogicalPlan] {
         val pushed = j.copy(left = newLeft, right = newRight)
         if (rest.nonEmpty) Filter(rest.reduce(And), pushed) else pushed
       }
+  }
+}
+
+/** Column pruning through [[AsOfJoinPlan]] — the other half of what a
+  * custom node hides from Catalyst: a narrow `select` above the as-of
+  * join otherwise shuffles and sorts EVERY column of both tables. The
+  * children are projected to the attributes the projection references
+  * plus the operator's own key/time/tiebreak attributes (the exec
+  * resolves them by exprId, so output order is free to change). */
+object AsOfColumnPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case p @ Project(projList, j: AsOfJoinPlan) =>
+      val required = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet((Seq(j.leftKey, j.leftTime, j.rightKey, j.rightTime) ++
+          j.rightTiebreak).flatMap(_.references))
+      val neededL = j.left.output.filter(required.contains)
+      val neededR = j.right.output.filter(required.contains)
+      if (neededL.size == j.left.output.size && neededR.size == j.right.output.size) p
+      else Project(projList, j.copy(
+        left = if (neededL.size == j.left.output.size) j.left
+          else Project(neededL, j.left),
+        right = if (neededR.size == j.right.output.size) j.right
+          else Project(neededR, j.right)))
   }
 }

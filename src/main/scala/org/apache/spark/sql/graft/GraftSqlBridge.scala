@@ -25,11 +25,11 @@ object GraftSqlBridge {
     }
     // custom plans are opaque to PushDownPredicate — restore filter
     // pushdown through them (runs in the user-provided optimizer batch)
-    val pushdown = graft.plans.AsOfFilterPushdown
-    if (!cs.experimental.extraOptimizations.contains(pushdown)) {
-      cs.experimental.extraOptimizations =
-        cs.experimental.extraOptimizations :+ pushdown
-    }
+    for (rule <- Seq(graft.plans.AsOfFilterPushdown,
+        graft.plans.AsOfColumnPruning))
+      if (!cs.experimental.extraOptimizations.contains(rule))
+        cs.experimental.extraOptimizations =
+          cs.experimental.extraOptimizations :+ rule
     classic.Dataset.ofRows(cs, plan)
   }
 }

@@ -98,4 +98,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(actual.count() === expected.count())
     assert(actual.intersect(expected).count() === expected.count())
   }
+
+  test("a narrow select prunes the as-of children down to needed + operator columns") {
+    val ev = Tables.events(spark, dir)   // 6 columns
+    val ord = Tables.orders(spark, dir)  // 6 columns
+    val narrow = AsOf.join(ev, ord,
+        "user_id", "ts", "o_custkey", "o_orderdate", tiebreak = Seq("o_orderkey"))
+      .select($"event_id", $"o_orderkey")
+    val opt = narrow.queryExecution.optimizedPlan
+    val j = opt.collectFirst { case a: AsOfJoinPlan => a }.get
+    // left: event_id + key + time = 3; right: o_orderkey + key + time = 3
+    assert(j.left.output.map(_.name).toSet === Set("event_id", "user_id", "ts"),
+      s"left not pruned: ${j.left.output.map(_.name)}")
+    assert(j.right.output.map(_.name).toSet ===
+      Set("o_orderkey", "o_custkey", "o_orderdate"),
+      s"right not pruned: ${j.right.output.map(_.name)}")
+    // pruning reaches the scan: the read schemas carry only those columns
+    val phys = narrow.queryExecution.executedPlan.toString
+    assert(!phys.contains("event_type") && !phys.contains("o_totalprice"),
+      s"unneeded columns survive to the physical plan:\n$phys")
+    assert(narrow.count() === ev.count()) // still row-preserving
+  }
 }
