@@ -278,8 +278,55 @@ object EventAnalytics {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * classic marketing/engagement scoring frame: per user, days since
+    * last activity, event count and value mass, each bucketed into
+    * quartiles (r_q 1 = most recent quartile; f_q/m_q 4 = top
+    * quartile), concatenated into the familiar 3-digit segment code.
+    *
+    * Plan: ONE map-combinable groupBy(user_id) builds the per-user
+    * frame; the anchor day and the nine quartile cutoffs are two tiny
+    * broadcast frames (exact interpolated `percentile` here — the
+    * oracle-verifiable anchor; at 100 TB swap in `approx_percentile`,
+    * identical shape). Scoring is a stateless comparison against the
+    * broadcast cutoffs — deliberately NOT an ntile window, which would
+    * sort the O(#users) frame on a single partition. */
+  def rfm(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(to_date(max(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")) + lit(1e-9), 3).as("monetary"))
+    val anchor = events.agg(to_date(max(col("ts"))).as("anchor_day"))
+    val scored = perUser.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor_day"), col("last_day")).cast("long"))
+    def cut(c: String, p: Double, as: String) =
+      round(expr(s"percentile(cast($c AS double), ${p}D)") + lit(1e-9), 6).as(as)
+    val cuts = scored.agg(
+      cut("recency_days", 0.25, "r25"), cut("recency_days", 0.5, "r50"),
+      cut("recency_days", 0.75, "r75"),
+      cut("frequency", 0.25, "f25"), cut("frequency", 0.5, "f50"),
+      cut("frequency", 0.75, "f75"),
+      cut("monetary", 0.25, "m25"), cut("monetary", 0.5, "m50"),
+      cut("monetary", 0.75, "m75"))
+    def quart(c: String, a: String, b: String, d: String) =
+      expr(s"1 + cast(cast($c AS double) > $a AS int) " +
+        s"+ cast(cast($c AS double) > $b AS int) + cast(cast($c AS double) > $d AS int)")
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("r_q", quart("recency_days", "r25", "r50", "r75"))
+      .withColumn("f_q", quart("frequency", "f25", "f50", "f75"))
+      .withColumn("m_q", quart("monetary", "m25", "m50", "m75"))
+      .withColumn("segment",
+        concat(col("r_q").cast("string"), col("f_q").cast("string"),
+          col("m_q").cast("string")))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_q"), col("f_q"), col("m_q"), col("segment"))
+      .orderBy(col("user_id"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_user_paths" -> ((s, d) => userPaths(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
@@ -442,7 +489,43 @@ object EventOracle {
       round(n_users / (sum(n_users) OVER ())::DOUBLE + 1e-9, 6) AS share
     FROM m ORDER BY n_users DESC, path"""
 
+  val qEventRfm: String = """
+    WITH per_user AS (
+      SELECT user_id, CAST(max(ts) AS DATE) AS last_day,
+        count(*) AS frequency, round(sum(value) + 1e-9, 3) AS monetary
+      FROM events GROUP BY user_id),
+    anchor AS (SELECT CAST(max(ts) AS DATE) AS anchor_day FROM events),
+    scored AS (
+      SELECT user_id, datediff('day', last_day, anchor_day)::BIGINT AS recency_days,
+        frequency, monetary
+      FROM per_user CROSS JOIN anchor),
+    cuts AS (
+      SELECT
+        round(quantile_cont(recency_days::DOUBLE, 0.25) + 1e-9, 6) AS r25,
+        round(quantile_cont(recency_days::DOUBLE, 0.5) + 1e-9, 6) AS r50,
+        round(quantile_cont(recency_days::DOUBLE, 0.75) + 1e-9, 6) AS r75,
+        round(quantile_cont(frequency::DOUBLE, 0.25) + 1e-9, 6) AS f25,
+        round(quantile_cont(frequency::DOUBLE, 0.5) + 1e-9, 6) AS f50,
+        round(quantile_cont(frequency::DOUBLE, 0.75) + 1e-9, 6) AS f75,
+        round(quantile_cont(monetary::DOUBLE, 0.25) + 1e-9, 6) AS m25,
+        round(quantile_cont(monetary::DOUBLE, 0.5) + 1e-9, 6) AS m50,
+        round(quantile_cont(monetary::DOUBLE, 0.75) + 1e-9, 6) AS m75
+      FROM scored),
+    q AS (
+      SELECT user_id, recency_days, frequency, monetary,
+        1 + (recency_days::DOUBLE > r25)::INT + (recency_days::DOUBLE > r50)::INT
+          + (recency_days::DOUBLE > r75)::INT AS r_q,
+        1 + (frequency::DOUBLE > f25)::INT + (frequency::DOUBLE > f50)::INT
+          + (frequency::DOUBLE > f75)::INT AS f_q,
+        1 + (monetary::DOUBLE > m25)::INT + (monetary::DOUBLE > m50)::INT
+          + (monetary::DOUBLE > m75)::INT AS m_q
+      FROM scored CROSS JOIN cuts)
+    SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+      r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR AS segment
+    FROM q ORDER BY user_id"""
+
   val all: Map[String, String] = Map(
+    "q_event_rfm" -> qEventRfm,
     "q_user_paths" -> qUserPaths,
     "q_event_transitions" -> qEventTransitions,
     "q_funnel" -> qFunnel,

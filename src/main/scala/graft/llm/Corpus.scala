@@ -291,4 +291,33 @@ object Corpus {
       out.localCheckpoint(true)
     } finally pairs.unpersist()
   }
+
+  /** Weighted sample of `n` documents WITHOUT replacement by priority
+    * sampling (Duffield–Lund–Thorup 2007 / sequential Poisson
+    * sampling): each doc draws a deterministic content-free uniform
+    * u ∈ (0,1) from its id hash and gets priority w/u (weight = char
+    * count here: longer docs proportionally likelier); the n highest
+    * priorities are the sample. Deterministic reruns never flip an
+    * existing doc's draw (same property as [[sample]]'s hash buckets).
+    * Every arithmetic step is a single IEEE operation on exact inputs
+    * (u is rational, no transcendental), so both engines compute
+    * bit-identical priorities.
+    *
+    * Plan: a stateless scan computes priorities; the global top-n is
+    * TakeOrderedAndProject — each partition forwards at most n rows,
+    * no global sort — and the rank window runs over the n-row result
+    * only. */
+  def sampleWeighted(documents: DataFrame, n: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val u = s"((${polyHash("concat('wsample:', cast(doc_id AS string))")} % 1000000) " +
+      "+ 0.5D) / 1000000.0D"
+    documents
+      .withColumn("priority",
+        expr(s"round(cast(n_chars AS double) / ($u) + 1e-9, 6)"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(n)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("priority").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_chars").as("weight"), col("priority"))
+  }
 }

@@ -800,26 +800,28 @@ object LlmOracle {
       sum(${ph("payload")})::BIGINT AS payload_sum
     FROM p GROUP BY 1 ORDER BY source"""
 
-  /** Power-iteration top principal direction, mirroring
-    * Pca.powerProjection CTE-for-frame: quantized mean, content-free
-    * `1/√d` start, per-round quantized direction re-estimate, norms as
-    * index-order folds over already-quantized vectors. */
-  val qEmbedPca: String = {
-    val iters = 2
-    def dot(a: String, b: String): String =
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
-        s"i -> $a[i] * $b[i])), (x, y) -> x + y)"
+  /** Index-order left-fold dot product (mirrors graft_dot). */
+  private def vdot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  private val PcaIters = 2
+
+  /** Shared power-iteration CTE chain (mirrors Pca.centeredAndDirection
+    * CTE-for-frame): quantized mean, content-free `1/√d` start,
+    * per-round quantized direction re-estimate, norms as index-order
+    * folds over already-quantized vectors. Ends at `v$PcaIters`. */
+  private val pcaCtes: String = {
     def roundCte(i: Int): String = s"""
-    p$i AS (SELECT c.vec_id, c.c, ${dot("c.c", "v.v")} AS p FROM c CROSS JOIN v${i - 1} v),
+    p$i AS (SELECT c.vec_id, c.c, ${vdot("c.c", "v.v")} AS p FROM c CROSS JOIN v${i - 1} v),
     wt$i AS (
       SELECT i, round(sum(c[i] * p) + 1e-9, 6) AS w FROM (
         SELECT c, p, unnest(range(1, len(c) + 1)) AS i FROM p$i)
       GROUP BY 1),
     wv$i AS (SELECT list(w ORDER BY i) AS w FROM wt$i),
-    v$i AS (SELECT list_transform(w, x -> round(x / sqrt(${dot("w", "w")}) + 1e-9, 6)) AS v
+    v$i AS (SELECT list_transform(w, x -> round(x / sqrt(${vdot("w", "w")}) + 1e-9, 6)) AS v
             FROM wv$i)"""
-    s"""
-    WITH e AS (
+    s"""e AS (
       SELECT vec_id::BIGINT AS vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
       FROM embeddings),
     mt AS (
@@ -832,10 +834,35 @@ object LlmOracle {
       FROM e CROSS JOIN mv),
     v0 AS (SELECT list_transform(mvec, x -> 1.0::DOUBLE / sqrt(len(mvec)::DOUBLE)) AS v
            FROM mv),
-    ${(1 to iters).map(roundCte).mkString(",")}
-    SELECT c.vec_id, round(${dot("c.c", "v.v")} + 1e-9, 6) AS proj
-    FROM c CROSS JOIN v$iters v ORDER BY c.vec_id"""
+    ${(1 to PcaIters).map(roundCte).mkString(",")}"""
   }
+
+  val qEmbedPca: String = s"""
+    WITH $pcaCtes
+    SELECT c.vec_id, round(${vdot("c.c", "v.v")} + 1e-9, 6) AS proj
+    FROM c CROSS JOIN v$PcaIters v ORDER BY c.vec_id"""
+
+  /** Mirrors Pca.whitenReport: residual from the ROUNDED projection,
+    * removed energy share from the ROUNDED norms. */
+  val qEmbedWhiten: String = s"""
+    WITH $pcaCtes,
+    base AS (
+      SELECT c.vec_id, c.c, v.v, round(${vdot("c.c", "v.v")} + 1e-9, 6) AS proj
+      FROM c CROSS JOIN v$PcaIters v),
+    rr AS (
+      SELECT vec_id, proj, c,
+        list_transform(range(1, len(c) + 1), i -> c[i] - proj * v[i]) AS r
+      FROM base),
+    nr AS (
+      SELECT vec_id, proj,
+        round(sqrt(${vdot("c", "c")}) + 1e-9, 6) AS c_norm,
+        round(sqrt(${vdot("r", "r")}) + 1e-9, 6) AS resid_norm
+      FROM rr)
+    SELECT vec_id, proj, c_norm, resid_norm,
+      CASE WHEN c_norm > 0
+           THEN round(1.0 - (resid_norm * resid_norm) / (c_norm * c_norm) + 1e-9, 6)
+           ELSE 0.0 END AS removed_share
+    FROM nr ORDER BY vec_id"""
 
   val qDedupClusterSizes: String = s"""
     WITH RECURSIVE $shCte,
@@ -912,6 +939,60 @@ object LlmOracle {
       FROM counts)
     SELECT rank, pair, n FROM ranked WHERE rank <= 20 ORDER BY rank"""
 
+  /** Mirrors TextAnalysis.oovRate. */
+  val qOovRate: String = s"""
+    WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+    top AS (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 30)
+    SELECT tk.doc_id, count(*) AS n_tokens,
+      CAST(sum(CASE WHEN top.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      round(sum(CASE WHEN top.tok IS NULL THEN 1 ELSE 0 END)
+        / count(*)::DOUBLE + 1e-9, 6) AS oov_share
+    FROM tk LEFT JOIN top ON tk.tok = top.tok
+    GROUP BY tk.doc_id ORDER BY doc_id"""
+
+  /** Mirrors Corpus.sampleWeighted (priority sampling, w/u keys). */
+  val qSampleWeighted: String = s"""
+    WITH p AS (
+      SELECT doc_id, n_chars,
+        round(n_chars::DOUBLE /
+          (((${ph("('wsample:' || doc_id::VARCHAR)")} % 1000000) + 0.5) / 1000000.0)
+          + 1e-9, 6) AS priority
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_chars, priority,
+        row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+      FROM p)
+    SELECT rank, doc_id, n_chars AS weight, priority
+    FROM r WHERE rank <= 100 ORDER BY rank"""
+
+  /** Mirrors TextAnalysis.bpeApply: round-1 winner merged greedily
+    * (leftmost non-overlapping `replace`, placeholder chr(1)), then
+    * the adjacent symbol-pair recount. */
+  val qBpeApply: String = s"""
+    WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+    p1 AS (
+      SELECT unnest(CASE WHEN length(tok) >= 2
+        THEN list_transform(range(1, length(tok)), i -> tok[i:i+1])
+        ELSE [] END) AS pair
+      FROM tk),
+    m AS (SELECT pair AS merge_pair FROM (
+      SELECT pair, count(*) AS n FROM p1 GROUP BY 1) ORDER BY n DESC, pair LIMIT 1),
+    t AS (SELECT replace(tok, merge_pair, chr(1)) AS t, merge_pair
+          FROM tk CROSS JOIN m),
+    pp AS (
+      SELECT merge_pair, unnest(CASE WHEN length(t) >= 2 THEN
+        list_transform(range(1, length(t)), i ->
+          (CASE WHEN t[i:i] = chr(1) THEN merge_pair ELSE t[i:i] END) || '+' ||
+          (CASE WHEN t[i+1:i+1] = chr(1) THEN merge_pair ELSE t[i+1:i+1] END))
+        ELSE [] END) AS pair
+      FROM t),
+    cnt AS (SELECT merge_pair, pair, count(*) AS n FROM pp GROUP BY 1, 2),
+    ranked AS (
+      SELECT merge_pair, pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+      FROM cnt)
+    SELECT rank, merge_pair, pair, n FROM ranked WHERE rank <= 20 ORDER BY rank"""
+
   val qCcnetBuckets: String = s"""
     WITH tok AS (
       SELECT doc_id, unnest($toks) AS tok FROM documents),
@@ -948,6 +1029,10 @@ object LlmOracle {
   val all: Map[String, String] = Map(
     "q_ccnet_buckets" -> qCcnetBuckets,
     "q_bpe_pairs" -> qBpePairs,
+    "q_bpe_apply" -> qBpeApply,
+    "q_oov_rate" -> qOovRate,
+    "q_sample_weighted" -> qSampleWeighted,
+    "q_embed_whiten" -> qEmbedWhiten,
     "q_minhash_calibration" -> qMinhashCalibration,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
     "q_langid_confusion" -> qLangidConfusion,

@@ -83,6 +83,12 @@ object LlmQueries {
       Corpus.shuffle(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_bigrams" -> ((s, d) => TextAnalysis.topBigrams(docs(s, d))),
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(docs(s, d)).orderBy(col("rank"))),
+    "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(docs(s, d)).orderBy(col("rank"))),
+    "q_oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d)).orderBy(col("doc_id"))),
+    "q_sample_weighted" -> ((s, d) =>
+      Corpus.sampleWeighted(docs(s, d)).orderBy(col("rank"))),
+    "q_embed_whiten" -> ((s, d) =>
+      graft.similarity.Pca.whitenReport(embs(s, d)).orderBy(col("vec_id"))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tfidf" -> ((s, d) =>

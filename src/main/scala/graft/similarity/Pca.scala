@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  /** Per-vector projection onto the dominant principal direction
-    * after `iters` deterministic power-iteration rounds. */
-  def powerProjection(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+  /** Shared pipeline: the centered frame `(vec_id, c)` and the 1-row
+    * dominant-direction frame `(v)` after `iters` deterministic
+    * power-iteration rounds. */
+  private def centeredAndDirection(embeddings: DataFrame, iters: Int)
+      : (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val vecs = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("emb"))
@@ -53,7 +55,42 @@ object Pca {
       v = w.select(
         expr("transform(w, x -> round(x / sqrt(graft_dot(w, w)) + 1e-9, 6))").as("v"))
     }
+    (centered, v)
+  }
+
+  /** Per-vector projection onto the dominant principal direction
+    * after `iters` deterministic power-iteration rounds. */
+  def powerProjection(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val (centered, v) = centeredAndDirection(embeddings, iters)
     centered.crossJoin(broadcast(v))
       .select(col("vec_id"), expr("round(graft_dot(c, v) + 1e-9, 6)").as("proj"))
+  }
+
+  /** All-but-the-top whitening report (Mu & Viswanath 2018,
+    * arXiv:1702.01417): embedding sets are anisotropic — a dominant
+    * direction carries a large share of every vector's energy, and
+    * removing it measurably improves cosine-similarity tasks. Per
+    * vector: the projection on the top direction, the centered norm,
+    * the residual norm after subtracting the projection, and the
+    * energy share that removal dropped (high-share vectors are the
+    * ones the common direction dominated).
+    *
+    * The residual uses the ROUNDED projection and the share uses the
+    * ROUNDED norms, so every cross-engine float seam sits on already-
+    * quantized inputs (SURVEY §6). Plan: the power-iteration rounds as
+    * above, then ONE stateless scan with the d-vector broadcast —
+    * per-vector arithmetic never shuffles. */
+  def whitenReport(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val (centered, v) = centeredAndDirection(embeddings, iters)
+    centered.crossJoin(broadcast(v))
+      .withColumn("proj", expr("round(graft_dot(c, v) + 1e-9, 6)"))
+      .withColumn("r", expr("zip_with(c, v, (a, b) -> a - proj * b)"))
+      .withColumn("c_norm", expr("round(sqrt(graft_dot(c, c)) + 1e-9, 6)"))
+      .withColumn("resid_norm", expr("round(sqrt(graft_dot(r, r)) + 1e-9, 6)"))
+      .withColumn("removed_share", expr(
+        "CASE WHEN c_norm > 0 THEN round(1.0D - (resid_norm * resid_norm) / " +
+          "(c_norm * c_norm) + 1e-9, 6) ELSE 0.0D END"))
+      .select(col("vec_id"), col("proj"), col("c_norm"), col("resid_norm"),
+        col("removed_share"))
   }
 }

@@ -442,4 +442,53 @@ object Streaming extends Serializable {
           }
       }
   }
+
+  case class AnomEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  case class AnomBuf(values: Seq[Double])
+  case class Anomaly(event_id: Long, user_id: Long, value: Double,
+    mu: Double, sd: Double, z: Double)
+
+  /** Streaming twin of
+    * [[graft.analytics.EventAnalytics.anomalyZscore]]: each event
+    * scored online against the mean/stddev of its user's previous
+    * `lookback` values, flagged at |z| ≥ `zThresh` with the same
+    * cold-start guards (≥ 8 priors, sd noise floor) and the same 4-dp
+    * rounding — on in-order input the emitted rows equal the batch
+    * frame (asserted in StreamingSpec).
+    *
+    * Scale: state is a bounded `lookback`-element value buffer per
+    * user — O(24 doubles) regardless of stream length; the only
+    * shuffle is the groupByKey hash exchange. Purely event-driven (no
+    * timeout): an idle user's slot persists, exactly like the batch
+    * window would resume if more events arrived. Within a micro-batch
+    * rows are ordered by (ts, event_id), the batch window's
+    * tiebreaker. */
+  def anomalyStream(events: Dataset[AnomEvent], lookback: Int = 24,
+      zThresh: Double = 3.0): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    def r4(x: Double): Double = math.round((x + 1e-9) * 10000) / 10000.0
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomBuf, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AnomEvent], state: GroupState[AnomBuf]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var buf = state.getOption.map(_.values.toVector).getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          sorted.foreach { e =>
+            val n = buf.length
+            if (n >= 8) {
+              val mu = buf.sum / n
+              val sd = math.sqrt(buf.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+              if (sd > 0.001) {
+                val z = r4((e.value - mu) / sd)
+                if (math.abs(z) >= zThresh)
+                  out += Anomaly(e.event_id, uid, e.value, r4(mu), r4(sd), z)
+              }
+            }
+            buf = (buf :+ e.value).takeRight(lookback)
+          }
+          state.update(AnomBuf(buf))
+          out.iterator
+      }
+  }
 }

@@ -565,4 +565,61 @@ object TextAnalysis {
       .select(col("bucket"), col("bucket_lo"), col("n_docs"),
         col("n_tokens_total"), col("cum_share_docs"))
   }
+
+  /** Per-document out-of-vocabulary rate against the top-`k` corpus
+    * vocabulary — the tokenizer-sizing companion of [[vocabCoverage]]:
+    * where that reports what a k-token vocabulary covers corpus-wide,
+    * this reports how each document fares under it (high-OOV docs are
+    * the ones a small vocabulary shatters into bytes/unknowns).
+    *
+    * Plan: the corpus vocabulary is ONE map-combinable keyed count +
+    * TakeOrderedAndProject top-k, then a k-row broadcast; per-doc
+    * scoring is the token explode joined against that broadcast and
+    * ONE keyed aggregation on doc_id — no shuffle carries anything
+    * vocabulary-sized, and nothing is all-pairs. */
+  def oovRate(documents: DataFrame, k: Int = 30): DataFrame = {
+    val toks = documents.select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(k)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_share",
+        expr("round(n_oov / cast(n_tokens AS double) + 1e-9, 6)"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_share"))
+  }
+
+  /** The SECOND BPE iteration: apply round 1's winning merge
+    * ([[bpePairs]] rank 1) greedily (leftmost, non-overlapping — both
+    * engines' `replace` semantics) across every word, then recount
+    * adjacent SYMBOL pairs over the re-segmented words — the candidate
+    * table round 2 of a BPE trainer consumes (Sennrich et al. 2016).
+    * The merged symbol is rendered back as its character pair and
+    * pair labels join symbols with '+', so "ab+c" and "a+bc" stay
+    * distinct.
+    *
+    * Plan: the round-1 winner is a 1-row broadcast under an explicit
+    * LIMIT (tiny fitted state; same pattern as the classifier
+    * weights); the merge itself is a stateless string rewrite using a
+    * placeholder char (chr(1) — cannot occur in tokenized text), and
+    * the recount is ONE map-combinable aggregate +
+    * TakeOrderedAndProject top-k with the rank window over the k rows
+    * only. */
+  def bpeApply(documents: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top1 = bpePairs(documents, 1).select(col("pair").as("merge_pair"))
+    def sym(c: String) = s"(CASE WHEN $c = chr(1) THEN merge_pair ELSE $c END)"
+    val symsE = s"transform(${tokens("text")}, tok -> replace(tok, merge_pair, chr(1)))"
+    val pairsE = s"flatten(transform($symsE, t -> CASE WHEN length(t) >= 2 THEN " +
+      s"transform(sequence(1, length(t) - 1), i -> concat(${sym("substring(t, i, 1)")}, " +
+      s"'+', ${sym("substring(t, i + 1, 1)")})) ELSE CAST(array() AS array<string>) END))"
+    documents.crossJoin(broadcast(top1))
+      .select(col("merge_pair"), explode(expr(pairsE)).as("pair"))
+      .groupBy(col("merge_pair"), col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+      .select(col("rank"), col("merge_pair"), col("pair"), col("n"))
+  }
 }

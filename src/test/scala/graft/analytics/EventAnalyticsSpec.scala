@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.SparkSpec
 import graft.core.Tables
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics: structural invariants that hold on any
@@ -162,5 +163,32 @@ class EventAnalyticsSpec extends SparkSpec {
       val path = r.getAs[String]("path")
       assert(path.split(">").length <= 5, s"path too deep: $path")
     }
+  }
+
+  test("rfm covers every user with in-range, metric-monotone quartiles") {
+    val r = EventAnalytics.rfm(events).collect()
+    assert(r.length === events.select(col("user_id")).distinct().count().toInt)
+    r.foreach { row =>
+      Seq("r_q", "f_q", "m_q").foreach { c =>
+        val q = row.getAs[Int](c)
+        assert(q >= 1 && q <= 4, s"$c out of quartile range: $row")
+      }
+      assert(row.getAs[String]("segment") ===
+        s"${row.getAs[Int]("r_q")}${row.getAs[Int]("f_q")}${row.getAs[Int]("m_q")}")
+      assert(row.getAs[Long]("recency_days") >= 0)
+    }
+    // quartile scores are monotone in their metric: sort by the metric
+    // and the score must never decrease
+    def monotone(metric: Row => Double, score: Row => Int, name: String): Unit = {
+      val sorted = r.sortBy(metric)
+      sorted.map(score).zip(sorted.tail.map(score)).foreach { case (a, b) =>
+        assert(a <= b || sorted.isEmpty, s"$name quartile not monotone")
+      }
+    }
+    monotone(_.getAs[Long]("recency_days").toDouble, _.getAs[Int]("r_q"), "recency")
+    monotone(_.getAs[Long]("frequency").toDouble, _.getAs[Int]("f_q"), "frequency")
+    monotone(_.getAs[Double]("monetary"), _.getAs[Int]("m_q"), "monetary")
+    // each metric uses all four quartiles on non-degenerate data
+    assert(r.map(_.getAs[Int]("f_q")).distinct.length >= 2)
   }
 }

@@ -651,4 +651,79 @@ class LlmSpec extends SparkSpec {
     assert(got.length === n)
     assert(got.forall(_._2 === 0L), "every chain node must label to the minimum id")
   }
+
+  test("oov rate accounts for every token and complements the vocabulary mass") {
+    import spark.implicits._
+    val out = TextAnalysis.oovRate(docs, k = 3).collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      val (n, oov, share) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Double]("oov_share"))
+      assert(oov >= 0 && oov <= n, s"oov count out of range: $r")
+      assert(math.abs(share - oov.toDouble / n) < 1e-5)
+    }
+    // in-vocab occurrences across docs == total corpus count of the top-k tokens
+    val totalToks = docs.select(explode(split(lower(col("text")), " "))).count()
+    val inVocab = totalToks - out.map(_.getAs[Long]("n_oov")).sum
+    val topK = docs.select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").count().orderBy(col("count").desc, col("tok")).limit(3)
+      .agg(sum("count")).head.getLong(0)
+    assert(inVocab === topK, "vocabulary mass must equal the non-OOV occurrences")
+  }
+
+  test("weighted sample is deterministic, ranked, and bounded by n") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Corpus.sampleWeighted(corpus, n = 20).collect()
+    assert(a.length === math.min(20, corpus.count()).toInt)
+    assert(a.map(_.getAs[Int]("rank")).toSeq === (1 to a.length))
+    val prios = a.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("priority"))
+    assert(prios.zip(prios.tail).forall { case (x, y) => x >= y },
+      "priorities must be non-increasing in rank order")
+    assert(a.forall(_.getAs[Long]("weight") > 0))
+    val b = Corpus.sampleWeighted(corpus, n = 20).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "rerun must reproduce the identical sample")
+  }
+
+  test("bpe apply re-segments words by the round-1 winner and recounts") {
+    import spark.implicits._
+    val tiny = Seq((0L, "ababc aa", "en")).toDF("doc_id", "text", "lang")
+    // round-1 pairs of [ababc, aa]: ab, ba, ab, bc, aa -> winner "ab" (2)
+    // after merging "ab": [ab][ab][c] -> ab+ab, ab+c; "aa" unchanged -> a+a
+    val out = TextAnalysis.bpeApply(tiny).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("merge_pair"), r.getAs[String]("pair"),
+        r.getAs[Long]("n")))
+    assert(out.forall(_._1 == "ab"))
+    assert(out.toSeq === Seq(("ab", "a+a", 1L), ("ab", "ab+ab", 1L), ("ab", "ab+c", 1L)))
+    // invariant on real text: a post-merge single-char pair adjacency
+    // existed pre-merge too, so its count can only shrink
+    val pre = TextAnalysis.bpePairs(docs, k = 1000).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toMap
+    TextAnalysis.bpeApply(docs, k = 1000).collect().foreach { r =>
+      val p = r.getAs[String]("pair")
+      if (p.length == 3 && p(1) == '+')
+        assert(r.getAs[Long]("n") <= pre.getOrElse(s"${p(0)}${p(2)}", 0L),
+          s"single-char pair $p grew after the merge")
+    }
+  }
+
+  test("whitening residual is norm-reducing and consistent with the projection") {
+    import spark.implicits._
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val w = graft.similarity.Pca.whitenReport(embs).collect()
+    assert(w.length === embs.count())
+    w.foreach { r =>
+      val (c, res, share) = (r.getAs[Double]("c_norm"), r.getAs[Double]("resid_norm"),
+        r.getAs[Double]("removed_share"))
+      assert(res <= c + 1e-5, s"residual norm must not exceed the centered norm: $r")
+      assert(share >= -1e-6 && share <= 1.0 + 1e-6, s"share out of range: $r")
+    }
+    val proj = graft.similarity.Pca.powerProjection(embs)
+      .select("vec_id", "proj").as[(Long, Double)].collect().toMap
+    w.foreach(r => assert(r.getAs[Double]("proj") === proj(r.getAs[Long]("vec_id")),
+      "whiten and pca projections must agree"))
+    // removing the top direction drops energy overall (anisotropy exists)
+    val dropped = w.map(_.getAs[Double]("removed_share")).sum / w.length
+    assert(dropped > 0.0, "mean removed energy share must be positive")
+  }
 }

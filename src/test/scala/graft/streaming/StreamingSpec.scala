@@ -345,4 +345,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.gap_hours === 8.0)
     assert(out.head.gap_start === ts(1))
   }
+
+  test("streaming anomaly twin equals the batch z-score frame") {
+    implicit val sc = spark.sqlContext
+    // three users, 30 events each on a tight 0.75/1.25 baseline with
+    // planted 50.0 spikes; state carries across the mid-stream batch cut
+    val evs = (for {
+      u <- 1L to 3L
+      i <- 1 to 30
+    } yield {
+      val v = if (i == 20 || i == 27) 50.0 else if (i % 2 == 0) 1.25 else 0.75
+      Streaming.AnomEvent(u, u * 100 + i,
+        new Timestamp(ts(0, 0).getTime + i * 60000L), v)
+    }).sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streaming.AnomEvent]
+    val q = Streaming.anomalyStream(input.toDS()).writeStream
+      .format("memory").queryName("anom").outputMode("append").start()
+    val cut = evs.length / 2
+    input.addData(evs.take(cut): _*); q.processAllAvailable()
+    input.addData(evs.drop(cut): _*); q.processAllAvailable()
+    val out = spark.table("anom")
+      .select("event_id", "user_id", "value", "mu", "sd", "z")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq.sorted
+    q.stop()
+    val batchDf = evs.map(e => (e.event_id, e.ts, e.user_id, "click", e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = graft.analytics.EventAnalytics.anomalyZscore(batchDf)
+      .select("event_id", "user_id", "value", "mu", "sd", "z")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq.sorted
+    assert(out.nonEmpty, "the planted spikes must flag")
+    assert(out === expected)
+  }
 }
