@@ -558,6 +558,33 @@ object LlmOracle {
     FROM r ORDER BY vec_id"""
   }
 
+  /** SemDeDup within the kmeans clusters — mirrors Cluster.semDedup:
+    * per-cluster pair cosines quantized to 6dp before the τ compare,
+    * keep = no lower-id same-cluster neighbor at cos ≥ τ. */
+  val qSemDedup: String = {
+    val (ctes, fin) = kmeansCtes
+    val tau = 0.4
+    s"""
+    WITH $ctes,
+    asg AS (SELECT vec_id, cluster FROM $fin),
+    av AS (SELECT a.vec_id, a.cluster, e.emb FROM asg a JOIN e USING (vec_id)),
+    pr AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        round(${vdot("x.emb", "y.emb")} /
+          (sqrt(${vdot("x.emb", "x.emb")}) * sqrt(${vdot("y.emb", "y.emb")}))
+          + 1e-9, 6) AS cos
+      FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+    dups AS (
+      SELECT id_b AS vec_id, count(*) AS n_dup_lower, max(cos) AS max_cos
+      FROM pr WHERE cos >= $tau GROUP BY 1)
+    SELECT a.vec_id, a.cluster,
+      coalesce(d.n_dup_lower, 0)::BIGINT AS n_dup_lower,
+      coalesce(d.max_cos, 0.0) AS max_cos,
+      d.vec_id IS NULL AS keep
+    FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id"""
+  }
+
   val qCorpusSample: String = s"""
     WITH b AS (
       SELECT doc_id, lang, ${ph("('sample:' || doc_id::VARCHAR)")} % 1000 AS bucket
@@ -1033,6 +1060,7 @@ object LlmOracle {
     "q_oov_rate" -> qOovRate,
     "q_sample_weighted" -> qSampleWeighted,
     "q_embed_whiten" -> qEmbedWhiten,
+    "q_semdedup" -> qSemDedup,
     "q_minhash_calibration" -> qMinhashCalibration,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
     "q_langid_confusion" -> qLangidConfusion,

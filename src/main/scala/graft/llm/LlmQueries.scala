@@ -89,6 +89,8 @@ object LlmQueries {
       Corpus.sampleWeighted(docs(s, d)).orderBy(col("rank"))),
     "q_embed_whiten" -> ((s, d) =>
       graft.similarity.Pca.whitenReport(embs(s, d)).orderBy(col("vec_id"))),
+    "q_semdedup" -> ((s, d) =>
+      Cluster.semDedup(embs(s, d)).orderBy(col("vec_id"))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tfidf" -> ((s, d) =>

@@ -89,4 +89,42 @@ object Cluster {
       .select(col("vec_id"), col("cluster"), col("cosine"),
         col("rank_far"), col("n_cluster"), col("is_outlier"))
   }
+
+  /** SemDeDup proper (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * dedup WITHIN the k-means clusters — a vector is dropped when a
+    * same-cluster neighbor has cosine ≥ `tau`; the keeper of each
+    * τ-neighborhood is the minimum vec_id (the paper keeps by
+    * centroid-distance; min-id keeps the decision content-free and
+    * cross-engine exact — same greedy per-cluster sweep, different
+    * tiebreak). Output keeps every vector with a keep flag, lower-id
+    * dup count and the strongest similarity, so the delete is the
+    * caller's one-line filter and stays auditable.
+    *
+    * Scale shape — the whole point of the method: similarity runs per
+    * CLUSTER (an equi-join on the cluster id), never corpus-all-pairs;
+    * the paper scales k with the corpus (50k clusters for LAION) so
+    * per-cluster candidate sets stay bounded and the join cost is
+    * Σ n_c² ≈ n²/k. Cosines are quantized to 6dp BEFORE the τ
+    * comparison, so no float boundary can disagree between engines. */
+  def semDedup(embeddings: DataFrame, tau: Double = 0.4, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+    val assigned = kmeans(embeddings, k, iters).select(col("vec_id"), col("cluster"))
+    val av = assigned.join(vecs, Seq("vec_id"))
+    val a = av.select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("ea"))
+    val b = av.select(col("cluster"), col("vec_id").as("id_b"), col("emb").as("eb"))
+    val cosE = "graft_dot(ea, eb) / (sqrt(graft_dot(ea, ea)) * sqrt(graft_dot(eb, eb)))"
+    val dropped = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", expr(s"round($cosE + 1e-9, 6)"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_lower"), max(col("cos")).as("max_cos"))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+        col("n_dup_lower").isNull.as("keep"))
+  }
 }

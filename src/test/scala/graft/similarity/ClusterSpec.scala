@@ -60,4 +60,33 @@ class ClusterSpec extends SparkSpec {
       }
     } finally out.unpersist()
   }
+
+  test("semdedup drops exactly the vectors with a lower-id same-cluster neighbor over tau") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Cluster.semDedup(embs).collect()
+    assert(out.length === embs.count())
+    val asg = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // same index-order fold as graft_dot
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cosQ(a: Array[Double], b: Array[Double]): Double =
+      math.round((dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        + 1e-9) * 1e6) / 1e6
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val dups = vecs.keys.filter(o => o < id && asg(o) == asg(id) &&
+        cosQ(vecs(o), vecs(id)) >= 0.4)
+      assert(r.getAs[Boolean]("keep") === dups.isEmpty,
+        s"keep flag wrong for $id (lower dups: ${dups.toSeq.sorted})")
+      assert(r.getAs[Long]("n_dup_lower") === dups.size.toLong)
+    }
+    // the planted near-dups must make the flag non-trivial
+    assert(out.exists(!_.getAs[Boolean]("keep")), "no vector was deduplicated")
+  }
 }
