@@ -18,6 +18,7 @@ object SparkEntry {
     "q_anti_join" -> (Queries.qAntiJoin _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_asof_native" -> (Queries.qAsofNative _),
+    "q_asof_tolerance" -> (Queries.qAsofTolerance _),
     "q_rollup" -> (Queries.qRollup _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++

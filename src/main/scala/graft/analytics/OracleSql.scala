@@ -61,6 +61,22 @@ object OracleSql {
     FROM cand WHERE rn = 1
     ORDER BY event_id"""
 
+  val qAsofTolerance: String = """
+    WITH cand AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, ts,
+      CASE WHEN o_orderdate::TIMESTAMP >= ts - INTERVAL 8400 DAY
+           THEN o_orderkey END AS last_orderkey,
+      CASE WHEN o_orderdate::TIMESTAMP >= ts - INTERVAL 8400 DAY
+           THEN o_orderdate::TIMESTAMP END AS last_orderdate
+    FROM cand WHERE rn = 1
+    ORDER BY event_id"""
+
   val qRollup: String = """
     SELECT l_returnflag, l_linestatus,
       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
@@ -118,5 +134,6 @@ object OracleSql {
     "q_asof_join" -> qAsofJoin,
     // the native operator must reproduce the composed route bit-for-bit
     "q_asof_native" -> qAsofJoin,
+    "q_asof_tolerance" -> qAsofTolerance,
     "q_rollup" -> qRollup)
 }

@@ -165,6 +165,31 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a staleness tolerance (pandas
+    * `merge_asof(tolerance=...)` semantics): the latest prior order
+    * counts only if it is at most `tolerance` old at event time, else
+    * the match is NULL. Because any older candidate is staler still,
+    * the tolerance is a stateless POST-projection on the as-of result
+    * — the native operator's plan (SMJ exchanges + one streaming
+    * merge) is unchanged, no extra join or window. 8400 days splits
+    * the test data's staleness range (8190–9799 d) near its median so
+    * both branches of the CASE are populated in the oracle compare. */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val fresh = col("o_orderdate").cast("timestamp") >=
+      col("ts") - expr("INTERVAL 8400 DAYS")
+    graft.plans.AsOf.join(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        ord.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        "user_id", "ts", "o_custkey", "o_orderdate",
+        tiebreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(fresh, col("o_orderkey")).as("last_orderkey"),
+        when(fresh, col("o_orderdate").cast("timestamp")).as("last_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
   /** Ingest normalization: duplicate (station, ts) measurements resolve
     * to the latest import — Sources.ingestDedup over the events feed. */
   def qIngestDedup(spark: SparkSession, dir: String): DataFrame =
