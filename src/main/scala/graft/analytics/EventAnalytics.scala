@@ -278,6 +278,44 @@ object EventAnalytics {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** Time-constrained conversion funnel (the ClickHouse
+    * `windowFunnel` shape): stages only count when they complete
+    * within `windowDays` of the user's FIRST view — unlike [[funnel]],
+    * which admits conversions years later. Per first-view cohort day:
+    * users, in-window clickers, in-window purchasers, and the
+    * click→purchase conversion shares.
+    *
+    * Plan: identical to [[funnel]] — three stage-minimum Window nodes
+    * over ONE user_id shuffle (the deadline is a per-row projection,
+    * not a join), then two map-combinable aggregations. */
+  def windowFunnel(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val perEvent = events
+      .withColumn("min_view",
+        min(when(col("event_type") === "view", col("ts"))).over(wUser))
+      .withColumn("deadline", col("min_view") + expr(s"INTERVAL $windowDays DAYS"))
+      .withColumn("min_click",
+        min(when(col("event_type") === "click" && col("ts") >= col("min_view") &&
+          col("ts") <= col("deadline"), col("ts"))).over(wUser))
+      .withColumn("min_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("min_click") &&
+          col("ts") <= col("deadline"), col("ts"))).over(wUser))
+    val perUser = perEvent.filter(col("min_view").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(to_date(max(col("min_view"))).as("cohort_day"),
+        max(col("min_click")).as("min_click"),
+        max(col("min_purchase")).as("min_purchase"))
+    perUser.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_view"),
+        count(col("min_click")).as("n_click_w"),
+        count(col("min_purchase")).as("n_purchase_w"))
+      .withColumn("click_rate",
+        round(col("n_click_w") / col("n_view").cast("double") + lit(1e-9), 6))
+      .withColumn("purchase_rate",
+        round(col("n_purchase_w") / col("n_view").cast("double") + lit(1e-9), 6))
+      .orderBy(col("cohort_day"))
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation — the
     * classic marketing/engagement scoring frame: per user, days since
     * last activity, event count and value mass, each bucketed into
@@ -327,6 +365,7 @@ object EventAnalytics {
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
+    "q_window_funnel" -> ((s, d) => windowFunnel(Tables.events(s, d))),
     "q_user_paths" -> ((s, d) => userPaths(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
@@ -489,6 +528,36 @@ object EventOracle {
       round(n_users / (sum(n_users) OVER ())::DOUBLE + 1e-9, 6) AS share
     FROM m ORDER BY n_users DESC, path"""
 
+  val qWindowFunnel: String = """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+        min(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id) AS min_view
+      FROM events),
+    s1d AS (SELECT *, min_view + INTERVAL 7 DAY AS deadline FROM s1),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= min_view
+            AND ts <= deadline THEN ts END)
+          OVER (PARTITION BY user_id) AS min_click
+      FROM s1d),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= min_click
+            AND ts <= deadline THEN ts END)
+          OVER (PARTITION BY user_id) AS min_purchase
+      FROM s2),
+    per_user AS (
+      SELECT user_id, CAST(max(min_view) AS DATE) AS cohort_day,
+        max(min_click) AS min_click, max(min_purchase) AS min_purchase
+      FROM s3 WHERE min_view IS NOT NULL GROUP BY user_id),
+    agg AS (
+      SELECT cohort_day, count(*) AS n_view,
+        count(min_click) AS n_click_w, count(min_purchase) AS n_purchase_w
+      FROM per_user GROUP BY cohort_day)
+    SELECT cohort_day, n_view, n_click_w, n_purchase_w,
+      round(n_click_w / n_view::DOUBLE + 1e-9, 6) AS click_rate,
+      round(n_purchase_w / n_view::DOUBLE + 1e-9, 6) AS purchase_rate
+    FROM agg ORDER BY cohort_day"""
+
   val qEventRfm: String = """
     WITH per_user AS (
       SELECT user_id, CAST(max(ts) AS DATE) AS last_day,
@@ -526,6 +595,7 @@ object EventOracle {
 
   val all: Map[String, String] = Map(
     "q_event_rfm" -> qEventRfm,
+    "q_window_funnel" -> qWindowFunnel,
     "q_user_paths" -> qUserPaths,
     "q_event_transitions" -> qEventTransitions,
     "q_funnel" -> qFunnel,

@@ -307,6 +307,30 @@ object Corpus {
     * TakeOrderedAndProject — each partition forwards at most n rows,
     * no global sort — and the rank window runs over the n-row result
     * only. */
+  /** Stratified fixed-size sample: exactly `n` documents per source
+    * (fewer if the stratum is smaller), picked by a deterministic
+    * content-free hash order — equal representation per stratum where
+    * [[sample]] keeps proportional rates. A grown stratum never drops
+    * a previously sampled doc from the top-n unless new docs hash
+    * ahead of it (standard bounded-sample semantics).
+    *
+    * Plan: ONE shuffle on source for the per-stratum rank; the
+    * `rn <= n` filter is recognized by InferWindowGroupLimit and runs
+    * as Partial+Final WindowGroupLimit — at most n rows per stratum
+    * leave each map partition, so a giant stratum never sorts
+    * globally. */
+  def stratifiedSample(documents: DataFrame, n: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    documents
+      .withColumn("skey",
+        expr(polyHash("concat('strat:', cast(doc_id AS string))")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("source"), col("rn"), col("doc_id"), col("skey"))
+  }
+
   def sampleWeighted(documents: DataFrame, n: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(documents.sparkSession)

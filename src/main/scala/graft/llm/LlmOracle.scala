@@ -993,6 +993,19 @@ object LlmOracle {
     SELECT rank, doc_id, n_chars AS weight, priority
     FROM r WHERE rank <= 100 ORDER BY rank"""
 
+  /** Mirrors Corpus.stratifiedSample: per-source hash-ordered top-n. */
+  val qStratifiedSample: String = s"""
+    WITH keyed AS (
+      SELECT source, doc_id,
+        ${ph("('strat:' || doc_id::VARCHAR)")} AS skey
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, skey,
+        row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn
+      FROM keyed)
+    SELECT source, rn, doc_id, skey FROM r WHERE rn <= 10
+    ORDER BY source, rn"""
+
   /** Mirrors TextAnalysis.bpeApply: round-1 winner merged greedily
     * (leftmost non-overlapping `replace`, placeholder chr(1)), then
     * the adjacent symbol-pair recount. */
@@ -1059,6 +1072,7 @@ object LlmOracle {
     "q_bpe_apply" -> qBpeApply,
     "q_oov_rate" -> qOovRate,
     "q_sample_weighted" -> qSampleWeighted,
+    "q_stratified_sample" -> qStratifiedSample,
     "q_embed_whiten" -> qEmbedWhiten,
     "q_semdedup" -> qSemDedup,
     "q_minhash_calibration" -> qMinhashCalibration,

@@ -87,6 +87,8 @@ object LlmQueries {
     "q_oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d)).orderBy(col("doc_id"))),
     "q_sample_weighted" -> ((s, d) =>
       Corpus.sampleWeighted(docs(s, d)).orderBy(col("rank"))),
+    "q_stratified_sample" -> ((s, d) =>
+      Corpus.stratifiedSample(docs(s, d)).orderBy(col("source"), col("rn"))),
     "q_embed_whiten" -> ((s, d) =>
       graft.similarity.Pca.whitenReport(embs(s, d)).orderBy(col("vec_id"))),
     "q_semdedup" -> ((s, d) =>

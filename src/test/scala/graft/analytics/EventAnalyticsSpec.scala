@@ -165,6 +165,28 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("window funnel stages are monotone, in-window, and bounded by the plain funnel") {
+    val wf = EventAnalytics.windowFunnel(events).collect()
+    assert(wf.nonEmpty)
+    wf.foreach { r =>
+      val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click_w"),
+        r.getAs[Long]("n_purchase_w"))
+      assert(v >= c && c >= p, s"non-monotone window-funnel row: $r")
+      assert(r.getAs[Double]("click_rate") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("purchase_rate") <= 1.0 + 1e-9)
+    }
+    // cohorts cover exactly the users with >= 1 view
+    val nViewers = events.filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(wf.map(_.getAs[Long]("n_view")).sum === nViewers)
+    // the time constraint can only shrink total conversions vs the
+    // unconstrained funnel
+    val f = EventAnalytics.funnel(events)
+      .agg(sum(col("n_click")), sum(col("n_purchase"))).head
+    assert(wf.map(_.getAs[Long]("n_click_w")).sum <= f.getLong(0))
+    assert(wf.map(_.getAs[Long]("n_purchase_w")).sum <= f.getLong(1))
+  }
+
   test("rfm covers every user with in-range, metric-monotone quartiles") {
     val r = EventAnalytics.rfm(events).collect()
     assert(r.length === events.select(col("user_id")).distinct().count().toInt)

@@ -685,6 +685,26 @@ class LlmSpec extends SparkSpec {
       "rerun must reproduce the identical sample")
   }
 
+  test("stratified sample takes exactly min(n, stratum) per source, deterministically") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val strata = corpus.groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val a = Corpus.stratifiedSample(corpus, n = 3).collect()
+    val got = a.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    strata.foreach { case (s, sz) =>
+      assert(got.getOrElse(s, 0) === math.min(3L, sz).toInt, s"stratum $s")
+    }
+    // ranks are dense from 1 and ordered by (skey, doc_id) within source
+    a.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq === (1 to rows.length))
+      val keys = sorted.map(r => (r.getAs[Long]("skey"), r.getAs[Long]("doc_id")))
+      assert(keys.toSeq === keys.toSeq.sorted, "hash order must be respected")
+    }
+    val b = Corpus.stratifiedSample(corpus, n = 3).collect()
+    assert(a.map(_.toSeq).toSeq.sortBy(_.toString) === b.map(_.toSeq).toSeq.sortBy(_.toString))
+  }
+
   test("bpe apply re-segments words by the round-1 winner and recounts") {
     import spark.implicits._
     val tiny = Seq((0L, "ababc aa", "en")).toDF("doc_id", "text", "lang")
