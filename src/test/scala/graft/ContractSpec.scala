@@ -16,6 +16,19 @@ class ContractSpec extends SparkSpec {
       s"unexpected rows-only set: $rowsOnly")
   }
 
+  test("SURVEY §2 inventory and the query registry agree exactly") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    // query keys are `q_<name>` or `q<digit>...` — plain column names
+    // like `qc`/`qn` also appear backticked in SURVEY and must not match
+    val documented = "`(q(?:_|\\d)[a-z0-9_]*)`".r.findAllMatchIn(survey).map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    val undocumented = registered -- documented
+    assert(undocumented.isEmpty, s"queries missing from SURVEY §2: $undocumented")
+    val unimplemented = documented -- registered
+    assert(unimplemented.isEmpty, s"SURVEY §2 keys without a query: $unimplemented")
+  }
+
   test("bench headline queries all exist") {
     val missing = Bench.headline.toSet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"headline names without queries: $missing")
