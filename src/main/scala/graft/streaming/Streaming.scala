@@ -443,6 +443,51 @@ object Streaming extends Serializable {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_id: Long, ts: Timestamp,
+    event_type: String)
+  case class FunnelState(v: Long, c: Long, p: Long) // stage micros, -1 = unset
+  case class StageHit(user_id: Long, stage: String, stage_ts: Timestamp)
+
+  /** Streaming twin of [[graft.analytics.EventAnalytics.funnel]]'s
+    * per-user stage minima: emits one row the moment a user FIRST
+    * completes each causally-ordered stage (view → click at-or-after
+    * it → purchase at-or-after that) — the live-dashboard form of the
+    * batch funnel, whose cohort aggregate is one tiny groupBy over
+    * these rows. On per-user strictly-increasing event times the
+    * emitted minima equal the batch window's (asserted in
+    * StreamingSpec); an equal-timestamp stage inversion (a click
+    * sharing its exact timestamp with the first view but sorting
+    * before it) is a batch-only refinement the online form cannot see.
+    *
+    * Scale: state is three longs per user, ever; no timeout needed —
+    * a completed funnel goes quiet, an idle slot is 24 bytes. The only
+    * shuffle is the groupByKey hash exchange. */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[StageHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageHit]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" if st.v < 0 =>
+                st = st.copy(v = t); out += StageHit(uid, "view", tsOf(t))
+              case "click" if st.v >= 0 && t >= st.v && st.c < 0 =>
+                st = st.copy(c = t); out += StageHit(uid, "click", tsOf(t))
+              case "purchase" if st.c >= 0 && t >= st.c && st.p < 0 =>
+                st = st.copy(p = t); out += StageHit(uid, "purchase", tsOf(t))
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class AnomEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   case class AnomBuf(values: Seq[Double])
   case class Anomaly(event_id: Long, user_id: Long, value: Double,

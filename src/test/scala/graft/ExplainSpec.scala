@@ -57,4 +57,21 @@ class ExplainSpec extends SparkSpec {
     // not as a post-processing step above a sort
     assert(out.queryExecution.optimizedPlan.toString.contains("100.0"))
   }
+
+  test("stratified sample plans Partial+Final WindowGroupLimit, never a full stratum sort") {
+    val limits = physical("q_stratified_sample").collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.size >= 2,
+      s"expected partial+final WindowGroupLimit, found ${limits.size}")
+  }
+
+  test("weighted and vocab top-k plan TakeOrderedAndProject, not a global sort") {
+    Seq("q_sample_weighted", "q_oov_rate", "q_vocab_coverage").foreach { q =>
+      val topk = physical(q).collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(topk.nonEmpty, s"$q lost its TakeOrderedAndProject top-k")
+    }
+  }
 }

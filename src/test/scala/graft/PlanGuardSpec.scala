@@ -32,11 +32,13 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  /** A BNLJ is tolerated only for three reviewed shapes: a provably
+  /** A BNLJ is tolerated only for reviewed bounded shapes: a provably
     * scalar side (global aggregate, e.g. the 1-row period-bounds frame
-    * the dense grid joins), a side under an explicit constant LIMIT
-    * (e.g. the k-row centroid broadcast of Cluster.kmeans), or the knn
-    * exactness-rescue join, marked structurally by its rescue_* columns
+    * the dense grid joins), a side under an explicit constant LIMIT —
+    * as a GlobalLimitExec (Cluster.kmeans' k-row centroid broadcast)
+    * or a TakeOrderedAndProjectExec (an orderBy+limit top-k, e.g. the
+    * 1-row BPE merge winner) — or the knn exactness-rescue join,
+    * marked structurally by its rescue_* columns
     * (Neighbors.knnDistBucketed — registry-bounded broadcast with a
     * vanishing probe side). */
   private def allowedBnlj(j: BroadcastNestedLoopJoinExec): Boolean =
@@ -45,6 +47,7 @@ class PlanGuardSpec extends SparkSpec {
     }.nonEmpty) ||
     j.children.exists(_.collectFirst {
       case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }.nonEmpty) ||
     j.children.exists(_.output.exists(_.name.startsWith("rescue_")))
 

@@ -346,6 +346,47 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.gap_start === ts(1))
   }
 
+  test("streaming funnel stage hits equal the batch per-user minima") {
+    implicit val sc = spark.sqlContext
+    // per-user strictly increasing timestamps; user 1 full funnel,
+    // user 2 clicks before any view (never converts), user 3 view only,
+    // user 4 purchase before click (stuck at click stage)
+    val evs = Seq(
+      Streaming.FunnelEvent(1L, 1L, ts(0, 0), "view"),
+      Streaming.FunnelEvent(1L, 2L, ts(0, 10), "click"),
+      Streaming.FunnelEvent(1L, 3L, ts(0, 20), "purchase"),
+      Streaming.FunnelEvent(2L, 4L, ts(0, 5), "click"),
+      Streaming.FunnelEvent(2L, 5L, ts(0, 15), "purchase"),
+      Streaming.FunnelEvent(3L, 6L, ts(0, 7), "view"),
+      Streaming.FunnelEvent(4L, 7L, ts(0, 1), "view"),
+      Streaming.FunnelEvent(4L, 8L, ts(0, 2), "purchase"),
+      Streaming.FunnelEvent(4L, 9L, ts(0, 30), "click"),
+      // second view/click must NOT re-emit
+      Streaming.FunnelEvent(1L, 10L, ts(1, 0), "view"),
+      Streaming.FunnelEvent(1L, 11L, ts(1, 5), "click"))
+    val input = MemoryStream[Streaming.FunnelEvent]
+    val q = Streaming.funnelStream(input.toDS()).writeStream
+      .format("memory").queryName("funnel_hits").outputMode("append").start()
+    input.addData(evs.take(5): _*); q.processAllAvailable()
+    input.addData(evs.drop(5): _*); q.processAllAvailable()
+    val out = spark.table("funnel_hits")
+      .as[Streaming.StageHit].collect().map(h => (h.user_id, h.stage) -> h.stage_ts).toMap
+    q.stop()
+    assert(out === Map(
+      (1L, "view") -> ts(0, 0), (1L, "click") -> ts(0, 10),
+      (1L, "purchase") -> ts(0, 20),
+      (3L, "view") -> ts(0, 7),
+      (4L, "view") -> ts(0, 1), (4L, "click") -> ts(0, 30)))
+    // cross-check against the batch funnel aggregate: stage totals agree
+    val batchDf = evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = graft.analytics.EventAnalytics.funnel(batchDf)
+      .agg(sum(col("n_view")), sum(col("n_click")), sum(col("n_purchase"))).head
+    assert(out.keys.count(_._2 == "view").toLong === f.getLong(0))
+    assert(out.keys.count(_._2 == "click").toLong === f.getLong(1))
+    assert(out.keys.count(_._2 == "purchase").toLong === f.getLong(2))
+  }
+
   test("streaming anomaly twin equals the batch z-score frame") {
     implicit val sc = spark.sqlContext
     // three users, 30 events each on a tight 0.75/1.25 baseline with
