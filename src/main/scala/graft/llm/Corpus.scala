@@ -307,6 +307,40 @@ object Corpus {
     * TakeOrderedAndProject — each partition forwards at most n rows,
     * no global sort — and the rank window runs over the n-row result
     * only. */
+  /** Temperature-smoothed language mixing weights (the multilingual
+    * batch-composition step, Lample & Conneau 2019 XLM §3.1 /
+    * mBERT-style exponentiated smoothing): sampling share
+    * `q_l = p_l^α / Σ p^α` over the token-mass shares `p_l`, α < 1
+    * upweighting low-resource languages; `boost = q/p` is the
+    * up/down-sampling factor a loader applies.
+    *
+    * Determinism across engines: p is an exact integer ratio, pow runs
+    * on the 6-dp-quantized p with its result re-quantized, and the Σ
+    * denominator is an index-order fold over the lang-sorted quantized
+    * values (the Pca normalization trick) — never a float sum whose
+    * partial order the engine picks.
+    *
+    * Plan: ONE map-combinable groupBy(lang) to ≤ #langs rows, a 1-row
+    * broadcast total, and the fold over a collect_list bounded by
+    * #langs — nothing row-count-sized past the first aggregate. */
+  def langTemperature(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val perLang = documents
+      .select(col("lang"), expr(s"size(${graft.text.TextFns.tokens("text")})").as("n_toks"))
+      .groupBy(col("lang")).agg(sum(col("n_toks")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val shared = perLang.crossJoin(broadcast(tot))
+      .withColumn("p", round(col("n_tokens") / col("tot_tokens").cast("double")
+        + lit(1e-9), 6))
+      .withColumn("q_raw", expr(s"round(pow(p, ${alpha}D) + 1e-9, 6)"))
+    val denom = shared.agg(
+      expr("aggregate(transform(array_sort(collect_list(struct(lang, q_raw))), " +
+        "s -> s.q_raw), 0D, (a, x) -> a + x)").as("denom"))
+    shared.crossJoin(broadcast(denom))
+      .withColumn("q", round(col("q_raw") / col("denom") + lit(1e-9), 6))
+      .withColumn("boost", round(col("q") / col("p") + lit(1e-9), 6))
+      .select(col("lang"), col("n_tokens"), col("p"), col("q"), col("boost"))
+  }
+
   /** Stratified fixed-size sample: exactly `n` documents per source
     * (fewer if the stratum is smaller), picked by a deterministic
     * content-free hash order — equal representation per stratum where

@@ -993,6 +993,48 @@ object LlmOracle {
     SELECT rank, doc_id, n_chars AS weight, priority
     FROM r WHERE rank <= 100 ORDER BY rank"""
 
+  /** Mirrors Corpus.langTemperature: quantized-p pow, lang-sorted fold
+    * denominator. */
+  val qLangTemperature: String = s"""
+    WITH per_lang AS (
+      SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per_lang),
+    shared AS (
+      SELECT lang, n_tokens,
+        round(n_tokens / tot_tokens::DOUBLE + 1e-9, 6) AS p,
+        round(pow(round(n_tokens / tot_tokens::DOUBLE + 1e-9, 6), 0.3) + 1e-9, 6)
+          AS q_raw
+      FROM per_lang CROSS JOIN tot),
+    denom AS (
+      SELECT list_reduce(list_prepend(0.0::DOUBLE, list(q_raw ORDER BY lang)),
+        (a, x) -> a + x) AS denom
+      FROM shared)
+    SELECT lang, n_tokens, p,
+      round(q_raw / denom + 1e-9, 6) AS q,
+      round(round(q_raw / denom + 1e-9, 6) / p + 1e-9, 6) AS boost
+    FROM shared CROSS JOIN denom ORDER BY lang"""
+
+  /** Mirrors Dedup.bandsEval: MinHash band candidates vs exact-Jaccard
+    * ground truth, one precision/recall row. */
+  val qBandsEval: String = s"""
+    WITH $shCte, $sigCte,
+    exact AS (SELECT id_a, id_b FROM ($jpairsBody)),
+    bands AS (SELECT DISTINCT id_a, id_b FROM cand_pairs),
+    j AS (
+      SELECT (e.id_a IS NOT NULL)::INT AS in_exact,
+        (b.id_a IS NOT NULL)::INT AS in_band
+      FROM exact e FULL OUTER JOIN bands b
+        ON e.id_a = b.id_a AND e.id_b = b.id_b)
+    SELECT CAST(sum(in_band) AS BIGINT) AS n_band_pairs,
+      CAST(sum(in_exact) AS BIGINT) AS n_exact_pairs,
+      CAST(sum(in_band * in_exact) AS BIGINT) AS n_hits,
+      round(sum(in_band * in_exact) / sum(in_band)::DOUBLE + 1e-9, 6)
+        AS band_precision,
+      round(sum(in_band * in_exact) / sum(in_exact)::DOUBLE + 1e-9, 6)
+        AS band_recall
+    FROM j"""
+
   /** Mirrors Corpus.stratifiedSample: per-source hash-ordered top-n. */
   val qStratifiedSample: String = s"""
     WITH keyed AS (
@@ -1073,6 +1115,8 @@ object LlmOracle {
     "q_oov_rate" -> qOovRate,
     "q_sample_weighted" -> qSampleWeighted,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_lang_temperature" -> qLangTemperature,
+    "q_bands_eval" -> qBandsEval,
     "q_embed_whiten" -> qEmbedWhiten,
     "q_semdedup" -> qSemDedup,
     "q_minhash_calibration" -> qMinhashCalibration,

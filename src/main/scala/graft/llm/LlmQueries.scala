@@ -89,6 +89,9 @@ object LlmQueries {
       Corpus.sampleWeighted(docs(s, d)).orderBy(col("rank"))),
     "q_stratified_sample" -> ((s, d) =>
       Corpus.stratifiedSample(docs(s, d)).orderBy(col("source"), col("rn"))),
+    "q_lang_temperature" -> ((s, d) =>
+      Corpus.langTemperature(docs(s, d)).orderBy(col("lang"))),
+    "q_bands_eval" -> ((s, d) => Dedup.bandsEval(docs(s, d))),
     "q_embed_whiten" -> ((s, d) =>
       graft.similarity.Pca.whitenReport(embs(s, d)).orderBy(col("vec_id"))),
     "q_semdedup" -> ((s, d) =>

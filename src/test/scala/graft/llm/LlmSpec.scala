@@ -685,6 +685,34 @@ class LlmSpec extends SparkSpec {
       "rerun must reproduce the identical sample")
   }
 
+  test("language temperature flattens the mixture: q sums to 1, low-resource boosted") {
+    val out = Corpus.langTemperature(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("p"),
+        r.getAs[Double]("q"), r.getAs[Double]("boost")))
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4, "q must normalize")
+    // alpha < 1 compresses: the largest-share language is downweighted
+    // relative to the smallest (boost strictly decreasing in p)
+    val byP = out.sortBy(_._2)
+    byP.map(_._4).zip(byP.tail.map(_._4)).foreach { case (lo, hi) =>
+      assert(lo >= hi - 1e-9, "boost must be non-increasing in share")
+    }
+    assert(byP.head._4 > byP.last._4, "smallest language must be boosted most")
+  }
+
+  test("bands eval counts the exact/banded pair overlap consistently") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = Dedup.bandsEval(corpus).head
+    val exact = Dedup.jaccardPairs(corpus)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bands = Dedup.minhashBands(corpus)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r.getAs[Long]("n_exact_pairs") === exact.size.toLong)
+    assert(r.getAs[Long]("n_band_pairs") === bands.size.toLong)
+    assert(r.getAs[Long]("n_hits") === (exact & bands).size.toLong)
+    assert(r.getAs[Double]("band_recall") <= 1.0 + 1e-9)
+    assert(r.getAs[Double]("band_precision") <= 1.0 + 1e-9)
+  }
+
   test("stratified sample takes exactly min(n, stratum) per source, deterministically") {
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val strata = corpus.groupBy(col("source")).count().collect()
