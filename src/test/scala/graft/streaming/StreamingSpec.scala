@@ -346,6 +346,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.gap_start === ts(1))
   }
 
+  test("sessionize stream recovers keyed state across a checkpoint restart") {
+    implicit val sc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Streaming.Session]()
+    val input = MemoryStream[Streaming.SessEvent]
+    def start() = Streaming.sessionizeStream(input.toDS()).writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.Session], _: Long) =>
+        df.collect().foreach(got.add)
+      }.start()
+    // batch 1 opens a session for station 1, then the query STOPS with
+    // the session still live in keyed state
+    var q = start()
+    input.addData(
+      Streaming.SessEvent(1L, 1L, ts(0, 0), 1.5),
+      Streaming.SessEvent(1L, 2L, ts(0, 10), 2.25))
+    q.processAllAvailable(); q.stop()
+    // restart from the checkpoint: the continuation event must extend
+    // the SAME session (recovered state), not open session 1
+    q = start()
+    input.addData(Streaming.SessEvent(1L, 3L, ts(0, 20), 0.5))
+    q.processAllAvailable()
+    input.addData(Streaming.SessEvent(999L, 8L, ts(8, 0), 0.0)); q.processAllAvailable()
+    input.addData(Streaming.SessEvent(999L, 9L, ts(9, 0), 0.0)); q.processAllAvailable()
+    q.stop()
+    // a replayed uncommitted batch may duplicate emissions — session
+    // identity dedups them; the semantics must match the batch frame
+    import scala.jdk.CollectionConverters._
+    val sessions = got.asScala.toSet.filter(_.station_id != 999L)
+    assert(sessions === Set(
+      Streaming.Session(1L, 0L, ts(0, 0), ts(0, 20), 3L, 4.25, 1200.0)),
+      s"restart must resume the open session, got: $sessions")
+  }
+
   test("streaming funnel stage hits equal the batch per-user minima") {
     implicit val sc = spark.sqlContext
     // per-user strictly increasing timestamps; user 1 full funnel,
