@@ -544,19 +544,25 @@ object Dedup {
     * full-outer join on the pair key and a single global aggregate to
     * one row. */
   def bandsEval(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val exact = jaccardPairs(documents, threshold)
-      .select(col("id_a"), col("id_b")).withColumn("in_exact", lit(1))
-    val bands = minhashBands(documents)
-      .select(col("id_a"), col("id_b")).distinct().withColumn("in_band", lit(1))
-    exact.join(bands, Seq("id_a", "id_b"), "full_outer")
-      .agg(sum(coalesce(col("in_band"), lit(0))).cast("long").as("n_band_pairs"),
-        sum(coalesce(col("in_exact"), lit(0))).cast("long").as("n_exact_pairs"),
-        sum(coalesce(col("in_band"), lit(0)) * coalesce(col("in_exact"), lit(0)))
-          .cast("long").as("n_hits"))
-      .select(col("n_band_pairs"), col("n_exact_pairs"), col("n_hits"),
-        round(col("n_hits") / col("n_band_pairs").cast("double") + lit(1e-9), 6)
-          .as("band_precision"),
-        round(col("n_hits") / col("n_exact_pairs").cast("double") + lit(1e-9), 6)
-          .as("band_recall"))
+    val pairs = jaccardPairs(documents, threshold)
+    try {
+      val exact = pairs
+        .select(col("id_a"), col("id_b")).withColumn("in_exact", lit(1))
+      // minhashBands' groupBy(id_a, id_b) already yields distinct pairs
+      val bands = minhashBands(documents)
+        .select(col("id_a"), col("id_b")).withColumn("in_band", lit(1))
+      val out = exact.join(bands, Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(coalesce(col("in_band"), lit(0))).cast("long").as("n_band_pairs"),
+          sum(coalesce(col("in_exact"), lit(0))).cast("long").as("n_exact_pairs"),
+          sum(coalesce(col("in_band"), lit(0)) * coalesce(col("in_exact"), lit(0)))
+            .cast("long").as("n_hits"))
+        .select(col("n_band_pairs"), col("n_exact_pairs"), col("n_hits"),
+          round(col("n_hits") / col("n_band_pairs").cast("double") + lit(1e-9), 6)
+            .as("band_precision"),
+          round(col("n_hits") / col("n_exact_pairs").cast("double") + lit(1e-9), 6)
+            .as("band_recall"))
+      // materialize before releasing the persisted pair frame
+      out.localCheckpoint(true)
+    } finally pairs.unpersist()
   }
 }

@@ -292,21 +292,6 @@ object Corpus {
     } finally pairs.unpersist()
   }
 
-  /** Weighted sample of `n` documents WITHOUT replacement by priority
-    * sampling (Duffield–Lund–Thorup 2007 / sequential Poisson
-    * sampling): each doc draws a deterministic content-free uniform
-    * u ∈ (0,1) from its id hash and gets priority w/u (weight = char
-    * count here: longer docs proportionally likelier); the n highest
-    * priorities are the sample. Deterministic reruns never flip an
-    * existing doc's draw (same property as [[sample]]'s hash buckets).
-    * Every arithmetic step is a single IEEE operation on exact inputs
-    * (u is rational, no transcendental), so both engines compute
-    * bit-identical priorities.
-    *
-    * Plan: a stateless scan computes priorities; the global top-n is
-    * TakeOrderedAndProject — each partition forwards at most n rows,
-    * no global sort — and the rank window runs over the n-row result
-    * only. */
   /** Temperature-smoothed language mixing weights (the multilingual
     * batch-composition step, Lample & Conneau 2019 XLM §3.1 /
     * mBERT-style exponentiated smoothing): sampling share
@@ -365,6 +350,21 @@ object Corpus {
       .select(col("source"), col("rn"), col("doc_id"), col("skey"))
   }
 
+  /** Weighted sample of `n` documents WITHOUT replacement by priority
+    * sampling (Duffield–Lund–Thorup 2007 / sequential Poisson
+    * sampling): each doc draws a deterministic content-free uniform
+    * u ∈ (0,1) from its id hash and gets priority w/u (weight = char
+    * count here: longer docs proportionally likelier); the n highest
+    * priorities are the sample. Deterministic reruns never flip an
+    * existing doc's draw (same property as [[sample]]'s hash buckets).
+    * Every arithmetic step is a single IEEE operation on exact inputs
+    * (u is rational, no transcendental), so both engines compute
+    * bit-identical priorities.
+    *
+    * Plan: a stateless scan computes priorities; the global top-n is
+    * TakeOrderedAndProject — each partition forwards at most n rows,
+    * no global sort — and the rank window runs over the n-row result
+    * only. */
   def sampleWeighted(documents: DataFrame, n: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(documents.sparkSession)

@@ -1020,7 +1020,7 @@ object LlmOracle {
   val qBandsEval: String = s"""
     WITH $shCte, $sigCte,
     exact AS (SELECT id_a, id_b FROM ($jpairsBody)),
-    bands AS (SELECT DISTINCT id_a, id_b FROM cand_pairs),
+    bands AS (SELECT id_a, id_b FROM cand_pairs),
     j AS (
       SELECT (e.id_a IS NOT NULL)::INT AS in_exact,
         (b.id_a IS NOT NULL)::INT AS in_band

@@ -522,8 +522,20 @@ object Streaming extends Serializable {
           sorted.foreach { e =>
             val n = buf.length
             if (n >= 8) {
+              // mu as Sum/Count and sd via the Welford update in frame
+              // order — the exact arithmetic of Spark's Average and
+              // CentralMomentAgg aggregates, so the unrounded values
+              // feeding the sd floor and the 4-dp z gate are
+              // bit-identical to the batch window's, not merely close
               val mu = buf.sum / n
-              val sd = math.sqrt(buf.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+              var wn = 0.0; var wmean = 0.0; var m2 = 0.0
+              buf.foreach { v =>
+                wn += 1.0
+                val delta = v - wmean
+                wmean += delta / wn
+                m2 += delta * (v - wmean)
+              }
+              val sd = math.sqrt(m2 / (n - 1))
               if (sd > 0.001) {
                 val z = r4((e.value - mu) / sd)
                 if (math.abs(z) >= zThresh)

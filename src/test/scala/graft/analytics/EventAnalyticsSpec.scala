@@ -204,13 +204,15 @@ class EventAnalyticsSpec extends SparkSpec {
     def monotone(metric: Row => Double, score: Row => Int, name: String): Unit = {
       val sorted = r.sortBy(metric)
       sorted.map(score).zip(sorted.tail.map(score)).foreach { case (a, b) =>
-        assert(a <= b || sorted.isEmpty, s"$name quartile not monotone")
+        assert(a <= b, s"$name quartile not monotone")
       }
+      // the metric's scoring must actually discriminate (a broken
+      // cutoff broadcast collapsing every score to 1 must fail here)
+      assert(sorted.map(score).distinct.length >= 2,
+        s"$name quartile degenerate: one bucket for all users")
     }
     monotone(_.getAs[Long]("recency_days").toDouble, _.getAs[Int]("r_q"), "recency")
     monotone(_.getAs[Long]("frequency").toDouble, _.getAs[Int]("f_q"), "frequency")
     monotone(_.getAs[Double]("monetary"), _.getAs[Int]("m_q"), "monetary")
-    // each metric uses all four quartiles on non-degenerate data
-    assert(r.map(_.getAs[Int]("f_q")).distinct.length >= 2)
   }
 }
