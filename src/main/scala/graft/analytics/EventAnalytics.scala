@@ -278,6 +278,70 @@ object EventAnalytics {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** HyperLogLog SET ALGEBRA over the deterministic 64-register
+    * sketch of [[hllDistinct]]: view-active vs purchase-active
+    * (user, day) elements, their union (element-wise register max —
+    * the merge that makes HLL a distributed sketch), and the
+    * intersection estimated by inclusion–exclusion `|A|+|B|−|A∪B|`
+    * (clamped at 0) — the activity-overlap question sketches answer
+    * without a set join. Exact counterparts computed alongside for
+    * the report.
+    *
+    * Scale: per event type the register frame is ≤ m rows built by a
+    * map-combinable max — the union merge and every estimate are
+    * constant-size; only the EXACT overlap count (kept for the
+    * report) touches O(distinct user-days), and at 100 TB it is the
+    * column you drop. Identical hash/rho/estimate arithmetic to
+    * [[hllDistinct]], mirrored bit-for-bit by the oracle. */
+  def hllSetOps(events: DataFrame, typeA: String = "view",
+      typeB: String = "purchase"): DataFrame = {
+    val m = 64
+    // element = active (user, day): the overlap question a product
+    // asks at a granularity where the two sets genuinely differ
+    val hashed = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .withColumn("el",
+        col("user_id") * lit(100000L) +
+          expr("datediff(to_date(ts), DATE'1970-01-01')"))
+      .withColumn("h", (col("el") * lit(48271L)) % lit(2147483647L))
+      .withColumn("bucket", col("h") % m)
+      .withColumn("rest", expr(s"h div $m"))
+      .withColumn("rho",
+        when(col("rest") === 0, lit(26))
+          .otherwise(expr("bit_count((rest & -rest) - 1) + 1")))
+    val perBucket = hashed.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    // union registers: element-wise max across the two types
+    def estimate(regs: DataFrame, as: String) = regs
+      .agg(sum(expr("cast(1 as double) / shiftleft(cast(1 as bigint), mj)")).as("s"),
+        count(lit(1)).as("nb"))
+      .withColumn("v", lit(m) - col("nb"))
+      .withColumn("e_raw", lit(0.709 * m * m) / (col("s") + col("v")))
+      .select(round(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+        .otherwise(col("e_raw")) + lit(1e-9), 4).as(as))
+    val estA = estimate(perBucket.filter(col("event_type") === typeA), "est_a")
+    val estB = estimate(perBucket.filter(col("event_type") === typeB), "est_b")
+    val estU = estimate(
+      perBucket.groupBy(col("bucket")).agg(max(col("mj")).as("mj")), "est_union")
+    val els = events.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        (col("user_id") * lit(100000L) +
+          expr("datediff(to_date(ts), DATE'1970-01-01')")).as("el"))
+      .distinct()
+    val exact = els.groupBy(col("el"))
+      .agg(count(lit(1)).as("n_types"))
+      .agg(count(lit(1)).as("n_union_exact"),
+        sum(when(col("n_types") === 2, 1L).otherwise(0L)).as("n_both_exact"))
+    exact.crossJoin(broadcast(estA)).crossJoin(broadcast(estB))
+      .crossJoin(broadcast(estU))
+      .withColumn("est_intersection",
+        round(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))
+          + lit(1e-9), 4))
+      .select(col("n_union_exact"), col("n_both_exact"), col("est_a"),
+        col("est_b"), col("est_union"), col("est_intersection"))
+  }
+
   /** Time-constrained conversion funnel (the ClickHouse
     * `windowFunnel` shape): stages only count when they complete
     * within `windowDays` of the user's FIRST view — unlike [[funnel]],
@@ -366,6 +430,7 @@ object EventAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_window_funnel" -> ((s, d) => windowFunnel(Tables.events(s, d))),
+    "q_hll_setops" -> ((s, d) => hllSetOps(Tables.events(s, d))),
     "q_user_paths" -> ((s, d) => userPaths(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
@@ -528,6 +593,63 @@ object EventOracle {
       round(n_users / (sum(n_users) OVER ())::DOUBLE + 1e-9, 6) AS share
     FROM m ORDER BY n_users DESC, path"""
 
+  val qHllSetOps: String = """
+    WITH el AS (
+      SELECT event_type,
+        user_id * 100000 + datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS el
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    hashed AS (
+      SELECT event_type,
+        ((el * 48271) % 2147483647) % 64 AS bucket,
+        ((el * 48271) % 2147483647) // 64 AS rest
+      FROM el),
+    rhos AS (
+      SELECT event_type, bucket,
+        CASE WHEN rest = 0 THEN 26
+             ELSE bit_count((rest & -rest) - 1) + 1 END AS rho
+      FROM hashed),
+    per_bucket AS (
+      SELECT event_type, bucket, max(rho) AS mj
+      FROM rhos GROUP BY event_type, bucket),
+    union_bucket AS (SELECT bucket, max(mj) AS mj FROM per_bucket GROUP BY bucket),
+    est_a AS (
+      SELECT round(CASE WHEN e_raw <= 2.5 * 64 AND v > 0
+                   THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+                   ELSE e_raw END + 1e-9, 4) AS est_a
+      FROM (SELECT 64 - count(*) AS v,
+              CAST(0.709 AS DOUBLE) * 64 * 64 /
+                (sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) + (64 - count(*)))
+                AS e_raw
+            FROM per_bucket WHERE event_type = 'view')),
+    est_b AS (
+      SELECT round(CASE WHEN e_raw <= 2.5 * 64 AND v > 0
+                   THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+                   ELSE e_raw END + 1e-9, 4) AS est_b
+      FROM (SELECT 64 - count(*) AS v,
+              CAST(0.709 AS DOUBLE) * 64 * 64 /
+                (sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) + (64 - count(*)))
+                AS e_raw
+            FROM per_bucket WHERE event_type = 'purchase')),
+    est_u AS (
+      SELECT round(CASE WHEN e_raw <= 2.5 * 64 AND v > 0
+                   THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+                   ELSE e_raw END + 1e-9, 4) AS est_union
+      FROM (SELECT 64 - count(*) AS v,
+              CAST(0.709 AS DOUBLE) * 64 * 64 /
+                (sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) + (64 - count(*)))
+                AS e_raw
+            FROM union_bucket)),
+    els AS (SELECT DISTINCT event_type, el FROM el),
+    per_el AS (SELECT el, count(*) AS n_types FROM els GROUP BY el),
+    exact AS (
+      SELECT count(*) AS n_union_exact,
+        CAST(sum(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_exact
+      FROM per_el)
+    SELECT n_union_exact, n_both_exact, est_a, est_b, est_union,
+      round(greatest(0.0, est_a + est_b - est_union) + 1e-9, 4) AS est_intersection
+    FROM exact CROSS JOIN est_a CROSS JOIN est_b CROSS JOIN est_u"""
+
   val qWindowFunnel: String = """
     WITH s1 AS (
       SELECT user_id, ts, event_type,
@@ -596,6 +718,7 @@ object EventOracle {
   val all: Map[String, String] = Map(
     "q_event_rfm" -> qEventRfm,
     "q_window_funnel" -> qWindowFunnel,
+    "q_hll_setops" -> qHllSetOps,
     "q_user_paths" -> qUserPaths,
     "q_event_transitions" -> qEventTransitions,
     "q_funnel" -> qFunnel,

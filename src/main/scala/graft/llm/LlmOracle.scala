@@ -993,6 +993,32 @@ object LlmOracle {
     SELECT rank, doc_id, n_chars AS weight, priority
     FROM r WHERE rank <= 100 ORDER BY rank"""
 
+  /** Mirrors TextAnalysis.heavyHitters: CMS cells, exact top-k, min
+    * over row estimates — pure integer arithmetic. */
+  val qHeavyHitters: String = s"""
+    WITH tk AS (SELECT tok, ${ph("tok")} AS th FROM (
+      SELECT unnest($toks) AS tok FROM documents)),
+    jc AS (
+      SELECT th, unnest(range(0, 3)) AS j FROM tk),
+    cells AS (
+      SELECT j, ((th * (1 + 2*j) + j * 12289) % $P) % 256 AS cell,
+        count(*) AS c
+      FROM jc GROUP BY 1, 2),
+    topk AS (
+      SELECT tok, th, count(*) AS n_exact FROM tk GROUP BY 1, 2
+      ORDER BY n_exact DESC, tok LIMIT 15),
+    probes AS (
+      SELECT tok, n_exact, j,
+        ((th * (1 + 2*j) + j * 12289) % $P) % 256 AS cell
+      FROM (SELECT tok, th, n_exact, unnest(range(0, 3)) AS j FROM topk)),
+    est AS (
+      SELECT p.tok, p.n_exact, min(c.c) AS cms_estimate
+      FROM probes p JOIN cells c ON p.j = c.j AND p.cell = c.cell
+      GROUP BY 1, 2)
+    SELECT row_number() OVER (ORDER BY n_exact DESC, tok) AS rank,
+      tok, n_exact, cms_estimate, cms_estimate - n_exact AS overestimate
+    FROM est ORDER BY rank"""
+
   /** Mirrors Corpus.langTemperature: quantized-p pow, lang-sorted fold
     * denominator. */
   val qLangTemperature: String = s"""
@@ -1117,6 +1143,7 @@ object LlmOracle {
     "q_stratified_sample" -> qStratifiedSample,
     "q_lang_temperature" -> qLangTemperature,
     "q_bands_eval" -> qBandsEval,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_embed_whiten" -> qEmbedWhiten,
     "q_semdedup" -> qSemDedup,
     "q_minhash_calibration" -> qMinhashCalibration,

@@ -92,6 +92,8 @@ object LlmQueries {
     "q_lang_temperature" -> ((s, d) =>
       Corpus.langTemperature(docs(s, d)).orderBy(col("lang"))),
     "q_bands_eval" -> ((s, d) => Dedup.bandsEval(docs(s, d))),
+    "q_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(docs(s, d)).orderBy(col("rank"))),
     "q_embed_whiten" -> ((s, d) =>
       graft.similarity.Pca.whitenReport(embs(s, d)).orderBy(col("vec_id"))),
     "q_semdedup" -> ((s, d) =>

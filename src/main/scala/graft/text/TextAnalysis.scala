@@ -566,6 +566,48 @@ object TextAnalysis {
         col("n_tokens_total"), col("cum_share_docs"))
   }
 
+  /** Count-Min sketch heavy-hitter report (Cormode & Muthukrishnan
+    * 2005): a depth×width counter sketch of the corpus token stream —
+    * the point-estimate companion of the HLL distinct sketch, with
+    * the same mirrorable-hash discipline (MinHash-family row hashes
+    * over the polynomial token hash, pure integer arithmetic). For
+    * the exact top-k tokens the report shows the CMS estimate and its
+    * overestimate (CMS never underestimates — ContractSpec-safe to
+    * assert, and the oracle matches bit-for-bit).
+    *
+    * Scale: the sketch build is ONE map-combinable aggregate to
+    * depth×width cells — the network carries counters, never tokens —
+    * and the probe side is k×depth rows joined against the broadcast
+    * cell frame. The exact top-k (TakeOrderedAndProject) exists for
+    * the report; a pure-sketch deployment drops it. */
+  def heavyHitters(documents: DataFrame, k: Int = 15, depth: Int = 3,
+      width: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val toksF = documents.select(explode(expr(tokens("text"))).as("tok"))
+      .withColumn("th", expr(polyHash("tok")))
+    val jcells = s"transform(sequence(0, ${depth - 1}), " +
+      s"j -> struct(j AS j, ((th * (1 + 2*j) + j * 12289) % $P) % $width AS cell))"
+    val cells = toksF.select(explode(expr(jcells)).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val topk = toksF.groupBy(col("tok"), col("th"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(k)
+    val probes = topk.select(col("tok"), col("n_exact"),
+        explode(expr(jcells)).as("jc"))
+      .select(col("tok"), col("n_exact"),
+        col("jc.j").as("j"), col("jc.cell").as("cell"))
+    probes.join(broadcast(cells), Seq("j", "cell"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .withColumn("overestimate", col("cms_estimate") - col("n_exact"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_exact").desc, col("tok"))))
+      .select(col("rank"), col("tok"), col("n_exact"), col("cms_estimate"),
+        col("overestimate"))
+  }
+
   /** Per-document out-of-vocabulary rate against the top-`k` corpus
     * vocabulary — the tokenizer-sizing companion of [[vocabCoverage]]:
     * where that reports what a k-token vocabulary covers corpus-wide,

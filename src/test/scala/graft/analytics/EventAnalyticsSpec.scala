@@ -187,6 +187,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(wf.map(_.getAs[Long]("n_purchase_w")).sum <= f.getLong(1))
   }
 
+  test("hll set algebra: union bounded by parts, estimates track exact counts") {
+    val r = EventAnalytics.hllSetOps(events).head
+    val (estA, estB, estU, estI) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"), r.getAs[Double]("est_intersection"))
+    // union registers are the element-wise max -> estimate between
+    // each part and the parts' sum; intersection clamped non-negative
+    assert(estU >= math.max(estA, estB) - 1e-6)
+    assert(estU <= estA + estB + 1e-6)
+    assert(estI >= 0.0)
+    // m=64 sketch: generous error bands around the exact counts
+    val nU = r.getAs[Long]("n_union_exact").toDouble
+    val nI = r.getAs[Long]("n_both_exact").toDouble
+    assert(math.abs(estU - nU) / nU < 0.4, s"union est $estU vs exact $nU")
+    assert(nI === 0.0 || math.abs(estI - nI) / nI < 0.8,
+      s"intersection est $estI vs exact $nI")
+  }
+
   test("rfm covers every user with in-range, metric-monotone quartiles") {
     val r = EventAnalytics.rfm(events).collect()
     assert(r.length === events.select(col("user_id")).distinct().count().toInt)

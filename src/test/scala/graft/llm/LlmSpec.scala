@@ -685,6 +685,24 @@ class LlmSpec extends SparkSpec {
       "rerun must reproduce the identical sample")
   }
 
+  test("count-min sketch never underestimates and agrees with the exact top-k") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hh = TextAnalysis.heavyHitters(corpus).collect()
+    assert(hh.length === 15)
+    assert(hh.map(_.getAs[Int]("rank")).toSeq === (1 to 15))
+    hh.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"CMS underestimated: $r")
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("n_exact"))
+    }
+    // the exact column must equal vocabCoverage's independent count
+    val vocab = TextAnalysis.vocabCoverage(corpus, 15).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("n")).toMap
+    hh.foreach { r =>
+      assert(vocab(r.getAs[String]("tok")) === r.getAs[Long]("n_exact"))
+    }
+  }
+
   test("language temperature flattens the mixture: q sums to 1, low-resource boosted") {
     val out = Corpus.langTemperature(docs).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Double]("p"),
