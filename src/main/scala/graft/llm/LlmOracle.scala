@@ -993,6 +993,49 @@ object LlmOracle {
     SELECT rank, doc_id, n_chars AS weight, priority
     FROM r WHERE rank <= 100 ORDER BY rank"""
 
+  /** Mirrors TextAnalysis.classifierRoc: the classifier body as a
+    * subquery, a 19-row threshold frame, integer confusion counts off
+    * the quantized scores. */
+  val qClassifierRoc: String = s"""
+    WITH scored AS (SELECT y, score FROM ($qQualityClassifier)),
+    th AS (SELECT i * 5 / 100.0 AS t FROM (SELECT unnest(range(1, 20)) AS i)),
+    cm AS (
+      SELECT t,
+        CAST(sum(CASE WHEN score > t AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN score > t AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN score <= t AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        CAST(sum(CASE WHEN score <= t AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored CROSS JOIN th GROUP BY t)
+    SELECT round(t + 1e-9, 2) AS t, tp, fp, tn, fn,
+      round(tp / greatest(tp + fn, 1)::DOUBLE + 1e-9, 6) AS tpr,
+      round(fp / greatest(fp + tn, 1)::DOUBLE + 1e-9, 6) AS fpr,
+      round(tp / greatest(tp + fp, 1)::DOUBLE + 1e-9, 6) AS precision_
+    FROM cm ORDER BY t"""
+
+  /** Mirrors TextAnalysis.bigramPmi: tf-idf-shaped counts, rounded
+    * pmi, lexicographic tiebreak top-k. */
+  val qBigramPmi: String = s"""
+    WITH sw AS (SELECT $toks AS w FROM documents),
+    uni AS (SELECT tok, count(*) AS cu FROM (
+      SELECT unnest(w) AS tok FROM sw) GROUP BY 1),
+    tot AS (SELECT sum(cu)::DOUBLE AS n_corpus FROM uni),
+    bi AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cab FROM (
+        SELECT unnest(CASE WHEN len(w) >= 2
+          THEN [{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]
+          ELSE [] END) AS b
+        FROM sw)
+      GROUP BY 1, 2 HAVING count(*) >= 5),
+    pmi AS (
+      SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.cab, ua.cu AS ca, ub.cu AS cb,
+        round(ln(bi.cab * t.n_corpus / (ua.cu * ub.cu)) + 1e-9, 6) AS pmi
+      FROM bi JOIN uni ua ON bi.w1 = ua.tok
+        JOIN uni ub ON bi.w2 = ub.tok, tot t),
+    top AS (SELECT * FROM pmi ORDER BY pmi DESC, bigram LIMIT 20)
+    SELECT row_number() OVER (ORDER BY pmi DESC, bigram) AS rank,
+      bigram, cab, ca, cb, pmi
+    FROM top ORDER BY rank"""
+
   /** Mirrors TextAnalysis.heavyHitters: CMS cells, exact top-k, min
     * over row estimates — pure integer arithmetic. */
   val qHeavyHitters: String = s"""
@@ -1144,6 +1187,8 @@ object LlmOracle {
     "q_lang_temperature" -> qLangTemperature,
     "q_bands_eval" -> qBandsEval,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_bigram_pmi" -> qBigramPmi,
+    "q_classifier_roc" -> qClassifierRoc,
     "q_embed_whiten" -> qEmbedWhiten,
     "q_semdedup" -> qSemDedup,
     "q_minhash_calibration" -> qMinhashCalibration,

@@ -94,6 +94,10 @@ object LlmQueries {
     "q_bands_eval" -> ((s, d) => Dedup.bandsEval(docs(s, d))),
     "q_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHitters(docs(s, d)).orderBy(col("rank"))),
+    "q_bigram_pmi" -> ((s, d) =>
+      TextAnalysis.bigramPmi(docs(s, d)).orderBy(col("rank"))),
+    "q_classifier_roc" -> ((s, d) =>
+      TextAnalysis.classifierRoc(docs(s, d)).orderBy(col("t"))),
     "q_embed_whiten" -> ((s, d) =>
       graft.similarity.Pca.whitenReport(embs(s, d)).orderBy(col("vec_id"))),
     "q_semdedup" -> ((s, d) =>

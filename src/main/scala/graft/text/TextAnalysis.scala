@@ -469,6 +469,45 @@ object TextAnalysis {
         (col("score") >= 0.5d).as("pred"))
   }
 
+  /** Threshold-sweep evaluation of [[qualityClassifier]] (the ROC
+    * table behind picking a filter cutoff): at each of 19 evenly
+    * spaced thresholds, the confusion counts and tpr / fpr /
+    * precision against the weak label. Counts are exact integers off
+    * the 6-dp-quantized scores, so the whole table is bit-exact in
+    * the oracle.
+    *
+    * Plan: ONE scoring pass (the classifier's join-free scan) with a
+    * literal 19-element threshold array exploded per row (a pure
+    * projection — no join of any kind), then one map-combinable
+    * aggregate to 19 rows. */
+  def classifierRoc(documents: DataFrame): DataFrame = {
+    val scored = qualityClassifier(documents).select(col("y"), col("score"))
+    scored
+      .select(col("y"), col("score"),
+        explode(expr("transform(sequence(1, 19), i -> i * 5 / 100.0D)")).as("t"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("score") > col("t") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") > col("t") && col("y") === 0.0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") <= col("t") && col("y") === 0.0, 1L)
+          .otherwise(0L)).as("tn"),
+        sum(when(col("score") <= col("t") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("fn"))
+      .withColumn("t", round(col("t") + lit(1e-9), 2))
+      .withColumn("tpr",
+        round(col("tp") / greatest(col("tp") + col("fn"), lit(1L)).cast("double")
+          + lit(1e-9), 6))
+      .withColumn("fpr",
+        round(col("fp") / greatest(col("fp") + col("tn"), lit(1L)).cast("double")
+          + lit(1e-9), 6))
+      .withColumn("precision_",
+        round(col("tp") / greatest(col("tp") + col("fp"), lit(1L)).cast("double")
+          + lit(1e-9), 6))
+      .select(col("t"), col("tp"), col("fp"), col("tn"), col("fn"),
+        col("tpr"), col("fpr"), col("precision_"))
+  }
+
   /** CCNet-style per-language perplexity bucketing (Wenzek et al.
     * 2020): each document's unigram-LM score ([[unigramLogprob]], the
     * corpus as its own model) is ranked within its language and split
@@ -564,6 +603,44 @@ object TextAnalysis {
           sum(col("n_docs")).over(wAll).cast("double") + lit(1e-9), 6))
       .select(col("bucket"), col("bucket_lo"), col("n_docs"),
         col("n_tokens_total"), col("cum_share_docs"))
+  }
+
+  /** Top word collocations by pointwise mutual information
+    * (Church & Hanks 1990): `pmi(a,b) = ln(c_ab·N / (c_a·c_b))` over
+    * corpus bigram/unigram counts, min-support filtered (rare pairs
+    * have unreliable, explosive PMI) — the collocation-mining sweep
+    * behind phrase vocabularies and tokenizer merge priors.
+    *
+    * Plan: the tf-idf shape — two keyed counts (bigrams, unigrams),
+    * two keyed joins attaching the unigram frequencies (the unigram
+    * build side has one row per term; hot terms fan out probe-side
+    * only), a 1-row broadcast total, TakeOrderedAndProject top-k on
+    * the ROUNDED pmi with a lexicographic tiebreak; the rank window
+    * runs over the k rows only. */
+  def bigramPmi(documents: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = tokens("text")
+    val bigramsE = s"CASE WHEN size($w) >= 2 THEN transform(sequence(0, size($w) - 2), " +
+      s"i -> struct(element_at($w, i + 1) AS w1, element_at($w, i + 2) AS w2)) " +
+      "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+    val uni = documents.select(explode(expr(w)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("double").as("n_corpus"))
+    val bi = documents.select(explode(expr(bigramsE)).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    bi.join(uni.select(col("tok").as("w1"), col("cu").as("ca")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(
+        log(col("cab") * col("n_corpus") / (col("ca") * col("cb"))) + lit(1e-9), 6))
+      .withColumn("bigram", concat(col("w1"), lit(" "), col("w2")))
+      .orderBy(col("pmi").desc, col("bigram")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pmi").desc, col("bigram"))))
+      .select(col("rank"), col("bigram"), col("cab"), col("ca"), col("cb"),
+        col("pmi"))
   }
 
   /** Count-Min sketch heavy-hitter report (Cormode & Muthukrishnan

@@ -685,6 +685,45 @@ class LlmSpec extends SparkSpec {
       "rerun must reproduce the identical sample")
   }
 
+  test("classifier roc sweep: monotone confusion counts, consistent totals") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val roc = TextAnalysis.classifierRoc(corpus).orderBy(col("t")).collect()
+    assert(roc.length === 19)
+    val n = corpus.count()
+    roc.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") + r.getAs[Long]("tn")
+        + r.getAs[Long]("fn") === n, s"confusion cells must partition the corpus: $r")
+    }
+    // raising the threshold can only shrink the positive side
+    val pos = roc.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp"))
+    pos.zip(pos.tail).foreach { case (a, b) => assert(a >= b) }
+    // tpr/fpr are valid rates
+    roc.foreach { r =>
+      assert(r.getAs[Double]("tpr") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("fpr") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("bigram pmi ranks collocations above chance-level pairs") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.bigramPmi(corpus, k = 20, minCount = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to out.length))
+    val pmis = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("pmi"))
+    pmis.zip(pmis.tail).foreach { case (a, b) => assert(a >= b) }
+    // every reported pair meets the support floor and pmi matches a
+    // direct recomputation from its own counts and the corpus total
+    val nCorpus = corpus
+      .select(explode(split(lower(col("text")), " "))).count().toDouble
+    out.foreach { r =>
+      assert(r.getAs[Long]("cab") >= 2L)
+      val direct = math.log(r.getAs[Long]("cab") * nCorpus /
+        (r.getAs[Long]("ca").toDouble * r.getAs[Long]("cb")))
+      assert(math.abs(r.getAs[Double]("pmi") - direct) < 1e-5,
+        s"pmi mismatch: $r vs $direct")
+    }
+  }
+
   test("count-min sketch never underestimates and agrees with the exact top-k") {
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val hh = TextAnalysis.heavyHitters(corpus).collect()
