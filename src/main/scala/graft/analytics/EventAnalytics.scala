@@ -278,6 +278,71 @@ object EventAnalytics {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** Rolling active users — DAU / WAU / MAU per day (the engagement
+    * dashboard staple): distinct users active on the day, in the
+    * trailing 7 days, and in the trailing 30 days.
+    *
+    * Plan: distinct (user, day) presence (ONE keyed aggregate), then
+    * each presence row is exploded into the ≤ 30 target days it
+    * contributes to (a BOUNDED ×30 projection — the standard trick
+    * that turns distinct-over-sliding-window into a plain keyed
+    * distinct aggregate), and one aggregation per target day with
+    * three filtered distinct counts. Days outside the observed range
+    * (warm-up ghosts from the explode) are dropped by an anti-bound
+    * on the real day set. At 100 TB presence is ~#users×#days rows —
+    * the ×30 fan-out carries two small columns and combines map-side. */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val presence = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = events.agg(to_date(max(col("ts"))).as("max_day"),
+      to_date(min(col("ts"))).as("min_day"))
+    presence
+      .select(col("user_id"), col("day"),
+        explode(expr("sequence(0, 29)")).as("off"))
+      .withColumn("target_day", date_add(col("day"), col("off")))
+      .crossJoin(broadcast(bounds))
+      .filter(col("target_day") <= col("max_day") &&
+        col("target_day") >= col("min_day"))
+      .groupBy(col("target_day"))
+      .agg(expr("count(DISTINCT CASE WHEN off = 0 THEN user_id END)").as("dau"),
+        expr("count(DISTINCT CASE WHEN off <= 6 THEN user_id END)").as("wau"),
+        expr("count(DISTINCT user_id)").as("mau"))
+      .withColumnRenamed("target_day", "day")
+      .orderBy(col("day"))
+  }
+
+  /** Activity-concentration (Pareto / "whale curve") report: the
+    * share of total event volume and value mass contributed by the
+    * top-10% / top-1% of users by value — the skew diagnostic behind
+    * both product analysis and shuffle-skew planning.
+    *
+    * Plan: ONE map-combinable groupBy(user_id), exact percentile
+    * cutoffs as a 1-row broadcast (approx_percentile is the 100 TB
+    * swap), a stateless tier classification and ONE global aggregate
+    * — no ranking window over the user frame. */
+  def paretoShare(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")) + lit(1e-9), 3).as("v"))
+    val cuts = perUser.agg(
+      round(expr("percentile(v, 0.9D)") + lit(1e-9), 6).as("p90"),
+      round(expr("percentile(v, 0.99D)") + lit(1e-9), 6).as("p99"))
+    perUser.crossJoin(broadcast(cuts))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        round(sum(col("v")) + lit(1e-9), 3).as("total_value"),
+        sum(when(col("v") > col("p90"), 1L).otherwise(0L)).as("n_top10"),
+        round(sum(when(col("v") > col("p90"), col("v")).otherwise(0.0))
+          + lit(1e-9), 3).as("value_top10"),
+        sum(when(col("v") > col("p99"), 1L).otherwise(0L)).as("n_top1"),
+        round(sum(when(col("v") > col("p99"), col("v")).otherwise(0.0))
+          + lit(1e-9), 3).as("value_top1"))
+      .withColumn("share_top10",
+        round(col("value_top10") / col("total_value") + lit(1e-9), 6))
+      .withColumn("share_top1",
+        round(col("value_top1") / col("total_value") + lit(1e-9), 6))
+  }
+
   /** HyperLogLog SET ALGEBRA over the deterministic 64-register
     * sketch of [[hllDistinct]]: view-active vs purchase-active
     * (user, day) elements, their union (element-wise register max —
@@ -431,6 +496,8 @@ object EventAnalytics {
     "q_event_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_window_funnel" -> ((s, d) => windowFunnel(Tables.events(s, d))),
     "q_hll_setops" -> ((s, d) => hllSetOps(Tables.events(s, d))),
+    "q_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
+    "q_pareto_share" -> ((s, d) => paretoShare(Tables.events(s, d))),
     "q_user_paths" -> ((s, d) => userPaths(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
@@ -593,6 +660,47 @@ object EventOracle {
       round(n_users / (sum(n_users) OVER ())::DOUBLE + 1e-9, 6) AS share
     FROM m ORDER BY n_users DESC, path"""
 
+  val qActiveUsers: String = """
+    WITH presence AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    bounds AS (
+      SELECT CAST(max(ts) AS DATE) AS max_day, CAST(min(ts) AS DATE) AS min_day
+      FROM events),
+    fan AS (
+      SELECT user_id, day + to_days(off::INT) AS target_day, off
+      FROM presence, (SELECT unnest(range(0, 30)) AS off))
+    SELECT target_day AS day,
+      count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+      count(DISTINCT CASE WHEN off <= 6 THEN user_id END) AS wau,
+      count(DISTINCT user_id) AS mau
+    FROM fan, bounds
+    WHERE target_day <= max_day AND target_day >= min_day
+    GROUP BY target_day ORDER BY day"""
+
+  val qParetoShare: String = """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n_events,
+        round(sum(value) + 1e-9, 3) AS v
+      FROM events GROUP BY user_id),
+    cuts AS (
+      SELECT round(quantile_cont(v, 0.9) + 1e-9, 6) AS p90,
+        round(quantile_cont(v, 0.99) + 1e-9, 6) AS p99
+      FROM per_user),
+    agg AS (
+      SELECT count(*) AS n_users,
+        CAST(sum(n_events) AS BIGINT) AS n_events,
+        round(sum(v) + 1e-9, 3) AS total_value,
+        CAST(sum(CASE WHEN v > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top10,
+        round(sum(CASE WHEN v > p90 THEN v ELSE 0.0 END) + 1e-9, 3) AS value_top10,
+        CAST(sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_top1,
+        round(sum(CASE WHEN v > p99 THEN v ELSE 0.0 END) + 1e-9, 3) AS value_top1
+      FROM per_user CROSS JOIN cuts)
+    SELECT n_users, n_events, total_value, n_top10, value_top10, n_top1,
+      value_top1,
+      round(value_top10 / total_value + 1e-9, 6) AS share_top10,
+      round(value_top1 / total_value + 1e-9, 6) AS share_top1
+    FROM agg"""
+
   val qHllSetOps: String = """
     WITH el AS (
       SELECT event_type,
@@ -719,6 +827,8 @@ object EventOracle {
     "q_event_rfm" -> qEventRfm,
     "q_window_funnel" -> qWindowFunnel,
     "q_hll_setops" -> qHllSetOps,
+    "q_active_users" -> qActiveUsers,
+    "q_pareto_share" -> qParetoShare,
     "q_user_paths" -> qUserPaths,
     "q_event_transitions" -> qEventTransitions,
     "q_funnel" -> qFunnel,

@@ -187,6 +187,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(wf.map(_.getAs[Long]("n_purchase_w")).sum <= f.getLong(1))
   }
 
+  test("active users: dau <= wau <= mau, dau matches a direct daily count") {
+    val au = EventAnalytics.activeUsers(events).collect()
+    assert(au.nonEmpty)
+    au.foreach { r =>
+      val (d, w, m) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau"))
+      assert(d <= w && w <= m, s"window containment violated: $r")
+    }
+    val direct = events.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("count")).toMap
+    au.foreach { r =>
+      assert(r.getAs[Long]("dau") ===
+        direct.getOrElse(r.getAs[java.sql.Date]("day"), 0L))
+    }
+  }
+
+  test("pareto share: tiers nest and shares are consistent fractions") {
+    val r = EventAnalytics.paretoShare(events).head
+    assert(r.getAs[Long]("n_top1") <= r.getAs[Long]("n_top10"))
+    assert(r.getAs[Long]("n_top10") <= r.getAs[Long]("n_users"))
+    assert(r.getAs[Double]("share_top1") <= r.getAs[Double]("share_top10") + 1e-9)
+    assert(r.getAs[Double]("share_top10") <= 1.0 + 1e-9)
+    // top-10% by exact percentile: at most ~10% of users (+ties slack)
+    assert(r.getAs[Long]("n_top10") <= math.ceil(r.getAs[Long]("n_users") * 0.11).toLong)
+  }
+
   test("hll set algebra: union bounded by parts, estimates track exact counts") {
     val r = EventAnalytics.hllSetOps(events).head
     val (estA, estB, estU, estI) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
