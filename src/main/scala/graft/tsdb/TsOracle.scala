@@ -882,7 +882,76 @@ object TsOracle {
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type"""
 
+  /** Mirrors Climate.drySpells: gaps-and-islands dry runs per
+    * (station, calendar year). */
+  val qDrySpells: String = s"""
+    WITH $world,
+    base AS (
+      SELECT station_id, day, year(day) AS yr,
+        coalesce(raw, 0.0) < 25.0 AS dry
+      FROM raw_daily),
+    runs AS (
+      SELECT station_id, yr,
+        datediff('day', DATE '1970-01-01', day)
+          - row_number() OVER (PARTITION BY station_id, yr ORDER BY day) AS grp
+      FROM base WHERE dry),
+    run_len AS (
+      SELECT station_id, yr, grp, count(*) AS run_len
+      FROM runs GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT station_id, yr, max(run_len) AS max_dry_run,
+        CAST(sum(run_len) AS BIGINT) AS n_dry
+      FROM run_len GROUP BY 1, 2),
+    days AS (
+      SELECT station_id, year(day) AS yr, count(*) AS n_days
+      FROM raw_daily GROUP BY 1, 2)
+    SELECT d.station_id, d.yr, d.n_days,
+      coalesce(a.n_dry, 0) AS n_dry,
+      coalesce(a.max_dry_run, 0) AS max_dry_run
+    FROM days d LEFT JOIN agg a USING (station_id, yr)
+    ORDER BY station_id, yr"""
+
+  /** Mirrors Climate.degreeDays over the dense-grid temperature. */
+  val qDegreeDays: String = s"""
+    WITH $world,
+    t_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    t_grid AS (
+      SELECT g.station_id, g.day, t.t
+      FROM grid g LEFT JOIN t_daily t USING (station_id, day))
+    SELECT station_id, date_trunc('month', day)::date AS month,
+      round(sum(CASE WHEN t IS NOT NULL THEN greatest(0.0, 18.0 - t)
+                ELSE 0.0 END) + 1e-9, 3) AS hdd,
+      round(sum(CASE WHEN t IS NOT NULL THEN greatest(0.0, t - 18.0)
+                ELSE 0.0 END) + 1e-9, 3) AS cdd,
+      count(t) AS n_obs,
+      CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM t_grid GROUP BY 1, 2 ORDER BY station_id, month"""
+
+  /** Mirrors Climate.returnPeriods: Weibull plotting positions over
+    * the annual maxima. */
+  val qReturnPeriod: String = s"""
+    WITH $world,
+    ann AS (
+      SELECT station_id, year(day) AS yr, max(raw) AS annual_max
+      FROM raw_daily GROUP BY 1, 2 HAVING max(raw) IS NOT NULL),
+    ranked AS (
+      SELECT station_id, yr, annual_max,
+        row_number() OVER (PARTITION BY station_id
+          ORDER BY annual_max DESC, yr) AS m,
+        count(*) OVER (PARTITION BY station_id) AS n_years
+      FROM ann)
+    SELECT station_id, yr, annual_max, m, n_years,
+      round((n_years + 1) / m::DOUBLE + 1e-9, 6) AS return_period,
+      round(m / (n_years + 1)::DOUBLE + 1e-9, 6) AS exc_prob
+    FROM ranked ORDER BY station_id, m"""
+
   val all: Map[String, String] = Map(
+    "q_dry_spells" -> qDrySpells,
+    "q_degree_days" -> qDegreeDays,
+    "q_return_period" -> qReturnPeriod,
     "q_fill_neighbor" -> qFillNeighbor,
     "q_fill_seasonal" -> qFillSeasonal,
     "q_fill_median5" -> qFillMedian5,

@@ -250,7 +250,20 @@ object TsQueries {
       splitDate = true, roger = false, addMeta = false, rR0 = None)
       .orderBy(col("station_id"), col("file"))
 
+  def qDrySpells(s: SparkSession, d: String): DataFrame =
+    Climate.drySpells(rawDaily(s, d)).orderBy(col("station_id"), col("yr"))
+
+  def qDegreeDays(s: SparkSession, d: String): DataFrame =
+    Climate.degreeDays(Series.dailyTemp(ev(s, d)))
+      .orderBy(col("station_id"), col("month"))
+
+  def qReturnPeriod(s: SparkSession, d: String): DataFrame =
+    Climate.returnPeriods(rawDaily(s, d)).orderBy(col("station_id"), col("m"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dry_spells" -> (qDrySpells _),
+    "q_degree_days" -> (qDegreeDays _),
+    "q_return_period" -> (qReturnPeriod _),
     "q_fill_neighbor" -> (qFillNeighbor _),
     "q_fill_seasonal" -> (qFillSeasonal _),
     "q_fill_median5" -> (qFillMedian5 _),

@@ -1,0 +1,68 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Climate / hydrology indices: hand-checked runs on a crafted series
+  * plus structural invariants on the driver data. */
+class ClimateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Long, String, Option[Double])]) =
+    rows.map { case (sid, d, v) =>
+      (sid, java.sql.Date.valueOf(d), v, if (v.isDefined) 1L else 0L)
+    }.toDF("station_id", "day", "raw", "n_obs")
+
+  test("dry spells: hand-checked runs, year-boundary cut, NULL counts dry") {
+    // station 1, 6 days: wet, dry, dry(null), dry, wet, then a new
+    // year starting dry — the run of 3 must not extend across years
+    val df = frame(Seq(
+      (1L, "2023-12-27", Some(30.0)),
+      (1L, "2023-12-28", Some(1.0)),
+      (1L, "2023-12-29", None),
+      (1L, "2023-12-30", Some(2.0)),
+      (1L, "2023-12-31", Some(40.0)),
+      (1L, "2024-01-01", Some(0.5)),
+      (1L, "2024-01-02", Some(50.0))))
+    val out = Climate.drySpells(df).orderBy("yr").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("max_dry_run") === 3L) // 28th-30th
+    assert(out(0).getAs[Long]("n_dry") === 3L)
+    assert(out(1).getAs[Long]("max_dry_run") === 1L) // Jan 1 only
+    assert(out(1).getAs[Long]("n_days") === 2L)
+  }
+
+  test("degree days: hand-checked hdd/cdd and missing census") {
+    val temp = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-01"), Some(10.0)),
+      (1L, java.sql.Date.valueOf("2024-03-02"), Some(25.0)),
+      (1L, java.sql.Date.valueOf("2024-03-03"), None))
+      .map { case (s, d, t) => (s, d, t.map(Double.box).orNull.asInstanceOf[java.lang.Double]) }
+      .toDF("station_id", "day", "t")
+    val r = Climate.degreeDays(temp).head
+    assert(r.getAs[Double]("hdd") === 8.0)  // max(0, 18-10)
+    assert(r.getAs[Double]("cdd") === 7.0)  // max(0, 25-18)
+    assert(r.getAs[Long]("n_obs") === 2L)
+    assert(r.getAs[Long]("n_missing") === 1L)
+  }
+
+  test("return periods: weibull positions are a bijection over the years") {
+    val daily = graft.tsdb.TsQueries.rawDaily(spark, "/root/testdata/sf0.001")
+    val out = Climate.returnPeriods(daily).collect()
+    out.groupBy(_.getAs[Long]("station_id")).foreach { case (_, rows) =>
+      val n = rows.head.getAs[Long]("n_years")
+      assert(rows.length === n.toInt)
+      assert(rows.map(_.getAs[Int]("m")).sorted.toSeq === (1 to n.toInt))
+      // rank 1 = largest max = longest return period (n+1) years
+      val top = rows.minBy(_.getAs[Int]("m"))
+      assert(top.getAs[Double]("annual_max") ===
+        rows.map(_.getAs[Double]("annual_max")).max)
+      assert(top.getAs[Double]("return_period") === (n + 1).toDouble)
+      // exceedance probabilities are increasing in rank, within (0,1)
+      val probs = rows.sortBy(_.getAs[Int]("m")).map(_.getAs[Double]("exc_prob"))
+      probs.zip(probs.tail).foreach { case (a, b) =>
+        assert(a < b && a > 0 && b < 1)
+      }
+    }
+  }
+}
