@@ -66,6 +66,80 @@ object Climate {
         count(col("t")).as("n_obs"),
         sum(when(col("t").isNull, 1L).otherwise(0L)).as("n_missing"))
 
+  /** Standardized precipitation index, z-score form over k-day
+    * accumulations (the SPI drought index's shape; the gamma-fitted
+    * original swaps into the same plan): each trailing `accDays`-day
+    * precipitation total standardized against the station's own
+    * distribution of such totals; `spi < -1` ≈ dry spell, `> 1` ≈ wet.
+    * Only complete windows score (the first accDays−1 days are
+    * warm-up); a zero-variance station yields NULL, not a fake score.
+    * With multi-year data the climatology population narrows to the
+    * same calendar window across years — identical plan, one more
+    * grouping column.
+    *
+    * Plan: ONE trailing window per station (partition-local on the
+    * series partitioning), one keyed aggregate for the per-station
+    * stats, one keyed join back. */
+  def spiZscore(rawDaily: DataFrame, accDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+      .rowsBetween(-(accDays - 1), 0)
+    val acc = rawDaily
+      .withColumn("p_acc",
+        round(sum(coalesce(col("raw"), lit(0.0))).over(w) + lit(1e-9), 3))
+      .withColumn("w_size", count(lit(1)).over(w))
+      .filter(col("w_size") === accDays)
+    val stats = acc.groupBy(col("station_id"))
+      .agg(round(avg(col("p_acc")) + lit(1e-9), 6).as("clim_mean"),
+        round(stddev_samp(col("p_acc")) + lit(1e-9), 6).as("clim_sd"))
+    acc.join(stats, Seq("station_id"))
+      .withColumn("spi",
+        when(col("clim_sd") > 0.0,
+          round((col("p_acc") - col("clim_mean")) / col("clim_sd") + lit(1e-9), 4)))
+      .select(col("station_id"), col("day"), col("p_acc"), col("clim_mean"),
+        col("clim_sd"), col("spi"))
+  }
+
+  /** Mann–Kendall trend test per station (the standard non-parametric
+    * hydrology trend detector): over the station's observed daily
+    * values, `S = Σ_{i<j} sign(x_j − x_i)`, normal approximation
+    * `var(S) = n(n−1)(2n+5)/18` (no tie correction — 3-dp daily sums
+    * make exact ties vanishingly rare; a tie only shrinks |z|), and
+    * the ±1.96 two-sided 5% significance call.
+    *
+    * Plan: the pair enumeration is per STATION — an equi-join on
+    * station_id over the observed-day frame, then one keyed
+    * aggregate. At test scale n ≈ 30 days; at 100 TB the test is run
+    * (as in practice) on the monthly/annual AGGREGATE series, so n
+    * stays ≈ tens-to-hundreds per station and the per-station O(n²)
+    * never touches the raw row count — feed the aggregated frame in
+    * as `rawDaily`. (The O(n log n) inversion-count form is the
+    * alternative if a dense series must be tested directly.) */
+  def mannKendall(rawDaily: DataFrame): DataFrame = {
+    val annual = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id"), col("day").as("yr"), col("raw").as("p"))
+    val a = annual.select(col("station_id"), col("yr").as("yi"), col("p").as("xi"))
+    val b = annual.select(col("station_id"), col("yr").as("yj"), col("p").as("xj"))
+    a.join(b, Seq("station_id")).filter(col("yi") < col("yj"))
+      .groupBy(col("station_id"))
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"))
+      .join(annual.groupBy(col("station_id")).agg(count(lit(1)).as("n")),
+        Seq("station_id"))
+      .withColumn("var_s",
+        round(col("n") * (col("n") - 1) * (col("n") * 2 + 5) / lit(18.0)
+          + lit(1e-9), 6))
+      // continuity-corrected z: sign(S)·(|S|−1)/sqrt(var); S=0 → 0
+      .withColumn("z",
+        when(col("s") === 0, lit(0.0)).otherwise(
+          round(signum(col("s")) * (abs(col("s")) - 1) / sqrt(col("var_s"))
+            + lit(1e-9), 4)))
+      .withColumn("trend",
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("none")))
+      .select(col("station_id"), col("n"), col("s"), col("var_s"), col("z"),
+        col("trend"))
+  }
+
   /** Empirical return periods of the annual precipitation maxima by
     * Weibull plotting position (the hydrology design-storm staple):
     * per station the yearly maxima rank descending and

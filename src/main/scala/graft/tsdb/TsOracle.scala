@@ -948,8 +948,65 @@ object TsOracle {
       round(m / (n_years + 1)::DOUBLE + 1e-9, 6) AS exc_prob
     FROM ranked ORDER BY station_id, m"""
 
+  /** Mirrors Climate.spiZscore: trailing 7-day accumulation
+    * standardized against the station's own distribution; only
+    * complete windows score. */
+  val qSpiZscore: String = s"""
+    WITH $world,
+    acc AS (
+      SELECT station_id, day,
+        round(sum(coalesce(raw, 0.0)) OVER win + 1e-9, 3) AS p_acc,
+        count(*) OVER win AS w_size
+      FROM raw_daily
+      WINDOW win AS (PARTITION BY station_id ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    full_w AS (SELECT station_id, day, p_acc FROM acc WHERE w_size = 7),
+    stats AS (
+      SELECT station_id,
+        round(avg(p_acc) + 1e-9, 6) AS clim_mean,
+        round(stddev_samp(p_acc) + 1e-9, 6) AS clim_sd
+      FROM full_w GROUP BY 1)
+    SELECT f.station_id, f.day, f.p_acc, s.clim_mean, s.clim_sd,
+      CASE WHEN s.clim_sd > 0.0
+           THEN round((f.p_acc - s.clim_mean) / s.clim_sd + 1e-9, 4) END AS spi
+    FROM full_w f JOIN stats s USING (station_id)
+    ORDER BY f.station_id, f.day"""
+
+  /** Mirrors Climate.mannKendall: per-station pair signs over the
+    * observed daily values, continuity-corrected normal z. */
+  val qTrendMk: String = s"""
+    WITH $world,
+    annual AS (
+      SELECT station_id, day AS yr, raw AS p
+      FROM raw_daily WHERE raw IS NOT NULL),
+    pairs_mk AS (
+      SELECT a.station_id, sign(b.p - a.p) AS sg
+      FROM annual a JOIN annual b
+        ON a.station_id = b.station_id AND a.yr < b.yr),
+    s_stat AS (
+      SELECT station_id, CAST(sum(sg) AS BIGINT) AS s
+      FROM pairs_mk GROUP BY 1),
+    nn AS (SELECT station_id, count(*) AS n FROM annual GROUP BY 1),
+    j AS (
+      SELECT s_stat.station_id, s_stat.s, nn.n,
+        round(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0 + 1e-9, 6) AS var_s
+      FROM s_stat JOIN nn USING (station_id))
+    SELECT station_id, n, s, var_s,
+      CASE WHEN s = 0 THEN 0.0
+           ELSE round(sign(s) * (abs(s) - 1) / sqrt(var_s) + 1e-9, 4) END AS z,
+      CASE WHEN (CASE WHEN s = 0 THEN 0.0
+                 ELSE round(sign(s) * (abs(s) - 1) / sqrt(var_s) + 1e-9, 4) END)
+                > 1.96 THEN 'increasing'
+           WHEN (CASE WHEN s = 0 THEN 0.0
+                 ELSE round(sign(s) * (abs(s) - 1) / sqrt(var_s) + 1e-9, 4) END)
+                < -1.96 THEN 'decreasing'
+           ELSE 'none' END AS trend
+    FROM j ORDER BY station_id"""
+
   val all: Map[String, String] = Map(
     "q_dry_spells" -> qDrySpells,
+    "q_spi_zscore" -> qSpiZscore,
+    "q_trend_mk" -> qTrendMk,
     "q_degree_days" -> qDegreeDays,
     "q_return_period" -> qReturnPeriod,
     "q_fill_neighbor" -> qFillNeighbor,

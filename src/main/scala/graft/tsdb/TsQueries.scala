@@ -260,10 +260,18 @@ object TsQueries {
   def qReturnPeriod(s: SparkSession, d: String): DataFrame =
     Climate.returnPeriods(rawDaily(s, d)).orderBy(col("station_id"), col("m"))
 
+  def qSpiZscore(s: SparkSession, d: String): DataFrame =
+    Climate.spiZscore(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
+
+  def qTrendMk(s: SparkSession, d: String): DataFrame =
+    Climate.mannKendall(rawDaily(s, d)).orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dry_spells" -> (qDrySpells _),
     "q_degree_days" -> (qDegreeDays _),
     "q_return_period" -> (qReturnPeriod _),
+    "q_spi_zscore" -> (qSpiZscore _),
+    "q_trend_mk" -> (qTrendMk _),
     "q_fill_neighbor" -> (qFillNeighbor _),
     "q_fill_seasonal" -> (qFillSeasonal _),
     "q_fill_median5" -> (qFillMedian5 _),

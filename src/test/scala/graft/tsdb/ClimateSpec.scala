@@ -46,6 +46,39 @@ class ClimateSpec extends SparkSpec {
     assert(r.getAs[Long]("n_missing") === 1L)
   }
 
+  test("spi z-scores: complete windows only, zero mean, unit-scale spread") {
+    val daily = graft.tsdb.TsQueries.rawDaily(spark, "/root/testdata/sf0.001")
+    val out = Climate.spiZscore(daily).collect()
+    assert(out.nonEmpty)
+    val nDays = daily.select("day").distinct().count()
+    val nStations = daily.select("station_id").distinct().count()
+    // 6 warm-up days per station are dropped
+    assert(out.length === ((nDays - 6) * nStations).toInt)
+    out.groupBy(_.getAs[Long]("station_id")).foreach { case (_, rows) =>
+      val spis = rows.flatMap(r => Option(r.getAs[java.lang.Double]("spi")))
+        .map(_.toDouble)
+      if (spis.nonEmpty) {
+        val mean = spis.sum / spis.length
+        assert(math.abs(mean) < 0.05, s"standardized scores must center ~0: $mean")
+      }
+    }
+  }
+
+  test("mann-kendall: S on a strictly increasing series is n(n-1)/2, trend flagged") {
+    val rising = frame((1 to 15).map(i =>
+      (1L, f"2024-01-$i%02d", Some(i * 10.0))))
+    val r = Climate.mannKendall(rising).head
+    assert(r.getAs[Long]("s") === 15L * 14 / 2)
+    assert(r.getAs[String]("trend") === "increasing")
+    val falling = frame((1 to 15).map(i =>
+      (1L, f"2024-01-$i%02d", Some(200.0 - i * 10.0))))
+    assert(Climate.mannKendall(falling).head.getAs[String]("trend") === "decreasing")
+    // NULL days are excluded from n
+    val gappy = frame(Seq((1L, "2024-01-01", Some(1.0)), (1L, "2024-01-02", None),
+      (1L, "2024-01-03", Some(2.0))))
+    assert(Climate.mannKendall(gappy).head.getAs[Long]("n") === 2L)
+  }
+
   test("return periods: weibull positions are a bijection over the years") {
     val daily = graft.tsdb.TsQueries.rawDaily(spark, "/root/testdata/sf0.001")
     val out = Climate.returnPeriods(daily).collect()
