@@ -140,6 +140,54 @@ object Climate {
         col("trend"))
   }
 
+  /** Double-mass homogeneity check (the classic gauge-consistency
+    * curve): cumulative station precipitation against the cumulative
+    * mean of its k nearest neighbors; a homogeneous record tracks the
+    * line `cum_s = β·cum_n` (β = ratio of the period totals), and the
+    * largest deviation from it marks the candidate break point an
+    * analyst inspects (instrument change, relocation).
+    *
+    * Plan: the neighbor day-mean is one keyed join of the broadcast
+    * knn map with the daily frame + a (station, day) aggregate
+    * co-partitioned with the series; both cumulative sums are ONE
+    * partition-local ordered window per station (an ordered fold —
+    * deterministic on both engines); β and the totals come from a
+    * keyed aggregate joined back. Nothing global. */
+  def doubleMass(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    val nbMean = knn.select(col("station_id"), col("nb_id"))
+      .join(rawDaily.select(col("station_id").as("nb_id"), col("day"),
+        col("raw").as("nb_raw")), Seq("nb_id"))
+      .groupBy(col("station_id"), col("day"))
+      .agg(round(avg(coalesce(col("nb_raw"), lit(0.0))) + lit(1e-9), 6)
+        .as("nb_mean"))
+    val base = rawDaily.select(col("station_id"), col("day"), col("raw"))
+      .join(nbMean, Seq("station_id", "day"), "left")
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base
+      .withColumn("cum_s",
+        round(sum(coalesce(col("raw"), lit(0.0))).over(w) + lit(1e-9), 3))
+      .withColumn("cum_n",
+        round(sum(coalesce(col("nb_mean"), lit(0.0))).over(w) + lit(1e-9), 3))
+    val totals = base.groupBy(col("station_id"))
+      .agg(round(sum(coalesce(col("raw"), lit(0.0))) + lit(1e-9), 3).as("total_s"),
+        round(sum(coalesce(col("nb_mean"), lit(0.0))) + lit(1e-9), 3).as("total_n"))
+      .withColumn("beta",
+        when(col("total_n") > 0.0,
+          round(col("total_s") / col("total_n") + lit(1e-9), 6)))
+    cum.join(totals, Seq("station_id"))
+      .withColumn("dev",
+        round(abs(col("cum_s") - col("beta") * col("cum_n")) + lit(1e-9), 4))
+      .withColumn("day_ord",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+      .groupBy(col("station_id"), col("total_s"), col("total_n"), col("beta"))
+      .agg(max(struct(col("dev"), (-col("day_ord")).as("nday"))).as("best"))
+      .select(col("station_id"), col("total_s"), col("total_n"), col("beta"),
+        col("best.dev").as("max_dev"),
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")), (-col("best.nday"))
+          .cast("int")).as("break_day"))
+  }
+
   /** Empirical return periods of the annual precipitation maxima by
     * Weibull plotting position (the hydrology design-storm staple):
     * per station the yearly maxima rank descending and

@@ -1003,10 +1003,51 @@ object TsOracle {
            ELSE 'none' END AS trend
     FROM j ORDER BY station_id"""
 
+  /** Mirrors Climate.doubleMass: neighbor day-mean, ordered cumsums,
+    * β from the totals, max deviation with earliest-day tiebreak. */
+  val qDoubleMass: String = s"""
+    WITH $world,
+    nb_mean AS (
+      SELECT k.station_id, r.day,
+        round(avg(coalesce(r.raw, 0.0)) + 1e-9, 6) AS nb_mean
+      FROM knn k JOIN raw_daily r ON r.station_id = k.nb_id
+      GROUP BY 1, 2),
+    base AS (
+      SELECT r.station_id, r.day, r.raw, n.nb_mean
+      FROM raw_daily r LEFT JOIN nb_mean n USING (station_id, day)),
+    cum AS (
+      SELECT station_id, day,
+        round(sum(coalesce(raw, 0.0)) OVER win + 1e-9, 3) AS cum_s,
+        round(sum(coalesce(nb_mean, 0.0)) OVER win + 1e-9, 3) AS cum_n
+      FROM base
+      WINDOW win AS (PARTITION BY station_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    totals AS (
+      SELECT station_id,
+        round(sum(coalesce(raw, 0.0)) + 1e-9, 3) AS total_s,
+        round(sum(coalesce(nb_mean, 0.0)) + 1e-9, 3) AS total_n
+      FROM base GROUP BY 1),
+    beta_t AS (
+      SELECT station_id, total_s, total_n,
+        CASE WHEN total_n > 0.0 THEN round(total_s / total_n + 1e-9, 6) END AS beta
+      FROM totals),
+    dev AS (
+      SELECT c.station_id, b.total_s, b.total_n, b.beta, c.day,
+        round(abs(c.cum_s - b.beta * c.cum_n) + 1e-9, 4) AS dev
+      FROM cum c JOIN beta_t b USING (station_id)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY station_id
+        ORDER BY dev DESC, day ASC) AS rn
+      FROM dev)
+    SELECT station_id, total_s, total_n, beta, dev AS max_dev,
+      day AS break_day
+    FROM ranked WHERE rn = 1 ORDER BY station_id"""
+
   val all: Map[String, String] = Map(
     "q_dry_spells" -> qDrySpells,
     "q_spi_zscore" -> qSpiZscore,
     "q_trend_mk" -> qTrendMk,
+    "q_double_mass" -> qDoubleMass,
     "q_degree_days" -> qDegreeDays,
     "q_return_period" -> qReturnPeriod,
     "q_fill_neighbor" -> qFillNeighbor,

@@ -266,12 +266,17 @@ object TsQueries {
   def qTrendMk(s: SparkSession, d: String): DataFrame =
     Climate.mannKendall(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qDoubleMass(s: SparkSession, d: String): DataFrame =
+    Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dry_spells" -> (qDrySpells _),
     "q_degree_days" -> (qDegreeDays _),
     "q_return_period" -> (qReturnPeriod _),
     "q_spi_zscore" -> (qSpiZscore _),
     "q_trend_mk" -> (qTrendMk _),
+    "q_double_mass" -> (qDoubleMass _),
     "q_fill_neighbor" -> (qFillNeighbor _),
     "q_fill_seasonal" -> (qFillSeasonal _),
     "q_fill_median5" -> (qFillMedian5 _),

@@ -79,6 +79,31 @@ class ClimateSpec extends SparkSpec {
     assert(Climate.mannKendall(gappy).head.getAs[Long]("n") === 2L)
   }
 
+  test("double mass: proportional records have ~zero deviation, a planted break is found") {
+    import org.apache.spark.sql.functions._
+    // two stations that are exact multiples of each other -> each is
+    // perfectly proportional to its neighbor mean, max_dev ~ 0
+    val days = (1 to 20).map(i => f"2024-01-$i%02d")
+    val prop = frame(days.zipWithIndex.flatMap { case (d, i) =>
+      Seq((1L, d, Some((i + 1) * 2.0)), (2L, d, Some((i + 1) * 4.0)))
+    })
+    val knn = Seq((1L, 2L, 1), (2L, 1L, 1)).toDF("station_id", "nb_id", "rank")
+    val flat = Climate.doubleMass(prop, knn).collect()
+    flat.foreach(r => assert(r.getAs[Double]("max_dev") < 0.01,
+      s"proportional record must sit on the double-mass line: $r"))
+    // plant a regime change in station 1's second half: deviation
+    // becomes large and the break day lands at the curve's knee (the
+    // last old-regime day — where a double-mass analyst reads it)
+    val broken = frame(days.zipWithIndex.flatMap { case (d, i) =>
+      val v1 = if (i >= 10) 20.0 else 2.0
+      Seq((1L, d, Some(v1)), (2L, d, Some(4.0)))
+    })
+    val b = Climate.doubleMass(broken, knn).collect()
+      .find(_.getAs[Long]("station_id") == 1L).get
+    assert(b.getAs[Double]("max_dev") > 1.0)
+    assert(b.getAs[java.sql.Date]("break_day").toString === "2024-01-10")
+  }
+
   test("return periods: weibull positions are a bijection over the years") {
     val daily = graft.tsdb.TsQueries.rawDaily(spark, "/root/testdata/sf0.001")
     val out = Climate.returnPeriods(daily).collect()
