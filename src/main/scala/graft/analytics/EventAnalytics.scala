@@ -120,37 +120,50 @@ object EventAnalytics {
     * h = (user_id * 48271) % 2147483647 (MINSTD LCG step); bucket =
     * h % 64; rho = 1 + index of lowest set bit of h div 64 (the
     * div-64 quotient is < 2^25, so rho ≤ 25; quotient 0 → 26). */
-  def hllDistinct(events: DataFrame): DataFrame = {
-    val m = 64
-    val hashed = events
-      .withColumn("h", (col("user_id") * lit(48271L)) % lit(2147483647L))
-      .withColumn("bucket", col("h") % m)
-      .withColumn("rest", expr(s"h div $m"))
-      // rho via exact integer bit arithmetic (bit_count of the
-      // trailing-zero mask) — log2() would be ln(x)/ln(2) on the JVM,
-      // which is off-by-an-ulp even for exact powers of two
+  private val HllM = 64
+
+  /** 64-register sketch registers per key group: hash/bucket/rho
+    * arithmetic shared STRUCTURALLY by [[hllDistinct]] and
+    * [[hllSetOps]] (both oracles mirror this one definition).
+    * rho uses exact integer bit arithmetic (bit_count of the
+    * trailing-zero mask) — log2() would be ln(x)/ln(2) on the JVM,
+    * off-by-an-ulp even for exact powers of two. */
+  private def hllRegisters(df: DataFrame, el: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("el_h", (el * lit(48271L)) % lit(2147483647L))
+      .withColumn("bucket", col("el_h") % HllM)
+      .withColumn("rest", expr(s"el_h div $HllM"))
       .withColumn("rho",
         when(col("rest") === 0, lit(26))
           .otherwise(expr("bit_count((rest & -rest) - 1) + 1")))
-    val perBucket = hashed.groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("mj"))
-    val est = perBucket.groupBy(col("event_type"))
-      // 2^-mj as exact shift-then-divide (1/2^k is a dyadic rational,
-      // exactly representable; no transcendental pow on either engine)
+      .groupBy(key, col("bucket")).agg(max(col("rho")).as("mj"))
+
+  /** Estimate from a register frame, per `keys` group (empty = one
+    * global row): 2^-mj as exact shift-then-divide (dyadic rationals,
+    * no transcendental pow), empty buckets contribute 2^0 = 1, and
+    * the standard small-range linear-counting switch at ≤ 2.5m with
+    * empty buckets left. ln() is the one transcendental; all 63
+    * possible m·ln(m/V) values sit ≥ 3e-7 from a 4-decimal rounding
+    * boundary, so a 1-ulp libm difference cannot flip the rounding. */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String],
+      as: String): DataFrame = {
+    val grouped =
+      if (keys.isEmpty) regs.groupBy() else regs.groupBy(keys.map(col): _*)
+    grouped
       .agg(sum(expr("cast(1 as double) / shiftleft(cast(1 as bigint), mj)")).as("s"),
         count(lit(1)).as("nb"))
-      // empty buckets contribute 2^0 = 1 each
-      .withColumn("v", lit(m) - col("nb"))
-      .withColumn("e_raw", lit(0.709 * m * m) / (col("s") + col("v")))
-      // standard small-range correction: linear counting when the raw
-      // estimate is ≤ 2.5m and empty buckets remain. ln() is the one
-      // transcendental in the sketch; all 63 possible m·ln(m/V) values
-      // sit ≥ 3e-7 from a 4-decimal rounding boundary, so a 1-ulp
-      // libm difference between engines cannot flip the rounding.
-      .withColumn("hll_estimate",
-        round(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
-            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+      .withColumn("v", lit(HllM) - col("nb"))
+      .withColumn("e_raw", lit(0.709 * HllM * HllM) / (col("s") + col("v")))
+      .withColumn(as,
+        round(when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
           .otherwise(col("e_raw")) + lit(1e-9), 4))
+      .drop("s", "nb", "v", "e_raw")
+  }
+
+  def hllDistinct(events: DataFrame): DataFrame = {
+    val perBucket = hllRegisters(events, col("user_id"), col("event_type"))
+    val est = hllEstimate(perBucket, Seq("event_type"), "hll_estimate")
     val exact = events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     est.join(exact, Seq("event_type"))
@@ -360,40 +373,20 @@ object EventAnalytics {
     * [[hllDistinct]], mirrored bit-for-bit by the oracle. */
   def hllSetOps(events: DataFrame, typeA: String = "view",
       typeB: String = "purchase"): DataFrame = {
-    val m = 64
     // element = active (user, day): the overlap question a product
     // asks at a granularity where the two sets genuinely differ
-    val hashed = events
-      .filter(col("event_type").isin(typeA, typeB))
-      .withColumn("el",
-        col("user_id") * lit(100000L) +
-          expr("datediff(to_date(ts), DATE'1970-01-01')"))
-      .withColumn("h", (col("el") * lit(48271L)) % lit(2147483647L))
-      .withColumn("bucket", col("h") % m)
-      .withColumn("rest", expr(s"h div $m"))
-      .withColumn("rho",
-        when(col("rest") === 0, lit(26))
-          .otherwise(expr("bit_count((rest & -rest) - 1) + 1")))
-    val perBucket = hashed.groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("mj"))
-    // union registers: element-wise max across the two types
-    def estimate(regs: DataFrame, as: String) = regs
-      .agg(sum(expr("cast(1 as double) / shiftleft(cast(1 as bigint), mj)")).as("s"),
-        count(lit(1)).as("nb"))
-      .withColumn("v", lit(m) - col("nb"))
-      .withColumn("e_raw", lit(0.709 * m * m) / (col("s") + col("v")))
-      .select(round(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
-        .otherwise(col("e_raw")) + lit(1e-9), 4).as(as))
+    val elExpr = col("user_id") * lit(100000L) +
+      expr("datediff(to_date(ts), DATE'1970-01-01')")
+    val both = events.filter(col("event_type").isin(typeA, typeB))
+    val perBucket = hllRegisters(both, elExpr, col("event_type"))
+    def estimate(regs: DataFrame, as: String) =
+      hllEstimate(regs, Nil, as)
     val estA = estimate(perBucket.filter(col("event_type") === typeA), "est_a")
     val estB = estimate(perBucket.filter(col("event_type") === typeB), "est_b")
+    // union registers: element-wise max across the two types
     val estU = estimate(
       perBucket.groupBy(col("bucket")).agg(max(col("mj")).as("mj")), "est_union")
-    val els = events.filter(col("event_type").isin(typeA, typeB))
-      .select(col("event_type"),
-        (col("user_id") * lit(100000L) +
-          expr("datediff(to_date(ts), DATE'1970-01-01')")).as("el"))
-      .distinct()
+    val els = both.select(col("event_type"), elExpr.as("el")).distinct()
     val exact = els.groupBy(col("el"))
       .agg(count(lit(1)).as("n_types"))
       .agg(count(lit(1)).as("n_union_exact"),

@@ -1028,7 +1028,7 @@ object LlmOracle {
       GROUP BY 1, 2 HAVING count(*) >= 5),
     pmi AS (
       SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.cab, ua.cu AS ca, ub.cu AS cb,
-        round(ln(bi.cab * t.n_corpus / (ua.cu * ub.cu)) + 1e-9, 6) AS pmi
+        round(ln(bi.cab * t.n_corpus / ua.cu / ub.cu) + 1e-9, 6) AS pmi
       FROM bi JOIN uni ua ON bi.w1 = ua.tok
         JOIN uni ub ON bi.w2 = ub.tok, tot t),
     top AS (SELECT * FROM pmi ORDER BY pmi DESC, bigram LIMIT 20)

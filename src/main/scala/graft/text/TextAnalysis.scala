@@ -242,10 +242,21 @@ object TextAnalysis {
     * TakeOrderedAndProject top-k — the rank/cumsum windows run over
     * the k-row result only (the `limit(k)` bounds them structurally),
     * never over the vocabulary. Ties rank lexicographically. */
+  /** Corpus token frequencies — the shared base of [[vocabCoverage]],
+    * [[heavyHitters]] and [[oovRate]]'s vocabulary, so their "exact
+    * count" columns agree structurally, not by copy-discipline. */
+  private def corpusTokenCounts(documents: DataFrame): DataFrame =
+    documents.select(explode(expr(tokens("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+
+  /** Top-k tokens by corpus frequency, ties lexicographic —
+    * TakeOrderedAndProject, never a global sort. */
+  private def topTokens(documents: DataFrame, k: Int): DataFrame =
+    corpusTokenCounts(documents).orderBy(col("n").desc, col("tok")).limit(k)
+
   def vocabCoverage(documents: DataFrame, k: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = documents.select(explode(expr(tokens("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val counts = corpusTokenCounts(documents)
     val total = counts.agg(sum(col("n")).cast("double").as("n_corpus"))
     counts.orderBy(col("n").desc, col("tok")).limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
@@ -633,8 +644,11 @@ object TextAnalysis {
     bi.join(uni.select(col("tok").as("w1"), col("cu").as("ca")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("cu").as("cb")), Seq("w2"))
       .crossJoin(broadcast(total))
+      // divide by ca and cb SEQUENTIALLY as doubles: the ca*cb Long
+      // product overflows at trillion-token corpora (two ~3e9-count
+      // stopwords already pass 2^63 — ANSI mode would kill the job)
       .withColumn("pmi", round(
-        log(col("cab") * col("n_corpus") / (col("ca") * col("cb"))) + lit(1e-9), 6))
+        log(col("cab") * col("n_corpus") / col("ca") / col("cb")) + lit(1e-9), 6))
       .withColumn("bigram", concat(col("w1"), lit(" "), col("w2")))
       .orderBy(col("pmi").desc, col("bigram")).limit(k)
       .withColumn("rank",
@@ -668,9 +682,11 @@ object TextAnalysis {
     val cells = toksF.select(explode(expr(jcells)).as("jc"))
       .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
       .agg(count(lit(1)).as("c"))
-    val topk = toksF.groupBy(col("tok"), col("th"))
-      .agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col("tok")).limit(k)
+    // the exact column IS vocabCoverage's frequency table (shared
+    // topTokens base); th re-derives functionally from the token
+    val topk = topTokens(documents, k)
+      .withColumnRenamed("n", "n_exact")
+      .withColumn("th", expr(polyHash("tok")))
     val probes = topk.select(col("tok"), col("n_exact"),
         explode(expr(jcells)).as("jc"))
       .select(col("tok"), col("n_exact"),
@@ -698,9 +714,7 @@ object TextAnalysis {
     * vocabulary-sized, and nothing is all-pairs. */
   def oovRate(documents: DataFrame, k: Int = 30): DataFrame = {
     val toks = documents.select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("tok")).limit(k)
-      .select(col("tok"), lit(1).as("in_vocab"))
+    val vocab = topTokens(documents, k).select(col("tok"), lit(1).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -115,29 +115,36 @@ object Climate {
     * as `rawDaily`. (The O(n log n) inversion-count form is the
     * alternative if a dense series must be tested directly.) */
   def mannKendall(rawDaily: DataFrame): DataFrame = {
+    // the observed frame feeds BOTH self-join sides and the count —
+    // persist it so a non-memoized input is not scanned three times,
+    // and materialize the (tiny, O(#stations)) result before release
     val annual = rawDaily.filter(col("raw").isNotNull)
       .select(col("station_id"), col("day").as("yr"), col("raw").as("p"))
-    val a = annual.select(col("station_id"), col("yr").as("yi"), col("p").as("xi"))
-    val b = annual.select(col("station_id"), col("yr").as("yj"), col("p").as("xj"))
-    a.join(b, Seq("station_id")).filter(col("yi") < col("yj"))
-      .groupBy(col("station_id"))
-      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"))
-      .join(annual.groupBy(col("station_id")).agg(count(lit(1)).as("n")),
-        Seq("station_id"))
-      .withColumn("var_s",
-        round(col("n") * (col("n") - 1) * (col("n") * 2 + 5) / lit(18.0)
-          + lit(1e-9), 6))
-      // continuity-corrected z: sign(S)·(|S|−1)/sqrt(var); S=0 → 0
-      .withColumn("z",
-        when(col("s") === 0, lit(0.0)).otherwise(
-          round(signum(col("s")) * (abs(col("s")) - 1) / sqrt(col("var_s"))
-            + lit(1e-9), 4)))
-      .withColumn("trend",
-        when(col("z") > 1.96, lit("increasing"))
-          .when(col("z") < -1.96, lit("decreasing"))
-          .otherwise(lit("none")))
-      .select(col("station_id"), col("n"), col("s"), col("var_s"), col("z"),
-        col("trend"))
+      .persist()
+    try {
+      val a = annual.select(col("station_id"), col("yr").as("yi"), col("p").as("xi"))
+      val b = annual.select(col("station_id"), col("yr").as("yj"), col("p").as("xj"))
+      val out = a.join(b, Seq("station_id")).filter(col("yi") < col("yj"))
+        .groupBy(col("station_id"))
+        .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"))
+        .join(annual.groupBy(col("station_id")).agg(count(lit(1)).as("n")),
+          Seq("station_id"))
+        .withColumn("var_s",
+          round(col("n") * (col("n") - 1) * (col("n") * 2 + 5) / lit(18.0)
+            + lit(1e-9), 6))
+        // continuity-corrected z: sign(S)·(|S|−1)/sqrt(var); S=0 → 0
+        .withColumn("z",
+          when(col("s") === 0, lit(0.0)).otherwise(
+            round(signum(col("s")) * (abs(col("s")) - 1) / sqrt(col("var_s"))
+              + lit(1e-9), 4)))
+        .withColumn("trend",
+          when(col("z") > 1.96, lit("increasing"))
+            .when(col("z") < -1.96, lit("decreasing"))
+            .otherwise(lit("none")))
+        .select(col("station_id"), col("n"), col("s"), col("var_s"), col("z"),
+          col("trend"))
+      out.localCheckpoint(true)
+    } finally annual.unpersist()
   }
 
   /** Double-mass homogeneity check (the classic gauge-consistency
