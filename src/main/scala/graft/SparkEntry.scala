@@ -19,6 +19,7 @@ object SparkEntry {
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_asof_native" -> (Queries.qAsofNative _),
     "q_asof_tolerance" -> (Queries.qAsofTolerance _),
+    "q17_small_quantity" -> (Queries.q17SmallQuantity _),
     "q_rollup" -> (Queries.qRollup _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++

@@ -61,6 +61,14 @@ object OracleSql {
     FROM cand WHERE rn = 1
     ORDER BY event_id"""
 
+  val q17SmallQuantity: String = """
+    SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 3) AS avg_yearly,
+      count(*) AS n_rows
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey)"""
+
   val qAsofTolerance: String = """
     WITH cand AS (
       SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
@@ -135,5 +143,6 @@ object OracleSql {
     // the native operator must reproduce the composed route bit-for-bit
     "q_asof_native" -> qAsofJoin,
     "q_asof_tolerance" -> qAsofTolerance,
+    "q17_small_quantity" -> q17SmallQuantity,
     "q_rollup" -> qRollup)
 }

@@ -190,6 +190,25 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** TPC-H Q17 shape — small-quantity order revenue via a CORRELATED
+    * scalar subquery: lineitems whose quantity is under half their
+    * part's average quantity. Exercises Catalyst's subquery
+    * decorrelation: the optimizer rewrites the per-row subquery into
+    * ONE aggregate over lineitem grouped by partkey plus an equi-join
+    * — no per-row re-scan survives into the physical plan (the naive
+    * reading would be O(rows × parts)). The inner avg is an exact
+    * integer-ratio double, so the comparison is engine-identical. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q17_lineitem")
+    spark.sql("""
+      SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 3) AS avg_yearly,
+        count(*) AS n_rows
+      FROM graft_q17_lineitem l1
+      WHERE l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM graft_q17_lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey)""")
+  }
+
   /** Ingest normalization: duplicate (station, ts) measurements resolve
     * to the latest import — Sources.ingestDedup over the events feed. */
   def qIngestDedup(spark: SparkSession, dir: String): DataFrame =

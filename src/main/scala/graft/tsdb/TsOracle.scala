@@ -721,6 +721,23 @@ object TsOracle {
       CASE WHEN filled > 0 THEN round(filled + delta + 1e-9, 3) ELSE filled END AS corr
     FROM corr_c ORDER BY station_id, day""")
 
+  /** Mirrors TsQueries.qPrecipTypeMix: the full corrected frame as a
+    * subquery, then the per-(station, type) census. */
+  val qPrecipTypeMix: String = s"""
+    WITH base AS ($qRichterCorrect),
+    agg AS (
+      SELECT station_id,
+        coalesce(precipitation_typ, 'untyped') AS precipitation_typ,
+        count(*) AS n_days,
+        round(sum(CASE WHEN filled > 0 THEN corr - filled ELSE 0.0 END)
+          + 1e-9, 3) AS uplift
+      FROM base GROUP BY 1, 2)
+    SELECT station_id, precipitation_typ, n_days,
+      round(n_days / (sum(n_days) OVER (PARTITION BY station_id))::DOUBLE
+        + 1e-9, 6) AS share,
+      uplift
+    FROM agg ORDER BY station_id, precipitation_typ"""
+
   /** Sub-daily correction: integer-scaled daily delta spread over wet
     * hourly intervals (delta/count_n semantics, StationP.py:553-612). */
   val qRichterCorrectHourly: String = s"""
@@ -1048,6 +1065,7 @@ object TsOracle {
     "q_spi_zscore" -> qSpiZscore,
     "q_trend_mk" -> qTrendMk,
     "q_double_mass" -> qDoubleMass,
+    "q_precip_type_mix" -> qPrecipTypeMix,
     "q_degree_days" -> qDegreeDays,
     "q_return_period" -> qReturnPeriod,
     "q_fill_neighbor" -> qFillNeighbor,

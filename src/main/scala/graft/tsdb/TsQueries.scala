@@ -270,6 +270,29 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  /** Per-station precipitation-type climatology from the Richter
+    * typing (StationP.py:571-580): day share and correction uplift
+    * mass per type — the summary a correction run is sanity-checked
+    * by. One keyed aggregate over the corrected frame; the share
+    * window runs over ≤ 5 type rows per station. */
+  def qPrecipTypeMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Richter.correct(s, filledSeries(s, d), tempFilled(s, d), meta(s, d))
+    val w = Window.partitionBy(col("station_id"))
+    c.withColumn("precipitation_typ",
+        coalesce(col("precipitation_typ"), lit("untyped")))
+      .groupBy(col("station_id"), col("precipitation_typ"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(when(col("filled") > 0, col("corr") - col("filled"))
+          .otherwise(lit(0.0))) + lit(1e-9), 3).as("uplift"))
+      .withColumn("share",
+        round(col("n_days") / sum(col("n_days")).over(w).cast("double")
+          + lit(1e-9), 6))
+      .select(col("station_id"), col("precipitation_typ"), col("n_days"),
+        col("share"), col("uplift"))
+      .orderBy(col("station_id"), col("precipitation_typ"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dry_spells" -> (qDrySpells _),
     "q_degree_days" -> (qDegreeDays _),
@@ -277,6 +300,7 @@ object TsQueries {
     "q_spi_zscore" -> (qSpiZscore _),
     "q_trend_mk" -> (qTrendMk _),
     "q_double_mass" -> (qDoubleMass _),
+    "q_precip_type_mix" -> (qPrecipTypeMix _),
     "q_fill_neighbor" -> (qFillNeighbor _),
     "q_fill_seasonal" -> (qFillSeasonal _),
     "q_fill_median5" -> (qFillMedian5 _),

@@ -66,6 +66,17 @@ class ExplainSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit, found ${limits.size}")
   }
 
+  test("q17's correlated subquery decorrelates to one aggregate + equi-join") {
+    val plan = physical("q17_small_quantity")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size === 1, s"expected the single decorrelated join, got ${joins.map(_.nodeName)}")
+    // no surviving subquery expression = the rewrite actually fired
+    assert(!plan.toString.contains("Subquery"),
+      "correlated subquery survived into the physical plan")
+  }
+
   test("weighted and vocab top-k plan TakeOrderedAndProject, not a global sort") {
     Seq("q_sample_weighted", "q_oov_rate", "q_vocab_coverage").foreach { q =>
       val topk = physical(q).collect {
