@@ -195,6 +195,174 @@ object Climate {
           .cast("int")).as("break_day"))
   }
 
+  /** ETCCDI threshold count indices per (station, year) from the daily
+    * temperature extrema: frost days (t_min < 0), ice days
+    * (t_max < 0), summer days (t_max > 25), tropical nights
+    * (t_min > 20) — the standard climate-change monitoring counts.
+    * Days without a temperature observation contribute to no count and
+    * are reported as the year's missing tally.
+    *
+    * Plan: ONE map-combinable keyed aggregate per (station, year) over
+    * the dense grid; no window, no join. */
+  def countIndices(tMinMax: DataFrame): DataFrame =
+    tMinMax
+      .withColumn("yr", year(col("day")))
+      .groupBy(col("station_id"), col("yr"))
+      .agg(
+        count(when(col("t_min") < 0.0, lit(1))).as("frost_days"),
+        count(when(col("t_max") < 0.0, lit(1))).as("ice_days"),
+        count(when(col("t_max") > 25.0, lit(1))).as("summer_days"),
+        count(when(col("t_min") > 20.0, lit(1))).as("tropical_nights"),
+        count(col("t_min")).as("n_obs"),
+        sum(when(col("t_min").isNull, 1L).otherwise(0L)).as("n_missing"))
+
+  /** Annual maximum k-day precipitation (the ETCCDI Rx1day/Rx5day
+    * indices): per (station, year) the wettest single observed day and
+    * the wettest trailing `accDays`-day accumulation (missing days
+    * accumulate 0, as a gauge that recorded nothing would; only
+    * complete windows compete, and a window is attributed to the year
+    * of its END day — ETCCDI's convention for year-spanning windows).
+    *
+    * Plan: one trailing window per station (partition-local on the
+    * series partitioning), then ONE map-combinable keyed aggregate. */
+  def rxNday(rawDaily: DataFrame, accDays: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+      .rowsBetween(-(accDays - 1), 0)
+    rawDaily
+      .withColumn("acc",
+        round(sum(coalesce(col("raw"), lit(0.0))).over(w) + lit(1e-9), 3))
+      .withColumn("w_size", count(lit(1)).over(w))
+      .groupBy(col("station_id"), year(col("day")).as("yr"))
+      .agg(max(col("raw")).as("rx1day"),
+        max(when(col("w_size") === accDays, col("acc"))).as(s"rx${accDays}day"))
+  }
+
+  /** Very-wet-day precipitation total (the ETCCDI R95pTOT index): per
+    * station, the 95th percentile of WET days (raw ≥ `wetThresh`) over
+    * the whole period, then the total / count / share of precipitation
+    * falling on days exceeding it. Exact interpolated percentile here
+    * (the oracle pins the semantics); `approx_percentile` is the
+    * mergeable 100 TB swap-in with the identical plan shape.
+    *
+    * Plan: one keyed aggregate for the per-station cutoff (O(#stations)
+    * rows), one keyed join back, one final keyed aggregate — no window
+    * over the day frame. */
+  def r95p(rawDaily: DataFrame, wetThresh: Double = 25.0): DataFrame = {
+    val wet = rawDaily.filter(col("raw") >= wetThresh)
+    val cut = wet.groupBy(col("station_id"))
+      .agg(round(expr("percentile(raw, 0.95D)") + lit(1e-9), 6).as("p95"),
+        count(lit(1)).as("n_wet"))
+    wet.join(cut, Seq("station_id"))
+      .groupBy(col("station_id"), col("p95"), col("n_wet"))
+      .agg(
+        count(when(col("raw") > col("p95"), lit(1))).as("n_very_wet"),
+        round(sum(when(col("raw") > col("p95"), col("raw")).otherwise(lit(0.0)))
+          + lit(1e-9), 3).as("r95p_total"),
+        round(sum(col("raw")) + lit(1e-9), 3).as("wet_total"))
+      .withColumn("r95p_share",
+        when(col("wet_total") > 0.0,
+          round(col("r95p_total") / col("wet_total") + lit(1e-9), 6)))
+      .select(col("station_id"), col("p95"), col("n_wet"), col("n_very_wet"),
+        col("r95p_total"), col("wet_total"), col("r95p_share"))
+  }
+
+  /** Month-of-year climatology and per-day anomaly (deseasonalization
+    * — the preprocessing step of every drought/trend analysis): per
+    * (station, calendar month 1-12) the mean observed daily sum, and
+    * each observed day's departure from its month's climatology.
+    *
+    * Plan: one keyed aggregate to ≤ 12 rows per station, one keyed
+    * join back — both on the station partitioning; no window. */
+  def climatology(rawDaily: DataFrame): DataFrame = {
+    val clim = rawDaily.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"), month(col("day")).as("moy"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("clim"),
+        count(lit(1)).as("n_clim"))
+    rawDaily
+      .withColumn("moy", month(col("day")))
+      .join(clim, Seq("station_id", "moy"), "left")
+      .withColumn("anom",
+        when(col("raw").isNotNull,
+          round(col("raw") - col("clim") + lit(1e-9), 4)))
+      .select(col("station_id"), col("day"), col("moy"), col("raw"),
+        col("clim"), col("n_clim"), col("anom"))
+  }
+
+  /** Per-day temperature lapse rate across the station network: the
+    * least-squares slope of daily temperature against station
+    * elevation (°C per elevation unit) — the regression behind the
+    * reference's elevation-aware T regionalization (LARSIM weighting,
+    * StationBases.py:2196) made explicit. Closed-form simple
+    * regression from the five sufficient sums; days with < 3 reporting
+    * stations or degenerate elevation variance yield NULLs.
+    *
+    * Plan: broadcast meta join (elevation is O(#stations)), then ONE
+    * map-combinable keyed aggregate per day — the sums shuffle, the
+    * rows don't. r² guarded for zero temperature variance. */
+  def lapseRate(tempDaily: DataFrame, meta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val obs = tempDaily.filter(col("t").isNotNull)
+      .join(broadcast(meta.select(col("station_id"), col("elev"))), Seq("station_id"))
+    obs.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("elev")).as("sx"), sum(col("t")).as("sy"),
+        sum(col("elev") * col("elev")).as("sxx"),
+        sum(col("t") * col("t")).as("syy"),
+        sum(col("elev") * col("t")).as("sxy"))
+      .withColumn("det", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        when(col("n") >= 3 && col("det") > 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) / col("det")
+            + lit(1e-9), 6)))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+            / col("det") * col("sx")) / col("n") + lit(1e-9), 4)))
+      .withColumn("dety", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r2",
+        when(col("slope").isNotNull && col("dety") > 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            * (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("det") * col("dety")) + lit(1e-9), 6)))
+      .select(col("day"), col("n"), col("slope"), col("intercept"), col("r2"))
+  }
+
+  /** Lag-k autocorrelation of the daily series per station (the
+    * persistence profile behind gap-fill donor choice and storm
+    * clustering): for k = 1..`maxLag`, the sample ACF
+    * `r_k = Σ (x_t − x̄)(x_{t+k} − x̄) / Σ (x_t − x̄)²` over the dense
+    * grid with missing days as 0 (the same series SPI standardizes).
+    *
+    * Plan: lag columns from ONE window per station (partition-local),
+    * the station mean from one keyed aggregate joined back, then one
+    * keyed aggregate per station; the k lags unpivot from the final
+    * O(#stations) frame, never the day frame. */
+  def acf(rawDaily: DataFrame, maxLag: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val withLags = (1 to maxLag).foldLeft(
+      rawDaily.withColumn("x", coalesce(col("raw"), lit(0.0)))) {
+      case (df, k) => df.withColumn(s"x_lag$k", lag(col("x"), k).over(w))
+    }
+    val mean = withLags.groupBy(col("station_id"))
+      .agg(round(avg(col("x")) + lit(1e-9), 6).as("xbar"))
+    val centered = withLags.join(mean, Seq("station_id"))
+    val numCols: Seq[org.apache.spark.sql.Column] = (1 to maxLag).map { k =>
+      sum((col("x") - col("xbar")) *
+        (col(s"x_lag$k") - col("xbar"))).as(s"num$k")
+    }
+    val agg = centered.groupBy(col("station_id"), col("xbar"))
+      .agg(sum((col("x") - col("xbar")) * (col("x") - col("xbar"))).as("den"),
+        numCols: _*)
+    val stacked = agg.select(col("station_id"), col("xbar"), col("den"),
+      expr(s"stack($maxLag, " +
+        (1 to maxLag).map(k => s"$k, num$k").mkString(", ") +
+        ") as (lag, num)"))
+    stacked
+      .withColumn("acf",
+        when(col("den") > 0.0, round(col("num") / col("den") + lit(1e-9), 4)))
+      .select(col("station_id"), col("lag"), col("xbar"), col("acf"))
+  }
+
   /** Empirical return periods of the annual precipitation maxima by
     * Weibull plotting position (the hydrology design-storm staple):
     * per station the yearly maxima rank descending and

@@ -77,6 +77,18 @@ object Series {
     hourlyGrid(events).join(hourly, Seq("station_id", "hour"), "left")
   }
 
+  /** Daily temperature min/max companions on the dense grid (the
+    * reference's raw_min/raw_max of the T tables, StationT.py:70-88,
+    * in temperature units): extrema of the day's 'view' events under
+    * the same −TempShift proxy as [[dailyTemp]]. */
+  def dailyTempMinMax(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id").cast("long").as("station_id"), to_date(col("ts")).as("day"))
+      .agg((round(min(col("value")) + lit(1e-9), 3) - lit(TempShift)).as("t_min"),
+        (round(max(col("value")) + lit(1e-9), 3) - lit(TempShift)).as("t_max"))
+    grid(events).join(daily, Seq("station_id", "day"), "left")
+  }
+
   /** Daily min/max companion series (the reference's raw_min/raw_max
     * columns of the temperature tables, StationT.py:70-88). */
   def dailyMinMax(events: DataFrame): DataFrame = {

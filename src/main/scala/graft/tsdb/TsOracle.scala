@@ -1060,7 +1060,146 @@ object TsOracle {
       day AS break_day
     FROM ranked WHERE rn = 1 ORDER BY station_id"""
 
+  /** Mirrors Climate.countIndices: ETCCDI threshold counts per
+    * (station, year) over the dense temperature-extrema grid. */
+  val qFrostDays: String = s"""
+    WITH $world,
+    tmm AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(min(value) + 1e-9, 3) - $TempShift AS t_min,
+        round(max(value) + 1e-9, 3) - $TempShift AS t_max
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    tg AS (
+      SELECT g.station_id, g.day, t.t_min, t.t_max
+      FROM grid g LEFT JOIN tmm t USING (station_id, day))
+    SELECT station_id, year(day) AS yr,
+      count(CASE WHEN t_min < 0.0 THEN 1 END) AS frost_days,
+      count(CASE WHEN t_max < 0.0 THEN 1 END) AS ice_days,
+      count(CASE WHEN t_max > 25.0 THEN 1 END) AS summer_days,
+      count(CASE WHEN t_min > 20.0 THEN 1 END) AS tropical_nights,
+      count(t_min) AS n_obs,
+      CAST(sum(CASE WHEN t_min IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM tg GROUP BY 1, 2 ORDER BY station_id, yr"""
+
+  /** Mirrors Climate.rxNday: annual max observed day and max complete
+    * trailing 5-day accumulation, attributed to the window-end year. */
+  val qRx5day: String = s"""
+    WITH $world,
+    acc AS (
+      SELECT station_id, day, raw,
+        round(sum(coalesce(raw, 0.0)) OVER win + 1e-9, 3) AS acc,
+        count(*) OVER win AS w_size
+      FROM raw_daily
+      WINDOW win AS (PARTITION BY station_id ORDER BY day
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT station_id, year(day) AS yr, max(raw) AS rx1day,
+      max(CASE WHEN w_size = 5 THEN acc END) AS rx5day
+    FROM acc GROUP BY 1, 2 ORDER BY station_id, yr"""
+
+  /** Mirrors Climate.r95p: exact interpolated wet-day p95 cutoff,
+    * then the very-wet total / count / share per station. */
+  val qR95p: String = s"""
+    WITH $world,
+    wet AS (SELECT station_id, raw FROM raw_daily WHERE raw >= 25.0),
+    cut AS (
+      SELECT station_id, round(quantile_cont(raw, 0.95) + 1e-9, 6) AS p95,
+        count(*) AS n_wet
+      FROM wet GROUP BY 1)
+    SELECT w.station_id, c.p95, c.n_wet,
+      count(CASE WHEN w.raw > c.p95 THEN 1 END) AS n_very_wet,
+      round(sum(CASE WHEN w.raw > c.p95 THEN w.raw ELSE 0.0 END) + 1e-9, 3)
+        AS r95p_total,
+      round(sum(w.raw) + 1e-9, 3) AS wet_total,
+      CASE WHEN round(sum(w.raw) + 1e-9, 3) > 0.0
+           THEN round(round(sum(CASE WHEN w.raw > c.p95 THEN w.raw ELSE 0.0 END)
+                + 1e-9, 3) / round(sum(w.raw) + 1e-9, 3) + 1e-9, 6)
+      END AS r95p_share
+    FROM wet w JOIN cut c USING (station_id)
+    GROUP BY 1, 2, 3 ORDER BY station_id"""
+
+  /** Mirrors Climate.climatology: month-of-year mean + per-day
+    * anomaly over the dense grid. */
+  val qClimatology: String = s"""
+    WITH $world,
+    clim AS (
+      SELECT station_id, month(day) AS moy,
+        round(avg(raw) + 1e-9, 6) AS clim, count(*) AS n_clim
+      FROM raw_daily WHERE raw IS NOT NULL GROUP BY 1, 2)
+    SELECT r.station_id, r.day, month(r.day) AS moy, r.raw,
+      c.clim, c.n_clim,
+      CASE WHEN r.raw IS NOT NULL
+           THEN round(r.raw - c.clim + 1e-9, 4) END AS anom
+    FROM raw_daily r
+    LEFT JOIN clim c ON c.station_id = r.station_id AND c.moy = month(r.day)
+    ORDER BY r.station_id, r.day"""
+
+  /** Mirrors Climate.lapseRate: closed-form least-squares slope of
+    * daily temperature on station elevation from the sufficient sums. */
+  val qLapseRate: String = s"""
+    WITH $world,
+    t_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    obs AS (
+      SELECT t.day, t.t, m.elev
+      FROM t_daily t JOIN meta m USING (station_id)),
+    sums AS (
+      SELECT day, count(*) AS n, sum(elev) AS sx, sum(t) AS sy,
+        sum(elev * elev) AS sxx, sum(t * t) AS syy, sum(elev * t) AS sxy
+      FROM obs GROUP BY 1),
+    d AS (
+      SELECT *, n * sxx - sx * sx AS det, n * syy - sy * sy AS dety
+      FROM sums)
+    SELECT day, n,
+      CASE WHEN n >= 3 AND det > 0.0
+           THEN round((n * sxy - sx * sy) / det + 1e-9, 6) END AS slope,
+      CASE WHEN n >= 3 AND det > 0.0
+           THEN round((sy - (n * sxy - sx * sy) / det * sx) / n + 1e-9, 4)
+      END AS intercept,
+      CASE WHEN n >= 3 AND det > 0.0 AND dety > 0.0
+           THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / (det * dety) + 1e-9, 6) END AS r2
+    FROM d ORDER BY day"""
+
+  /** Mirrors Climate.acf: lag-1..3 sample autocorrelation of the
+    * zero-filled daily series per station. */
+  val qAcf: String = s"""
+    WITH $world,
+    x AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x,
+        lag(coalesce(raw, 0.0), 1) OVER win AS x_lag1,
+        lag(coalesce(raw, 0.0), 2) OVER win AS x_lag2,
+        lag(coalesce(raw, 0.0), 3) OVER win AS x_lag3
+      FROM raw_daily
+      WINDOW win AS (PARTITION BY station_id ORDER BY day)),
+    m AS (
+      SELECT station_id, round(avg(x) + 1e-9, 6) AS xbar
+      FROM x GROUP BY 1),
+    agg AS (
+      SELECT x.station_id, m.xbar,
+        sum((x.x - m.xbar) * (x.x - m.xbar)) AS den,
+        sum((x.x - m.xbar) * (x.x_lag1 - m.xbar)) AS num1,
+        sum((x.x - m.xbar) * (x.x_lag2 - m.xbar)) AS num2,
+        sum((x.x - m.xbar) * (x.x_lag3 - m.xbar)) AS num3
+      FROM x JOIN m USING (station_id) GROUP BY 1, 2),
+    stacked AS (
+      SELECT station_id, xbar, den, 1 AS lag, num1 AS num FROM agg
+      UNION ALL
+      SELECT station_id, xbar, den, 2, num2 FROM agg
+      UNION ALL
+      SELECT station_id, xbar, den, 3, num3 FROM agg)
+    SELECT station_id, lag, xbar,
+      CASE WHEN den > 0.0 THEN round(num / den + 1e-9, 4) END AS acf
+    FROM stacked ORDER BY station_id, lag"""
+
   val all: Map[String, String] = Map(
+    "q_frost_days" -> qFrostDays,
+    "q_rx5day" -> qRx5day,
+    "q_r95p" -> qR95p,
+    "q_climatology" -> qClimatology,
+    "q_lapse_rate" -> qLapseRate,
+    "q_acf" -> qAcf,
     "q_dry_spells" -> qDrySpells,
     "q_spi_zscore" -> qSpiZscore,
     "q_trend_mk" -> qTrendMk,

@@ -270,6 +270,25 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  def qFrostDays(s: SparkSession, d: String): DataFrame =
+    Climate.countIndices(Series.dailyTempMinMax(ev(s, d)))
+      .orderBy(col("station_id"), col("yr"))
+
+  def qRx5day(s: SparkSession, d: String): DataFrame =
+    Climate.rxNday(rawDaily(s, d)).orderBy(col("station_id"), col("yr"))
+
+  def qR95p(s: SparkSession, d: String): DataFrame =
+    Climate.r95p(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qClimatology(s: SparkSession, d: String): DataFrame =
+    Climate.climatology(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
+
+  def qLapseRate(s: SparkSession, d: String): DataFrame =
+    Climate.lapseRate(Series.dailyTemp(ev(s, d)), meta(s, d)).orderBy(col("day"))
+
+  def qAcf(s: SparkSession, d: String): DataFrame =
+    Climate.acf(rawDaily(s, d)).orderBy(col("station_id"), col("lag"))
+
   /** Per-station precipitation-type climatology from the Richter
     * typing (StationP.py:571-580): day share and correction uplift
     * mass per type — the summary a correction run is sanity-checked
@@ -294,6 +313,12 @@ object TsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frost_days" -> (qFrostDays _),
+    "q_rx5day" -> (qRx5day _),
+    "q_r95p" -> (qR95p _),
+    "q_climatology" -> (qClimatology _),
+    "q_lapse_rate" -> (qLapseRate _),
+    "q_acf" -> (qAcf _),
     "q_dry_spells" -> (qDrySpells _),
     "q_degree_days" -> (qDegreeDays _),
     "q_return_period" -> (qReturnPeriod _),
