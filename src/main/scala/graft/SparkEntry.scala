@@ -20,6 +20,9 @@ object SparkEntry {
     "q_asof_native" -> (Queries.qAsofNative _),
     "q_asof_tolerance" -> (Queries.qAsofTolerance _),
     "q17_small_quantity" -> (Queries.q17SmallQuantity _),
+    "q13_custdist" -> (Queries.q13CustDist _),
+    "q18_large_orders" -> ((s: SparkSession, d: String) => Queries.q18LargeOrders(s, d)),
+    "q22_idle_customers" -> (Queries.q22IdleCustomers _),
     "q_rollup" -> (Queries.qRollup _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++

@@ -131,7 +131,47 @@ object OracleSql {
     GROUP BY n_name
     ORDER BY revenue DESC, n_name"""
 
+  val q13CustDist: String = """
+    WITH per_cust AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT coalesce(p.n_orders, 0) AS c_count
+      FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  val q18LargeOrders: String = """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity) + 1e-9, 2) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING round(sum(l_quantity) + 1e-9, 2) > 300.0)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"""
+
+  val q22IdleCustomers: String = """
+    WITH cutoff AS (SELECT max(o_orderdate)::date - 90 AS cut FROM orders),
+    avg_bal AS (
+      SELECT round(avg(c_acctbal) + 1e-9, 6) AS abal
+      FROM customer WHERE c_acctbal > 0),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders, cutoff
+      WHERE o_orderdate::date >= cutoff.cut)
+    SELECT c.c_custkey % 10 AS cntrycode, count(*) AS numcust,
+      round(sum(c.c_acctbal) + 1e-9, 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.abal
+      AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+    GROUP BY 1 ORDER BY cntrycode"""
+
   val all: Map[String, String] = Map(
+    "q13_custdist" -> q13CustDist,
+    "q18_large_orders" -> q18LargeOrders,
+    "q22_idle_customers" -> q22IdleCustomers,
     "q5_region_revenue" -> q5RegionRevenue,
     "q_table_checksum" -> qTableChecksum,
     "q_ingest_dedup" -> qIngestDedup,

@@ -209,6 +209,80 @@ object Queries {
         WHERE l2.l_partkey = l1.l_partkey)""")
   }
 
+  /** Q13 shape — customer order-count distribution: how many customers
+    * placed exactly k (non-urgent) orders, including the zero-order
+    * tail the LEFT join preserves.
+    *
+    * Scale shape: orders aggregates to O(#customers) rows BEFORE
+    * touching customer (never a row-multiplying join then count), the
+    * customer⋈counts join is keyed on custkey (broadcast below
+    * threshold, keyed shuffle above — left to Catalyst/AQE), and the
+    * final distribution aggregate is map-combinable to ≤ max-order-
+    * count rows. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q18 shape — large-volume orders: orders whose lineitem quantity
+    * total exceeds the threshold, with their customer.
+    *
+    * Scale shape: the HAVING runs on the lineitem aggregate (one
+    * map-combinable shuffle on orderkey) so only qualifying orderkeys
+    * — a vanishing fraction — enter the joins; orders joins keyed on
+    * the orderkey, customer left to Catalyst/AQE; final top-100 is
+    * TakeOrderedAndProject (each partition forwards ≤ 100 rows). */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 300.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")) + lit(1e-9), 2).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q22 shape — high-balance customers gone quiet: customers whose
+    * balance exceeds the average positive balance (scalar subquery)
+    * with no order in the trailing 90 days of the dataset (NOT
+    * EXISTS → anti join), grouped by a derived country code.
+    *
+    * Scale shape: both scalar frames (cutoff date, average balance)
+    * are 1-row global aggregates cross-joined as broadcasts — the
+    * bounded-BNLJ shape PlanGuard admits; the recent-actives frame
+    * dedups to O(#active customers) before the anti join keyed on
+    * custkey; final aggregate is map-combinable to ≤ 10 rows. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val cutoff = broadcast(ord.agg(
+      date_sub(to_date(max(col("o_orderdate"))), 90).as("cut")))
+    val avgBal = broadcast(cust.filter(col("c_acctbal") > 0)
+      .agg(round(avg(col("c_acctbal")) + lit(1e-9), 6).as("abal")))
+    val recent = ord.crossJoin(cutoff)
+      .filter(to_date(col("o_orderdate")) >= col("cut"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(avgBal)
+      .filter(col("c_acctbal") > col("abal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_custkey") % 10).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
   /** Ingest normalization: duplicate (station, ts) measurements resolve
     * to the latest import — Sources.ingestDedup over the events feed. */
   def qIngestDedup(spark: SparkSession, dir: String): DataFrame =
