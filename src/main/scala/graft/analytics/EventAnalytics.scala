@@ -484,8 +484,54 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Gini coefficient of per-user event-value mass (the inequality
+    * scalar behind q_pareto_share's whale curve): users ranked
+    * ascending by mass, `G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n`.
+    *
+    * The global rank is computed scalably — NOT as a single-partition
+    * `row_number() OVER (ORDER BY …)` (which would serialize the
+    * O(#users) frame through one task): the user frame is
+    * range-partitioned on (mass, user_id), eagerly localCheckpoint'ed
+    * (pinning one set of range boundaries for both consumers), and
+    * `rank = within-partition row_number + prefix-sum of partition
+    * counts` — the offsets frame is O(#partitions), the final
+    * aggregate one row. Same machinery as Corpus.shuffle's ordinal;
+    * the oracle pins the spec AS the global window and this route
+    * must reproduce it exactly. */
+  def gini(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy(col("user_id"))
+      .agg(round(sum(col("value")) + lit(1e-9), 3).as("x"))
+    val ranged = perUser
+      .repartitionByRange(col("x"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("x"), col("user_id"))
+    ranged.join(broadcast(offsets), Seq("pid"))
+      .withColumn("ord", row_number().over(wLocal) + col("offset"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("x")) + lit(1e-9), 3).as("total_value"),
+        sum(col("ord") * col("x")).as("rank_mass"))
+      .select(col("n_users"), col("total_value"),
+        round((col("rank_mass") * 2) / (col("n_users") * sum_guard(col("total_value")))
+          - (col("n_users") + lit(1)).cast("double") / col("n_users")
+          + lit(1e-9), 6).as("gini"))
+  }
+
+  /** NULL-safe positive denominator: NULL (not a fake 0-division)
+    * when the total is non-positive. */
+  private def sum_guard(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c > 0.0, c)
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> ((s, d) => gini(Tables.events(s, d))),
     "q_event_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_window_funnel" -> ((s, d) => windowFunnel(Tables.events(s, d))),
     "q_hll_setops" -> ((s, d) => hllSetOps(Tables.events(s, d))),
@@ -816,7 +862,26 @@ object EventOracle {
       r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR AS segment
     FROM q ORDER BY user_id"""
 
+  /** Mirrors EventAnalytics.gini: the spec is the global window; the
+    * Spark route's range-partition + prefix-sum rank must reproduce
+    * it exactly. */
+  val qGini: String = """
+    WITH per_user AS (
+      SELECT user_id, round(sum(value) + 1e-9, 3) AS x
+      FROM events GROUP BY 1),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS ord
+      FROM per_user)
+    SELECT count(*) AS n_users,
+      round(sum(x) + 1e-9, 3) AS total_value,
+      round(2.0 * sum(ord * x)
+          / (count(*) * (CASE WHEN round(sum(x) + 1e-9, 3) > 0.0
+                              THEN round(sum(x) + 1e-9, 3) END))
+        - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini
+    FROM ranked"""
+
   val all: Map[String, String] = Map(
+    "q_gini" -> qGini,
     "q_event_rfm" -> qEventRfm,
     "q_window_funnel" -> qWindowFunnel,
     "q_hll_setops" -> qHllSetOps,

@@ -1177,7 +1177,53 @@ object LlmOracle {
         (sum(n_docs) OVER ())::DOUBLE + 1e-9, 6) AS cum_share_docs
     FROM agg ORDER BY bucket"""
 
+  /** Mirrors TextAnalysis.winnowing: positional word-3-gram hashes,
+    * per-window-of-4 minima as pure list arithmetic (no unnest), the
+    * distinct minima are the fingerprints. */
+  val qWinnowing: String = s"""
+    WITH sw_t AS (SELECT doc_id, $toks AS sw FROM documents),
+    kg AS (
+      SELECT doc_id,
+        CASE WHEN len(sw) >= 3
+          THEN [sw[i] || ' ' || sw[i+1] || ' ' || sw[i+2]
+                for i in range(1, len(sw) - 1)]
+          ELSE [] END AS kgrams
+      FROM sw_t),
+    hs_t AS (
+      SELECT doc_id, list_transform(kgrams, s -> ${ph("s")}) AS hs FROM kg),
+    wm AS (
+      SELECT doc_id, len(hs) AS n_kgrams,
+        CASE WHEN len(hs) >= 4
+          THEN [list_min(hs[t:t+3]) for t in range(1, len(hs) - 2)]
+          ELSE [] END AS wmins
+      FROM hs_t)
+    SELECT doc_id, n_kgrams,
+      CAST(len(wmins) AS BIGINT) AS n_windows,
+      CAST(len(list_distinct(wmins)) AS BIGINT) AS n_fp,
+      CASE WHEN len(wmins) > 0
+           THEN round(len(list_distinct(wmins)) / len(wmins)::DOUBLE + 1e-9, 6)
+      END AS density
+    FROM wm ORDER BY doc_id"""
+
+  /** Mirrors TextAnalysis.fertility: quotients of exact integer sums
+    * per language. */
+  val qTokenizerFertility: String = s"""
+    WITH per AS (
+      SELECT lang, n_chars, len($toks) AS ws,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(ws) AS BIGINT) AS n_words,
+      CAST(sum(re) AS BIGINT) AS n_subwords,
+      CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      round(sum(re) / sum(ws)::DOUBLE + 1e-9, 6) AS fertility,
+      round(sum(n_chars) / sum(ws)::DOUBLE + 1e-9, 6) AS chars_per_word,
+      round(sum(ws) / count(*)::DOUBLE + 1e-9, 6) AS words_per_doc
+    FROM per GROUP BY lang ORDER BY lang"""
+
   val all: Map[String, String] = Map(
+    "q_winnowing" -> qWinnowing,
+    "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_ccnet_buckets" -> qCcnetBuckets,
     "q_bpe_pairs" -> qBpePairs,
     "q_bpe_apply" -> qBpeApply,

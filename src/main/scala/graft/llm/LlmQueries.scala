@@ -63,6 +63,9 @@ object LlmQueries {
       TextAnalysis.langidConfusion(docs(s, d)).orderBy(col("lang"), col("predicted"))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
+    "q_winnowing" -> ((s, d) => TextAnalysis.winnowing(docs(s, d)).orderBy(col("doc_id"))),
+    "q_tokenizer_fertility" -> ((s, d) =>
+      TextAnalysis.fertility(docs(s, d)).orderBy(col("lang"))),
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_entropy" -> ((s, d) =>

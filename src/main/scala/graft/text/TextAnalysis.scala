@@ -107,6 +107,72 @@ object TextAnalysis {
       expr(s"size(${tokens("text")})").as("n_ws_tokens"),
       expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_re_tokens"))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003, the MOSS local document fingerprinting algorithm): hash
+    * every positional word-3-gram (the shingle convention of the dedup
+    * family, WITHOUT dedup — winnowing is positional), slide a window
+    * of `w` consecutive k-gram hashes, keep each window's minimum; the
+    * distinct minima are the document's fingerprints. Guarantees any
+    * shared run of w+k-1 words between two documents shares a
+    * fingerprint — the local-match property plain MinHash lacks.
+    * Reported per doc: k-gram/window/fingerprint counts and selection
+    * density (≈ 2/(w+1) for random text).
+    *
+    * Plan: pure per-row array arithmetic over the scan — the windows
+    * of one document never span rows, so there is NO explode, NO
+    * window function and NO shuffle; embarrassingly parallel at any
+    * scale. */
+  def winnowing(documents: DataFrame, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val t = tokens("text")
+    val kgramHs =
+      s"""CASE WHEN size($t) >= 3 THEN transform(sequence(0, size($t) - 3),
+            i -> graft_polyhash(concat(element_at($t, i + 1), ' ',
+                   element_at($t, i + 2), ' ', element_at($t, i + 3))))
+          ELSE cast(array() AS array<bigint>) END"""
+    documents
+      .select(col("doc_id"), expr(kgramHs).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_kgrams"),
+        expr(s"""CASE WHEN size(hs) >= $w
+            THEN transform(sequence(0, size(hs) - $w),
+                   t -> array_min(slice(hs, t + 1, $w)))
+            ELSE cast(array() AS array<bigint>) END""").as("wmins"))
+      .select(col("doc_id"), col("n_kgrams"),
+        size(col("wmins")).cast("long").as("n_windows"),
+        size(array_distinct(col("wmins"))).cast("long").as("n_fp"))
+      .withColumn("density",
+        when(col("n_windows") > 0,
+          round(col("n_fp") / col("n_windows").cast("double") + lit(1e-9), 6)))
+  }
+
+  /** Tokenizer fertility report per language (the tokenization-
+    * efficiency table behind vocabulary sizing and per-language token
+    * budgets): corpus-level subword-per-word fertility (the BPE-ish
+    * regex tokens of [[tokenCounts]] over whitespace words), chars per
+    * word, and mean words per document. Ratios are quotients of exact
+    * integer sums — never means of per-doc ratios — so both engines
+    * round the same exact value.
+    *
+    * Plan: stateless per-row counting, then ONE map-combinable keyed
+    * aggregate to ≤ #languages rows. */
+  def fertility(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("n_chars"),
+        expr(s"size(${tokens("text")})").as("ws"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("re"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"), sum(col("re")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        col("n_chars"),
+        round(col("n_subwords") / col("n_words").cast("double") + lit(1e-9), 6)
+          .as("fertility"),
+        round(col("n_chars") / col("n_words").cast("double") + lit(1e-9), 6)
+          .as("chars_per_word"),
+        round(col("n_words") / col("n_docs").cast("double") + lit(1e-9), 6)
+          .as("words_per_doc"))
+
   /** Corpus-level top-k word bigrams with document frequency — the
     * vocabulary/statistics sweep of a training-data pipeline. */
   def topBigrams(documents: DataFrame, k: Int = 20): DataFrame = {
