@@ -126,6 +126,38 @@ object Sources {
       partitionCol: String = "day"): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** MERGE-INTO-style keyed upsert into a day-partitioned parquet
+    * table (the Delta/Iceberg MERGE shape on plain parquet): rows of
+    * `updates` replace existing rows with the same key, new keys
+    * append — and ONLY the partitions present in `updates` are
+    * rewritten. Untouched history never moves, which is the entire
+    * point at 100 TB: a daily correction batch touching 3 days
+    * rewrites 3 partition directories, not the table.
+    *
+    * Mechanics: the existing rows of touched partitions are read under
+    * a partition-pruned scan (semi join against the broadcast
+    * O(#touched-days) day list — planning-time pruning, zero I/O for
+    * untouched days), old versions of updated keys drop via one keyed
+    * anti join, the union with `updates` is materialized
+    * (localCheckpoint — Spark cannot overwrite a path it is still
+    * reading lazily), and the write uses DYNAMIC partition overwrite
+    * so exactly the touched day directories swap. */
+  def mergeUpsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], partitionCol: String = "day"): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val touched = updates.select(partitionCol).distinct()
+    val existing = spark.read.parquet(path)
+      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+    val merged = existing
+      .join(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+        keyCols, "left_anti")
+      .unionByName(updates.select(existing.columns.map(org.apache.spark.sql.functions.col): _*))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a (flat) parquet dataset into
     * ≈`targetMB` files — the maintenance pass every long-lived 100 TB
     * table needs after streaming/incremental ingest leaves thousands

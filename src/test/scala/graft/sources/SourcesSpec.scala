@@ -129,4 +129,50 @@ class SourcesSpec extends SparkSpec {
     assert(zTouch < linTouch,
       s"z-order should touch fewer files: z=$zTouch linear=$linTouch of $nFiles")
   }
+
+  test("mergeUpsert rewrites only touched day partitions, with exact merge semantics") {
+    val dir = Files.createTempDirectory("graft_merge").toString + "/t"
+    val base = events
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .select(col("event_id"), col("user_id"), col("value"), col("day"))
+    Sources.writePartitioned(base, dir)
+    val days = base.select("day").distinct().orderBy("day")
+      .collect().map(_.getString(0))
+    assert(days.length >= 3, "need >= 3 day partitions")
+    val (touchedDay, untouchedDay) = (days(1), days(0))
+
+    def partFiles(day: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = partFiles(untouchedDay)
+
+    // one updated key (existing event_id on the touched day, new value)
+    // + one brand-new key on the same day
+    val someId = base.filter(col("day") === touchedDay)
+      .select(min(col("event_id"))).head().getLong(0)
+    val updates = spark.createDataFrame(Seq(
+      (someId, -1L, 999.25, touchedDay),
+      (-42L, -1L, 123.5, touchedDay)))
+      .toDF("event_id", "user_id", "value", "day")
+    Sources.mergeUpsert(spark, dir, updates, Seq("event_id"))
+
+    val back = spark.read.parquet(dir)
+    // untouched partitions: same files, same mtimes — nothing moved
+    assert(partFiles(untouchedDay) === untouchedBefore,
+      "untouched day partition must not be rewritten")
+    // updated key carries the new value; new key exists; row count is
+    // base + 1 (one replace, one insert)
+    assert(back.filter(col("event_id") === someId)
+      .select("value").head().getDouble(0) === 999.25)
+    assert(back.filter(col("event_id") === -42L).count() === 1)
+    assert(back.count() === base.count() + 1)
+    // other rows of the touched day survived the rewrite bit-for-bit
+    val expectedTouched = base.filter(col("day") === touchedDay &&
+      col("event_id") =!= someId)
+    assert(back.filter(col("day") === touchedDay)
+      .join(expectedTouched, Seq("event_id"), "left_semi").count() ===
+      expectedTouched.count())
+  }
 }
