@@ -529,9 +529,63 @@ object EventAnalytics {
   private def sum_guard(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c > 0.0, c)
 
+  /** Conversion-latency profile per first-view cohort: for every user
+    * whose first purchase happens at-or-after their first view, the
+    * minutes between the two, summarized as median / p90 per cohort
+    * day (the time-to-convert report next to q_funnel's rate report).
+    * Per-user latency is rounded FIRST (3 dp), so both engines
+    * interpolate percentiles over identical inputs; exact percentile
+    * here, `approx_percentile` at 100 TB.
+    *
+    * Plan: two keyed aggregates to O(#users) frames, one keyed join,
+    * then a keyed aggregate per cohort day — no window over the event
+    * frame. */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val firstPurchase = events.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("ts")).as("t_purchase"))
+    firstPurchase
+      .withColumn("latency_min",
+        round((unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          / lit(6e7) + lit(1e-9), 3))
+      .groupBy(to_date(col("t_view")).as("cohort_day"))
+      .agg(count(lit(1)).as("n_converters"),
+        round(expr("percentile(latency_min, 0.5D)") + lit(1e-9), 6).as("p50_min"),
+        round(expr("percentile(latency_min, 0.9D)") + lit(1e-9), 6).as("p90_min"))
+  }
+
+  /** Calendar heatmap: event count / value mass per (day-of-week,
+    * hour-of-day) cell with share of total — the 168-cell activity
+    * matrix behind load scheduling and maintenance-window choice.
+    * dow is 0 = Sunday on both engines.
+    *
+    * Plan: stateless scan, ONE map-combinable aggregate to ≤ 168
+    * rows; the share window runs over that bound only. */
+  def calendarHeatmap(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    events
+      .select((dayofweek(col("ts")) - 1).as("dow"),
+        hour(col("ts")).as("hod"), col("value"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")) + lit(1e-9), 3).as("value_mass"))
+      .withColumn("share",
+        round(col("n_events") / sum(col("n_events")).over(w).cast("double")
+          + lit(1e-9), 6))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gini" -> ((s, d) => gini(Tables.events(s, d))),
+    "q_time_to_convert" -> ((s, d) =>
+      timeToConvert(Tables.events(s, d)).orderBy(col("cohort_day"))),
+    "q_calendar_heatmap" -> ((s, d) =>
+      calendarHeatmap(Tables.events(s, d)).orderBy(col("dow"), col("hod"))),
     "q_event_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_window_funnel" -> ((s, d) => windowFunnel(Tables.events(s, d))),
     "q_hll_setops" -> ((s, d) => hllSetOps(Tables.events(s, d))),
@@ -880,8 +934,42 @@ object EventOracle {
         - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini
     FROM ranked"""
 
+  /** Mirrors EventAnalytics.timeToConvert: latencies rounded before
+    * the interpolated percentile. */
+  val qTimeToConvert: String = """
+    WITH fv AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    fp AS (
+      SELECT e.user_id, fv.t_view, min(e.ts) AS t_purchase
+      FROM events e JOIN fv USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.t_view
+      GROUP BY 1, 2),
+    lat AS (
+      SELECT t_view::date AS cohort_day,
+        round((epoch_us(t_purchase) - epoch_us(t_view)) / 6e7 + 1e-9, 3)
+          AS latency_min
+      FROM fp)
+    SELECT cohort_day, count(*) AS n_converters,
+      round(quantile_cont(latency_min, 0.5) + 1e-9, 6) AS p50_min,
+      round(quantile_cont(latency_min, 0.9) + 1e-9, 6) AS p90_min
+    FROM lat GROUP BY 1 ORDER BY cohort_day"""
+
+  /** Mirrors EventAnalytics.calendarHeatmap (dow 0 = Sunday on both
+    * engines). */
+  val qCalendarHeatmap: String = """
+    WITH cells AS (
+      SELECT date_part('dow', ts) AS dow, date_part('hour', ts) AS hod,
+        count(*) AS n_events, round(sum(value) + 1e-9, 3) AS value_mass
+      FROM events GROUP BY 1, 2)
+    SELECT dow, hod, n_events, value_mass,
+      round(n_events / (sum(n_events) OVER ())::DOUBLE + 1e-9, 6) AS share
+    FROM cells ORDER BY dow, hod"""
+
   val all: Map[String, String] = Map(
     "q_gini" -> qGini,
+    "q_time_to_convert" -> qTimeToConvert,
+    "q_calendar_heatmap" -> qCalendarHeatmap,
     "q_event_rfm" -> qEventRfm,
     "q_window_funnel" -> qWindowFunnel,
     "q_hll_setops" -> qHllSetOps,

@@ -240,6 +240,47 @@ object Aggregate {
     * back to tall (station_id, day, para, value) via the native
     * `unpivot` — a codegen'd Expand node, partition-local: no join, no
     * shuffle, output rows = non-NULL wide cells. */
+  /** Nearest-in-time match within a tolerance: each 'click' event gets
+    * the closest 'view' event of the same user within ±`tolMinutes`
+    * (both directions — the symmetric sibling of the as-of join's
+    * backward-only match; pandas `merge_asof(direction='nearest')`).
+    * Tie (equidistant prior and following) resolves to the prior.
+    * "Prior"/"following" are defined on the deterministic (ts,
+    * event_id) order, so duplicate timestamps resolve identically on
+    * every engine.
+    *
+    * Plan: ONE user_id exchange; prior and following view are two
+    * ignore-nulls running extremes over the same sorted window frame
+    * (no self-join, no candidate explosion); everything after is a
+    * stateless projection. */
+  def nearestTimeJoin(events: DataFrame, tolMinutes: Int = 30): DataFrame = {
+    val tolUs = tolMinutes * 60L * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val viewStruct = when(col("event_type") === "view",
+      struct(unix_micros(col("ts")).as("t"), col("event_id").as("id")))
+    val withNbrs = events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("pv", last(viewStruct, ignoreNulls = true)
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nv", first(viewStruct, ignoreNulls = true)
+        .over(wOrd.rowsBetween(1, Window.unboundedFollowing)))
+    withNbrs.filter(col("event_type") === "click")
+      .withColumn("d_prev", col("t_us") - col("pv.t"))
+      .withColumn("d_next", col("nv.t") - col("t_us"))
+      .withColumn("use_prev", col("d_prev").isNotNull && col("d_prev") <= tolUs)
+      .withColumn("use_next", col("d_next").isNotNull && col("d_next") <= tolUs)
+      .withColumn("from_prev",
+        col("use_prev") && (!col("use_next") || col("d_prev") <= col("d_next")))
+      .withColumn("matched_view_id",
+        when(col("from_prev"), col("pv.id")).when(col("use_next"), col("nv.id")))
+      .withColumn("diff_s",
+        when(col("from_prev"), round(col("d_prev") / lit(1e6) + lit(1e-9), 3))
+          .when(col("use_next"), round(col("d_next") / lit(1e6) + lit(1e-9), 3)))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("matched_view_id"), col("from_prev"), col("diff_s"))
+  }
+
   def unpivotWide(wide: DataFrame): DataFrame =
     wide.unpivot(Array(col("station_id"), col("day")),
         Array(col("p_raw"), col("t_raw"), col("et_raw")), "para", "value")

@@ -363,6 +363,40 @@ object Climate {
       .select(col("station_id"), col("lag"), col("xbar"), col("acf"))
   }
 
+  /** Pearson correlation of each station's zero-filled daily series
+    * with each of its k nearest neighbors (the inter-station
+    * dependence map that motivates neighbor-based QC and fill — a
+    * low-correlation "neighbor" is a bad donor). Closed-form r from
+    * the five sufficient sums; degenerate pairs (either side constant)
+    * yield NULL.
+    *
+    * Plan: the knn map is O(k·#stations) → broadcast; the exploded
+    * (station, nb, day) frame joins the daily series once keyed on
+    * (nb, day) and aggregates once per pair — cost O(k·days), never
+    * all-pairs. */
+  def neighborCorr(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val x = rawDaily.select(col("station_id"), col("day"),
+      coalesce(col("raw"), lit(0.0)).as("x"))
+    val y = rawDaily.select(col("station_id").as("nb_id"), col("day"),
+      coalesce(col("raw"), lit(0.0)).as("y"))
+    x.join(broadcast(knn.select(col("station_id"), col("nb_id"), col("rank"))),
+        Seq("station_id"))
+      .join(y, Seq("nb_id", "day"))
+      .groupBy(col("station_id"), col("nb_id"), col("rank"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("detx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dety", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r",
+        when(col("detx") > 0.0 && col("dety") > 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("detx") * col("dety")) + lit(1e-9), 6)))
+      .select(col("station_id"), col("nb_id"), col("rank"), col("n"), col("r"))
+  }
+
   /** Empirical return periods of the annual precipitation maxima by
     * Weibull plotting position (the hydrology design-storm staple):
     * per station the yearly maxima rank descending and

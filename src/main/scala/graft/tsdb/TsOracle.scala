@@ -1193,7 +1193,73 @@ object TsOracle {
       CASE WHEN den > 0.0 THEN round(num / den + 1e-9, 4) END AS acf
     FROM stacked ORDER BY station_id, lag"""
 
+  /** Mirrors Climate.neighborCorr: Pearson r per knn pair from the
+    * five sufficient sums over the zero-filled daily series. */
+  val qNeighborCorr: String = s"""
+    WITH $world,
+    x AS (SELECT station_id, day, coalesce(raw, 0.0) AS x FROM raw_daily),
+    j AS (
+      SELECT k.station_id, k.nb_id, k.rank, a.day, a.x, b.x AS y
+      FROM knn k
+      JOIN x a ON a.station_id = k.station_id
+      JOIN x b ON b.station_id = k.nb_id AND b.day = a.day),
+    sums AS (
+      SELECT station_id, nb_id, rank, count(*) AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+        sum(x*y) AS sxy
+      FROM j GROUP BY 1, 2, 3),
+    d AS (
+      SELECT *, n*sxx - sx*sx AS detx, n*syy - sy*sy AS dety FROM sums)
+    SELECT station_id, nb_id, rank, n,
+      CASE WHEN detx > 0.0 AND dety > 0.0
+           THEN round((n*sxy - sx*sy) / sqrt(detx * dety) + 1e-9, 6)
+      END AS r
+    FROM d ORDER BY station_id, rank"""
+
+  /** Mirrors Aggregate.nearestTimeJoin: prior/following view via
+    * ignore-nulls running extremes on the (ts, event_id) order,
+    * nearest within tolerance, tie → prior. */
+  val qNearestTime: String = """
+    WITH base AS (
+      SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS t_us,
+        CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS v_t,
+        CASE WHEN event_type = 'view' THEN event_id END AS v_id
+      FROM events),
+    nbr AS (
+      SELECT *,
+        last_value(v_t IGNORE NULLS) OVER wp AS pv_t,
+        last_value(v_id IGNORE NULLS) OVER wp AS pv_id,
+        first_value(v_t IGNORE NULLS) OVER wn AS nv_t,
+        first_value(v_id IGNORE NULLS) OVER wn AS nv_id
+      FROM base
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    clicks AS (
+      SELECT event_id, user_id, ts,
+        t_us - pv_t AS d_prev, nv_t - t_us AS d_next, pv_id, nv_id
+      FROM nbr WHERE event_type = 'click'),
+    flags AS (
+      SELECT *,
+        (d_prev IS NOT NULL AND d_prev <= 1800000000) AS use_prev,
+        (d_next IS NOT NULL AND d_next <= 1800000000) AS use_next
+      FROM clicks),
+    sel AS (
+      SELECT *,
+        (use_prev AND (NOT use_next OR d_prev <= d_next)) AS from_prev
+      FROM flags)
+    SELECT event_id, user_id, ts,
+      CASE WHEN from_prev THEN pv_id
+           WHEN use_next THEN nv_id END AS matched_view_id,
+      from_prev,
+      CASE WHEN from_prev THEN round(d_prev / 1e6 + 1e-9, 3)
+           WHEN use_next THEN round(d_next / 1e6 + 1e-9, 3) END AS diff_s
+    FROM sel ORDER BY event_id"""
+
   val all: Map[String, String] = Map(
+    "q_neighbor_corr" -> qNeighborCorr,
+    "q_nearest_time" -> qNearestTime,
     "q_frost_days" -> qFrostDays,
     "q_rx5day" -> qRx5day,
     "q_r95p" -> qR95p,

@@ -270,6 +270,13 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  def qNeighborCorr(s: SparkSession, d: String): DataFrame =
+    Climate.neighborCorr(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"), col("rank"))
+
+  def qNearestTime(s: SparkSession, d: String): DataFrame =
+    Aggregate.nearestTimeJoin(ev(s, d)).orderBy(col("event_id"))
+
   def qFrostDays(s: SparkSession, d: String): DataFrame =
     Climate.countIndices(Series.dailyTempMinMax(ev(s, d)))
       .orderBy(col("station_id"), col("yr"))
@@ -313,6 +320,8 @@ object TsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neighbor_corr" -> (qNeighborCorr _),
+    "q_nearest_time" -> (qNearestTime _),
     "q_frost_days" -> (qFrostDays _),
     "q_rx5day" -> (qRx5day _),
     "q_r95p" -> (qR95p _),
