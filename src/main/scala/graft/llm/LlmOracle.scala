@@ -1221,8 +1221,26 @@ object LlmOracle {
       round(sum(ws) / count(*)::DOUBLE + 1e-9, 6) AS words_per_doc
     FROM per GROUP BY lang ORDER BY lang"""
 
+  /** Mirrors Cluster.drift: per-dimension means of the even/odd
+    * vec_id halves. */
+  val qEmbedDrift: String = """
+    WITH dims AS (SELECT unnest(range(0, 64)) AS dim),
+    cells AS (
+      SELECT d.dim,
+        count(CASE WHEN e.vec_id % 2 = 0 THEN 1 END) AS n_even,
+        count(CASE WHEN e.vec_id % 2 <> 0 THEN 1 END) AS n_odd,
+        round(avg(CASE WHEN e.vec_id % 2 = 0
+                       THEN e.embedding[d.dim + 1] END) + 1e-9, 6) AS mean_even,
+        round(avg(CASE WHEN e.vec_id % 2 <> 0
+                       THEN e.embedding[d.dim + 1] END) + 1e-9, 6) AS mean_odd
+      FROM embeddings e, dims d GROUP BY 1)
+    SELECT dim, n_even, n_odd, mean_even, mean_odd,
+      round(mean_odd - mean_even + 1e-9, 6) AS shift
+    FROM cells ORDER BY dim"""
+
   val all: Map[String, String] = Map(
     "q_winnowing" -> qWinnowing,
+    "q_embed_drift" -> qEmbedDrift,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_ccnet_buckets" -> qCcnetBuckets,
     "q_bpe_pairs" -> qBpePairs,

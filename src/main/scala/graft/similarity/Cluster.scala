@@ -127,4 +127,26 @@ object Cluster {
         coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
         col("n_dup_lower").isNull.as("keep"))
   }
+
+  /** Embedding-distribution drift monitor: per-dimension mean of the
+    * even-id half vs the odd-id half of the corpus (a deterministic
+    * content-free split standing in for "yesterday's embeddings vs
+    * today's" — feed two real snapshots at deployment). A drifting
+    * encoder shifts dimension means; this is the cheapest alarm that
+    * catches it before ANN recall quietly degrades.
+    *
+    * Plan: posexplode to (dim, value) pairs, ONE map-combinable
+    * aggregate to exactly d rows — the network carries 2·d partial
+    * sums, never vectors. */
+  def drift(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select((col("vec_id") % 2 === 0).as("even"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(when(col("even"), lit(1))).as("n_even"),
+        count(when(!col("even"), lit(1))).as("n_odd"),
+        round(avg(when(col("even"), col("v"))) + lit(1e-9), 6).as("mean_even"),
+        round(avg(when(!col("even"), col("v"))) + lit(1e-9), 6).as("mean_odd"))
+      .withColumn("shift",
+        round(col("mean_odd") - col("mean_even") + lit(1e-9), 6))
 }

@@ -363,6 +363,78 @@ object Climate {
       .select(col("station_id"), col("lag"), col("xbar"), col("acf"))
   }
 
+  /** Monthly data-availability report per station: observed-day share,
+    * gap count and longest outage run — the operations dashboard
+    * behind the reference's raw_from/raw_until bookkeeping (a station
+    * with 60% December availability needs its fill share inspected).
+    *
+    * Plan: the same gaps-and-islands as [[drySpells]] on the MISSING
+    * days (run key = day ordinal − row_number), ONE window per
+    * (station, month), two keyed aggregates — all partition-local per
+    * station. */
+  def availability(rawDaily: DataFrame): DataFrame = {
+    val base = rawDaily
+      .withColumn("month", date_trunc("month", col("day")).cast("date"))
+    val w = Window.partitionBy(col("station_id"), col("month")).orderBy(col("day"))
+    val runs = base.filter(col("raw").isNull)
+      .withColumn("grp",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          - row_number().over(w))
+      .groupBy(col("station_id"), col("month"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("station_id"), col("month"))
+      .agg(max(col("run_len")).as("max_outage"), count(lit(1)).as("n_gaps"))
+    base.groupBy(col("station_id"), col("month"))
+      .agg(count(lit(1)).as("n_days"), count(col("raw")).as("n_obs"))
+      .join(runs, Seq("station_id", "month"), "left")
+      .select(col("station_id"), col("month"), col("n_days"), col("n_obs"),
+        round(col("n_obs") / col("n_days").cast("double") + lit(1e-9), 6)
+          .as("availability"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        coalesce(col("max_outage"), lit(0L)).as("max_outage"))
+  }
+
+  /** Daily Hargreaves–Samani reference evapotranspiration (Hargreaves
+    * & Samani 1985; FAO-56 §3) from the temperature series — the
+    * reference's ET parameter derived where no ET station exists
+    * (StationET.py models ET as its own parameter; Hargreaves is the
+    * standard way to synthesize it from T alone):
+    * `ET0 = 0.0023 · (T + 17.8) · √(Tmax − Tmin) · Ra / λ` with the
+    * FAO-56 extraterrestrial radiation Ra from station latitude and
+    * day-of-year (declination, sunset hour angle, inverse relative
+    * earth–sun distance). Latitude derives from the station grid row
+    * folded into a mid-latitude band (10° + 4°·(y mod 10) ∈ [10°,
+    * 46°]) so the sunset-hour-angle acos stays in-domain for every
+    * station count. Transcendental seams (sin/cos/tan/acos/sqrt) are
+    * IEEE doubles on both engines; the final 4-dp round with the 1e-9
+    * nudge absorbs any last-ulp libm difference.
+    *
+    * Plan: two dense-grid frames join co-keyed on (station, day), the
+    * O(#stations) meta broadcasts, everything else is a stateless
+    * per-row projection — a pure map at 100 TB. */
+  def etHargreaves(tempDaily: DataFrame, tMinMax: DataFrame,
+      meta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val j = tempDaily.join(tMinMax, Seq("station_id", "day"))
+      .join(broadcast(meta.select(col("station_id"), col("y"))), Seq("station_id"))
+    val ang = dayofyear(col("day")).cast("double") *
+      lit(2.0 * math.Pi) / lit(365.0)
+    val phi = radians(lit(10.0) + (col("y") % lit(10.0)) * lit(4.0))
+    val delta = lit(0.409) * sin(ang - lit(1.39))
+    val dr = lit(1.0) + lit(0.033) * cos(ang)
+    val ws = acos(-tan(phi) * tan(delta))
+    val ra = lit(24.0 * 60.0 / math.Pi * 0.0820) * dr *
+      (ws * sin(phi) * sin(delta) + cos(phi) * cos(delta) * sin(ws))
+    j.withColumn("ra", round(ra + lit(1e-9), 4))
+      .withColumn("et0",
+        when(col("t").isNotNull && col("t_min").isNotNull,
+          round(lit(0.0023) * (col("t") + lit(17.8))
+            * sqrt(greatest(col("t_max") - col("t_min"), lit(0.0)))
+            * ra / lit(2.45) + lit(1e-9), 4)))
+      .select(col("station_id"), col("day"), col("t"), col("t_min"),
+        col("t_max"), col("ra"), col("et0"))
+  }
+
   /** Pearson correlation of each station's zero-filled daily series
     * with each of its k nearest neighbors (the inter-station
     * dependence map that motivates neighbor-based QC and fill — a

@@ -1257,7 +1257,78 @@ object TsOracle {
            WHEN use_next THEN round(d_next / 1e6 + 1e-9, 3) END AS diff_s
     FROM sel ORDER BY event_id"""
 
+  /** Mirrors Climate.availability: monthly observed share + missing
+    * gaps-and-islands per station. */
+  val qAvailability: String = s"""
+    WITH $world,
+    base AS (
+      SELECT station_id, date_trunc('month', day)::date AS month, day, raw
+      FROM raw_daily),
+    runs AS (
+      SELECT station_id, month, grp, count(*) AS run_len FROM (
+        SELECT station_id, month, day,
+          datediff('day', DATE '1970-01-01', day)
+            - row_number() OVER (PARTITION BY station_id, month
+                                 ORDER BY day) AS grp
+        FROM base WHERE raw IS NULL)
+      GROUP BY 1, 2, 3),
+    gaps AS (
+      SELECT station_id, month, max(run_len) AS max_outage,
+        count(*) AS n_gaps
+      FROM runs GROUP BY 1, 2),
+    census AS (
+      SELECT station_id, month, count(*) AS n_days, count(raw) AS n_obs
+      FROM base GROUP BY 1, 2)
+    SELECT c.station_id, c.month, c.n_days, c.n_obs,
+      round(c.n_obs / c.n_days::DOUBLE + 1e-9, 6) AS availability,
+      coalesce(g.n_gaps, 0) AS n_gaps,
+      coalesce(g.max_outage, 0) AS max_outage
+    FROM census c LEFT JOIN gaps g USING (station_id, month)
+    ORDER BY c.station_id, c.month"""
+
+  /** Mirrors Climate.etHargreaves: FAO-56 Ra from latitude +
+    * day-of-year, Hargreaves–Samani ET0. Identical double arithmetic;
+    * the 4-dp round + 1e-9 nudge absorbs last-ulp libm differences. */
+  val qEtHargreaves: String = s"""
+    WITH $world,
+    t_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    tmm AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(min(value) + 1e-9, 3) - $TempShift AS t_min,
+        round(max(value) + 1e-9, 3) - $TempShift AS t_max
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    j AS (
+      SELECT g.station_id, g.day, t.t, x.t_min, x.t_max, m.y,
+        date_part('doy', g.day) * 2.0 * 3.141592653589793 / 365.0 AS ang,
+        radians(10.0 + (m.y % 10.0) * 4.0) AS phi
+      FROM grid g
+      LEFT JOIN t_daily t USING (station_id, day)
+      LEFT JOIN tmm x USING (station_id, day)
+      JOIN meta m USING (station_id)),
+    trig AS (
+      SELECT *, 0.409 * sin(ang - 1.39) AS delta,
+        1.0 + 0.033 * cos(ang) AS dr
+      FROM j),
+    rad AS (
+      SELECT *, acos(-tan(phi) * tan(delta)) AS ws FROM trig),
+    ra_t AS (
+      SELECT *, ${24.0 * 60.0 / math.Pi * 0.0820} * dr *
+        (ws * sin(phi) * sin(delta) + cos(phi) * cos(delta) * sin(ws)) AS ra
+      FROM rad)
+    SELECT station_id, day, t, t_min, t_max,
+      round(ra + 1e-9, 4) AS ra,
+      CASE WHEN t IS NOT NULL AND t_min IS NOT NULL
+           THEN round(0.0023 * (t + 17.8)
+                * sqrt(greatest(t_max - t_min, 0.0)) * ra / 2.45 + 1e-9, 4)
+      END AS et0
+    FROM ra_t ORDER BY station_id, day"""
+
   val all: Map[String, String] = Map(
+    "q_availability" -> qAvailability,
+    "q_et_hargreaves" -> qEtHargreaves,
     "q_neighbor_corr" -> qNeighborCorr,
     "q_nearest_time" -> qNearestTime,
     "q_frost_days" -> qFrostDays,

@@ -270,6 +270,14 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  def qAvailability(s: SparkSession, d: String): DataFrame =
+    Climate.availability(rawDaily(s, d)).orderBy(col("station_id"), col("month"))
+
+  def qEtHargreaves(s: SparkSession, d: String): DataFrame =
+    Climate.etHargreaves(Series.dailyTemp(ev(s, d)),
+      Series.dailyTempMinMax(ev(s, d)), meta(s, d))
+      .orderBy(col("station_id"), col("day"))
+
   def qNeighborCorr(s: SparkSession, d: String): DataFrame =
     Climate.neighborCorr(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
@@ -320,6 +328,8 @@ object TsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_availability" -> (qAvailability _),
+    "q_et_hargreaves" -> (qEtHargreaves _),
     "q_neighbor_corr" -> (qNeighborCorr _),
     "q_nearest_time" -> (qNearestTime _),
     "q_frost_days" -> (qFrostDays _),
