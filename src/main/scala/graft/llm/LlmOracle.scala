@@ -1238,9 +1238,36 @@ object LlmOracle {
       round(mean_odd - mean_even + 1e-9, 6) AS shift
     FROM cells ORDER BY dim"""
 
+  /** Mirrors Cluster.langCentroid: per-language per-dimension mean
+    * (6-dp quantized), index-order dot-product cosine. */
+  val qLangCentroid: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
+        s"i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    s"""
+    WITH e AS (
+      SELECT vec_id::BIGINT AS vec_id,
+        list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    j AS (
+      SELECT d.doc_id::BIGINT AS vec_id, d.lang, e.emb
+      FROM documents d JOIN e ON e.vec_id = d.doc_id),
+    m AS (
+      SELECT lang, i, round(avg(emb[i]) + 1e-9, 6) AS v FROM (
+        SELECT lang, emb, unnest(range(1, len(emb) + 1)) AS i FROM j)
+      GROUP BY 1, 2),
+    c AS (SELECT lang, list(v ORDER BY i) AS cvec FROM m GROUP BY lang)
+    SELECT j.vec_id AS doc_id, j.lang,
+      round(${dot("j.emb", "c.cvec")}
+        / (sqrt(${dot("j.emb", "j.emb")}) * sqrt(${dot("c.cvec", "c.cvec")}))
+        + 1e-9, 6) AS cos
+    FROM j JOIN c USING (lang) ORDER BY doc_id"""
+  }
+
   val all: Map[String, String] = Map(
     "q_winnowing" -> qWinnowing,
     "q_embed_drift" -> qEmbedDrift,
+    "q_lang_centroid" -> qLangCentroid,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_ccnet_buckets" -> qCcnetBuckets,
     "q_bpe_pairs" -> qBpePairs,

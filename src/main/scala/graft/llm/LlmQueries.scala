@@ -65,6 +65,8 @@ object LlmQueries {
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "q_winnowing" -> ((s, d) => TextAnalysis.winnowing(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_drift" -> ((s, d) => Cluster.drift(embs(s, d)).orderBy(col("dim"))),
+    "q_lang_centroid" -> ((s, d) =>
+      Cluster.langCentroid(docs(s, d), embs(s, d)).orderBy(col("doc_id"))),
     "q_tokenizer_fertility" -> ((s, d) =>
       TextAnalysis.fertility(docs(s, d)).orderBy(col("lang"))),
     "q_text_fingerprint" -> ((s, d) =>

@@ -128,6 +128,37 @@ object Cluster {
         col("n_dup_lower").isNull.as("keep"))
   }
 
+  /** Per-language centroid cohesion: each document's cosine to ITS
+    * language's mean embedding (documents and embeddings join on the
+    * shared id space — the doc-embedding link of a real corpus). Low
+    * cosine = the doc sits far from its labeled language's semantic
+    * mass: a mislabel / noise candidate — metadata-grouped outlier
+    * detection, where q_embed_outliers groups by LEARNED cluster.
+    *
+    * Plan: centroids are ONE keyed aggregate to #langs·d cells
+    * (map-combinable), re-assembled in index order and broadcast; the
+    * scoring pass is a stateless scan with the native index-order
+    * [[graft.functions.DotProduct]] — nothing all-pairs. */
+  def langCentroid(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+    val joined = documents
+      .select(col("doc_id").cast("long").as("vec_id"), col("lang"))
+      .join(vecs, Seq("vec_id"))
+    val cents = joined.select(col("lang"), posexplode(col("emb")))
+      .groupBy(col("lang"), col("pos"))
+      .agg(round(avg(col("col")) + lit(1e-9), 6).as("v"))
+      .groupBy(col("lang"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)")
+        .as("cvec"))
+    joined.join(broadcast(cents), Seq("lang"))
+      .withColumn("cos", expr(
+        "round(graft_dot(emb, cvec) / (sqrt(graft_dot(emb, emb)) * " +
+          "sqrt(graft_dot(cvec, cvec))) + 1e-9, 6)"))
+      .select(col("vec_id").as("doc_id"), col("lang"), col("cos"))
+  }
+
   /** Embedding-distribution drift monitor: per-dimension mean of the
     * even-id half vs the odd-id half of the corpus (a deterministic
     * content-free split standing in for "yesterday's embeddings vs

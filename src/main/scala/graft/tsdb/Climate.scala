@@ -363,6 +363,32 @@ object Climate {
       .select(col("station_id"), col("lag"), col("xbar"), col("acf"))
   }
 
+  /** Monthly extremes with their dates (the "when was the wettest /
+    * driest day" retrieval — StationBases.get_df's max/min companions
+    * made date-aware): per (station, month) the max and min observed
+    * daily sum and the EARLIEST day attaining each (deterministic
+    * tiebreak).
+    *
+    * Plan: ONE map-combinable keyed aggregate — both argmaxes are
+    * struct-extreme aggregates (max(struct(raw, −day)) /
+    * min(struct(raw, day))), so no ranking window ever touches the
+    * day frame. */
+  def monthlyExtremes(rawDaily: DataFrame): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+    rawDaily.filter(col("raw").isNotNull)
+      .withColumn("month", date_trunc("month", col("day")).cast("date"))
+      .withColumn("day_ord", datediff(col("day"), epoch))
+      .groupBy(col("station_id"), col("month"))
+      .agg(count(lit(1)).as("n_obs"),
+        max(struct(col("raw"), (-col("day_ord")).as("nday"))).as("mx"),
+        min(struct(col("raw"), col("day_ord"))).as("mn"))
+      .select(col("station_id"), col("month"), col("n_obs"),
+        col("mx.raw").as("max_raw"),
+        date_add(epoch, (-col("mx.nday")).cast("int")).as("max_day"),
+        col("mn.raw").as("min_raw"),
+        date_add(epoch, col("mn.day_ord").cast("int")).as("min_day"))
+  }
+
   /** Monthly data-availability report per station: observed-day share,
     * gap count and longest outage run — the operations dashboard
     * behind the reference's raw_from/raw_until bookkeeping (a station

@@ -1326,7 +1326,32 @@ object TsOracle {
       END AS et0
     FROM ra_t ORDER BY station_id, day"""
 
+  /** Mirrors Climate.monthlyExtremes: earliest-day argmax/argmin per
+    * (station, month) via ranked windows. */
+  val qMonthlyExtremes: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, date_trunc('month', day)::date AS month, day, raw
+      FROM raw_daily WHERE raw IS NOT NULL),
+    mx AS (
+      SELECT station_id, month, raw AS max_raw, day AS max_day FROM (
+        SELECT *, row_number() OVER (PARTITION BY station_id, month
+          ORDER BY raw DESC, day ASC) AS rn FROM obs) WHERE rn = 1),
+    mn AS (
+      SELECT station_id, month, raw AS min_raw, day AS min_day FROM (
+        SELECT *, row_number() OVER (PARTITION BY station_id, month
+          ORDER BY raw ASC, day ASC) AS rn FROM obs) WHERE rn = 1),
+    census AS (
+      SELECT station_id, month, count(*) AS n_obs FROM obs GROUP BY 1, 2)
+    SELECT c.station_id, c.month, c.n_obs, x.max_raw, x.max_day,
+      n.min_raw, n.min_day
+    FROM census c
+    JOIN mx x USING (station_id, month)
+    JOIN mn n USING (station_id, month)
+    ORDER BY c.station_id, c.month"""
+
   val all: Map[String, String] = Map(
+    "q_monthly_extremes" -> qMonthlyExtremes,
     "q_availability" -> qAvailability,
     "q_et_hargreaves" -> qEtHargreaves,
     "q_neighbor_corr" -> qNeighborCorr,

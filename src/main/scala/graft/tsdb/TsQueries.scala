@@ -270,6 +270,10 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  def qMonthlyExtremes(s: SparkSession, d: String): DataFrame =
+    Climate.monthlyExtremes(rawDaily(s, d))
+      .orderBy(col("station_id"), col("month"))
+
   def qAvailability(s: SparkSession, d: String): DataFrame =
     Climate.availability(rawDaily(s, d)).orderBy(col("station_id"), col("month"))
 
@@ -328,6 +332,7 @@ object TsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_monthly_extremes" -> (qMonthlyExtremes _),
     "q_availability" -> (qAvailability _),
     "q_et_hargreaves" -> (qEtHargreaves _),
     "q_neighbor_corr" -> (qNeighborCorr _),

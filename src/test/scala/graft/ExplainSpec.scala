@@ -85,4 +85,21 @@ class ExplainSpec extends SparkSpec {
       assert(topk.nonEmpty, s"$q lost its TakeOrderedAndProject top-k")
     }
   }
+
+  test("nearest-time join: both direction windows share ONE user exchange, no join node") {
+    val plan = physical("q_nearest_time")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // one hash exchange feeds both ignore-nulls windows; the
+    // driver-contract orderBy adds the final range exchange
+    assert(shuffles.size <= 2, s"nearest-time grew to ${shuffles.size} shuffles")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"nearest-time regressed to a join-based plan: ${joins.map(_.nodeName)}")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected prior+following windows, got ${windows.size}")
+  }
 }
