@@ -1224,11 +1224,15 @@ object LlmOracle {
   /** Mirrors Cluster.drift: per-dimension means of the even/odd
     * vec_id halves. */
   val qEmbedDrift: String = """
-    WITH dims AS (SELECT unnest(range(0, 64)) AS dim),
+    WITH dims AS (
+      SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))
+        AS dim),
     cells AS (
       SELECT d.dim,
-        count(CASE WHEN e.vec_id % 2 = 0 THEN 1 END) AS n_even,
-        count(CASE WHEN e.vec_id % 2 <> 0 THEN 1 END) AS n_odd,
+        count(CASE WHEN e.vec_id % 2 = 0
+                    AND d.dim < len(e.embedding) THEN 1 END) AS n_even,
+        count(CASE WHEN e.vec_id % 2 <> 0
+                    AND d.dim < len(e.embedding) THEN 1 END) AS n_odd,
         round(avg(CASE WHEN e.vec_id % 2 = 0
                        THEN e.embedding[d.dim + 1] END) + 1e-9, 6) AS mean_even,
         round(avg(CASE WHEN e.vec_id % 2 <> 0

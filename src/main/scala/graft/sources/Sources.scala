@@ -134,24 +134,33 @@ object Sources {
     * point at 100 TB: a daily correction batch touching 3 days
     * rewrites 3 partition directories, not the table.
     *
-    * Mechanics: the existing rows of touched partitions are read under
-    * a partition-pruned scan (semi join against the broadcast
-    * O(#touched-days) day list — planning-time pruning, zero I/O for
-    * untouched days), old versions of updated keys drop via one keyed
-    * anti join, the union with `updates` is materialized
-    * (localCheckpoint — Spark cannot overwrite a path it is still
-    * reading lazily), and the write uses DYNAMIC partition overwrite
-    * so exactly the touched day directories swap. */
+    * Mechanics: touched partitions are the update batch's partitions
+    * PLUS any partition still holding an old version of an updated key
+    * (a date correction moves a row ACROSS partitions — the old
+    * partition must be rewritten too or the key would survive twice;
+    * finding those takes one keyed semi-join pass over the table, the
+    * same find-touched-files scan Delta's MERGE runs). The existing
+    * rows of touched partitions are then read under a partition-pruned
+    * scan (semi join against the broadcast O(#touched-days) day list —
+    * planning-time pruning, zero I/O for untouched days), old versions
+    * of updated keys drop via one keyed anti join, the union with
+    * `updates` is materialized (localCheckpoint — Spark cannot
+    * overwrite a path it is still reading lazily), and the write uses
+    * DYNAMIC partition overwrite so exactly the touched day
+    * directories swap. */
   def mergeUpsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCol: String = "day"): Unit = {
-    import org.apache.spark.sql.functions.broadcast
-    val touched = updates.select(partitionCol).distinct()
-    val existing = spark.read.parquet(path)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val table = spark.read.parquet(path)
+    val updKeys = updates.select(keyCols.map(col): _*).distinct()
+    val movedParts = table.join(updKeys, keyCols, "left_semi")
+      .select(partitionCol).distinct()
+    val touched = updates.select(partitionCol).union(movedParts).distinct()
+    val existing = table
       .join(broadcast(touched), Seq(partitionCol), "left_semi")
     val merged = existing
-      .join(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
-        keyCols, "left_anti")
-      .unionByName(updates.select(existing.columns.map(org.apache.spark.sql.functions.col): _*))
+      .join(updKeys, keyCols, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
       .localCheckpoint(true)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -435,13 +435,13 @@ object Climate {
     * IEEE doubles on both engines; the final 4-dp round with the 1e-9
     * nudge absorbs any last-ulp libm difference.
     *
-    * Plan: two dense-grid frames join co-keyed on (station, day), the
-    * O(#stations) meta broadcasts, everything else is a stateless
-    * per-row projection — a pure map at 100 TB. */
-  def etHargreaves(tempDaily: DataFrame, tMinMax: DataFrame,
-      meta: DataFrame): DataFrame = {
+    * Plan: ONE dense temperature-stats frame (single events scan and
+    * grid join — Series.dailyTempStats), the O(#stations) meta
+    * broadcasts, everything else is a stateless per-row projection —
+    * a pure map at 100 TB. */
+  def etHargreaves(tempStats: DataFrame, meta: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val j = tempDaily.join(tMinMax, Seq("station_id", "day"))
+    val j = tempStats
       .join(broadcast(meta.select(col("station_id"), col("y"))), Seq("station_id"))
     val ang = dayofyear(col("day")).cast("double") *
       lit(2.0 * math.Pi) / lit(365.0)

@@ -77,14 +77,17 @@ object Series {
     hourlyGrid(events).join(hourly, Seq("station_id", "hour"), "left")
   }
 
-  /** Daily temperature min/max companions on the dense grid (the
-    * reference's raw_min/raw_max of the T tables, StationT.py:70-88,
-    * in temperature units): extrema of the day's 'view' events under
-    * the same −TempShift proxy as [[dailyTemp]]. */
-  def dailyTempMinMax(events: DataFrame): DataFrame = {
+  /** Daily temperature mean + extrema on ONE dense grid (the
+    * reference's T tables' raw / raw_min / raw_max columns,
+    * StationT.py:70-88, in temperature units under the −TempShift
+    * proxy of [[dailyTemp]]): a single events aggregate feeds every
+    * temperature consumer — one scan, one grid join, instead of one
+    * per statistic. */
+  def dailyTempStats(events: DataFrame): DataFrame = {
     val daily = events.filter(col("event_type") === "view")
       .groupBy(col("user_id").cast("long").as("station_id"), to_date(col("ts")).as("day"))
-      .agg((round(min(col("value")) + lit(1e-9), 3) - lit(TempShift)).as("t_min"),
+      .agg((round(avg(col("value")) + lit(1e-9), 6) - lit(TempShift)).as("t"),
+        (round(min(col("value")) + lit(1e-9), 3) - lit(TempShift)).as("t_min"),
         (round(max(col("value")) + lit(1e-9), 3) - lit(TempShift)).as("t_max"))
     grid(events).join(daily, Seq("station_id", "day"), "left")
   }

@@ -1291,22 +1291,18 @@ object TsOracle {
     * the 4-dp round + 1e-9 nudge absorbs last-ulp libm differences. */
   val qEtHargreaves: String = s"""
     WITH $world,
-    t_daily AS (
+    t_stats AS (
       SELECT user_id::BIGINT AS station_id, ts::date AS day,
-        round(avg(value) + 1e-9, 6) - $TempShift AS t
-      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-    tmm AS (
-      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t,
         round(min(value) + 1e-9, 3) - $TempShift AS t_min,
         round(max(value) + 1e-9, 3) - $TempShift AS t_max
       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
     j AS (
-      SELECT g.station_id, g.day, t.t, x.t_min, x.t_max, m.y,
+      SELECT g.station_id, g.day, t.t, t.t_min, t.t_max, m.y,
         date_part('doy', g.day) * 2.0 * 3.141592653589793 / 365.0 AS ang,
         radians(10.0 + (m.y % 10.0) * 4.0) AS phi
       FROM grid g
-      LEFT JOIN t_daily t USING (station_id, day)
-      LEFT JOIN tmm x USING (station_id, day)
+      LEFT JOIN t_stats t USING (station_id, day)
       JOIN meta m USING (station_id)),
     trig AS (
       SELECT *, 0.409 * sin(ang - 1.39) AS delta,

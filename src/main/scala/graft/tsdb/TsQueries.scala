@@ -277,9 +277,14 @@ object TsQueries {
   def qAvailability(s: SparkSession, d: String): DataFrame =
     Climate.availability(rawDaily(s, d)).orderBy(col("station_id"), col("month"))
 
+  /** Memoized dense daily temperature stats (mean + extrema in one
+    * frame) — shared by the count indices and Hargreaves ET. */
+  private def tempStats(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "tstats"),
+      Series.dailyTempStats(ev(s, d)).persist())
+
   def qEtHargreaves(s: SparkSession, d: String): DataFrame =
-    Climate.etHargreaves(Series.dailyTemp(ev(s, d)),
-      Series.dailyTempMinMax(ev(s, d)), meta(s, d))
+    Climate.etHargreaves(tempStats(s, d), meta(s, d))
       .orderBy(col("station_id"), col("day"))
 
   def qNeighborCorr(s: SparkSession, d: String): DataFrame =
@@ -290,7 +295,7 @@ object TsQueries {
     Aggregate.nearestTimeJoin(ev(s, d)).orderBy(col("event_id"))
 
   def qFrostDays(s: SparkSession, d: String): DataFrame =
-    Climate.countIndices(Series.dailyTempMinMax(ev(s, d)))
+    Climate.countIndices(tempStats(s, d))
       .orderBy(col("station_id"), col("yr"))
 
   def qRx5day(s: SparkSession, d: String): DataFrame =

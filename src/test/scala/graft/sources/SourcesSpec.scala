@@ -174,5 +174,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("day") === touchedDay)
       .join(expectedTouched, Seq("event_id"), "left_semi").count() ===
       expectedTouched.count())
+
+    // cross-partition key move (date correction): the key's OLD
+    // partition must be rewritten too — no stale duplicate survives
+    val movedId = base.filter(col("day") === days(2))
+      .select(min(col("event_id"))).head().getLong(0)
+    val move = spark.createDataFrame(Seq((movedId, -1L, 55.5, touchedDay)))
+      .toDF("event_id", "user_id", "value", "day")
+    Sources.mergeUpsert(spark, dir, move, Seq("event_id"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("event_id") === movedId).count() === 1,
+      "moved key must exist exactly once after the merge")
+    // partition-column type inference reads `day` back as DATE
+    assert(after.filter(col("event_id") === movedId)
+      .select(col("day").cast("string")).head().getString(0) === touchedDay)
   }
 }
