@@ -21,6 +21,11 @@ object SparkEntry {
     "q_asof_tolerance" -> (Queries.qAsofTolerance _),
     "q17_small_quantity" -> (Queries.q17SmallQuantity _),
     "q13_custdist" -> (Queries.q13CustDist _),
+    "q4_priority_check" -> (Queries.q4PriorityCheck _),
+    "q10_returned_items" -> (Queries.q10ReturnedItems _),
+    "q12_priority_split" -> (Queries.q12PrioritySplit _),
+    "q14_promo_share" -> (Queries.q14PromoShare _),
+    "q19_disjunctive" -> (Queries.q19DisjunctiveRevenue _),
     "q18_large_orders" -> ((s: SparkSession, d: String) => Queries.q18LargeOrders(s, d)),
     "q22_idle_customers" -> (Queries.q22IdleCustomers _),
     "q_rollup" -> (Queries.qRollup _),

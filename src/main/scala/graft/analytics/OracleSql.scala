@@ -168,7 +168,75 @@ object OracleSql {
       AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
     GROUP BY 1 ORDER BY cntrycode"""
 
+  val q4PriorityCheck: String = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1 ORDER BY o_orderpriority"""
+
+  val q10ReturnedItems: String = """
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+      round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20"""
+
+  val q12PrioritySplit: String = """
+    SELECT l_linestatus,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY l_linestatus"""
+
+  val q14PromoShare: String = """
+    WITH agg AS (
+      SELECT
+        round(sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0.0 END) + 1e-9, 2) AS promo_revenue,
+        round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+          AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01')
+    SELECT promo_revenue, total_revenue,
+      CASE WHEN total_revenue > 0.0
+           THEN round(100.0 * promo_revenue / total_revenue + 1e-9, 4)
+      END AS promo_share
+    FROM agg"""
+
+  val q19DisjunctiveRevenue: String = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+        AS revenue,
+      count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)"""
+
   val all: Map[String, String] = Map(
+    "q4_priority_check" -> q4PriorityCheck,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q12_priority_split" -> q12PrioritySplit,
+    "q14_promo_share" -> q14PromoShare,
+    "q19_disjunctive" -> q19DisjunctiveRevenue,
     "q13_custdist" -> q13CustDist,
     "q18_large_orders" -> q18LargeOrders,
     "q22_idle_customers" -> q22IdleCustomers,

@@ -283,6 +283,116 @@ object Queries {
       .orderBy(col("cntrycode"))
   }
 
+  /** Q4 shape — late-order priority census: orders of one quarter with
+    * at least one lineitem shipped after the order date (EXISTS →
+    * semi join with a cross-side predicate), counted per priority.
+    *
+    * Scale shape: both scans window-filtered before the semi join on
+    * the orderkey; semi join emits each order at most once, final
+    * aggregate map-combinable to ≤ 5 rows. */
+  def q4PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q10 shape — returned-item revenue report: top 20 customers by
+    * revenue lost to returns in a quarter, with their nation.
+    *
+    * Scale shape: the returnflag filter pushes to the lineitem scan,
+    * lineitem⋈orders co-shuffles on the orderkey, nation always
+    * broadcasts, customer left to Catalyst/AQE; final top-20 is
+    * TakeOrderedAndProject. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        + lit(1e-9), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q12 shape — late-shipment priority split per line status: lines
+    * shipped in one year, counted by whether their order was
+    * high-priority (1-URGENT/2-HIGH) — the dual-CASE conditional
+    * aggregate of TPC-H Q12 (shipmode → linestatus, the column this
+    * dataset carries).
+    *
+    * Scale shape: date filter pushed to the lineitem scan, ONE
+    * orderkey-keyed join, map-combinable aggregate to ≤ 2 rows. */
+  def q12PrioritySplit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Q14 shape — promo revenue share: percentage of one month's
+    * discounted revenue from PROMO-type parts.
+    *
+    * Scale shape: date filter pushed to the lineitem scan; part is a
+    * dim join left to Catalyst/AQE; ONE global aggregate — the CASE
+    * rides the same pass as the total, never two scans. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          + lit(1e-9), 2).as("promo_revenue"),
+        round(sum(rev) + lit(1e-9), 2).as("total_revenue"))
+      .withColumn("promo_share",
+        when(col("total_revenue") > 0.0,
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue")
+            + lit(1e-9), 4)))
+  }
+
+  /** Q19 shape — disjunctive predicate revenue: three (brand, size
+    * band, quantity band) OR-arms over lineitem⋈part — the classic
+    * test that a planner pushes the common partkey equi-key through an
+    * OR-of-ANDs residual instead of falling back to a nested loop.
+    *
+    * Scale shape: equi join on partkey with the disjunction as a
+    * post-join filter; part side left to Catalyst/AQE; ONE global
+    * aggregate. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val arm1 = col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 20)
+    val arm2 = col("p_brand") === "Brand#21" && col("p_size").between(10, 30) &&
+      col("l_quantity").between(10, 30)
+    val arm3 = col("p_brand") === "Brand#2" && col("p_size").between(20, 50) &&
+      col("l_quantity").between(20, 50)
+    li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        + lit(1e-9), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Ingest normalization: duplicate (station, ts) measurements resolve
     * to the latest import — Sources.ingestDedup over the events feed. */
   def qIngestDedup(spark: SparkSession, dir: String): DataFrame =

@@ -261,6 +261,45 @@ object Streaming extends Serializable {
     * so downstream incremental QC never double-counts an interval.
     * State is bounded: dropDuplicatesWithinWatermark evicts keys once
     * the event-time watermark passes them. */
+  /** Streaming keyed-upsert sink: every micro-batch MERGEs into a
+    * day-partitioned parquet table via
+    * [[graft.sources.Sources.mergeUpsert]] — the streaming twin of the
+    * batch MERGE, and the standard "stream into a mutable table"
+    * shape (Delta's `foreachBatch` + MERGE recipe on plain parquet).
+    * Idempotent under at-least-once redelivery two ways: a replayed
+    * batchId is skipped outright, and even a re-merged batch replaces
+    * by key rather than appending — an exactly-once TABLE from an
+    * at-least-once stream. Batches arrive keyed latest-wins within
+    * the batch (ingestDedup upstream handles in-batch duplicates).
+    *
+    * Only the day partitions a micro-batch touches are rewritten —
+    * streaming history never moves, which is what makes the shape
+    * viable on a 100 TB table. */
+  class UpsertSink(path: String, keyCols: Seq[String],
+      partitionCol: String = "day") {
+    @volatile private var lastBatchId: Long = -1L
+
+    def attach(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          synchronized {
+            if (batchId > lastBatchId) {
+              val spark = batch.sparkSession
+              val fs = new org.apache.hadoop.fs.Path(path)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+                graft.sources.Sources.mergeUpsert(
+                  spark, path, batch.toDF(), keyCols, partitionCol)
+              else
+                batch.toDF().write.partitionBy(partitionCol).parquet(path)
+              lastBatchId = batchId
+            }
+          }
+        }
+        .start()
+  }
+
   def ingestDedup(streamEvents: DataFrame, lateness: String = "1 hour"): DataFrame =
     streamEvents
       .withWatermark("ts", lateness)

@@ -269,6 +269,42 @@ object Fillup {
       .drop("idw", "nd")
   }
 
+  /** Fill-quality cross-validation: hide a deterministic content-free
+    * slice of the OBSERVED qc values (every maskMod-th (station, day)
+    * by id arithmetic), run the standard neighbor fill on the masked
+    * frame, and score the reconstructions against the hidden truth —
+    * per station MAE / RMSE / bias / coverage. This is how a fillup
+    * configuration is validated before trusting its output (the
+    * holdout evaluation behind the reference's regionalization
+    * choices); a station whose donors reconstruct it badly needs a
+    * different neighbor weighting.
+    *
+    * Plan: the masked frame rides the normal fill plan; scoring is
+    * one keyed join on (station, day) over the masked slots + ONE
+    * map-combinable keyed aggregate to O(#stations) rows. */
+  def crossValidate(qcSeries: DataFrame, meta: DataFrame,
+      maskMod: Int = 10): DataFrame = {
+    val dayOrd = datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+    val masked = pmod(col("station_id") * 31 + dayOrd, lit(maskMod.toLong)) === 0
+    val holdout = qcSeries.withColumn("qc",
+      when(masked, lit(null)).otherwise(col("qc")))
+    val truth = qcSeries.filter(masked && col("qc").isNotNull)
+      .select(col("station_id"), col("day"), col("qc").as("truth"))
+    fillNeighbor(holdout, meta)
+      .select(col("station_id"), col("day"), col("filled"))
+      .join(truth, Seq("station_id", "day"))
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_masked"),
+        count(col("filled")).as("n_reconstructed"),
+        round(avg(abs(col("filled") - col("truth"))) + lit(1e-9), 4).as("mae"),
+        round(sqrt(avg((col("filled") - col("truth"))
+          * (col("filled") - col("truth")))) + lit(1e-9), 4).as("rmse"),
+        round(avg(col("filled") - col("truth")) + lit(1e-9), 4).as("bias"))
+      .withColumn("coverage",
+        round(col("n_reconstructed") / col("n_masked").cast("double")
+          + lit(1e-9), 4))
+  }
+
   /** Share of gap-filled values per aggregation group
     * (StationBases.py:2577-2579 filled_share). */
   def filledShare(filledSeries: DataFrame): DataFrame =

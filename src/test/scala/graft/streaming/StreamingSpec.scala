@@ -451,4 +451,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.nonEmpty, "the planted spikes must flag")
     assert(out === expected)
   }
+
+  test("streaming upsert sink merges micro-batches into an exactly-once keyed table") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    val input = MemoryStream[(Long, Double, String)]
+    val df = input.toDF().toDF("event_id", "value", "day")
+    val sink = new Streaming.UpsertSink(dir, Seq("event_id"))
+    val q = sink.attach(df)
+    // batch 0: initial rows on two days
+    input.addData((1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-01"),
+      (3L, 3.0, "2024-01-02"))
+    q.processAllAvailable()
+    // batch 1: update key 2 in place, move key 3 to another day, add key 4
+    input.addData((2L, 20.0, "2024-01-01"), (3L, 30.0, "2024-01-03"),
+      (4L, 4.0, "2024-01-02"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(dir)
+      .select(col("event_id"), col("value"), col("day").cast("string"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(back === Set(
+      (1L, 1.0, "2024-01-01"), (2L, 20.0, "2024-01-01"),
+      (3L, 30.0, "2024-01-03"), (4L, 4.0, "2024-01-02")),
+      s"merged table mismatch: $back")
+  }
 }

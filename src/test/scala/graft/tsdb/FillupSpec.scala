@@ -131,4 +131,29 @@ class FillupSpec extends SparkSpec {
     assert(out.head._1.exists(v => math.abs(v - 112.88) < 0.005))
     assert(out.head._2 === Some(-2L))
   }
+
+  test("cross-validation masks a slice, reconstructs it, and scores the fill") {
+    // real data: the masked slots must be reconstructable from donors
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val qc = QualityCheck.all(Series.dailyRaw(events),
+      Series.dailyRef(events), Series.stationMeta(events))
+    val cv = Fillup.crossValidate(qc, Series.stationMeta(events))
+    val rows = cv.select("station_id", "n_masked", "n_reconstructed",
+      "mae", "coverage").collect()
+    assert(rows.nonEmpty, "cross-validation produced no stations")
+    // masking is content-free id arithmetic -> every station with
+    // enough observed days gets masked slots; donors exist on a dense
+    // grid, so coverage should be total and errors finite
+    assert(rows.forall(_.getLong(1) > 0), "every station needs masked slots")
+    val covered = rows.count(r => r.getDouble(4) >= 0.99)
+    assert(covered >= rows.length - 1,
+      s"fill should reconstruct nearly all masked slots, covered=$covered/${rows.length}")
+    assert(rows.forall(r => r.isNullAt(3) || r.getDouble(3) >= 0.0))
+    // determinism: a second run scores identically
+    val again = Fillup.crossValidate(qc, Series.stationMeta(events))
+      .select("station_id", "mae").collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(rows.map(r => again(r.getLong(0)) ==
+      cv.select("station_id", "mae").collect()
+        .find(_.getLong(0) == r.getLong(0)).get.get(1)).forall(identity))
+  }
 }
