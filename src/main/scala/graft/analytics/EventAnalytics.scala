@@ -529,6 +529,37 @@ object EventAnalytics {
   private def sum_guard(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c > 0.0, c)
 
+  /** Audience-overlap matrix: exact Jaccard similarity of the user
+    * sets behind every event-type pair (the "people who view also
+    * click?" report — the exact companion of q_hll_setops' sketch
+    * algebra). Intersections come from a self-join of the DISTINCT
+    * (type, user) presence frame — O(presence²/|types|) pair rows,
+    * never the event frame; union sizes by inclusion–exclusion.
+    *
+    * Plan: one distinct aggregate to the presence frame, one keyed
+    * self-join on user_id, map-combinable counts to ≤ |types|² cells,
+    * broadcast per-type totals. */
+  def typeOverlap(events: DataFrame): DataFrame = {
+    val presence = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = presence.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val inter = presence.as("a")
+      .join(presence.as("b"), Seq("user_id"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), Seq("type_b"))
+      .withColumn("jaccard",
+        round(col("n_both") / (col("n_a") + col("n_b") - col("n_both"))
+          .cast("double") + lit(1e-9), 6))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("jaccard"))
+  }
+
   /** Conversion-latency profile per first-view cohort: for every user
     * whose first purchase happens at-or-after their first view, the
     * minutes between the two, summarized as median / p90 per cohort
@@ -582,6 +613,8 @@ object EventAnalytics {
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gini" -> ((s, d) => gini(Tables.events(s, d))),
+    "q_type_overlap" -> ((s, d) =>
+      typeOverlap(Tables.events(s, d)).orderBy(col("type_a"), col("type_b"))),
     "q_time_to_convert" -> ((s, d) =>
       timeToConvert(Tables.events(s, d)).orderBy(col("cohort_day"))),
     "q_calendar_heatmap" -> ((s, d) =>
@@ -966,8 +999,31 @@ object EventOracle {
       round(n_events / (sum(n_events) OVER ())::DOUBLE + 1e-9, 6) AS share
     FROM cells ORDER BY dow, hod"""
 
+  /** Mirrors EventAnalytics.typeOverlap: exact Jaccard from the
+    * distinct presence self-join + inclusion–exclusion. */
+  val qTypeOverlap: String = """
+    WITH presence AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, count(*) AS n_users FROM presence GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        count(*) AS n_both
+      FROM presence a JOIN presence b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+      i.n_both,
+      round(i.n_both / (sa.n_users + sb.n_users - i.n_both)::DOUBLE
+        + 1e-9, 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY i.type_a, i.type_b"""
+
   val all: Map[String, String] = Map(
     "q_gini" -> qGini,
+    "q_type_overlap" -> qTypeOverlap,
     "q_time_to_convert" -> qTimeToConvert,
     "q_calendar_heatmap" -> qCalendarHeatmap,
     "q_event_rfm" -> qEventRfm,

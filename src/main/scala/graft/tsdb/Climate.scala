@@ -288,6 +288,22 @@ object Climate {
         col("clim"), col("n_clim"), col("anom"))
   }
 
+  /** Month-of-year climatology percentile envelope (the p10/p50/p90
+    * band plotted behind every station dashboard — [[climatology]]
+    * gives the mean, this the spread): exact interpolated percentiles
+    * of the observed daily sums per (station, calendar month);
+    * `approx_percentile` is the mergeable 100 TB swap-in.
+    *
+    * Plan: ONE keyed aggregate to ≤ 12 rows per station — the sort
+    * percentile needs runs inside each tiny (station, month) group. */
+  def climatologyBands(rawDaily: DataFrame): DataFrame =
+    rawDaily.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"), month(col("day")).as("moy"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(expr("percentile(raw, 0.1D)") + lit(1e-9), 6).as("p10"),
+        round(expr("percentile(raw, 0.5D)") + lit(1e-9), 6).as("p50"),
+        round(expr("percentile(raw, 0.9D)") + lit(1e-9), 6).as("p90"))
+
   /** Per-day temperature lapse rate across the station network: the
     * least-squares slope of daily temperature against station
     * elevation (°C per elevation unit) — the regression behind the

@@ -1346,7 +1346,19 @@ object TsOracle {
     JOIN mn n USING (station_id, month)
     ORDER BY c.station_id, c.month"""
 
+  /** Mirrors Climate.climatologyBands: exact interpolated percentile
+    * envelope per (station, calendar month). */
+  val qClimatologyBands: String = s"""
+    WITH $world
+    SELECT station_id, month(day) AS moy, count(*) AS n_obs,
+      round(quantile_cont(raw, 0.1) + 1e-9, 6) AS p10,
+      round(quantile_cont(raw, 0.5) + 1e-9, 6) AS p50,
+      round(quantile_cont(raw, 0.9) + 1e-9, 6) AS p90
+    FROM raw_daily WHERE raw IS NOT NULL
+    GROUP BY 1, 2 ORDER BY station_id, moy"""
+
   val all: Map[String, String] = Map(
+    "q_climatology_bands" -> qClimatologyBands,
     "q_monthly_extremes" -> qMonthlyExtremes,
     "q_availability" -> qAvailability,
     "q_et_hargreaves" -> qEtHargreaves,

@@ -270,6 +270,10 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  def qClimatologyBands(s: SparkSession, d: String): DataFrame =
+    Climate.climatologyBands(rawDaily(s, d))
+      .orderBy(col("station_id"), col("moy"))
+
   def qMonthlyExtremes(s: SparkSession, d: String): DataFrame =
     Climate.monthlyExtremes(rawDaily(s, d))
       .orderBy(col("station_id"), col("month"))
@@ -337,6 +341,7 @@ object TsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_climatology_bands" -> (qClimatologyBands _),
     "q_monthly_extremes" -> (qMonthlyExtremes _),
     "q_availability" -> (qAvailability _),
     "q_et_hargreaves" -> (qEtHargreaves _),
