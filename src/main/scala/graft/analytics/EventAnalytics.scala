@@ -529,6 +529,28 @@ object EventAnalytics {
   private def sum_guard(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c > 0.0, c)
 
+  /** New-vs-returning daily actives (the acquisition/retention split
+    * on every growth dashboard): each (user, day) presence is "new"
+    * on the user's first active day, "returning" after.
+    *
+    * Plan: distinct presence frame, O(#users) first-day aggregate
+    * joined back keyed on user_id, ONE map-combinable aggregate per
+    * day. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val presence = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = presence.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    presence.join(first, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+        count(when(col("day") === col("first_day"), lit(1))).as("new_users"))
+      .withColumn("returning_users", col("active_users") - col("new_users"))
+      .withColumn("new_share",
+        round(col("new_users") / col("active_users").cast("double")
+          + lit(1e-9), 6))
+  }
+
   /** Audience-overlap matrix: exact Jaccard similarity of the user
     * sets behind every event-type pair (the "people who view also
     * click?" report — the exact companion of q_hll_setops' sketch
@@ -613,6 +635,8 @@ object EventAnalytics {
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gini" -> ((s, d) => gini(Tables.events(s, d))),
+    "q_new_vs_returning" -> ((s, d) =>
+      newVsReturning(Tables.events(s, d)).orderBy(col("day"))),
     "q_type_overlap" -> ((s, d) =>
       typeOverlap(Tables.events(s, d)).orderBy(col("type_a"), col("type_b"))),
     "q_time_to_convert" -> ((s, d) =>
@@ -1021,8 +1045,24 @@ object EventOracle {
     JOIN sizes sb ON sb.event_type = i.type_b
     ORDER BY i.type_a, i.type_b"""
 
+  /** Mirrors EventAnalytics.newVsReturning. */
+  val qNewVsReturning: String = """
+    WITH presence AS (
+      SELECT DISTINCT user_id, ts::date AS day FROM events),
+    first_d AS (
+      SELECT user_id, min(day) AS first_day FROM presence GROUP BY 1)
+    SELECT p.day, count(*) AS active_users,
+      count(CASE WHEN p.day = f.first_day THEN 1 END) AS new_users,
+      count(*) - count(CASE WHEN p.day = f.first_day THEN 1 END)
+        AS returning_users,
+      round(count(CASE WHEN p.day = f.first_day THEN 1 END)
+        / count(*)::DOUBLE + 1e-9, 6) AS new_share
+    FROM presence p JOIN first_d f USING (user_id)
+    GROUP BY 1 ORDER BY p.day"""
+
   val all: Map[String, String] = Map(
     "q_gini" -> qGini,
+    "q_new_vs_returning" -> qNewVsReturning,
     "q_type_overlap" -> qTypeOverlap,
     "q_time_to_convert" -> qTimeToConvert,
     "q_calendar_heatmap" -> qCalendarHeatmap,

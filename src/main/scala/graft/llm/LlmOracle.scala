@@ -1268,10 +1268,43 @@ object LlmOracle {
     FROM j JOIN c USING (lang) ORDER BY doc_id"""
   }
 
+  /** Mirrors TextAnalysis.zipfFit: top-k token counts, ln-ln
+    * regression from the sufficient sums. */
+  val qZipfFit: String = s"""
+    WITH counts AS (
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest($toks) AS tok FROM documents)
+      GROUP BY 1 ORDER BY n DESC, tok LIMIT 100),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+      FROM counts),
+    pts AS (
+      SELECT ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM ranked),
+    sums AS (
+      SELECT count(*) AS n_pts, sum(x) AS sx, sum(y) AS sy,
+        sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM pts),
+    d AS (
+      SELECT *, n_pts * sxx - sx * sx AS det,
+        n_pts * syy - sy * sy AS dety
+      FROM sums)
+    SELECT n_pts,
+      CASE WHEN det > 0.0
+           THEN round((n_pts * sxy - sx * sy) / det + 1e-9, 6)
+      END AS zipf_exponent,
+      CASE WHEN det > 0.0
+           THEN round((sy - (n_pts * sxy - sx * sy) / det * sx) / n_pts
+                + 1e-9, 6) END AS intercept,
+      CASE WHEN det > 0.0 AND dety > 0.0
+           THEN round((n_pts * sxy - sx * sy) * (n_pts * sxy - sx * sy)
+                / (det * dety) + 1e-9, 6) END AS r2
+    FROM d"""
+
   val all: Map[String, String] = Map(
     "q_winnowing" -> qWinnowing,
     "q_embed_drift" -> qEmbedDrift,
     "q_lang_centroid" -> qLangCentroid,
+    "q_zipf_fit" -> qZipfFit,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_ccnet_buckets" -> qCcnetBuckets,
     "q_bpe_pairs" -> qBpePairs,

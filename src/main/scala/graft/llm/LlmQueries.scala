@@ -69,6 +69,7 @@ object LlmQueries {
       Cluster.langCentroid(docs(s, d), embs(s, d)).orderBy(col("doc_id"))),
     "q_tokenizer_fertility" -> ((s, d) =>
       TextAnalysis.fertility(docs(s, d)).orderBy(col("lang"))),
+    "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d))),
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_entropy" -> ((s, d) =>

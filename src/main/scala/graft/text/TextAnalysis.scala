@@ -107,6 +107,50 @@ object TextAnalysis {
       expr(s"size(${tokens("text")})").as("n_ws_tokens"),
       expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_re_tokens"))
 
+  /** Zipf-law fit of the corpus token-frequency distribution: the
+    * least-squares slope of ln(frequency) on ln(rank) over the top-k
+    * tokens — the exponent (≈ −1 for natural language) is the
+    * one-number sanity check of a corpus' frequency profile, and the
+    * input to vocabulary-size extrapolation. Closed-form regression
+    * from the five sufficient sums (the lapse-rate machinery on a
+    * log-log frame).
+    *
+    * Plan: ONE map-combinable token count + TakeOrderedAndProject
+    * top-k; ranks, logs and the regression run over the k-row result
+    * only. */
+  def zipfFit(documents: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = documents
+      .select(explode(expr(tokens("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(k)
+    val pts = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    pts.agg(count(lit(1)).as("n_pts"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("det", col("n_pts") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dety", col("n_pts") * col("syy") - col("sy") * col("sy"))
+      .withColumn("zipf_exponent",
+        when(col("det") > 0.0,
+          round((col("n_pts") * col("sxy") - col("sx") * col("sy")) / col("det")
+            + lit(1e-9), 6)))
+      .withColumn("intercept",
+        when(col("det") > 0.0,
+          round((col("sy") - (col("n_pts") * col("sxy") - col("sx") * col("sy"))
+            / col("det") * col("sx")) / col("n_pts") + lit(1e-9), 6)))
+      .withColumn("r2",
+        when(col("det") > 0.0 && col("dety") > 0.0,
+          round((col("n_pts") * col("sxy") - col("sx") * col("sy"))
+            * (col("n_pts") * col("sxy") - col("sx") * col("sy"))
+            / (col("det") * col("dety")) + lit(1e-9), 6)))
+      .select(col("n_pts"), col("zipf_exponent"), col("intercept"), col("r2"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
     * 2003, the MOSS local document fingerprinting algorithm): hash
     * every positional word-3-gram (the shingle convention of the dedup
