@@ -22,6 +22,8 @@ object SparkEntry {
     "q17_small_quantity" -> (Queries.q17SmallQuantity _),
     "q13_custdist" -> (Queries.q13CustDist _),
     "q4_priority_check" -> (Queries.q4PriorityCheck _),
+    "q6_forecast_revenue" -> (Queries.q6ForecastRevenue _),
+    "q15_top_supplier" -> (Queries.q15TopSupplier _),
     "q10_returned_items" -> (Queries.q10ReturnedItems _),
     "q12_priority_split" -> (Queries.q12PrioritySplit _),
     "q14_promo_share" -> (Queries.q14PromoShare _),

@@ -231,8 +231,32 @@ object OracleSql {
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 20 AND 50
            AND l_quantity BETWEEN 20 AND 50)"""
 
+  val q6ForecastRevenue: String = """
+    SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 2) AS revenue,
+      count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  val q15TopSupplier: String = """
+    WITH revenue AS (
+      SELECT l_suppkey,
+        round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+          AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey"""
+
   val all: Map[String, String] = Map(
     "q4_priority_check" -> q4PriorityCheck,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q15_top_supplier" -> q15TopSupplier,
     "q10_returned_items" -> q10ReturnedItems,
     "q12_priority_split" -> q12PrioritySplit,
     "q14_promo_share" -> q14PromoShare,

@@ -283,6 +283,43 @@ object Queries {
       .orderBy(col("cntrycode"))
   }
 
+  /** Q6 shape — forecasting revenue change: one tight
+    * filter-and-aggregate over lineitem alone; every predicate must
+    * reach the parquet scan (ExplainSpec-visible PushedFilters), the
+    * aggregate is a single map-combinable global sum. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")) + lit(1e-9), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Q15 shape — top supplier(s) by period revenue: the revenue view +
+    * "equal to the maximum" correlated filter. The max is a 1-row
+    * global aggregate joined back as a broadcast (the scalar-subquery
+    * decorrelation Catalyst applies to the original), so ties surface
+    * exactly as Q15 requires — no top-1 LIMIT that would drop a tied
+    * supplier.
+    *
+    * Scale shape: ONE suppkey aggregate over the filtered lineitem
+    * scan; supplier is a dim join left to Catalyst/AQE. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        + lit(1e-9), 2).as("total_revenue"))
+    val mx = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Q4 shape — late-order priority census: orders of one quarter with
     * at least one lineitem shipped after the order date (EXISTS →
     * semi join with a cross-side predicate), counted per priority.

@@ -379,6 +379,38 @@ object Climate {
       .select(col("station_id"), col("lag"), col("xbar"), col("acf"))
   }
 
+  /** Heat-wave census per (station, year): runs of ≥ `minLen`
+    * consecutive days with t_max above `thresh` (the WMO-style
+    * heat-wave definition on the ETCCDI summer-day threshold) —
+    * number of waves, total wave days, longest wave. Same
+    * gaps-and-islands as [[drySpells]] on the hot days; a NULL day
+    * breaks a run (an unobserved day cannot evidence a wave).
+    *
+    * Plan: ONE window per (station, year) + two keyed aggregates,
+    * partition-local per station. */
+  def heatWaves(tempStats: DataFrame, thresh: Double = 25.0,
+      minLen: Int = 3): DataFrame = {
+    val base = tempStats.withColumn("yr", year(col("day")))
+    val w = Window.partitionBy(col("station_id"), col("yr")).orderBy(col("day"))
+    val runs = base.filter(col("t_max") > thresh)
+      .withColumn("grp",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          - row_number().over(w))
+      .groupBy(col("station_id"), col("yr"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minLen)
+      .groupBy(col("station_id"), col("yr"))
+      .agg(count(lit(1)).as("n_waves"), sum(col("run_len")).as("wave_days"),
+        max(col("run_len")).as("longest_wave"))
+    base.groupBy(col("station_id"), col("yr"))
+      .agg(count(col("t_max")).as("n_obs"))
+      .join(runs, Seq("station_id", "yr"), "left")
+      .select(col("station_id"), col("yr"), col("n_obs"),
+        coalesce(col("n_waves"), lit(0L)).as("n_waves"),
+        coalesce(col("wave_days"), lit(0L)).as("wave_days"),
+        coalesce(col("longest_wave"), lit(0L)).as("longest_wave"))
+  }
+
   /** Monthly extremes with their dates (the "when was the wettest /
     * driest day" retrieval — StationBases.get_df's max/min companions
     * made date-aware): per (station, month) the max and min observed

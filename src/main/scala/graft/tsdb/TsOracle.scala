@@ -1357,7 +1357,41 @@ object TsOracle {
     FROM raw_daily WHERE raw IS NOT NULL
     GROUP BY 1, 2 ORDER BY station_id, moy"""
 
+  /** Mirrors Climate.heatWaves: hot-day gaps-and-islands with the
+    * min-length filter per (station, year). */
+  val qHeatWaves: String = s"""
+    WITH $world,
+    t_stats AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(max(value) + 1e-9, 3) - $TempShift AS t_max
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    tg AS (
+      SELECT g.station_id, year(g.day) AS yr, g.day, t.t_max
+      FROM grid g LEFT JOIN t_stats t USING (station_id, day)),
+    runs AS (
+      SELECT station_id, yr, grp, count(*) AS run_len FROM (
+        SELECT station_id, yr, day,
+          datediff('day', DATE '1970-01-01', day)
+            - row_number() OVER (PARTITION BY station_id, yr
+                                 ORDER BY day) AS grp
+        FROM tg WHERE t_max > 25.0)
+      GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+    waves AS (
+      SELECT station_id, yr, count(*) AS n_waves,
+        CAST(sum(run_len) AS BIGINT) AS wave_days,
+        max(run_len) AS longest_wave
+      FROM runs GROUP BY 1, 2),
+    census AS (
+      SELECT station_id, yr, count(t_max) AS n_obs FROM tg GROUP BY 1, 2)
+    SELECT c.station_id, c.yr, c.n_obs,
+      coalesce(w.n_waves, 0) AS n_waves,
+      coalesce(w.wave_days, 0) AS wave_days,
+      coalesce(w.longest_wave, 0) AS longest_wave
+    FROM census c LEFT JOIN waves w USING (station_id, yr)
+    ORDER BY c.station_id, c.yr"""
+
   val all: Map[String, String] = Map(
+    "q_heat_waves" -> qHeatWaves,
     "q_climatology_bands" -> qClimatologyBands,
     "q_monthly_extremes" -> qMonthlyExtremes,
     "q_availability" -> qAvailability,

@@ -270,6 +270,9 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  def qHeatWaves(s: SparkSession, d: String): DataFrame =
+    Climate.heatWaves(tempStats(s, d)).orderBy(col("station_id"), col("yr"))
+
   def qClimatologyBands(s: SparkSession, d: String): DataFrame =
     Climate.climatologyBands(rawDaily(s, d))
       .orderBy(col("station_id"), col("moy"))
@@ -341,6 +344,7 @@ object TsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heat_waves" -> (qHeatWaves _),
     "q_climatology_bands" -> (qClimatologyBands _),
     "q_monthly_extremes" -> (qMonthlyExtremes _),
     "q_availability" -> (qAvailability _),
