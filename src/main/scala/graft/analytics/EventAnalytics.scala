@@ -529,6 +529,36 @@ object EventAnalytics {
   private def sum_guard(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c > 0.0, c)
 
+  /** Robust per-user anomaly flags by median absolute deviation (the
+    * outlier test that survives the contaminated tails a mean/stddev
+    * z-score is dragged by): modified z = (x − median) / (1.4826·MAD),
+    * |z| ≥ 3.5 flags (Iglewicz & Hoaglin 1993). Complements
+    * q_anomaly_zscore's trailing-window moment test with a
+    * whole-history robust one.
+    *
+    * Plan: two keyed percentile aggregates to O(#users) rows (median,
+    * then MAD of residuals — MAD inherently needs the second pass),
+    * each joined back keyed on user_id; flagging is a stateless scan.
+    * `approx_percentile` swaps in at 100 TB. */
+  def anomalyMad(events: DataFrame): DataFrame = {
+    val med = events.groupBy(col("user_id"))
+      .agg(round(expr("percentile(value, 0.5D)") + lit(1e-9), 6).as("med"))
+    val joined = events.select(col("event_id"), col("user_id"), col("value"))
+      .join(med, Seq("user_id"))
+    val mad = joined.groupBy(col("user_id"), col("med"))
+      .agg(round(expr("percentile(abs(value - med), 0.5D)") + lit(1e-9), 6)
+        .as("mad"))
+    joined.join(mad.select(col("user_id"), col("mad")), Seq("user_id"))
+      .withColumn("robust_z",
+        when(col("mad") > 0.0,
+          round((col("value") - col("med")) / (lit(1.4826) * col("mad"))
+            + lit(1e-9), 4)))
+      .withColumn("is_anomaly",
+        col("robust_z").isNotNull && abs(col("robust_z")) >= 3.5)
+      .select(col("event_id"), col("user_id"), col("value"), col("med"),
+        col("mad"), col("robust_z"), col("is_anomaly"))
+  }
+
   /** New-vs-returning daily actives (the acquisition/retention split
     * on every growth dashboard): each (user, day) presence is "new"
     * on the user's first active day, "returning" after.
@@ -635,6 +665,8 @@ object EventAnalytics {
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gini" -> ((s, d) => gini(Tables.events(s, d))),
+    "q_anomaly_mad" -> ((s, d) =>
+      anomalyMad(Tables.events(s, d)).orderBy(col("event_id"))),
     "q_new_vs_returning" -> ((s, d) =>
       newVsReturning(Tables.events(s, d)).orderBy(col("day"))),
     "q_type_overlap" -> ((s, d) =>
@@ -1060,8 +1092,33 @@ object EventOracle {
     FROM presence p JOIN first_d f USING (user_id)
     GROUP BY 1 ORDER BY p.day"""
 
+  /** Mirrors EventAnalytics.anomalyMad: two-pass median / MAD with
+    * the Iglewicz–Hoaglin modified z. */
+  val qAnomalyMad: String = """
+    WITH med_t AS (
+      SELECT user_id, round(quantile_cont(value, 0.5) + 1e-9, 6) AS med
+      FROM events GROUP BY 1),
+    j AS (
+      SELECT e.event_id, e.user_id, e.value, m.med
+      FROM events e JOIN med_t m USING (user_id)),
+    mad_t AS (
+      SELECT user_id,
+        round(quantile_cont(abs(value - med), 0.5) + 1e-9, 6) AS mad
+      FROM j GROUP BY 1)
+    SELECT j.event_id, j.user_id, j.value, j.med, d.mad,
+      CASE WHEN d.mad > 0.0
+           THEN round((j.value - j.med) / (1.4826 * d.mad) + 1e-9, 4)
+      END AS robust_z,
+      (d.mad > 0.0 AND
+       abs(CASE WHEN d.mad > 0.0
+            THEN round((j.value - j.med) / (1.4826 * d.mad) + 1e-9, 4)
+           END) >= 3.5) AS is_anomaly
+    FROM j JOIN mad_t d USING (user_id)
+    ORDER BY j.event_id"""
+
   val all: Map[String, String] = Map(
     "q_gini" -> qGini,
+    "q_anomaly_mad" -> qAnomalyMad,
     "q_new_vs_returning" -> qNewVsReturning,
     "q_type_overlap" -> qTypeOverlap,
     "q_time_to_convert" -> qTimeToConvert,

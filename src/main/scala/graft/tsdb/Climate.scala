@@ -379,6 +379,57 @@ object Climate {
       .select(col("station_id"), col("lag"), col("xbar"), col("acf"))
   }
 
+  /** Intensity–duration table from the hourly series (the IDF-curve
+    * input of design-storm engineering): per station, the period
+    * maximum precipitation accumulated over trailing windows of
+    * 1/3/6/12/24 hours — only complete windows compete.
+    *
+    * Plan: all five trailing frames share ONE Window node (same
+    * partitioning and ordering — one station exchange, one sort); the
+    * per-duration maxima are one keyed aggregate and the duration
+    * unpivot runs on the O(#stations) result. */
+  def idfCurve(hourlyRaw: DataFrame,
+      durations: Seq[Int] = Seq(1, 3, 6, 12, 24)): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("hour"))
+    val withAcc = durations.foldLeft(hourlyRaw) { (df, d) =>
+      val wd = w.rowsBetween(-(d - 1), 0)
+      df.withColumn(s"acc$d",
+          when(count(lit(1)).over(wd) === d,
+            round(sum(coalesce(col("raw"), lit(0.0))).over(wd) + lit(1e-9), 3)))
+    }
+    val maxCols: Seq[org.apache.spark.sql.Column] =
+      durations.map(d => max(col(s"acc$d")).as(s"max$d"))
+    val agg = withAcc.groupBy(col("station_id"))
+      .agg(maxCols.head, maxCols.tail: _*)
+    agg.select(col("station_id"),
+      expr(s"stack(${durations.size}, " +
+        durations.map(d => s"$d, max$d").mkString(", ") +
+        ") as (duration_h, max_acc)"))
+  }
+
+  /** Antecedent precipitation index (the classic soil-moisture proxy:
+    * `API_t = Σ_{i<memory} k^i · P_{t-i}`, Kohler & Linsley 1951) over
+    * the zero-filled daily series with decay `k` and a finite memory
+    * (the k^i tail beyond it is < 1% mass at k=0.9, m=14 — the
+    * operational truncation).
+    *
+    * Plan: the `memory` lag columns land in ONE Window node over the
+    * station partitioning (one exchange, one sort); the weighted sum
+    * is a stateless projection with the k^i weights as plan literals
+    * (identical doubles in the oracle — both sides print the same
+    * Scala-computed constant). */
+  def apiIndex(rawDaily: DataFrame, k: Double = 0.9,
+      memory: Int = 14): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val z = coalesce(col("raw"), lit(0.0))
+    val terms: Seq[org.apache.spark.sql.Column] = (0 until memory).map { i =>
+      coalesce(lag(z, i).over(w), lit(0.0)) * lit(math.pow(k, i))
+    }
+    rawDaily
+      .withColumn("api", round(terms.reduce(_ + _) + lit(1e-9), 4))
+      .select(col("station_id"), col("day"), col("raw"), col("api"))
+  }
+
   /** Heat-wave census per (station, year): runs of ≥ `minLen`
     * consecutive days with t_max above `thresh` (the WMO-style
     * heat-wave definition on the ETCCDI summer-day threshold) —

@@ -1390,7 +1390,66 @@ object TsOracle {
     FROM census c LEFT JOIN waves w USING (station_id, yr)
     ORDER BY c.station_id, c.yr"""
 
+  /** Mirrors Climate.idfCurve: five trailing hourly frames, complete
+    * windows only, per-station maxima stacked by duration. */
+  val qIdfCurve: String = {
+    val durations = Seq(1, 3, 6, 12, 24)
+    val accCols = durations.map { d =>
+      s"""CASE WHEN count(*) OVER (win ROWS BETWEEN ${d - 1} PRECEDING
+            AND CURRENT ROW) = $d
+          THEN round(sum(coalesce(raw, 0.0)) OVER (win ROWS BETWEEN
+            ${d - 1} PRECEDING AND CURRENT ROW) + 1e-9, 3) END AS acc$d"""
+    }.mkString(",\n        ")
+    val maxCols = durations.map(d => s"max(acc$d) AS max$d").mkString(", ")
+    val stacked = durations.map(d =>
+      s"SELECT station_id, $d AS duration_h, max$d AS max_acc FROM agg")
+      .mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH hourly_e AS (
+      SELECT user_id::BIGINT AS station_id,
+        date_trunc('hour', ts) AS hour, round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    hb AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1 FROM events),
+    hgrid AS (
+      SELECT s.station_id,
+        unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT user_id::BIGINT AS station_id FROM events) s,
+        hb b),
+    hourly AS (
+      SELECT g.station_id, g.hour, h.raw
+      FROM hgrid g LEFT JOIN hourly_e h USING (station_id, hour)),
+    acc AS (
+      SELECT station_id,
+        $accCols
+      FROM hourly
+      WINDOW win AS (PARTITION BY station_id ORDER BY hour)),
+    agg AS (SELECT station_id, $maxCols FROM acc GROUP BY 1)
+    SELECT station_id, duration_h, max_acc FROM (
+      $stacked)
+    ORDER BY station_id, duration_h"""
+  }
+
+  /** Mirrors Climate.apiIndex: k^i-weighted trailing lags; weights
+    * are the same Scala-computed double literals the Spark plan
+    * embeds. */
+  val qApiIndex: String = {
+    val k = 0.9; val memory = 14
+    val terms = (0 until memory).map { i =>
+      s"coalesce(lag(coalesce(raw, 0.0), $i) OVER win, 0.0) * ${math.pow(k, i)}"
+    }.mkString(" + ")
+    s"""
+    WITH $world
+    SELECT station_id, day, raw,
+      round($terms + 1e-9, 4) AS api
+    FROM raw_daily
+    WINDOW win AS (PARTITION BY station_id ORDER BY day)
+    ORDER BY station_id, day"""
+  }
+
   val all: Map[String, String] = Map(
+    "q_idf_curve" -> qIdfCurve,
+    "q_api_index" -> qApiIndex,
     "q_heat_waves" -> qHeatWaves,
     "q_climatology_bands" -> qClimatologyBands,
     "q_monthly_extremes" -> qMonthlyExtremes,

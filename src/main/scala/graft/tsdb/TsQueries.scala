@@ -270,6 +270,12 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  def qIdfCurve(s: SparkSession, d: String): DataFrame =
+    Climate.idfCurve(hourly(s, d)).orderBy(col("station_id"), col("duration_h"))
+
+  def qApiIndex(s: SparkSession, d: String): DataFrame =
+    Climate.apiIndex(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
+
   def qHeatWaves(s: SparkSession, d: String): DataFrame =
     Climate.heatWaves(tempStats(s, d)).orderBy(col("station_id"), col("yr"))
 
@@ -344,6 +350,8 @@ object TsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_idf_curve" -> (qIdfCurve _),
+    "q_api_index" -> (qApiIndex _),
     "q_heat_waves" -> (qHeatWaves _),
     "q_climatology_bands" -> (qClimatologyBands _),
     "q_monthly_extremes" -> (qMonthlyExtremes _),
