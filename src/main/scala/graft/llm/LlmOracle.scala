@@ -1300,11 +1300,21 @@ object LlmOracle {
                 / (det * dety) + 1e-9, 6) END AS r2
     FROM d"""
 
+  /** Mirrors TextAnalysis.prefixDups. */
+  val qDedupPrefix: String = s"""
+    WITH p AS (
+      SELECT doc_id, array_to_string(($toks)[1:2], ' ') AS prefix
+      FROM documents)
+    SELECT prefix, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM p GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY prefix"""
+
   val all: Map[String, String] = Map(
     "q_winnowing" -> qWinnowing,
     "q_embed_drift" -> qEmbedDrift,
     "q_lang_centroid" -> qLangCentroid,
     "q_zipf_fit" -> qZipfFit,
+    "q_dedup_prefix" -> qDedupPrefix,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_ccnet_buckets" -> qCcnetBuckets,
     "q_bpe_pairs" -> qBpePairs,

@@ -70,6 +70,8 @@ object LlmQueries {
     "q_tokenizer_fertility" -> ((s, d) =>
       TextAnalysis.fertility(docs(s, d)).orderBy(col("lang"))),
     "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d))),
+    "q_dedup_prefix" -> ((s, d) =>
+      TextAnalysis.prefixDups(docs(s, d)).orderBy(col("prefix"))),
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_entropy" -> ((s, d) =>

@@ -107,6 +107,23 @@ object TextAnalysis {
       expr(s"size(${tokens("text")})").as("n_ws_tokens"),
       expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_re_tokens"))
 
+  /** Duplicated document prefixes (boilerplate-header detection — the
+    * cheap screen before span-level dedup: shared openings mark
+    * template/scraper artifacts): prefix groups of ≥ 2 docs by their
+    * first `nTokens` words, with counts and the earliest doc.
+    *
+    * Plan: stateless prefix projection + ONE map-combinable keyed
+    * aggregate; output is O(#distinct shared prefixes). */
+  def prefixDups(documents: DataFrame, nTokens: Int = 2): DataFrame = {
+    val t = tokens("text")
+    documents
+      .select(col("doc_id"),
+        expr(s"array_join(slice($t, 1, $nTokens), ' ')").as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Zipf-law fit of the corpus token-frequency distribution: the
     * least-squares slope of ln(frequency) on ln(rank) over the top-k
     * tokens — the exponent (≈ −1 for natural language) is the

@@ -147,6 +147,75 @@ object Climate {
     } finally annual.unpersist()
   }
 
+  /** Theil–Sen slope estimator per station (the robust trend
+    * magnitude always reported NEXT to the Mann–Kendall test: MK says
+    * WHETHER a monotone trend exists, Theil–Sen says HOW STEEP,
+    * immune to outliers that wreck least squares): the median of all
+    * pairwise slopes `(x_j − x_i) / (days between)` over the observed
+    * series.
+    *
+    * Plan: the same per-station pair enumeration as [[mannKendall]]
+    * (feed aggregate series at 100 TB so per-station n stays small),
+    * then one keyed percentile aggregate — interpolation runs over
+    * identically-computed quotients on both engines. */
+  def theilSen(rawDaily: DataFrame): DataFrame = {
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id"),
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .as("t"), col("raw").as("p"))
+    val a = obs.select(col("station_id"), col("t").as("ti"), col("p").as("xi"))
+    val b = obs.select(col("station_id"), col("t").as("tj"), col("p").as("xj"))
+    a.join(b, Seq("station_id")).filter(col("ti") < col("tj"))
+      .withColumn("slope", (col("xj") - col("xi")) / (col("tj") - col("ti")))
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5D)") + lit(1e-9), 6).as("sen_slope"))
+  }
+
+  /** Wald–Wolfowitz runs test per station (serial-randomness check —
+    * a record failing it has clustering/persistence its QC or trend
+    * analysis must account for): runs of above/below-median observed
+    * days vs the expected run count under randomness, normal
+    * approximation z. Median ties drop (the standard treatment).
+    *
+    * Plan: broadcast-joined per-station median (O(#stations)), one
+    * partition-local lag window for run starts, ONE keyed aggregate;
+    * the closed-form moments are a stateless projection. */
+  def runsTest(rawDaily: DataFrame): DataFrame = {
+    val med = rawDaily.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"))
+      .agg(round(expr("percentile(raw, 0.5D)") + lit(1e-9), 6).as("med"))
+    val signed = rawDaily.filter(col("raw").isNotNull)
+      .join(med, Seq("station_id"))
+      .filter(col("raw") =!= col("med"))
+      .withColumn("up", (col("raw") > col("med")).cast("int"))
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val agg = signed
+      .withColumn("chg",
+        when(lag(col("up"), 1).over(w).isNull ||
+          lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L))
+      .groupBy(col("station_id"))
+      .agg(sum(col("chg")).as("n_runs"),
+        sum(col("up")).cast("long").as("n1"),
+        sum(lit(1) - col("up")).cast("long").as("n2"))
+    agg
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("e_runs",
+        round(lit(2.0) * col("n1") * col("n2") / col("n") + lit(1.0)
+          + lit(1e-9), 6))
+      .withColumn("var_runs",
+        when(col("n") > 1,
+          round(lit(2.0) * col("n1") * col("n2")
+            * (lit(2.0) * col("n1") * col("n2") - col("n"))
+            / (col("n") * col("n") * (col("n") - lit(1.0))) + lit(1e-9), 6)))
+      .withColumn("z",
+        when(col("var_runs") > 0.0,
+          round((col("n_runs") - col("e_runs")) / sqrt(col("var_runs"))
+            + lit(1e-9), 4)))
+      .select(col("station_id"), col("n1"), col("n2"), col("n_runs"),
+        col("e_runs"), col("var_runs"), col("z"))
+  }
+
   /** Double-mass homogeneity check (the classic gauge-consistency
     * curve): cumulative station precipitation against the cumulative
     * mean of its k nearest neighbors; a homogeneous record tracks the

@@ -1447,7 +1447,61 @@ object TsOracle {
     ORDER BY station_id, day"""
   }
 
+  /** Mirrors Climate.theilSen: median of pairwise slopes. */
+  val qTheilSen: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id,
+        datediff('day', DATE '1970-01-01', day) AS t, raw AS p
+      FROM raw_daily WHERE raw IS NOT NULL),
+    pr AS (
+      SELECT a.station_id, (b.p - a.p) / (b.t - a.t) AS slope
+      FROM obs a JOIN obs b
+        ON a.station_id = b.station_id AND a.t < b.t)
+    SELECT station_id, count(*) AS n_pairs,
+      round(quantile_cont(slope, 0.5) + 1e-9, 6) AS sen_slope
+    FROM pr GROUP BY 1 ORDER BY station_id"""
+
+  /** Mirrors Climate.runsTest: above/below-median run census with
+    * the normal-approximation moments. */
+  val qRunsTest: String = s"""
+    WITH $world,
+    med_t AS (
+      SELECT station_id, round(quantile_cont(raw, 0.5) + 1e-9, 6) AS med
+      FROM raw_daily WHERE raw IS NOT NULL GROUP BY 1),
+    signed AS (
+      SELECT r.station_id, r.day,
+        CASE WHEN r.raw > m.med THEN 1 ELSE 0 END AS up
+      FROM raw_daily r JOIN med_t m USING (station_id)
+      WHERE r.raw IS NOT NULL AND r.raw <> m.med),
+    chg AS (
+      SELECT station_id,
+        CASE WHEN lag(up, 1) OVER win IS NULL
+              OR lag(up, 1) OVER win <> up THEN 1 ELSE 0 END AS chg, up
+      FROM signed
+      WINDOW win AS (PARTITION BY station_id ORDER BY day)),
+    agg AS (
+      SELECT station_id, CAST(sum(chg) AS BIGINT) AS n_runs,
+        CAST(sum(up) AS BIGINT) AS n1,
+        CAST(sum(1 - up) AS BIGINT) AS n2
+      FROM chg GROUP BY 1),
+    m AS (
+      SELECT *, n1 + n2 AS n,
+        round(2.0 * n1 * n2 / (n1 + n2) + 1.0 + 1e-9, 6) AS e_runs,
+        CASE WHEN n1 + n2 > 1
+             THEN round(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                  / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0)) + 1e-9, 6)
+        END AS var_runs
+      FROM agg)
+    SELECT station_id, n1, n2, n_runs, e_runs, var_runs,
+      CASE WHEN var_runs > 0.0
+           THEN round((n_runs - e_runs) / sqrt(var_runs) + 1e-9, 4)
+      END AS z
+    FROM m ORDER BY station_id"""
+
   val all: Map[String, String] = Map(
+    "q_theil_sen" -> qTheilSen,
+    "q_runs_test" -> qRunsTest,
     "q_idf_curve" -> qIdfCurve,
     "q_api_index" -> qApiIndex,
     "q_heat_waves" -> qHeatWaves,

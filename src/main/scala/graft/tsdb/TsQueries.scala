@@ -270,6 +270,12 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  def qTheilSen(s: SparkSession, d: String): DataFrame =
+    Climate.theilSen(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qRunsTest(s: SparkSession, d: String): DataFrame =
+    Climate.runsTest(rawDaily(s, d)).orderBy(col("station_id"))
+
   def qIdfCurve(s: SparkSession, d: String): DataFrame =
     Climate.idfCurve(hourly(s, d)).orderBy(col("station_id"), col("duration_h"))
 
@@ -350,6 +356,8 @@ object TsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> (qTheilSen _),
+    "q_runs_test" -> (qRunsTest _),
     "q_idf_curve" -> (qIdfCurve _),
     "q_api_index" -> (qApiIndex _),
     "q_heat_waves" -> (qHeatWaves _),
