@@ -536,19 +536,18 @@ object EventAnalytics {
     * q_anomaly_zscore's trailing-window moment test with a
     * whole-history robust one.
     *
-    * Plan: two keyed percentile aggregates to O(#users) rows (median,
-    * then MAD of residuals — MAD inherently needs the second pass),
-    * each joined back keyed on user_id; flagging is a stateless scan.
-    * `approx_percentile` swaps in at 100 TB. */
-  def anomalyMad(events: DataFrame): DataFrame = {
-    val med = events.groupBy(col("user_id"))
-      .agg(round(expr("percentile(value, 0.5D)") + lit(1e-9), 6).as("med"))
-    val joined = events.select(col("event_id"), col("user_id"), col("value"))
-      .join(med, Seq("user_id"))
-    val mad = joined.groupBy(col("user_id"), col("med"))
-      .agg(round(expr("percentile(abs(value - med), 0.5D)") + lit(1e-9), 6)
-        .as("mad"))
-    joined.join(mad.select(col("user_id"), col("mad")), Seq("user_id"))
+    * Plan: both percentiles run as window AGGREGATES over the user
+    * partition — the MAD needs the median first, so they are two
+    * Window nodes, but with the same partitioning they share ONE
+    * user_id exchange and the events table scans ONCE (a join-based
+    * two-pass would scan it four times); flagging is a stateless
+    * projection. `approx_percentile` swaps in at 100 TB. */
+  def anomalyMad(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("med", expr(
+        "round(percentile(value, 0.5D) OVER (PARTITION BY user_id) + 1e-9, 6)"))
+      .withColumn("mad", expr(
+        "round(percentile(abs(value - med), 0.5D) OVER (PARTITION BY user_id) + 1e-9, 6)"))
       .withColumn("robust_z",
         when(col("mad") > 0.0,
           round((col("value") - col("med")) / (lit(1.4826) * col("mad"))
@@ -557,7 +556,6 @@ object EventAnalytics {
         col("robust_z").isNotNull && abs(col("robust_z")) >= 3.5)
       .select(col("event_id"), col("user_id"), col("value"), col("med"),
         col("mad"), col("robust_z"), col("is_anomaly"))
-  }
 
   /** New-vs-returning daily actives (the acquisition/retention split
     * on every growth dashboard): each (user, day) presence is "new"
@@ -1104,17 +1102,16 @@ object EventOracle {
     mad_t AS (
       SELECT user_id,
         round(quantile_cont(abs(value - med), 0.5) + 1e-9, 6) AS mad
-      FROM j GROUP BY 1)
-    SELECT j.event_id, j.user_id, j.value, j.med, d.mad,
-      CASE WHEN d.mad > 0.0
-           THEN round((j.value - j.med) / (1.4826 * d.mad) + 1e-9, 4)
-      END AS robust_z,
-      (d.mad > 0.0 AND
-       abs(CASE WHEN d.mad > 0.0
-            THEN round((j.value - j.med) / (1.4826 * d.mad) + 1e-9, 4)
-           END) >= 3.5) AS is_anomaly
-    FROM j JOIN mad_t d USING (user_id)
-    ORDER BY j.event_id"""
+      FROM j GROUP BY 1),
+    z AS (
+      SELECT j.event_id, j.user_id, j.value, j.med, d.mad,
+        CASE WHEN d.mad > 0.0
+             THEN round((j.value - j.med) / (1.4826 * d.mad) + 1e-9, 4)
+        END AS robust_z
+      FROM j JOIN mad_t d USING (user_id))
+    SELECT event_id, user_id, value, med, mad, robust_z,
+      (robust_z IS NOT NULL AND abs(robust_z) >= 3.5) AS is_anomaly
+    FROM z ORDER BY event_id"""
 
   val all: Map[String, String] = Map(
     "q_gini" -> qGini,

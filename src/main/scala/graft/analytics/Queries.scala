@@ -306,12 +306,16 @@ object Queries {
     * Scale shape: ONE suppkey aggregate over the filtered lineitem
     * scan; supplier is a dim join left to Catalyst/AQE. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // the O(#suppliers) revenue frame feeds BOTH the max and the
+    // output side — checkpoint it so the filtered lineitem scan and
+    // its aggregation run once, not twice
     val revenue = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         + lit(1e-9), 2).as("total_revenue"))
+      .localCheckpoint(true)
     val mx = revenue.agg(max(col("total_revenue")).as("max_revenue"))
     revenue.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("max_revenue"))

@@ -155,7 +155,11 @@ object Sources {
     val updKeys = updates.select(keyCols.map(col): _*).distinct()
     val movedParts = table.join(updKeys, keyCols, "left_semi")
       .select(partitionCol).distinct()
+    // snapshot the touched-day list BEFORE the overwrite: the frame is
+    // lazily derived from the table being rewritten, and the vacated
+    // diff below must see the PRE-write partition set
     val touched = updates.select(partitionCol).union(movedParts).distinct()
+      .localCheckpoint(true)
     val existing = table
       .join(broadcast(touched), Seq(partitionCol), "left_semi")
     val merged = existing
@@ -165,6 +169,21 @@ object Sources {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(path)
+    // dynamic overwrite only replaces partitions PRESENT in the output:
+    // a partition whose every row moved away (a date correction
+    // vacating a day) has zero merged rows and would silently keep its
+    // stale directory — delete vacated touched partitions explicitly.
+    // Both frames are O(#touched-days); the collect is a dim-sized list.
+    val vacated = touched.select(col(partitionCol).cast("string"))
+      .except(merged.select(col(partitionCol).cast("string")))
+      .collect().map(_.getString(0))
+    if (vacated.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      vacated.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+      }
+    }
   }
 
   /** Small-file compaction: rewrite a (flat) parquet dataset into

@@ -254,13 +254,6 @@ object Streaming extends Serializable {
         .isEmpty
   }
 
-  /** Streaming ingest dedup — the streaming twin of q_ingest_dedup's
-    * keep-one-per-(station, ts) normalization: re-delivered raw
-    * imports (at-least-once sources, overlapping DWD files) are
-    * dropped while their key can still recur (within the watermark),
-    * so downstream incremental QC never double-counts an interval.
-    * State is bounded: dropDuplicatesWithinWatermark evicts keys once
-    * the event-time watermark passes them. */
   /** Streaming keyed-upsert sink: every micro-batch MERGEs into a
     * day-partitioned parquet table via
     * [[graft.sources.Sources.mergeUpsert]] — the streaming twin of the
@@ -271,6 +264,10 @@ object Streaming extends Serializable {
     * by key rather than appending — an exactly-once TABLE from an
     * at-least-once stream. Batches arrive keyed latest-wins within
     * the batch (ingestDedup upstream handles in-batch duplicates).
+    * EMPTY batches (no-data triggers, recovery ticks) advance the
+    * batchId without touching storage — in particular an empty FIRST
+    * batch must not bootstrap a schema-less directory that every later
+    * merge would fail to read.
     *
     * Only the day partitions a micro-batch touches are rewritten —
     * streaming history never moves, which is what makes the shape
@@ -285,14 +282,16 @@ object Streaming extends Serializable {
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           synchronized {
             if (batchId > lastBatchId) {
-              val spark = batch.sparkSession
-              val fs = new org.apache.hadoop.fs.Path(path)
-                .getFileSystem(spark.sparkContext.hadoopConfiguration)
-              if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-                graft.sources.Sources.mergeUpsert(
-                  spark, path, batch.toDF(), keyCols, partitionCol)
-              else
-                batch.toDF().write.partitionBy(partitionCol).parquet(path)
+              if (!batch.isEmpty) {
+                val spark = batch.sparkSession
+                val fs = new org.apache.hadoop.fs.Path(path)
+                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+                  graft.sources.Sources.mergeUpsert(
+                    spark, path, batch.toDF(), keyCols, partitionCol)
+                else
+                  batch.toDF().write.partitionBy(partitionCol).parquet(path)
+              }
               lastBatchId = batchId
             }
           }
@@ -300,6 +299,13 @@ object Streaming extends Serializable {
         .start()
   }
 
+  /** Streaming ingest dedup — the streaming twin of q_ingest_dedup's
+    * keep-one-per-(station, ts) normalization: re-delivered raw
+    * imports (at-least-once sources, overlapping DWD files) are
+    * dropped while their key can still recur (within the watermark),
+    * so downstream incremental QC never double-counts an interval.
+    * State is bounded: dropDuplicatesWithinWatermark evicts keys once
+    * the event-time watermark passes them. */
   def ingestDedup(streamEvents: DataFrame, lateness: String = "1 hour"): DataFrame =
     streamEvents
       .withWatermark("ts", lateness)

@@ -30,21 +30,34 @@ object Climate {
     val base = rawDaily
       .withColumn("yr", year(col("day")))
       .withColumn("dry", coalesce(col("raw"), lit(0.0)) < dryThresh)
+    val runs = runStats(base.filter(col("dry")), minLen = 1)
+    base.groupBy(col("station_id"), col("yr"))
+      .agg(count(lit(1)).as("n_days"))
+      .join(runs, Seq("station_id", "yr"), "left")
+      .select(col("station_id"), col("yr"), col("n_days"),
+        coalesce(col("run_days"), lit(0L)).as("n_dry"),
+        coalesce(col("longest_run"), lit(0L)).as("max_dry_run"))
+  }
+
+  /** Shared gaps-and-islands run census: over rows carrying
+    * (station_id, yr, day) that SATISFY the run predicate, per
+    * (station, yr) the count / total days / longest of the
+    * consecutive-day runs of length ≥ `minLen` (run key =
+    * day ordinal − row_number, constant within a consecutive run).
+    * One partition-local window + two keyed aggregates — the single
+    * implementation behind [[drySpells]] and [[heatWaves]]. */
+  private def runStats(days: DataFrame, minLen: Int): DataFrame = {
     val w = Window.partitionBy(col("station_id"), col("yr")).orderBy(col("day"))
-    val runs = base.filter(col("dry"))
+    days
       .withColumn("grp",
         datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
           - row_number().over(w))
       .groupBy(col("station_id"), col("yr"), col("grp"))
       .agg(count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minLen)
       .groupBy(col("station_id"), col("yr"))
-      .agg(max(col("run_len")).as("max_dry_run"), sum(col("run_len")).as("n_dry"))
-    base.groupBy(col("station_id"), col("yr"))
-      .agg(count(lit(1)).as("n_days"))
-      .join(runs, Seq("station_id", "yr"), "left")
-      .select(col("station_id"), col("yr"), col("n_days"),
-        coalesce(col("n_dry"), lit(0L)).as("n_dry"),
-        coalesce(col("max_dry_run"), lit(0L)).as("max_dry_run"))
+      .agg(count(lit(1)).as("n_runs"), sum(col("run_len")).as("run_days"),
+        max(col("run_len")).as("longest_run"))
   }
 
   /** Monthly heating / cooling degree days from the daily temperature
@@ -511,24 +524,14 @@ object Climate {
   def heatWaves(tempStats: DataFrame, thresh: Double = 25.0,
       minLen: Int = 3): DataFrame = {
     val base = tempStats.withColumn("yr", year(col("day")))
-    val w = Window.partitionBy(col("station_id"), col("yr")).orderBy(col("day"))
-    val runs = base.filter(col("t_max") > thresh)
-      .withColumn("grp",
-        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
-          - row_number().over(w))
-      .groupBy(col("station_id"), col("yr"), col("grp"))
-      .agg(count(lit(1)).as("run_len"))
-      .filter(col("run_len") >= minLen)
-      .groupBy(col("station_id"), col("yr"))
-      .agg(count(lit(1)).as("n_waves"), sum(col("run_len")).as("wave_days"),
-        max(col("run_len")).as("longest_wave"))
+    val runs = runStats(base.filter(col("t_max") > thresh), minLen)
     base.groupBy(col("station_id"), col("yr"))
       .agg(count(col("t_max")).as("n_obs"))
       .join(runs, Seq("station_id", "yr"), "left")
       .select(col("station_id"), col("yr"), col("n_obs"),
-        coalesce(col("n_waves"), lit(0L)).as("n_waves"),
-        coalesce(col("wave_days"), lit(0L)).as("wave_days"),
-        coalesce(col("longest_wave"), lit(0L)).as("longest_wave"))
+        coalesce(col("n_runs"), lit(0L)).as("n_waves"),
+        coalesce(col("run_days"), lit(0L)).as("wave_days"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_wave"))
   }
 
   /** Monthly extremes with their dates (the "when was the wettest /

@@ -189,4 +189,26 @@ class SourcesSpec extends SparkSpec {
     assert(after.filter(col("event_id") === movedId)
       .select(col("day").cast("string")).head().getString(0) === touchedDay)
   }
+
+  test("mergeUpsert deletes a partition vacated by a cross-day key move") {
+    val dir = Files.createTempDirectory("graft_vacate").toString + "/t"
+    val base = spark.createDataFrame(Seq(
+      (1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-02")))
+      .toDF("event_id", "value", "day")
+    Sources.writePartitioned(base, dir)
+    // the ONLY row of day 2024-01-01 moves to 2024-01-02: dynamic
+    // overwrite alone would leave the vacated directory (and its stale
+    // copy of key 1) behind because no output row lands in it
+    val move = spark.createDataFrame(Seq((1L, 10.0, "2024-01-02")))
+      .toDF("event_id", "value", "day")
+    Sources.mergeUpsert(spark, dir, move, Seq("event_id"))
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 2)
+    assert(after.filter(col("event_id") === 1L).count() === 1,
+      "moved key must not survive in the vacated partition")
+    assert(after.filter(col("event_id") === 1L)
+      .select(col("day").cast("string")).head().getString(0) === "2024-01-02")
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists(),
+      "vacated day directory must be removed")
+  }
 }
