@@ -529,6 +529,35 @@ object EventAnalytics {
   private def sum_guard(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c > 0.0, c)
 
+  /** Engagement streaks: per user the longest and current run of
+    * consecutive active days plus the active-day census (the
+    * habit-formation metric of consumer products). Gaps-and-islands
+    * on the distinct presence frame; "current" = the streak touching
+    * the dataset's last day.
+    *
+    * Plan: distinct presence, ONE partition-local window per user,
+    * two keyed aggregates; the 1-row max-day frame broadcasts. */
+  def userStreaks(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val presence = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = presence
+      .withColumn("grp",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"), max(col("day")).as("run_end"))
+    val lastDay = events.agg(max(to_date(col("ts"))).as("last_day"))
+    runs.crossJoin(broadcast(lastDay))
+      .groupBy(col("user_id"))
+      .agg(sum(col("run_len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("run_len")).as("longest_streak"),
+        max(when(col("run_end") === col("last_day"), col("run_len"))
+          .otherwise(lit(0L))).as("current_streak"))
+  }
+
   /** Robust per-user anomaly flags by median absolute deviation (the
     * outlier test that survives the contaminated tails a mean/stddev
     * z-score is dragged by): modified z = (x − median) / (1.4826·MAD),
@@ -663,6 +692,8 @@ object EventAnalytics {
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gini" -> ((s, d) => gini(Tables.events(s, d))),
+    "q_user_streaks" -> ((s, d) =>
+      userStreaks(Tables.events(s, d)).orderBy(col("user_id"))),
     "q_anomaly_mad" -> ((s, d) =>
       anomalyMad(Tables.events(s, d)).orderBy(col("event_id"))),
     "q_new_vs_returning" -> ((s, d) =>
@@ -1113,9 +1144,31 @@ object EventOracle {
       (robust_z IS NOT NULL AND abs(robust_z) >= 3.5) AS is_anomaly
     FROM z ORDER BY event_id"""
 
+  /** Mirrors EventAnalytics.userStreaks. */
+  val qUserStreaks: String = """
+    WITH presence AS (
+      SELECT DISTINCT user_id, ts::date AS day FROM events),
+    runs AS (
+      SELECT user_id, grp, count(*) AS run_len, max(day) AS run_end FROM (
+        SELECT user_id, day,
+          datediff('day', DATE '1970-01-01', day)
+            - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM presence)
+      GROUP BY 1, 2),
+    last_t AS (SELECT max(ts)::date AS last_day FROM events)
+    SELECT user_id,
+      CAST(sum(run_len) AS BIGINT) AS active_days,
+      count(*) AS n_streaks,
+      max(run_len) AS longest_streak,
+      max(CASE WHEN run_end = l.last_day THEN run_len ELSE 0 END)
+        AS current_streak
+    FROM runs, last_t l
+    GROUP BY 1 ORDER BY user_id"""
+
   val all: Map[String, String] = Map(
     "q_gini" -> qGini,
     "q_anomaly_mad" -> qAnomalyMad,
+    "q_user_streaks" -> qUserStreaks,
     "q_new_vs_returning" -> qNewVsReturning,
     "q_type_overlap" -> qTypeOverlap,
     "q_time_to_convert" -> qTimeToConvert,

@@ -160,6 +160,38 @@ object Climate {
     } finally annual.unpersist()
   }
 
+  /** Classical additive seasonal decomposition per station
+    * (x = trend + seasonal + residual — the moving-average
+    * decomposition behind every "is this anomaly weather or climate?"
+    * question): trend is a centered `2k+1`-day moving average
+    * (complete windows only), the seasonal component is the
+    * month-of-year mean of the detrended series, the residual is what
+    * remains.
+    *
+    * Plan: ONE centered window per station (partition-local), one
+    * keyed aggregate to ≤ 12 rows per station joined back — the same
+    * two-shuffle shape as SPI. */
+  def seasonalDecompose(rawDaily: DataFrame, halfWindow: Int = 14): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val z = coalesce(col("raw"), lit(0.0))
+    val withTrend = rawDaily
+      .withColumn("x", z)
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === 2 * halfWindow + 1,
+          round(avg(z).over(w) + lit(1e-9), 6)))
+      .withColumn("moy", month(col("day")))
+    val seasonal = withTrend.filter(col("trend").isNotNull)
+      .groupBy(col("station_id"), col("moy"))
+      .agg(round(avg(col("x") - col("trend")) + lit(1e-9), 6).as("seasonal"))
+    withTrend.join(seasonal, Seq("station_id", "moy"), "left")
+      .withColumn("resid",
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          round(col("x") - col("trend") - col("seasonal") + lit(1e-9), 4)))
+      .select(col("station_id"), col("day"), col("x"), col("trend"),
+        col("seasonal"), col("resid"))
+  }
+
   /** Theil–Sen slope estimator per station (the robust trend
     * magnitude always reported NEXT to the Mann–Kendall test: MK says
     * WHETHER a monotone trend exists, Theil–Sen says HOW STEEP,

@@ -1499,7 +1499,32 @@ object TsOracle {
       END AS z
     FROM m ORDER BY station_id"""
 
+  /** Mirrors Climate.seasonalDecompose: centered 29-day MA trend,
+    * month-of-year mean of the detrended series, residual. */
+  val qSeasonalDecompose: String = s"""
+    WITH $world,
+    base AS (
+      SELECT station_id, day, month(day) AS moy, coalesce(raw, 0.0) AS x
+      FROM raw_daily),
+    tr AS (
+      SELECT station_id, day, moy, x,
+        CASE WHEN count(*) OVER win = 29
+             THEN round(avg(x) OVER win + 1e-9, 6) END AS trend
+      FROM base
+      WINDOW win AS (PARTITION BY station_id ORDER BY day
+                     ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING)),
+    seas AS (
+      SELECT station_id, moy,
+        round(avg(x - trend) + 1e-9, 6) AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2)
+    SELECT t.station_id, t.day, t.x, t.trend, s.seasonal,
+      CASE WHEN t.trend IS NOT NULL AND s.seasonal IS NOT NULL
+           THEN round(t.x - t.trend - s.seasonal + 1e-9, 4) END AS resid
+    FROM tr t LEFT JOIN seas s USING (station_id, moy)
+    ORDER BY t.station_id, t.day"""
+
   val all: Map[String, String] = Map(
+    "q_seasonal_decompose" -> qSeasonalDecompose,
     "q_theil_sen" -> qTheilSen,
     "q_runs_test" -> qRunsTest,
     "q_idf_curve" -> qIdfCurve,

@@ -270,6 +270,10 @@ object TsQueries {
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"))
 
+  def qSeasonalDecompose(s: SparkSession, d: String): DataFrame =
+    Climate.seasonalDecompose(rawDaily(s, d))
+      .orderBy(col("station_id"), col("day"))
+
   def qTheilSen(s: SparkSession, d: String): DataFrame =
     Climate.theilSen(rawDaily(s, d)).orderBy(col("station_id"))
 
@@ -356,6 +360,7 @@ object TsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_theil_sen" -> (qTheilSen _),
     "q_runs_test" -> (qRunsTest _),
     "q_idf_curve" -> (qIdfCurve _),
