@@ -30,6 +30,14 @@ object SparkEntry {
     "q19_disjunctive" -> (Queries.q19DisjunctiveRevenue _),
     "q18_large_orders" -> ((s: SparkSession, d: String) => Queries.q18LargeOrders(s, d)),
     "q22_idle_customers" -> (Queries.q22IdleCustomers _),
+    "q2_min_cost_supplier" -> (Queries.q2MinCostSupplier _),
+    "q7_volume_shipping" -> (Queries.q7VolumeShipping _),
+    "q8_market_share" -> (Queries.q8MarketShare _),
+    "q9_product_profit" -> (Queries.q9ProductProfit _),
+    "q11_important_stock" -> (Queries.q11ImportantStock _),
+    "q16_supplier_count" -> (Queries.q16SupplierCount _),
+    "q20_excess_shippers" -> (Queries.q20ExcessShippers _),
+    "q21_waiting_suppliers" -> (Queries.q21WaitingSuppliers _),
     "q_rollup" -> (Queries.qRollup _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++

@@ -253,7 +253,155 @@ object OracleSql {
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s.s_suppkey"""
 
+  val q7VolumeShipping: String = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      year(l_shipdate) AS l_year,
+      round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+       OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3"""
+
+  val q8MarketShare: String = """
+    WITH flows AS (
+      SELECT year(o_orderdate) AS o_year,
+        l_extendedprice * (1 - l_discount) AS rev,
+        sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+    SELECT o_year,
+      round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0.0 END)
+        + 1e-9, 2) AS nation_revenue,
+      round(sum(rev) + 1e-9, 2) AS total_revenue,
+      CASE WHEN sum(rev) > 0.0 THEN
+        round(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0.0 END)
+            + 1e-9, 2) /
+          round(sum(rev) + 1e-9, 2) + 1e-9, 6) END AS mkt_share
+    FROM flows
+    GROUP BY o_year
+    ORDER BY o_year"""
+
+  val q9ProductProfit: String = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      round(sum(l_extendedprice * (1 - l_discount)
+        - p_retailprice * l_quantity * 0.6) + 1e-9, 2) AS sum_profit,
+      count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC"""
+
+  val q2MinCostSupplier: String = """
+    WITH offers AS (
+      SELECT p_partkey, p_name, l_suppkey,
+        round(min(l_extendedprice * (1 - l_discount) / l_quantity)
+          + 1e-9, 4) AS unit_cost
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'LARGE' AND p_size >= 40
+      GROUP BY 1, 2, 3)
+    SELECT s_acctbal, s_name, n_name, r_name, p_partkey, p_name, unit_cost
+    FROM offers o
+    JOIN supplier ON o.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE unit_cost = (SELECT min(unit_cost) FROM offers o2
+                       WHERE o2.p_partkey = o.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
+  val q11ImportantStock: String = """
+    WITH value AS (
+      SELECT l_partkey,
+        round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY 1)
+    SELECT l_partkey, part_value
+    FROM value
+    WHERE part_value > (SELECT avg(part_value) FROM value) * 1.5
+    ORDER BY part_value DESC, l_partkey"""
+
+  val q16SupplierCount: String = """
+    SELECT p_brand, p_type, p_size,
+      count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  val q20ExcessShippers: String = """
+    WITH shipped AS (
+      SELECT p_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%blue%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped s1
+      WHERE supp_qty > 0.5 * (SELECT sum(supp_qty) FROM shipped s2
+                              WHERE s2.p_partkey = s1.p_partkey))
+    ORDER BY s_suppkey"""
+
+  val q21WaitingSuppliers: String = """
+    WITH lines AS (
+      SELECT l_orderkey, l_suppkey,
+        l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT s_name, count(*) AS numwait
+    FROM lines l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_19' AND l1.late
+      AND EXISTS (SELECT 1 FROM lines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100"""
+
   val all: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q11_important_stock" -> q11ImportantStock,
+    "q16_supplier_count" -> q16SupplierCount,
+    "q20_excess_shippers" -> q20ExcessShippers,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "q4_priority_check" -> q4PriorityCheck,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q15_top_supplier" -> q15TopSupplier,

@@ -445,6 +445,297 @@ object Queries {
   def qTableChecksum(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Sources.tableChecksum(Tables.events(spark, dir))
 
+  /** Q7 shape — volume shipping between two nations: bidirectional
+    * revenue flow (supplier nation ↔ customer nation) per ship year
+    * for the (NATION_18, NATION_19) pair (present at every test SF).
+    *
+    * Scale shape: lineitem⋈orders is the only big-big join
+    * (co-shuffle on the orderkey); supplier/customer are keyed dim
+    * joins left to Catalyst/AQE; nation always broadcasts. The
+    * nation-pair disjunction filters AFTER the dim joins (it needs
+    * both nation names) but the per-side nation pre-filters — only
+    * suppliers/customers of the two nations survive their dim scans —
+    * keep the join inputs minimal. Final aggregate is map-combinable
+    * to ≤ 2·#years rows. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nat = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_18", "NATION_19")))
+    val supp = Tables.supplier(spark, dir)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        + lit(1e-9), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8 shape — national market share: NATION_7's share of ASIA's
+    * PROMO-part revenue per order year. The two-level aggregate rides
+    * one pass: a conditional sum over the same rows as the total.
+    *
+    * Scale shape: part's type filter prunes the lineitem join input
+    * early (keyed join, Catalyst/AQE picks broadcast below threshold);
+    * lineitem⋈orders co-shuffles on the orderkey; customer keyed;
+    * nation/region always broadcast. ONE aggregate to ≤ #years rows. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = broadcast(Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")))
+    val cust = Tables.customer(spark, dir)
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_7", rev)
+          .otherwise(lit(0.0))) + lit(1e-9), 2).as("nation_revenue"),
+        round(sum(rev) + lit(1e-9), 2).as("total_revenue"))
+      .withColumn("mkt_share",
+        when(col("total_revenue") > 0.0,
+          round(col("nation_revenue") / col("total_revenue") + lit(1e-9), 6)))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q9 shape — product-line profit by supplier nation and year:
+    * profit = discounted revenue − a retail-price cost proxy (the
+    * dataset carries no partsupp/supplycost; p_retailprice × quantity
+    * × 0.6 stands in — same join tree, same arithmetic shape).
+    * Parts restricted by a name substring, the classic Q9 LIKE.
+    *
+    * Scale shape: the p_name filter prunes parts before the lineitem
+    * join; lineitem⋈orders co-shuffles on the orderkey; supplier
+    * keyed, nation broadcast. Aggregate map-combinable to
+    * #nations × #years rows. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity") * lit(0.6)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(amount) + lit(1e-9), 2).as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q2 shape — cheapest supplier per part (correlated MIN): for LARGE
+    * parts of size ≥ 40, the supplier(s) whose observed effective unit
+    * price (min over their lineitems) equals the part's global
+    * minimum, with supplier nation/region. The dataset has no
+    * partsupp, so lineitem is the part↔supplier offer relation — the
+    * correlated-min-subquery + multi-dim-join SHAPE is Q2's.
+    *
+    * Scale shape: per-(part,supp) min is ONE map-combinable aggregate
+    * over the part-filtered lineitem scan; the per-part global min
+    * reuses that O(offers) frame (no second lineitem scan — hence the
+    * localCheckpoint); the equality join back is keyed on partkey.
+    * Supplier/nation/region dim joins keyed/broadcast. Ties surface
+    * (no LIMIT-1 per part), as Q2 requires. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") >= 40)
+      .select(col("p_partkey"), col("p_name"))
+    val offers = Tables.lineitem(spark, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(round(min(col("l_extendedprice") * (lit(1) - col("l_discount")) /
+        col("l_quantity")) + lit(1e-9), 4).as("unit_cost"))
+      .localCheckpoint(true)
+    val best = offers.groupBy(col("p_partkey").as("bp"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    offers.join(best, col("p_partkey") === col("bp") &&
+        col("unit_cost") === col("min_cost"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("r_name"),
+        col("p_partkey"), col("p_name"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11 shape — important stock: parts whose traded value (discounted
+    * revenue through EUROPE-nation suppliers) exceeds 1.5× the mean
+    * part value — the group-vs-global-scalar HAVING of Q11, with
+    * lineitem standing in for partsupp. (Q11's literal `sum × fixed
+    * fraction` threshold is not scale-invariant — at 100× the part
+    * count every share shrinks 100× and the result empties; a
+    * mean-relative threshold keeps the same plan shape and a stable
+    * qualifying fraction at every SF.)
+    *
+    * Scale shape: the supplier-nation filter prunes before the value
+    * aggregate; per-part value is ONE map-combinable shuffle; the
+    * global total derives from the SAME O(#parts) frame (checkpointed,
+    * no rescan) and joins back as a 1-row broadcast. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val euroSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        + lit(1e-9), 2).as("part_value"))
+      .localCheckpoint(true)
+    val total = value.agg(avg(col("part_value")).as("avg_value"))
+    value.crossJoin(broadcast(total))
+      .filter(col("part_value") > col("avg_value") * lit(1.5))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** Q16 shape — supplier diversity per part attribute: how many
+    * distinct suppliers ship parts of each (brand, type, size) combo,
+    * excluding one brand, restricted to a size list, and excluding
+    * negative-balance suppliers (the complaints-comment analog) via
+    * NOT IN → anti join.
+    *
+    * Scale shape: part filters prune before the join; the bad-supplier
+    * frame is tiny and anti-joins keyed (broadcast below threshold);
+    * count_distinct(suppkey) per combo is a two-phase (partial
+    * distinct) aggregate — never a row explosion. */
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q20 shape — dominant suppliers of a part line: suppliers who
+    * shipped MORE than half of a blue part's total 1996 volume — Q20's
+    * availqty > ½·shipped correlated threshold, re-expressed with
+    * lineitem as the availability relation; semi-join back to the
+    * supplier catalog.
+    *
+    * Scale shape: the p_name + year filters prune the fact scan; the
+    * per-(part,supp) and per-part totals derive from ONE aggregate
+    * frame (checkpoint + self-reuse, no rescan); the final supplier
+    * list is a keyed semi join. */
+  def q20ExcessShippers(spark: SparkSession, dir: String): DataFrame = {
+    val blueParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("blue")).select(col("p_partkey"))
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(blueParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+      .localCheckpoint(true)
+    val partTotal = shipped.groupBy(col("p_partkey").as("tp"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    val dominant = shipped.join(partTotal, col("p_partkey") === col("tp"))
+      .filter(col("supp_qty") > col("part_qty") * lit(0.5))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q21 shape — suppliers who kept orders waiting: in finished ('F')
+    * multi-supplier orders, the suppliers of NATION_19 whose lineitem
+    * shipped late (> 90 days after the order date) while EVERY other
+    * supplier in the order shipped on time — Q21's
+    * EXISTS(other supplier) AND NOT EXISTS(other late supplier),
+    * re-expressed with shipdate lateness (the dataset carries no
+    * commit/receipt dates).
+    *
+    * Scale shape: all three per-order frames (my late lines, other
+    * suppliers present, other suppliers late) derive from ONE
+    * orderkey-keyed lineitem⋈orders scan; the EXISTS is a keyed semi
+    * join, the NOT EXISTS a keyed anti join, both on (orderkey) with
+    * the supplier-inequality as the join residual — no row explosion
+    * beyond the order's own lines; final count map-combines per
+    * supplier. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("late"))
+      .localCheckpoint(true)
+    val nation4Supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_19")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val myLate = lines.filter(col("late"))
+      .join(nation4Supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey").as("mo"), col("l_suppkey").as("ms"), col("s_name"))
+    val others = lines.select(col("l_orderkey").as("oo"), col("l_suppkey").as("os"))
+    val othersLate = lines.filter(col("late"))
+      .select(col("l_orderkey").as("xo"), col("l_suppkey").as("xs"))
+    myLate
+      .join(others, col("mo") === col("oo") && col("ms") =!= col("os"), "left_semi")
+      .join(othersLate, col("mo") === col("xo") && col("ms") =!= col("xs"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
