@@ -689,8 +689,50 @@ object EventAnalytics {
           + lit(1e-9), 6))
   }
 
+  /** Marketing-style conversion attribution: each purchase credits the
+    * touch events (click/view) of the same user inside a trailing
+    * 7-day lookback — once to the FIRST touch in the window and once
+    * to the LAST (the two standard single-touch models, reported side
+    * by side per touch type).
+    *
+    * Plan: ONE keyed join on user_id bounded by the lookback interval
+    * (row fan-out is the user's touch density in 7 days, never the
+    * whole history); first/last touch per conversion are min/max of a
+    * (ts, event_id, type) struct inside the SAME keyed aggregate — no
+    * window, no second shuffle; the model×type rollup is
+    * map-combinable to ≤ 2·#types rows. At 100 TB the join stays
+    * keyed on user_id (AQE handles skewed power users; the interval
+    * predicate is a cheap residual). */
+  def attribution(events: DataFrame): DataFrame = {
+    val touches = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("touch_type"))
+    val convs = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"), col("value"))
+    val perConv = convs.join(touches, Seq("user_id"))
+      .filter(col("t_ts") <= col("c_ts") &&
+        col("t_ts") > col("c_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("c_id"), col("value"))
+      .agg(
+        min(struct(col("t_ts"), col("t_id"), col("touch_type"))).as("first"),
+        max(struct(col("t_ts"), col("t_id"), col("touch_type"))).as("last"))
+    val first = perConv.select(lit("first_touch").as("model"),
+      col("first.touch_type").as("touch_type"), col("value"))
+    val last = perConv.select(lit("last_touch").as("model"),
+      col("last.touch_type").as("touch_type"), col("value"))
+    first.unionByName(last)
+      .groupBy(col("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value")) + lit(1e-9), 2).as("credited_value"))
+      .orderBy(col("model"), col("touch_type"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_gini" -> ((s, d) => gini(Tables.events(s, d))),
     "q_user_streaks" -> ((s, d) =>
       userStreaks(Tables.events(s, d)).orderBy(col("user_id"))),
@@ -1165,7 +1207,32 @@ object EventOracle {
     FROM runs, last_t l
     GROUP BY 1 ORDER BY user_id"""
 
+  /** Mirrors EventAnalytics.attribution: first/last touch inside the
+    * 7-day lookback via min/max over the (ts, id, type) ordering. */
+  val qAttribution: String = """
+    WITH touches AS (
+      SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    convs AS (
+      SELECT user_id, ts AS c_ts, event_id AS c_id, value
+      FROM events WHERE event_type = 'purchase'),
+    per_conv AS (
+      SELECT c_id, value,
+        min(ROW(t_ts, t_id, touch_type))[3] AS first_type,
+        max(ROW(t_ts, t_id, touch_type))[3] AS last_type
+      FROM convs JOIN touches USING (user_id)
+      WHERE t_ts <= c_ts AND t_ts > c_ts - INTERVAL 7 DAY
+      GROUP BY 1, 2),
+    credited AS (
+      SELECT 'first_touch' AS model, first_type AS touch_type, value FROM per_conv
+      UNION ALL
+      SELECT 'last_touch' AS model, last_type AS touch_type, value FROM per_conv)
+    SELECT model, touch_type, count(*) AS n_conversions,
+      round(sum(value) + 1e-9, 2) AS credited_value
+    FROM credited GROUP BY 1, 2 ORDER BY model, touch_type"""
+
   val all: Map[String, String] = Map(
+    "q_attribution" -> qAttribution,
     "q_gini" -> qGini,
     "q_anomaly_mad" -> qAnomalyMad,
     "q_user_streaks" -> qUserStreaks,

@@ -724,4 +724,95 @@ object Climate {
       .select(col("station_id"), col("yr"), col("annual_max"), col("m"),
         col("n_years"), col("return_period"), col("exc_prob"))
   }
+
+  /** Pettitt (1979) non-parametric change-point test per station: the
+    * most probable single break in a series' distribution. Uses the
+    * rank identity U_t = 2·Σ_{i≤t} r_i − t·(n+1) (midranks for ties),
+    * which turns the textbook O(n²) double sum into one rank pass +
+    * one cumulative sum — the statistic K = max|U_t| with its day and
+    * the approximate significance p ≈ 2·exp(−6K²/(n³+n²)).
+    *
+    * Plan: two windows over the SAME station partitioning (rank by
+    * value, running sum by day) — one shuffle total — then ONE keyed
+    * aggregate with an (|U|, earliest-day) struct-max tiebreak.
+    * U_t is exactly integer-valued (2·midrank sums are whole), so the
+    * argmax is engine-exact, no float comparison. */
+  def pettitt(rawDaily: DataFrame): DataFrame = {
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id"), col("day"), col("raw"))
+    val wStation = Window.partitionBy(col("station_id"))
+    val ranked = obs
+      .withColumn("rmin", rank().over(wStation.orderBy(col("raw"))))
+      .withColumn("ties",
+        count(lit(1)).over(Window.partitionBy(col("station_id"), col("raw"))))
+      .withColumn("r", col("rmin") + (col("ties") - lit(1)) / lit(2.0))
+    val wDay = wStation.orderBy(col("day"))
+    val u = ranked
+      .withColumn("cumr", sum(col("r"))
+        .over(wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(wDay))
+      .withColumn("n", count(lit(1)).over(wStation))
+      // U_n = 0 by construction; the test statistic ranges t = 1..n-1
+      .filter(col("t") < col("n"))
+      .withColumn("u",
+        (lit(2.0) * col("cumr") - col("t") * (col("n") + lit(1))).cast("long"))
+      .withColumn("day_ord",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+    u.groupBy(col("station_id"), col("n"))
+      .agg(max(struct(abs(col("u")).as("k"), (-col("day_ord")).as("nday"),
+        col("u"))).as("best"))
+      .withColumn("k_stat", col("best.k"))
+      .withColumn("u_at_break", col("best.u"))
+      .withColumn("break_day",
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          (-col("best.nday")).cast("int")))
+      .withColumn("p_value",
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) * col("k_stat")
+          * col("k_stat") / (pow(col("n"), 3) + pow(col("n"), 2))))
+          + lit(1e-9), 6))
+      .select(col("station_id"), col("n"), col("k_stat"), col("u_at_break"),
+        col("break_day"), col("p_value"))
+  }
+
+  /** CUSUM change-point screen per station: standardized cumulative
+    * sums S_t = Σ_{i≤t}(x_i − x̄)/σ; a record with a mean shift bows
+    * away from zero and the extreme |S_t| marks the candidate break
+    * (Page 1954 as the retrospective mean-shift screen hydrologists
+    * pair with Pettitt). Reported: the extreme, its day, and the
+    * scale-free max|S|/√n an analyst thresholds (~1.36 at α=0.05 by
+    * the Kolmogorov bridge approximation).
+    *
+    * Plan: one keyed moment aggregate (broadcast back by key join),
+    * one ordered partition-local cumulative window, ONE keyed
+    * struct-max aggregate — mean/σ are rounded BEFORE the cumsum so
+    * the running float arithmetic is bit-identical on both engines. */
+  def cusum(rawDaily: DataFrame): DataFrame = {
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id"), col("day"), col("raw"))
+    val moments = obs.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("raw")) + lit(1e-9), 6).as("mean"),
+        round(stddev_pop(col("raw")) + lit(1e-9), 6).as("sd"))
+      .filter(col("sd") > 0.0)
+    val wDay = Window.partitionBy(col("station_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.join(moments, Seq("station_id"))
+      .withColumn("s",
+        round(sum((col("raw") - col("mean")) / col("sd")).over(wDay)
+          + lit(1e-9), 4))
+      .withColumn("day_ord",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+      .groupBy(col("station_id"), col("n"), col("mean"), col("sd"))
+      .agg(max(struct(abs(col("s")).as("smax"), (-col("day_ord")).as("nday"),
+        col("s"))).as("best"))
+      .withColumn("s_max", col("best.smax"))
+      .withColumn("s_at_break", col("best.s"))
+      .withColumn("break_day",
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          (-col("best.nday")).cast("int")))
+      .withColumn("s_norm",
+        round(col("s_max") / sqrt(col("n")) + lit(1e-9), 4))
+      .select(col("station_id"), col("n"), col("mean"), col("sd"),
+        col("s_max"), col("s_at_break"), col("break_day"), col("s_norm"))
+  }
 }

@@ -991,6 +991,65 @@ object TsOracle {
 
   /** Mirrors Climate.mannKendall: per-station pair signs over the
     * observed daily values, continuity-corrected normal z. */
+  /** Mirrors Climate.pettitt: midranks, cumulative rank sum,
+    * U_t = 2·cumr − t·(n+1), (|U|, earliest-day) argmax. */
+  val qPettitt: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, day, raw FROM raw_daily WHERE raw IS NOT NULL),
+    ranked AS (
+      SELECT station_id, day, raw,
+        rank() OVER (PARTITION BY station_id ORDER BY raw)
+          + (count(*) OVER (PARTITION BY station_id, raw) - 1) / 2.0 AS r
+      FROM obs),
+    u_t AS (
+      SELECT station_id, day,
+        CAST(2.0 * sum(r) OVER (PARTITION BY station_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - (row_number() OVER (PARTITION BY station_id ORDER BY day))
+            * (count(*) OVER (PARTITION BY station_id) + 1) AS BIGINT) AS u,
+        row_number() OVER (PARTITION BY station_id ORDER BY day) AS t,
+        count(*) OVER (PARTITION BY station_id) AS n,
+        datediff('day', DATE '1970-01-01', day) AS day_ord
+      FROM ranked),
+    best AS (
+      SELECT station_id, n,
+        max(ROW(abs(u), -day_ord, u)) AS b
+      FROM u_t WHERE t < n GROUP BY 1, 2)
+    SELECT station_id, n, b[1] AS k_stat, b[3] AS u_at_break,
+      DATE '1970-01-01' + CAST(-b[2] AS INT) AS break_day,
+      round(least(1.0, 2.0 * exp(-6.0 * b[1] * b[1] / (n*n*n + n*n)))
+        + 1e-9, 6) AS p_value
+    FROM best ORDER BY station_id"""
+
+  /** Mirrors Climate.cusum: rounded moments BEFORE the ordered
+    * cumulative sum, (|S|, earliest-day) argmax, Kolmogorov-scaled
+    * max|S|/√n. */
+  val qCusum: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, day, raw FROM raw_daily WHERE raw IS NOT NULL),
+    moments AS (
+      SELECT station_id, count(*) AS n,
+        round(avg(raw) + 1e-9, 6) AS mean,
+        round(stddev_pop(raw) + 1e-9, 6) AS sd
+      FROM obs GROUP BY 1
+      HAVING round(stddev_pop(raw) + 1e-9, 6) > 0.0),
+    s_t AS (
+      SELECT o.station_id, m.n, m.mean, m.sd,
+        round(sum((o.raw - m.mean) / m.sd)
+          OVER (PARTITION BY o.station_id ORDER BY o.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 4) AS s,
+        datediff('day', DATE '1970-01-01', o.day) AS day_ord
+      FROM obs o JOIN moments m USING (station_id)),
+    best AS (
+      SELECT station_id, n, mean, sd, max(ROW(abs(s), -day_ord, s)) AS b
+      FROM s_t GROUP BY 1, 2, 3, 4)
+    SELECT station_id, n, mean, sd, b[1] AS s_max, b[3] AS s_at_break,
+      DATE '1970-01-01' + CAST(-b[2] AS INT) AS break_day,
+      round(b[1] / sqrt(n) + 1e-9, 4) AS s_norm
+    FROM best ORDER BY station_id"""
+
   val qTrendMk: String = s"""
     WITH $world,
     annual AS (
@@ -1544,6 +1603,8 @@ object TsOracle {
     "q_acf" -> qAcf,
     "q_dry_spells" -> qDrySpells,
     "q_spi_zscore" -> qSpiZscore,
+    "q_pettitt" -> qPettitt,
+    "q_cusum" -> qCusum,
     "q_trend_mk" -> qTrendMk,
     "q_double_mass" -> qDoubleMass,
     "q_precip_type_mix" -> qPrecipTypeMix,

@@ -359,7 +359,15 @@ object TsQueries {
       .orderBy(col("station_id"), col("precipitation_typ"))
   }
 
+  def qPettitt(s: SparkSession, d: String): DataFrame =
+    Climate.pettitt(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qCusum(s: SparkSession, d: String): DataFrame =
+    Climate.cusum(rawDaily(s, d)).orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pettitt" -> (qPettitt _),
+    "q_cusum" -> (qCusum _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_theil_sen" -> (qTheilSen _),
     "q_runs_test" -> (qRunsTest _),
