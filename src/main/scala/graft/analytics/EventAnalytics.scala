@@ -730,9 +730,35 @@ object EventAnalytics {
       .orderBy(col("model"), col("touch_type"))
   }
 
+  /** Tail-risk report per event type: the 95th-percentile value (VaR)
+    * and the mean/count/mass of the exceedances beyond it (CVaR /
+    * expected shortfall) — the heavy-tail summary an SRE or revenue
+    * pipeline reads next to plain quantiles.
+    *
+    * Plan: one keyed percentile aggregate (O(#types) rows, broadcast
+    * back by the keyed join), then ONE conditional re-aggregation over
+    * the same typed partitioning — two map-combinable shuffles on a
+    * low-cardinality key, no window, no sort of the full frame. */
+  def cvar(events: DataFrame): DataFrame = {
+    val varT = events.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.95D)") + lit(1e-9), 6).as("var95"),
+        count(lit(1)).as("n_events"))
+    events.select(col("event_type"), col("value"))
+      .join(varT, Seq("event_type"))
+      .groupBy(col("event_type"), col("var95"), col("n_events"))
+      .agg(
+        count(when(col("value") > col("var95"), lit(1))).as("n_tail"),
+        round(avg(when(col("value") > col("var95"), col("value")))
+          + lit(1e-9), 4).as("cvar95"),
+        round(sum(when(col("value") > col("var95"), col("value"))
+          .otherwise(lit(0.0))) + lit(1e-9), 2).as("tail_mass"))
+      .orderBy(col("event_type"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
+    "q_cvar" -> ((s, d) => cvar(Tables.events(s, d))),
     "q_gini" -> ((s, d) => gini(Tables.events(s, d))),
     "q_user_streaks" -> ((s, d) =>
       userStreaks(Tables.events(s, d)).orderBy(col("user_id"))),
@@ -1231,8 +1257,26 @@ object EventOracle {
       round(sum(value) + 1e-9, 2) AS credited_value
     FROM credited GROUP BY 1, 2 ORDER BY model, touch_type"""
 
+  /** Mirrors EventAnalytics.cvar: VaR95 per type, conditional tail
+    * re-aggregation against the rounded threshold. */
+  val qCvar: String = """
+    WITH var_t AS (
+      SELECT event_type,
+        round(quantile_cont(value, 0.95) + 1e-9, 6) AS var95,
+        count(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT e.event_type, v.var95, v.n_events,
+      count(CASE WHEN e.value > v.var95 THEN 1 END) AS n_tail,
+      round(avg(CASE WHEN e.value > v.var95 THEN e.value END) + 1e-9, 4)
+        AS cvar95,
+      round(sum(CASE WHEN e.value > v.var95 THEN e.value ELSE 0.0 END)
+        + 1e-9, 2) AS tail_mass
+    FROM events e JOIN var_t v USING (event_type)
+    GROUP BY 1, 2, 3 ORDER BY event_type"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
+    "q_cvar" -> qCvar,
     "q_gini" -> qGini,
     "q_anomaly_mad" -> qAnomalyMad,
     "q_user_streaks" -> qUserStreaks,

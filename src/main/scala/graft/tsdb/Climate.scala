@@ -815,4 +815,104 @@ object Climate {
       .select(col("station_id"), col("n"), col("mean"), col("sd"),
         col("s_max"), col("s_at_break"), col("break_day"), col("s_norm"))
   }
+
+  /** Alexandersson SNHT (standard normal homogeneity test) per
+    * station — the third member of the homogeneity toolkit beside
+    * [[pettitt]] and [[doubleMass]]: T_k = k·z̄₁² + (n−k)·z̄₂² over the
+    * standardized series, whose maximum locates a single mean shift
+    * (T > ~8.1 significant at α=0.05 for n≈50).
+    *
+    * Plan: moments (rounded 6 BEFORE standardization), ONE ordered
+    * cumulative window; the series total is taken from the LAST
+    * cumulative value (struct-max on (k, cumz)) — never an unordered
+    * float re-sum, so both engines fold bit-identically — then T_k is
+    * a stateless projection and the extreme one keyed struct-argmax. */
+  def snht(rawDaily: DataFrame): DataFrame = {
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id"), col("day"), col("raw"))
+    val moments = obs.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("raw")) + lit(1e-9), 6).as("mean"),
+        round(stddev_pop(col("raw")) + lit(1e-9), 6).as("sd"))
+      .filter(col("sd") > 0.0)
+    val wDay = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val cum = obs.join(moments, Seq("station_id"))
+      .withColumn("cumz", sum((col("raw") - col("mean")) / col("sd"))
+        .over(wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(wDay))
+      .withColumn("day_ord",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val tot = cum.groupBy(col("station_id"))
+      .agg(max(struct(col("k"), col("cumz"))).as("lastc"))
+      .select(col("station_id"), col("lastc.cumz").as("totz"))
+    cum.join(tot, Seq("station_id"))
+      .filter(col("k") < col("n"))
+      .withColumn("t_stat",
+        round(col("cumz") * col("cumz") / col("k")
+          + (col("totz") - col("cumz")) * (col("totz") - col("cumz"))
+            / (col("n") - col("k")) + lit(1e-9), 4))
+      .groupBy(col("station_id"), col("n"), col("mean"), col("sd"))
+      .agg(max(struct(col("t_stat"), (-col("day_ord")).as("nday"),
+        col("k"), col("cumz"), col("totz"))).as("best"))
+      .withColumn("t_max", col("best.t_stat"))
+      .withColumn("break_day",
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          (-col("best.nday")).cast("int")))
+      .withColumn("mu1", round(col("mean")
+        + col("sd") * col("best.cumz") / col("best.k") + lit(1e-9), 4))
+      .withColumn("mu2", round(col("mean")
+        + col("sd") * (col("best.totz") - col("best.cumz"))
+          / (col("n") - col("best.k")) + lit(1e-9), 4))
+      .select(col("station_id"), col("n"), col("t_max"), col("break_day"),
+        col("mu1"), col("mu2"))
+  }
+
+  /** Seasonal Mann–Kendall trend test per station (Hirsch–Slack): the
+    * MK S statistic computed WITHIN each season across periods (so
+    * the cycle never masquerades as trend), summed over seasons;
+    * variance is the sum of per-season MK variances; z with the ±1
+    * continuity correction as in the plain MK. The season here is the
+    * DAY-OF-WEEK and the period the week index — the cycle the
+    * month-long event feed actually carries (on multi-year data the
+    * same operator runs with month/year in the two roles; the
+    * structure is identical).
+    *
+    * Plan: the pair enumeration is bounded per (station, season) —
+    * O(#weeks²) per cell, a vanishing fraction of all-pairs —
+    * self-joined per (station, dow); two keyed aggregates (per
+    * season, per station). At 100 TB: aggregate/partition first, THEN
+    * the quadratic, never the reverse. */
+  def seasonalMannKendall(rawDaily: DataFrame): DataFrame = {
+    val seasonal = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id"),
+        (dayofweek(col("day")) - 1).as("m"),
+        floor(datediff(col("day"),
+          lit(java.sql.Date.valueOf("1970-01-01"))) / 7).as("wk"),
+        col("raw").as("p"))
+    val a = seasonal.select(col("station_id"), col("m"),
+      col("wk").as("yi"), col("p").as("xi"))
+    val b = seasonal.select(col("station_id"), col("m"),
+      col("wk").as("yj"), col("p").as("xj"))
+    val perMonth = a.join(b, Seq("station_id", "m"))
+      .filter(col("yi") < col("yj"))
+      .groupBy(col("station_id"), col("m"))
+      .agg(sum(signum(col("xj") - col("xi"))).cast("long").as("s_m"))
+      .join(seasonal.groupBy(col("station_id"), col("m"))
+        .agg(count(lit(1)).as("n_m")), Seq("station_id", "m"))
+    val per = perMonth.groupBy(col("station_id"))
+      .agg(sum(col("s_m")).as("s"),
+        round(sum(col("n_m") * (col("n_m") - 1) * (col("n_m") * 2 + 5))
+          / lit(18.0) + lit(1e-9), 6).as("var_s"),
+        count(lit(1)).as("n_seasons"))
+    per
+      .withColumn("z",
+        when(col("s") === 0, lit(0.0))
+          .otherwise(round(signum(col("s"))
+            * (abs(col("s")) - 1) / sqrt(col("var_s")) + lit(1e-9), 4)))
+      .withColumn("trend",
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing").otherwise("none"))
+      .select(col("station_id"), col("n_seasons"), col("s"), col("var_s"),
+        col("z"), col("trend"))
+  }
 }

@@ -1050,6 +1050,83 @@ object TsOracle {
       round(b[1] / sqrt(n) + 1e-9, 4) AS s_norm
     FROM best ORDER BY station_id"""
 
+  /** Mirrors Climate.snht: rounded moments, ordered cumulative z, the
+    * series total taken from the LAST cumulative value (never an
+    * unordered re-sum), T_k projection, (T, earliest-day) argmax. */
+  val qSnht: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, day, raw FROM raw_daily WHERE raw IS NOT NULL),
+    moments AS (
+      SELECT station_id, count(*) AS n,
+        round(avg(raw) + 1e-9, 6) AS mean,
+        round(stddev_pop(raw) + 1e-9, 6) AS sd
+      FROM obs GROUP BY 1
+      HAVING round(stddev_pop(raw) + 1e-9, 6) > 0.0),
+    cum AS (
+      SELECT o.station_id, m.n, m.mean, m.sd,
+        sum((o.raw - m.mean) / m.sd)
+          OVER (PARTITION BY o.station_id ORDER BY o.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumz,
+        row_number() OVER (PARTITION BY o.station_id ORDER BY o.day) AS k,
+        datediff('day', DATE '1970-01-01', o.day) AS day_ord
+      FROM obs o JOIN moments m USING (station_id)),
+    tot AS (
+      SELECT station_id, max(ROW(k, cumz)) AS lastc FROM cum GROUP BY 1),
+    t_k AS (
+      SELECT c.station_id, c.n, c.mean, c.sd, c.k, c.cumz,
+        t.lastc[2] AS totz, c.day_ord,
+        round(c.cumz * c.cumz / c.k
+          + (t.lastc[2] - c.cumz) * (t.lastc[2] - c.cumz) / (c.n - c.k)
+          + 1e-9, 4) AS t_stat
+      FROM cum c JOIN tot t USING (station_id)
+      WHERE c.k < c.n),
+    best AS (
+      SELECT station_id, n, mean, sd,
+        max(ROW(t_stat, -day_ord, k, cumz, totz)) AS b
+      FROM t_k GROUP BY 1, 2, 3, 4)
+    SELECT station_id, n, b[1] AS t_max,
+      DATE '1970-01-01' + CAST(-b[2] AS INT) AS break_day,
+      round(mean + sd * b[4] / b[3] + 1e-9, 4) AS mu1,
+      round(mean + sd * (b[5] - b[4]) / (n - b[3]) + 1e-9, 4) AS mu2
+    FROM best ORDER BY station_id"""
+
+  /** Mirrors Climate.seasonalMannKendall: per-(day-of-week) S across
+    * week indices, summed variance, continuity-corrected z. */
+  val qSeasonalMk: String = s"""
+    WITH $world,
+    seasonal AS (
+      SELECT station_id, dayofweek(day) AS m,
+        datediff('day', DATE '1970-01-01', day) // 7 AS wk,
+        raw AS p
+      FROM raw_daily WHERE raw IS NOT NULL),
+    per_month AS (
+      SELECT a.station_id, a.m,
+        CAST(sum(sign(b.p - a.p)) AS BIGINT) AS s_m
+      FROM seasonal a JOIN seasonal b
+        ON a.station_id = b.station_id AND a.m = b.m AND a.wk < b.wk
+      GROUP BY 1, 2),
+    n_month AS (
+      SELECT station_id, m, count(*) AS n_m FROM seasonal GROUP BY 1, 2),
+    per AS (
+      SELECT p.station_id, CAST(sum(p.s_m) AS BIGINT) AS s,
+        round(sum(n.n_m * (n.n_m - 1) * (2 * n.n_m + 5)) / 18.0 + 1e-9, 6)
+          AS var_s,
+        count(*) AS n_seasons
+      FROM per_month p JOIN n_month n USING (station_id, m)
+      GROUP BY 1)
+    SELECT station_id, n_seasons, s, var_s,
+      CASE WHEN s = 0 THEN 0.0
+           ELSE round(sign(s) * (abs(s) - 1) / sqrt(var_s) + 1e-9, 4) END AS z,
+      CASE WHEN (CASE WHEN s = 0 THEN 0.0
+                 ELSE round(sign(s) * (abs(s) - 1) / sqrt(var_s) + 1e-9, 4) END)
+                > 1.96 THEN 'increasing'
+           WHEN (CASE WHEN s = 0 THEN 0.0
+                 ELSE round(sign(s) * (abs(s) - 1) / sqrt(var_s) + 1e-9, 4) END)
+                < -1.96 THEN 'decreasing'
+           ELSE 'none' END AS trend
+    FROM per ORDER BY station_id"""
+
   val qTrendMk: String = s"""
     WITH $world,
     annual AS (
@@ -1605,6 +1682,8 @@ object TsOracle {
     "q_spi_zscore" -> qSpiZscore,
     "q_pettitt" -> qPettitt,
     "q_cusum" -> qCusum,
+    "q_snht" -> qSnht,
+    "q_seasonal_mk" -> qSeasonalMk,
     "q_trend_mk" -> qTrendMk,
     "q_double_mass" -> qDoubleMass,
     "q_precip_type_mix" -> qPrecipTypeMix,

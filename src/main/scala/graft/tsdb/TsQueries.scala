@@ -365,9 +365,17 @@ object TsQueries {
   def qCusum(s: SparkSession, d: String): DataFrame =
     Climate.cusum(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qSnht(s: SparkSession, d: String): DataFrame =
+    Climate.snht(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qSeasonalMk(s: SparkSession, d: String): DataFrame =
+    Climate.seasonalMannKendall(rawDaily(s, d)).orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pettitt" -> (qPettitt _),
     "q_cusum" -> (qCusum _),
+    "q_snht" -> (qSnht _),
+    "q_seasonal_mk" -> (qSeasonalMk _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_theil_sen" -> (qTheilSen _),
     "q_runs_test" -> (qRunsTest _),
