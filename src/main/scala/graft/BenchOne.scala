@@ -20,18 +20,23 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink like Bench: count() would let Catalyst prune unused
-        // columns (and whole Window nodes) out of the timed plan
-        val n = try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          0L
-        } catch { case e: Throwable => System.err.println(s"$name ERROR ${e.getMessage}"); -1L }
-        ((System.nanoTime() - t0) / 1e9, n)
+      // sentinel: "CLEAR" drops the memoized kind frames mid-sequence,
+      // reproducing Bench's warm-pass (recompute-everything) accounting
+      if (name == "CLEAR") { graft.tsdb.TsQueries.clearMemo(spark); println("CLEAR") }
+      else {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink like Bench: count() would let Catalyst prune unused
+          // columns (and whole Window nodes) out of the timed plan
+          val n = try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            0L
+          } catch { case e: Throwable => System.err.println(s"$name ERROR ${e.getMessage}"); -1L }
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"$name%-24s cold=${times.head._1}%7.2f s warm=${times(1)._1}%7.2f s  rows=${times(1)._2}")
       }
-      println(f"$name%-24s cold=${times.head._1}%7.2f s warm=${times(1)._1}%7.2f s  rows=${times(1)._2}")
     }
     spark.stop()
   }
