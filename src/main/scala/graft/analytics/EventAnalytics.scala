@@ -755,8 +755,72 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Cohort lifetime value: users grouped by first-seen day, revenue
+    * accumulated over cohort age — the curve a growth team reads to
+    * compare acquisition vintages. Per (cohort_day, age): cohort size,
+    * that age's revenue, the running cumulative, and LTV per user.
+    *
+    * Plan: one keyed min-aggregate for cohorts (shuffle on user_id —
+    * the same exchange the per-(user, day) revenue aggregate needs, so
+    * the two fold into one shuffle), one (cohort, age) aggregate, then
+    * a cumulative window over ≤ #days rows per cohort. The window runs
+    * on the AGGREGATED frame (O(#cohorts × #days) rows), never on raw
+    * events. Cumulation sums already-rounded per-age revenues in day
+    * order — deterministic, so both engines fold bit-identically. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val perUserDay = events.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("rev"))
+    val withCohort = perUserDay
+      .withColumn("cohort_day", min(col("day")).over(Window.partitionBy(col("user_id"))))
+    val perAge = withCohort
+      .withColumn("age", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("age"))
+      .agg(round(sum(col("rev")) + lit(1e-9), 2).as("rev"),
+        countDistinct(col("user_id")).as("n_active"))
+    val cohortSize = withCohort.filter(col("day") === col("cohort_day"))
+      .groupBy(col("cohort_day")).agg(countDistinct(col("user_id")).as("n_users"))
+    val wAge = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perAge.join(cohortSize, Seq("cohort_day"))
+      .withColumn("cum_rev", round(sum(col("rev")).over(wAge) + lit(1e-9), 2))
+      .withColumn("ltv", round(col("cum_rev") / col("n_users") + lit(1e-9), 4))
+      .select(col("cohort_day"), col("age"), col("n_users"), col("n_active"),
+        col("rev"), col("cum_rev"), col("ltv"))
+      .orderBy(col("cohort_day"), col("age"))
+  }
+
+  /** Engagement stickiness: per day, DAU and the trailing-7-day
+    * distinct-user count (WAU), and their ratio — the DAU/WAU metric.
+    *
+    * Plan: rolling DISTINCT cannot ride a window frame (distinct
+    * doesn't decompose over sliding sums), so the standard shape is a
+    * bounded range join: the per-(user, day) DISTINCT frame — already
+    * orders of magnitude smaller than events — fans out ≤ 7× onto the
+    * day grid, then one distinct aggregate per day. At 100 TB the
+    * fan-out factor stays constant (7), the join key is the low-
+    * cardinality day, and no full-events pass happens twice. */
+  def stickiness(events: DataFrame, window: Int = 7): DataFrame = {
+    val userDays = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    // each active (user, day) is visible from the `window` day-windows
+    // ending on day..day+window−1: explode those end-days (constant
+    // fan-out, an equi-join key — never a non-equi range join, which
+    // would plan as a nested-loop) and count distinct users per end.
+    val wau = userDays
+      .withColumn("k", explode(lit((0 until window).toArray)))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    // inner join to the DAU frame also trims end-days past the data
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness", round(col("dau") / col("wau") + lit(1e-9), 4))
+      .select(col("day"), col("dau"), col("wau"), col("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
+    "q_stickiness" -> ((s, d) => stickiness(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_cvar" -> ((s, d) => cvar(Tables.events(s, d))),
     "q_gini" -> ((s, d) => gini(Tables.events(s, d))),
@@ -1274,9 +1338,56 @@ object EventOracle {
     FROM events e JOIN var_t v USING (event_type)
     GROUP BY 1, 2, 3 ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.cohortLtv: per-(user, day) revenue,
+    * windowed cohort assignment, (cohort, age) aggregate, ordered
+    * cumulation of the ROUNDED per-age revenues. */
+  val qCohortLtv: String = """
+    WITH per_user_day AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS rev
+      FROM events GROUP BY 1, 2),
+    with_cohort AS (
+      SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM per_user_day),
+    per_age AS (
+      SELECT cohort_day, datediff('day', cohort_day, day) AS age,
+        round(sum(rev) + 1e-9, 2) AS rev,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM with_cohort GROUP BY 1, 2),
+    cohort_size AS (
+      SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM with_cohort WHERE day = cohort_day GROUP BY 1),
+    cum AS (
+      SELECT p.cohort_day, p.age, s.n_users, p.n_active, p.rev,
+        round(sum(p.rev) OVER (PARTITION BY p.cohort_day ORDER BY p.age
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 2)
+          AS cum_rev
+      FROM per_age p JOIN cohort_size s USING (cohort_day))
+    SELECT cohort_day, age, n_users, n_active, rev, cum_rev,
+      round(cum_rev / n_users + 1e-9, 4) AS ltv
+    FROM cum ORDER BY cohort_day, age"""
+
+  /** Mirrors EventAnalytics.stickiness: distinct (user, day), 7-way
+    * end-day fan-out, distinct count per end-day, DAU/WAU ratio. */
+  val qStickiness: String = """
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM user_days GROUP BY 1),
+    ends AS (
+      SELECT user_id, day + CAST(k AS INTEGER) AS day
+      FROM user_days, (SELECT unnest(range(0, 7)) AS k) ks),
+    wau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM ends GROUP BY 1)
+    SELECT d.day, d.dau, w.wau,
+      round(CAST(d.dau AS DOUBLE) / w.wau + 1e-9, 4) AS stickiness
+    FROM dau d JOIN wau w USING (day) ORDER BY day"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
     "q_cvar" -> qCvar,
+    "q_cohort_ltv" -> qCohortLtv,
+    "q_stickiness" -> qStickiness,
     "q_gini" -> qGini,
     "q_anomaly_mad" -> qAnomalyMad,
     "q_user_streaks" -> qUserStreaks,

@@ -915,4 +915,83 @@ object Climate {
       .select(col("station_id"), col("n_seasons"), col("s"), col("var_s"),
         col("z"), col("trend"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test per station: does the FIRST
+    * half of the observed series come from the same distribution as
+    * the SECOND half? The distribution-free companion to the
+    * mean-shift detectors ([[pettitt]], [[cusum]], [[snht]]) — it
+    * catches variance/shape changes those miss. D = max over distinct
+    * values of |F₁(v) − F₂(v)|; the significance score
+    * c = D·√(n₁n₂/(n₁+n₂)) rejects at ~1.36 (α=0.05).
+    *
+    * Plan: halves assigned by one ordered row_number window; ties in
+    * value are collapsed by a (station, value) aggregate BEFORE the
+    * cumulative window (tie-safe: the ECDF step lands after ALL equal
+    * values on both sides, identically in both engines); one ordered
+    * cumulative window over the distinct-value frame; keyed max. All
+    * windows partition by station_id — partition-local at scale. */
+  def ksTest(rawDaily: DataFrame): DataFrame = {
+    val wDay = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id"), col("day"), col("raw"))
+      .withColumn("k", row_number().over(wDay))
+    val counts = obs.groupBy(col("station_id")).agg(count(lit(1)).as("n"))
+    val halves = obs.join(counts, Seq("station_id"))
+      .withColumn("in1", (col("k") <= col("n") / 2).cast("long"))
+      .filter(col("n") >= 4)
+    val perValue = halves.groupBy(col("station_id"), col("n"), col("raw"))
+      .agg(sum(col("in1")).as("c1"), sum(lit(1L) - col("in1")).as("c2"))
+    val wVal = Window.partitionBy(col("station_id")).orderBy(col("raw"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("n1", floor(col("n") / 2))
+      .withColumn("n2", col("n") - floor(col("n") / 2))
+      .withColumn("f1", sum(col("c1")).over(wVal) / col("n1"))
+      .withColumn("f2", sum(col("c2")).over(wVal) / col("n2"))
+      .groupBy(col("station_id"), col("n1"), col("n2"))
+      .agg(round(max(abs(col("f1") - col("f2"))) + lit(1e-9), 6).as("d_stat"))
+      .withColumn("ks_score",
+        round(col("d_stat") * sqrt(col("n1") * col("n2")
+          / (col("n1") + col("n2"))) + lit(1e-9), 4))
+      .withColumn("same_dist", col("ks_score") <= 1.358)
+      .select(col("station_id"), col("n1"), col("n2"), col("d_stat"),
+        col("ks_score"), col("same_dist"))
+  }
+
+  /** Lagged cross-correlation between each station and its k nearest
+    * neighbors (lead/lag structure of the field — a storm-advection
+    * screen: if r peaks at lag ≠ 0 the neighbor sees the same weather
+    * earlier/later). Pearson r of (x_t, y_{t+lag}) for lag ∈
+    * {−maxLag..maxLag}, zero-filled series as in [[neighborCorr]].
+    *
+    * Plan: lags come from one posexplode of a literal array (fan-out
+    * 2·maxLag+1 on the knn pair frame, NOT on the series); the join is
+    * keyed on (nb_id, shifted day) against the broadcast knn×lag
+    * frame; one keyed moment aggregate. No window, no self-join of the
+    * full series. */
+  def crossCorr(rawDaily: DataFrame, knn: DataFrame, maxLag: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val x = rawDaily.select(col("station_id"), col("day"),
+      coalesce(col("raw"), lit(0.0)).as("x"))
+    val y = rawDaily.select(col("station_id").as("nb_id"), col("day").as("nb_day"),
+      coalesce(col("raw"), lit(0.0)).as("y"))
+    val lags = knn.select(col("station_id"), col("nb_id"), col("rank"))
+      .withColumn("lag", explode(lit((-maxLag to maxLag).toArray)))
+    x.join(broadcast(lags), Seq("station_id"))
+      .withColumn("nb_day", date_add(col("day"), col("lag")))
+      .join(y, Seq("nb_id", "nb_day"))
+      .groupBy(col("station_id"), col("nb_id"), col("rank"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("detx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dety", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r",
+        when(col("detx") > 0.0 && col("dety") > 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("detx") * col("dety")) + lit(1e-9), 6)))
+      .select(col("station_id"), col("nb_id"), col("rank"), col("lag"),
+        col("n"), col("r"))
+  }
 }

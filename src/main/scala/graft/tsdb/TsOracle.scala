@@ -1127,6 +1127,69 @@ object TsOracle {
            ELSE 'none' END AS trend
     FROM per ORDER BY station_id"""
 
+  /** Mirrors Climate.ksTest: ordered halves, tie-collapsing
+    * (station, value) aggregate, one cumulative window over distinct
+    * values, keyed max of |F1−F2|. */
+  val qKsTest: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, day, raw,
+        row_number() OVER (PARTITION BY station_id ORDER BY day) AS k,
+        count(*) OVER (PARTITION BY station_id) AS n
+      FROM raw_daily WHERE raw IS NOT NULL),
+    halves AS (
+      SELECT station_id, n, raw,
+        CASE WHEN k <= n / 2.0 THEN 1 ELSE 0 END AS in1
+      FROM obs WHERE n >= 4),
+    per_value AS (
+      SELECT station_id, n, raw,
+        CAST(sum(in1) AS BIGINT) AS c1,
+        CAST(sum(1 - in1) AS BIGINT) AS c2
+      FROM halves GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT station_id, n // 2 AS n1, n - n // 2 AS n2,
+        CAST(sum(c1) OVER w AS DOUBLE) / (n // 2) AS f1,
+        CAST(sum(c2) OVER w AS DOUBLE) / (n - n // 2) AS f2
+      FROM per_value
+      WINDOW w AS (PARTITION BY station_id ORDER BY raw
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    d AS (
+      SELECT station_id, n1, n2,
+        round(max(abs(f1 - f2)) + 1e-9, 6) AS d_stat
+      FROM cum GROUP BY 1, 2, 3)
+    SELECT station_id, n1, n2, d_stat,
+      round(d_stat * sqrt(CAST(n1 * n2 AS DOUBLE) / (n1 + n2)) + 1e-9, 4)
+        AS ks_score,
+      round(d_stat * sqrt(CAST(n1 * n2 AS DOUBLE) / (n1 + n2)) + 1e-9, 4)
+        <= 1.358 AS same_dist
+    FROM d ORDER BY station_id"""
+
+  /** Mirrors Climate.crossCorr: knn × lag fan-out, shifted-day keyed
+    * join, one moment aggregate per (station, neighbor, lag). */
+  val qCrossCorr: String = s"""
+    WITH $world,
+    x AS (SELECT station_id, day, coalesce(raw, 0.0) AS x FROM raw_daily),
+    lags AS (
+      SELECT k.station_id, k.nb_id, k.rank, l.lag
+      FROM knn k, (SELECT unnest([-1, 0, 1]) AS lag) l),
+    j AS (
+      SELECT g.station_id, g.nb_id, g.rank, g.lag, a.x, b.x AS y
+      FROM lags g
+      JOIN x a ON a.station_id = g.station_id
+      JOIN x b ON b.station_id = g.nb_id AND b.day = a.day + g.lag),
+    sums AS (
+      SELECT station_id, nb_id, rank, lag, count(*) AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+        sum(x*y) AS sxy
+      FROM j GROUP BY 1, 2, 3, 4),
+    d AS (
+      SELECT *, n*sxx - sx*sx AS detx, n*syy - sy*sy AS dety FROM sums)
+    SELECT station_id, nb_id, rank, lag, n,
+      CASE WHEN detx > 0.0 AND dety > 0.0
+           THEN round((n*sxy - sx*sy) / sqrt(detx * dety) + 1e-9, 6)
+      END AS r
+    FROM d ORDER BY station_id, rank, lag"""
+
   val qTrendMk: String = s"""
     WITH $world,
     annual AS (
@@ -1684,6 +1747,8 @@ object TsOracle {
     "q_cusum" -> qCusum,
     "q_snht" -> qSnht,
     "q_seasonal_mk" -> qSeasonalMk,
+    "q_ks_test" -> qKsTest,
+    "q_crosscorr" -> qCrossCorr,
     "q_trend_mk" -> qTrendMk,
     "q_double_mass" -> qDoubleMass,
     "q_precip_type_mix" -> qPrecipTypeMix,

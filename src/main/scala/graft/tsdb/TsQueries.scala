@@ -371,11 +371,20 @@ object TsQueries {
   def qSeasonalMk(s: SparkSession, d: String): DataFrame =
     Climate.seasonalMannKendall(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qKsTest(s: SparkSession, d: String): DataFrame =
+    Climate.ksTest(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qCrossCorr(s: SparkSession, d: String): DataFrame =
+    Climate.crossCorr(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"), col("rank"), col("lag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pettitt" -> (qPettitt _),
     "q_cusum" -> (qCusum _),
     "q_snht" -> (qSnht _),
     "q_seasonal_mk" -> (qSeasonalMk _),
+    "q_ks_test" -> (qKsTest _),
+    "q_crosscorr" -> (qCrossCorr _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_theil_sen" -> (qTheilSen _),
     "q_runs_test" -> (qRunsTest _),
