@@ -817,8 +817,42 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Benford first-digit screen per event type: observed first-
+    * significant-digit distribution vs Benford's law P(d) = log₁₀(1 +
+    * 1/d), with the per-type χ² — the classic fabricated-/synthetic-
+    * data audit.
+    *
+    * The first digit is read from the decimal STRING of the fixed-
+    * point long round(value·100) — cast long→string is exact and
+    * engine-identical, where floor(value / 10^⌊log₁₀ v⌋) floats
+    * through log/pow whose last-ulp differences flip the digit at
+    * powers of ten. One (type, digit) hash aggregate + one per-type
+    * roll-up of the 9-row-per-type frame — two map-combinable
+    * shuffles on low-cardinality keys. */
+  def benford(events: DataFrame): DataFrame = {
+    val digits = events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .filter(col("cents") > 0)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("event_type"), col("digit")).agg(count(lit(1)).as("n"))
+    val totals = digits.groupBy(col("event_type")).agg(sum(col("n")).as("n_type"))
+    val scored = digits.join(totals, Seq("event_type"))
+      .withColumn("share", round(col("n") / col("n_type") + lit(1e-9), 6))
+      .withColumn("benford_share",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")) + lit(1e-9), 6))
+      .withColumn("chi_term",
+        pow(col("share") - col("benford_share"), 2) / col("benford_share"))
+    val chi = scored.groupBy(col("event_type"))
+      .agg(round(sum(col("chi_term")) + lit(1e-9), 6).as("chi2"))
+    scored.join(chi, Seq("event_type"))
+      .select(col("event_type"), col("digit"), col("n"), col("share"),
+        col("benford_share"), col("chi2"))
+      .orderBy(col("event_type"), col("digit"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
     "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
     "q_stickiness" -> ((s, d) => stickiness(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
@@ -1383,8 +1417,37 @@ object EventOracle {
       round(CAST(d.dau AS DOUBLE) / w.wau + 1e-9, 4) AS stickiness
     FROM dau d JOIN wau w USING (day) ORDER BY day"""
 
+  /** Mirrors EventAnalytics.benford: exact fixed-point first digit
+    * via long→string, (type, digit) aggregate, per-type χ² roll-up. */
+  val qBenford: String = """
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    digits AS (
+      SELECT event_type,
+        CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        CAST(count(*) AS BIGINT) AS n
+      FROM cents WHERE cents > 0 GROUP BY 1, 2),
+    totals AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+      FROM digits GROUP BY 1),
+    scored AS (
+      SELECT d.event_type, d.digit, d.n,
+        round(CAST(d.n AS DOUBLE) / t.n_type + 1e-9, 6) AS share,
+        round(log10(1.0 + 1.0 / d.digit) + 1e-9, 6) AS benford_share
+      FROM digits d JOIN totals t USING (event_type)),
+    chi AS (
+      SELECT event_type,
+        round(sum(pow(share - benford_share, 2) / benford_share) + 1e-9, 6)
+          AS chi2
+      FROM scored GROUP BY 1)
+    SELECT s.event_type, s.digit, s.n, s.share, s.benford_share, c.chi2
+    FROM scored s JOIN chi c USING (event_type)
+    ORDER BY s.event_type, s.digit"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
+    "q_benford" -> qBenford,
     "q_cvar" -> qCvar,
     "q_cohort_ltv" -> qCohortLtv,
     "q_stickiness" -> qStickiness,

@@ -200,6 +200,72 @@ object Dedup {
     } finally { cands.unpersist(); hs.unpersist() }
   }
 
+  /** Asymmetric containment near-dups: pairs where the SMALLER doc's
+    * shingle set is ≥ `threshold` contained in the larger's
+    * (C = |A∩B| / min(|A|,|B|)) — the quote-inclusion / sub-document
+    * duplication case that symmetric Jaccard structurally misses
+    * (a 50-shingle doc fully embedded in a 500-shingle doc has
+    * J ≈ 0.1 but C = 1.0).
+    *
+    * Candidates with provably complete recall: C ≥ t forces
+    * |A∩B| ≥ ⌈t·|A|⌉ with A the smaller set, so A must collide with B
+    * inside A's own (|A| − ⌈t·|A|⌉ + 1)-element rare-first prefix —
+    * the pigeonhole argument needs ONLY the probe side's prefix, the
+    * other side keeps full postings (the textbook ProbeCount shape).
+    * Rare-first ordering (global df, as in [[prefixCandidates]]) keeps
+    * boilerplate shingles out of every prefix so no O(df²) join group
+    * forms. Verify = native merge intersection over the candidate
+    * docs' sorted hash arrays, semi-join-bounded exactly like
+    * [[jaccardPairs]]. */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val hs = withShingles(documents).select(col("doc_id"), col("hashes")).persist()
+    hs.count()
+    val ex = hs.select(col("doc_id"), size(col("hashes")).as("sz"),
+      explode(col("hashes")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    // probe prefixes: rare-first, length |X| − ⌈t·|X|⌉ + 1
+    val prefix = ex.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(array_sort(ranked), 1, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
+      .select(col("doc_id"), col("sz"), col("rh.h").as("h"))
+    // full postings on the other side: the probe is valid whenever the
+    // probing doc is the smaller of the pair, so keep sz_a <= sz_b and
+    // canonicalize ids afterwards
+    val full = ex.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
+    val cands = prefix
+      .select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
+      .join(full, Seq("h"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (col("sz_a") < col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct().persist()
+    try {
+      val candIds = cands.select(col("id_a").as("doc_id"))
+        .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
+      val hsC = hs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), array_sort(col("hashes")).as("hashes")).persist()
+      try {
+        val result = cands
+          .join(broadcast(hsC.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
+          .join(broadcast(hsC.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
+          .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
+          .withColumn("containment", round(col("inter") /
+            least(size(col("h_a")), size(col("h_b"))) + lit(1e-9), 6))
+          .filter(col("containment") >= threshold)
+          .select(col("id_a"), col("id_b"), size(col("h_a")).as("sz_a"),
+            size(col("h_b")).as("sz_b"), col("containment"))
+          .persist()
+        result.count()
+        result
+      } finally hsC.unpersist()
+    } finally { cands.unpersist(); hs.unpersist() }
+  }
+
   /** Duplicate-cluster canonicalization — the final step of a dedup
     * pipeline: the near-dup pairs form a graph; every document maps to
     * the minimum doc_id of its connected component (its canonical

@@ -74,6 +74,19 @@ object LlmOracle {
     WITH $shCte
     $jpairsBody ORDER BY id_a, id_b"""
 
+  /** Mirrors Dedup.containmentPairs: brute all-pairs containment of
+    * the smaller shingle set in the larger (the engine's ProbeCount
+    * prefix join must equal this exactly — complete recall). */
+  val qDedupContainment: String = s"""
+    WITH $shCte
+    SELECT id_a, id_b, sz_a, sz_b, containment FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(a.hashes) AS sz_a, len(b.hashes) AS sz_b,
+        round(len(list_intersect(a.hashes, b.hashes))::DOUBLE /
+          least(len(a.hashes), len(b.hashes)) + 1e-9, 6) AS containment
+      FROM hash_t a JOIN hash_t b ON a.doc_id < b.doc_id)
+    WHERE containment >= 0.8 ORDER BY id_a, id_b"""
+
   /** Connected components of the exact Jaccard near-dup graph:
     * transitive min-label closure via a recursive CTE (the engine's
     * distributed label propagation must agree exactly). */
@@ -797,6 +810,33 @@ object LlmOracle {
       round(sum(n) OVER (ORDER BY rank) / t.n_corpus + 1e-9, 6) AS cum_share
     FROM top, tot t ORDER BY rank"""
 
+  /** Mirrors TextAnalysis.sourceJsd: (source, token) counts, top-200
+    * vocab, Laplace-smoothed per-source distributions, pairwise JSD. */
+  val qSourceJsd: String = s"""
+    WITH counts AS (
+      SELECT source, unnest($toks) AS tok FROM documents),
+    c AS (SELECT source, tok, count(*) AS c FROM counts GROUP BY 1, 2),
+    vocab AS (
+      SELECT tok FROM (SELECT tok, sum(c) AS n FROM c GROUP BY 1)
+      ORDER BY n DESC, tok LIMIT 200),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    grid AS (
+      SELECT s.source, v.tok, coalesce(c.c, 0) AS c
+      FROM srcs s CROSS JOIN vocab v
+      LEFT JOIN c ON c.source = s.source AND c.tok = v.tok),
+    norm AS (
+      SELECT source, sum(c) AS n_src, count(*) AS k_eff
+      FROM grid GROUP BY 1),
+    p AS (
+      SELECT g.source, g.tok,
+        (g.c + 1.0) / (n.n_src + n.k_eff) AS p
+      FROM grid g JOIN norm n USING (source))
+    SELECT a.source AS source_a, b.source AS source_b,
+      round((sum(a.p * ln(a.p / ((a.p + b.p) / 2)))
+           + sum(b.p * ln(b.p / ((a.p + b.p) / 2)))) / 2 + 1e-9, 6) AS jsd
+    FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY source_a, source_b"""
+
   /** Cross-source near-dup contamination matrix over the exact-Jaccard
     * pair set (same body as q_dedup_jaccard). */
   val qDedupCrossSource: String = s"""
@@ -1334,6 +1374,7 @@ object LlmOracle {
     "q_langid_confusion" -> qLangidConfusion,
     "q_token_hist" -> qTokenHist,
     "q_vocab_coverage" -> qVocabCoverage,
+    "q_source_jsd" -> qSourceJsd,
     "q_embed_pca" -> qEmbedPca,
     "q_dedup_cross_source" -> qDedupCrossSource,
     "q_ingest_jsonl" -> qIngestJsonl,
@@ -1345,6 +1386,7 @@ object LlmOracle {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_bands" -> qDedupMinhashBands,
     "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,

@@ -40,6 +40,8 @@ object LlmQueries {
       Dedup.minhashCalibration(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_components" -> ((s, d) =>
@@ -141,6 +143,7 @@ object LlmQueries {
     "q_source_mix" -> ((s, d) => Corpus.sourceMix(docs(s, d)).orderBy(col("source"))),
     "q_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(docs(s, d)).orderBy(col("rank"))),
+    "q_source_jsd" -> ((s, d) => TextAnalysis.sourceJsd(docs(s, d))),
     "q_dedup_cross_source" -> ((s, d) =>
       Corpus.crossSourceDup(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
     "q_ingest_jsonl" -> ((s, d) =>

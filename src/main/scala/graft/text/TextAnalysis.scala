@@ -882,4 +882,43 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("pair"))))
       .select(col("rank"), col("merge_pair"), col("pair"), col("n"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions over the top-k corpus vocabulary — the domain-shift
+    * distance a mixing pipeline reads before re-weighting sources
+    * (0 = identical language, ln 2 ≈ 0.693 = disjoint). Laplace-
+    * smoothed (+1 over k) so a token absent from one source
+    * contributes a finite term.
+    *
+    * Plan: one (source, token) count shuffle; the top-k vocab is a
+    * TakeOrderedAndProject (never a global sort); the per-source
+    * k-row vectors come from a broadcast sources×vocab grid left-
+    * joined to counts; the pair enumeration is the k-row vectors
+    * self-joined on token — O(#sources² · k) rows, all broadcast-
+    * scale, with every heavy touch of the corpus in the ONE counts
+    * aggregate. */
+  def sourceJsd(documents: DataFrame, k: Int = 200): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(expr(tokens("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = counts.groupBy(col("tok")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(k).select(col("tok"))
+    val sources = documents.select(col("source")).distinct()
+    val grid = sources.crossJoin(broadcast(vocab))
+      .join(counts, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val norm = grid.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_src"), count(lit(1)).as("k_eff"))
+    val p = grid.join(norm, Seq("source"))
+      .select(col("source"), col("tok"),
+        ((col("c") + lit(1.0)) / (col("n_src") + col("k_eff"))).as("p"))
+    val a = p.select(col("source").as("source_a"), col("tok"), col("p").as("pa"))
+    val b = p.select(col("source").as("source_b"), col("tok"), col("p").as("pb"))
+    a.join(b, Seq("tok")).filter(col("source_a") < col("source_b"))
+      .withColumn("m", (col("pa") + col("pb")) / 2)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round((sum(col("pa") * log(col("pa") / col("m")))
+        + sum(col("pb") * log(col("pb") / col("m")))) / 2 + lit(1e-9), 6).as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -969,6 +969,39 @@ object Climate {
     * keyed on (nb_id, shifted day) against the broadcast knn×lag
     * frame; one keyed moment aggregate. No window, no self-join of the
     * full series. */
+  /** SAX symbolic representation per station (Lin/Keogh): z-normalize
+    * the zero-filled daily series, average into weekly PAA segments,
+    * quantize at the N(0,1) quartile breakpoints (±0.6745, 0) into a
+    * 4-symbol alphabet a–d, concatenate in week order — the compact
+    * series index that makes motif search / similarity a string
+    * problem. PAA means are rounded BEFORE quantization so both
+    * engines take the same CASE branch at breakpoint-adjacent values.
+    *
+    * Plan: one keyed moment aggregate, one (station, week) aggregate,
+    * one ordered string fold per station (array_sort over ≤ #weeks
+    * structs — never a full-series window). */
+  def sax(rawDaily: DataFrame): DataFrame = {
+    val filled = rawDaily.select(col("station_id"), col("day"),
+      coalesce(col("raw"), lit(0.0)).as("x"),
+      floor(datediff(col("day"),
+        lit(java.sql.Date.valueOf("1970-01-01"))) / 7).as("week"))
+    val moments = filled.groupBy(col("station_id"))
+      .agg(round(avg(col("x")) + lit(1e-9), 6).as("mean"),
+        round(stddev_pop(col("x")) + lit(1e-9), 6).as("sd"))
+      .filter(col("sd") > 0.0)
+    val paa = filled.join(moments, Seq("station_id"))
+      .groupBy(col("station_id"), col("week"))
+      .agg(round(avg((col("x") - col("mean")) / col("sd")) + lit(1e-9), 6).as("paa"))
+      .withColumn("sym",
+        when(col("paa") < -0.6745, "a").when(col("paa") < 0.0, "b")
+          .when(col("paa") < 0.6745, "c").otherwise("d"))
+    paa.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_weeks"),
+        array_join(transform(array_sort(collect_list(struct(col("week"), col("sym")))),
+          x => x("sym")), "").as("sax_word"))
+      .select(col("station_id"), col("n_weeks"), col("sax_word"))
+  }
+
   def crossCorr(rawDaily: DataFrame, knn: DataFrame, maxLag: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val x = rawDaily.select(col("station_id"), col("day"),

@@ -1190,6 +1190,34 @@ object TsOracle {
       END AS r
     FROM d ORDER BY station_id, rank, lag"""
 
+  /** Mirrors Climate.sax: rounded moments, weekly PAA of the
+    * z-normalized zero-filled series, quartile-breakpoint symbols,
+    * week-ordered concatenation. */
+  val qSax: String = s"""
+    WITH $world,
+    filled AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x,
+        datediff('day', DATE '1970-01-01', day) // 7 AS week
+      FROM raw_daily),
+    moments AS (
+      SELECT station_id, round(avg(x) + 1e-9, 6) AS mean,
+        round(stddev_pop(x) + 1e-9, 6) AS sd
+      FROM filled GROUP BY 1
+      HAVING round(stddev_pop(x) + 1e-9, 6) > 0.0),
+    paa AS (
+      SELECT f.station_id, f.week,
+        round(avg((f.x - m.mean) / m.sd) + 1e-9, 6) AS paa
+      FROM filled f JOIN moments m USING (station_id)
+      GROUP BY 1, 2),
+    sym AS (
+      SELECT station_id, week,
+        CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b'
+             WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS sym
+      FROM paa)
+    SELECT station_id, count(*) AS n_weeks,
+      string_agg(sym, '' ORDER BY week) AS sax_word
+    FROM sym GROUP BY 1 ORDER BY station_id"""
+
   val qTrendMk: String = s"""
     WITH $world,
     annual AS (
@@ -1749,6 +1777,7 @@ object TsOracle {
     "q_seasonal_mk" -> qSeasonalMk,
     "q_ks_test" -> qKsTest,
     "q_crosscorr" -> qCrossCorr,
+    "q_sax" -> qSax,
     "q_trend_mk" -> qTrendMk,
     "q_double_mass" -> qDoubleMass,
     "q_precip_type_mix" -> qPrecipTypeMix,

@@ -378,6 +378,9 @@ object TsQueries {
     Climate.crossCorr(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"), col("lag"))
 
+  def qSax(s: SparkSession, d: String): DataFrame =
+    Climate.sax(rawDaily(s, d)).orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pettitt" -> (qPettitt _),
     "q_cusum" -> (qCusum _),
@@ -385,6 +388,7 @@ object TsQueries {
     "q_seasonal_mk" -> (qSeasonalMk _),
     "q_ks_test" -> (qKsTest _),
     "q_crosscorr" -> (qCrossCorr _),
+    "q_sax" -> (qSax _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_theil_sen" -> (qTheilSen _),
     "q_runs_test" -> (qRunsTest _),
