@@ -258,4 +258,62 @@ class EventAnalyticsSpec extends SparkSpec {
     monotone(_.getAs[Long]("frequency").toDouble, _.getAs[Int]("f_q"), "frequency")
     monotone(_.getAs[Double]("monetary"), _.getAs[Int]("m_q"), "monetary")
   }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("cohort ltv: hand-checked two-day cohort curve") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-02 09:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val rows = EventAnalytics.cohortLtv(ev).collect()
+    assert(rows.length === 2)
+    val r0 = rows(0); val r1 = rows(1)
+    assert(r0.getAs[Int]("age") === 0 && r0.getAs[Double]("rev") === 10.0)
+    assert(r0.getAs[Double]("cum_rev") === 10.0 && r0.getAs[Double]("ltv") === 10.0)
+    assert(r1.getAs[Int]("age") === 1 && r1.getAs[Double]("cum_rev") === 15.0)
+    assert(r1.getAs[Long]("n_users") === 1L && r1.getAs[Double]("ltv") === 15.0)
+  }
+
+  test("stickiness: hand-checked dau/wau with a returning user") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 1.0),
+      (2L, ts("2024-01-09 11:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val rows = EventAnalytics.stickiness(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(rows.size === 2) // only days with activity appear
+    assert(rows("2024-01-01").getAs[Long]("dau") === 2L)
+    assert(rows("2024-01-01").getAs[Long]("wau") === 2L)
+    assert(rows("2024-01-09").getAs[Long]("dau") === 1L)
+    assert(rows("2024-01-09").getAs[Long]("wau") === 1L) // day-1 is out of window
+    assert(rows("2024-01-09").getAs[Double]("stickiness") === 1.0)
+  }
+
+  test("benford: digits from fixed-point cents, chi2 constant per type") {
+    val rows = EventAnalytics.benford(events).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("digit")).forall(d => d >= 1 && d <= 9))
+      assert(rs.map(_.getAs[Double]("chi2")).distinct.length === 1)
+      val shareSum = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    }
+  }
+
+  test("cvar: tail mean at or above the var threshold, mass consistent") {
+    val rows = EventAnalytics.cvar(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("var95"); val c = r.getAs[Double]("cvar95")
+      val n = r.getAs[Long]("n_events"); val nt = r.getAs[Long]("n_tail")
+      assert(c >= v, s"conditional tail mean below VaR: $r")
+      assert(nt <= n / 20 + 1, s"more than ~5% above the 95th percentile: $r")
+      // tail_mass = mean-of-tail × tail-count up to rounding
+      assert(math.abs(r.getAs[Double]("tail_mass") - c * nt) < 0.5 + 0.001 * nt)
+    }
+  }
 }

@@ -831,4 +831,39 @@ class LlmSpec extends SparkSpec {
     val dropped = w.map(_.getAs[Double]("removed_share")).sum / w.length
     assert(dropped > 0.0, "mean removed energy share must be positive")
   }
+
+  test("containment catches a fully-embedded doc that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val cdocs = Seq(
+      (0L, small, "en"),                 // 10 words
+      (1L, s"$small $filler", "en"),     // contains doc 0 verbatim
+      (2L, "totally unrelated corpus text about something else entirely here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val cont = Dedup.containmentPairs(cdocs, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cont === Set((0L, 1L)), s"containment pairs: $cont")
+    val c = Dedup.containmentPairs(cdocs, 0.8).head
+    assert(c.getAs[Double]("containment") === 1.0) // every shingle of 0 in 1
+    // symmetric Jaccard at the same corpus: the pair is invisible
+    val j = Dedup.jaccardPairs(cdocs, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!j.contains((0L, 1L)), "jaccard should miss the embedding case")
+  }
+
+  test("source jsd: identical sources at 0, disjoint sources far apart") {
+    // enough mass that the +1 Laplace smoothing doesn't flatten the
+    // distributions (each token 20×, so present:absent ≈ 21:1)
+    val a = Seq.fill(20)("one two three four five six seven eight nine ten").mkString(" ")
+    val b = Seq.fill(20)("uno dos tres cuatro cinco seis siete ocho nueve diez").mkString(" ")
+    val jdocs = Seq(
+      (0L, a, "en", "s1"), (1L, a, "en", "s2"), // s1 == s2
+      (2L, b, "es", "s3")                        // s3 disjoint
+    ).toDF("doc_id", "text", "lang", "source")
+    val jsd = graft.text.TextAnalysis.sourceJsd(jdocs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("jsd")).toMap
+    assert(jsd(("s1", "s2")) === 0.0)
+    assert(jsd(("s1", "s3")) > 0.3 && jsd(("s1", "s3")) < math.log(2) + 1e-6)
+    assert(jsd(("s1", "s3")) === jsd(("s2", "s3")))
+  }
 }

@@ -123,4 +123,57 @@ class ClimateSpec extends SparkSpec {
       }
     }
   }
+
+  test("snht: clean step series recovers the break day and both levels") {
+    val days = (0 until 10).map(i => f"2024-01-${i + 1}%02d")
+    val df = frame(days.zipWithIndex.map { case (d, i) =>
+      (1L, d, Some(if (i < 5) 1.0 else 2.0))
+    })
+    val r = Climate.snht(df).head
+    // z = ±1 throughout, so T_k = k + (n−k) ... maximal T = n at k = 5
+    assert(r.getAs[Double]("t_max") === 10.0)
+    assert(r.getAs[Double]("mu1") === 1.0)
+    assert(r.getAs[Double]("mu2") === 2.0)
+    assert(r.getAs[java.sql.Date]("break_day").toString === "2024-01-05")
+  }
+
+  test("ks test: disjoint halves give D = 1, homogeneous halves D ≈ 0") {
+    val days = (0 until 8).map(i => f"2024-01-${i + 1}%02d")
+    val df = frame(days.zipWithIndex.flatMap { case (d, i) =>
+      Seq((1L, d, Some(if (i < 4) 1.0 else 2.0)), // shifted
+        (2L, d, Some(if (i % 2 == 0) 1.0 else 2.0))) // mixed
+    })
+    val out = Climate.ksTest(df).collect()
+      .map(r => r.getAs[Long]("station_id") -> r).toMap
+    assert(out(1L).getAs[Double]("d_stat") === 1.0)
+    assert(!out(1L).getAs[Boolean]("same_dist")) // 1·√2 ≈ 1.414 > 1.358
+    assert(out(2L).getAs[Double]("d_stat") === 0.0)
+    assert(out(2L).getAs[Boolean]("same_dist"))
+  }
+
+  test("sax: step series quantizes to a..d word aligned on epoch weeks") {
+    // start on an epoch-week boundary so the 28 days are exactly 4 weeks
+    val d0 = java.time.LocalDate.ofEpochDay(2820L * 7)
+    val df = frame((0 until 28).map { i =>
+      (1L, d0.plusDays(i).toString, Some(if (i < 14) 0.0 else 10.0))
+    })
+    val r = Climate.sax(df).head
+    assert(r.getAs[Long]("n_weeks") === 4L)
+    assert(r.getAs[String]("sax_word") === "aadd") // z = ∓1 vs ±0.6745
+  }
+
+  test("cross-correlation: a one-day-shifted twin peaks at lag +1") {
+    import spark.implicits._
+    val vals = Seq(1.0, 5.0, 2.0, 8.0, 3.0)
+    val days = (0 until 6).map(i => f"2024-02-${i + 1}%02d")
+    val df = frame(days.zipWithIndex.flatMap { case (d, i) =>
+      Seq((1L, d, Some(if (i < 5) vals(i) else 0.0)),
+        (2L, d, Some(if (i == 0) 0.0 else vals(i - 1)))) // x shifted +1 day
+    })
+    val knn = Seq((1L, 2L, 1)).toDF("station_id", "nb_id", "rank")
+    val rows = Climate.crossCorr(df, knn).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("r")).toMap
+    assert(rows(1) === 1.0) // perfect alignment at lag +1
+    assert(rows(-1) < 1.0 && rows(0) < 1.0)
+  }
 }
