@@ -27,6 +27,35 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("every table keeps the dtypes the operator suite assumes") {
+    import org.apache.spark.sql.types._
+    // the columns whose physical encoding a future driver change could
+    // silently shift (the events.ts incident, generalized): numeric
+    // keys stay integral, value/embedding stay floating, text stays
+    // string. A change here must fail THIS test, not 50 queries.
+    val expectations: Seq[(String, String, DataType => Boolean)] = Seq(
+      ("events", "user_id", _.isInstanceOf[LongType]),
+      ("events", "value", _.isInstanceOf[DoubleType]),
+      ("events", "props", _.isInstanceOf[StringType]),
+      ("documents", "doc_id", _.isInstanceOf[LongType]),
+      ("documents", "text", _.isInstanceOf[StringType]),
+      ("documents", "source", _.isInstanceOf[StringType]),
+      ("embeddings", "vec_id", _.isInstanceOf[LongType]),
+      ("embeddings", "embedding",
+        dt => dt match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }),
+      ("lineitem", "l_quantity", dt =>
+        dt.isInstanceOf[DoubleType] || dt.isInstanceOf[DecimalType]),
+      ("orders", "o_orderdate", dt =>
+        dt.isInstanceOf[DateType] || dt.isInstanceOf[TimestampType]))
+    for (dir <- sfDirs; (table, col0, ok) <- expectations) {
+      val dt = Tables.load(spark, dir, table).schema(col0).dataType
+      assert(ok(dt), s"$dir/$table.$col0: unexpected dtype $dt")
+    }
+  }
+
   test("normalized ts supports unix_micros and bigint cast") {
     // the two access patterns the NTZ regression broke
     val df = Tables.events(spark, "/root/testdata/sf0.001")
