@@ -1218,6 +1218,70 @@ object TsOracle {
       string_agg(sym, '' ORDER BY week) AS sax_word
     FROM sym GROUP BY 1 ORDER BY station_id"""
 
+  /** Mirrors GraphOps.pageRank over the knn edge frame: 10 unrolled
+    * iterations with per-iteration 10-dp rounding (the same fixpoint
+    * contract the engine's checkpointed loop follows). */
+  val qPagerank: String = {
+    // each pr CTE is referenced twice by its successor — MATERIALIZED
+    // stops the planner from inlining the chain (which would square
+    // the plan per iteration, exactly the blowup the engine's
+    // checkpointed loop avoids)
+    val iters = (1 to 10).map { i =>
+      s"""pr$i AS MATERIALIZED (
+      SELECT n.id, n.n_nodes,
+        round(0.15 / n.n_nodes + 0.85 * coalesce(c.in_sum, 0.0), 10) AS pr
+      FROM pr${i - 1} n LEFT JOIN (
+        SELECT e.dst AS id, sum(p.pr / d.outdeg) AS in_sum
+        FROM edges e
+        JOIN pr${i - 1} p ON p.id = e.src
+        JOIN outdeg d ON d.src = e.src
+        GROUP BY 1) c ON c.id = n.id)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $world,
+    edges AS MATERIALIZED (SELECT station_id AS src, nb_id AS dst FROM knn),
+    nodes AS (
+      SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    pr0 AS MATERIALIZED (
+      SELECT id, n_nodes, round(1.0 / n_nodes, 10) AS pr FROM nodes, nn),
+    $iters
+    SELECT id AS station_id, round(pr + 1e-9, 6) AS pagerank
+    FROM pr10 ORDER BY station_id"""
+  }
+
+  /** Mirrors GraphOps.triangles: canonical a<b<c wedge enumeration
+    * over the undirected knn closure, semi-join closure, per-node
+    * census + local clustering coefficient. */
+  val qTriangles: String = s"""
+    WITH $world,
+    und AS (
+      SELECT station_id AS u, nb_id AS v FROM knn WHERE station_id != nb_id
+      UNION
+      SELECT nb_id, station_id FROM knn WHERE station_id != nb_id),
+    canon AS (SELECT u, v FROM und WHERE u < v),
+    deg AS (SELECT u AS id, count(*) AS degree FROM und GROUP BY 1),
+    tris AS (
+      SELECT w1.u AS a, w1.v AS b, w2.v AS c
+      FROM canon w1
+      JOIN canon w2 ON w2.u = w1.v
+      WHERE EXISTS (SELECT 1 FROM canon cl WHERE cl.u = w1.u AND cl.v = w2.v)),
+    per_node AS (
+      SELECT id, count(*) AS n_triangles FROM (
+        SELECT a AS id FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+      GROUP BY 1)
+    SELECT d.id AS station_id, d.degree,
+      coalesce(p.n_triangles, 0) AS n_triangles,
+      CASE WHEN d.degree >= 2
+           THEN round(2.0 * coalesce(p.n_triangles, 0)
+                / (d.degree * (d.degree - 1)) + 1e-9, 6)
+           ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN per_node p USING (id)
+    ORDER BY station_id"""
+
   val qTrendMk: String = s"""
     WITH $world,
     annual AS (
@@ -1778,6 +1842,8 @@ object TsOracle {
     "q_ks_test" -> qKsTest,
     "q_crosscorr" -> qCrossCorr,
     "q_sax" -> qSax,
+    "q_pagerank" -> qPagerank,
+    "q_triangles" -> qTriangles,
     "q_trend_mk" -> qTrendMk,
     "q_double_mass" -> qDoubleMass,
     "q_precip_type_mix" -> qPrecipTypeMix,

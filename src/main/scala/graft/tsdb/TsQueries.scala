@@ -381,6 +381,18 @@ object TsQueries {
   def qSax(s: SparkSession, d: String): DataFrame =
     Climate.sax(rawDaily(s, d)).orderBy(col("station_id"))
 
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    Neighbors.knnDistBucketed(meta(s, d))
+      .select(col("station_id").as("src"), col("nb_id").as("dst"))
+
+  def qPagerank(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.pageRank(knnEdges(s, d))
+      .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
+
+  def qTriangles(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.triangles(knnEdges(s, d))
+      .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pettitt" -> (qPettitt _),
     "q_cusum" -> (qCusum _),
@@ -389,6 +401,8 @@ object TsQueries {
     "q_ks_test" -> (qKsTest _),
     "q_crosscorr" -> (qCrossCorr _),
     "q_sax" -> (qSax _),
+    "q_pagerank" -> (qPagerank _),
+    "q_triangles" -> (qTriangles _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_theil_sen" -> (qTheilSen _),
     "q_runs_test" -> (qRunsTest _),
