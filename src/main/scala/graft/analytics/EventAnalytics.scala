@@ -850,9 +850,87 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("digit"))
   }
 
+  /** Welch two-sample t-test per event type between the A/B variants
+    * (user_id parity — the deterministic split an experiment platform
+    * would hash-assign): unequal-variance t, Welch–Satterthwaite df,
+    * two-sided significance at z≈1.96. Moments are rounded to 6 dp
+    * BEFORE the t arithmetic so both engines' different fold orders
+    * reach the identical statistic.
+    *
+    * Plan: ONE map-combinable (type, variant) moment aggregate over
+    * the events scan, then a 2-row-per-type pivot — nothing after the
+    * first shuffle touches more than O(#types) rows. */
+  def ttestWelch(events: DataFrame): DataFrame = {
+    val m = events
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")) + lit(1e-9), 6).as("mean"),
+        round(var_samp(col("value")) + lit(1e-9), 6).as("v"))
+    val a = m.filter(col("variant") === 1)
+      .select(col("event_type"), col("n").as("n_a"),
+        col("mean").as("mean_a"), col("v").as("v_a"))
+    val b = m.filter(col("variant") === 0)
+      .select(col("event_type"), col("n").as("n_b"),
+        col("mean").as("mean_b"), col("v").as("v_b"))
+    a.join(b, Seq("event_type"))
+      .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+      .withColumn("t", round((col("mean_a") - col("mean_b"))
+        / sqrt(col("se2")) + lit(1e-9), 4))
+      .withColumn("df", round(col("se2") * col("se2")
+        / (pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1)
+          + pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1)) + lit(1e-9), 2))
+      .withColumn("significant", abs(col("t")) > 1.96)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("t"), col("df"), col("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Mann–Whitney U (rank-sum) per event type between the same A/B
+    * variants — the distribution-free companion to [[ttestWelch]],
+    * tie-corrected.
+    *
+    * Plan: ranks never materialize per ROW — values collapse to a
+    * (type, value) frame first (cnt, cnt_a per distinct value), the
+    * average rank of each tie block is one ordered cumulative window
+    * over DISTINCT values, and the rank sum is a keyed dot product.
+    * At 100 TB the window runs over the distinct-value frame, orders
+    * of magnitude smaller than events. */
+  def mannWhitney(events: DataFrame): DataFrame = {
+    val tagged = events
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"), sum(col("variant")).as("cnt_a"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = tagged
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("avg_rank", col("cum") - (col("cnt") - 1) / 2.0)
+      .withColumn("tie3", col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+    ranked.groupBy(col("event_type"))
+      .agg(sum(col("cnt_a") * col("avg_rank")).as("r_a"),
+        sum(col("cnt_a")).as("n_a"),
+        sum(col("cnt") - col("cnt_a")).as("n_b"),
+        sum(col("tie3")).as("tie_sum"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("u", round(col("r_a")
+        - col("n_a") * (col("n_a") + 1) / 2.0 + lit(1e-9), 1))
+      .withColumn("var_u",
+        col("n_a") * col("n_b") / 12.0
+          * ((col("n") + 1) - col("tie_sum") / (col("n") * (col("n") - 1))))
+      .withColumn("z", round((col("u") - col("n_a") * col("n_b") / 2.0)
+        / sqrt(col("var_u")) + lit(1e-9), 4))
+      .withColumn("significant", abs(col("z")) > 1.96)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u"),
+        col("z"), col("significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
+    "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
+    "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
     "q_stickiness" -> ((s, d) => stickiness(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
@@ -1445,9 +1523,70 @@ object EventOracle {
     FROM scored s JOIN chi c USING (event_type)
     ORDER BY s.event_type, s.digit"""
 
+  /** Mirrors EventAnalytics.ttestWelch: rounded per-variant moments,
+    * Welch t and df from the rounded values. */
+  val qTtestWelch: String = """
+    WITH m AS (
+      SELECT event_type, CAST(user_id % 2 = 0 AS INT) AS variant,
+        CAST(count(*) AS BIGINT) AS n,
+        round(avg(value) + 1e-9, 6) AS mean,
+        round(var_samp(value) + 1e-9, 6) AS v
+      FROM events GROUP BY 1, 2),
+    ab AS (
+      SELECT a.event_type,
+        a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+        a.v / a.n + b.v / b.n AS se2,
+        a.v AS v_a, b.v AS v_b
+      FROM m a JOIN m b USING (event_type)
+      WHERE a.variant = 1 AND b.variant = 0)
+    SELECT event_type, n_a, n_b, mean_a, mean_b,
+      round((mean_a - mean_b) / sqrt(se2) + 1e-9, 4) AS t,
+      round(se2 * se2 / (pow(v_a / n_a, 2) / (n_a - 1)
+        + pow(v_b / n_b, 2) / (n_b - 1)) + 1e-9, 2) AS df,
+      abs(round((mean_a - mean_b) / sqrt(se2) + 1e-9, 4)) > 1.96
+        AS significant
+    FROM ab ORDER BY event_type"""
+
+  /** Mirrors EventAnalytics.mannWhitney: distinct-value tie blocks,
+    * cumulative average ranks, tie-corrected z. */
+  val qMannWhitney: String = """
+    WITH tagged AS (
+      SELECT event_type, value,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(CAST(user_id % 2 = 0 AS INT)) AS BIGINT) AS cnt_a
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, cnt, cnt_a,
+        sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - (cnt - 1) / 2.0 AS avg_rank,
+        cnt * cnt * cnt - cnt AS tie3
+      FROM tagged),
+    agg AS (
+      SELECT event_type,
+        sum(cnt_a * avg_rank) AS r_a,
+        CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+        CAST(sum(tie3) AS BIGINT) AS tie_sum
+      FROM ranked GROUP BY 1),
+    stat AS (
+      SELECT event_type, n_a, n_b, n_a + n_b AS n,
+        round(r_a - n_a * (n_a + 1) / 2.0 + 1e-9, 1) AS u,
+        n_a * n_b / 12.0 * ((n_a + n_b + 1)
+          - CAST(tie_sum AS DOUBLE)
+            / ((n_a + n_b) * (n_a + n_b - 1))) AS var_u
+      FROM agg)
+    SELECT event_type, n_a, n_b, u,
+      round((u - n_a * n_b / 2.0) / sqrt(var_u) + 1e-9, 4) AS z,
+      abs(round((u - n_a * n_b / 2.0) / sqrt(var_u) + 1e-9, 4)) > 1.96
+        AS significant
+    FROM stat ORDER BY event_type"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
     "q_benford" -> qBenford,
+    "q_ttest_welch" -> qTtestWelch,
+    "q_mann_whitney" -> qMannWhitney,
     "q_cvar" -> qCvar,
     "q_cohort_ltv" -> qCohortLtv,
     "q_stickiness" -> qStickiness,
