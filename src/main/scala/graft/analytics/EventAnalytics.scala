@@ -926,11 +926,52 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Kaplan–Meier retention curve: survival probability of "user is
+    * still active" by lifetime day, right-censoring users whose last
+    * event falls on the final day of data (they haven't churned, we
+    * just stopped looking — dropping them would bias S(t) down).
+    * S(t) = Π_{i ≤ t} (1 − d_i/n_i) over churn days.
+    *
+    * Plan: one per-user min/max aggregate, one O(#lifetimes) keyed
+    * aggregate, then ordered cumulative windows over the ≤ #days
+    * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
+    * cumulative window handles, with the summands from exact rationals
+    * so both engines agree to well past the 6 reported decimals. */
+  def kaplanMeier(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val horizon = events.agg(to_date(max(col("ts"))).as("dmax"))
+    val lifetimes = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("d1"), col("d0")).as("lifetime"),
+        (col("d1") === col("dmax")).cast("int").as("censored"))
+    val perDay = lifetimes.groupBy(col("lifetime"))
+      .agg(count(lit(1)).as("n_end"),
+        sum(col("censored")).as("n_censored"))
+      .withColumn("n_churn", col("n_end") - col("n_censored"))
+    val w = Window.orderBy(col("lifetime"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("n_total", sum(col("n_end")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_risk", col("n_total")
+        - coalesce(sum(col("n_end")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lnterm",
+        when(col("n_churn") > 0,
+          log(lit(1.0) - col("n_churn") / col("n_risk"))).otherwise(lit(0.0)))
+      .withColumn("survival",
+        round(exp(sum(col("lnterm")).over(wCum)) + lit(1e-9), 6))
+      .select(col("lifetime"), col("n_risk"), col("n_churn"),
+        col("n_censored"), col("survival"))
+      .orderBy(col("lifetime"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
+    "q_kaplan_meier" -> ((s, d) => kaplanMeier(Tables.events(s, d))),
     "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
     "q_stickiness" -> ((s, d) => stickiness(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
@@ -1582,11 +1623,45 @@ object EventOracle {
         AS significant
     FROM stat ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.kaplanMeier: per-user spans, lifetime
+    * churn/censor census, at-risk from reverse-cumulative, the
+    * survival product folded as exp(Σ ln). */
+  val qKaplanMeier: String = """
+    WITH users AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events GROUP BY 1),
+    hz AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+    lifetimes AS (
+      SELECT datediff('day', u.d0, u.d1) AS lifetime,
+        CAST(u.d1 = h.dmax AS INT) AS censored
+      FROM users u, hz h),
+    per_day AS (
+      SELECT lifetime, CAST(count(*) AS BIGINT) AS n_end,
+        CAST(sum(censored) AS BIGINT) AS n_censored
+      FROM lifetimes GROUP BY 1),
+    s1 AS (
+      SELECT lifetime, n_end, n_censored, n_end - n_censored AS n_churn,
+        CAST(sum(n_end) OVER () AS BIGINT)
+          - CAST(coalesce(sum(n_end) OVER (ORDER BY lifetime
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS n_risk
+      FROM per_day),
+    s2 AS (
+      SELECT *, CASE WHEN n_churn > 0
+        THEN ln(1.0 - CAST(n_churn AS DOUBLE) / n_risk) ELSE 0.0 END AS lnterm
+      FROM s1)
+    SELECT lifetime, n_risk, n_churn, n_censored,
+      round(exp(sum(lnterm) OVER (ORDER BY lifetime
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 1e-9, 6)
+        AS survival
+    FROM s2 ORDER BY lifetime"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_mann_whitney" -> qMannWhitney,
+    "q_kaplan_meier" -> qKaplanMeier,
     "q_cvar" -> qCvar,
     "q_cohort_ltv" -> qCohortLtv,
     "q_stickiness" -> qStickiness,

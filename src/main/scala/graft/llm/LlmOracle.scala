@@ -148,6 +148,48 @@ object LlmOracle {
       FROM n_t a JOIN n_t b ON a.vec_id < b.vec_id)
     WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
 
+  /** Mirrors Cluster.dbscan: brute ε-pairs (cos ≥ 0.4, rounded like
+    * the engine), degree-threshold cores, recursive min-label closure
+    * over core-core edges, min-cluster border attachment. */
+  val qDbscan: String = s"""
+    WITH RECURSIVE $normCte,
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round($dotAB / (a.nrm * b.nrm) + 1e-9, 6) AS cosine
+        FROM n_t a JOIN n_t b ON a.vec_id < b.vec_id)
+      WHERE cosine >= 0.4),
+    adj AS (
+      SELECT id_a AS vec_id, id_b AS nb FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT vec_id, count(*) AS n_nb FROM adj GROUP BY 1),
+    core AS (SELECT vec_id FROM deg WHERE n_nb >= 3),
+    core_edges AS (
+      SELECT p.id_a, p.id_b FROM pairs p
+      JOIN core c1 ON c1.vec_id = p.id_a
+      JOIN core c2 ON c2.vec_id = p.id_b),
+    cedges AS (
+      SELECT id_a AS src, id_b AS dst FROM core_edges
+      UNION ALL SELECT id_b, id_a FROM core_edges),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT e.src, r.lbl FROM cedges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS vec_id, min(lbl) AS cluster FROM reach GROUP BY 1),
+    border AS (
+      SELECT a.vec_id, min(c.cluster) AS nb_cluster
+      FROM adj a JOIN comp c ON c.vec_id = a.nb
+      GROUP BY 1)
+    SELECT e.vec_id,
+      CASE WHEN m.cluster IS NOT NULL THEN 'core'
+           WHEN b.nb_cluster IS NOT NULL THEN 'border'
+           ELSE 'noise' END AS role,
+      coalesce(m.cluster, b.nb_cluster, -1) AS cluster
+    FROM embeddings e
+    LEFT JOIN comp m ON m.vec_id = e.vec_id
+    LEFT JOIN border b ON b.vec_id = e.vec_id
+    ORDER BY e.vec_id"""
+
   val qAnnTopk: String = s"""
     WITH $normCte,
     scored AS (
@@ -1387,6 +1429,7 @@ object LlmOracle {
     "q_dedup_minhash_bands" -> qDedupMinhashBands,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_containment" -> qDedupContainment,
+    "q_dbscan" -> qDbscan,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,

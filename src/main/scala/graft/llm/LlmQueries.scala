@@ -113,6 +113,7 @@ object LlmQueries {
       graft.similarity.Pca.whitenReport(embs(s, d)).orderBy(col("vec_id"))),
     "q_semdedup" -> ((s, d) =>
       Cluster.semDedup(embs(s, d)).orderBy(col("vec_id"))),
+    "q_dbscan" -> ((s, d) => Cluster.dbscan(embs(s, d)).orderBy(col("vec_id"))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tfidf" -> ((s, d) =>

@@ -180,4 +180,53 @@ object Cluster {
         round(avg(when(!col("even"), col("v"))) + lit(1e-9), 6).as("mean_odd"))
       .withColumn("shift",
         round(col("mean_odd") - col("mean_even") + lit(1e-9), 6))
+
+  /** Density-based clustering (DBSCAN) on the embedding space, with
+    * cosine ≥ eps as the neighborhood predicate: core points have ≥
+    * minPts neighbors, clusters are the connected components of the
+    * core-core adjacency, border points attach to their minimum-id
+    * core neighbor's cluster (deterministic), the rest is noise
+    * (cluster −1). The ε-pair generation and the component closure
+    * REUSE the dedup machinery — [[graft.dedup.Dedup.embeddingPairs]]
+    * (block-replicated similarity join, O(n·B) shuffle) and
+    * [[graft.dedup.Dedup.componentsFromPairs]] (min-label propagation
+    * + pointer jumping) — so DBSCAN inherits their 100 TB shapes
+    * instead of introducing new ones.
+    *
+    * Output: (vec_id, role ∈ core|border|noise, cluster). */
+  def dbscan(embeddings: DataFrame, eps: Double = 0.4, minPts: Int = 3): DataFrame = {
+    import graft.dedup.Dedup
+    val ids = embeddings.select(col("vec_id").cast("long").as("vec_id"))
+    val pairs = Dedup.embeddingPairs(embeddings, eps) // persisted, tiny
+    try {
+      val adj = pairs.select(col("id_a").as("vec_id"), col("id_b").as("nb"))
+        .unionByName(pairs.select(col("id_b").as("vec_id"), col("id_a").as("nb")))
+      val deg = adj.groupBy(col("vec_id")).agg(count(lit(1)).as("n_nb"))
+      val core = deg.filter(col("n_nb") >= minPts).select(col("vec_id"))
+      val coreEdges = pairs.select(col("id_a"), col("id_b"))
+        .join(core.select(col("vec_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(core.select(col("vec_id").as("id_b")), Seq("id_b"), "left_semi")
+      val comp = Dedup.componentsFromPairs(
+          core.select(col("vec_id").as("doc_id")), coreEdges)
+        .select(col("doc_id").as("vec_id"), col("comp").as("cluster"))
+      val borderAssign = adj
+        .join(core.select(col("vec_id").as("nb")), Seq("nb"), "left_semi")
+        .join(comp.select(col("vec_id").as("nb"), col("cluster")), Seq("nb"))
+        .groupBy(col("vec_id")).agg(min(col("cluster")).as("nb_cluster"))
+      val result = ids
+        .join(comp, Seq("vec_id"), "left")
+        .join(borderAssign, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("cluster").isNotNull, lit("core"))
+            .when(col("nb_cluster").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("cluster"), col("nb_cluster"), lit(-1L)).as("cluster"))
+        .persist()
+      // materialize before releasing the ε-pair frame (same contract
+      // as jaccardPairs: the result is O(#vectors) and tiny, the
+      // scratch frames must not stay pinned — nor be recomputed)
+      result.count()
+      result
+    } finally pairs.unpersist()
+  }
 }
