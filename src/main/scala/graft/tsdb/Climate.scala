@@ -958,6 +958,79 @@ object Climate {
         col("ks_score"), col("same_dist"))
   }
 
+  /** EWMA control chart per station (truncated-window formulation):
+    * the exponentially-weighted moving average as a FINITE 14-lag dot
+    * product with renormalized weights — the recursion
+    * ewma_t = α·x_t + (1−α)·ewma_{t−1} unrolled and truncated where
+    * the weight tail (0.7¹⁴ ≈ 0.7 %) is negligible, because a true
+    * recursion is not expressible as a window function in either
+    * engine and a closed-form rescaling overflows on long series.
+    * Control limits are the standard ±L·σ·√(α/(2−α)) around the
+    * station mean. The weights are injected as IDENTICAL decimal
+    * literals on both engines (pow() last-ulp differences must not
+    * leak into the statistic).
+    *
+    * Plan: one ordered window produces all 14 lags off a single sort,
+    * the dot product is a stateless projection, moments are one keyed
+    * aggregate — partition-local per station at any scale. */
+  def ewmaControl(rawDaily: DataFrame, alpha: Double = 0.3,
+      l: Double = 3.0): DataFrame = {
+    val k = 14
+    val weights = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val withLags = (1 until k).foldLeft(
+      rawDaily.withColumn("x", coalesce(col("raw"), lit(0.0)))
+        .withColumn("lag0", col("x"))) {
+      case (df, i) => df.withColumn(s"lag$i", lag(col("x"), i).over(w))
+    }
+    val num = (0 until k).map(i =>
+      when(col(s"lag$i").isNotNull, col(s"lag$i") * lit(weights(i)))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    val den = (0 until k).map(i =>
+      when(col(s"lag$i").isNotNull, lit(weights(i)))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    val moments = withLags.groupBy(col("station_id"))
+      .agg(round(avg(col("x")) + lit(1e-9), 6).as("mu"),
+        round(stddev_pop(col("x")) + lit(1e-9), 6).as("sigma"))
+    val width = l * math.sqrt(alpha / (2 - alpha))
+    withLags
+      .withColumn("ewma", round(num / den + lit(1e-9), 6))
+      .join(moments, Seq("station_id"))
+      .withColumn("ucl", round(col("mu") + lit(width) * col("sigma") + lit(1e-9), 6))
+      .withColumn("lcl", round(col("mu") - lit(width) * col("sigma") + lit(1e-9), 6))
+      .withColumn("flag", col("ewma") > col("ucl") || col("ewma") < col("lcl"))
+      .select(col("station_id"), col("day"), col("x"), col("ewma"),
+        col("ucl"), col("lcl"), col("flag"))
+  }
+
+  /** Naive-forecast skill report per station: MAE of the persistence
+    * forecast (x̂_t = x_{t−1}) vs the climatology forecast (x̂_t =
+    * station mean), and the skill score 1 − MAE_pers/MAE_clim — the
+    * sanity baseline every forecasting pipeline publishes before any
+    * model earns compute.
+    *
+    * Plan: one lag window + two keyed aggregates; the climatology MAE
+    * reuses the same partitioning. */
+  def forecastSkill(rawDaily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .withColumn("prev", lag(col("raw"), 1).over(w))
+    val clim = obs.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("mean"))
+    obs.join(clim, Seq("station_id"))
+      .groupBy(col("station_id"), col("mean"))
+      .agg(count(col("prev")).as("n_pairs"),
+        round(avg(when(col("prev").isNotNull,
+          abs(col("raw") - col("prev")))) + lit(1e-9), 6).as("mae_persistence"),
+        round(avg(abs(col("raw") - col("mean"))) + lit(1e-9), 6).as("mae_climatology"))
+      .withColumn("skill",
+        when(col("mae_climatology") > 0.0,
+          round(lit(1.0) - col("mae_persistence") / col("mae_climatology")
+            + lit(1e-9), 4)))
+      .select(col("station_id"), col("n_pairs"), col("mae_persistence"),
+        col("mae_climatology"), col("skill"))
+  }
+
   /** Lagged cross-correlation between each station and its k nearest
     * neighbors (lead/lag structure of the field — a storm-advection
     * screen: if r peaks at lag ≠ 0 the neighbor sees the same weather

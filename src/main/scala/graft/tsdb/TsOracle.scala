@@ -1282,6 +1282,74 @@ object TsOracle {
     FROM deg d LEFT JOIN per_node p USING (id)
     ORDER BY station_id"""
 
+  /** Mirrors Climate.ewmaControl. The weights and the limit width are
+    * computed by the SAME Scala expressions as the engine's and
+    * injected as decimal literals (Double.toString round-trips, DuckDB
+    * parses shortest-repr back to the identical double), and the
+    * num/den sums keep the engine's left-assoc fold order — zero
+    * cross-engine float drift by construction. */
+  val qEwmaControl: String = {
+    val k = 14; val alpha = 0.3; val l = 3.0
+    val ew = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+    val lags = (1 until k).map(i =>
+      s"lag(x, $i) OVER (PARTITION BY station_id ORDER BY day) AS lag$i")
+      .mkString(",\n        ")
+    val num = (0 until k).map(i =>
+      s"(CASE WHEN lag$i IS NOT NULL THEN lag$i * ${ew(i)} ELSE 0.0 END)")
+      .mkString(" + ")
+    val den = (0 until k).map(i =>
+      s"(CASE WHEN lag$i IS NOT NULL THEN ${ew(i)} ELSE 0.0 END)")
+      .mkString(" + ")
+    val width = l * math.sqrt(alpha / (2 - alpha))
+    s"""
+    WITH $world,
+    filled AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x FROM raw_daily),
+    lagged AS (
+      SELECT station_id, day, x, x AS lag0,
+        $lags
+      FROM filled),
+    moments AS (
+      SELECT station_id, round(avg(x) + 1e-9, 6) AS mu,
+        round(stddev_pop(x) + 1e-9, 6) AS sigma
+      FROM filled GROUP BY 1),
+    ew AS (
+      SELECT station_id, day, x,
+        round(($num) / ($den) + 1e-9, 6) AS ewma
+      FROM lagged)
+    SELECT e.station_id, e.day, e.x, e.ewma,
+      round(m.mu + $width * m.sigma + 1e-9, 6) AS ucl,
+      round(m.mu - $width * m.sigma + 1e-9, 6) AS lcl,
+      e.ewma > round(m.mu + $width * m.sigma + 1e-9, 6)
+        OR e.ewma < round(m.mu - $width * m.sigma + 1e-9, 6) AS flag
+    FROM ew e JOIN moments m USING (station_id)
+    ORDER BY e.station_id, e.day"""
+  }
+
+  /** Mirrors Climate.forecastSkill: persistence vs climatology MAE. */
+  val qForecastSkill: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, day, raw,
+        lag(raw, 1) OVER (PARTITION BY station_id ORDER BY day) AS prev
+      FROM raw_daily WHERE raw IS NOT NULL),
+    clim AS (
+      SELECT station_id, round(avg(raw) + 1e-9, 6) AS mean
+      FROM obs GROUP BY 1)
+    SELECT o.station_id,
+      CAST(count(o.prev) AS BIGINT) AS n_pairs,
+      round(avg(CASE WHEN o.prev IS NOT NULL
+        THEN abs(o.raw - o.prev) END) + 1e-9, 6) AS mae_persistence,
+      round(avg(abs(o.raw - c.mean)) + 1e-9, 6) AS mae_climatology,
+      CASE WHEN round(avg(abs(o.raw - c.mean)) + 1e-9, 6) > 0.0
+        THEN round(1.0 - round(avg(CASE WHEN o.prev IS NOT NULL
+            THEN abs(o.raw - o.prev) END) + 1e-9, 6)
+          / round(avg(abs(o.raw - c.mean)) + 1e-9, 6) + 1e-9, 4)
+      END AS skill
+    FROM obs o JOIN clim c USING (station_id)
+    GROUP BY o.station_id, c.mean
+    ORDER BY o.station_id"""
+
   val qTrendMk: String = s"""
     WITH $world,
     annual AS (
@@ -1844,6 +1912,8 @@ object TsOracle {
     "q_sax" -> qSax,
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
+    "q_ewma_control" -> qEwmaControl,
+    "q_forecast_skill" -> qForecastSkill,
     "q_trend_mk" -> qTrendMk,
     "q_double_mass" -> qDoubleMass,
     "q_precip_type_mix" -> qPrecipTypeMix,

@@ -381,6 +381,12 @@ object TsQueries {
   def qSax(s: SparkSession, d: String): DataFrame =
     Climate.sax(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qEwmaControl(s: SparkSession, d: String): DataFrame =
+    Climate.ewmaControl(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
+
+  def qForecastSkill(s: SparkSession, d: String): DataFrame =
+    Climate.forecastSkill(rawDaily(s, d)).orderBy(col("station_id"))
+
   private def knnEdges(s: SparkSession, d: String): DataFrame =
     Neighbors.knnDistBucketed(meta(s, d))
       .select(col("station_id").as("src"), col("nb_id").as("dst"))
@@ -403,6 +409,8 @@ object TsQueries {
     "q_sax" -> (qSax _),
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
+    "q_ewma_control" -> (qEwmaControl _),
+    "q_forecast_skill" -> (qForecastSkill _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_theil_sen" -> (qTheilSen _),
     "q_runs_test" -> (qRunsTest _),
