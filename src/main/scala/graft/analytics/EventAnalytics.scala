@@ -937,6 +937,80 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** χ² test of independence between the A/B variant and event type —
+    * "does the variant shift WHAT users do?", the categorical
+    * counterpart to [[ttestWelch]]'s "does it shift HOW MUCH?".
+    * Expected counts from the margins, Wilson–Hilferty cube-root
+    * normal approximation for the p-decision (closed-form, so both
+    * engines compute it identically — no χ² table lookup).
+    *
+    * Plan: one map-combinable count aggregate over events collapses
+    * to ≤ #types×2 cells; margins are windows over that tiny frame;
+    * everything after the first aggregate is constant-size. */
+  def chiSquare(events: DataFrame): DataFrame = {
+    val cells = events
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("o"))
+    val wRow = Window.partitionBy(col("event_type"))
+    val wCol = Window.partitionBy(col("variant"))
+    val wAll = Window.partitionBy()
+    val contrib = cells
+      .withColumn("row_t", sum(col("o")).over(wRow))
+      .withColumn("col_t", sum(col("o")).over(wCol))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("e", col("row_t") * col("col_t") / col("n").cast("double"))
+      .withColumn("cell", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+    contrib
+      .groupBy(col("n"))
+      .agg((count_distinct(col("event_type")) - 1).as("df"),
+        round(sum(col("cell")) + lit(1e-9), 4).as("chi2"))
+      .withColumn("z_wh",
+        round((pow(col("chi2") / col("df"), 1.0 / 3)
+          - (lit(1.0) - lit(2.0) / (lit(9.0) * col("df"))))
+          / sqrt(lit(2.0) / (lit(9.0) * col("df"))) + lit(1e-9), 4))
+      .withColumn("significant", col("z_wh") > 1.645)
+      .select(col("n"), col("df"), col("chi2"), col("z_wh"), col("significant"))
+  }
+
+  /** One-way ANOVA of event value across event types: between/within
+    * decomposition from per-group sufficient moments, F statistic and
+    * effect size η². The p-decision goes through the same
+    * Wilson–Hilferty closed form as [[chiSquare]] on the large-df
+    * approximation χ²(k−1) ≈ (k−1)·F.
+    *
+    * Plan: ONE map-combinable moment aggregate over events (count /
+    * mean / variance per type, k rows); the grand mean and the F
+    * assembly run on that k-row frame — a broadcast of one row back
+    * onto k rows, never a second scan. */
+  def anova(events: DataFrame): DataFrame = {
+    val g = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_i"),
+        round(avg(col("value")) + lit(1e-9), 6).as("mean_i"),
+        round(var_samp(col("value")) + lit(1e-9), 6).as("v_i"))
+    val grand = g.agg(sum(col("n_i")).as("n"), count(lit(1)).as("k"),
+      round(sum(col("n_i") * col("mean_i")) / sum(col("n_i")) + lit(1e-9), 6)
+        .as("gm"))
+    g.crossJoin(broadcast(grand))
+      .groupBy(col("n"), col("k"), col("gm"))
+      .agg(sum(col("n_i") * (col("mean_i") - col("gm"))
+          * (col("mean_i") - col("gm"))).as("ssb"),
+        sum((col("n_i") - 1) * col("v_i")).as("ssw"))
+      .withColumn("f_stat",
+        round((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k")))
+          + lit(1e-9), 4))
+      .withColumn("eta_sq",
+        round(col("ssb") / (col("ssb") + col("ssw")) + lit(1e-9), 6))
+      .withColumn("chi2", round((col("k") - 1) * col("f_stat") + lit(1e-9), 4))
+      .withColumn("z_wh",
+        round((pow(col("chi2") / (col("k") - 1), 1.0 / 3)
+          - (lit(1.0) - lit(2.0) / (lit(9.0) * (col("k") - 1))))
+          / sqrt(lit(2.0) / (lit(9.0) * (col("k") - 1))) + lit(1e-9), 4))
+      .withColumn("significant", col("z_wh") > 1.645)
+      .select(col("n"), col("k"), col("f_stat"), col("eta_sq"),
+        col("z_wh"), col("significant"))
+  }
+
   def kaplanMeier(events: DataFrame): DataFrame = {
     val users = events.groupBy(col("user_id"))
       .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
@@ -970,6 +1044,8 @@ object EventAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
+    "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
+    "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "q_kaplan_meier" -> ((s, d) => kaplanMeier(Tables.events(s, d))),
     "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
@@ -1588,6 +1664,64 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.chiSquare: margin-based expected counts,
+    * Wilson–Hilferty normal approximation. */
+  val qChiSquare: String = """
+    WITH cells AS (
+      SELECT event_type, CAST(user_id % 2 = 0 AS INT) AS variant,
+        CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT *,
+        sum(o) OVER (PARTITION BY event_type) AS row_t,
+        sum(o) OVER (PARTITION BY variant) AS col_t,
+        sum(o) OVER () AS n
+      FROM cells),
+    c AS (
+      SELECT *, CAST(row_t AS DOUBLE) * col_t / n AS e FROM m),
+    agg AS (
+      SELECT CAST(n AS BIGINT) AS n,
+        CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS df,
+        round(sum((o - e) * (o - e) / e) + 1e-9, 4) AS chi2
+      FROM c GROUP BY 1),
+    z AS (
+      SELECT *,
+        round((pow(chi2 / df, 1.0/3) - (1.0 - 2.0 / (9.0 * df)))
+          / sqrt(2.0 / (9.0 * df)) + 1e-9, 4) AS z_wh
+      FROM agg)
+    SELECT n, df, chi2, z_wh, z_wh > 1.645 AS significant FROM z"""
+
+  /** Mirrors EventAnalytics.anova: per-type moments rounded at 6 dp,
+    * between/within decomposition, Wilson–Hilferty on (k−1)·F. */
+  val qAnova: String = """
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+        round(avg(value) + 1e-9, 6) AS mean_i,
+        round(var_samp(value) + 1e-9, 6) AS v_i
+      FROM events GROUP BY 1),
+    grand AS (
+      SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        round(sum(n_i * mean_i) / sum(n_i) + 1e-9, 6) AS gm
+      FROM g),
+    s AS (
+      SELECT n, k, gm,
+        sum(n_i * (mean_i - gm) * (mean_i - gm)) AS ssb,
+        sum((n_i - 1) * v_i) AS ssw
+      FROM g CROSS JOIN grand GROUP BY 1, 2, 3),
+    f AS (
+      SELECT *,
+        round((ssb / (k - 1)) / (ssw / (n - k)) + 1e-9, 4) AS f_stat,
+        round(ssb / (ssb + ssw) + 1e-9, 6) AS eta_sq
+      FROM s),
+    z AS (
+      SELECT *, round((k - 1) * f_stat + 1e-9, 4) AS chi2 FROM f),
+    w AS (
+      SELECT *,
+        round((pow(chi2 / (k - 1), 1.0/3) - (1.0 - 2.0 / (9.0 * (k - 1))))
+          / sqrt(2.0 / (9.0 * (k - 1))) + 1e-9, 4) AS z_wh
+      FROM z)
+    SELECT n, k, f_stat, eta_sq, z_wh, z_wh > 1.645 AS significant FROM w"""
+
   /** Mirrors EventAnalytics.mannWhitney: distinct-value tie blocks,
     * cumulative average ranks, tie-corrected z. */
   val qMannWhitney: String = """
@@ -1660,6 +1794,8 @@ object EventOracle {
     "q_attribution" -> qAttribution,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
+    "q_chi_square" -> qChiSquare,
+    "q_anova" -> qAnova,
     "q_mann_whitney" -> qMannWhitney,
     "q_kaplan_meier" -> qKaplanMeier,
     "q_cvar" -> qCvar,

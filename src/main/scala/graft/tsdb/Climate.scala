@@ -1100,4 +1100,77 @@ object Climate {
       .select(col("station_id"), col("nb_id"), col("rank"), col("lag"),
         col("n"), col("r"))
   }
+
+  /** Ljung–Box portmanteau test per station: is the daily series
+    * white noise, or does autocorrelation persist over the first
+    * `maxLag` lags? `Q = n(n+2) Σ_k ρ_k²/(n−k)`, compared against the
+    * χ²(maxLag) 95% critical value — the standard residual diagnostic
+    * after a trend/seasonal fit (complements [[acf]] with a single
+    * decision statistic).
+    *
+    * Plan: rides [[acf]]'s one-exchange lag frame; the Q assembly is a
+    * keyed aggregate over maxLag rows per station joined with the
+    * O(#stations) day-count frame. Nothing beyond acf's cost. */
+  def ljungBox(rawDaily: DataFrame, maxLag: Int = 3): DataFrame = {
+    // chi2 95% critical values for df = 1..10 (Abramowitz & Stegun
+    // table 26.8); maxLag is the df of the portmanteau statistic.
+    val crit = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+      15.507, 16.919, 18.307)
+    require(maxLag >= 1 && maxLag <= crit.length, s"maxLag $maxLag out of range")
+    val counts = rawDaily.groupBy(col("station_id")).agg(count(lit(1)).as("n"))
+    acf(rawDaily, maxLag)
+      .join(counts, Seq("station_id"))
+      .groupBy(col("station_id"), col("n"))
+      .agg(sum(coalesce(col("acf"), lit(0.0)) * coalesce(col("acf"), lit(0.0))
+        / (col("n") - col("lag"))).as("s"))
+      .withColumn("q_lb",
+        round(col("n") * (col("n") + 2) * col("s") + lit(1e-9), 4))
+      .withColumn("white_noise_rejected", col("q_lb") > lit(crit(maxLag - 1)))
+      .select(col("station_id"), col("n"), col("q_lb"),
+        col("white_noise_rejected"))
+  }
+
+  /** Tie-corrected Spearman rank correlation of each station's daily
+    * series with its k nearest neighbors — the robust companion to
+    * [[neighborCorr]] (rank correlation survives the heavy-tailed,
+    * zero-inflated precipitation distribution that distorts Pearson).
+    * Average ranks for tie blocks, then closed-form Pearson over the
+    * rank pairs via the five sufficient sums.
+    *
+    * Plan: ranks come from ONE window (min-rank and the tie-block size
+    * share the same per-station sort — the tie count is a RANGE
+    * CURRENT ROW frame on the identical ordering, so Catalyst plans a
+    * single exchange + sort); the pair join is the same broadcast-knn
+    * shape as neighborCorr, never all-pairs. Ranks are integers or
+    * half-integers → exact in doubles, so the only float division is
+    * the final rho. */
+  def spearmanNeighbors(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val wOrd = Window.partitionBy(col("station_id")).orderBy(col("x"))
+    val ranked = rawDaily
+      .select(col("station_id"), col("day"), coalesce(col("raw"), lit(0.0)).as("x"))
+      .withColumn("r_min", rank().over(wOrd))
+      .withColumn("ties", count(lit(1)).over(
+        wOrd.rangeBetween(Window.currentRow, Window.currentRow)))
+      .withColumn("r", col("r_min") + (col("ties") - 1) / lit(2.0))
+      .select(col("station_id"), col("day"), col("r"))
+    val y = ranked.select(col("station_id").as("nb_id"), col("day"),
+      col("r").as("ry"))
+    ranked.join(broadcast(knn.select(col("station_id"), col("nb_id"), col("rank"))),
+        Seq("station_id"))
+      .join(y, Seq("nb_id", "day"))
+      .groupBy(col("station_id"), col("nb_id"), col("rank"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("r") * col("r")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("r") * col("ry")).as("sxy"))
+      .withColumn("detx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dety", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("rho",
+        when(col("detx") > 0.0 && col("dety") > 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("detx") * col("dety")) + lit(1e-9), 6)))
+      .select(col("station_id"), col("nb_id"), col("rank"), col("n"), col("rho"))
+  }
 }

@@ -1552,6 +1552,73 @@ object TsOracle {
       CASE WHEN den > 0.0 THEN round(num / den + 1e-9, 4) END AS acf
     FROM stacked ORDER BY station_id, lag"""
 
+  /** Mirrors Climate.ljungBox: Q from the 4-dp lag-1..3 ACF, χ²(3)
+    * 95% rejection. */
+  val qLjungBox: String = s"""
+    WITH $world,
+    x AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x,
+        lag(coalesce(raw, 0.0), 1) OVER win AS x_lag1,
+        lag(coalesce(raw, 0.0), 2) OVER win AS x_lag2,
+        lag(coalesce(raw, 0.0), 3) OVER win AS x_lag3
+      FROM raw_daily
+      WINDOW win AS (PARTITION BY station_id ORDER BY day)),
+    m AS (
+      SELECT station_id, round(avg(x) + 1e-9, 6) AS xbar
+      FROM x GROUP BY 1),
+    agg AS (
+      SELECT x.station_id, m.xbar,
+        CAST(count(*) AS BIGINT) AS n,
+        sum((x.x - m.xbar) * (x.x - m.xbar)) AS den,
+        sum((x.x - m.xbar) * (x.x_lag1 - m.xbar)) AS num1,
+        sum((x.x - m.xbar) * (x.x_lag2 - m.xbar)) AS num2,
+        sum((x.x - m.xbar) * (x.x_lag3 - m.xbar)) AS num3
+      FROM x JOIN m USING (station_id) GROUP BY 1, 2),
+    stacked AS (
+      SELECT station_id, n, den, 1 AS lag, num1 AS num FROM agg
+      UNION ALL SELECT station_id, n, den, 2, num2 FROM agg
+      UNION ALL SELECT station_id, n, den, 3, num3 FROM agg),
+    rho AS (
+      SELECT station_id, n, lag,
+        coalesce(CASE WHEN den > 0.0 THEN round(num / den + 1e-9, 4) END,
+          0.0) AS acf
+      FROM stacked),
+    q AS (
+      SELECT station_id, n,
+        round(n * (n + 2) * sum(acf * acf / (n - lag)) + 1e-9, 4) AS q_lb
+      FROM rho GROUP BY 1, 2)
+    SELECT station_id, n, q_lb, q_lb > 7.815 AS white_noise_rejected
+    FROM q ORDER BY station_id"""
+
+  /** Mirrors Climate.spearmanNeighbors: tie-averaged ranks per
+    * station, Pearson over the rank pairs per knn edge. */
+  val qSpearman: String = s"""
+    WITH $world,
+    ranked AS (
+      SELECT station_id, day,
+        rank() OVER wo
+          + (count(*) OVER (PARTITION BY station_id, coalesce(raw, 0.0))
+             - 1) / 2.0 AS r
+      FROM raw_daily
+      WINDOW wo AS (PARTITION BY station_id ORDER BY coalesce(raw, 0.0))),
+    j AS (
+      SELECT k.station_id, k.nb_id, k.rank, a.r AS x, b.r AS y
+      FROM knn k
+      JOIN ranked a ON a.station_id = k.station_id
+      JOIN ranked b ON b.station_id = k.nb_id AND b.day = a.day),
+    sums AS (
+      SELECT station_id, nb_id, rank, CAST(count(*) AS BIGINT) AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+        sum(x*y) AS sxy
+      FROM j GROUP BY 1, 2, 3),
+    d AS (
+      SELECT *, n*sxx - sx*sx AS detx, n*syy - sy*sy AS dety FROM sums)
+    SELECT station_id, nb_id, rank, n,
+      CASE WHEN detx > 0.0 AND dety > 0.0
+           THEN round((n*sxy - sx*sy) / sqrt(detx * dety) + 1e-9, 6)
+      END AS rho
+    FROM d ORDER BY station_id, rank"""
+
   /** Mirrors Climate.neighborCorr: Pearson r per knn pair from the
     * five sufficient sums over the zero-filled daily series. */
   val qNeighborCorr: String = s"""
@@ -1901,6 +1968,8 @@ object TsOracle {
     "q_climatology" -> qClimatology,
     "q_lapse_rate" -> qLapseRate,
     "q_acf" -> qAcf,
+    "q_ljung_box" -> qLjungBox,
+    "q_spearman" -> qSpearman,
     "q_dry_spells" -> qDrySpells,
     "q_spi_zscore" -> qSpiZscore,
     "q_pettitt" -> qPettitt,

@@ -336,6 +336,13 @@ object TsQueries {
   def qAcf(s: SparkSession, d: String): DataFrame =
     Climate.acf(rawDaily(s, d)).orderBy(col("station_id"), col("lag"))
 
+  def qLjungBox(s: SparkSession, d: String): DataFrame =
+    Climate.ljungBox(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qSpearman(s: SparkSession, d: String): DataFrame =
+    Climate.spearmanNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"), col("rank"))
+
   /** Per-station precipitation-type climatology from the Richter
     * typing (StationP.py:571-580): day share and correction uplift
     * mass per type — the summary a correction run is sanity-checked
@@ -429,6 +436,8 @@ object TsQueries {
     "q_climatology" -> (qClimatology _),
     "q_lapse_rate" -> (qLapseRate _),
     "q_acf" -> (qAcf _),
+    "q_ljung_box" -> (qLjungBox _),
+    "q_spearman" -> (qSpearman _),
     "q_dry_spells" -> (qDrySpells _),
     "q_degree_days" -> (qDegreeDays _),
     "q_return_period" -> (qReturnPeriod _),
