@@ -313,6 +313,23 @@ object LlmOracle {
     FROM bg GROUP BY bigram
     ORDER BY n DESC, bigram LIMIT 20"""
 
+  /** Mirrors TextAnalysis.typeTokenRatio: per-doc lexical diversity
+    * from the (doc, token) count frame. */
+  val qTextTtr: String = s"""
+    WITH tf AS (
+      SELECT doc_id, t.tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents, unnest($toks) AS t(tok)
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM tf GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types, n_hapax,
+      round(n_types / CAST(n_tokens AS DOUBLE) + 1e-9, 6) AS ttr,
+      round(n_hapax / CAST(n_types AS DOUBLE) + 1e-9, 6) AS hapax_share
+    FROM agg ORDER BY doc_id"""
+
   val qTextRepetition: String = s"""
     WITH tc AS (
       SELECT doc_id, tok, count(*) AS c FROM (
@@ -1446,6 +1463,7 @@ object LlmOracle {
     "q_quality_sample" -> qQualitySample,
     "q_text_bigrams" -> qTextBigrams,
     "q_text_repetition" -> qTextRepetition,
+    "q_text_ttr" -> qTextTtr,
     "q_text_tfidf" -> qTextTfidf,
     "q_dedup_spans" -> qDedupSpans,
     "q_quality_classifier" -> qQualityClassifier,

@@ -116,6 +116,8 @@ object LlmQueries {
     "q_dbscan" -> ((s, d) => Cluster.dbscan(embs(s, d)).orderBy(col("vec_id"))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_ttr" -> ((s, d) =>
+      TextAnalysis.typeTokenRatio(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(docs(s, d)).orderBy(col("doc_id"), col("rank"))),
     "q_dedup_spans" -> ((s, d) =>

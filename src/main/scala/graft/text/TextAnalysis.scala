@@ -921,4 +921,27 @@ object TextAnalysis {
         + sum(col("pb") * log(col("pb") / col("m")))) / 2 + lit(1e-9), 6).as("jsd"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Lexical-diversity report per document: type/token ratio and
+    * hapax-legomenon share (the quick richness screens beside the
+    * entropy/repetition quality features — low TTR flags template or
+    * looping text, high hapax share flags noise/OCR garbage).
+    *
+    * Plan: one (doc, token) count aggregate — keyed on the pair, so
+    * the shuffle carries distinct (doc, token) rows, not raw tokens —
+    * then a per-doc rollup on the doc_id prefix of the same key.
+    * Stateless over documents; no joins. */
+  def typeTokenRatio(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        round(col("n_types") / col("n_tokens").cast("double") + lit(1e-9), 6))
+      .withColumn("hapax_share",
+        round(col("n_hapax") / col("n_types").cast("double") + lit(1e-9), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        col("ttr"), col("hapax_share"))
 }

@@ -1173,4 +1173,111 @@ object Climate {
             / sqrt(col("detx") * col("dety")) + lit(1e-9), 6)))
       .select(col("station_id"), col("nb_id"), col("rank"), col("n"), col("rho"))
   }
+
+  /** Parametric least-squares trend per station (the classical
+    * companion to the robust Theil–Sen slope and the Mann–Kendall
+    * test): OLS of the zero-filled daily value on the day index, with
+    * slope, intercept at the station's first day, and R². Closed form
+    * from the five sufficient sums — one scan, no matrix library.
+    *
+    * Plan: the per-station first day is an unordered window min on
+    * the same station partitioning every series operator uses (no
+    * extra exchange under subset co-partitioning); everything else is
+    * one map-combinable keyed aggregate. */
+  def olsTrend(rawDaily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("station_id"))
+    val xy = rawDaily
+      .withColumn("t", datediff(col("day"), min(col("day")).over(w)).cast("double"))
+      .withColumn("yv", coalesce(col("raw"), lit(0.0)))
+    xy.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("sx"), sum(col("yv")).as("sy"),
+        sum(col("t") * col("t")).as("sxx"),
+        sum(col("yv") * col("yv")).as("syy"),
+        sum(col("t") * col("yv")).as("sxy"))
+      .withColumn("detx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dety", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope",
+        when(col("detx") > 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) / col("detx")
+            + lit(1e-9), 6)))
+      .withColumn("intercept",
+        round((col("sy") - col("slope") * col("sx")) / col("n") + lit(1e-9), 4))
+      .withColumn("r2",
+        when(col("detx") > 0.0 && col("dety") > 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            * (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("detx") * col("dety")) + lit(1e-9), 6)))
+      .select(col("station_id"), col("n"), col("slope"), col("intercept"),
+        col("r2"))
+  }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis over the dense
+    * HOURLY series: long-range dependence of the precipitation
+    * process (H≈0.5 memoryless, H→1 persistent). For each block size
+    * in `blockSizes`, complete blocks yield R/S = (range of the
+    * cumulative deviation from the block mean) / (block σ); H is the
+    * log–log OLS slope of the per-size mean R/S.
+    *
+    * Plan: everything partitions by station — the block statistics
+    * are ONE keyed aggregate per (station, size, block) on the ×|sizes|
+    * exploded hourly frame, the cumulative deviation is a per-block
+    * ordered window, and the final log–log fit runs on |sizes| rows
+    * per station. Block means and σ are rounded at 6 dp before the
+    * cumulation so both engines fold identical quantized values. */
+  def hurstRs(hourlyRaw: DataFrame,
+      blockSizes: Seq[Int] = Seq(24, 48, 96)): DataFrame = {
+    val w = Window.partitionBy(col("station_id"))
+    val indexed = hourlyRaw
+      .withColumn("yv", coalesce(col("raw"), lit(0.0)))
+      .withColumn("idx",
+        (unix_timestamp(col("hour")) - unix_timestamp(min(col("hour")).over(w)))
+          / lit(3600L))
+      .withColumn("bs", explode(lit(blockSizes.toArray)))
+      .withColumn("blk", floor(col("idx") / col("bs")))
+    val stats = indexed.groupBy(col("station_id"), col("bs"), col("blk"))
+      .agg(count(lit(1)).as("n_in"),
+        round(avg(col("yv")) + lit(1e-9), 6).as("mu"),
+        round(stddev_pop(col("yv")) + lit(1e-9), 6).as("sd"))
+      .filter(col("n_in") === col("bs") && col("sd") > 0.0)
+    val wB = Window.partitionBy(col("station_id"), col("bs"), col("blk"))
+      .orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rs = indexed.join(stats, Seq("station_id", "bs", "blk"))
+      .withColumn("cum", sum(col("yv") - col("mu")).over(wB))
+      .groupBy(col("station_id"), col("bs"), col("blk"), col("sd"))
+      .agg((max(col("cum")) - min(col("cum"))).as("r"))
+      .withColumn("rs", col("r") / col("sd"))
+      .groupBy(col("station_id"), col("bs"))
+      .agg(round(avg(col("rs")) + lit(1e-9), 6).as("mean_rs"),
+        count(lit(1)).as("n_blocks"))
+      .filter(col("mean_rs") > 0.0)
+    // log-log OLS over the per-size points (<= |blockSizes| rows/station)
+    rs.select(col("station_id"), log(col("bs").cast("double")).as("lx"),
+        log(col("mean_rs")).as("ly"))
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_sizes"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"))
+      .filter(col("n_sizes") > 1)
+      .withColumn("hurst",
+        round((col("n_sizes") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_sizes") * col("sxx") - col("sx") * col("sx"))
+          + lit(1e-9), 4))
+      .select(col("station_id"), col("n_sizes"), col("hurst"))
+  }
+
+  /** Monthly diurnal temperature range (the ETCCDI DTR index): mean
+    * and maximum of the daily (t_max − t_min) spread per station and
+    * calendar month, with the contributing-day count. One keyed
+    * aggregate over the dense temperature-extrema grid. */
+  def diurnalRange(tempStats: DataFrame): DataFrame =
+    tempStats.filter(col("t_min").isNotNull)
+      .groupBy(col("station_id"), trunc(col("day"), "month").as("mon"))
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(col("t_max") - col("t_min")) + lit(1e-9), 4).as("mean_dtr"),
+        round(max(col("t_max") - col("t_min")) + lit(1e-9), 3).as("max_dtr"))
+      .select(col("station_id"), col("mon"), col("n_days"),
+        col("mean_dtr"), col("max_dtr"))
 }

@@ -1619,6 +1619,104 @@ object TsOracle {
       END AS rho
     FROM d ORDER BY station_id, rank"""
 
+  /** Mirrors Climate.olsTrend: closed-form OLS of the zero-filled
+    * daily series on the day index from the five sufficient sums. */
+  val qOlsTrend: String = s"""
+    WITH $world,
+    xy AS (
+      SELECT station_id,
+        datediff('day', min(day) OVER (PARTITION BY station_id), day)::DOUBLE AS t,
+        coalesce(raw, 0.0) AS yv
+      FROM raw_daily),
+    sums AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        sum(t) AS sx, sum(yv) AS sy, sum(t*t) AS sxx, sum(yv*yv) AS syy,
+        sum(t*yv) AS sxy
+      FROM xy GROUP BY 1),
+    d AS (
+      SELECT *, n*sxx - sx*sx AS detx, n*syy - sy*sy AS dety FROM sums),
+    sl AS (
+      SELECT *, CASE WHEN detx > 0.0
+        THEN round((n*sxy - sx*sy) / detx + 1e-9, 6) END AS slope
+      FROM d)
+    SELECT station_id, n, slope,
+      round((sy - slope * sx) / n + 1e-9, 4) AS intercept,
+      CASE WHEN detx > 0.0 AND dety > 0.0
+           THEN round((n*sxy - sx*sy) * (n*sxy - sx*sy) / (detx * dety)
+             + 1e-9, 6) END AS r2
+    FROM sl ORDER BY station_id"""
+
+  /** Mirrors Climate.hurstRs: complete-block R/S over the dense
+    * hourly series at sizes 24/48/96, log–log slope. */
+  val qHurst: String = s"""
+    WITH stations AS (SELECT DISTINCT user_id::BIGINT AS station_id FROM events),
+    hb AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+    hgrid AS (
+      SELECT s.station_id, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM stations s, hb b),
+    hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    hseries AS (
+      SELECT g.station_id, g.hour, coalesce(h.raw, 0.0) AS yv,
+        epoch(g.hour)::BIGINT // 3600
+          - min(epoch(g.hour)::BIGINT // 3600) OVER (PARTITION BY g.station_id)
+          AS idx
+      FROM hgrid g LEFT JOIN hourly h USING (station_id, hour)),
+    exploded AS (
+      SELECT station_id, yv, idx, bs, idx // bs AS blk
+      FROM hseries, unnest([24, 48, 96]) AS t(bs)),
+    stats AS (
+      SELECT station_id, bs, blk, count(*) AS n_in,
+        round(avg(yv) + 1e-9, 6) AS mu,
+        round(stddev_pop(yv) + 1e-9, 6) AS sd
+      FROM exploded GROUP BY 1, 2, 3
+      HAVING count(*) = bs AND round(stddev_pop(yv) + 1e-9, 6) > 0.0),
+    cum AS (
+      SELECT e.station_id, e.bs, e.blk, s.sd,
+        sum(e.yv - s.mu) OVER (PARTITION BY e.station_id, e.bs, e.blk
+          ORDER BY e.idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS c
+      FROM exploded e JOIN stats s USING (station_id, bs, blk)),
+    rs AS (
+      SELECT station_id, bs, blk, sd, max(c) - min(c) AS r
+      FROM cum GROUP BY 1, 2, 3, 4),
+    per_size AS (
+      SELECT station_id, bs, round(avg(r / sd) + 1e-9, 6) AS mean_rs
+      FROM rs GROUP BY 1, 2
+      HAVING round(avg(r / sd) + 1e-9, 6) > 0.0),
+    ll AS (
+      SELECT station_id, ln(bs::DOUBLE) AS lx, ln(mean_rs) AS ly
+      FROM per_size),
+    fit AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_sizes,
+        sum(lx) AS sx, sum(ly) AS sy, sum(lx*lx) AS sxx, sum(lx*ly) AS sxy
+      FROM ll GROUP BY 1 HAVING count(*) > 1)
+    SELECT station_id, n_sizes,
+      round((n_sizes * sxy - sx * sy) / (n_sizes * sxx - sx * sx) + 1e-9, 4)
+        AS hurst
+    FROM fit ORDER BY station_id"""
+
+  /** Mirrors Climate.diurnalRange: monthly mean/max of the daily
+    * (t_max − t_min) spread over the dense extrema grid. */
+  val qDtr: String = s"""
+    WITH $world,
+    tmm AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(min(value) + 1e-9, 3) - $TempShift AS t_min,
+        round(max(value) + 1e-9, 3) - $TempShift AS t_max
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    tg AS (
+      SELECT g.station_id, g.day, t.t_min, t.t_max
+      FROM grid g LEFT JOIN tmm t USING (station_id, day))
+    SELECT station_id, date_trunc('month', day)::date AS mon,
+      CAST(count(*) AS BIGINT) AS n_days,
+      round(avg(t_max - t_min) + 1e-9, 4) AS mean_dtr,
+      round(max(t_max - t_min) + 1e-9, 3) AS max_dtr
+    FROM tg WHERE t_min IS NOT NULL
+    GROUP BY 1, 2 ORDER BY station_id, mon"""
+
   /** Mirrors Climate.neighborCorr: Pearson r per knn pair from the
     * five sufficient sums over the zero-filled daily series. */
   val qNeighborCorr: String = s"""
@@ -1970,6 +2068,9 @@ object TsOracle {
     "q_acf" -> qAcf,
     "q_ljung_box" -> qLjungBox,
     "q_spearman" -> qSpearman,
+    "q_ols_trend" -> qOlsTrend,
+    "q_hurst" -> qHurst,
+    "q_dtr" -> qDtr,
     "q_dry_spells" -> qDrySpells,
     "q_spi_zscore" -> qSpiZscore,
     "q_pettitt" -> qPettitt,

@@ -339,6 +339,15 @@ object TsQueries {
   def qLjungBox(s: SparkSession, d: String): DataFrame =
     Climate.ljungBox(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qOlsTrend(s: SparkSession, d: String): DataFrame =
+    Climate.olsTrend(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qHurst(s: SparkSession, d: String): DataFrame =
+    Climate.hurstRs(hourly(s, d)).orderBy(col("station_id"))
+
+  def qDtr(s: SparkSession, d: String): DataFrame =
+    Climate.diurnalRange(tempStats(s, d)).orderBy(col("station_id"), col("mon"))
+
   def qSpearman(s: SparkSession, d: String): DataFrame =
     Climate.spearmanNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
@@ -438,6 +447,9 @@ object TsQueries {
     "q_acf" -> (qAcf _),
     "q_ljung_box" -> (qLjungBox _),
     "q_spearman" -> (qSpearman _),
+    "q_ols_trend" -> (qOlsTrend _),
+    "q_hurst" -> (qHurst _),
+    "q_dtr" -> (qDtr _),
     "q_dry_spells" -> (qDrySpells _),
     "q_degree_days" -> (qDegreeDays _),
     "q_return_period" -> (qReturnPeriod _),
