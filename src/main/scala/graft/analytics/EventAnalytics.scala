@@ -937,6 +937,61 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Tukey-fence (IQR) outliers per event type — the
+    * distribution-free companion to the z-score/MAD anomaly lists:
+    * values outside [q1 − k·IQR, q3 + k·IQR] with the violated side.
+    *
+    * Plan: one exact-percentile aggregate to a k-row fence frame,
+    * broadcast back onto a second stateless scan — no window over the
+    * full stream, no sort. */
+  def anomalyIqr(events: DataFrame, k: Double = 1.5): DataFrame = {
+    val fences = events.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.25D)") + lit(1e-9), 6).as("q1"),
+        round(expr("percentile(value, 0.75D)") + lit(1e-9), 6).as("q3"))
+      .withColumn("lo",
+        round(col("q1") - lit(k) * (col("q3") - col("q1")) + lit(1e-9), 6))
+      .withColumn("hi",
+        round(col("q3") + lit(k) * (col("q3") - col("q1")) + lit(1e-9), 6))
+    events.join(broadcast(fences), Seq("event_type"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .withColumn("side", when(col("value") < col("lo"), "low").otherwise("high"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"), col("side"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Entropy rate of the per-user event-type stream under the
+    * first-order Markov model (the information-theoretic summary of
+    * [[transitions]]): per source state, the conditional entropy
+    * H(next|prev) in bits, its stationary weight, and the
+    * contribution to the chain's entropy rate Σ π·H.
+    *
+    * Plan: the lag window + transition count aggregate are the same
+    * one-exchange shape as [[transitions]]; entropy assembly runs on
+    * the ≤ k² transition matrix. */
+  def entropyRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    val wAll = Window.partitionBy()
+    t.withColumn("n_from", sum(col("n")).over(wPrev))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("p", col("n") / col("n_from").cast("double"))
+      .groupBy(col("prev_type"), col("n_from"), col("total"))
+      .agg(round(-sum(col("p") * log(2.0, col("p"))) + lit(1e-9), 6).as("h_bits"))
+      .withColumn("weight",
+        round(col("n_from") / col("total").cast("double") + lit(1e-9), 6))
+      .withColumn("rate_contrib",
+        round(col("weight") * col("h_bits") + lit(1e-9), 6))
+      .select(col("prev_type"), col("n_from"), col("h_bits"), col("weight"),
+        col("rate_contrib"))
+      .orderBy(col("prev_type"))
+  }
+
   /** χ² test of independence between the A/B variant and event type —
     * "does the variant shift WHAT users do?", the categorical
     * counterpart to [[ttestWelch]]'s "does it shift HOW MUCH?".
@@ -1046,6 +1101,8 @@ object EventAnalytics {
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
+    "q_anomaly_iqr" -> ((s, d) => anomalyIqr(Tables.events(s, d))),
+    "q_entropy_rate" -> ((s, d) => entropyRate(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "q_kaplan_meier" -> ((s, d) => kaplanMeier(Tables.events(s, d))),
     "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
@@ -1664,6 +1721,56 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.anomalyIqr: exact-quantile Tukey fences,
+    * broadcast-back outlier scan. */
+  val qAnomalyIqr: String = """
+    WITH f AS (
+      SELECT event_type,
+        round(quantile_cont(value, 0.25) + 1e-9, 6) AS q1,
+        round(quantile_cont(value, 0.75) + 1e-9, 6) AS q3
+      FROM events GROUP BY 1),
+    fences AS (
+      SELECT event_type, round(q1 - 1.5 * (q3 - q1) + 1e-9, 6) AS lo,
+        round(q3 + 1.5 * (q3 - q1) + 1e-9, 6) AS hi
+      FROM f)
+    SELECT e.event_id, e.event_type, e.value, fe.lo, fe.hi,
+      CASE WHEN e.value < fe.lo THEN 'low' ELSE 'high' END AS side
+    FROM events e JOIN fences fe USING (event_type)
+    WHERE e.value < fe.lo OR e.value > fe.hi
+    ORDER BY e.event_id"""
+
+  /** Mirrors EventAnalytics.entropyRate: conditional entropy per
+    * source state over the first-order transition matrix. */
+  val qEntropyRate: String = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lag(event_type, 1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    m AS (
+      SELECT *,
+        sum(n) OVER (PARTITION BY prev_type) AS n_from,
+        sum(n) OVER () AS total
+      FROM t),
+    p AS (
+      SELECT prev_type, CAST(n_from AS BIGINT) AS n_from,
+        CAST(total AS BIGINT) AS total,
+        n / CAST(n_from AS DOUBLE) AS p
+      FROM m),
+    h AS (
+      SELECT prev_type, n_from, total,
+        round(-sum(p * log2(p)) + 1e-9, 6) AS h_bits
+      FROM p GROUP BY 1, 2, 3),
+    wgt AS (
+      SELECT *, round(n_from / CAST(total AS DOUBLE) + 1e-9, 6) AS weight
+      FROM h)
+    SELECT prev_type, n_from, h_bits, weight,
+      round(weight * h_bits + 1e-9, 6) AS rate_contrib
+    FROM wgt ORDER BY prev_type"""
+
   /** Mirrors EventAnalytics.chiSquare: margin-based expected counts,
     * Wilson–Hilferty normal approximation. */
   val qChiSquare: String = """
@@ -1796,6 +1903,8 @@ object EventOracle {
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,
     "q_anova" -> qAnova,
+    "q_anomaly_iqr" -> qAnomalyIqr,
+    "q_entropy_rate" -> qEntropyRate,
     "q_mann_whitney" -> qMannWhitney,
     "q_kaplan_meier" -> qKaplanMeier,
     "q_cvar" -> qCvar,

@@ -1268,6 +1268,66 @@ object Climate {
       .select(col("station_id"), col("n_sizes"), col("hurst"))
   }
 
+  /** Grubbs outlier statistic per station: the largest standardized
+    * deviation G = max|x−x̄|/s of the zero-filled daily series, with
+    * the day it occurs (earliest day on ties). The single-number
+    * "worst observation" screen beside the per-row z-score/MAD
+    * anomaly lists.
+    *
+    * Plan: one moment aggregate, one broadcast-back join keyed on
+    * station, and a WindowGroupLimit-able rn=1 pick (≤1 row per
+    * station leaves each map partition). */
+  def grubbs(rawDaily: DataFrame): DataFrame = {
+    val m = rawDaily.withColumn("x", coalesce(col("raw"), lit(0.0)))
+    val moments = m.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")) + lit(1e-9), 6).as("mu"),
+        round(stddev_samp(col("x")) + lit(1e-9), 6).as("sd"))
+    val wRank = Window.partitionBy(col("station_id"))
+      .orderBy(abs(col("x") - col("mu")).desc, col("day").asc)
+    m.join(moments, Seq("station_id"))
+      .filter(col("sd") > 0.0)
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .withColumn("g_stat",
+        round(abs(col("x") - col("mu")) / col("sd") + lit(1e-9), 4))
+      .select(col("station_id"), col("n"), col("mu"), col("sd"),
+        col("day").as("peak_day"), col("x").as("x_peak"), col("g_stat"))
+  }
+
+  /** Two-state wet/dry Markov chain parameters per station — the
+    * transition probabilities P(wet|wet) and P(wet|dry) that drive
+    * every stochastic weather generator (Richardson WGEN family),
+    * estimated from day-over-day transitions of the zero-filled
+    * series.
+    *
+    * Plan: one lag window on the shared station partitioning, one
+    * map-combinable keyed aggregate; output is O(#stations). */
+  def wetDryMarkov(rawDaily: DataFrame, wetThresh: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val s = rawDaily
+      .withColumn("wet", (coalesce(col("raw"), lit(0.0)) > wetThresh).cast("int"))
+      .withColumn("prev_wet", lag(col("wet"), 1).over(w))
+      .filter(col("prev_wet").isNotNull)
+    s.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("wet")).as("n_wet"),
+        sum(when(col("prev_wet") === 1 && col("wet") === 1, 1L)
+          .otherwise(0L)).as("n_ww"),
+        sum(col("prev_wet")).as("n_from_wet"),
+        sum(when(col("prev_wet") === 0 && col("wet") === 1, 1L)
+          .otherwise(0L)).as("n_dw"))
+      .withColumn("p_wet",
+        round(col("n_wet") / col("n_trans").cast("double") + lit(1e-9), 6))
+      .withColumn("p_w_given_w", when(col("n_from_wet") > 0,
+        round(col("n_ww") / col("n_from_wet").cast("double") + lit(1e-9), 6)))
+      .withColumn("p_w_given_d", when(col("n_trans") > col("n_from_wet"),
+        round(col("n_dw") / (col("n_trans") - col("n_from_wet")).cast("double")
+          + lit(1e-9), 6)))
+      .select(col("station_id"), col("n_trans"), col("n_wet"), col("n_ww"),
+        col("n_dw"), col("p_wet"), col("p_w_given_w"), col("p_w_given_d"))
+  }
+
   /** Monthly diurnal temperature range (the ETCCDI DTR index): mean
     * and maximum of the daily (t_max − t_min) spread per station and
     * calendar month, with the contributing-day count. One keyed

@@ -1619,6 +1619,54 @@ object TsOracle {
       END AS rho
     FROM d ORDER BY station_id, rank"""
 
+  /** Mirrors Climate.grubbs: worst standardized deviation per
+    * station, earliest day on ties. */
+  val qGrubbs: String = s"""
+    WITH $world,
+    x AS (SELECT station_id, day, coalesce(raw, 0.0) AS x FROM raw_daily),
+    m AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        round(avg(x) + 1e-9, 6) AS mu,
+        round(stddev_samp(x) + 1e-9, 6) AS sd
+      FROM x GROUP BY 1),
+    ranked AS (
+      SELECT x.station_id, m.n, m.mu, m.sd, x.day, x.x,
+        row_number() OVER (PARTITION BY x.station_id
+          ORDER BY abs(x.x - m.mu) DESC, x.day ASC) AS rn
+      FROM x JOIN m USING (station_id) WHERE m.sd > 0.0)
+    SELECT station_id, n, mu, sd, day AS peak_day, x AS x_peak,
+      round(abs(x - mu) / sd + 1e-9, 4) AS g_stat
+    FROM ranked WHERE rn = 1 ORDER BY station_id"""
+
+  /** Mirrors Climate.wetDryMarkov: day-over-day wet/dry transition
+    * probabilities per station. */
+  val qWetDryMarkov: String = s"""
+    WITH $world,
+    s AS (
+      SELECT station_id, day,
+        CAST(coalesce(raw, 0.0) > 0.0 AS INT) AS wet,
+        lag(CAST(coalesce(raw, 0.0) > 0.0 AS INT), 1)
+          OVER (PARTITION BY station_id ORDER BY day) AS prev_wet
+      FROM raw_daily),
+    agg AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_trans,
+        CAST(sum(wet) AS BIGINT) AS n_wet,
+        CAST(sum(CASE WHEN prev_wet = 1 AND wet = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_ww,
+        CAST(sum(prev_wet) AS BIGINT) AS n_from_wet,
+        CAST(sum(CASE WHEN prev_wet = 0 AND wet = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dw
+      FROM s WHERE prev_wet IS NOT NULL GROUP BY 1)
+    SELECT station_id, n_trans, n_wet, n_ww, n_dw,
+      round(n_wet / CAST(n_trans AS DOUBLE) + 1e-9, 6) AS p_wet,
+      CASE WHEN n_from_wet > 0
+        THEN round(n_ww / CAST(n_from_wet AS DOUBLE) + 1e-9, 6)
+      END AS p_w_given_w,
+      CASE WHEN n_trans > n_from_wet
+        THEN round(n_dw / CAST(n_trans - n_from_wet AS DOUBLE) + 1e-9, 6)
+      END AS p_w_given_d
+    FROM agg ORDER BY station_id"""
+
   /** Mirrors Climate.olsTrend: closed-form OLS of the zero-filled
     * daily series on the day index from the five sufficient sums. */
   val qOlsTrend: String = s"""
@@ -2071,6 +2119,8 @@ object TsOracle {
     "q_ols_trend" -> qOlsTrend,
     "q_hurst" -> qHurst,
     "q_dtr" -> qDtr,
+    "q_grubbs" -> qGrubbs,
+    "q_wet_dry_markov" -> qWetDryMarkov,
     "q_dry_spells" -> qDrySpells,
     "q_spi_zscore" -> qSpiZscore,
     "q_pettitt" -> qPettitt,

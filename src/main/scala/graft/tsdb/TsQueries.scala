@@ -348,6 +348,12 @@ object TsQueries {
   def qDtr(s: SparkSession, d: String): DataFrame =
     Climate.diurnalRange(tempStats(s, d)).orderBy(col("station_id"), col("mon"))
 
+  def qGrubbs(s: SparkSession, d: String): DataFrame =
+    Climate.grubbs(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qWetDryMarkov(s: SparkSession, d: String): DataFrame =
+    Climate.wetDryMarkov(rawDaily(s, d)).orderBy(col("station_id"))
+
   def qSpearman(s: SparkSession, d: String): DataFrame =
     Climate.spearmanNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
@@ -450,6 +456,8 @@ object TsQueries {
     "q_ols_trend" -> (qOlsTrend _),
     "q_hurst" -> (qHurst _),
     "q_dtr" -> (qDtr _),
+    "q_grubbs" -> (qGrubbs _),
+    "q_wet_dry_markov" -> (qWetDryMarkov _),
     "q_dry_spells" -> (qDrySpells _),
     "q_degree_days" -> (qDegreeDays _),
     "q_return_period" -> (qReturnPeriod _),
