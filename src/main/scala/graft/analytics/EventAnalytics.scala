@@ -937,6 +937,39 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Hill tail-index estimator per event type — "how heavy is the
+    * value distribution's upper tail?" (α ≈ 2 borderline-infinite
+    * variance; the quantitative backing for [[paretoShare]]'s whale
+    * curve): over the top m order statistics, H = mean ln(x_(i)) −
+    * ln(x_(m+1)), tail exponent α = 1/H. Types with fewer than m+1
+    * positive values drop out.
+    *
+    * Plan: the rank filter is a WindowGroupLimit top-(m+1) per type —
+    * at most m+1 rows leave each map partition, the 100 TB-safe
+    * top-k shape — and the estimator is one keyed aggregate over
+    * O(m·#types) rows with a single-row-per-type broadcast join for
+    * the threshold. */
+  def hillTail(events: DataFrame, m: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val top = events.filter(col("value") > 0.0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m + 1)
+    val thresh = top.filter(col("rn") === m + 1)
+      .select(col("event_type"), col("value").as("x_thresh"))
+    top.filter(col("rn") <= m)
+      .join(broadcast(thresh), Seq("event_type"))
+      .groupBy(col("event_type"), col("x_thresh"))
+      .agg(count(lit(1)).as("m_used"), sum(log(col("value"))).as("slog"))
+      .withColumn("hill",
+        round(col("slog") / col("m_used") - log(col("x_thresh")) + lit(1e-9), 6))
+      .withColumn("alpha_tail",
+        when(col("hill") > 0.0, round(lit(1.0) / col("hill") + lit(1e-9), 4)))
+      .select(col("event_type"), col("m_used"), col("x_thresh"),
+        col("hill"), col("alpha_tail"))
+      .orderBy(col("event_type"))
+  }
+
   /** Tukey-fence (IQR) outliers per event type — the
     * distribution-free companion to the z-score/MAD anomaly lists:
     * values outside [q1 − k·IQR, q3 + k·IQR] with the violated side.
@@ -1103,6 +1136,7 @@ object EventAnalytics {
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
     "q_anomaly_iqr" -> ((s, d) => anomalyIqr(Tables.events(s, d))),
     "q_entropy_rate" -> ((s, d) => entropyRate(Tables.events(s, d))),
+    "q_hill_tail" -> ((s, d) => hillTail(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "q_kaplan_meier" -> ((s, d) => kaplanMeier(Tables.events(s, d))),
     "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
@@ -1721,6 +1755,31 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.hillTail: top-51 order statistics per
+    * type, mean-log excess over the threshold. */
+  val qHillTail: String = """
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY value DESC, event_id ASC) AS rn
+      FROM events WHERE value > 0.0),
+    top AS (SELECT * FROM ranked WHERE rn <= 51),
+    thresh AS (
+      SELECT event_type, value AS x_thresh FROM top WHERE rn = 51),
+    agg AS (
+      SELECT t.event_type, th.x_thresh,
+        CAST(count(*) AS BIGINT) AS m_used,
+        sum(ln(t.value)) AS slog
+      FROM top t JOIN thresh th USING (event_type)
+      WHERE t.rn <= 50 GROUP BY 1, 2),
+    h AS (
+      SELECT event_type, m_used, x_thresh,
+        round(slog / m_used - ln(x_thresh) + 1e-9, 6) AS hill
+      FROM agg)
+    SELECT event_type, m_used, x_thresh, hill,
+      CASE WHEN hill > 0.0 THEN round(1.0 / hill + 1e-9, 4) END AS alpha_tail
+    FROM h ORDER BY event_type"""
+
   /** Mirrors EventAnalytics.anomalyIqr: exact-quantile Tukey fences,
     * broadcast-back outlier scan. */
   val qAnomalyIqr: String = """
@@ -1905,6 +1964,7 @@ object EventOracle {
     "q_anova" -> qAnova,
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_entropy_rate" -> qEntropyRate,
+    "q_hill_tail" -> qHillTail,
     "q_mann_whitney" -> qMannWhitney,
     "q_kaplan_meier" -> qKaplanMeier,
     "q_cvar" -> qCvar,

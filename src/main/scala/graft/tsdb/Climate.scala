@@ -1003,6 +1003,72 @@ object Climate {
         col("ucl"), col("lcl"), col("flag"))
   }
 
+  /** Brown's double exponential smoothing per station (trend-aware
+    * one-step forecast): s′ = EWMA(x), s″ = EWMA(s′), level =
+    * 2s′−s″, trend = α/(1−α)·(s′−s″), ŷ_{t+1} = level + trend. Both
+    * smoothing passes use the SAME truncated-window formulation as
+    * [[ewmaControl]] (14-lag renormalized dot product, weights as
+    * identical decimal literals on both engines); s′ is rounded at
+    * 6 dp before the second pass so the engines fold identical
+    * quantized inputs.
+    *
+    * Plan: two ordered windows on the same station partitioning and
+    * sort (Catalyst shares one exchange; the second window sorts the
+    * already-sorted frame), all arithmetic stateless. */
+  def brownDouble(rawDaily: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val k = 14
+    val wts = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    def smooth(df: DataFrame, src: String, out: String): DataFrame = {
+      val lagged = (0 until k).foldLeft(df) {
+        case (d, i) => d.withColumn(s"${out}_l$i", lag(col(src), i).over(w))
+      }
+      val num = (0 until k).map(i =>
+        when(col(s"${out}_l$i").isNotNull, col(s"${out}_l$i") * lit(wts(i)))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      val den = (0 until k).map(i =>
+        when(col(s"${out}_l$i").isNotNull, lit(wts(i)))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      lagged.withColumn(out, round(num / den + lit(1e-9), 6))
+        .drop((0 until k).map(i => s"${out}_l$i"): _*)
+    }
+    val s2 = smooth(smooth(
+      rawDaily.withColumn("x", coalesce(col("raw"), lit(0.0))), "x", "s1"),
+      "s1", "s2")
+    s2.withColumn("level", round(lit(2.0) * col("s1") - col("s2") + lit(1e-9), 6))
+      .withColumn("trend", round(lit(alpha / (1 - alpha))
+        * (col("s1") - col("s2")) + lit(1e-9), 6))
+      .withColumn("yhat_1", round(col("level") + col("trend") + lit(1e-9), 6))
+      .select(col("station_id"), col("day"), col("x"), col("s1"), col("s2"),
+        col("level"), col("trend"), col("yhat_1"))
+  }
+
+  /** Partial autocorrelation at lags 1–3 per station via the closed
+    * Durbin–Levinson recursion on the (4-dp) ACF — the AR-order
+    * diagnostic read next to [[acf]] and [[ljungBox]].
+    *
+    * Plan: pivots the 3-row-per-station acf frame to columns and runs
+    * pure arithmetic; cost is the acf's. */
+  def pacf(rawDaily: DataFrame): DataFrame = {
+    val r = acf(rawDaily, 3)
+      .groupBy(col("station_id"))
+      .agg(max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"),
+        max(when(col("lag") === 3, col("acf"))).as("r3"))
+    val p = r
+      .withColumn("p1", col("r1"))
+      .withColumn("p2", (col("r2") - col("r1") * col("r1"))
+        / (lit(1.0) - col("r1") * col("r1")))
+      .withColumn("phi21", col("r1") * (lit(1.0) - col("p2")))
+      .withColumn("p3",
+        (col("r3") - col("phi21") * col("r2") - col("p2") * col("r1"))
+          / (lit(1.0) - col("phi21") * col("r1") - col("p2") * col("r2")))
+    p.select(col("station_id"),
+        expr("stack(3, 1, p1, 2, p2, 3, p3) as (lag, pacf_raw)"))
+      .withColumn("pacf", round(col("pacf_raw") + lit(1e-9), 4))
+      .select(col("station_id"), col("lag"), col("pacf"))
+  }
+
   /** Naive-forecast skill report per station: MAE of the persistence
     * forecast (x̂_t = x_{t−1}) vs the climatology forecast (x̂_t =
     * station mean), and the skill score 1 − MAE_pers/MAE_clim — the

@@ -1326,6 +1326,96 @@ object TsOracle {
     ORDER BY e.station_id, e.day"""
   }
 
+  /** Mirrors Climate.brownDouble: two truncated-EWMA passes with
+    * identical literal weights, s′ rounded at 6 dp between passes. */
+  val qHoltBrown: String = {
+    val k = 14; val alpha = 0.3
+    val ew = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+    def lagCols(src: String, out: String) = (0 until k).map(i =>
+      s"lag($src, $i) OVER (PARTITION BY station_id ORDER BY day) AS ${out}_l$i")
+      .mkString(",\n        ")
+    def num(out: String) = (0 until k).map(i =>
+      s"(CASE WHEN ${out}_l$i IS NOT NULL THEN ${out}_l$i * ${ew(i)} ELSE 0.0 END)")
+      .mkString(" + ")
+    def den(out: String) = (0 until k).map(i =>
+      s"(CASE WHEN ${out}_l$i IS NOT NULL THEN ${ew(i)} ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""
+    WITH $world,
+    filled AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x FROM raw_daily),
+    lag1 AS (
+      SELECT station_id, day, x,
+        ${lagCols("x", "s1")}
+      FROM filled),
+    sm1 AS (
+      SELECT station_id, day, x,
+        round((${num("s1")}) / (${den("s1")}) + 1e-9, 6) AS s1
+      FROM lag1),
+    lag2 AS (
+      SELECT station_id, day, x, s1,
+        ${lagCols("s1", "s2")}
+      FROM sm1),
+    sm2 AS (
+      SELECT station_id, day, x, s1,
+        round((${num("s2")}) / (${den("s2")}) + 1e-9, 6) AS s2
+      FROM lag2),
+    o AS (
+      SELECT station_id, day, x, s1, s2,
+        round(2.0 * s1 - s2 + 1e-9, 6) AS level,
+        round(${alpha / (1 - alpha)} * (s1 - s2) + 1e-9, 6) AS trend
+      FROM sm2)
+    SELECT station_id, day, x, s1, s2, level, trend,
+      round(level + trend + 1e-9, 6) AS yhat_1
+    FROM o ORDER BY station_id, day"""
+  }
+
+  /** Mirrors Climate.pacf: Durbin–Levinson closed form on the 4-dp
+    * lag-1..3 ACF. */
+  val qPacf: String = s"""
+    WITH $world,
+    x AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x,
+        lag(coalesce(raw, 0.0), 1) OVER win AS x_lag1,
+        lag(coalesce(raw, 0.0), 2) OVER win AS x_lag2,
+        lag(coalesce(raw, 0.0), 3) OVER win AS x_lag3
+      FROM raw_daily
+      WINDOW win AS (PARTITION BY station_id ORDER BY day)),
+    m AS (
+      SELECT station_id, round(avg(x) + 1e-9, 6) AS xbar
+      FROM x GROUP BY 1),
+    agg AS (
+      SELECT x.station_id,
+        sum((x.x - m.xbar) * (x.x - m.xbar)) AS den,
+        sum((x.x - m.xbar) * (x.x_lag1 - m.xbar)) AS num1,
+        sum((x.x - m.xbar) * (x.x_lag2 - m.xbar)) AS num2,
+        sum((x.x - m.xbar) * (x.x_lag3 - m.xbar)) AS num3
+      FROM x JOIN m USING (station_id) GROUP BY 1),
+    rho AS (
+      SELECT station_id,
+        CASE WHEN den > 0.0 THEN round(num1 / den + 1e-9, 4) END AS r1,
+        CASE WHEN den > 0.0 THEN round(num2 / den + 1e-9, 4) END AS r2,
+        CASE WHEN den > 0.0 THEN round(num3 / den + 1e-9, 4) END AS r3
+      FROM agg),
+    dl AS (
+      SELECT station_id, r1, r2, r3,
+        r1 AS p1,
+        (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+      FROM rho),
+    dl2 AS (
+      SELECT *, r1 * (1.0 - p2) AS phi21 FROM dl),
+    dl3 AS (
+      SELECT *,
+        (r3 - phi21 * r2 - p2 * r1)
+          / (1.0 - phi21 * r1 - p2 * r2) AS p3
+      FROM dl2),
+    stacked AS (
+      SELECT station_id, 1 AS lag, p1 AS pacf_raw FROM dl3
+      UNION ALL SELECT station_id, 2, p2 FROM dl3
+      UNION ALL SELECT station_id, 3, p3 FROM dl3)
+    SELECT station_id, lag, round(pacf_raw + 1e-9, 4) AS pacf
+    FROM stacked ORDER BY station_id, lag"""
+
   /** Mirrors Climate.forecastSkill: persistence vs climatology MAE. */
   val qForecastSkill: String = s"""
     WITH $world,
@@ -2121,6 +2211,8 @@ object TsOracle {
     "q_dtr" -> qDtr,
     "q_grubbs" -> qGrubbs,
     "q_wet_dry_markov" -> qWetDryMarkov,
+    "q_holt_brown" -> qHoltBrown,
+    "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,
     "q_spi_zscore" -> qSpiZscore,
     "q_pettitt" -> qPettitt,

@@ -351,6 +351,12 @@ object TsQueries {
   def qGrubbs(s: SparkSession, d: String): DataFrame =
     Climate.grubbs(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qHoltBrown(s: SparkSession, d: String): DataFrame =
+    Climate.brownDouble(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
+
+  def qPacf(s: SparkSession, d: String): DataFrame =
+    Climate.pacf(rawDaily(s, d)).orderBy(col("station_id"), col("lag"))
+
   def qWetDryMarkov(s: SparkSession, d: String): DataFrame =
     Climate.wetDryMarkov(rawDaily(s, d)).orderBy(col("station_id"))
 
@@ -458,6 +464,8 @@ object TsQueries {
     "q_dtr" -> (qDtr _),
     "q_grubbs" -> (qGrubbs _),
     "q_wet_dry_markov" -> (qWetDryMarkov _),
+    "q_holt_brown" -> (qHoltBrown _),
+    "q_pacf" -> (qPacf _),
     "q_dry_spells" -> (qDrySpells _),
     "q_degree_days" -> (qDegreeDays _),
     "q_return_period" -> (qReturnPeriod _),
