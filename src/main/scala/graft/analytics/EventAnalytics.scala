@@ -937,6 +937,63 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Inter-arrival-time profile per event type: percentiles and mean
+    * of the gap between a user's consecutive events of that type —
+    * the cadence fingerprint behind retention/stickiness (bots show
+    * degenerate gap distributions, humans heavy-tailed ones).
+    *
+    * Plan: one lag window per (user, type) on the shared user
+    * partitioning, then a keyed exact-percentile aggregate to
+    * O(#types) rows. */
+  def interEvent(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          / lit(1e6))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_s")) + lit(1e-9), 4).as("mean_gap_s"),
+        round(expr("percentile(gap_s, 0.5D)") + lit(1e-9), 4).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.9D)") + lit(1e-9), 4).as("p90_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Burst detection on the dense hourly arrival-count series per
+    * event type: hours whose count exceeds μ + 3σ of the type's
+    * hourly counts (zero-filled over the full period) — the ops-alert
+    * view of traffic spikes.
+    *
+    * Plan: counts are ONE map-combinable (type, hour) aggregate; the
+    * dense grid is #types × #hours (tiny — types come from a distinct
+    * aggregate, hours from a broadcast 1-row bounds frame); moments
+    * per type ride a second small aggregate and broadcast back. */
+  def burstHours(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val dense = grid.join(counts, Seq("event_type", "hour"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val moments = dense.groupBy(col("event_type"))
+      .agg(round(avg(col("cnt")) + lit(1e-9), 6).as("mu"),
+        round(stddev_pop(col("cnt")) + lit(1e-9), 6).as("sd"))
+    dense.join(broadcast(moments), Seq("event_type"))
+      .filter(col("sd") > 0.0 && col("cnt") > col("mu") + lit(3.0) * col("sd"))
+      .withColumn("z", round((col("cnt") - col("mu")) / col("sd") + lit(1e-9), 4))
+      .select(col("event_type"), col("hour"), col("cnt"), col("mu"),
+        col("sd"), col("z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Hill tail-index estimator per event type — "how heavy is the
     * value distribution's upper tail?" (α ≈ 2 borderline-infinite
     * variance; the quantitative backing for [[paretoShare]]'s whale
@@ -1137,6 +1194,8 @@ object EventAnalytics {
     "q_anomaly_iqr" -> ((s, d) => anomalyIqr(Tables.events(s, d))),
     "q_entropy_rate" -> ((s, d) => entropyRate(Tables.events(s, d))),
     "q_hill_tail" -> ((s, d) => hillTail(Tables.events(s, d))),
+    "q_inter_event" -> ((s, d) => interEvent(Tables.events(s, d))),
+    "q_burst_hours" -> ((s, d) => burstHours(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "q_kaplan_meier" -> ((s, d) => kaplanMeier(Tables.events(s, d))),
     "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
@@ -1755,6 +1814,49 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.interEvent: per-(user, type) lag gaps,
+    * exact-percentile profile per type. */
+  val qInterEvent: String = """
+    WITH g AS (
+      SELECT event_type,
+        (epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id)) / 1e6
+          AS gap_s
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      round(avg(gap_s) + 1e-9, 4) AS mean_gap_s,
+      round(quantile_cont(gap_s, 0.5) + 1e-9, 4) AS p50_gap_s,
+      round(quantile_cont(gap_s, 0.9) + 1e-9, 4) AS p90_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY 1 ORDER BY event_type"""
+
+  /** Mirrors EventAnalytics.burstHours: dense (type, hour) counts,
+    * μ+3σ threshold per type. */
+  val qBurstHours: String = """
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    hb AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1 FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+      SELECT t.event_type,
+        unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM types t, hb b),
+    dense AS (
+      SELECT g.event_type, g.hour, coalesce(c.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN counts c USING (event_type, hour)),
+    m AS (
+      SELECT event_type, round(avg(cnt) + 1e-9, 6) AS mu,
+        round(stddev_pop(cnt) + 1e-9, 6) AS sd
+      FROM dense GROUP BY 1)
+    SELECT d.event_type, d.hour, CAST(d.cnt AS BIGINT) AS cnt, m.mu, m.sd,
+      round((d.cnt - m.mu) / m.sd + 1e-9, 4) AS z
+    FROM dense d JOIN m USING (event_type)
+    WHERE m.sd > 0.0 AND d.cnt > m.mu + 3.0 * m.sd
+    ORDER BY d.event_type, d.hour"""
+
   /** Mirrors EventAnalytics.hillTail: top-51 order statistics per
     * type, mean-log excess over the threshold. */
   val qHillTail: String = """
@@ -1965,6 +2067,8 @@ object EventOracle {
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_entropy_rate" -> qEntropyRate,
     "q_hill_tail" -> qHillTail,
+    "q_inter_event" -> qInterEvent,
+    "q_burst_hours" -> qBurstHours,
     "q_mann_whitney" -> qMannWhitney,
     "q_kaplan_meier" -> qKaplanMeier,
     "q_cvar" -> qCvar,

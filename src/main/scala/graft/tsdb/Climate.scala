@@ -39,6 +39,64 @@ object Climate {
         coalesce(col("longest_run"), lit(0L)).as("max_dry_run"))
   }
 
+  /** ETCCDI precipitation-index family per (station, year) — the
+    * counts the reference's climate reporting sits next to
+    * (frost-day counts, Rx5day and R95pTOT are siblings): R10mm /
+    * R20mm heavy-precip day counts, SDII (mean intensity on wet
+    * days), and CWD (longest consecutive wet run, the wet mirror of
+    * [[drySpells]]' CDD).
+    *
+    * Plan: one keyed aggregate for the counts + the shared
+    * [[runStats]] gaps-and-islands census for CWD — both
+    * partition-local per station. */
+  def precipIndices(rawDaily: DataFrame, wetThresh: Double = 1.0): DataFrame = {
+    val base = rawDaily
+      .withColumn("yr", year(col("day")))
+      .withColumn("x", coalesce(col("raw"), lit(0.0)))
+    val counts = base.groupBy(col("station_id"), col("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("x") >= wetThresh, 1L).otherwise(0L)).as("wet_days"),
+        sum(when(col("x") >= 10.0, 1L).otherwise(0L)).as("r10mm"),
+        sum(when(col("x") >= 20.0, 1L).otherwise(0L)).as("r20mm"),
+        sum(when(col("x") >= wetThresh, col("x")).otherwise(lit(0.0))).as("wet_sum"))
+      .withColumn("sdii", when(col("wet_days") > 0,
+        round(col("wet_sum") / col("wet_days") + lit(1e-9), 4)))
+      .drop("wet_sum")
+    val wet = runStats(base.filter(col("x") >= wetThresh), minLen = 1)
+      .select(col("station_id"), col("yr"), col("longest_run").as("cwd"))
+    counts.join(wet, Seq("station_id", "yr"), "left")
+      .withColumn("cwd", coalesce(col("cwd"), lit(0L)))
+      .select(col("station_id"), col("yr"), col("n_days"), col("wet_days"),
+        col("r10mm"), col("r20mm"), col("sdii"), col("cwd"))
+  }
+
+  /** Percentile-based temperature exceedance indices (ETCCDI TX90p /
+    * TN10p): share of days whose max exceeds the station's 90th
+    * max-percentile, and whose min undercuts the station's 10th
+    * min-percentile, with the whole record as the base period.
+    *
+    * Plan: the threshold frame is one exact-percentile keyed
+    * aggregate (O(#stations) rows) broadcast back onto the grid scan;
+    * the shares are a second keyed aggregate. */
+  def txTnPercentile(tempStats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val obs = tempStats.filter(col("t_min").isNotNull)
+    val thresh = obs.groupBy(col("station_id"))
+      .agg(round(expr("percentile(t_max, 0.9D)") + lit(1e-9), 6).as("tx90"),
+        round(expr("percentile(t_min, 0.1D)") + lit(1e-9), 6).as("tn10"))
+    obs.join(broadcast(thresh), Seq("station_id"))
+      .groupBy(col("station_id"), col("tx90"), col("tn10"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("t_max") > col("tx90"), 1L).otherwise(0L)).as("n_tx90p"),
+        sum(when(col("t_min") < col("tn10"), 1L).otherwise(0L)).as("n_tn10p"))
+      .withColumn("tx90p_share",
+        round(col("n_tx90p") / col("n_days").cast("double") + lit(1e-9), 6))
+      .withColumn("tn10p_share",
+        round(col("n_tn10p") / col("n_days").cast("double") + lit(1e-9), 6))
+      .select(col("station_id"), col("n_days"), col("tx90"), col("tn10"),
+        col("n_tx90p"), col("n_tn10p"), col("tx90p_share"), col("tn10p_share"))
+  }
+
   /** Shared gaps-and-islands run census: over rows carrying
     * (station_id, yr, day) that SATISFY the run predicate, per
     * (station, yr) the count / total days / longest of the
@@ -190,6 +248,29 @@ object Climate {
           round(col("x") - col("trend") - col("seasonal") + lit(1e-9), 4)))
       .select(col("station_id"), col("day"), col("x"), col("trend"),
         col("seasonal"), col("resid"))
+  }
+
+  /** Trend / seasonality strength per station (Hyndman's STL-feature
+    * pair, the single-number summary read off [[seasonalDecompose]]):
+    * F_T = max(0, 1 − Var(R)/Var(T+R)), F_S = max(0, 1 −
+    * Var(R)/Var(S+R)), over the rows where the centered trend window
+    * is complete. One keyed variance aggregate on the decompose
+    * frame — no cost beyond the decomposition itself. */
+  def seasonalStrength(rawDaily: DataFrame): DataFrame = {
+    val d = seasonalDecompose(rawDaily).filter(col("resid").isNotNull)
+    d.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        round(var_pop(col("resid")) + lit(1e-9), 6).as("v_r"),
+        round(var_pop(col("x") - col("seasonal")) + lit(1e-9), 6).as("v_tr"),
+        round(var_pop(col("x") - col("trend")) + lit(1e-9), 6).as("v_sr"))
+      .withColumn("f_trend", when(col("v_tr") > 0.0,
+        round(greatest(lit(0.0), lit(1.0) - col("v_r") / col("v_tr"))
+          + lit(1e-9), 6)))
+      .withColumn("f_seasonal", when(col("v_sr") > 0.0,
+        round(greatest(lit(0.0), lit(1.0) - col("v_r") / col("v_sr"))
+          + lit(1e-9), 6)))
+      .select(col("station_id"), col("n"), col("v_r"), col("f_trend"),
+        col("f_seasonal"))
   }
 
   /** Theil–Sen slope estimator per station (the robust trend

@@ -2185,8 +2185,111 @@ object TsOracle {
     FROM tr t LEFT JOIN seas s USING (station_id, moy)
     ORDER BY t.station_id, t.day"""
 
+  /** Mirrors Climate.precipIndices: R10/R20/SDII counts + CWD run
+    * census per (station, year). */
+  val qPrecipIndices: String = s"""
+    WITH $world,
+    base AS (
+      SELECT station_id, year(day) AS yr, day,
+        coalesce(raw, 0.0) AS x
+      FROM raw_daily),
+    counts AS (
+      SELECT station_id, yr, CAST(count(*) AS BIGINT) AS n_days,
+        CAST(sum(CASE WHEN x >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS wet_days,
+        CAST(sum(CASE WHEN x >= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS r10mm,
+        CAST(sum(CASE WHEN x >= 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS r20mm,
+        sum(CASE WHEN x >= 1.0 THEN x ELSE 0.0 END) AS wet_sum
+      FROM base GROUP BY 1, 2),
+    wet AS (
+      SELECT station_id, yr, day,
+        datediff('day', DATE '1970-01-01', day)
+          - row_number() OVER (PARTITION BY station_id, yr ORDER BY day)
+          AS grp
+      FROM base WHERE x >= 1.0),
+    runs AS (
+      SELECT station_id, yr, grp, CAST(count(*) AS BIGINT) AS run_len
+      FROM wet GROUP BY 1, 2, 3),
+    cwd AS (
+      SELECT station_id, yr, max(run_len) AS cwd FROM runs GROUP BY 1, 2)
+    SELECT c.station_id, c.yr, c.n_days, c.wet_days, c.r10mm, c.r20mm,
+      CASE WHEN c.wet_days > 0
+        THEN round(c.wet_sum / c.wet_days + 1e-9, 4) END AS sdii,
+      coalesce(w.cwd, 0) AS cwd
+    FROM counts c LEFT JOIN cwd w USING (station_id, yr)
+    ORDER BY c.station_id, c.yr"""
+
+  /** Mirrors Climate.txTnPercentile: whole-record percentile
+    * thresholds, exceedance shares. */
+  val qTxTnPercentile: String = s"""
+    WITH $world,
+    tmm AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(min(value) + 1e-9, 3) - $TempShift AS t_min,
+        round(max(value) + 1e-9, 3) - $TempShift AS t_max
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    obs AS (
+      SELECT g.station_id, g.day, t.t_min, t.t_max
+      FROM grid g JOIN tmm t USING (station_id, day)
+      WHERE t.t_min IS NOT NULL),
+    th AS (
+      SELECT station_id,
+        round(quantile_cont(t_max, 0.9) + 1e-9, 6) AS tx90,
+        round(quantile_cont(t_min, 0.1) + 1e-9, 6) AS tn10
+      FROM obs GROUP BY 1),
+    agg AS (
+      SELECT o.station_id, th.tx90, th.tn10,
+        CAST(count(*) AS BIGINT) AS n_days,
+        CAST(sum(CASE WHEN o.t_max > th.tx90 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tx90p,
+        CAST(sum(CASE WHEN o.t_min < th.tn10 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tn10p
+      FROM obs o JOIN th USING (station_id) GROUP BY 1, 2, 3)
+    SELECT station_id, n_days, tx90, tn10, n_tx90p, n_tn10p,
+      round(n_tx90p / CAST(n_days AS DOUBLE) + 1e-9, 6) AS tx90p_share,
+      round(n_tn10p / CAST(n_days AS DOUBLE) + 1e-9, 6) AS tn10p_share
+    FROM agg ORDER BY station_id"""
+
+  /** Mirrors Climate.seasonalStrength: variance decomposition over
+    * the complete-trend rows of the decompose frame. */
+  val qSeasonalStrength: String = s"""
+    WITH $world,
+    base AS (
+      SELECT station_id, day, month(day) AS moy, coalesce(raw, 0.0) AS x
+      FROM raw_daily),
+    tr AS (
+      SELECT station_id, day, moy, x,
+        CASE WHEN count(*) OVER win = 29
+             THEN round(avg(x) OVER win + 1e-9, 6) END AS trend
+      FROM base
+      WINDOW win AS (PARTITION BY station_id ORDER BY day
+                     ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING)),
+    seas AS (
+      SELECT station_id, moy,
+        round(avg(x - trend) + 1e-9, 6) AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+    dec AS (
+      SELECT t.station_id, t.x, t.trend, s.seasonal,
+        CASE WHEN t.trend IS NOT NULL AND s.seasonal IS NOT NULL
+             THEN round(t.x - t.trend - s.seasonal + 1e-9, 4) END AS resid
+      FROM tr t LEFT JOIN seas s USING (station_id, moy)),
+    v AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        round(var_pop(resid) + 1e-9, 6) AS v_r,
+        round(var_pop(x - seasonal) + 1e-9, 6) AS v_tr,
+        round(var_pop(x - trend) + 1e-9, 6) AS v_sr
+      FROM dec WHERE resid IS NOT NULL GROUP BY 1)
+    SELECT station_id, n, v_r,
+      CASE WHEN v_tr > 0.0
+        THEN round(greatest(0.0, 1.0 - v_r / v_tr) + 1e-9, 6) END AS f_trend,
+      CASE WHEN v_sr > 0.0
+        THEN round(greatest(0.0, 1.0 - v_r / v_sr) + 1e-9, 6) END AS f_seasonal
+    FROM v ORDER BY station_id"""
+
   val all: Map[String, String] = Map(
     "q_seasonal_decompose" -> qSeasonalDecompose,
+    "q_seasonal_strength" -> qSeasonalStrength,
+    "q_precip_indices" -> qPrecipIndices,
+    "q_txtn_percentile" -> qTxTnPercentile,
     "q_theil_sen" -> qTheilSen,
     "q_runs_test" -> qRunsTest,
     "q_idf_curve" -> qIdfCurve,

@@ -357,6 +357,15 @@ object TsQueries {
   def qPacf(s: SparkSession, d: String): DataFrame =
     Climate.pacf(rawDaily(s, d)).orderBy(col("station_id"), col("lag"))
 
+  def qSeasonalStrength(s: SparkSession, d: String): DataFrame =
+    Climate.seasonalStrength(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qPrecipIndices(s: SparkSession, d: String): DataFrame =
+    Climate.precipIndices(rawDaily(s, d)).orderBy(col("station_id"), col("yr"))
+
+  def qTxTnPercentile(s: SparkSession, d: String): DataFrame =
+    Climate.txTnPercentile(tempStats(s, d)).orderBy(col("station_id"))
+
   def qWetDryMarkov(s: SparkSession, d: String): DataFrame =
     Climate.wetDryMarkov(rawDaily(s, d)).orderBy(col("station_id"))
 
@@ -466,6 +475,9 @@ object TsQueries {
     "q_wet_dry_markov" -> (qWetDryMarkov _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
+    "q_seasonal_strength" -> (qSeasonalStrength _),
+    "q_precip_indices" -> (qPrecipIndices _),
+    "q_txtn_percentile" -> (qTxTnPercentile _),
     "q_dry_spells" -> (qDrySpells _),
     "q_degree_days" -> (qDegreeDays _),
     "q_return_period" -> (qReturnPeriod _),
