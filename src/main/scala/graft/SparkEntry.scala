@@ -39,6 +39,7 @@ object SparkEntry {
     "q20_excess_shippers" -> (Queries.q20ExcessShippers _),
     "q21_waiting_suppliers" -> (Queries.q21WaitingSuppliers _),
     "q_rollup" -> (Queries.qRollup _),
+    "q_skyline" -> (Queries.qSkyline _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

@@ -937,6 +937,29 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Behavioral-diversity profile per user: Shannon entropy (bits)
+    * and Simpson index of the user's event-type mix — the per-entity
+    * diversity screen (single-type users are bots or single-feature
+    * users; the indices quantify the spectrum).
+    *
+    * Plan: one (user, type) count aggregate, then a per-user rollup
+    * on the same key prefix — no second shuffle. */
+  def userDiversity(events: DataFrame): DataFrame = {
+    val tf = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wU = Window.partitionBy(col("user_id"))
+    tf.withColumn("tot", sum(col("n")).over(wU))
+      .withColumn("p", col("n") / col("tot").cast("double"))
+      .groupBy(col("user_id"))
+      .agg(max(col("tot")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(-sum(col("p") * log(2.0, col("p"))) + lit(1e-9), 6)
+          .as("shannon_bits"),
+        round(sum(col("n") * col("n"))
+          / (max(col("tot")) * max(col("tot"))).cast("double") + lit(1e-9), 6)
+          .as("simpson"))
+  }
+
   /** Inter-arrival-time profile per event type: percentiles and mean
     * of the gap between a user's consecutive events of that type —
     * the cadence fingerprint behind retention/stickiness (bots show
@@ -1195,6 +1218,8 @@ object EventAnalytics {
     "q_entropy_rate" -> ((s, d) => entropyRate(Tables.events(s, d))),
     "q_hill_tail" -> ((s, d) => hillTail(Tables.events(s, d))),
     "q_inter_event" -> ((s, d) => interEvent(Tables.events(s, d))),
+    "q_user_diversity" -> ((s, d) =>
+      userDiversity(Tables.events(s, d)).orderBy(col("user_id"))),
     "q_burst_hours" -> ((s, d) => burstHours(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "q_kaplan_meier" -> ((s, d) => kaplanMeier(Tables.events(s, d))),
@@ -1814,6 +1839,25 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.userDiversity: Shannon/Simpson over the
+    * per-user type mix. */
+  val qUserDiversity: String = """
+    WITH tf AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT *, sum(n) OVER (PARTITION BY user_id) AS tot FROM tf),
+    p AS (
+      SELECT user_id, n, CAST(tot AS BIGINT) AS tot,
+        n / CAST(tot AS DOUBLE) AS p
+      FROM t)
+    SELECT user_id, max(tot) AS n_events,
+      CAST(count(*) AS BIGINT) AS n_types,
+      round(-sum(p * log2(p)) + 1e-9, 6) AS shannon_bits,
+      round(sum(n * n) / CAST(max(tot) * max(tot) AS DOUBLE) + 1e-9, 6)
+        AS simpson
+    FROM p GROUP BY 1 ORDER BY user_id"""
+
   /** Mirrors EventAnalytics.interEvent: per-(user, type) lag gaps,
     * exact-percentile profile per type. */
   val qInterEvent: String = """
@@ -2068,6 +2112,7 @@ object EventOracle {
     "q_entropy_rate" -> qEntropyRate,
     "q_hill_tail" -> qHillTail,
     "q_inter_event" -> qInterEvent,
+    "q_user_diversity" -> qUserDiversity,
     "q_burst_hours" -> qBurstHours,
     "q_mann_whitney" -> qMannWhitney,
     "q_kaplan_meier" -> qKaplanMeier,

@@ -393,7 +393,24 @@ object OracleSql {
     ORDER BY numwait DESC, s_name
     LIMIT 100"""
 
+  /** Mirrors Queries.qSkyline: sort-based 2-D Pareto frontier. */
+  val qSkyline: String = """
+    WITH by_price AS (
+      SELECT p_retailprice, max(p_size) AS mx
+      FROM part GROUP BY 1),
+    frontier AS (
+      SELECT p_retailprice, mx,
+        max(mx) OVER (ORDER BY p_retailprice
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+      FROM by_price)
+    SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+    FROM part p JOIN frontier f USING (p_retailprice)
+    WHERE (f.best_cheaper IS NULL OR f.mx > f.best_cheaper)
+      AND p.p_size = f.mx
+    ORDER BY p.p_retailprice, p.p_partkey"""
+
   val all: Map[String, String] = Map(
+    "q_skyline" -> qSkyline,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q7_volume_shipping" -> q7VolumeShipping,
     "q8_market_share" -> q8MarketShare,

@@ -736,6 +736,38 @@ object Queries {
       .limit(100)
   }
 
+  /** 2-D skyline (Pareto frontier) over parts: minimize retail price,
+    * maximize size — no kept part is beaten on both axes (ties on
+    * both axes keep both). The sort-based skyline: after ordering by
+    * price, a part survives iff its size beats every strictly
+    * cheaper part's running max AND it is not out-sized at its own
+    * price point.
+    *
+    * Plan: both window frames ride ONE global price sort (the RANGE
+    * strictly-preceding frame and the same-price peer max share
+    * ordering); this is the classic sort-first skyline — one range
+    * exchange, no pairwise dominance join. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    // collapse to one row per distinct price (max size) FIRST — the
+    // running "best strictly cheaper" max is then an exact ROWS frame
+    // on the collapsed frame (a RANGE -1 frame on the raw prices
+    // would mean price-minus-one, not strictly-preceding).
+    val byPrice = part.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("mx"))
+    val wp = Window.orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = byPrice
+      .withColumn("best_cheaper", max(col("mx")).over(wp))
+      .filter(col("best_cheaper").isNull || col("mx") > col("best_cheaper"))
+      .select(col("p_retailprice"), col("mx"))
+    part.join(frontier, Seq("p_retailprice"))
+      .filter(col("p_size") === col("mx"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

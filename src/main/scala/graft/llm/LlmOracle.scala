@@ -313,6 +313,29 @@ object LlmOracle {
     FROM bg GROUP BY bigram
     ORDER BY n DESC, bigram LIMIT 20"""
 
+  /** Mirrors TextAnalysis.langSourceMi: joint/marginal cells, PMI and
+    * MI contributions over the lang×source matrix. */
+  val qLangSourceMi: String = """
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    m AS (
+      SELECT *,
+        sum(n) OVER (PARTITION BY lang) AS n_lang,
+        sum(n) OVER (PARTITION BY source) AS n_src,
+        sum(n) OVER () AS total
+      FROM cells),
+    p AS (
+      SELECT lang, source, n,
+        n / CAST(total AS DOUBLE) AS p,
+        (n_lang / CAST(total AS DOUBLE)) * (n_src / CAST(total AS DOUBLE))
+          AS p_ind
+      FROM m)
+    SELECT lang, source, n, round(p + 1e-9, 6) AS p,
+      round(log2(p / p_ind) + 1e-9, 6) AS pmi,
+      round(p * round(log2(p / p_ind) + 1e-9, 6) + 1e-9, 6) AS mi_contrib
+    FROM p ORDER BY lang, source"""
+
   /** Mirrors TextAnalysis.typeTokenRatio: per-doc lexical diversity
     * from the (doc, token) count frame. */
   val qTextTtr: String = s"""
@@ -1464,6 +1487,7 @@ object LlmOracle {
     "q_text_bigrams" -> qTextBigrams,
     "q_text_repetition" -> qTextRepetition,
     "q_text_ttr" -> qTextTtr,
+    "q_lang_source_mi" -> qLangSourceMi,
     "q_text_tfidf" -> qTextTfidf,
     "q_dedup_spans" -> qDedupSpans,
     "q_quality_classifier" -> qQualityClassifier,

@@ -118,6 +118,8 @@ object LlmQueries {
       TextAnalysis.repetition(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_ttr" -> ((s, d) =>
       TextAnalysis.typeTokenRatio(docs(s, d)).orderBy(col("doc_id"))),
+    "q_lang_source_mi" -> ((s, d) =>
+      TextAnalysis.langSourceMi(docs(s, d)).orderBy(col("lang"), col("source"))),
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(docs(s, d)).orderBy(col("doc_id"), col("rank"))),
     "q_dedup_spans" -> ((s, d) =>

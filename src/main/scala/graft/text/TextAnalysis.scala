@@ -922,6 +922,34 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Pointwise and total mutual information between document language
+    * and source — "does a source specialize in a language?", the
+    * info-theoretic companion to the source×lang JSD: per (lang,
+    * source) cell the joint/marginal probabilities and PMI, plus each
+    * cell's contribution to total MI.
+    *
+    * Plan: ONE map-combinable (lang, source) count aggregate; margins
+    * are windows over the ≤ |langs|×|sources| cell frame. */
+  def langSourceMi(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val wL = Window.partitionBy(col("lang"))
+    val wS = Window.partitionBy(col("source"))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("n_lang", sum(col("n")).over(wL))
+      .withColumn("n_src", sum(col("n")).over(wS))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("p", col("n") / col("total").cast("double"))
+      .withColumn("pmi", round(
+        log(2.0, col("p") / ((col("n_lang") / col("total").cast("double"))
+          * (col("n_src") / col("total").cast("double")))) + lit(1e-9), 6))
+      .withColumn("mi_contrib", round(col("p") * col("pmi") + lit(1e-9), 6))
+      .select(col("lang"), col("source"), col("n"),
+        round(col("p") + lit(1e-9), 6).as("p"), col("pmi"), col("mi_contrib"))
+  }
+
   /** Lexical-diversity report per document: type/token ratio and
     * hapax-legomenon share (the quick richness screens beside the
     * entropy/repetition quality features — low TTR flags template or
