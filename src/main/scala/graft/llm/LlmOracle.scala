@@ -1390,6 +1390,51 @@ object LlmOracle {
     FROM j JOIN c USING (lang) ORDER BY doc_id"""
   }
 
+  /** Mirrors Cluster.centroidDistances: per-lang centroid pairs,
+    * cosine + Euclidean with graft_dot's left-fold order. */
+  val qCentroidDist: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
+        s"i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    s"""
+    WITH e AS (
+      SELECT vec_id::BIGINT AS vec_id,
+        list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    j AS (
+      SELECT d.lang, e.emb
+      FROM documents d JOIN e ON e.vec_id = d.doc_id),
+    m AS (
+      SELECT lang, i, round(avg(emb[i]) + 1e-9, 6) AS v FROM (
+        SELECT lang, emb, unnest(range(1, len(emb) + 1)) AS i FROM j)
+      GROUP BY 1, 2),
+    c AS (SELECT lang, list(v ORDER BY i) AS cvec FROM m GROUP BY lang),
+    pr AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+        ${dot("a.cvec", "b.cvec")} AS dt,
+        sqrt(${dot("a.cvec", "a.cvec")}) AS na,
+        sqrt(${dot("b.cvec", "b.cvec")}) AS nb
+      FROM c a JOIN c b ON a.lang < b.lang)
+    SELECT lang_a, lang_b,
+      round(dt / (na * nb) + 1e-9, 6) AS cosine,
+      round(sqrt(greatest(0.0, na*na + nb*nb - 2.0*dt)) + 1e-9, 6) AS euclid
+    FROM pr ORDER BY lang_a, lang_b"""
+  }
+
+  /** Mirrors Cluster.normStats: 6-dp vector norms, per-label stats. */
+  val qEmbedNorms: String = """
+    WITH n_t AS (
+      SELECT label,
+        round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+          (a, b) -> a + b)) + 1e-9, 6) AS nrm
+      FROM embeddings)
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+      round(avg(nrm) + 1e-9, 4) AS mean_norm,
+      round(quantile_cont(nrm, 0.5) + 1e-9, 6) AS p50_norm,
+      min(nrm) AS min_norm, max(nrm) AS max_norm
+    FROM n_t GROUP BY 1 ORDER BY label"""
+
   /** Mirrors TextAnalysis.zipfFit: top-k token counts, ln-ln
     * regression from the sufficient sums. */
   val qZipfFit: String = s"""
@@ -1488,6 +1533,8 @@ object LlmOracle {
     "q_text_repetition" -> qTextRepetition,
     "q_text_ttr" -> qTextTtr,
     "q_lang_source_mi" -> qLangSourceMi,
+    "q_centroid_dist" -> qCentroidDist,
+    "q_embed_norms" -> qEmbedNorms,
     "q_text_tfidf" -> qTextTfidf,
     "q_dedup_spans" -> qDedupSpans,
     "q_quality_classifier" -> qQualityClassifier,

@@ -120,6 +120,10 @@ object LlmQueries {
       TextAnalysis.typeTokenRatio(docs(s, d)).orderBy(col("doc_id"))),
     "q_lang_source_mi" -> ((s, d) =>
       TextAnalysis.langSourceMi(docs(s, d)).orderBy(col("lang"), col("source"))),
+    "q_centroid_dist" -> ((s, d) =>
+      Cluster.centroidDistances(docs(s, d), embs(s, d))
+        .orderBy(col("lang_a"), col("lang_b"))),
+    "q_embed_norms" -> ((s, d) => Cluster.normStats(embs(s, d))),
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(docs(s, d)).orderBy(col("doc_id"), col("rank"))),
     "q_dedup_spans" -> ((s, d) =>

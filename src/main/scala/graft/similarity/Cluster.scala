@@ -229,4 +229,65 @@ object Cluster {
       result
     } finally pairs.unpersist()
   }
+
+  /** Pairwise language-centroid geometry (the separation map beside
+    * [[langCentroid]]'s per-doc cohesion): cosine and Euclidean
+    * distance between every pair of language centroids — two langs
+    * whose centroids nearly coincide are indistinguishable to the
+    * encoder.
+    *
+    * Plan: the centroid frame is O(#langs) rows (one posexplode
+    * aggregate); the pair join carries an explicit limit(64) so the
+    * nested-loop side is structurally bounded (the language registry
+    * is finite) — same pattern as kmeans' k-row centroid broadcast. */
+  def centroidDistances(documents: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+    val cents = documents
+      .select(col("doc_id").cast("long").as("vec_id"), col("lang"))
+      .join(vecs, Seq("vec_id"))
+      .select(col("lang"), posexplode(col("emb")))
+      .groupBy(col("lang"), col("pos"))
+      .agg(round(avg(col("col")) + lit(1e-9), 6).as("v"))
+      .groupBy(col("lang"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)")
+        .as("cvec"))
+    val a = cents.select(col("lang").as("lang_a"), col("cvec").as("va"))
+    val b = cents.select(col("lang").as("lang_b"), col("cvec").as("vb"))
+    a.join(broadcast(b.limit(64)), col("lang_a") < col("lang_b"))
+      .withColumn("dot", expr("graft_dot(va, vb)"))
+      .withColumn("na", expr("sqrt(graft_dot(va, va))"))
+      .withColumn("nb", expr("sqrt(graft_dot(vb, vb))"))
+      .withColumn("cosine",
+        round(col("dot") / (col("na") * col("nb")) + lit(1e-9), 6))
+      .withColumn("euclid", round(sqrt(greatest(lit(0.0),
+        col("na") * col("na") + col("nb") * col("nb")
+          - lit(2.0) * col("dot"))) + lit(1e-9), 6))
+      .select(col("lang_a"), col("lang_b"), col("cosine"), col("euclid"))
+  }
+
+  /** Embedding-norm QA profile per label: count and norm
+    * mean/median/extrema — collapsed or exploding norms are the
+    * first symptom of a broken encoder batch, caught here before any
+    * similarity math consumes the vectors.
+    *
+    * Plan: the norm is one generated-loop dot product per row
+    * (stateless scan), the stats one keyed exact-percentile
+    * aggregate to O(#labels) rows. */
+  def normStats(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings
+      .select(col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      .withColumn("nrm", expr("round(sqrt(graft_dot(emb, emb)) + 1e-9, 6)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")) + lit(1e-9), 4).as("mean_norm"),
+        round(expr("percentile(nrm, 0.5D)") + lit(1e-9), 6).as("p50_norm"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy(col("label"))
+  }
 }
