@@ -937,6 +937,61 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Day-over-day trending movers: each event type's daily volume
+    * rank (row_number, type-name tiebreak) and its change vs the
+    * previous day, with the volume percent change — the "what's
+    * rising" board over the type dimension.
+    *
+    * Plan: one (day, type) count aggregate; both windows (per-day
+    * rank, per-type lag) run over the O(#days × #types) frame. */
+  def trending(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("n").desc, col("event_type"))
+    val wType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    counts
+      .withColumn("rnk", row_number().over(wDay))
+      .withColumn("prev_rnk", lag(col("rnk"), 1).over(wType))
+      .withColumn("prev_n", lag(col("n"), 1).over(wType))
+      .filter(col("prev_rnk").isNotNull)
+      .withColumn("rank_delta", col("prev_rnk") - col("rnk"))
+      .withColumn("pct_change", when(col("prev_n") > 0,
+        round((col("n") - col("prev_n")) / col("prev_n").cast("double")
+          + lit(1e-9), 6)))
+      .select(col("day"), col("event_type"), col("n"), col("rnk"),
+        col("prev_rnk"), col("rank_delta"), col("pct_change"))
+      .orderBy(col("day"), col("rnk"))
+  }
+
+  /** Winsorized vs raw mean per event type (robust location under the
+    * heavy tail [[hillTail]] measures): values clamped to the exact
+    * [p05, p95] band before averaging; the gap between the two means
+    * is the tail's pull.
+    *
+    * Plan: exact-percentile fence frame (O(#types)) broadcast back
+    * onto one stateless clamp-and-aggregate scan. */
+  def winsorizedMean(events: DataFrame): DataFrame = {
+    val fences = events.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.05D)") + lit(1e-9), 6).as("p05"),
+        round(expr("percentile(value, 0.95D)") + lit(1e-9), 6).as("p95"))
+    events.join(broadcast(fences), Seq("event_type"))
+      .withColumn("clamped",
+        greatest(col("p05"), least(col("p95"), col("value"))))
+      .groupBy(col("event_type"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")) + lit(1e-9), 4).as("raw_mean"),
+        round(avg(col("clamped")) + lit(1e-9), 4).as("winsor_mean"),
+        sum((col("value") < col("p05") || col("value") > col("p95"))
+          .cast("long")).as("n_clamped"))
+      .withColumn("tail_pull",
+        round(col("raw_mean") - col("winsor_mean") + lit(1e-9), 4))
+      .select(col("event_type"), col("n"), col("n_clamped"), col("p05"),
+        col("p95"), col("raw_mean"), col("winsor_mean"), col("tail_pull"))
+      .orderBy(col("event_type"))
+  }
+
   /** Behavioral-diversity profile per user: Shannon entropy (bits)
     * and Simpson index of the user's event-type mix — the per-entity
     * diversity screen (single-type users are bots or single-feature
@@ -1220,6 +1275,8 @@ object EventAnalytics {
     "q_inter_event" -> ((s, d) => interEvent(Tables.events(s, d))),
     "q_user_diversity" -> ((s, d) =>
       userDiversity(Tables.events(s, d)).orderBy(col("user_id"))),
+    "q_trending" -> ((s, d) => trending(Tables.events(s, d))),
+    "q_winsorize" -> ((s, d) => winsorizedMean(Tables.events(s, d))),
     "q_burst_hours" -> ((s, d) => burstHours(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "q_kaplan_meier" -> ((s, d) => kaplanMeier(Tables.events(s, d))),
@@ -1839,6 +1896,54 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.trending: per-day volume ranks, per-type
+    * day-over-day deltas. */
+  val qTrending: String = """
+    WITH counts AS (
+      SELECT ts::date AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type)
+          AS rnk
+      FROM counts),
+    l AS (
+      SELECT *,
+        lag(rnk, 1) OVER wt AS prev_rnk,
+        lag(n, 1) OVER wt AS prev_n
+      FROM r
+      WINDOW wt AS (PARTITION BY event_type ORDER BY day))
+    SELECT day, event_type, n, rnk, prev_rnk,
+      prev_rnk - rnk AS rank_delta,
+      CASE WHEN prev_n > 0
+        THEN round((n - prev_n) / CAST(prev_n AS DOUBLE) + 1e-9, 6)
+      END AS pct_change
+    FROM l WHERE prev_rnk IS NOT NULL
+    ORDER BY day, rnk"""
+
+  /** Mirrors EventAnalytics.winsorizedMean: exact p05/p95 clamp,
+    * raw vs winsorized means. */
+  val qWinsorize: String = """
+    WITH f AS (
+      SELECT event_type,
+        round(quantile_cont(value, 0.05) + 1e-9, 6) AS p05,
+        round(quantile_cont(value, 0.95) + 1e-9, 6) AS p95
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT e.event_type, f.p05, f.p95, e.value,
+        greatest(f.p05, least(f.p95, e.value)) AS clamped
+      FROM events e JOIN f USING (event_type)),
+    agg AS (
+      SELECT event_type, p05, p95, CAST(count(*) AS BIGINT) AS n,
+        round(avg(value) + 1e-9, 4) AS raw_mean,
+        round(avg(clamped) + 1e-9, 4) AS winsor_mean,
+        CAST(sum(CASE WHEN value < p05 OR value > p95 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_clamped
+      FROM c GROUP BY 1, 2, 3)
+    SELECT event_type, n, n_clamped, p05, p95, raw_mean, winsor_mean,
+      round(raw_mean - winsor_mean + 1e-9, 4) AS tail_pull
+    FROM agg ORDER BY event_type"""
+
   /** Mirrors EventAnalytics.userDiversity: Shannon/Simpson over the
     * per-user type mix. */
   val qUserDiversity: String = """
@@ -2113,6 +2218,8 @@ object EventOracle {
     "q_hill_tail" -> qHillTail,
     "q_inter_event" -> qInterEvent,
     "q_user_diversity" -> qUserDiversity,
+    "q_trending" -> qTrending,
+    "q_winsorize" -> qWinsorize,
     "q_burst_hours" -> qBurstHours,
     "q_mann_whitney" -> qMannWhitney,
     "q_kaplan_meier" -> qKaplanMeier,

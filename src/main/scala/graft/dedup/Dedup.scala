@@ -54,6 +54,36 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
   }
 
+  /** LSH bucket-skew diagnostics per band — the report that predicts
+    * whether the [[minhashBands]] self-join survives at scale: bucket
+    * census, the largest bucket (one oversized bucket = one straggler
+    * task doing s²/2 comparisons), and the exact candidate-pair mass
+    * Σ s(s−1)/2 the band join will emit. Run this BEFORE the join on
+    * new data; a max_bucket in the thousands means the band key needs
+    * more rows (narrower bands) or a salt.
+    *
+    * Plan: one keyed count to bucket sizes, one keyed rollup per
+    * band — strictly cheaper than the join it audits. */
+  def lshBucketStats(documents: DataFrame): DataFrame = {
+    val sigs = withShingles(documents)
+      .withColumn("sig", expr(minhashSig("hashes")))
+      .select(col("doc_id"), col("sig"))
+    val bands = sigs.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${NumBands - 1}), b -> " +
+        "struct(b AS band, element_at(sig, 2*b + 1) AS k1, element_at(sig, 2*b + 2) AS k2))")).as("bd"))
+      .select(col("doc_id"), col("bd.band"), col("bd.k1"), col("bd.k2"))
+      .filter(col("k1").isNotNull && col("k2").isNotNull)
+    bands.groupBy(col("band"), col("k1"), col("k2"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_rows"),
+        max(col("sz")).as("max_bucket"),
+        round(expr("percentile(sz, 0.99D)") + lit(1e-9), 4).as("p99_bucket"),
+        sum(expr("(sz * (sz - 1)) div 2")).as("candidate_pairs"))
+      .orderBy(col("band"))
+  }
+
   /** Sketch calibration report: for every MinHash band candidate pair,
     * the signature-estimated Jaccard (matching positions / NumHashes)
     * next to the EXACT shingle Jaccard and their absolute error — the

@@ -54,6 +54,20 @@ object LlmOracle {
     WITH $shCte, $sigCte
     SELECT id_a, id_b, n_bands FROM cand_pairs ORDER BY id_a, id_b"""
 
+  /** Mirrors Dedup.lshBucketStats: bucket census + candidate-pair
+    * mass per band. */
+  val qLshBucketStats: String = s"""
+    WITH $shCte, $sigCte,
+    bkts AS (
+      SELECT band, k1, k2, CAST(count(*) AS BIGINT) AS sz
+      FROM band_k GROUP BY 1, 2, 3)
+    SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+      CAST(sum(sz) AS BIGINT) AS n_rows,
+      max(sz) AS max_bucket,
+      round(quantile_cont(sz, 0.99) + 1e-9, 4) AS p99_bucket,
+      CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM bkts GROUP BY 1 ORDER BY band"""
+
   /** Exact Jaccard ≥ 0.5 pairs over a (doc_id, hashes) table — shared
     * by the pair query, the components closure and the corpus-clean
     * composition so a threshold/epsilon tweak can never make the
@@ -1535,6 +1549,7 @@ object LlmOracle {
     "q_lang_source_mi" -> qLangSourceMi,
     "q_centroid_dist" -> qCentroidDist,
     "q_embed_norms" -> qEmbedNorms,
+    "q_lsh_bucket_stats" -> qLshBucketStats,
     "q_text_tfidf" -> qTextTfidf,
     "q_dedup_spans" -> qDedupSpans,
     "q_quality_classifier" -> qQualityClassifier,

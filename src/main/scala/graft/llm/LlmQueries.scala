@@ -124,6 +124,8 @@ object LlmQueries {
       Cluster.centroidDistances(docs(s, d), embs(s, d))
         .orderBy(col("lang_a"), col("lang_b"))),
     "q_embed_norms" -> ((s, d) => Cluster.normStats(embs(s, d))),
+    "q_lsh_bucket_stats" -> ((s, d) =>
+      Dedup.lshBucketStats(docs(s, d)).orderBy(col("band"))),
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(docs(s, d)).orderBy(col("doc_id"), col("rank"))),
     "q_dedup_spans" -> ((s, d) =>
