@@ -40,6 +40,8 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (Queries.q21WaitingSuppliers _),
     "q_rollup" -> (Queries.qRollup _),
     "q_skyline" -> (Queries.qSkyline _),
+    "q_reorder_gap" -> (Queries.qReorderGap _),
+    "q_supplier_hhi" -> (Queries.qSupplierHhi _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

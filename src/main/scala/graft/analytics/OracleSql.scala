@@ -409,8 +409,46 @@ object OracleSql {
       AND p.p_size = f.mx
     ORDER BY p.p_retailprice, p.p_partkey"""
 
+  /** Mirrors Queries.qReorderGap: per-customer order gaps, priority
+    * percentile profile. */
+  val qReorderGap: String = """
+    WITH g AS (
+      SELECT o_orderpriority,
+        datediff('day',
+          (lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey))::date,
+          o_orderdate::date) AS gap_days
+      FROM orders)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_gaps,
+      round(avg(gap_days) + 1e-9, 4) AS mean_gap,
+      round(quantile_cont(gap_days, 0.5) + 1e-9, 4) AS p50_gap,
+      round(quantile_cont(gap_days, 0.9) + 1e-9, 4) AS p90_gap
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY 1 ORDER BY o_orderpriority"""
+
+  /** Mirrors Queries.qSupplierHhi: 2-dp supplier revenue, share
+    * squares per nation. */
+  val qSupplierHhi: String = """
+    WITH rev AS (
+      SELECT l_suppkey,
+        round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS rev
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT n.n_name, r.rev,
+        sum(r.rev) OVER (PARTITION BY n.n_name) AS tot
+      FROM rev r
+      JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      round(max(tot) + 1e-9, 2) AS nation_revenue,
+      round(sum((rev / tot) * (rev / tot)) * 10000.0 + 1e-9, 2) AS hhi,
+      round(max(rev / tot) + 1e-9, 6) AS top_share
+    FROM j GROUP BY 1 ORDER BY n_name"""
+
   val all: Map[String, String] = Map(
     "q_skyline" -> qSkyline,
+    "q_reorder_gap" -> qReorderGap,
+    "q_supplier_hhi" -> qSupplierHhi,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q7_volume_shipping" -> q7VolumeShipping,
     "q8_market_share" -> q8MarketShare,

@@ -768,6 +768,60 @@ object Queries {
       .orderBy(col("p_retailprice"), col("p_partkey"))
   }
 
+  /** Customer reorder-latency profile per order priority: the gap in
+    * days between a customer's consecutive orders, attributed to the
+    * later order's priority — the purchase-cadence view of the orders
+    * stream (the relational twin of the events inter-arrival
+    * profile).
+    *
+    * Plan: one lag window on the customer partitioning, one keyed
+    * exact-percentile aggregate to O(#priorities) rows. */
+  def qReorderGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("gap_days",
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))))
+      .filter(col("gap_days").isNotNull)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_days")) + lit(1e-9), 4).as("mean_gap"),
+        round(expr("percentile(gap_days, 0.5D)") + lit(1e-9), 4).as("p50_gap"),
+        round(expr("percentile(gap_days, 0.9D)") + lit(1e-9), 4).as("p90_gap"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Supplier revenue concentration per nation (Herfindahl–Hirschman
+    * index, the antitrust-grade concentration score next to the
+    * Pareto/Gini views): per-supplier revenue collapsed first (2-dp
+    * quantized), shares and Σ share² ×10⁴ on the small frame.
+    *
+    * Plan: one big keyed aggregate (lineitem → supplier revenue),
+    * broadcast dim joins, HHI assembly over O(#suppliers) rows. */
+  def qSupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        + lit(1e-9), 2).as("rev"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val w = Window.partitionBy(col("n_name"))
+    rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("tot", sum(col("rev")).over(w))
+      .withColumn("share", col("rev") / col("tot"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(max(col("tot")) + lit(1e-9), 2).as("nation_revenue"),
+        round(sum(col("share") * col("share")) * lit(10000.0) + lit(1e-9), 2)
+          .as("hhi"),
+        round(max(col("share")) + lit(1e-9), 6).as("top_share"))
+      .orderBy(col("n_name"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

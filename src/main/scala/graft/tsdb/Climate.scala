@@ -1415,6 +1415,27 @@ object Climate {
       .select(col("station_id"), col("n_sizes"), col("hurst"))
   }
 
+  /** Mean diurnal cycle per station: the 24-point hour-of-day profile
+    * of the zero-filled hourly series with the peak hour flagged —
+    * the sub-daily fingerprint (convective afternoon peaks vs
+    * stratiform flat profiles) that daily aggregates erase.
+    *
+    * Plan: one keyed (station, hod) aggregate over the hourly grid;
+    * the peak pick is a WindowGroupLimit-able rn=1 over 24 rows per
+    * station. */
+  def diurnalCycle(hourlyRaw: DataFrame): DataFrame = {
+    val prof = hourlyRaw
+      .withColumn("hod", hour(col("hour")))
+      .groupBy(col("station_id"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(coalesce(col("raw"), lit(0.0))) + lit(1e-9), 6).as("mean_raw"))
+    val w = Window.partitionBy(col("station_id"))
+      .orderBy(col("mean_raw").desc, col("hod").asc)
+    prof.withColumn("is_peak", row_number().over(w) === 1)
+      .select(col("station_id"), col("hod"), col("n"), col("mean_raw"),
+        col("is_peak"))
+  }
+
   /** Grubbs outlier statistic per station: the largest standardized
     * deviation G = max|x−x̄|/s of the zero-filled daily series, with
     * the day it occurs (earliest day on ties). The single-number

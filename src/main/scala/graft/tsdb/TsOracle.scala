@@ -1709,6 +1709,31 @@ object TsOracle {
       END AS rho
     FROM d ORDER BY station_id, rank"""
 
+  /** Mirrors Climate.diurnalCycle: hour-of-day profile over the
+    * dense hourly grid, rn=1 peak flag. */
+  val qDiurnalCycle: String = s"""
+    WITH stations AS (SELECT DISTINCT user_id::BIGINT AS station_id FROM events),
+    hb AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+    hgrid AS (
+      SELECT s.station_id, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM stations s, hb b),
+    hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    prof AS (
+      SELECT g.station_id, hour(g.hour) AS hod,
+        CAST(count(*) AS BIGINT) AS n,
+        round(avg(coalesce(h.raw, 0.0)) + 1e-9, 6) AS mean_raw
+      FROM hgrid g LEFT JOIN hourly h USING (station_id, hour)
+      GROUP BY 1, 2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY station_id
+        ORDER BY mean_raw DESC, hod ASC) AS rn
+      FROM prof)
+    SELECT station_id, hod, n, mean_raw, rn = 1 AS is_peak
+    FROM r ORDER BY station_id, hod"""
+
   /** Mirrors Climate.grubbs: worst standardized deviation per
     * station, earliest day on ties. */
   val qGrubbs: String = s"""
@@ -2314,6 +2339,7 @@ object TsOracle {
     "q_dtr" -> qDtr,
     "q_grubbs" -> qGrubbs,
     "q_wet_dry_markov" -> qWetDryMarkov,
+    "q_diurnal_cycle" -> qDiurnalCycle,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

@@ -369,6 +369,9 @@ object TsQueries {
   def qWetDryMarkov(s: SparkSession, d: String): DataFrame =
     Climate.wetDryMarkov(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qDiurnalCycle(s: SparkSession, d: String): DataFrame =
+    Climate.diurnalCycle(hourly(s, d)).orderBy(col("station_id"), col("hod"))
+
   def qSpearman(s: SparkSession, d: String): DataFrame =
     Climate.spearmanNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
@@ -473,6 +476,7 @@ object TsQueries {
     "q_dtr" -> (qDtr _),
     "q_grubbs" -> (qGrubbs _),
     "q_wet_dry_markov" -> (qWetDryMarkov _),
+    "q_diurnal_cycle" -> (qDiurnalCycle _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
