@@ -963,6 +963,19 @@ object LlmOracle {
       sum(${ph("payload")})::BIGINT AS payload_sum
     FROM p GROUP BY 1 ORDER BY source"""
 
+  /** CSV round-trip: same checksum-from-parquet trick as
+    * [[qIngestJsonl]] — the payload adds a comma to the gauntlet. */
+  val qIngestCsv: String = s"""
+    WITH p AS (
+      SELECT *, '"' || substr(text, 1, 40) || ',' || chr(92) || chr(10) ||
+        lang || chr(9) || 'äπ中' || n_chars::VARCHAR AS payload
+      FROM documents)
+    SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+      sum(n_chars)::BIGINT AS sum_chars,
+      sum(${ph("text")})::BIGINT AS text_sum,
+      sum(${ph("payload")})::BIGINT AS payload_sum
+    FROM p GROUP BY 1 ORDER BY source"""
+
   /** Index-order left-fold dot product (mirrors graft_dot). */
   private def vdot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
@@ -1519,6 +1532,7 @@ object LlmOracle {
     "q_embed_pca" -> qEmbedPca,
     "q_dedup_cross_source" -> qDedupCrossSource,
     "q_ingest_jsonl" -> qIngestJsonl,
+    "q_ingest_csv" -> qIngestCsv,
     "q_dedup_bloom" -> qDedupBloom,
     "q_dsir_weights" -> qDsirWeights,
     "q_corpus_shuffle" -> qCorpusShuffle,

@@ -159,6 +159,8 @@ object LlmQueries {
       Corpus.crossSourceDup(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
     "q_ingest_jsonl" -> ((s, d) =>
       graft.sources.Sources.jsonlRoundtrip(s, d).orderBy(col("source"))),
+    "q_ingest_csv" -> ((s, d) =>
+      graft.sources.Sources.csvRoundtrip(s, d).orderBy(col("source"))),
     "q_quality_sample" -> ((s, d) =>
       Corpus.sampleByQuality(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),

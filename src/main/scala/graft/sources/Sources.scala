@@ -114,6 +114,45 @@ object Sources {
         sum(expr("graft_polyhash(payload)")).as("payload_sum"))
   }
 
+  /** CSV round-trip fidelity — the quoting/escaping gauntlet for the
+    * other interchange format pipelines actually receive: a hostile
+    * payload (embedded quote, comma, newline, backslash, tab,
+    * multi-byte unicode) rides a real distributed CSV write
+    * (quote-escaped) and schema-pinned read-back; the per-source
+    * checksums must equal the oracle's computed straight off parquet.
+    * Any quoting or multiline-parse loss breaks the hash match.
+    *
+    * Scale shape: identical to [[jsonlRoundtrip]] — distributed write
+    * + scan, map-combined keyed checksum. (`multiLine` read is
+    * per-file; quoted-newline CSV is not splittable — a real 100 TB
+    * pipeline shards by writing many files, which the distributed
+    * writer already does.) */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val payload = concat(
+      lit("\""), substring(col("text"), 1, 40),
+      lit(","), lit("\\"), lit("\n"), col("lang"), lit("\t"),
+      lit("äπ中"), col("n_chars").cast("string"))
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .withColumn("payload", payload)
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_csv_" + Integer.toHexString(sfDir.hashCode)).getPath
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(tmp)
+    val back = spark.read.schema(docs.schema)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(tmp)
+    back.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(expr("graft_polyhash(text)")).as("text_sum"),
+        sum(expr("graft_polyhash(payload)")).as("payload_sum"))
+  }
+
   /** Day-partitioned parquet layout — the 100 TB raw-store convention
     * (the reference's per-station tables keyed by time): one directory
     * per day value, so ANY time-ranged query prunes to its days at
