@@ -42,6 +42,8 @@ object SparkEntry {
     "q_skyline" -> (Queries.qSkyline _),
     "q_reorder_gap" -> (Queries.qReorderGap _),
     "q_supplier_hhi" -> (Queries.qSupplierHhi _),
+    "q_fuzzy_name_join" -> (Queries.qFuzzyNameJoin _),
+    "q_customer_deciles" -> (Queries.qCustomerDeciles _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

@@ -445,10 +445,50 @@ object OracleSql {
       round(max(rev / tot) + 1e-9, 6) AS top_share
     FROM j GROUP BY 1 ORDER BY n_name"""
 
+  /** Mirrors Queries.qFuzzyNameJoin: length-banded candidates,
+    * exact levenshtein verify. */
+  val qFuzzyNameJoin: String = """
+    WITH names AS (
+      SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+        length(p_name) AS len, length(p_name) // 4 AS bkt
+      FROM part GROUP BY 1),
+    probes AS (
+      SELECT name AS name_a, n_parts AS n_a, len AS len_a, bkt + d AS pb
+      FROM names, unnest([-1, 0, 1]) AS t(d)),
+    build AS (
+      SELECT name AS name_b, n_parts AS n_b, len AS len_b, bkt AS pb
+      FROM names),
+    cand AS (
+      SELECT DISTINCT name_a, name_b, n_a, n_b,
+        levenshtein(name_a, name_b) AS dist
+      FROM probes JOIN build USING (pb)
+      WHERE name_a < name_b AND abs(len_a - len_b) <= 2)
+    SELECT name_a, name_b, dist, n_a, n_b
+    FROM cand WHERE dist <= 2 ORDER BY name_a, name_b"""
+
+  /** Mirrors Queries.qCustomerDeciles: ntile(10) on the deterministic
+    * revenue order. */
+  val qCustomerDeciles: String = """
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice) + 1e-9, 2) AS rev
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM rev),
+    agg AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        round(sum(rev) + 1e-9, 2) AS decile_rev
+      FROM d GROUP BY 1)
+    SELECT decile, n_customers, decile_rev,
+      round(decile_rev / sum(decile_rev) OVER () + 1e-9, 6) AS share
+    FROM agg ORDER BY decile"""
+
   val all: Map[String, String] = Map(
     "q_skyline" -> qSkyline,
     "q_reorder_gap" -> qReorderGap,
     "q_supplier_hhi" -> qSupplierHhi,
+    "q_fuzzy_name_join" -> qFuzzyNameJoin,
+    "q_customer_deciles" -> qCustomerDeciles,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q7_volume_shipping" -> q7VolumeShipping,
     "q8_market_share" -> q8MarketShare,

@@ -822,6 +822,63 @@ object Queries {
       .orderBy(col("n_name"))
   }
 
+  /** Edit-distance fuzzy self-join over distinct part names
+    * (levenshtein ≤ 2 — the entity-resolution primitive for
+    * dirty catalog data): length-banded candidate generation
+    * (|len(a)−len(b)| ≤ 2 is NECESSARY for lev ≤ 2, so bucketing by
+    * ⌊len/4⌋ with ±1-bucket probes is deterministic-complete), then
+    * the exact levenshtein verify on candidates only.
+    *
+    * Plan: distinct names first (the join runs on the name
+    * VOCABULARY, not rows), equi-join on the length bucket (×3 probe
+    * explode — never an all-pairs or theta join), per-pair codegen'd
+    * levenshtein. */
+  def qFuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("len", length(col("name")))
+      .withColumn("bkt", floor(col("len") / 4))
+    val probes = names
+      .withColumn("pb", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+      .select(col("name").as("name_a"), col("n_parts").as("n_a"),
+        col("len").as("len_a"), col("pb"))
+    val build = names.select(col("name").as("name_b"),
+      col("n_parts").as("n_b"), col("len").as("len_b"), col("bkt").as("pb"))
+    probes.join(build, Seq("pb"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= 2)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .distinct()
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** Customer revenue deciles (the ntile BI staple behind "top 10%
+    * of customers drive X%"): per-customer order totals (2-dp
+    * quantized), ntile(10) on the deterministic (revenue desc,
+    * custkey) order, per-decile mass and share.
+    *
+    * Plan: one keyed aggregate to O(#customers), the ntile is one
+    * global sort of that collapsed frame (the decile boundary is
+    * inherently global), shares off a 10-row rollup. */
+  def qCustomerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")) + lit(1e-9), 2).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    val wAll = Window.partitionBy()
+    rev.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("rev")) + lit(1e-9), 2).as("decile_rev"))
+      .withColumn("share", round(col("decile_rev")
+        / sum(col("decile_rev")).over(wAll) + lit(1e-9), 6))
+      .select(col("decile"), col("n_customers"), col("decile_rev"), col("share"))
+      .orderBy(col("decile"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

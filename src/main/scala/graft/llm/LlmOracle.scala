@@ -963,6 +963,24 @@ object LlmOracle {
       sum(${ph("payload")})::BIGINT AS payload_sum
     FROM p GROUP BY 1 ORDER BY source"""
 
+  /** Mirrors TextAnalysis.readability: identical regex counts. */
+  val qReadability: String = s"""
+    WITH c AS (
+      SELECT doc_id,
+        CAST(len($toks) AS BIGINT) AS n_words,
+        greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+          AS BIGINT)) AS n_sent,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+          AS BIGINT) AS n_syl
+      FROM documents),
+    r AS (
+      SELECT *, round(n_words / CAST(n_sent AS DOUBLE) + 1e-9, 6) AS wps,
+        round(n_syl / CAST(n_words AS DOUBLE) + 1e-9, 6) AS spw
+      FROM c WHERE n_words > 0)
+    SELECT doc_id, n_words, n_sent, n_syl, wps, spw,
+      round(206.835 - 1.015 * wps - 84.6 * spw + 1e-9, 4) AS flesch
+    FROM r ORDER BY doc_id"""
+
   /** CSV round-trip: same checksum-from-parquet trick as
     * [[qIngestJsonl]] — the payload adds a comma to the gauntlet. */
   val qIngestCsv: String = s"""
@@ -1533,6 +1551,7 @@ object LlmOracle {
     "q_dedup_cross_source" -> qDedupCrossSource,
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
+    "q_readability" -> qReadability,
     "q_dedup_bloom" -> qDedupBloom,
     "q_dsir_weights" -> qDsirWeights,
     "q_corpus_shuffle" -> qCorpusShuffle,

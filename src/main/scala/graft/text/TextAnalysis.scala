@@ -922,6 +922,34 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Flesch-style readability proxy per document: words/sentence and
+    * vowel-group-per-word (syllable proxy) folded into the classic
+    * 206.835 − 1.015·wps − 84.6·spw score — the surface-form
+    * complexity feature next to entropy/quality in a filtering
+    * pipeline. Stateless regex scan, no joins.
+    *
+    * Both engines count identical regex matches ([.!?]+ sentence
+    * breaks, [aeiouy]+ vowel groups); punctuation-free corpora get
+    * n_sent = 1 (whole doc as one sentence) rather than a divide-by-
+    * zero. */
+  def readability(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        expr(s"size(${tokens("text")})").cast("long").as("n_words"),
+        greatest(lit(1L),
+          expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"))
+          .as("n_sent"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+          .cast("long").as("n_syl"))
+      .filter(col("n_words") > 0)
+      .withColumn("wps", round(col("n_words") / col("n_sent").cast("double")
+        + lit(1e-9), 6))
+      .withColumn("spw", round(col("n_syl") / col("n_words").cast("double")
+        + lit(1e-9), 6))
+      .withColumn("flesch", round(lit(206.835) - lit(1.015) * col("wps")
+        - lit(84.6) * col("spw") + lit(1e-9), 4))
+      .select(col("doc_id"), col("n_words"), col("n_sent"), col("n_syl"),
+        col("wps"), col("spw"), col("flesch"))
+
   /** Pointwise and total mutual information between document language
     * and source — "does a source specialize in a language?", the
     * info-theoretic companion to the source×lang JSD: per (lang,
