@@ -937,6 +937,50 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Population Stability Index per event type — the ML-ops drift
+    * gauge between the period's first and second half: value deciles
+    * binned on the FIRST half's exact edges, PSI = Σ (p−q)·ln(p/q)
+    * with the conventional 1e-4 floor on empty bins (PSI > 0.2 =
+    * investigate).
+    *
+    * Plan: the edge frame is one exact-percentile aggregate over the
+    * reference half (9 edges × #types, broadcast); binning is a
+    * stateless CASE scan; PSI assembles on the 10×#types bin frame. */
+  def psi(events: DataFrame): DataFrame = {
+    val half = events.agg(to_date(min(col("ts"))).as("d0"),
+      to_date(max(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, int(datediff(d1, d0) / 2))").as("mid"))
+    val tagged = events.crossJoin(broadcast(half))
+      .withColumn("is_ref", to_date(col("ts")) <= col("mid"))
+    val edges = tagged.filter(col("is_ref"))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(percentile(value, " +
+        "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)), " +
+        "x -> round(x + 1e-9, 6))").as("edges"))
+    val binned = tagged.join(broadcast(edges), Seq("event_type"))
+      .withColumn("bin", expr(
+        "aggregate(edges, 0, (acc, e) -> acc + if(value > e, 1, 0))"))
+      .groupBy(col("event_type"), col("is_ref"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val wT = Window.partitionBy(col("event_type"), col("is_ref"))
+    val shares = binned
+      .withColumn("share", greatest(lit(1e-4),
+        col("n") / sum(col("n")).over(wT).cast("double")))
+    val ref = shares.filter(col("is_ref"))
+      .select(col("event_type"), col("bin"), col("share").as("p"))
+    val cur = shares.filter(!col("is_ref"))
+      .select(col("event_type"), col("bin"), col("share").as("q"))
+    ref.join(cur, Seq("event_type", "bin"), "full_outer")
+      .withColumn("p", coalesce(col("p"), lit(1e-4)))
+      .withColumn("q", coalesce(col("q"), lit(1e-4)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q")))
+          + lit(1e-9), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+      .orderBy(col("event_type"))
+  }
+
   /** Day-over-day trending movers: each event type's daily volume
     * rank (row_number, type-name tiebreak) and its change vs the
     * previous day, with the volume percent change — the "what's
@@ -1276,6 +1320,7 @@ object EventAnalytics {
     "q_user_diversity" -> ((s, d) =>
       userDiversity(Tables.events(s, d)).orderBy(col("user_id"))),
     "q_trending" -> ((s, d) => trending(Tables.events(s, d))),
+    "q_psi" -> ((s, d) => psi(Tables.events(s, d))),
     "q_winsorize" -> ((s, d) => winsorizedMean(Tables.events(s, d))),
     "q_burst_hours" -> ((s, d) => burstHours(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
@@ -1896,6 +1941,47 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.psi: first-half decile edges, floored
+    * shares, Σ(p−q)ln(p/q). */
+  val qPsi: String = """
+    WITH half AS (
+      SELECT (min(ts)::date
+        + (datediff('day', min(ts)::date, max(ts)::date) // 2)::INT)
+        AS mid
+      FROM events),
+    tagged AS (
+      SELECT e.event_type, e.value, e.ts::date <= h.mid AS is_ref
+      FROM events e, half h),
+    edges AS (
+      SELECT event_type,
+        list_transform(quantile_cont(value,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+          x -> round(x + 1e-9, 6)) AS edges
+      FROM tagged WHERE is_ref GROUP BY 1),
+    binned AS (
+      SELECT t.event_type, t.is_ref,
+        list_reduce(list_prepend(0,
+          list_transform(e.edges, ed -> CASE WHEN t.value > ed THEN 1 ELSE 0 END)),
+          (a, b) -> a + b) AS bin,
+        CAST(count(*) AS BIGINT) AS n
+      FROM tagged t JOIN edges e USING (event_type)
+      GROUP BY 1, 2, 3),
+    shares AS (
+      SELECT *, greatest(1e-4,
+        n / CAST(sum(n) OVER (PARTITION BY event_type, is_ref) AS DOUBLE))
+        AS share
+      FROM binned),
+    pq AS (
+      SELECT coalesce(r.event_type, c.event_type) AS event_type,
+        coalesce(r.share, 1e-4) AS p, coalesce(c.share, 1e-4) AS q
+      FROM (SELECT * FROM shares WHERE is_ref) r
+      FULL OUTER JOIN (SELECT * FROM shares WHERE NOT is_ref) c
+        ON r.event_type = c.event_type AND r.bin = c.bin)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
+      round(sum((p - q) * ln(p / q)) + 1e-9, 6) AS psi,
+      round(sum((p - q) * ln(p / q)) + 1e-9, 6) > 0.2 AS drifted
+    FROM pq GROUP BY 1 ORDER BY event_type"""
+
   /** Mirrors EventAnalytics.trending: per-day volume ranks, per-type
     * day-over-day deltas. */
   val qTrending: String = """
@@ -2219,6 +2305,7 @@ object EventOracle {
     "q_inter_event" -> qInterEvent,
     "q_user_diversity" -> qUserDiversity,
     "q_trending" -> qTrending,
+    "q_psi" -> qPsi,
     "q_winsorize" -> qWinsorize,
     "q_burst_hours" -> qBurstHours,
     "q_mann_whitney" -> qMannWhitney,

@@ -1415,6 +1415,26 @@ object Climate {
       .select(col("station_id"), col("n_sizes"), col("hurst"))
   }
 
+  /** OHLC downsampling of the hourly series to daily candles — the
+    * TSDB compaction staple (open/high/low/close + volume): first and
+    * last OBSERVED hourly values per (station, day) via min_by/max_by
+    * on the unique hour key, extrema and observation count in the
+    * same pass.
+    *
+    * Plan: ONE map-combinable keyed aggregate — min_by/max_by carry
+    * a single (value, key) pair through the combiner, so the shuffle
+    * is O(#station-days) regardless of input density. */
+  def ohlc(hourlyRaw: DataFrame): DataFrame =
+    hourlyRaw.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"), to_date(col("hour")).as("day"))
+      .agg(min_by(col("raw"), col("hour")).as("open"),
+        max(col("raw")).as("high"),
+        min(col("raw")).as("low"),
+        max_by(col("raw"), col("hour")).as("close"),
+        count(lit(1)).as("n_obs"))
+      .select(col("station_id"), col("day"), col("open"), col("high"),
+        col("low"), col("close"), col("n_obs"))
+
   /** Mean diurnal cycle per station: the 24-point hour-of-day profile
     * of the zero-filled hourly series with the peak hour flagged —
     * the sub-daily fingerprint (convective afternoon peaks vs

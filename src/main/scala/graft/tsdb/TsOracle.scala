@@ -1709,6 +1709,20 @@ object TsOracle {
       END AS rho
     FROM d ORDER BY station_id, rank"""
 
+  /** Mirrors Climate.ohlc: arg_min/arg_max candles over observed
+    * hourly values. */
+  val qOhlc: String = s"""
+    WITH hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2)
+    SELECT station_id, hour::date AS day,
+      arg_min(raw, hour) AS open,
+      max(raw) AS high, min(raw) AS low,
+      arg_max(raw, hour) AS close,
+      CAST(count(*) AS BIGINT) AS n_obs
+    FROM hourly GROUP BY 1, 2 ORDER BY station_id, day"""
+
   /** Mirrors Climate.diurnalCycle: hour-of-day profile over the
     * dense hourly grid, rn=1 peak flag. */
   val qDiurnalCycle: String = s"""
@@ -2340,6 +2354,7 @@ object TsOracle {
     "q_grubbs" -> qGrubbs,
     "q_wet_dry_markov" -> qWetDryMarkov,
     "q_diurnal_cycle" -> qDiurnalCycle,
+    "q_ohlc" -> qOhlc,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

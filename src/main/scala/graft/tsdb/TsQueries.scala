@@ -372,6 +372,9 @@ object TsQueries {
   def qDiurnalCycle(s: SparkSession, d: String): DataFrame =
     Climate.diurnalCycle(hourly(s, d)).orderBy(col("station_id"), col("hod"))
 
+  def qOhlc(s: SparkSession, d: String): DataFrame =
+    Climate.ohlc(hourly(s, d)).orderBy(col("station_id"), col("day"))
+
   def qSpearman(s: SparkSession, d: String): DataFrame =
     Climate.spearmanNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
@@ -477,6 +480,7 @@ object TsQueries {
     "q_grubbs" -> (qGrubbs _),
     "q_wet_dry_markov" -> (qWetDryMarkov _),
     "q_diurnal_cycle" -> (qDiurnalCycle _),
+    "q_ohlc" -> (qOhlc _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
