@@ -1415,6 +1415,55 @@ object Climate {
       .select(col("station_id"), col("n_sizes"), col("hurst"))
   }
 
+  /** Dynamic-time-warping distance between each station's daily
+    * series and its k nearest neighbors — the elastic similarity
+    * measure that survives phase shifts (a front arriving a day later
+    * at the neighbor) where Pearson/Spearman read pure noise. Full
+    * O(n·m) DP expressed as nested higher-order folds (aggregate /
+    * list_reduce) with IDENTICAL fold order on both engines — no UDF,
+    * stays in the SQL expression layer.
+    *
+    * Plan: each station's series collapses to ONE array row (30
+    * values here; at 100 TB feed aggregate series so n stays bounded
+    * — same contract as theilSen's pair enumeration), pairs come from
+    * the broadcast knn map, and the DP is a per-row expression over
+    * two small arrays. Shuffle = O(#stations) array rows. */
+  def dtwNeighbors(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val series = rawDaily
+      .withColumn("x", coalesce(col("raw"), lit(0.0)))
+      .groupBy(col("station_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
+        .as("xs"))
+    val a = series.select(col("station_id"), col("xs").as("xa"))
+    val b = series.select(col("station_id").as("nb_id"), col("xs").as("xb"))
+    val dtwExpr =
+      """element_at(
+        aggregate(
+          transform(xa, x -> array(x)),
+          concat(array(0.0D), transform(sequence(1, size(xb)), i -> 1e18d)),
+          (prev, xe) -> aggregate(
+            transform(sequence(1, size(xb)), j -> array(
+              abs(element_at(xe, 1) - element_at(xb, j)),
+              element_at(prev, j),
+              element_at(prev, j + 1))),
+            array(1e18d),
+            (acc, trip) -> concat(acc, array(
+              element_at(trip, 1) + least(element_at(trip, 2),
+                element_at(trip, 3), element_at(acc, -1)))))),
+        -1)"""
+    a.join(broadcast(knn.select(col("station_id"), col("nb_id"), col("rank"))),
+        Seq("station_id"))
+      .join(b, Seq("nb_id"))
+      .withColumn("dtw_raw", expr(dtwExpr))
+      .withColumn("n", size(col("xa")))
+      .withColumn("dtw", round(col("dtw_raw") + lit(1e-9), 4))
+      .withColumn("dtw_per_step",
+        round(col("dtw_raw") / col("n") + lit(1e-9), 6))
+      .select(col("station_id"), col("nb_id"), col("rank"), col("n"),
+        col("dtw"), col("dtw_per_step"))
+  }
+
   /** OHLC downsampling of the hourly series to daily candles — the
     * TSDB compaction staple (open/high/low/close + volume): first and
     * last OBSERVED hourly values per (station, day) via min_by/max_by

@@ -1709,6 +1709,43 @@ object TsOracle {
       END AS rho
     FROM d ORDER BY station_id, rank"""
 
+  /** Mirrors Climate.dtwNeighbors: the same nested-fold DP (DuckDB
+    * list_reduce has no init argument, so the initial DP row is
+    * prepended to the fold input — identical fold order to Spark's
+    * aggregate()). */
+  val qDtw: String = s"""
+    WITH $world,
+    series AS (
+      SELECT station_id,
+        list(coalesce(raw, 0.0) ORDER BY day) AS xs
+      FROM raw_daily GROUP BY 1),
+    pairs2 AS (
+      SELECT k.station_id, k.nb_id, k.rank, a.xs AS xa, b.xs AS xb
+      FROM knn k
+      JOIN series a ON a.station_id = k.station_id
+      JOIN series b ON b.station_id = k.nb_id),
+    dp AS (
+      SELECT station_id, nb_id, rank, len(xa) AS n,
+        list_reduce(
+          list_prepend(
+            list_prepend(0.0::DOUBLE,
+              list_transform(range(1, len(xb) + 1), i -> 1e18)),
+            list_transform(xa, x -> [x])),
+          (prev, xe) ->
+            list_reduce(
+              list_prepend([1e18::DOUBLE],
+                list_transform(range(1, len(xb) + 1),
+                  j -> [abs(xe[1] - xb[j]), prev[j], prev[j + 1]])),
+              (acc, trip) ->
+                list_append(acc, trip[1]
+                  + least(trip[2], trip[3], acc[len(acc)])))
+        ) AS row
+      FROM pairs2)
+    SELECT station_id, nb_id, rank, CAST(n AS INT) AS n,
+      round(row[len(row)] + 1e-9, 4) AS dtw,
+      round(row[len(row)] / n + 1e-9, 6) AS dtw_per_step
+    FROM dp ORDER BY station_id, rank"""
+
   /** Mirrors Climate.ohlc: arg_min/arg_max candles over observed
     * hourly values. */
   val qOhlc: String = s"""
@@ -2355,6 +2392,7 @@ object TsOracle {
     "q_wet_dry_markov" -> qWetDryMarkov,
     "q_diurnal_cycle" -> qDiurnalCycle,
     "q_ohlc" -> qOhlc,
+    "q_dtw" -> qDtw,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

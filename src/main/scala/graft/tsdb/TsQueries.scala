@@ -375,6 +375,10 @@ object TsQueries {
   def qOhlc(s: SparkSession, d: String): DataFrame =
     Climate.ohlc(hourly(s, d)).orderBy(col("station_id"), col("day"))
 
+  def qDtw(s: SparkSession, d: String): DataFrame =
+    Climate.dtwNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"), col("rank"))
+
   def qSpearman(s: SparkSession, d: String): DataFrame =
     Climate.spearmanNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
@@ -481,6 +485,7 @@ object TsQueries {
     "q_wet_dry_markov" -> (qWetDryMarkov _),
     "q_diurnal_cycle" -> (qDiurnalCycle _),
     "q_ohlc" -> (qOhlc _),
+    "q_dtw" -> (qDtw _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
