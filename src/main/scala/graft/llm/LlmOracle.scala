@@ -963,6 +963,32 @@ object LlmOracle {
       sum(${ph("payload")})::BIGINT AS payload_sum
     FROM p GROUP BY 1 ORDER BY source"""
 
+  /** Mirrors TextAnalysis.rboTokens: top-20 token rankings per
+    * corpus half, depth-expanded rank-biased overlap (p = 0.9). */
+  val qRbo: String = s"""
+    WITH counts AS (
+      SELECT doc_id % 2 = 0 AS even, t.tok, CAST(count(*) AS BIGINT) AS n
+      FROM documents, unnest($toks) AS t(tok)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY even
+        ORDER BY n DESC, tok) AS rnk
+      FROM counts),
+    top AS (SELECT * FROM ranked WHERE rnk <= 20),
+    j AS (
+      SELECT a.tok, greatest(a.rnk, b.rnk) AS d0
+      FROM (SELECT tok, rnk FROM top WHERE even) a
+      JOIN (SELECT tok, rnk FROM top WHERE NOT even) b USING (tok)),
+    depths AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS overlap
+      FROM j, unnest(range(j.d0, 21)) AS t(d)
+      GROUP BY 1),
+    terms AS (
+      SELECT d, pow(0.9, d - 1) * overlap / d AS term FROM depths)
+    SELECT 20 AS k, CAST(count(*) AS BIGINT) AS n_depths,
+      round(0.09999999999999998 * sum(term) + 1e-9, 6) AS rbo
+    FROM terms"""
+
   /** Mirrors TextAnalysis.readability: identical regex counts. */
   val qReadability: String = s"""
     WITH c AS (
@@ -1552,6 +1578,7 @@ object LlmOracle {
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
     "q_readability" -> qReadability,
+    "q_rbo" -> qRbo,
     "q_dedup_bloom" -> qDedupBloom,
     "q_dsir_weights" -> qDsirWeights,
     "q_corpus_shuffle" -> qCorpusShuffle,

@@ -163,6 +163,7 @@ object LlmQueries {
       graft.sources.Sources.csvRoundtrip(s, d).orderBy(col("source"))),
     "q_readability" -> ((s, d) =>
       TextAnalysis.readability(docs(s, d)).orderBy(col("doc_id"))),
+    "q_rbo" -> ((s, d) => TextAnalysis.rboTokens(docs(s, d))),
     "q_quality_sample" -> ((s, d) =>
       Corpus.sampleByQuality(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),

@@ -922,6 +922,44 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Rank-biased overlap (Webber 2010, p = 0.9) between the top-20
+    * token rankings of the even-doc_id and odd-doc_id corpus halves —
+    * the IR-grade answer to "did the vocabulary ranking shift?"
+    * (plain set overlap ignores rank; RBO weights agreement at the
+    * top). RBO_min over depth 1..k: (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d.
+    *
+    * Plan: two keyed token counts, top-k via WindowGroupLimit rank,
+    * the depth expansion runs on ≤ k² tiny rows. A token at ranks
+    * (ra, rb) contributes to every depth ≥ max(ra, rb) — the
+    * intersection size at depth d is a count over that tiny frame. */
+  def rboTokens(documents: DataFrame, k: Int = 20,
+      p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select((col("doc_id") % 2 === 0).as("even"),
+        explode(expr(tokens("text"))).as("tok"))
+      .groupBy(col("even"), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("even"))
+      .orderBy(col("n").desc, col("tok"))
+    val ranked = counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val a = ranked.filter(col("even"))
+      .select(col("tok"), col("rnk").as("ra"))
+    val b = ranked.filter(!col("even"))
+      .select(col("tok"), col("rnk").as("rb"))
+    val joined = a.join(b, Seq("tok"))
+      .withColumn("d0", greatest(col("ra"), col("rb")))
+    val depths = joined
+      .withColumn("d", explode(sequence(col("d0"), lit(k))))
+      .groupBy(col("d")).agg(count(lit(1)).as("overlap"))
+    depths
+      .withColumn("term", pow(lit(p), col("d") - 1) * col("overlap") / col("d"))
+      .agg(count(lit(1)).as("n_depths"),
+        round(lit(1.0 - p) * sum(col("term")) + lit(1e-9), 6).as("rbo"))
+      .withColumn("k", lit(k))
+      .select(col("k"), col("n_depths"), col("rbo"))
+  }
+
   /** Flesch-style readability proxy per document: words/sentence and
     * vowel-group-per-word (syllable proxy) folded into the classic
     * 206.835 − 1.015·wps − 84.6·spw score — the surface-form

@@ -1415,6 +1415,38 @@ object Climate {
       .select(col("station_id"), col("n_sizes"), col("hurst"))
   }
 
+  /** Gumbel (EV-I) fit of the daily block maxima of the hourly series
+    * by method of moments — the closed-form extreme-value model next
+    * to the empirical Weibull return periods: β = s√6/π, μ = x̄ −
+    * 0.5772156649·β, return levels x_T = μ − β·ln(−ln(1−1/T)) for
+    * T ∈ {2, 10, 100} blocks.
+    *
+    * Plan: block maxima are one keyed aggregate, moments a second on
+    * O(#station-days) rows; the fit is a stateless projection. */
+  def gumbelFit(hourlyRaw: DataFrame): DataFrame = {
+    val euler = 0.5772156649
+    val maxima = hourlyRaw.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"), to_date(col("hour")).as("day"))
+      .agg(max(col("raw")).as("mx"))
+    def retLevel(t: Double) =
+      round(col("mu") - col("beta") * log(-log(lit(1.0) - lit(1.0 / t)))
+        + lit(1e-9), 4)
+    maxima.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        round(avg(col("mx")) + lit(1e-9), 6).as("mean_max"),
+        round(stddev_samp(col("mx")) + lit(1e-9), 6).as("sd_max"))
+      .filter(col("sd_max") > 0.0)
+      .withColumn("beta",
+        round(col("sd_max") * math.sqrt(6.0) / math.Pi + lit(1e-9), 6))
+      .withColumn("mu",
+        round(col("mean_max") - lit(euler) * col("beta") + lit(1e-9), 6))
+      .withColumn("rl2", retLevel(2))
+      .withColumn("rl10", retLevel(10))
+      .withColumn("rl100", retLevel(100))
+      .select(col("station_id"), col("n_blocks"), col("mu"), col("beta"),
+        col("rl2"), col("rl10"), col("rl100"))
+  }
+
   /** Dynamic-time-warping distance between each station's daily
     * series and its k nearest neighbors — the elastic similarity
     * measure that survives phase shifts (a front arriving a day later

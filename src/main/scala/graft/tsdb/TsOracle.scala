@@ -1709,6 +1709,36 @@ object TsOracle {
       END AS rho
     FROM d ORDER BY station_id, rank"""
 
+  /** Mirrors Climate.gumbelFit: method-of-moments EV-I over daily
+    * maxima of the hourly series. */
+  val qGumbel: String = s"""
+    WITH hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    maxima AS (
+      SELECT station_id, hour::date AS day, max(raw) AS mx
+      FROM hourly GROUP BY 1, 2),
+    m AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        round(avg(mx) + 1e-9, 6) AS mean_max,
+        round(stddev_samp(mx) + 1e-9, 6) AS sd_max
+      FROM maxima GROUP BY 1),
+    fit AS (
+      SELECT station_id, n_blocks,
+        round(sd_max * ${math.sqrt(6.0)} / ${math.Pi} + 1e-9, 6) AS beta,
+        mean_max
+      FROM m WHERE sd_max > 0.0),
+    fit2 AS (
+      SELECT station_id, n_blocks, beta,
+        round(mean_max - 0.5772156649 * beta + 1e-9, 6) AS mu
+      FROM fit)
+    SELECT station_id, n_blocks, mu, beta,
+      round(mu - beta * ln(-ln(1.0 - 1.0/2)) + 1e-9, 4) AS rl2,
+      round(mu - beta * ln(-ln(1.0 - 1.0/10)) + 1e-9, 4) AS rl10,
+      round(mu - beta * ln(-ln(1.0 - 1.0/100)) + 1e-9, 4) AS rl100
+    FROM fit2 ORDER BY station_id"""
+
   /** Mirrors Climate.dtwNeighbors: the same nested-fold DP (DuckDB
     * list_reduce has no init argument, so the initial DP row is
     * prepended to the fold input — identical fold order to Spark's
@@ -2393,6 +2423,7 @@ object TsOracle {
     "q_diurnal_cycle" -> qDiurnalCycle,
     "q_ohlc" -> qOhlc,
     "q_dtw" -> qDtw,
+    "q_gumbel" -> qGumbel,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

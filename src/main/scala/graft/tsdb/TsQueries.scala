@@ -379,6 +379,9 @@ object TsQueries {
     Climate.dtwNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
 
+  def qGumbel(s: SparkSession, d: String): DataFrame =
+    Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
+
   def qSpearman(s: SparkSession, d: String): DataFrame =
     Climate.spearmanNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
@@ -486,6 +489,7 @@ object TsQueries {
     "q_diurnal_cycle" -> (qDiurnalCycle _),
     "q_ohlc" -> (qOhlc _),
     "q_dtw" -> (qDtw _),
+    "q_gumbel" -> (qGumbel _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
