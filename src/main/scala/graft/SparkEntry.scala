@@ -44,6 +44,7 @@ object SparkEntry {
     "q_supplier_hhi" -> (Queries.qSupplierHhi _),
     "q_fuzzy_name_join" -> (Queries.qFuzzyNameJoin _),
     "q_customer_deciles" -> (Queries.qCustomerDeciles _),
+    "q_profile" -> (Queries.qProfile _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

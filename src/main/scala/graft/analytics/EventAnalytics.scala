@@ -937,6 +937,41 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Association rules over user "baskets" of event types:
+    * support / confidence / lift for every ordered type pair — the
+    * market-basket staple ("users who error also refund?") with the
+    * user as the transaction.
+    *
+    * Plan: baskets collapse to DISTINCT (user, type) rows first (one
+    * keyed aggregate — the pair join runs on ≤ k rows per user, never
+    * raw events); pair counts are a self-join on user_id riding the
+    * same partitioning; singles broadcast back. */
+  def basketLift(events: DataFrame): DataFrame = {
+    val items = events.select(col("user_id"), col("event_type")).distinct()
+    val total = items.agg(count_distinct(col("user_id")).as("n_users"))
+    val singles = items.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_item"))
+    val a = items.select(col("user_id"), col("event_type").as("type_a"))
+    val b = items.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id")).filter(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(singles.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_item", "n_a")), Seq("type_a"))
+      .join(broadcast(singles.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_item", "n_b")), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("support",
+        round(col("n_both") / col("n_users").cast("double") + lit(1e-9), 6))
+      .withColumn("confidence",
+        round(col("n_both") / col("n_a").cast("double") + lit(1e-9), 6))
+      .withColumn("lift", round(col("n_both") * col("n_users").cast("double")
+        / (col("n_a") * col("n_b")).cast("double") + lit(1e-9), 6))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("support"), col("confidence"), col("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Population Stability Index per event type — the ML-ops drift
     * gauge between the period's first and second half: value deciles
     * binned on the FIRST half's exact edges, PSI = Σ (p−q)·ln(p/q)
@@ -1321,6 +1356,7 @@ object EventAnalytics {
       userDiversity(Tables.events(s, d)).orderBy(col("user_id"))),
     "q_trending" -> ((s, d) => trending(Tables.events(s, d))),
     "q_psi" -> ((s, d) => psi(Tables.events(s, d))),
+    "q_basket_lift" -> ((s, d) => basketLift(Tables.events(s, d))),
     "q_winsorize" -> ((s, d) => winsorizedMean(Tables.events(s, d))),
     "q_burst_hours" -> ((s, d) => burstHours(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
@@ -1941,6 +1977,34 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.basketLift: distinct user baskets,
+    * pair/single counts, lift. */
+  val qBasketLift: String = """
+    WITH items AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    total AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM items),
+    singles AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+      FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(count(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b ON a.user_id = b.user_id
+        AND a.event_type <> b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_both,
+      sa.n_item AS n_a, sb.n_item AS n_b,
+      round(p.n_both / CAST(t.n_users AS DOUBLE) + 1e-9, 6) AS support,
+      round(p.n_both / CAST(sa.n_item AS DOUBLE) + 1e-9, 6) AS confidence,
+      round(p.n_both * CAST(t.n_users AS DOUBLE)
+        / CAST(sa.n_item * sb.n_item AS DOUBLE) + 1e-9, 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON p.type_a = sa.event_type
+    JOIN singles sb ON p.type_b = sb.event_type
+    CROSS JOIN total t
+    ORDER BY p.type_a, p.type_b"""
+
   /** Mirrors EventAnalytics.psi: first-half decile edges, floored
     * shares, Σ(p−q)ln(p/q). */
   val qPsi: String = """
@@ -2306,6 +2370,7 @@ object EventOracle {
     "q_user_diversity" -> qUserDiversity,
     "q_trending" -> qTrending,
     "q_psi" -> qPsi,
+    "q_basket_lift" -> qBasketLift,
     "q_winsorize" -> qWinsorize,
     "q_burst_hours" -> qBurstHours,
     "q_mann_whitney" -> qMannWhitney,

@@ -483,8 +483,23 @@ object OracleSql {
       round(decile_rev / sum(decile_rev) OVER () + 1e-9, 6) AS share
     FROM agg ORDER BY decile"""
 
+  /** Mirrors Queries.qProfile: per-column stats, strings for
+    * min/max. */
+  val qProfile: String = {
+    val cols = Seq("l_orderkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+    cols.map(c => s"""
+      SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null,
+        CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+      FROM lineitem""").mkString(" UNION ALL ") + " ORDER BY col_name"
+  }
+
   val all: Map[String, String] = Map(
     "q_skyline" -> qSkyline,
+    "q_profile" -> qProfile,
     "q_reorder_gap" -> qReorderGap,
     "q_supplier_hhi" -> qSupplierHhi,
     "q_fuzzy_name_join" -> qFuzzyNameJoin,

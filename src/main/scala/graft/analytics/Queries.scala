@@ -879,6 +879,35 @@ object Queries {
       .orderBy(col("decile"))
   }
 
+  private val ProfileCols = Seq("l_orderkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+
+  /** Data-profiling report over lineitem (the ingestion-QA table
+    * every warehouse runs first): per column the row count, null
+    * count, exact distinct count, and min/max rendered as strings.
+    *
+    * Plan: ONE pass — all per-column statistics ride a single
+    * aggregate (Catalyst expands the multi-distinct into one
+    * Expand + aggregate, still one scan), then a stack() unpivot of
+    * the 1-row result. Never a scan per column. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val aggs = ProfileCols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"null_$c"),
+      count_distinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', null_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    one.select(col("n_rows"), expr(
+        s"stack(${ProfileCols.size}, $stackArgs) " +
+          "as (col_name, n_null, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
