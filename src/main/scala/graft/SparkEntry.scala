@@ -45,6 +45,7 @@ object SparkEntry {
     "q_fuzzy_name_join" -> (Queries.qFuzzyNameJoin _),
     "q_customer_deciles" -> (Queries.qCustomerDeciles _),
     "q_profile" -> (Queries.qProfile _),
+    "q_monthly_yoy" -> (Queries.qMonthlyYoy _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

@@ -937,6 +937,40 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Exact 1-D earth mover's distance between the A/B variants' value
+    * distributions per event type — the integral companion to the KS
+    * statistic's max: EMD₁ = ∫|F_a − F_b| dx, computed exactly as
+    * Σ |cumA − cumB| · (next value − value) over the merged distinct
+    * values.
+    *
+    * Plan: values collapse to a (type, value) count frame first (the
+    * cumulative windows run over DISTINCT values, orders of magnitude
+    * smaller than events at scale — the mannWhitney trick); one
+    * ordered window per type for the two CDFs and the gap. */
+  def emdVariants(events: DataFrame): DataFrame = {
+    val tagged = events
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("variant")).as("cnt_a"),
+        sum(lit(1) - col("variant")).as("cnt_b"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wOrd = wT.orderBy(col("value"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("n_a", sum(col("cnt_a")).over(wT))
+      .withColumn("n_b", sum(col("cnt_b")).over(wT))
+      .withColumn("cum_a", sum(col("cnt_a")).over(wCum) / col("n_a").cast("double"))
+      .withColumn("cum_b", sum(col("cnt_b")).over(wCum) / col("n_b").cast("double"))
+      .withColumn("gap", lead(col("value"), 1).over(wOrd) - col("value"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        round(sum(abs(col("cum_a") - col("cum_b")) * col("gap")) + lit(1e-9), 6)
+          .as("emd"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("emd"))
+      .orderBy(col("event_type"))
+  }
+
   /** Association rules over user "baskets" of event types:
     * support / confidence / lift for every ordered type pair — the
     * market-basket staple ("users who error also refund?") with the
@@ -1357,6 +1391,7 @@ object EventAnalytics {
     "q_trending" -> ((s, d) => trending(Tables.events(s, d))),
     "q_psi" -> ((s, d) => psi(Tables.events(s, d))),
     "q_basket_lift" -> ((s, d) => basketLift(Tables.events(s, d))),
+    "q_emd" -> ((s, d) => emdVariants(Tables.events(s, d))),
     "q_winsorize" -> ((s, d) => winsorizedMean(Tables.events(s, d))),
     "q_burst_hours" -> ((s, d) => burstHours(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
@@ -1977,6 +2012,31 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.emdVariants: distinct-value CDFs,
+    * Σ|ΔCDF|·gap. */
+  val qEmd: String = """
+    WITH tagged AS (
+      SELECT event_type, value,
+        CAST(sum(CAST(user_id % 2 = 0 AS INT)) AS BIGINT) AS cnt_a,
+        CAST(sum(CAST(user_id % 2 <> 0 AS INT)) AS BIGINT) AS cnt_b
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT *,
+        sum(cnt_a) OVER (PARTITION BY event_type) AS n_a,
+        sum(cnt_b) OVER (PARTITION BY event_type) AS n_b,
+        sum(cnt_a) OVER wc AS ca, sum(cnt_b) OVER wc AS cb,
+        lead(value, 1) OVER (PARTITION BY event_type ORDER BY value)
+          - value AS gap
+      FROM tagged
+      WINDOW wc AS (PARTITION BY event_type ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, CAST(max(n_a) AS BIGINT) AS n_a,
+      CAST(max(n_b) AS BIGINT) AS n_b,
+      round(sum(abs(ca / CAST(n_a AS DOUBLE) - cb / CAST(n_b AS DOUBLE))
+        * gap) + 1e-9, 6) AS emd
+    FROM w WHERE gap IS NOT NULL
+    GROUP BY 1 ORDER BY event_type"""
+
   /** Mirrors EventAnalytics.basketLift: distinct user baskets,
     * pair/single counts, lift. */
   val qBasketLift: String = """
@@ -2371,6 +2431,7 @@ object EventOracle {
     "q_trending" -> qTrending,
     "q_psi" -> qPsi,
     "q_basket_lift" -> qBasketLift,
+    "q_emd" -> qEmd,
     "q_winsorize" -> qWinsorize,
     "q_burst_hours" -> qBurstHours,
     "q_mann_whitney" -> qMannWhitney,

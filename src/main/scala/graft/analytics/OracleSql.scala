@@ -483,6 +483,23 @@ object OracleSql {
       round(decile_rev / sum(decile_rev) OVER () + 1e-9, 6) AS share
     FROM agg ORDER BY decile"""
 
+  /** Mirrors Queries.qMonthlyYoy: monthly revenue, same-month lag. */
+  val qMonthlyYoy: String = """
+    WITH m AS (
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        round(sum(o_totalprice) + 1e-9, 2) AS revenue
+      FROM orders GROUP BY 1, 2),
+    l AS (
+      SELECT *, lag(revenue, 1) OVER (PARTITION BY mon ORDER BY yr)
+        AS prev_revenue
+      FROM m)
+    SELECT yr, mon, n_orders, revenue, prev_revenue,
+      CASE WHEN prev_revenue > 0
+        THEN round((revenue - prev_revenue) / prev_revenue + 1e-9, 6)
+      END AS yoy_growth
+    FROM l ORDER BY yr, mon"""
+
   /** Mirrors Queries.qProfile: per-column stats, strings for
     * min/max. */
   val qProfile: String = {
@@ -500,6 +517,7 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "q_skyline" -> qSkyline,
     "q_profile" -> qProfile,
+    "q_monthly_yoy" -> qMonthlyYoy,
     "q_reorder_gap" -> qReorderGap,
     "q_supplier_hhi" -> qSupplierHhi,
     "q_fuzzy_name_join" -> qFuzzyNameJoin,

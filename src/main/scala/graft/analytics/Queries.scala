@@ -908,6 +908,29 @@ object Queries {
       .orderBy(col("col_name"))
   }
 
+  /** Year-over-year monthly revenue growth (the BI seasonality
+    * staple): order totals per (year, month), the same calendar month
+    * a year earlier via one lag window per month-of-year, growth
+    * percent.
+    *
+    * Plan: one keyed aggregate to O(#months) rows; the YoY lag is a
+    * window over that tiny frame. */
+  def qMonthlyYoy(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")) + lit(1e-9), 2).as("revenue"))
+    val w = Window.partitionBy(col("mon")).orderBy(col("yr"))
+    m.withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("yoy_growth", when(col("prev_revenue") > 0,
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue")
+          + lit(1e-9), 6)))
+      .select(col("yr"), col("mon"), col("n_orders"), col("revenue"),
+        col("prev_revenue"), col("yoy_growth"))
+      .orderBy(col("yr"), col("mon"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

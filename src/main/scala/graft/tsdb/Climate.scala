@@ -1415,6 +1415,33 @@ object Climate {
       .select(col("station_id"), col("n_sizes"), col("hurst"))
   }
 
+  /** Rousseeuw–Croux Sₙ robust scale per station: 1.1926 ·
+    * med_i( med_j |x_i − x_j| ) — the 50%-breakdown spread estimate
+    * that, unlike MAD, needs no location estimate and stays efficient
+    * under asymmetry.
+    *
+    * Plan: the same per-station pair enumeration as theilSen /
+    * mannKendall (feed aggregate series at 100 TB so per-station n
+    * stays bounded); inner medians are one keyed exact percentile per
+    * (station, anchor day), the outer median a second keyed
+    * percentile over n rows per station. */
+  def snScale(rawDaily: DataFrame): DataFrame = {
+    val x = rawDaily.select(col("station_id"), col("day"),
+      coalesce(col("raw"), lit(0.0)).as("x"))
+    val y = x.select(col("station_id"), col("day").as("day_j"),
+      col("x").as("xj"))
+    val inner = x.join(y, Seq("station_id"))
+      .filter(col("day") =!= col("day_j"))
+      .groupBy(col("station_id"), col("day"))
+      .agg(round(expr("percentile(abs(x - xj), 0.5D)") + lit(1e-9), 6)
+        .as("med_i"))
+    inner.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(med_i, 0.5D)") + lit(1e-9), 6).as("med_med"))
+      .withColumn("sn", round(lit(1.1926) * col("med_med") + lit(1e-9), 6))
+      .select(col("station_id"), col("n"), col("med_med"), col("sn"))
+  }
+
   /** Gumbel (EV-I) fit of the daily block maxima of the hourly series
     * by method of moments — the closed-form extreme-value model next
     * to the empirical Weibull return periods: β = s√6/π, μ = x̄ −

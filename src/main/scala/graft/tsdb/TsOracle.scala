@@ -1709,6 +1709,25 @@ object TsOracle {
       END AS rho
     FROM d ORDER BY station_id, rank"""
 
+  /** Mirrors Climate.snScale: pairwise median-of-medians robust
+    * scale. */
+  val qSnScale: String = s"""
+    WITH $world,
+    x AS (SELECT station_id, day, coalesce(raw, 0.0) AS x FROM raw_daily),
+    inner_m AS (
+      SELECT a.station_id, a.day,
+        round(quantile_cont(abs(a.x - b.x), 0.5) + 1e-9, 6) AS med_i
+      FROM x a JOIN x b
+        ON a.station_id = b.station_id AND a.day <> b.day
+      GROUP BY 1, 2),
+    outer_m AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        round(quantile_cont(med_i, 0.5) + 1e-9, 6) AS med_med
+      FROM inner_m GROUP BY 1)
+    SELECT station_id, n, med_med,
+      round(1.1926 * med_med + 1e-9, 6) AS sn
+    FROM outer_m ORDER BY station_id"""
+
   /** Mirrors Climate.gumbelFit: method-of-moments EV-I over daily
     * maxima of the hourly series. */
   val qGumbel: String = s"""
@@ -2424,6 +2443,7 @@ object TsOracle {
     "q_ohlc" -> qOhlc,
     "q_dtw" -> qDtw,
     "q_gumbel" -> qGumbel,
+    "q_sn_scale" -> qSnScale,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

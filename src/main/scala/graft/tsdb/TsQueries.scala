@@ -382,6 +382,9 @@ object TsQueries {
   def qGumbel(s: SparkSession, d: String): DataFrame =
     Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
 
+  def qSnScale(s: SparkSession, d: String): DataFrame =
+    Climate.snScale(rawDaily(s, d)).orderBy(col("station_id"))
+
   def qSpearman(s: SparkSession, d: String): DataFrame =
     Climate.spearmanNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
@@ -490,6 +493,7 @@ object TsQueries {
     "q_ohlc" -> (qOhlc _),
     "q_dtw" -> (qDtw _),
     "q_gumbel" -> (qGumbel _),
+    "q_sn_scale" -> (qSnScale _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
