@@ -937,6 +937,45 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Two-proportion z-test on conversion (did the variant move the
+    * purchase RATE? — the categorical endpoint beside the
+    * value-means t-test): per variant the user count and converted
+    * count (≥1 purchase), pooled-proportion z.
+    *
+    * Plan: one (user → converted) aggregate, one 2-row variant
+    * rollup; all test arithmetic on the 2-row frame. */
+  def twoPropZ(events: DataFrame): DataFrame = {
+    // conversion = first purchase within 24 h of first activity (every
+    // user purchases EVENTUALLY in this corpus, so the raw has-purchase
+    // rate is degenerately 1.0 — the time-bounded rate varies)
+    val users = events.groupBy(col("user_id"))
+      .agg((min(when(col("event_type") === "purchase", col("ts")))
+        <= min(col("ts")) + expr("interval 24 hours")).cast("int")
+        .as("converted"))
+      .withColumn("converted", coalesce(col("converted"), lit(0)))
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+    val g = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = g.filter(col("variant") === 1)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = g.filter(col("variant") === 0)
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p_a", round(col("conv_a") / col("n_a").cast("double")
+        + lit(1e-9), 6))
+      .withColumn("p_b", round(col("conv_b") / col("n_b").cast("double")
+        + lit(1e-9), 6))
+      .withColumn("p_pool", (col("conv_a") + col("conv_b"))
+        / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z", when(col("p_pool") > 0.0 && col("p_pool") < 1.0,
+        round((col("p_a") - col("p_b"))
+          / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+            * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))) + lit(1e-9), 4)))
+      .withColumn("significant", abs(col("z")) > 1.96)
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("p_a"), col("p_b"), col("z"), col("significant"))
+  }
+
   /** Exact 1-D earth mover's distance between the A/B variants' value
     * distributions per event type — the integral companion to the KS
     * statistic's max: EMD₁ = ∫|F_a − F_b| dx, computed exactly as
@@ -1392,6 +1431,7 @@ object EventAnalytics {
     "q_psi" -> ((s, d) => psi(Tables.events(s, d))),
     "q_basket_lift" -> ((s, d) => basketLift(Tables.events(s, d))),
     "q_emd" -> ((s, d) => emdVariants(Tables.events(s, d))),
+    "q_two_prop_z" -> ((s, d) => twoPropZ(Tables.events(s, d))),
     "q_winsorize" -> ((s, d) => winsorizedMean(Tables.events(s, d))),
     "q_burst_hours" -> ((s, d) => burstHours(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
@@ -2012,6 +2052,38 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.twoPropZ: pooled two-proportion z on
+    * conversion. */
+  val qTwoPropZ: String = """
+    WITH users AS (
+      SELECT user_id,
+        coalesce(CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+          <= min(ts) + INTERVAL 24 HOUR AS INT), 0) AS converted,
+        CAST(max(user_id) % 2 = 0 AS INT) AS variant
+      FROM events GROUP BY 1),
+    g AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(converted) AS BIGINT) AS conv
+      FROM users GROUP BY 1),
+    ab AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.conv AS conv_a, b.conv AS conv_b
+      FROM (SELECT * FROM g WHERE variant = 1) a,
+           (SELECT * FROM g WHERE variant = 0) b),
+    c AS (
+      SELECT *,
+        round(conv_a / CAST(n_a AS DOUBLE) + 1e-9, 6) AS p_a,
+        round(conv_b / CAST(n_b AS DOUBLE) + 1e-9, 6) AS p_b,
+        (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+      FROM ab)
+    SELECT n_a, n_b, conv_a, conv_b, p_a, p_b,
+      CASE WHEN p_pool > 0.0 AND p_pool < 1.0
+        THEN round((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+          * (1.0 / n_a + 1.0 / n_b)) + 1e-9, 4) END AS z,
+      abs(CASE WHEN p_pool > 0.0 AND p_pool < 1.0
+        THEN round((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+          * (1.0 / n_a + 1.0 / n_b)) + 1e-9, 4) END) > 1.96 AS significant
+    FROM c"""
+
   /** Mirrors EventAnalytics.emdVariants: distinct-value CDFs,
     * Σ|ΔCDF|·gap. */
   val qEmd: String = """
@@ -2432,6 +2504,7 @@ object EventOracle {
     "q_psi" -> qPsi,
     "q_basket_lift" -> qBasketLift,
     "q_emd" -> qEmd,
+    "q_two_prop_z" -> qTwoPropZ,
     "q_winsorize" -> qWinsorize,
     "q_burst_hours" -> qBurstHours,
     "q_mann_whitney" -> qMannWhitney,

@@ -1415,6 +1415,66 @@ object Climate {
       .select(col("station_id"), col("n_sizes"), col("hurst"))
   }
 
+  /** Benjamini–Hochberg FDR correction over the per-station
+    * Mann–Kendall trend tests — the multiple-testing discipline a
+    * 1500-station trend sweep REQUIRES (at α = 0.05, ~75 stations
+    * "trend" by chance alone): two-sided p from the A&S 26.2.17
+    * normal-CDF polynomial (identical Horner order on both engines),
+    * ranks ascending, reject ranks ≤ max{k : p₍ₖ₎ ≤ kα/m}.
+    *
+    * Plan: rides mannKendall's z frame (O(#stations)); the global
+    * rank runs over that tiny frame. */
+  def bhFdr(rawDaily: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val mk = mannKendall(rawDaily).select(col("station_id"), col("z"))
+    val az = abs(col("z"))
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782)
+      + t * (lit(1.781477937) + t * (lit(-1.821255978)
+        + t * lit(1.330274429)))))
+    val phi = exp(az * az / lit(-2.0)) / lit(math.sqrt(2.0 * math.Pi))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("p"), col("station_id"))
+    mk.withColumn("p", round(lit(2.0) * phi * poly + lit(1e-9), 6))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("bh_thresh",
+        round(col("rnk") * lit(alpha) / col("m") + lit(1e-9), 6))
+      .withColumn("kmax", max(when(col("p") <= col("bh_thresh"), col("rnk"))
+        .otherwise(lit(0))).over(wAll))
+      .withColumn("rejected", col("rnk") <= col("kmax"))
+      .select(col("station_id"), col("z"), col("p"), col("rnk"), col("m"),
+        col("bh_thresh"), col("rejected"))
+  }
+
+  /** First and second diurnal harmonics per station (the DFT bins of
+    * the 24-point hour-of-day profile): amplitude 2/24·√(a²+b²) and
+    * phase atan2(b, a) for k ∈ {1, 2} — "is the daily cycle a single
+    * afternoon peak or bimodal?", the spectral summary of
+    * [[diurnalCycle]].
+    *
+    * Plan: the profile is one keyed aggregate; the harmonic sums are
+    * a second keyed aggregate over 24 rows per station with
+    * literal-angle cos/sin. */
+  def diurnalHarmonics(hourlyRaw: DataFrame): DataFrame = {
+    val prof = hourlyRaw
+      .withColumn("hod", hour(col("hour")))
+      .groupBy(col("station_id"), col("hod"))
+      .agg(round(avg(coalesce(col("raw"), lit(0.0))) + lit(1e-9), 6).as("x"))
+    val k = explode(lit(Array(1, 2)))
+    prof.withColumn("k", k)
+      .withColumn("ang", lit(2.0 * math.Pi) * col("k") * col("hod") / lit(24.0))
+      .groupBy(col("station_id"), col("k"))
+      .agg(round(sum(col("x") * cos(col("ang"))) + lit(1e-9), 6).as("a"),
+        round(sum(col("x") * sin(col("ang"))) + lit(1e-9), 6).as("b"),
+        round(avg(col("x")) + lit(1e-9), 6).as("mean_x"))
+      .withColumn("amplitude",
+        round(lit(2.0 / 24.0) * sqrt(col("a") * col("a") + col("b") * col("b"))
+          + lit(1e-9), 6))
+      .withColumn("phase", round(atan2(col("b"), col("a")) + lit(1e-9), 4))
+      .select(col("station_id"), col("k"), col("mean_x"),
+        col("amplitude"), col("phase"))
+  }
+
   /** Rousseeuw–Croux Sₙ robust scale per station: 1.1926 ·
     * med_i( med_j |x_i − x_j| ) — the 50%-breakdown spread estimate
     * that, unlike MAD, needs no location estimate and stays efficient

@@ -1709,6 +1709,85 @@ object TsOracle {
       END AS rho
     FROM d ORDER BY station_id, rank"""
 
+  /** Mirrors Climate.bhFdr: A&S 26.2.17 normal CDF (identical Horner
+    * order), BH step-up over the station p-values. */
+  val qBhFdr: String = s"""
+    WITH $world,
+    annual AS (
+      SELECT station_id, day AS yr, raw AS p
+      FROM raw_daily WHERE raw IS NOT NULL),
+    pairs_mk AS (
+      SELECT a.station_id, sign(b.p - a.p) AS sg
+      FROM annual a JOIN annual b
+        ON a.station_id = b.station_id AND a.yr < b.yr),
+    s_stat AS (
+      SELECT station_id, CAST(sum(sg) AS BIGINT) AS s
+      FROM pairs_mk GROUP BY 1),
+    nn AS (SELECT station_id, count(*) AS n FROM annual GROUP BY 1),
+    zf AS (
+      SELECT s_stat.station_id,
+        CASE WHEN s = 0 THEN 0.0
+          ELSE round(sign(s) * (abs(s) - 1)
+            / sqrt(round(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0
+              + 1e-9, 6)) + 1e-9, 4) END AS z
+      FROM s_stat JOIN nn USING (station_id)),
+    pv AS (
+      SELECT station_id, z,
+        round(2.0 * (exp(abs(z) * abs(z) / -2.0)
+            / ${math.sqrt(2.0 * math.Pi)})
+          * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+            * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+              * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                    * 1.330274429))))) + 1e-9, 6) AS p
+      FROM zf),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY p, station_id) AS rnk,
+        CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv),
+    th AS (
+      SELECT *, round(rnk * 0.05 / m + 1e-9, 6) AS bh_thresh
+      FROM ranked),
+    km AS (
+      SELECT *, max(CASE WHEN p <= bh_thresh THEN rnk ELSE 0 END) OVER ()
+        AS kmax
+      FROM th)
+    SELECT station_id, z, p, rnk, m, bh_thresh, rnk <= kmax AS rejected
+    FROM km ORDER BY station_id"""
+
+  /** Mirrors Climate.diurnalHarmonics: DFT bins k=1,2 of the 24-point
+    * diurnal profile, 6-dp quantized coefficient sums. */
+  val qHarmonic: String = s"""
+    WITH stations AS (SELECT DISTINCT user_id::BIGINT AS station_id FROM events),
+    hb AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+    hgrid AS (
+      SELECT s.station_id, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM stations s, hb b),
+    hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    prof AS (
+      SELECT g.station_id, hour(g.hour) AS hod,
+        round(avg(coalesce(h.raw, 0.0)) + 1e-9, 6) AS x
+      FROM hgrid g LEFT JOIN hourly h USING (station_id, hour)
+      GROUP BY 1, 2),
+    hk AS (
+      SELECT station_id, k, hod, x,
+        ${2.0 * math.Pi} * k * hod / 24.0 AS ang
+      FROM prof, unnest([1, 2]) AS t(k)),
+    coeff AS (
+      SELECT station_id, k,
+        round(sum(x * cos(ang)) + 1e-9, 6) AS a,
+        round(sum(x * sin(ang)) + 1e-9, 6) AS b,
+        round(avg(x) + 1e-9, 6) AS mean_x
+      FROM hk GROUP BY 1, 2)
+    SELECT station_id, CAST(k AS INT) AS k, mean_x,
+      round(${2.0 / 24.0} * sqrt(a*a + b*b) + 1e-9, 6) AS amplitude,
+      round(atan2(b, a) + 1e-9, 4) AS phase
+    FROM coeff ORDER BY station_id, k"""
+
   /** Mirrors Climate.snScale: pairwise median-of-medians robust
     * scale. */
   val qSnScale: String = s"""
@@ -2444,6 +2523,8 @@ object TsOracle {
     "q_dtw" -> qDtw,
     "q_gumbel" -> qGumbel,
     "q_sn_scale" -> qSnScale,
+    "q_bh_fdr" -> qBhFdr,
+    "q_harmonic" -> qHarmonic,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

@@ -385,6 +385,13 @@ object TsQueries {
   def qSnScale(s: SparkSession, d: String): DataFrame =
     Climate.snScale(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qBhFdr(s: SparkSession, d: String): DataFrame =
+    Climate.bhFdr(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qHarmonic(s: SparkSession, d: String): DataFrame =
+    Climate.diurnalHarmonics(hourly(s, d))
+      .orderBy(col("station_id"), col("k"))
+
   def qSpearman(s: SparkSession, d: String): DataFrame =
     Climate.spearmanNeighbors(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("rank"))
@@ -494,6 +501,8 @@ object TsQueries {
     "q_dtw" -> (qDtw _),
     "q_gumbel" -> (qGumbel _),
     "q_sn_scale" -> (qSnScale _),
+    "q_bh_fdr" -> (qBhFdr _),
+    "q_harmonic" -> (qHarmonic _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
