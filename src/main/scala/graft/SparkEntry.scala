@@ -46,6 +46,7 @@ object SparkEntry {
     "q_customer_deciles" -> (Queries.qCustomerDeciles _),
     "q_profile" -> (Queries.qProfile _),
     "q_monthly_yoy" -> (Queries.qMonthlyYoy _),
+    "q_discount_elasticity" -> (Queries.qDiscountElasticity _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

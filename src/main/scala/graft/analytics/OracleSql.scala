@@ -500,6 +500,27 @@ object OracleSql {
       END AS yoy_growth
     FROM l ORDER BY yr, mon"""
 
+  /** Mirrors Queries.qDiscountElasticity: five sufficient sums per
+    * part type. */
+  val qDiscountElasticity: String = """
+    WITH j AS (
+      SELECT p.p_type, l.l_discount AS x, l.l_quantity AS yv
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    sums AS (
+      SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+        sum(x) AS sx, sum(yv) AS sy, sum(x*x) AS sxx, sum(yv*yv) AS syy,
+        sum(x*yv) AS sxy
+      FROM j GROUP BY 1),
+    d AS (
+      SELECT *, n*sxx - sx*sx AS detx, n*syy - sy*sy AS dety FROM sums)
+    SELECT p_type, n,
+      CASE WHEN detx > 0.0
+        THEN round((n*sxy - sx*sy) / detx + 1e-9, 4) END AS slope,
+      CASE WHEN detx > 0.0 AND dety > 0.0
+        THEN round((n*sxy - sx*sy) * (n*sxy - sx*sy) / (detx*dety)
+          + 1e-9, 6) END AS r2
+    FROM d ORDER BY p_type"""
+
   /** Mirrors Queries.qProfile: per-column stats, strings for
     * min/max. */
   val qProfile: String = {
@@ -518,6 +539,7 @@ object OracleSql {
     "q_skyline" -> qSkyline,
     "q_profile" -> qProfile,
     "q_monthly_yoy" -> qMonthlyYoy,
+    "q_discount_elasticity" -> qDiscountElasticity,
     "q_reorder_gap" -> qReorderGap,
     "q_supplier_hhi" -> qSupplierHhi,
     "q_fuzzy_name_join" -> qFuzzyNameJoin,

@@ -931,6 +931,39 @@ object Queries {
       .orderBy(col("yr"), col("mon"))
   }
 
+  /** Discount elasticity of quantity per part type: OLS slope of
+    * l_quantity on l_discount within each p_type (does a deeper
+    * discount actually move volume?) — closed form from the five
+    * sufficient sums, with r².
+    *
+    * Plan: one broadcast dim join (part is the small side), one
+    * map-combinable keyed moment aggregate; the fit is a stateless
+    * projection on O(#types) rows. */
+  def qDiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_discount").as("x"),
+        col("l_quantity").as("yv"))
+    val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("yv")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yv") * col("yv")).as("syy"),
+        sum(col("x") * col("yv")).as("sxy"))
+      .withColumn("detx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dety", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", when(col("detx") > 0.0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) / col("detx")
+          + lit(1e-9), 4)))
+      .withColumn("r2", when(col("detx") > 0.0 && col("dety") > 0.0,
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("detx") * col("dety")) + lit(1e-9), 6)))
+      .select(col("p_type"), col("n"), col("slope"), col("r2"))
+      .orderBy(col("p_type"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -963,6 +963,34 @@ object LlmOracle {
       sum(${ph("payload")})::BIGINT AS payload_sum
     FROM p GROUP BY 1 ORDER BY source"""
 
+  /** Mirrors TextAnalysis.tokenBurstiness: top-50 tokens, zero-
+    * inclusive Fano factor from sum/sumsq/df + the doc total. */
+  val qTokenBurstiness: String = s"""
+    WITH tf AS (
+      SELECT t.tok, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM documents, unnest($toks) AS t(tok)
+      GROUP BY 1, 2),
+    by_tok AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS s,
+        CAST(sum(c * c) AS BIGINT) AS ssq,
+        CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY 1),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY s DESC, tok) AS rnk
+      FROM by_tok),
+    m AS (
+      SELECT tok, rnk, s, df,
+        s / CAST(t.n_docs AS DOUBLE) AS mean_c,
+        ssq / CAST(t.n_docs AS DOUBLE)
+          - (s / CAST(t.n_docs AS DOUBLE)) * (s / CAST(t.n_docs AS DOUBLE))
+          AS var_c
+      FROM ranked, total t WHERE rnk <= 50)
+    SELECT tok, rnk, s, df,
+      round(mean_c + 1e-9, 6) AS mean_c,
+      round(var_c / mean_c + 1e-9, 6) AS fano
+    FROM m ORDER BY rnk"""
+
   /** Mirrors TextAnalysis.rboTokens: top-20 token rankings per
     * corpus half, depth-expanded rank-biased overlap (p = 0.9). */
   val qRbo: String = s"""
@@ -1579,6 +1607,7 @@ object LlmOracle {
     "q_ingest_csv" -> qIngestCsv,
     "q_readability" -> qReadability,
     "q_rbo" -> qRbo,
+    "q_token_burstiness" -> qTokenBurstiness,
     "q_dedup_bloom" -> qDedupBloom,
     "q_dsir_weights" -> qDsirWeights,
     "q_corpus_shuffle" -> qCorpusShuffle,

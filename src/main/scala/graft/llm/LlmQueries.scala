@@ -164,6 +164,8 @@ object LlmQueries {
     "q_readability" -> ((s, d) =>
       TextAnalysis.readability(docs(s, d)).orderBy(col("doc_id"))),
     "q_rbo" -> ((s, d) => TextAnalysis.rboTokens(docs(s, d))),
+    "q_token_burstiness" -> ((s, d) =>
+      TextAnalysis.tokenBurstiness(docs(s, d)).orderBy(col("rnk"))),
     "q_quality_sample" -> ((s, d) =>
       Corpus.sampleByQuality(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),

@@ -922,6 +922,35 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Token burstiness (Fano factor) for the top-50 corpus tokens:
+    * variance-to-mean ratio of the per-document count, zeros included
+    * — function words hug 1 (Poisson), topical words burst ≫ 1; the
+    * corpus-linguistics feature behind df-weighting decisions.
+    *
+    * Plan: one (token, doc) count aggregate, a keyed token rollup
+    * (sum, sum of squares, df), top-50 WindowGroupLimit, moments
+    * closed over the broadcast 1-row doc total (absent docs are the
+    * n_docs − df zeros — never materialized). */
+  def tokenBurstiness(documents: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents.select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val byTok = tf.groupBy(col("tok"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("ssq"),
+        count(lit(1)).as("df"))
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("s").desc, col("tok"))
+    byTok.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .crossJoin(broadcast(total))
+      .withColumn("mean_c", col("s") / col("n_docs").cast("double"))
+      .withColumn("var_c", col("ssq") / col("n_docs").cast("double")
+        - col("mean_c") * col("mean_c"))
+      .withColumn("fano", round(col("var_c") / col("mean_c") + lit(1e-9), 6))
+      .select(col("tok"), col("rnk"), col("s"), col("df"),
+        round(col("mean_c") + lit(1e-9), 6).as("mean_c"), col("fano"))
+  }
+
   /** Rank-biased overlap (Webber 2010, p = 0.9) between the top-20
     * token rankings of the even-doc_id and odd-doc_id corpus halves —
     * the IR-grade answer to "did the vocabulary ranking shift?"

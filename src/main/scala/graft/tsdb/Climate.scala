@@ -1415,6 +1415,39 @@ object Climate {
       .select(col("station_id"), col("n_sizes"), col("hurst"))
   }
 
+  /** Peaks-over-threshold GPD fit per station — the OTHER half of
+    * extreme-value practice beside the Gumbel block-maxima route:
+    * exceedances over the station's exact p95, method-of-moments
+    * Generalized Pareto shape/scale (ξ = ½(1 − m̄²/s²) with m̄/s² the
+    * excess mean/variance, σ = ½m̄(m̄²/s² + 1)), plus the mean-excess
+    * value the POT diagnostic plots.
+    *
+    * Plan: threshold frame is one keyed exact percentile broadcast
+    * back; excess moments one keyed aggregate over the exceedance
+    * subset. */
+  def potGpd(rawDaily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val x = rawDaily.select(col("station_id"),
+      coalesce(col("raw"), lit(0.0)).as("x"))
+    val th = x.groupBy(col("station_id"))
+      .agg(round(expr("percentile(x, 0.95D)") + lit(1e-9), 6).as("u"))
+    x.join(broadcast(th), Seq("station_id"))
+      .filter(col("x") > col("u"))
+      .withColumn("e", col("x") - col("u"))
+      .groupBy(col("station_id"), col("u"))
+      .agg(count(lit(1)).as("n_exc"),
+        round(avg(col("e")) + lit(1e-9), 6).as("mean_excess"),
+        round(var_samp(col("e")) + lit(1e-9), 6).as("var_excess"))
+      .filter(col("var_excess") > 0.0)
+      .withColumn("r", col("mean_excess") * col("mean_excess")
+        / col("var_excess"))
+      .withColumn("xi", round(lit(0.5) * (lit(1.0) - col("r")) + lit(1e-9), 6))
+      .withColumn("sigma", round(lit(0.5) * col("mean_excess")
+        * (col("r") + lit(1.0)) + lit(1e-9), 6))
+      .select(col("station_id"), col("u"), col("n_exc"), col("mean_excess"),
+        col("xi"), col("sigma"))
+  }
+
   /** Benjamini–Hochberg FDR correction over the per-station
     * Mann–Kendall trend tests — the multiple-testing discipline a
     * 1500-station trend sweep REQUIRES (at α = 0.05, ~75 stations

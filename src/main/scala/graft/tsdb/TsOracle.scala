@@ -1788,6 +1788,30 @@ object TsOracle {
       round(atan2(b, a) + 1e-9, 4) AS phase
     FROM coeff ORDER BY station_id, k"""
 
+  /** Mirrors Climate.potGpd: exact-p95 exceedances, GPD method of
+    * moments. */
+  val qPotGpd: String = s"""
+    WITH $world,
+    x AS (SELECT station_id, coalesce(raw, 0.0) AS x FROM raw_daily),
+    th AS (
+      SELECT station_id, round(quantile_cont(x, 0.95) + 1e-9, 6) AS u
+      FROM x GROUP BY 1),
+    exc AS (
+      SELECT x.station_id, th.u, x.x - th.u AS e
+      FROM x JOIN th USING (station_id) WHERE x.x > th.u),
+    m AS (
+      SELECT station_id, u, CAST(count(*) AS BIGINT) AS n_exc,
+        round(avg(e) + 1e-9, 6) AS mean_excess,
+        round(var_samp(e) + 1e-9, 6) AS var_excess
+      FROM exc GROUP BY 1, 2),
+    r AS (
+      SELECT *, mean_excess * mean_excess / var_excess AS rr
+      FROM m WHERE var_excess > 0.0)
+    SELECT station_id, u, n_exc, mean_excess,
+      round(0.5 * (1.0 - rr) + 1e-9, 6) AS xi,
+      round(0.5 * mean_excess * (rr + 1.0) + 1e-9, 6) AS sigma
+    FROM r ORDER BY station_id"""
+
   /** Mirrors Climate.snScale: pairwise median-of-medians robust
     * scale. */
   val qSnScale: String = s"""
@@ -2525,6 +2549,7 @@ object TsOracle {
     "q_sn_scale" -> qSnScale,
     "q_bh_fdr" -> qBhFdr,
     "q_harmonic" -> qHarmonic,
+    "q_pot_gpd" -> qPotGpd,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

@@ -388,6 +388,9 @@ object TsQueries {
   def qBhFdr(s: SparkSession, d: String): DataFrame =
     Climate.bhFdr(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qPotGpd(s: SparkSession, d: String): DataFrame =
+    Climate.potGpd(rawDaily(s, d)).orderBy(col("station_id"))
+
   def qHarmonic(s: SparkSession, d: String): DataFrame =
     Climate.diurnalHarmonics(hourly(s, d))
       .orderBy(col("station_id"), col("k"))
@@ -503,6 +506,7 @@ object TsQueries {
     "q_sn_scale" -> (qSnScale _),
     "q_bh_fdr" -> (qBhFdr _),
     "q_harmonic" -> (qHarmonic _),
+    "q_pot_gpd" -> (qPotGpd _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
