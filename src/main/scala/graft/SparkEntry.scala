@@ -47,6 +47,7 @@ object SparkEntry {
     "q_profile" -> (Queries.qProfile _),
     "q_monthly_yoy" -> (Queries.qMonthlyYoy _),
     "q_discount_elasticity" -> (Queries.qDiscountElasticity _),
+    "q_ship_latency" -> (Queries.qShipLatency _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

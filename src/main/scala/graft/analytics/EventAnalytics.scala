@@ -937,6 +937,29 @@ object EventAnalytics {
     * lifetime frame; the product folds as exp(Σ ln(·)) — a sum the
     * cumulative window handles, with the summands from exact rationals
     * so both engines agree to well past the 6 reported decimals. */
+  /** Exponentially recency-weighted user value (the CRM/ranking
+    * "hotness" score): Σ value·exp(−λ·days_before_horizon) per user
+    * with λ = ln2/7 (one-week half-life) — yesterday's purchase
+    * counts double next week's same purchase.
+    *
+    * Plan: horizon is a broadcast 1-row aggregate; the score is one
+    * map-combinable keyed aggregate over a stateless exp projection. */
+  def recencyScore(events: DataFrame, halfLifeDays: Double = 7.0): DataFrame = {
+    val lambda = math.log(2.0) / halfLifeDays
+    val horizon = events.agg(to_date(max(col("ts"))).as("dmax"))
+    events.crossJoin(broadcast(horizon))
+      .withColumn("wgt",
+        exp(lit(-lambda) * datediff(col("dmax"), to_date(col("ts")))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * col("wgt")) + lit(1e-9), 4).as("score"),
+        round(sum(col("wgt")) + lit(1e-9), 6).as("wgt_mass"))
+      .withColumn("score_per_event",
+        round(col("score") / col("n_events") + lit(1e-9), 6))
+      .select(col("user_id"), col("n_events"), col("score"),
+        col("wgt_mass"), col("score_per_event"))
+  }
+
   /** Two-proportion z-test on conversion (did the variant move the
     * purchase RATE? — the categorical endpoint beside the
     * value-means t-test): per variant the user count and converted
@@ -1432,6 +1455,8 @@ object EventAnalytics {
     "q_basket_lift" -> ((s, d) => basketLift(Tables.events(s, d))),
     "q_emd" -> ((s, d) => emdVariants(Tables.events(s, d))),
     "q_two_prop_z" -> ((s, d) => twoPropZ(Tables.events(s, d))),
+    "q_recency_score" -> ((s, d) =>
+      recencyScore(Tables.events(s, d)).orderBy(col("user_id"))),
     "q_winsorize" -> ((s, d) => winsorizedMean(Tables.events(s, d))),
     "q_burst_hours" -> ((s, d) => burstHours(Tables.events(s, d))),
     "q_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
@@ -2052,6 +2077,22 @@ object EventOracle {
         AS significant
     FROM ab ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.recencyScore: identical λ literal,
+    * exp-decay weighted sums. */
+  val qRecencyScore: String = s"""
+    WITH h AS (SELECT max(ts)::date AS dmax FROM events),
+    w AS (
+      SELECT e.user_id, e.value,
+        exp(${-math.log(2.0) / 7.0}
+          * datediff('day', e.ts::date, h.dmax)) AS wgt
+      FROM events e, h)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      round(sum(value * wgt) + 1e-9, 4) AS score,
+      round(sum(wgt) + 1e-9, 6) AS wgt_mass,
+      round(round(sum(value * wgt) + 1e-9, 4) / count(*) + 1e-9, 6)
+        AS score_per_event
+    FROM w GROUP BY 1 ORDER BY user_id"""
+
   /** Mirrors EventAnalytics.twoPropZ: pooled two-proportion z on
     * conversion. */
   val qTwoPropZ: String = """
@@ -2505,6 +2546,7 @@ object EventOracle {
     "q_basket_lift" -> qBasketLift,
     "q_emd" -> qEmd,
     "q_two_prop_z" -> qTwoPropZ,
+    "q_recency_score" -> qRecencyScore,
     "q_winsorize" -> qWinsorize,
     "q_burst_hours" -> qBurstHours,
     "q_mann_whitney" -> qMannWhitney,

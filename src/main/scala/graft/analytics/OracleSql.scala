@@ -521,6 +521,21 @@ object OracleSql {
           + 1e-9, 6) END AS r2
     FROM d ORDER BY p_type"""
 
+  /** Mirrors Queries.qShipLatency: order join, priority percentile
+    * profile. */
+  val qShipLatency: String = """
+    WITH j AS (
+      SELECT o.o_orderpriority,
+        datediff('day', o.o_orderdate::date, l.l_shipdate::date) AS lat
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      round(avg(lat) + 1e-9, 4) AS mean_days,
+      round(quantile_cont(lat, 0.5) + 1e-9, 4) AS p50_days,
+      round(quantile_cont(lat, 0.95) + 1e-9, 4) AS p95_days,
+      round(avg(CASE WHEN lat > 90 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+        AS late_share
+    FROM j GROUP BY 1 ORDER BY o_orderpriority"""
+
   /** Mirrors Queries.qProfile: per-column stats, strings for
     * min/max. */
   val qProfile: String = {
@@ -540,6 +555,7 @@ object OracleSql {
     "q_profile" -> qProfile,
     "q_monthly_yoy" -> qMonthlyYoy,
     "q_discount_elasticity" -> qDiscountElasticity,
+    "q_ship_latency" -> qShipLatency,
     "q_reorder_gap" -> qReorderGap,
     "q_supplier_hhi" -> qSupplierHhi,
     "q_fuzzy_name_join" -> qFuzzyNameJoin,

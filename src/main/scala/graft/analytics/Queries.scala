@@ -964,6 +964,32 @@ object Queries {
       .orderBy(col("p_type"))
   }
 
+  /** Order-to-ship latency profile per order priority (the
+    * fulfillment SLA report): days from o_orderdate to each line's
+    * l_shipdate, exact percentiles + late share per priority.
+    *
+    * Plan: one keyed join lineitem→orders on the order key (both
+    * sides shuffle once on l_orderkey — the natural co-partitioning;
+    * orders is NOT broadcastable at scale), then one keyed
+    * exact-percentile aggregate to O(#priorities). */
+  def qShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("ordered"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat", datediff(col("ship"), col("ordered")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(avg(col("lat")) + lit(1e-9), 4).as("mean_days"),
+        round(expr("percentile(lat, 0.5D)") + lit(1e-9), 4).as("p50_days"),
+        round(expr("percentile(lat, 0.95D)") + lit(1e-9), 4).as("p95_days"),
+        round(avg((col("lat") > 90).cast("double")) + lit(1e-9), 6)
+          .as("late_share"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
