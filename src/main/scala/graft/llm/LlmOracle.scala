@@ -1154,6 +1154,52 @@ object LlmOracle {
     FROM cells ORDER BY lang, predicted"""
   }
 
+  /** Mirrors TextAnalysis.cohensKappa: marginal-product p_e over
+    * classes present on both sides of the confusion matrix. */
+  val qCohensKappa: String = {
+    val scores = Profiles.map { case (l, ws) =>
+      s"len(list_filter($toks, t -> list_contains(${profList(ws)}, t))) AS score_$l"
+    }.mkString(",\n        ")
+    val maxS = Profiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+    val pred = Profiles.map { case (l, _) =>
+      s"WHEN score_$l >= $maxS AND score_$l > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        $scores
+      FROM documents),
+    labeled AS (SELECT lang, $pred AS predicted FROM scored),
+    cells AS (
+      SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+      FROM labeled GROUP BY 1, 2),
+    agree AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN lang = predicted THEN n ELSE 0 END) AS BIGINT)
+          AS n_agree
+      FROM cells),
+    rows_m AS (
+      SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS row_t
+      FROM cells GROUP BY 1),
+    cols_m AS (
+      SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS col_t
+      FROM cells GROUP BY 1),
+    pe AS (
+      SELECT a.total, a.n_agree,
+        sum(r.row_t * c.col_t
+          / CAST(a.total * a.total AS DOUBLE)) AS pe_raw
+      FROM rows_m r JOIN cols_m c USING (cls), agree a
+      GROUP BY 1, 2),
+    k AS (
+      SELECT total, n_agree,
+        round(n_agree / CAST(total AS DOUBLE) + 1e-9, 6) AS p_o,
+        round(pe_raw + 1e-9, 6) AS p_e
+      FROM pe)
+    SELECT total AS n_docs, n_agree, p_o, p_e,
+      round((p_o - p_e) / (1.0 - p_e) + 1e-9, 6) AS kappa
+    FROM k"""
+  }
+
   val qMinhashCalibration: String = s"""
     WITH $shCte, $sigCte,
     sorted AS (SELECT doc_id, list_sort(hashes) AS sh FROM hash_t),
@@ -1608,6 +1654,7 @@ object LlmOracle {
     "q_readability" -> qReadability,
     "q_rbo" -> qRbo,
     "q_token_burstiness" -> qTokenBurstiness,
+    "q_cohens_kappa" -> qCohensKappa,
     "q_dedup_bloom" -> qDedupBloom,
     "q_dsir_weights" -> qDsirWeights,
     "q_corpus_shuffle" -> qCorpusShuffle,

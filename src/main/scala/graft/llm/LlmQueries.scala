@@ -166,6 +166,7 @@ object LlmQueries {
     "q_rbo" -> ((s, d) => TextAnalysis.rboTokens(docs(s, d))),
     "q_token_burstiness" -> ((s, d) =>
       TextAnalysis.tokenBurstiness(docs(s, d)).orderBy(col("rnk"))),
+    "q_cohens_kappa" -> ((s, d) => TextAnalysis.cohensKappa(docs(s, d))),
     "q_quality_sample" -> ((s, d) =>
       Corpus.sampleByQuality(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),

@@ -83,6 +83,39 @@ object TextAnalysis {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** Cohen's κ of the language-ID heuristic against the labeled lang
+    * — the chance-corrected scalar summary of [[langidConfusion]]
+    * (accuracy alone flatters a classifier on a skewed label mix):
+    * κ = (p_o − p_e)/(1 − p_e) with p_e from the marginal products.
+    *
+    * Plan: one confusion-count aggregate; marginals are windows over
+    * the ≤ |langs|² cell frame; κ is a 1-row rollup. */
+  def cohensKappa(documents: DataFrame): DataFrame = {
+    val cells = langId(documents)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val agree = cells.agg(sum(col("n")).as("total"),
+      sum(when(col("lang") === col("predicted"), col("n"))
+        .otherwise(lit(0L))).as("n_agree"))
+    val rows = cells.groupBy(col("lang").as("cls")).agg(sum(col("n")).as("row_t"))
+    val cols = cells.groupBy(col("predicted").as("cls"))
+      .agg(sum(col("n")).as("col_t"))
+    // p_e sums the MARGINAL products over classes present on both
+    // sides (a class absent from one margin contributes 0)
+    rows.join(cols, Seq("cls"))
+      .crossJoin(broadcast(agree))
+      .groupBy(col("total"), col("n_agree"))
+      .agg(sum(col("row_t") * col("col_t")
+        / (col("total") * col("total")).cast("double")).as("pe_raw"))
+      .withColumn("p_o",
+        round(col("n_agree") / col("total").cast("double") + lit(1e-9), 6))
+      .withColumn("p_e", round(col("pe_raw") + lit(1e-9), 6))
+      .withColumn("kappa", round((col("p_o") - col("p_e"))
+        / (lit(1.0) - col("p_e")) + lit(1e-9), 6))
+      .select(col("total").as("n_docs"), col("n_agree"), col("p_o"),
+        col("p_e"), col("kappa"))
+  }
+
   /** Quality features + score: char/token counts, mean word length,
     * punctuation ratio, stopword ratio. */
   def quality(documents: DataFrame): DataFrame = {

@@ -1415,6 +1415,49 @@ object Climate {
       .select(col("station_id"), col("n_sizes"), col("hurst"))
   }
 
+  /** Empirical semivariogram of the station period means — THE
+    * geostatistics primitive (the kriging/IDW range and sill are read
+    * off this curve): γ(h) = ½·mean((v_i − v_j)²) over station pairs
+    * binned by separation distance, h ≤ hMax in unit bins.
+    *
+    * Plan: pair generation is the knnDistBucketed cell trick — build
+    * side replicated into its 9 neighbor cells of size hMax, probe
+    * joins its own cell (EQUI join; deterministic-complete for
+    * dist ≤ hMax), a<b dedup; never all-pairs. The value frame is
+    * O(#stations). */
+  def variogram(rawDaily: DataFrame, meta: DataFrame,
+      hMax: Double = 6.0): DataFrame = {
+    val ma = rawDaily.groupBy(col("station_id"))
+      .agg(round(avg(coalesce(col("raw"), lit(0.0))) + lit(1e-9), 6).as("v"))
+    val pts = ma.join(meta.select(col("station_id"), col("x"), col("y")),
+        Seq("station_id"))
+      .withColumn("cx", floor(col("x") / lit(hMax)))
+      .withColumn("cy", floor(col("y") / lit(hMax)))
+    val offsets = Seq(-1, 0, 1)
+    val build = pts.select(col("station_id").as("nb_id"), col("x").as("nb_x"),
+        col("y").as("nb_y"), col("v").as("nb_v"), col("cx"), col("cy"))
+      .withColumn("off", explode(array(offsets.flatMap(dx =>
+        offsets.map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)))
+      .select(col("nb_id"), col("nb_x"), col("nb_y"), col("nb_v"),
+        (col("cx") + col("off.dx")).as("cx"),
+        (col("cy") + col("off.dy")).as("cy"))
+    pts.join(build, Seq("cx", "cy"))
+      .filter(col("station_id") < col("nb_id"))
+      .withColumn("dist", sqrt((col("x") - col("nb_x")) * (col("x") - col("nb_x"))
+        + (col("y") - col("nb_y")) * (col("y") - col("nb_y"))))
+      .filter(col("dist") > 0.0 && col("dist") <= lit(hMax))
+      .withColumn("bin", floor(col("dist")).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("dist")) + lit(1e-9), 4).as("mean_dist"),
+        // 2-dp: the bin average sums ~1e5-magnitude squares over up
+        // to ~1e5 pairs, so engine-vs-oracle summation-order drift
+        // can reach ~1e-4 — a 6-dp round would flake on it
+        round(avg((col("v") - col("nb_v")) * (col("v") - col("nb_v")))
+          / 2 + lit(1e-9), 2).as("gamma"))
+      .orderBy(col("bin"))
+  }
+
   /** Peaks-over-threshold GPD fit per station — the OTHER half of
     * extreme-value practice beside the Gumbel block-maxima route:
     * exceedances over the station's exact p95, method-of-moments

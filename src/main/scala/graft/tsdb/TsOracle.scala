@@ -1788,6 +1788,30 @@ object TsOracle {
       round(atan2(b, a) + 1e-9, 4) AS phase
     FROM coeff ORDER BY station_id, k"""
 
+  /** Mirrors Climate.variogram: zero-filled period means, brute
+    * complete pairs ≤ hMax (the engine's cell join is deterministic-
+    * complete over the same set), unit distance bins. */
+  val qVariogram: String = s"""
+    WITH $world,
+    vm AS (
+      SELECT station_id, round(avg(coalesce(raw, 0.0)) + 1e-9, 6) AS v
+      FROM raw_daily GROUP BY 1),
+    pr AS (
+      SELECT a.station_id, b.station_id AS nb_id,
+        sqrt((ma.x - mb.x)*(ma.x - mb.x) + (ma.y - mb.y)*(ma.y - mb.y))
+          AS dist,
+        a.v AS va, b.v AS vb
+      FROM vm a JOIN vm b ON a.station_id < b.station_id
+      JOIN meta ma ON ma.station_id = a.station_id
+      JOIN meta mb ON mb.station_id = b.station_id),
+    binned AS (
+      SELECT CAST(floor(dist) AS INT) AS bin, dist, va, vb
+      FROM pr WHERE dist > 0.0 AND dist <= 6.0)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+      round(avg(dist) + 1e-9, 4) AS mean_dist,
+      round(avg((va - vb) * (va - vb)) / 2 + 1e-9, 2) AS gamma
+    FROM binned GROUP BY 1 ORDER BY bin"""
+
   /** Mirrors Climate.potGpd: exact-p95 exceedances, GPD method of
     * moments. */
   val qPotGpd: String = s"""
@@ -2550,6 +2574,7 @@ object TsOracle {
     "q_bh_fdr" -> qBhFdr,
     "q_harmonic" -> qHarmonic,
     "q_pot_gpd" -> qPotGpd,
+    "q_variogram" -> qVariogram,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

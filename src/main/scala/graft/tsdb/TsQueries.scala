@@ -391,6 +391,9 @@ object TsQueries {
   def qPotGpd(s: SparkSession, d: String): DataFrame =
     Climate.potGpd(rawDaily(s, d)).orderBy(col("station_id"))
 
+  def qVariogram(s: SparkSession, d: String): DataFrame =
+    Climate.variogram(rawDaily(s, d), meta(s, d)).orderBy(col("bin"))
+
   def qHarmonic(s: SparkSession, d: String): DataFrame =
     Climate.diurnalHarmonics(hourly(s, d))
       .orderBy(col("station_id"), col("k"))
@@ -507,6 +510,7 @@ object TsQueries {
     "q_bh_fdr" -> (qBhFdr _),
     "q_harmonic" -> (qHarmonic _),
     "q_pot_gpd" -> (qPotGpd _),
+    "q_variogram" -> (qVariogram _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
