@@ -983,7 +983,10 @@ object EventAnalytics {
       .select(col("n").as("n_a"), col("conv").as("conv_a"))
     val b = g.filter(col("variant") === 0)
       .select(col("n").as("n_b"), col("conv").as("conv_b"))
-    a.crossJoin(broadcast(b))
+    // limit(1) structurally bounds the nested-loop side (the frame IS
+    // one row — variant 0 grouped+filtered — but the plan guard can't
+    // prove that through a grouped aggregate)
+    a.crossJoin(broadcast(b.limit(1)))
       .withColumn("p_a", round(col("conv_a") / col("n_a").cast("double")
         + lit(1e-9), 6))
       .withColumn("p_b", round(col("conv_b") / col("n_b").cast("double")
