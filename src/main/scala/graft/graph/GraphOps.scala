@@ -100,4 +100,36 @@ object GraphOps {
             / (col("degree") * (col("degree") - 1)) + lit(1e-9), 6))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Degree assortativity coefficient — does the graph wire hubs to
+    * hubs (r > 0, social networks) or hubs to leaves (r < 0,
+    * infrastructure/kNN graphs)? Pearson correlation of the endpoint
+    * degrees over the directed edge list (both orientations, the
+    * standard Newman formulation), closed form from five sufficient
+    * sums.
+    *
+    * Plan: one degree aggregate, two keyed joins back onto the edge
+    * list (the degree frame is O(#nodes) — broadcastable), one global
+    * moment rollup to a single row. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+    und
+      .join(broadcast(deg.select(col("id").as("u"), col("d").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("id").as("v"), col("d").as("dv"))), Seq("v"))
+      .agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"),
+        sum(col("du") * col("dv")).as("sxy"))
+      .withColumn("detx", col("n_dir_edges") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dety", col("n_dir_edges") * col("syy") - col("sy") * col("sy"))
+      .withColumn("assortativity",
+        when(col("detx") > 0.0 && col("dety") > 0.0,
+          round((col("n_dir_edges") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("detx") * col("dety")) + lit(1e-9), 6)))
+      .select(col("n_dir_edges"), col("assortativity"))
+  }
 }

@@ -1282,6 +1282,33 @@ object TsOracle {
     FROM deg d LEFT JOIN per_node p USING (id)
     ORDER BY station_id"""
 
+  /** Mirrors GraphOps.assortativity: endpoint-degree Pearson over the
+    * directed edge list. */
+  val qAssortativity: String = s"""
+    WITH $world,
+    und AS (
+      SELECT station_id AS u, nb_id AS v FROM knn WHERE station_id != nb_id
+      UNION
+      SELECT nb_id, station_id FROM knn WHERE station_id != nb_id),
+    deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    j AS (
+      SELECT a.d AS du, b.d AS dv
+      FROM und JOIN deg a ON und.u = a.id JOIN deg b ON und.v = b.id),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+        sum(du) AS sx, sum(dv) AS sy, sum(du*du) AS sxx, sum(dv*dv) AS syy,
+        sum(du*dv) AS sxy
+      FROM j),
+    d2 AS (
+      SELECT *, n_dir_edges*sxx - sx*sx AS detx,
+        n_dir_edges*syy - sy*sy AS dety
+      FROM s)
+    SELECT n_dir_edges,
+      CASE WHEN detx > 0.0 AND dety > 0.0
+        THEN round((n_dir_edges*sxy - sx*sy) / sqrt(detx*dety) + 1e-9, 6)
+      END AS assortativity
+    FROM d2"""
+
   /** Mirrors Climate.ewmaControl. The weights and the limit width are
     * computed by the SAME Scala expressions as the engine's and
     * injected as decimal literals (Double.toString round-trips, DuckDB
@@ -2575,6 +2602,7 @@ object TsOracle {
     "q_harmonic" -> qHarmonic,
     "q_pot_gpd" -> qPotGpd,
     "q_variogram" -> qVariogram,
+    "q_assortativity" -> qAssortativity,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

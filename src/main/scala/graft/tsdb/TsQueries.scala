@@ -394,6 +394,9 @@ object TsQueries {
   def qVariogram(s: SparkSession, d: String): DataFrame =
     Climate.variogram(rawDaily(s, d), meta(s, d)).orderBy(col("bin"))
 
+  def qAssortativity(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.assortativity(knnEdges(s, d))
+
   def qHarmonic(s: SparkSession, d: String): DataFrame =
     Climate.diurnalHarmonics(hourly(s, d))
       .orderBy(col("station_id"), col("k"))
@@ -511,6 +514,7 @@ object TsQueries {
     "q_harmonic" -> (qHarmonic _),
     "q_pot_gpd" -> (qPotGpd _),
     "q_variogram" -> (qVariogram _),
+    "q_assortativity" -> (qAssortativity _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
