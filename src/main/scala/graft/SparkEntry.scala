@@ -48,6 +48,9 @@ object SparkEntry {
     "q_monthly_yoy" -> (Queries.qMonthlyYoy _),
     "q_discount_elasticity" -> (Queries.qDiscountElasticity _),
     "q_ship_latency" -> (Queries.qShipLatency _),
+    "q_price_index" -> (Queries.qPriceIndex _),
+    "q_abc_xyz" -> (Queries.qAbcXyz _),
+    "q_revenue_bridge" -> (Queries.qRevenueBridge _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

@@ -1412,6 +1412,73 @@ object EventAnalytics {
         col("z_wh"), col("significant"))
   }
 
+  /** Kruskal–Wallis H test across the event-type groups (the
+    * nonparametric one-way ANOVA — are the k value distributions
+    * stochastically equal?), with the standard tie correction
+    * C = 1 − Σ(t³−t)/(N³−N) and the Wilson–Hilferty χ²→z mapping the
+    * other tests here use.
+    *
+    * Plan: ranks come from the mannWhitney tie-block trick — ONE
+    * aggregate to the distinct-value frame, cumulative average ranks
+    * over it (at 100 TB the same ordinal is a range-partition +
+    * prefix-sum pass, the Corpus.shuffle pattern — no row-level global
+    * sort either way), then a keyed (type, value) join and two tiny
+    * rollups. R_j sums are exact-long-weighted doubles; only the O(1)
+    * H statistic rounds. */
+  def kruskalWallis(events: DataFrame): DataFrame = {
+    val blocks = events.groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = blocks.withColumn("avg_rank",
+      sum(col("cnt")).over(wv).cast("double") - (col("cnt") - 1) / lit(2.0))
+    val gv = events.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt_g"))
+    val rj = gv.join(ranked.select(col("value"), col("avg_rank")), Seq("value"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt_g")).as("n_j"),
+        sum(col("cnt_g") * col("avg_rank")).as("r_j"))
+    val ties = blocks.agg(sum(col("cnt")).as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_sum"))
+    rj.crossJoin(broadcast(ties))
+      .groupBy(col("n"), col("tie_sum"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("r_j") * col("r_j") / col("n_j")).as("s"))
+      .withColumn("h_raw",
+        lit(12.0) / (col("n") * (col("n") + 1)) * col("s")
+          - lit(3.0) * (col("n") + 1))
+      .withColumn("c",
+        lit(1.0) - col("tie_sum").cast("double")
+          / (col("n") * col("n") * col("n") - col("n")))
+      .withColumn("h",
+        when(col("c") > 0.0, round(col("h_raw") / col("c") + lit(1e-9), 4)))
+      .withColumn("z_wh",
+        round((pow(col("h") / (col("k") - 1), 1.0 / 3)
+          - (lit(1.0) - lit(2.0) / (lit(9.0) * (col("k") - 1))))
+          / sqrt(lit(2.0) / (lit(9.0) * (col("k") - 1))) + lit(1e-9), 4))
+      .withColumn("significant", col("z_wh") > 1.645)
+      .select(col("n"), col("k"), col("h"), col("z_wh"), col("significant"))
+  }
+
+  /** Brown–Forsythe (median-based Levene) test for equal variances
+    * across event types — the robust pre-flight before any
+    * pooled-variance test: one-way ANOVA F on the absolute deviations
+    * from each group's median.
+    *
+    * Plan: exact group medians (one keyed exact-percentile aggregate
+    * to O(k) rows) broadcast back onto a stateless |x − med|
+    * projection, then exactly [[anova]]'s plan on the transformed
+    * frame. */
+  def leveneBrownForsythe(events: DataFrame): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5D)") + lit(1e-9), 6).as("med"))
+    val z = events.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("value") - col("med")).as("value"))
+    anova(z)
+      .select(col("n"), col("k"), col("f_stat").as("w_stat"),
+        col("z_wh"), col("significant"))
+  }
+
   def kaplanMeier(events: DataFrame): DataFrame = {
     val users = events.groupBy(col("user_id"))
       .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
@@ -1447,6 +1514,8 @@ object EventAnalytics {
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
+    "q_kruskal_wallis" -> ((s, d) => kruskalWallis(Tables.events(s, d))),
+    "q_levene_bf" -> ((s, d) => leveneBrownForsythe(Tables.events(s, d))),
     "q_anomaly_iqr" -> ((s, d) => anomalyIqr(Tables.events(s, d))),
     "q_entropy_rate" -> ((s, d) => entropyRate(Tables.events(s, d))),
     "q_hill_tail" -> ((s, d) => hillTail(Tables.events(s, d))),
@@ -2465,6 +2534,84 @@ object EventOracle {
       FROM z)
     SELECT n, k, f_stat, eta_sq, z_wh, z_wh > 1.645 AS significant FROM w"""
 
+  /** Mirrors EventAnalytics.kruskalWallis: tie-block average ranks,
+    * tie-corrected H, Wilson–Hilferty z. */
+  val qKruskalWallis: String = """
+    WITH blocks AS (
+      SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+    ranked AS (
+      SELECT value,
+        sum(cnt) OVER (ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+          - (cnt - 1) / 2.0 AS avg_rank
+      FROM blocks),
+    gv AS (
+      SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt_g
+      FROM events GROUP BY 1, 2),
+    rj AS (
+      SELECT gv.event_type, CAST(sum(gv.cnt_g) AS BIGINT) AS n_j,
+        sum(gv.cnt_g * r.avg_rank) AS r_j
+      FROM gv JOIN ranked r USING (value) GROUP BY 1),
+    ties AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        CAST(sum(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_sum
+      FROM blocks),
+    s AS (
+      SELECT n, tie_sum, CAST(count(*) AS BIGINT) AS k,
+        sum(r_j * r_j / n_j) AS s
+      FROM rj CROSS JOIN ties GROUP BY 1, 2),
+    h0 AS (
+      SELECT *,
+        12.0 / (n * (n + 1)) * s - 3.0 * (n + 1) AS h_raw,
+        1.0 - tie_sum::DOUBLE / (n*n*n - n) AS c
+      FROM s),
+    h1 AS (
+      SELECT n, k,
+        CASE WHEN c > 0.0 THEN round(h_raw / c + 1e-9, 4) END AS h
+      FROM h0),
+    z AS (
+      SELECT *,
+        round((pow(h / (k - 1), 1.0/3) - (1.0 - 2.0 / (9.0 * (k - 1))))
+          / sqrt(2.0 / (9.0 * (k - 1))) + 1e-9, 4) AS z_wh
+      FROM h1)
+    SELECT n, k, h, z_wh, z_wh > 1.645 AS significant FROM z"""
+
+  /** Mirrors EventAnalytics.leveneBrownForsythe: |x − group median|
+    * through the qAnova pipeline. */
+  val qLeveneBf: String = """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5) + 1e-9, 6) AS med
+      FROM events GROUP BY 1),
+    zv AS (
+      SELECT e.event_type, abs(e.value - m.med) AS value
+      FROM events e JOIN med m USING (event_type)),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+        round(avg(value) + 1e-9, 6) AS mean_i,
+        round(var_samp(value) + 1e-9, 6) AS v_i
+      FROM zv GROUP BY 1),
+    grand AS (
+      SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        round(sum(n_i * mean_i) / sum(n_i) + 1e-9, 6) AS gm
+      FROM g),
+    s AS (
+      SELECT n, k, gm,
+        sum(n_i * (mean_i - gm) * (mean_i - gm)) AS ssb,
+        sum((n_i - 1) * v_i) AS ssw
+      FROM g CROSS JOIN grand GROUP BY 1, 2, 3),
+    f AS (
+      SELECT *,
+        round((ssb / (k - 1)) / (ssw / (n - k)) + 1e-9, 4) AS w_stat
+      FROM s),
+    z AS (
+      SELECT *, round((k - 1) * w_stat + 1e-9, 4) AS chi2 FROM f),
+    w AS (
+      SELECT *,
+        round((pow(chi2 / (k - 1), 1.0/3) - (1.0 - 2.0 / (9.0 * (k - 1))))
+          / sqrt(2.0 / (9.0 * (k - 1))) + 1e-9, 4) AS z_wh
+      FROM z)
+    SELECT n, k, w_stat, z_wh, z_wh > 1.645 AS significant FROM w"""
+
   /** Mirrors EventAnalytics.mannWhitney: distinct-value tie blocks,
     * cumulative average ranks, tie-corrected z. */
   val qMannWhitney: String = """
@@ -2539,6 +2686,8 @@ object EventOracle {
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,
     "q_anova" -> qAnova,
+    "q_kruskal_wallis" -> qKruskalWallis,
+    "q_levene_bf" -> qLeveneBf,
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_entropy_rate" -> qEntropyRate,
     "q_hill_tail" -> qHillTail,

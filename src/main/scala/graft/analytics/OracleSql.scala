@@ -550,7 +550,91 @@ object OracleSql {
       FROM lineitem""").mkString(" UNION ALL ") + " ORDER BY col_name"
   }
 
+  /** Mirrors Queries.qPriceIndex: 6-dp unit prices, 2-dp quantities,
+    * min-month base basket, 2-dp cost totals. */
+  val qPriceIndex: String = """
+    WITH pm AS (
+      SELECT date_trunc('month', l_shipdate)::date AS mon, l_partkey,
+        round(sum(l_extendedprice) / sum(l_quantity) + 1e-9, 6) AS p,
+        round(sum(l_quantity) + 1e-9, 2) AS q
+      FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+    b0 AS (SELECT min(mon) AS mon0 FROM pm),
+    base AS (
+      SELECT l_partkey, p AS p0, q AS q0 FROM pm, b0 WHERE pm.mon = b0.mon0),
+    m AS (
+      SELECT mon, CAST(count(*) AS BIGINT) AS n_parts,
+        round(sum(pm.p * base.q0) + 1e-9, 2) AS cur_cost,
+        round(sum(base.p0 * base.q0) + 1e-9, 2) AS base_cost
+      FROM pm JOIN base USING (l_partkey) GROUP BY 1)
+    SELECT mon, n_parts, cur_cost, base_cost,
+      round(cur_cost / base_cost + 1e-9, 6) AS laspeyres
+    FROM m ORDER BY mon"""
+
+  /** Mirrors Queries.qAbcXyz: integer-cent cumulative revenue share,
+    * monthly-demand CV, 9-cell rollup. */
+  val qAbcXyz: String = """
+    WITH rev AS (
+      SELECT l_partkey,
+        CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100
+          + 1e-9, 0) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1),
+    mq AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate)::date AS mon,
+        round(sum(l_quantity) + 1e-9, 2) AS q
+      FROM lineitem GROUP BY 1, 2),
+    cv AS (
+      SELECT l_partkey,
+        CASE WHEN sum(q) > 0.0 THEN
+          round(sqrt(greatest(sum(q*q) / count(*)
+              - (sum(q) / count(*)) * (sum(q) / count(*)), 0.0))
+            / (sum(q) / count(*)) + 1e-9, 4) END AS cv
+      FROM mq GROUP BY 1),
+    ranked AS (
+      SELECT l_partkey, rev_c,
+        sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        sum(rev_c) OVER () AS tot_c
+      FROM rev),
+    cls AS (
+      SELECT r.l_partkey, r.rev_c,
+        CASE WHEN r.cum_c::DOUBLE / r.tot_c <= 0.8 THEN 'A'
+             WHEN r.cum_c::DOUBLE / r.tot_c <= 0.95 THEN 'B'
+             ELSE 'C' END AS abc,
+        CASE WHEN c.cv <= 0.5 THEN 'X' WHEN c.cv <= 1.0 THEN 'Y'
+             ELSE 'Z' END AS xyz
+      FROM ranked r JOIN cv c USING (l_partkey))
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+      round(sum(rev_c)::DOUBLE / 100 + 1e-9, 2) AS revenue
+    FROM cls GROUP BY 1, 2 ORDER BY abc, xyz"""
+
+  /** Mirrors Queries.qRevenueBridge: adjacent-month price/volume
+    * decomposition per brand on quantized values. */
+  val qRevenueBridge: String = """
+    WITH m AS (
+      SELECT p.p_brand, date_trunc('month', l.l_shipdate)::date AS mon,
+        round(sum(l.l_quantity) + 1e-9, 2) AS q,
+        round(sum(l.l_extendedprice * (1.0 - l.l_discount)) + 1e-9, 2) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    mp AS (SELECT *, round(rev / q + 1e-9, 6) AS p FROM m),
+    lagged AS (
+      SELECT *, lag(q, 1) OVER win AS q0, lag(p, 1) OVER win AS p0,
+        lag(rev, 1) OVER win AS rev0
+      FROM mp WINDOW win AS (PARTITION BY p_brand ORDER BY mon)),
+    eff AS (
+      SELECT p_brand, mon, rev,
+        round(rev - rev0 + 1e-9, 2) AS d_rev,
+        round((p - p0) * q + 1e-9, 2) AS price_effect,
+        round((q - q0) * p0 + 1e-9, 2) AS volume_effect
+      FROM lagged WHERE q0 IS NOT NULL)
+    SELECT p_brand, mon, rev, d_rev, price_effect, volume_effect,
+      round(d_rev - price_effect - volume_effect + 1e-9, 2) AS mix_residual
+    FROM eff ORDER BY p_brand, mon"""
+
   val all: Map[String, String] = Map(
+    "q_price_index" -> qPriceIndex,
+    "q_abc_xyz" -> qAbcXyz,
+    "q_revenue_bridge" -> qRevenueBridge,
     "q_skyline" -> qSkyline,
     "q_profile" -> qProfile,
     "q_monthly_yoy" -> qMonthlyYoy,

@@ -990,6 +990,121 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Laspeyres monthly price index over lineitem (the BI/econometrics
+    * staple: how much has the SAME base-month basket risen in price?):
+    * per (month, part) unit price and quantity, base = the global
+    * first month, index_m = Σ p_m·q₀ / Σ p₀·q₀ over parts present in
+    * both.
+    *
+    * Plan: one keyed aggregate to the O(months × parts) price frame,
+    * 1-row min-month scalar join carves the base slice, one shuffle
+    * join on the part key (the base side is O(#parts) — NOT broadcast
+    * at scale), final keyed rollup to O(#months). Unit prices are
+    * 6-dp and quantities 2-dp quantized before the basket sums so the
+    * 2-dp cost totals are engine-stable. */
+  def qPriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0)
+      .groupBy(trunc(col("l_shipdate"), "month").as("mon"), col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice")) / sum(col("l_quantity"))
+          + lit(1e-9), 6).as("p"),
+        round(sum(col("l_quantity")) + lit(1e-9), 2).as("q"))
+    val b0 = pm.agg(min(col("mon")).as("mon0"))
+    val base = pm.join(broadcast(b0), col("mon") === col("mon0"))
+      .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+    pm.join(base, Seq("l_partkey"))
+      .groupBy(col("mon"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("p") * col("q0")) + lit(1e-9), 2).as("cur_cost"),
+        round(sum(col("p0") * col("q0")) + lit(1e-9), 2).as("base_cost"))
+      .withColumn("laspeyres",
+        round(col("cur_cost") / col("base_cost") + lit(1e-9), 6))
+      .select(col("mon"), col("n_parts"), col("cur_cost"), col("base_cost"),
+        col("laspeyres"))
+      .orderBy(col("mon"))
+  }
+
+  /** ABC/XYZ inventory classification (the ops-planning matrix): ABC
+    * from the cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest) and
+    * XYZ from the monthly-demand coefficient of variation (X ≤ 0.5,
+    * Y ≤ 1, Z erratic), rolled up to the 9-cell class matrix.
+    *
+    * Plan: two keyed collapses to O(#parts) frames; the cumulative
+    * share runs over integer CENTS (2-dp revenue × 100 as BIGINT) so
+    * the running sum is exact on both engines — a float cumsum's
+    * fold order is engine-private, an integer one has no order. The
+    * ranking window is one global sort of the collapsed dim frame
+    * (the customer_deciles pattern). */
+  def qAbcXyz(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val rev = li.groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * 100 + lit(1e-9), 0).cast("long").as("rev_c"))
+    val mq = li.groupBy(col("l_partkey"), trunc(col("l_shipdate"), "month").as("mon"))
+      .agg(round(sum(col("l_quantity")) + lit(1e-9), 2).as("q"))
+    val cv = mq.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("nm"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+      .withColumn("mean_q", col("s1") / col("nm"))
+      .withColumn("var_q", col("s2") / col("nm") - col("mean_q") * col("mean_q"))
+      .withColumn("cv", when(col("mean_q") > 0.0,
+        round(sqrt(greatest(col("var_q"), lit(0.0))) / col("mean_q")
+          + lit(1e-9), 4)))
+      .select(col("l_partkey"), col("cv"))
+    val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+    val tot = rev.agg(sum(col("rev_c")).as("tot_c"))
+    rev.withColumn("cum_c", sum(col("rev_c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_share", col("cum_c").cast("double") / col("tot_c"))
+      .withColumn("abc", when(col("cum_share") <= 0.8, "A")
+        .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      .join(cv, Seq("l_partkey"))
+      .withColumn("xyz", when(col("cv") <= 0.5, "X")
+        .when(col("cv") <= 1.0, "Y").otherwise("Z"))
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev_c")).cast("double") / 100 + lit(1e-9), 2)
+          .as("revenue"))
+      .orderBy(col("abc"), col("xyz"))
+  }
+
+  /** Month-over-month revenue bridge per brand (the FP&A waterfall:
+    * how much of the revenue change is price, how much volume?):
+    * Δrev between adjacent observed months decomposed as price effect
+    * (p−p₀)·q + volume effect (q−q₀)·p₀ + a rounding residual from
+    * the 6-dp unit price.
+    *
+    * Plan: broadcast part-dim join, one keyed (brand, month)
+    * aggregate, three lag windows sharing ONE (brand, month) sort;
+    * every effect is stateless arithmetic on quantized values —
+    * engine-exact. */
+  def qRevenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val m = Tables.lineitem(spark, dir)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), trunc(col("l_shipdate"), "month").as("mon"))
+      .agg(round(sum(col("l_quantity")) + lit(1e-9), 2).as("q"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          + lit(1e-9), 2).as("rev"))
+      .withColumn("p", round(col("rev") / col("q") + lit(1e-9), 6))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("mon"))
+    m.withColumn("q0", lag(col("q"), 1).over(w))
+      .withColumn("p0", lag(col("p"), 1).over(w))
+      .withColumn("rev0", lag(col("rev"), 1).over(w))
+      .filter(col("q0").isNotNull)
+      .withColumn("d_rev", round(col("rev") - col("rev0") + lit(1e-9), 2))
+      .withColumn("price_effect",
+        round((col("p") - col("p0")) * col("q") + lit(1e-9), 2))
+      .withColumn("volume_effect",
+        round((col("q") - col("q0")) * col("p0") + lit(1e-9), 2))
+      .withColumn("mix_residual",
+        round(col("d_rev") - col("price_effect") - col("volume_effect")
+          + lit(1e-9), 2))
+      .select(col("p_brand"), col("mon"), col("rev"), col("d_rev"),
+        col("price_effect"), col("volume_effect"), col("mix_residual"))
+      .orderBy(col("p_brand"), col("mon"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -1772,4 +1772,280 @@ object Climate {
         round(max(col("t_max") - col("t_min")) + lit(1e-9), 3).as("max_dtr"))
       .select(col("station_id"), col("mon"), col("n_days"),
         col("mean_dtr"), col("max_dtr"))
+
+  /** Jarque–Bera normality test per station: JB = n/6·(S² + (K−3)²/4)
+    * from the population skewness S and kurtosis K of the daily series
+    * (zero-filled gaps, matching the other per-station tests).
+    * Precipitation-like daily sums are strongly right-skewed, so JB
+    * rejects hard — the test is the standard pre-flight before any
+    * Gaussian-assuming downstream (z-scores, control charts).
+    *
+    * Plan: mean pass + one keyed central-moment aggregate (two scans
+    * of the persisted series, both map-combinable). The moment sums
+    * stay unrounded; only the O(1)-magnitude ratios S and K round (the
+    * cross-engine determinism rule every moment-based test here
+    * follows), and JB derives from the rounded pair so it is exact on
+    * both engines. */
+  def jarqueBera(rawDaily: DataFrame): DataFrame = {
+    val x = rawDaily.withColumn("x", coalesce(col("raw"), lit(0.0)))
+    val m = x.groupBy(col("station_id"))
+      .agg(round(avg(col("x")) + lit(1e-9), 6).as("mu"))
+    // explicit products, not pow(): IEEE ·/sqrt are identically rounded
+    // on both engines, library pow need not be
+    x.join(m, Seq("station_id"))
+      .withColumn("d", col("x") - col("mu"))
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("d") * col("d")).as("m2"),
+        avg(col("d") * col("d") * col("d")).as("m3"),
+        avg(col("d") * col("d") * col("d") * col("d")).as("m4"))
+      .withColumn("skew",
+        when(col("m2") > 0.0,
+          round(col("m3") / (col("m2") * sqrt(col("m2"))) + lit(1e-9), 6)))
+      .withColumn("kurt",
+        when(col("m2") > 0.0,
+          round(col("m4") / (col("m2") * col("m2")) + lit(1e-9), 6)))
+      .withColumn("jb",
+        when(col("m2") > 0.0,
+          round(col("n") / lit(6.0) * (col("skew") * col("skew")
+            + (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(4.0))
+            + lit(1e-9), 4)))
+      // χ²(2) 95% critical value 5.991 — normality rejected above it
+      .withColumn("reject_normal", col("jb") > lit(5.991))
+      .select(col("station_id"), col("n"), col("skew"), col("kurt"),
+        col("jb"), col("reject_normal"))
+  }
+
+  /** Durbin–Watson statistic per station on the residuals of the OLS
+    * day-index trend (the autocorrelation companion of q_ols_trend —
+    * DW ≈ 2 means uncorrelated residuals, → 0 positive serial
+    * correlation, → 4 negative). The slope/intercept quantization
+    * matches olsTrend (6/4 dp), and the residuals are rounded at 4 dp
+    * before differencing so both engines difference identical values.
+    *
+    * Plan: closed-form fit = one keyed moment aggregate on the
+    * persisted series; residual pass = join of the O(#stations) fit
+    * frame back (broadcast-sized), one lag window on the station
+    * partitioning, one final keyed aggregate. */
+  def durbinWatson(rawDaily: DataFrame): DataFrame = {
+    val wS = Window.partitionBy(col("station_id"))
+    val wo = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val xy = rawDaily
+      .withColumn("t", datediff(col("day"), min(col("day")).over(wS)).cast("double"))
+      .withColumn("yv", coalesce(col("raw"), lit(0.0)))
+    val fit = xy.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("sx"), sum(col("yv")).as("sy"),
+        sum(col("t") * col("t")).as("sxx"), sum(col("t") * col("yv")).as("sxy"))
+      .withColumn("detx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("detx") > 0.0)
+      .withColumn("slope",
+        round((col("n") * col("sxy") - col("sx") * col("sy")) / col("detx")
+          + lit(1e-9), 6))
+      .withColumn("icept",
+        round((col("sy") - col("slope") * col("sx")) / col("n") + lit(1e-9), 4))
+      .select(col("station_id"), col("slope"), col("icept"))
+    xy.join(fit, Seq("station_id"))
+      .withColumn("e",
+        round(col("yv") - col("slope") * col("t") - col("icept") + lit(1e-9), 4))
+      .withColumn("e1", lag(col("e"), 1).over(wo))
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("e") * col("e")).as("sse"),
+        sum(when(col("e1").isNotNull,
+          (col("e") - col("e1")) * (col("e") - col("e1")))
+          .otherwise(lit(0.0))).as("ssd"))
+      .withColumn("dw",
+        when(col("sse") > 0.0, round(col("ssd") / col("sse") + lit(1e-9), 6)))
+      .select(col("station_id"), col("n"), col("dw"))
+  }
+
+  /** Yule–Walker AR(2) fit per station from the lag-1/2
+    * autocorrelations (the classical method-of-moments AR estimate):
+    * φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²), innovation
+    * variance ratio 1 − φ₁r₁ − φ₂r₂. Built directly on [[acf]], so
+    * the r's carry acf's 4-dp quantization and the φ's are exact on
+    * both engines.
+    *
+    * Plan: exactly acf's cost (one mean pass + one keyed moment
+    * aggregate); the pivot and the closed form run on the
+    * O(#stations) ACF frame. */
+  def yuleWalkerAr2(rawDaily: DataFrame): DataFrame =
+    acf(rawDaily, maxLag = 2).groupBy(col("station_id"))
+      .agg(max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"))
+      .filter(col("r1").isNotNull && col("r2").isNotNull)
+      .withColumn("den", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("phi1",
+        when(col("den") > 0.0,
+          round(col("r1") * (lit(1.0) - col("r2")) / col("den") + lit(1e-9), 6)))
+      .withColumn("phi2",
+        when(col("den") > 0.0,
+          round((col("r2") - col("r1") * col("r1")) / col("den") + lit(1e-9), 6)))
+      .withColumn("innov_ratio",
+        when(col("phi1").isNotNull,
+          round(lit(1.0) - col("phi1") * col("r1") - col("phi2") * col("r2")
+            + lit(1e-9), 6)))
+      .select(col("station_id"), col("r1"), col("r2"), col("phi1"),
+        col("phi2"), col("innov_ratio"))
+
+  /** Thornthwaite monthly potential evapotranspiration from the
+    * monthly temperature climatology (the classical water-balance
+    * PET, unadjusted for day length — companion to the radiation-based
+    * [[etHargreaves]]): heat index I = Σ(T/5)^1.514 over the warm
+    * calendar months, α = 6.75e-7·I³ − 7.71e-5·I² + 1.792e-2·I
+    * + 0.49239, PET = 16·(10T/I)^α mm/month.
+    *
+    * Plan: one keyed aggregate to the (station, calendar-month)
+    * climatology (≤ 12 rows per station), the I rollup to O(#stations)
+    * joined back (broadcast-sized), stateless closed form. The monthly
+    * means quantize at 4 dp before the pow() chain so both engines
+    * exponentiate identical inputs. */
+  def petThornthwaite(tempStats: DataFrame): DataFrame = {
+    val clim = tempStats.filter(col("t").isNotNull)
+      .groupBy(col("station_id"), month(col("day")).as("mon"))
+      .agg(round(avg(col("t")) + lit(1e-9), 4).as("t_clim"))
+    val heat = clim.filter(col("t_clim") > 0.0)
+      .groupBy(col("station_id"))
+      .agg(round(sum(pow(col("t_clim") / 5.0, 1.514)) + lit(1e-9), 6).as("i"))
+    clim.join(heat, Seq("station_id"))
+      .withColumn("alpha",
+        lit(6.75e-7) * col("i") * col("i") * col("i")
+          - lit(7.71e-5) * col("i") * col("i")
+          + lit(1.792e-2) * col("i") + lit(0.49239))
+      .withColumn("pet",
+        when(col("t_clim") > 0.0 && col("i") > 0.0,
+          round(lit(16.0) * pow(lit(10.0) * col("t_clim") / col("i"),
+            col("alpha")) + lit(1e-9), 4)).otherwise(lit(0.0)))
+      .select(col("station_id"), col("mon"), col("t_clim"),
+        round(col("alpha") + lit(1e-9), 6).as("alpha"), col("pet"))
+  }
+
+  /** Conrad continentality index per station (how "oceanic" is the
+    * temperature regime?): k = 1.7·A / sin(φ + 10°) − 14 where A is
+    * the annual range of the monthly temperature climatology and φ
+    * the station latitude (the same y-derived convention as
+    * [[etHargreaves]]).
+    *
+    * Plan: the ≤ 12-row-per-station climatology collapses to one
+    * range aggregate, broadcast meta join, stateless closed form on
+    * O(#stations) rows. */
+  def continentality(tempStats: DataFrame, meta: DataFrame): DataFrame = {
+    val clim = tempStats.filter(col("t").isNotNull)
+      .groupBy(col("station_id"), month(col("day")).as("mon"))
+      .agg(round(avg(col("t")) + lit(1e-9), 4).as("t_clim"))
+    val range = clim.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_months"),
+        round(max(col("t_clim")) - min(col("t_clim")) + lit(1e-9), 4).as("a_range"))
+    val phiDeg = lit(10.0) + (col("y") % lit(10.0)) * lit(4.0)
+    range.join(broadcast(meta.select(col("station_id"), col("y"))), Seq("station_id"))
+      .withColumn("phi_deg", phiDeg)
+      .withColumn("conrad",
+        round(lit(1.7) * col("a_range") / sin(radians(col("phi_deg") + lit(10.0)))
+          - lit(14.0) + lit(1e-9), 4))
+      .select(col("station_id"), col("n_months"), col("a_range"),
+        col("phi_deg"), col("conrad"))
+  }
+
+  /** ETCCDI growing season length per (station, year): days from the
+    * first ≥6-day run with daily mean T > 5 °C to the first ≥6-day
+    * run with T < 5 °C starting after 1 July; no qualifying warm run
+    * → 0, no qualifying cold end → the year runs out (31 Dec bound).
+    *
+    * Plan: gaps-and-islands run keys from ONE (station, year) ordered
+    * window (day ordinal minus per-flag row_number), runs = one keyed
+    * aggregate, the start/end picks are minima over the tiny run
+    * frame, one final join per (station, year). All partition-local
+    * per station. */
+  def growingSeasonLength(tempStats: DataFrame, thresh: Double = 5.0,
+      minRun: Int = 6): DataFrame = {
+    val base = tempStats
+      .withColumn("yr", year(col("day")))
+      .withColumn("warm", coalesce(col("t") > thresh, lit(false)))
+    val w = Window.partitionBy(col("station_id"), col("yr"), col("warm"))
+      .orderBy(col("day"))
+    val runs = base
+      .withColumn("grp", datediff(col("day"), lit("1970-01-01").cast("date"))
+        - row_number().over(w))
+      .groupBy(col("station_id"), col("yr"), col("warm"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("run_start"))
+    val starts = runs.filter(col("warm") && col("len") >= minRun)
+      .groupBy(col("station_id"), col("yr"))
+      .agg(min(col("run_start")).as("season_start"))
+    val ends = runs.filter(!col("warm") && col("len") >= minRun
+        && dayofyear(col("run_start")) >= 183)
+      .groupBy(col("station_id"), col("yr"))
+      .agg(min(col("run_start")).as("season_end"))
+    val bounds = base.groupBy(col("station_id"), col("yr"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("n_days"))
+    // day-of-year ints, not nullable dates: a NULL date serializes
+    // engine-differently; 0 = "no qualifying run"
+    bounds
+      .join(starts, Seq("station_id", "yr"), "left")
+      .join(ends, Seq("station_id", "yr"), "left")
+      .withColumn("start_doy",
+        coalesce(dayofyear(col("season_start")), lit(0)))
+      .withColumn("end_doy",
+        coalesce(dayofyear(col("season_end")), lit(0)))
+      .withColumn("gsl",
+        when(col("season_start").isNull, lit(0))
+          .otherwise(datediff(
+            coalesce(col("season_end"), date_add(col("last_day"), 1)),
+            col("season_start"))))
+      .select(col("station_id"), col("yr"), col("n_days"),
+        col("start_doy"), col("end_doy"), col("gsl"))
+  }
+
+  /** Kendall's τ-b between station elevation and period-mean value on
+    * the decile-binned contingency table (does precipitation climb
+    * with elevation, rank-robustly?). Binning first is the
+    * scale-correct form: exact pairwise concordance is O(#stations²),
+    * the binned version is one keyed aggregate to a ≤ 10×10 cell
+    * table and exact O(cells²) concordance counting on that — the
+    * grouped-data τ-b of the categorical-statistics textbooks.
+    *
+    * Plan: ntile deciles over the O(#stations) registry (one dim-frame
+    * sort), one aggregate to ≤ 100 cells, constant-bounded nested-loop
+    * pairing of the 100-row frame (LIMIT-marked for the plan guard),
+    * single-row rollup. */
+  def kendallTauBinned(meta: DataFrame, rawDaily: DataFrame): DataFrame = {
+    val ma = rawDaily.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("ma"))
+    val pts = meta.select(col("station_id"), col("elev"))
+      .join(ma, Seq("station_id"))
+      .withColumn("gx", ntile(10).over(Window.orderBy(col("elev"), col("station_id"))))
+      .withColumn("gy", ntile(10).over(Window.orderBy(col("ma"), col("station_id"))))
+    // ≤ 100 cells by construction (10 × 10 deciles); the limit is a
+    // structural no-op that marks the side as constant-bounded
+    val cells = pts.groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("cnt")).limit(100)
+    val a = cells.select(col("gx").as("ax"), col("gy").as("ay"), col("cnt").as("an"))
+    val b = cells.select(col("gx").as("cx"), col("gy").as("cy"), col("cnt").as("bn"))
+    val prod = a.join(broadcast(b),
+      col("ax") < col("cx") || (col("ax") === col("cx") && col("ay") < col("cy")))
+    val s = prod.agg(
+      sum(when((col("ax") < col("cx") && col("ay") < col("cy"))
+          || (col("ax") > col("cx") && col("ay") > col("cy")),
+        col("an") * col("bn")).otherwise(lit(0L))).as("concordant"),
+      sum(when((col("ax") < col("cx") && col("ay") > col("cy"))
+          || (col("ax") > col("cx") && col("ay") < col("cy")),
+        col("an") * col("bn")).otherwise(lit(0L))).as("discordant"))
+    val marg = cells.agg(
+      sum(col("cnt")).as("n"),
+      sum(col("cnt") * col("cnt")).as("s_cell"))
+    val tx = cells.groupBy(col("gx")).agg(sum(col("cnt")).as("rn"))
+      .agg(sum(col("rn") * col("rn")).as("s_row"))
+    val ty = cells.groupBy(col("gy")).agg(sum(col("cnt")).as("cn"))
+      .agg(sum(col("cn") * col("cn")).as("s_col"))
+    s.crossJoin(marg).crossJoin(tx).crossJoin(ty)
+      .withColumn("n_pairs", col("n") * (col("n") - 1) / 2)
+      // tied-in-x pairs = Σ rn·(rn−1)/2 etc. via the squared sums
+      .withColumn("t_x", (col("s_row") - col("n")) / 2)
+      .withColumn("t_y", (col("s_col") - col("n")) / 2)
+      .withColumn("tau_b",
+        when((col("n_pairs") - col("t_x")) > 0 && (col("n_pairs") - col("t_y")) > 0,
+          round((col("concordant") - col("discordant")) /
+            sqrt((col("n_pairs") - col("t_x")).cast("double")
+              * (col("n_pairs") - col("t_y")).cast("double")) + lit(1e-9), 6)))
+      .select(col("n"), col("concordant"), col("discordant"), col("tau_b"))
+  }
 }

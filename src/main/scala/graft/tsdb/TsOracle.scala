@@ -1309,6 +1309,256 @@ object TsOracle {
       END AS assortativity
     FROM d2"""
 
+  /** Mirrors Climate.jarqueBera: central moments from the 6-dp mean,
+    * explicit products (no pow), ratios rounded, JB from the rounded
+    * pair. */
+  val qJarqueBera: String = s"""
+    WITH $world,
+    x AS (SELECT station_id, coalesce(raw, 0.0) AS x FROM raw_daily),
+    m AS (SELECT station_id, round(avg(x) + 1e-9, 6) AS mu FROM x GROUP BY 1),
+    agg AS (
+      SELECT x.station_id, CAST(count(*) AS BIGINT) AS n,
+        avg((x.x - m.mu) * (x.x - m.mu)) AS m2,
+        avg((x.x - m.mu) * (x.x - m.mu) * (x.x - m.mu)) AS m3,
+        avg((x.x - m.mu) * (x.x - m.mu) * (x.x - m.mu) * (x.x - m.mu)) AS m4
+      FROM x JOIN m USING (station_id) GROUP BY 1),
+    sk AS (
+      SELECT station_id, n,
+        CASE WHEN m2 > 0.0 THEN round(m3 / (m2 * sqrt(m2)) + 1e-9, 6) END AS skew,
+        CASE WHEN m2 > 0.0 THEN round(m4 / (m2 * m2) + 1e-9, 6) END AS kurt
+      FROM agg),
+    j AS (
+      SELECT *, CASE WHEN skew IS NOT NULL
+        THEN round(n / 6.0 * (skew*skew + (kurt-3.0)*(kurt-3.0)/4.0) + 1e-9, 4)
+      END AS jb
+      FROM sk)
+    SELECT station_id, n, skew, kurt, jb, jb > 5.991 AS reject_normal
+    FROM j ORDER BY station_id"""
+
+  /** Mirrors Climate.durbinWatson: olsTrend's quantized fit, 4-dp
+    * residuals, lag-difference ratio. */
+  val qDurbinWatson: String = s"""
+    WITH $world,
+    xy AS (
+      SELECT station_id, day,
+        datediff('day', min(day) OVER (PARTITION BY station_id), day)::DOUBLE AS t,
+        coalesce(raw, 0.0) AS yv
+      FROM raw_daily),
+    sums AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        sum(t) AS sx, sum(yv) AS sy, sum(t*t) AS sxx, sum(t*yv) AS sxy
+      FROM xy GROUP BY 1),
+    fit0 AS (
+      SELECT *, n*sxx - sx*sx AS detx FROM sums),
+    fit1 AS (
+      SELECT station_id, n, sx, sy,
+        round((n*sxy - sx*sy) / detx + 1e-9, 6) AS slope
+      FROM fit0 WHERE detx > 0.0),
+    fit AS (
+      SELECT station_id, slope,
+        round((sy - slope * sx) / n + 1e-9, 4) AS icept
+      FROM fit1),
+    resid AS (
+      SELECT xy.station_id,
+        round(xy.yv - f.slope * xy.t - f.icept + 1e-9, 4) AS e,
+        lag(round(xy.yv - f.slope * xy.t - f.icept + 1e-9, 4), 1)
+          OVER (PARTITION BY xy.station_id ORDER BY xy.day) AS e1
+      FROM xy JOIN fit f USING (station_id)),
+    agg AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        sum(e*e) AS sse,
+        sum(CASE WHEN e1 IS NOT NULL THEN (e-e1)*(e-e1) ELSE 0.0 END) AS ssd
+      FROM resid GROUP BY 1)
+    SELECT station_id, n,
+      CASE WHEN sse > 0.0 THEN round(ssd / sse + 1e-9, 6) END AS dw
+    FROM agg ORDER BY station_id"""
+
+  /** Mirrors Climate.yuleWalkerAr2: the 4-dp lag-1/2 ACF pivoted into
+    * the Yule–Walker closed form. */
+  val qYuleWalker: String = s"""
+    WITH $world,
+    x AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x,
+        lag(coalesce(raw, 0.0), 1) OVER win AS x_lag1,
+        lag(coalesce(raw, 0.0), 2) OVER win AS x_lag2
+      FROM raw_daily
+      WINDOW win AS (PARTITION BY station_id ORDER BY day)),
+    m AS (
+      SELECT station_id, round(avg(x) + 1e-9, 6) AS xbar
+      FROM x GROUP BY 1),
+    agg AS (
+      SELECT x.station_id,
+        sum((x.x - m.xbar) * (x.x - m.xbar)) AS den,
+        sum((x.x - m.xbar) * (x.x_lag1 - m.xbar)) AS num1,
+        sum((x.x - m.xbar) * (x.x_lag2 - m.xbar)) AS num2
+      FROM x JOIN m USING (station_id) GROUP BY 1),
+    r AS (
+      SELECT station_id,
+        CASE WHEN den > 0.0 THEN round(num1 / den + 1e-9, 4) END AS r1,
+        CASE WHEN den > 0.0 THEN round(num2 / den + 1e-9, 4) END AS r2
+      FROM agg),
+    p AS (
+      SELECT station_id, r1, r2, 1.0 - r1*r1 AS den2 FROM r
+      WHERE r1 IS NOT NULL AND r2 IS NOT NULL),
+    f AS (
+      SELECT station_id, r1, r2,
+        CASE WHEN den2 > 0.0 THEN round(r1 * (1.0 - r2) / den2 + 1e-9, 6) END AS phi1,
+        CASE WHEN den2 > 0.0 THEN round((r2 - r1*r1) / den2 + 1e-9, 6) END AS phi2
+      FROM p)
+    SELECT station_id, r1, r2, phi1, phi2,
+      CASE WHEN phi1 IS NOT NULL
+        THEN round(1.0 - phi1*r1 - phi2*r2 + 1e-9, 6) END AS innov_ratio
+    FROM f ORDER BY station_id"""
+
+  /** Mirrors Climate.kendallTauBinned: decile contingency table,
+    * grouped-data τ-b with the squared-marginal tie terms. */
+  val qKendallBinned: String = s"""
+    WITH $world,
+    ma_v AS (SELECT station_id, round(avg(raw) + 1e-9, 6) AS ma
+      FROM raw_daily GROUP BY 1),
+    pts AS (
+      SELECT m.station_id,
+        ntile(10) OVER (ORDER BY m.elev, m.station_id) AS gx,
+        ntile(10) OVER (ORDER BY a.ma, m.station_id) AS gy
+      FROM meta m JOIN ma_v a USING (station_id)),
+    cells AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2),
+    prod AS (
+      SELECT a.gx AS ax, a.gy AS ay, b.gx AS cx, b.gy AS cy,
+        a.cnt AS an, b.cnt AS bn
+      FROM cells a JOIN cells b
+        ON a.gx < b.gx OR (a.gx = b.gx AND a.gy < b.gy)),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN (ax<cx AND ay<cy) OR (ax>cx AND ay>cy)
+          THEN an*bn ELSE 0 END) AS BIGINT) AS concordant,
+        CAST(sum(CASE WHEN (ax<cx AND ay>cy) OR (ax>cx AND ay<cy)
+          THEN an*bn ELSE 0 END) AS BIGINT) AS discordant
+      FROM prod),
+    marg AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      CAST(sum(cnt*cnt) AS BIGINT) AS s_cell FROM cells),
+    tx AS (SELECT CAST(sum(rn*rn) AS BIGINT) AS s_row
+      FROM (SELECT sum(cnt) AS rn FROM cells GROUP BY gx)),
+    ty AS (SELECT CAST(sum(cn*cn) AS BIGINT) AS s_col
+      FROM (SELECT sum(cnt) AS cn FROM cells GROUP BY gy)),
+    d AS (
+      SELECT s.concordant, s.discordant, marg.n,
+        marg.n * (marg.n - 1) // 2 AS n_pairs,
+        (tx.s_row - marg.n) // 2 AS t_x,
+        (ty.s_col - marg.n) // 2 AS t_y
+      FROM s, marg, tx, ty)
+    SELECT n, concordant, discordant,
+      CASE WHEN (n_pairs - t_x) > 0 AND (n_pairs - t_y) > 0
+        THEN round((concordant - discordant) /
+          sqrt(CAST(n_pairs - t_x AS DOUBLE) * CAST(n_pairs - t_y AS DOUBLE))
+          + 1e-9, 6) END AS tau_b
+    FROM d"""
+
+  /** Mirrors Climate.petThornthwaite: 4-dp monthly climatology, heat
+    * index, closed-form PET. */
+  val qPetThornthwaite: String = s"""
+    WITH $world,
+    temp_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    tgrid AS (
+      SELECT g.station_id, g.day, t.t
+      FROM grid g LEFT JOIN temp_daily t USING (station_id, day)),
+    clim AS (
+      SELECT station_id, month(day) AS mon,
+        round(avg(t) + 1e-9, 4) AS t_clim
+      FROM tgrid WHERE t IS NOT NULL GROUP BY 1, 2),
+    heat AS (
+      SELECT station_id,
+        round(sum(pow(t_clim / 5.0, 1.514)) + 1e-9, 6) AS i
+      FROM clim WHERE t_clim > 0.0 GROUP BY 1),
+    a AS (
+      SELECT c.station_id, c.mon, c.t_clim, h.i,
+        6.75e-7*h.i*h.i*h.i - 7.71e-5*h.i*h.i + 1.792e-2*h.i + 0.49239
+          AS alpha_raw
+      FROM clim c JOIN heat h USING (station_id))
+    SELECT station_id, mon, t_clim,
+      round(alpha_raw + 1e-9, 6) AS alpha,
+      CASE WHEN t_clim > 0.0 AND i > 0.0
+        THEN round(16.0 * pow(10.0 * t_clim / i, alpha_raw) + 1e-9, 4)
+        ELSE 0.0 END AS pet
+    FROM a ORDER BY station_id, mon"""
+
+  /** Mirrors Climate.continentality: climatology annual range, Conrad
+    * closed form with the etHargreaves latitude convention. */
+  val qContinentality: String = s"""
+    WITH $world,
+    temp_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    tgrid AS (
+      SELECT g.station_id, g.day, t.t
+      FROM grid g LEFT JOIN temp_daily t USING (station_id, day)),
+    clim AS (
+      SELECT station_id, month(day) AS mon,
+        round(avg(t) + 1e-9, 4) AS t_clim
+      FROM tgrid WHERE t IS NOT NULL GROUP BY 1, 2),
+    rng AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_months,
+        round(max(t_clim) - min(t_clim) + 1e-9, 4) AS a_range
+      FROM clim GROUP BY 1),
+    j AS (
+      SELECT r.*, 10.0 + (m.y % 10.0) * 4.0 AS phi_deg
+      FROM rng r JOIN meta m USING (station_id))
+    SELECT station_id, n_months, a_range, phi_deg,
+      round(1.7 * a_range / sin(radians(phi_deg + 10.0)) - 14.0 + 1e-9, 4)
+        AS conrad
+    FROM j ORDER BY station_id"""
+
+  /** Mirrors Climate.growingSeasonLength: gaps-and-islands runs over
+    * the dense temperature grid, ≥6-day warm start / post-July cold
+    * end. */
+  val qGsl: String = s"""
+    WITH $world,
+    temp_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    tgrid AS (
+      SELECT g.station_id, g.day, t.t
+      FROM grid g LEFT JOIN temp_daily t USING (station_id, day)),
+    base AS (
+      SELECT station_id, day, year(day) AS yr,
+        coalesce(t > 5.0, FALSE) AS warm
+      FROM tgrid),
+    marked AS (
+      SELECT *, datediff('day', DATE '1970-01-01', day)
+        - row_number() OVER (PARTITION BY station_id, yr, warm ORDER BY day)
+        AS grp
+      FROM base),
+    runs AS (
+      SELECT station_id, yr, warm, grp,
+        CAST(count(*) AS BIGINT) AS len, min(day) AS run_start
+      FROM marked GROUP BY 1, 2, 3, 4),
+    starts AS (
+      SELECT station_id, yr, min(run_start) AS season_start
+      FROM runs WHERE warm AND len >= 6 GROUP BY 1, 2),
+    ends AS (
+      SELECT station_id, yr, min(run_start) AS season_end
+      FROM runs WHERE NOT warm AND len >= 6
+        AND dayofyear(run_start) >= 183 GROUP BY 1, 2),
+    ybounds AS (
+      SELECT station_id, yr, max(day) AS last_day,
+        CAST(count(*) AS BIGINT) AS n_days
+      FROM base GROUP BY 1, 2)
+    SELECT b.station_id, b.yr, b.n_days,
+      coalesce(dayofyear(s.season_start), 0) AS start_doy,
+      coalesce(dayofyear(e.season_end), 0) AS end_doy,
+      CASE WHEN s.season_start IS NULL THEN 0
+        ELSE datediff('day', s.season_start,
+          coalesce(e.season_end, b.last_day + 1)) END AS gsl
+    FROM ybounds b
+    LEFT JOIN starts s USING (station_id, yr)
+    LEFT JOIN ends e USING (station_id, yr)
+    ORDER BY station_id, yr"""
+
   /** Mirrors Climate.ewmaControl. The weights and the limit width are
     * computed by the SAME Scala expressions as the engine's and
     * injected as decimal literals (Double.toString round-trips, DuckDB
@@ -2603,6 +2853,13 @@ object TsOracle {
     "q_pot_gpd" -> qPotGpd,
     "q_variogram" -> qVariogram,
     "q_assortativity" -> qAssortativity,
+    "q_jarque_bera" -> qJarqueBera,
+    "q_durbin_watson" -> qDurbinWatson,
+    "q_yule_walker" -> qYuleWalker,
+    "q_kendall_binned" -> qKendallBinned,
+    "q_pet_thornthwaite" -> qPetThornthwaite,
+    "q_continentality" -> qContinentality,
+    "q_gsl" -> qGsl,
     "q_holt_brown" -> qHoltBrown,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,

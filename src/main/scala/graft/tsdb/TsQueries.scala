@@ -397,6 +397,30 @@ object TsQueries {
   def qAssortativity(s: SparkSession, d: String): DataFrame =
     graft.graph.GraphOps.assortativity(knnEdges(s, d))
 
+  def qJarqueBera(s: SparkSession, d: String): DataFrame =
+    Climate.jarqueBera(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qDurbinWatson(s: SparkSession, d: String): DataFrame =
+    Climate.durbinWatson(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qYuleWalker(s: SparkSession, d: String): DataFrame =
+    Climate.yuleWalkerAr2(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qKendallBinned(s: SparkSession, d: String): DataFrame =
+    Climate.kendallTauBinned(meta(s, d), rawDaily(s, d))
+
+  def qPetThornthwaite(s: SparkSession, d: String): DataFrame =
+    Climate.petThornthwaite(tempStats(s, d))
+      .orderBy(col("station_id"), col("mon"))
+
+  def qContinentality(s: SparkSession, d: String): DataFrame =
+    Climate.continentality(tempStats(s, d), meta(s, d))
+      .orderBy(col("station_id"))
+
+  def qGsl(s: SparkSession, d: String): DataFrame =
+    Climate.growingSeasonLength(tempStats(s, d))
+      .orderBy(col("station_id"), col("yr"))
+
   def qHarmonic(s: SparkSession, d: String): DataFrame =
     Climate.diurnalHarmonics(hourly(s, d))
       .orderBy(col("station_id"), col("k"))
@@ -515,6 +539,13 @@ object TsQueries {
     "q_pot_gpd" -> (qPotGpd _),
     "q_variogram" -> (qVariogram _),
     "q_assortativity" -> (qAssortativity _),
+    "q_jarque_bera" -> (qJarqueBera _),
+    "q_durbin_watson" -> (qDurbinWatson _),
+    "q_yule_walker" -> (qYuleWalker _),
+    "q_kendall_binned" -> (qKendallBinned _),
+    "q_pet_thornthwaite" -> (qPetThornthwaite _),
+    "q_continentality" -> (qContinentality _),
+    "q_gsl" -> (qGsl _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
