@@ -51,6 +51,7 @@ object SparkEntry {
     "q_price_index" -> (Queries.qPriceIndex _),
     "q_abc_xyz" -> (Queries.qAbcXyz _),
     "q_revenue_bridge" -> (Queries.qRevenueBridge _),
+    "q_order_backlog" -> (Queries.qOrderBacklog _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

@@ -631,8 +631,31 @@ object OracleSql {
       round(d_rev - price_effect - volume_effect + 1e-9, 2) AS mix_residual
     FROM eff ORDER BY p_brand, mon"""
 
+  /** Mirrors Queries.qOrderBacklog: open/close day collapses, exact
+    * integer cumsums over the day frame. */
+  val qOrderBacklog: String = """
+    WITH opened AS (
+      SELECT o_orderdate::date AS day, CAST(count(*) AS BIGINT) AS n_open
+      FROM orders GROUP BY 1),
+    closed AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_close FROM (
+        SELECT l_orderkey, max(l_shipdate::date) AS day
+        FROM lineitem GROUP BY 1)
+      GROUP BY 1),
+    j AS (
+      SELECT coalesce(o.day, c.day) AS day,
+        coalesce(o.n_open, 0) AS n_open, coalesce(c.n_close, 0) AS n_close
+      FROM opened o FULL OUTER JOIN closed c ON o.day = c.day)
+    SELECT day, n_open, n_close,
+      CAST(sum(n_open) OVER win - sum(n_close) OVER win AS BIGINT) AS backlog
+    FROM j
+    WINDOW win AS (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY day"""
+
   val all: Map[String, String] = Map(
     "q_price_index" -> qPriceIndex,
+    "q_order_backlog" -> qOrderBacklog,
     "q_abc_xyz" -> qAbcXyz,
     "q_revenue_bridge" -> qRevenueBridge,
     "q_skyline" -> qSkyline,

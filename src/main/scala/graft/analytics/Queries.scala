@@ -1105,6 +1105,35 @@ object Queries {
       .orderBy(col("p_brand"), col("mon"))
   }
 
+  /** Daily open-order backlog (the fulfillment work-in-progress
+    * curve): orders open at o_orderdate, close when their LAST line
+    * ships; backlog(day) = cumulative opened − cumulative closed.
+    *
+    * Plan: two keyed collapses (one per-order max-shipdate aggregate
+    * rides the natural l_orderkey partitioning), a full outer join on
+    * the O(#days) day frame, and EXACT integer cumsums over that tiny
+    * frame — no float fold-order hazard, nothing row-count-sized
+    * sorted. */
+  def qOrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val opened = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_open"))
+    val closed = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_close"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opened.join(closed, Seq("day"), "full_outer")
+      .withColumn("n_open", coalesce(col("n_open"), lit(0L)))
+      .withColumn("n_close", coalesce(col("n_close"), lit(0L)))
+      .withColumn("cum_open", sum(col("n_open")).over(w))
+      .withColumn("cum_close", sum(col("n_close")).over(w))
+      .withColumn("backlog", col("cum_open") - col("cum_close"))
+      .select(col("day"), col("n_open"), col("n_close"), col("backlog"))
+      .orderBy(col("day"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

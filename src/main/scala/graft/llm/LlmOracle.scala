@@ -667,6 +667,72 @@ object LlmOracle {
     FROM r ORDER BY vec_id"""
   }
 
+  /** Mirrors TextAnalysis.heapsFit: first-occurrence vocab growth,
+    * exact integer cumsums, log–log OLS over doc checkpoints. */
+  val qHeapsFit: String = s"""
+    WITH tok AS (
+      SELECT doc_id::BIGINT AS doc_id, unnest($toks) AS token
+      FROM documents),
+    tokf AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+    new_types AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new FROM (
+        SELECT token, min(doc_id) AS doc_id FROM tokf GROUP BY 1)
+      GROUP BY 1),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      FROM tokf GROUP BY 1),
+    cum AS (
+      SELECT p.doc_id,
+        sum(p.n_tok) OVER win AS cum_tok,
+        sum(coalesce(n.n_new, 0)) OVER win AS cum_vocab
+      FROM per_doc p LEFT JOIN new_types n USING (doc_id)
+      WINDOW win AS (ORDER BY p.doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    pts AS (
+      SELECT ln(cum_tok::DOUBLE) AS x, ln(cum_vocab::DOUBLE) AS y,
+        cum_tok, cum_vocab
+      FROM cum WHERE cum_tok > 0 AND cum_vocab > 0),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(max(cum_tok) AS BIGINT) AS total_tokens,
+        CAST(max(cum_vocab) AS BIGINT) AS vocab,
+        sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+        sum(x*y) AS sxy
+      FROM pts),
+    d AS (
+      SELECT *, n_docs*sxx - sx*sx AS det, n_docs*syy - sy*sy AS dety
+      FROM s)
+    SELECT n_docs, total_tokens, vocab,
+      CASE WHEN det > 0.0
+        THEN round((n_docs*sxy - sx*sy) / det + 1e-9, 6) END AS heaps_beta,
+      CASE WHEN det > 0.0
+        THEN round((sy - (n_docs*sxy - sx*sy)/det*sx)/n_docs + 1e-9, 6)
+      END AS log_k,
+      CASE WHEN det > 0.0 AND dety > 0.0
+        THEN round((n_docs*sxy - sx*sy)*(n_docs*sxy - sx*sy)/(det*dety)
+          + 1e-9, 6) END AS r2
+    FROM d"""
+
+  /** Mirrors Cluster.silhouette: full k-cosine score table, own vs
+    * best-other centroid, per-cluster rollup. */
+  val qSilhouette: String = {
+    val (ctes, fin) = kmeansCtes
+    val score = "s" + fin.drop(1) // the score table behind the final assignment
+    s"""
+    WITH $ctes,
+    second AS (
+      SELECT s.vec_id, max(s.cos) AS cos2
+      FROM $score s JOIN $fin b ON s.vec_id = b.vec_id AND s.cid != b.cluster
+      GROUP BY 1),
+    sil AS (
+      SELECT b.cluster, round(b.cos - s.cos2 + 1e-9, 6) AS sil
+      FROM $fin b JOIN second s USING (vec_id))
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+      round(avg(sil) + 1e-9, 6) AS mean_sil,
+      round(min(sil) + 1e-9, 6) AS min_sil
+    FROM sil GROUP BY 1 ORDER BY cluster"""
+  }
+
   /** SemDeDup within the kmeans clusters — mirrors Cluster.semDedup:
     * per-cluster pair cosines quantized to 6dp before the τ compare,
     * keep = no lower-id same-cluster neighbor at cos ≥ τ. */
@@ -1626,6 +1692,7 @@ object LlmOracle {
     "q_embed_drift" -> qEmbedDrift,
     "q_lang_centroid" -> qLangCentroid,
     "q_zipf_fit" -> qZipfFit,
+    "q_heaps_fit" -> qHeapsFit,
     "q_dedup_prefix" -> qDedupPrefix,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_ccnet_buckets" -> qCcnetBuckets,
@@ -1698,6 +1765,7 @@ object LlmOracle {
     "q_corpus_clean" -> qCorpusClean,
     "q_corpus_sample" -> qCorpusSample,
     "q_embed_cluster" -> qEmbedCluster,
+    "q_silhouette" -> qSilhouette,
     "q_multimodal_meta" -> qMultimodalMeta)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

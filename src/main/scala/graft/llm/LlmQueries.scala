@@ -72,6 +72,7 @@ object LlmQueries {
     "q_tokenizer_fertility" -> ((s, d) =>
       TextAnalysis.fertility(docs(s, d)).orderBy(col("lang"))),
     "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d))),
+    "q_heaps_fit" -> ((s, d) => TextAnalysis.heapsFit(docs(s, d))),
     "q_dedup_prefix" -> ((s, d) =>
       TextAnalysis.prefixDups(docs(s, d)).orderBy(col("prefix"))),
     "q_text_fingerprint" -> ((s, d) =>
@@ -170,6 +171,7 @@ object LlmQueries {
     "q_quality_sample" -> ((s, d) =>
       Corpus.sampleByQuality(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_cluster" -> ((s, d) => Cluster.kmeans(embs(s, d)).orderBy(col("vec_id"))),
+    "q_silhouette" -> ((s, d) => Cluster.silhouette(embs(s, d))),
     "q_embed_pca" -> ((s, d) =>
       graft.similarity.Pca.powerProjection(embs(s, d)).orderBy(col("vec_id"))),
     "q_embed_quantize" -> ((s, d) =>

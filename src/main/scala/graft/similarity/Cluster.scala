@@ -30,44 +30,83 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
+  private def vecsOf(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+  }
+
+  private val cosExpr =
+    "graft_dot(emb, cvec) / (sqrt(graft_dot(emb, emb)) * sqrt(graft_dot(cvec, cvec)))"
+
+  // argmax cosine, ties -> lowest centroid id: max over (cos, -cid).
+  // The centroid side carries an explicit limit(k): semantically a
+  // no-op (the frame is ≤ k rows by construction), but it makes the
+  // broadcast side's bound STRUCTURAL, so the plan guard can prove
+  // this nested-loop join is k-bounded, not an O(n²) scale-killer.
+  private def assign(vecs: DataFrame, cents: DataFrame, k: Int): DataFrame =
+    vecs.crossJoin(broadcast(cents.limit(k)))
+      .withColumn("cos", expr(cosExpr))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).as("cluster"),
+        col("best.cos").as("cos"))
+
+  // per-dimension means, quantized; a cluster that lost every member
+  // drops out (identically on both engines)
+  private def reestimate(vecs: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(vecs, Seq("vec_id"))
+      .select(col("cluster").as("cid"), posexplode(col("emb")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(avg(col("col")) + lit(1e-9), 6).as("v"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)")
+        .as("cvec"))
+
+  /** Final centroid frame after `iters` deterministic Lloyd rounds. */
+  private def fitCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("emb").as("cvec"))
+    for (_ <- 1 to iters) cents = reestimate(vecs, assign(vecs, cents, k))
+    cents
+  }
+
   /** Per-vector cluster assignment after `iters` deterministic Lloyd
     * rounds: (vec_id, cluster, cosine to its centroid). */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val vecs = embeddings.select(col("vec_id").cast("long").as("vec_id"),
-      expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-
-    val cos = "graft_dot(emb, cvec) / (sqrt(graft_dot(emb, emb)) * sqrt(graft_dot(cvec, cvec)))"
-    // argmax cosine, ties -> lowest centroid id: max over (cos, -cid).
-    // The centroid side carries an explicit limit(k): semantically a
-    // no-op (the frame is ≤ k rows by construction), but it makes the
-    // broadcast side's bound STRUCTURAL, so the plan guard can prove
-    // this nested-loop join is k-bounded, not an O(n²) scale-killer.
-    def assign(cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents.limit(k)))
-        .withColumn("cos", expr(cos))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("best"))
-        .select(col("vec_id"), (-col("best.negcid")).as("cluster"),
-          col("best.cos").as("cos"))
-
-    // per-dimension means, quantized; a cluster that lost every member
-    // drops out (identically on both engines)
-    def reestimate(assigned: DataFrame): DataFrame =
-      assigned.join(vecs, Seq("vec_id"))
-        .select(col("cluster").as("cid"), posexplode(col("emb")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("col")) + lit(1e-9), 6).as("v"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)")
-          .as("cvec"))
-
-    var cents = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("emb").as("cvec"))
-    for (_ <- 1 to iters) cents = reestimate(assign(cents))
-    assign(cents)
+    val vecs = vecsOf(embeddings)
+    assign(vecs, fitCentroids(vecs, k, iters), k)
       .select(col("vec_id"), col("cluster"),
         round(col("cos") + lit(1e-9), 6).as("cosine"))
+  }
+
+  /** Simplified silhouette per cluster (the clustering-quality gauge:
+    * is each vector closer to its own centroid than to any other?):
+    * sil = cos(own centroid) − max cos(other centroid), summarized as
+    * per-cluster mean/min with the member count. Centroid-based
+    * silhouette is the scale-correct form — the classical all-pairs
+    * silhouette is O(n²), this is one k-bounded scoring pass.
+    *
+    * Plan: ONE crossJoin against the limit(k)-bounded broadcast
+    * centroid frame scores all k cosines, the own/other split is two
+    * keyed aggregates on vec_id, the rollup is O(k) rows. */
+  def silhouette(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val vecs = vecsOf(embeddings)
+    val cents = fitCentroids(vecs, k, iters)
+    val scored = vecs.crossJoin(broadcast(cents.limit(k)))
+      .withColumn("cos", expr(cosExpr))
+      .select(col("vec_id"), col("cid"), col("cos"))
+    val best = assign(vecs, cents, k)
+    val second = scored.join(best.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .filter(col("cid") =!= col("cluster"))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("cos2"))
+    best.join(second, Seq("vec_id"))
+      .withColumn("sil", round(col("cos") - col("cos2") + lit(1e-9), 6))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("sil")) + lit(1e-9), 6).as("mean_sil"),
+        round(min(col("sil")) + lit(1e-9), 6).as("min_sil"))
+      .orderBy(col("cluster"))
   }
 
   /** SemDeDup-style semantic outlier pruning on top of [[kmeans]]: in

@@ -157,6 +157,64 @@ object TextAnalysis {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Heaps'-law fit of vocabulary growth — V(N) ≈ K·N^β over the
+    * corpus in doc_id order (β ≈ 0.4–0.6 for natural language; a
+    * too-flat curve means the corpus stopped contributing new types —
+    * THE saturation gauge when deciding whether more of a source is
+    * worth ingesting). Zipf's companion: frequency profile there,
+    * growth profile here.
+    *
+    * Plan: token first-occurrence = ONE keyed min(doc_id) aggregate
+    * (never a scan-order dependence), per-doc counts collapse to the
+    * O(#docs) frame, both cumsums are EXACT integer windows over that
+    * frame (at larger scale the same ordinal is a range-partition +
+    * prefix-sum pass), and the log–log OLS runs on doc checkpoints
+    * only. */
+  def heapsFit(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(expr(tokens("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val newTypes = tok.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perDoc.join(newTypes, Seq("doc_id"), "left")
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("cum_vocab", sum(coalesce(col("n_new"), lit(0L))).over(w))
+      .filter(col("cum_tok") > 0 && col("cum_vocab") > 0)
+    cum.select(log(col("cum_tok").cast("double")).as("x"),
+        log(col("cum_vocab").cast("double")).as("y"),
+        col("cum_tok"), col("cum_vocab"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("cum_tok")).as("total_tokens"),
+        max(col("cum_vocab")).as("vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("det", col("n_docs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dety", col("n_docs") * col("syy") - col("sy") * col("sy"))
+      .withColumn("heaps_beta",
+        when(col("det") > 0.0,
+          round((col("n_docs") * col("sxy") - col("sx") * col("sy")) / col("det")
+            + lit(1e-9), 6)))
+      .withColumn("log_k",
+        when(col("det") > 0.0,
+          round((col("sy") - (col("n_docs") * col("sxy") - col("sx") * col("sy"))
+            / col("det") * col("sx")) / col("n_docs") + lit(1e-9), 6)))
+      .withColumn("r2",
+        when(col("det") > 0.0 && col("dety") > 0.0,
+          round((col("n_docs") * col("sxy") - col("sx") * col("sy"))
+            * (col("n_docs") * col("sxy") - col("sx") * col("sy"))
+            / (col("det") * col("dety")) + lit(1e-9), 6)))
+      .select(col("n_docs"), col("total_tokens"), col("vocab"),
+        col("heaps_beta"), col("log_k"), col("r2"))
+  }
+
   /** Zipf-law fit of the corpus token-frequency distribution: the
     * least-squares slope of ln(frequency) on ln(rank) over the top-k
     * tokens — the exponent (≈ −1 for natural language) is the

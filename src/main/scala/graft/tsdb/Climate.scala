@@ -1995,6 +1995,33 @@ object Climate {
         col("start_doy"), col("end_doy"), col("gsl"))
   }
 
+  /** Cutler's RSI over the daily series (the SMA form of the relative
+    * strength index — window-expressible, unlike Wilder's recursive
+    * smoothing): RS = SMA_p(gains)/SMA_p(losses) on the day-over-day
+    * diffs, RSI = 100 − 100/(1+RS); only complete p-day windows
+    * report. The momentum twin of [[ewmaControl]]'s level control.
+    *
+    * Plan: one lag + three trailing frames on ONE (station, day)
+    * sort; everything partition-local per station. */
+  def rsi(rawDaily: DataFrame, period: Int = 14): DataFrame = {
+    val wo = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val wp = wo.rowsBetween(-(period - 1), 0)
+    rawDaily.withColumn("x", coalesce(col("raw"), lit(0.0)))
+      .withColumn("diff", col("x") - lag(col("x"), 1).over(wo))
+      .withColumn("gain", when(col("diff") > 0.0, col("diff")).otherwise(lit(0.0)))
+      .withColumn("loss", when(col("diff") < 0.0, -col("diff")).otherwise(lit(0.0)))
+      .withColumn("n_w", count(col("diff")).over(wp))
+      .withColumn("avg_gain", avg(col("gain")).over(wp))
+      .withColumn("avg_loss", avg(col("loss")).over(wp))
+      .filter(col("n_w") === period)
+      .withColumn("rsi",
+        when(col("avg_loss") > 0.0,
+          round(lit(100.0) - lit(100.0)
+            / (lit(1.0) + col("avg_gain") / col("avg_loss")) + lit(1e-9), 4))
+          .otherwise(lit(100.0)))
+      .select(col("station_id"), col("day"), col("rsi"))
+  }
+
   /** Kendall's τ-b between station elevation and period-mean value on
     * the decile-binned contingency table (does precipitation climb
     * with elevation, rank-robustly?). Binning first is the

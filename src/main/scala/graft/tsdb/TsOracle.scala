@@ -1454,6 +1454,34 @@ object TsOracle {
           + 1e-9, 6) END AS tau_b
     FROM d"""
 
+  /** Mirrors Climate.rsi: Cutler SMA-14 relative strength on the
+    * zero-filled daily diffs, complete windows only. */
+  val qRsi: String = s"""
+    WITH $world,
+    x AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x,
+        coalesce(raw, 0.0) - lag(coalesce(raw, 0.0), 1)
+          OVER (PARTITION BY station_id ORDER BY day) AS diff
+      FROM raw_daily),
+    g AS (
+      SELECT station_id, day, diff,
+        CASE WHEN diff > 0.0 THEN diff ELSE 0.0 END AS gain,
+        CASE WHEN diff < 0.0 THEN -diff ELSE 0.0 END AS loss
+      FROM x),
+    wf AS (
+      SELECT station_id, day,
+        count(diff) OVER win AS n_w,
+        avg(gain) OVER win AS avg_gain,
+        avg(loss) OVER win AS avg_loss
+      FROM g
+      WINDOW win AS (PARTITION BY station_id ORDER BY day
+        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT station_id, day,
+      CASE WHEN avg_loss > 0.0
+        THEN round(100.0 - 100.0 / (1.0 + avg_gain / avg_loss) + 1e-9, 4)
+        ELSE 100.0 END AS rsi
+    FROM wf WHERE n_w = 14 ORDER BY station_id, day"""
+
   /** Mirrors Climate.petThornthwaite: 4-dp monthly climatology, heat
     * index, closed-form PET. */
   val qPetThornthwaite: String = s"""
@@ -2857,6 +2885,7 @@ object TsOracle {
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,
     "q_kendall_binned" -> qKendallBinned,
+    "q_rsi" -> qRsi,
     "q_pet_thornthwaite" -> qPetThornthwaite,
     "q_continentality" -> qContinentality,
     "q_gsl" -> qGsl,

@@ -409,6 +409,9 @@ object TsQueries {
   def qKendallBinned(s: SparkSession, d: String): DataFrame =
     Climate.kendallTauBinned(meta(s, d), rawDaily(s, d))
 
+  def qRsi(s: SparkSession, d: String): DataFrame =
+    Climate.rsi(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
+
   def qPetThornthwaite(s: SparkSession, d: String): DataFrame =
     Climate.petThornthwaite(tempStats(s, d))
       .orderBy(col("station_id"), col("mon"))
@@ -543,6 +546,7 @@ object TsQueries {
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_yule_walker" -> (qYuleWalker _),
     "q_kendall_binned" -> (qKendallBinned _),
+    "q_rsi" -> (qRsi _),
     "q_pet_thornthwaite" -> (qPetThornthwaite _),
     "q_continentality" -> (qContinentality _),
     "q_gsl" -> (qGsl _),
