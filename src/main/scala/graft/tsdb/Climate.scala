@@ -1995,6 +1995,104 @@ object Climate {
         col("start_doy"), col("end_doy"), col("gsl"))
   }
 
+  /** Poisson-bootstrap confidence interval of each station's daily
+    * mean — THE distributed bootstrap: instead of resampling n rows
+    * with replacement (which needs global coordination), every row
+    * independently draws a Poisson(1) replication weight per replica,
+    * so each of the B bootstrap means is one weighted keyed aggregate
+    * and the whole thing is a single ×B-exploded map-combinable pass.
+    * Weights are DETERMINISTIC: an integer mix of (station, day,
+    * replica) mod 10⁴ against the Poisson(1) CDF thresholds
+    * (3679/7358/9197/9810) — no RNG, bit-identical on both engines.
+    *
+    * Plan: ×B explode on the scan, (station, replica) aggregate,
+    * station rollup with exact-percentile CI over the B means. */
+  def bootstrapCi(rawDaily: DataFrame, b: Int = 20): DataFrame = {
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .withColumn("dord", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("rep", explode(lit((0 until b).toArray)))
+      .withColumn("h",
+        ((col("station_id") * 1000003L + col("dord") * 7919L
+          + col("rep") * 104729L) % 10000L + 10000L) % 10000L)
+      .withColumn("w",
+        when(col("h") < 3679, 0).when(col("h") < 7358, 1)
+          .when(col("h") < 9197, 2).when(col("h") < 9810, 3).otherwise(4))
+    val reps = obs.groupBy(col("station_id"), col("rep"))
+      .agg(sum(col("w") * col("raw")).as("sw_x"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .withColumn("boot_mean", round(col("sw_x") / col("sw") + lit(1e-9), 6))
+    reps.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_boot"),
+        round(avg(col("boot_mean")) + lit(1e-9), 6).as("mean_of_means"),
+        round(stddev_pop(col("boot_mean")) + lit(1e-9), 6).as("boot_se"),
+        round(expr("percentile(boot_mean, 0.025D)") + lit(1e-9), 4).as("ci_lo"),
+        round(expr("percentile(boot_mean, 0.975D)") + lit(1e-9), 4).as("ci_hi"))
+  }
+
+  /** Global Moran's I of the station period means over the kNN
+    * neighbor graph (THE spatial-autocorrelation statistic: do nearby
+    * stations record similar climate?), with the null expectation
+    * E[I] = −1/(n−1).
+    *
+    * Plan: the z-score frame is O(#stations) → broadcast onto the
+    * O(k·#stations) edge list twice, one scalar rollup. */
+  def moransI(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    val ma = rawDaily.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("ma"))
+    val gm = ma.agg(round(avg(col("ma")) + lit(1e-9), 6).as("gm"),
+      count(lit(1)).as("n"))
+    val z = ma.crossJoin(broadcast(gm))
+      .select(col("station_id"), (col("ma") - col("gm")).as("z"), col("n"))
+    val den = z.agg(sum(col("z") * col("z")).as("den"),
+      first(col("n")).as("n"))
+    val num = knn.select(col("station_id"), col("nb_id"))
+      .join(broadcast(z.select(col("station_id"), col("z"))), Seq("station_id"))
+      .join(broadcast(z.select(col("station_id").as("nb_id"), col("z").as("zj"))),
+        Seq("nb_id"))
+      .agg(sum(col("z") * col("zj")).as("num"), count(lit(1)).as("w_edges"))
+    num.crossJoin(broadcast(den))
+      .withColumn("morans_i",
+        when(col("den") > 0.0,
+          round(col("n") / col("w_edges").cast("double")
+            * col("num") / col("den") + lit(1e-9), 6)))
+      .withColumn("e_i", round(lit(-1.0) / (col("n") - 1) + lit(1e-9), 6))
+      .select(col("n"), col("w_edges"), col("morans_i"), col("e_i"))
+  }
+
+  /** Local Moran's I (LISA, Anselin 1995) per station over the kNN
+    * graph with row-standardized weights: Iᵢ = zᵢ·lag(z)ᵢ/m₂ where
+    * lag(z)ᵢ is the neighbor mean of z — the hotspot/coldspot map
+    * behind every climate-anomaly atlas, with the HH/LL/HL/LH
+    * quadrant label.
+    *
+    * Plan: same broadcast z map as [[moransI]], one keyed neighbor
+    * aggregate, stateless closed form. */
+  def localMoran(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    val ma = rawDaily.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("ma"))
+    val gm = ma.agg(round(avg(col("ma")) + lit(1e-9), 6).as("gm"),
+      count(lit(1)).as("n"))
+    val z = ma.crossJoin(broadcast(gm))
+      .select(col("station_id"), round(col("ma") - col("gm") + lit(1e-9), 6).as("z"))
+    val m2 = z.agg((sum(col("z") * col("z")) / count(lit(1))).as("m2"))
+    val lagZ = knn.select(col("station_id"), col("nb_id"))
+      .join(broadcast(z.select(col("station_id").as("nb_id"), col("z").as("zj"))),
+        Seq("nb_id"))
+      .groupBy(col("station_id"))
+      .agg(round(avg(col("zj")) + lit(1e-9), 6).as("lag_z"))
+    z.join(lagZ, Seq("station_id"))
+      .crossJoin(broadcast(m2))
+      .withColumn("local_i",
+        when(col("m2") > 0.0,
+          round(col("z") * col("lag_z") / col("m2") + lit(1e-9), 6)))
+      .withColumn("quadrant",
+        when(col("z") >= 0.0 && col("lag_z") >= 0.0, "HH")
+          .when(col("z") < 0.0 && col("lag_z") < 0.0, "LL")
+          .when(col("z") >= 0.0, "HL").otherwise("LH"))
+      .select(col("station_id"), col("z"), col("lag_z"), col("local_i"),
+        col("quadrant"))
+  }
+
   /** Cutler's RSI over the daily series (the SMA form of the relative
     * strength index — window-expressible, unlike Wilder's recursive
     * smoothing): RS = SMA_p(gains)/SMA_p(losses) on the day-over-day

@@ -196,4 +196,27 @@ object Neighbors {
       .select(col("station_id"), col("rank"), col("nb_id"),
         round(col("wdist") + lit(1e-9), 6).as("wdist"))
   }
+
+  /** Multi-resolution spatial cell rollup of the station registry
+    * (the quadkey/geohash density pyramid every map tile server and
+    * the knnDistBucketed cell join are built on): per zoom cell size
+    * the station count, mean elevation and mean period value.
+    *
+    * Plan: ×|zooms| explode of the O(#stations) registry, one keyed
+    * aggregate to the cell pyramid — integer cell keys, exact counts,
+    * 4-dp means. */
+  def geoCells(meta: DataFrame, rawDaily: DataFrame,
+      zooms: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val ma = rawDaily.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("ma"))
+    meta.select(col("station_id"), col("x"), col("y"), col("elev"))
+      .join(ma, Seq("station_id"), "left")
+      .withColumn("cell", explode(lit(zooms.toArray)))
+      .withColumn("cell_x", floor(col("x") / col("cell")))
+      .withColumn("cell_y", floor(col("y") / col("cell")))
+      .groupBy(col("cell"), col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("n_stations"),
+        round(avg(col("elev")) + lit(1e-9), 4).as("mean_elev"),
+        round(avg(col("ma")) + lit(1e-9), 4).as("mean_ma"))
+  }
 }

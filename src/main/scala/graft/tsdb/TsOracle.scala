@@ -1454,6 +1454,91 @@ object TsOracle {
           + 1e-9, 6) END AS tau_b
     FROM d"""
 
+  /** Mirrors Climate.bootstrapCi: deterministic Poisson(1) weights
+    * from the integer (station, day, replica) mix, B=20 replicas. */
+  val qBootstrapCi: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, raw,
+        datediff('day', DATE '1970-01-01', day) AS dord
+      FROM raw_daily WHERE raw IS NOT NULL),
+    ex AS (
+      SELECT station_id, raw, dord, unnest(range(0, 20)) AS rep FROM obs),
+    wts AS (
+      SELECT station_id, rep, raw,
+        ((station_id * 1000003 + dord * 7919 + rep * 104729) % 10000
+          + 10000) % 10000 AS h
+      FROM ex),
+    w2 AS (
+      SELECT station_id, rep, raw,
+        CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+             WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3 ELSE 4 END AS w
+      FROM wts),
+    reps AS (
+      SELECT station_id, rep,
+        round(sum(w * raw) / sum(w) + 1e-9, 6) AS boot_mean
+      FROM w2 GROUP BY 1, 2 HAVING sum(w) > 0)
+    SELECT station_id, CAST(count(*) AS BIGINT) AS n_boot,
+      round(avg(boot_mean) + 1e-9, 6) AS mean_of_means,
+      round(stddev_pop(boot_mean) + 1e-9, 6) AS boot_se,
+      round(quantile_cont(boot_mean, 0.025) + 1e-9, 4) AS ci_lo,
+      round(quantile_cont(boot_mean, 0.975) + 1e-9, 4) AS ci_hi
+    FROM reps GROUP BY 1 ORDER BY station_id"""
+
+  /** Mirrors Climate.moransI: z map onto the knn edge list, scalar
+    * rollup. */
+  val qMoransI: String = s"""
+    WITH $world,
+    gm AS (SELECT round(avg(ma) + 1e-9, 6) AS gm,
+      CAST(count(*) AS BIGINT) AS n FROM ma_raw),
+    z AS (SELECT station_id, ma - gm.gm AS z, gm.n FROM ma_raw, gm),
+    den AS (SELECT sum(z*z) AS den, max(n) AS n FROM z),
+    num AS (
+      SELECT sum(a.z * b.z) AS num, CAST(count(*) AS BIGINT) AS w_edges
+      FROM knn k JOIN z a ON k.station_id = a.station_id
+      JOIN z b ON k.nb_id = b.station_id)
+    SELECT den.n, num.w_edges,
+      CASE WHEN den.den > 0.0
+        THEN round(den.n / num.w_edges::DOUBLE * num.num / den.den + 1e-9, 6)
+      END AS morans_i,
+      round(-1.0 / (den.n - 1) + 1e-9, 6) AS e_i
+    FROM num, den"""
+
+  /** Mirrors Climate.localMoran: 6-dp z, row-standardized neighbor
+    * lag, LISA quadrants. */
+  val qLocalMoran: String = s"""
+    WITH $world,
+    gm AS (SELECT round(avg(ma) + 1e-9, 6) AS gm FROM ma_raw),
+    z AS (SELECT station_id, round(ma - gm.gm + 1e-9, 6) AS z
+      FROM ma_raw, gm),
+    m2 AS (SELECT sum(z*z) / count(*) AS m2 FROM z),
+    lagz AS (
+      SELECT k.station_id, round(avg(b.z) + 1e-9, 6) AS lag_z
+      FROM knn k JOIN z b ON k.nb_id = b.station_id GROUP BY 1)
+    SELECT z.station_id, z.z, l.lag_z,
+      CASE WHEN m2.m2 > 0.0
+        THEN round(z.z * l.lag_z / m2.m2 + 1e-9, 6) END AS local_i,
+      CASE WHEN z.z >= 0.0 AND l.lag_z >= 0.0 THEN 'HH'
+           WHEN z.z < 0.0 AND l.lag_z < 0.0 THEN 'LL'
+           WHEN z.z >= 0.0 THEN 'HL' ELSE 'LH' END AS quadrant
+    FROM z JOIN lagz l USING (station_id), m2
+    ORDER BY station_id"""
+
+  /** Mirrors Neighbors.geoCells: zoom-exploded integer cell keys over
+    * the registry. */
+  val qGeoCells: String = s"""
+    WITH $world,
+    j AS (
+      SELECT m.station_id, m.x, m.y, m.elev, a.ma
+      FROM meta m LEFT JOIN ma_raw a USING (station_id)),
+    ex AS (SELECT *, unnest([2, 4, 8]) AS cell FROM j)
+    SELECT cell, CAST(floor(x / cell) AS BIGINT) AS cell_x,
+      CAST(floor(y / cell) AS BIGINT) AS cell_y,
+      CAST(count(*) AS BIGINT) AS n_stations,
+      round(avg(elev) + 1e-9, 4) AS mean_elev,
+      round(avg(ma) + 1e-9, 4) AS mean_ma
+    FROM ex GROUP BY 1, 2, 3 ORDER BY cell, cell_x, cell_y"""
+
   /** Mirrors Climate.rsi: Cutler SMA-14 relative strength on the
     * zero-filled daily diffs, complete windows only. */
   val qRsi: String = s"""
@@ -2886,6 +2971,10 @@ object TsOracle {
     "q_yule_walker" -> qYuleWalker,
     "q_kendall_binned" -> qKendallBinned,
     "q_rsi" -> qRsi,
+    "q_bootstrap_ci" -> qBootstrapCi,
+    "q_morans_i" -> qMoransI,
+    "q_local_moran" -> qLocalMoran,
+    "q_geo_cells" -> qGeoCells,
     "q_pet_thornthwaite" -> qPetThornthwaite,
     "q_continentality" -> qContinentality,
     "q_gsl" -> qGsl,

@@ -409,6 +409,20 @@ object TsQueries {
   def qKendallBinned(s: SparkSession, d: String): DataFrame =
     Climate.kendallTauBinned(meta(s, d), rawDaily(s, d))
 
+  def qBootstrapCi(s: SparkSession, d: String): DataFrame =
+    Climate.bootstrapCi(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qMoransI(s: SparkSession, d: String): DataFrame =
+    Climate.moransI(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+
+  def qLocalMoran(s: SparkSession, d: String): DataFrame =
+    Climate.localMoran(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"))
+
+  def qGeoCells(s: SparkSession, d: String): DataFrame =
+    Neighbors.geoCells(meta(s, d), rawDaily(s, d))
+      .orderBy(col("cell"), col("cell_x"), col("cell_y"))
+
   def qRsi(s: SparkSession, d: String): DataFrame =
     Climate.rsi(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
 
@@ -547,6 +561,10 @@ object TsQueries {
     "q_yule_walker" -> (qYuleWalker _),
     "q_kendall_binned" -> (qKendallBinned _),
     "q_rsi" -> (qRsi _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_morans_i" -> (qMoransI _),
+    "q_local_moran" -> (qLocalMoran _),
+    "q_geo_cells" -> (qGeoCells _),
     "q_pet_thornthwaite" -> (qPetThornthwaite _),
     "q_continentality" -> (qContinentality _),
     "q_gsl" -> (qGsl _),
