@@ -713,6 +713,25 @@ object LlmOracle {
           + 1e-9, 6) END AS r2
     FROM d"""
 
+  /** Mirrors TextAnalysis.docNovelty: distinct (doc, type) collapse,
+    * first-occurrence share per doc. */
+  val qDocNovelty: String = s"""
+    WITH tok AS (
+      SELECT doc_id::BIGINT AS doc_id, unnest($toks) AS token
+      FROM documents),
+    types AS (
+      SELECT doc_id, token FROM tok WHERE len(token) > 0 GROUP BY 1, 2),
+    first AS (
+      SELECT token, min(doc_id) AS first_doc FROM types GROUP BY 1),
+    per AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_new_types
+      FROM types t JOIN first f USING (token) GROUP BY 1)
+    SELECT doc_id, n_types, n_new_types,
+      round(n_new_types / n_types::DOUBLE + 1e-9, 6) AS novelty
+    FROM per ORDER BY doc_id"""
+
   /** Mirrors Cluster.silhouette: full k-cosine score table, own vs
     * best-other centroid, per-cluster rollup. */
   val qSilhouette: String = {
@@ -1693,6 +1712,7 @@ object LlmOracle {
     "q_lang_centroid" -> qLangCentroid,
     "q_zipf_fit" -> qZipfFit,
     "q_heaps_fit" -> qHeapsFit,
+    "q_doc_novelty" -> qDocNovelty,
     "q_dedup_prefix" -> qDedupPrefix,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_ccnet_buckets" -> qCcnetBuckets,

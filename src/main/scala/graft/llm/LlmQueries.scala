@@ -73,6 +73,8 @@ object LlmQueries {
       TextAnalysis.fertility(docs(s, d)).orderBy(col("lang"))),
     "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d))),
     "q_heaps_fit" -> ((s, d) => TextAnalysis.heapsFit(docs(s, d))),
+    "q_doc_novelty" -> ((s, d) =>
+      TextAnalysis.docNovelty(docs(s, d)).orderBy(col("doc_id"))),
     "q_dedup_prefix" -> ((s, d) =>
       TextAnalysis.prefixDups(docs(s, d)).orderBy(col("prefix"))),
     "q_text_fingerprint" -> ((s, d) =>

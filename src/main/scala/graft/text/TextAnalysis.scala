@@ -215,6 +215,34 @@ object TextAnalysis {
         col("heaps_beta"), col("log_k"), col("r2"))
   }
 
+  /** Per-document type novelty — the doc-granular face of
+    * [[heapsFit]]: for each doc the share of its distinct tokens
+    * whose GLOBAL first occurrence (by doc_id order) is this doc.
+    * High novelty = the doc genuinely extends the corpus vocabulary;
+    * near-zero = boilerplate — a per-doc keep/drop signal where
+    * heapsFit is the corpus-level gauge.
+    *
+    * Plan: distinct (doc, type) collapse, token first-occurrence =
+    * ONE keyed min aggregate, one join back on the token key, keyed
+    * doc rollup — two shuffles, nothing ordered. */
+  def docNovelty(documents: DataFrame): DataFrame = {
+    val types = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(expr(tokens("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val first = types.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    types.join(first, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_new_types"))
+      .withColumn("novelty",
+        round(col("n_new_types") / col("n_types").cast("double") + lit(1e-9), 6))
+      .select(col("doc_id"), col("n_types"), col("n_new_types"), col("novelty"))
+  }
+
   /** Zipf-law fit of the corpus token-frequency distribution: the
     * least-squares slope of ln(frequency) on ln(rank) over the top-k
     * tokens — the exponent (≈ −1 for natural language) is the

@@ -228,6 +228,37 @@ object Aggregate {
       .orderBy(col("session_len"))
   }
 
+  /** Peak session concurrency per day — the capacity-planning sweep
+    * line: every [[sessionize]]d interval contributes +1 at its start
+    * and −1 just after its end (closed interval — single-event
+    * sessions still occupy their instant), the running sum of the
+    * per-timestamp NET deltas is the live-session count, and the day
+    * rollup keeps the peak plus the session-start count.
+    *
+    * Plan: sessionize's one user_id exchange, delta collapse to the
+    * O(#distinct boundary ts) frame, ONE exact-integer cumulative
+    * window over that frame (range-partition + prefix-sum at larger
+    * scale — the corpus_shuffle ordinal pattern), tiny day rollup. */
+  def concurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sessions = sessionize(events, gapMinutes)
+    val deltas = sessions
+      .select(col("session_start").as("ts"), lit(1L).as("d"))
+      .unionByName(sessions.select(
+        (col("session_end") + expr("interval 1 microsecond")).as("ts"),
+        lit(-1L).as("d")))
+    val perTs = deltas.groupBy(col("ts"))
+      .agg(sum(col("d")).as("delta"),
+        sum(when(col("d") > 0, col("d")).otherwise(lit(0L))).as("starts"))
+    val w = Window.orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTs.withColumn("concurrent", sum(col("delta")).over(w))
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .agg(max(col("concurrent")).as("peak_concurrent"),
+        sum(col("starts")).as("n_starts"))
+      .orderBy(col("day"))
+  }
+
   /** Batch twin of the streaming pipeline: 6-hour tumbling windows per
     * event type (graft.streaming runs the same plan on readStream). */
   def streamWindowBatch(events: DataFrame): DataFrame =

@@ -2093,6 +2093,48 @@ object Climate {
         col("quadrant"))
   }
 
+  /** Getis–Ord Gi* hotspot z-score per station (the OTHER spatial
+    * hotspot statistic beside [[localMoran]] — Gi* asks "is the local
+    * NEIGHBORHOOD SUM high?", LISA asks "does i resemble its
+    * neighbors?"), star variant: the focal station counts in its own
+    * neighborhood. Binary kNN weights give the textbook closed form
+    * with Σw = k+1.
+    *
+    * Plan: one broadcast value map onto the O(k·n) edge list, one
+    * keyed neighbor-sum aggregate, scalar moment frame, stateless
+    * closed form. */
+  def getisOrd(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    val ma = rawDaily.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("ma"))
+    val g = ma.agg(count(lit(1)).as("n"),
+      round(avg(col("ma")) + lit(1e-9), 6).as("xbar"),
+      sum(col("ma") * col("ma")).as("sxx"))
+    val nbSum = knn.select(col("station_id"), col("nb_id"))
+      .join(broadcast(ma.select(col("station_id").as("nb_id"), col("ma").as("xj"))),
+        Seq("nb_id"))
+      .groupBy(col("station_id"))
+      .agg(sum(col("xj")).as("s_nb"), count(lit(1)).as("k"))
+    ma.join(nbSum, Seq("station_id"))
+      .crossJoin(broadcast(g))
+      .withColumn("wsum", col("s_nb") + col("ma"))
+      .withColumn("wn", col("k") + 1)
+      .withColumn("s",
+        sqrt(greatest(col("sxx") / col("n") - col("xbar") * col("xbar"),
+          lit(0.0))))
+      .withColumn("den",
+        col("s") * sqrt(greatest(
+          (col("n") * col("wn") - col("wn") * col("wn")).cast("double")
+            / (col("n") - 1), lit(0.0))))
+      .withColumn("gi_z",
+        when(col("den") > 0.0,
+          round((col("wsum") - col("xbar") * col("wn")) / col("den")
+            + lit(1e-9), 6)))
+      .withColumn("hotspot",
+        when(col("gi_z") > 1.96, "hot").when(col("gi_z") < -1.96, "cold")
+          .otherwise("ns"))
+      .select(col("station_id"), col("k"), col("gi_z"), col("hotspot"))
+  }
+
   /** Cutler's RSI over the daily series (the SMA form of the relative
     * strength index — window-expressible, unlike Wilder's recursive
     * smoothing): RS = SMA_p(gains)/SMA_p(losses) on the day-over-day

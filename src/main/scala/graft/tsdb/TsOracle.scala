@@ -1454,6 +1454,70 @@ object TsOracle {
           + 1e-9, 6) END AS tau_b
     FROM d"""
 
+  /** Mirrors Aggregate.concurrency: sessionize CTE, ±1 sweep line,
+    * exact-integer running sum, day rollup. */
+  val qConcurrency: String = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+        (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+      FROM flagged),
+    sess AS (
+      SELECT user_id, session_id, min(ts) AS session_start,
+        max(ts) AS session_end
+      FROM sessions GROUP BY 1, 2),
+    deltas AS (
+      SELECT session_start AS ts, 1::BIGINT AS d FROM sess
+      UNION ALL
+      SELECT session_end + INTERVAL 1 MICROSECOND, -1::BIGINT FROM sess),
+    per_ts AS (
+      SELECT ts, CAST(sum(d) AS BIGINT) AS delta,
+        CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS starts
+      FROM deltas GROUP BY 1),
+    run AS (
+      SELECT ts, starts,
+        (sum(delta) OVER (ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+          AS concurrent
+      FROM per_ts)
+    SELECT ts::date AS day,
+      CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+      CAST(sum(starts) AS BIGINT) AS n_starts
+    FROM run GROUP BY 1 ORDER BY day"""
+
+  /** Mirrors Climate.getisOrd: neighbor-sum Gi* with binary kNN
+    * weights, star variant. */
+  val qGetisOrd: String = s"""
+    WITH $world,
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      round(avg(ma) + 1e-9, 6) AS xbar, sum(ma*ma) AS sxx FROM ma_raw),
+    nb AS (
+      SELECT k.station_id, sum(b.ma) AS s_nb, CAST(count(*) AS BIGINT) AS k
+      FROM knn k JOIN ma_raw b ON k.nb_id = b.station_id GROUP BY 1),
+    j AS (
+      SELECT a.station_id, nb.k, a.ma + nb.s_nb AS wsum, nb.k + 1 AS wn,
+        g.n, g.xbar,
+        sqrt(greatest(g.sxx / g.n - g.xbar * g.xbar, 0.0)) AS s
+      FROM ma_raw a JOIN nb USING (station_id), g),
+    d AS (
+      SELECT *, s * sqrt(greatest(
+        (n * wn - wn * wn)::DOUBLE / (n - 1), 0.0)) AS den
+      FROM j),
+    d2 AS (
+      SELECT station_id, k,
+        CASE WHEN den > 0.0
+          THEN round((wsum - xbar * wn) / den + 1e-9, 6) END AS gi_z
+      FROM d)
+    SELECT station_id, k, gi_z,
+      CASE WHEN gi_z > 1.96 THEN 'hot'
+           WHEN gi_z < -1.96 THEN 'cold' ELSE 'ns' END AS hotspot
+    FROM d2 ORDER BY station_id"""
+
   /** Mirrors Climate.bootstrapCi: deterministic Poisson(1) weights
     * from the integer (station, day, replica) mix, B=20 replicas. */
   val qBootstrapCi: String = s"""
@@ -2972,6 +3036,8 @@ object TsOracle {
     "q_kendall_binned" -> qKendallBinned,
     "q_rsi" -> qRsi,
     "q_bootstrap_ci" -> qBootstrapCi,
+    "q_concurrency" -> qConcurrency,
+    "q_getis_ord" -> qGetisOrd,
     "q_morans_i" -> qMoransI,
     "q_local_moran" -> qLocalMoran,
     "q_geo_cells" -> qGeoCells,

@@ -409,6 +409,13 @@ object TsQueries {
   def qKendallBinned(s: SparkSession, d: String): DataFrame =
     Climate.kendallTauBinned(meta(s, d), rawDaily(s, d))
 
+  def qConcurrency(s: SparkSession, d: String): DataFrame =
+    Aggregate.concurrency(ev(s, d)).orderBy(col("day"))
+
+  def qGetisOrd(s: SparkSession, d: String): DataFrame =
+    Climate.getisOrd(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"))
+
   def qBootstrapCi(s: SparkSession, d: String): DataFrame =
     Climate.bootstrapCi(rawDaily(s, d)).orderBy(col("station_id"))
 
@@ -562,6 +569,8 @@ object TsQueries {
     "q_kendall_binned" -> (qKendallBinned _),
     "q_rsi" -> (qRsi _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_concurrency" -> (qConcurrency _),
+    "q_getis_ord" -> (qGetisOrd _),
     "q_morans_i" -> (qMoransI _),
     "q_local_moran" -> (qLocalMoran _),
     "q_geo_cells" -> (qGeoCells _),
