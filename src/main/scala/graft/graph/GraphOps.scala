@@ -101,6 +101,46 @@ object GraphOps {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** k-core membership by FIXED-ROUND peeling (the degeneracy-layer
+    * primitive of community/influence analysis): `rounds` passes each
+    * drop every node with current degree < k, together with its
+    * edges. The round count is part of the operator contract — both
+    * engines run the identical bounded iteration (the fixpoint is
+    * reached well inside it on kNN-shaped graphs; a node still
+    * peelable after the last round simply reports its current
+    * degree), so results replay exactly with no convergence-test
+    * float hazard.
+    *
+    * Plan: each round = one keyed degree aggregate + two semi-joins
+    * of the edge frame against the O(#survivors) keep list;
+    * per-round localCheckpoint with eager release, exactly the
+    * pageRank/components loop shape. */
+  def kCore(edges: DataFrame, k: Int = 4, rounds: Int = 8): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    val allDeg = und.groupBy(col("u").as("station_id"))
+      .agg(count(lit(1)).as("degree"))
+    var alive = und.localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val keep = alive.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      val next = alive
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      graft.core.Checkpoints.release(alive)
+      alive = next
+    }
+    val coreDeg = alive.groupBy(col("u").as("station_id"))
+      .agg(count(lit(1)).as("core_degree"))
+    allDeg.join(coreDeg, Seq("station_id"), "left")
+      .select(col("station_id"), col("degree"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        col("core_degree").isNotNull.as("in_core"))
+  }
+
   /** Degree assortativity coefficient — does the graph wire hubs to
     * hubs (r > 0, social networks) or hubs to leaves (r < 0,
     * infrastructure/kNN graphs)? Pearson correlation of the endpoint

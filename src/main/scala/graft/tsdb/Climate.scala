@@ -2093,6 +2093,36 @@ object Climate {
         col("quadrant"))
   }
 
+  /** Geary's C over the kNN graph — Moran's local-difference twin
+    * (C < 1 positive spatial autocorrelation, 1 = none, > 1 negative;
+    * C weights squared NEIGHBOR DIFFERENCES where Moran weights
+    * cross-products, so it is the more sensitive of the two to local
+    * breaks): C = (n−1)·Σw(xᵢ−xⱼ)² / (2W·Σ(xᵢ−x̄)²).
+    *
+    * Plan: identical shape to [[moransI]] — broadcast value map onto
+    * the O(k·n) edge list, two scalar rollups. */
+  def gearyC(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    val ma = rawDaily.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("ma"))
+    val gm = ma.agg(round(avg(col("ma")) + lit(1e-9), 6).as("gm"),
+      count(lit(1)).as("n"))
+    val den = ma.crossJoin(broadcast(gm))
+      .agg(sum((col("ma") - col("gm")) * (col("ma") - col("gm"))).as("den"),
+        first(col("n")).as("n"))
+    val num = knn.select(col("station_id"), col("nb_id"))
+      .join(broadcast(ma.select(col("station_id"), col("ma"))), Seq("station_id"))
+      .join(broadcast(ma.select(col("station_id").as("nb_id"), col("ma").as("mj"))),
+        Seq("nb_id"))
+      .agg(sum((col("ma") - col("mj")) * (col("ma") - col("mj"))).as("num"),
+        count(lit(1)).as("w_edges"))
+    num.crossJoin(broadcast(den))
+      .withColumn("geary_c",
+        when(col("den") > 0.0,
+          round((col("n") - 1) * col("num")
+            / (lit(2.0) * col("w_edges") * col("den")) + lit(1e-9), 6)))
+      .select(col("n"), col("w_edges"), col("geary_c"))
+  }
+
   /** Getis–Ord Gi* hotspot z-score per station (the OTHER spatial
     * hotspot statistic beside [[localMoran]] — Gi* asks "is the local
     * NEIGHBORHOOD SUM high?", LISA asks "does i resemble its

@@ -1518,6 +1518,58 @@ object TsOracle {
            WHEN gi_z < -1.96 THEN 'cold' ELSE 'ns' END AS hotspot
     FROM d2 ORDER BY station_id"""
 
+  /** Mirrors Climate.gearyC: squared neighbor differences over the
+    * knn edge list. */
+  val qGearyC: String = s"""
+    WITH $world,
+    gm AS (SELECT round(avg(ma) + 1e-9, 6) AS gm,
+      CAST(count(*) AS BIGINT) AS n FROM ma_raw),
+    den AS (
+      SELECT sum((a.ma - gm.gm) * (a.ma - gm.gm)) AS den, max(gm.n) AS n
+      FROM ma_raw a, gm),
+    num AS (
+      SELECT sum((a.ma - b.ma) * (a.ma - b.ma)) AS num,
+        CAST(count(*) AS BIGINT) AS w_edges
+      FROM knn k JOIN ma_raw a ON k.station_id = a.station_id
+      JOIN ma_raw b ON k.nb_id = b.station_id)
+    SELECT den.n, num.w_edges,
+      CASE WHEN den.den > 0.0
+        THEN round((den.n - 1) * num.num / (2.0 * num.w_edges * den.den)
+          + 1e-9, 6) END AS geary_c
+    FROM num, den"""
+
+  /** Mirrors GraphOps.kCore: the identical 8-round degree-peel,
+    * unrolled as generated CTEs. */
+  val qKcore: String = {
+    val k = 4; val rounds = 8
+    // MATERIALIZED: each round references its predecessor three times
+    // (degree + both semi-join sides) — inlined CTEs would replay the
+    // whole upstream chain 3^rounds times
+    val peel = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT u FROM (
+        SELECT u, count(*) AS d FROM a${i - 1} GROUP BY u) WHERE d >= $k),
+    a$i AS MATERIALIZED (SELECT a.u, a.v FROM a${i - 1} a
+      JOIN k$i x ON a.u = x.u JOIN k$i y ON a.v = y.u)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $world,
+    und AS (
+      SELECT station_id AS u, nb_id AS v FROM knn WHERE station_id != nb_id
+      UNION
+      SELECT nb_id, station_id FROM knn WHERE station_id != nb_id),
+    a0 AS MATERIALIZED (SELECT u, v FROM und),
+    all_deg AS (SELECT u AS station_id, CAST(count(*) AS BIGINT) AS degree
+      FROM und GROUP BY 1),
+    $peel,
+    core_deg AS (SELECT u AS station_id,
+      CAST(count(*) AS BIGINT) AS core_degree FROM a$rounds GROUP BY 1)
+    SELECT d.station_id, d.degree,
+      CAST(coalesce(c.core_degree, 0) AS BIGINT) AS core_degree,
+      c.core_degree IS NOT NULL AS in_core
+    FROM all_deg d LEFT JOIN core_deg c USING (station_id)
+    ORDER BY station_id"""
+  }
+
   /** Mirrors Climate.bootstrapCi: deterministic Poisson(1) weights
     * from the integer (station, day, replica) mix, B=20 replicas. */
   val qBootstrapCi: String = s"""
@@ -3037,6 +3089,8 @@ object TsOracle {
     "q_rsi" -> qRsi,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_concurrency" -> qConcurrency,
+    "q_geary_c" -> qGearyC,
+    "q_kcore" -> qKcore,
     "q_getis_ord" -> qGetisOrd,
     "q_morans_i" -> qMoransI,
     "q_local_moran" -> qLocalMoran,

@@ -409,6 +409,12 @@ object TsQueries {
   def qKendallBinned(s: SparkSession, d: String): DataFrame =
     Climate.kendallTauBinned(meta(s, d), rawDaily(s, d))
 
+  def qGearyC(s: SparkSession, d: String): DataFrame =
+    Climate.gearyC(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+
+  def qKcore(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.kCore(knnEdges(s, d)).orderBy(col("station_id"))
+
   def qConcurrency(s: SparkSession, d: String): DataFrame =
     Aggregate.concurrency(ev(s, d)).orderBy(col("day"))
 
@@ -570,6 +576,8 @@ object TsQueries {
     "q_rsi" -> (qRsi _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_concurrency" -> (qConcurrency _),
+    "q_geary_c" -> (qGearyC _),
+    "q_kcore" -> (qKcore _),
     "q_getis_ord" -> (qGetisOrd _),
     "q_morans_i" -> (qMoransI _),
     "q_local_moran" -> (qLocalMoran _),
