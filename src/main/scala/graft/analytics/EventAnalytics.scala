@@ -1479,6 +1479,45 @@ object EventAnalytics {
         col("z_wh"), col("significant"))
   }
 
+  /** Weekly growth accounting (the SaaS "quick ratio" ledger): every
+    * active user-week is NEW (first week), RETAINED (also active
+    * the previous week) or RESURRECTED (returned after a gap);
+    * churned(m) = active(m−1) − retained(m). Quick ratio =
+    * (new + resurrected) / churned — the one-number growth-quality
+    * gauge.
+    *
+    * Plan: one distinct (user, week) collapse, ONE user-partitioned
+    * lag window over the ≤ #weeks rows per user, a keyed week
+    * rollup, and the churn lag runs on the O(#weeks) frame. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val um = events.select(col("user_id"),
+      trunc(to_date(col("ts")), "week").as("mon")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("mon"))
+    val flags = um.withColumn("prev_mon", lag(col("mon"), 1).over(w))
+      .withColumn("status",
+        when(col("prev_mon").isNull, "new")
+          .when(datediff(col("mon"), col("prev_mon")) === 7, "retained")
+          .otherwise("resurrected"))
+    val counts = flags.groupBy(col("mon"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val wm = Window.orderBy(col("mon"))
+    counts.withColumn("prev_active", lag(col("n_active"), 1).over(wm))
+      .withColumn("n_churned",
+        when(col("prev_active").isNotNull,
+          col("prev_active") - col("n_retained")))
+      .withColumn("quick_ratio",
+        when(col("n_churned") > 0,
+          round((col("n_new") + col("n_resurrected"))
+            / col("n_churned").cast("double") + lit(1e-9), 4)))
+      .select(col("mon"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"), col("quick_ratio"))
+      .orderBy(col("mon"))
+  }
+
   def kaplanMeier(events: DataFrame): DataFrame = {
     val users = events.groupBy(col("user_id"))
       .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
@@ -1515,6 +1554,7 @@ object EventAnalytics {
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
     "q_kruskal_wallis" -> ((s, d) => kruskalWallis(Tables.events(s, d))),
+    "q_growth_accounting" -> ((s, d) => growthAccounting(Tables.events(s, d))),
     "q_levene_bf" -> ((s, d) => leveneBrownForsythe(Tables.events(s, d))),
     "q_anomaly_iqr" -> ((s, d) => anomalyIqr(Tables.events(s, d))),
     "q_entropy_rate" -> ((s, d) => entropyRate(Tables.events(s, d))),
@@ -2612,6 +2652,42 @@ object EventOracle {
       FROM z)
     SELECT n, k, w_stat, z_wh, z_wh > 1.645 AS significant FROM w"""
 
+  /** Mirrors EventAnalytics.growthAccounting: user-month lag states,
+    * month rollup, churn from the active lag. */
+  val qGrowthAccounting: String = """
+    WITH um AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::date AS mon
+      FROM events),
+    flags AS (
+      SELECT user_id, mon,
+        lag(mon, 1) OVER (PARTITION BY user_id ORDER BY mon) AS prev_mon
+      FROM um),
+    st AS (
+      SELECT mon,
+        CASE WHEN prev_mon IS NULL THEN 'new'
+             WHEN date_diff('day', prev_mon, mon) = 7 THEN 'retained'
+             ELSE 'resurrected' END AS status
+      FROM flags),
+    counts AS (
+      SELECT mon, CAST(count(*) AS BIGINT) AS n_active,
+        CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_retained,
+        CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_resurrected
+      FROM st GROUP BY 1),
+    l AS (
+      SELECT *, lag(n_active, 1) OVER (ORDER BY mon) AS prev_active
+      FROM counts)
+    SELECT mon, n_active, n_new, n_retained, n_resurrected,
+      CASE WHEN prev_active IS NOT NULL
+        THEN CAST(prev_active - n_retained AS BIGINT) END AS n_churned,
+      CASE WHEN prev_active - n_retained > 0
+        THEN round((n_new + n_resurrected)
+          / (prev_active - n_retained)::DOUBLE + 1e-9, 4) END AS quick_ratio
+    FROM l ORDER BY mon"""
+
   /** Mirrors EventAnalytics.mannWhitney: distinct-value tie blocks,
     * cumulative average ranks, tie-corrected z. */
   val qMannWhitney: String = """
@@ -2687,6 +2763,7 @@ object EventOracle {
     "q_chi_square" -> qChiSquare,
     "q_anova" -> qAnova,
     "q_kruskal_wallis" -> qKruskalWallis,
+    "q_growth_accounting" -> qGrowthAccounting,
     "q_levene_bf" -> qLeveneBf,
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_entropy_rate" -> qEntropyRate,

@@ -1348,6 +1348,24 @@ object LlmOracle {
   /** Mirrors TextAnalysis.classifierRoc: the classifier body as a
     * subquery, a 19-row threshold frame, integer confusion counts off
     * the quantized scores. */
+  /** Mirrors TextAnalysis.calibration: fixed-width score bins off the
+    * shared classifier CTE, reliability columns. */
+  val qCalibration: String = s"""
+    WITH scored AS (SELECT y, score FROM ($qQualityClassifier)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM scored),
+    b AS (
+      SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, y, score
+      FROM scored),
+    agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        round(avg(score) + 1e-9, 6) AS mean_score,
+        round(avg(y) + 1e-9, 6) AS pos_rate
+      FROM b GROUP BY 1)
+    SELECT bin, n, round(n / t.n_total::DOUBLE + 1e-9, 6) AS share,
+      mean_score, pos_rate,
+      round(abs(mean_score - pos_rate) + 1e-9, 6) AS gap
+    FROM agg, tot t ORDER BY bin"""
+
   val qClassifierRoc: String = s"""
     WITH scored AS (SELECT y, score FROM ($qQualityClassifier)),
     th AS (SELECT i * 5 / 100.0 AS t FROM (SELECT unnest(range(1, 20)) AS i)),
@@ -1713,6 +1731,7 @@ object LlmOracle {
     "q_zipf_fit" -> qZipfFit,
     "q_heaps_fit" -> qHeapsFit,
     "q_doc_novelty" -> qDocNovelty,
+    "q_calibration" -> qCalibration,
     "q_dedup_prefix" -> qDedupPrefix,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_ccnet_buckets" -> qCcnetBuckets,

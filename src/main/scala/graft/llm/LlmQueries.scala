@@ -75,6 +75,7 @@ object LlmQueries {
     "q_heaps_fit" -> ((s, d) => TextAnalysis.heapsFit(docs(s, d))),
     "q_doc_novelty" -> ((s, d) =>
       TextAnalysis.docNovelty(docs(s, d)).orderBy(col("doc_id"))),
+    "q_calibration" -> ((s, d) => TextAnalysis.calibration(docs(s, d))),
     "q_dedup_prefix" -> ((s, d) =>
       TextAnalysis.prefixDups(docs(s, d)).orderBy(col("prefix"))),
     "q_text_fingerprint" -> ((s, d) =>

@@ -765,6 +765,35 @@ object TextAnalysis {
         col("tpr"), col("fpr"), col("precision_"))
   }
 
+  /** Calibration curve of [[qualityClassifier]] (reliability diagram
+    * — does score 0.7 mean 70%?): fixed-width score bins, per bin the
+    * observed positive rate against the mean predicted score; the
+    * |gap| column is the per-bin ECE contribution before weighting.
+    * ROC ranks, calibration trusts — a filter that SAMPLES by score
+    * (q_quality_sample) needs the latter.
+    *
+    * Plan: ONE scoring pass, a stateless bin projection off the 6-dp
+    * quantized scores, one map-combinable aggregate to ≤ bins rows. */
+  def calibration(documents: DataFrame, bins: Int = 10): DataFrame = {
+    val scored = qualityClassifier(documents).select(col("y"), col("score"))
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    scored
+      .withColumn("bin",
+        least(floor(col("score") * bins), lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")) + lit(1e-9), 6).as("mean_score"),
+        round(avg(col("y")) + lit(1e-9), 6).as("pos_rate"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share",
+        round(col("n") / col("n_total").cast("double") + lit(1e-9), 6))
+      .withColumn("gap",
+        round(abs(col("mean_score") - col("pos_rate")) + lit(1e-9), 6))
+      .select(col("bin"), col("n"), col("share"), col("mean_score"),
+        col("pos_rate"), col("gap"))
+      .orderBy(col("bin"))
+  }
+
   /** CCNet-style per-language perplexity bucketing (Wenzek et al.
     * 2020): each document's unigram-LM score ([[unigramLogprob]], the
     * corpus as its own model) is ranked within its language and split

@@ -218,6 +218,29 @@ object Climate {
     } finally annual.unpersist()
   }
 
+  /** Regional (field) significance of the per-station Mann–Kendall
+    * trends — the multiple-testing guard of regional climate
+    * analysis: with 5%-level station tests, ~5% significant stations
+    * are EXPECTED under no trend; the binomial z on the significant
+    * share says whether the REGION trends (Livezey–Chen field
+    * significance, the hypothesis-count cousin of q_bh_fdr).
+    *
+    * Plan: [[mannKendall]]'s per-station frame collapsed by one
+    * scalar rollup. */
+  def fieldSignificance(rawDaily: DataFrame, alpha: Double = 0.05): DataFrame =
+    mannKendall(rawDaily)
+      .agg(count(lit(1)).as("n_stations"),
+        sum(when(col("trend") =!= "none", 1L).otherwise(0L)).as("n_sig"),
+        sum(when(col("trend") === "increasing", 1L).otherwise(0L)).as("n_inc"),
+        sum(when(col("trend") === "decreasing", 1L).otherwise(0L)).as("n_dec"))
+      .withColumn("sig_share",
+        round(col("n_sig") / col("n_stations").cast("double") + lit(1e-9), 6))
+      .withColumn("z_field",
+        round((col("n_sig") - lit(alpha) * col("n_stations"))
+          / sqrt(col("n_stations") * lit(alpha) * lit(1.0 - alpha))
+          + lit(1e-9), 4))
+      .withColumn("field_significant", col("z_field") > 1.645)
+
   /** Classical additive seasonal decomposition per station
     * (x = trend + seasonal + residual — the moving-average
     * decomposition behind every "is this anomaly weather or climate?"

@@ -1977,6 +1977,28 @@ object TsOracle {
 
   /** Mirrors Climate.doubleMass: neighbor day-mean, ordered cumsums,
     * β from the totals, max deviation with earliest-day tiebreak. */
+  /** Mirrors Climate.fieldSignificance: binomial z on the
+    * significant-trend share of the Mann–Kendall table. */
+  val qFieldSignificance: String = s"""
+    WITH mk AS (SELECT * FROM ($qTrendMk)),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_stations,
+        CAST(sum(CASE WHEN trend != 'none' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sig,
+        CAST(sum(CASE WHEN trend = 'increasing' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_inc,
+        CAST(sum(CASE WHEN trend = 'decreasing' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dec
+      FROM mk),
+    z AS (
+      SELECT *, round(n_sig / n_stations::DOUBLE + 1e-9, 6) AS sig_share,
+        round((n_sig - 0.05 * n_stations)
+          / sqrt(n_stations * 0.05 * 0.95) + 1e-9, 4) AS z_field
+      FROM s)
+    SELECT n_stations, n_sig, n_inc, n_dec, sig_share, z_field,
+      z_field > 1.645 AS field_significant
+    FROM z"""
+
   val qDoubleMass: String = s"""
     WITH $world,
     nb_mean AS (
@@ -3090,6 +3112,7 @@ object TsOracle {
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_concurrency" -> qConcurrency,
     "q_geary_c" -> qGearyC,
+    "q_field_significance" -> qFieldSignificance,
     "q_kcore" -> qKcore,
     "q_getis_ord" -> qGetisOrd,
     "q_morans_i" -> qMoransI,

@@ -409,6 +409,9 @@ object TsQueries {
   def qKendallBinned(s: SparkSession, d: String): DataFrame =
     Climate.kendallTauBinned(meta(s, d), rawDaily(s, d))
 
+  def qFieldSignificance(s: SparkSession, d: String): DataFrame =
+    Climate.fieldSignificance(rawDaily(s, d))
+
   def qGearyC(s: SparkSession, d: String): DataFrame =
     Climate.gearyC(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
 
@@ -577,6 +580,7 @@ object TsQueries {
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_concurrency" -> (qConcurrency _),
     "q_geary_c" -> (qGearyC _),
+    "q_field_significance" -> (qFieldSignificance _),
     "q_kcore" -> (qKcore _),
     "q_getis_ord" -> (qGetisOrd _),
     "q_morans_i" -> (qMoransI _),
