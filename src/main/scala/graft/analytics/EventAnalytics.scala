@@ -1479,6 +1479,149 @@ object EventAnalytics {
         col("z_wh"), col("significant"))
   }
 
+  /** Tukey–Kramer HSD post-hoc over the event-type groups — what the
+    * analyst runs AFTER q_anova rejects: which PAIRS differ? Pooled
+    * within-group MSE, pairwise studentized-range statistic with the
+    * unequal-n Kramer SE, fixed q-critical 3.86 (k = 5, df → ∞,
+    * α = 0.05).
+    *
+    * Plan: one keyed moment aggregate to O(k) group rows, pair
+    * enumeration on the broadcast k-row frame (k² ≤ 25 rows),
+    * stateless closed form. */
+  def tukeyHsd(events: DataFrame): DataFrame = {
+    val g = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")) + lit(1e-9), 6).as("mean"),
+        round(var_samp(col("value")) + lit(1e-9), 6).as("v"))
+    val mse = g.agg((sum((col("n") - 1) * col("v"))
+      / sum(col("n") - 1)).as("mse"))
+    val a = g.select(col("event_type").as("type_a"), col("n").as("n_a"),
+      col("mean").as("mean_a"))
+    val b = g.select(col("event_type").as("type_b"), col("n").as("n_b"),
+      col("mean").as("mean_b"))
+    // ≤ |event types| rows by construction; the limit marks the
+    // nested-loop side as constant-bounded for the plan guard
+    a.join(broadcast(b.limit(10)), col("type_a") < col("type_b"))
+      .crossJoin(broadcast(mse))
+      .withColumn("diff", round(col("mean_a") - col("mean_b") + lit(1e-9), 6))
+      .withColumn("se",
+        sqrt(col("mse") / 2 * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("q_stat", round(abs(col("diff")) / col("se") + lit(1e-9), 4))
+      .withColumn("significant", col("q_stat") > 3.86)
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("diff"), round(col("se") + lit(1e-9), 6).as("se"),
+        col("q_stat"), col("significant"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013 — the industry-
+    * standard A/B sensitivity boost): per user the pre-period
+    * (days < 16) value is the covariate for the post-period metric;
+    * θ = cov(pre, post)/var(pre) pooled across variants, adjusted
+    * metric Y − θ·(X − X̄). Reports per variant the raw vs adjusted
+    * mean and the variance-reduction share θ²·var(X)/var(Y) realizes.
+    *
+    * Plan: one keyed user collapse (two half-period sums in one
+    * pass), a scalar θ frame broadcast back, one variant rollup —
+    * all map-combinable moment sums. */
+  def cuped(events: DataFrame): DataFrame = {
+    val byUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(dayofmonth(col("ts")) < 16, col("value"))
+          .otherwise(lit(0.0))) + lit(1e-9), 3).as("pre"),
+        round(sum(when(dayofmonth(col("ts")) >= 16, col("value"))
+          .otherwise(lit(0.0))) + lit(1e-9), 3).as("post"))
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+    val theta = byUser.agg(count(lit(1)).as("n_all"),
+        avg(col("pre")).as("mx"), avg(col("post")).as("my"),
+        avg(col("pre") * col("post")).as("mxy"),
+        avg(col("pre") * col("pre")).as("mxx"))
+      .withColumn("var_x", col("mxx") - col("mx") * col("mx"))
+      .withColumn("theta",
+        when(col("var_x") > 0.0,
+          round((col("mxy") - col("mx") * col("my")) / col("var_x")
+            + lit(1e-9), 6)).otherwise(lit(0.0)))
+      .select(col("theta"), round(col("mx") + lit(1e-9), 6).as("mx"))
+    byUser.crossJoin(broadcast(theta))
+      .withColumn("adj", col("post") - col("theta") * (col("pre") - col("mx")))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("post")) + lit(1e-9), 6).as("mean_post"),
+        round(avg(col("adj")) + lit(1e-9), 6).as("mean_adj"),
+        round(var_samp(col("post")) + lit(1e-9), 4).as("var_post"),
+        round(var_samp(col("adj")) + lit(1e-9), 4).as("var_adj"))
+      .withColumn("var_reduction",
+        when(col("var_post") > 0.0,
+          round(lit(1.0) - col("var_adj") / col("var_post") + lit(1e-9), 6)))
+      .orderBy(col("variant"))
+  }
+
+  /** Difference-in-differences over the half-month split (treatment =
+    * odd user ids, post = days ≥ 16): DiD = (T₂−T₁) − (C₂−C₁) with
+    * the four-cell pooled SE and z — the causal-inference workhorse
+    * when assignment isn't random over time.
+    *
+    * Plan: ONE map-combinable aggregate to the 2×2 cell frame,
+    * closed form on 4 rows. */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val cells = events
+      .withColumn("treated", (col("user_id") % 2 === 1).cast("int"))
+      .withColumn("post", (dayofmonth(col("ts")) >= 16).cast("int"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")) + lit(1e-9), 6).as("mean"),
+        round(var_samp(col("value")) + lit(1e-9), 6).as("v"))
+    def cell(t: Int, p: Int, c: String) =
+      max(when(col("treated") === t && col("post") === p, col(c)))
+    cells.agg(
+        cell(1, 1, "mean").as("t_post"), cell(1, 0, "mean").as("t_pre"),
+        cell(0, 1, "mean").as("c_post"), cell(0, 0, "mean").as("c_pre"),
+        (cell(1, 1, "v") / cell(1, 1, "n") + cell(1, 0, "v") / cell(1, 0, "n")
+          + cell(0, 1, "v") / cell(0, 1, "n")
+          + cell(0, 0, "v") / cell(0, 0, "n")).as("se2"))
+      .withColumn("did",
+        round((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre"))
+          + lit(1e-9), 6))
+      .withColumn("se", round(sqrt(col("se2")) + lit(1e-9), 6))
+      .withColumn("z", round(col("did") / col("se") + lit(1e-9), 4))
+      .withColumn("significant", abs(col("z")) > 1.96)
+      .select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+        col("did"), col("se"), col("z"), col("significant"))
+  }
+
+  /** Minimum detectable effect of the standing A/B split (80% power,
+    * two-sided 5%): MDE = (1.96 + 0.8416)·√(s²ₐ/nₐ + s²_b/n_b) per
+    * event type, absolute and relative to the control mean — the
+    * pre-experiment sizing readout.
+    *
+    * Plan: one keyed moment aggregate to (type, variant), closed
+    * form on the O(k) pair frame. */
+  def mdePower(events: DataFrame): DataFrame = {
+    val m = events
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")) + lit(1e-9), 6).as("mean"),
+        round(var_samp(col("value")) + lit(1e-9), 6).as("v"))
+    val a = m.filter(col("variant") === 1)
+      .select(col("event_type"), col("n").as("n_a"), col("v").as("v_a"))
+    val b = m.filter(col("variant") === 0)
+      .select(col("event_type"), col("n").as("n_b"),
+        col("mean").as("mean_b"), col("v").as("v_b"))
+    a.join(b, Seq("event_type"))
+      .withColumn("mde_abs",
+        round(lit(1.96 + 0.8416)
+          * sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+          + lit(1e-9), 6))
+      .withColumn("mde_rel",
+        when(col("mean_b") =!= 0.0,
+          round(col("mde_abs") / col("mean_b") + lit(1e-9), 6)))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("mean_b"),
+        col("mde_abs"), col("mde_rel"))
+      .orderBy(col("event_type"))
+  }
+
   /** Weekly growth accounting (the SaaS "quick ratio" ledger): every
     * active user-week is NEW (first week), RETAINED (also active
     * the previous week) or RESURRECTED (returned after a gap);
@@ -1555,6 +1698,10 @@ object EventAnalytics {
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
     "q_kruskal_wallis" -> ((s, d) => kruskalWallis(Tables.events(s, d))),
     "q_growth_accounting" -> ((s, d) => growthAccounting(Tables.events(s, d))),
+    "q_tukey_hsd" -> ((s, d) => tukeyHsd(Tables.events(s, d))),
+    "q_cuped" -> ((s, d) => cuped(Tables.events(s, d))),
+    "q_diff_in_diff" -> ((s, d) => diffInDiff(Tables.events(s, d))),
+    "q_mde_power" -> ((s, d) => mdePower(Tables.events(s, d))),
     "q_levene_bf" -> ((s, d) => leveneBrownForsythe(Tables.events(s, d))),
     "q_anomaly_iqr" -> ((s, d) => anomalyIqr(Tables.events(s, d))),
     "q_entropy_rate" -> ((s, d) => entropyRate(Tables.events(s, d))),
@@ -2652,6 +2799,123 @@ object EventOracle {
       FROM z)
     SELECT n, k, w_stat, z_wh, z_wh > 1.645 AS significant FROM w"""
 
+  /** Mirrors EventAnalytics.tukeyHsd: pooled MSE, Tukey–Kramer pair
+    * statistics. */
+  val qTukeyHsd: String = """
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        round(avg(value) + 1e-9, 6) AS mean,
+        round(var_samp(value) + 1e-9, 6) AS v
+      FROM events GROUP BY 1),
+    mse AS (SELECT sum((n - 1) * v) / sum(n - 1) AS mse FROM g),
+    p AS (
+      SELECT a.event_type AS type_a, a.n AS n_a, a.mean AS mean_a,
+        b.event_type AS type_b, b.n AS n_b, b.mean AS mean_b
+      FROM g a JOIN g b ON a.event_type < b.event_type),
+    c AS (
+      SELECT type_a, type_b, n_a, n_b,
+        round(mean_a - mean_b + 1e-9, 6) AS diff,
+        sqrt(m.mse / 2 * (1.0 / n_a + 1.0 / n_b)) AS se_raw
+      FROM p, mse m),
+    q AS (
+      SELECT *, round(abs(diff) / se_raw + 1e-9, 4) AS q_stat FROM c)
+    SELECT type_a, type_b, n_a, n_b, diff,
+      round(se_raw + 1e-9, 6) AS se, q_stat, q_stat > 3.86 AS significant
+    FROM q ORDER BY type_a, type_b"""
+
+  /** Mirrors EventAnalytics.cuped: half-month user collapse, pooled
+    * θ, adjusted-variant rollup. */
+  val qCuped: String = """
+    WITH by_user AS (
+      SELECT user_id,
+        round(sum(CASE WHEN day(ts) < 16 THEN value ELSE 0.0 END)
+          + 1e-9, 3) AS pre,
+        round(sum(CASE WHEN day(ts) >= 16 THEN value ELSE 0.0 END)
+          + 1e-9, 3) AS post,
+        CAST(user_id % 2 = 0 AS INT) AS variant
+      FROM events GROUP BY 1),
+    th AS (
+      SELECT avg(pre) AS mx0, avg(post) AS my, avg(pre*post) AS mxy,
+        avg(pre*pre) AS mxx
+      FROM by_user),
+    th2 AS (
+      SELECT CASE WHEN mxx - mx0*mx0 > 0.0
+          THEN round((mxy - mx0*my) / (mxx - mx0*mx0) + 1e-9, 6)
+          ELSE 0.0 END AS theta,
+        round(mx0 + 1e-9, 6) AS mx
+      FROM th),
+    adj AS (
+      SELECT b.variant, b.post, b.post - t.theta * (b.pre - t.mx) AS adj
+      FROM by_user b, th2 t),
+    agg AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        round(avg(post) + 1e-9, 6) AS mean_post,
+        round(avg(adj) + 1e-9, 6) AS mean_adj,
+        round(var_samp(post) + 1e-9, 4) AS var_post,
+        round(var_samp(adj) + 1e-9, 4) AS var_adj
+      FROM adj GROUP BY 1)
+    SELECT variant, n, mean_post, mean_adj, var_post, var_adj,
+      CASE WHEN var_post > 0.0
+        THEN round(1.0 - var_adj / var_post + 1e-9, 6) END AS var_reduction
+    FROM agg ORDER BY variant"""
+
+  /** Mirrors EventAnalytics.diffInDiff: 2×2 cell means, pooled SE,
+    * z off the rounded did/se. */
+  val qDiffInDiff: String = """
+    WITH cells AS (
+      SELECT CAST(user_id % 2 = 1 AS INT) AS treated,
+        CAST(day(ts) >= 16 AS INT) AS post,
+        CAST(count(*) AS BIGINT) AS n,
+        round(avg(value) + 1e-9, 6) AS mean,
+        round(var_samp(value) + 1e-9, 6) AS v
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 1 THEN mean END) AS t_post,
+        max(CASE WHEN treated = 1 AND post = 0 THEN mean END) AS t_pre,
+        max(CASE WHEN treated = 0 AND post = 1 THEN mean END) AS c_post,
+        max(CASE WHEN treated = 0 AND post = 0 THEN mean END) AS c_pre,
+        max(CASE WHEN treated = 1 AND post = 1 THEN v END)
+          / max(CASE WHEN treated = 1 AND post = 1 THEN n END)
+        + max(CASE WHEN treated = 1 AND post = 0 THEN v END)
+          / max(CASE WHEN treated = 1 AND post = 0 THEN n END)
+        + max(CASE WHEN treated = 0 AND post = 1 THEN v END)
+          / max(CASE WHEN treated = 0 AND post = 1 THEN n END)
+        + max(CASE WHEN treated = 0 AND post = 0 THEN v END)
+          / max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS se2
+      FROM cells),
+    d AS (
+      SELECT t_pre, t_post, c_pre, c_post,
+        round((t_post - t_pre) - (c_post - c_pre) + 1e-9, 6) AS did,
+        round(sqrt(se2) + 1e-9, 6) AS se
+      FROM s),
+    z AS (SELECT *, round(did / se + 1e-9, 4) AS z FROM d)
+    SELECT t_pre, t_post, c_pre, c_post, did, se, z,
+      abs(z) > 1.96 AS significant
+    FROM z"""
+
+  /** Mirrors EventAnalytics.mdePower: per-type variant moments, MDE
+    * closed form. */
+  val qMdePower: String = """
+    WITH m AS (
+      SELECT event_type, CAST(user_id % 2 = 0 AS INT) AS variant,
+        CAST(count(*) AS BIGINT) AS n,
+        round(avg(value) + 1e-9, 6) AS mean,
+        round(var_samp(value) + 1e-9, 6) AS v
+      FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, n AS n_a, v AS v_a FROM m WHERE variant = 1),
+    b AS (SELECT event_type, n AS n_b, mean AS mean_b, v AS v_b
+      FROM m WHERE variant = 0),
+    j AS (
+      SELECT a.event_type, n_a, n_b, mean_b,
+        round((1.96 + 0.8416) * sqrt(v_a / n_a + v_b / n_b) + 1e-9, 6)
+          AS mde_abs
+      FROM a JOIN b USING (event_type))
+    SELECT event_type, n_a, n_b, mean_b, mde_abs,
+      CASE WHEN mean_b != 0.0
+        THEN round(mde_abs / mean_b + 1e-9, 6) END AS mde_rel
+    FROM j ORDER BY event_type"""
+
   /** Mirrors EventAnalytics.growthAccounting: user-month lag states,
     * month rollup, churn from the active lag. */
   val qGrowthAccounting: String = """
@@ -2764,6 +3028,10 @@ object EventOracle {
     "q_anova" -> qAnova,
     "q_kruskal_wallis" -> qKruskalWallis,
     "q_growth_accounting" -> qGrowthAccounting,
+    "q_tukey_hsd" -> qTukeyHsd,
+    "q_cuped" -> qCuped,
+    "q_diff_in_diff" -> qDiffInDiff,
+    "q_mde_power" -> qMdePower,
     "q_levene_bf" -> qLeveneBf,
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_entropy_rate" -> qEntropyRate,
