@@ -218,6 +218,112 @@ object Climate {
     } finally annual.unpersist()
   }
 
+  /** Empirical-Bayes shrinkage of per-station wet-day rates (the
+    * James–Stein staple: a short-record station's raw rate is noisy —
+    * shrink it toward the network mean by the Beta prior fit with
+    * method of moments from the station rates themselves):
+    * posterior = (k + α)/(n + α + β).
+    *
+    * Plan: one keyed station collapse, a 1-row moment frame for the
+    * prior (scalar broadcast), stateless closed form — the
+    * whole "fit prior on the population, apply per member" pattern in
+    * two map-combinable aggregates. */
+  def ebShrinkage(rawDaily: DataFrame, wetThresh: Double = 25.0): DataFrame = {
+    val per = rawDaily.groupBy(col("station_id"))
+      .agg(count(col("raw")).as("n"),
+        sum(when(col("raw") > wetThresh, 1L).otherwise(0L)).as("k"))
+      .filter(col("n") > 0)
+      .withColumn("rate", round(col("k") / col("n").cast("double") + lit(1e-9), 6))
+    val prior = per.agg(
+        round(avg(col("rate")) + lit(1e-9), 6).as("mu"),
+        round(var_samp(col("rate")) + lit(1e-9), 8).as("s2"),
+        round(avg(col("n").cast("double")) + lit(1e-9), 2).as("mean_n"))
+      // method of moments: ν = μ(1−μ)/s² − 1; α = μν, β = (1−μ)ν
+      .withColumn("nu",
+        when(col("s2") > 0.0,
+          greatest(col("mu") * (lit(1.0) - col("mu")) / col("s2") - 1.0,
+            lit(1.0))).otherwise(lit(1.0)))
+      .select(round(col("mu") * col("nu") + lit(1e-9), 6).as("alpha"),
+        round((lit(1.0) - col("mu")) * col("nu") + lit(1e-9), 6).as("beta"))
+    per.crossJoin(broadcast(prior))
+      .withColumn("shrunk_rate",
+        round((col("k") + col("alpha"))
+          / (col("n") + col("alpha") + col("beta")) + lit(1e-9), 6))
+      .select(col("station_id"), col("n"), col("k"), col("rate"),
+        col("alpha"), col("beta"), col("shrunk_rate"))
+  }
+
+  /** Upper-tail dependence χ between each station and its kNN
+    * neighbors (the spatial-extremes question behind design storms:
+    * when I flood, does my neighbor flood TOO?): χ = P(both exceed
+    * their own p90 | one exceeds) estimated as the joint-exceedance
+    * share over the pair's common days divided by 0.1 — χ → 1 means
+    * extremes co-occur, χ → 0.1 independence.
+    *
+    * Plan: per-station exact p90 thresholds (keyed aggregate,
+    * broadcast-sized), the knn map exploded once against the daily
+    * series keyed on (neighbor, day) — the neighborCorr join shape —
+    * one keyed pair rollup. */
+  def tailDependence(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    val obs = rawDaily.filter(col("raw").isNotNull)
+    val thr = obs.groupBy(col("station_id"))
+      .agg(round(expr("percentile(raw, 0.9D)") + lit(1e-9), 4).as("q90"))
+    val x = obs.join(thr, Seq("station_id"))
+      .select(col("station_id"), col("day"),
+        (col("raw") > col("q90")).as("ex_i"))
+    val y = x.select(col("station_id").as("nb_id"), col("day"),
+      col("ex_i").as("ex_j"))
+    x.join(broadcast(knn.select(col("station_id"), col("nb_id"), col("rank"))),
+        Seq("station_id"))
+      .join(y, Seq("nb_id", "day"))
+      .groupBy(col("station_id"), col("nb_id"), col("rank"))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("ex_i") && col("ex_j")).cast("long")).as("n_joint"),
+        sum(col("ex_i").cast("long")).as("n_ex_i"))
+      .withColumn("chi",
+        when(col("n_ex_i") > 0,
+          round(col("n_joint") / col("n_ex_i").cast("double") + lit(1e-9), 6)))
+      .select(col("station_id"), col("nb_id"), col("rank"), col("n_days"),
+        col("n_joint"), col("chi"))
+  }
+
+  /** Effective sample size per station under lag-1 autocorrelation
+    * (the honest n every CI in this file should divide by):
+    * n_eff = n·(1−r₁)/(1+r₁) — an AR(1) world's variance inflation.
+    * Reported with the plain and the deflated standard error of the
+    * mean.
+    *
+    * Plan: exactly [[acf]]'s cost at maxLag 1, closed form on the
+    * O(#stations) frame. */
+  def effectiveSampleSize(rawDaily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val x = rawDaily.withColumn("x", coalesce(col("raw"), lit(0.0)))
+      .withColumn("x1", lag(col("x"), 1).over(w))
+    val m = x.groupBy(col("station_id"))
+      .agg(round(avg(col("x")) + lit(1e-9), 6).as("xbar"))
+    x.join(m, Seq("station_id"))
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") - col("xbar")) * (col("x") - col("xbar"))).as("den"),
+        sum((col("x") - col("xbar")) * (col("x1") - col("xbar"))).as("num"))
+      .withColumn("r1",
+        when(col("den") > 0.0, round(col("num") / col("den") + lit(1e-9), 4)))
+      .withColumn("n_eff",
+        when(col("r1") < 1.0 && col("r1").isNotNull,
+          round(col("n") * (lit(1.0) - col("r1")) / (lit(1.0) + col("r1"))
+            + lit(1e-9), 2)))
+      .withColumn("se_plain",
+        when(col("den") > 0.0,
+          round(sqrt(col("den") / col("n")) / sqrt(col("n").cast("double"))
+            + lit(1e-9), 6)))
+      .withColumn("se_eff",
+        when(col("n_eff") > 0.0,
+          round(sqrt(col("den") / col("n")) / sqrt(col("n_eff"))
+            + lit(1e-9), 6)))
+      .select(col("station_id"), col("n"), col("r1"), col("n_eff"),
+        col("se_plain"), col("se_eff"))
+  }
+
   /** Regional (field) significance of the per-station Mann–Kendall
     * trends — the multiple-testing guard of regional climate
     * analysis: with 5%-level station tests, ~5% significant stations

@@ -1977,6 +1977,91 @@ object TsOracle {
 
   /** Mirrors Climate.doubleMass: neighbor day-mean, ordered cumsums,
     * β from the totals, max deviation with earliest-day tiebreak. */
+  /** Mirrors Climate.ebShrinkage: method-of-moments Beta prior,
+    * posterior rates. */
+  val qEbShrinkage: String = s"""
+    WITH $world,
+    per AS (
+      SELECT station_id, CAST(count(raw) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN raw > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM raw_daily GROUP BY 1 HAVING count(raw) > 0),
+    per2 AS (SELECT *, round(k / n::DOUBLE + 1e-9, 6) AS rate FROM per),
+    prior0 AS (
+      SELECT round(avg(rate) + 1e-9, 6) AS mu,
+        round(var_samp(rate) + 1e-9, 8) AS s2
+      FROM per2),
+    prior1 AS (
+      SELECT *, CASE WHEN s2 > 0.0
+        THEN greatest(mu * (1.0 - mu) / s2 - 1.0, 1.0) ELSE 1.0 END AS nu
+      FROM prior0),
+    prior AS (
+      SELECT round(mu * nu + 1e-9, 6) AS alpha,
+        round((1.0 - mu) * nu + 1e-9, 6) AS beta
+      FROM prior1)
+    SELECT p.station_id, p.n, p.k, p.rate, pr.alpha, pr.beta,
+      round((p.k + pr.alpha) / (p.n + pr.alpha + pr.beta) + 1e-9, 6)
+        AS shrunk_rate
+    FROM per2 p, prior pr ORDER BY station_id"""
+
+  /** Mirrors Climate.tailDependence: per-station exact p90, joint
+    * exceedance over the knn pair days. */
+  val qTailDependence: String = s"""
+    WITH $world,
+    obs AS (SELECT station_id, day, raw FROM raw_daily
+      WHERE raw IS NOT NULL),
+    thr AS (SELECT station_id,
+      round(quantile_cont(raw, 0.9) + 1e-9, 4) AS q90
+      FROM obs GROUP BY 1),
+    x AS (
+      SELECT o.station_id, o.day, o.raw > t.q90 AS ex_i
+      FROM obs o JOIN thr t USING (station_id)),
+    j AS (
+      SELECT k.station_id, k.nb_id, k.rank, a.ex_i, b.ex_i AS ex_j
+      FROM knn k JOIN x a ON a.station_id = k.station_id
+      JOIN x b ON b.station_id = k.nb_id AND b.day = a.day),
+    agg AS (
+      SELECT station_id, nb_id, rank,
+        CAST(count(*) AS BIGINT) AS n_days,
+        CAST(sum(CASE WHEN ex_i AND ex_j THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_joint,
+        CAST(sum(CASE WHEN ex_i THEN 1 ELSE 0 END) AS BIGINT) AS n_ex_i
+      FROM j GROUP BY 1, 2, 3)
+    SELECT station_id, nb_id, rank, n_days, n_joint,
+      CASE WHEN n_ex_i > 0
+        THEN round(n_joint / n_ex_i::DOUBLE + 1e-9, 6) END AS chi
+    FROM agg ORDER BY station_id, rank"""
+
+  /** Mirrors Climate.effectiveSampleSize: lag-1 ACF, AR(1) ESS,
+    * plain vs deflated SE. */
+  val qEffectiveN: String = s"""
+    WITH $world,
+    x AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x,
+        lag(coalesce(raw, 0.0), 1)
+          OVER (PARTITION BY station_id ORDER BY day) AS x1
+      FROM raw_daily),
+    m AS (SELECT station_id, round(avg(x) + 1e-9, 6) AS xbar
+      FROM x GROUP BY 1),
+    agg AS (
+      SELECT x.station_id, CAST(count(*) AS BIGINT) AS n,
+        sum((x.x - m.xbar) * (x.x - m.xbar)) AS den,
+        sum((x.x - m.xbar) * (x.x1 - m.xbar)) AS num
+      FROM x JOIN m USING (station_id) GROUP BY 1),
+    r AS (
+      SELECT *, CASE WHEN den > 0.0
+        THEN round(num / den + 1e-9, 4) END AS r1
+      FROM agg),
+    e AS (
+      SELECT *, CASE WHEN r1 IS NOT NULL AND r1 < 1.0
+        THEN round(n * (1.0 - r1) / (1.0 + r1) + 1e-9, 2) END AS n_eff
+      FROM r)
+    SELECT station_id, n, r1, n_eff,
+      CASE WHEN den > 0.0
+        THEN round(sqrt(den / n) / sqrt(n::DOUBLE) + 1e-9, 6) END AS se_plain,
+      CASE WHEN n_eff > 0.0
+        THEN round(sqrt(den / n) / sqrt(n_eff) + 1e-9, 6) END AS se_eff
+    FROM e ORDER BY station_id"""
+
   /** Mirrors Climate.fieldSignificance: binomial z on the
     * significant-trend share of the Mann–Kendall table. */
   val qFieldSignificance: String = s"""
@@ -3113,6 +3198,9 @@ object TsOracle {
     "q_concurrency" -> qConcurrency,
     "q_geary_c" -> qGearyC,
     "q_field_significance" -> qFieldSignificance,
+    "q_eb_shrinkage" -> qEbShrinkage,
+    "q_tail_dependence" -> qTailDependence,
+    "q_effective_n" -> qEffectiveN,
     "q_kcore" -> qKcore,
     "q_getis_ord" -> qGetisOrd,
     "q_morans_i" -> qMoransI,

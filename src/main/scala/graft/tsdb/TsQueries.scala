@@ -409,6 +409,16 @@ object TsQueries {
   def qKendallBinned(s: SparkSession, d: String): DataFrame =
     Climate.kendallTauBinned(meta(s, d), rawDaily(s, d))
 
+  def qEbShrinkage(s: SparkSession, d: String): DataFrame =
+    Climate.ebShrinkage(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qTailDependence(s: SparkSession, d: String): DataFrame =
+    Climate.tailDependence(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"), col("rank"))
+
+  def qEffectiveN(s: SparkSession, d: String): DataFrame =
+    Climate.effectiveSampleSize(rawDaily(s, d)).orderBy(col("station_id"))
+
   def qFieldSignificance(s: SparkSession, d: String): DataFrame =
     Climate.fieldSignificance(rawDaily(s, d))
 
@@ -581,6 +591,9 @@ object TsQueries {
     "q_concurrency" -> (qConcurrency _),
     "q_geary_c" -> (qGearyC _),
     "q_field_significance" -> (qFieldSignificance _),
+    "q_eb_shrinkage" -> (qEbShrinkage _),
+    "q_tail_dependence" -> (qTailDependence _),
+    "q_effective_n" -> (qEffectiveN _),
     "q_kcore" -> (qKcore _),
     "q_getis_ord" -> (qGetisOrd _),
     "q_morans_i" -> (qMoransI _),
