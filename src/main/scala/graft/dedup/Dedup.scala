@@ -230,6 +230,32 @@ object Dedup {
     } finally { cands.unpersist(); hs.unpersist() }
   }
 
+  /** Near-dup threshold sensitivity sweep — the tuning curve run
+    * before ANY dedup deploy ("how much do we delete at τ?"): pair
+    * and affected-doc counts at each candidate threshold, from ONE
+    * [[jaccardPairs]] pass at the loosest τ (the prefix filter is
+    * complete for every τ ≥ min, so the sweep is a rollup, not five
+    * re-runs). n_dup_docs counts the docs a keep-lowest-id policy
+    * would drop.
+    *
+    * Plan: the jaccardPairs cost once, ×|τ| explode of the tiny pair
+    * frame, keyed rollup + scalar doc-count join. */
+  def thresholdSweep(documents: DataFrame,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val pairs = jaccardPairs(documents, thresholds.min)
+    val nd = documents.agg(count(lit(1)).as("n_docs"))
+    pairs.withColumn("t", explode(lit(thresholds.toArray)))
+      .filter(col("jaccard") >= col("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dup_docs"))
+      .crossJoin(broadcast(nd))
+      .withColumn("dup_share",
+        round(col("n_dup_docs") / col("n_docs").cast("double") + lit(1e-9), 6))
+      .select(col("t"), col("n_pairs"), col("n_dup_docs"), col("dup_share"))
+      .orderBy(col("t"))
+  }
+
   /** Asymmetric containment near-dups: pairs where the SMALLER doc's
     * shingle set is ≥ `threshold` contained in the larger's
     * (C = |A∩B| / min(|A|,|B|)) — the quote-inclusion / sub-document

@@ -88,6 +88,20 @@ object LlmOracle {
     WITH $shCte
     $jpairsBody ORDER BY id_a, id_b"""
 
+  /** Mirrors Dedup.thresholdSweep: one pair pass at the loosest τ,
+    * ×|τ| rollup. */
+  val qDedupSweep: String = s"""
+    WITH $shCte,
+    jp AS ($jpairsBody),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    ex AS (SELECT jp.*, unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t FROM jp),
+    f AS (SELECT t, id_a, id_b FROM ex WHERE jaccard >= t)
+    SELECT f.t, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(count(DISTINCT f.id_b) AS BIGINT) AS n_dup_docs,
+      round(count(DISTINCT f.id_b) / nd.n_docs::DOUBLE + 1e-9, 6)
+        AS dup_share
+    FROM f, nd GROUP BY f.t, nd.n_docs ORDER BY f.t"""
+
   /** Mirrors Dedup.containmentPairs: brute all-pairs containment of
     * the smaller shingle set in the larger (the engine's ProbeCount
     * prefix join must equal this exactly — complete recall). */
@@ -1732,6 +1746,7 @@ object LlmOracle {
     "q_heaps_fit" -> qHeapsFit,
     "q_doc_novelty" -> qDocNovelty,
     "q_calibration" -> qCalibration,
+    "q_dedup_sweep" -> qDedupSweep,
     "q_dedup_prefix" -> qDedupPrefix,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_ccnet_buckets" -> qCcnetBuckets,

@@ -76,6 +76,7 @@ object LlmQueries {
     "q_doc_novelty" -> ((s, d) =>
       TextAnalysis.docNovelty(docs(s, d)).orderBy(col("doc_id"))),
     "q_calibration" -> ((s, d) => TextAnalysis.calibration(docs(s, d))),
+    "q_dedup_sweep" -> ((s, d) => Dedup.thresholdSweep(docs(s, d))),
     "q_dedup_prefix" -> ((s, d) =>
       TextAnalysis.prefixDups(docs(s, d)).orderBy(col("prefix"))),
     "q_text_fingerprint" -> ((s, d) =>

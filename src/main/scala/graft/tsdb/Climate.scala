@@ -218,6 +218,60 @@ object Climate {
     } finally annual.unpersist()
   }
 
+  /** Flow-duration curve per station (THE hydrology summary curve:
+    * the value equalled or exceeded e·100% of the time, at the
+    * standard exceedance ladder): quantiles of the observed daily
+    * series at p = 1 − e.
+    *
+    * Plan: ONE keyed exact-percentile aggregate (array form — one
+    * pass), ×|ladder| posexplode of the O(#stations) result. */
+  def flowDuration(rawDaily: DataFrame,
+      probs: Seq[Double] = Seq(0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95))
+      : DataFrame = {
+    val arr = probs.map(p => s"${p}D").mkString(", ")
+    rawDaily.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile(raw, array($arr))").as("qs"))
+      .select(col("station_id"), col("n"), posexplode(col("qs")))
+      .withColumn("prob", element_at(lit(probs.toArray), col("pos") + 1))
+      .withColumn("exceed_prob", round(lit(1.0) - col("prob"), 2))
+      .select(col("station_id"), col("n"), col("prob"), col("exceed_prob"),
+        round(col("col") + lit(1e-9), 4).as("q"))
+  }
+
+  /** Peaks-over-threshold declustering per station (the EVT
+    * preprocessing step [[potGpd]] idealizes away: consecutive
+    * exceedance days are ONE storm, not independent events): runs of
+    * days above the exact p95 threshold, with cluster count, mean/max
+    * cluster length and the exceedance-to-cluster ratio (≈ the
+    * extremal index's reciprocal).
+    *
+    * Plan: threshold = one keyed aggregate joined back, runs =
+    * gaps-and-islands on ONE (station, day) ordered window, two keyed
+    * rollups. */
+  def potDecluster(rawDaily: DataFrame): DataFrame = {
+    val thr = rawDaily.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"))
+      .agg(round(expr("percentile(raw, 0.95D)") + lit(1e-9), 4).as("u"))
+    val flagged = rawDaily.join(thr, Seq("station_id"))
+      .withColumn("ex", coalesce(col("raw") > col("u"), lit(false)))
+    val w = Window.partitionBy(col("station_id"), col("ex")).orderBy(col("day"))
+    val runs = flagged
+      .withColumn("grp", datediff(col("day"), lit("1970-01-01").cast("date"))
+        - row_number().over(w))
+      .filter(col("ex"))
+      .groupBy(col("station_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("len")).as("n_exceed"),
+        round(avg(col("len")) + lit(1e-9), 4).as("mean_len"),
+        max(col("len")).as("max_len"))
+      .withColumn("extremal_ratio",
+        round(col("n_clusters") / col("n_exceed").cast("double") + lit(1e-9), 6))
+  }
+
   /** Empirical-Bayes shrinkage of per-station wet-day rates (the
     * James–Stein staple: a short-record station's raw rate is noisy —
     * shrink it toward the network mean by the Beta prior fit with

@@ -1977,6 +1977,51 @@ object TsOracle {
 
   /** Mirrors Climate.doubleMass: neighbor day-mean, ordered cumsums,
     * β from the totals, max deviation with earliest-day tiebreak. */
+  /** Mirrors Climate.flowDuration: exact quantile ladder per
+    * station, zipped unnest. */
+  val qFlowDuration: String = s"""
+    WITH $world,
+    obs AS (SELECT station_id, raw FROM raw_daily WHERE raw IS NOT NULL),
+    fd AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        quantile_cont(raw, [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95]) AS qs
+      FROM obs GROUP BY 1),
+    ex AS (
+      SELECT station_id, n, unnest(qs) AS q,
+        unnest([0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95]) AS prob
+      FROM fd)
+    SELECT station_id, n, prob, round(1.0 - prob, 2) AS exceed_prob,
+      round(q + 1e-9, 4) AS q
+    FROM ex ORDER BY station_id, prob"""
+
+  /** Mirrors Climate.potDecluster: exact p95 threshold,
+    * gaps-and-islands exceedance runs. */
+  val qPotDecluster: String = s"""
+    WITH $world,
+    thr AS (
+      SELECT station_id, round(quantile_cont(raw, 0.95) + 1e-9, 4) AS u
+      FROM raw_daily WHERE raw IS NOT NULL GROUP BY 1),
+    flagged AS (
+      SELECT r.station_id, r.day, coalesce(r.raw > t.u, FALSE) AS ex
+      FROM raw_daily r JOIN thr t USING (station_id)),
+    marked AS (
+      SELECT *, datediff('day', DATE '1970-01-01', day)
+        - row_number() OVER (PARTITION BY station_id, ex ORDER BY day)
+        AS grp
+      FROM flagged),
+    runs AS (
+      SELECT station_id, grp, CAST(count(*) AS BIGINT) AS len
+      FROM marked WHERE ex GROUP BY 1, 2),
+    agg AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(len) AS BIGINT) AS n_exceed,
+        round(avg(len) + 1e-9, 4) AS mean_len,
+        CAST(max(len) AS BIGINT) AS max_len
+      FROM runs GROUP BY 1)
+    SELECT station_id, n_clusters, n_exceed, mean_len, max_len,
+      round(n_clusters / n_exceed::DOUBLE + 1e-9, 6) AS extremal_ratio
+    FROM agg ORDER BY station_id"""
+
   /** Mirrors Climate.ebShrinkage: method-of-moments Beta prior,
     * posterior rates. */
   val qEbShrinkage: String = s"""
@@ -3199,6 +3244,8 @@ object TsOracle {
     "q_geary_c" -> qGearyC,
     "q_field_significance" -> qFieldSignificance,
     "q_eb_shrinkage" -> qEbShrinkage,
+    "q_flow_duration" -> qFlowDuration,
+    "q_pot_decluster" -> qPotDecluster,
     "q_tail_dependence" -> qTailDependence,
     "q_effective_n" -> qEffectiveN,
     "q_kcore" -> qKcore,

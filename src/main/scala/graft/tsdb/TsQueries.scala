@@ -409,6 +409,13 @@ object TsQueries {
   def qKendallBinned(s: SparkSession, d: String): DataFrame =
     Climate.kendallTauBinned(meta(s, d), rawDaily(s, d))
 
+  def qFlowDuration(s: SparkSession, d: String): DataFrame =
+    Climate.flowDuration(rawDaily(s, d))
+      .orderBy(col("station_id"), col("prob"))
+
+  def qPotDecluster(s: SparkSession, d: String): DataFrame =
+    Climate.potDecluster(rawDaily(s, d)).orderBy(col("station_id"))
+
   def qEbShrinkage(s: SparkSession, d: String): DataFrame =
     Climate.ebShrinkage(rawDaily(s, d)).orderBy(col("station_id"))
 
@@ -592,6 +599,8 @@ object TsQueries {
     "q_geary_c" -> (qGearyC _),
     "q_field_significance" -> (qFieldSignificance _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
+    "q_flow_duration" -> (qFlowDuration _),
+    "q_pot_decluster" -> (qPotDecluster _),
     "q_tail_dependence" -> (qTailDependence _),
     "q_effective_n" -> (qEffectiveN _),
     "q_kcore" -> (qKcore _),
