@@ -141,6 +141,39 @@ object GraphOps {
         col("core_degree").isNotNull.as("in_core"))
   }
 
+  /** Newman modularity Q of a given node partition on the undirected
+    * closure — the "are these communities real?" score (Q ≈ 0 random,
+    * Q ≳ 0.3 meaningful structure): over the directed double-counted
+    * edge list of size M, Q = Σ_c [intra_c/M − (deg_c/M)²].
+    *
+    * Plan: one broadcast label map onto the edge list (both
+    * endpoints), one keyed community rollup, one scalar fold — all
+    * integer counts, so Q is engine-exact before its final rounding. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    val lab = labels.select(col("station_id"), col("community"))
+    val tagged = und
+      .join(broadcast(lab.select(col("station_id").as("u"), col("community").as("cu"))), Seq("u"))
+      .join(broadcast(lab.select(col("station_id").as("v"), col("community").as("cv"))), Seq("v"))
+    val m = tagged.agg(count(lit(1)).as("m_dir"))
+    val perC = tagged.groupBy(col("cu").as("community"))
+      .agg(sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("intra"),
+        count(lit(1)).as("deg"))
+    perC.crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+        first(col("m_dir")).as("m_dir"),
+        sum(col("intra")).as("intra_total"),
+        sum(col("intra") / col("m_dir").cast("double")
+          - (col("deg") / col("m_dir").cast("double"))
+            * (col("deg") / col("m_dir").cast("double"))).as("q"))
+      .withColumn("intra_share",
+        round(col("intra_total") / col("m_dir").cast("double") + lit(1e-9), 6))
+      .select(col("n_communities"), col("m_dir"), col("intra_share"),
+        round(col("q") + lit(1e-9), 6).as("modularity"))
+  }
+
   /** Degree assortativity coefficient — does the graph wire hubs to
     * hubs (r > 0, social networks) or hubs to leaves (r < 0,
     * infrastructure/kNN graphs)? Pearson correlation of the endpoint

@@ -1147,6 +1147,19 @@ object LlmOracle {
       sum(${ph("payload")})::BIGINT AS payload_sum
     FROM p GROUP BY 1 ORDER BY source"""
 
+  /** Mirrors Sources.orcRoundtrip: the CSV payload checksums plus the
+    * typed-array element sum, computed straight off parquet. */
+  val qIngestOrc: String = s"""
+    WITH p AS (
+      SELECT *, '"' || substr(text, 1, 40) || ',' || chr(92) || chr(10) ||
+        lang || chr(9) || 'äπ中' || n_chars::VARCHAR AS payload
+      FROM documents)
+    SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+      sum(${ph("text")})::BIGINT AS text_sum,
+      sum(${ph("payload")})::BIGINT AS payload_sum,
+      sum(${ph("text")} + n_chars::BIGINT + doc_id::BIGINT)::BIGINT AS arr_sum
+    FROM p GROUP BY 1 ORDER BY source"""
+
   /** Index-order left-fold dot product (mirrors graft_dot). */
   private def vdot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
@@ -1772,6 +1785,7 @@ object LlmOracle {
     "q_dedup_cross_source" -> qDedupCrossSource,
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
+    "q_ingest_orc" -> qIngestOrc,
     "q_readability" -> qReadability,
     "q_rbo" -> qRbo,
     "q_token_burstiness" -> qTokenBurstiness,

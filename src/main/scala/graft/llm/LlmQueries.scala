@@ -166,6 +166,8 @@ object LlmQueries {
       graft.sources.Sources.jsonlRoundtrip(s, d).orderBy(col("source"))),
     "q_ingest_csv" -> ((s, d) =>
       graft.sources.Sources.csvRoundtrip(s, d).orderBy(col("source"))),
+    "q_ingest_orc" -> ((s, d) =>
+      graft.sources.Sources.orcRoundtrip(s, d).orderBy(col("source"))),
     "q_readability" -> ((s, d) =>
       TextAnalysis.readability(docs(s, d)).orderBy(col("doc_id"))),
     "q_rbo" -> ((s, d) => TextAnalysis.rboTokens(docs(s, d))),

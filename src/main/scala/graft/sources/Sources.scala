@@ -289,4 +289,38 @@ object Sources {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** ORC round-trip fidelity — the columnar sibling of the CSV/JSONL
+    * gauntlets: the same hostile payload PLUS a typed bigint-array
+    * column (a type CSV structurally cannot carry; ORC must preserve
+    * it exactly through its own encoder/decoder stack). Checksums of
+    * the read-back must equal the oracle's computed straight off
+    * parquet.
+    *
+    * Plan: one distributed write + schema-self-describing read, one
+    * keyed checksum aggregate — Spark's third columnar format
+    * exercised end-to-end. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val payload = concat(
+      lit("\""), substring(col("text"), 1, 40),
+      lit(","), lit("\\"), lit("\n"), col("lang"), lit("\t"),
+      lit("äπ中"), col("n_chars").cast("string"))
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .withColumn("payload", payload)
+      .withColumn("h_arr",
+        expr("array(graft_polyhash(text), cast(n_chars AS bigint), cast(doc_id AS bigint))"))
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_orc_" + Integer.toHexString(sfDir.hashCode)).getPath
+    docs.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp)
+    back.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(expr("graft_polyhash(text)")).as("text_sum"),
+        sum(expr("graft_polyhash(payload)")).as("payload_sum"),
+        sum(expr("aggregate(h_arr, 0L, (a, x) -> a + x)")).as("arr_sum"))
+  }
 }

@@ -1977,6 +1977,40 @@ object TsOracle {
 
   /** Mirrors Climate.doubleMass: neighbor day-mean, ordered cumsums,
     * β from the totals, max deviation with earliest-day tiebreak. */
+  /** Mirrors GraphOps.modularity on the zoom-4 cell partition. */
+  val qModularity: String = s"""
+    WITH $world,
+    lab AS (
+      SELECT station_id,
+        CAST(floor(x / 4) AS BIGINT)::VARCHAR || '_' ||
+        CAST(floor(y / 4) AS BIGINT)::VARCHAR AS community
+      FROM meta),
+    und AS (
+      SELECT station_id AS u, nb_id AS v FROM knn WHERE station_id != nb_id
+      UNION
+      SELECT nb_id, station_id FROM knn WHERE station_id != nb_id),
+    tagged AS (
+      SELECT a.community AS cu, b.community AS cv
+      FROM und JOIN lab a ON und.u = a.station_id
+      JOIN lab b ON und.v = b.station_id),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_dir FROM tagged),
+    perc AS (
+      SELECT cu AS community,
+        CAST(sum(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS BIGINT) AS intra,
+        CAST(count(*) AS BIGINT) AS deg
+      FROM tagged GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        max(m.m_dir) AS m_dir,
+        CAST(sum(intra) AS BIGINT) AS intra_total,
+        sum(intra / m.m_dir::DOUBLE
+          - (deg / m.m_dir::DOUBLE) * (deg / m.m_dir::DOUBLE)) AS q
+      FROM perc, m)
+    SELECT n_communities, m_dir,
+      round(intra_total / m_dir::DOUBLE + 1e-9, 6) AS intra_share,
+      round(q + 1e-9, 6) AS modularity
+    FROM s"""
+
   /** Mirrors Climate.flowDuration: exact quantile ladder per
     * station, zipped unnest. */
   val qFlowDuration: String = s"""
@@ -3249,6 +3283,7 @@ object TsOracle {
     "q_tail_dependence" -> qTailDependence,
     "q_effective_n" -> qEffectiveN,
     "q_kcore" -> qKcore,
+    "q_modularity" -> qModularity,
     "q_getis_ord" -> qGetisOrd,
     "q_morans_i" -> qMoransI,
     "q_local_moran" -> qLocalMoran,

@@ -435,6 +435,17 @@ object TsQueries {
   def qKcore(s: SparkSession, d: String): DataFrame =
     graft.graph.GraphOps.kCore(knnEdges(s, d)).orderBy(col("station_id"))
 
+  /** Modularity of the zoom-4 spatial-cell partition on the kNN
+    * graph: kNN edges are distance-local, so the cell partition
+    * should score well above random — the one-number check that the
+    * spatial bucketing used by the scale joins respects the graph. */
+  def qModularity(s: SparkSession, d: String): DataFrame = {
+    val labels = meta(s, d).select(col("station_id"),
+      concat_ws("_", floor(col("x") / 4).cast("long"),
+        floor(col("y") / 4).cast("long")).as("community"))
+    graft.graph.GraphOps.modularity(knnEdges(s, d), labels)
+  }
+
   def qConcurrency(s: SparkSession, d: String): DataFrame =
     Aggregate.concurrency(ev(s, d)).orderBy(col("day"))
 
@@ -604,6 +615,7 @@ object TsQueries {
     "q_tail_dependence" -> (qTailDependence _),
     "q_effective_n" -> (qEffectiveN _),
     "q_kcore" -> (qKcore _),
+    "q_modularity" -> (qModularity _),
     "q_getis_ord" -> (qGetisOrd _),
     "q_morans_i" -> (qMoransI _),
     "q_local_moran" -> (qLocalMoran _),
