@@ -1734,6 +1734,75 @@ object Climate {
         col("amplitude"), col("phase"))
   }
 
+  /** Spectral entropy of the hour-of-day profile per station (the
+    * catch22-style signal feature: a pure diurnal cycle concentrates
+    * power in one harmonic → H → 0; white noise spreads it → flatness
+    * → 1): Fourier power at k = 1..11 over the 24-point profile,
+    * normalized to a distribution, Shannon entropy + flatness H/ln K.
+    *
+    * Plan: one (station, hod) keyed profile aggregate, ×11 harmonic
+    * explode of the 24-row-per-station frame, two tiny keyed
+    * rollups. */
+  def spectralEntropy(hourlyRaw: DataFrame, maxK: Int = 11): DataFrame = {
+    val prof = hourlyRaw
+      .withColumn("hod", hour(col("hour")))
+      .groupBy(col("station_id"), col("hod"))
+      .agg(round(avg(coalesce(col("raw"), lit(0.0))) + lit(1e-9), 6).as("x"))
+    val power = prof
+      .withColumn("k", explode(lit((1 to maxK).toArray)))
+      .withColumn("ang", lit(2.0 * math.Pi) * col("k") * col("hod") / lit(24.0))
+      .groupBy(col("station_id"), col("k"))
+      .agg(round(sum(col("x") * cos(col("ang"))) + lit(1e-9), 6).as("a"),
+        round(sum(col("x") * sin(col("ang"))) + lit(1e-9), 6).as("b"))
+      .withColumn("pw", col("a") * col("a") + col("b") * col("b"))
+    val tot = power.groupBy(col("station_id"))
+      .agg(sum(col("pw")).as("pw_tot"), count(lit(1)).as("n_k"))
+    power.join(tot, Seq("station_id"))
+      .filter(col("pw_tot") > 0.0)
+      .withColumn("p", col("pw") / col("pw_tot"))
+      .groupBy(col("station_id"), col("n_k"))
+      .agg(sum(when(col("p") > 0.0, -col("p") * log(col("p")))
+        .otherwise(lit(0.0))).as("h"))
+      .withColumn("spectral_entropy", round(col("h") + lit(1e-9), 6))
+      .withColumn("flatness",
+        round(col("h") / log(col("n_k").cast("double")) + lit(1e-9), 6))
+      .select(col("station_id"), col("n_k"), col("spectral_entropy"),
+        col("flatness"))
+  }
+
+  /** Binned mutual information between station elevation and period
+    * mean (the nonlinear-dependence companion of [[kendallTauBinned]],
+    * on the SAME decile contingency table): MI = ΣΣ p·ln(p/(pᵢpⱼ)),
+    * normalized by ln(bins).
+    *
+    * Plan: two dim-frame ntile sorts, ≤100-cell table, marginals and
+    * the MI fold all on that tiny frame — exact integer counts, so MI
+    * is engine-exact before rounding. */
+  def miBinned(meta: DataFrame, rawDaily: DataFrame): DataFrame = {
+    val ma = rawDaily.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("ma"))
+    val pts = meta.select(col("station_id"), col("elev"))
+      .join(ma, Seq("station_id"))
+      .withColumn("gx", ntile(10).over(Window.orderBy(col("elev"), col("station_id"))))
+      .withColumn("gy", ntile(10).over(Window.orderBy(col("ma"), col("station_id"))))
+    val cells = pts.groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("cnt"))
+    val rm = cells.groupBy(col("gx")).agg(sum(col("cnt")).as("rn"))
+    val cm = cells.groupBy(col("gy")).agg(sum(col("cnt")).as("cn"))
+    val n = cells.agg(sum(col("cnt")).as("n"))
+    cells.join(broadcast(rm), Seq("gx")).join(broadcast(cm), Seq("gy"))
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        col("cnt") / col("n").cast("double")
+          * log(col("cnt").cast("double") * col("n")
+            / (col("rn").cast("double") * col("cn"))))
+      .agg(first(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("term")).as("mi"))
+      .withColumn("mi", round(col("mi") + lit(1e-9), 6))
+      .withColumn("nmi", round(col("mi") / log(lit(10.0)) + lit(1e-9), 6))
+      .select(col("n"), col("n_cells"), col("mi"), col("nmi"))
+  }
+
   /** Rousseeuw–Croux Sₙ robust scale per station: 1.1926 ·
     * med_i( med_j |x_i − x_j| ) — the 50%-breakdown spread estimate
     * that, unlike MAD, needs no location estimate and stays efficient

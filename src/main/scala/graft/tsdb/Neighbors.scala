@@ -197,6 +197,44 @@ object Neighbors {
         round(col("wdist") + lit(1e-9), 6).as("wdist"))
   }
 
+  /** IDW-interpolated raster surface over the occupied spatial cells
+    * (the map product a WeatherDB serves: a gridded field from point
+    * stations): each cell center's value is the inverse-distance-
+    * weighted mean of the stations in its 3×3 cell neighborhood,
+    * w = 1/(d² + 1) (the +1 regularizer bounds the self-cell weight
+    * and keeps the ratio engine-exact — no ε-distance branch).
+    *
+    * Plan: the knnDistBucketed cell trick — stations replicated into
+    * their 9 neighbor cells (×9 explode of the O(#stations) registry),
+    * ONE equi-join against the occupied-cell list, one keyed cell
+    * aggregate. Never all-pairs; at any scale the cost is
+    * O(9·#stations). */
+  def idwGrid(meta: DataFrame, rawDaily: DataFrame,
+      cell: Double = 4.0): DataFrame = {
+    val ma = rawDaily.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("ma"))
+    val pts = meta.select(col("station_id"), col("x"), col("y"))
+      .join(ma, Seq("station_id"))
+    val cells = pts.select(floor(col("x") / cell).as("cx"),
+      floor(col("y") / cell).as("cy")).distinct()
+    val repl = pts
+      .withColumn("dx", explode(lit(Array(-1, 0, 1))))
+      .withColumn("dy", explode(lit(Array(-1, 0, 1))))
+      .select((floor(col("x") / cell) + col("dx")).as("cx"),
+        (floor(col("y") / cell) + col("dy")).as("cy"),
+        col("x"), col("y"), col("ma"))
+    cells.join(repl, Seq("cx", "cy"))
+      .withColumn("cxc", (col("cx") + 0.5) * cell)
+      .withColumn("cyc", (col("cy") + 0.5) * cell)
+      .withColumn("d2", (col("x") - col("cxc")) * (col("x") - col("cxc"))
+        + (col("y") - col("cyc")) * (col("y") - col("cyc")))
+      .withColumn("w", lit(1.0) / (col("d2") + lit(1.0)))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n_contrib"),
+        round(sum(col("w") * col("ma")) / sum(col("w")) + lit(1e-9), 4)
+          .as("idw_value"))
+  }
+
   /** Multi-resolution spatial cell rollup of the station registry
     * (the quadkey/geohash density pyramid every map tile server and
     * the knnDistBucketed cell join are built on): per zoom cell size

@@ -2480,6 +2480,99 @@ object TsOracle {
       round(atan2(b, a) + 1e-9, 4) AS phase
     FROM coeff ORDER BY station_id, k"""
 
+  /** Mirrors Climate.spectralEntropy: 24-point profile power at
+    * k = 1..11, entropy + flatness. */
+  val qSpectralEntropy: String = s"""
+    WITH stations AS (SELECT DISTINCT user_id::BIGINT AS station_id FROM events),
+    hb AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+    hgrid AS (
+      SELECT s.station_id, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM stations s, hb b),
+    hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    prof AS (
+      SELECT g.station_id, hour(g.hour) AS hod,
+        round(avg(coalesce(h.raw, 0.0)) + 1e-9, 6) AS x
+      FROM hgrid g LEFT JOIN hourly h USING (station_id, hour)
+      GROUP BY 1, 2),
+    hk AS (
+      SELECT station_id, k, hod, x,
+        ${2.0 * math.Pi} * k * hod / 24.0 AS ang
+      FROM prof, unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]) AS t(k)),
+    power AS (
+      SELECT station_id, k,
+        round(sum(x * cos(ang)) + 1e-9, 6) AS a,
+        round(sum(x * sin(ang)) + 1e-9, 6) AS b
+      FROM hk GROUP BY 1, 2),
+    pw AS (SELECT station_id, k, a*a + b*b AS pw FROM power),
+    tot AS (
+      SELECT station_id, sum(pw) AS pw_tot, CAST(count(*) AS BIGINT) AS n_k
+      FROM pw GROUP BY 1),
+    h AS (
+      SELECT p.station_id, t.n_k,
+        sum(CASE WHEN p.pw / t.pw_tot > 0.0
+          THEN -(p.pw / t.pw_tot) * ln(p.pw / t.pw_tot) ELSE 0.0 END) AS h
+      FROM pw p JOIN tot t USING (station_id)
+      WHERE t.pw_tot > 0.0 GROUP BY 1, 2)
+    SELECT station_id, n_k,
+      round(h + 1e-9, 6) AS spectral_entropy,
+      round(h / ln(n_k::DOUBLE) + 1e-9, 6) AS flatness
+    FROM h ORDER BY station_id"""
+
+  /** Mirrors Climate.miBinned: decile contingency table MI. */
+  val qMiBinned: String = s"""
+    WITH $world,
+    ma_v AS (SELECT station_id, round(avg(raw) + 1e-9, 6) AS ma
+      FROM raw_daily GROUP BY 1),
+    pts AS (
+      SELECT m.station_id,
+        ntile(10) OVER (ORDER BY m.elev, m.station_id) AS gx,
+        ntile(10) OVER (ORDER BY a.ma, m.station_id) AS gy
+      FROM meta m JOIN ma_v a USING (station_id)),
+    cells AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2),
+    rm AS (SELECT gx, CAST(sum(cnt) AS BIGINT) AS rn FROM cells GROUP BY 1),
+    cm AS (SELECT gy, CAST(sum(cnt) AS BIGINT) AS cn FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT c.cnt, nn.n,
+        c.cnt / nn.n::DOUBLE
+          * ln(c.cnt::DOUBLE * nn.n / (rm.rn::DOUBLE * cm.cn)) AS term
+      FROM cells c JOIN rm USING (gx) JOIN cm USING (gy), nn),
+    s AS (
+      SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        round(sum(term) + 1e-9, 6) AS mi
+      FROM terms)
+    SELECT n, n_cells, mi, round(mi / ln(10.0) + 1e-9, 6) AS nmi FROM s"""
+
+  /** Mirrors Neighbors.idwGrid: 9-cell replication, regularized IDW
+    * cell means. */
+  val qIdwGrid: String = s"""
+    WITH $world,
+    pts AS (
+      SELECT m.station_id, m.x, m.y, a.ma
+      FROM meta m JOIN ma_raw a USING (station_id)),
+    cells AS (
+      SELECT DISTINCT floor(x / 4.0) AS cx, floor(y / 4.0) AS cy FROM pts),
+    repl AS (
+      SELECT floor(x / 4.0) + dx AS cx, floor(y / 4.0) + dy AS cy,
+        x, y, ma
+      FROM pts, unnest([-1, 0, 1]) AS tx(dx), unnest([-1, 0, 1]) AS ty(dy)),
+    j AS (
+      SELECT c.cx, c.cy, r.x, r.y, r.ma,
+        (c.cx + 0.5) * 4.0 AS cxc, (c.cy + 0.5) * 4.0 AS cyc
+      FROM cells c JOIN repl r ON c.cx = r.cx AND c.cy = r.cy),
+    d AS (
+      SELECT cx, cy, ma,
+        1.0 / ((x - cxc) * (x - cxc) + (y - cyc) * (y - cyc) + 1.0) AS w
+      FROM j)
+    SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+      CAST(count(*) AS BIGINT) AS n_contrib,
+      round(sum(w * ma) / sum(w) + 1e-9, 4) AS idw_value
+    FROM d GROUP BY 1, 2 ORDER BY cx, cy"""
+
   /** Mirrors Climate.variogram: zero-filled period means, brute
     * complete pairs ≤ hMax (the engine's cell join is deterministic-
     * complete over the same set), unit distance bins. */
@@ -3279,6 +3372,9 @@ object TsOracle {
     "q_field_significance" -> qFieldSignificance,
     "q_eb_shrinkage" -> qEbShrinkage,
     "q_flow_duration" -> qFlowDuration,
+    "q_spectral_entropy" -> qSpectralEntropy,
+    "q_mi_binned" -> qMiBinned,
+    "q_idw_grid" -> qIdwGrid,
     "q_pot_decluster" -> qPotDecluster,
     "q_tail_dependence" -> qTailDependence,
     "q_effective_n" -> qEffectiveN,

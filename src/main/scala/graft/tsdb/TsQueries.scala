@@ -409,6 +409,16 @@ object TsQueries {
   def qKendallBinned(s: SparkSession, d: String): DataFrame =
     Climate.kendallTauBinned(meta(s, d), rawDaily(s, d))
 
+  def qSpectralEntropy(s: SparkSession, d: String): DataFrame =
+    Climate.spectralEntropy(hourly(s, d)).orderBy(col("station_id"))
+
+  def qMiBinned(s: SparkSession, d: String): DataFrame =
+    Climate.miBinned(meta(s, d), rawDaily(s, d))
+
+  def qIdwGrid(s: SparkSession, d: String): DataFrame =
+    Neighbors.idwGrid(meta(s, d), rawDaily(s, d))
+      .orderBy(col("cx"), col("cy"))
+
   def qFlowDuration(s: SparkSession, d: String): DataFrame =
     Climate.flowDuration(rawDaily(s, d))
       .orderBy(col("station_id"), col("prob"))
@@ -611,6 +621,9 @@ object TsQueries {
     "q_field_significance" -> (qFieldSignificance _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_flow_duration" -> (qFlowDuration _),
+    "q_spectral_entropy" -> (qSpectralEntropy _),
+    "q_mi_binned" -> (qMiBinned _),
+    "q_idw_grid" -> (qIdwGrid _),
     "q_pot_decluster" -> (qPotDecluster _),
     "q_tail_dependence" -> (qTailDependence _),
     "q_effective_n" -> (qEffectiveN _),
