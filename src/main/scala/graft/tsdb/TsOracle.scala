@@ -1834,6 +1834,81 @@ object TsOracle {
 
   /** Mirrors Climate.brownDouble: two truncated-EWMA passes with
     * identical literal weights, s′ rounded at 6 dp between passes. */
+  /** Mirrors Climate.baseflow: Lyne–Hollick as the SAME truncated
+    * K=24-term geometric convolution (identical weights, identical
+    * missing-lag handling), clamp, BFI window sums. */
+  val qBaseflow: String = {
+    val k = 24; val alpha = 0.75
+    val ws = (0 until k).map(i => (1.0 + alpha) / 2.0 * math.pow(alpha, i))
+    val terms = (0 until k).map { i =>
+      val src = if (i == 0) "dq" else s"lag(dq, $i) OVER win"
+      s"(CASE WHEN $src IS NOT NULL THEN ($src) * ${ws(i)} ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"""
+    WITH $world,
+    q AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS q FROM raw_daily),
+    d AS (
+      SELECT station_id, day, q,
+        CASE WHEN lag(q, 1) OVER win IS NULL THEN 0.0
+             ELSE q - lag(q, 1) OVER win END AS dq
+      FROM q
+      WINDOW win AS (PARTITION BY station_id ORDER BY day)),
+    conv AS (
+      SELECT station_id, day, q,
+        round(($terms) + 1e-9, 6) AS qf_raw
+      FROM d
+      WINDOW win AS (PARTITION BY station_id ORDER BY day)),
+    c AS (
+      SELECT station_id, day, q,
+        least(greatest(qf_raw, 0.0), q) AS quickflow
+      FROM conv),
+    b AS (
+      SELECT station_id, day, q, quickflow,
+        round(q - quickflow + 1e-9, 6) AS baseflow
+      FROM c)
+    SELECT station_id, day, q, quickflow, baseflow,
+      round(sum(baseflow) OVER ws / sum(q) OVER ws + 1e-9, 6) AS bfi
+    FROM b
+    WINDOW ws AS (PARTITION BY station_id)
+    ORDER BY station_id, day"""
+  }
+
+  /** Mirrors Climate.rainErosivity: wet-hour gaps-and-islands storm
+    * split, per-hour rounded unit energy, keyed storm rollup. */
+  val qRainErosivity: String = s"""
+    WITH hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    wet AS (
+      SELECT station_id, hour, raw AS p,
+        (epoch(hour) - epoch(lag(hour, 1) OVER win)) / 3600 AS gap_h
+      FROM hourly WHERE raw > 10.0
+      WINDOW win AS (PARTITION BY station_id ORDER BY hour)),
+    marked AS (
+      SELECT station_id, hour, p,
+        CASE WHEN gap_h IS NULL OR gap_h > 6 THEN 1 ELSE 0 END AS new_storm
+      FROM wet),
+    storms AS (
+      SELECT station_id, hour, p,
+        CAST(sum(new_storm) OVER (PARTITION BY station_id ORDER BY hour) AS BIGINT) AS storm_id,
+        round(0.29 * (1.0 - 0.72 * exp(p * -0.005)) * p + 1e-9, 6) AS e_hour
+      FROM marked),
+    agg AS (
+      SELECT station_id, storm_id,
+        min(hour) AS storm_start, max(hour) AS storm_end,
+        count(*) AS n_wet_hours,
+        round(sum(p) + 1e-9, 3) AS total_p,
+        round(sum(e_hour) + 1e-9, 6) AS energy,
+        round(max(p) + 1e-9, 3) AS i60
+      FROM storms GROUP BY 1, 2)
+    SELECT station_id, storm_id, storm_start, storm_end, n_wet_hours,
+      total_p, energy, i60,
+      round(energy * i60 / 100.0 + 1e-9, 6) AS ei
+    FROM agg WHERE total_p >= 25.0
+    ORDER BY station_id, storm_id"""
+
   val qHoltBrown: String = {
     val k = 14; val alpha = 0.3
     val ew = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
@@ -3376,6 +3451,8 @@ object TsOracle {
     "q_mi_binned" -> qMiBinned,
     "q_idw_grid" -> qIdwGrid,
     "q_pot_decluster" -> qPotDecluster,
+    "q_baseflow" -> qBaseflow,
+    "q_rain_erosivity" -> qRainErosivity,
     "q_tail_dependence" -> qTailDependence,
     "q_effective_n" -> qEffectiveN,
     "q_kcore" -> qKcore,

@@ -423,6 +423,13 @@ object TsQueries {
     Climate.flowDuration(rawDaily(s, d))
       .orderBy(col("station_id"), col("prob"))
 
+  def qBaseflow(s: SparkSession, d: String): DataFrame =
+    Climate.baseflow(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
+
+  def qRainErosivity(s: SparkSession, d: String): DataFrame =
+    Climate.rainErosivity(hourly(s, d))
+      .orderBy(col("station_id"), col("storm_id"))
+
   def qPotDecluster(s: SparkSession, d: String): DataFrame =
     Climate.potDecluster(rawDaily(s, d)).orderBy(col("station_id"))
 
@@ -625,6 +632,8 @@ object TsQueries {
     "q_mi_binned" -> (qMiBinned _),
     "q_idw_grid" -> (qIdwGrid _),
     "q_pot_decluster" -> (qPotDecluster _),
+    "q_baseflow" -> (qBaseflow _),
+    "q_rain_erosivity" -> (qRainErosivity _),
     "q_tail_dependence" -> (qTailDependence _),
     "q_effective_n" -> (qEffectiveN _),
     "q_kcore" -> (qKcore _),
