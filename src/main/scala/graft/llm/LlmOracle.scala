@@ -364,6 +364,32 @@ object LlmOracle {
       round(p * round(log2(p / p_ind) + 1e-9, 6) + 1e-9, 6) AS mi_contrib
     FROM p ORDER BY lang, source"""
 
+  /** Mirrors TextAnalysis.cramersV: χ² + Cramér's V on the SAME
+    * lang × source contingency as qLangSourceMi. */
+  val qCramersV: String = """
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    m AS (
+      SELECT *,
+        sum(n) OVER (PARTITION BY lang) AS n_lang,
+        sum(n) OVER (PARTITION BY source) AS n_src,
+        sum(n) OVER () AS total
+      FROM cells),
+    x AS (
+      SELECT n, n_lang * n_src / CAST(total AS DOUBLE) AS e, total
+      FROM m),
+    agg AS (
+      SELECT sum((n - e) * (n - e) / e) AS chi2_raw,
+        CAST(max(total) AS BIGINT) AS n,
+        (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents) AS r,
+        (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents) AS c
+      FROM x)
+    SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+      round(chi2_raw + 1e-9, 6) AS chi2,
+      round(sqrt(chi2_raw / (n * (least(r, c) - 1))) + 1e-9, 6) AS v
+    FROM agg"""
+
   /** Mirrors TextAnalysis.typeTokenRatio: per-doc lexical diversity
     * from the (doc, token) count frame. */
   val qTextTtr: String = s"""
@@ -1818,6 +1844,7 @@ object LlmOracle {
     "q_text_repetition" -> qTextRepetition,
     "q_text_ttr" -> qTextTtr,
     "q_lang_source_mi" -> qLangSourceMi,
+    "q_cramers_v" -> qCramersV,
     "q_centroid_dist" -> qCentroidDist,
     "q_embed_norms" -> qEmbedNorms,
     "q_lsh_bucket_stats" -> qLshBucketStats,

@@ -125,6 +125,7 @@ object LlmQueries {
       TextAnalysis.typeTokenRatio(docs(s, d)).orderBy(col("doc_id"))),
     "q_lang_source_mi" -> ((s, d) =>
       TextAnalysis.langSourceMi(docs(s, d)).orderBy(col("lang"), col("source"))),
+    "q_cramers_v" -> ((s, d) => TextAnalysis.cramersV(docs(s, d))),
     "q_centroid_dist" -> ((s, d) =>
       Cluster.centroidDistances(docs(s, d), embs(s, d))
         .orderBy(col("lang_a"), col("lang_b"))),

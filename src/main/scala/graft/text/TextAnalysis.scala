@@ -1193,6 +1193,39 @@ object TextAnalysis {
         round(col("p") + lit(1e-9), 6).as("p"), col("pmi"), col("mi_contrib"))
   }
 
+  /** Cramér's V effect size for the lang × source association — the
+    * bounded-[0,1] companion of [[langSourceMi]] on the SAME
+    * contingency table (MI says "how many bits", V says "how far from
+    * independence on a fixed scale"): χ² over the exact integer
+    * contingency, V = √(χ² / (n·(min(r,c)−1))).
+    *
+    * Plan: one keyed contingency aggregate (O(#langs·#sources) rows),
+    * marginals as window sums over that tiny frame, one scalar
+    * rollup. */
+  def cramersV(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val wL = Window.partitionBy(col("lang"))
+    val wS = Window.partitionBy(col("source"))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("n_lang", sum(col("n")).over(wL))
+      .withColumn("n_src", sum(col("n")).over(wS))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("e", col("n_lang") * col("n_src") / col("total").cast("double"))
+      .withColumn("cell_chi2", (col("n") - col("e")) * (col("n") - col("e")) / col("e"))
+      .agg(sum(col("cell_chi2")).as("chi2_raw"),
+        max(col("total")).as("n"),
+        countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"))
+      .withColumn("dof", (col("r") - 1) * (col("c") - 1))
+      .withColumn("chi2", round(col("chi2_raw") + lit(1e-9), 6))
+      .withColumn("v", round(sqrt(col("chi2_raw")
+        / (col("n") * (least(col("r"), col("c")) - 1))) + lit(1e-9), 6))
+      .select(col("n"), col("r"), col("c"), col("dof"), col("chi2"), col("v"))
+  }
+
   /** Lexical-diversity report per document: type/token ratio and
     * hapax-legomenon share (the quick richness screens beside the
     * entropy/repetition quality features — low TTR flags template or

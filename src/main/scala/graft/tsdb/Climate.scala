@@ -2537,6 +2537,94 @@ object Climate {
         col("baseflow"), col("bfi"))
   }
 
+  /** Wilcoxon signed-rank test per station: is the afternoon
+    * (hours 12–23) precipitation sum systematically different from the
+    * morning (0–11) sum on the same day? The PAIRED complement of the
+    * Mann–Whitney two-sample test already on the board. Zero diffs
+    * drop (the Wilcoxon convention); |d| ranks are average-ranks via
+    * the grouped-count + cumulative-window trick (no per-row sort
+    * output), W⁺ = Σ ranks of positive d, normal approximation with
+    * the exact tie-corrected variance n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+    *
+    * Plan: one (station, day) keyed aggregate over the hourly frame,
+    * one (station, |d|) count collapse, one per-station cumulative
+    * window on the collapsed frame, one keyed rollup — everything
+    * partition-local per station. */
+  def wilcoxonSigned(hourlyRaw: DataFrame): DataFrame = {
+    val pairs = hourlyRaw
+      .withColumn("p", coalesce(col("raw"), lit(0.0)))
+      .groupBy(col("station_id"), to_date(col("hour")).as("day"))
+      .agg(round(sum(when(hour(col("hour")) < 12, col("p"))
+        .otherwise(lit(0.0))) + lit(1e-9), 3).as("am"),
+        round(sum(when(hour(col("hour")) >= 12, col("p"))
+          .otherwise(lit(0.0))) + lit(1e-9), 3).as("pm"))
+      .withColumn("d", round(col("pm") - col("am") + lit(1e-9), 3))
+      .filter(col("d") =!= 0.0)
+    val byAbs = pairs
+      .withColumn("ad", abs(col("d")))
+      .groupBy(col("station_id"), col("ad"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("cnt_pos"))
+    val w = Window.partitionBy(col("station_id")).orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAbs
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("avg_rank", col("cum") - (col("cnt") - 1) / 2.0)
+      .withColumn("tie3", col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+      .groupBy(col("station_id"))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        round(sum(col("cnt_pos") * col("avg_rank")) + lit(1e-9), 1).as("w_plus"),
+        sum(col("tie3")).as("tie_sum"))
+      .withColumn("mu", col("n_pairs") * (col("n_pairs") + 1) / 4.0)
+      .withColumn("var_w",
+        col("n_pairs") * (col("n_pairs") + 1) * (col("n_pairs") * 2 + 1) / 24.0
+          - col("tie_sum") / 48.0)
+      .filter(col("var_w") > 0.0)
+      .withColumn("z", round((col("w_plus") - col("mu")) / sqrt(col("var_w"))
+        + lit(1e-9), 4))
+      .withColumn("significant", abs(col("z")) > 1.96)
+      .select(col("station_id"), col("n_pairs"), col("w_plus"),
+        col("z"), col("significant"))
+  }
+
+  /** Friedman rank test: do the 7 weekday "treatments" differ across
+    * station "blocks"? Per (station, dow) mean daily sum, average-ranked
+    * WITHIN each station, rank sums R_j over blocks, χ²_F =
+    * 12/(b·k·(k+1))·ΣR_j² − 3·b·(k+1). The k-related-samples
+    * complement of the Kruskal–Wallis already on the board.
+    *
+    * Plan: two keyed aggregates collapse the grid to b×7 rows; the
+    * within-station rank is a 7-row window; the rollup is O(k). */
+  def friedman(rawDaily: DataFrame): DataFrame = {
+    val cell = rawDaily
+      .groupBy(col("station_id"), dayofweek(col("day")).as("dow"))
+      .agg(round(avg(coalesce(col("raw"), lit(0.0))) + lit(1e-9), 6).as("m"))
+    val w = Window.partitionBy(col("station_id")).orderBy(col("m"))
+    val ranked = cell
+      // average rank among the 7 dow cells of one station: rank() spans
+      // ties, count-of-equal closes them — (2·rank + eq − 1)/2
+      .withColumn("rnk", rank().over(w))
+      .withColumn("eq", count(lit(1)).over(
+        Window.partitionBy(col("station_id"), col("m"))))
+      .withColumn("avg_rank", (lit(2.0) * col("rnk") + col("eq") - lit(1.0)) / lit(2.0))
+    val rj = ranked.groupBy(col("dow"))
+      .agg(round(sum(col("avg_rank")) + lit(1e-9), 1).as("r_j"),
+        count(lit(1)).as("b"),
+        round(avg(col("avg_rank")) + lit(1e-9), 6).as("mean_rank"))
+    val stat = rj.agg(
+      sum(col("r_j") * col("r_j")).as("sum_r2"),
+      max(col("b")).as("blocks"),
+      count(lit(1)).as("k"))
+      .withColumn("chi2_f",
+        round(lit(12.0) / (col("blocks") * col("k") * (col("k") + 1))
+          * col("sum_r2") - lit(3.0) * col("blocks") * (col("k") + 1)
+          + lit(1e-9), 6))
+      .select(col("blocks"), col("k"), col("chi2_f"))
+    rj.crossJoin(stat)
+      .select(col("dow"), col("b"), col("r_j"), col("mean_rank"),
+        col("blocks"), col("k"), col("chi2_f"))
+  }
+
   /** Storm-event rainfall erosivity (the USLE/RUSLE R-factor's EI
     * building block, Wischmeier & Smith 1978) over the sparse hourly
     * series: wet hours (p > wetThresh) split into storms at dry gaps

@@ -1874,6 +1874,89 @@ object TsOracle {
     ORDER BY station_id, day"""
   }
 
+  /** Mirrors Climate.wilcoxonSigned: am/pm paired diffs, grouped-count
+    * average ranks, tie-corrected normal approximation. */
+  val qWilcoxonSigned: String = s"""
+    WITH hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    stations AS (SELECT DISTINCT user_id::BIGINT AS station_id FROM events),
+    hb AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+    hgrid AS (
+      SELECT s.station_id, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM stations s, hb b),
+    hseries AS (
+      SELECT g.station_id, g.hour, coalesce(h.raw, 0.0) AS p
+      FROM hgrid g LEFT JOIN hourly h USING (station_id, hour)),
+    pairs AS (
+      SELECT station_id, hour::date AS day,
+        round(sum(CASE WHEN date_part('hour', hour) < 12 THEN p ELSE 0.0 END) + 1e-9, 3) AS am,
+        round(sum(CASE WHEN date_part('hour', hour) >= 12 THEN p ELSE 0.0 END) + 1e-9, 3) AS pm
+      FROM hseries GROUP BY 1, 2),
+    d AS (
+      SELECT station_id, round(pm - am + 1e-9, 3) AS d
+      FROM pairs WHERE round(pm - am + 1e-9, 3) != 0.0),
+    byabs AS (
+      SELECT station_id, abs(d) AS ad,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos
+      FROM d GROUP BY 1, 2),
+    ranked AS (
+      SELECT station_id, cnt, cnt_pos,
+        sum(cnt) OVER (PARTITION BY station_id ORDER BY ad
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        cnt * cnt * cnt - cnt AS tie3
+      FROM byabs),
+    agg AS (
+      SELECT station_id,
+        CAST(sum(cnt) AS BIGINT) AS n_pairs,
+        round(sum(cnt_pos * (cum - (cnt - 1) / 2.0)) + 1e-9, 1) AS w_plus,
+        CAST(sum(tie3) AS BIGINT) AS tie_sum
+      FROM ranked GROUP BY 1),
+    z AS (
+      SELECT station_id, n_pairs, w_plus,
+        n_pairs * (n_pairs + 1) / 4.0 AS mu,
+        n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) / 24.0 - tie_sum / 48.0 AS var_w
+      FROM agg)
+    SELECT station_id, n_pairs, w_plus,
+      round((w_plus - mu) / sqrt(var_w) + 1e-9, 4) AS z,
+      abs(round((w_plus - mu) / sqrt(var_w) + 1e-9, 4)) > 1.96 AS significant
+    FROM z WHERE var_w > 0.0
+    ORDER BY station_id"""
+
+  /** Mirrors Climate.friedman: per-(station, dow) means, within-block
+    * average ranks via rank()+equal-count, k-row rollup. */
+  val qFriedman: String = s"""
+    WITH $world,
+    cell AS (
+      SELECT station_id, dayofweek(day) + 1 AS dow,
+        round(avg(coalesce(raw, 0.0)) + 1e-9, 6) AS m
+      FROM raw_daily GROUP BY 1, 2),
+    ranked AS (
+      SELECT station_id, dow, m,
+        rank() OVER (PARTITION BY station_id ORDER BY m) AS rnk,
+        count(*) OVER (PARTITION BY station_id, m) AS eq
+      FROM cell),
+    ar AS (
+      SELECT station_id, dow, (2.0 * rnk + eq - 1.0) / 2.0 AS avg_rank
+      FROM ranked),
+    rj AS (
+      SELECT dow, round(sum(avg_rank) + 1e-9, 1) AS r_j,
+        CAST(count(*) AS BIGINT) AS b,
+        round(avg(avg_rank) + 1e-9, 6) AS mean_rank
+      FROM ar GROUP BY 1),
+    stat AS (
+      SELECT sum(r_j * r_j) AS sum_r2,
+        CAST(max(b) AS BIGINT) AS blocks,
+        CAST(count(*) AS BIGINT) AS k
+      FROM rj)
+    SELECT rj.dow, rj.b, rj.r_j, rj.mean_rank, s.blocks, s.k,
+      round(12.0 / (s.blocks * s.k * (s.k + 1)) * s.sum_r2
+        - 3.0 * s.blocks * (s.k + 1) + 1e-9, 6) AS chi2_f
+    FROM rj, stat s
+    ORDER BY rj.dow"""
+
   /** Mirrors Climate.rainErosivity: wet-hour gaps-and-islands storm
     * split, per-hour rounded unit energy, keyed storm rollup. */
   val qRainErosivity: String = s"""
@@ -3452,6 +3535,8 @@ object TsOracle {
     "q_idw_grid" -> qIdwGrid,
     "q_pot_decluster" -> qPotDecluster,
     "q_baseflow" -> qBaseflow,
+    "q_wilcoxon_signed" -> qWilcoxonSigned,
+    "q_friedman" -> qFriedman,
     "q_rain_erosivity" -> qRainErosivity,
     "q_tail_dependence" -> qTailDependence,
     "q_effective_n" -> qEffectiveN,

@@ -430,6 +430,12 @@ object TsQueries {
     Climate.rainErosivity(hourly(s, d))
       .orderBy(col("station_id"), col("storm_id"))
 
+  def qWilcoxonSigned(s: SparkSession, d: String): DataFrame =
+    Climate.wilcoxonSigned(hourly(s, d)).orderBy(col("station_id"))
+
+  def qFriedman(s: SparkSession, d: String): DataFrame =
+    Climate.friedman(rawDaily(s, d)).orderBy(col("dow"))
+
   def qPotDecluster(s: SparkSession, d: String): DataFrame =
     Climate.potDecluster(rawDaily(s, d)).orderBy(col("station_id"))
 
@@ -633,6 +639,8 @@ object TsQueries {
     "q_idw_grid" -> (qIdwGrid _),
     "q_pot_decluster" -> (qPotDecluster _),
     "q_baseflow" -> (qBaseflow _),
+    "q_wilcoxon_signed" -> (qWilcoxonSigned _),
+    "q_friedman" -> (qFriedman _),
     "q_rain_erosivity" -> (qRainErosivity _),
     "q_tail_dependence" -> (qTailDependence _),
     "q_effective_n" -> (qEffectiveN _),
