@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Graph analytics over edge frames (the kNN station graph, the
   * near-dup document graph): PageRank and triangle counting — the two
@@ -204,5 +205,46 @@ object GraphOps {
           round((col("n_dir_edges") * col("sxy") - col("sx") * col("sy"))
             / sqrt(col("detx") * col("dety")) + lit(1e-9), 6)))
       .select(col("n_dir_edges"), col("assortativity"))
+  }
+
+  /** Link prediction over the undirected closure: for every
+    * distance-2 non-edge pair (u, w), the three classic
+    * common-neighbor scores — raw count, Adamic–Adar Σ 1/ln(deg(v))
+    * (rare shared neighbors count more), and Jaccard
+    * |N(u)∩N(w)| / |N(u)∪N(w)| — keeping the top `topK` candidates
+    * per node by Adamic–Adar (ties broken by Jaccard then id, so the
+    * ranking replays exactly).
+    *
+    * Plan: wedge enumeration is ONE self-equi-join on the middle
+    * vertex (O(n·k²) wedge rows on a kNN graph, all keyed — never
+    * all-pairs), existing edges leave by anti-join, degrees arrive by
+    * broadcast, and the per-node top-K is a WindowGroupLimit. */
+  def linkPrediction(edges: DataFrame, topK: Int = 5): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
+    val wedges = und
+      .join(und.select(col("u").as("w"), col("v")), Seq("v"))
+      .filter(col("u") < col("w"))
+    val scored = wedges
+      .join(broadcast(deg.select(col("id").as("v"), col("degree").as("dv"))), Seq("v"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("dv").cast("double"))) + lit(1e-9), 6)
+          .as("adamic_adar"))
+    val existing = und.filter(col("u") < col("v"))
+      .select(col("u"), col("v").as("w"))
+    val wTop = Window.partitionBy(col("u"))
+      .orderBy(col("adamic_adar").desc, col("jaccard").desc, col("w"))
+    scored.join(existing, Seq("u", "w"), "left_anti")
+      .join(broadcast(deg.select(col("id").as("u"), col("degree").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("id").as("w"), col("degree").as("dw"))), Seq("w"))
+      .withColumn("jaccard", round(col("common")
+        / (col("du") + col("dw") - col("common")).cast("double") + lit(1e-9), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topK)
+      .select(col("u").as("station_id"), col("rank"), col("w").as("cand_id"),
+        col("common"), col("adamic_adar"), col("jaccard"))
   }
 }

@@ -1282,6 +1282,44 @@ object TsOracle {
     FROM deg d LEFT JOIN per_node p USING (id)
     ORDER BY station_id"""
 
+  /** Mirrors GraphOps.linkPrediction: distance-2 non-edge candidates
+    * scored by common count / Adamic–Adar / Jaccard, top-5 per node. */
+  val qLinkPrediction: String = s"""
+    WITH $world,
+    und AS (
+      SELECT station_id AS u, nb_id AS v FROM knn WHERE station_id != nb_id
+      UNION
+      SELECT nb_id, station_id FROM knn WHERE station_id != nb_id),
+    deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY 1),
+    wedges AS (
+      SELECT a.u, b.u AS w, a.v
+      FROM und a JOIN und b ON a.v = b.v
+      WHERE a.u < b.u),
+    scored AS (
+      SELECT wg.u, wg.w,
+        CAST(count(*) AS BIGINT) AS common,
+        round(sum(1.0 / ln(dv.degree)) + 1e-9, 6) AS adamic_adar
+      FROM wedges wg JOIN deg dv ON dv.id = wg.v
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT s.*
+      FROM scored s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und e WHERE e.u = s.u AND e.v = s.w)),
+    j AS (
+      SELECT c.u, c.w, c.common, c.adamic_adar,
+        round(c.common / CAST(du.degree + dw.degree - c.common AS DOUBLE) + 1e-9, 6) AS jaccard
+      FROM cand c
+      JOIN deg du ON du.id = c.u
+      JOIN deg dw ON dw.id = c.w),
+    top AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY u
+        ORDER BY adamic_adar DESC, jaccard DESC, w) AS INT) AS rank
+      FROM j)
+    SELECT u AS station_id, rank, w AS cand_id, common, adamic_adar, jaccard
+    FROM top WHERE rank <= 5
+    ORDER BY station_id, rank"""
+
   /** Mirrors GraphOps.assortativity: endpoint-degree Pearson over the
     * directed edge list. */
   val qAssortativity: String = s"""
@@ -3519,6 +3557,7 @@ object TsOracle {
     "q_pot_gpd" -> qPotGpd,
     "q_variogram" -> qVariogram,
     "q_assortativity" -> qAssortativity,
+    "q_link_prediction" -> qLinkPrediction,
     "q_jarque_bera" -> qJarqueBera,
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,

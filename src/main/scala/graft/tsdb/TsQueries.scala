@@ -572,6 +572,10 @@ object TsQueries {
     graft.graph.GraphOps.pageRank(knnEdges(s, d))
       .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
 
+  def qLinkPrediction(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.linkPrediction(knnEdges(s, d))
+      .orderBy(col("station_id"), col("rank"))
+
   def qTriangles(s: SparkSession, d: String): DataFrame =
     graft.graph.GraphOps.triangles(knnEdges(s, d))
       .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
@@ -586,6 +590,7 @@ object TsQueries {
     "q_sax" -> (qSax _),
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
+    "q_link_prediction" -> (qLinkPrediction _),
     "q_ewma_control" -> (qEwmaControl _),
     "q_forecast_skill" -> (qForecastSkill _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
