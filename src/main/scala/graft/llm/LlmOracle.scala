@@ -390,6 +390,66 @@ object LlmOracle {
       round(sqrt(chi2_raw / (n * (least(r, c) - 1))) + 1e-9, 6) AS v
     FROM agg"""
 
+  /** Mirrors TextAnalysis.gopherRules: per-doc token stats, the fixed
+    * four-rule ladder, ×4 replication into one keyed rollup. */
+  val qGopherRules: String = s"""
+    WITH tf AS (
+      SELECT doc_id, t.tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents, unnest($toks) AS t(tok)
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        CAST(max(cnt) AS BIGINT) AS max_cnt,
+        CAST(sum(CASE WHEN tok IN ('the', 'a', 'and', 'of', 'to')
+          THEN cnt ELSE 0 END) AS BIGINT) AS stop_hits
+      FROM tf GROUP BY 1),
+    flags AS (
+      SELECT s.doc_id, s.n_tokens, s.stop_hits,
+        round((length(d.text) - s.n_tokens + 1) / CAST(s.n_tokens AS DOUBLE) + 1e-9, 6) AS mwl,
+        round(s.max_cnt / CAST(s.n_tokens AS DOUBLE) + 1e-9, 6) AS top_share
+      FROM stats s JOIN documents d USING (doc_id)),
+    p AS (
+      SELECT doc_id,
+        (n_tokens >= 20 AND n_tokens <= 90) AS p1,
+        (mwl >= 3.0 AND mwl <= 5.5) AS p2,
+        (top_share <= 0.15) AS p3,
+        (stop_hits >= 1) AS p4
+      FROM flags),
+    r AS (
+      SELECT 1 AS rule_no, 'word_count' AS rule, p1 AS pass, p1 AS cum FROM p
+      UNION ALL SELECT 2, 'mean_word_len', p2, p1 AND p2 FROM p
+      UNION ALL SELECT 3, 'top_token_share', p3, p1 AND p2 AND p3 FROM p
+      UNION ALL SELECT 4, 'stopword_presence', p4, p1 AND p2 AND p3 AND p4 FROM p)
+    SELECT rule_no, rule, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+      round(sum(CASE WHEN NOT pass THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS fail_share,
+      CAST(sum(CASE WHEN cum THEN 1 ELSE 0 END) AS BIGINT) AS cum_survivors
+    FROM r GROUP BY 1, 2 ORDER BY rule_no"""
+
+  /** Mirrors TextAnalysis.invertedSearch: term-filtered postings,
+    * conjunctive HAVING, tf·idf ranking, deterministic top-20. */
+  val qInvertedSearch: String = s"""
+    WITH tf AS (
+      SELECT doc_id, t.tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents, unnest($toks) AS t(tok)
+      WHERE t.tok IN ('spark', 'query', 'window')
+      GROUP BY 1, 2),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+    idf AS (
+      SELECT tok,
+        round(ln((SELECT n_corpus FROM n) / CAST(count(DISTINCT doc_id) AS DOUBLE)) + 1e-9, 6) AS idf
+      FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+        CAST(count(DISTINCT tf.tok) AS BIGINT) AS n_terms,
+        CAST(sum(tf.cnt) AS BIGINT) AS total_hits,
+        round(sum(tf.cnt * i.idf) + 1e-9, 6) AS score
+      FROM tf JOIN idf i USING (tok)
+      GROUP BY 1)
+    SELECT doc_id, n_terms, total_hits, score
+    FROM scored WHERE n_terms = 3
+    ORDER BY score DESC, doc_id LIMIT 20"""
+
   /** Mirrors TextAnalysis.typeTokenRatio: per-doc lexical diversity
     * from the (doc, token) count frame. */
   val qTextTtr: String = s"""
@@ -1845,6 +1905,8 @@ object LlmOracle {
     "q_text_ttr" -> qTextTtr,
     "q_lang_source_mi" -> qLangSourceMi,
     "q_cramers_v" -> qCramersV,
+    "q_gopher_rules" -> qGopherRules,
+    "q_inverted_search" -> qInvertedSearch,
     "q_centroid_dist" -> qCentroidDist,
     "q_embed_norms" -> qEmbedNorms,
     "q_lsh_bucket_stats" -> qLshBucketStats,

@@ -126,6 +126,9 @@ object LlmQueries {
     "q_lang_source_mi" -> ((s, d) =>
       TextAnalysis.langSourceMi(docs(s, d)).orderBy(col("lang"), col("source"))),
     "q_cramers_v" -> ((s, d) => TextAnalysis.cramersV(docs(s, d))),
+    "q_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(docs(s, d)).orderBy(col("rule_no"))),
+    "q_inverted_search" -> ((s, d) => TextAnalysis.invertedSearch(docs(s, d))),
     "q_centroid_dist" -> ((s, d) =>
       Cluster.centroidDistances(docs(s, d), embs(s, d))
         .orderBy(col("lang_a"), col("lang_b"))),

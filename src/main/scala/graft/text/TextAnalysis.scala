@@ -1193,6 +1193,92 @@ object TextAnalysis {
         round(col("p") + lit(1e-9), 6).as("p"), col("pmi"), col("mi_contrib"))
   }
 
+  /** Gopher-style quality-rule funnel (Rae et al. 2021 §A1.1 shape,
+    * thresholds tuned to the synthetic corpus as all Constants are):
+    * four rules applied as a FIXED ladder — token-count bounds, mean
+    * word length bounds, top-token repetition share, stopword
+    * presence — reporting per rule the standalone failure count and
+    * the cumulative survivor count. The report a corpus curator reads
+    * before committing a filter config.
+    *
+    * Plan: one (doc, token) count collapse + per-doc rollup (the TTR
+    * shuffle shape), flags are stateless arithmetic, the funnel is a
+    * ×4 struct explode of per-doc booleans into ONE keyed aggregate. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val stats = tf.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("max_cnt"),
+        sum(when(col("tok").isin(Profiles.head._2: _*), col("cnt"))
+          .otherwise(lit(0L))).as("stop_hits"))
+    val flags = stats
+      .join(documents.select(col("doc_id"), length(col("text")).as("n_chars_m")),
+        Seq("doc_id"))
+      .withColumn("mwl", round((col("n_chars_m") - col("n_tokens") + 1)
+        / col("n_tokens").cast("double") + lit(1e-9), 6))
+      .withColumn("top_share", round(col("max_cnt")
+        / col("n_tokens").cast("double") + lit(1e-9), 6))
+      .withColumn("p1", col("n_tokens") >= 20 && col("n_tokens") <= 90)
+      .withColumn("p2", col("mwl") >= 3.0 && col("mwl") <= 5.5)
+      .withColumn("p3", col("top_share") <= 0.15)
+      .withColumn("p4", col("stop_hits") >= 1)
+    flags.select(explode(array(
+        struct(lit(1).as("rule_no"), lit("word_count").as("rule"),
+          col("p1").as("pass"), col("p1").as("cum")),
+        struct(lit(2).as("rule_no"), lit("mean_word_len").as("rule"),
+          col("p2").as("pass"), (col("p1") && col("p2")).as("cum")),
+        struct(lit(3).as("rule_no"), lit("top_token_share").as("rule"),
+          col("p3").as("pass"), (col("p1") && col("p2") && col("p3")).as("cum")),
+        struct(lit(4).as("rule_no"), lit("stopword_presence").as("rule"),
+          col("p4").as("pass"),
+          (col("p1") && col("p2") && col("p3") && col("p4")).as("cum")))).as("r"))
+      .select(col("r.rule_no").as("rule_no"), col("r.rule").as("rule"),
+        col("r.pass").as("pass"), col("r.cum").as("cum"))
+      .groupBy(col("rule_no"), col("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("pass"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(col("cum"), 1L).otherwise(0L)).as("cum_survivors"))
+      .withColumn("fail_share",
+        round(col("n_fail") / col("n_docs").cast("double") + lit(1e-9), 6))
+      .select(col("rule_no"), col("rule"), col("n_docs"), col("n_fail"),
+        col("fail_share"), col("cum_survivors"))
+  }
+
+  /** Inverted-index conjunctive search: documents containing ALL query
+    * terms, ranked by Σ tf·idf (idf = ln(N/df) from this corpus), top
+    * `topK` — the retrieval primitive under contamination checks and
+    * eval-set leakage scans.
+    *
+    * Plan: the posting lists are the term-FILTERED (doc, term) count
+    * frame (the filter pushes into the token explode — only query
+    * terms survive the shuffle); AND = one keyed HAVING over the doc
+    * prefix; idf is a broadcast of ≤|terms| rows; top-K is
+    * TakeOrderedAndProject (per-partition heads + one driver merge,
+    * never a global sort). */
+  def invertedSearch(documents: DataFrame,
+      terms: Seq[String] = Seq("spark", "query", "window"),
+      topK: Int = 20): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val nDocs = documents.agg(count(lit(1)).as("n_corpus"))
+    val idf = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(col("n_corpus") / col("df").cast("double"))
+        + lit(1e-9), 6))
+    tf.join(broadcast(idf.select(col("tok"), col("idf"))), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        sum(col("cnt")).as("total_hits"),
+        round(sum(col("cnt") * col("idf")) + lit(1e-9), 6).as("score"))
+      .filter(col("n_terms") === terms.size)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Cramér's V effect size for the lang × source association — the
     * bounded-[0,1] companion of [[langSourceMi]] on the SAME
     * contingency table (MI says "how many bits", V says "how far from
