@@ -1690,9 +1690,94 @@ object EventAnalytics {
       .orderBy(col("lifetime"))
   }
 
+  /** Markov-chain multi-touch attribution by removal effect (the
+    * principled alternative to the positional models in
+    * [[attribution]]): user journeys become a first-order chain over
+    * event types — START opens each journey (user start and after
+    * every purchase), purchase absorbs as CONV, a journey that just
+    * stops absorbs as END — and each channel's credit is how much the
+    * absorption probability P(CONV | START) DROPS when that channel is
+    * cut out of the chain (its states contribute zero flow), shares
+    * normalized over channels.
+    *
+    * Absorption probabilities come from `iterations` rounds of the
+    * fixed-point p ← P·w (w: CONV = 1, END/removed = 0, channel =
+    * previous p), each round rounded to 10 dp so both engines walk the
+    * identical trajectory — the pageRank discipline.
+    *
+    * Plan: the BIG-data part is one lag/lead window over (user ORDER
+    * BY ts, id) + one keyed count — the chain itself is an
+    * O(states²·channels) frame, so the iteration is broadcast-joined
+    * work the driver never collects; rounds localCheckpoint like the
+    * pageRank/components loops. */
+  def markovAttribution(events: DataFrame, iterations: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq0 = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val first = seq0.filter(col("rn") === 1)
+      .select(lit("START").as("src"),
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")).as("dst"))
+    val mid = seq0.filter(col("nxt").isNotNull)
+      .select(
+        when(col("event_type") === "purchase", lit("START"))
+          .otherwise(col("event_type")).as("src"),
+        when(col("nxt") === "purchase", lit("CONV"))
+          .otherwise(col("nxt")).as("dst"))
+    val lastT = seq0.filter(col("nxt").isNull && col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"), lit("END").as("dst"))
+    val probs = first.unionByName(mid).unionByName(lastT)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("cnt")
+        / sum(col("cnt")).over(Window.partitionBy(col("src"))).cast("double"))
+      .select(col("src"), col("dst"), col("p"))
+    val variants = probs.select(col("src").as("removed"))
+      .filter(col("removed") =!= "START").distinct()
+      .unionByName(probs.select(lit("").as("removed")).distinct())
+    val tagged = probs.crossJoin(broadcast(variants)).persist()
+    try {
+      var pcur = tagged.select(col("removed"), col("src")).distinct()
+        .withColumn("p_conv", lit(0.0)).localCheckpoint(true)
+      (1 to iterations).foreach { _ =>
+        val next = tagged
+          .join(pcur.select(col("removed"), col("src").as("dst"),
+            col("p_conv").as("p_dst")), Seq("removed", "dst"), "left")
+          .withColumn("wgt", when(col("dst") === "CONV", lit(1.0))
+            .when(col("dst") === "END" || col("dst") === col("removed"), lit(0.0))
+            .otherwise(coalesce(col("p_dst"), lit(0.0))))
+          .groupBy(col("removed"), col("src"))
+          .agg(round(sum(col("p") * col("wgt")), 10).as("p_conv"))
+          .localCheckpoint(true)
+        graft.core.Checkpoints.release(pcur)
+        pcur = next
+      }
+      val conv = pcur.filter(col("src") === "START")
+        .select(col("removed"), col("p_conv"))
+      val baseConv = conv.filter(col("removed") === "")
+        .select(col("p_conv").as("base_conv"))
+      val eff = conv.filter(col("removed") =!= "")
+        .crossJoin(broadcast(baseConv))
+        .withColumn("eff_raw",
+          (col("base_conv") - col("p_conv")) / col("base_conv"))
+      val tot = eff.agg(sum(col("eff_raw")).as("tot_eff"))
+      eff.crossJoin(broadcast(tot))
+        .select(col("removed").as("channel"),
+          round(col("base_conv") + lit(1e-9), 6).as("base_conv"),
+          round(col("p_conv") + lit(1e-9), 6).as("removal_conv"),
+          round(col("eff_raw") + lit(1e-9), 6).as("removal_effect"),
+          when(col("tot_eff") > 0,
+            round(col("eff_raw") / col("tot_eff") + lit(1e-9), 6))
+            .as("attribution"))
+        .orderBy(col("channel"))
+    } finally tagged.unpersist()
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
+    "q_markov_attribution" -> ((s, d) => markovAttribution(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
@@ -3020,8 +3105,85 @@ object EventOracle {
         AS survival
     FROM s2 ORDER BY lifetime"""
 
+  /** Mirrors EventAnalytics.markovAttribution: the same chain build,
+    * with the K-round fixed point UNROLLED as K generated CTEs (each
+    * round rounded to 10 dp exactly like the Spark loop). */
+  val qMarkovAttribution: String = {
+    val k = 16
+    val rounds = (1 to k).map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""p$i AS (
+      SELECT c.removed, c.src, round(c.c0 + coalesce(f.flow, 0.0), 10) AS p_conv
+      FROM const c LEFT JOIN (
+        SELECT t.removed, t.src, sum(t.p * pr.p_conv) AS flow
+        FROM chan_trans t JOIN $prev pr
+          ON pr.removed = t.removed AND pr.src = t.dst
+        WHERE t.dst != t.removed
+        GROUP BY 1, 2) f
+      ON f.removed = c.removed AND f.src = c.src)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lead(event_type) OVER win AS nxt,
+        row_number() OVER win AS rn
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    trans_rows AS (
+      SELECT 'START' AS src,
+        CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS dst
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT CASE WHEN event_type = 'purchase' THEN 'START' ELSE event_type END,
+        CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END
+      FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT event_type, 'END'
+      FROM seq WHERE nxt IS NULL AND event_type != 'purchase'),
+    probs AS (
+      SELECT src, dst,
+        count(*) / CAST(sum(count(*)) OVER (PARTITION BY src) AS DOUBLE) AS p
+      FROM trans_rows GROUP BY 1, 2),
+    variants AS (
+      SELECT DISTINCT src AS removed FROM probs WHERE src != 'START'
+      UNION ALL SELECT ''),
+    states AS (
+      SELECT v.removed, s.src
+      FROM (SELECT DISTINCT src FROM probs) s CROSS JOIN variants v),
+    conv_mass AS (
+      SELECT src, sum(CASE WHEN dst = 'CONV' THEN p ELSE 0.0 END) AS c0
+      FROM probs GROUP BY 1),
+    const AS (
+      SELECT s.removed, s.src, coalesce(m.c0, 0.0) AS c0
+      FROM states s LEFT JOIN conv_mass m USING (src)),
+    chan_trans AS (
+      SELECT v.removed, p.src, p.dst, p.p
+      FROM probs p CROSS JOIN variants v
+      WHERE p.dst NOT IN ('CONV', 'END')),
+    p0 AS (SELECT removed, src, 0.0 AS p_conv FROM states),
+    $rounds,
+    conv AS (
+      SELECT removed, p_conv FROM p$k WHERE src = 'START'),
+    eff AS (
+      SELECT c.removed AS channel,
+        b.p_conv AS base_conv, c.p_conv AS removal_conv,
+        (b.p_conv - c.p_conv) / b.p_conv AS eff_raw
+      FROM conv c, (SELECT p_conv FROM conv WHERE removed = '') b
+      WHERE c.removed != ''),
+    tot AS (SELECT sum(eff_raw) AS tot_eff FROM eff)
+    SELECT e.channel,
+      round(e.base_conv + 1e-9, 6) AS base_conv,
+      round(e.removal_conv + 1e-9, 6) AS removal_conv,
+      round(e.eff_raw + 1e-9, 6) AS removal_effect,
+      CASE WHEN t.tot_eff > 0
+           THEN round(e.eff_raw / t.tot_eff + 1e-9, 6) END AS attribution
+    FROM eff e, tot t
+    ORDER BY e.channel"""
+  }
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
+    "q_markov_attribution" -> qMarkovAttribution,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,
