@@ -1733,9 +1733,14 @@ object EventAnalytics {
       .withColumn("p", col("cnt")
         / sum(col("cnt")).over(Window.partitionBy(col("src"))).cast("double"))
       .select(col("src"), col("dst"), col("p"))
+    // chain states are event types (+START), so the variant list is
+    // tiny; the LIMIT is a loud structural bound — it makes the
+    // broadcast cross join provably finite for the plan guard, and a
+    // >64-state chain would mean the event-type column exploded.
     val variants = probs.select(col("src").as("removed"))
       .filter(col("removed") =!= "START").distinct()
       .unionByName(probs.select(lit("").as("removed")).distinct())
+      .limit(64)
     val tagged = probs.crossJoin(broadcast(variants)).persist()
     try {
       var pcur = tagged.select(col("removed"), col("src")).distinct()
@@ -1755,8 +1760,10 @@ object EventAnalytics {
       }
       val conv = pcur.filter(col("src") === "START")
         .select(col("removed"), col("p_conv"))
+      // scalar aggregate (the removed="" frame is one row) so the
+      // cross join against it is a guarded 1-row broadcast
       val baseConv = conv.filter(col("removed") === "")
-        .select(col("p_conv").as("base_conv"))
+        .agg(max(col("p_conv")).as("base_conv"))
       val eff = conv.filter(col("removed") =!= "")
         .crossJoin(broadcast(baseConv))
         .withColumn("eff_raw",
@@ -1774,10 +1781,70 @@ object EventAnalytics {
     } finally tagged.unpersist()
   }
 
+  /** Exact Shapley-value multi-touch attribution — the axiomatic
+    * counterpart to [[markovAttribution]]'s removal effects: channels
+    * are the non-purchase event types, a user's journey is their
+    * DISTINCT channel set, and the coalition value v(S) counts
+    * converted users whose whole journey fits inside S. Each channel's
+    * Shapley value is the usual weighted sum of marginal contributions
+    * Σ_S |S|!·(C−1−|S|)!/C! · [v(S∪{i}) − v(S)] — exact (all 2^C
+    * coalitions), not sampled, because C is the event-type alphabet.
+    *
+    * Plan: the BIG-data part is two user-keyed collapses (distinct
+    * user×channel pairs → bitmask, distinct converters) — everything
+    * after lives on the ≤2^C-row mask-count frame: subset enumeration
+    * via `sequence`+explode off the scalar channel count, v(S) by a
+    * broadcast bitwise-subset join, weights from exact `factorial`.
+    * The driver never collects; 2^C stays a few dozen rows while the
+    * user collapse is the only shuffle that scales with data. */
+  def shapleyAttribution(events: DataFrame): DataFrame = {
+    val chan = events.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("channel")).distinct()
+      .withColumn("bit",
+        (row_number().over(Window.orderBy(col("channel"))) - 1).cast("int"))
+    val userChan = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel")).distinct()
+      .join(broadcast(chan), Seq("channel"))
+    val allUsers = events.select(col("user_id")).distinct()
+    val userMask = allUsers
+      .join(userChan.groupBy(col("user_id"))
+        .agg(sum(expr("shiftleft(1L, bit)")).as("m")), Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("m"), lit(0L)).as("mask"))
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("is_conv", lit(1L))
+    val maskCounts = userMask.join(conv, Seq("user_id"), "left")
+      .groupBy(col("mask"))
+      .agg(sum(coalesce(col("is_conv"), lit(0L))).as("n_conv"))
+    val cRow = chan.agg(count(lit(1)).cast("int").as("n_chan"))
+    val subsets = cRow.select(col("n_chan"),
+      explode(sequence(lit(0L), expr("shiftleft(1L, n_chan) - 1"))).as("s"))
+    val v = subsets.join(broadcast(maskCounts),
+        col("mask").bitwiseAND(col("s")) === col("mask"), "left")
+      .groupBy(col("n_chan"), col("s"))
+      .agg(sum(coalesce(col("n_conv"), lit(0L))).as("v"))
+    val without = chan.crossJoin(broadcast(v))
+      .filter(col("s").bitwiseAND(expr("shiftleft(1L, bit)")) === 0L)
+      .withColumn("s1", col("s").bitwiseOR(expr("shiftleft(1L, bit)")))
+    val sh = without
+      .join(broadcast(v.select(col("s").as("s1"), col("v").as("v1"))), Seq("s1"))
+      .withColumn("sz", expr("bit_count(s)"))
+      .withColumn("w", factorial(col("sz")) * factorial(col("n_chan") - 1 - col("sz"))
+        / factorial(col("n_chan")).cast("double"))
+      .groupBy(col("channel"))
+      .agg(round(sum(col("w") * (col("v1") - col("v"))) + lit(1e-9), 6).as("shapley"))
+    val tot = sh.agg(sum(col("shapley")).as("tot"))
+    sh.crossJoin(broadcast(tot))
+      .select(col("channel"), col("shapley"),
+        when(col("tot") > 0,
+          round(col("shapley") / col("tot") + lit(1e-9), 6)).as("share"))
+      .orderBy(col("channel"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
     "q_markov_attribution" -> ((s, d) => markovAttribution(Tables.events(s, d))),
+    "q_shapley_attribution" -> ((s, d) => shapleyAttribution(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
@@ -3181,9 +3248,58 @@ object EventOracle {
     ORDER BY e.channel"""
   }
 
+  /** Mirrors EventAnalytics.shapleyAttribution: distinct-channel-set
+    * bitmasks per user, v(S) over all 2^C coalitions by bitwise-subset
+    * join, exact factorial Shapley weights. */
+  val qShapleyAttribution: String = """
+    WITH chan AS (
+      SELECT channel,
+        CAST(row_number() OVER (ORDER BY channel) - 1 AS INT) AS bit
+      FROM (SELECT DISTINCT event_type AS channel FROM events
+            WHERE event_type != 'purchase')),
+    user_chan AS (
+      SELECT DISTINCT e.user_id, c.bit
+      FROM events e JOIN chan c ON c.channel = e.event_type),
+    user_mask AS (
+      SELECT u.user_id, coalesce(m.m, 0) AS mask
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN (SELECT user_id, CAST(sum(1::BIGINT << bit) AS BIGINT) AS m
+                 FROM user_chan GROUP BY 1) m USING (user_id)),
+    conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    mask_counts AS (
+      SELECT um.mask, CAST(count(c.user_id) AS BIGINT) AS n_conv
+      FROM user_mask um LEFT JOIN conv c USING (user_id)
+      GROUP BY 1),
+    cc AS (SELECT CAST(count(*) AS INT) AS n_chan FROM chan),
+    subsets AS (
+      SELECT cc.n_chan, unnest(generate_series(0::BIGINT,
+        (1::BIGINT << cc.n_chan) - 1)) AS s FROM cc),
+    v AS (
+      SELECT sub.n_chan, sub.s,
+        CAST(coalesce(sum(mc.n_conv), 0) AS BIGINT) AS v
+      FROM subsets sub LEFT JOIN mask_counts mc ON (mc.mask & sub.s) = mc.mask
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT ch.channel,
+        round(sum(
+          CAST(factorial(bit_count(v0.s)) AS DOUBLE)
+            * CAST(factorial(v0.n_chan - 1 - bit_count(v0.s)) AS DOUBLE)
+            / CAST(factorial(v0.n_chan) AS DOUBLE)
+            * (v1.v - v0.v)) + 1e-9, 6) AS shapley
+      FROM chan ch
+      JOIN v v0 ON (v0.s & (1::BIGINT << ch.bit)) = 0
+      JOIN v v1 ON v1.s = (v0.s | (1::BIGINT << ch.bit))
+      GROUP BY 1),
+    tot AS (SELECT sum(shapley) AS tot FROM sh)
+    SELECT s.channel, s.shapley,
+      CASE WHEN t.tot > 0 THEN round(s.shapley / t.tot + 1e-9, 6) END AS share
+    FROM sh s, tot t
+    ORDER BY s.channel"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
     "q_markov_attribution" -> qMarkovAttribution,
+    "q_shapley_attribution" -> qShapleyAttribution,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,

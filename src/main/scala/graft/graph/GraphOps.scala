@@ -207,6 +207,74 @@ object GraphOps {
       .select(col("n_dir_edges"), col("assortativity"))
   }
 
+  /** Community detection by FIXED-ROUND synchronous label propagation
+    * (Raghavan's LPA) on the undirected closure: every node starts as
+    * its own label; each round every node adopts the most frequent
+    * label among its neighbors' PREVIOUS-round labels (ties → smallest
+    * label, so the vote is deterministic and replays exactly — same
+    * bounded-iteration contract as [[pageRank]]/[[kCore]]).
+    *
+    * Plan: each round = one edges⋈labels join on the neighbor key +
+    * one (node, label) count + a per-node arg-max as `max(struct(cnt,
+    * -label))` — a plain keyed aggregate, NOT a window sort, so the
+    * vote never materializes an ordering; per-round localCheckpoint
+    * with eager release. At scale each round is one shuffle of
+    * O(#edges) votes. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    try {
+      var labels = und.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      (1 to rounds).foreach { _ =>
+        val next = und
+          .join(labels.select(col("id").as("v"), col("label")), Seq("v"))
+          .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("u").as("id"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
+          .select(col("id"), (-col("best.neg")).as("label"))
+          .localCheckpoint(true)
+        graft.core.Checkpoints.release(labels)
+        labels = next
+      }
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+      labels.join(broadcast(sizes), Seq("label"))
+        .select(col("id"), col("label").as("community"), col("community_size"))
+    } finally und.unpersist()
+  }
+
+  /** kNN hubness census — the classic ANN-quality diagnostic: on a
+    * DIRECTED k-nearest-neighbor edge frame every node has out-degree
+    * k, but in-degree (how often a point shows up in OTHERS' top-k)
+    * skews badly in high dimension; hubs dominate candidate lists and
+    * antihubs become unreachable. Per node: in-degree, its z-score
+    * against the network mean/sd, and hub / antihub flags (±2 sd, the
+    * usual convention).
+    *
+    * Plan: one keyed in-degree count, a left join back onto the node
+    * grid (zero-in-degree nodes must surface — they're the antihubs),
+    * one single-row moment aggregate broadcast onto the frame. */
+  def hubness(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val inDeg = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    val grid = nodes.join(inDeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+    val mom = grid.agg(
+      avg(col("in_degree")).as("mu"),
+      stddev_pop(col("in_degree")).as("sd"))
+    grid.crossJoin(broadcast(mom))
+      .select(col("id"), col("in_degree"),
+        when(col("sd") > 0.0,
+          round((col("in_degree") - col("mu")) / col("sd") + lit(1e-9), 6))
+          .as("z"),
+        when(col("sd") > 0.0, col("in_degree") > col("mu") + lit(2.0) * col("sd"))
+          .otherwise(lit(false)).as("is_hub"),
+        when(col("sd") > 0.0, col("in_degree") < col("mu") - lit(2.0) * col("sd"))
+          .otherwise(lit(false)).as("is_antihub"))
+  }
+
   /** Link prediction over the undirected closure: for every
     * distance-2 non-edge pair (u, w), the three classic
     * common-neighbor scores — raw count, Adamic–Adar Σ 1/ln(deg(v))

@@ -1320,6 +1320,59 @@ object TsOracle {
     FROM top WHERE rank <= 5
     ORDER BY station_id, rank"""
 
+  /** Mirrors GraphOps.labelPropagation: 5 unrolled synchronous
+    * rounds, arg-max vote = (max count, then min label) — identical to
+    * the engine's max(struct(cnt, -label)) aggregate. */
+  val qLabelPropagation: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""lp$i AS MATERIALIZED (
+      SELECT u AS id, label FROM (
+        SELECT e.u, p.label, count(*) AS cnt,
+          row_number() OVER (PARTITION BY e.u
+            ORDER BY count(*) DESC, p.label) AS rn
+        FROM und e JOIN lp${i - 1} p ON p.id = e.v
+        GROUP BY e.u, p.label)
+      WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $world,
+    und AS MATERIALIZED (
+      SELECT station_id AS u, nb_id AS v FROM knn WHERE station_id != nb_id
+      UNION
+      SELECT nb_id, station_id FROM knn WHERE station_id != nb_id),
+    lp0 AS MATERIALIZED (
+      SELECT DISTINCT u AS id, u AS label FROM und),
+    $rounds,
+    sizes AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS community_size
+      FROM lp5 GROUP BY 1)
+    SELECT p.id AS station_id, p.label AS community, s.community_size
+    FROM lp5 p JOIN sizes s USING (label)
+    ORDER BY station_id"""
+  }
+
+  /** Mirrors GraphOps.hubness: directed kNN in-degree census with
+    * network z-score and ±2 sd hub/antihub flags. */
+  val qKnnHubness: String = s"""
+    WITH $world,
+    edges AS (SELECT station_id AS src, nb_id AS dst FROM knn),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    ind AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_degree
+            FROM edges GROUP BY 1),
+    ig AS (
+      SELECT n.id, coalesce(i.in_degree, 0) AS in_degree
+      FROM nodes n LEFT JOIN ind i USING (id)),
+    mom AS (SELECT avg(in_degree) AS mu, stddev_pop(in_degree) AS sd FROM ig)
+    SELECT g.id AS station_id, g.in_degree,
+      CASE WHEN m.sd > 0.0
+           THEN round((g.in_degree - m.mu) / m.sd + 1e-9, 6) END AS z,
+      CASE WHEN m.sd > 0.0 THEN g.in_degree > m.mu + 2.0 * m.sd
+           ELSE false END AS is_hub,
+      CASE WHEN m.sd > 0.0 THEN g.in_degree < m.mu - 2.0 * m.sd
+           ELSE false END AS is_antihub
+    FROM ig g, mom m
+    ORDER BY station_id"""
+
   /** Mirrors GraphOps.assortativity: endpoint-degree Pearson over the
     * directed edge list. */
   val qAssortativity: String = s"""
@@ -3558,6 +3611,8 @@ object TsOracle {
     "q_variogram" -> qVariogram,
     "q_assortativity" -> qAssortativity,
     "q_link_prediction" -> qLinkPrediction,
+    "q_label_propagation" -> qLabelPropagation,
+    "q_knn_hubness" -> qKnnHubness,
     "q_jarque_bera" -> qJarqueBera,
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,

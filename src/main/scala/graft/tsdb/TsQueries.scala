@@ -580,6 +580,14 @@ object TsQueries {
     graft.graph.GraphOps.triangles(knnEdges(s, d))
       .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
 
+  def qLabelPropagation(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.labelPropagation(knnEdges(s, d))
+      .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
+
+  def qKnnHubness(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.hubness(knnEdges(s, d))
+      .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pettitt" -> (qPettitt _),
     "q_cusum" -> (qCusum _),
@@ -591,6 +599,8 @@ object TsQueries {
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
     "q_link_prediction" -> (qLinkPrediction _),
+    "q_label_propagation" -> (qLabelPropagation _),
+    "q_knn_hubness" -> (qKnnHubness _),
     "q_ewma_control" -> (qEwmaControl _),
     "q_forecast_skill" -> (qForecastSkill _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
