@@ -1840,11 +1840,55 @@ object EventAnalytics {
       .orderBy(col("channel"))
   }
 
+  /** Type-2 slowly-changing-dimension build from the event stream —
+    * the warehouse history primitive: each user's state on a day is
+    * that day's LAST event type (latest ts, event_id tie-break), and
+    * consecutive equal-state days collapse into versioned validity
+    * intervals [valid_from, valid_to] with an open current row — the
+    * gaps-and-islands pattern every dimensional model materializes.
+    *
+    * Plan: the day's last event is a keyed `max(struct(ts, event_id,
+    * type))` aggregate — no window, map-side combinable; change
+    * detection + island numbering + interval close are user-partitioned
+    * window passes over the already-collapsed daily frame, all
+    * partition-local per user. At 100 TB the only frame-scale shuffle
+    * is the (user, day) collapse; the window passes ride its
+    * partitioning. */
+  def scd2States(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("day"), col("last.event_type").as("state"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val isl = daily
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("state") =!= col("prev"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val iv = isl.groupBy(col("user_id"), col("version"), col("state"))
+      .agg(min(col("day")).as("valid_from"),
+        count(lit(1)).as("n_days"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    // open rows close at the conventional SCD2 sentinel 9999-12-31
+    // rather than NULL — the standard warehouse idiom, and it keeps
+    // the date column non-nullable for downstream range predicates
+    iv.withColumn("next_from", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("next_from").isNull)
+      .withColumn("valid_to", coalesce(date_sub(col("next_from"), 1),
+        to_date(lit("9999-12-31"))))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_days"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
     "q_markov_attribution" -> ((s, d) => markovAttribution(Tables.events(s, d))),
     "q_shapley_attribution" -> ((s, d) => shapleyAttribution(Tables.events(s, d))),
+    "q_scd2" -> ((s, d) => scd2States(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
@@ -3296,10 +3340,41 @@ object EventOracle {
     FROM sh s, tot t
     ORDER BY s.channel"""
 
+  /** Mirrors EventAnalytics.scd2States: daily last-event state
+    * (ts/event_id tie-break), gaps-and-islands interval build. */
+  val qScd2: String = """
+    WITH daily AS (
+      SELECT user_id, day, state FROM (
+        SELECT user_id, ts::date AS day, event_type AS state,
+          row_number() OVER (PARTITION BY user_id, ts::date
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    isl AS (
+      SELECT user_id, day, state,
+        CASE WHEN lag(state) OVER w IS NULL
+               OR state != lag(state) OVER w THEN 1 ELSE 0 END AS chg
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+    num AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      FROM isl),
+    iv AS (
+      SELECT user_id, version, state, min(day) AS valid_from,
+        CAST(count(*) AS BIGINT) AS n_days
+      FROM num GROUP BY 1, 2, 3)
+    SELECT user_id, version, state, valid_from,
+      coalesce(lead(valid_from) OVER w2 - 1, DATE '9999-12-31') AS valid_to,
+      n_days,
+      lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM iv
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    ORDER BY user_id, version"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
     "q_markov_attribution" -> qMarkovAttribution,
     "q_shapley_attribution" -> qShapleyAttribution,
+    "q_scd2" -> qScd2,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,

@@ -653,7 +653,34 @@ object OracleSql {
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY day"""
 
+  /** Mirrors Queries.qOrderReconciliation: per-line 4-dp net, per-order
+    * 2-dp recomputed total, ±0.01 match classification, priority
+    * rollup. */
+  val qOrderReconciliation: String = """
+    WITH lines AS (
+      SELECT l_orderkey AS o_orderkey,
+        round(sum(round(l_extendedprice * (1.0 - l_discount)
+          * (1.0 + l_tax) + 1e-9, 4)) + 1e-9, 2) AS computed,
+        CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1),
+    diffs AS (
+      SELECT o.o_orderpriority, l.n_lines,
+        round(o.o_totalprice - coalesce(l.computed, 0.0) + 1e-9, 2) AS diff
+      FROM orders o LEFT JOIN lines l USING (o_orderkey))
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_headless,
+      CAST(sum(CASE WHEN abs(diff) <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      CAST(sum(CASE WHEN diff > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+      CAST(sum(CASE WHEN diff < -0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+      round(avg(abs(diff)) + 1e-9, 6) AS avg_abs_diff,
+      round(max(abs(diff)) + 1e-9, 2) AS max_abs_diff,
+      round(sum(CASE WHEN abs(diff) <= 0.01 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS match_share
+    FROM diffs GROUP BY 1 ORDER BY o_orderpriority"""
+
   val all: Map[String, String] = Map(
+    "q_order_reconciliation" -> qOrderReconciliation,
     "q_price_index" -> qPriceIndex,
     "q_order_backlog" -> qOrderBacklog,
     "q_abc_xyz" -> qAbcXyz,

@@ -1134,6 +1134,43 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** Order-header vs line-detail reconciliation — the warehouse audit
+    * every finance pipeline runs: recompute each order's total from
+    * its lines (Σ extendedprice·(1−discount)·(1+tax), per-line rounded
+    * at 4 dp so the sum is order-free), diff against o_totalprice, and
+    * roll up a per-priority report of match / over / under counts and
+    * error magnitudes (±0.01 tolerance).
+    *
+    * Plan: one orderkey-keyed line collapse, one broadcast-able join
+    * to the header (orders is the small side of lineitem), one keyed
+    * priority rollup — two shuffles end-to-end, both on natural keys;
+    * at 100 TB the line collapse is the only frame-scale exchange. */
+  def qOrderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) + lit(1e-9), 4).as("line_net"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("line_net")) + lit(1e-9), 2).as("computed"),
+        count(lit(1)).as("n_lines"))
+    val diffs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .join(lines, Seq("o_orderkey"), "left")
+      .withColumn("diff", round(col("o_totalprice") - coalesce(col("computed"), lit(0.0))
+        + lit(1e-9), 2))
+    diffs.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("n_lines").isNull, 1L).otherwise(0L)).as("n_headless"),
+        sum(when(abs(col("diff")) <= 0.01, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("diff") > 0.01, 1L).otherwise(0L)).as("n_over"),
+        sum(when(col("diff") < -0.01, 1L).otherwise(0L)).as("n_under"),
+        round(avg(abs(col("diff"))) + lit(1e-9), 6).as("avg_abs_diff"),
+        round(max(abs(col("diff"))) + lit(1e-9), 2).as("max_abs_diff"))
+      .withColumn("match_share",
+        round(col("n_matched") / col("n_orders").cast("double") + lit(1e-9), 6))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

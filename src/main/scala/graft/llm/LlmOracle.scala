@@ -450,6 +450,39 @@ object LlmOracle {
     FROM scored WHERE n_terms = 3
     ORDER BY score DESC, doc_id LIMIT 20"""
 
+  /** Mirrors TextAnalysis.bm25Search: disjunctive BM25 (k1=1.2,
+    * b=0.75), per-term contributions rounded at 10 dp, deterministic
+    * top-20. The k1+1 term stays an ARITHMETIC expression (1.2 + 1.0)
+    * so both engines compute the same IEEE sum instead of parsing the
+    * literal 2.2 (which rounds differently). */
+  val qBm25: String = s"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT avg(dl) AS avgdl, CAST(count(*) AS BIGINT) AS n_corpus FROM dl),
+    tf AS (
+      SELECT doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+      FROM documents, unnest($toks) AS t(tok)
+      WHERE t.tok IN ('spark', 'query', 'window')
+      GROUP BY 1, 2),
+    idf AS (
+      SELECT tok,
+        round(ln(1.0 + (s.n_corpus - count(DISTINCT doc_id) + 0.5)
+          / (count(DISTINCT doc_id) + 0.5)) + 1e-9, 6) AS idf,
+        s.avgdl
+      FROM tf, stats s GROUP BY tok, s.n_corpus, s.avgdl),
+    contrib AS (
+      SELECT tf.doc_id, tf.tok, d.dl,
+        round(i.idf * tf.tf * (1.2 + 1.0)
+          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / i.avgdl))
+          + 1e-9, 10) AS c
+      FROM tf JOIN idf i USING (tok) JOIN dl d USING (doc_id))
+    SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
+      CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+      round(sum(c) + 1e-9, 6) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20"""
+
   /** Mirrors TextAnalysis.typeTokenRatio: per-doc lexical diversity
     * from the (doc, token) count frame. */
   val qTextTtr: String = s"""
@@ -1907,6 +1940,7 @@ object LlmOracle {
     "q_cramers_v" -> qCramersV,
     "q_gopher_rules" -> qGopherRules,
     "q_inverted_search" -> qInvertedSearch,
+    "q_bm25" -> qBm25,
     "q_centroid_dist" -> qCentroidDist,
     "q_embed_norms" -> qEmbedNorms,
     "q_lsh_bucket_stats" -> qLshBucketStats,

@@ -129,6 +129,7 @@ object LlmQueries {
     "q_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(docs(s, d)).orderBy(col("rule_no"))),
     "q_inverted_search" -> ((s, d) => TextAnalysis.invertedSearch(docs(s, d))),
+    "q_bm25" -> ((s, d) => TextAnalysis.bm25Search(docs(s, d))),
     "q_centroid_dist" -> ((s, d) =>
       Cluster.centroidDistances(docs(s, d), embs(s, d))
         .orderBy(col("lang_a"), col("lang_b"))),

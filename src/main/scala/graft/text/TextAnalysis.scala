@@ -1279,6 +1279,49 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Okapi BM25 ranking over the same inverted-index shape as
+    * [[invertedSearch]] but DISJUNCTIVE (any query term matches) with
+    * the standard saturation + length normalization (k1=1.2, b=0.75):
+    * score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf_t = ln(1 + (N−df+0.5)/(df+0.5)) — the Lucene/Elasticsearch
+    * default ranker re-expressed as keyed aggregates.
+    *
+    * Plan: document length is ONE per-doc token count over the full
+    * corpus (the TTR collapse shape); postings are the term-FILTERED
+    * (doc, term) counts (filter inside the explode, only query terms
+    * shuffle); idf and avgdl travel as a ≤|terms|-row broadcast;
+    * per-term contributions round at 10 dp before the per-doc sum so
+    * the ranking replays exactly; top-K is TakeOrderedAndProject —
+    * never a global sort. */
+  def bm25Search(documents: DataFrame,
+      terms: Seq[String] = Seq("spark", "query", "window"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val dl = documents
+      .select(col("doc_id"), size(expr(tokens("text"))).cast("long").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_corpus"))
+    val tf = documents
+      .select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(log(lit(1.0)
+        + (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        + lit(1e-9), 6))
+    tf.join(broadcast(idf.select(col("tok"), col("idf"), col("avgdl"))), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("contrib", round(col("idf") * col("tf") * (lit(k1) + lit(1.0))
+        / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+        + lit(1e-9), 10))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        countDistinct(col("tok")).as("n_terms"),
+        round(sum(col("contrib")) + lit(1e-9), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Cramér's V effect size for the lang × source association — the
     * bounded-[0,1] companion of [[langSourceMi]] on the SAME
     * contingency table (MI says "how many bits", V says "how far from
