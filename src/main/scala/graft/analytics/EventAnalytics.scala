@@ -1883,12 +1883,40 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** A/B sample-ratio-mismatch guard on the standing user-parity
+    * split — the first sanity gate of any experiment readout (a
+    * lopsided split invalidates every downstream stat, including
+    * [[ttestWelch]]/[[cuped]] on the same split): per event type,
+    * distinct exposed users per variant, χ² against the designed
+    * 50/50 (1 dof, critical 3.841).
+    *
+    * Plan: one (type, variant, user) distinct collapse + one keyed
+    * pivot rollup — the distinct is the only data-scale shuffle. */
+  def abSrm(events: DataFrame): DataFrame = {
+    val u = events
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+      .select(col("event_type"), col("variant"), col("user_id")).distinct()
+    u.groupBy(col("event_type"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("share_a",
+        round(col("n_a") / col("n").cast("double") + lit(1e-9), 6))
+      .withColumn("chi2", round((col("n_a") - col("n_b")).cast("double")
+        * (col("n_a") - col("n_b")) / col("n") + lit(1e-9), 6))
+      .withColumn("srm", col("chi2") > 3.841)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("share_a"),
+        col("chi2"), col("srm"))
+      .orderBy(col("event_type"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
     "q_markov_attribution" -> ((s, d) => markovAttribution(Tables.events(s, d))),
     "q_shapley_attribution" -> ((s, d) => shapleyAttribution(Tables.events(s, d))),
     "q_scd2" -> ((s, d) => scd2States(Tables.events(s, d))),
+    "q_ab_srm" -> ((s, d) => abSrm(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
@@ -3370,11 +3398,30 @@ object EventOracle {
     WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
     ORDER BY user_id, version"""
 
+  /** Mirrors EventAnalytics.abSrm: distinct exposed users per variant
+    * per type, 1-dof χ² vs the designed 50/50. */
+  val qAbSrm: String = """
+    WITH u AS (
+      SELECT DISTINCT event_type,
+        CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS variant, user_id
+      FROM events),
+    s AS (
+      SELECT event_type,
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM u GROUP BY 1)
+    SELECT event_type, n_a, n_b,
+      round(n_a / CAST(n_a + n_b AS DOUBLE) + 1e-9, 6) AS share_a,
+      round(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) + 1e-9, 6) AS chi2,
+      round(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) + 1e-9, 6) > 3.841 AS srm
+    FROM s ORDER BY event_type"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
     "q_markov_attribution" -> qMarkovAttribution,
     "q_shapley_attribution" -> qShapleyAttribution,
     "q_scd2" -> qScd2,
+    "q_ab_srm" -> qAbSrm,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,

@@ -229,6 +229,43 @@ object LlmOracle {
       FROM scored)
     WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Mirrors Ann.mmrRerank: top-20 candidates for query vec_id 0,
+    * 6-dp rel/sim quantization, 9 unrolled greedy MMR rounds (λ=0.7,
+    * (1.0 - 0.7) kept as arithmetic so both engines compute the same
+    * IEEE complement), winner per round by 10-dp MMR then id. */
+  val qMmrRerank: String = {
+    val rounds = (2 to 10).map { i =>
+      s"""sel$i AS MATERIALIZED (
+      SELECT * FROM sel${i - 1}
+      UNION ALL
+      SELECT nb_id, $i AS step, rel FROM (
+        SELECT c.nb_id, c.rel,
+          round(0.7 * c.rel - (1.0 - 0.7) * max(p.sim) + 1e-9, 10) AS mmr
+        FROM cand c
+        JOIN pair p ON p.a = c.nb_id
+          AND p.b IN (SELECT nb_id FROM sel${i - 1})
+        WHERE c.nb_id NOT IN (SELECT nb_id FROM sel${i - 1})
+        GROUP BY c.nb_id, c.rel
+        ORDER BY mmr DESC, c.nb_id LIMIT 1))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $normCte,
+    q AS (SELECT embedding, nrm FROM n_t WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT b.vec_id AS nb_id, b.embedding, b.nrm,
+        round($dotAB / (a.nrm * b.nrm) + 1e-9, 6) AS rel
+      FROM n_t b, q a WHERE b.vec_id != 0
+      ORDER BY rel DESC, nb_id LIMIT 20),
+    pair AS MATERIALIZED (
+      SELECT a.nb_id AS a, b.nb_id AS b,
+        round($dotAB / (a.nrm * b.nrm) + 1e-9, 6) AS sim
+      FROM cand a JOIN cand b ON a.nb_id != b.nb_id),
+    sel1 AS MATERIALIZED (
+      SELECT nb_id, 1 AS step, rel FROM cand ORDER BY rel DESC, nb_id LIMIT 1),
+    $rounds
+    SELECT step, nb_id AS vec_id, rel FROM sel10 ORDER BY step"""
+  }
+
   private def profList(words: Seq[String]): String =
     words.mkString("['", "', '", "']")
 
@@ -1923,6 +1960,7 @@ object LlmOracle {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_ann_topk" -> qAnnTopk,
+    "q_mmr_rerank" -> qMmrRerank,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,

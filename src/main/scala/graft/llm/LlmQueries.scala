@@ -55,6 +55,7 @@ object LlmQueries {
     "q_dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingPairsLsh(embs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_ann_topk" -> ((s, d) => Ann.bruteTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
+    "q_mmr_rerank" -> ((s, d) => Ann.mmrRerank(embs(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_ann_pq" -> ((s, d) => Ann.pqTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),

@@ -40,6 +40,62 @@ object Ann {
       .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** Maximal-marginal-relevance (MMR) diverse re-ranking of the
+    * brute-force candidate list for one query (vec_id 0) — the rerank
+    * seam of a RAG retrieval stack: greedily select `select` of the
+    * top-`topN` cosine candidates maximizing λ·rel − (1−λ)·max-sim-to-
+    * selected (λ=0.7), ties by id. Relevance and pairwise sims
+    * quantize at 6 dp and each round's MMR at 10 dp, so the greedy
+    * path replays exactly on any engine.
+    *
+    * Plan: candidate generation is the only data-scale pass (a 1-row
+    * broadcast query against the corpus, TakeOrdered topN); the
+    * topN×topN pairwise-sim frame and the greedy rounds (orderBy +
+    * LIMIT 1 winner per round, localCheckpoint per round — the BPE
+    * merge-winner discipline) never touch the big frame again. */
+  def mmrRerank(embeddings: DataFrame, topN: Int = 20, select: Int = 10,
+      lambda: Double = 0.7): DataFrame = {
+    val n = withNorm(embeddings)
+    // LIMIT 1 is exact (vec_id is unique) and makes the broadcast
+    // query side provably bounded for the plan guard
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("embedding").as("va"), col("nrm").as("na")).limit(1)
+    // cand0 keeps its TakeOrdered lineage so the pairwise non-equi
+    // join below is structurally bounded; the checkpointed twin
+    // feeds the greedy loop without doubling the plan per round
+    val cand0 = n.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("nb_id"), col("embedding").as("vb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", round(expr(dot) / (col("na") * col("nb")) + lit(1e-9), 6))
+      .orderBy(col("rel").desc, col("nb_id")).limit(topN)
+      .select(col("nb_id"), col("vb"), col("nb"), col("rel"))
+    val pair = cand0.select(col("nb_id").as("a"), col("vb").as("va"), col("nb").as("na"))
+      .join(cand0.select(col("nb_id").as("b"), col("vb"), col("nb")),
+        col("a") =!= col("b"))
+      .withColumn("sim", round(expr(dot) / (col("na") * col("nb")) + lit(1e-9), 6))
+      .select(col("a"), col("b"), col("sim"))
+      .localCheckpoint(true)
+    val cand = cand0.select(col("nb_id"), col("rel")).localCheckpoint(true)
+    var selected = cand.orderBy(col("rel").desc, col("nb_id")).limit(1)
+      .select(col("nb_id"), lit(1).as("step"), col("rel"))
+      .localCheckpoint(true)
+    (2 to select).foreach { i =>
+      val simToSel = pair
+        .join(selected.select(col("nb_id").as("b")), Seq("b"), "left_semi")
+        .groupBy(col("a").as("nb_id")).agg(max(col("sim")).as("max_sim"))
+      val next = cand
+        .join(selected.select(col("nb_id")), Seq("nb_id"), "left_anti")
+        .join(simToSel, Seq("nb_id"))
+        .withColumn("mmr", round(lit(lambda) * col("rel")
+          - (lit(1.0) - lit(lambda)) * col("max_sim") + lit(1e-9), 10))
+        .orderBy(col("mmr").desc, col("nb_id")).limit(1)
+        .select(col("nb_id"), lit(i).as("step"), col("rel"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected.select(col("step"), col("nb_id").as("vec_id"), col("rel"))
+      .orderBy(col("step"))
+  }
+
   /** Signature: nPlanes sign bits of deterministic hyperplane
     * projections, packed into one long (native single-loop expression,
     * graft.functions.HyperplaneBands with one band; any injective

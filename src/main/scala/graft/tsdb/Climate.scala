@@ -2172,6 +2172,75 @@ object Climate {
         round(col("alpha") + lit(1e-9), 6).as("alpha"), col("pet"))
   }
 
+  /** Simplified Köppen–Geiger classification per station (Peel et
+    * al. 2007 thresholds — the canonical downstream product of the
+    * climate normals the reference maintains): from the monthly
+    * temperature climatology (4 dp) and a monthly precipitation
+    * normal (30 × the calendar month's mean daily sum, 4 dp).
+    * Apr–Sep is "summer" (the synthetic grid has no hemisphere).
+    * Class priority B (arid) → E (polar) → A (tropical) → C/D per
+    * Peel's table, with the s/w/f seasonal letter and a/b/c warmth
+    * letter for C/D, W/S+h/k for B, T/F for E, f/m/w for A.
+    *
+    * Plan: two keyed climatology collapses (≤ 12 rows per station),
+    * one conditional-aggregate rollup to O(#stations), stateless rule
+    * chain — nothing beyond the daily frames ever shuffles, and every
+    * comparison runs on 4-dp-quantized values so both engines walk
+    * the identical decision tree. */
+  def koppen(tempStats: DataFrame, rawDaily: DataFrame): DataFrame = {
+    val tClim = tempStats.filter(col("t").isNotNull)
+      .groupBy(col("station_id"), month(col("day")).as("mon"))
+      .agg(round(avg(col("t")) + lit(1e-9), 4).as("t_clim"))
+    val pClim = rawDaily
+      .groupBy(col("station_id"), month(col("day")).as("mon"))
+      .agg(round(avg(coalesce(col("raw"), lit(0.0))) * lit(30.0)
+        + lit(1e-9), 4).as("p_mon"))
+    val isSummer = col("mon").between(4, 9)
+    val s = tClim.join(pClim, Seq("station_id", "mon"))
+      .groupBy(col("station_id"))
+      .agg(
+        round(avg(col("t_clim")) + lit(1e-9), 4).as("t_ann"),
+        min(col("t_clim")).as("t_cold"),
+        max(col("t_clim")).as("t_hot"),
+        sum(when(col("t_clim") >= 10.0, 1L).otherwise(0L)).as("n_warm"),
+        round(sum(col("p_mon")) + lit(1e-9), 4).as("p_ann"),
+        min(col("p_mon")).as("p_dry"),
+        round(sum(when(isSummer, col("p_mon")).otherwise(0.0))
+          + lit(1e-9), 4).as("p_summer"),
+        min(when(isSummer, col("p_mon"))).as("ps_dry"),
+        max(when(isSummer, col("p_mon"))).as("ps_wet"),
+        min(when(!isSummer, col("p_mon"))).as("pw_dry"),
+        max(when(!isSummer, col("p_mon"))).as("pw_wet"))
+    s.withColumn("pth", lit(2.0) * col("t_ann")
+        + when(col("p_summer") / col("p_ann") >= 0.7, 28.0)
+          .when(col("p_summer") / col("p_ann") >= 0.3, 14.0).otherwise(0.0))
+      .withColumn("main",
+        when(col("p_ann") < lit(10.0) * col("pth"), "B")
+          .when(col("t_hot") < 10.0, "E")
+          .when(col("t_cold") >= 18.0, "A")
+          .when(col("t_cold") > 0.0, "C")
+          .otherwise("D"))
+      .withColumn("sub",
+        when(col("main") === "B",
+          concat(when(col("p_ann") < lit(5.0) * col("pth"), "W").otherwise("S"),
+            when(col("t_ann") >= 18.0, "h").otherwise("k")))
+          .when(col("main") === "E",
+            when(col("t_hot") > 0.0, "T").otherwise("F"))
+          .when(col("main") === "A",
+            when(col("p_dry") >= 60.0, "f")
+              .when(col("p_dry") >= lit(100.0) - col("p_ann") / lit(25.0), "m")
+              .otherwise("w"))
+          .otherwise(concat(
+            when(col("ps_dry") < 40.0 && col("ps_dry") < col("pw_wet") / lit(3.0), "s")
+              .when(col("pw_dry") < col("ps_wet") / lit(10.0), "w")
+              .otherwise("f"),
+            when(col("t_hot") >= 22.0, "a")
+              .when(col("n_warm") >= 4, "b").otherwise("c"))))
+      .select(col("station_id"), col("t_ann"), col("t_cold"), col("t_hot"),
+        col("p_ann"), col("p_dry"),
+        concat(col("main"), col("sub")).as("koppen"))
+  }
+
   /** Conrad continentality index per station (how "oceanic" is the
     * temperature regime?): k = 1.7·A / sin(φ + 10°) − 14 where A is
     * the annual range of the monthly temperature climatology and φ

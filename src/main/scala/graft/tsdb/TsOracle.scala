@@ -3234,6 +3234,71 @@ object TsOracle {
     FROM census c LEFT JOIN gaps g USING (station_id, month)
     ORDER BY c.station_id, c.month"""
 
+  /** Mirrors Climate.koppen: monthly t/p climatologies, Peel-order
+    * rule chain on 4-dp quantized values. */
+  val qKoppen: String = s"""
+    WITH $world,
+    t_stats AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    t_clim AS (
+      SELECT station_id, month(day) AS mon, round(avg(t) + 1e-9, 4) AS t_clim
+      FROM t_stats GROUP BY 1, 2),
+    p_clim AS (
+      SELECT station_id, month(day) AS mon,
+        round(avg(coalesce(raw, 0.0)) * 30.0 + 1e-9, 4) AS p_mon
+      FROM raw_daily GROUP BY 1, 2),
+    m AS (
+      SELECT t.station_id, t.mon, t.t_clim, p.p_mon
+      FROM t_clim t JOIN p_clim p USING (station_id, mon)),
+    s AS (
+      SELECT station_id,
+        round(avg(t_clim) + 1e-9, 4) AS t_ann,
+        min(t_clim) AS t_cold, max(t_clim) AS t_hot,
+        CAST(sum(CASE WHEN t_clim >= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_warm,
+        round(sum(p_mon) + 1e-9, 4) AS p_ann,
+        min(p_mon) AS p_dry,
+        round(sum(CASE WHEN mon BETWEEN 4 AND 9 THEN p_mon ELSE 0.0 END)
+          + 1e-9, 4) AS p_summer,
+        min(CASE WHEN mon BETWEEN 4 AND 9 THEN p_mon END) AS ps_dry,
+        max(CASE WHEN mon BETWEEN 4 AND 9 THEN p_mon END) AS ps_wet,
+        min(CASE WHEN mon NOT BETWEEN 4 AND 9 THEN p_mon END) AS pw_dry,
+        max(CASE WHEN mon NOT BETWEEN 4 AND 9 THEN p_mon END) AS pw_wet
+      FROM m GROUP BY 1),
+    c AS (
+      SELECT *,
+        2.0 * t_ann + CASE WHEN p_summer / p_ann >= 0.7 THEN 28.0
+                           WHEN p_summer / p_ann >= 0.3 THEN 14.0
+                           ELSE 0.0 END AS pth
+      FROM s),
+    k AS (
+      SELECT *,
+        CASE WHEN p_ann < 10.0 * pth THEN 'B'
+             WHEN t_hot < 10.0 THEN 'E'
+             WHEN t_cold >= 18.0 THEN 'A'
+             WHEN t_cold > 0.0 THEN 'C'
+             ELSE 'D' END AS main
+      FROM c)
+    SELECT station_id, t_ann, t_cold, t_hot, p_ann, p_dry,
+      main || CASE
+        WHEN main = 'B' THEN
+          (CASE WHEN p_ann < 5.0 * pth THEN 'W' ELSE 'S' END)
+          || (CASE WHEN t_ann >= 18.0 THEN 'h' ELSE 'k' END)
+        WHEN main = 'E' THEN CASE WHEN t_hot > 0.0 THEN 'T' ELSE 'F' END
+        WHEN main = 'A' THEN
+          CASE WHEN p_dry >= 60.0 THEN 'f'
+               WHEN p_dry >= 100.0 - p_ann / 25.0 THEN 'm'
+               ELSE 'w' END
+        ELSE
+          (CASE WHEN ps_dry < 40.0 AND ps_dry < pw_wet / 3.0 THEN 's'
+                WHEN pw_dry < ps_wet / 10.0 THEN 'w'
+                ELSE 'f' END)
+          || (CASE WHEN t_hot >= 22.0 THEN 'a'
+                   WHEN n_warm >= 4 THEN 'b' ELSE 'c' END)
+      END AS koppen
+    FROM k ORDER BY station_id"""
+
   /** Mirrors Climate.etHargreaves: FAO-56 Ra from latitude +
     * day-of-year, Hargreaves–Samani ET0. Identical double arithmetic;
     * the 4-dp round + 1e-9 nudge absorbs last-ulp libm differences. */
@@ -3613,6 +3678,7 @@ object TsOracle {
     "q_link_prediction" -> qLinkPrediction,
     "q_label_propagation" -> qLabelPropagation,
     "q_knn_hubness" -> qKnnHubness,
+    "q_koppen" -> qKoppen,
     "q_jarque_bera" -> qJarqueBera,
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,

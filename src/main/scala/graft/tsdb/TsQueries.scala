@@ -497,6 +497,9 @@ object TsQueries {
     Climate.petThornthwaite(tempStats(s, d))
       .orderBy(col("station_id"), col("mon"))
 
+  def qKoppen(s: SparkSession, d: String): DataFrame =
+    Climate.koppen(tempStats(s, d), rawDaily(s, d)).orderBy(col("station_id"))
+
   def qContinentality(s: SparkSession, d: String): DataFrame =
     Climate.continentality(tempStats(s, d), meta(s, d))
       .orderBy(col("station_id"))
@@ -666,6 +669,7 @@ object TsQueries {
     "q_local_moran" -> (qLocalMoran _),
     "q_geo_cells" -> (qGeoCells _),
     "q_pet_thornthwaite" -> (qPetThornthwaite _),
+    "q_koppen" -> (qKoppen _),
     "q_continentality" -> (qContinentality _),
     "q_gsl" -> (qGsl _),
     "q_holt_brown" -> (qHoltBrown _),
