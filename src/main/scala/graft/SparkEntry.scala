@@ -53,6 +53,7 @@ object SparkEntry {
     "q_revenue_bridge" -> (Queries.qRevenueBridge _),
     "q_order_backlog" -> (Queries.qOrderBacklog _),
     "q_order_reconciliation" -> (Queries.qOrderReconciliation _),
+    "q_item_cf" -> (Queries.qItemCf _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

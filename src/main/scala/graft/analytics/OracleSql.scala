@@ -679,8 +679,30 @@ object OracleSql {
         / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS match_share
     FROM diffs GROUP BY 1 ORDER BY o_orderpriority"""
 
+  /** Mirrors Queries.qItemCf: distinct basket pairs, cosine by item
+    * counts, top-5 per item. */
+  val qItemCf: String = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+    cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.item, b.item AS item_b, CAST(count(*) AS BIGINT) AS cooc
+      FROM op a JOIN op b ON a.ok = b.ok AND a.item != b.item
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.item, p.item_b, p.cooc,
+        round(p.cooc / sqrt(ca.cnt * CAST(cb.cnt AS DOUBLE)) + 1e-9, 6) AS cosine
+      FROM pairs p
+      JOIN cnt ca ON ca.item = p.item
+      JOIN cnt cb ON cb.item = p.item_b)
+    SELECT item, rank, item_b, cooc, cosine FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY item
+        ORDER BY cosine DESC, item_b) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY item, rank"""
+
   val all: Map[String, String] = Map(
     "q_order_reconciliation" -> qOrderReconciliation,
+    "q_item_cf" -> qItemCf,
     "q_price_index" -> qPriceIndex,
     "q_order_backlog" -> qOrderBacklog,
     "q_abc_xyz" -> qAbcXyz,

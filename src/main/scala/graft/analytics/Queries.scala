@@ -1171,6 +1171,37 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Item-item collaborative filtering from order baskets — the
+    * "customers also bought" primitive: co-occurrence counts over the
+    * distinct (order, part) pairs, cosine-normalized by each item's
+    * basket count, top-5 neighbors per item (ties by id).
+    *
+    * Plan: the pair enumeration is ONE self-equi-join on the order
+    * key — bounded by basket size (TPC-H baskets ≤ 7 lines), so pair
+    * volume is O(#lines·basket), never all-pairs; item counts join
+    * back on the part key and the per-item top-K collapses to a
+    * WindowGroupLimit. A pathological mega-basket at 100 TB would
+    * need a basket-size cap before the self-join — the standard guard
+    * in production CF — which composes as one HAVING on the first
+    * collapse. */
+  def qItemCf(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+    val cnt = op.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = op.join(op.select(col("ok"), col("item").as("item_b")), Seq("ok"))
+      .filter(col("item") =!= col("item_b"))
+      .groupBy(col("item"), col("item_b")).agg(count(lit(1)).as("cooc"))
+    val scored = pairs
+      .join(cnt.select(col("item"), col("cnt").as("cnt_a")), Seq("item"))
+      .join(cnt.select(col("item").as("item_b"), col("cnt").as("cnt_b")), Seq("item_b"))
+      .withColumn("cosine", round(col("cooc")
+        / sqrt(col("cnt_a") * col("cnt_b").cast("double")) + lit(1e-9), 6))
+    val w = Window.partitionBy(col("item")).orderBy(col("cosine").desc, col("item_b"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("item"), col("rank"), col("item_b"), col("cooc"), col("cosine"))
+      .orderBy(col("item"), col("rank"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

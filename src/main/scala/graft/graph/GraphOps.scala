@@ -207,6 +207,43 @@ object GraphOps {
       .select(col("n_dir_edges"), col("assortativity"))
   }
 
+  /** Single-source BFS layers on the undirected closure, FIXED-ROUND
+    * (the distributed SSSP primitive; source = the minimum node id so
+    * both engines pick it without input): `rounds` synchronous
+    * relaxations of dist(v) ← min(dist(v), min over in-neighbors
+    * dist(u)+1). The round bound is part of the operator contract —
+    * nodes beyond it report unreached, loudly, instead of a silent
+    * convergence test.
+    *
+    * Plan: each round = one edges⋈frontier join (only nodes with a
+    * finite distance propagate) + one keyed min + a left join onto the
+    * node grid; per-round localCheckpoint with eager release — the
+    * pageRank/components loop shape, one O(#edges) shuffle per round. */
+  def bfsLayers(edges: DataFrame, rounds: Int = 16): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    try {
+      val nodes = und.select(col("u").as("id")).distinct()
+      val src = nodes.agg(min(col("id")).as("id"))
+      var dist = nodes.join(broadcast(src.withColumn("d0", lit(0L))), Seq("id"), "left")
+        .select(col("id"), col("d0").as("dist"))
+        .localCheckpoint(true)
+      (1 to rounds).foreach { _ =>
+        val prop = und
+          .join(dist.filter(col("dist").isNotNull)
+            .select(col("id").as("u"), col("dist").as("du")), Seq("u"))
+          .groupBy(col("v").as("id")).agg(min(col("du") + 1).as("in_min"))
+        val next = dist.join(prop, Seq("id"), "left")
+          .select(col("id"), least(col("dist"), col("in_min")).as("dist"))
+          .localCheckpoint(true)
+        graft.core.Checkpoints.release(dist)
+        dist = next
+      }
+      dist.select(col("id"), col("dist"), col("dist").isNotNull.as("reached"))
+    } finally und.unpersist()
+  }
+
   /** Community detection by FIXED-ROUND synchronous label propagation
     * (Raghavan's LPA) on the undirected closure: every node starts as
     * its own label; each round every node adopts the most frequent

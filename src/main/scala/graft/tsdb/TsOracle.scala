@@ -1351,6 +1351,37 @@ object TsOracle {
     ORDER BY station_id"""
   }
 
+  /** Mirrors GraphOps.bfsLayers: 16 unrolled synchronous relaxations
+    * from the min-id source; explicit NULL cases stand in for Spark's
+    * null-skipping least(). */
+  val qBfsLayers: String = {
+    val rounds = (1 to 16).map { i =>
+      s"""d$i AS MATERIALIZED (
+      SELECT d.id,
+        CASE WHEN d.dist IS NULL THEN p.in_min
+             WHEN p.in_min IS NULL THEN d.dist
+             ELSE least(d.dist, p.in_min) END AS dist
+      FROM d${i - 1} d LEFT JOIN (
+        SELECT e.v AS id, min(pd.dist + 1) AS in_min
+        FROM und e JOIN d${i - 1} pd ON pd.id = e.u AND pd.dist IS NOT NULL
+        GROUP BY 1) p ON p.id = d.id)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $world,
+    und AS MATERIALIZED (
+      SELECT station_id AS u, nb_id AS v FROM knn WHERE station_id != nb_id
+      UNION
+      SELECT nb_id, station_id FROM knn WHERE station_id != nb_id),
+    nodes AS (SELECT DISTINCT u AS id FROM und),
+    srcn AS (SELECT min(id) AS id FROM nodes),
+    d0 AS MATERIALIZED (
+      SELECT n.id, CASE WHEN n.id = s.id THEN 0::BIGINT END AS dist
+      FROM nodes n, srcn s),
+    $rounds
+    SELECT id AS station_id, dist, dist IS NOT NULL AS reached
+    FROM d16 ORDER BY station_id"""
+  }
+
   /** Mirrors GraphOps.hubness: directed kNN in-degree census with
     * network z-score and ±2 sd hub/antihub flags. */
   val qKnnHubness: String = s"""
@@ -3679,6 +3710,7 @@ object TsOracle {
     "q_label_propagation" -> qLabelPropagation,
     "q_knn_hubness" -> qKnnHubness,
     "q_koppen" -> qKoppen,
+    "q_bfs_layers" -> qBfsLayers,
     "q_jarque_bera" -> qJarqueBera,
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,

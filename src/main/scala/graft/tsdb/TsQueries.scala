@@ -591,6 +591,10 @@ object TsQueries {
     graft.graph.GraphOps.hubness(knnEdges(s, d))
       .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
 
+  def qBfsLayers(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.bfsLayers(knnEdges(s, d))
+      .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pettitt" -> (qPettitt _),
     "q_cusum" -> (qCusum _),
@@ -604,6 +608,7 @@ object TsQueries {
     "q_link_prediction" -> (qLinkPrediction _),
     "q_label_propagation" -> (qLabelPropagation _),
     "q_knn_hubness" -> (qKnnHubness _),
+    "q_bfs_layers" -> (qBfsLayers _),
     "q_ewma_control" -> (qEwmaControl _),
     "q_forecast_skill" -> (qForecastSkill _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
