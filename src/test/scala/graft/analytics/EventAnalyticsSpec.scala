@@ -316,4 +316,55 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("tail_mass") - c * nt) < 0.5 + 0.001 * nt)
     }
   }
+
+  test("shapley attribution satisfies efficiency and share normalization") {
+    val sh = EventAnalytics.shapleyAttribution(events).collect()
+    assert(sh.nonEmpty)
+    // efficiency axiom: Σφ = v(full set) − v(∅)
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val vFull = conv.count()
+    val chanUsers = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id")).distinct()
+    val vEmpty = conv.join(chanUsers, Seq("user_id"), "left_anti").count()
+    val tot = sh.map(_.getAs[Double]("shapley")).sum
+    assert(math.abs(tot - (vFull - vEmpty).toDouble) < 1e-3,
+      s"efficiency: $tot vs ${vFull - vEmpty}")
+    val shareSum = sh.flatMap(r => Option(r.getAs[Double]("share"))).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+  }
+
+  test("scd2: crafted stream yields versioned contiguous intervals") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view"),
+      (2L, "2024-01-01 11:00:00", 7L, "click"), // day-1 last event wins
+      (3L, "2024-01-02 09:00:00", 7L, "click"),
+      (4L, "2024-01-03 09:00:00", 7L, "view"))
+      .map { case (id, t, u, e) => (id, java.sql.Timestamp.valueOf(t), u, e) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val iv = EventAnalytics.scd2States(toy).collect()
+    assert(iv.length === 2)
+    assert(iv(0).getAs[String]("state") === "click")
+    assert(iv(0).getAs[Long]("n_days") === 2L)
+    assert(iv(0).getAs[java.sql.Date]("valid_to").toString === "2024-01-02")
+    assert(iv(1).getAs[String]("state") === "view")
+    assert(iv(1).getAs[Boolean]("is_current"))
+    assert(iv(1).getAs[java.sql.Date]("valid_to").toString === "9999-12-31")
+  }
+
+  test("abSrm: hand-computed chi-square on a crafted split") {
+    import spark.implicits._
+    // users {2,4,6} even (variant 1), {7} odd (variant 0); one dup row
+    val toy = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 7L), (5L, 2L))
+      .map { case (id, u) =>
+        (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u, "view") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventAnalytics.abSrm(toy).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_a") === 1L && r(0).getAs[Long]("n_b") === 3L)
+    assert(r(0).getAs[Double]("chi2") === 1.0) // (1−3)²/4
+    assert(r(0).getAs[Double]("share_a") === 0.25)
+    assert(!r(0).getAs[Boolean]("srm"))
+  }
 }

@@ -89,4 +89,17 @@ class ClusterSpec extends SparkSpec {
     // the planted near-dups must make the flag non-trivial
     assert(out.exists(!_.getAs[Boolean]("keep")), "no vector was deduplicated")
   }
+
+  test("mmrRerank: diversity-weighted second pick skips the near-duplicate") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), // query
+      (1L, Array(1.0f, 0.01f)), // top relevance
+      (2L, Array(0.999f, 0.012f)), // near-duplicate of 1
+      (3L, Array(0.6f, 0.8f)) // diverse, moderate relevance
+    ).toDF("vec_id", "embedding")
+    val picks = Ann.mmrRerank(embs, topN = 3, select = 2, lambda = 0.3)
+      .collect().map(r => r.getAs[Int]("step") -> r.getAs[Long]("vec_id")).toMap
+    assert(picks(1) === 1L, "first pick is pure relevance")
+    assert(picks(2) === 3L, "second pick trades relevance for diversity")
+  }
 }
