@@ -54,6 +54,7 @@ object SparkEntry {
     "q_order_backlog" -> (Queries.qOrderBacklog _),
     "q_order_reconciliation" -> (Queries.qOrderReconciliation _),
     "q_item_cf" -> (Queries.qItemCf _),
+    "q_theil_decomposition" -> (Queries.qTheilDecomposition _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

@@ -1690,6 +1690,47 @@ object EventAnalytics {
       .orderBy(col("lifetime"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator — the companion of
+    * [[kaplanMeier]] on the identical lifetime frame (same censoring
+    * convention: a user last seen on the horizon day is censored):
+    * H(t) = Σ_{s≤t} d_s/n_risk(s) with variance Σ d_s/n_risk(s)², the
+    * estimator of choice when hazard INCREMENTS matter (burn-in /
+    * wear-out readouts) rather than survival levels.
+    *
+    * Plan: identical to kaplanMeier — one user collapse, one lifetime
+    * aggregate, cumulative windows over the tiny per-day frame; every
+    * term is a ratio of exact integers so the cumsum is
+    * order-deterministic. */
+  def nelsonAalen(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val horizon = events.agg(to_date(max(col("ts"))).as("dmax"))
+    val lifetimes = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("d1"), col("d0")).as("lifetime"),
+        (col("d1") === col("dmax")).cast("int").as("censored"))
+    val perDay = lifetimes.groupBy(col("lifetime"))
+      .agg(count(lit(1)).as("n_end"),
+        sum(col("censored")).as("n_censored"))
+      .withColumn("n_churn", col("n_end") - col("n_censored"))
+    val w = Window.orderBy(col("lifetime"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("n_total", sum(col("n_end")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_risk", col("n_total")
+        - coalesce(sum(col("n_end")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("h_inc", col("n_churn") / col("n_risk").cast("double"))
+      .withColumn("v_inc", col("n_churn")
+        / (col("n_risk") * col("n_risk")).cast("double"))
+      .withColumn("cum_hazard", round(sum(col("h_inc")).over(wCum) + lit(1e-9), 6))
+      .withColumn("hazard_se",
+        round(sqrt(sum(col("v_inc")).over(wCum)) + lit(1e-9), 6))
+      .select(col("lifetime"), col("n_risk"), col("n_churn"),
+        col("cum_hazard"), col("hazard_se"))
+      .orderBy(col("lifetime"))
+  }
+
   /** Markov-chain multi-touch attribution by removal effect (the
     * principled alternative to the positional models in
     * [[attribution]]): user journeys become a first-order chain over
@@ -1917,6 +1958,7 @@ object EventAnalytics {
     "q_shapley_attribution" -> ((s, d) => shapleyAttribution(Tables.events(s, d))),
     "q_scd2" -> ((s, d) => scd2States(Tables.events(s, d))),
     "q_ab_srm" -> ((s, d) => abSrm(Tables.events(s, d))),
+    "q_nelson_aalen" -> ((s, d) => nelsonAalen(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
@@ -3244,6 +3286,40 @@ object EventOracle {
         AS survival
     FROM s2 ORDER BY lifetime"""
 
+  /** Mirrors EventAnalytics.nelsonAalen: KM's lifetime frame, hazard
+    * increments d/n and d/n² cumulated in lifetime order. */
+  val qNelsonAalen: String = """
+    WITH users AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events GROUP BY 1),
+    hz AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+    lifetimes AS (
+      SELECT datediff('day', u.d0, u.d1) AS lifetime,
+        CAST(u.d1 = h.dmax AS INT) AS censored
+      FROM users u, hz h),
+    per_day AS (
+      SELECT lifetime, CAST(count(*) AS BIGINT) AS n_end,
+        CAST(sum(censored) AS BIGINT) AS n_censored
+      FROM lifetimes GROUP BY 1),
+    s1 AS (
+      SELECT lifetime, n_end, n_end - n_censored AS n_churn,
+        CAST(sum(n_end) OVER () AS BIGINT)
+          - CAST(coalesce(sum(n_end) OVER (ORDER BY lifetime
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS n_risk
+      FROM per_day),
+    s2 AS (
+      SELECT *, CAST(n_churn AS DOUBLE) / n_risk AS h_inc,
+        CAST(n_churn AS DOUBLE) / (n_risk * n_risk) AS v_inc
+      FROM s1)
+    SELECT lifetime, n_risk, n_churn,
+      round(sum(h_inc) OVER win + 1e-9, 6) AS cum_hazard,
+      round(sqrt(sum(v_inc) OVER win) + 1e-9, 6) AS hazard_se
+    FROM s2
+    WINDOW win AS (ORDER BY lifetime
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY lifetime"""
+
   /** Mirrors EventAnalytics.markovAttribution: the same chain build,
     * with the K-round fixed point UNROLLED as K generated CTEs (each
     * round rounded to 10 dp exactly like the Spark loop). */
@@ -3422,6 +3498,7 @@ object EventOracle {
     "q_shapley_attribution" -> qShapleyAttribution,
     "q_scd2" -> qScd2,
     "q_ab_srm" -> qAbSrm,
+    "q_nelson_aalen" -> qNelsonAalen,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,

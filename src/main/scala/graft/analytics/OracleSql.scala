@@ -700,9 +700,43 @@ object OracleSql {
       FROM scored)
     WHERE rank <= 5 ORDER BY item, rank"""
 
+  /** Mirrors Queries.qTheilDecomposition: 2-dp customer revenue,
+    * 6-dp group means before the log terms, within/between split. */
+  val qTheilDecomposition: String = """
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice) + 1e-9, 2) AS x
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT r.x, n.n_name
+      FROM rev r
+      JOIN customer c ON c.c_custkey = r.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    mus AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS DOUBLE) AS sx,
+        round(sum(x) / count(*) + 1e-9, 6) AS mu_g
+      FROM g GROUP BY 1),
+    gtot AS (
+      SELECT CAST(sum(sx) AS DOUBLE) AS tot,
+        round(sum(sx) / sum(n) + 1e-9, 6) AS mu
+      FROM mus),
+    withins AS (
+      SELECT g.n_name, avg((g.x / m.mu_g) * ln(g.x / m.mu_g)) AS t_g_raw
+      FROM g JOIN mus m USING (n_name)
+      GROUP BY 1)
+    SELECT m.n_name, m.n, m.mu_g,
+      round(m.sx / gl.tot + 1e-9, 6) AS share,
+      round(w.t_g_raw + 1e-9, 6) AS theil_g,
+      round(round(m.sx / gl.tot + 1e-9, 6) * w.t_g_raw + 1e-9, 6) AS within_term,
+      round(round(m.sx / gl.tot + 1e-9, 6) * ln(m.mu_g / gl.mu) + 1e-9, 6)
+        AS between_term
+    FROM mus m JOIN withins w USING (n_name) CROSS JOIN gtot gl
+    ORDER BY m.n_name"""
+
   val all: Map[String, String] = Map(
     "q_order_reconciliation" -> qOrderReconciliation,
     "q_item_cf" -> qItemCf,
+    "q_theil_decomposition" -> qTheilDecomposition,
     "q_price_index" -> qPriceIndex,
     "q_order_backlog" -> qOrderBacklog,
     "q_abc_xyz" -> qAbcXyz,

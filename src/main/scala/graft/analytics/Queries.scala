@@ -1202,6 +1202,46 @@ object Queries {
       .orderBy(col("item"), col("rank"))
   }
 
+  /** Theil-T inequality decomposition of customer revenue across
+    * nations — the decomposable inequality index (the Gini of
+    * `q_gini` cannot split): T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ),
+    * reported per nation as the within-group index T_g, the revenue
+    * share s_g, and both contribution terms. Per-customer revenue
+    * quantizes at 2 dp and the group means at 6 dp BEFORE the log
+    * terms, so both engines transform identical inputs.
+    *
+    * Plan: one customer revenue collapse, a broadcast nation dim, a
+    * 25-row group-mean broadcast back onto the customer frame, one
+    * keyed rollup + scalar broadcast — two data-scale shuffles
+    * (customer collapse, nation rollup). */
+  def qTheilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")) + lit(1e-9), 2).as("x"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    val g = rev.join(cust, Seq("o_custkey")).join(broadcast(nat), Seq("c_nationkey"))
+    val mus = g.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("mu_g", round(col("sx") / col("n") + lit(1e-9), 6))
+    val glob = mus.agg(sum(col("sx")).as("tot"), sum(col("n")).as("n_all"))
+      .withColumn("mu", round(col("tot") / col("n_all") + lit(1e-9), 6))
+    val withins = g
+      .join(broadcast(mus.select(col("n_name"), col("mu_g"))), Seq("n_name"))
+      .withColumn("t_term", (col("x") / col("mu_g")) * log(col("x") / col("mu_g")))
+      .groupBy(col("n_name")).agg(avg(col("t_term")).as("t_g_raw"))
+    mus.join(withins, Seq("n_name")).crossJoin(broadcast(glob))
+      .withColumn("share", round(col("sx") / col("tot") + lit(1e-9), 6))
+      .select(col("n_name"), col("n"), col("mu_g"), col("share"),
+        round(col("t_g_raw") + lit(1e-9), 6).as("theil_g"),
+        round(col("share") * col("t_g_raw") + lit(1e-9), 6).as("within_term"),
+        round(col("share") * log(col("mu_g") / col("mu")) + lit(1e-9), 6)
+          .as("between_term"))
+      .orderBy(col("n_name"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

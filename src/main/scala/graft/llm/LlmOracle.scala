@@ -520,6 +520,51 @@ object LlmOracle {
     FROM contrib GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 20"""
 
+  /** Mirrors TextAnalysis.textrankKeywords: weighted pagerank over
+    * the symmetrized adjacent-token graph, 10 unrolled rounds with
+    * per-round 10-dp rounding, deterministic top-20. */
+  val qTextrank: String = {
+    val iters = (1 to 10).map { i =>
+      s"""tr$i AS MATERIALIZED (
+      SELECT n.word, n.n_nodes,
+        round(0.15 / n.n_nodes + 0.85 * coalesce(c.in_sum, 0.0), 10) AS pr
+      FROM tr${i - 1} n LEFT JOIN (
+        SELECT e.w2 AS word, sum(p.pr * e.wt / d.wdeg) AS in_sum
+        FROM edges e
+        JOIN tr${i - 1} p ON p.word = e.w1
+        JOIN wdeg d ON d.w1 = e.w1
+        GROUP BY 1) c ON c.word = n.word)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH sw AS (SELECT $toks AS w FROM documents),
+    bg AS (
+      SELECT unnest(CASE WHEN len(w) >= 2
+        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        ELSE [] END) AS bigram
+      FROM sw),
+    split_bg AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2
+      FROM bg),
+    fil AS (
+      SELECT w1, w2 FROM split_bg
+      WHERE len(w1) >= 3 AND len(w2) >= 3 AND w1 != w2),
+    edges AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS wt FROM (
+        SELECT w1, w2 FROM fil
+        UNION ALL SELECT w2, w1 FROM fil)
+      GROUP BY 1, 2),
+    wdeg AS MATERIALIZED (
+      SELECT w1, CAST(sum(wt) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+    nodes AS (SELECT w1 AS word FROM wdeg),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    tr0 AS MATERIALIZED (
+      SELECT word, n_nodes, round(1.0 / n_nodes, 10) AS pr FROM nodes, nn),
+    $iters
+    SELECT word, round(pr + 1e-9, 8) AS textrank
+    FROM tr10 ORDER BY textrank DESC, word LIMIT 20"""
+  }
+
   /** Mirrors TextAnalysis.typeTokenRatio: per-doc lexical diversity
     * from the (doc, token) count frame. */
   val qTextTtr: String = s"""
@@ -1979,6 +2024,7 @@ object LlmOracle {
     "q_gopher_rules" -> qGopherRules,
     "q_inverted_search" -> qInvertedSearch,
     "q_bm25" -> qBm25,
+    "q_textrank" -> qTextrank,
     "q_centroid_dist" -> qCentroidDist,
     "q_embed_norms" -> qEmbedNorms,
     "q_lsh_bucket_stats" -> qLshBucketStats,

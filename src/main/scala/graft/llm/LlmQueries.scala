@@ -131,6 +131,7 @@ object LlmQueries {
       TextAnalysis.gopherRules(docs(s, d)).orderBy(col("rule_no"))),
     "q_inverted_search" -> ((s, d) => TextAnalysis.invertedSearch(docs(s, d))),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25Search(docs(s, d))),
+    "q_textrank" -> ((s, d) => TextAnalysis.textrankKeywords(docs(s, d))),
     "q_centroid_dist" -> ((s, d) =>
       Cluster.centroidDistances(docs(s, d), embs(s, d))
         .orderBy(col("lang_a"), col("lang_b"))),

@@ -367,6 +367,56 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** TextRank keyword extraction — weighted PageRank over the corpus
+    * word graph (adjacent-token co-occurrence, symmetrized counts as
+    * weights; words under 3 chars drop first, the stopword-ish gate of
+    * the original paper): `iterations` fixed rounds with per-round
+    * 10-dp rounding (the pageRank discipline), damping 0.85, top-`k`
+    * words by final rank.
+    *
+    * Plan: the edge build is ONE bigram explode + keyed count (the
+    * [[topBigrams]] shape — the only pass that scales with corpus
+    * size); each round is one edges⋈ranks join on the shared word key
+    * + one keyed weighted sum, checkpointed per round exactly like
+    * [[graft.graph.GraphOps.pageRank]]. */
+  def textrankKeywords(documents: DataFrame, k: Int = 20,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val w = tokens("text")
+    val pairsExpr = s"CASE WHEN size($w) >= 2 THEN transform(sequence(0, size($w) - 2), " +
+      s"i -> struct(element_at($w, i + 1) AS w1, element_at($w, i + 2) AS w2)) " +
+      "ELSE array() END"
+    val raw = documents.select(explode(expr(pairsExpr)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(length(col("w1")) >= 3 && length(col("w2")) >= 3
+        && col("w1") =!= col("w2"))
+    val edges = raw.unionByName(raw.select(col("w2").as("w1"), col("w1").as("w2")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
+    val wdeg = edges.groupBy(col("w1")).agg(sum(col("wt")).as("wdeg"))
+    val nodes = wdeg.select(col("w1").as("word"))
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(nN))
+      .select(col("word"), col("n_nodes"),
+        round(lit(1.0) / col("n_nodes"), 10).as("pr"))
+      .localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val contrib = edges
+        .join(ranks.select(col("word").as("w1"), col("pr")), Seq("w1"))
+        .join(wdeg, Seq("w1"))
+        .groupBy(col("w2").as("word"))
+        .agg(sum(col("pr") * col("wt") / col("wdeg")).as("in_sum"))
+      val next = ranks.select(col("word"), col("n_nodes"))
+        .join(contrib, Seq("word"), "left")
+        .select(col("word"), col("n_nodes"),
+          round((lit(1.0) - lit(damping)) / col("n_nodes")
+            + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 10).as("pr"))
+        .localCheckpoint(true)
+      graft.core.Checkpoints.release(ranks)
+      ranks = next
+    }
+    ranks.select(col("word"), round(col("pr") + lit(1e-9), 8).as("textrank"))
+      .orderBy(col("textrank").desc, col("word")).limit(k)
+  }
+
   /** Gopher-style repetition signals per document — the classic
     * quality gates for machine-generated / boilerplate text: share of
     * the most frequent word, duplicate-word share, share of the most
