@@ -1951,6 +1951,88 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Heterogeneous-treatment-effect (uplift) table for the standing
+    * A/B split — who does the treatment actually move? Users segment
+    * by PRE-period engagement (event count on days < 16, banded
+    * against the network mean: light < 0.75·mean ≤ medium ≤
+    * 1.25·mean < heavy — scale-free, and exact on both engines since
+    * the mean is an integer-sum ratio), outcome
+    * is a post-period purchase (days ≥ 16); per segment the treated
+    * vs control conversion gap with the pooled two-proportion SE and
+    * z — the readout behind every targeting decision.
+    *
+    * Plan: ONE user-keyed collapse builds (segment, variant, converted)
+    * then a keyed pivot rollup; integer ratios all the way, so both
+    * engines agree bit-for-bit before the final rounding. */
+  def upliftSegments(events: DataFrame): DataFrame = {
+    val byUser = events.groupBy(col("user_id"))
+      .agg(sum(when(dayofmonth(col("ts")) < 16, 1L).otherwise(0L)).as("pre_n"),
+        max(when(dayofmonth(col("ts")) >= 16
+          && col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+    val meanPre = byUser.agg(avg(col("pre_n")).as("mean_pre"))
+    val seg = byUser.crossJoin(broadcast(meanPre))
+      .withColumn("segment",
+        when(col("pre_n") < lit(0.75) * col("mean_pre"), "0_light")
+          .when(col("pre_n") <= lit(1.25) * col("mean_pre"), "1_medium")
+          .otherwise("2_heavy"))
+    seg.groupBy(col("segment"))
+      .agg(
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_t"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_c"))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      .withColumn("p_t", round(col("conv_t") / col("n_t").cast("double") + lit(1e-9), 6))
+      .withColumn("p_c", round(col("conv_c") / col("n_c").cast("double") + lit(1e-9), 6))
+      .withColumn("uplift", round(col("p_t") - col("p_c") + lit(1e-9), 6))
+      .withColumn("p_pool",
+        (col("conv_t") + col("conv_c")) / (col("n_t") + col("n_c")).cast("double"))
+      .withColumn("se", sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+        * (lit(1.0) / col("n_t") + lit(1.0) / col("n_c"))))
+      .withColumn("z", when(col("se") > 0.0,
+        round((col("p_t") - col("p_c")) / col("se") + lit(1e-9), 4)))
+      .select(col("segment"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"), col("p_t"), col("p_c"), col("uplift"), col("z"))
+      .orderBy(col("segment"))
+  }
+
+  /** CDC upsert compaction — MERGE INTO semantics as a batch
+    * operator: events on days < 16 are the base snapshot, days ≥ 16
+    * the change stream; the merged state per user is the latest event
+    * (ts, event_id tie-break) from the changes when present, else the
+    * base, with provenance (insert / update / unchanged) — the
+    * nightly-compaction primitive of every lakehouse table.
+    *
+    * Plan: both snapshots collapse with keyed `max(struct(...))`
+    * aggregates (no window on the raw frame, map-side combinable),
+    * then ONE full-outer user join — two data-scale shuffles on the
+    * same key, which AQE plans as one exchange pair. */
+  def cdcMerge(events: DataFrame): DataFrame = {
+    def lastState(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("s"))
+      .select(col("user_id"), col("s.event_type").as("state"),
+        round(col("s.value") + lit(1e-9), 3).as("value"),
+        to_date(col("s.ts")).as("updated_at"))
+    val base = lastState(events.filter(dayofmonth(col("ts")) < 16))
+    val changes = lastState(events.filter(dayofmonth(col("ts")) >= 16))
+    base.select(col("user_id"), col("state").as("b_state"),
+        col("value").as("b_value"), col("updated_at").as("b_at"))
+      .join(changes.select(col("user_id"), col("state").as("c_state"),
+        col("value").as("c_value"), col("updated_at").as("c_at")),
+        Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("b_state").isNull, "insert")
+          .when(col("c_state").isNull, "unchanged")
+          .otherwise("update").as("op"),
+        coalesce(col("c_state"), col("b_state")).as("state"),
+        coalesce(col("c_value"), col("b_value")).as("value"),
+        coalesce(col("c_at"), col("b_at")).as("updated_at"))
+      .orderBy(col("user_id"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
@@ -1959,6 +2041,8 @@ object EventAnalytics {
     "q_scd2" -> ((s, d) => scd2States(Tables.events(s, d))),
     "q_ab_srm" -> ((s, d) => abSrm(Tables.events(s, d))),
     "q_nelson_aalen" -> ((s, d) => nelsonAalen(Tables.events(s, d))),
+    "q_uplift_segments" -> ((s, d) => upliftSegments(Tables.events(s, d))),
+    "q_cdc_merge" -> ((s, d) => cdcMerge(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
@@ -3320,6 +3404,69 @@ object EventOracle {
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY lifetime"""
 
+  /** Mirrors EventAnalytics.upliftSegments: fixed pre-period cutoffs,
+    * post purchase outcome, pooled two-proportion z per segment. */
+  val qUpliftSegments: String = """
+    WITH by_user AS (
+      SELECT user_id,
+        CAST(sum(CASE WHEN day(ts) < 16 THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+        CAST(max(CASE WHEN day(ts) >= 16 AND event_type = 'purchase'
+          THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+        CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS variant
+      FROM events GROUP BY user_id),
+    mp AS (SELECT avg(pre_n) AS mean_pre FROM by_user),
+    seg AS (
+      SELECT b.*, CASE WHEN b.pre_n < 0.75 * m.mean_pre THEN '0_light'
+                       WHEN b.pre_n <= 1.25 * m.mean_pre THEN '1_medium'
+                       ELSE '2_heavy' END AS segment
+      FROM by_user b CROSS JOIN mp m),
+    s AS (
+      SELECT segment,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+        CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_c
+      FROM seg GROUP BY 1
+      HAVING sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) > 0),
+    p AS (
+      SELECT *,
+        round(conv_t / CAST(n_t AS DOUBLE) + 1e-9, 6) AS p_t,
+        round(conv_c / CAST(n_c AS DOUBLE) + 1e-9, 6) AS p_c,
+        (conv_t + conv_c) / CAST(n_t + n_c AS DOUBLE) AS p_pool
+      FROM s),
+    z AS (
+      SELECT *, sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_t + 1.0 / n_c)) AS se
+      FROM p)
+    SELECT segment, n_t, n_c, conv_t, conv_c, p_t, p_c,
+      round(p_t - p_c + 1e-9, 6) AS uplift,
+      CASE WHEN se > 0.0 THEN round((p_t - p_c) / se + 1e-9, 4) END AS z
+    FROM z ORDER BY segment"""
+
+  /** Mirrors EventAnalytics.cdcMerge: keyed last-event collapse per
+    * half-month snapshot, full-outer merge with provenance. */
+  val qCdcMerge: String = """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, day(ts) >= 16 AS is_change,
+        row_number() OVER (PARTITION BY user_id, day(ts) >= 16
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    last_s AS (
+      SELECT user_id, is_change, event_type AS state,
+        round(value + 1e-9, 3) AS value, ts::date AS updated_at
+      FROM ranked WHERE rn = 1),
+    base AS (SELECT * FROM last_s WHERE NOT is_change),
+    chg AS (SELECT * FROM last_s WHERE is_change)
+    SELECT coalesce(b.user_id, c.user_id) AS user_id,
+      CASE WHEN b.user_id IS NULL THEN 'insert'
+           WHEN c.user_id IS NULL THEN 'unchanged'
+           ELSE 'update' END AS op,
+      coalesce(c.state, b.state) AS state,
+      coalesce(c.value, b.value) AS value,
+      coalesce(c.updated_at, b.updated_at) AS updated_at
+    FROM base b FULL OUTER JOIN chg c ON c.user_id = b.user_id
+    ORDER BY user_id"""
+
   /** Mirrors EventAnalytics.markovAttribution: the same chain build,
     * with the K-round fixed point UNROLLED as K generated CTEs (each
     * round rounded to 10 dp exactly like the Spark loop). */
@@ -3499,6 +3646,8 @@ object EventOracle {
     "q_scd2" -> qScd2,
     "q_ab_srm" -> qAbSrm,
     "q_nelson_aalen" -> qNelsonAalen,
+    "q_uplift_segments" -> qUpliftSegments,
+    "q_cdc_merge" -> qCdcMerge,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,
