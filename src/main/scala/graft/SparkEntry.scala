@@ -55,6 +55,8 @@ object SparkEntry {
     "q_order_reconciliation" -> (Queries.qOrderReconciliation _),
     "q_item_cf" -> (Queries.qItemCf _),
     "q_theil_decomposition" -> (Queries.qTheilDecomposition _),
+    "q_k_anonymity" -> (Queries.qKAnonymity _),
+    "q_join_skew_audit" -> (Queries.qJoinSkewAudit _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

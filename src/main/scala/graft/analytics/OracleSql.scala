@@ -733,10 +733,61 @@ object OracleSql {
     FROM mus m JOIN withins w USING (n_name) CROSS JOIN gtot gl
     ORDER BY m.n_name"""
 
+  /** Mirrors Queries.qKAnonymity: QI equivalence classes, banded
+    * k-census with row shares. */
+  val qKAnonymity: String = """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        CAST(count(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2, 3),
+    bands AS (
+      SELECT CASE WHEN k = 1 THEN '1_unique' WHEN k <= 4 THEN '2_small'
+                  WHEN k <= 9 THEN '3_medium' ELSE '4_large' END AS k_band,
+        CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(sum(k) AS BIGINT) AS n_rows
+      FROM g GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot_rows FROM bands)
+    SELECT b.k_band, b.n_groups, b.n_rows,
+      round(b.n_rows / CAST(t.tot_rows AS DOUBLE) + 1e-9, 6) AS row_share
+    FROM bands b CROSS JOIN tot t
+    ORDER BY b.k_band"""
+
+  /** Mirrors Queries.qJoinSkewAudit: fanout histograms for the three
+    * audited join keys with shares and the max/mean skew ratio. */
+  val qJoinSkewAudit: String = """
+    WITH h AS (
+      SELECT 'lineitem.l_orderkey' AS source, fanout,
+        CAST(count(*) AS BIGINT) AS n_keys FROM (
+        SELECT CAST(count(*) AS BIGINT) AS fanout FROM lineitem GROUP BY l_orderkey)
+      GROUP BY 2
+      UNION ALL
+      SELECT 'lineitem.l_partkey', fanout, CAST(count(*) AS BIGINT) FROM (
+        SELECT CAST(count(*) AS BIGINT) AS fanout FROM lineitem GROUP BY l_partkey)
+      GROUP BY 2
+      UNION ALL
+      SELECT 'orders.o_custkey', fanout, CAST(count(*) AS BIGINT) FROM (
+        SELECT CAST(count(*) AS BIGINT) AS fanout FROM orders GROUP BY o_custkey)
+      GROUP BY 2),
+    tot AS (
+      SELECT source, CAST(sum(n_keys) AS BIGINT) AS tot_keys,
+        CAST(sum(fanout * n_keys) AS BIGINT) AS tot_rows,
+        CAST(max(fanout) AS BIGINT) AS max_fanout
+      FROM h GROUP BY 1)
+    SELECT h.source, h.fanout, h.n_keys,
+      round(h.n_keys / CAST(t.tot_keys AS DOUBLE) + 1e-9, 6) AS key_share,
+      round(h.fanout * h.n_keys / CAST(t.tot_rows AS DOUBLE) + 1e-9, 6) AS row_share,
+      round(t.max_fanout / (t.tot_rows / CAST(t.tot_keys AS DOUBLE)) + 1e-9, 4)
+        AS skew_ratio
+    FROM h JOIN tot t USING (source)
+    ORDER BY h.source, h.fanout"""
+
   val all: Map[String, String] = Map(
     "q_order_reconciliation" -> qOrderReconciliation,
     "q_item_cf" -> qItemCf,
     "q_theil_decomposition" -> qTheilDecomposition,
+    "q_k_anonymity" -> qKAnonymity,
+    "q_join_skew_audit" -> qJoinSkewAudit,
     "q_price_index" -> qPriceIndex,
     "q_order_backlog" -> qOrderBacklog,
     "q_abc_xyz" -> qAbcXyz,

@@ -1242,6 +1242,67 @@ object Queries {
       .orderBy(col("n_name"))
   }
 
+  /** k-anonymity audit over quasi-identifiers (nation × market
+    * segment × 1000-unit account-balance band) — the governance gate
+    * before a customer extract leaves the warehouse: equivalence-class
+    * sizes banded (unique / 2–4 / 5–9 / ≥10) with group counts and row
+    * shares; rows in small classes are the re-identification risk.
+    *
+    * Plan: one keyed QI collapse, one tiny band rollup, scalar
+    * broadcast — a single data-scale shuffle. */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(spark, dir)
+      .withColumn("bal_band", floor(col("c_acctbal") / 1000.0).cast("long"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("k"))
+    val bands = g.withColumn("k_band",
+        when(col("k") === 1, "1_unique").when(col("k") <= 4, "2_small")
+          .when(col("k") <= 9, "3_medium").otherwise("4_large"))
+      .groupBy(col("k_band"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+    val tot = bands.agg(sum(col("n_rows")).as("tot_rows"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("k_band"), col("n_groups"), col("n_rows"),
+        round(col("n_rows") / col("tot_rows").cast("double") + lit(1e-9), 6)
+          .as("row_share"))
+      .orderBy(col("k_band"))
+  }
+
+  /** Join-key skew audit over the engine's main join keys — the
+    * operational report that predicts shuffle hot spots before they
+    * happen at 100 TB: per key column, the fanout histogram (how many
+    * keys repeat n times), key/row shares, and the skew ratio
+    * max-fanout / mean-fanout that decides whether AQE skew handling
+    * or salting is needed.
+    *
+    * Plan: one keyed count + one histogram rollup per audited column;
+    * per-source totals broadcast back onto the tiny histogram. */
+  def qJoinSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    def hist(df: DataFrame, src: String): DataFrame = df
+      .groupBy(col("k")).agg(count(lit(1)).as("fanout"))
+      .groupBy(col("fanout")).agg(count(lit(1)).as("n_keys"))
+      .withColumn("source", lit(src))
+    val li = Tables.lineitem(spark, dir)
+    val h = hist(li.select(col("l_orderkey").as("k")), "lineitem.l_orderkey")
+      .unionByName(hist(li.select(col("l_partkey").as("k")), "lineitem.l_partkey"))
+      .unionByName(hist(Tables.orders(spark, dir)
+        .select(col("o_custkey").as("k")), "orders.o_custkey"))
+    val tot = h.groupBy(col("source")).agg(
+      sum(col("n_keys")).as("tot_keys"),
+      sum(col("fanout") * col("n_keys")).as("tot_rows"),
+      max(col("fanout")).as("max_fanout"))
+    h.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("fanout"), col("n_keys"),
+        round(col("n_keys") / col("tot_keys").cast("double") + lit(1e-9), 6)
+          .as("key_share"),
+        round(col("fanout") * col("n_keys") / col("tot_rows").cast("double")
+          + lit(1e-9), 6).as("row_share"),
+        round(col("max_fanout")
+          / (col("tot_rows") / col("tot_keys").cast("double")) + lit(1e-9), 4)
+          .as("skew_ratio"))
+      .orderBy(col("source"), col("fanout"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

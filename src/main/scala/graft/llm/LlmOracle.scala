@@ -520,6 +520,45 @@ object LlmOracle {
     FROM contrib GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 20"""
 
+  /** Mirrors TextAnalysis.cmsHeavyHitters: polyhash-based affine hash
+    * family, 4×512 bucket sums, min-estimate, exact top-20 report. */
+  val qCmsHeavyHitters: String = {
+    val as = Seq(31L, 131L, 1313L, 13131L)
+    val bs = Seq(7L, 77L, 777L, 7777L)
+    val projs = (0 until 4).map { j =>
+      s"SELECT tok, cnt, $j AS j, ((h0 * ${as(j)} + ${bs(j)}) % $P) % 512 AS bucket FROM tfh"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest($toks) AS tok FROM documents)
+      WHERE len(tok) > 0 GROUP BY 1),
+    tfh AS MATERIALIZED (
+      SELECT tok, cnt, ${ph("tok")} AS h0 FROM tf),
+    prj AS MATERIALIZED (
+      $projs),
+    cells AS (
+      SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+      FROM prj GROUP BY 1, 2),
+    est AS MATERIALIZED (
+      SELECT p.tok, p.cnt, CAST(min(c.cell) AS BIGINT) AS cms_est
+      FROM prj p JOIN cells c USING (j, bucket)
+      GROUP BY 1, 2),
+    gl AS (
+      SELECT round(avg((cms_est - cnt) / CAST(cnt AS DOUBLE)) + 1e-9, 6)
+          AS mean_rel_overest,
+        CAST(sum(CASE WHEN cms_est = cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        CAST(count(*) AS BIGINT) AS vocab
+      FROM est),
+    top AS (
+      SELECT * FROM est ORDER BY cnt DESC, tok LIMIT 20)
+    SELECT t.tok, t.cnt, t.cms_est,
+      round((t.cms_est - t.cnt) / CAST(t.cnt AS DOUBLE) + 1e-9, 6) AS rel_err,
+      g.mean_rel_overest, g.n_exact, g.vocab
+    FROM top t CROSS JOIN gl g
+    ORDER BY t.cnt DESC, t.tok"""
+  }
+
   /** Mirrors TextAnalysis.textrankKeywords: weighted pagerank over
     * the symmetrized adjacent-token graph, 10 unrolled rounds with
     * per-round 10-dp rounding, deterministic top-20. */
@@ -2025,6 +2064,7 @@ object LlmOracle {
     "q_inverted_search" -> qInvertedSearch,
     "q_bm25" -> qBm25,
     "q_textrank" -> qTextrank,
+    "q_cms_heavy_hitters" -> qCmsHeavyHitters,
     "q_centroid_dist" -> qCentroidDist,
     "q_embed_norms" -> qEmbedNorms,
     "q_lsh_bucket_stats" -> qLshBucketStats,

@@ -132,6 +132,7 @@ object LlmQueries {
     "q_inverted_search" -> ((s, d) => TextAnalysis.invertedSearch(docs(s, d))),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25Search(docs(s, d))),
     "q_textrank" -> ((s, d) => TextAnalysis.textrankKeywords(docs(s, d))),
+    "q_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(docs(s, d))),
     "q_centroid_dist" -> ((s, d) =>
       Cluster.centroidDistances(docs(s, d), embs(s, d))
         .orderBy(col("lang_a"), col("lang_b"))),

@@ -417,6 +417,54 @@ object TextAnalysis {
       .orderBy(col("textrank").desc, col("word")).limit(k)
   }
 
+  /** Count-min sketch over the token stream with a deterministic
+    * affine hash family h_j(t) = (a_j·polyhash(t) + b_j) mod P mod W
+    * (depth 4 × width `width`) — the mergeable heavy-hitter sketch of
+    * streaming ingest, here with its overestimate MEASURED against the
+    * exact counts instead of assumed: the exact top-`topK` tokens with
+    * their CMS estimate (min over rows of the bucket sums), per-token
+    * relative error, and corpus-level bias/exactness stats.
+    *
+    * Plan: ONE corpus token collapse to the vocab frame; the 4 hash
+    * projections, the 4·W bucket sums (count-weighted keyed aggregate
+    * — map-combinable, exactly how the sketch merges across executors)
+    * and the estimate re-join all run on vocab/sketch-sized frames. */
+  def cmsHeavyHitters(documents: DataFrame, width: Int = 512,
+      topK: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val P = 1000000007L
+    val as = Seq(31L, 131L, 1313L, 13131L)
+    val bs = Seq(7L, 77L, 777L, 7777L)
+    def proj = explode(array((0 until 4).map { j =>
+      struct(lit(j).as("j"),
+        (((col("h0") * as(j) + bs(j)) % P) % width).as("bucket"))
+    }: _*)).as("p")
+    val tf = documents
+      .select(explode(expr(tokens("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h0", expr("graft_polyhash(tok)"))
+    val cells = tf.select(proj, col("cnt"))
+      .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("cell"))
+    val est = tf.select(col("tok"), col("cnt"), proj)
+      .select(col("tok"), col("cnt"), col("p.j").as("j"), col("p.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("tok"), col("cnt")).agg(min(col("cell")).as("cms_est"))
+    val glob = est.agg(
+      round(avg((col("cms_est") - col("cnt")) / col("cnt").cast("double"))
+        + lit(1e-9), 6).as("mean_rel_overest"),
+      sum(when(col("cms_est") === col("cnt"), 1L).otherwise(0L)).as("n_exact"),
+      count(lit(1)).as("vocab"))
+    est.orderBy(col("cnt").desc, col("tok")).limit(topK)
+      .crossJoin(broadcast(glob))
+      .select(col("tok"), col("cnt"), col("cms_est"),
+        round((col("cms_est") - col("cnt")) / col("cnt").cast("double")
+          + lit(1e-9), 6).as("rel_err"),
+        col("mean_rel_overest"), col("n_exact"), col("vocab"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   /** Gopher-style repetition signals per document — the classic
     * quality gates for machine-generated / boilerplate text: share of
     * the most frequent word, duplicate-word share, share of the most
