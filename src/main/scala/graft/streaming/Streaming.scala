@@ -315,6 +315,43 @@ object Streaming extends Serializable {
   case class GapState(lastTs: Long)
   case class GapAlert(station_id: Long, gap_start: Timestamp, gap_hours: Double)
 
+  case class CdcEvent(user_id: Long, event_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
+  case class CdcState(lastUs: Long, lastId: Long, state: String, value: Double)
+  case class CdcRow(user_id: Long, op: String, state: String, value: Double,
+    updated_at: Timestamp)
+
+  /** Streaming twin of the batch CDC compaction
+    * (graft.analytics.EventAnalytics.cdcMerge): stateful latest-event
+    * upsert per key via mapGroupsWithState — each micro-batch emits
+    * the merged row for every touched key with insert / update / noop
+    * provenance (a batch whose newest event is older than the held
+    * state is a late redelivery and changes nothing, mirroring the
+    * batch max-struct pick exactly). One fixed-size slot per key ever
+    * seen; the only shuffle is the groupByKey hash exchange. */
+  def cdcUpsertStream(events: Dataset[CdcEvent]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[CdcEvent], st: GroupState[CdcState]) =>
+          val newest = rows.maxBy(e => (micros(e.ts), e.event_id))
+          val cand = (micros(newest.ts), newest.event_id)
+          val prev = st.getOption
+          val op = prev match {
+            case None => "insert"
+            case Some(p) if cand._1 > p.lastUs
+              || (cand._1 == p.lastUs && cand._2 > p.lastId) => "update"
+            case _ => "noop"
+          }
+          val next =
+            if (op == "noop") prev.get
+            else CdcState(cand._1, cand._2, newest.event_type, newest.value)
+          st.update(next)
+          CdcRow(uid, op, next.state,
+            math.round((next.value + 1e-9) * 1000) / 1000.0, tsOf(next.lastUs))
+      }
+  }
+
   case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   case class SessState(sessionIdx: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(station_id: Long, session_id: Long, session_start: Timestamp,

@@ -1307,6 +1307,61 @@ object Climate {
         col("level"), col("trend"), col("yhat_1"))
   }
 
+  /** Additive Holt–Winters with weekly seasonality — the seasonal
+    * step up from [[brownDouble]]: weekday indices from the station
+    * climatology (4 dp), Brown's truncated double smoothing on the
+    * DESEASONALIZED series, one-step forecast = level + trend + the
+    * NEXT day's seasonal index. Truncated-window smoothing instead of
+    * the textbook recursion keeps the operator a state-free window
+    * pass (engine-exact); the k=14 tail carries < (1−α)^14 ≈ 0.7% of
+    * the weight.
+    *
+    * Plan: two keyed climatology collapses (O(#stations·7) output),
+    * one keyed join back, then the same station-partitioned lag
+    * windows as brownDouble — the whole pipeline rides ONE station
+    * partitioning. */
+  def holtWinters(rawDaily: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val k = 14
+    val wts = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+    val base = rawDaily
+      .withColumn("x", coalesce(col("raw"), lit(0.0)))
+      .withColumn("wd", dayofweek(col("day")))
+    val mu = base.groupBy(col("station_id"))
+      .agg(round(avg(col("x")) + lit(1e-9), 4).as("mu"))
+    val sIdx = base.groupBy(col("station_id"), col("wd"))
+      .agg(round(avg(col("x")) + lit(1e-9), 4).as("wd_mean"))
+      .join(mu, Seq("station_id"))
+      .withColumn("s_idx", round(col("wd_mean") - col("mu") + lit(1e-9), 4))
+      .select(col("station_id"), col("wd"), col("s_idx"))
+    val d0 = base.join(sIdx, Seq("station_id", "wd"))
+      .withColumn("d", col("x") - col("s_idx"))
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    def smooth(df: DataFrame, src: String, out: String): DataFrame = {
+      val lagged = (0 until k).foldLeft(df) {
+        case (dd, i) => dd.withColumn(s"${out}_l$i", lag(col(src), i).over(w))
+      }
+      val num = (0 until k).map(i =>
+        when(col(s"${out}_l$i").isNotNull, col(s"${out}_l$i") * lit(wts(i)))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      val den = (0 until k).map(i =>
+        when(col(s"${out}_l$i").isNotNull, lit(wts(i)))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      lagged.withColumn(out, round(num / den + lit(1e-9), 6))
+        .drop((0 until k).map(i => s"${out}_l$i"): _*)
+    }
+    val s2 = smooth(smooth(d0, "d", "s1"), "s1", "s2")
+    s2.withColumn("level", round(lit(2.0) * col("s1") - col("s2") + lit(1e-9), 6))
+      .withColumn("trend", round(lit(alpha / (1 - alpha))
+        * (col("s1") - col("s2")) + lit(1e-9), 6))
+      .withColumn("wd_next", dayofweek(date_add(col("day"), 1)))
+      .join(sIdx.select(col("station_id"), col("wd").as("wd_next"),
+        col("s_idx").as("s_next")), Seq("station_id", "wd_next"))
+      .select(col("station_id"), col("day"), col("x"), col("s_idx"),
+        col("level"), col("trend"),
+        round(col("level") + col("trend") + col("s_next") + lit(1e-9), 6)
+          .as("yhat_1"))
+  }
+
   /** Partial autocorrelation at lags 1–3 per station via the closed
     * Durbin–Levinson recursion on the (4-dp) ACF — the AR-order
     * diagnostic read next to [[acf]] and [[ljungBox]].

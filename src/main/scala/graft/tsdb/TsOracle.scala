@@ -2114,6 +2114,66 @@ object TsOracle {
     FROM agg WHERE total_p >= 25.0
     ORDER BY station_id, storm_id"""
 
+  /** Mirrors Climate.holtWinters: 4-dp weekday indices (Spark's
+    * Sunday=1 weekday convention via dayofweek+1), Brown smoothing of
+    * the deseasonalized series, next-day seasonal re-add. */
+  val qHoltWinters: String = {
+    val k = 14; val alpha = 0.3
+    val ew = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+    def lagCols(src: String, out: String) = (0 until k).map(i =>
+      s"lag($src, $i) OVER (PARTITION BY station_id ORDER BY day) AS ${out}_l$i")
+      .mkString(",\n        ")
+    def num(out: String) = (0 until k).map(i =>
+      s"(CASE WHEN ${out}_l$i IS NOT NULL THEN ${out}_l$i * ${ew(i)} ELSE 0.0 END)")
+      .mkString(" + ")
+    def den(out: String) = (0 until k).map(i =>
+      s"(CASE WHEN ${out}_l$i IS NOT NULL THEN ${ew(i)} ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""
+    WITH $world,
+    filled AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x,
+        dayofweek(day) + 1 AS wd
+      FROM raw_daily),
+    mu AS (
+      SELECT station_id, round(avg(x) + 1e-9, 4) AS mu
+      FROM filled GROUP BY 1),
+    s_idx AS (
+      SELECT f.station_id, f.wd,
+        round(round(avg(f.x) + 1e-9, 4) - m.mu + 1e-9, 4) AS s_idx
+      FROM filled f JOIN mu m USING (station_id)
+      GROUP BY f.station_id, f.wd, m.mu),
+    d0 AS (
+      SELECT f.station_id, f.day, f.x, s.s_idx, f.x - s.s_idx AS d
+      FROM filled f JOIN s_idx s USING (station_id, wd)),
+    lag1 AS (
+      SELECT station_id, day, x, s_idx, d,
+        ${lagCols("d", "s1")}
+      FROM d0),
+    sm1 AS (
+      SELECT station_id, day, x, s_idx,
+        round((${num("s1")}) / (${den("s1")}) + 1e-9, 6) AS s1
+      FROM lag1),
+    lag2 AS (
+      SELECT station_id, day, x, s_idx, s1,
+        ${lagCols("s1", "s2")}
+      FROM sm1),
+    sm2 AS (
+      SELECT station_id, day, x, s_idx, s1,
+        round((${num("s2")}) / (${den("s2")}) + 1e-9, 6) AS s2
+      FROM lag2),
+    o AS (
+      SELECT station_id, day, x, s_idx, s1, s2,
+        round(2.0 * s1 - s2 + 1e-9, 6) AS level,
+        round(${alpha / (1 - alpha)} * (s1 - s2) + 1e-9, 6) AS trend,
+        dayofweek(day + 1) + 1 AS wd_next
+      FROM sm2)
+    SELECT o.station_id, o.day, o.x, o.s_idx, o.level, o.trend,
+      round(o.level + o.trend + s.s_idx + 1e-9, 6) AS yhat_1
+    FROM o JOIN s_idx s ON s.station_id = o.station_id AND s.wd = o.wd_next
+    ORDER BY o.station_id, o.day"""
+  }
+
   val qHoltBrown: String = {
     val k = 14; val alpha = 0.3
     val ew = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
@@ -3742,6 +3802,7 @@ object TsOracle {
     "q_continentality" -> qContinentality,
     "q_gsl" -> qGsl,
     "q_holt_brown" -> qHoltBrown,
+    "q_holt_winters" -> qHoltWinters,
     "q_pacf" -> qPacf,
     "q_dry_spells" -> qDrySpells,
     "q_spi_zscore" -> qSpiZscore,

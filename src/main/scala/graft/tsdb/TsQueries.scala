@@ -354,6 +354,9 @@ object TsQueries {
   def qHoltBrown(s: SparkSession, d: String): DataFrame =
     Climate.brownDouble(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
 
+  def qHoltWinters(s: SparkSession, d: String): DataFrame =
+    Climate.holtWinters(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
+
   def qPacf(s: SparkSession, d: String): DataFrame =
     Climate.pacf(rawDaily(s, d)).orderBy(col("station_id"), col("lag"))
 
@@ -678,6 +681,7 @@ object TsQueries {
     "q_continentality" -> (qContinentality _),
     "q_gsl" -> (qGsl _),
     "q_holt_brown" -> (qHoltBrown _),
+    "q_holt_winters" -> (qHoltWinters _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_precip_indices" -> (qPrecipIndices _),

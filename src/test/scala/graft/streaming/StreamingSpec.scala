@@ -476,4 +476,31 @@ class StreamingSpec extends SparkSpec {
       (3L, 30.0, "2024-01-03"), (4L, 4.0, "2024-01-02")),
       s"merged table mismatch: $back")
   }
+
+  test("streaming cdc upsert: insert/update/noop provenance, last-writer wins") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Streaming.CdcEvent]
+    val q = Streaming.cdcUpsertStream(input.toDS()).writeStream
+      .format("memory").queryName("cdc_up").outputMode("update").start()
+    input.addData(
+      Streaming.CdcEvent(1L, 1L, ts(0, 0), "view", 1.0),
+      Streaming.CdcEvent(1L, 2L, ts(0, 10), "click", 2.0),
+      Streaming.CdcEvent(2L, 3L, ts(0, 5), "view", 4.0))
+    q.processAllAvailable()
+    input.addData(
+      Streaming.CdcEvent(1L, 4L, ts(1, 0), "purchase", 9.0), // newer → update
+      Streaming.CdcEvent(2L, 5L, ts(0, 0), "error", 7.0)) // older → noop
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cdc_up").as[Streaming.CdcRow].collect()
+    val ins = rows.filter(_.op == "insert")
+    assert(ins.map(_.user_id).toSet === Set(1L, 2L))
+    assert(ins.find(_.user_id == 1L).get.state === "click", "in-batch max wins")
+    val upd = rows.filter(_.op == "update")
+    assert(upd.map(_.user_id).toSeq === Seq(1L) && upd.head.state === "purchase")
+    val noop = rows.filter(_.op == "noop")
+    assert(noop.map(_.user_id).toSeq === Seq(2L), "late redelivery is a noop")
+    assert(noop.head.state === "view" && noop.head.value === 4.0,
+      "noop must re-emit the HELD state, not the late event")
+  }
 }
