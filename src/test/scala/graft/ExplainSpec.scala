@@ -35,6 +35,31 @@ class ExplainSpec extends SparkSpec {
       s"scan reads ${lineitem.requiredSchema.size} columns: ${lineitem.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("item-cf prunes the lineitem scan to the two key columns") {
+    val s = scans("q_item_cf")
+    val li = s.find(_.metadata.getOrElse("Location", "").contains("lineitem")).get
+    assert(li.requiredSchema.fieldNames.toSet === Set("l_orderkey", "l_partkey"),
+      s"scan reads ${li.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("bm25 selects its top-k via TakeOrderedAndProject, not a global sort") {
+    val p = physical("q_bm25")
+    val tops = p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(tops.nonEmpty, "expected TakeOrderedAndProject in the bm25 plan")
+  }
+
+  test("scd2 is a join-free pipeline with bounded shuffles") {
+    val p = physical("q_scd2")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"unexpected joins: ${joins.map(_.nodeName)}")
+    val sh = p.collect { case e: ShuffleExchangeExec => e }
+    assert(sh.size <= 3, s"${sh.size} shuffles — collapse/window should share the user key")
+  }
+
   test("as-of join plans a single shuffle (union + window, no join node)") {
     val plan = physical("q_asof_join")
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
