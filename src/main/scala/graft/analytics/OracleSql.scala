@@ -782,12 +782,38 @@ object OracleSql {
     FROM h JOIN tot t USING (source)
     ORDER BY h.source, h.fanout"""
 
+  /** Mirrors Queries.qArAging: horizon-aged open orders banded with
+    * amount shares. */
+  val qArAging: String = """
+    WITH hz AS (SELECT max(o_orderdate::date) AS h FROM orders),
+    banded AS (
+      SELECT CASE WHEN age <= 30 THEN '0_current'
+                  WHEN age <= 60 THEN '1_31_60'
+                  WHEN age <= 90 THEN '2_61_90'
+                  ELSE '3_over_90' END AS band,
+        o_orderstatus, o_totalprice
+      FROM (
+        SELECT o.o_orderstatus, o.o_totalprice,
+          datediff('day', o.o_orderdate::date, z.h) AS age
+        FROM orders o CROSS JOIN hz z
+        WHERE o.o_orderstatus != 'F')),
+    g AS (
+      SELECT band, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        round(sum(o_totalprice) + 1e-9, 2) AS amount
+      FROM banded GROUP BY 1, 2),
+    tot AS (SELECT sum(amount) AS tot_amount FROM g)
+    SELECT g.band, g.o_orderstatus, g.n_orders, g.amount,
+      round(g.amount / t.tot_amount + 1e-9, 6) AS amount_share
+    FROM g CROSS JOIN tot t
+    ORDER BY g.band, g.o_orderstatus"""
+
   val all: Map[String, String] = Map(
     "q_order_reconciliation" -> qOrderReconciliation,
     "q_item_cf" -> qItemCf,
     "q_theil_decomposition" -> qTheilDecomposition,
     "q_k_anonymity" -> qKAnonymity,
     "q_join_skew_audit" -> qJoinSkewAudit,
+    "q_ar_aging" -> qArAging,
     "q_price_index" -> qPriceIndex,
     "q_order_backlog" -> qOrderBacklog,
     "q_abc_xyz" -> qAbcXyz,

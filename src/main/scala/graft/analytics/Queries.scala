@@ -1303,6 +1303,33 @@ object Queries {
       .orderBy(col("source"), col("fanout"))
   }
 
+  /** Accounts-receivable aging report — open orders banded by age at
+    * the data horizon (0–30 / 31–60 / 61–90 / 90+ days), the standing
+    * finance close-out view: order counts, open amounts and amount
+    * shares per (band, status).
+    *
+    * Plan: one 1-row horizon broadcast onto the orders scan (filter
+    * keeps only open statuses — pushed to parquet), one keyed band
+    * rollup + scalar total broadcast. */
+  def qArAging(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val horizon = orders.agg(max(to_date(col("o_orderdate"))).as("h"))
+    val banded = orders.filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(horizon))
+      .withColumn("age", datediff(col("h"), to_date(col("o_orderdate"))))
+      .withColumn("band",
+        when(col("age") <= 30, "0_current").when(col("age") <= 60, "1_31_60")
+          .when(col("age") <= 90, "2_61_90").otherwise("3_over_90"))
+      .groupBy(col("band"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")) + lit(1e-9), 2).as("amount"))
+    val tot = banded.agg(sum(col("amount")).as("tot_amount"))
+    banded.crossJoin(broadcast(tot))
+      .select(col("band"), col("o_orderstatus"), col("n_orders"), col("amount"),
+        round(col("amount") / col("tot_amount") + lit(1e-9), 6).as("amount_share"))
+      .orderBy(col("band"), col("o_orderstatus"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -207,6 +207,50 @@ object GraphOps {
       .select(col("n_dir_edges"), col("assortativity"))
   }
 
+  /** HITS hubs-and-authorities on the DIRECTED edge frame — the
+    * second classic link-analysis fixpoint beside [[pageRank]] (a good
+    * hub points at good authorities; on a kNN graph authorities are
+    * the densely-chosen cores): `rounds` alternating updates a ← Σ_in
+    * h, h ← Σ_out a, each L1-normalized and rounded to 10 dp (the
+    * pageRank determinism discipline).
+    *
+    * Plan: per round two edges⋈scores joins on the edge keys + two
+    * keyed sums + two 1-row L1 broadcasts; per-round localCheckpoint
+    * with eager release. O(#edges) shuffle per half-round. */
+  def hits(edges: DataFrame, rounds: Int = 8): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      def normalize(df: DataFrame, c: String): DataFrame = {
+        val s = df.agg(sum(col(c)).as("l1"))
+        df.crossJoin(broadcast(s))
+          .select(col("id"), round(col(c) / col("l1"), 10).as(c))
+      }
+      var scores = nodes.select(col("id"), lit(1.0).as("auth"), lit(1.0).as("hub"))
+        .localCheckpoint(true)
+      (1 to rounds).foreach { _ =>
+        val aRaw = e.join(scores.select(col("id").as("src"), col("hub")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("a_raw"))
+        val auth = normalize(
+          nodes.join(aRaw, Seq("id"), "left")
+            .select(col("id"), coalesce(col("a_raw"), lit(0.0)).as("auth")), "auth")
+        val hRaw = e.join(auth.select(col("id").as("dst"), col("auth").as("a2")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(sum(col("a2")).as("h_raw"))
+        val hub = normalize(
+          nodes.join(hRaw, Seq("id"), "left")
+            .select(col("id"), coalesce(col("h_raw"), lit(0.0)).as("hub")), "hub")
+        val next = auth.join(hub, Seq("id")).localCheckpoint(true)
+        graft.core.Checkpoints.release(scores)
+        scores = next
+      }
+      scores.select(col("id"),
+        round(col("auth") + lit(1e-9), 8).as("authority"),
+        round(col("hub") + lit(1e-9), 8).as("hub"))
+    } finally e.unpersist()
+  }
+
   /** Single-source BFS layers on the undirected closure, FIXED-ROUND
     * (the distributed SSSP primitive; source = the minimum node id so
     * both engines pick it without input): `rounds` synchronous

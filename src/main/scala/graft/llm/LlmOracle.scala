@@ -266,6 +266,50 @@ object LlmOracle {
     SELECT step, nb_id AS vec_id, rel FROM sel10 ORDER BY step"""
   }
 
+  /** Mirrors Ann.hardNegatives: label-filtered cosine top-5 for the
+    * dense-id query sample. */
+  val qHardNegatives: String = s"""
+    WITH nl AS (
+      SELECT vec_id, label, embedding,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+          (a, b) -> a + b)) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.label AS q_label,
+        b.vec_id AS nb_id, b.label AS nb_label,
+        $dotAB / (a.nrm * b.nrm) AS cosine
+      FROM nl a JOIN nl b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+        AND a.label != b.label)
+    SELECT query_id, q_label, rank, nb_id, nb_label,
+      round(cosine + 1e-9, 6) AS cosine FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, nb_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Mirrors Cluster.classBalance: effective-number-of-samples
+    * weights, mean-1 normalized over classes. */
+  val qClassBalance: String = """
+    WITH counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        CAST(count(*) AS BIGINT) AS n_classes
+      FROM counts),
+    eff AS (
+      SELECT c.label, c.n,
+        round(c.n / CAST(t.n_total AS DOUBLE) + 1e-9, 6) AS share,
+        round((1.0 - pow(0.999, c.n)) / (1.0 - 0.999) + 1e-9, 4) AS eff_n,
+        t.n_classes
+      FROM counts c CROSS JOIN tot t),
+    w AS (SELECT *, 1.0 / eff_n AS w_raw FROM eff),
+    ws AS (SELECT sum(w_raw) AS w_sum FROM w)
+    SELECT w.label, w.n, w.share, w.eff_n,
+      round(w.w_raw * w.n_classes / s.w_sum + 1e-9, 6) AS weight
+    FROM w CROSS JOIN ws s
+    ORDER BY w.label"""
+
   private def profList(words: Seq[String]): String =
     words.mkString("['", "', '", "']")
 
@@ -2045,6 +2089,8 @@ object LlmOracle {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_ann_topk" -> qAnnTopk,
     "q_mmr_rerank" -> qMmrRerank,
+    "q_hard_negatives" -> qHardNegatives,
+    "q_class_balance" -> qClassBalance,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,

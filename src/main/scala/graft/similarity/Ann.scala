@@ -40,6 +40,37 @@ object Ann {
       .select(col("query_id"), col("rank"), col("nb_id"), round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for retrieval training — for each query
+    * vector (the dense-id evaluation sample vec_id < nQueries), the
+    * top-k most COSINE-similar vectors carrying a DIFFERENT label:
+    * the negatives that actually teach a contrastive model something.
+    * The LIMIT on the query side is exact (ids 0..nQueries−1 are
+    * dense) and makes the broadcast scoring join provably bounded.
+    *
+    * Plan: bounded query broadcast → one linear corpus pass; the
+    * label filter runs before ranking so mismatched pairs never reach
+    * the window; per-query top-k is a WindowGroupLimit. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val n = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      .limit(nQueries)
+    val c = n.select(col("vec_id").as("nb_id"), col("label").as("nb_label"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nb_id"))
+      .filter(col("nb_label") =!= col("q_label"))
+      .withColumn("cosine", expr(dot) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nb_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("rank"), col("nb_id"),
+        col("nb_label"), round(col("cosine") + lit(1e-9), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Maximal-marginal-relevance (MMR) diverse re-ranking of the
     * brute-force candidate list for one query (vec_id 0) — the rerank
     * seam of a RAG retrieval stack: greedily select `select` of the

@@ -329,4 +329,29 @@ object Cluster {
         max(col("nrm")).as("max_norm"))
       .orderBy(col("label"))
   }
+
+  /** Class-balanced re-weighting per label (Cui et al.'s effective
+    * number of samples): eff_n = (1−β^n)/(1−β), weight ∝ 1/eff_n
+    * normalized to mean 1 over classes — the standard correction fed
+    * into a sampler or loss when label frequencies skew.
+    *
+    * Plan: one keyed label count; everything after runs on the
+    * O(#classes) frame with two scalar broadcasts. eff_n quantizes at
+    * 4 dp so the libm pow() ulp never reaches the reported weights. */
+  def classBalance(embeddings: DataFrame, beta: Double = 0.999): DataFrame = {
+    val counts = embeddings.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"), count(lit(1)).as("n_classes"))
+    val eff = counts.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n") / col("n_total").cast("double")
+        + lit(1e-9), 6))
+      .withColumn("eff_n", round((lit(1.0) - pow(lit(beta), col("n").cast("double")))
+        / (lit(1.0) - lit(beta)) + lit(1e-9), 4))
+      .withColumn("w_raw", lit(1.0) / col("eff_n"))
+    val wSum = eff.agg(sum(col("w_raw")).as("w_sum"))
+    eff.crossJoin(broadcast(wSum))
+      .select(col("label"), col("n"), col("share"), col("eff_n"),
+        round(col("w_raw") * col("n_classes") / col("w_sum") + lit(1e-9), 6)
+          .as("weight"))
+      .orderBy(col("label"))
+  }
 }

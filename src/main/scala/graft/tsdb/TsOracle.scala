@@ -1351,6 +1351,42 @@ object TsOracle {
     ORDER BY station_id"""
   }
 
+  /** Mirrors GraphOps.hits: 8 unrolled alternating a/h updates,
+    * L1-normalized and 10-dp rounded per half-round. */
+  val qHits: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""ar$i AS (
+      SELECT n.id, coalesce(s.a_raw, 0.0) AS a
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum(p.hub) AS a_raw
+        FROM edges e JOIN sc${i - 1} p ON p.id = e.src GROUP BY 1) s
+      ON s.id = n.id),
+    an$i AS MATERIALIZED (
+      SELECT id, round(a / (SELECT sum(a) FROM ar$i), 10) AS auth FROM ar$i),
+    hr$i AS (
+      SELECT n.id, coalesce(s.h_raw, 0.0) AS h
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS id, sum(p.auth) AS h_raw
+        FROM edges e JOIN an$i p ON p.id = e.dst GROUP BY 1) s
+      ON s.id = n.id),
+    hn$i AS MATERIALIZED (
+      SELECT id, round(h / (SELECT sum(h) FROM hr$i), 10) AS hub FROM hr$i),
+    sc$i AS MATERIALIZED (
+      SELECT a.id, a.auth, h.hub FROM an$i a JOIN hn$i h USING (id))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $world,
+    edges AS MATERIALIZED (
+      SELECT DISTINCT station_id AS src, nb_id AS dst FROM knn
+      WHERE station_id != nb_id),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    sc0 AS MATERIALIZED (SELECT id, 1.0 AS auth, 1.0 AS hub FROM nodes),
+    $rounds
+    SELECT id AS station_id,
+      round(auth + 1e-9, 8) AS authority, round(hub + 1e-9, 8) AS hub
+    FROM sc8 ORDER BY station_id"""
+  }
+
   /** Mirrors GraphOps.bfsLayers: 16 unrolled synchronous relaxations
     * from the min-id source; explicit NULL cases stand in for Spark's
     * null-skipping least(). */
@@ -3771,6 +3807,7 @@ object TsOracle {
     "q_knn_hubness" -> qKnnHubness,
     "q_koppen" -> qKoppen,
     "q_bfs_layers" -> qBfsLayers,
+    "q_hits" -> qHits,
     "q_jarque_bera" -> qJarqueBera,
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,

@@ -598,6 +598,10 @@ object TsQueries {
     graft.graph.GraphOps.bfsLayers(knnEdges(s, d))
       .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
 
+  def qHits(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.hits(knnEdges(s, d))
+      .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pettitt" -> (qPettitt _),
     "q_cusum" -> (qCusum _),
@@ -612,6 +616,7 @@ object TsQueries {
     "q_label_propagation" -> (qLabelPropagation _),
     "q_knn_hubness" -> (qKnnHubness _),
     "q_bfs_layers" -> (qBfsLayers _),
+    "q_hits" -> (qHits _),
     "q_ewma_control" -> (qEwmaControl _),
     "q_forecast_skill" -> (qForecastSkill _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
