@@ -1677,6 +1677,40 @@ object LlmOracle {
       round(abs(mean_score - pos_rate) + 1e-9, 6) AS gap
     FROM agg, tot t ORDER BY bin"""
 
+  /** Mirrors TextAnalysis.gainsLift: score-histogram deciles (equal
+    * scores share a decile), cumulative capture and lift. */
+  val qGainsLift: String = s"""
+    WITH scored AS (SELECT y, score FROM ($qQualityClassifier)),
+    hist AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM scored GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+      CAST(sum(n_pos) AS BIGINT) AS pos_total FROM hist),
+    cum AS (
+      SELECT h.*, t.n_total, t.pos_total,
+        CAST(sum(h.n) OVER w AS BIGINT) AS cum_n,
+        CAST(sum(h.n_pos) OVER w AS BIGINT) AS cum_pos
+      FROM hist h CROSS JOIN tot t
+      WINDOW w AS (ORDER BY h.score DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    banded AS (
+      SELECT *, CAST(least(ceil(10 * cum_n / CAST(n_total AS DOUBLE)), 10) AS INT)
+        AS decile
+      FROM cum),
+    g AS (
+      SELECT decile, CAST(sum(n) AS BIGINT) AS n,
+        CAST(max(cum_n) AS BIGINT) AS cum_n,
+        CAST(max(cum_pos) AS BIGINT) AS cum_pos,
+        CAST(max(n_total) AS BIGINT) AS n_total,
+        CAST(max(pos_total) AS BIGINT) AS pos_total
+      FROM banded GROUP BY 1)
+    SELECT decile, n, cum_n, cum_pos,
+      round(cum_pos / CAST(pos_total AS DOUBLE) + 1e-9, 6) AS capture,
+      round((cum_pos / CAST(cum_n AS DOUBLE))
+        / (pos_total / CAST(n_total AS DOUBLE)) + 1e-9, 4) AS lift
+    FROM g ORDER BY decile"""
+
   val qClassifierRoc: String = s"""
     WITH scored AS (SELECT y, score FROM ($qQualityClassifier)),
     th AS (SELECT i * 5 / 100.0 AS t FROM (SELECT unnest(range(1, 20)) AS i)),
@@ -2091,6 +2125,7 @@ object LlmOracle {
     "q_mmr_rerank" -> qMmrRerank,
     "q_hard_negatives" -> qHardNegatives,
     "q_class_balance" -> qClassBalance,
+    "q_gains_lift" -> qGainsLift,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,

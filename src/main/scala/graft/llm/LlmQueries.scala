@@ -58,6 +58,7 @@ object LlmQueries {
     "q_mmr_rerank" -> ((s, d) => Ann.mmrRerank(embs(s, d))),
     "q_hard_negatives" -> ((s, d) => Ann.hardNegatives(embs(s, d))),
     "q_class_balance" -> ((s, d) => Cluster.classBalance(embs(s, d))),
+    "q_gains_lift" -> ((s, d) => TextAnalysis.gainsLift(docs(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_ann_pq" -> ((s, d) => Ann.pqTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),

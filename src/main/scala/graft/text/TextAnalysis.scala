@@ -863,6 +863,45 @@ object TextAnalysis {
         col("tpr"), col("fpr"), col("precision_"))
   }
 
+  /** Cumulative gains / lift table of [[qualityClassifier]] — the
+    * targeting readout next to [[classifierRoc]] (top decile captures
+    * X% of positives at lift L): documents rank by score DESC into
+    * deciles, with cumulative capture rate and lift vs the base rate.
+    *
+    * Scale shape: deciles come from the SCORE HISTOGRAM, not a global
+    * row sort — scores are 6-dp quantized, so the (score, n, n_pos)
+    * frame is small; the cumulative split and the decile rollup are
+    * windows over THAT frame (equal scores share a decile — the
+    * deterministic, shuffle-free version of ntile at corpus scale). */
+  def gainsLift(documents: DataFrame, deciles: Int = 10): DataFrame = {
+    val scored = qualityClassifier(documents).select(col("y"), col("score"))
+    val hist = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+    val tot = hist.agg(sum(col("n")).as("n_total"), sum(col("n_pos")).as("pos_total"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val banded = hist.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .withColumn("decile",
+        least(ceil(lit(deciles) * col("cum_n") / col("n_total").cast("double")),
+          lit(deciles.toLong)).cast("int"))
+    banded.groupBy(col("decile"))
+      .agg(sum(col("n")).as("n"),
+        max(col("cum_n")).as("cum_n"), max(col("cum_pos")).as("cum_pos"),
+        max(col("n_total")).as("n_total"), max(col("pos_total")).as("pos_total"))
+      .withColumn("capture",
+        round(col("cum_pos") / col("pos_total").cast("double") + lit(1e-9), 6))
+      .withColumn("lift",
+        round((col("cum_pos") / col("cum_n").cast("double"))
+          / (col("pos_total") / col("n_total").cast("double")) + lit(1e-9), 4))
+      .select(col("decile"), col("n"), col("cum_n"), col("cum_pos"),
+        col("capture"), col("lift"))
+      .orderBy(col("decile"))
+  }
+
   /** Calibration curve of [[qualityClassifier]] (reliability diagram
     * — does score 0.7 mean 70%?): fixed-width score bins, per bin the
     * observed positive rate against the mean predicted score; the

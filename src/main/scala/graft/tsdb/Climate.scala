@@ -1362,6 +1362,69 @@ object Climate {
           .as("yhat_1"))
   }
 
+  /** Lag-1 Granger causality from each station's rank-1 neighbor —
+    * "does knowing the neighbor's yesterday improve my forecast beyond
+    * my own yesterday?": restricted model x_t ~ x_{t−1} vs
+    * unrestricted x_t ~ x_{t−1} + y_{t−1}, F-test on the SSE drop
+    * (1 numerator dof; F ≈ 3.84 critical at 95% for large n). All
+    * coefficients come in closed form from one keyed moment aggregate
+    * — no iterative fit.
+    *
+    * Plan: one rank-1 kNN join, one (nb, day) keyed series join, one
+    * station-partitioned lag window, ONE 9-sum moment aggregate to
+    * O(#stations) and pure arithmetic after. */
+  def grangerNeighbor(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    val nb1 = knn.filter(col("rank") === 1)
+      .select(col("station_id"), col("nb_id"))
+    val x = rawDaily.select(col("station_id"), col("day"),
+      coalesce(col("raw"), lit(0.0)).as("x"))
+    val y = rawDaily.select(col("station_id").as("nb_id"), col("day"),
+      coalesce(col("raw"), lit(0.0)).as("y"))
+    val j = x.join(nb1, Seq("station_id")).join(y, Seq("nb_id", "day"))
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val lagged = j
+      .withColumn("xl", lag(col("x"), 1).over(w))
+      .withColumn("yl", lag(col("y"), 1).over(w))
+      .filter(col("xl").isNotNull)
+    val m = lagged.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("xl")).as("sxl"), sum(col("yl")).as("syl"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("xl") * col("xl")).as("sxlxl"),
+        sum(col("yl") * col("yl")).as("sylyl"),
+        sum(col("x") * col("xl")).as("sxxl"),
+        sum(col("x") * col("yl")).as("sxyl"),
+        sum(col("xl") * col("yl")).as("sxlyl"))
+    m.withColumn("nd", col("n").cast("double"))
+      .withColumn("vx", col("sxx") / col("nd") - (col("sx") / col("nd")) * (col("sx") / col("nd")))
+      .withColumn("c11", col("sxlxl") / col("nd") - (col("sxl") / col("nd")) * (col("sxl") / col("nd")))
+      .withColumn("c22", col("sylyl") / col("nd") - (col("syl") / col("nd")) * (col("syl") / col("nd")))
+      .withColumn("c12", col("sxlyl") / col("nd") - (col("sxl") / col("nd")) * (col("syl") / col("nd")))
+      .withColumn("c1y", col("sxxl") / col("nd") - (col("sxl") / col("nd")) * (col("sx") / col("nd")))
+      .withColumn("c2y", col("sxyl") / col("nd") - (col("syl") / col("nd")) * (col("sx") / col("nd")))
+      .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+      .withColumn("sse_r",
+        when(col("c11") > 0.0,
+          col("nd") * (col("vx") - col("c1y") * col("c1y") / col("c11"))))
+      .withColumn("b1",
+        when(col("det") > 0.0,
+          (col("c1y") * col("c22") - col("c2y") * col("c12")) / col("det")))
+      .withColumn("b2",
+        when(col("det") > 0.0,
+          (col("c2y") * col("c11") - col("c1y") * col("c12")) / col("det")))
+      .withColumn("sse_u",
+        when(col("det") > 0.0,
+          col("nd") * (col("vx") - col("b1") * col("c1y") - col("b2") * col("c2y"))))
+      .withColumn("f_stat",
+        when(col("sse_u") > 0.0 && col("n") > 3,
+          round((col("sse_r") - col("sse_u"))
+            / (col("sse_u") / (col("nd") - 3.0)) + lit(1e-9), 4)))
+      .select(col("station_id"), col("n"),
+        round(col("b2") + lit(1e-9), 6).as("granger_coef"),
+        col("f_stat"),
+        (col("f_stat") > 3.84).as("causal"))
+  }
+
   /** Partial autocorrelation at lags 1–3 per station via the closed
     * Durbin–Levinson recursion on the (4-dp) ACF — the AR-order
     * diagnostic read next to [[acf]] and [[ljungBox]].

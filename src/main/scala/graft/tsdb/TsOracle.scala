@@ -1351,6 +1351,54 @@ object TsOracle {
     ORDER BY station_id"""
   }
 
+  /** Mirrors Climate.grangerNeighbor: rank-1 neighbor series pair,
+    * lag-1 moments, closed-form restricted/unrestricted SSEs, F. */
+  val qGranger: String = s"""
+    WITH $world,
+    nb1 AS (SELECT station_id, nb_id FROM knn WHERE rank = 1),
+    x AS (SELECT station_id, day, coalesce(raw, 0.0) AS x FROM raw_daily),
+    j AS (
+      SELECT a.station_id, a.day, a.x, b.x AS y
+      FROM x a JOIN nb1 USING (station_id)
+      JOIN x b ON b.station_id = nb1.nb_id AND b.day = a.day),
+    lagged AS (
+      SELECT station_id, day, x, y,
+        lag(x) OVER w AS xl, lag(y) OVER w AS yl
+      FROM j WINDOW w AS (PARTITION BY station_id ORDER BY day)),
+    f AS (SELECT * FROM lagged WHERE xl IS NOT NULL),
+    m AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        sum(x) AS sx, sum(xl) AS sxl, sum(yl) AS syl,
+        sum(x*x) AS sxx, sum(xl*xl) AS sxlxl, sum(yl*yl) AS sylyl,
+        sum(x*xl) AS sxxl, sum(x*yl) AS sxyl, sum(xl*yl) AS sxlyl
+      FROM f GROUP BY 1),
+    c1 AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m),
+    c2 AS (SELECT *,
+        sxx/nd - (sx/nd)*(sx/nd) AS vx,
+        sxlxl/nd - (sxl/nd)*(sxl/nd) AS c11,
+        sylyl/nd - (syl/nd)*(syl/nd) AS c22,
+        sxlyl/nd - (sxl/nd)*(syl/nd) AS c12,
+        sxxl/nd - (sxl/nd)*(sx/nd) AS c1y,
+        sxyl/nd - (syl/nd)*(sx/nd) AS c2y
+      FROM c1),
+    c3 AS (SELECT *, c11*c22 - c12*c12 AS det FROM c2),
+    c4 AS (SELECT *,
+        CASE WHEN c11 > 0.0 THEN nd * (vx - c1y*c1y/c11) END AS sse_r,
+        CASE WHEN det > 0.0 THEN (c1y*c22 - c2y*c12)/det END AS b1,
+        CASE WHEN det > 0.0 THEN (c2y*c11 - c1y*c12)/det END AS b2
+      FROM c3),
+    c5 AS (SELECT *,
+        CASE WHEN det > 0.0 THEN nd * (vx - b1*c1y - b2*c2y) END AS sse_u
+      FROM c4),
+    c6 AS (SELECT *,
+        CASE WHEN sse_u > 0.0 AND n > 3
+          THEN round((sse_r - sse_u) / (sse_u / (nd - 3.0)) + 1e-9, 4)
+        END AS f_stat
+      FROM c5)
+    SELECT station_id, n, round(b2 + 1e-9, 6) AS granger_coef, f_stat,
+      f_stat > 3.84 AS causal
+    FROM c6 ORDER BY station_id"""
+
   /** Mirrors GraphOps.hits: 8 unrolled alternating a/h updates,
     * L1-normalized and 10-dp rounded per half-round. */
   val qHits: String = {
@@ -3808,6 +3856,7 @@ object TsOracle {
     "q_koppen" -> qKoppen,
     "q_bfs_layers" -> qBfsLayers,
     "q_hits" -> qHits,
+    "q_granger" -> qGranger,
     "q_jarque_bera" -> qJarqueBera,
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,

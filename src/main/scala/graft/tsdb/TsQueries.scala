@@ -357,6 +357,10 @@ object TsQueries {
   def qHoltWinters(s: SparkSession, d: String): DataFrame =
     Climate.holtWinters(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
 
+  def qGranger(s: SparkSession, d: String): DataFrame =
+    Climate.grangerNeighbor(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"))
+
   def qPacf(s: SparkSession, d: String): DataFrame =
     Climate.pacf(rawDaily(s, d)).orderBy(col("station_id"), col("lag"))
 
@@ -687,6 +691,7 @@ object TsQueries {
     "q_gsl" -> (qGsl _),
     "q_holt_brown" -> (qHoltBrown _),
     "q_holt_winters" -> (qHoltWinters _),
+    "q_granger" -> (qGranger _),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_precip_indices" -> (qPrecipIndices _),
