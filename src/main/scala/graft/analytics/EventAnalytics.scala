@@ -2033,6 +2033,76 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Two-component 1-D Gaussian-mixture fit per event type by
+    * fixed-round EM — the classic "is this value column bimodal, and
+    * where are the modes?" model, in the engine's deterministic-
+    * iteration discipline: responsibilities quantize at 6 dp, every
+    * re-estimated parameter at 4 dp per round (the qualityClassifier
+    * contract — libm exp ulps never reach the trajectory), variances
+    * clamped at 1e-4, component 1 pinned to the lower-mean init so
+    * labels can't swap.
+    *
+    * Plan: `rounds` × (broadcast the O(#types) parameter frame onto
+    * the value scan → map-side responsibilities → ONE map-combinable
+    * 7-sum keyed aggregate); the value frame persists across rounds.
+    * Iterations multiply the constant, not the shape — nothing sized
+    * by the data ever sits in the loop state. */
+  def emMixture(events: DataFrame, rounds: Int = 3): DataFrame = {
+    val vals = events.select(col("event_type"), col("value").cast("double").as("v"))
+      .filter(col("v").isNotNull).persist()
+    try {
+      val init = vals.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v")) + lit(1e-9), 4).as("m"),
+          round(stddev_pop(col("v")) + lit(1e-9), 4).as("s"))
+        .select(col("event_type"), col("n"),
+          lit(0.5).as("pi1"), (col("m") - col("s")).as("mu1"),
+          greatest(round(col("s") * col("s") / lit(2.0) + lit(1e-9), 4),
+            lit(0.0001)).as("var1"),
+          lit(0.5).as("pi2"), (col("m") + col("s")).as("mu2"),
+          greatest(round(col("s") * col("s") / lit(2.0) + lit(1e-9), 4),
+            lit(0.0001)).as("var2"))
+      var params = init.localCheckpoint(true)
+      (1 to rounds).foreach { _ =>
+        val resp = vals.join(broadcast(params), Seq("event_type"))
+          .withColumn("w1", col("pi1") / sqrt(col("var1"))
+            * exp((col("v") - col("mu1")) * (col("v") - col("mu1"))
+              / (lit(-2.0) * col("var1"))))
+          .withColumn("w2", col("pi2") / sqrt(col("var2"))
+            * exp((col("v") - col("mu2")) * (col("v") - col("mu2"))
+              / (lit(-2.0) * col("var2"))))
+          .withColumn("r2", round(
+            when(col("w1") + col("w2") > 0.0,
+              col("w2") / (col("w1") + col("w2"))).otherwise(lit(0.5))
+              + lit(1e-9), 6))
+          .withColumn("r1", lit(1.0) - col("r2"))
+        val next = resp.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("r1")).as("n1"), sum(col("r2")).as("n2"),
+            sum(col("r1") * col("v")).as("s1"), sum(col("r2") * col("v")).as("s2"),
+            sum(col("r1") * col("v") * col("v")).as("q1"),
+            sum(col("r2") * col("v") * col("v")).as("q2"))
+          .select(col("event_type"), col("n"),
+            round(col("n1") / col("n").cast("double") + lit(1e-9), 4).as("pi1"),
+            round(col("s1") / col("n1") + lit(1e-9), 4).as("mu1"),
+            greatest(round(col("q1") / col("n1")
+              - (col("s1") / col("n1")) * (col("s1") / col("n1"))
+              + lit(1e-9), 4), lit(0.0001)).as("var1"),
+            round(col("n2") / col("n").cast("double") + lit(1e-9), 4).as("pi2"),
+            round(col("s2") / col("n2") + lit(1e-9), 4).as("mu2"),
+            greatest(round(col("q2") / col("n2")
+              - (col("s2") / col("n2")) * (col("s2") / col("n2"))
+              + lit(1e-9), 4), lit(0.0001)).as("var2"))
+          .localCheckpoint(true)
+        graft.core.Checkpoints.release(params)
+        params = next
+      }
+      params.select(col("event_type"), col("n"), col("pi1"), col("mu1"),
+        col("var1"), col("pi2"), col("mu2"), col("var2"))
+        .orderBy(col("event_type"))
+    } finally vals.unpersist()
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
@@ -2043,6 +2113,7 @@ object EventAnalytics {
     "q_nelson_aalen" -> ((s, d) => nelsonAalen(Tables.events(s, d))),
     "q_uplift_segments" -> ((s, d) => upliftSegments(Tables.events(s, d))),
     "q_cdc_merge" -> ((s, d) => cdcMerge(Tables.events(s, d))),
+    "q_em_mixture" -> ((s, d) => emMixture(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
@@ -3467,6 +3538,55 @@ object EventOracle {
     FROM base b FULL OUTER JOIN chg c ON c.user_id = b.user_id
     ORDER BY user_id"""
 
+  /** Mirrors EventAnalytics.emMixture: 3 unrolled EM rounds, 6-dp
+    * responsibilities, 4-dp parameters, 1e-4 variance clamp. */
+  val qEmMixture: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""e$i AS (
+      SELECT event_type, v,
+        round(CASE WHEN w1 + w2 > 0.0 THEN w2 / (w1 + w2) ELSE 0.5 END
+          + 1e-9, 6) AS r2
+      FROM (
+        SELECT v.event_type, v.v,
+          p.pi1 / sqrt(p.var1)
+            * exp((v.v - p.mu1) * (v.v - p.mu1) / (-2.0 * p.var1)) AS w1,
+          p.pi2 / sqrt(p.var2)
+            * exp((v.v - p.mu2) * (v.v - p.mu2) / (-2.0 * p.var2)) AS w2
+        FROM vals v JOIN p${i - 1} p USING (event_type))),
+    p$i AS MATERIALIZED (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        round(sum(1.0 - r2) / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS pi1,
+        round(sum((1.0 - r2) * v) / sum(1.0 - r2) + 1e-9, 4) AS mu1,
+        greatest(round(sum((1.0 - r2) * v * v) / sum(1.0 - r2)
+          - (sum((1.0 - r2) * v) / sum(1.0 - r2))
+            * (sum((1.0 - r2) * v) / sum(1.0 - r2)) + 1e-9, 4), 0.0001) AS var1,
+        round(sum(r2) / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS pi2,
+        round(sum(r2 * v) / sum(r2) + 1e-9, 4) AS mu2,
+        greatest(round(sum(r2 * v * v) / sum(r2)
+          - (sum(r2 * v) / sum(r2)) * (sum(r2 * v) / sum(r2))
+          + 1e-9, 4), 0.0001) AS var2
+      FROM e$i GROUP BY 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH vals AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    init AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        round(avg(v) + 1e-9, 4) AS m,
+        round(stddev_pop(v) + 1e-9, 4) AS s
+      FROM vals GROUP BY 1),
+    p0 AS MATERIALIZED (
+      SELECT event_type, n, 0.5 AS pi1, m - s AS mu1,
+        greatest(round(s * s / 2.0 + 1e-9, 4), 0.0001) AS var1,
+        0.5 AS pi2, m + s AS mu2,
+        greatest(round(s * s / 2.0 + 1e-9, 4), 0.0001) AS var2
+      FROM init),
+    $rounds
+    SELECT event_type, n, pi1, mu1, var1, pi2, mu2, var2
+    FROM p3 ORDER BY event_type"""
+  }
+
   /** Mirrors EventAnalytics.markovAttribution: the same chain build,
     * with the K-round fixed point UNROLLED as K generated CTEs (each
     * round rounded to 10 dp exactly like the Spark loop). */
@@ -3648,6 +3768,7 @@ object EventOracle {
     "q_nelson_aalen" -> qNelsonAalen,
     "q_uplift_segments" -> qUpliftSegments,
     "q_cdc_merge" -> qCdcMerge,
+    "q_em_mixture" -> qEmMixture,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,
