@@ -58,6 +58,7 @@ object SparkEntry {
     "q_k_anonymity" -> (Queries.qKAnonymity _),
     "q_join_skew_audit" -> (Queries.qJoinSkewAudit _),
     "q_ar_aging" -> (Queries.qArAging _),
+    "q_recsys_eval" -> (Queries.qRecsysEval _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

@@ -807,7 +807,31 @@ object OracleSql {
     FROM g CROSS JOIN tot t
     ORDER BY g.band, g.o_orderstatus"""
 
+  /** Mirrors Queries.qRecsysEval: max-id held-out target, context →
+    * CF-neighbor match, per-basket-size hit rate. */
+  val qRecsysEval: String = s"""
+    WITH cf AS (SELECT item, item_b FROM ($qItemCf)),
+    op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+    sized AS (
+      SELECT ok, CAST(count(*) AS BIGINT) AS basket_size, max(item) AS target
+      FROM op GROUP BY 1 HAVING count(*) >= 2),
+    context AS (
+      SELECT o.ok, o.item, s.target
+      FROM op o JOIN sized s USING (ok)
+      WHERE o.item != s.target),
+    hits AS (
+      SELECT DISTINCT c.ok
+      FROM context c JOIN cf ON cf.item = c.item
+      WHERE cf.item_b = c.target)
+    SELECT s.basket_size, CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CASE WHEN h.ok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      round(sum(CASE WHEN h.ok IS NOT NULL THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS hit_rate
+    FROM sized s LEFT JOIN hits h ON h.ok = s.ok
+    GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
+    "q_recsys_eval" -> qRecsysEval,
     "q_order_reconciliation" -> qOrderReconciliation,
     "q_item_cf" -> qItemCf,
     "q_theil_decomposition" -> qTheilDecomposition,

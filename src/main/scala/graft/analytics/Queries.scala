@@ -1330,6 +1330,39 @@ object Queries {
       .orderBy(col("band"), col("o_orderstatus"))
   }
 
+  /** Hit-rate@5 evaluation of the item-CF recommender (`q_item_cf`):
+    * per multi-item order, hold out the max-id item as the target and
+    * check whether ANY remaining basket item's top-5 neighbor list
+    * contains it — reported by basket size. Resubstitution protocol
+    * (the CF trains on all baskets, held-out pair included), so the
+    * numbers are an upper bound — stated, not hidden.
+    *
+    * Plan: the CF top-5 frame is O(#items·5); the evaluation is three
+    * keyed equi-joins (context → neighbor list → target match) + one
+    * rollup — no new pair enumeration beyond the CF's own. */
+  def qRecsysEval(spark: SparkSession, dir: String): DataFrame = {
+    val cf = qItemCf(spark, dir).select(col("item"), col("item_b"))
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+    val sized = op.groupBy(col("ok")).agg(count(lit(1)).as("basket_size"),
+      max(col("item")).as("target"))
+      .filter(col("basket_size") >= 2)
+    val context = op.join(sized, Seq("ok"))
+      .filter(col("item") =!= col("target"))
+    val hits = context
+      .join(cf, Seq("item"))
+      .filter(col("item_b") === col("target"))
+      .select(col("ok")).distinct()
+      .withColumn("hit", lit(1L))
+    sized.join(hits, Seq("ok"), "left")
+      .groupBy(col("basket_size"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("hit_rate",
+        round(col("n_hits") / col("n_orders").cast("double") + lit(1e-9), 6))
+      .orderBy(col("basket_size"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

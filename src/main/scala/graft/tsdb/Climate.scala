@@ -1362,6 +1362,32 @@ object Climate {
           .as("yhat_1"))
   }
 
+  /** One-step backtest of [[holtWinters]] against the persistence
+    * baseline (x̂_{t+1} = x_t) — does the seasonal model actually beat
+    * "tomorrow equals today"? Per station: MAE of both forecasts over
+    * the common evaluation days and the skill score 1 − MAE_hw /
+    * MAE_persist (> 0 ⇒ the model earns its keep).
+    *
+    * Plan: the holtWinters frame self-aligns by a lead(1) window per
+    * station (no extra join against the actuals), one keyed MAE
+    * rollup — cost is holtWinters + one window pass. */
+  def holtWintersSkill(rawDaily: DataFrame): DataFrame = {
+    val hw = holtWinters(rawDaily)
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val aligned = hw
+      .withColumn("x_next", lead(col("x"), 1).over(w))
+      .filter(col("x_next").isNotNull)
+    aligned.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(abs(col("x_next") - col("yhat_1"))) + lit(1e-9), 4).as("mae_hw"),
+        round(avg(abs(col("x_next") - col("x"))) + lit(1e-9), 4).as("mae_persist"))
+      .withColumn("skill",
+        when(col("mae_persist") > 0.0,
+          round(lit(1.0) - col("mae_hw") / col("mae_persist") + lit(1e-9), 4)))
+      .select(col("station_id"), col("n"), col("mae_hw"),
+        col("mae_persist"), col("skill"))
+  }
+
   /** Lag-1 Granger causality from each station's rank-1 neighbor —
     * "does knowing the neighbor's yesterday improve my forecast beyond
     * my own yesterday?": restricted model x_t ~ x_{t−1} vs

@@ -2258,6 +2258,25 @@ object TsOracle {
     ORDER BY o.station_id, o.day"""
   }
 
+  /** Mirrors Climate.holtWintersSkill: lead-aligned one-step backtest
+    * of the HW forecast vs persistence. */
+  val qHwSkill: String = s"""
+    WITH hw AS (SELECT * FROM ($qHoltWinters)),
+    aligned AS (
+      SELECT station_id, day, x, yhat_1,
+        lead(x) OVER (PARTITION BY station_id ORDER BY day) AS x_next
+      FROM hw),
+    f AS (SELECT * FROM aligned WHERE x_next IS NOT NULL),
+    m AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        round(avg(abs(x_next - yhat_1)) + 1e-9, 4) AS mae_hw,
+        round(avg(abs(x_next - x)) + 1e-9, 4) AS mae_persist
+      FROM f GROUP BY 1)
+    SELECT station_id, n, mae_hw, mae_persist,
+      CASE WHEN mae_persist > 0.0
+        THEN round(1.0 - mae_hw / mae_persist + 1e-9, 4) END AS skill
+    FROM m ORDER BY station_id"""
+
   val qHoltBrown: String = {
     val k = 14; val alpha = 0.3
     val ew = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
@@ -3857,6 +3876,7 @@ object TsOracle {
     "q_bfs_layers" -> qBfsLayers,
     "q_hits" -> qHits,
     "q_granger" -> qGranger,
+    "q_hw_skill" -> qHwSkill,
     "q_jarque_bera" -> qJarqueBera,
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,
