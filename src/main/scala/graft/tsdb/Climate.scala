@@ -1362,6 +1362,70 @@ object Climate {
           .as("yhat_1"))
   }
 
+  /** Viterbi decode of a fixed two-state precipitation-regime HMM
+    * (calm / storm; stay-probability 0.9, three observation bands
+    * none / light / heavy with pinned emission tables) — regime
+    * segmentation as a PURE Catalyst higher-order fold, no UDF: the
+    * per-station day-sorted observation array folds through
+    * `aggregate()` carrying (best-log-prob, best-path-string) for
+    * each end state, 4-dp rounded per step so both engines walk the
+    * identical lattice; ties prefer staying (deterministic).
+    *
+    * Plan: one (station) collect of the day-sorted band array (the
+    * DTW collapse shape — bounded by the series length), then a
+    * stateless fold per station; output is O(#stations). The path
+    * string is bounded by the series length, the same budget as the
+    * collected array itself. */
+  def viterbiRegimes(rawDaily: DataFrame): DataFrame = {
+    def l(x: Double) = math.log(x)
+    val lnStay = l(0.9); val lnSwitch = l(0.1)
+    val emC = Seq(l(0.35), l(0.6), l(0.05)) // calm: none/light/heavy
+    val emS = Seq(l(0.05), l(0.35), l(0.6)) // storm
+    val emCArr = s"array(${emC.mkString("D, ")}D)"
+    val emSArr = s"array(${emS.mkString("D, ")}D)"
+    val base = rawDaily.withColumn("x", coalesce(col("raw"), lit(0.0)))
+    // observation bands are STATION-RELATIVE (none / below-mean /
+    // above-mean, 4-dp mean) so the regime structure survives any
+    // absolute scale of the series
+    val mu = base.groupBy(col("station_id"))
+      .agg(round(avg(col("x")) + lit(1e-9), 4).as("mu"))
+    val series = base.join(mu, Seq("station_id"))
+      .withColumn("obs",
+        when(col("x") <= 0.0, 1).when(col("x") < col("mu"), 2).otherwise(3))
+      .groupBy(col("station_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, obs))), s -> s.obs)")
+        .as("os"))
+    val vit = s"""
+      aggregate(
+        os,
+        named_struct('lc', 0.0D, 'ls', 0.0D, 'pc', '', 'ps', ''),
+        (st, o) -> named_struct(
+          'lc', round(greatest(st.lc + $lnStay, st.ls + $lnSwitch)
+            + element_at($emCArr, o), 4),
+          'ls', round(greatest(st.ls + $lnStay, st.lc + $lnSwitch)
+            + element_at($emSArr, o), 4),
+          'pc', concat(CASE WHEN st.lc + $lnStay >= st.ls + $lnSwitch
+            THEN st.pc ELSE st.ps END, 'C'),
+          'ps', concat(CASE WHEN st.ls + $lnStay >= st.lc + $lnSwitch
+            THEN st.ps ELSE st.pc END, 'S')))"""
+    series
+      .withColumn("v", expr(vit))
+      .withColumn("logp",
+        round(greatest(col("v.lc"), col("v.ls")) + lit(1e-9), 4))
+      .withColumn("path", expr("CASE WHEN v.lc >= v.ls THEN v.pc ELSE v.ps END"))
+      .withColumn("n_days", length(col("path")))
+      .withColumn("storm_days",
+        length(col("path")) - length(regexp_replace(col("path"), "S", "")))
+      .withColumn("storm_share",
+        round(col("storm_days") / col("n_days").cast("double") + lit(1e-9), 6))
+      .withColumn("n_switches", expr(
+        // sequence(2, 1) would run DESCENDING in Spark — guard short paths
+        "CASE WHEN length(path) >= 2 THEN size(filter(sequence(2, length(path)), " +
+          "i -> substring(path, i, 1) != substring(path, i - 1, 1))) ELSE 0 END"))
+      .select(col("station_id"), col("n_days"), col("storm_days"),
+        col("storm_share"), col("n_switches"), col("logp"))
+  }
+
   /** One-step backtest of [[holtWinters]] against the persistence
     * baseline (x̂_{t+1} = x_t) — does the seasonal model actually beat
     * "tomorrow equals today"? Per station: MAE of both forecasts over

@@ -2258,6 +2258,69 @@ object TsOracle {
     ORDER BY o.station_id, o.day"""
   }
 
+  /** Mirrors Climate.viterbiRegimes: the same 4-dp-per-step Viterbi
+    * lattice, replayed as a RECURSIVE CTE over the step index —
+    * DuckDB's deep list_reduce lambda mis-evaluates the path CASEs
+    * (verified minimal repro: identical accumulator values, different
+    * branch), so the oracle iterates in plain SQL instead. */
+  val qViterbiRegimes: String = {
+    def l(x: Double) = math.log(x)
+    val lnStay = l(0.9); val lnSwitch = l(0.1)
+    val emC = Seq(l(0.35), l(0.6), l(0.05))
+    val emS = Seq(l(0.05), l(0.35), l(0.6))
+    val emCArr = s"[${emC.mkString("::DOUBLE, ")}::DOUBLE]"
+    val emSArr = s"[${emS.mkString("::DOUBLE, ")}::DOUBLE]"
+    s"""
+    WITH RECURSIVE $world,
+    basev AS (
+      SELECT station_id, day, coalesce(raw, 0.0) AS x FROM raw_daily),
+    muv AS (
+      SELECT station_id, round(avg(x) + 1e-9, 4) AS mu FROM basev GROUP BY 1),
+    obsd AS (
+      SELECT b.station_id, b.day,
+        CASE WHEN b.x <= 0.0 THEN 1
+             WHEN b.x < m.mu THEN 2 ELSE 3 END AS obs
+      FROM basev b JOIN muv m USING (station_id)),
+    series AS (
+      SELECT station_id,
+        list_transform(list_sort(list(struct_pack(day := day, obs := obs))),
+          s -> s.obs) AS os
+      FROM obsd GROUP BY 1),
+    steps AS (
+      SELECT station_id, 0 AS t, 0.0::DOUBLE AS lc, 0.0::DOUBLE AS ls,
+        '' AS pc, '' AS ps
+      FROM series
+      UNION ALL
+      SELECT s.station_id, s.t + 1,
+        round(greatest(s.lc + $lnStay, s.ls + $lnSwitch)
+          + list_extract($emCArr, o.os[s.t + 1]), 4),
+        round(greatest(s.ls + $lnStay, s.lc + $lnSwitch)
+          + list_extract($emSArr, o.os[s.t + 1]), 4),
+        (CASE WHEN s.lc + $lnStay >= s.ls + $lnSwitch
+          THEN s.pc ELSE s.ps END) || 'C',
+        (CASE WHEN s.ls + $lnStay >= s.lc + $lnSwitch
+          THEN s.ps ELSE s.pc END) || 'S'
+      FROM steps s JOIN series o USING (station_id)
+      WHERE s.t < len(o.os)),
+    folded AS (
+      SELECT s.station_id, s.lc, s.ls, s.pc, s.ps
+      FROM steps s JOIN series o USING (station_id)
+      WHERE s.t = len(o.os)),
+    p AS (
+      SELECT station_id,
+        round(greatest(lc, ls) + 1e-9, 4) AS logp,
+        CASE WHEN lc >= ls THEN pc ELSE ps END AS path
+      FROM folded)
+    SELECT station_id, CAST(length(path) AS INT) AS n_days,
+      CAST(length(path) - length(replace(path, 'S', '')) AS INT) AS storm_days,
+      round((length(path) - length(replace(path, 'S', '')))
+        / CAST(length(path) AS DOUBLE) + 1e-9, 6) AS storm_share,
+      CAST(len(list_filter(range(2, length(path) + 1),
+        i -> path[i] != path[i - 1])) AS INT) AS n_switches,
+      logp
+    FROM p ORDER BY station_id"""
+  }
+
   /** Mirrors Climate.holtWintersSkill: lead-aligned one-step backtest
     * of the HW forecast vs persistence. */
   val qHwSkill: String = s"""
@@ -3877,6 +3940,7 @@ object TsOracle {
     "q_hits" -> qHits,
     "q_granger" -> qGranger,
     "q_hw_skill" -> qHwSkill,
+    "q_viterbi_regimes" -> qViterbiRegimes,
     "q_jarque_bera" -> qJarqueBera,
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,

@@ -694,6 +694,8 @@ object TsQueries {
     "q_granger" -> (qGranger _),
     "q_hw_skill" -> ((s: SparkSession, d: String) =>
       Climate.holtWintersSkill(rawDaily(s, d)).orderBy(col("station_id"))),
+    "q_viterbi_regimes" -> ((s: SparkSession, d: String) =>
+      Climate.viterbiRegimes(rawDaily(s, d)).orderBy(col("station_id"))),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_precip_indices" -> (qPrecipIndices _),
