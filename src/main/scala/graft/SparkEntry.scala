@@ -59,6 +59,8 @@ object SparkEntry {
     "q_join_skew_audit" -> (Queries.qJoinSkewAudit _),
     "q_ar_aging" -> (Queries.qArAging _),
     "q_recsys_eval" -> (Queries.qRecsysEval _),
+    "q_dq_rules" -> (Queries.qDqRules _),
+    "q_metric_drilldown" -> (Queries.qMetricDrilldown _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++
     graft.analytics.EventAnalytics.queries

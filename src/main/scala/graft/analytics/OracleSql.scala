@@ -830,8 +830,89 @@ object OracleSql {
     FROM sized s LEFT JOIN hits h ON h.ok = s.ok
     GROUP BY 1 ORDER BY 1"""
 
+  /** Mirrors Queries.qDqRules: per-table conditional aggregates, one
+    * anti-join RI rule, uniqueness by count − distinct. */
+  val qDqRules: String = """
+    WITH li AS (
+      SELECT 1 AS rule_no, 'discount_in_0_0.1' AS rule, 'lineitem' AS table_name,
+        CAST(count(*) AS BIGINT) AS n_checked,
+        CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 2, 'quantity_in_1_50', 'lineitem', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 3, 'extendedprice_positive', 'lineitem', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 4, 'totalprice_positive', 'orders', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 5, 'orderdate_not_null', 'orders', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 6, 'acctbal_in_range', 'customer', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN c_acctbal < -1000.0 OR c_acctbal > 10000.0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 7, 'event_value_non_negative', 'events', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 8, 'event_id_unique', 'events', CAST(count(*) AS BIGINT),
+        CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 9, 'lineitem_orderkey_exists', 'lineitem',
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
+    SELECT rule_no, rule, table_name, n_checked, n_violations,
+      round(n_violations / CAST(n_checked AS DOUBLE) + 1e-9, 6) AS violation_share,
+      n_violations = 0 AS pass
+    FROM li ORDER BY rule_no"""
+
+  /** Mirrors Queries.qMetricDrilldown: stacked nation/segment
+    * pre/post revenue with delta shares (total from the nation dim). */
+  val qMetricDrilldown: String = """
+    WITH base AS (
+      SELECT n.n_name, c.c_mktsegment,
+        day(o.o_orderdate) >= 16 AS post,
+        l.l_extendedprice * (1.0 - l.l_discount) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    bd0 AS (
+      SELECT 'nation' AS dimension, n_name AS dim_value,
+        round(sum(CASE WHEN NOT post THEN rev ELSE 0.0 END) + 1e-9, 2) AS rev_pre,
+        round(sum(CASE WHEN post THEN rev ELSE 0.0 END) + 1e-9, 2) AS rev_post
+      FROM base GROUP BY 2
+      UNION ALL
+      SELECT 'mktsegment', c_mktsegment,
+        round(sum(CASE WHEN NOT post THEN rev ELSE 0.0 END) + 1e-9, 2),
+        round(sum(CASE WHEN post THEN rev ELSE 0.0 END) + 1e-9, 2)
+      FROM base GROUP BY 2),
+    d AS (
+      SELECT *, round(rev_post - rev_pre + 1e-9, 2) AS delta FROM bd0),
+    tot AS (
+      SELECT sum(delta) AS total_delta FROM d WHERE dimension = 'nation')
+    SELECT d.dimension, d.dim_value, d.rev_pre, d.rev_post, d.delta,
+      CASE WHEN abs(t.total_delta) > 0.0
+        THEN round(d.delta / t.total_delta + 1e-9, 6) END AS delta_share,
+      CASE WHEN d.rev_pre > 0.0
+        THEN round(d.rev_post / d.rev_pre - 1.0 + 1e-9, 6) END AS growth
+    FROM d CROSS JOIN tot t
+    ORDER BY d.dimension, d.dim_value"""
+
   val all: Map[String, String] = Map(
     "q_recsys_eval" -> qRecsysEval,
+    "q_dq_rules" -> qDqRules,
+    "q_metric_drilldown" -> qMetricDrilldown,
     "q_order_reconciliation" -> qOrderReconciliation,
     "q_item_cf" -> qItemCf,
     "q_theil_decomposition" -> qTheilDecomposition,

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -1361,6 +1361,110 @@ object Queries {
       .withColumn("hit_rate",
         round(col("n_hits") / col("n_orders").cast("double") + lit(1e-9), 6))
       .orderBy(col("basket_size"))
+  }
+
+  /** Declarative data-quality rule engine over the warehouse tables —
+    * the Deequ-shaped audit a pipeline runs before publishing: domain
+    * rules (discount/quantity/price/balance ranges), a referential-
+    * integrity rule (orphaned lineitems, by anti-join), and a
+    * uniqueness rule (duplicate event ids), each reported as
+    * (n_checked, n_violations, share, pass).
+    *
+    * Plan: one map-combinable conditional aggregate per scanned
+    * table + one anti-join count — every rule on a table shares its
+    * single scan; the report frame is O(#rules). */
+  def qDqRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val e = Tables.events(spark, dir)
+    def report(no: Int, rule: String, table: String,
+        checked: Column, viol: Column): Column =
+      struct(lit(no).as("rule_no"), lit(rule).as("rule"), lit(table).as("table_name"),
+        checked.as("n_checked"), viol.as("n_violations"))
+    val liRep = li.agg(explode(array(
+      report(1, "discount_in_0_0.1", "lineitem", count(lit(1)),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L))),
+      report(2, "quantity_in_1_50", "lineitem", count(lit(1)),
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L).otherwise(0L))),
+      report(3, "extendedprice_positive", "lineitem", count(lit(1)),
+        sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L))))).as("r"))
+    val oRep = o.agg(explode(array(
+      report(4, "totalprice_positive", "orders", count(lit(1)),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L))),
+      report(5, "orderdate_not_null", "orders", count(lit(1)),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))))).as("r"))
+    val cRep = c.agg(explode(array(
+      report(6, "acctbal_in_range", "customer", count(lit(1)),
+        sum(when(col("c_acctbal") < -1000.0 || col("c_acctbal") > 10000.0, 1L)
+          .otherwise(0L))))).as("r"))
+    val eRep = e.agg(explode(array(
+      report(7, "event_value_non_negative", "events", count(lit(1)),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L))),
+      report(8, "event_id_unique", "events", count(lit(1)),
+        count(lit(1)) - countDistinct(col("event_id"))))).as("r"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+    val riRep = li.agg(count(lit(1)).as("n")).crossJoin(
+        broadcast(orphans.agg(count(lit(1)).as("v"))))
+      .select(struct(lit(9).as("rule_no"),
+        lit("lineitem_orderkey_exists").as("rule"),
+        lit("lineitem").as("table_name"),
+        col("n").as("n_checked"), col("v").as("n_violations")).as("r"))
+    liRep.unionByName(oRep).unionByName(cRep).unionByName(eRep).unionByName(riRep)
+      .select(col("r.rule_no").as("rule_no"), col("r.rule").as("rule"),
+        col("r.table_name").as("table_name"), col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"))
+      .withColumn("violation_share",
+        round(col("n_violations") / col("n_checked").cast("double") + lit(1e-9), 6))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("rule_no"))
+  }
+
+  /** Metric drill-down / contribution analysis — "which segment moved
+    * revenue between the two half-months?": per dimension value
+    * (nation and market segment, stacked), the pre/post revenue, the
+    * absolute delta and its share of the total move — the root-cause
+    * table every BI engine ships.
+    *
+    * Plan: ONE lineitem⋈orders⋈customer join (orders/customer are the
+    * broadcast-able small sides) aggregated once per dimension, scalar
+    * total-delta broadcast. */
+  def qMetricDrilldown(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (dayofmonth(col("o_orderdate")) >= 16).as("post"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    val base = li.join(o, Seq("o_orderkey"))
+      .join(c, Seq("o_custkey"))
+      .join(broadcast(nat), Seq("c_nationkey"))
+    def drill(dim: String, value: Column): DataFrame = base
+      .groupBy(value.as("dim_value"))
+      .agg(round(sum(when(!col("post"), col("rev")).otherwise(0.0))
+        + lit(1e-9), 2).as("rev_pre"),
+        round(sum(when(col("post"), col("rev")).otherwise(0.0))
+          + lit(1e-9), 2).as("rev_post"))
+      .withColumn("dimension", lit(dim))
+    val both = drill("nation", col("n_name"))
+      .unionByName(drill("mktsegment", col("c_mktsegment")))
+      .withColumn("delta", round(col("rev_post") - col("rev_pre") + lit(1e-9), 2))
+    val tot = both.filter(col("dimension") === "nation")
+      .agg(sum(col("delta")).as("total_delta"))
+    both.crossJoin(broadcast(tot))
+      .select(col("dimension"), col("dim_value"), col("rev_pre"), col("rev_post"),
+        col("delta"),
+        when(abs(col("total_delta")) > 0.0,
+          round(col("delta") / col("total_delta") + lit(1e-9), 6)).as("delta_share"),
+        when(col("rev_pre") > 0.0,
+          round(col("rev_post") / col("rev_pre") - lit(1.0) + lit(1e-9), 6))
+          .as("growth"))
+      .orderBy(col("dimension"), col("dim_value"))
   }
 
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
