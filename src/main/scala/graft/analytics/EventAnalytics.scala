@@ -2103,6 +2103,44 @@ object EventAnalytics {
     } finally vals.unpersist()
   }
 
+  /** Sarle's bimodality coefficient per event type — the cheap test
+    * read BEFORE fitting [[emMixture]] (BC > 5/9 ≈ 0.5556, the uniform
+    * distribution's value, suggests two modes): population skewness
+    * and kurtosis from raw power sums, BC = (g1² + 1)·m2²/m4.
+    * Computed from explicit power sums instead of the built-in
+    * skewness()/kurtosis() because Spark and DuckDB disagree on the
+    * sample-bias correction — raw moments are engine-exact.
+    *
+    * Plan: ONE map-combinable 5-sum keyed aggregate, closed form. */
+  def bimodality(events: DataFrame): DataFrame = {
+    val v = events.select(col("event_type"), col("value").cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    v.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("m", col("s1") / col("nd"))
+      .withColumn("m2", col("s2") / col("nd") - col("m") * col("m"))
+      .withColumn("m3", col("s3") / col("nd")
+        - lit(3.0) * col("m") * (col("s2") / col("nd"))
+        + lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("m4", col("s4") / col("nd")
+        - lit(4.0) * col("m") * (col("s3") / col("nd"))
+        + lit(6.0) * col("m") * col("m") * (col("s2") / col("nd"))
+        - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+      .filter(col("m2") > 0.0)
+      .withColumn("skew", round(col("m3") / sqrt(col("m2") * col("m2") * col("m2"))
+        + lit(1e-9), 4))
+      .withColumn("kurt", round(col("m4") / (col("m2") * col("m2")) + lit(1e-9), 4))
+      .withColumn("bc", round((col("skew") * col("skew") + lit(1.0)) / col("kurt")
+        + lit(1e-9), 4))
+      .select(col("event_type"), col("n"), col("skew"), col("kurt"), col("bc"),
+        (col("bc") > lit(5.0 / 9.0)).as("bimodal"))
+      .orderBy(col("event_type"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
@@ -2114,6 +2152,7 @@ object EventAnalytics {
     "q_uplift_segments" -> ((s, d) => upliftSegments(Tables.events(s, d))),
     "q_cdc_merge" -> ((s, d) => cdcMerge(Tables.events(s, d))),
     "q_em_mixture" -> ((s, d) => emMixture(Tables.events(s, d))),
+    "q_bimodality" -> ((s, d) => bimodality(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
@@ -3538,6 +3577,32 @@ object EventOracle {
     FROM base b FULL OUTER JOIN chg c ON c.user_id = b.user_id
     ORDER BY user_id"""
 
+  /** Mirrors EventAnalytics.bimodality: raw power sums, population
+    * central moments, Sarle's BC. */
+  val qBimodality: String = """
+    WITH v AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+      FROM v GROUP BY 1),
+    c1 AS (SELECT *, CAST(n AS DOUBLE) AS nd, s1 / CAST(n AS DOUBLE) AS m FROM s),
+    c2 AS (SELECT *,
+        s2/nd - m*m AS m2,
+        s3/nd - 3.0*m*(s2/nd) + 2.0*m*m*m AS m3,
+        s4/nd - 4.0*m*(s3/nd) + 6.0*m*m*(s2/nd) - 3.0*m*m*m*m AS m4
+      FROM c1),
+    c3 AS (
+      SELECT event_type, n,
+        round(m3 / sqrt(m2*m2*m2) + 1e-9, 4) AS skew,
+        round(m4 / (m2*m2) + 1e-9, 4) AS kurt
+      FROM c2 WHERE m2 > 0.0)
+    SELECT event_type, n, skew, kurt,
+      round((skew*skew + 1.0) / kurt + 1e-9, 4) AS bc,
+      round((skew*skew + 1.0) / kurt + 1e-9, 4) > (5.0/9.0) AS bimodal
+    FROM c3 ORDER BY event_type"""
+
   /** Mirrors EventAnalytics.emMixture: 3 unrolled EM rounds, 6-dp
     * responsibilities, 4-dp parameters, 1e-4 variance clamp. */
   val qEmMixture: String = {
@@ -3769,6 +3834,7 @@ object EventOracle {
     "q_uplift_segments" -> qUpliftSegments,
     "q_cdc_merge" -> qCdcMerge,
     "q_em_mixture" -> qEmMixture,
+    "q_bimodality" -> qBimodality,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,
