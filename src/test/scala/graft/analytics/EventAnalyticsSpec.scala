@@ -353,6 +353,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(iv(1).getAs[java.sql.Date]("valid_to").toString === "9999-12-31")
   }
 
+  test("em mixture recovers two planted value clusters") {
+    import spark.implicits._
+    val toy = (1 to 50).map(i => (i.toLong, 10.0 + 0.01 * (i % 5))) ++
+      (51 to 100).map(i => (i.toLong, 100.0 + 0.01 * (i % 5)))
+    val df = toy.zipWithIndex.map { case ((u, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u, "view", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.emMixture(df).head
+    assert(math.abs(r.getAs[Double]("mu1") - 10.0) < 1.0, r.toString)
+    assert(math.abs(r.getAs[Double]("mu2") - 100.0) < 1.0, r.toString)
+    assert(math.abs(r.getAs[Double]("pi1") - 0.5) < 0.05)
+  }
+
+  test("bimodality: two-point mass flags bimodal, tight cluster does not") {
+    import spark.implicits._
+    def mk(vals: Seq[Double], typ: String) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, typ, v)
+    }
+    // two equal point masses: skew 0, kurtosis 1 → BC = 1 (maximal)
+    val bimodal = mk(Seq.fill(30)(0.0) ++ Seq.fill(30)(100.0), "two")
+    // peaked symmetric cluster (kurtosis ≈ 3.5) → BC ≈ 0.28 < 5/9
+    val uni = mk(Seq.fill(5)(47.0) ++ Seq.fill(20)(49.0) ++ Seq.fill(20)(50.0)
+      ++ Seq.fill(20)(51.0) ++ Seq.fill(5)(53.0), "one")
+    val df = (bimodal ++ uni)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.bimodality(df).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("two").getAs[Boolean]("bimodal"), r("two").toString)
+    assert(math.abs(r("two").getAs[Double]("bc") - 1.0) < 0.01)
+    assert(!r("one").getAs[Boolean]("bimodal"), r("one").toString)
+  }
+
   test("abSrm: hand-computed chi-square on a crafted split") {
     import spark.implicits._
     // users {2,4,6} even (variant 1), {7} odd (variant 0); one dup row

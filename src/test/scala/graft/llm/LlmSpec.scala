@@ -866,4 +866,21 @@ class LlmSpec extends SparkSpec {
     assert(jsd(("s1", "s3")) > 0.3 && jsd(("s1", "s3")) < math.log(2) + 1e-6)
     assert(jsd(("s1", "s3")) === jsd(("s2", "s3")))
   }
+
+  test("gains/lift table: capture monotone to 1, decile-10 covers everything") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.text.TextAnalysis.gainsLift(corpus)
+      .orderBy(org.apache.spark.sql.functions.col("decile")).collect()
+    assert(rows.nonEmpty)
+    val captures = rows.map(_.getAs[Double]("capture"))
+    assert(captures.zip(captures.tail).forall { case (a, b) => b >= a },
+      s"capture not monotone: ${captures.mkString(",")}")
+    assert(math.abs(captures.last - 1.0) < 1e-6)
+    val cumN = rows.map(_.getAs[Long]("cum_n"))
+    assert(cumN.last === corpus.count())
+    // lift can only decay as the cut widens (cum precision is
+    // non-increasing when ranked by score)
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.head >= lifts.last - 1e-9)
+  }
 }

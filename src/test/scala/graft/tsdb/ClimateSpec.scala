@@ -32,6 +32,48 @@ class ClimateSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_days") === 2L)
   }
 
+  test("viterbi regimes: dry series decodes calm, storm block segments once") {
+    val dry = frame((1 to 10).map(i => (1L, f"2024-01-$i%02d", Some(0.0))))
+    val r = Climate.viterbiRegimes(dry).head
+    assert(r.getAs[Double]("storm_share") === 0.0)
+    assert(r.getAs[Int]("n_switches") === 0)
+    val mixed = frame((1 to 10).map(i => (1L, f"2024-01-$i%02d", Some(0.0)))
+      ++ (11 to 15).map(i => (1L, f"2024-01-$i%02d", Some(100.0))))
+    val m = Climate.viterbiRegimes(mixed).head
+    assert(m.getAs[Int]("storm_days") === 5, m.toString)
+    assert(m.getAs[Int]("n_switches") === 1)
+  }
+
+  test("granger: a station copying its neighbor's yesterday is flagged causal") {
+    import spark.implicits._
+    val ys = Seq(5.0, 9.0, 2.0, 8.0, 1.0, 7.0, 3.0, 6.0, 4.0, 8.5, 2.5, 7.5)
+    val rows = ys.zipWithIndex.flatMap { case (y, i) =>
+      val d = f"2024-02-${i + 1}%02d"
+      // station 1 tracks neighbor 2's PREVIOUS day plus a small jitter
+      // (an exact copy would zero the unrestricted SSE and void the F)
+      val x = if (i == 0) 0.0 else ys(i - 1) + 0.01 * (if (i % 2 == 0) 1 else -1)
+      Seq((1L, d, Some(x)), (2L, d, Some(y)))
+    }
+    val knn = Seq((1L, 2L, 1), (2L, 1L, 1)).toDF("station_id", "nb_id", "rank")
+    val out = Climate.grangerNeighbor(frame(rows), knn).collect()
+      .map(r => r.getAs[Long]("station_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("causal"), out(1L).toString)
+    assert(math.abs(out(1L).getAs[Double]("granger_coef") - 1.0) < 0.05)
+  }
+
+  test("holt-winters skill: a perfectly weekly-periodic series beats persistence") {
+    // 4 weeks of a pure weekday pattern: HW's seasonal index nails it,
+    // persistence is wrong at every pattern step
+    val pat = Seq(0.0, 10.0, 20.0, 30.0, 20.0, 10.0, 0.0)
+    val rows = (0 until 28).map { i =>
+      (1L, java.time.LocalDate.of(2024, 3, 1).plusDays(i).toString, Some(pat(i % 7)))
+    }
+    val r = Climate.holtWintersSkill(frame(rows)).head
+    assert(r.getAs[Double]("mae_hw") < r.getAs[Double]("mae_persist"),
+      s"hw=${r.getAs[Double]("mae_hw")} persist=${r.getAs[Double]("mae_persist")}")
+    assert(r.getAs[Double]("skill") > 0.0)
+  }
+
   test("degree days: hand-checked hdd/cdd and missing census") {
     val temp = Seq(
       (1L, java.sql.Date.valueOf("2024-03-01"), Some(10.0)),
