@@ -1452,6 +1452,48 @@ object Climate {
         col("mae_persist"), col("skill"))
   }
 
+  /** Split-conformal prediction interval for the [[holtWinters]]
+    * one-step forecast — the distribution-free uncertainty wrapper
+    * modern forecasting stacks bolt onto any point model: absolute
+    * one-step residuals on a calibration window (all but the last 7
+    * days) give the per-station 90% score quantile (k-th order
+    * statistic, k = ⌈0.9·n⌉, ties by day — exact and deterministic),
+    * and the held-out week reports the EMPIRICAL coverage of
+    * ŷ ± q90, the honesty check conformal methods exist for.
+    *
+    * Plan: the HW frame + one lead window; the order statistic is a
+    * per-station window (partition-local, series-bounded); coverage
+    * is one keyed rollup of the 7-day holdout. */
+  def conformalInterval(rawDaily: DataFrame): DataFrame = {
+    val hw = holtWinters(rawDaily)
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val aligned = hw.withColumn("x_next", lead(col("x"), 1).over(w))
+      .filter(col("x_next").isNotNull)
+      .withColumn("abs_resid", abs(col("x_next") - col("yhat_1")))
+    val horizon = aligned.agg(date_sub(max(col("day")), 7).as("cut"))
+    val tagged = aligned.crossJoin(broadcast(horizon))
+      .withColumn("calib", col("day") < col("cut"))
+    val calib = tagged.filter(col("calib"))
+    val counts = calib.groupBy(col("station_id")).agg(count(lit(1)).as("n_calib"))
+    val wq = Window.partitionBy(col("station_id"))
+      .orderBy(col("abs_resid"), col("day"))
+    val q = calib.join(counts, Seq("station_id"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === ceil(lit(0.9) * col("n_calib")))
+      .select(col("station_id"), col("n_calib"),
+        round(col("abs_resid") + lit(1e-9), 4).as("q90"))
+    tagged.filter(!col("calib"))
+      .join(q, Seq("station_id"))
+      .groupBy(col("station_id"), col("n_calib"), col("q90"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("abs_resid") <= col("q90"), 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered") / col("n_eval").cast("double") + lit(1e-9), 6))
+      .select(col("station_id"), col("n_calib"), col("q90"), col("n_eval"),
+        col("n_covered"), col("coverage"))
+      .orderBy(col("station_id"))
+  }
+
   /** Lag-1 Granger causality from each station's rank-1 neighbor —
     * "does knowing the neighbor's yesterday improve my forecast beyond
     * my own yesterday?": restricted model x_t ~ x_{t−1} vs

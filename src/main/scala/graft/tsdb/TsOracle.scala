@@ -2340,6 +2340,47 @@ object TsOracle {
         THEN round(1.0 - mae_hw / mae_persist + 1e-9, 4) END AS skill
     FROM m ORDER BY station_id"""
 
+  /** Mirrors Climate.conformalInterval: calibration-window order
+    * statistic (k = ceil(0.9 n), ties by day), holdout coverage. */
+  val qConformal: String = s"""
+    WITH hw AS (SELECT * FROM ($qHoltWinters)),
+    aligned AS (
+      SELECT * FROM (
+        SELECT station_id, day, x, yhat_1,
+          lead(x) OVER (PARTITION BY station_id ORDER BY day) AS x_next
+        FROM hw)
+      WHERE x_next IS NOT NULL),
+    resid AS (
+      SELECT station_id, day, abs(x_next - yhat_1) AS abs_resid
+      FROM aligned),
+    hz AS (SELECT max(day) - 7 AS cut FROM resid),
+    tagged AS (
+      SELECT r.*, r.day < z.cut AS calib FROM resid r CROSS JOIN hz z),
+    counts AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_calib
+      FROM tagged WHERE calib GROUP BY 1),
+    ranked AS (
+      SELECT t.station_id, c.n_calib, t.abs_resid,
+        row_number() OVER (PARTITION BY t.station_id
+          ORDER BY t.abs_resid, t.day) AS rn
+      FROM tagged t JOIN counts c USING (station_id)
+      WHERE t.calib),
+    q AS (
+      SELECT station_id, n_calib,
+        round(abs_resid + 1e-9, 4) AS q90
+      FROM ranked WHERE rn = ceil(0.9 * n_calib)),
+    ev AS (
+      SELECT t.station_id, q.n_calib, q.q90,
+        CAST(count(*) AS BIGINT) AS n_eval,
+        CAST(sum(CASE WHEN t.abs_resid <= q.q90 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_covered
+      FROM tagged t JOIN q USING (station_id)
+      WHERE NOT t.calib
+      GROUP BY 1, 2, 3)
+    SELECT station_id, n_calib, q90, n_eval, n_covered,
+      round(n_covered / CAST(n_eval AS DOUBLE) + 1e-9, 6) AS coverage
+    FROM ev ORDER BY station_id"""
+
   val qHoltBrown: String = {
     val k = 14; val alpha = 0.3
     val ew = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
@@ -3941,6 +3982,7 @@ object TsOracle {
     "q_granger" -> qGranger,
     "q_hw_skill" -> qHwSkill,
     "q_viterbi_regimes" -> qViterbiRegimes,
+    "q_conformal" -> qConformal,
     "q_jarque_bera" -> qJarqueBera,
     "q_durbin_watson" -> qDurbinWatson,
     "q_yule_walker" -> qYuleWalker,

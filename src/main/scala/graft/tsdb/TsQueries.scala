@@ -696,6 +696,8 @@ object TsQueries {
       Climate.holtWintersSkill(rawDaily(s, d)).orderBy(col("station_id"))),
     "q_viterbi_regimes" -> ((s: SparkSession, d: String) =>
       Climate.viterbiRegimes(rawDaily(s, d)).orderBy(col("station_id"))),
+    "q_conformal" -> ((s: SparkSession, d: String) =>
+      Climate.conformalInterval(rawDaily(s, d))),
     "q_pacf" -> (qPacf _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_precip_indices" -> (qPrecipIndices _),
