@@ -2141,6 +2141,38 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Model-based anomaly census under the [[emMixture]] fit — rows
+    * whose mixture DENSITY falls below a floor are anomalous (the
+    * principled alternative to the z-score/IQR/MAD rules already
+    * registered: a point can sit between two modes, near the global
+    * mean, and still be wildly unlikely). Per type: anomaly count,
+    * share and the minimum observed density.
+    *
+    * Plan: the fitted O(#types) parameter frame broadcasts onto ONE
+    * value scan; density is stateless arithmetic; one keyed rollup. */
+  def mixtureAnomalies(events: DataFrame, densityFloor: Double = 1e-4): DataFrame = {
+    val params = emMixture(events)
+    val vals = events.select(col("event_type"), col("value").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    vals.join(broadcast(params), Seq("event_type"))
+      .withColumn("dens",
+        col("pi1") / sqrt(lit(2.0 * math.Pi) * col("var1"))
+          * exp((col("v") - col("mu1")) * (col("v") - col("mu1"))
+            / (lit(-2.0) * col("var1")))
+        + col("pi2") / sqrt(lit(2.0 * math.Pi) * col("var2"))
+          * exp((col("v") - col("mu2")) * (col("v") - col("mu2"))
+            / (lit(-2.0) * col("var2"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dens") < densityFloor, 1L).otherwise(0L)).as("n_anomalous"),
+        round(min(col("dens")) + lit(1e-9), 8).as("min_density"))
+      .withColumn("anomaly_share",
+        round(col("n_anomalous") / col("n").cast("double") + lit(1e-9), 6))
+      .select(col("event_type"), col("n"), col("n_anomalous"),
+        col("anomaly_share"), col("min_density"))
+      .orderBy(col("event_type"))
+  }
+
   /** Query-key registry (driver contract). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
@@ -2153,6 +2185,7 @@ object EventAnalytics {
     "q_cdc_merge" -> ((s, d) => cdcMerge(Tables.events(s, d))),
     "q_em_mixture" -> ((s, d) => emMixture(Tables.events(s, d))),
     "q_bimodality" -> ((s, d) => bimodality(Tables.events(s, d))),
+    "q_anomaly_mixture" -> ((s, d) => mixtureAnomalies(Tables.events(s, d))),
     "q_ttest_welch" -> ((s, d) => ttestWelch(Tables.events(s, d))),
     "q_chi_square" -> ((s, d) => chiSquare(Tables.events(s, d))),
     "q_anova" -> ((s, d) => anova(Tables.events(s, d))),
@@ -3577,6 +3610,29 @@ object EventOracle {
     FROM base b FULL OUTER JOIN chg c ON c.user_id = b.user_id
     ORDER BY user_id"""
 
+  /** Mirrors EventAnalytics.mixtureAnomalies: density under the same
+    * unrolled EM fit, floor census. Lazy: qEmMixture initializes
+    * later in this object. */
+  lazy val qAnomalyMixture: String = s"""
+    WITH params AS (SELECT * FROM ($qEmMixture)),
+    vals AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT v.event_type,
+        p.pi1 / sqrt(2.0 * pi() * p.var1)
+          * exp((v.v - p.mu1) * (v.v - p.mu1) / (-2.0 * p.var1))
+        + p.pi2 / sqrt(2.0 * pi() * p.var2)
+          * exp((v.v - p.mu2) * (v.v - p.mu2) / (-2.0 * p.var2)) AS dens
+      FROM vals v JOIN params p USING (event_type))
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN dens < 0.0001 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_anomalous,
+      round(sum(CASE WHEN dens < 0.0001 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS anomaly_share,
+      round(min(dens) + 1e-9, 8) AS min_density
+    FROM d GROUP BY 1 ORDER BY event_type"""
+
   /** Mirrors EventAnalytics.bimodality: raw power sums, population
     * central moments, Sarle's BC. */
   val qBimodality: String = """
@@ -3835,6 +3891,7 @@ object EventOracle {
     "q_cdc_merge" -> qCdcMerge,
     "q_em_mixture" -> qEmMixture,
     "q_bimodality" -> qBimodality,
+    "q_anomaly_mixture" -> qAnomalyMixture,
     "q_benford" -> qBenford,
     "q_ttest_welch" -> qTtestWelch,
     "q_chi_square" -> qChiSquare,
