@@ -60,6 +60,7 @@ object SparkEntry {
     "q_ar_aging" -> (Queries.qArAging _),
     "q_recsys_eval" -> (Queries.qRecsysEval _),
     "q_dq_rules" -> (Queries.qDqRules _),
+    "q_priority_transitions" -> (Queries.qPriorityTransitions _),
     "q_metric_drilldown" -> (Queries.qMetricDrilldown _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++

@@ -909,8 +909,26 @@ object OracleSql {
     FROM d CROSS JOIN tot t
     ORDER BY d.dimension, d.dim_value"""
 
+  /** Mirrors Queries.qPriorityTransitions: per-customer consecutive
+    * orders, row-normalized transition matrix. */
+  val qPriorityTransitions: String = """
+    WITH pairs AS (
+      SELECT prev AS from_priority, o_orderpriority AS to_priority,
+        CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT o_custkey, o_orderpriority,
+          lag(o_orderpriority) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders)
+      WHERE prev IS NOT NULL GROUP BY 1, 2)
+    SELECT from_priority, to_priority, n,
+      round(n / CAST(sum(n) OVER (PARTITION BY from_priority) AS DOUBLE)
+        + 1e-9, 6) AS p
+    FROM pairs ORDER BY from_priority, to_priority"""
+
   val all: Map[String, String] = Map(
     "q_recsys_eval" -> qRecsysEval,
+    "q_priority_transitions" -> qPriorityTransitions,
     "q_dq_rules" -> qDqRules,
     "q_metric_drilldown" -> qMetricDrilldown,
     "q_order_reconciliation" -> qOrderReconciliation,

@@ -1467,6 +1467,31 @@ object Queries {
       .orderBy(col("dimension"), col("dim_value"))
   }
 
+  /** Order-priority transition matrix per customer — the first-order
+    * behavioral drift view (does an URGENT customer stay urgent?):
+    * consecutive orders per customer (date, then key, so ties replay)
+    * give (from, to) counts and row-normalized probabilities.
+    *
+    * Plan: one customer-partitioned lag window + one keyed count +
+    * a window row-normalization over the ≤25-cell matrix. */
+  def qPriorityTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val pairs = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_priority"),
+        col("o_orderpriority").as("to_priority"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_priority"))
+    pairs
+      .withColumn("p", round(col("n")
+        / sum(col("n")).over(wf).cast("double") + lit(1e-9), 6))
+      .orderBy(col("from_priority"), col("to_priority"))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
