@@ -61,6 +61,7 @@ object SparkEntry {
     "q_recsys_eval" -> (Queries.qRecsysEval _),
     "q_dq_rules" -> (Queries.qDqRules _),
     "q_priority_transitions" -> (Queries.qPriorityTransitions _),
+    "q_cf_coverage" -> (Queries.qCfCoverage _),
     "q_metric_drilldown" -> (Queries.qMetricDrilldown _),
     "q_table_checksum" -> (Queries.qTableChecksum _)
   ) ++ graft.tsdb.TsQueries.queries ++ graft.llm.LlmQueries.queries ++

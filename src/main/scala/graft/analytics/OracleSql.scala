@@ -926,9 +926,32 @@ object OracleSql {
         + 1e-9, 6) AS p
     FROM pairs ORDER BY from_priority, to_priority"""
 
+  /** Mirrors Queries.qCfCoverage: catalog left join onto the CF
+    * list-length collapse, scalar rollup. */
+  val qCfCoverage: String = s"""
+    WITH lists AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS list_len
+      FROM ($qItemCf) GROUP BY 1),
+    j AS (
+      SELECT p.p_partkey AS item, l.list_len
+      FROM part p LEFT JOIN lists l ON l.item = p.p_partkey),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CASE WHEN list_len IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_covered,
+        CAST(sum(CASE WHEN list_len = 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_full_list,
+        round(avg(coalesce(list_len, 0)) + 1e-9, 6) AS mean_list_len
+      FROM j)
+    SELECT n_items, n_covered, n_full_list, mean_list_len,
+      round(n_covered / CAST(n_items AS DOUBLE) + 1e-9, 6) AS coverage,
+      round(n_full_list / CAST(n_items AS DOUBLE) + 1e-9, 6) AS full_coverage
+    FROM g"""
+
   val all: Map[String, String] = Map(
     "q_recsys_eval" -> qRecsysEval,
     "q_priority_transitions" -> qPriorityTransitions,
+    "q_cf_coverage" -> qCfCoverage,
     "q_dq_rules" -> qDqRules,
     "q_metric_drilldown" -> qMetricDrilldown,
     "q_order_reconciliation" -> qOrderReconciliation,

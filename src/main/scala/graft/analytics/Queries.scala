@@ -1492,6 +1492,30 @@ object Queries {
       .orderBy(col("from_priority"), col("to_priority"))
   }
 
+  /** Catalog coverage of the item-CF recommender — the health metric
+    * next to `q_recsys_eval`'s accuracy: share of catalog items that
+    * get ANY neighbor list, share with a full top-5, and the mean list
+    * length — a recommender that only covers the head is a popularity
+    * list in disguise.
+    *
+    * Plan: the CF top-5 frame collapses once per item; the catalog
+    * left join reuses the part key; one scalar rollup. */
+  def qCfCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val lists = qItemCf(spark, dir).groupBy(col("item"))
+      .agg(count(lit(1)).as("list_len"))
+    val catalog = Tables.part(spark, dir).select(col("p_partkey").as("item"))
+    catalog.join(lists, Seq("item"), "left")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("list_len").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        sum(when(col("list_len") === 5L, 1L).otherwise(0L)).as("n_full_list"),
+        round(avg(coalesce(col("list_len"), lit(0L))) + lit(1e-9), 6)
+          .as("mean_list_len"))
+      .withColumn("coverage",
+        round(col("n_covered") / col("n_items").cast("double") + lit(1e-9), 6))
+      .withColumn("full_coverage",
+        round(col("n_full_list") / col("n_items").cast("double") + lit(1e-9), 6))
+  }
+
   /** Hierarchical aggregate with ROLLUP over returnflag/linestatus. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
