@@ -27,6 +27,16 @@ object Bench {
     "q_ann_topk", "q_text_fingerprint", "q_stream_window",
     "q_funnel", "q_distinct_hll", "q_range_join_time", "q_window_sliding")
 
+  /** Second bench tier: the round-6 graph / statistics / climate /
+    * corpus surface, so the long tail of the board is benched
+    * round-over-round too (tier 1 keeps its composition for
+    * comparability with BENCH_r01..r06). Reported as `value2` /
+    * `queries2` / `cold_queries2` next to the tier-1 fields. */
+  val headline2: Seq[String] = Seq(
+    "q_pagerank", "q_dedup_components", "q_markov_attribution",
+    "q_em_mixture", "q_trend_mk", "q_dtw", "q_corpus_clean",
+    "q_semdedup", "q_bm25", "q_scd2", "q_snht", "q_item_cf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -77,23 +87,26 @@ object Bench {
     }
     // session warmup: FS + parquet footer reads, not attributed to queries
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    val cold = headline.map(n => n -> timed(n))
+    val both = headline ++ headline2
+    val coldAll = both.map(n => n -> timed(n))
     // drop memoized kind frames: each warm pass must redo ALL of the
     // distributed work, with only the JVM (codegen/JIT) staying warm.
     // Two independent recompute passes, per-query minimum: single-shot
     // warm times on this box swing ~2× from GC/scheduling jitter (the
-    // cold pass leaves 23 queries of block churn behind); min-of-2
+    // cold pass leaves 35 queries of block churn behind); min-of-2
     // reports the achievable steady-state rather than the luck of one
     // draw. An erred query keeps its error (never masked by a clean
     // other pass).
     val warmPasses = (1 to 2).map { _ =>
       graft.tsdb.TsQueries.clearMemo(spark)
-      headline.map(n => n -> timed(n)).toMap
+      both.map(n => n -> timed(n)).toMap
     }
-    val warm = headline.map { n =>
+    val warmAll = both.map { n =>
       val runs = warmPasses.map(_(n))
       n -> runs.find(_._2.isDefined).getOrElse(runs.minBy(_._1))
     }
+    val (warm, warm2) = warmAll.partition(kv => headline.contains(kv._1))
+    val (cold, cold2) = coldAll.partition(kv => headline.contains(kv._1))
     // same escaper contract as Verify's: backslash, quote, and ALL
     // control chars — a tab or CR inside an exception message must not
     // make the driver's json.load reject the whole bench line
@@ -114,8 +127,10 @@ object Bench {
     // totals cover ONLY queries that ran to completion in that pass
     val total = warm.collect { case (_, (v, None)) => v }.sum
     val coldTotal = cold.collect { case (_, (v, None)) => v }.sum
-    val allErrs = (warm ++ cold).collect { case (k, (_, Some(e))) => (k, e) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"errors":${errJs(warm)},"cold_errors":${errJs(cold)},"n_errors":${allErrs.size},"sf":"$sfDir"}""")
+    val total2 = warm2.collect { case (_, (v, None)) => v }.sum
+    val coldTotal2 = cold2.collect { case (_, (v, None)) => v }.sum
+    val allErrs = (warmAll ++ coldAll).collect { case (k, (_, Some(e))) => (k, e) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"value2":$total2,"queries2":${js(warm2)},"cold_value2":$coldTotal2,"cold_queries2":${js(cold2)},"errors":${errJs(warmAll)},"cold_errors":${errJs(coldAll)},"n_errors":${allErrs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,11 +58,27 @@ object Tables {
   }
   /** Small parquet files arrive as one split, which would serialize
     * the expensive per-document hash/vector projections onto a single
-    * core; spread them across the session's parallelism. At cluster
-    * scale real inputs have many splits and this is a no-op. */
+    * core; spread them across the session's parallelism. Decided from
+    * driver-side file metadata ONLY (inputFiles + FS stat) — never by
+    * materializing an RDD lineage at plan-build time. At cluster
+    * scale real inputs are either many files (first branch) or large
+    * ones the scan already splits at maxPartitionBytes (second
+    * branch) — both no-ops. */
   def ensureParallelism(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val files = df.inputFiles
+    if (files.length >= target) df
+    else {
+      val conf = s.sparkContext.hadoopConfiguration
+      val total = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+      // only a genuinely small input (sub-one-split at the default
+      // 128 MB parquet split size) needs spreading; a big few-file
+      // input already splits inside the scan
+      if (total < 128L * 1024 * 1024) df.repartition(target) else df
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame =

@@ -127,14 +127,6 @@ object Ann {
       .orderBy(col("step"))
   }
 
-  /** Signature: nPlanes sign bits of deterministic hyperplane
-    * projections, packed into one long (native single-loop expression,
-    * graft.functions.HyperplaneBands with one band; any injective
-    * packing of the same sign bits yields the identical bucket
-    * partition, so results match the composed-SQL form). */
-  private def signature(nPlanes: Int): String =
-    s"element_at(graft_hyperplane_bands(embedding, 1, $nPlanes), 1)"
-
   /** IVF (inverted-file) ANN — the classic coarse-quantizer route:
     * vectors are assigned to their nearest of `nCells` centroid cells
     * (one broadcast argmin join — production would k-means the
@@ -305,18 +297,43 @@ object Ann {
         round(col("l2_dist") + lit(1e-9), 6).as("l2_dist"))
   }
 
-  /** LSH-bucketed ANN: candidates share the signature bucket; exact
-    * cosine re-ranking within the bucket. Approximate by construction
-    * (driver records a rows-only check). */
+  /** LSH-bucketed ANN, banded OR-composition (the standard
+    * recall-tunable form): each vector gets `nBands` independent
+    * signatures of `planesPerBand` hyperplane sign bits; a candidate
+    * is any vector sharing a bucket in AT LEAST ONE band (collision
+    * probability 1 − (1 − sᵖ)ᵇ — the same S-curve as MinHash
+    * banding), and exact cosine re-ranks only the deduplicated
+    * candidate union. A single AND-bucket of p·b planes has vanishing
+    * recall on noise-like data; the OR-union is what production LSH
+    * ships. Approximate by construction (driver records a rows-only
+    * check; recall vs brute asserted in LlmSpec and reported in
+    * RECALL_r*.json).
+    *
+    * Plan: candidate generation is an equi-join on (band, bucket)
+    * with the bounded query side broadcast; the distinct'd id-pair
+    * frame re-joins vectors by key (broadcast queries, hash-join
+    * corpus) so full vectors never ride the exploded band rows. */
   def lshTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
-      nPlanes: Int = 8): DataFrame = {
-    val sigs = withNorm(embeddings).withColumn("bucket", expr(signature(nPlanes)))
-    val q = sigs.filter(col("vec_id") < nQueries)
+      nBands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val sigs = embeddings.select(col("vec_id"),
+      expr(s"graft_hyperplane_bands(embedding, $nBands, $planesPerBand)")
+        .as("bands"))
+    val qb = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    val cb = sigs.select(col("vec_id").as("nb_id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val cand = cb.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("nb_id"))
+      .select(col("query_id"), col("nb_id")).distinct()
+    val n = withNorm(embeddings)
+    val qv = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("va"),
-        col("nrm").as("na"), col("bucket"))
-    val c = sigs.select(col("vec_id").as("nb_id"), col("embedding").as("vb"),
-      col("nrm").as("nb"), col("bucket"))
-    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("nb_id"))
+        col("nrm").as("na"))
+    val cv = n.select(col("vec_id").as("nb_id"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    val scored = cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("nb_id"))
       .withColumn("cosine", expr(dot) / (col("na") * col("nb")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nb_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.similarity.Ann
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Driver-visible audit of every rows-only approximate path: the six
+  * queries CORRECTNESS marks `no_oracle` (q_ann_lsh / q_ann_ivf /
+  * q_ann_pq / q_ann_ivfpq / q_dedup_embedding_lsh /
+  * q_ccnet_buckets_approx) each get their recall/agreement measured
+  * against the exact reference ON THE GATE DATASET (sf0.01) and
+  * written to RECALL_r07.json — the same contract LlmSpec asserts at
+  * sf0.001, now auditable per round. `bound` is the declared LlmSpec
+  * floor; `pass` is measured ≥ bound.
+  */
+object RecallReport {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = if (args.length > 1) args(1) else "RECALL_r07.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val embs = graft.core.Tables.embeddings(spark, sfDir)
+    def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+      df.select(a, b).as[(Long, Long)].collect().toSet
+
+    // cosine family: recall@k vs the brute-force cosine top-k anchor
+    // (identical default k / nQueries as the registered queries)
+    val brute = pairSet(Ann.bruteTopK(embs), "query_id", "nb_id")
+    val lsh = pairSet(Ann.lshTopK(embs), "query_id", "nb_id")
+    val ivf = pairSet(Ann.ivfTopK(embs), "query_id", "nb_id")
+
+    // L2/ADC family: recall vs the exact L2 top-k reference (PQ's ADC
+    // approximates L2, not cosine — same reference LlmSpec uses)
+    val k = 5; val nQ = 10
+    val vecs = embs.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val exactL2 = (for {
+      q <- vecs.keys.filter(_ < nQ)
+      qv = vecs(q)
+      (id, _) <- vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, qv.zip(v).map { case (x, y) => (x - y).toDouble * (x - y) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(k)
+    } yield (q, id)).toSet
+    val pq = pairSet(Ann.pqTopK(embs, k = k, nQueries = nQ), "query_id", "nb_id")
+    val ivfpq = pairSet(Ann.ivfpqTopK(embs, k = k, nQueries = nQ), "query_id", "nb_id")
+
+    // banded dedup: candidate-pair recall AND precision vs the exact
+    // tau=0.4 all-pairs join (the LSH route must be a pure subset)
+    val exactPairs = pairSet(Dedup.embeddingPairs(embs), "id_a", "id_b")
+    val lshPairs = pairSet(Dedup.embeddingPairsLsh(embs), "id_a", "id_b")
+    val lshPrecision =
+      if (lshPairs.isEmpty) 1.0
+      else (lshPairs & exactPairs).size.toDouble / lshPairs.size
+
+    // ccnet approx: per-doc bucket agreement with the exact ntile route
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val exactB = TextAnalysis.ccnetBuckets(docs)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val approxB = TextAnalysis.ccnetBucketsApprox(docs)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val agree = exactB.count { case (id, b) => approxB.get(id).contains(b) }
+      .toDouble / exactB.size
+
+    def recall(got: Set[(Long, Long)], ref: Set[(Long, Long)]): Double =
+      if (ref.isEmpty) 1.0 else (got & ref).size.toDouble / ref.size
+
+    val rows = Seq(
+      ("q_ann_lsh", "recall_at_k", recall(lsh, brute), 0.2, "brute-cosine"),
+      ("q_ann_ivf", "recall_at_k", recall(ivf, brute), 0.2, "brute-cosine"),
+      ("q_ann_pq", "recall_at_k", recall(pq, exactL2), 0.3, "exact-l2"),
+      ("q_ann_ivfpq", "recall_at_k", recall(ivfpq, exactL2), 0.15, "exact-l2"),
+      ("q_dedup_embedding_lsh", "pair_recall", recall(lshPairs, exactPairs),
+        0.2, "exact-tau0.4-pairs"),
+      ("q_dedup_embedding_lsh", "pair_precision", lshPrecision,
+        1.0, "exact-tau0.4-pairs"),
+      ("q_ccnet_buckets_approx", "bucket_agreement", agree, 0.95, "exact-ntile"))
+
+    val json = rows.map { case (q, m, v, bound, ref) =>
+      val ok = v >= bound - 1e-12
+      println(f"[recall] $q%-24s $m%-17s $v%6.4f (bound $bound%4.2f, ref $ref) ${if (ok) "ok" else "FAIL"}")
+      f"""    {"query": "$q", "metric": "$m", "value": $v%.4f, "bound": $bound, "reference": "$ref", "pass": $ok}"""
+    }.mkString(s"""{\n  "sf": "$sfDir",\n  "paths": [\n""", ",\n", "\n  ]\n}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"[recall] wrote $out")
+    spark.stop()
+  }
+}

@@ -170,27 +170,70 @@ object Climate {
         col("clim_sd"), col("spi"))
   }
 
+  /** Default per-station point cap for the trend family's O(n²) pair
+    * enumerations: 2400 monthly points = 200 years of record — far
+    * above any real station history, low enough that 2400² ≈ 2.9M
+    * join rows per station stays a healthy task. */
+  val TrendCap = 2400
+
+  /** Input builder shared by the pairwise trend/scale family
+    * ([[mannKendall]], [[theilSen]], [[snScale]]): the observed
+    * per-station series pre-aggregated to `granularity` INSIDE the
+    * operator — "day" passes the series through, "week"/"month"/"year"
+    * truncate the day and average the observed values per period (the
+    * practice standard: trend tests run on aggregate series, never on
+    * a 100-year daily history). A LOUD in-plan guard enforces the
+    * per-station point count ≤ `cap` AFTER aggregation: the guard is
+    * an `assert_true` folded into the value column itself, so Catalyst
+    * cannot prune it and a too-long series fails the job with a
+    * message naming the fix (coarser granularity) instead of
+    * detonating an O(n²)-per-station shuffle.
+    *
+    * Plan: one map-combinable keyed aggregate (or a pass-through
+    * projection for "day") + one partition-local count window per
+    * station; the downstream pair enumeration is then provably
+    * bounded at cap² rows per station. */
+  private[tsdb] def trendSeries(rawDaily: DataFrame, granularity: String,
+      cap: Int): DataFrame = {
+    val obs = rawDaily.filter(col("raw").isNotNull)
+    val agg = granularity match {
+      case "day" =>
+        obs.select(col("station_id"), col("day"), col("raw").as("p"))
+      case g =>
+        obs.groupBy(col("station_id"), trunc(col("day"), g).as("day"))
+          .agg(round(avg(col("raw")) + lit(1e-9), 6).as("p"))
+    }
+    val n = count(lit(1)).over(Window.partitionBy(col("station_id")))
+    agg.withColumn("p", col("p") + coalesce(
+      assert_true(n <= cap,
+        concat(lit("graft trend family: per-station series has "), n,
+          lit(s" > $cap points after granularity='$granularity' aggregation" +
+            " — pass a coarser granularity (month/year) or raise the cap" +
+            " before the O(n^2) pair enumeration"))).cast("double"),
+      lit(0.0)))
+  }
+
   /** Mann–Kendall trend test per station (the standard non-parametric
-    * hydrology trend detector): over the station's observed daily
-    * values, `S = Σ_{i<j} sign(x_j − x_i)`, normal approximation
-    * `var(S) = n(n−1)(2n+5)/18` (no tie correction — 3-dp daily sums
-    * make exact ties vanishingly rare; a tie only shrinks |z|), and
-    * the ±1.96 two-sided 5% significance call.
+    * hydrology trend detector): over the station's observed series —
+    * pre-aggregated to `granularity` inside the operator (see
+    * [[trendSeries]]; "month" by default, the practice standard; the
+    * 30-day test feed runs at "week") — `S = Σ_{i<j} sign(x_j −
+    * x_i)`, normal approximation `var(S) = n(n−1)(2n+5)/18` (no tie
+    * correction — 3-dp daily sums make exact ties vanishingly rare; a
+    * tie only shrinks |z|), and the ±1.96 two-sided 5% significance
+    * call.
     *
     * Plan: the pair enumeration is per STATION — an equi-join on
-    * station_id over the observed-day frame, then one keyed
-    * aggregate. At test scale n ≈ 30 days; at 100 TB the test is run
-    * (as in practice) on the monthly/annual AGGREGATE series, so n
-    * stays ≈ tens-to-hundreds per station and the per-station O(n²)
-    * never touches the raw row count — feed the aggregated frame in
-    * as `rawDaily`. (The O(n log n) inversion-count form is the
-    * alternative if a dense series must be tested directly.) */
-  def mannKendall(rawDaily: DataFrame): DataFrame = {
+    * station_id over the aggregated frame, then one keyed aggregate;
+    * [[trendSeries]]'s cap guard makes the per-station O(n²) provably
+    * bounded (≤ cap² rows) regardless of raw history length. */
+  def mannKendall(rawDaily: DataFrame, granularity: String = "month",
+      cap: Int = TrendCap): DataFrame = {
     // the observed frame feeds BOTH self-join sides and the count —
     // persist it so a non-memoized input is not scanned three times,
     // and materialize the (tiny, O(#stations)) result before release
-    val annual = rawDaily.filter(col("raw").isNotNull)
-      .select(col("station_id"), col("day").as("yr"), col("raw").as("p"))
+    val annual = trendSeries(rawDaily, granularity, cap)
+      .select(col("station_id"), col("day").as("yr"), col("p"))
       .persist()
     try {
       val a = annual.select(col("station_id"), col("yr").as("yi"), col("p").as("xi"))
@@ -387,8 +430,9 @@ object Climate {
     *
     * Plan: [[mannKendall]]'s per-station frame collapsed by one
     * scalar rollup. */
-  def fieldSignificance(rawDaily: DataFrame, alpha: Double = 0.05): DataFrame =
-    mannKendall(rawDaily)
+  def fieldSignificance(rawDaily: DataFrame, alpha: Double = 0.05,
+      granularity: String = "month", cap: Int = TrendCap): DataFrame =
+    mannKendall(rawDaily, granularity, cap)
       .agg(count(lit(1)).as("n_stations"),
         sum(when(col("trend") =!= "none", 1L).otherwise(0L)).as("n_sig"),
         sum(when(col("trend") === "increasing", 1L).otherwise(0L)).as("n_inc"),
@@ -461,17 +505,19 @@ object Climate {
     * WHETHER a monotone trend exists, Theil–Sen says HOW STEEP,
     * immune to outliers that wreck least squares): the median of all
     * pairwise slopes `(x_j − x_i) / (days between)` over the observed
-    * series.
+    * series, pre-aggregated to `granularity` inside the operator
+    * ([[trendSeries]] — "month" default, cap-guarded).
     *
     * Plan: the same per-station pair enumeration as [[mannKendall]]
-    * (feed aggregate series at 100 TB so per-station n stays small),
-    * then one keyed percentile aggregate — interpolation runs over
-    * identically-computed quotients on both engines. */
-  def theilSen(rawDaily: DataFrame): DataFrame = {
-    val obs = rawDaily.filter(col("raw").isNotNull)
+    * — bounded at cap² rows per station by [[trendSeries]]'s loud
+    * guard — then one keyed percentile aggregate; interpolation runs
+    * over identically-computed quotients on both engines. */
+  def theilSen(rawDaily: DataFrame, granularity: String = "month",
+      cap: Int = TrendCap): DataFrame = {
+    val obs = trendSeries(rawDaily, granularity, cap)
       .select(col("station_id"),
         datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
-          .as("t"), col("raw").as("p"))
+          .as("t"), col("p"))
     val a = obs.select(col("station_id"), col("t").as("ti"), col("p").as("xi"))
     val b = obs.select(col("station_id"), col("t").as("tj"), col("p").as("xj"))
     a.join(b, Seq("station_id")).filter(col("ti") < col("tj"))
@@ -1135,24 +1181,45 @@ object Climate {
     * MK S statistic computed WITHIN each season across periods (so
     * the cycle never masquerades as trend), summed over seasons;
     * variance is the sum of per-season MK variances; z with the ±1
-    * continuity correction as in the plain MK. The season here is the
-    * DAY-OF-WEEK and the period the week index — the cycle the
-    * month-long event feed actually carries (on multi-year data the
-    * same operator runs with month/year in the two roles; the
-    * structure is identical).
+    * continuity correction as in the plain MK. `season` picks the
+    * cycle/period roles: "moy" (default — month-of-year seasons
+    * across YEARS, the multi-year practice standard) or "dow"
+    * (day-of-week seasons across WEEK indices — the cycle a
+    * month-long feed actually carries); the structure is identical.
     *
-    * Plan: the pair enumeration is bounded per (station, season) —
-    * O(#weeks²) per cell, a vanishing fraction of all-pairs —
-    * self-joined per (station, dow); two keyed aggregates (per
-    * season, per station). At 100 TB: aggregate/partition first, THEN
-    * the quadratic, never the reverse. */
-  def seasonalMannKendall(rawDaily: DataFrame): DataFrame = {
-    val seasonal = rawDaily.filter(col("raw").isNotNull)
-      .select(col("station_id"),
+    * Plan: values are pre-aggregated to one avg per (station, season,
+    * period) CELL inside the operator, so the pair enumeration input
+    * is always the aggregate frame; a loud in-plan `assert_true`
+    * guard (same discipline as [[trendSeries]]) bounds the period
+    * count per (station, season) at `cap` — the per-cell O(n²) is
+    * provably ≤ cap² rows. Two keyed aggregates (per season, per
+    * station) follow. At 100 TB: aggregate first, THEN the quadratic,
+    * never the reverse — and multi-year histories use "moy" where n =
+    * #years. */
+  def seasonalMannKendall(rawDaily: DataFrame, season: String = "moy",
+      cap: Int = TrendCap): DataFrame = {
+    val keyed = season match {
+      case "dow" => rawDaily.select(col("station_id"),
         (dayofweek(col("day")) - 1).as("m"),
         floor(datediff(col("day"),
           lit(java.sql.Date.valueOf("1970-01-01"))) / 7).as("wk"),
-        col("raw").as("p"))
+        col("raw"))
+      case "moy" => rawDaily.select(col("station_id"),
+        month(col("day")).as("m"),
+        year(col("day")).cast("long").as("wk"),
+        col("raw"))
+    }
+    val cells = keyed.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"), col("m"), col("wk"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("p"))
+    val nPer = count(lit(1))
+      .over(Window.partitionBy(col("station_id"), col("m")))
+    val seasonal = cells.withColumn("p", col("p") + coalesce(
+      assert_true(nPer <= cap,
+        concat(lit("graft seasonalMannKendall: (station, season) cell has "),
+          nPer, lit(s" > $cap periods under season='$season' — use coarser" +
+            " periods (season='moy') or raise the cap"))).cast("double"),
+      lit(0.0)))
     val a = seasonal.select(col("station_id"), col("m"),
       col("wk").as("yi"), col("p").as("xi"))
     val b = seasonal.select(col("station_id"), col("m"),
@@ -1933,8 +2000,10 @@ object Climate {
     *
     * Plan: rides mannKendall's z frame (O(#stations)); the global
     * rank runs over that tiny frame. */
-  def bhFdr(rawDaily: DataFrame, alpha: Double = 0.05): DataFrame = {
-    val mk = mannKendall(rawDaily).select(col("station_id"), col("z"))
+  def bhFdr(rawDaily: DataFrame, alpha: Double = 0.05,
+      granularity: String = "month", cap: Int = TrendCap): DataFrame = {
+    val mk = mannKendall(rawDaily, granularity, cap)
+      .select(col("station_id"), col("z"))
     val az = abs(col("z"))
     val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
     val poly = t * (lit(0.319381530) + t * (lit(-0.356563782)
@@ -2056,16 +2125,19 @@ object Climate {
   /** Rousseeuw–Croux Sₙ robust scale per station: 1.1926 ·
     * med_i( med_j |x_i − x_j| ) — the 50%-breakdown spread estimate
     * that, unlike MAD, needs no location estimate and stays efficient
-    * under asymmetry.
+    * under asymmetry. Runs on the observed series pre-aggregated to
+    * `granularity` inside the operator ([[trendSeries]] — "month"
+    * default, cap-guarded).
     *
     * Plan: the same per-station pair enumeration as theilSen /
-    * mannKendall (feed aggregate series at 100 TB so per-station n
-    * stays bounded); inner medians are one keyed exact percentile per
-    * (station, anchor day), the outer median a second keyed
-    * percentile over n rows per station. */
-  def snScale(rawDaily: DataFrame): DataFrame = {
-    val x = rawDaily.select(col("station_id"), col("day"),
-      coalesce(col("raw"), lit(0.0)).as("x"))
+    * mannKendall — bounded at cap² rows per station by
+    * [[trendSeries]]'s loud guard; inner medians are one keyed exact
+    * percentile per (station, anchor period), the outer median a
+    * second keyed percentile over n rows per station. */
+  def snScale(rawDaily: DataFrame, granularity: String = "month",
+      cap: Int = TrendCap): DataFrame = {
+    val x = trendSeries(rawDaily, granularity, cap)
+      .select(col("station_id"), col("day"), col("p").as("x"))
     val y = x.select(col("station_id"), col("day").as("day_j"),
       col("x").as("xj"))
     val inner = x.join(y, Seq("station_id"))
@@ -2115,39 +2187,81 @@ object Climate {
   /** Dynamic-time-warping distance between each station's daily
     * series and its k nearest neighbors — the elastic similarity
     * measure that survives phase shifts (a front arriving a day later
-    * at the neighbor) where Pearson/Spearman read pure noise. Full
-    * O(n·m) DP expressed as nested higher-order folds (aggregate /
+    * at the neighbor) where Pearson/Spearman read pure noise.
+    * Sakoe–Chiba BANDED DP (|i − j| ≤ `band`): the warping path may
+    * deviate at most `band` steps from the diagonal — the standard
+    * constraint that (a) keeps the alignment physically meaningful (a
+    * front does not arrive a month late) and (b) cuts the kernel from
+    * O(n·m) to O(n·band). Each DP row is materialized as ONLY its
+    * in-band window (≤ 2·band+1 cells) with the offset derived from
+    * the row index; out-of-window reads resolve to +∞. `band` ≥
+    * max(n, m) reproduces the full unbanded DP exactly (DtwSpec pins
+    * this). Expressed as nested higher-order folds (aggregate /
     * list_reduce) with IDENTICAL fold order on both engines — no UDF,
-    * stays in the SQL expression layer.
+    * stays in the SQL expression layer. Requires |n − m| ≤ band for a
+    * finite distance (the dense co-gridded series have n = m).
     *
     * Plan: each station's series collapses to ONE array row (30
-    * values here; at 100 TB feed aggregate series so n stays bounded
-    * — same contract as theilSen's pair enumeration), pairs come from
-    * the broadcast knn map, and the DP is a per-row expression over
-    * two small arrays. Shuffle = O(#stations) array rows. */
-  def dtwNeighbors(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    * values here; `granularity` pre-aggregates to weekly/monthly PAA
+    * means at 100 TB, with [[trendSeries]]-style cap guard on the
+    * array length), pairs come from the broadcast knn map, and the DP
+    * is a per-row expression doing O(n·band) work over two small
+    * arrays. Shuffle = O(#stations) array rows. */
+  def dtwNeighbors(rawDaily: DataFrame, knn: DataFrame, band: Int = 7,
+      granularity: String = "day", cap: Int = 4000): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val series = rawDaily
-      .withColumn("x", coalesce(col("raw"), lit(0.0)))
+    val dense = rawDaily.withColumn("x", coalesce(col("raw"), lit(0.0)))
+    val paa = granularity match {
+      case "day" => dense.select(col("station_id"), col("day"), col("x"))
+      case g => dense.groupBy(col("station_id"), trunc(col("day"), g).as("day"))
+        .agg(round(avg(col("x")) + lit(1e-9), 6).as("x"))
+    }
+    val nGuard = count(lit(1)).over(Window.partitionBy(col("station_id")))
+    val guarded = paa.withColumn("x", col("x") + coalesce(
+      assert_true(nGuard <= cap,
+        concat(lit("graft dtwNeighbors: per-station series has "), nGuard,
+          lit(s" > $cap points at granularity='$granularity' — use a coarser" +
+            " PAA granularity (week/month) before the O(n*band) DP")))
+        .cast("double"), lit(0.0)))
+    val series = guarded
       .groupBy(col("station_id"))
       .agg(expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
         .as("xs"))
     val a = series.select(col("station_id"), col("xs").as("xa"))
     val b = series.select(col("station_id").as("nb_id"), col("xs").as("xb"))
+    // Windowed band rows: row i holds D(i, j) for j in [lo_i, hi_i]
+    // only; the previous row's offset plo is derivable from i (0 for
+    // the virtual row 0, whose single cell is D(0,0)=0). A read of
+    // D(i-1, p) outside [plo, plo+size(prev)-1] is +∞. The inner fold
+    // seeds with a phantom left-∞ cell (D(i, lo_i - 1) is always out
+    // of band) that the closing slice drops.
+    val w = band
     val dtwExpr =
-      """element_at(
+      s"""element_at(
         aggregate(
-          transform(xa, x -> array(x)),
-          concat(array(0.0D), transform(sequence(1, size(xb)), i -> 1e18d)),
-          (prev, xe) -> aggregate(
-            transform(sequence(1, size(xb)), j -> array(
-              abs(element_at(xe, 1) - element_at(xb, j)),
-              element_at(prev, j),
-              element_at(prev, j + 1))),
-            array(1e18d),
-            (acc, trip) -> concat(acc, array(
-              element_at(trip, 1) + least(element_at(trip, 2),
-                element_at(trip, 3), element_at(acc, -1)))))),
+          sequence(1, size(xa)),
+          array(0.0D),
+          (prev, i) -> slice(
+            aggregate(
+              transform(
+                sequence(greatest(1, i - $w), least(size(xb), i + $w)),
+                j -> array(
+                  abs(element_at(xa, i) - element_at(xb, j)),
+                  if(j - 1 >= if(i = 1, 0, greatest(1, i - 1 - $w))
+                     and j - 1 <= if(i = 1, 0, greatest(1, i - 1 - $w))
+                       + size(prev) - 1,
+                    element_at(prev,
+                      j - if(i = 1, 0, greatest(1, i - 1 - $w))), 1e18D),
+                  if(j >= if(i = 1, 0, greatest(1, i - 1 - $w))
+                     and j <= if(i = 1, 0, greatest(1, i - 1 - $w))
+                       + size(prev) - 1,
+                    element_at(prev,
+                      j - if(i = 1, 0, greatest(1, i - 1 - $w)) + 1), 1e18D))),
+              array(1e18D),
+              (acc, trip) -> concat(acc, array(
+                element_at(trip, 1) + least(element_at(trip, 2),
+                  element_at(trip, 3), element_at(acc, -1))))),
+            2, least(size(xb), i + $w) - greatest(1, i - $w) + 1)),
         -1)"""
     a.join(broadcast(knn.select(col("station_id"), col("nb_id"), col("rank"))),
         Seq("station_id"))

