@@ -1625,9 +1625,9 @@ object EventAnalytics {
   /** Weekly growth accounting (the SaaS "quick ratio" ledger): every
     * active user-week is NEW (first week), RETAINED (also active
     * the previous week) or RESURRECTED (returned after a gap);
-    * churned(m) = active(m−1) − retained(m). Quick ratio =
-    * (new + resurrected) / churned — the one-number growth-quality
-    * gauge.
+    * churned(w) = active(w−1) − retained(w), one output row per
+    * `week`. Quick ratio = (new + resurrected) / churned — the
+    * one-number growth-quality gauge.
     *
     * Plan: one distinct (user, week) collapse, ONE user-partitioned
     * lag window over the ≤ #weeks rows per user, a keyed week
@@ -1656,9 +1656,10 @@ object EventAnalytics {
         when(col("n_churned") > 0,
           round((col("n_new") + col("n_resurrected"))
             / col("n_churned").cast("double") + lit(1e-9), 4)))
-      .select(col("mon"), col("n_active"), col("n_new"), col("n_retained"),
-        col("n_resurrected"), col("n_churned"), col("quick_ratio"))
-      .orderBy(col("mon"))
+      .select(col("mon").as("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"),
+        col("quick_ratio"))
+      .orderBy(col("week"))
   }
 
   def kaplanMeier(events: DataFrame): DataFrame = {
@@ -3437,13 +3438,13 @@ object EventOracle {
     l AS (
       SELECT *, lag(n_active, 1) OVER (ORDER BY mon) AS prev_active
       FROM counts)
-    SELECT mon, n_active, n_new, n_retained, n_resurrected,
+    SELECT mon AS week, n_active, n_new, n_retained, n_resurrected,
       CASE WHEN prev_active IS NOT NULL
         THEN CAST(prev_active - n_retained AS BIGINT) END AS n_churned,
       CASE WHEN prev_active - n_retained > 0
         THEN round((n_new + n_resurrected)
           / (prev_active - n_retained)::DOUBLE + 1e-9, 4) END AS quick_ratio
-    FROM l ORDER BY mon"""
+    FROM l ORDER BY week"""
 
   /** Mirrors EventAnalytics.mannWhitney: distinct-value tie blocks,
     * cumulative average ranks, tie-corrected z. */

@@ -246,6 +246,23 @@ class Stations(db: WeatherDb) {
     db.meta.select(col("station_id")).orderBy(col("station_id"))
       .collect().map(_.getLong(0)).toSeq
 
+  /** get_geom over the whole registry (StationBases.py:1817 get_geom /
+    * :1848 get_geom_shp, frame form): the station registry with its
+    * point location serialized as WKT and GeoJSON string columns —
+    * the engine's CRS-free analog of the reference's PostGIS/shapely
+    * export (coordinates are the derived grid UTM-like x/y; a real
+    * deployment would chain a proj transform here). Stateless
+    * projection over the meta frame — no shuffle, no action. */
+  def getGeom: DataFrame =
+    db.meta.select(col("station_id"), col("x"), col("y"))
+      .withColumn("geometry",
+        concat(lit("POINT ("), col("x").cast("string"), lit(" "),
+          col("y").cast("string"), lit(")")))
+      .withColumn("geometry_geojson",
+        concat(lit("""{"type":"Point","coordinates":["""),
+          col("x").cast("string"), lit(","), col("y").cast("string"),
+          lit("]}")))
+
   /** get_meta_explanation (StationBases.py:1758): the describable
     * catalog of the meta frame's columns — name → explanation, the
     * reference's column-comment introspection re-expressed as a static

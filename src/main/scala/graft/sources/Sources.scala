@@ -93,6 +93,16 @@ object Sources {
     * scans (one task per split, no driver involvement); the checksum
     * is a keyed aggregation with map-side combine down to #sources
     * rows. */
+  /** Per-run scratch dir for the format-roundtrip queries: keyed by
+    * the dataset AND the Spark applicationId, so two concurrent runs
+    * over the same sfDir never race on one overwrite path (and a
+    * hashCode collision across dirs can't alias paths within a run). */
+  private def roundtripTmp(spark: SparkSession, fmt: String,
+      sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${fmt}_${spark.sparkContext.applicationId}_" +
+        Integer.toHexString(sfDir.hashCode)).getPath
+
   def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val payload = concat(
@@ -101,9 +111,7 @@ object Sources {
       lit("äπ中"), col("n_chars").cast("string"))
     val docs = graft.core.Tables.documents(spark, sfDir)
       .withColumn("payload", payload)
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + Integer.toHexString(sfDir.hashCode)).getPath
+    val tmp = roundtripTmp(spark, "jsonl", sfDir)
     docs.write.mode("overwrite").json(tmp)
     val back = spark.read.schema(docs.schema).json(tmp)
     back.groupBy(col("source"))
@@ -135,9 +143,7 @@ object Sources {
       lit("äπ中"), col("n_chars").cast("string"))
     val docs = graft.core.Tables.documents(spark, sfDir)
       .withColumn("payload", payload)
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_csv_" + Integer.toHexString(sfDir.hashCode)).getPath
+    val tmp = roundtripTmp(spark, "csv", sfDir)
     docs.write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
       .csv(tmp)
@@ -311,9 +317,7 @@ object Sources {
       .withColumn("payload", payload)
       .withColumn("h_arr",
         expr("array(graft_polyhash(text), cast(n_chars AS bigint), cast(doc_id AS bigint))"))
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_orc_" + Integer.toHexString(sfDir.hashCode)).getPath
+    val tmp = roundtripTmp(spark, "orc", sfDir)
     docs.write.mode("overwrite").orc(tmp)
     val back = spark.read.orc(tmp)
     back.groupBy(col("source"))

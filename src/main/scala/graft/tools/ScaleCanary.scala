@@ -30,6 +30,8 @@ object ScaleCanary {
     val nDays = 3650 // 10 years daily, ~120x the 30-day test feed
     val tall = tallDaily(spark, nStations = 3, nDays = nDays)
     tall.persist().count()
+    val seasonalTall = tallDaily(spark, nStations = 10, nDays = 7300)
+    seasonalTall.persist().count()
 
     def timed(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -56,10 +58,14 @@ object ScaleCanary {
       entry("sn_scale",
         Climate.snScale(tall, granularity = "day", cap = 100000),
         Climate.snScale(tall)),
-      // dow seasons keep ~521 week-periods per cell; moy keeps 10 years
+      // dow seasons keep one week-period per WEEK of history (~1043
+      // periods per cell on this frame -> ~544k pairs per cell); moy
+      // keeps one period per YEAR (20) — measured on a wider frame
+      // (10 stations x 20 years) where the per-cell quadratic is the
+      // dominant term rather than fixed plan overhead
       entry("seasonal_mk",
-        Climate.seasonalMannKendall(tall, season = "dow", cap = 100000),
-        Climate.seasonalMannKendall(tall)),
+        Climate.seasonalMannKendall(seasonalTall, season = "dow", cap = 100000),
+        Climate.seasonalMannKendall(seasonalTall)),
       // DTW: the unbanded kernel (band >= n) is run on a 512-day
       // PREFIX only — at 3650 days its O(n·m²) fold-copy cost is the
       // very blowup the band exists to avoid; the banded kernel takes
@@ -79,7 +85,7 @@ object ScaleCanary {
     println(s"[canary] default-cap guard on daily shape: $guardMsg")
 
     val json = rows.mkString(
-      "{\n" + s"""  "n_stations": 3, "n_days": $nDays, "guard_on_daily": "$guardMsg",\n  "ops": {\n""",
+      "{\n" + s"""  "n_stations": 3, "n_days": $nDays, "seasonal_frame": "10x7300", "guard_on_daily": "$guardMsg",\n  "ops": {\n""",
       ",\n", "\n  }\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"[canary] wrote $out")

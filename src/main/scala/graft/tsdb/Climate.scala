@@ -352,10 +352,11 @@ object Climate {
 
   /** Upper-tail dependence χ between each station and its kNN
     * neighbors (the spatial-extremes question behind design storms:
-    * when I flood, does my neighbor flood TOO?): χ = P(both exceed
-    * their own p90 | one exceeds) estimated as the joint-exceedance
-    * share over the pair's common days divided by 0.1 — χ → 1 means
-    * extremes co-occur, χ → 0.1 independence.
+    * when I flood, does my neighbor flood TOO?): χ = P(neighbor
+    * exceeds its own p90 | station exceeds its own p90), i.e. the raw
+    * conditional exceedance probability n_joint / n_ex_i over the
+    * pair's common days — χ → 1 means extremes co-occur; under
+    * independence χ → P(exceed) = 0.1.
     *
     * Plan: per-station exact p90 thresholds (keyed aggregate,
     * broadcast-sized), the knn map exploded once against the daily
@@ -1524,9 +1525,12 @@ object Climate {
     * modern forecasting stacks bolt onto any point model: absolute
     * one-step residuals on a calibration window (all but the last 7
     * days) give the per-station 90% score quantile (k-th order
-    * statistic, k = ⌈0.9·n⌉, ties by day — exact and deterministic),
-    * and the held-out week reports the EMPIRICAL coverage of
-    * ŷ ± q90, the honesty check conformal methods exist for.
+    * statistic, k = min(⌈0.9·(n+1)⌉, n) — the split-conformal
+    * finite-sample correction, clamped so tiny calibration sets still
+    * pick an existing statistic; ties by day — exact and
+    * deterministic), and the held-out week reports the EMPIRICAL
+    * coverage of ŷ ± q90, the honesty check conformal methods exist
+    * for.
     *
     * Plan: the HW frame + one lead window; the order statistic is a
     * per-station window (partition-local, series-bounded); coverage
@@ -1546,7 +1550,8 @@ object Climate {
       .orderBy(col("abs_resid"), col("day"))
     val q = calib.join(counts, Seq("station_id"))
       .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") === ceil(lit(0.9) * col("n_calib")))
+      .filter(col("rn") ===
+        least(ceil(lit(0.9) * (col("n_calib") + 1)), col("n_calib")))
       .select(col("station_id"), col("n_calib"),
         round(col("abs_resid") + lit(1e-9), 4).as("q90"))
     tagged.filter(!col("calib"))

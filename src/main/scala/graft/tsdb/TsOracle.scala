@@ -47,6 +47,17 @@ object TsOracle {
       SELECT user_id::BIGINT AS station_id, ts::date AS day, round(sum(value) + 1e-9, 3) AS ref
       FROM events WHERE event_type != 'error' GROUP BY 1, 2)"""
 
+  /** Mirrors Stations.getGeom: WKT / GeoJSON point serialization of
+    * the registry coordinates (plain string concat — both engines
+    * print small doubles identically). */
+  val qGeomWkt: String = s"""
+    WITH $world
+    SELECT station_id, x, y,
+      'POINT (' || x::VARCHAR || ' ' || y::VARCHAR || ')' AS geometry,
+      '{"type":"Point","coordinates":[' || x::VARCHAR || ',' || y::VARCHAR
+        || ']}' AS geometry_geojson
+    FROM meta ORDER BY station_id"""
+
   val qMetaDerive: String = s"""
     WITH $world
     SELECT m.station_id, m.x, m.y, m.elev, m.horizon,
@@ -2369,7 +2380,7 @@ object TsOracle {
     q AS (
       SELECT station_id, n_calib,
         round(abs_resid + 1e-9, 4) AS q90
-      FROM ranked WHERE rn = ceil(0.9 * n_calib)),
+      FROM ranked WHERE rn = least(ceil(0.9 * (n_calib + 1)), n_calib)),
     ev AS (
       SELECT t.station_id, q.n_calib, q.q90,
         CAST(count(*) AS BIGINT) AS n_eval,
@@ -3966,6 +3977,7 @@ object TsOracle {
     "q_precip_indices" -> qPrecipIndices,
     "q_txtn_percentile" -> qTxTnPercentile,
     "q_theil_sen" -> qTheilSen,
+    "q_geom_wkt" -> qGeomWkt,
     "q_runs_test" -> qRunsTest,
     "q_idf_curve" -> qIdfCurve,
     "q_api_index" -> qApiIndex,

@@ -617,7 +617,14 @@ object TsQueries {
     graft.graph.GraphOps.hits(knnEdges(s, d))
       .withColumnRenamed("id", "station_id").orderBy(col("station_id"))
 
+  /** Frame-form geometry export (Stations.getGeom — reference
+    * get_geom, StationBases.py:1817): registry + WKT/GeoJSON point
+    * columns. */
+  def qGeomWkt(s: SparkSession, d: String): DataFrame =
+    new graft.api.WeatherDb(s, d).stations.getGeom.orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geom_wkt" -> (qGeomWkt _),
     "q_pettitt" -> (qPettitt _),
     "q_cusum" -> (qCusum _),
     "q_snht" -> (qSnht _),

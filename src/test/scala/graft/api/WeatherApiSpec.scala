@@ -146,6 +146,25 @@ class WeatherApiSpec extends SparkSpec {
     assert(weighted.size === 3 && weighted.forall(realIds.contains))
   }
 
+  test("get_geom round-trips a station point through WKT and GeoJSON") {
+    val s = db.station(0L)
+    // single-station form (reference get_geom returns a shapely Point;
+    // ours a WKT string): parse it back and compare with the registry
+    val wkt = s.getGeom
+    val Array(x, y) = wkt.stripPrefix("POINT (").stripSuffix(")")
+      .split(" ").map(_.toDouble)
+    val meta = s.getMeta.select("x", "y").head
+    assert(x === meta.getDouble(0) && y === meta.getDouble(1),
+      s"WKT round-trip mismatch: $wkt vs $meta")
+    // frame form: one geometry per registry row, WKT and GeoJSON agree
+    val g = db.stations.getGeom
+    assert(g.count() === db.meta.count())
+    val r0 = g.filter(org.apache.spark.sql.functions.col("station_id") === 0L).head
+    assert(r0.getAs[String]("geometry") === wkt)
+    val gj = r0.getAs[String]("geometry_geojson")
+    assert(gj === s"""{"type":"Point","coordinates":[$x,$y]}""")
+  }
+
   test("get_meta_explanation documents every meta column") {
     val exp = db.stations.getMetaExplanation()
     assert(exp.columns.toSeq === Seq("info", "explanation"))
