@@ -1158,6 +1158,39 @@ object LlmOracle {
       CASE WHEN doc_id % 3 != 0 THEN round(((doc_id * 7) % 300 + 1) / 10.0 + 1e-9, 1) END AS duration_s
     FROM documents ORDER BY doc_id"""
 
+  // Mirrors Multimodal.imageDecode: the engine round-trips each
+  // image doc through a synthesized P6 PPM (pixel byte i =
+  // (doc_id*31 + i*7) % 256) and a real header+pixel decode; the
+  // oracle computes the identical channel statistics from the
+  // generator's closed form — no byte parsing, so a bug in either
+  // the encoder or the decoder breaks the hash match.
+  val qImageDecode: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 7 + 4 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT doc_id, width, height,
+        unnest(range(0, width * height * 3)) AS i
+      FROM img),
+    ch AS (
+      SELECT doc_id, width, height,
+        CAST(width AS BIGINT) * height AS n_pixels,
+        CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i * 7) % 256 END) AS BIGINT) AS sum_r,
+        CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 31 + i * 7) % 256 END) AS BIGINT) AS sum_g,
+        CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i * 7) % 256 END) AS BIGINT) AS sum_b
+      FROM px GROUP BY 1, 2, 3),
+    m AS (
+      SELECT doc_id, width, height, n_pixels,
+        round(sum_r / n_pixels::DOUBLE + 1e-9, 6) AS mean_r,
+        round(sum_g / n_pixels::DOUBLE + 1e-9, 6) AS mean_g,
+        round(sum_b / n_pixels::DOUBLE + 1e-9, 6) AS mean_b
+      FROM ch)
+    SELECT doc_id, width, height, n_pixels, mean_r, mean_g, mean_b,
+      round(0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b + 1e-9, 6)
+        AS luma
+    FROM m ORDER BY doc_id"""
+
   // int8 scalar quantization error report: per-dim corpus bounds, then
   // per-vector left-fold (list ORDER BY i) of squared reconstruction
   // errors — same index order as Spark's aggregate() fold
@@ -2162,6 +2195,7 @@ object LlmOracle {
     "q_corpus_sample" -> qCorpusSample,
     "q_embed_cluster" -> qEmbedCluster,
     "q_silhouette" -> qSilhouette,
-    "q_multimodal_meta" -> qMultimodalMeta)
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_image_decode" -> qImageDecode)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

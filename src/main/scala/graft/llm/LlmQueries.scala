@@ -193,5 +193,7 @@ object LlmQueries {
       graft.similarity.Pca.powerProjection(embs(s, d)).orderBy(col("vec_id"))),
     "q_embed_quantize" -> ((s, d) =>
       graft.similarity.Quantize.sq8Report(embs(s, d)).orderBy(col("vec_id"))),
-    "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))))
+    "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))),
+    "q_image_decode" -> ((s, d) =>
+      Multimodal.imageDecode(s, docs(s, d)).orderBy(col("doc_id"))))
 }

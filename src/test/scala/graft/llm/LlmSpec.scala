@@ -241,6 +241,44 @@ class LlmSpec extends SparkSpec {
     assert(f0.feature.forall(v => v >= 0f && v < 1f))
   }
 
+  test("PPM decode: hand-built P6 round-trips exactly; malformed input fails loudly") {
+    // 2x1 image, pixels R=65 G=66 B=67 | R=68 G=69 B=70 ("ABCDEF")
+    val ppm = "P6\n2 1\n255\nABCDEF".getBytes("US-ASCII")
+    val (w, h, px) = Multimodal.decodePpm(ppm)
+    assert((w, h) === (2, 1))
+    assert(px.toSeq === "ABCDEF".getBytes("US-ASCII").toSeq)
+    // comment- and whitespace-tolerant header, netpbm-style
+    val commented = "P6 # a comment\n# more\n 2\t1\n255\nABCDEF".getBytes("US-ASCII")
+    assert(Multimodal.decodePpm(commented)._3.toSeq === px.toSeq)
+    // the encoder-decoder pair agrees with the closed-form generator
+    val (sw, sh, spx) = Multimodal.decodePpm(Multimodal.synthesizePpm(5L, 4, 3))
+    assert((sw, sh) === (4, 3))
+    (0 until 36).foreach(i => assert((spx(i).toInt & 0xff) === ((5 * 31 + i * 7) % 256)))
+    // loud failures, never silent fallbacks
+    intercept[IllegalArgumentException](Multimodal.decodePpm("P5\n2 1\n255\nAB".getBytes))
+    intercept[IllegalArgumentException](Multimodal.decodePpm("P6\n2 1\n255\nABC".getBytes))
+    intercept[IllegalArgumentException](Multimodal.decodePpm("P6\n2 1\n65535\nABCDEF".getBytes))
+  }
+
+  test("featureExtract decodes a PPM payload for real; non-PPM stays the stub") {
+    // a doc whose TEXT is a valid ascii-safe P6 image: the utf-8
+    // payload bytes are exactly the PPM bytes
+    val ppmDocs = Seq(
+      (0L, "P6\n2 1\n255\nABCDEF", "en", "web", 17L),
+      (1L, "plain text, not an image", "en", "web", 24L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.featureExtract(spark, ppmDocs).collect()
+      .map(f => f.doc_id -> f.feature).toMap
+    val real = feats(0L)
+    // [w/4096, h/4096, meanR/255, meanG/255, meanB/255, luma, 1, 0]
+    assert(real(0) === 2f / 4096f && real(1) === 1f / 4096f)
+    assert(math.abs(real(2) - (65 + 68) / 2f / 255f) < 1e-6)
+    assert(math.abs(real(3) - (66 + 69) / 2f / 255f) < 1e-6)
+    assert(math.abs(real(4) - (67 + 70) / 2f / 255f) < 1e-6)
+    assert(real(6) === 1f) // the "really decoded" flag bit
+    assert(feats(1L)(6) !== 1f) // stub path has no flag bit semantics
+  }
+
   test("repetition signals flag the repetitive doc, not the diverse one") {
     val rep = Seq(
       (0L, "spam spam spam spam spam eggs", "en"),
