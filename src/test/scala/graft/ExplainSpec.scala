@@ -42,6 +42,31 @@ class ExplainSpec extends SparkSpec {
       s"scan reads ${li.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("trend-family pair join consumes the AGGREGATED, cap-guarded series, never raw days") {
+    // q_theil_sen / q_sn_scale expose the shared trendSeries shape to
+    // plan introspection (mannKendall localCheckpoints its result, so
+    // its executed plan is opaque — it builds on the same helper).
+    // The O(n²)-per-station self-join must sit ABOVE the weekly
+    // aggregation and the guard window on BOTH sides.
+    Seq("q_theil_sen", "q_sn_scale").foreach { q =>
+      val p = physical(q)
+      val join = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.lastOption.getOrElse(fail(s"$q: expected the pair self-join"))
+      join.children.zipWithIndex.foreach { case (side, i) =>
+        val aggs = side.collect {
+          case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+        }
+        assert(aggs.nonEmpty,
+          s"$q: pair-join side $i reads no aggregate — raw days reach the join")
+      }
+      val wins = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"$q: cap-guard count window missing from the plan")
+    }
+  }
+
   test("bm25 selects its top-k via TakeOrderedAndProject, not a global sort") {
     val p = physical("q_bm25")
     val tops = p.collect {
