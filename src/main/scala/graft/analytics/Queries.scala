@@ -857,19 +857,44 @@ object Queries {
 
   /** Customer revenue deciles (the ntile BI staple behind "top 10%
     * of customers drive X%"): per-customer order totals (2-dp
-    * quantized), ntile(10) on the deterministic (revenue desc,
-    * custkey) order, per-decile mass and share.
+    * quantized), exact ntile(10) semantics on the deterministic
+    * (revenue desc, custkey) order, per-decile mass and share.
     *
-    * Plan: one keyed aggregate to O(#customers), the ntile is one
-    * global sort of that collapsed frame (the decile boundary is
-    * inherently global), shares off a 10-row rollup. */
+    * Plan: one keyed aggregate to O(#customers) — a frame that GROWS
+    * with SF (billions at 100 TB), so the global rank is NOT a
+    * single-partition ntile window: range-partition on the sort key,
+    * partition-local row_number + broadcast exclusive prefix-count
+    * offsets (the corpus_shuffle ordinal pattern), and ntile's exact
+    * bucket arithmetic (first n%10 buckets one row larger) applied in
+    * closed form. Shares off a 10-row rollup. */
   def qCustomerDeciles(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")) + lit(1e-9), 2).as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    // pin the physical split once: spark_partition_id is a property
+    // of the materialized layout, not of the plan
+    val ranged = rev.repartitionByRange(col("rev").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("pid"), col("offset"), col("n"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("rev").desc, col("o_custkey"))
     val wAll = Window.partitionBy()
-    rev.withColumn("decile", ntile(10).over(w))
+    ranged.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rn", row_number().over(wLocal) + col("offset"))
+      // ntile(10) exact semantics: q = n DIV 10 rows per bucket, the
+      // first r = n % 10 buckets take one extra row
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN rn <= (n % 10) * (n DIV 10 + 1)
+             THEN (rn - 1) DIV (n DIV 10 + 1) + 1
+             ELSE (n % 10) + (rn - (n % 10) * (n DIV 10 + 1) - 1)
+                  DIV (n DIV 10) + 1 END AS INT)"""))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("rev")) + lit(1e-9), 2).as("decile_rev"))
@@ -1033,8 +1058,8 @@ object Queries {
     * share runs over integer CENTS (2-dp revenue × 100 as BIGINT) so
     * the running sum is exact on both engines — a float cumsum's
     * fold order is engine-private, an integer one has no order. The
-    * ranking window is one global sort of the collapsed dim frame
-    * (the customer_deciles pattern). */
+    * revenue cumsum runs distributed — range-partition + prefix-sum,
+    * the customer_deciles / corpus_shuffle pattern. */
   def qAbcXyz(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val rev = li.groupBy(col("l_partkey"))
@@ -1051,10 +1076,25 @@ object Queries {
         round(sqrt(greatest(col("var_q"), lit(0.0))) / col("mean_q")
           + lit(1e-9), 4)))
       .select(col("l_partkey"), col("cv"))
-    val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
-    val tot = rev.agg(sum(col("rev_c")).as("tot_c"))
-    rev.withColumn("cum_c", sum(col("rev_c")).over(w))
-      .crossJoin(broadcast(tot))
+    // the part dim GROWS with SF: the global revenue cumsum runs as
+    // range-partition + prefix-sum (partition-local window + broadcast
+    // exclusive offsets), never a single-partition sort; integer cents
+    // make the split-order irrelevant
+    val ranged = rev.repartitionByRange(col("rev_c").desc, col("l_partkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(sum(col("rev_c")).as("psum"))
+      .withColumn("offset", coalesce(
+        sum(col("psum")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot_c", sum(col("psum")).over(Window.partitionBy()))
+      .select(col("pid"), col("offset"), col("tot_c"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("rev_c").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_c", sum(col("rev_c")).over(wLocal) + col("offset"))
       .withColumn("cum_share", col("cum_c").cast("double") / col("tot_c"))
       .withColumn("abc", when(col("cum_share") <= 0.8, "A")
         .when(col("cum_share") <= 0.95, "B").otherwise("C"))
