@@ -263,6 +263,28 @@ class Stations(db: WeatherDb) {
           col("x").cast("string"), lit(","), col("y").cast("string"),
           lit("]}")))
 
+  /** get_geom with the reference's CRS TRANSFORM (StationBases.py:1817
+    * transforms EPSG:25832 → WGS84 via pyproj): the grid maps onto UTM
+    * zone 32N (1 km spacing from the 500000/5400000 anchor) and the
+    * inverse Transverse Mercator runs as [[graft.core.Geo]]'s shared
+    * SQL chain — the identical expression strings power the DuckDB
+    * oracle, so the projection arithmetic itself is cross-checked.
+    * Stateless projection; every step is a codegen'd column. */
+  def getGeomWgs84: DataFrame = {
+    import graft.core.Geo
+    val base = db.meta.select(col("station_id"), col("x"), col("y"))
+      .withColumn("easting", lit(Geo.FalseEasting) + col("x") * lit(Geo.GridMeters))
+      .withColumn("northing", lit(Geo.AnchorNorthing) + col("y") * lit(Geo.GridMeters))
+    Geo.inverseUtmChain.foldLeft(base) { case (df, (name, sql)) =>
+      df.withColumn(name, expr(sql))
+    }
+      .withColumn("geometry",
+        concat(lit("POINT ("), col("lon").cast("string"), lit(" "),
+          col("lat").cast("string"), lit(")")))
+      .select(col("station_id"), col("x"), col("y"), col("easting"),
+        col("northing"), col("lon"), col("lat"), col("geometry"))
+  }
+
   /** get_meta_explanation (StationBases.py:1758): the describable
     * catalog of the meta frame's columns — name → explanation, the
     * reference's column-comment introspection re-expressed as a static

@@ -58,6 +58,29 @@ object TsOracle {
         || ']}' AS geometry_geojson
     FROM meta ORDER BY station_id"""
 
+  /** Mirrors Stations.getGeomWgs84 — the CTE chain is GENERATED from
+    * the same graft.core.Geo.inverseUtmChain strings the engine
+    * evaluates, so the projection arithmetic is literally shared. */
+  val qGeomWgs84: String = {
+    import graft.core.Geo
+    val base = s"""g0 AS (
+      SELECT station_id, x, y,
+        ${Geo.FalseEasting} + x * ${Geo.GridMeters} AS easting,
+        ${Geo.AnchorNorthing} + y * ${Geo.GridMeters} AS northing
+      FROM meta)"""
+    val (chain, last) = Geo.inverseUtmChain.zipWithIndex
+      .foldLeft((base, "g0")) { case ((acc, prev), ((name, sql), i)) =>
+        (acc + s""",
+    g${i + 1} AS (SELECT *, $sql AS $name FROM $prev)""", s"g${i + 1}")
+      }
+    s"""
+    WITH $world,
+    $chain
+    SELECT station_id, x, y, easting, northing, lon, lat,
+      'POINT (' || lon::VARCHAR || ' ' || lat::VARCHAR || ')' AS geometry
+    FROM $last ORDER BY station_id"""
+  }
+
   val qMetaDerive: String = s"""
     WITH $world
     SELECT m.station_id, m.x, m.y, m.elev, m.horizon,
@@ -3978,6 +4001,7 @@ object TsOracle {
     "q_txtn_percentile" -> qTxTnPercentile,
     "q_theil_sen" -> qTheilSen,
     "q_geom_wkt" -> qGeomWkt,
+    "q_geom_wgs84" -> qGeomWgs84,
     "q_runs_test" -> qRunsTest,
     "q_idf_curve" -> qIdfCurve,
     "q_api_index" -> qApiIndex,

@@ -623,8 +623,16 @@ object TsQueries {
   def qGeomWkt(s: SparkSession, d: String): DataFrame =
     new graft.api.WeatherDb(s, d).stations.getGeom.orderBy(col("station_id"))
 
+  /** CRS-transformed geometry export (Stations.getGeomWgs84 — the
+    * reference's get_geom crs path, UTM 32N → WGS84 inverse Transverse
+    * Mercator as graft.core.Geo's shared SQL chain). */
+  def qGeomWgs84(s: SparkSession, d: String): DataFrame =
+    new graft.api.WeatherDb(s, d).stations.getGeomWgs84
+      .orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geom_wkt" -> (qGeomWkt _),
+    "q_geom_wgs84" -> (qGeomWgs84 _),
     "q_pettitt" -> (qPettitt _),
     "q_cusum" -> (qCusum _),
     "q_snht" -> (qSnht _),

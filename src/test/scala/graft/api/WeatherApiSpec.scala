@@ -165,6 +165,31 @@ class WeatherApiSpec extends SparkSpec {
     assert(gj === s"""{"type":"Point","coordinates":[$x,$y]}""")
   }
 
+  test("get_geom WGS84 transform matches the independently computed UTM-32N anchors") {
+    import org.apache.spark.sql.functions.col
+    val g = db.stations.getGeomWgs84.collect()
+      .map(r => (r.getAs[Double]("x"), r.getAs[Double]("y"))
+        -> (r.getAs[Double]("lon"), r.getAs[Double]("lat"))).toMap
+    // station at grid (0,0) = the (500000, 5400000) zone-32N anchor:
+    // lon is EXACTLY the central meridian, lat the footpoint latitude
+    // (independently computed with a separate Python implementation
+    // of the Snyder series: 9.0, 48.753013)
+    assert(g((0.0, 0.0)) === ((9.0, 48.753013)), s"anchor: ${g((0.0, 0.0))}")
+    // monotone: east of the central meridian lon grows with x,
+    // lat grows with y
+    g.keys.groupBy(_._2).values.foreach { row =>
+      val sorted = row.toSeq.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(g(a)._1 < g(b)._1, s"lon not monotone $a $b")
+        case _ =>
+      }
+    }
+    // the WKT carries the transformed point
+    val wkt = db.stations.getGeomWgs84
+      .filter(col("station_id") === 0L).head.getAs[String]("geometry")
+    assert(wkt === "POINT (9.0 48.753013)", wkt)
+  }
+
   test("get_meta_explanation documents every meta column") {
     val exp = db.stations.getMetaExplanation()
     assert(exp.columns.toSeq === Seq("info", "explanation"))
