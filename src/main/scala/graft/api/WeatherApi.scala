@@ -132,6 +132,23 @@ class Station(db: WeatherDb, val id: Long) {
         s"station $id is not in the registry") // reference: _check_isin_meta
     }
 
+  /** get_geom with the crs parameter (the reference transforms to the
+    * requested CRS via pyproj; None → WGS84): "grid" returns the raw
+    * registry coordinates, "wgs84" the inverse-Transverse-Mercator
+    * point of [[Stations.getGeomWgs84]]. */
+  def getGeom(crs: String): String = crs match {
+    case "grid" => getGeom
+    case "wgs84" =>
+      db.stations.getGeomWgs84.filter(col("station_id") === id)
+        .select(col("geometry")).collect().headOption match {
+        case Some(r) => r.getString(0)
+        case None => throw new IllegalArgumentException(
+          s"station $id is not in the registry")
+      }
+    case other => throw new IllegalArgumentException(
+      s"unknown crs '$other' — use \"grid\" or \"wgs84\"")
+  }
+
   /** is_real / is_virtual (StationCanVirtualBase): whether the
     * station's temperature companion has real observations. */
   def isReal: Boolean =

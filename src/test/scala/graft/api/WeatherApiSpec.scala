@@ -184,10 +184,14 @@ class WeatherApiSpec extends SparkSpec {
         case _ =>
       }
     }
-    // the WKT carries the transformed point
+    // the WKT carries the transformed point, on the frame AND the
+    // single-station crs accessor (the reference's get_geom(crs=...))
     val wkt = db.stations.getGeomWgs84
       .filter(col("station_id") === 0L).head.getAs[String]("geometry")
     assert(wkt === "POINT (9.0 48.753013)", wkt)
+    assert(db.station(0L).getGeom("wgs84") === wkt)
+    assert(db.station(0L).getGeom("grid") === db.station(0L).getGeom)
+    intercept[IllegalArgumentException](db.station(0L).getGeom("epsg:9999"))
   }
 
   test("get_meta_explanation documents every meta column") {

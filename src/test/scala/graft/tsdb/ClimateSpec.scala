@@ -245,6 +245,11 @@ class ClimateSpec extends SparkSpec {
     // optimal path leaves the ±1 corridor
     assert(w1.exists { case (k, d) => d > full(k) + 1e-6 },
       "band=1 must constrain some pair")
+    // equal-length banded DTW is symmetric (cost, band and path set
+    // are all role-symmetric) — both knn directions must agree
+    w7.foreach { case ((s, n), d) =>
+      w7.get((n, s)).foreach(rev => assert(rev === d, s"asymmetry $s<->$n"))
+    }
     // the warping value itself: a one-day-shifted twin is a perfect
     // in-band alignment (distance ≈ boundary cost only), far below the
     // rigid lockstep L1 distance
