@@ -1775,52 +1775,61 @@ object EventAnalytics {
       .withColumn("p", col("cnt")
         / sum(col("cnt")).over(Window.partitionBy(col("src"))).cast("double"))
       .select(col("src"), col("dst"), col("p"))
-    // chain states are event types (+START), so the variant list is
-    // tiny; the LIMIT is a loud structural bound — it makes the
-    // broadcast cross join provably finite for the plan guard, and a
-    // >64-state chain would mean the event-type column exploded.
-    val variants = probs.select(col("src").as("removed"))
-      .filter(col("removed") =!= "START").distinct()
-      .unionByName(probs.select(lit("").as("removed")).distinct())
-      .limit(64)
-    val tagged = probs.crossJoin(broadcast(variants)).persist()
-    try {
-      var pcur = tagged.select(col("removed"), col("src")).distinct()
-        .withColumn("p_conv", lit(0.0)).localCheckpoint(true)
+    // Chain states are event types (+START/CONV/END) — a ≤64-state
+    // transition matrix, the declared tiny-dim exception (SURVEY §5
+    // "tiny fitted state folds into the plan as literals"): collect
+    // it ONCE and run the removal-effect value iteration driver-side
+    // as a pure fold. The big-data work — the journey scan and the
+    // transition counting — stays distributed above; iterating a
+    // 64×64 matrix through 16 distributed checkpoint rounds was pure
+    // scheduling overhead (~5 s of it at sf0.1).
+    val pRows = probs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    require(pRows.map(_._1).distinct.length <= 64,
+      s"event-type chain exploded past 64 states")
+    val states = pRows.map(_._1).distinct.sorted
+    // deterministic term order per src (DuckDB's own sum order differs
+    // anyway; the per-iteration 10-dp round absorbs ulp effects for
+    // these ≤#states-term sums, same as it did for the shuffled agg)
+    val bySrc = pRows.groupBy(_._1).map { case (s, ts) =>
+      s -> ts.sortBy(_._2)
+    }
+    def round10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def converge(removed: String): Double = {
+      var pconv = states.map(_ -> 0.0).toMap
       (1 to iterations).foreach { _ =>
-        val next = tagged
-          .join(pcur.select(col("removed"), col("src").as("dst"),
-            col("p_conv").as("p_dst")), Seq("removed", "dst"), "left")
-          .withColumn("wgt", when(col("dst") === "CONV", lit(1.0))
-            .when(col("dst") === "END" || col("dst") === col("removed"), lit(0.0))
-            .otherwise(coalesce(col("p_dst"), lit(0.0))))
-          .groupBy(col("removed"), col("src"))
-          .agg(round(sum(col("p") * col("wgt")), 10).as("p_conv"))
-          .localCheckpoint(true)
-        graft.core.Checkpoints.release(pcur)
-        pcur = next
+        pconv = states.map { s =>
+          val v = bySrc.getOrElse(s, Array.empty[(String, String, Double)])
+            .map { case (_, dst, p) =>
+              val wgt =
+                if (dst == "CONV") 1.0
+                else if (dst == "END" || dst == removed) 0.0
+                else pconv.getOrElse(dst, 0.0)
+              p * wgt
+            }.sum
+          s -> round10(v)
+        }.toMap
       }
-      val conv = pcur.filter(col("src") === "START")
-        .select(col("removed"), col("p_conv"))
-      // scalar aggregate (the removed="" frame is one row) so the
-      // cross join against it is a guarded 1-row broadcast
-      val baseConv = conv.filter(col("removed") === "")
-        .agg(max(col("p_conv")).as("base_conv"))
-      val eff = conv.filter(col("removed") =!= "")
-        .crossJoin(broadcast(baseConv))
-        .withColumn("eff_raw",
-          (col("base_conv") - col("p_conv")) / col("base_conv"))
-      val tot = eff.agg(sum(col("eff_raw")).as("tot_eff"))
-      eff.crossJoin(broadcast(tot))
-        .select(col("removed").as("channel"),
-          round(col("base_conv") + lit(1e-9), 6).as("base_conv"),
-          round(col("p_conv") + lit(1e-9), 6).as("removal_conv"),
-          round(col("eff_raw") + lit(1e-9), 6).as("removal_effect"),
-          when(col("tot_eff") > 0,
-            round(col("eff_raw") / col("tot_eff") + lit(1e-9), 6))
-            .as("attribution"))
-        .orderBy(col("channel"))
-    } finally tagged.unpersist()
+      pconv.getOrElse("START", 0.0)
+    }
+    val baseConv = converge("")
+    val channels = states.filter(_ != "START")
+    val effs = channels.map { ch =>
+      val rc = converge(ch)
+      (ch, rc, (baseConv - rc) / baseConv)
+    }
+    val totEff = effs.map(_._3).sum
+    def round6(x: Double): Double =
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = events.sparkSession
+    import spark.implicits._
+    effs.toSeq.map { case (ch, rc, eff) =>
+      (ch, round6(baseConv), round6(rc), round6(eff),
+        if (totEff > 0) Some(round6(eff / totEff)) else None)
+    }.toDF("channel", "base_conv", "removal_conv", "removal_effect",
+      "attribution")
+      .orderBy(col("channel"))
   }
 
   /** Exact Shapley-value multi-touch attribution — the axiomatic
