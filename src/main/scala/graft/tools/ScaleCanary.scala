@@ -38,12 +38,15 @@ object ScaleCanary {
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def entry(op: String, before: => DataFrame, after: => DataFrame): String = {
+    def entryAt(op: String, scale: String, before: => DataFrame,
+        after: => DataFrame): String = {
       val b = timed(before); val a = timed(after)
       val ratio = if (a > 0) b / a else Double.PositiveInfinity
       println(f"[canary] $op%-22s before=$b%8.2fs after=$a%8.2fs speedup=$ratio%8.1fx")
-      f"""    "$op": {"days": $nDays, "before_sec": $b%.3f, "after_sec": $a%.3f, "speedup": $ratio%.1f}"""
+      f"""    "$op": {"scale": "$scale", "before_sec": $b%.3f, "after_sec": $a%.3f, "speedup": $ratio%.1f}"""
     }
+    def entry(op: String, before: => DataFrame, after: => DataFrame): String =
+      entryAt(op, s"$nDays days", before, after)
 
     // the r6 shape = pair enumeration on the raw daily series
     // (cap raised so the guard lets the "before" leg run at all);
@@ -74,6 +77,12 @@ object ScaleCanary {
         Climate.dtwNeighbors(tall.filter(col("day") < lit("2001-05-27").cast("date")),
           canaryKnn(spark), band = 512, cap = 100000),
         Climate.dtwNeighbors(tall, canaryKnn(spark), band = 7, cap = 100000)),
+      // the global-cumsum PATTERN (concurrency / heaps_fit /
+      // customer_deciles / abc_xyz): one 20M-row running sum as a
+      // single-partition Window.orderBy (the r6 shape — every row
+      // through ONE task) vs range-partition + prefix-sum
+      entryAt("global_cumsum", s"$CumsumRows rows",
+        cumsumSingle(spark), cumsumPrefix(spark)),
     )
 
     // guard rail: the default cap must REFUSE the daily shape loudly
@@ -102,6 +111,36 @@ object ScaleCanary {
       .withColumn("raw",
         round(pmod(hash(col("station_id"), col("day")), lit(10000)) / 100.0, 3))
       .withColumn("n_obs", lit(1L))
+
+  private val CumsumRows = 100000000L
+
+  private def cumsumBase(spark: SparkSession): DataFrame =
+    spark.range(CumsumRows).select(col("id"),
+      pmod(hash(col("id")), lit(1000)).cast("long").as("v"))
+
+  def cumsumSingle(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cumsumBase(spark).withColumn("c",
+      sum(col("v")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def cumsumPrefix(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = cumsumBase(spark).repartitionByRange(col("id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("pid")).agg(sum(col("v")).as("s"))
+      .withColumn("offset", coalesce(
+        sum(col("s")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("pid"))
+      .withColumn("c", sum(col("v")).over(wLocal) + col("offset"))
+      .select(col("id"), col("v"), col("c"))
+  }
 
   def canaryKnn(spark: SparkSession): DataFrame = {
     import spark.implicits._
