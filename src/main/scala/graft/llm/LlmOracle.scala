@@ -1191,6 +1191,70 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  // Mirrors Multimodal.audioDecode: the engine round-trips each audio
+  // doc through a synthesized RIFF/WAVE PCM16 clip (100 Hz, n =
+  // ((id·7)%300+1)·10 samples, sample i = ((id·131 + i·17) % 4001) −
+  // 2000) and a real chunk-walking decode; the oracle computes the
+  // identical integer statistics from the generator's closed form —
+  // no byte parsing, so a bug in either the encoder or the RIFF
+  // parser breaks the hash match.
+  val qAudioDecode: String = """
+    WITH aud AS (
+      SELECT doc_id, ((doc_id * 7) % 300 + 1) * 10 AS n
+      FROM documents WHERE doc_id % 3 = 1),
+    sm AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud),
+    v AS (
+      SELECT doc_id, n, i,
+        ((doc_id * 131 + i * 17) % 4001) - 2000 AS s,
+        CASE WHEN i > 0 THEN ((doc_id * 131 + (i - 1) * 17) % 4001) - 2000 END AS sp
+      FROM sm),
+    agg AS (
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(sum(s) AS BIGINT) AS sum_amp,
+        CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        CAST(max(abs(s)) AS INT) AS peak_abs,
+        CAST(sum(CASE WHEN sp IS NOT NULL AND ((s >= 0) != (sp >= 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM v GROUP BY 1)
+    SELECT doc_id, CAST(100 AS INT) AS sample_rate, n_samples,
+      round(n_samples / CAST(100 AS DOUBLE) + 1e-9, 6) AS duration_s,
+      round(sum_amp / n_samples::DOUBLE + 1e-9, 6) AS mean_amp,
+      round(sqrt(sum_sq / n_samples::DOUBLE) + 1e-9, 6) AS rms,
+      peak_abs, zero_crossings,
+      round(zero_crossings / (n_samples - 1)::DOUBLE + 1e-9, 6) AS zcr
+    FROM agg ORDER BY doc_id"""
+
+  // Mirrors Multimodal.videoDecode: the engine round-trips each video
+  // doc through a synthesized YUV4MPEG2 C444 clip (W = id%6+2, H =
+  // id%4+2, id%5+2 frames at F25:1; plane byte p of frame f =
+  // (id·29 + f·101 + p·13) % 256) and a real header+FRAME demux; the
+  // oracle computes the identical Y-plane statistics (p < W·H) from
+  // the generator's closed form.
+  val qVideoDecode: String = """
+    WITH vid AS (
+      SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS w,
+        CAST(doc_id % 4 + 2 AS INT) AS h, CAST(doc_id % 5 + 2 AS INT) AS nf
+      FROM documents WHERE doc_id % 3 = 2),
+    fp AS (
+      SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM vid),
+    px AS (
+      SELECT doc_id, w, h, nf, f, unnest(range(0, w * h)) AS p FROM fp),
+    v AS (
+      SELECT doc_id, w, h, nf, f, p,
+        (doc_id * 29 + f * 101 + p * 13) % 256 AS y,
+        CASE WHEN f > 0 THEN (doc_id * 29 + (f - 1) * 101 + p * 13) % 256 END AS yp
+      FROM px),
+    agg AS (
+      SELECT doc_id, w AS width, h AS height, CAST(nf AS BIGINT) AS n_frames,
+        CAST(sum(y) AS BIGINT) AS sum_y,
+        CAST(sum(CASE WHEN yp IS NOT NULL THEN abs(y - yp) ELSE 0 END) AS BIGINT) AS sum_mad
+      FROM v GROUP BY 1, 2, 3, 4)
+    SELECT doc_id, width, height, n_frames, CAST(25.0 AS DOUBLE) AS fps,
+      round(sum_y / (n_frames * width * height)::DOUBLE + 1e-9, 6) AS mean_y,
+      round(sum_mad / ((n_frames - 1) * width * height)::DOUBLE + 1e-9, 6) AS frame_mad
+    FROM agg ORDER BY doc_id"""
+
   // int8 scalar quantization error report: per-dim corpus bounds, then
   // per-vector left-fold (list ORDER BY i) of squared reconstruction
   // errors — same index order as Spark's aggregate() fold
@@ -2196,6 +2260,8 @@ object LlmOracle {
     "q_embed_cluster" -> qEmbedCluster,
     "q_silhouette" -> qSilhouette,
     "q_multimodal_meta" -> qMultimodalMeta,
-    "q_image_decode" -> qImageDecode)
+    "q_image_decode" -> qImageDecode,
+    "q_audio_decode" -> qAudioDecode,
+    "q_video_decode" -> qVideoDecode)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

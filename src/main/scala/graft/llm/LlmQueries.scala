@@ -195,5 +195,9 @@ object LlmQueries {
       graft.similarity.Quantize.sq8Report(embs(s, d)).orderBy(col("vec_id"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))),
     "q_image_decode" -> ((s, d) =>
-      Multimodal.imageDecode(s, docs(s, d)).orderBy(col("doc_id"))))
+      Multimodal.imageDecode(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_audio_decode" -> ((s, d) =>
+      Multimodal.audioDecode(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_video_decode" -> ((s, d) =>
+      Multimodal.videoDecode(s, docs(s, d)).orderBy(col("doc_id"))))
 }

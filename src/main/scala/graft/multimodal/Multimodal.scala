@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: images/audio/video ride along as opaque
-  * binary columns with typed metadata. Decode is REAL for binary PPM
-  * ([[decodePpm]] — a dependency-free P6 header+pixel parser; see
-  * [[imageDecode]] and the PPM branch of [[featureExtract]]); every
-  * other format's decode step is a clearly marked STUB (no media
-  * libraries in this environment) — everything around it (schema,
-  * batch shape, partition-local execution) is the real Spark plumbing
-  * a decode UDF would plug into.
+  * binary columns with typed metadata. Decode is REAL for one public
+  * format per modality — binary PPM images ([[decodePpm]]), RIFF/WAVE
+  * PCM16 audio ([[decodeWav]]) and YUV4MPEG2 (y4m) video
+  * ([[decodeY4m]]) — all dependency-free header+payload parsers over
+  * pure byte layouts (no media libraries in this environment, and none
+  * needed for these formats). The remaining STUB seams are clearly
+  * marked (pixel resampling in [[resize]], the non-PPM branch of
+  * [[featureExtract]]); everything around them (schema, batch shape,
+  * partition-local execution) is the real Spark plumbing a codec UDF
+  * would plug into.
   */
 object Multimodal {
 
@@ -125,6 +128,241 @@ object Multimodal {
         + lit(1e-9), 6))
       .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
         col("mean_r"), col("mean_g"), col("mean_b"), col("luma"))
+  }
+
+  /** Deterministic RIFF/WAVE synthesizer for the test corpus: PCM16
+    * mono at 100 Hz, n = ((id·7) mod 300 + 1)·10 samples (so decoded
+    * duration equals the typed-metadata duration_s exactly), sample i
+    * = ((id·131 + i·17) mod 4001) − 2000 — closed form, so the DuckDB
+    * oracle mirrors the DECODED statistics without parsing bytes. A
+    * LIST chunk with an odd-length payload sits between fmt and data
+    * so the parser genuinely must walk + pad-skip unknown chunks. */
+  private[graft] def synthesizeWav(docId: Long): Array[Byte] = {
+    val n = (((docId * 7) % 300 + 1) * 10).toInt
+    val rate = 100
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((docId * 131 + i.toLong * 17) % 4001) - 2000).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val list = "INFOgraft".getBytes("US-ASCII") // 9 bytes — odd, pad byte required
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    val riffSize = 4 + (8 + 16) + (8 + list.length + (list.length & 1)) + (8 + data.length)
+    tag("RIFF"); w32(riffSize); tag("WAVE")
+    tag("fmt "); w32(16)
+    w16(1); w16(1); w32(rate); w32(rate * 2); w16(2); w16(16)
+    tag("LIST"); w32(list.length); out.write(list); out.write(0) // pad
+    tag("data"); w32(data.length); out.write(data)
+    out.toByteArray
+  }
+
+  /** Dependency-free RIFF/WAVE PCM decoder — the real audio decode
+    * path behind the multimodal seams. Walks the chunk list (skipping
+    * unknown chunks with odd-size padding, per the RIFF spec), reads
+    * the fmt header, and returns (sampleRate, 16-bit samples). PCM16
+    * mono only; fails loudly on anything else — a silent fallback
+    * would hide corrupt payloads. */
+  private[graft] def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE stream")
+    require(u32(4) == bytes.length - 8,
+      s"RIFF size field ${u32(4)} != payload ${bytes.length - 8}")
+    var pos = 12
+    var fmtCode = -1; var channels = -1; var rate = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos); val size = u32(pos + 4).toInt; pos += 8
+      require(size >= 0 && pos + size <= bytes.length, s"truncated '$id' chunk")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"short fmt chunk ($size bytes)")
+          fmtCode = u16(pos); channels = u16(pos + 2)
+          rate = u32(pos + 4).toInt; bits = u16(pos + 14)
+        case "data" =>
+          require(fmtCode == 1 && channels == 1 && bits == 16,
+            s"unsupported WAV layout fmt=$fmtCode ch=$channels bits=$bits (PCM16 mono only)")
+          require(size % 2 == 0, s"odd data chunk size $size for 16-bit samples")
+          samples = Array.tabulate(size / 2)(i =>
+            ((bytes(pos + 2 * i) & 0xff) | (bytes(pos + 2 * i + 1) << 8)).toShort)
+        case _ => () // LIST / fact / … — skipped
+      }
+      pos += size + (size & 1) // odd chunks carry one pad byte
+    }
+    require(samples != null, "no data chunk in WAVE stream")
+    (rate, samples)
+  }
+
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, n_samples: Long,
+      sum_amp: Long, sum_sq: Long, peak_abs: Int, zero_crossings: Long)
+
+  /** REAL audio decode over synthesized RIFF/WAVE payloads: each
+    * audio-modality doc gets a deterministic PCM16 clip, the engine
+    * round-trips it through [[synthesizeWav]] → bytes → [[decodeWav]]
+    * → integer sample statistics (sum, sum of squares, peak, zero
+    * crossings), and the frame reports duration, mean amplitude, RMS
+    * and zero-crossing rate. The DuckDB oracle computes the same
+    * statistics from the generator's closed form — a bug in either the
+    * encoder or the chunk-walking parser breaks the hash match.
+    *
+    * Plan: stateless partition-local decode (mapPartitions with a
+    * case-class Encoder — the mapInPandas batch shape), integer sums
+    * out, means/rates as plan projections. */
+  def audioDecode(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = metadata(documents)
+      .filter(col("modality") === "audio")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (rate, xs) = decodeWav(synthesizeWav(id))
+          var sa = 0L; var sq = 0L; var peak = 0; var zc = 0L
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i).toInt
+            sa += v; sq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((v >= 0) != (xs(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          DecodedAudio(id, rate, xs.length.toLong, sa, sq, peak, zc)
+        }
+      }.toDF()
+    decoded
+      .withColumn("duration_s",
+        round(col("n_samples") / col("sample_rate").cast("double") + lit(1e-9), 6))
+      .withColumn("mean_amp",
+        round(col("sum_amp") / col("n_samples").cast("double") + lit(1e-9), 6))
+      .withColumn("rms",
+        round(sqrt(col("sum_sq") / col("n_samples").cast("double")) + lit(1e-9), 6))
+      .withColumn("zcr",
+        round(col("zero_crossings") / (col("n_samples") - 1).cast("double")
+          + lit(1e-9), 6))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_s"), col("mean_amp"), col("rms"), col("peak_abs"),
+        col("zero_crossings"), col("zcr"))
+  }
+
+  /** Deterministic YUV4MPEG2 synthesizer for the test corpus: C444 at
+    * F25:1, W = id mod 6 + 2, H = id mod 4 + 2, id mod 5 + 2 frames;
+    * byte p of frame f's plane payload = (id·29 + f·101 + p·13) mod
+    * 256 — closed form for the oracle. */
+  private[graft] def synthesizeY4m(docId: Long): Array[Byte] = {
+    val w = (docId % 6 + 2).toInt; val h = (docId % 4 + 2).toInt
+    val nf = (docId % 5 + 2).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".getBytes("US-ASCII"))
+    var f = 0
+    while (f < nf) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val plane = new Array[Byte](3 * w * h)
+      var p = 0
+      while (p < plane.length) {
+        plane(p) = ((docId * 29 + f * 101 + p.toLong * 13) % 256).toByte
+        p += 1
+      }
+      out.write(plane)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Dependency-free YUV4MPEG2 (y4m) demuxer — the real video decode
+    * path behind the multimodal seams. Parses the stream header
+    * (W/H/F geometry tokens, tolerating Ip/A/X extras), requires C444
+    * (the only layout the synthesizer emits), walks the FRAME markers
+    * and returns (w, h, fpsNum, fpsDen, Y planes). Fails loudly on
+    * malformed geometry or truncated frames. */
+  private[graft] def decodeY4m(bytes: Array[Byte]): (Int, Int, Int, Int, Vector[Array[Byte]]) = {
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+      require(pos < bytes.length, "unterminated y4m header line")
+      val s = new String(bytes, start, pos - start, "US-ASCII"); pos += 1; s
+    }
+    val parts = line().split(' ')
+    require(parts(0) == "YUV4MPEG2", s"not a y4m stream ('${parts(0)}')")
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    var cs = "420" // the y4m default when no C token is present
+    parts.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+      t.head match {
+        case 'W' => w = t.tail.toInt
+        case 'H' => h = t.tail.toInt
+        case 'F' =>
+          val Array(a, b) = t.tail.split(':'); fn = a.toInt; fd = b.toInt
+        case 'C' => cs = t.tail
+        case _ => () // Ip / A1:1 / Xcomment — tolerated
+      }
+    }
+    require(w > 0 && h > 0 && fn > 0 && fd > 0, s"bad y4m geometry W$w H$h F$fn:$fd")
+    require(cs == "444", s"unsupported y4m colorspace C$cs (C444 only)")
+    val frames = Vector.newBuilder[Array[Byte]]
+    var n = 0
+    while (pos < bytes.length) {
+      val marker = line()
+      require(marker == "FRAME" || marker.startsWith("FRAME "),
+        s"bad y4m frame marker '$marker'")
+      require(pos + 3 * w * h <= bytes.length, "truncated y4m frame payload")
+      frames += bytes.slice(pos, pos + w * h) // Y plane; U/V follow at WH each
+      pos += 3 * w * h
+      n += 1
+    }
+    require(n > 0, "y4m stream with zero frames")
+    (w, h, fn, fd, frames.result())
+  }
+
+  /** REAL video decode over synthesized y4m payloads: each
+    * video-modality doc gets a deterministic C444 clip, the engine
+    * round-trips it through [[synthesizeY4m]] → bytes → [[decodeY4m]]
+    * and reports geometry, frame count, parsed fps, mean luma and the
+    * inter-frame mean-absolute-difference motion proxy on the Y plane.
+    * The DuckDB oracle computes the same statistics from the
+    * generator's closed form.
+    *
+    * Plan: stateless partition-local demux, integer sums out, means as
+    * plan projections. */
+  def videoDecode(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = metadata(documents)
+      .filter(col("modality") === "video")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, fn, fd, ys) = decodeY4m(synthesizeY4m(id))
+          var sy = 0L; var mad = 0L
+          var f = 0
+          while (f < ys.length) {
+            val cur = ys(f)
+            var p = 0
+            while (p < cur.length) {
+              sy += cur(p) & 0xff
+              if (f > 0) mad += math.abs((cur(p) & 0xff) - (ys(f - 1)(p) & 0xff))
+              p += 1
+            }
+            f += 1
+          }
+          (id, w, h, ys.length.toLong, fn.toDouble / fd, sy, mad)
+        }
+      }.toDF("doc_id", "width", "height", "n_frames", "fps", "sum_y", "sum_mad")
+    decoded
+      .withColumn("mean_y", round(col("sum_y")
+        / (col("n_frames") * col("width") * col("height")).cast("double")
+        + lit(1e-9), 6))
+      .withColumn("frame_mad", round(col("sum_mad")
+        / ((col("n_frames") - 1) * col("width") * col("height")).cast("double")
+        + lit(1e-9), 6))
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("fps"), col("mean_y"), col("frame_mad"))
   }
 
   case class Thumb(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])

@@ -260,6 +260,73 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodePpm("P6\n2 1\n65535\nABCDEF".getBytes))
   }
 
+  test("WAV decode: synthesized RIFF round-trips exactly; malformed input fails loudly") {
+    val (rate, xs) = Multimodal.decodeWav(Multimodal.synthesizeWav(1L))
+    assert(rate === 100)
+    // n = ((1*7) % 300 + 1)*10 = 80 samples; closed-form values
+    assert(xs.length === 80)
+    (0 until 80).foreach(i => assert(xs(i).toInt === ((1 * 131 + i * 17) % 4001 - 2000)))
+    // hand-built minimal WAV (no LIST chunk): one sample = -2 (0xFE 0xFF)
+    val mini = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      out.write("RIFF".getBytes); w32(4 + 24 + 10)
+      out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); w32(16); w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+      out.write("data".getBytes); w32(2); w16(0xfffe)
+      out.toByteArray
+    }
+    val (r2, x2) = Multimodal.decodeWav(mini)
+    assert(r2 === 8000 && x2.toSeq === Seq((-2).toShort))
+    // loud failures: bad magic, size-field lie, stereo layout
+    intercept[IllegalArgumentException](Multimodal.decodeWav("RIFX".getBytes ++ mini.drop(4)))
+    intercept[IllegalArgumentException](Multimodal.decodeWav(mini.dropRight(1)))
+    val stereo = mini.clone(); stereo(22) = 2 // numChannels = 2
+    intercept[IllegalArgumentException](Multimodal.decodeWav(stereo))
+  }
+
+  test("y4m demux: synthesized stream round-trips exactly; malformed input fails loudly") {
+    // doc 2: W=4 H=4 F25:1, 4 frames (2%6+2, 2%4+2, 2%5+2)
+    val (w, h, fn, fd, ys) = Multimodal.decodeY4m(Multimodal.synthesizeY4m(2L))
+    assert((w, h, fn, fd, ys.length) === (4, 4, 25, 1, 4))
+    // Y plane byte p of frame f = (2*29 + f*101 + p*13) % 256
+    for (f <- 0 until 4; p <- 0 until 16)
+      assert((ys(f)(p).toInt & 0xff) === ((2 * 29 + f * 101 + p * 13) % 256))
+    // extra X tokens and FRAME params are tolerated
+    val tolerant = ("YUV4MPEG2 W2 H1 F30:1 Ip A1:1 C444 Xgraft\n" +
+      "FRAME Ipdirect\n" + "ABCDEF").getBytes("US-ASCII")
+    val (tw, th, tfn, _, tys) = Multimodal.decodeY4m(tolerant)
+    assert((tw, th, tfn) === (2, 1, 30) && tys.head.toSeq === "AB".getBytes.toSeq)
+    // loud failures: wrong magic, C420 layout, truncated frame
+    intercept[IllegalArgumentException](
+      Multimodal.decodeY4m("YUV4MPEG9 W2 H1 F25:1 C444\nFRAME\nABCDEF".getBytes))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeY4m("YUV4MPEG2 W2 H1 F25:1 C420\nFRAME\nABC".getBytes))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeY4m("YUV4MPEG2 W2 H1 F25:1 C444\nFRAME\nABCD".getBytes))
+  }
+
+  test("audio/video decode queries emit per-doc stats for their modality only") {
+    val audio = Multimodal.audioDecode(spark, docs).collect()
+    assert(audio.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 4L)) // id % 3 == 1
+    val a1 = audio.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(a1.getAs[Long]("n_samples") === 80L)
+    assert(a1.getAs[Double]("duration_s") === 0.8)
+    assert(a1.getAs[Int]("peak_abs") <= 2000)
+    // doc 1's 80 samples are (131 + 17i) − 2000, all negative → no crossings
+    assert(a1.getAs[Long]("zero_crossings") === 0L)
+    // doc 4's 290 samples cross zero at i≈87 and wrap at i=205 → ≥ 2
+    val a4 = audio.find(_.getAs[Long]("doc_id") == 4L).get
+    assert(a4.getAs[Long]("zero_crossings") >= 2L)
+    val video = Multimodal.videoDecode(spark, docs).collect()
+    assert(video.map(_.getAs[Long]("doc_id")).toSet === Set(2L)) // id % 3 == 2
+    val v2 = video.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(v2.getAs[Int]("width") === 4 && v2.getAs[Int]("height") === 4)
+    assert(v2.getAs[Long]("n_frames") === 4L && v2.getAs[Double]("fps") === 25.0)
+    assert(v2.getAs[Double]("mean_y") > 0.0 && v2.getAs[Double]("frame_mad") > 0.0)
+  }
+
   test("featureExtract decodes a PPM payload for real; non-PPM stays the stub") {
     // a doc whose TEXT is a valid ascii-safe P6 image: the utf-8
     // payload bytes are exactly the PPM bytes
