@@ -3106,4 +3106,221 @@ object Climate {
         col("storm_end"), col("n_wet_hours"), col("total_p"),
         col("energy"), col("i60"), col("ei"))
   }
+
+  /** Lanczos (g = 7, n = 9) Γ(z) as a Column expression, valid for the
+    * z ∈ (0.5, 2.5) range the GEV fit needs (no reflection branch).
+    * Agrees with a library gamma to ~1e-13 — far inside the 6-decimal
+    * round both engines apply, so the DuckDB oracle uses its built-in
+    * gamma() against this. */
+  private[tsdb] def gammaCol(z: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val coefs = Seq(676.5203681218851, -1259.1392167224028, 771.32342877765313,
+      -176.61502916214059, 12.507343278686905, -0.13857109526572012,
+      9.9843695780195716e-6, 1.5056327351493116e-7)
+    val series = coefs.zipWithIndex.foldLeft(lit(0.99999999999980993)) {
+      case (acc, (c, i)) => acc + lit(c) / (z - lit(1.0) + lit(i + 1.0))
+    }
+    val t = z - lit(1.0) + lit(7.5)
+    lit(math.sqrt(2.0 * math.Pi)) * pow(t, z - lit(0.5)) * exp(-t) * series
+  }
+
+  /** Per-station GEV fit by L-moments (Hosking 1990) over daily block
+    * maxima of the hourly series — the regional-frequency-analysis
+    * standard next to the method-of-moments Gumbel fit
+    * ([[gumbelFit]], same block convention): probability-weighted
+    * moments b0/b1/b2 from the ranked maxima, L-moments λ1 = b0,
+    * λ2 = 2b1 − b0, λ3 = 6b2 − 6b1 + b0, the L-CV and L-skewness
+    * ratios, then the GEV shape κ = 7.8590c + 2.9554c² with
+    * c = 2/(3 + t3) − ln2/ln3, scale σ = λ2·κ/(Γ(1+κ)(1 − 2^−κ)),
+    * location μ = λ1 − σ(1 − Γ(1+κ))/κ and the 100-block return
+    * level μ + σ/κ·(1 − (−ln 0.99)^κ). Γ via [[gammaCol]].
+    *
+    * Plan: block maxima are one keyed aggregate; the PWM sums ride a
+    * per-station rank window (partition-local after one hash shuffle
+    * on station_id); the fit is a stateless projection. PWMs are
+    * b_r = Σ x_(i)·(i−1)…(i−r)/n(n−1)…(n−r) — plain sums of the
+    * ranked series, no pair join, O(n log n) per station. */
+  def gevLmoments(hourlyRaw: DataFrame): DataFrame = {
+    val maxima = hourlyRaw.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"), to_date(col("hour")).as("day"))
+      .agg(max(col("raw")).as("mx"))
+    val wRank = Window.partitionBy(col("station_id")).orderBy(col("mx"), col("day"))
+    val pwm = maxima
+      .withColumn("r", row_number().over(wRank).cast("double"))
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("mx")).as("s0"),
+        sum((col("r") - lit(1.0)) * col("mx")).as("s1"),
+        sum((col("r") - lit(1.0)) * (col("r") - lit(2.0)) * col("mx")).as("s2"))
+      .filter(col("n") >= 5.0)
+      .withColumn("b0", round(col("s0") / col("n") + lit(1e-9), 6))
+      .withColumn("b1", round(col("s1") / (col("n") * (col("n") - lit(1.0)))
+        + lit(1e-9), 6))
+      .withColumn("b2", round(col("s2")
+        / (col("n") * (col("n") - lit(1.0)) * (col("n") - lit(2.0))) + lit(1e-9), 6))
+    val lmom = pwm
+      .withColumn("l1", col("b0"))
+      .withColumn("l2", lit(2.0) * col("b1") - col("b0"))
+      .withColumn("l3", lit(6.0) * col("b2") - lit(6.0) * col("b1") + col("b0"))
+      .filter(col("l2") > 0.0)
+      .withColumn("t_lcv", round(col("l2") / col("l1") + lit(1e-9), 6))
+      .withColumn("t3", round(col("l3") / col("l2") + lit(1e-9), 6))
+    val c = lit(2.0) / (lit(3.0) + col("t3")) - lit(math.log(2.0) / math.log(3.0))
+    lmom
+      .withColumn("kappa",
+        round(lit(7.8590) * c + lit(2.9554) * c * c + lit(1e-9), 6))
+      .filter(abs(col("kappa")) > 1e-6) // Gumbel-limit guard
+      .withColumn("g1k", gammaCol(lit(1.0) + col("kappa")))
+      .withColumn("sigma", round(col("l2") * col("kappa")
+        / (col("g1k") * (lit(1.0) - pow(lit(2.0), -col("kappa"))))
+        + lit(1e-9), 6))
+      .withColumn("mu", round(col("l1")
+        - col("sigma") * (lit(1.0) - col("g1k")) / col("kappa") + lit(1e-9), 6))
+      .withColumn("rl100", round(col("mu") + col("sigma") / col("kappa")
+        * (lit(1.0) - pow(-log(lit(1.0) - lit(0.01)), col("kappa")))
+        + lit(1e-9), 4))
+      .select(col("station_id"), col("n").cast("long").as("n_blocks"),
+        col("l1"), col("l2"), col("t_lcv"), col("t3"), col("kappa"),
+        col("sigma"), col("mu"), col("rl100"))
+  }
+
+  /** KPSS level-stationarity test per station (Kwiatkowski–Phillips–
+    * Schmidt–Shin 1992) on the observed daily series: partial sums
+    * S_t of the demeaned series, η = Σ S_t² / (n²·s²(l)) with the
+    * Bartlett-window long-run variance s²(l) = γ̂0 + 2Σ_{j≤l}
+    * (1 − j/(l+1))·γ̂_j at fixed truncation l = `maxLag`; H0
+    * (level-stationary) rejected at 5% when η > 0.463. The
+    * complement of the unit-root view in [[dickeyFuller]] — KPSS
+    * takes stationarity as the null.
+    *
+    * Plan: the station mean is one keyed aggregate broadcast back;
+    * S_t a per-station running sum; the γ̂_j lags partition-local
+    * window lags — one hash shuffle on station_id end-to-end. */
+  def kpss(rawDaily: DataFrame, maxLag: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val obs = rawDaily.filter(col("raw").isNotNull)
+    val mu = obs.groupBy(col("station_id"))
+      .agg(round(avg(col("raw")) + lit(1e-9), 6).as("mu"),
+        count(lit(1)).cast("double").as("n"))
+      .filter(col("n") >= (maxLag + 2).toDouble)
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    var e = obs.join(broadcast(mu), Seq("station_id"))
+      .withColumn("e", col("raw") - col("mu"))
+      .withColumn("s_t", sum(col("e")).over(w))
+    (1 to maxLag).foreach { j =>
+      e = e.withColumn(s"e_lag$j", lag(col("e"), j).over(w))
+    }
+    val gammaSums = (1 to maxLag).map(j =>
+      sum(col("e") * col(s"e_lag$j")).as(s"g$j"))
+    val aggCols = Seq(max(col("n")).as("n"),
+      sum(col("s_t") * col("s_t")).as("ss"),
+      sum(col("e") * col("e")).as("g0")) ++ gammaSums
+    val bartlett = (1 to maxLag).map { j =>
+      lit(2.0 * (1.0 - j.toDouble / (maxLag + 1))) * coalesce(col(s"g$j"), lit(0.0))
+    }.reduce(_ + _)
+    e.groupBy(col("station_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("s2_lrv",
+        round((col("g0") + bartlett) / col("n") + lit(1e-9), 6))
+      .filter(col("s2_lrv") > 0.0)
+      .withColumn("eta",
+        round(col("ss") / (col("n") * col("n") * col("s2_lrv")) + lit(1e-9), 6))
+      .withColumn("rejected_5pct", col("eta") > 0.463)
+      .select(col("station_id"), col("n").cast("long").as("n"),
+        col("s2_lrv"), col("eta"), col("rejected_5pct"))
+  }
+
+  /** Dickey–Fuller unit-root test per station (the DF(0) regression
+    * Δx_t = α + ρ·x_{t−1} + ε, no augmentation): ρ̂ and its
+    * t-statistic from closed-form OLS sums; unit root rejected at 5%
+    * when t < −2.86 (the DF τ_μ critical value). KPSS's mirror image
+    * — here the null IS the unit root.
+    *
+    * Plan: one partition-local lag window, one keyed aggregate, a
+    * stateless fit projection. */
+  def dickeyFuller(rawDaily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .withColumn("z", lag(col("raw"), 1).over(w))
+      .filter(col("z").isNotNull)
+      .withColumn("y", col("raw") - col("z"))
+    obs.groupBy(col("station_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("y") * col("z")).as("syz"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") >= 10.0)
+      .withColumn("szz_c", col("szz") - col("sz") * col("sz") / col("n"))
+      .withColumn("syz_c", col("syz") - col("sy") * col("sz") / col("n"))
+      .withColumn("syy_c", col("syy") - col("sy") * col("sy") / col("n"))
+      .filter(col("szz_c") > 0.0)
+      .withColumn("rho", round(col("syz_c") / col("szz_c") + lit(1e-9), 6))
+      .withColumn("rss", col("syy_c") - col("rho") * col("rho") * col("szz_c"))
+      .filter(col("rss") > 0.0)
+      .withColumn("se", sqrt(col("rss") / (col("n") - lit(2.0)) / col("szz_c")))
+      .withColumn("t_stat", round(col("rho") / col("se") + lit(1e-9), 4))
+      .withColumn("unit_root_rejected", col("t_stat") < -2.86)
+      .select(col("station_id"), col("n").cast("long").as("n"),
+        col("rho"), col("t_stat"), col("unit_root_rejected"))
+  }
+
+  /** Engle–Granger two-step cointegration test between each station
+    * and its NEAREST neighbor (knn rank 1): step 1 fits the
+    * long-run relation x_a = α + β·x_b by closed-form OLS over the
+    * days both series observe; step 2 runs the no-intercept
+    * Dickey–Fuller regression Δu_t = ρ·u_{t−1} on the residuals.
+    * Cointegrated at 5% when the residual t-statistic < −3.37 (the
+    * Engle–Granger 2-variable critical value — deliberately stricter
+    * than the plain DF −2.86, because û is an estimated series).
+    *
+    * Plan: the paired frame is one equi-join keyed on (nb_id, day)
+    * after a broadcast of the O(#stations) rank-1 knn map; OLS and
+    * the residual DF are two keyed aggregates over it with the
+    * coefficients broadcast back between them — never a pair
+    * explosion beyond the k = 1 neighbor fan-out. */
+  def engleGranger(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val nearest = knn.filter(col("rank") === 1)
+      .select(col("station_id"), col("nb_id"))
+    val a = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id"), col("day"), col("raw").as("xa"))
+    val b = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id").as("nb_id"), col("day"), col("raw").as("xb"))
+    val paired = a.join(broadcast(nearest), Seq("station_id"))
+      .join(b, Seq("nb_id", "day"))
+    val ols = paired.groupBy(col("station_id"), col("nb_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+        sum(col("xa") * col("xb")).as("sab"),
+        sum(col("xb") * col("xb")).as("sbb"))
+      .filter(col("n") >= 10.0)
+      .withColumn("sbb_c", col("sbb") - col("sb") * col("sb") / col("n"))
+      .filter(col("sbb_c") > 0.0)
+      .withColumn("beta", round((col("sab") - col("sa") * col("sb") / col("n"))
+        / col("sbb_c") + lit(1e-9), 6))
+      .withColumn("alpha", round((col("sa") - col("beta") * col("sb")) / col("n")
+        + lit(1e-9), 6))
+      .select(col("station_id"), col("nb_id"), col("alpha"), col("beta"))
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val resid = paired.join(broadcast(ols), Seq("station_id", "nb_id"))
+      .withColumn("u", col("xa") - col("alpha") - col("beta") * col("xb"))
+      .withColumn("u_prev", lag(col("u"), 1).over(w))
+      .filter(col("u_prev").isNotNull)
+      .withColumn("du", col("u") - col("u_prev"))
+    resid.groupBy(col("station_id"), col("nb_id"), col("alpha"), col("beta"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("u_prev") * col("du")).as("sud"),
+        sum(col("u_prev") * col("u_prev")).as("suu"),
+        sum(col("du") * col("du")).as("sdd"))
+      .filter(col("n") >= 10.0 && col("suu") > 0.0)
+      .withColumn("rho", round(col("sud") / col("suu") + lit(1e-9), 6))
+      .withColumn("rss", col("sdd") - col("rho") * col("rho") * col("suu"))
+      .filter(col("rss") > 0.0)
+      .withColumn("se", sqrt(col("rss") / (col("n") - lit(1.0)) / col("suu")))
+      .withColumn("t_stat", round(col("rho") / col("se") + lit(1e-9), 4))
+      .withColumn("cointegrated", col("t_stat") < -3.37)
+      .select(col("station_id"), col("nb_id"),
+        col("n").cast("long").as("n"), col("alpha"), col("beta"),
+        col("rho"), col("t_stat"), col("cointegrated"))
+  }
 }

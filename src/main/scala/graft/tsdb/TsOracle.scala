@@ -3257,6 +3257,197 @@ object TsOracle {
       round(mu - beta * ln(-ln(1.0 - 1.0/100)) + 1e-9, 4) AS rl100
     FROM fit2 ORDER BY station_id"""
 
+  /** Mirrors Climate.gevLmoments: Hosking L-moment GEV fit over the
+    * ranked daily block maxima of the hourly series. DuckDB's
+    * built-in gamma() stands in for the engine's Lanczos Γ — they
+    * agree to ~1e-13, far inside the 6-decimal round. */
+  val qGevLmoments: String = s"""
+    WITH hourly AS (
+      SELECT user_id::BIGINT AS station_id, date_trunc('hour', ts) AS hour,
+        round(sum(value) + 1e-9, 3) AS raw
+      FROM events GROUP BY 1, 2),
+    maxima AS (
+      SELECT station_id, hour::date AS day, max(raw) AS mx
+      FROM hourly GROUP BY 1, 2),
+    ranked AS (
+      SELECT station_id, mx,
+        CAST(row_number() OVER (PARTITION BY station_id ORDER BY mx, day) AS DOUBLE) AS r
+      FROM maxima),
+    pwm AS (
+      SELECT station_id, CAST(count(*) AS DOUBLE) AS n,
+        sum(mx) AS s0, sum((r - 1.0) * mx) AS s1,
+        sum((r - 1.0) * (r - 2.0) * mx) AS s2
+      FROM ranked GROUP BY 1 HAVING count(*) >= 5),
+    b AS (
+      SELECT station_id, n,
+        round(s0 / n + 1e-9, 6) AS b0,
+        round(s1 / (n * (n - 1.0)) + 1e-9, 6) AS b1,
+        round(s2 / (n * (n - 1.0) * (n - 2.0)) + 1e-9, 6) AS b2
+      FROM pwm),
+    lmom AS (
+      SELECT station_id, n, b0 AS l1, 2.0 * b1 - b0 AS l2,
+        6.0 * b2 - 6.0 * b1 + b0 AS l3
+      FROM b),
+    rat AS (
+      SELECT station_id, n, l1, l2,
+        round(l2 / l1 + 1e-9, 6) AS t_lcv,
+        round(l3 / l2 + 1e-9, 6) AS t3
+      FROM lmom WHERE l2 > 0.0),
+    kap AS (
+      SELECT station_id, n, l1, l2, t_lcv, t3,
+        round(7.8590 * cc + 2.9554 * cc * cc + 1e-9, 6) AS kappa
+      FROM (SELECT *, 2.0 / (3.0 + t3) - ${math.log(2.0) / math.log(3.0)} AS cc
+            FROM rat)),
+    fit AS (
+      SELECT *, gamma(1.0 + kappa) AS g1k
+      FROM kap WHERE abs(kappa) > 1e-6),
+    fit2 AS (
+      SELECT *, round(l2 * kappa / (g1k * (1.0 - pow(2.0, -kappa)))
+        + 1e-9, 6) AS sigma
+      FROM fit),
+    fit3 AS (
+      SELECT *, round(l1 - sigma * (1.0 - g1k) / kappa + 1e-9, 6) AS mu
+      FROM fit2)
+    SELECT station_id, CAST(n AS BIGINT) AS n_blocks, l1, l2, t_lcv, t3,
+      kappa, sigma, mu,
+      round(mu + sigma / kappa * (1.0 - pow(-ln(1.0 - 0.01), kappa))
+        + 1e-9, 4) AS rl100
+    FROM fit3 ORDER BY station_id"""
+
+  /** Mirrors Climate.kpss: Bartlett long-run variance at lag 4 over
+    * the demeaned observed daily series, η = ΣS_t²/(n²s²). */
+  val qKpss: String = s"""
+    WITH $world,
+    obs AS (SELECT station_id, day, raw FROM raw_daily WHERE raw IS NOT NULL),
+    mu AS (
+      SELECT station_id, round(avg(raw) + 1e-9, 6) AS mu,
+        CAST(count(*) AS DOUBLE) AS n
+      FROM obs GROUP BY 1 HAVING count(*) >= 6),
+    e AS (
+      SELECT o.station_id, o.raw - m.mu AS e, m.n,
+        sum(o.raw - m.mu) OVER (PARTITION BY o.station_id ORDER BY o.day
+          ROWS UNBOUNDED PRECEDING) AS s_t,
+        lag(o.raw - m.mu, 1) OVER (PARTITION BY o.station_id ORDER BY o.day) AS e1,
+        lag(o.raw - m.mu, 2) OVER (PARTITION BY o.station_id ORDER BY o.day) AS e2,
+        lag(o.raw - m.mu, 3) OVER (PARTITION BY o.station_id ORDER BY o.day) AS e3,
+        lag(o.raw - m.mu, 4) OVER (PARTITION BY o.station_id ORDER BY o.day) AS e4
+      FROM obs o JOIN mu m USING (station_id)),
+    agg AS (
+      SELECT station_id, max(n) AS n,
+        sum(s_t * s_t) AS ss, sum(e * e) AS g0,
+        sum(e * e1) AS g1, sum(e * e2) AS g2,
+        sum(e * e3) AS g3, sum(e * e4) AS g4
+      FROM e GROUP BY 1),
+    lrv AS (
+      SELECT station_id, n, ss,
+        round((g0 + 2.0 * (1.0 - 1.0 / 5.0) * coalesce(g1, 0.0)
+                  + 2.0 * (1.0 - 2.0 / 5.0) * coalesce(g2, 0.0)
+                  + 2.0 * (1.0 - 3.0 / 5.0) * coalesce(g3, 0.0)
+                  + 2.0 * (1.0 - 4.0 / 5.0) * coalesce(g4, 0.0)) / n
+          + 1e-9, 6) AS s2_lrv
+      FROM agg),
+    eta AS (
+      SELECT station_id, n, s2_lrv,
+        round(ss / (n * n * s2_lrv) + 1e-9, 6) AS eta
+      FROM lrv WHERE s2_lrv > 0.0)
+    SELECT station_id, CAST(n AS BIGINT) AS n, s2_lrv, eta,
+      eta > 0.463 AS rejected_5pct
+    FROM eta ORDER BY station_id"""
+
+  /** Mirrors Climate.dickeyFuller: DF(0) regression Δx on (1, x_lag)
+    * from closed-form OLS sums. */
+  val qAdf: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, day, raw,
+        lag(raw, 1) OVER (PARTITION BY station_id ORDER BY day) AS z
+      FROM raw_daily WHERE raw IS NOT NULL),
+    d AS (SELECT station_id, raw - z AS y, z FROM obs WHERE z IS NOT NULL),
+    s AS (
+      SELECT station_id, CAST(count(*) AS DOUBLE) AS n,
+        sum(y) AS sy, sum(z) AS sz, sum(y * z) AS syz,
+        sum(z * z) AS szz, sum(y * y) AS syy
+      FROM d GROUP BY 1 HAVING count(*) >= 10),
+    cc AS (
+      SELECT station_id, n,
+        szz - sz * sz / n AS szz_c,
+        syz - sy * sz / n AS syz_c,
+        syy - sy * sy / n AS syy_c
+      FROM s),
+    fit AS (
+      SELECT station_id, n, szz_c, syy_c,
+        round(syz_c / szz_c + 1e-9, 6) AS rho
+      FROM cc WHERE szz_c > 0.0),
+    fit2 AS (
+      SELECT station_id, n, rho, szz_c,
+        syy_c - rho * rho * szz_c AS rss
+      FROM fit),
+    fit3 AS (
+      SELECT station_id, n, rho,
+        round(rho / sqrt(rss / (n - 2.0) / szz_c) + 1e-9, 4) AS t_stat
+      FROM fit2 WHERE rss > 0.0)
+    SELECT station_id, CAST(n AS BIGINT) AS n, rho, t_stat,
+      t_stat < -2.86 AS unit_root_rejected
+    FROM fit3 ORDER BY station_id"""
+
+  /** Mirrors Climate.engleGranger: two-step cointegration vs the
+    * rank-1 nearest neighbor — OLS long-run relation, then the
+    * no-intercept DF regression on its residuals. */
+  val qCointEg: String = s"""
+    WITH $world,
+    nearest AS (SELECT station_id, nb_id FROM knn WHERE rank = 1),
+    a AS (SELECT station_id, day, raw AS xa FROM raw_daily WHERE raw IS NOT NULL),
+    bb AS (SELECT station_id AS nb_id, day, raw AS xb FROM raw_daily WHERE raw IS NOT NULL),
+    paired AS (
+      SELECT a.station_id, n.nb_id, a.day, a.xa, bb.xb
+      FROM a JOIN nearest n USING (station_id) JOIN bb USING (nb_id, day)),
+    ols0 AS (
+      SELECT station_id, nb_id, CAST(count(*) AS DOUBLE) AS n,
+        sum(xa) AS sa, sum(xb) AS sb, sum(xa * xb) AS sab, sum(xb * xb) AS sbb
+      FROM paired GROUP BY 1, 2 HAVING count(*) >= 10),
+    ols1 AS (
+      SELECT station_id, nb_id, n, sa, sb,
+        sbb - sb * sb / n AS sbb_c, sab - sa * sb / n AS sab_c
+      FROM ols0),
+    olsb AS (
+      SELECT station_id, nb_id, n, sa, sb,
+        round(sab_c / sbb_c + 1e-9, 6) AS beta
+      FROM ols1 WHERE sbb_c > 0.0),
+    ols2 AS (
+      SELECT station_id, nb_id, beta,
+        round((sa - beta * sb) / n + 1e-9, 6) AS alpha
+      FROM olsb),
+    resid AS (
+      SELECT p.station_id, p.nb_id, o.alpha, o.beta, p.day,
+        p.xa - o.alpha - o.beta * p.xb AS u
+      FROM paired p JOIN ols2 o USING (station_id, nb_id)),
+    lagd AS (
+      SELECT station_id, nb_id, alpha, beta, u,
+        lag(u, 1) OVER (PARTITION BY station_id ORDER BY day) AS u_prev
+      FROM resid),
+    dfr AS (
+      SELECT station_id, nb_id, alpha, beta, CAST(count(*) AS DOUBLE) AS n,
+        sum(u_prev * (u - u_prev)) AS sud,
+        sum(u_prev * u_prev) AS suu,
+        sum((u - u_prev) * (u - u_prev)) AS sdd
+      FROM lagd WHERE u_prev IS NOT NULL
+      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 10),
+    fit AS (
+      SELECT station_id, nb_id, alpha, beta, n, suu, sdd,
+        round(sud / suu + 1e-9, 6) AS rho
+      FROM dfr WHERE suu > 0.0),
+    fit2 AS (
+      SELECT station_id, nb_id, alpha, beta, n, rho, suu,
+        sdd - rho * rho * suu AS rss
+      FROM fit),
+    fit3 AS (
+      SELECT station_id, nb_id, n, alpha, beta, rho,
+        round(rho / sqrt(rss / (n - 1.0) / suu) + 1e-9, 4) AS t_stat
+      FROM fit2 WHERE rss > 0.0)
+    SELECT station_id, nb_id, CAST(n AS BIGINT) AS n, alpha, beta, rho,
+      t_stat, t_stat < -3.37 AS cointegrated
+    FROM fit3 ORDER BY station_id"""
+
   /** Mirrors Climate.dtwNeighbors: the same Sakoe–Chiba BANDED
     * nested-fold DP (band = 7). Each DP row is only its in-band
     * window; the previous row's offset plo is derived from the row
@@ -4029,6 +4220,10 @@ object TsOracle {
     "q_ohlc" -> qOhlc,
     "q_dtw" -> qDtw,
     "q_gumbel" -> qGumbel,
+    "q_gev_lmoments" -> qGevLmoments,
+    "q_kpss" -> qKpss,
+    "q_adf" -> qAdf,
+    "q_coint_eg" -> qCointEg,
     "q_sn_scale" -> qSnScale,
     "q_bh_fdr" -> qBhFdr,
     "q_harmonic" -> qHarmonic,

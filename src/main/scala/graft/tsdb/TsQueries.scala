@@ -395,6 +395,19 @@ object TsQueries {
   def qGumbel(s: SparkSession, d: String): DataFrame =
     Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
 
+  def qGevLmoments(s: SparkSession, d: String): DataFrame =
+    Climate.gevLmoments(hourly(s, d)).orderBy(col("station_id"))
+
+  def qKpss(s: SparkSession, d: String): DataFrame =
+    Climate.kpss(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qAdf(s: SparkSession, d: String): DataFrame =
+    Climate.dickeyFuller(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qCointEg(s: SparkSession, d: String): DataFrame =
+    Climate.engleGranger(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
+      .orderBy(col("station_id"))
+
   def qSnScale(s: SparkSession, d: String): DataFrame =
     Climate.snScale(rawDaily(s, d), granularity = "week")
       .orderBy(col("station_id"))
@@ -678,6 +691,10 @@ object TsQueries {
     "q_ohlc" -> (qOhlc _),
     "q_dtw" -> (qDtw _),
     "q_gumbel" -> (qGumbel _),
+    "q_gev_lmoments" -> (qGevLmoments _),
+    "q_kpss" -> (qKpss _),
+    "q_adf" -> (qAdf _),
+    "q_coint_eg" -> (qCointEg _),
     "q_sn_scale" -> (qSnScale _),
     "q_bh_fdr" -> (qBhFdr _),
     "q_harmonic" -> (qHarmonic _),

@@ -61,6 +61,82 @@ class ClimateSpec extends SparkSpec {
     assert(math.abs(out(1L).getAs[Double]("granger_coef") - 1.0) < 0.05)
   }
 
+  test("kpss + dickey-fuller give complementary verdicts on a walk vs noise") {
+    // a drifting random walk: KPSS rejects level-stationarity
+    // (eta = 0.525681 > 0.463), ADF cannot reject the unit root
+    // (t = -0.3919); noisy alternation: exactly the opposite
+    val steps = Seq(1.0, 2.0, 0.5, 1.5, 0.8, 2.2, 1.1, 0.9, 1.8, 0.4,
+      1.6, 1.2, 0.7, 2.1, 0.6, 1.9, 1.3, 0.95, 1.45, 1.05)
+    val walk = steps.scanLeft(0.0)(_ + _).drop(1)
+    val alt = Seq(5.0, 1.0, 4.8, 1.2, 5.2, 0.8, 4.9, 1.1, 5.1, 0.9,
+      5.0, 1.0, 4.7, 1.3, 5.3, 0.7, 4.95, 1.05, 5.05, 0.95)
+    val rows = walk.zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-03-${i + 1}%02d", Option(v))
+    } ++ alt.zipWithIndex.map { case (v, i) =>
+      (2L, f"2024-03-${i + 1}%02d", Option(v))
+    }
+    val kp = Climate.kpss(frame(rows)).collect()
+      .map(r => r.getAs[Long]("station_id") -> r).toMap
+    assert(kp(1L).getAs[Boolean]("rejected_5pct"), kp(1L).toString)
+    assert(math.abs(kp(1L).getAs[Double]("eta") - 0.525681) < 1e-6)
+    assert(!kp(2L).getAs[Boolean]("rejected_5pct"))
+    assert(math.abs(kp(2L).getAs[Double]("eta") - 0.125) < 1e-6)
+    val ad = Climate.dickeyFuller(frame(rows)).collect()
+      .map(r => r.getAs[Long]("station_id") -> r).toMap
+    assert(!ad(1L).getAs[Boolean]("unit_root_rejected"), ad(1L).toString)
+    assert(math.abs(ad(1L).getAs[Double]("t_stat") - (-0.3919)) < 1e-4)
+    assert(ad(2L).getAs[Boolean]("unit_root_rejected"))
+    assert(math.abs(ad(2L).getAs[Double]("rho") - (-1.995343)) < 1e-6)
+  }
+
+  test("gev l-moments: hand-computed PWMs on {1..5} and Lanczos gamma accuracy") {
+    import spark.implicits._
+    // one hourly value per day -> block maxima {1,2,3,4,5}:
+    // b0=3, b1=2, b2=1.5 -> l1=3, l2=1, t3=0, t_lcv=1/3
+    val hourly = (1 to 5).map(i =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-0$i 12:00:00"), Option(i.toDouble)))
+      .toDF("station_id", "hour", "raw")
+    val r = Climate.gevLmoments(hourly).head
+    assert(r.getAs[Long]("n_blocks") === 5L)
+    assert(r.getAs[Double]("l1") === 3.0 && r.getAs[Double]("l2") === 1.0)
+    assert(r.getAs[Double]("t3") === 0.0)
+    assert(math.abs(r.getAs[Double]("t_lcv") - 0.333333) < 1e-6)
+    // t3=0 -> c = 2/3 - ln2/ln3 -> kappa = 7.8590c + 2.9554c^2
+    val c = 2.0 / 3.0 - math.log(2.0) / math.log(3.0)
+    assert(math.abs(r.getAs[Double]("kappa") - (7.8590 * c + 2.9554 * c * c)) < 1e-6)
+    // the 100-block return level sits far above the 5-block mean
+    assert(r.getAs[Double]("rl100") > r.getAs[Double]("l1"))
+    // Lanczos gamma: spot-check against known values of the real gamma
+    val g = Seq(1.0, 1.5, 2.0).toDF("z")
+      .select(round(Climate.gammaCol(col("z")) + lit(1e-12), 10).as("g"))
+      .collect().map(_.getDouble(0))
+    assert(g(0) === 1.0 && g(2) === 1.0)
+    assert(math.abs(g(1) - 0.8862269255) < 1e-9) // Γ(1.5) = √π/2
+  }
+
+  test("engle-granger: a scaled+shifted twin cointegrates with near-unit residual rho") {
+    import spark.implicits._
+    val ys = Seq(5.0, 9.0, 2.0, 8.0, 1.0, 7.0, 3.0, 6.0, 4.0, 8.5,
+      2.5, 7.5, 5.5, 6.5, 3.5, 7.8, 2.8, 6.8, 4.2, 5.8)
+    val rows = ys.zipWithIndex.flatMap { case (y, i) =>
+      val d = f"2024-02-${i + 1}%02d"
+      // station 1 = 2 + 3·(neighbor 2) + small stationary noise
+      val noise = 0.05 * (if (i % 2 == 0) 1 else -1)
+      Seq((1L, d, Option(2.0 + 3.0 * y + noise)), (2L, d, Option(y)))
+    }
+    val knn = Seq((1L, 2L, 1), (2L, 1L, 1)).toDF("station_id", "nb_id", "rank")
+    val out = Climate.engleGranger(frame(rows), knn).collect()
+      .map(r => r.getAs[Long]("station_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("cointegrated"), out(1L).toString)
+    // the ±0.05 alternating noise correlates slightly with the
+    // alternating fixture, nudging the OLS coefficients off (2, 3)
+    assert(math.abs(out(1L).getAs[Double]("beta") - 3.0) < 0.05)
+    assert(math.abs(out(1L).getAs[Double]("alpha") - 2.0) < 0.3)
+    // residuals are alternating-dominated noise -> strong reversion
+    assert(out(1L).getAs[Double]("rho") < -1.0)
+    assert(out(2L).getAs[Boolean]("cointegrated"))
+  }
+
   test("holt-winters skill: a perfectly weekly-periodic series beats persistence") {
     // 4 weeks of a pure weekday pattern: HW's seasonal index nails it,
     // persistence is wrong at every pattern step
