@@ -1961,6 +1961,58 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Always-valid sequential A/B test (mSPRT with a normal mixing
+    * prior, Johari et al. 2017-style) on the standing user_id%2
+    * split: per day the CUMULATIVE event-level purchase rates of
+    * both arms, the mixture likelihood ratio in log space
+    * log Λ = ½·ln(V/(V+τ²)) + δ²τ²/(2V(V+τ²)) with pooled variance
+    * V = p̂(1−p̂)(1/n_A + 1/n_B), and the always-valid p-value
+    * p_t = min(1, exp(−max_{m≤t} log Λ_m)) — the "peek whenever you
+    * want" replacement for the fixed-horizon z-test.
+    *
+    * Plan: one daily keyed aggregate over events, cumulative sums on
+    * the per-variant day frame (2 × #days rows), a day-keyed join to
+    * lay the arms side by side, and a running max over the O(#days)
+    * result — every window operates on the tiny daily frame, never
+    * on raw events. */
+  def msprt(events: DataFrame, tau2: Double = 1e-4): DataFrame = {
+    val daily = events
+      .withColumn("variant", (col("user_id") % 2 === 0).cast("int"))
+      .groupBy(to_date(col("ts")).as("day"), col("variant"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_conv"))
+    val w = Window.partitionBy(col("variant")).orderBy(col("day"))
+    val cum = daily
+      .withColumn("n", sum(col("n_ev")).over(w))
+      .withColumn("x", sum(col("n_conv")).over(w))
+    val a = cum.filter(col("variant") === 0)
+      .select(col("day"), col("n").as("n_a"), col("x").as("x_a"))
+    val b = cum.filter(col("variant") === 1)
+      .select(col("day"), col("n").as("n_b"), col("x").as("x_b"))
+    val wd = Window.orderBy(col("day")) // O(#days) frame — bounded by the calendar
+    a.join(b, Seq("day"))
+      .withColumn("p_pool", (col("x_a") + col("x_b"))
+        / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("delta", col("x_b") / col("n_b").cast("double")
+        - col("x_a") / col("n_a").cast("double"))
+      .withColumn("v", col("p_pool") * (lit(1.0) - col("p_pool"))
+        * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      .filter(col("v") > 0.0)
+      .withColumn("log_lambda",
+        lit(0.5) * log(col("v") / (col("v") + lit(tau2)))
+          + col("delta") * col("delta") * lit(tau2)
+          / (lit(2.0) * col("v") * (col("v") + lit(tau2))))
+      .withColumn("p_always_valid", round(least(lit(1.0),
+        exp(-max(col("log_lambda")).over(wd))) + lit(1e-9), 6))
+      .withColumn("significant", col("p_always_valid") < 0.05)
+      .withColumn("delta", round(col("delta") + lit(1e-9), 6))
+      .withColumn("log_lambda", round(col("log_lambda") + lit(1e-9), 6))
+      .select(col("day"), col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        col("delta"), col("log_lambda"), col("p_always_valid"),
+        col("significant"))
+      .orderBy(col("day"))
+  }
+
   /** Heterogeneous-treatment-effect (uplift) table for the standing
     * A/B split — who does the treatment actually move? Users segment
     * by PRE-period engagement (event count on days < 16, banded
@@ -2190,6 +2242,7 @@ object EventAnalytics {
     "q_shapley_attribution" -> ((s, d) => shapleyAttribution(Tables.events(s, d))),
     "q_scd2" -> ((s, d) => scd2States(Tables.events(s, d))),
     "q_ab_srm" -> ((s, d) => abSrm(Tables.events(s, d))),
+    "q_msprt" -> ((s, d) => msprt(Tables.events(s, d))),
     "q_nelson_aalen" -> ((s, d) => nelsonAalen(Tables.events(s, d))),
     "q_uplift_segments" -> ((s, d) => upliftSegments(Tables.events(s, d))),
     "q_cdc_merge" -> ((s, d) => cdcMerge(Tables.events(s, d))),
@@ -3890,8 +3943,52 @@ object EventOracle {
       round(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) + 1e-9, 6) > 3.841 AS srm
     FROM s ORDER BY event_type"""
 
+  /** Mirrors EventAnalytics.msprt: cumulative per-arm purchase rates
+    * by day, log mixture likelihood ratio, running-max always-valid
+    * p-value. All statistics derive from integer cumulative sums, so
+    * both engines agree bit-for-bit before the final rounding. */
+  val qMsprt: String = """
+    WITH daily AS (
+      SELECT ts::date AS day,
+        CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS variant,
+        CAST(count(*) AS BIGINT) AS n_ev,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT day, variant,
+        CAST(sum(n_ev) OVER w AS BIGINT) AS n,
+        CAST(sum(n_conv) OVER w AS BIGINT) AS x
+      FROM daily
+      WINDOW w AS (PARTITION BY variant ORDER BY day ROWS UNBOUNDED PRECEDING)),
+    ab AS (
+      SELECT a.day, a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+      FROM (SELECT day, n, x FROM cum WHERE variant = 0) a
+      JOIN (SELECT day, n, x FROM cum WHERE variant = 1) b USING (day)),
+    st AS (
+      SELECT day, n_a, n_b, x_a, x_b,
+        (x_a + x_b) / CAST(n_a + n_b AS DOUBLE) AS p_pool,
+        x_b / CAST(n_b AS DOUBLE) - x_a / CAST(n_a AS DOUBLE) AS delta
+      FROM ab),
+    v AS (
+      SELECT *, p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b) AS vv
+      FROM st),
+    ll AS (
+      SELECT *, 0.5 * ln(vv / (vv + 0.0001))
+        + delta * delta * 0.0001 / (2.0 * vv * (vv + 0.0001)) AS log_lambda
+      FROM v WHERE vv > 0.0),
+    run AS (
+      SELECT *, max(log_lambda) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS mx
+      FROM ll)
+    SELECT day, n_a, n_b, x_a, x_b,
+      round(delta + 1e-9, 6) AS delta,
+      round(log_lambda + 1e-9, 6) AS log_lambda,
+      round(least(1.0, exp(-mx)) + 1e-9, 6) AS p_always_valid,
+      round(least(1.0, exp(-mx)) + 1e-9, 6) < 0.05 AS significant
+    FROM run ORDER BY day"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
+    "q_msprt" -> qMsprt,
     "q_markov_attribution" -> qMarkovAttribution,
     "q_shapley_attribution" -> qShapleyAttribution,
     "q_scd2" -> qScd2,

@@ -1191,6 +1191,26 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors TextAnalysis.charClasses: count = len − len(strip) with
+    * identical regex char-classes. */
+  val qTextCharclass: String = """
+    WITH c AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS n_space
+      FROM documents WHERE length(text) > 0),
+    c2 AS (
+      SELECT *, n_chars - n_alpha - n_digit - n_space AS n_other FROM c)
+    SELECT doc_id, n_chars, n_alpha, n_upper, n_digit, n_space, n_other,
+      round(n_alpha / n_chars::DOUBLE + 1e-9, 6) AS alpha_share,
+      round(n_upper / n_chars::DOUBLE + 1e-9, 6) AS upper_share,
+      round(n_digit / n_chars::DOUBLE + 1e-9, 6) AS digit_share,
+      round(n_space / n_chars::DOUBLE + 1e-9, 6) AS space_share,
+      round(n_other / n_chars::DOUBLE + 1e-9, 6) AS other_share
+    FROM c2 ORDER BY doc_id"""
+
   // Mirrors Multimodal.audioDecode: the engine round-trips each audio
   // doc through a synthesized RIFF/WAVE PCM16 clip (100 Hz, n =
   // ((id·7)%300+1)·10 samples, sample i = ((id·131 + i·17) % 4001) −
@@ -2261,6 +2281,7 @@ object LlmOracle {
     "q_silhouette" -> qSilhouette,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_image_decode" -> qImageDecode,
+    "q_text_charclass" -> qTextCharclass,
     "q_audio_decode" -> qAudioDecode,
     "q_video_decode" -> qVideoDecode)
     // q_ann_lsh intentionally omitted: approximate → rows-only check

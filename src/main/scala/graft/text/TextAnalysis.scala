@@ -1532,4 +1532,42 @@ object TextAnalysis {
         round(col("n_hapax") / col("n_types").cast("double") + lit(1e-9), 6))
       .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
         col("ttr"), col("hapax_share"))
+
+  /** Character-class census per document — the script/charset profile
+    * a corpus-quality dashboard slices by (a code-heavy doc shows in
+    * the other/digit shares, SHOUTING in the upper share, CJK or
+    * binary junk in a collapsed alpha share): counts of alphabetic,
+    * uppercase, digit, space and other characters from identical
+    * regex char-classes on both engines, count = len − len(strip).
+    *
+    * Plan: a stateless projection over the documents scan — codegen
+    * regexes, no shuffle at all. */
+  def charClasses(documents: DataFrame): DataFrame = {
+    def cnt(pattern: String) =
+      (length(col("text"))
+        - length(regexp_replace(col("text"), pattern, ""))).cast("long")
+    documents
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .filter(col("n_chars") > 0)
+      .withColumn("n_alpha", cnt("[A-Za-z]"))
+      .withColumn("n_upper", cnt("[A-Z]"))
+      .withColumn("n_digit", cnt("[0-9]"))
+      .withColumn("n_space", cnt("[ ]"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("alpha_share",
+        round(col("n_alpha") / col("n_chars").cast("double") + lit(1e-9), 6))
+      .withColumn("upper_share",
+        round(col("n_upper") / col("n_chars").cast("double") + lit(1e-9), 6))
+      .withColumn("digit_share",
+        round(col("n_digit") / col("n_chars").cast("double") + lit(1e-9), 6))
+      .withColumn("space_share",
+        round(col("n_space") / col("n_chars").cast("double") + lit(1e-9), 6))
+      .withColumn("other_share",
+        round(col("n_other") / col("n_chars").cast("double") + lit(1e-9), 6))
+      .select(col("doc_id"), col("n_chars"), col("n_alpha"), col("n_upper"),
+        col("n_digit"), col("n_space"), col("n_other"), col("alpha_share"),
+        col("upper_share"), col("digit_share"), col("space_share"),
+        col("other_share"))
+  }
 }

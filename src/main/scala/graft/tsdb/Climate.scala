@@ -3107,6 +3107,44 @@ object Climate {
         col("energy"), col("i60"), col("ei"))
   }
 
+  /** LOWESS-style tricube local-linear smoother per station over the
+    * observed daily series (Cleveland 1979, fixed ±`half`-day
+    * window): each observation contributes to the 2·half+1 target
+    * days around it with tricube weight w = (1 − (|u|/(half+1))³)³
+    * at offset u = source − target; the smoothed value at a target
+    * day is the weighted-least-squares line evaluated at u = 0:
+    * ŷ = (S_uu·S_y − S_u·S_uy) / (S_w·S_uu − S_u²).
+    *
+    * Plan: bounded explode (2·half+1 ×) turns the ±half range join
+    * into an equi-join + keyed re-aggregate on (station_id, day) —
+    * no per-target rescan of the series, no window over the full
+    * history; the fan-out constant is the smoother's own bandwidth. */
+  def lowess(rawDaily: DataFrame, half: Int = 7): DataFrame = {
+    val obs = rawDaily.filter(col("raw").isNotNull)
+    val contrib = obs
+      .withColumn("o", explode(sequence(lit(-half), lit(half))))
+      .select(col("station_id"), expr("date_add(day, o)").as("t"),
+        (-col("o")).cast("double").as("u"), col("raw"))
+      .withColumn("w", pow(lit(1.0)
+        - pow(abs(col("u")) / lit((half + 1).toDouble), 3.0), 3.0))
+    val sums = contrib.groupBy(col("station_id"), col("t"))
+      .agg(count(lit(1)).as("n_window"),
+        sum(col("w")).as("sw"),
+        sum(col("w") * col("u")).as("su"),
+        sum(col("w") * col("raw")).as("sy"),
+        sum(col("w") * col("u") * col("u")).as("suu"),
+        sum(col("w") * col("u") * col("raw")).as("suy"))
+      .withColumnRenamed("t", "day")
+    obs.join(sums, Seq("station_id", "day"))
+      .withColumn("denom", col("sw") * col("suu") - col("su") * col("su"))
+      .filter(col("denom") > 1e-12)
+      .withColumn("smooth", round((col("suu") * col("sy") - col("su") * col("suy"))
+        / col("denom") + lit(1e-9), 6))
+      .withColumn("resid", round(col("raw") - col("smooth") + lit(1e-9), 6))
+      .select(col("station_id"), col("day"), col("raw"), col("n_window"),
+        col("smooth"), col("resid"))
+  }
+
   /** Lanczos (g = 7, n = 9) Γ(z) as a Column expression, valid for the
     * z ∈ (0.5, 2.5) range the GEV fit needs (no reflection branch).
     * Agrees with a library gamma to ~1e-13 — far inside the 6-decimal

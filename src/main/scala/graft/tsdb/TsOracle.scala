@@ -3314,6 +3314,35 @@ object TsOracle {
         + 1e-9, 4) AS rl100
     FROM fit3 ORDER BY station_id"""
 
+  /** Mirrors Climate.lowess: tricube local-linear smoother via the
+    * same bounded contribution explode (±7 days, weight from the
+    * source−target offset) and WLS-at-zero projection. */
+  val qLowess: String = s"""
+    WITH $world,
+    obs AS (SELECT station_id, day, raw FROM raw_daily WHERE raw IS NOT NULL),
+    contrib AS (
+      SELECT station_id, day + CAST(o AS INT) AS t,
+        CAST(-o AS DOUBLE) AS u, raw,
+        pow(1.0 - pow(abs(CAST(-o AS DOUBLE)) / 8.0, 3.0), 3.0) AS w
+      FROM obs, range(-7, 8) tt(o)),
+    sums AS (
+      SELECT station_id, t AS day, CAST(count(*) AS BIGINT) AS n_window,
+        sum(w) AS sw, sum(w * u) AS su, sum(w * raw) AS sy,
+        sum(w * u * u) AS suu, sum(w * u * raw) AS suy
+      FROM contrib GROUP BY 1, 2),
+    j AS (
+      SELECT o.station_id, o.day, o.raw, s.n_window,
+        s.sw * s.suu - s.su * s.su AS denom,
+        s.suu * s.sy - s.su * s.suy AS numer
+      FROM obs o JOIN sums s USING (station_id, day)),
+    sm AS (
+      SELECT station_id, day, raw, n_window,
+        round(numer / denom + 1e-9, 6) AS smooth
+      FROM j WHERE denom > 1e-12)
+    SELECT station_id, day, raw, n_window, smooth,
+      round(raw - smooth + 1e-9, 6) AS resid
+    FROM sm ORDER BY station_id, day"""
+
   /** Mirrors Climate.kpss: Bartlett long-run variance at lag 4 over
     * the demeaned observed daily series, η = ΣS_t²/(n²s²). */
   val qKpss: String = s"""
@@ -4221,6 +4250,7 @@ object TsOracle {
     "q_dtw" -> qDtw,
     "q_gumbel" -> qGumbel,
     "q_gev_lmoments" -> qGevLmoments,
+    "q_lowess" -> qLowess,
     "q_kpss" -> qKpss,
     "q_adf" -> qAdf,
     "q_coint_eg" -> qCointEg,

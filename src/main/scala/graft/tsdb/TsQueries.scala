@@ -395,6 +395,9 @@ object TsQueries {
   def qGumbel(s: SparkSession, d: String): DataFrame =
     Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
 
+  def qLowess(s: SparkSession, d: String): DataFrame =
+    Climate.lowess(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
+
   def qGevLmoments(s: SparkSession, d: String): DataFrame =
     Climate.gevLmoments(hourly(s, d)).orderBy(col("station_id"))
 
@@ -692,6 +695,7 @@ object TsQueries {
     "q_dtw" -> (qDtw _),
     "q_gumbel" -> (qGumbel _),
     "q_gev_lmoments" -> (qGevLmoments _),
+    "q_lowess" -> (qLowess _),
     "q_kpss" -> (qKpss _),
     "q_adf" -> (qAdf _),
     "q_coint_eg" -> (qCointEg _),

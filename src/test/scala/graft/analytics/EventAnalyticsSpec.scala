@@ -24,6 +24,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(total === events.select(col("user_id")).distinct().count())
   }
 
+  test("msprt: a strong persistent lift goes significant and stays; a null doesn't") {
+    import spark.implicits._
+    // 30 days, 200 events/arm/day; arm B converts at 30%, arm A at 10%
+    val rows = for {
+      d <- 1 to 30; i <- 0 until 400
+    } yield {
+      val uid = i.toLong // even = variant 1 (B), odd = variant 0 (A)
+      val conv =
+        if (uid % 2 == 0) (i / 2) % 10 < 3 // 30% of B events
+        else (i / 2) % 10 < 1 // 10% of A events
+      (d.toLong * 1000 + i, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"),
+        uid, if (conv) "purchase" else "click", 1.0, "{}")
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventAnalytics.msprt(ev).orderBy("day").collect()
+    assert(out.length === 30)
+    // always-valid p is non-increasing by construction (running max)
+    val ps = out.map(_.getAs[Double]("p_always_valid"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(out.last.getAs[Boolean]("significant"), out.last.toString)
+    // the null: both arms identical -> never significant
+    val nullEv = ev.withColumn("event_type",
+      when(col("user_id") % 10 < 2, "purchase").otherwise("click"))
+    val nullOut = EventAnalytics.msprt(nullEv).collect()
+    assert(nullOut.forall(!_.getAs[Boolean]("significant")))
+  }
+
   test("funnel stage counts match an independent join-based rebuild") {
     // independent implementation: per-stage minima via joins instead
     // of stacked windows; total converted users must agree

@@ -260,6 +260,19 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodePpm("P6\n2 1\n65535\nABCDEF".getBytes))
   }
 
+  test("charclass census: hand-counted shares on a crafted string") {
+    val df = Seq((0L, "Ab 12.x", "en", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.charClasses(df).head
+    // 7 chars: A b x alpha(3, 1 upper), "12" digits(2), 1 space, "." other
+    assert(r.getAs[Long]("n_chars") === 7L)
+    assert(r.getAs[Long]("n_alpha") === 3L && r.getAs[Long]("n_upper") === 1L)
+    assert(r.getAs[Long]("n_digit") === 2L && r.getAs[Long]("n_space") === 1L)
+    assert(r.getAs[Long]("n_other") === 1L)
+    assert(math.abs(r.getAs[Double]("alpha_share") - 3.0 / 7) < 1e-6)
+    assert(math.abs(r.getAs[Double]("other_share") - 1.0 / 7) < 1e-6)
+  }
+
   test("WAV decode: synthesized RIFF round-trips exactly; malformed input fails loudly") {
     val (rate, xs) = Multimodal.decodeWav(Multimodal.synthesizeWav(1L))
     assert(rate === 100)

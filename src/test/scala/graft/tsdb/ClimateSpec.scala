@@ -114,6 +114,22 @@ class ClimateSpec extends SparkSpec {
     assert(math.abs(g(1) - 0.8862269255) < 1e-9) // Γ(1.5) = √π/2
   }
 
+  test("lowess: reproduces a straight line exactly and shrinks spike residuals") {
+    // local-LINEAR smoothing is exact on a line: smooth == raw everywhere
+    val line = (1 to 21).map(i => (1L, f"2024-01-$i%02d", Option(2.0 * i + 5.0)))
+    val out = Climate.lowess(frame(line)).collect()
+    assert(out.length === 21)
+    out.foreach(r => assert(math.abs(r.getAs[Double]("resid")) < 1e-6, r.toString))
+    // a single spike on a flat series: the smoother pulls it toward 0
+    val spike = (1 to 21).map(i =>
+      (1L, f"2024-02-$i%02d", Option(if (i == 11) 100.0 else 0.0)))
+    val sm = Climate.lowess(frame(spike)).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    val atSpike = sm("2024-02-11")
+    assert(atSpike.getAs[Double]("smooth") < 50.0) // pulled well below the spike
+    assert(atSpike.getAs[Long]("n_window") === 15L) // full ±7 window
+  }
+
   test("engle-granger: a scaled+shifted twin cointegrates with near-unit residual rho") {
     import spark.implicits._
     val ys = Seq(5.0, 9.0, 2.0, 8.0, 1.0, 7.0, 3.0, 6.0, 4.0, 8.5,
