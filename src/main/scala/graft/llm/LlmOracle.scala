@@ -1191,6 +1191,51 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors TextAnalysis.cdcChunks: the same 4-char polynomial
+    * rolling-hash boundaries (coefficients pre-reduced mod P on both
+    * engines) and global exact-content chunk census. DuckDB lists are
+    * 1-based where Spark arrays are 0-based, and range() is
+    * end-exclusive where sequence() is inclusive. */
+  val qCdcChunks: String = {
+    val B = 257L; val P = 1000003L
+    val c3 = B * B * B % P; val c2 = B * B % P
+    val h = s"((ascii(text[i - 3]) * $c3 + ascii(text[i - 2]) * $c2" +
+      s" + ascii(text[i - 1]) * $B + ascii(text[i])) % $P)"
+    s"""
+    WITH b AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+        CASE WHEN length(text) >= 4 THEN
+          list_filter(range(4, length(text) + 1),
+            i -> $h % 16 = 0 AND i < length(text))
+        ELSE [] END AS bounds
+      FROM documents WHERE length(text) > 0),
+    se AS (
+      SELECT doc_id, text, n_chars,
+        list_prepend(CAST(1 AS BIGINT), list_transform(bounds, x -> x + 1)) AS starts,
+        list_append(bounds, CAST(length(text) AS BIGINT)) AS ends
+      FROM b),
+    ch AS (
+      SELECT doc_id, n_chars,
+        unnest(list_transform(range(1, len(starts) + 1),
+          k -> substring(text, CAST(starts[CAST(k AS INT)] AS INT),
+            CAST(ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1 AS INT)))) AS chunk
+      FROM se),
+    census AS (
+      SELECT chunk, CAST(count(*) AS BIGINT) AS global_cnt
+      FROM ch GROUP BY 1),
+    per_doc AS (
+      SELECT c.doc_id, max(c.n_chars) AS n_chars,
+        CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(sum(CASE WHEN g.global_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      FROM ch c JOIN census g USING (chunk)
+      GROUP BY 1)
+    SELECT doc_id, n_chars, n_chunks,
+      round(n_chars / n_chunks::DOUBLE + 1e-9, 6) AS mean_chunk_len,
+      n_dup_chunks,
+      round(n_dup_chunks / n_chunks::DOUBLE + 1e-9, 6) AS dup_chunk_share
+    FROM per_doc ORDER BY doc_id"""
+  }
+
   /** Mirrors TextAnalysis.charClasses: count = len − len(strip) with
     * identical regex char-classes. */
   val qTextCharclass: String = """
@@ -2281,6 +2326,7 @@ object LlmOracle {
     "q_silhouette" -> qSilhouette,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_image_decode" -> qImageDecode,
+    "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
     "q_audio_decode" -> qAudioDecode,
     "q_video_decode" -> qVideoDecode)

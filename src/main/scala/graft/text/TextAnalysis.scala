@@ -1533,6 +1533,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
         col("ttr"), col("hapax_share"))
 
+  /** Content-defined chunking (CDC) dedup census — the storage-dedup
+    * complement to the fixed-width q_text_chunks: chunk boundaries
+    * come from the CONTENT (a 4-char polynomial rolling hash hitting
+    * 0 mod `mask`), so an insertion early in a document shifts at
+    * most one chunk instead of re-aligning every downstream window —
+    * the property rsync/FastCDC-family dedup is built on. Chunks
+    * dedup globally by exact content; per doc the share of chunks
+    * also present elsewhere in the corpus.
+    *
+    * Plan: boundary detection is a stateless higher-order projection
+    * (filter over the position sequence — no shuffle); the global
+    * chunk census is ONE groupBy on the chunk string (the
+    * hash-partitioned dedup shape); the per-doc rollup rides the
+    * doc_id key back. At 100 TB the census would group on a chunk
+    * HASH instead of the literal string — same plan shape, smaller
+    * shuffle payload. */
+  def cdcChunks(documents: DataFrame, mask: Int = 16): DataFrame = {
+    val B = 257L; val P = 1000003L
+    val c3 = B * B * B % P; val c2 = B * B % P
+    val h = s"((ascii(substring(text, i - 3, 1)) * ${c3}L" +
+      s" + ascii(substring(text, i - 2, 1)) * ${c2}L" +
+      s" + ascii(substring(text, i - 1, 1)) * ${B}L" +
+      s" + ascii(substring(text, i, 1))) % ${P}L)"
+    val chunked = documents
+      .filter(length(col("text")) > 0)
+      .withColumn("bounds", expr(
+        s"CASE WHEN length(text) >= 4 THEN " +
+          s"filter(sequence(4, length(text)), i -> $h % $mask = 0 AND i < length(text)) " +
+          "ELSE array() END"))
+      .withColumn("starts", expr("concat(array(1), transform(bounds, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bounds, array(length(text)))"))
+      .withColumn("chunks", expr(
+        "transform(sequence(1, size(starts))," +
+          " k -> substring(text, starts[k - 1], ends[k - 1] - starts[k - 1] + 1))"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+    val census = chunked.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("global_cnt"))
+    chunked.join(census, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chars")).as("n_chars"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("global_cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("mean_chunk_len",
+        round(col("n_chars") / col("n_chunks").cast("double") + lit(1e-9), 6))
+      .withColumn("dup_chunk_share",
+        round(col("n_dup_chunks") / col("n_chunks").cast("double") + lit(1e-9), 6))
+      .select(col("doc_id"), col("n_chars"), col("n_chunks"),
+        col("mean_chunk_len"), col("n_dup_chunks"), col("dup_chunk_share"))
+  }
+
   /** Character-class census per document — the script/charset profile
     * a corpus-quality dashboard slices by (a code-heavy doc shows in
     * the other/digit shares, SHOUTING in the upper share, CJK or

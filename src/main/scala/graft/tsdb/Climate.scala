@@ -3107,6 +3107,80 @@ object Climate {
         col("energy"), col("i60"), col("ei"))
   }
 
+  /** Degree-day snowpack model per station (the SWE bookkeeping a
+    * snow hydrologist runs before any melt-season forecast):
+    * precipitation falls as snow when the daily temperature proxy is
+    * below 0 °C, melt is capped degree-day melt min(SWE + snow,
+    * ddf·max(0, t)), and the snow-water equivalent accumulates day by
+    * day, 4-dp rounded per step so both engines walk the identical
+    * state path. Output per station: snow days, peak and final SWE,
+    * total melt.
+    *
+    * Plan: one station-keyed collect of the day-sorted (p, t) array
+    * (bounded by the series length — the viterbi/DTW collapse shape),
+    * then a stateless higher-order fold; output is O(#stations).
+    * Snowfall and the snow-day indicator are precomputed per ROW so
+    * the fold lambda is pure arithmetic (round/least/greatest/+). */
+  def snowpack(rawDaily: DataFrame, dailyTemp: DataFrame, ddf: Double = 3.0): DataFrame = {
+    val joined = rawDaily.select(col("station_id"), col("day"),
+        coalesce(col("raw"), lit(0.0)).as("p"))
+      .join(dailyTemp.select(col("station_id"), col("day"),
+        coalesce(col("t"), lit(0.0)).as("t")), Seq("station_id", "day"))
+      .withColumn("snow", when(col("t") < 0.0, col("p")).otherwise(lit(0.0)))
+      .withColumn("ind",
+        when(col("t") < 0.0 && col("p") > 0.0, lit(1.0)).otherwise(lit(0.0)))
+    val series = joined.groupBy(col("station_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, p, t, snow, ind)))," +
+        " s -> array(s.p, s.t, s.snow, s.ind))").as("pt"),
+        count(lit(1)).as("n_days"))
+    // state a = [swe, peak, melt_total, snow_days]; element x = [p, t, snow, ind]
+    val melt = s"least(a[0] + x[2], ${ddf}D * greatest(x[1], 0.0D))"
+    val sweNew = s"round(a[0] + x[2] - $melt, 4)"
+    val fold = s"""
+      aggregate(pt, array(0.0D, 0.0D, 0.0D, 0.0D),
+        (a, x) -> array(
+          $sweNew,
+          greatest(a[1], $sweNew),
+          round(a[2] + $melt, 4),
+          a[3] + x[3]))"""
+    series.withColumn("st", expr(fold))
+      .select(col("station_id"), col("n_days"),
+        col("st")(3).cast("long").as("snow_days"),
+        col("st")(1).as("peak_swe"),
+        col("st")(0).as("end_swe"),
+        col("st")(2).as("total_melt"))
+  }
+
+  /** SCS curve-number storm runoff per station (USDA TR-55): soil
+    * retention S = 25400/CN − 254 mm with a deterministic station
+    * curve number CN = 60 + station_id mod 40, initial abstraction
+    * Ia = 0.2·S, daily runoff Q = (P − Ia)² / (P − Ia + S) when
+    * P > Ia else 0. Output per station: wet/runoff day counts,
+    * totals and the runoff coefficient ΣQ/ΣP.
+    *
+    * Plan: a stateless projection over the wet days plus one keyed
+    * aggregate — no windows, no joins. */
+  def scsRunoff(rawDaily: DataFrame): DataFrame = {
+    val cn = lit(60.0) + (col("station_id") % 40).cast("double")
+    val obs = rawDaily.filter(col("raw").isNotNull && col("raw") > 0.0)
+      .withColumn("s", lit(25400.0) / cn - lit(254.0))
+      .withColumn("ia", lit(0.2) * col("s"))
+      .withColumn("q", when(col("raw") > col("ia"),
+        (col("raw") - col("ia")) * (col("raw") - col("ia"))
+          / (col("raw") - col("ia") + col("s"))).otherwise(lit(0.0)))
+    obs.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_wet_days"),
+        sum(when(col("q") > 0.0, 1L).otherwise(0L)).as("n_runoff_days"),
+        round(sum(col("raw")) + lit(1e-9), 3).as("total_p"),
+        round(sum(col("q")) + lit(1e-9), 4).as("total_q"))
+      .withColumn("cn", lit(60.0) + (col("station_id") % 40).cast("double"))
+      .withColumn("runoff_coef",
+        round(col("total_q") / col("total_p") + lit(1e-9), 6))
+      .select(col("station_id"), col("cn"), col("n_wet_days"),
+        col("n_runoff_days"), col("total_p"), col("total_q"),
+        col("runoff_coef"))
+  }
+
   /** LOWESS-style tricube local-linear smoother per station over the
     * observed daily series (Cleveland 1979, fixed ±`half`-day
     * window): each observation contributes to the 2·half+1 target

@@ -3314,6 +3314,77 @@ object TsOracle {
         + 1e-9, 4) AS rl100
     FROM fit3 ORDER BY station_id"""
 
+  /** Mirrors Climate.snowpack: the same 4-dp-per-step degree-day SWE
+    * fold. Snowfall and the snow-day indicator are precomputed per
+    * ROW (the fold lambda stays pure arithmetic — DuckDB's deep
+    * list_reduce CASE-branch bug never engages), state and elements
+    * are both DOUBLE[] so list_reduce type-checks with the prepended
+    * init. DuckDB lists are 1-based where Spark arrays are 0-based. */
+  val qSnowpack: String = {
+    val melt = "least(a[1] + x[3], 3.0 * greatest(x[2], 0.0))"
+    val sweNew = s"round(a[1] + x[3] - $melt, 4)"
+    s"""
+    WITH $world,
+    t_daily AS (
+      SELECT user_id::BIGINT AS station_id, ts::date AS day,
+        round(avg(value) + 1e-9, 6) - $TempShift AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    joined AS (
+      SELECT r.station_id, r.day, coalesce(r.raw, 0.0) AS p,
+        coalesce(t.t, 0.0) AS t
+      FROM raw_daily r LEFT JOIN t_daily t USING (station_id, day)),
+    rows_pt AS (
+      SELECT station_id, day, p, t,
+        CASE WHEN t < 0.0 THEN p ELSE 0.0 END AS snow,
+        CASE WHEN t < 0.0 AND p > 0.0 THEN 1.0 ELSE 0.0 END AS ind
+      FROM joined),
+    series AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_days,
+        list_transform(
+          list_sort(list(struct_pack(day := day, p := p, t := t,
+            snow := snow, ind := ind))),
+          s -> [s.p, s.t, s.snow, s.ind]) AS pt
+      FROM rows_pt GROUP BY 1),
+    folded AS (
+      SELECT station_id, n_days,
+        list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0], pt),
+          (a, x) -> [
+            $sweNew,
+            greatest(a[2], $sweNew),
+            round(a[3] + $melt, 4),
+            a[4] + x[4]]) AS st
+      FROM series)
+    SELECT station_id, n_days,
+      CAST(st[4] AS BIGINT) AS snow_days,
+      st[2] AS peak_swe, st[1] AS end_swe, st[3] AS total_melt
+    FROM folded ORDER BY station_id"""
+  }
+
+  /** Mirrors Climate.scsRunoff: TR-55 curve-number runoff with the
+    * deterministic per-station CN. */
+  val qScsRunoff: String = s"""
+    WITH $world,
+    wet AS (
+      SELECT station_id, raw,
+        25400.0 / (60.0 + CAST(station_id % 40 AS DOUBLE)) - 254.0 AS s
+      FROM raw_daily WHERE raw IS NOT NULL AND raw > 0.0),
+    q AS (
+      SELECT station_id, raw, s, 0.2 * s AS ia,
+        CASE WHEN raw > 0.2 * s
+          THEN (raw - 0.2 * s) * (raw - 0.2 * s) / (raw - 0.2 * s + s)
+          ELSE 0.0 END AS q
+      FROM wet),
+    agg AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_wet_days,
+        CAST(sum(CASE WHEN q > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_runoff_days,
+        round(sum(raw) + 1e-9, 3) AS total_p,
+        round(sum(q) + 1e-9, 4) AS total_q
+      FROM q GROUP BY 1)
+    SELECT station_id, 60.0 + CAST(station_id % 40 AS DOUBLE) AS cn,
+      n_wet_days, n_runoff_days, total_p, total_q,
+      round(total_q / total_p + 1e-9, 6) AS runoff_coef
+    FROM agg ORDER BY station_id"""
+
   /** Mirrors Climate.lowess: tricube local-linear smoother via the
     * same bounded contribution explode (±7 days, weight from the
     * source−target offset) and WLS-at-zero projection. */
@@ -4251,6 +4322,8 @@ object TsOracle {
     "q_gumbel" -> qGumbel,
     "q_gev_lmoments" -> qGevLmoments,
     "q_lowess" -> qLowess,
+    "q_snowpack" -> qSnowpack,
+    "q_scs_runoff" -> qScsRunoff,
     "q_kpss" -> qKpss,
     "q_adf" -> qAdf,
     "q_coint_eg" -> qCointEg,

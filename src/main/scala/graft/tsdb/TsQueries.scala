@@ -395,6 +395,13 @@ object TsQueries {
   def qGumbel(s: SparkSession, d: String): DataFrame =
     Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
 
+  def qSnowpack(s: SparkSession, d: String): DataFrame =
+    Climate.snowpack(rawDaily(s, d), Series.dailyTemp(ev(s, d)))
+      .orderBy(col("station_id"))
+
+  def qScsRunoff(s: SparkSession, d: String): DataFrame =
+    Climate.scsRunoff(rawDaily(s, d)).orderBy(col("station_id"))
+
   def qLowess(s: SparkSession, d: String): DataFrame =
     Climate.lowess(rawDaily(s, d)).orderBy(col("station_id"), col("day"))
 
@@ -696,6 +703,8 @@ object TsQueries {
     "q_gumbel" -> (qGumbel _),
     "q_gev_lmoments" -> (qGevLmoments _),
     "q_lowess" -> (qLowess _),
+    "q_snowpack" -> (qSnowpack _),
+    "q_scs_runoff" -> (qScsRunoff _),
     "q_kpss" -> (qKpss _),
     "q_adf" -> (qAdf _),
     "q_coint_eg" -> (qCointEg _),

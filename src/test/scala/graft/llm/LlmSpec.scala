@@ -260,6 +260,30 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodePpm("P6\n2 1\n65535\nABCDEF".getBytes))
   }
 
+  test("cdc chunks: boundaries are content-defined — shared tails chunk identically") {
+    // two docs sharing a long tail after a 1-char prefix insertion:
+    // CDC re-synchronizes, so most tail chunks dedup across the docs
+    val tail = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (0L, tail, "en", "web", tail.length.toLong),
+      (1L, "X" + tail, "en", "web", tail.length + 1L),
+      (2L, "completely different content here", "en", "web", 33L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.cdcChunks(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // chunk counts are consistent: mean_chunk_len * n_chunks == n_chars
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= 1L)
+      assert(math.abs(r.getAs[Double]("mean_chunk_len") * r.getAs[Long]("n_chunks")
+        - r.getAs[Long]("n_chars")) < 1e-3)
+    }
+    // the shifted twin shares most chunks with the original; the
+    // unrelated doc shares none
+    assert(out(0L).getAs[Double]("dup_chunk_share") > 0.5, out(0L).toString)
+    assert(out(1L).getAs[Double]("dup_chunk_share") > 0.5, out(1L).toString)
+    assert(out(2L).getAs[Double]("dup_chunk_share") === 0.0)
+  }
+
   test("charclass census: hand-counted shares on a crafted string") {
     val df = Seq((0L, "Ab 12.x", "en", "web", 7L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

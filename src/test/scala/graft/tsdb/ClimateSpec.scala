@@ -114,6 +114,40 @@ class ClimateSpec extends SparkSpec {
     assert(math.abs(g(1) - 0.8862269255) < 1e-9) // Γ(1.5) = √π/2
   }
 
+  test("snowpack: accumulates through a cold spell, melts by degree-days, caps at the pack") {
+    import spark.implicits._
+    // day 1-3: 10 mm/day at -5C (snow, no melt); day 4: 0 mm at +2C
+    // (melt 6); day 5: 0 mm at +20C (melt capped at remaining 24)
+    val p = Seq(10.0, 10.0, 10.0, 0.0, 0.0)
+    val t = Seq(-5.0, -5.0, -5.0, 2.0, 20.0)
+    val raw = p.zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Date.valueOf(f"2024-01-0${i + 1}"), Option(v), 1L)
+    }.toDF("station_id", "day", "raw", "n_obs")
+    val temp = t.zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Date.valueOf(f"2024-01-0${i + 1}"), Option(v))
+    }.toDF("station_id", "day", "t")
+    val r = Climate.snowpack(raw, temp).head
+    assert(r.getAs[Long]("snow_days") === 3L)
+    assert(r.getAs[Double]("peak_swe") === 30.0)
+    assert(r.getAs[Double]("end_swe") === 0.0) // 30 - 6 - 24
+    assert(r.getAs[Double]("total_melt") === 30.0)
+  }
+
+  test("scs runoff: no runoff below the initial abstraction, quadratic above it") {
+    import spark.implicits._
+    // station 0: CN = 60 -> S = 169.33, Ia = 33.87
+    val raw = Seq(
+      (0L, "2024-01-01", Option(10.0)), // below Ia -> Q = 0
+      (0L, "2024-01-02", Option(100.0)) // above -> Q = 66.13^2/235.46
+    )
+    val r = Climate.scsRunoff(frame(raw)).head
+    assert(r.getAs[Double]("cn") === 60.0)
+    assert(r.getAs[Long]("n_wet_days") === 2L && r.getAs[Long]("n_runoff_days") === 1L)
+    val s = 25400.0 / 60.0 - 254.0; val ia = 0.2 * s
+    val expQ = (100.0 - ia) * (100.0 - ia) / (100.0 - ia + s)
+    assert(math.abs(r.getAs[Double]("total_q") - expQ) < 1e-3)
+  }
+
   test("lowess: reproduces a straight line exactly and shrinks spike residuals") {
     // local-LINEAR smoothing is exact on a line: smooth == raw everywhere
     val line = (1 to 21).map(i => (1L, f"2024-01-$i%02d", Option(2.0 * i + 5.0)))
