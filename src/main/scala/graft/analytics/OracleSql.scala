@@ -948,7 +948,45 @@ object OracleSql {
       round(n_full_list / CAST(n_items AS DOUBLE) + 1e-9, 6) AS full_coverage
     FROM g"""
 
+  /** Mirrors Queries.qCroston: the same branchless 4-dp-per-step
+    * Croston fold (size EWMA z, interval EWMA p, α = 0.1) — state and
+    * elements both DOUBLE[] so list_reduce type-checks with the
+    * prepended init; DuckDB lists are 1-based where Spark arrays are
+    * 0-based. */
+  val qCroston: String = {
+    val i0 = "(1.0 - least(a[4], 1.0))"
+    val i1 = "(least(a[4], 1.0) - least(greatest(a[4] - 1.0, 0.0), 1.0))"
+    val i2 = "least(greatest(a[4] - 1.0, 0.0), 1.0)"
+    val iv = "(x[1] - a[3])"
+    s"""
+    WITH demand AS (
+      SELECT l_partkey, o.o_orderdate::date AS d,
+        round(sum(l_quantity) + 1e-9, 2) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    series AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_events,
+        list_transform(
+          list_sort(list(struct_pack(
+            dd := CAST(d - DATE '1990-01-01' AS DOUBLE), q := q))),
+          s -> [s.dd, s.q]) AS ev
+      FROM demand GROUP BY 1 HAVING count(*) >= 3),
+    folded AS (
+      SELECT l_partkey, n_events,
+        list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0], ev),
+          (a, x) -> [
+            round($i0 * x[2] + (1.0 - $i0) * (0.9 * a[1] + 0.1 * x[2]) + 1e-9, 4),
+            round($i1 * $iv + $i2 * (0.9 * a[2] + 0.1 * $iv) + 1e-9, 4),
+            x[1],
+            a[4] + 1.0]) AS st
+      FROM series)
+    SELECT l_partkey, n_events, st[1] AS z, st[2] AS p,
+      round(st[1] / st[2] + 1e-9, 6) AS forecast_rate
+    FROM folded WHERE st[2] > 0.0 ORDER BY l_partkey"""
+  }
+
   val all: Map[String, String] = Map(
+    "q_croston" -> qCroston,
     "q_recsys_eval" -> qRecsysEval,
     "q_priority_transitions" -> qPriorityTransitions,
     "q_cf_coverage" -> qCfCoverage,

@@ -792,6 +792,58 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Croston's method for intermittent demand per part (the standard
+    * forecaster when most periods have NO demand, where plain
+    * exponential smoothing biases toward zero): demand events are the
+    * part's distinct order dates with summed quantities; the demand
+    * size EWMA z and the inter-demand-interval EWMA p update with
+    * α = 0.1 on each event (4-dp per step), and the forecast demand
+    * rate is z/p per day. Branchless init indicators (first event
+    * seeds z, the second seeds p with the first interval) keep the
+    * fold lambda pure arithmetic, so the DuckDB list_reduce mirrors
+    * it exactly.
+    *
+    * Plan: one (part, date) keyed aggregate, one part-keyed collect
+    * of the date-sorted (epoch-day, qty) array — bounded by the
+    * part's event count — then a stateless fold; output O(#parts). */
+  def qCroston(spark: SparkSession, dir: String): DataFrame = {
+    val demand = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"), to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("l_quantity")) + lit(1e-9), 2).as("q"))
+    val series = demand
+      .withColumn("dd",
+        datediff(col("d"), lit("1990-01-01").cast("date")).cast("double"))
+      .groupBy(col("l_partkey"))
+      .agg(expr("transform(array_sort(collect_list(struct(dd, q)))," +
+        " s -> array(s.dd, s.q))").as("ev"),
+        count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= 3)
+    // state a = [z, p, last_day, count]; element x = [day, qty];
+    // i0 = first event (seeds z), i1 = second (seeds p), i2 = later
+    val i0 = "(1.0D - least(a[3], 1.0D))"
+    val i1 = "(least(a[3], 1.0D) - least(greatest(a[3] - 1.0D, 0.0D), 1.0D))"
+    val i2 = "least(greatest(a[3] - 1.0D, 0.0D), 1.0D)"
+    val iv = "(x[0] - a[2])"
+    val fold = s"""
+      aggregate(ev, array(0.0D, 0.0D, 0.0D, 0.0D),
+        (a, x) -> array(
+          round($i0 * x[1] + (1.0D - $i0) * (0.9D * a[0] + 0.1D * x[1]) + 1.0E-9D, 4),
+          round($i1 * $iv + $i2 * (0.9D * a[1] + 0.1D * $iv) + 1.0E-9D, 4),
+          x[0],
+          a[3] + 1.0D))"""
+    series.withColumn("st", expr(fold))
+      .withColumn("z", col("st")(0))
+      .withColumn("p", col("st")(1))
+      .filter(col("p") > 0.0)
+      .withColumn("forecast_rate", round(col("z") / col("p") + lit(1e-9), 6))
+      .select(col("l_partkey"), col("n_events"), col("z"), col("p"),
+        col("forecast_rate"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** Supplier revenue concentration per nation (Herfindahl–Hirschman
     * index, the antitrust-grade concentration score next to the
     * Pareto/Gini views): per-supplier revenue collapsed first (2-dp

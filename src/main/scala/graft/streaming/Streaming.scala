@@ -352,6 +352,61 @@ object Streaming extends Serializable {
       }
   }
 
+  case class MsprtEvent(user_id: Long, event_type: String)
+  case class MsprtState(nA: Long, xA: Long, nB: Long, xB: Long, maxLl: Double)
+  case class MsprtUpdate(n_a: Long, x_a: Long, n_b: Long, x_b: Long,
+      log_lambda: Double, p_always_valid: Double, significant: Boolean)
+
+  /** Streaming twin of [[graft.analytics.EventAnalytics.msprt]] — the
+    * operational shape of an always-valid test: every arriving batch
+    * folds into the cumulative per-arm counts and emits the updated
+    * mixture likelihood ratio and always-valid p (running max in
+    * state), so the experimenter can stop the moment p crosses α with
+    * the guarantee intact. Fed single-day batches it reproduces the
+    * batch path's per-day p sequence exactly (StreamingSpec pins
+    * this).
+    *
+    * Plan: one flatMapGroupsWithState on a single experiment key —
+    * the state is five numbers, and the per-batch fold is a count
+    * over that batch's rows. At production rates the ingest would
+    * pre-aggregate per trigger before the state op; the state size
+    * and emission contract stay identical. */
+  def msprtStream(events: Dataset[MsprtEvent], tau2: Double = 1e-4): Dataset[MsprtUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[MsprtState, MsprtUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[MsprtEvent], st: GroupState[MsprtState]) =>
+          val s = st.getOption.getOrElse(
+            MsprtState(0L, 0L, 0L, 0L, Double.NegativeInfinity))
+          var nA = s.nA; var xA = s.xA; var nB = s.nB; var xB = s.xB
+          rows.foreach { e =>
+            val conv = if (e.event_type == "purchase") 1L else 0L
+            if (e.user_id % 2 == 0) { nB += 1; xB += conv }
+            else { nA += 1; xA += conv }
+          }
+          def r6(x: Double): Double =
+            BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (nA == 0 || nB == 0) {
+            st.update(MsprtState(nA, xA, nB, xB, s.maxLl))
+            Iterator.empty
+          } else {
+            val pPool = (xA + xB).toDouble / (nA + nB)
+            val v = pPool * (1.0 - pPool) * (1.0 / nA + 1.0 / nB)
+            val delta = xB.toDouble / nB - xA.toDouble / nA
+            val ll =
+              if (v > 0.0) 0.5 * math.log(v / (v + tau2)) +
+                delta * delta * tau2 / (2.0 * v * (v + tau2))
+              else s.maxLl
+            val mx = math.max(s.maxLl, ll)
+            st.update(MsprtState(nA, xA, nB, xB, mx))
+            val p = r6(math.min(1.0, math.exp(-mx)))
+            Iterator.single(MsprtUpdate(nA, xA, nB, xB,
+              if (v > 0.0) r6(ll) else Double.NaN, p, p < 0.05))
+          }
+      }
+  }
+
   case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   case class SessState(sessionIdx: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(station_id: Long, session_id: Long, session_start: Timestamp,

@@ -3135,13 +3135,13 @@ object Climate {
         count(lit(1)).as("n_days"))
     // state a = [swe, peak, melt_total, snow_days]; element x = [p, t, snow, ind]
     val melt = s"least(a[0] + x[2], ${ddf}D * greatest(x[1], 0.0D))"
-    val sweNew = s"round(a[0] + x[2] - $melt, 4)"
+    val sweNew = s"round(a[0] + x[2] - $melt + 1.0E-9D, 4)"
     val fold = s"""
       aggregate(pt, array(0.0D, 0.0D, 0.0D, 0.0D),
         (a, x) -> array(
           $sweNew,
           greatest(a[1], $sweNew),
-          round(a[2] + $melt, 4),
+          round(a[2] + $melt + 1.0E-9D, 4),
           a[3] + x[3]))"""
     series.withColumn("st", expr(fold))
       .select(col("station_id"), col("n_days"),

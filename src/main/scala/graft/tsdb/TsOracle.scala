@@ -3322,7 +3322,7 @@ object TsOracle {
     * init. DuckDB lists are 1-based where Spark arrays are 0-based. */
   val qSnowpack: String = {
     val melt = "least(a[1] + x[3], 3.0 * greatest(x[2], 0.0))"
-    val sweNew = s"round(a[1] + x[3] - $melt, 4)"
+    val sweNew = s"round(a[1] + x[3] - $melt + 1e-9, 4)"
     s"""
     WITH $world,
     t_daily AS (
@@ -3351,7 +3351,7 @@ object TsOracle {
           (a, x) -> [
             $sweNew,
             greatest(a[2], $sweNew),
-            round(a[3] + $melt, 4),
+            round(a[3] + $melt + 1e-9, 4),
             a[4] + x[4]]) AS st
       FROM series)
     SELECT station_id, n_days,

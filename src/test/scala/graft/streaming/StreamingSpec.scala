@@ -221,6 +221,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet === Set((1L, ts(10)), (2L, ts(10)), (1L, ts(10, 30))))
   }
 
+  test("streaming msprt fed per-day batches reproduces the batch per-day p sequence") {
+    implicit val sc = spark.sqlContext
+    // same strong-lift fixture as the batch spec: 30 days, 400
+    // events/day; even users (arm B) convert 3x arm A
+    def dayEvents(d: Int): Seq[Streaming.MsprtEvent] = (0 until 400).map { i =>
+      val uid = i.toLong
+      val conv = if (uid % 2 == 0) (i / 2) % 10 < 3 else (i / 2) % 10 < 1
+      Streaming.MsprtEvent(uid, if (conv) "purchase" else "click")
+    }
+    val input = MemoryStream[Streaming.MsprtEvent]
+    val q = Streaming.msprtStream(input.toDS()).writeStream
+      .format("memory").queryName("msprt_stream").outputMode("update").start()
+    (1 to 30).foreach { d => input.addData(dayEvents(d): _*); q.processAllAvailable() }
+    q.stop()
+    val stream = spark.table("msprt_stream")
+      .select("n_a", "p_always_valid", "significant")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(stream.length === 30)
+    // batch twin on the identical event frame
+    val rows = for { d <- 1 to 30; i <- 0 until 400 } yield {
+      val uid = i.toLong
+      val conv = if (uid % 2 == 0) (i / 2) % 10 < 3 else (i / 2) % 10 < 1
+      (d.toLong * 1000 + i, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"),
+        uid, if (conv) "purchase" else "click", 1.0, "{}")
+    }
+    val batch = graft.analytics.EventAnalytics.msprt(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("day").select("n_a", "p_always_valid", "significant")
+      .as[(Long, Double, Boolean)].collect()
+    assert(batch.length === 30)
+    stream.zip(batch).foreach { case ((na1, p1, s1), (na2, p2, s2)) =>
+      assert(na1 === na2)
+      assert(math.abs(p1 - p2) < 1e-9, s"p mismatch at n_a=$na1: $p1 vs $p2")
+      assert(s1 === s2)
+    }
+  }
+
   test("streaming sessionization equals the batch sessionize frame on closed sessions") {
     implicit val sc = spark.sqlContext
     // two stations, three sessions: station 1 splits at an hour of
