@@ -1256,6 +1256,32 @@ object LlmOracle {
       round(n_other / n_chars::DOUBLE + 1e-9, 6) AS other_share
     FROM c2 ORDER BY doc_id"""
 
+  // Mirrors Multimodal.imageResize: box-filter 4x4 downsample of the
+  // synthesized PPM — source pixel p maps to cell ((p%w)*4 div w,
+  // (p div w)*4 div h), cell value = integer mean of its block. Pure
+  // integer arithmetic on both engines.
+  val qImageResize: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 13 + 4 AS INT) AS w,
+        CAST(doc_id % 7 + 4 AS INT) AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM img),
+    cell AS (
+      SELECT doc_id,
+        CAST((p % w) * 4 // w AS INT) AS cell_x,
+        CAST((p // w) * 4 // h AS INT) AS cell_y,
+        (doc_id * 31 + (p * 3 + 0) * 7) % 256 AS r,
+        (doc_id * 31 + (p * 3 + 1) * 7) % 256 AS g,
+        (doc_id * 31 + (p * 3 + 2) * 7) % 256 AS b
+      FROM px)
+    SELECT doc_id, cell_x, cell_y,
+      CAST(sum(r) // count(*) AS INT) AS r,
+      CAST(sum(g) // count(*) AS INT) AS g,
+      CAST(sum(b) // count(*) AS INT) AS b
+    FROM cell GROUP BY 1, 2, 3
+    ORDER BY doc_id, cell_y, cell_x"""
+
   // Mirrors Multimodal.audioDecode: the engine round-trips each audio
   // doc through a synthesized RIFF/WAVE PCM16 clip (100 Hz, n =
   // ((id·7)%300+1)·10 samples, sample i = ((id·131 + i·17) % 4001) −
@@ -2328,6 +2354,7 @@ object LlmOracle {
     "q_image_decode" -> qImageDecode,
     "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
+    "q_image_resize" -> qImageResize,
     "q_audio_decode" -> qAudioDecode,
     "q_video_decode" -> qVideoDecode)
     // q_ann_lsh intentionally omitted: approximate → rows-only check

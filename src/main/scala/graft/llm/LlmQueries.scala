@@ -200,6 +200,9 @@ object LlmQueries {
       TextAnalysis.cdcChunks(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_charclass" -> ((s, d) =>
       TextAnalysis.charClasses(docs(s, d)).orderBy(col("doc_id"))),
+    "q_image_resize" -> ((s, d) =>
+      Multimodal.imageResize(s, docs(s, d))
+        .orderBy(col("doc_id"), col("cell_y"), col("cell_x"))),
     "q_audio_decode" -> ((s, d) =>
       Multimodal.audioDecode(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_video_decode" -> ((s, d) =>

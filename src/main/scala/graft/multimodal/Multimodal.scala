@@ -365,6 +365,57 @@ object Multimodal {
         col("fps"), col("mean_y"), col("frame_mad"))
   }
 
+  case class ResizedCell(doc_id: Long, cell_x: Int, cell_y: Int,
+      r: Int, g: Int, b: Int)
+
+  /** REAL image resize over synthesized PPM payloads: each image
+    * doc's P6 payload decodes and box-filters down to a `tw`×`th`
+    * thumbnail (area-average downsample — source pixel (x, y) maps to
+    * cell (x·tw div w, y·th div h), cell value = integer mean of its
+    * block), one output row per target cell with the mean RGB. The
+    * DuckDB oracle recomputes the same cell means from the
+    * generator's closed form with pure integer arithmetic, so the
+    * resampling is verified end to end — this closes the resize
+    * seam's stub for the PPM format ([[resize]] remains the generic
+    * byte-payload seam).
+    *
+    * Plan: stateless partition-local decode + resample; output is
+    * tw·th rows per image doc. */
+  def imageResize(spark: SparkSession, documents: DataFrame, tw: Int = 4, th: Int = 4): DataFrame = {
+    import spark.implicits._
+    metadata(documents).filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (id % 13 + 4).toInt; val h = (id % 7 + 4).toInt
+          val (dw, dh, px) = decodePpm(synthesizePpm(id, w, h))
+          val sums = Array.ofDim[Long](th, tw, 3)
+          val cnts = Array.ofDim[Long](th, tw)
+          var y = 0
+          while (y < dh) {
+            val cy = y * th / dh
+            var x = 0
+            while (x < dw) {
+              val cx = x * tw / dw
+              val base = (y * dw + x) * 3
+              sums(cy)(cx)(0) += px(base) & 0xff
+              sums(cy)(cx)(1) += px(base + 1) & 0xff
+              sums(cy)(cx)(2) += px(base + 2) & 0xff
+              cnts(cy)(cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          for {
+            cy <- 0 until th; cx <- 0 until tw if cnts(cy)(cx) > 0
+          } yield ResizedCell(id, cx, cy,
+            (sums(cy)(cx)(0) / cnts(cy)(cx)).toInt,
+            (sums(cy)(cx)(1) / cnts(cy)(cx)).toInt,
+            (sums(cy)(cx)(2) / cnts(cy)(cx)).toInt)
+        }
+      }.toDF()
+  }
+
   case class Thumb(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
 
   /** Image resize seam: for image-modality rows, produce a fixed

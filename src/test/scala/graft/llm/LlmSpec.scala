@@ -284,6 +284,25 @@ class LlmSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("dup_chunk_share") === 0.0)
   }
 
+  test("image resize: 1:1 cells pass pixels through; blocks average by hand-check") {
+    val cells = Multimodal.imageResize(spark, docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("cell_x"), r.getAs[Int]("cell_y")) ->
+        (r.getAs[Int]("r"), r.getAs[Int]("g"), r.getAs[Int]("b"))).toMap
+    // doc 0: 4x4 source onto a 4x4 thumb -> each cell IS its source pixel
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val p = y * 4 + x
+      val exp = ((0 * 31 + (p * 3) * 7) % 256, (p * 3 + 1) * 7 % 256, (p * 3 + 2) * 7 % 256)
+      assert(cells((0L, x, y)) === exp, s"doc0 cell ($x,$y)")
+    }
+    // doc 3: 7x7 source -> cell (0,0) covers the 2x2 block {0,1}^2
+    val (_, _, px3) = Multimodal.decodePpm(Multimodal.synthesizePpm(3L, 7, 7))
+    def chan(c: Int) = (for (y <- 0 to 1; x <- 0 to 1)
+      yield (px3((y * 7 + x) * 3 + c) & 0xff).toLong).sum / 4
+    assert(cells((3L, 0, 0)) === (chan(0).toInt, chan(1).toInt, chan(2).toInt))
+    // every image doc emits exactly 16 cells
+    assert(cells.keys.groupBy(_._1).forall(_._2.size == 16))
+  }
+
   test("charclass census: hand-counted shares on a crafted string") {
     val df = Seq((0L, "Ab 12.x", "en", "web", 7L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
