@@ -42,6 +42,7 @@ object SparkEntry {
     "q_skyline" -> (Queries.qSkyline _),
     "q_reorder_gap" -> (Queries.qReorderGap _),
     "q_croston" -> (Queries.qCroston _),
+    "q_inventory_policy" -> (Queries.qInventoryPolicy _),
     "q_supplier_hhi" -> (Queries.qSupplierHhi _),
     "q_fuzzy_name_join" -> (Queries.qFuzzyNameJoin _),
     "q_customer_deciles" -> (Queries.qCustomerDeciles _),

@@ -985,8 +985,35 @@ object OracleSql {
     FROM folded WHERE st[2] > 0.0 ORDER BY l_partkey"""
   }
 
+  /** Mirrors Queries.qInventoryPolicy: EOQ / safety-stock / reorder
+    * point from the same demand-event sums. */
+  val qInventoryPolicy: String = """
+    WITH demand AS (
+      SELECT l_partkey, o.o_orderdate::date AS d,
+        round(sum(l_quantity) + 1e-9, 2) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_events,
+        round(sum(q) + 1e-9, 2) AS total_demand,
+        round(avg(q) + 1e-9, 6) AS mean_q,
+        round(stddev_samp(q) + 1e-9, 6) AS sd_q,
+        CAST(max(d) - min(d) + 1 AS DOUBLE) AS span_days
+      FROM demand GROUP BY 1 HAVING count(*) >= 3),
+    pol AS (
+      SELECT *,
+        round(total_demand / span_days + 1e-9, 6) AS daily_rate,
+        round(sqrt(2.0 * total_demand * 100.0 / 2.0) + 1e-9, 4) AS eoq,
+        round(1.645 * sd_q + 1e-9, 4) AS safety_stock
+      FROM agg WHERE sd_q IS NOT NULL)
+    SELECT l_partkey, n_events, total_demand, mean_q, sd_q, daily_rate,
+      eoq, safety_stock,
+      round(daily_rate * 7.0 + safety_stock + 1e-9, 4) AS reorder_point
+    FROM pol ORDER BY l_partkey"""
+
   val all: Map[String, String] = Map(
     "q_croston" -> qCroston,
+    "q_inventory_policy" -> qInventoryPolicy,
     "q_recsys_eval" -> qRecsysEval,
     "q_priority_transitions" -> qPriorityTransitions,
     "q_cf_coverage" -> qCfCoverage,

@@ -844,6 +844,43 @@ object Queries {
       .orderBy(col("l_partkey"))
   }
 
+  /** Classical inventory-policy table per part (the ops-research
+    * companion to [[qCroston]]'s forecast): from the part's demand
+    * events, total demand D, per-event mean/std, the daily demand
+    * rate over the observed span, the economic order quantity
+    * EOQ = √(2·D·K/h) (order cost K = 100, holding h = 2), a 95%
+    * safety stock 1.645·σ_q, and the reorder point
+    * rate·leadDays + safety (lead = 7 days).
+    *
+    * Plan: one (part, date) keyed aggregate then one part-keyed
+    * rollup — all closed-form sums, no windows. */
+  def qInventoryPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val demand = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"), to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("l_quantity")) + lit(1e-9), 2).as("q"))
+    demand.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("q")) + lit(1e-9), 2).as("total_demand"),
+        round(avg(col("q")) + lit(1e-9), 6).as("mean_q"),
+        round(stddev_samp(col("q")) + lit(1e-9), 6).as("sd_q"),
+        (datediff(max(col("d")), min(col("d"))) + lit(1)).cast("double").as("span_days"))
+      .filter(col("n_events") >= 3 && col("sd_q").isNotNull)
+      .withColumn("daily_rate",
+        round(col("total_demand") / col("span_days") + lit(1e-9), 6))
+      .withColumn("eoq", round(sqrt(lit(2.0) * col("total_demand") * lit(100.0)
+        / lit(2.0)) + lit(1e-9), 4))
+      .withColumn("safety_stock", round(lit(1.645) * col("sd_q") + lit(1e-9), 4))
+      .withColumn("reorder_point", round(col("daily_rate") * lit(7.0)
+        + col("safety_stock") + lit(1e-9), 4))
+      .select(col("l_partkey"), col("n_events"), col("total_demand"),
+        col("mean_q"), col("sd_q"), col("daily_rate"), col("eoq"),
+        col("safety_stock"), col("reorder_point"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** Supplier revenue concentration per nation (Herfindahl–Hirschman
     * index, the antitrust-grade concentration score next to the
     * Pareto/Gini views): per-supplier revenue collapsed first (2-dp

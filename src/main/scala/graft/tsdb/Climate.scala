@@ -3107,6 +3107,40 @@ object Climate {
         col("energy"), col("i60"), col("ei"))
   }
 
+  /** FAO-56 extraterrestrial radiation and astronomical day length per
+    * (station, day) — the radiation ceiling every
+    * evapotranspiration / solar-resource model starts from (Allen et
+    * al. 1998 eqs. 21-25, 34): solar declination δ = 0.409·sin(2πJ/365
+    * − 1.39), inverse relative distance dr = 1 + 0.033·cos(2πJ/365),
+    * sunset hour angle ωs = acos(−tan φ·tan δ), Ra = (24·60/π)·Gsc·dr·
+    * (ωs·sinφ·sinδ + cosφ·cosδ·sinωs) with Gsc = 0.0820 MJ/m²/min,
+    * day length N = 24·ωs/π. Latitude derives deterministically from
+    * the registry's grid y, clamped into (−55°, 55°) so ωs stays off
+    * the polar domain edge.
+    *
+    * Plan: a stateless trig projection over the dense grid joined to
+    * the broadcast station registry — no shuffle beyond the grid's
+    * own build. */
+  def solarRa(grid: DataFrame, meta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val latDeg = (col("y") % 100) * lit(1.1) - lit(55.0)
+    val phi = radians(col("lat_deg"))
+    val j = dayofyear(col("day")).cast("double")
+    val ang = lit(2.0 * math.Pi) * j / lit(365.0)
+    grid.select(col("station_id"), col("day"))
+      .join(broadcast(meta.select(col("station_id"),
+        round(latDeg + lit(1e-9), 4).as("lat_deg"))), Seq("station_id"))
+      .withColumn("decl", round(lit(0.409) * sin(ang - lit(1.39)) + lit(1e-9), 6))
+      .withColumn("dr", lit(1.0) + lit(0.033) * cos(ang))
+      .withColumn("ws", acos(-tan(phi) * tan(col("decl"))))
+      .withColumn("ra", round(lit(24.0 * 60.0 / math.Pi) * lit(0.0820) * col("dr")
+        * (col("ws") * sin(phi) * sin(col("decl"))
+          + cos(phi) * cos(col("decl")) * sin(col("ws"))) + lit(1e-9), 4))
+      .withColumn("daylen_h", round(lit(24.0 / math.Pi) * col("ws") + lit(1e-9), 4))
+      .select(col("station_id"), col("day"), col("lat_deg"), col("decl"),
+        col("ra"), col("daylen_h"))
+  }
+
   /** Degree-day snowpack model per station (the SWE bookkeeping a
     * snow hydrologist runs before any melt-season forecast):
     * precipitation falls as snow when the daily temperature proxy is

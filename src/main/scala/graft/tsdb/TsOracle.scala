@@ -3314,6 +3314,33 @@ object TsOracle {
         + 1e-9, 4) AS rl100
     FROM fit3 ORDER BY station_id"""
 
+  /** Mirrors Climate.solarRa: FAO-56 Ra and day length from the
+    * registry-derived latitude; identical rounded lat/decl inputs so
+    * libm ulp noise stays inside the output rounds. */
+  val qSolarRa: String = s"""
+    WITH $world,
+    latm AS (
+      SELECT station_id, round((y % 100) * 1.1 - 55.0 + 1e-9, 4) AS lat_deg
+      FROM meta),
+    base AS (
+      SELECT g.station_id, g.day, m.lat_deg,
+        radians(m.lat_deg) AS phi,
+        2.0 * pi() * CAST(dayofyear(g.day) AS DOUBLE) / 365.0 AS ang
+      FROM grid g JOIN latm m USING (station_id)),
+    d1 AS (
+      SELECT station_id, day, lat_deg, phi,
+        round(0.409 * sin(ang - 1.39) + 1e-9, 6) AS decl,
+        1.0 + 0.033 * cos(ang) AS dr
+      FROM base),
+    d2 AS (
+      SELECT *, acos(-tan(phi) * tan(decl)) AS ws FROM d1)
+    SELECT station_id, day, lat_deg, decl,
+      round((24.0 * 60.0 / pi()) * 0.0820 * dr
+        * (ws * sin(phi) * sin(decl) + cos(phi) * cos(decl) * sin(ws))
+        + 1e-9, 4) AS ra,
+      round((24.0 / pi()) * ws + 1e-9, 4) AS daylen_h
+    FROM d2 ORDER BY station_id, day"""
+
   /** Mirrors Climate.snowpack: the same 4-dp-per-step degree-day SWE
     * fold. Snowfall and the snow-day indicator are precomputed per
     * ROW (the fold lambda stays pure arithmetic — DuckDB's deep
@@ -4323,6 +4350,7 @@ object TsOracle {
     "q_gev_lmoments" -> qGevLmoments,
     "q_lowess" -> qLowess,
     "q_snowpack" -> qSnowpack,
+    "q_solar_ra" -> qSolarRa,
     "q_scs_runoff" -> qScsRunoff,
     "q_kpss" -> qKpss,
     "q_adf" -> qAdf,

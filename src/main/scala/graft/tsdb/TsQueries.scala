@@ -395,6 +395,10 @@ object TsQueries {
   def qGumbel(s: SparkSession, d: String): DataFrame =
     Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
 
+  def qSolarRa(s: SparkSession, d: String): DataFrame =
+    Climate.solarRa(Series.grid(ev(s, d)), meta(s, d))
+      .orderBy(col("station_id"), col("day"))
+
   def qSnowpack(s: SparkSession, d: String): DataFrame =
     Climate.snowpack(rawDaily(s, d), Series.dailyTemp(ev(s, d)))
       .orderBy(col("station_id"))
@@ -704,6 +708,7 @@ object TsQueries {
     "q_gev_lmoments" -> (qGevLmoments _),
     "q_lowess" -> (qLowess _),
     "q_snowpack" -> (qSnowpack _),
+    "q_solar_ra" -> (qSolarRa _),
     "q_scs_runoff" -> (qScsRunoff _),
     "q_kpss" -> (qKpss _),
     "q_adf" -> (qAdf _),

@@ -114,6 +114,26 @@ class ClimateSpec extends SparkSpec {
     assert(math.abs(g(1) - 0.8862269255) < 1e-9) // Γ(1.5) = √π/2
   }
 
+  test("solar ra: equator gets exactly 12h days; mid-latitude winter is shorter than summer") {
+    import spark.implicits._
+    // y = 50 -> lat 0 (equator); y = 90 -> lat 44N
+    val meta = Seq((1L, 50.0), (2L, 90.0)).toDF("station_id", "y")
+    val grid = Seq(
+      (1L, "2024-01-01"), (1L, "2024-07-01"),
+      (2L, "2024-01-01"), (2L, "2024-07-01")
+    ).map { case (s, d) => (s, java.sql.Date.valueOf(d)) }.toDF("station_id", "day")
+    val out = Climate.solarRa(grid, meta).collect()
+      .map(r => (r.getAs[Long]("station_id"), r.getAs[java.sql.Date]("day").toString) -> r).toMap
+    // equator: day length 12h year-round, by geometry
+    assert(out((1L, "2024-01-01")).getAs[Double]("daylen_h") === 12.0)
+    assert(out((1L, "2024-07-01")).getAs[Double]("daylen_h") === 12.0)
+    // 44N: January day far shorter than July; Ra positive everywhere
+    val jan = out((2L, "2024-01-01")); val jul = out((2L, "2024-07-01"))
+    assert(jan.getAs[Double]("daylen_h") < 10.0 && jul.getAs[Double]("daylen_h") > 14.0)
+    out.values.foreach(r => assert(r.getAs[Double]("ra") > 0.0))
+    assert(jan.getAs[Double]("ra") < jul.getAs[Double]("ra"))
+  }
+
   test("snowpack: accumulates through a cold spell, melts by degree-days, caps at the pack") {
     import spark.implicits._
     // day 1-3: 10 mm/day at -5C (snow, no melt); day 4: 0 mm at +2C
