@@ -3107,6 +3107,40 @@ object Climate {
         col("energy"), col("i60"), col("ei"))
   }
 
+  /** Quantile-mapping bias correction of each station's daily series
+    * onto its nearest neighbor's distribution — the NONLINEAR sibling
+    * of the multiplicative/additive adjustments (q_adjust_mult/add):
+    * each observation maps to its empirical quantile in the source
+    * station's CDF (percent_rank, 1%-binned) and reads the neighbor's
+    * quantile function at that bin — the standard downscaling /
+    * homogenization transform when distributions differ in shape, not
+    * just scale.
+    *
+    * Plan: percent_rank is a per-station window; each station's
+    * 101-point quantile table is ONE aggregate row (percentile over
+    * an array of percentages), so the mapping join broadcasts an
+    * O(#stations × 101) map; no pair explosion, no global sort. */
+  def quantileMapping(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val obs = rawDaily.filter(col("raw").isNotNull)
+    val w = Window.partitionBy(col("station_id")).orderBy(col("raw"), col("day"))
+    val ranked = obs
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("bin", round(col("pr") * lit(100.0) + lit(1e-9)).cast("int"))
+    val qtab = obs.groupBy(col("station_id").as("nb_id"))
+      .agg(expr("percentile(raw, array(" +
+        (0 to 100).map(b => s"${b / 100.0}D").mkString(", ") + "))").as("qarr"))
+    val nearest = knn.filter(col("rank") === 1)
+      .select(col("station_id"), col("nb_id"))
+    ranked
+      .join(broadcast(nearest), Seq("station_id"))
+      .join(broadcast(qtab), Seq("nb_id"))
+      .withColumn("mapped",
+        round(element_at(col("qarr"), col("bin") + 1) + lit(1e-9), 4))
+      .select(col("station_id"), col("nb_id"), col("day"), col("raw"),
+        col("bin"), col("mapped"))
+  }
+
   /** FAO-56 extraterrestrial radiation and astronomical day length per
     * (station, day) — the radiation ceiling every
     * evapotranspiration / solar-resource model starts from (Allen et

@@ -3314,6 +3314,31 @@ object TsOracle {
         + 1e-9, 4) AS rl100
     FROM fit3 ORDER BY station_id"""
 
+  /** Mirrors Climate.quantileMapping: percent_rank binned to 1%,
+    * neighbor quantile table via quantile_cont over the same
+    * percentage array (the Spark `percentile` interpolation). */
+  val qQuantileMapping: String = {
+    val ps = (0 to 100).map(b => s"${b / 100.0}").mkString(", ")
+    s"""
+    WITH $world,
+    obs AS (SELECT station_id, day, raw FROM raw_daily WHERE raw IS NOT NULL),
+    ranked AS (
+      SELECT station_id, day, raw,
+        CAST(round(percent_rank() OVER (PARTITION BY station_id
+          ORDER BY raw, day) * 100.0 + 1e-9) AS INT) AS bin
+      FROM obs),
+    qtab AS (
+      SELECT station_id AS nb_id, quantile_cont(raw, [$ps]) AS qarr
+      FROM obs GROUP BY 1),
+    nearest AS (SELECT station_id, nb_id FROM knn WHERE rank = 1)
+    SELECT r.station_id, n.nb_id, r.day, r.raw, r.bin,
+      round(q.qarr[r.bin + 1] + 1e-9, 4) AS mapped
+    FROM ranked r
+    JOIN nearest n USING (station_id)
+    JOIN qtab q USING (nb_id)
+    ORDER BY r.station_id, r.day"""
+  }
+
   /** Mirrors Climate.solarRa: FAO-56 Ra and day length from the
     * registry-derived latitude; identical rounded lat/decl inputs so
     * libm ulp noise stays inside the output rounds. */
@@ -4351,6 +4376,7 @@ object TsOracle {
     "q_lowess" -> qLowess,
     "q_snowpack" -> qSnowpack,
     "q_solar_ra" -> qSolarRa,
+    "q_quantile_mapping" -> qQuantileMapping,
     "q_scs_runoff" -> qScsRunoff,
     "q_kpss" -> qKpss,
     "q_adf" -> qAdf,

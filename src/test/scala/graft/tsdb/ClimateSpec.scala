@@ -114,6 +114,29 @@ class ClimateSpec extends SparkSpec {
     assert(math.abs(g(1) - 0.8862269255) < 1e-9) // Γ(1.5) = √π/2
   }
 
+  test("quantile mapping onto an affine twin recovers the affine transform") {
+    import spark.implicits._
+    // station 1: values 1..21; station 2 = 2*x + 5 on the same days,
+    // shuffled so rank order is exercised, not insertion order
+    val xs = Seq(7.0, 1.0, 14.0, 3.0, 21.0, 9.0, 2.0, 17.0, 5.0, 12.0,
+      19.0, 4.0, 11.0, 8.0, 15.0, 6.0, 20.0, 10.0, 13.0, 16.0, 18.0)
+    val rows = xs.zipWithIndex.flatMap { case (x, i) =>
+      val d = f"2024-03-${i + 1}%02d"
+      Seq((1L, d, Option(x)), (2L, d, Option(2.0 * x + 5.0)))
+    }
+    val knn = Seq((1L, 2L, 1), (2L, 1L, 1)).toDF("station_id", "nb_id", "rank")
+    val out = Climate.quantileMapping(frame(rows), knn).collect()
+      .filter(_.getAs[Long]("station_id") == 1L)
+    assert(out.length === 21)
+    // with n = 21 the 1%-binned percent_rank lands exactly on the
+    // neighbor's order statistics: mapped == 2*raw + 5 everywhere
+    out.foreach { r =>
+      val raw = r.getAs[Double]("raw")
+      assert(math.abs(r.getAs[Double]("mapped") - (2.0 * raw + 5.0)) < 0.11,
+        r.toString)
+    }
+  }
+
   test("solar ra: equator gets exactly 12h days; mid-latitude winter is shorter than summer") {
     import spark.implicits._
     // y = 50 -> lat 0 (equator); y = 90 -> lat 44N
