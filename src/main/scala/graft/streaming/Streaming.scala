@@ -352,6 +352,30 @@ object Streaming extends Serializable {
       }
   }
 
+  /** Streaming twin of the count-min sketch behind q_cms_heavy_hitters:
+    * the CMS is a count-weighted keyed aggregate over (row, bucket)
+    * cells — exactly the mergeable shape Structured Streaming
+    * maintains as state — so the streaming sketch is a plain stateful
+    * groupBy in update mode (4·width cells of bounded state, no
+    * watermark needed: the sketch only grows). Identical hash family
+    * to the batch path via [[graft.text.TextAnalysis.cmsProj]];
+    * StreamingSpec pins cell-for-cell equality with the batch sketch
+    * after multi-batch ingest.
+    *
+    * Plan: per micro-batch a map-side partial count per touched cell;
+    * the state update shuffles at most 4·width rows per trigger
+    * whatever the ingest volume. */
+  def cmsCellsStream(streamDocs: DataFrame, width: Int = 512): DataFrame = {
+    graft.functions.GraftFunctions.register(streamDocs.sparkSession)
+    streamDocs
+      .select(explode(expr(graft.text.TextFns.tokens("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h0", expr("graft_polyhash(tok)"))
+      .select(graft.text.TextAnalysis.cmsProj(width))
+      .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   case class MsprtEvent(user_id: Long, event_type: String)
   case class MsprtState(nA: Long, xA: Long, nB: Long, xB: Long, maxLl: Double)
   case class MsprtUpdate(n_a: Long, x_a: Long, n_b: Long, x_b: Long,

@@ -447,16 +447,23 @@ object TextAnalysis {
     * projections, the 4·W bucket sums (count-weighted keyed aggregate
     * — map-combinable, exactly how the sketch merges across executors)
     * and the estimate re-join all run on vocab/sketch-sized frames. */
-  def cmsHeavyHitters(documents: DataFrame, width: Int = 512,
-      topK: Int = 20): DataFrame = {
-    graft.functions.GraftFunctions.register(documents.sparkSession)
+  /** The CMS depth-4 hash projection (affine family over
+    * graft_polyhash) — shared by the batch heavy-hitter report and
+    * the streaming sketch twin so both maintain bit-identical cells. */
+  private[graft] def cmsProj(width: Int): org.apache.spark.sql.Column = {
     val P = 1000000007L
     val as = Seq(31L, 131L, 1313L, 13131L)
     val bs = Seq(7L, 77L, 777L, 7777L)
-    def proj = explode(array((0 until 4).map { j =>
+    explode(array((0 until 4).map { j =>
       struct(lit(j).as("j"),
         (((col("h0") * as(j) + bs(j)) % P) % width).as("bucket"))
     }: _*)).as("p")
+  }
+
+  def cmsHeavyHitters(documents: DataFrame, width: Int = 512,
+      topK: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    def proj = cmsProj(width)
     val tf = documents
       .select(explode(expr(tokens("text"))).as("tok"))
       .filter(length(col("tok")) > 0)

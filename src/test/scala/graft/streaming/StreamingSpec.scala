@@ -221,6 +221,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet === Set((1L, ts(10)), (2L, ts(10)), (1L, ts(10, 30))))
   }
 
+  test("streaming CMS cells equal the batch sketch cell-for-cell after two batches") {
+    implicit val sc = spark.sqlContext
+    val batch1 = Seq((0L, "alpha beta gamma alpha"), (1L, "beta beta delta"))
+    val batch2 = Seq((2L, "gamma alpha epsilon"), (3L, "zeta beta alpha alpha"))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = Streaming.cmsCellsStream(df).writeStream
+      .format("memory").queryName("cms_cells").outputMode("update").start()
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink appends every update; counts only grow,
+    // so the final cell value is the max per key
+    val stream = spark.table("cms_cells")
+      .groupBy("j", "bucket").agg(max(col("cell")).as("cell"))
+      .as[(Int, Long, Long)].collect().map { case (j, b, c) => (j, b) -> c }.toMap
+    val allDocs = (batch1 ++ batch2)
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // batch cells via the occurrence-weighted path (same hash family)
+    graft.functions.GraftFunctions.register(spark)
+    val batchCells = allDocs
+      .select(explode(expr(graft.text.TextFns.tokens("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h0", expr("graft_polyhash(tok)"))
+      .select(graft.text.TextAnalysis.cmsProj(512))
+      .groupBy(col("p.j"), col("p.bucket")).agg(count(lit(1)).as("cell"))
+      .as[(Int, Long, Long)].collect().map { case (j, b, c) => (j, b) -> c }.toMap
+    assert(stream === batchCells)
+  }
+
   test("streaming msprt fed per-day batches reproduces the batch per-day p sequence") {
     implicit val sc = spark.sqlContext
     // same strong-lift fixture as the batch spec: 30 days, 400
