@@ -806,14 +806,20 @@ object Queries {
     * Plan: one (part, date) keyed aggregate, one part-keyed collect
     * of the date-sorted (epoch-day, qty) array — bounded by the
     * part's event count — then a stateless fold; output O(#parts). */
-  def qCroston(spark: SparkSession, dir: String): DataFrame = {
-    val demand = Tables.lineitem(spark, dir)
+  /** Per-part demand events (date, summed qty) — the shared input of
+    * [[qCroston]] and [[qInventoryPolicy]]; one definition so the
+    * demand convention (2-dp round, date cast) cannot desynchronize
+    * between the two queries and their oracles. */
+  private def partDemand(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_partkey"), to_date(col("o_orderdate")).as("d"))
       .agg(round(sum(col("l_quantity")) + lit(1e-9), 2).as("q"))
-    val series = demand
+
+  def qCroston(spark: SparkSession, dir: String): DataFrame = {
+    val series = partDemand(spark, dir)
       .withColumn("dd",
         datediff(col("d"), lit("1990-01-01").cast("date")).cast("double"))
       .groupBy(col("l_partkey"))
@@ -855,13 +861,7 @@ object Queries {
     * Plan: one (part, date) keyed aggregate then one part-keyed
     * rollup — all closed-form sums, no windows. */
   def qInventoryPolicy(spark: SparkSession, dir: String): DataFrame = {
-    val demand = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_partkey"), to_date(col("o_orderdate")).as("d"))
-      .agg(round(sum(col("l_quantity")) + lit(1e-9), 2).as("q"))
-    demand.groupBy(col("l_partkey"))
+    partDemand(spark, dir).groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("q")) + lit(1e-9), 2).as("total_demand"),
         round(avg(col("q")) + lit(1e-9), 6).as("mean_q"),

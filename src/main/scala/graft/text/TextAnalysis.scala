@@ -435,18 +435,6 @@ object TextAnalysis {
       .orderBy(col("textrank").desc, col("word")).limit(k)
   }
 
-  /** Count-min sketch over the token stream with a deterministic
-    * affine hash family h_j(t) = (a_j·polyhash(t) + b_j) mod P mod W
-    * (depth 4 × width `width`) — the mergeable heavy-hitter sketch of
-    * streaming ingest, here with its overestimate MEASURED against the
-    * exact counts instead of assumed: the exact top-`topK` tokens with
-    * their CMS estimate (min over rows of the bucket sums), per-token
-    * relative error, and corpus-level bias/exactness stats.
-    *
-    * Plan: ONE corpus token collapse to the vocab frame; the 4 hash
-    * projections, the 4·W bucket sums (count-weighted keyed aggregate
-    * — map-combinable, exactly how the sketch merges across executors)
-    * and the estimate re-join all run on vocab/sketch-sized frames. */
   /** The CMS depth-4 hash projection (affine family over
     * graft_polyhash) — shared by the batch heavy-hitter report and
     * the streaming sketch twin so both maintain bit-identical cells. */
@@ -460,6 +448,18 @@ object TextAnalysis {
     }: _*)).as("p")
   }
 
+  /** Count-min sketch over the token stream with a deterministic
+    * affine hash family h_j(t) = (a_j·polyhash(t) + b_j) mod P mod W
+    * (depth 4 × width `width`) — the mergeable heavy-hitter sketch of
+    * streaming ingest, here with its overestimate MEASURED against the
+    * exact counts instead of assumed: the exact top-`topK` tokens with
+    * their CMS estimate (min over rows of the bucket sums), per-token
+    * relative error, and corpus-level bias/exactness stats.
+    *
+    * Plan: ONE corpus token collapse to the vocab frame; the 4 hash
+    * projections, the 4·W bucket sums (count-weighted keyed aggregate
+    * — map-combinable, exactly how the sketch merges across executors)
+    * and the estimate re-join all run on vocab/sketch-sized frames. */
   def cmsHeavyHitters(documents: DataFrame, width: Int = 512,
       topK: Int = 20): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
@@ -1575,7 +1575,7 @@ object TextAnalysis {
         "transform(sequence(1, size(starts))," +
           " k -> substring(text, starts[k - 1], ends[k - 1] - starts[k - 1] + 1))"))
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+        explode(col("chunks")).as("chunk"))
     val census = chunked.groupBy(col("chunk"))
       .agg(count(lit(1)).as("global_cnt"))
     chunked.join(census, Seq("chunk"))

@@ -3229,19 +3229,18 @@ object Climate {
     * Plan: a stateless projection over the wet days plus one keyed
     * aggregate — no windows, no joins. */
   def scsRunoff(rawDaily: DataFrame): DataFrame = {
-    val cn = lit(60.0) + (col("station_id") % 40).cast("double")
     val obs = rawDaily.filter(col("raw").isNotNull && col("raw") > 0.0)
-      .withColumn("s", lit(25400.0) / cn - lit(254.0))
+      .withColumn("cn", lit(60.0) + (col("station_id") % 40).cast("double"))
+      .withColumn("s", lit(25400.0) / col("cn") - lit(254.0))
       .withColumn("ia", lit(0.2) * col("s"))
       .withColumn("q", when(col("raw") > col("ia"),
         (col("raw") - col("ia")) * (col("raw") - col("ia"))
           / (col("raw") - col("ia") + col("s"))).otherwise(lit(0.0)))
-    obs.groupBy(col("station_id"))
+    obs.groupBy(col("station_id"), col("cn"))
       .agg(count(lit(1)).as("n_wet_days"),
         sum(when(col("q") > 0.0, 1L).otherwise(0L)).as("n_runoff_days"),
         round(sum(col("raw")) + lit(1e-9), 3).as("total_p"),
         round(sum(col("q")) + lit(1e-9), 4).as("total_q"))
-      .withColumn("cn", lit(60.0) + (col("station_id") % 40).cast("double"))
       .withColumn("runoff_coef",
         round(col("total_q") / col("total_p") + lit(1e-9), 6))
       .select(col("station_id"), col("cn"), col("n_wet_days"),
