@@ -2348,6 +2348,60 @@ object Climate {
         col("day").as("peak_day"), col("x").as("x_peak"), col("g_stat"))
   }
 
+  /** Inverse normal quantile z_p for p = 1 − q via Abramowitz &
+    * Stegun 26.2.23 (|ε| < 4.5e-4) — mirrored literally in the DuckDB
+    * oracle, so the decision thresholds agree bit-for-bit regardless
+    * of the approximation error. */
+  private def invNormCol(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = sqrt(lit(-2.0) * log(q))
+    t - (lit(2.515517) + t * (lit(0.802853) + t * lit(0.010328))) /
+      (lit(1.0) + t * (lit(1.432788) + t * (lit(0.189269) + t * lit(0.001308))))
+  }
+
+  /** Generalized ESD outlier census per station (Rosner 1983, k
+    * unrolled rounds) — the multi-outlier extension of the one-shot
+    * Grubbs peak ([[grubbs]]), immune to masking: each round
+    * recomputes the moments WITHOUT the already-removed extremes,
+    * reports the most extreme remaining observation's R statistic,
+    * and compares it to the Bonferroni-corrected normal quantile
+    * z(1 − α/(2(n+1))) (the t-quantile's large-n limit, approximation
+    * mirrored in the oracle).
+    *
+    * Plan: k = 3 unrolled passes, each one O(#stations) broadcast of
+    * the per-station moments, one partition-local rank window and one
+    * anti-join on the removed (station, day) keys — no pair joins,
+    * no global sorts. */
+  def esdOutliers(rawDaily: DataFrame, k: Int = 3, alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    var current = rawDaily.filter(col("raw").isNotNull)
+      .select(col("station_id"), col("day"), col("raw").as("x"))
+    val rounds = (1 to k).map { i =>
+      val mom = current.groupBy(col("station_id"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("x")) + lit(1e-9), 6).as("mu"),
+          round(stddev_samp(col("x")) + lit(1e-9), 6).as("sd"))
+        .filter(col("sd") > 0.0 && col("n") >= 5)
+      val wRank = Window.partitionBy(col("station_id"))
+        .orderBy(abs(col("x") - col("mu")).desc, col("day").asc)
+      val peak = current.join(broadcast(mom), Seq("station_id"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") === 1)
+        .withColumn("r_stat",
+          round(abs(col("x") - col("mu")) / col("sd") + lit(1e-9), 4))
+        .withColumn("lambda_crit", round(invNormCol(
+          lit(alpha) / (lit(2.0) * (col("n") + lit(1)))) + lit(1e-9), 4))
+        .withColumn("rejected", col("r_stat") > col("lambda_crit"))
+        .select(col("station_id"), lit(i).as("round"), col("n"),
+          col("day").as("outlier_day"), col("x").as("x_out"),
+          col("r_stat"), col("lambda_crit"), col("rejected"))
+      current = current.join(
+        peak.select(col("station_id"), col("outlier_day").as("day")),
+        Seq("station_id", "day"), "left_anti")
+      peak
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
   /** Two-state wet/dry Markov chain parameters per station — the
     * transition probabilities P(wet|wet) and P(wet|dry) that drive
     * every stochastic weather generator (Richardson WGEN family),

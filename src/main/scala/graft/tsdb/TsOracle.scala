@@ -3314,6 +3314,46 @@ object TsOracle {
         + 1e-9, 4) AS rl100
     FROM fit3 ORDER BY station_id"""
 
+  /** Mirrors Climate.esdOutliers: the same three unrolled Rosner
+    * rounds with the A&S 26.2.23 inverse-normal critical value,
+    * identical Horner order. */
+  val qEsdOutliers: String = {
+    def roundCtes(i: Int): String = s"""
+    mom$i AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        round(avg(x) + 1e-9, 6) AS mu,
+        round(stddev_samp(x) + 1e-9, 6) AS sd
+      FROM src$i GROUP BY 1
+      HAVING round(stddev_samp(x) + 1e-9, 6) > 0.0 AND count(*) >= 5),
+    pk$i AS (
+      SELECT s.station_id, s.day, s.x, m.n, m.mu, m.sd,
+        row_number() OVER (PARTITION BY s.station_id
+          ORDER BY abs(s.x - m.mu) DESC, s.day) AS rn
+      FROM src$i s JOIN mom$i m USING (station_id)),
+    peak$i AS (
+      SELECT station_id, $i AS "round", n, day AS outlier_day, x AS x_out,
+        round(abs(x - mu) / sd + 1e-9, 4) AS r_stat,
+        round(t - (2.515517 + t * (0.802853 + t * 0.010328))
+          / (1.0 + t * (1.432788 + t * (0.189269 + t * 0.001308)))
+          + 1e-9, 4) AS lambda_crit
+      FROM (SELECT *, sqrt(-2.0 * ln(0.05 / (2.0 * (n + 1)))) AS t
+            FROM pk$i WHERE rn = 1)),
+    src${i + 1} AS (
+      SELECT s.* FROM src$i s LEFT JOIN peak$i p
+        ON s.station_id = p.station_id AND s.day = p.outlier_day
+      WHERE p.station_id IS NULL)"""
+    s"""
+    WITH $world,
+    src1 AS (
+      SELECT station_id, day, raw AS x FROM raw_daily WHERE raw IS NOT NULL),
+    ${(1 to 3).map(roundCtes).mkString(",")},
+    u AS (SELECT * FROM peak1 UNION ALL SELECT * FROM peak2
+          UNION ALL SELECT * FROM peak3)
+    SELECT station_id, "round", n, outlier_day, x_out, r_stat, lambda_crit,
+      r_stat > lambda_crit AS rejected
+    FROM u ORDER BY station_id, "round""""
+  }
+
   /** Mirrors Climate.quantileMapping: percent_rank binned to 1%,
     * neighbor quantile table via quantile_cont over the same
     * percentage array (the Spark `percentile` interpolation). */
@@ -4377,6 +4417,7 @@ object TsOracle {
     "q_snowpack" -> qSnowpack,
     "q_solar_ra" -> qSolarRa,
     "q_quantile_mapping" -> qQuantileMapping,
+    "q_esd_outliers" -> qEsdOutliers,
     "q_scs_runoff" -> qScsRunoff,
     "q_kpss" -> qKpss,
     "q_adf" -> qAdf,

@@ -395,6 +395,10 @@ object TsQueries {
   def qGumbel(s: SparkSession, d: String): DataFrame =
     Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
 
+  def qEsdOutliers(s: SparkSession, d: String): DataFrame =
+    Climate.esdOutliers(rawDaily(s, d))
+      .orderBy(col("station_id"), col("round"))
+
   def qQuantileMapping(s: SparkSession, d: String): DataFrame =
     Climate.quantileMapping(rawDaily(s, d), Neighbors.knnDistBucketed(meta(s, d)))
       .orderBy(col("station_id"), col("day"))
@@ -714,6 +718,7 @@ object TsQueries {
     "q_snowpack" -> (qSnowpack _),
     "q_solar_ra" -> (qSolarRa _),
     "q_quantile_mapping" -> (qQuantileMapping _),
+    "q_esd_outliers" -> (qEsdOutliers _),
     "q_scs_runoff" -> (qScsRunoff _),
     "q_kpss" -> (qKpss _),
     "q_adf" -> (qAdf _),

@@ -114,6 +114,25 @@ class ClimateSpec extends SparkSpec {
     assert(math.abs(g(1) - 0.8862269255) < 1e-9) // Γ(1.5) = √π/2
   }
 
+  test("generalized esd: catches both planted twin outliers, then stops rejecting") {
+    import spark.implicits._
+    // 20 tight values plus TWO equal gross outliers — the masking
+    // case a single Grubbs pass understates; ESD removes one per
+    // round and flags both, then round 3 finds nothing rejectable
+    val base = Seq(10.1, 9.9, 10.0, 10.2, 9.8, 10.05, 9.95, 10.15, 9.85, 10.0,
+      10.1, 9.9, 10.0, 10.2, 9.8, 10.05, 9.95, 10.15, 9.85, 10.0)
+    val rows = (base ++ Seq(50.0, 50.0)).zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-03-${i + 1}%02d", Option(v))
+    }
+    val out = Climate.esdOutliers(frame(rows)).orderBy("round").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Boolean]("rejected") && out(0).getAs[Double]("x_out") === 50.0)
+    assert(out(1).getAs[Boolean]("rejected") && out(1).getAs[Double]("x_out") === 50.0)
+    assert(!out(2).getAs[Boolean]("rejected"), out(2).toString)
+    // each round's n shrinks by exactly one
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(22L, 21L, 20L))
+  }
+
   test("quantile mapping onto an affine twin recovers the affine transform") {
     import spark.implicits._
     // station 1: values 1..21; station 2 = 2*x + 5 on the same days,
