@@ -29,6 +29,21 @@ class WeatherDb(val spark: SparkSession, val dir: String) {
   lazy val corr: DataFrame =
     Richter.correct(spark, filled, tempFilled, meta)
 
+  /** Last-import bookkeeping — the reference's meta last_imp_from/
+    * until columns plus the per-kind last_imp_qc/fillup/corr done
+    * flags (models.py MetaP, written by update_raw and consumed by
+    * the broker's last_imp cycle). The functional model keeps them
+    * session-local: [[markLastImport]] records the imported window
+    * and resets the flags; the [[Broker]]'s lastImp* methods mark
+    * their kind done as the reference's _mark_last_imp_done would. */
+  @volatile private[api] var lastImpPeriodState: TimestampPeriod = TimestampPeriod.empty
+  private[api] val lastImpDone =
+    scala.collection.concurrent.TrieMap("qc" -> true, "filled" -> true, "corr" -> true)
+  def markLastImport(period: TimestampPeriod): Unit = synchronized {
+    lastImpPeriodState = period
+    Seq("qc", "filled", "corr").foreach(k => lastImpDone.put(k, false))
+  }
+
   def station(id: Long): Station = new Station(this, id)
   def stations: Stations = new Stations(this)
   def groupStation(id: Long): GroupStation = new GroupStation(this, id)
@@ -192,15 +207,47 @@ class Station(db: WeatherDb, val id: Long) {
   def isinMeta: Boolean = !getMeta.isEmpty
   def isinDb: Boolean = !only(db.raw).filter(col("raw").isNotNull).isEmpty
 
+  /** isin_ma (StationBases.py:727): the station carries a
+    * multi-annual mean — i.e. its raw series has at least one
+    * observation to average. */
+  def isinMa: Boolean =
+    !only(Series.maMean(db.raw, "raw")).filter(col("ma").isNotNull).isEmpty
+
+  /** isin_meta_p (StationBases.py:2887): membership in the
+    * precipitation registry. The single-events-table model derives
+    * every parameter's registry from the same events, so meta_p
+    * membership coincides with meta membership (the T-side virtual
+    * split is carried by is_real instead). */
+  def isinMetaP: Boolean = isinMeta
+
+  /** get_last_imp_period (StationBases.py:2179): the window recorded
+    * by the last [[WeatherDb.markLastImport]]. Per-station and
+    * all-stations views coincide in the single-ingest model (one
+    * events table imports atomically), so `all` only mirrors the
+    * reference signature. */
+  def getLastImpPeriod(all: Boolean = false): TimestampPeriod =
+    db.lastImpPeriodState
+
+  /** is_last_imp_done (StationBases.py:779): has the broker worked
+    * the pending import into the given kind's frame? True when no
+    * import is pending. */
+  def isLastImpDone(kind: String): Boolean = {
+    require(db.lastImpDone.contains(kind),
+      s"unknown last-imp kind '$kind' (expected ${db.lastImpDone.keys.toSeq.sorted.mkString("|")})")
+    db.lastImpDone(kind)
+  }
+
   /** get_period_meta (StationBases.py:2031): the per-kind period from
     * the (derived) meta model — 'filled' = the kind's filled period,
-    * 'raw' = the raw coverage period, 'max' = the grid extent. */
+    * 'raw' = the raw coverage period, 'last_imp' = the pending
+    * import's window, 'max' = the grid extent. */
   def getPeriodMeta(kind: String = "filled"): TimestampPeriod = kind match {
     case "filled" => getFilledPeriod("filled")
     case "raw" => getFilledPeriod("raw")
+    case "last_imp" => getLastImpPeriod()
     case "max" => getMaxPeriod(nasAllowed = true)
     case other => throw new IllegalArgumentException(
-      s"unknown period kind '$other' (expected filled|raw|max)")
+      s"unknown period kind '$other' (expected filled|raw|last_imp|max)")
   }
 
   /** count_holes (StationBases.py:1925). */
@@ -369,24 +416,30 @@ class Broker(db: WeatherDb) {
   /** last_imp_quality_check: QC only for the last-import window,
     * merged into the persisted qc frame. Falls back to a full QC run
     * when the import introduced stations absent from `prevQc`. */
-  def lastImpQualityCheck(prevQc: DataFrame, lo: Date, hi: Date): DataFrame =
+  def lastImpQualityCheck(prevQc: DataFrame, lo: Date, hi: Date): DataFrame = {
+    db.lastImpDone.put("qc", true) // _mark_last_imp_done twin
     if (coversAllStations(prevQc))
       Incremental.updateQc(prevQc, db.raw, Series.dailyRef(db.events), db.meta, lo, hi)
     else db.qc
+  }
 
   /** last_imp_fillup: fill-up only for the last-import window; full
     * recompute when `prevFilled` misses a (new) station. */
-  def lastImpFillup(prevFilled: DataFrame, qc: DataFrame, lo: Date, hi: Date): DataFrame =
+  def lastImpFillup(prevFilled: DataFrame, qc: DataFrame, lo: Date, hi: Date): DataFrame = {
+    db.lastImpDone.put("filled", true)
     if (coversAllStations(prevFilled))
       Incremental.updateFilled(prevFilled, qc, db.meta, lo, hi)
     else Fillup.fillNeighbor(qc, db.meta)
+  }
 
   /** last_imp_corr: Richter correction only for the last-import window;
     * full recompute when `prevCorr` misses a (new) station. */
-  def lastImpCorr(prevCorr: DataFrame, filled: DataFrame, lo: Date, hi: Date): DataFrame =
+  def lastImpCorr(prevCorr: DataFrame, filled: DataFrame, lo: Date, hi: Date): DataFrame = {
+    db.lastImpDone.put("corr", true)
     if (coversAllStations(prevCorr))
       Incremental.updateCorr(prevCorr, filled, db.tempFilled, db.meta, lo, hi)
     else Richter.correct(db.spark, filled, db.tempFilled, db.meta)
+  }
 }
 
 /** All parameters of one location — the reference's GroupStation

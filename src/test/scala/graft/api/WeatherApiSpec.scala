@@ -194,6 +194,30 @@ class WeatherApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](db.station(0L).getGeom("epsg:9999"))
   }
 
+  test("last-import bookkeeping: mark -> pending flags -> broker marks done") {
+    // fresh db so the session-local flags start clean
+    val db2 = new WeatherDb(spark, "/root/testdata/sf0.001")
+    val s = db2.station(0L)
+    // nothing pending: done by definition, empty period
+    assert(s.isLastImpDone("qc") && s.isLastImpDone("filled") && s.isLastImpDone("corr"))
+    assert(s.getLastImpPeriod().start.isEmpty)
+    intercept[IllegalArgumentException](s.isLastImpDone("bogus"))
+    val p = TimestampPeriod.of("2024-01-20", "2024-01-25")
+    db2.markLastImport(p)
+    assert(!s.isLastImpDone("qc") && !s.isLastImpDone("filled") && !s.isLastImpDone("corr"))
+    assert(s.getLastImpPeriod() === p)
+    assert(s.getPeriodMeta("last_imp") === p)
+    val broker = db2.broker
+    val lo = java.sql.Date.valueOf("2024-01-20"); val hi = java.sql.Date.valueOf("2024-01-25")
+    broker.lastImpQualityCheck(db2.qc, lo, hi)
+    assert(s.isLastImpDone("qc") && !s.isLastImpDone("filled"))
+    broker.lastImpFillup(db2.filled, db2.qc, lo, hi)
+    broker.lastImpCorr(db2.corr, db2.filled, lo, hi)
+    assert(s.isLastImpDone("filled") && s.isLastImpDone("corr"))
+    // registry membership twins
+    assert(s.isinMa && s.isinMetaP)
+  }
+
   test("get_meta_explanation documents every meta column") {
     val exp = db.stations.getMetaExplanation()
     assert(exp.columns.toSeq === Seq("info", "explanation"))
