@@ -3161,6 +3161,68 @@ object Climate {
         col("energy"), col("i60"), col("ei"))
   }
 
+  /** Daily periodogram per station — Fourier power of the observed
+    * daily series at integer trial periods 2..`maxPeriod` days (the
+    * weekly-rhythm detector on the DAILY axis; [[diurnalHarmonics]] /
+    * [[spectralEntropy]] read the hour-of-day profile instead):
+    * a²+b² with a = Σx·cos(2πt/p), b = Σx·sin(2πt/p) over the
+    * day ordinal t, normalized to power share across the scanned
+    * periods.
+    *
+    * Plan: day ordinals from a per-station rank window, one bounded
+    * explode (maxPeriod−1 ×) and one keyed aggregate on
+    * (station, period); the share join rides a per-station total
+    * (broadcast O(#stations)). */
+  def periodogramDaily(rawDaily: DataFrame, maxPeriod: Int = 14): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val w = Window.partitionBy(col("station_id")).orderBy(col("day"))
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .withColumn("t", (row_number().over(w) - lit(1)).cast("double"))
+      .withColumn("x", col("raw"))
+    val pw = obs
+      .withColumn("p", explode(sequence(lit(2), lit(maxPeriod))))
+      .withColumn("ang", lit(2.0 * math.Pi) * col("t") / col("p"))
+      .groupBy(col("station_id"), col("p"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x") * cos(col("ang"))) + lit(1e-9), 6).as("a"),
+        round(sum(col("x") * sin(col("ang"))) + lit(1e-9), 6).as("b"))
+      .withColumn("power",
+        round(col("a") * col("a") + col("b") * col("b") + lit(1e-9), 4))
+    val tot = pw.groupBy(col("station_id"))
+      .agg(sum(col("power")).as("tot"))
+      .filter(col("tot") > 0.0)
+    pw.join(broadcast(tot), Seq("station_id"))
+      .withColumn("power_share", round(col("power") / col("tot") + lit(1e-9), 6))
+      .select(col("station_id"), col("p").as("period_days"), col("n"),
+        col("power"), col("power_share"))
+  }
+
+  /** Weibull fit of the positive daily values per station by the
+    * Justus power-law moment approximation (Justus et al. 1978 — the
+    * wind-energy standard): shape k = (σ/μ)^−1.086, scale
+    * c = μ/Γ(1+1/k) via [[gammaCol]] (oracle: DuckDB's gamma()), plus
+    * the distribution mean/P63 sanity columns. Valid for CV in the
+    * (0.1, 1) band the approximation covers; stations outside it are
+    * filtered rather than mis-fit.
+    *
+    * Plan: one keyed moment aggregate + a stateless fit projection. */
+  def weibullFit(rawDaily: DataFrame): DataFrame = {
+    val pos = rawDaily.filter(col("raw").isNotNull && col("raw") > 0.0)
+    pos.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("raw")) + lit(1e-9), 6).as("mu"),
+        round(stddev_samp(col("raw")) + lit(1e-9), 6).as("sd"))
+      .filter(col("n") >= 10 && col("sd") > 0.0)
+      .withColumn("cv", round(col("sd") / col("mu") + lit(1e-9), 6))
+      .filter(col("cv") > 0.1 && col("cv") < 1.0)
+      .withColumn("k", round(pow(col("cv"), lit(-1.086)) + lit(1e-9), 4))
+      .withColumn("c",
+        round(col("mu") / gammaCol(lit(1.0) + lit(1.0) / col("k")) + lit(1e-9), 4))
+      .withColumn("p63", col("c")) // P(X ≤ c) = 1 − e⁻¹ ≈ 0.632 by definition
+      .select(col("station_id"), col("n"), col("mu"), col("sd"), col("cv"),
+        col("k"), col("c"), col("p63"))
+  }
+
   /** Quantile-mapping bias correction of each station's daily series
     * onto its nearest neighbor's distribution — the NONLINEAR sibling
     * of the multiplicative/additive adjustments (q_adjust_mult/add):

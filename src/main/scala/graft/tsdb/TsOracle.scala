@@ -3314,6 +3314,56 @@ object TsOracle {
         + 1e-9, 4) AS rl100
     FROM fit3 ORDER BY station_id"""
 
+  /** Mirrors Climate.periodogramDaily: Fourier power at integer trial
+    * periods over the day-ordinal axis. */
+  val qPeriodogramDaily: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, raw AS x,
+        CAST(row_number() OVER (PARTITION BY station_id ORDER BY day) - 1
+          AS DOUBLE) AS t
+      FROM raw_daily WHERE raw IS NOT NULL),
+    pw AS (
+      SELECT station_id, p, CAST(count(*) AS BIGINT) AS n,
+        round(sum(x * cos(2.0 * pi() * t / p)) + 1e-9, 6) AS a,
+        round(sum(x * sin(2.0 * pi() * t / p)) + 1e-9, 6) AS b
+      FROM obs, range(2, 15) pr(p)
+      GROUP BY 1, 2),
+    pw2 AS (
+      SELECT station_id, p, n,
+        round(a * a + b * b + 1e-9, 4) AS power
+      FROM pw),
+    tot AS (
+      SELECT station_id, sum(power) AS tot FROM pw2 GROUP BY 1
+      HAVING sum(power) > 0.0)
+    SELECT w.station_id, CAST(w.p AS INT) AS period_days, w.n, w.power,
+      round(w.power / t.tot + 1e-9, 6) AS power_share
+    FROM pw2 w JOIN tot t USING (station_id)
+    ORDER BY w.station_id, w.p"""
+
+  /** Mirrors Climate.weibullFit: Justus power-law moment
+    * approximation with DuckDB's gamma() standing in for the engine's
+    * Lanczos column. */
+  val qWeibullFit: String = s"""
+    WITH $world,
+    m AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n,
+        round(avg(raw) + 1e-9, 6) AS mu,
+        round(stddev_samp(raw) + 1e-9, 6) AS sd
+      FROM raw_daily WHERE raw IS NOT NULL AND raw > 0.0
+      GROUP BY 1
+      HAVING count(*) >= 10 AND round(stddev_samp(raw) + 1e-9, 6) > 0.0),
+    cv AS (
+      SELECT *, round(sd / mu + 1e-9, 6) AS cv FROM m),
+    fit AS (
+      SELECT station_id, n, mu, sd, cv,
+        round(pow(cv, -1.086) + 1e-9, 4) AS k
+      FROM cv WHERE cv > 0.1 AND cv < 1.0),
+    fit2 AS (
+      SELECT *, round(mu / gamma(1.0 + 1.0 / k) + 1e-9, 4) AS c FROM fit)
+    SELECT station_id, n, mu, sd, cv, k, c, c AS p63
+    FROM fit2 ORDER BY station_id"""
+
   /** Mirrors Climate.esdOutliers: the same three unrolled Rosner
     * rounds with the A&S 26.2.23 inverse-normal critical value,
     * identical Horner order. */
@@ -4418,6 +4468,8 @@ object TsOracle {
     "q_solar_ra" -> qSolarRa,
     "q_quantile_mapping" -> qQuantileMapping,
     "q_esd_outliers" -> qEsdOutliers,
+    "q_periodogram_daily" -> qPeriodogramDaily,
+    "q_weibull_fit" -> qWeibullFit,
     "q_scs_runoff" -> qScsRunoff,
     "q_kpss" -> qKpss,
     "q_adf" -> qAdf,

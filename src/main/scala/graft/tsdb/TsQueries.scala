@@ -395,6 +395,13 @@ object TsQueries {
   def qGumbel(s: SparkSession, d: String): DataFrame =
     Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
 
+  def qPeriodogramDaily(s: SparkSession, d: String): DataFrame =
+    Climate.periodogramDaily(rawDaily(s, d))
+      .orderBy(col("station_id"), col("period_days"))
+
+  def qWeibullFit(s: SparkSession, d: String): DataFrame =
+    Climate.weibullFit(rawDaily(s, d)).orderBy(col("station_id"))
+
   def qEsdOutliers(s: SparkSession, d: String): DataFrame =
     Climate.esdOutliers(rawDaily(s, d))
       .orderBy(col("station_id"), col("round"))
@@ -719,6 +726,8 @@ object TsQueries {
     "q_solar_ra" -> (qSolarRa _),
     "q_quantile_mapping" -> (qQuantileMapping _),
     "q_esd_outliers" -> (qEsdOutliers _),
+    "q_periodogram_daily" -> (qPeriodogramDaily _),
+    "q_weibull_fit" -> (qWeibullFit _),
     "q_scs_runoff" -> (qScsRunoff _),
     "q_kpss" -> (qKpss _),
     "q_adf" -> (qAdf _),

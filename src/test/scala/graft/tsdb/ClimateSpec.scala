@@ -114,6 +114,36 @@ class ClimateSpec extends SparkSpec {
     assert(math.abs(g(1) - 0.8862269255) < 1e-9) // Γ(1.5) = √π/2
   }
 
+  test("daily periodogram: a pure 7-day cycle concentrates power at period 7") {
+    import spark.implicits._
+    val rows = (0 until 28).map { i =>
+      // zero-mean cosine: a DC offset would leak into every trial
+      // period through non-integer cycle counts and dilute the share
+      (1L, java.time.LocalDate.of(2024, 3, 1).plusDays(i).toString,
+        Option(5.0 * math.cos(2.0 * math.Pi * i / 7.0)))
+    }
+    val out = Climate.periodogramDaily(frame(rows.map { case (s, d, v) => (s, d, v) }))
+      .collect().map(r => r.getAs[Int]("period_days") -> r.getAs[Double]("power_share")).toMap
+    assert(out.size === 13) // periods 2..14
+    val top = out.maxBy(_._2)
+    assert(top._1 === 7, s"dominant period ${top._1}")
+    assert(top._2 > 0.5, s"share ${top._2}")
+  }
+
+  test("weibull fit: Justus shape matches the closed form; scale exceeds the mean for k>1") {
+    import spark.implicits._
+    val xs = Seq.tabulate(20)(i => if (i % 2 == 0) 1.0 else 3.0)
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-03-${i + 1}%02d", Option(v))
+    }
+    val r = Climate.weibullFit(frame(rows)).head
+    val cv = r.getAs[Double]("cv")
+    assert(math.abs(r.getAs[Double]("k") - math.pow(cv, -1.086)) < 1e-3)
+    assert(r.getAs[Double]("k") > 1.0)
+    assert(r.getAs[Double]("c") > r.getAs[Double]("mu")) // Γ(1+1/k) < 1 for k > 1
+    assert(r.getAs[Double]("p63") === r.getAs[Double]("c"))
+  }
+
   test("generalized esd: catches both planted twin outliers, then stops rejecting") {
     import spark.implicits._
     // 20 tight values plus TWO equal gross outliers — the masking
