@@ -2013,6 +2013,46 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Two-sample Poisson rate-ratio test per event type on the
+    * standing user_id%2 split — the A/B readout for RATE metrics
+    * (events per exposed user) where the two-proportion z only covers
+    * binary conversion: per arm the event count x and exposed-user
+    * count n, rate λ = x/n, the log rate ratio with its delta-method
+    * CI log(λB/λA) ± 1.96·√(1/xA + 1/xB), and the z statistic.
+    *
+    * Plan: one distinct-user collapse and one event-count aggregate
+    * per (type, arm) — two keyed shuffles over collapsed frames, the
+    * test itself a stateless projection on O(#types) rows. */
+  def poissonRatio(events: DataFrame): DataFrame = {
+    val arm = (col("user_id") % 2 === 0).cast("int").as("variant")
+    val users = events.select(col("event_type"), arm, col("user_id")).distinct()
+      .groupBy(col("event_type"), col("variant")).agg(count(lit(1)).as("n_users"))
+    val counts = events.select(col("event_type"), arm)
+      .groupBy(col("event_type"), col("variant")).agg(count(lit(1)).as("x"))
+    val both = counts.join(users, Seq("event_type", "variant"))
+    val a = both.filter(col("variant") === 0)
+      .select(col("event_type"), col("x").as("x_a"), col("n_users").as("n_a"))
+    val b = both.filter(col("variant") === 1)
+      .select(col("event_type"), col("x").as("x_b"), col("n_users").as("n_b"))
+    a.join(b, Seq("event_type"))
+      .filter(col("x_a") > 0 && col("x_b") > 0)
+      .withColumn("rate_a", round(col("x_a") / col("n_a").cast("double") + lit(1e-9), 6))
+      .withColumn("rate_b", round(col("x_b") / col("n_b").cast("double") + lit(1e-9), 6))
+      .withColumn("log_ratio",
+        log((col("x_b") / col("n_b").cast("double"))
+          / (col("x_a") / col("n_a").cast("double"))))
+      .withColumn("se", sqrt(lit(1.0) / col("x_a") + lit(1.0) / col("x_b")))
+      .withColumn("z", round(col("log_ratio") / col("se") + lit(1e-9), 4))
+      .withColumn("ci_lo", round(col("log_ratio") - lit(1.96) * col("se") + lit(1e-9), 6))
+      .withColumn("ci_hi", round(col("log_ratio") + lit(1.96) * col("se") + lit(1e-9), 6))
+      .withColumn("log_ratio", round(col("log_ratio") + lit(1e-9), 6))
+      .withColumn("significant", abs(col("z")) > 1.96)
+      .select(col("event_type"), col("x_a"), col("n_a"), col("x_b"), col("n_b"),
+        col("rate_a"), col("rate_b"), col("log_ratio"), col("ci_lo"),
+        col("ci_hi"), col("z"), col("significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** Heterogeneous-treatment-effect (uplift) table for the standing
     * A/B split — who does the treatment actually move? Users segment
     * by PRE-period engagement (event count on days < 16, banded
@@ -2243,6 +2283,7 @@ object EventAnalytics {
     "q_scd2" -> ((s, d) => scd2States(Tables.events(s, d))),
     "q_ab_srm" -> ((s, d) => abSrm(Tables.events(s, d))),
     "q_msprt" -> ((s, d) => msprt(Tables.events(s, d))),
+    "q_poisson_ratio" -> ((s, d) => poissonRatio(Tables.events(s, d))),
     "q_nelson_aalen" -> ((s, d) => nelsonAalen(Tables.events(s, d))),
     "q_uplift_segments" -> ((s, d) => upliftSegments(Tables.events(s, d))),
     "q_cdc_merge" -> ((s, d) => cdcMerge(Tables.events(s, d))),
@@ -3986,9 +4027,50 @@ object EventOracle {
       round(least(1.0, exp(-mx)) + 1e-9, 6) < 0.05 AS significant
     FROM run ORDER BY day"""
 
+  /** Mirrors EventAnalytics.poissonRatio: two-sample Poisson
+    * rate-ratio z with the delta-method CI, from the same collapsed
+    * integer counts. */
+  val qPoissonRatio: String = """
+    WITH u AS (
+      SELECT DISTINCT event_type,
+        CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS variant, user_id
+      FROM events),
+    nu AS (
+      SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n_users
+      FROM u GROUP BY 1, 2),
+    cx AS (
+      SELECT event_type,
+        CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS variant,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    both_arms AS (
+      SELECT c.event_type, c.variant, c.x, n.n_users
+      FROM cx c JOIN nu n USING (event_type, variant)),
+    ab AS (
+      SELECT a.event_type, a.x AS x_a, a.n_users AS n_a,
+        b.x AS x_b, b.n_users AS n_b
+      FROM (SELECT * FROM both_arms WHERE variant = 0) a
+      JOIN (SELECT * FROM both_arms WHERE variant = 1) b USING (event_type)
+      WHERE a.x > 0 AND b.x > 0),
+    st AS (
+      SELECT *,
+        ln((x_b / CAST(n_b AS DOUBLE)) / (x_a / CAST(n_a AS DOUBLE))) AS lr,
+        sqrt(1.0 / x_a + 1.0 / x_b) AS se
+      FROM ab)
+    SELECT event_type, x_a, n_a, x_b, n_b,
+      round(x_a / CAST(n_a AS DOUBLE) + 1e-9, 6) AS rate_a,
+      round(x_b / CAST(n_b AS DOUBLE) + 1e-9, 6) AS rate_b,
+      round(lr + 1e-9, 6) AS log_ratio,
+      round(lr - 1.96 * se + 1e-9, 6) AS ci_lo,
+      round(lr + 1.96 * se + 1e-9, 6) AS ci_hi,
+      round(lr / se + 1e-9, 4) AS z,
+      abs(round(lr / se + 1e-9, 4)) > 1.96 AS significant
+    FROM st ORDER BY event_type"""
+
   val all: Map[String, String] = Map(
     "q_attribution" -> qAttribution,
     "q_msprt" -> qMsprt,
+    "q_poisson_ratio" -> qPoissonRatio,
     "q_markov_attribution" -> qMarkovAttribution,
     "q_shapley_attribution" -> qShapleyAttribution,
     "q_scd2" -> qScd2,

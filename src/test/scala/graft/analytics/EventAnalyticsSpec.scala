@@ -51,6 +51,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(nullOut.forall(!_.getAs[Boolean]("significant")))
   }
 
+  test("poisson ratio: a doubled event rate in arm B is flagged; symmetric CI signs") {
+    import spark.implicits._
+    // 100 users per arm; arm B (even uids) emits 2 events/user, arm A 1
+    val rows = (0 until 200).flatMap { uid =>
+      val n = if (uid % 2 == 0) 2 else 1
+      (0 until n).map(k => (uid.toLong * 10 + k,
+        java.sql.Timestamp.valueOf("2024-01-05 12:00:00"), uid.toLong, "click", 1.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.poissonRatio(ev).head
+    assert(r.getAs[Double]("rate_a") === 1.0 && r.getAs[Double]("rate_b") === 2.0)
+    assert(math.abs(r.getAs[Double]("log_ratio") - math.log(2.0)) < 1e-6)
+    assert(r.getAs[Boolean]("significant"), r.toString)
+    assert(r.getAs[Double]("ci_lo") > 0.0) // the CI excludes ratio 1
+  }
+
   test("funnel stage counts match an independent join-based rebuild") {
     // independent implementation: per-stage minima via joins instead
     // of stacked windows; total converted users must agree
