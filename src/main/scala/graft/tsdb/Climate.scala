@@ -3161,6 +3161,80 @@ object Climate {
         col("energy"), col("i60"), col("ei"))
   }
 
+  /** Circular flood-seasonality statistics per station (Burn 1997 —
+    * the regionalization measure for WHEN extremes happen, not how
+    * big): each year's maximum maps to an angle θ = 2π(doy−1)/365 on
+    * the calendar circle; the mean resultant length r̄ measures how
+    * concentrated the flood season is (1 = same date every year,
+    * 0 = uniform) and atan2 of the mean vector gives the mean flood
+    * date.
+    *
+    * Plan: annual peaks via one (station, year) rank window
+    * (partition-local, deterministic tie-break), circular moments one
+    * keyed aggregate — output O(#stations). */
+  def floodSeasonality(rawDaily: DataFrame): DataFrame = {
+    val obs = rawDaily.filter(col("raw").isNotNull)
+      .withColumn("yr", year(col("day")))
+    val w = Window.partitionBy(col("station_id"), col("yr"))
+      .orderBy(col("raw").desc, col("day").asc)
+    val peaks = obs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("theta", lit(2.0 * math.Pi)
+        * (dayofyear(col("day")) - lit(1)).cast("double") / lit(365.0))
+    peaks.groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_years"),
+        round(avg(cos(col("theta"))) + lit(1e-9), 6).as("c_bar"),
+        round(avg(sin(col("theta"))) + lit(1e-9), 6).as("s_bar"))
+      .withColumn("r_bar", round(sqrt(col("c_bar") * col("c_bar")
+        + col("s_bar") * col("s_bar")) + lit(1e-9), 6))
+      .withColumn("ang", atan2(col("s_bar"), col("c_bar")))
+      .withColumn("mean_doy", round(
+        when(col("ang") < 0.0, col("ang") + lit(2.0 * math.Pi)).otherwise(col("ang"))
+          / lit(2.0 * math.Pi) * lit(365.0) + lit(1.0) + lit(1e-9), 2))
+      .withColumn("seasonal", col("r_bar") > 0.6)
+      .select(col("station_id"), col("n_years"), col("mean_doy"),
+        col("r_bar"), col("seasonal"))
+  }
+
+  /** Budyko-curve water/energy partition per station (Budyko 1974 —
+    * the first-order answer to "where does the rain go"): aridity
+    * index φ = PET/P from the Thornthwaite monthly climatology
+    * ([[petThornthwaite]]) and the 30×-mean-daily monthly
+    * precipitation normal (the Köppen convention), evaporative
+    * fraction E/P = √(φ·tanh(1/φ)·(1 − e^−φ)) — tanh expanded to its
+    * exp identity so both engines compute the identical expression —
+    * runoff fraction 1 − E/P, and the water-/energy-limited regime
+    * flag at φ = 1.
+    *
+    * Plan: two keyed climatology collapses + a stateless projection;
+    * output O(#stations). */
+  def budyko(tempStats: DataFrame, rawDaily: DataFrame): DataFrame = {
+    val pet = petThornthwaite(tempStats)
+      .groupBy(col("station_id"))
+      .agg(round(sum(col("pet")) + lit(1e-9), 4).as("pet_ann"))
+    val p = rawDaily.filter(col("raw").isNotNull)
+      .groupBy(col("station_id"), month(col("day")).as("mon"))
+      .agg(round(avg(col("raw")) * lit(30.0) + lit(1e-9), 4).as("p_mon"))
+      .groupBy(col("station_id"))
+      .agg(round(sum(col("p_mon")) + lit(1e-9), 4).as("p_ann"))
+    val phi = col("aridity")
+    // tanh(1/φ) expanded to its exp identity (DuckDB has no tanh)
+    val tanhInv = (lit(1.0) - exp(lit(-2.0) / phi)) /
+      (lit(1.0) + exp(lit(-2.0) / phi))
+    pet.join(p, Seq("station_id"))
+      .filter(col("p_ann") > 0.0 && col("pet_ann") > 0.0)
+      .withColumn("aridity", round(col("pet_ann") / col("p_ann") + lit(1e-9), 6))
+      .withColumn("evap_fraction", round(sqrt(phi * tanhInv
+        * (lit(1.0) - exp(-phi))) + lit(1e-9), 6))
+      .withColumn("runoff_fraction",
+        round(lit(1.0) - col("evap_fraction") + lit(1e-9), 6))
+      .withColumn("regime",
+        when(col("aridity") > 1.0, lit("water-limited"))
+          .otherwise(lit("energy-limited")))
+      .select(col("station_id"), col("p_ann"), col("pet_ann"), col("aridity"),
+        col("evap_fraction"), col("runoff_fraction"), col("regime"))
+  }
+
   /** Daily periodogram per station — Fourier power of the observed
     * daily series at integer trial periods 2..`maxPeriod` days (the
     * weekly-rhythm detector on the DAILY axis; [[diurnalHarmonics]] /

@@ -3314,6 +3314,66 @@ object TsOracle {
         + 1e-9, 4) AS rl100
     FROM fit3 ORDER BY station_id"""
 
+  /** Mirrors Climate.floodSeasonality: circular statistics of the
+    * annual-maximum day of year. */
+  val qFloodSeasonality: String = s"""
+    WITH $world,
+    obs AS (
+      SELECT station_id, day, raw, year(day) AS yr
+      FROM raw_daily WHERE raw IS NOT NULL),
+    peaks AS (
+      SELECT station_id, day,
+        2.0 * pi() * CAST(dayofyear(day) - 1 AS DOUBLE) / 365.0 AS theta
+      FROM (SELECT *, row_number() OVER (PARTITION BY station_id, yr
+              ORDER BY raw DESC, day ASC) AS rn FROM obs)
+      WHERE rn = 1),
+    agg AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_years,
+        round(avg(cos(theta)) + 1e-9, 6) AS c_bar,
+        round(avg(sin(theta)) + 1e-9, 6) AS s_bar
+      FROM peaks GROUP BY 1),
+    rbar AS (
+      SELECT *, round(sqrt(c_bar * c_bar + s_bar * s_bar) + 1e-9, 6) AS r_bar,
+        atan2(s_bar, c_bar) AS ang
+      FROM agg)
+    SELECT station_id, n_years,
+      round((CASE WHEN ang < 0.0 THEN ang + 2.0 * pi() ELSE ang END)
+        / (2.0 * pi()) * 365.0 + 1.0 + 1e-9, 2) AS mean_doy,
+      r_bar, r_bar > 0.6 AS seasonal
+    FROM rbar ORDER BY station_id"""
+
+  /** Mirrors Climate.budyko: aridity from the wrapped Thornthwaite
+    * PET oracle and the Köppen 30×-mean-daily precipitation normal;
+    * tanh expanded to its exp identity on both engines. */
+  val qBudyko: String = s"""
+    WITH petq AS (SELECT * FROM ($qPetThornthwaite)),
+    pet AS (
+      SELECT station_id, round(sum(pet) + 1e-9, 4) AS pet_ann
+      FROM petq GROUP BY 1),
+    $world,
+    pmon AS (
+      SELECT station_id, month(day) AS mon,
+        round(avg(raw) * 30.0 + 1e-9, 4) AS p_mon
+      FROM raw_daily WHERE raw IS NOT NULL GROUP BY 1, 2),
+    pann AS (
+      SELECT station_id, round(sum(p_mon) + 1e-9, 4) AS p_ann
+      FROM pmon GROUP BY 1),
+    j AS (
+      SELECT station_id, p_ann, pet_ann,
+        round(pet_ann / p_ann + 1e-9, 6) AS aridity
+      FROM pet JOIN pann USING (station_id)
+      WHERE p_ann > 0.0 AND pet_ann > 0.0),
+    ef AS (
+      SELECT *, round(sqrt(aridity
+        * ((1.0 - exp(-2.0 / aridity)) / (1.0 + exp(-2.0 / aridity)))
+        * (1.0 - exp(-aridity))) + 1e-9, 6) AS evap_fraction
+      FROM j)
+    SELECT station_id, p_ann, pet_ann, aridity, evap_fraction,
+      round(1.0 - evap_fraction + 1e-9, 6) AS runoff_fraction,
+      CASE WHEN aridity > 1.0 THEN 'water-limited'
+           ELSE 'energy-limited' END AS regime
+    FROM ef ORDER BY station_id"""
+
   /** Mirrors Climate.periodogramDaily: Fourier power at integer trial
     * periods over the day-ordinal axis. */
   val qPeriodogramDaily: String = s"""
@@ -4469,6 +4529,8 @@ object TsOracle {
     "q_quantile_mapping" -> qQuantileMapping,
     "q_esd_outliers" -> qEsdOutliers,
     "q_periodogram_daily" -> qPeriodogramDaily,
+    "q_flood_seasonality" -> qFloodSeasonality,
+    "q_budyko" -> qBudyko,
     "q_weibull_fit" -> qWeibullFit,
     "q_scs_runoff" -> qScsRunoff,
     "q_kpss" -> qKpss,

@@ -395,6 +395,12 @@ object TsQueries {
   def qGumbel(s: SparkSession, d: String): DataFrame =
     Climate.gumbelFit(hourly(s, d)).orderBy(col("station_id"))
 
+  def qFloodSeasonality(s: SparkSession, d: String): DataFrame =
+    Climate.floodSeasonality(rawDaily(s, d)).orderBy(col("station_id"))
+
+  def qBudyko(s: SparkSession, d: String): DataFrame =
+    Climate.budyko(tempStats(s, d), rawDaily(s, d)).orderBy(col("station_id"))
+
   def qPeriodogramDaily(s: SparkSession, d: String): DataFrame =
     Climate.periodogramDaily(rawDaily(s, d))
       .orderBy(col("station_id"), col("period_days"))
@@ -727,6 +733,8 @@ object TsQueries {
     "q_quantile_mapping" -> (qQuantileMapping _),
     "q_esd_outliers" -> (qEsdOutliers _),
     "q_periodogram_daily" -> (qPeriodogramDaily _),
+    "q_flood_seasonality" -> (qFloodSeasonality _),
+    "q_budyko" -> (qBudyko _),
     "q_weibull_fit" -> (qWeibullFit _),
     "q_scs_runoff" -> (qScsRunoff _),
     "q_kpss" -> (qKpss _),

@@ -114,6 +114,50 @@ class ClimateSpec extends SparkSpec {
     assert(math.abs(g(1) - 0.8862269255) < 1e-9) // Γ(1.5) = √π/2
   }
 
+  test("flood seasonality: same-date peaks give r=1; opposed dates cancel") {
+    import spark.implicits._
+    // station 1: annual max always on Mar 1 (doy 61) across 3 years
+    // station 2: maxima half a year apart -> resultant ~ 0
+    val rows =
+      (2022 to 2024).flatMap { y =>
+        Seq((1L, s"$y-03-01", Option(99.0)), (1L, s"$y-03-02", Option(1.0)))
+      } ++ Seq(
+        (2L, "2023-01-01", Option(99.0)), (2L, "2023-01-02", Option(1.0)),
+        (2L, "2024-07-02", Option(99.0)), (2L, "2024-07-03", Option(1.0)))
+    val out = Climate.floodSeasonality(frame(rows)).collect()
+      .map(r => r.getAs[Long]("station_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_years") === 3L)
+    assert(out(1L).getAs[Double]("r_bar") > 0.999)
+    assert(math.abs(out(1L).getAs[Double]("mean_doy") - 61.0) < 1.5)
+    assert(out(1L).getAs[Boolean]("seasonal"))
+    // doy 1 vs doy 184: 183/365 of the circle apart -> r near 0
+    assert(out(2L).getAs[Double]("r_bar") < 0.05, out(2L).toString)
+    assert(!out(2L).getAs[Boolean]("seasonal"))
+  }
+
+  test("budyko: wetter station is energy-limited with higher runoff fraction") {
+    import spark.implicits._
+    // same warm temperature climatology; station 1 gets 10x the rain
+    val temp = (1 to 20).flatMap { i =>
+      Seq((1L, f"2024-07-$i%02d", Option(20.0)), (2L, f"2024-07-$i%02d", Option(20.0)))
+    }.map { case (s, d, v) =>
+      (s, java.sql.Date.valueOf(d), v, v, v)
+    }.toDF("station_id", "day", "t", "t_min", "t_max")
+    val rain = (1 to 20).flatMap { i =>
+      Seq((1L, f"2024-07-$i%02d", Option(20.0)), (2L, f"2024-07-$i%02d", Option(2.0)))
+    }
+    val out = Climate.budyko(temp, frame(rain)).collect()
+      .map(r => r.getAs[Long]("station_id") -> r).toMap
+    val wet = out(1L); val dry = out(2L)
+    assert(wet.getAs[String]("regime") === "energy-limited")
+    assert(dry.getAs[String]("regime") === "water-limited")
+    assert(wet.getAs[Double]("runoff_fraction") > dry.getAs[Double]("runoff_fraction"))
+    out.values.foreach { r =>
+      val ef = r.getAs[Double]("evap_fraction")
+      assert(ef > 0.0 && ef < 1.0, r.toString)
+    }
+  }
+
   test("daily periodogram: a pure 7-day cycle concentrates power at period 7") {
     import spark.implicits._
     val rows = (0 until 28).map { i =>
