@@ -560,17 +560,18 @@ object Dedup {
   /** Banded hyperplane-LSH embedding near-dups — the sub-quadratic
     * scale path for production thresholds: `bands`×`rowsPerBand`
     * deterministic hyperplane sign bits; pairs sharing any band are
-    * verified with the exact cosine. Recall for a pair at angle θ is
-    * 1−(1−p^r)^b with p = 1−θ/π (≥ 0.94 at cosine 0.9 with r=6,b=8,
-    * while pruning ~88% of orthogonal background pairs; at this test
-    * corpus's τ=0.4 the same math caps recall well below 1, hence the
-    * approximate rows-only contract, like q_ann_lsh). */
+    * verified with the exact cosine (precision is therefore always 1).
+    * Recall for a pair at angle θ is 1−(1−p^r)^b with p = 1−θ/π —
+    * ≈1.0 at cosine 0.9 with r=5,b=20 while still pruning orthogonal
+    * background pairs; at this test corpus's weak-gap τ=0.4 the same
+    * banding measures pair recall 0.83–0.89 across the three SFs
+    * (RECALL_r*.json), hence the approximate rows-only contract, like
+    * q_ann_lsh. */
   def embeddingPairsLsh(embeddings: DataFrame, threshold: Double = 0.4,
-      bands: Int = 8, rowsPerBand: Int = 6): DataFrame = {
-    // same arithmetic hyperplane family as graft.similarity.Ann:
+      bands: Int = 20, rowsPerBand: Int = 5): DataFrame = {
+    // splitmix64-hashed hyperplane family (graft_hyperplane_bands):
     // component(pj, i) deterministic in plane index pj and dimension i —
-    // native single-loop signatures (graft.functions.HyperplaneBands),
-    // bit-identical to the composed aggregate-over-sequence SQL form
+    // native single-loop signatures (graft.functions.HyperplaneBands)
     val sigs = reg(embeddings).select(col("vec_id"), col("embedding"),
         expr("sqrt(graft_dot(embedding, embedding))").as("nrm"),
         posexplode(expr(s"graft_hyperplane_bands(embedding, $bands, $rowsPerBand)")))
@@ -591,6 +592,21 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(min(col("cosine")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Distinct id-pairs sharing at least one LSH band — the candidate
+    * set [[embeddingPairsLsh]] verifies, before the cosine filter;
+    * exposed for the recall audit's candidate-share metric. */
+  private[graft] def embeddingLshCandidates(embeddings: DataFrame,
+      bands: Int = 20, rowsPerBand: Int = 5): DataFrame = {
+    val sigs = reg(embeddings).select(col("vec_id"),
+        posexplode(expr(s"graft_hyperplane_bands(embedding, $bands, $rowsPerBand)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    sigs.select(col("vec_id").as("id_a"), col("band"), col("sig"))
+      .join(sigs.select(col("vec_id").as("id_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** Duplicated-span removal bookkeeping — the exact-substring-dedup

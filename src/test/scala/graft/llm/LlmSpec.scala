@@ -122,8 +122,9 @@ class LlmSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
     // deterministic hyperplanes -> recall is a fixed property of the data;
-    // floor documents the banding math (r=6,b=8 at tau=0.4 is recall-capped)
-    assert(lsh.size.toDouble / exact.size >= 0.2, s"lsh recall ${lsh.size}/${exact.size}")
+    // r=5,b=20 splitmix planes measure 0.833 here (0.86/0.89 at the
+    // larger SFs) — floor pinned one flipped pair below the measurement
+    assert(lsh.size.toDouble / exact.size >= 0.8, s"lsh recall ${lsh.size}/${exact.size}")
   }
 
   test("LSH ANN: banded OR-union candidates with measurable recall vs brute force") {
@@ -132,11 +133,12 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     val lsh = Ann.lshTopK(embs).select("query_id", "nb_id")
       .as[(Long, Long)].collect().toSet
-    // the OR-union of 4 bands x 4 planes collides true neighbors with
-    // probability 1-(1-s^4)^4; deterministic hyperplanes make recall a
-    // fixed property of the data — the floor documents the banding math
+    // the OR-union of 20 bands x 5 planes collides true neighbors with
+    // probability 1-(1-s^5)^20; deterministic splitmix hyperplanes make
+    // recall a fixed property of the data (measured 0.84 here, 0.88 at
+    // the sf0.01 gate — RECALL_r08.json carries the per-round value)
     val recall = (lsh & brute).size.toDouble / brute.size
-    assert(recall >= 0.2, s"lsh recall $recall")
+    assert(recall >= 0.8, s"lsh recall $recall")
     // candidate union is genuinely sub-linear: no query re-ranks more
     // than k results, and the per-query ranks are dense from 1
     val byQ = Ann.lshTopK(embs).select("query_id", "rank")
@@ -153,9 +155,9 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(ivf.size === brute.size) // same k per query
     val recall = (ivf & brute).size.toDouble / brute.size
-    // nProbe=4 of 16 cells scans ~25% of vectors; on noise-like data
-    // recall tracks the scanned share — deterministic for fixed data
-    assert(recall >= 0.2, s"ivf recall $recall")
+    // nProbe=4 of 16 cells scans ~25% of vectors; true neighbors
+    // concentrate in the probed cells (measured 0.94 here, 0.92 gate)
+    assert(recall >= 0.8, s"ivf recall $recall")
   }
 
   test("PQ ANN: codes compress to m bytes and ADC recall tracks exact L2") {
@@ -177,9 +179,11 @@ class LlmSpec extends SparkSpec {
       (id, _) <- top
     } yield (q, id)).toSet
     val recall = (pq & exact).size.toDouble / exact.size
-    // 8 subspaces x 16 centroids on noise-like data: ADC ordering is
-    // approximate; deterministic for fixed data, floor documents it
-    assert(recall >= 0.3, s"pq recall $recall")
+    // 16 subspaces x 16 Lloyd-trained centroids + refine=12 exact
+    // re-rank: measured 0.94 here and at the sf0.01 gate; the trained
+    // codebook is deterministic (id-ordered fold means), so the floor
+    // is a fixed property of the data
+    assert(recall >= 0.8, s"pq recall $recall")
   }
 
   test("IVFPQ composes cell routing with ADC: subset of flat-PQ work, sane recall") {
@@ -205,9 +209,10 @@ class LlmSpec extends SparkSpec {
       (id, _) <- top
     } yield (q, id)).toSet
     val recall = (ivfpq & exact).size.toDouble / exact.size
-    // nProbe=4/16 cells AND 8x16 ADC quantization stack their losses;
-    // deterministic for fixed data, floor documents it
-    assert(recall >= 0.15, s"ivfpq recall $recall")
+    // nProbe=4/16 cells AND 16x16 trained-ADC quantization stack their
+    // losses yet measure 0.92 here and at the gate; deterministic for
+    // fixed data, floor documents it
+    assert(recall >= 0.8, s"ivfpq recall $recall")
   }
 
   test("multimodal metadata extracts byte length and magic prefix") {
