@@ -34,7 +34,7 @@ object Dedup {
 
   /** Distinct shingle-hash sets per doc (cached intermediate) — native
     * single-pass expression, see graft.functions.ShingleHashes. */
-  private def withShingles(documents: DataFrame): DataFrame =
+  private[graft] def withShingles(documents: DataFrame): DataFrame =
     reg(documents).select(col("doc_id"), expr(shingleHashes("text")).as("hashes"))
 
   /** MinHash-LSH candidate pairs: docs sharing at least one band of
@@ -137,7 +137,7 @@ object Dedup {
     * (≈ |X|·(1−t/(1+t)) ≈ half the tokens at t=0.5) keeps the join
     * bucketed and sub-quadratic, and — unlike a probabilistic sketch —
     * guarantees the verified output EQUALS the exact all-pairs result. */
-  private def prefixCandidates(hashFrame: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def prefixCandidates(hashFrame: DataFrame, threshold: Double): DataFrame = {
     // PPJoin orders every doc's shingles by GLOBAL document frequency,
     // rarest first (ties on hash): the prefix principle is valid for
     // any total order shared by all docs, but only the rare-first order
@@ -188,7 +188,8 @@ object Dedup {
     *       large scratch frames be released before returning). Callers
     *       holding a long-lived session should `unpersist()` it once
     *       consumed, as [[components]] does. */
-  def jaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.5,
+      verifyBroadcastBytes: Long = 64L << 20): DataFrame = {
     // verify on the (distinct) shingle HASH sets: integer intersection
     // is much cheaper than string-array intersection. Only the hash
     // sets of CANDIDATE docs are broadcast (semi-join first): the
@@ -212,12 +213,27 @@ object Dedup {
       val hsC = hs.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), array_sort(col("hashes")).as("hashes")).persist()
       try {
+        // Broadcast guard (the one scale seam round 7 left open): hsC
+        // is bounded by actual near-dups + prefix collisions — tiny on
+        // a healthy corpus, but a boilerplate-heavy 100 TB corpus can
+        // push the candidate union past the executor broadcast limit.
+        // Estimate the payload from the frame's own stats (8 bytes per
+        // 64-bit hash + per-row overhead; one scalar agg over the
+        // already-persisted bounded frame) and drop the broadcast
+        // hints past the budget: the verify then runs as two shuffled
+        // hash joins keyed on doc id — identical rows, identical
+        // arithmetic, an exchange instead of a driver-sized broadcast.
+        val st = hsC.agg(count(lit(1)).as("n"),
+          coalesce(sum(size(col("hashes"))), lit(0L)).as("nh")).head()
+        val estBytes = st.getAs[Long]("nh") * 8L + st.getAs[Long]("n") * 32L
+        def hinted(df: DataFrame): DataFrame =
+          if (estBytes <= verifyBroadcastBytes) broadcast(df) else df
         // the result is O(actual near-dups) — tiny; materialize it
         // eagerly so the three scratch frames above can be released
         // instead of staying pinned for the session lifetime
         val result = cands
-          .join(broadcast(hsC.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
-          .join(broadcast(hsC.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
+          .join(hinted(hsC.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
+          .join(hinted(hsC.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
           .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
           .withColumn("jaccard", round(col("inter") /
             (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))

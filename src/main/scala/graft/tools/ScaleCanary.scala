@@ -17,7 +17,7 @@ import graft.tsdb.Climate
   */
 object ScaleCanary {
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("CANARY_r07.json")
+    val out = args.headOption.getOrElse("CANARY_r08.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +26,10 @@ object ScaleCanary {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.contains("--dedup-only")) { // dev loop for the dedup legs
+      println(dedupCanary(spark)); spark.stop(); return
+    }
 
     val nDays = 3650 // 10 years daily, ~120x the 30-day test feed
     val tall = tallDaily(spark, nStations = 3, nDays = nDays)
@@ -93,12 +97,108 @@ object ScaleCanary {
           "fired" else s"wrong-error: ${e.getMessage.take(80)}" }
     println(s"[canary] default-cap guard on daily shape: $guardMsg")
 
+    val dedupJson = dedupCanary(spark)
+
     val json = rows.mkString(
       "{\n" + s"""  "n_stations": 3, "n_days": $nDays, "seasonal_frame": "10x7300", "guard_on_daily": "$guardMsg",\n  "ops": {\n""",
-      ",\n", "\n  }\n}\n")
+      ",\n", "\n  },\n" + dedupJson + "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"[canary] wrote $out")
     spark.stop()
+  }
+
+  /** Boilerplate-heavy synthetic corpus — the dedup chain's worst case:
+    * every doc opens with the SAME `pWords`-word template prefix (so
+    * every pair of docs shares pWords−2 shingles), followed by `uWords`
+    * hash-derived unique words; every 100th doc pair (i, i+1) is a
+    * planted near-dup differing in one trailing word (J ≈ 0.9).
+    * Deterministic — no RNG, reruns are bit-identical. */
+  def boilerplateCorpus(spark: SparkSession, nDocs: Long,
+      pWords: Int = 12, uWords: Int = 48): DataFrame = {
+    val boiler = (0 until pWords).map(j => s"tpl$j").mkString(" ")
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat(lit(boiler + " "), expr(
+        s"""array_join(transform(sequence(0, ${uWords - 1}), j ->
+              CASE WHEN id % 100 = 1 AND j = ${uWords - 1}
+                   THEN concat('x', id)
+                   ELSE concat('w', pmod(hash(
+                     id - CASE WHEN id % 100 = 1 THEN 1 ELSE 0 END, j), 50000))
+              END), ' ')""")).as("text"))
+      .repartition(32, col("doc_id"))
+  }
+
+  /** Dedup-chain canary: the trend family got its canary in round 7;
+    * this is the 100 TB centerpiece's. On the shared-template corpus:
+    *  - jaccardPairs at 50k AND 100k docs — candidate-pair count,
+    *    verify-broadcast payload estimate, wall time; the growth ratio
+    *    cand(100k)/cand(50k) ≈ 2 PROVES the rare-first prefix filter
+    *    keeps candidates near-linear even when every doc pair shares
+    *    the template shingles (a value-ordered prefix would be O(n²)).
+    *  - minhashBands on a 10k slice — banded MinHash is structurally
+    *    quadratic at the template corpus's moderate background J
+    *    (per-band collision J², OR over 32 bands): the recorded
+    *    candidate mass documents the contrast, and why jaccardPairs'
+    *    prefix route, not the sketch, is the template-corpus path.
+    *  - simhashPairs at 50k — 15-bit band buckets ignore the shared
+    *    prefix (it shifts all signatures equally), candidates stay
+    *    near the planted-dup count. */
+  private def dedupCanary(spark: SparkSession): String = {
+    import graft.dedup.Dedup
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def jaccardLeg(n: Long): (Long, Long, Long, Double) = {
+      val corpus = boilerplateCorpus(spark, n).persist()
+      corpus.count()
+      try {
+        val hs = Dedup.withShingles(corpus)
+          .select(col("doc_id"), col("hashes")).persist()
+        hs.count()
+        val cand = Dedup.prefixCandidates(hs, 0.5).persist()
+        val nCand = cand.count()
+        val candIds = cand.select(col("id_a").as("doc_id"))
+          .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+        val st = hs.join(candIds, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(size(col("hashes"))), lit(0L)).as("nh")).head()
+        val bcBytes = st.getAs[Long]("nh") * 8L + st.getAs[Long]("n") * 32L
+        cand.unpersist(); hs.unpersist()
+        val (pairs, sec) = timed {
+          val p = Dedup.jaccardPairs(corpus, 0.5)
+          val c = p.count(); p.unpersist(); c
+        }
+        (nCand, pairs, bcBytes, sec)
+      } finally corpus.unpersist()
+    }
+    val (c50, p50, bc50, t50) = jaccardLeg(50000L)
+    println(f"[canary] dedup jaccard 50k: cand=$c50 pairs=$p50 bcast=${bc50}B $t50%.1fs")
+    val (c100, p100, bc100, t100) = jaccardLeg(100000L)
+    println(f"[canary] dedup jaccard 100k: cand=$c100 pairs=$p100 bcast=${bc100}B $t100%.1fs")
+    val growth = c100.toDouble / math.max(c50, 1L)
+    println(f"[canary] prefix-candidate growth at 2x docs: $growth%.2fx (near-linear = ~2)")
+
+    val mini = boilerplateCorpus(spark, 10000L).persist()
+    mini.count()
+    val (mh, tMh) = timed(Dedup.minhashBands(mini).count())
+    println(f"[canary] dedup minhash 10k: cand=$mh $tMh%.1fs")
+    mini.unpersist()
+
+    val big = boilerplateCorpus(spark, 50000L).persist()
+    big.count()
+    val (sh, tSh) = timed(Dedup.simhashPairs(big).count())
+    println(f"[canary] dedup simhash 50k: cand=$sh $tSh%.1fs")
+    big.unpersist()
+
+    f"""  "dedup": {
+       |    "corpus": "12-word shared template prefix + 48 hash-unique words; planted near-dup each 100 docs",
+       |    "jaccard_50k": {"n_docs": 50000, "cand_pairs": $c50, "dup_pairs": $p50, "verify_broadcast_bytes": $bc50, "sec": $t50%.2f},
+       |    "jaccard_100k": {"n_docs": 100000, "cand_pairs": $c100, "dup_pairs": $p100, "verify_broadcast_bytes": $bc100, "sec": $t100%.2f},
+       |    "prefix_cand_growth_2x_docs": $growth%.3f,
+       |    "minhash_10k": {"n_docs": 10000, "cand_pairs": $mh, "sec": $tMh%.2f, "note": "banded sketch is structurally quadratic at template-corpus background J - the contrast the rare-first prefix filter avoids"},
+       |    "simhash_50k": {"n_docs": 50000, "cand_pairs": $sh, "sec": $tSh%.2f}
+       |  }""".stripMargin
   }
 
   /** Deterministic tall daily frame: hash-derived pseudo-random 3-dp

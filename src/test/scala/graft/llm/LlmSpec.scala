@@ -34,6 +34,20 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("jaccard verify broadcast guard: shuffled-join fallback is hash-equal to the broadcast route") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaBroadcast = Dedup.jaccardPairs(corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // verifyBroadcastBytes = 0 forces every candidate frame over the
+    // budget, so the verify must take the shuffled keyed-join path —
+    // the guard the 100 TB boilerplate seam needs. Same rows, same
+    // jaccard values, bit-for-bit.
+    val viaShuffle = Dedup.jaccardPairs(corpus, 0.5, verifyBroadcastBytes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaShuffle === viaBroadcast)
+    assert(viaShuffle.nonEmpty)
+  }
+
   test("duplicated-span removal cuts cross-doc repeats, keeps unique docs whole") {
     val out = Dedup.dupSpans(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
