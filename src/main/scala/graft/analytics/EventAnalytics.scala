@@ -1634,20 +1634,20 @@ object EventAnalytics {
     * rollup, and the churn lag runs on the O(#weeks) frame. */
   def growthAccounting(events: DataFrame): DataFrame = {
     val um = events.select(col("user_id"),
-      trunc(to_date(col("ts")), "week").as("mon")).distinct()
-    val w = Window.partitionBy(col("user_id")).orderBy(col("mon"))
-    val flags = um.withColumn("prev_mon", lag(col("mon"), 1).over(w))
+      trunc(to_date(col("ts")), "week").as("wk")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val flags = um.withColumn("prev_wk", lag(col("wk"), 1).over(w))
       .withColumn("status",
-        when(col("prev_mon").isNull, "new")
-          .when(datediff(col("mon"), col("prev_mon")) === 7, "retained")
+        when(col("prev_wk").isNull, "new")
+          .when(datediff(col("wk"), col("prev_wk")) === 7, "retained")
           .otherwise("resurrected"))
-    val counts = flags.groupBy(col("mon"))
+    val counts = flags.groupBy(col("wk"))
       .agg(count(lit(1)).as("n_active"),
         sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
         sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
         sum(when(col("status") === "resurrected", 1L).otherwise(0L))
           .as("n_resurrected"))
-    val wm = Window.orderBy(col("mon"))
+    val wm = Window.orderBy(col("wk"))
     counts.withColumn("prev_active", lag(col("n_active"), 1).over(wm))
       .withColumn("n_churned",
         when(col("prev_active").isNotNull,
@@ -1656,7 +1656,7 @@ object EventAnalytics {
         when(col("n_churned") > 0,
           round((col("n_new") + col("n_resurrected"))
             / col("n_churned").cast("double") + lit(1e-9), 4)))
-      .select(col("mon").as("week"), col("n_active"), col("n_new"),
+      .select(col("wk").as("week"), col("n_active"), col("n_new"),
         col("n_retained"), col("n_resurrected"), col("n_churned"),
         col("quick_ratio"))
       .orderBy(col("week"))
@@ -3513,24 +3513,24 @@ object EventOracle {
         THEN round(mde_abs / mean_b + 1e-9, 6) END AS mde_rel
     FROM j ORDER BY event_type"""
 
-  /** Mirrors EventAnalytics.growthAccounting: user-month lag states,
-    * month rollup, churn from the active lag. */
+  /** Mirrors EventAnalytics.growthAccounting: user-WEEK lag states,
+    * weekly rollup, churn from the active lag. */
   val qGrowthAccounting: String = """
     WITH um AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts)::date AS mon
+      SELECT DISTINCT user_id, date_trunc('week', ts)::date AS wk
       FROM events),
     flags AS (
-      SELECT user_id, mon,
-        lag(mon, 1) OVER (PARTITION BY user_id ORDER BY mon) AS prev_mon
+      SELECT user_id, wk,
+        lag(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
       FROM um),
     st AS (
-      SELECT mon,
-        CASE WHEN prev_mon IS NULL THEN 'new'
-             WHEN date_diff('day', prev_mon, mon) = 7 THEN 'retained'
+      SELECT wk,
+        CASE WHEN prev_wk IS NULL THEN 'new'
+             WHEN date_diff('day', prev_wk, wk) = 7 THEN 'retained'
              ELSE 'resurrected' END AS status
       FROM flags),
     counts AS (
-      SELECT mon, CAST(count(*) AS BIGINT) AS n_active,
+      SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
         CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
           AS n_new,
         CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
@@ -3539,9 +3539,9 @@ object EventOracle {
           AS BIGINT) AS n_resurrected
       FROM st GROUP BY 1),
     l AS (
-      SELECT *, lag(n_active, 1) OVER (ORDER BY mon) AS prev_active
+      SELECT *, lag(n_active, 1) OVER (ORDER BY wk) AS prev_active
       FROM counts)
-    SELECT mon AS week, n_active, n_new, n_retained, n_resurrected,
+    SELECT wk AS week, n_active, n_new, n_retained, n_resurrected,
       CASE WHEN prev_active IS NOT NULL
         THEN CAST(prev_active - n_retained AS BIGINT) END AS n_churned,
       CASE WHEN prev_active - n_retained > 0

@@ -413,32 +413,53 @@ class Broker(db: WeatherDb) {
       .join(prev.select(col("station_id")).distinct(), Seq("station_id"), "left_anti")
       .isEmpty
 
+  /** _mark_last_imp_done twin — fired AFTER the stage's frame is
+    * built, and only when the processed [lo,hi] window actually covers
+    * the pending last-import period (the reference marks fillup done
+    * only under that coverage check, StationBases.py:1667-1669; a
+    * window that misses the import would otherwise read 'done' while
+    * the imported rows were never processed). A full-recompute
+    * fallback always covers everything, so it always marks. */
+  private def markDone(kind: String, lo: Date, hi: Date, full: Boolean): Unit = {
+    val window = TimestampPeriod(Some(lo.toLocalDate), Some(hi.toLocalDate))
+    if (full || window.contains(db.lastImpPeriodState))
+      db.lastImpDone.put(kind, true)
+  }
+
   /** last_imp_quality_check: QC only for the last-import window,
     * merged into the persisted qc frame. Falls back to a full QC run
     * when the import introduced stations absent from `prevQc`. */
   def lastImpQualityCheck(prevQc: DataFrame, lo: Date, hi: Date): DataFrame = {
-    db.lastImpDone.put("qc", true) // _mark_last_imp_done twin
-    if (coversAllStations(prevQc))
-      Incremental.updateQc(prevQc, db.raw, Series.dailyRef(db.events), db.meta, lo, hi)
-    else db.qc
+    val incremental = coversAllStations(prevQc)
+    val out =
+      if (incremental)
+        Incremental.updateQc(prevQc, db.raw, Series.dailyRef(db.events), db.meta, lo, hi)
+      else db.qc
+    markDone("qc", lo, hi, full = !incremental)
+    out
   }
 
   /** last_imp_fillup: fill-up only for the last-import window; full
     * recompute when `prevFilled` misses a (new) station. */
   def lastImpFillup(prevFilled: DataFrame, qc: DataFrame, lo: Date, hi: Date): DataFrame = {
-    db.lastImpDone.put("filled", true)
-    if (coversAllStations(prevFilled))
-      Incremental.updateFilled(prevFilled, qc, db.meta, lo, hi)
-    else Fillup.fillNeighbor(qc, db.meta)
+    val incremental = coversAllStations(prevFilled)
+    val out =
+      if (incremental) Incremental.updateFilled(prevFilled, qc, db.meta, lo, hi)
+      else Fillup.fillNeighbor(qc, db.meta)
+    markDone("filled", lo, hi, full = !incremental)
+    out
   }
 
   /** last_imp_corr: Richter correction only for the last-import window;
     * full recompute when `prevCorr` misses a (new) station. */
   def lastImpCorr(prevCorr: DataFrame, filled: DataFrame, lo: Date, hi: Date): DataFrame = {
-    db.lastImpDone.put("corr", true)
-    if (coversAllStations(prevCorr))
-      Incremental.updateCorr(prevCorr, filled, db.tempFilled, db.meta, lo, hi)
-    else Richter.correct(db.spark, filled, db.tempFilled, db.meta)
+    val incremental = coversAllStations(prevCorr)
+    val out =
+      if (incremental)
+        Incremental.updateCorr(prevCorr, filled, db.tempFilled, db.meta, lo, hi)
+      else Richter.correct(db.spark, filled, db.tempFilled, db.meta)
+    markDone("corr", lo, hi, full = !incremental)
+    out
   }
 }
 

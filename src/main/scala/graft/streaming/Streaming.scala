@@ -417,16 +417,23 @@ object Streaming extends Serializable {
           } else {
             val pPool = (xA + xB).toDouble / (nA + nB)
             val v = pPool * (1.0 - pPool) * (1.0 / nA + 1.0 / nB)
-            val delta = xB.toDouble / nB - xA.toDouble / nA
-            val ll =
-              if (v > 0.0) 0.5 * math.log(v / (v + tau2)) +
+            if (v <= 0.0) {
+              // degenerate pooled variance (zero or unanimous
+              // conversions so far): the batch msprt filters such days
+              // out entirely (filter(v > 0)) — emit nothing so the
+              // stream's per-day sequence matches the batch path on
+              // every input, not just the fixture's
+              st.update(MsprtState(nA, xA, nB, xB, s.maxLl))
+              Iterator.empty
+            } else {
+              val delta = xB.toDouble / nB - xA.toDouble / nA
+              val ll = 0.5 * math.log(v / (v + tau2)) +
                 delta * delta * tau2 / (2.0 * v * (v + tau2))
-              else s.maxLl
-            val mx = math.max(s.maxLl, ll)
-            st.update(MsprtState(nA, xA, nB, xB, mx))
-            val p = r6(math.min(1.0, math.exp(-mx)))
-            Iterator.single(MsprtUpdate(nA, xA, nB, xB,
-              if (v > 0.0) r6(ll) else Double.NaN, p, p < 0.05))
+              val mx = math.max(s.maxLl, ll)
+              st.update(MsprtState(nA, xA, nB, xB, mx))
+              val p = r6(math.min(1.0, math.exp(-mx)))
+              Iterator.single(MsprtUpdate(nA, xA, nB, xB, r6(ll), p, p < 0.05))
+            }
           }
       }
   }

@@ -14,6 +14,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Climate {
 
+  /** Engine↔oracle shared defaults: TsOracle interpolates these into
+    * its SQL so a default change can never silently break parity
+    * (round-7 ADVICE: the oracle twins hardcoded 3/0.05/3.0/7). */
+  val EsdK = 3
+  val EsdAlpha = 0.05
+  val SnowpackDdf = 3.0
+  val LowessHalf = 7
+
   /** Consecutive-dry-day spells per station and calendar year (the
     * ETCCDI "CDD" index shape): a day is dry when its daily sum is
     * below `dryThresh` (a NULL day — no observation — counts dry, as
@@ -2371,7 +2379,8 @@ object Climate {
     * the per-station moments, one partition-local rank window and one
     * anti-join on the removed (station, day) keys — no pair joins,
     * no global sorts. */
-  def esdOutliers(rawDaily: DataFrame, k: Int = 3, alpha: Double = 0.05): DataFrame = {
+  def esdOutliers(rawDaily: DataFrame, k: Int = EsdK,
+      alpha: Double = EsdAlpha): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     var current = rawDaily.filter(col("raw").isNotNull)
       .select(col("station_id"), col("day"), col("raw").as("x"))
@@ -3163,8 +3172,11 @@ object Climate {
 
   /** Circular flood-seasonality statistics per station (Burn 1997 —
     * the regionalization measure for WHEN extremes happen, not how
-    * big): each year's maximum maps to an angle θ = 2π(doy−1)/365 on
-    * the calendar circle; the mean resultant length r̄ measures how
+    * big): each year's maximum maps to an angle
+    * θ = 2π(doy−1)/days_in_year on the calendar circle (the leap-year
+    * denominator keeps Dec 31 of a 366-day year from aliasing onto
+    * Jan 1; the mean-date back-mapping stays the 365-day convention);
+    * the mean resultant length r̄ measures how
     * concentrated the flood season is (1 = same date every year,
     * 0 = uniform) and atan2 of the mean vector gives the mean flood
     * date.
@@ -3180,7 +3192,9 @@ object Climate {
     val peaks = obs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .withColumn("theta", lit(2.0 * math.Pi)
-        * (dayofyear(col("day")) - lit(1)).cast("double") / lit(365.0))
+        * (dayofyear(col("day")) - lit(1)).cast("double")
+        / datediff(make_date(col("yr") + lit(1), lit(1), lit(1)),
+            make_date(col("yr"), lit(1), lit(1))).cast("double"))
     peaks.groupBy(col("station_id"))
       .agg(count(lit(1)).as("n_years"),
         round(avg(cos(col("theta"))) + lit(1e-9), 6).as("c_bar"),
@@ -3309,7 +3323,15 @@ object Climate {
     * Plan: percent_rank is a per-station window; each station's
     * 101-point quantile table is ONE aggregate row (percentile over
     * an array of percentages), so the mapping join broadcasts an
-    * O(#stations × 101) map; no pair explosion, no global sort. */
+    * O(#stations × 101) map; no pair explosion, no global sort.
+    *
+    * Parity note (round-7 ADVICE): Spark `percentile` and DuckDB
+    * `quantile_cont` both interpolate linearly at p·(n−1) but are
+    * independent implementations — a table value landing within 1e-9
+    * of a .xxxx5 boundary could round apart at the 4-dp `mapped`
+    * round despite the +1e-9 nudge. Gated at all three SFs without a
+    * hit; if a future feed trips it, pre-round qarr to 6 dp on BOTH
+    * engines before the mapped round. */
   def quantileMapping(rawDaily: DataFrame, knn: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val obs = rawDaily.filter(col("raw").isNotNull)
@@ -3379,7 +3401,8 @@ object Climate {
     * then a stateless higher-order fold; output is O(#stations).
     * Snowfall and the snow-day indicator are precomputed per ROW so
     * the fold lambda is pure arithmetic (round/least/greatest/+). */
-  def snowpack(rawDaily: DataFrame, dailyTemp: DataFrame, ddf: Double = 3.0): DataFrame = {
+  def snowpack(rawDaily: DataFrame, dailyTemp: DataFrame,
+      ddf: Double = SnowpackDdf): DataFrame = {
     val joined = rawDaily.select(col("station_id"), col("day"),
         coalesce(col("raw"), lit(0.0)).as("p"))
       .join(dailyTemp.select(col("station_id"), col("day"),
@@ -3450,7 +3473,7 @@ object Climate {
     * into an equi-join + keyed re-aggregate on (station_id, day) —
     * no per-target rescan of the series, no window over the full
     * history; the fan-out constant is the smoother's own bandwidth. */
-  def lowess(rawDaily: DataFrame, half: Int = 7): DataFrame = {
+  def lowess(rawDaily: DataFrame, half: Int = LowessHalf): DataFrame = {
     val obs = rawDaily.filter(col("raw").isNotNull)
     val contrib = obs
       .withColumn("o", explode(sequence(lit(-half), lit(half))))

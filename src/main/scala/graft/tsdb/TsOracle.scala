@@ -3323,7 +3323,9 @@ object TsOracle {
       FROM raw_daily WHERE raw IS NOT NULL),
     peaks AS (
       SELECT station_id, day,
-        2.0 * pi() * CAST(dayofyear(day) - 1 AS DOUBLE) / 365.0 AS theta
+        2.0 * pi() * CAST(dayofyear(day) - 1 AS DOUBLE)
+          / CAST(date_diff('day', make_date(yr, 1, 1),
+                 make_date(yr + 1, 1, 1)) AS DOUBLE) AS theta
       FROM (SELECT *, row_number() OVER (PARTITION BY station_id, yr
               ORDER BY raw DESC, day ASC) AS rn FROM obs)
       WHERE rn = 1),
@@ -3446,7 +3448,7 @@ object TsOracle {
         round(t - (2.515517 + t * (0.802853 + t * 0.010328))
           / (1.0 + t * (1.432788 + t * (0.189269 + t * 0.001308)))
           + 1e-9, 4) AS lambda_crit
-      FROM (SELECT *, sqrt(-2.0 * ln(0.05 / (2.0 * (n + 1)))) AS t
+      FROM (SELECT *, sqrt(-2.0 * ln(${Climate.EsdAlpha} / (2.0 * (n + 1)))) AS t
             FROM pk$i WHERE rn = 1)),
     src${i + 1} AS (
       SELECT s.* FROM src$i s LEFT JOIN peak$i p
@@ -3456,9 +3458,9 @@ object TsOracle {
     WITH $world,
     src1 AS (
       SELECT station_id, day, raw AS x FROM raw_daily WHERE raw IS NOT NULL),
-    ${(1 to 3).map(roundCtes).mkString(",")},
-    u AS (SELECT * FROM peak1 UNION ALL SELECT * FROM peak2
-          UNION ALL SELECT * FROM peak3)
+    ${(1 to Climate.EsdK).map(roundCtes).mkString(",")},
+    u AS (${(1 to Climate.EsdK).map(i => s"SELECT * FROM peak$i")
+      .mkString(" UNION ALL ")})
     SELECT station_id, "round", n, outlier_day, x_out, r_stat, lambda_crit,
       r_stat > lambda_crit AS rejected
     FROM u ORDER BY station_id, "round""""
@@ -3523,7 +3525,7 @@ object TsOracle {
     * are both DOUBLE[] so list_reduce type-checks with the prepended
     * init. DuckDB lists are 1-based where Spark arrays are 0-based. */
   val qSnowpack: String = {
-    val melt = "least(a[1] + x[3], 3.0 * greatest(x[2], 0.0))"
+    val melt = s"least(a[1] + x[3], ${Climate.SnowpackDdf} * greatest(x[2], 0.0))"
     val sweNew = s"round(a[1] + x[3] - $melt + 1e-9, 4)"
     s"""
     WITH $world,
@@ -3596,8 +3598,8 @@ object TsOracle {
     contrib AS (
       SELECT station_id, day + CAST(o AS INT) AS t,
         CAST(-o AS DOUBLE) AS u, raw,
-        pow(1.0 - pow(abs(CAST(-o AS DOUBLE)) / 8.0, 3.0), 3.0) AS w
-      FROM obs, range(-7, 8) tt(o)),
+        pow(1.0 - pow(abs(CAST(-o AS DOUBLE)) / ${Climate.LowessHalf + 1}.0, 3.0), 3.0) AS w
+      FROM obs, range(-${Climate.LowessHalf}, ${Climate.LowessHalf + 1}) tt(o)),
     sums AS (
       SELECT station_id, t AS day, CAST(count(*) AS BIGINT) AS n_window,
         sum(w) AS sw, sum(w * u) AS su, sum(w * raw) AS sy,

@@ -214,6 +214,17 @@ class WeatherApiSpec extends SparkSpec {
     broker.lastImpFillup(db2.filled, db2.qc, lo, hi)
     broker.lastImpCorr(db2.corr, db2.filled, lo, hi)
     assert(s.isLastImpDone("filled") && s.isLastImpDone("corr"))
+    // a processed window that does NOT cover the pending import must
+    // NOT mark the kind done (the reference's fillup coverage check,
+    // StationBases.py:1667-1669) — the flag only flips once a window
+    // spanning the whole import period has run
+    db2.markLastImport(TimestampPeriod.of("2024-01-20", "2024-01-25"))
+    assert(!s.isLastImpDone("qc"))
+    val hiShort = java.sql.Date.valueOf("2024-01-22")
+    broker.lastImpQualityCheck(db2.qc, lo, hiShort)
+    assert(!s.isLastImpDone("qc"))
+    broker.lastImpQualityCheck(db2.qc, lo, hi)
+    assert(s.isLastImpDone("qc"))
     // registry membership twins
     assert(s.isinMa && s.isinMetaP)
   }

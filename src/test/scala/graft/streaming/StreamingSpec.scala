@@ -289,6 +289,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming msprt emits nothing on degenerate pooled variance, like the batch filter") {
+    implicit val sc = spark.sqlContext
+    // zero conversions in both arms -> pooled variance 0: the batch
+    // msprt drops such days (filter(v > 0)); the stream must stay
+    // silent too instead of emitting a NaN log-lambda row
+    val input = MemoryStream[Streaming.MsprtEvent]
+    val q = Streaming.msprtStream(input.toDS()).writeStream
+      .format("memory").queryName("msprt_degenerate").outputMode("update").start()
+    input.addData((0 until 40).map(i =>
+      Streaming.MsprtEvent(i.toLong, "click")): _*)
+    q.processAllAvailable()
+    assert(spark.table("msprt_degenerate").count() === 0)
+    // once variance turns positive the stream resumes emission
+    input.addData(Streaming.MsprtEvent(0L, "purchase"),
+      Streaming.MsprtEvent(1L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("msprt_degenerate")
+      .select("log_lambda").as[Double].collect()
+    assert(rows.length === 1 && !rows.head.isNaN)
+  }
+
   test("streaming sessionization equals the batch sessionize frame on closed sessions") {
     implicit val sc = spark.sqlContext
     // two stations, three sessions: station 1 splits at an hour of
