@@ -1191,6 +1191,38 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.imageDecodePng: the engine round-trips a real
+    * PNG (two IDAT chunks, per-row filters 0-4, CRC-verified walk,
+    * Inflater) whose RAW pixels follow the same closed form as the
+    * PPM variant — the oracle needs only the generator arithmetic, so
+    * any encoder/decoder/filter bug breaks this hash match. */
+  val qImageDecodePng: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 11 + 4 AS INT) AS width,
+             CAST(doc_id % 5 + 4 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT doc_id, width, height,
+        unnest(range(0, width * height * 3)) AS i
+      FROM img),
+    ch AS (
+      SELECT doc_id, width, height,
+        CAST(width AS BIGINT) * height AS n_pixels,
+        CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i * 7) % 256 END) AS BIGINT) AS sum_r,
+        CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 31 + i * 7) % 256 END) AS BIGINT) AS sum_g,
+        CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i * 7) % 256 END) AS BIGINT) AS sum_b
+      FROM px GROUP BY 1, 2, 3),
+    m AS (
+      SELECT doc_id, width, height, n_pixels,
+        round(sum_r / n_pixels::DOUBLE + 1e-9, 6) AS mean_r,
+        round(sum_g / n_pixels::DOUBLE + 1e-9, 6) AS mean_g,
+        round(sum_b / n_pixels::DOUBLE + 1e-9, 6) AS mean_b
+      FROM ch)
+    SELECT doc_id, width, height, n_pixels, mean_r, mean_g, mean_b,
+      round(0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b + 1e-9, 6)
+        AS luma
+    FROM m ORDER BY doc_id"""
+
   /** Mirrors TextAnalysis.cdcChunks: the same 4-char polynomial
     * rolling-hash boundaries (coefficients pre-reduced mod P on both
     * engines) and global exact-content chunk census. DuckDB lists are
@@ -2352,6 +2384,7 @@ object LlmOracle {
     "q_silhouette" -> qSilhouette,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_image_decode" -> qImageDecode,
+    "q_image_decode_png" -> qImageDecodePng,
     "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
     "q_image_resize" -> qImageResize,

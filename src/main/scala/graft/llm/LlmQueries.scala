@@ -196,6 +196,8 @@ object LlmQueries {
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(docs(s, d)).orderBy(col("doc_id"))),
     "q_image_decode" -> ((s, d) =>
       Multimodal.imageDecode(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_image_decode_png" -> ((s, d) =>
+      Multimodal.imageDecodePng(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_cdc_chunks" -> ((s, d) =>
       TextAnalysis.cdcChunks(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_charclass" -> ((s, d) =>

@@ -279,6 +279,53 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodePpm("P6\n2 1\n65535\nABCDEF".getBytes))
   }
 
+  test("PNG decode: synthesized PNG round-trips all five filters bit-exactly; corruption fails loudly") {
+    // h = 7 > 5 rows => every filter type (None/Sub/Up/Average/Paeth)
+    // appears at least once; the decode must reproduce the closed-form
+    // raw bytes exactly for the oracle hash to have a chance
+    val (w, h) = (6, 7)
+    val png = Multimodal.synthesizePng(9L, w, h)
+    val (dw, dh, px) = Multimodal.decodePng(png)
+    assert((dw, dh) === (w, h))
+    (0 until w * h * 3).foreach(i =>
+      assert((px(i).toInt & 0xff) === ((9 * 31 + i * 7) % 256).toInt, s"byte $i"))
+    // a flipped IDAT byte must die on the CRC check, not half-decode
+    val corrupt = png.clone()
+    val idatPos = {
+      // find the first IDAT chunk's data region
+      var p = 8; var found = -1
+      while (found < 0) {
+        val len = ((corrupt(p) & 0xff) << 24) | ((corrupt(p + 1) & 0xff) << 16) |
+          ((corrupt(p + 2) & 0xff) << 8) | (corrupt(p + 3) & 0xff)
+        val typ = new String(corrupt, p + 4, 4, "US-ASCII")
+        if (typ == "IDAT") found = p + 8 else p += 12 + len
+      }
+      found
+    }
+    corrupt(idatPos) = (corrupt(idatPos) ^ 0x55).toByte
+    val e = intercept[IllegalArgumentException](Multimodal.decodePng(corrupt))
+    assert(e.getMessage.contains("CRC"))
+    // truncation and wrong signature fail loudly too
+    intercept[IllegalArgumentException](Multimodal.decodePng(png.take(20)))
+    intercept[IllegalArgumentException](Multimodal.decodePng("P6\n2 1\n255\nABCDEF".getBytes))
+  }
+
+  test("featureExtract routes PNG payloads to the real decoder by signature") {
+    val png = Multimodal.synthesizePng(3L, 5, 4)
+    val feat = Multimodal.mediaFeature(png)
+    // real-decode layout: [w/4096, h/4096, mr, mg, mb, luma, 1, 0]
+    assert(feat(6) === 1f && feat(7) === 0f)
+    assert(feat(0) === 5 / 4096f && feat(1) === 4 / 4096f)
+    val n = 5 * 4
+    val sums = new Array[Long](3)
+    (0 until n * 3).foreach(i => sums(i % 3) += (3 * 31 + i * 7) % 256)
+    assert(math.abs(feat(2) - sums(0) / n.toFloat / 255f) < 1e-6f)
+    assert(math.abs(feat(4) - sums(2) / n.toFloat / 255f) < 1e-6f)
+    // a non-image payload still takes the stub path (flagless layout)
+    val stub = Multimodal.mediaFeature("just text".getBytes("US-ASCII"))
+    assert(stub.forall(v => v >= 0f && v < 1f))
+  }
+
   test("cdc chunks: boundaries are content-defined — shared tails chunk identically") {
     // two docs sharing a long tail after a 1-char prefix insertion:
     // CDC re-synchronizes, so most tail chunks dedup across the docs
