@@ -37,6 +37,21 @@ object Bench {
     "q_em_mixture", "q_trend_mk", "q_dtw", "q_corpus_clean",
     "q_semdedup", "q_bm25", "q_scd2", "q_snht", "q_item_cf")
 
+  /** Third bench tier: the round-7 additions (geometry chain,
+    * stationarity family, the three real decoders, hydrology and
+    * supply-chain closers) plus round 8's PNG decode — fixed from
+    * round 8 on, reported as `value3` / `queries3` / `cold_queries3`
+    * (tiers 1-2 keep their composition for cross-round
+    * comparability). */
+  val headline3: Seq[String] = Seq(
+    "q_geom_wkt", "q_geom_wgs84", "q_kpss", "q_adf", "q_coint_eg",
+    "q_gev_lmoments", "q_lowess", "q_msprt", "q_text_charclass",
+    "q_snowpack", "q_scs_runoff", "q_cdc_chunks", "q_croston",
+    "q_solar_ra", "q_inventory_policy", "q_quantile_mapping",
+    "q_esd_outliers", "q_periodogram_daily", "q_weibull_fit",
+    "q_poisson_ratio", "q_flood_seasonality", "q_budyko", "q_rbo",
+    "q_image_decode_png")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -87,7 +102,7 @@ object Bench {
     }
     // session warmup: FS + parquet footer reads, not attributed to queries
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    val both = headline ++ headline2
+    val both = headline ++ headline2 ++ headline3
     val coldAll = both.map(n => n -> timed(n))
     // drop memoized kind frames: each warm pass must redo ALL of the
     // distributed work, with only the JVM (codegen/JIT) staying warm.
@@ -105,8 +120,10 @@ object Bench {
       val runs = warmPasses.map(_(n))
       n -> runs.find(_._2.isDefined).getOrElse(runs.minBy(_._1))
     }
-    val (warm, warm2) = warmAll.partition(kv => headline.contains(kv._1))
-    val (cold, cold2) = coldAll.partition(kv => headline.contains(kv._1))
+    val (warm, warmRest) = warmAll.partition(kv => headline.contains(kv._1))
+    val (cold, coldRest) = coldAll.partition(kv => headline.contains(kv._1))
+    val (warm2, warm3) = warmRest.partition(kv => headline2.contains(kv._1))
+    val (cold2, cold3) = coldRest.partition(kv => headline2.contains(kv._1))
     // same escaper contract as Verify's: backslash, quote, and ALL
     // control chars — a tab or CR inside an exception message must not
     // make the driver's json.load reject the whole bench line
@@ -129,8 +146,10 @@ object Bench {
     val coldTotal = cold.collect { case (_, (v, None)) => v }.sum
     val total2 = warm2.collect { case (_, (v, None)) => v }.sum
     val coldTotal2 = cold2.collect { case (_, (v, None)) => v }.sum
+    val total3 = warm3.collect { case (_, (v, None)) => v }.sum
+    val coldTotal3 = cold3.collect { case (_, (v, None)) => v }.sum
     val allErrs = (warmAll ++ coldAll).collect { case (k, (_, Some(e))) => (k, e) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"value2":$total2,"queries2":${js(warm2)},"cold_value2":$coldTotal2,"cold_queries2":${js(cold2)},"errors":${errJs(warmAll)},"cold_errors":${errJs(coldAll)},"n_errors":${allErrs.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"value2":$total2,"queries2":${js(warm2)},"cold_value2":$coldTotal2,"cold_queries2":${js(cold2)},"value3":$total3,"queries3":${js(warm3)},"cold_value3":$coldTotal3,"cold_queries3":${js(cold3)},"errors":${errJs(warmAll)},"cold_errors":${errJs(coldAll)},"n_errors":${allErrs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,5 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneBands(args.head,
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksText].getName, "graft_cdc_chunks"),
+      (args: Seq[Expression]) => CdcChunksText(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
   }
 }

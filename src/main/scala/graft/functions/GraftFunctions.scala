@@ -516,5 +516,69 @@ object GraftFunctions {
       (args: Seq[Expression]) => HyperplaneBands(args.head,
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_chunks",
+      (args: Seq[Expression]) => CdcChunksText(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "built-in")
+  }
+}
+
+/** Content-defined chunk split of a text in one generated-code pass:
+  * the 4-char polynomial rolling hash h(i) = (cp(i−3)·B³ + cp(i−2)·B²
+  * + cp(i−1)·B + cp(i)) mod P (B=257, P=1000003; positions 1-based over
+  * CODE POINTS — exactly `ascii(substring(text, k, 1))` semantics) cuts
+  * after position i when h(i) ≡ 0 (mod mask) and i < len. Bit-identical
+  * to the composed filter/transform SQL form the DuckDB oracle mirrors
+  * — but ONE O(n) walk per row. The composed form was quadratic in
+  * practice: CollapseProject inlines the O(n·substring-seek) boundary
+  * filter into the chunk-extraction lambda, re-evaluating it PER CHUNK
+  * (measured ~124 ms per ~300-char doc; at sf0.1 the census broadcast
+  * thread blew Spark's 300 s broadcast timeout on exactly that). */
+case class CdcChunksText(child: Expression, mask: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"cdc_chunks needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunksText.chunks(input.asInstanceOf[UTF8String], mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcChunksText.chunks($c, $mask);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksText =
+    copy(child = newChild)
+}
+
+object CdcChunksText {
+  /** Referenced from generated code. */
+  def chunks(text: UTF8String, mask: Int): GenericArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n == 0)
+      return new GenericArrayData(Array[Any](UTF8String.fromString("")))
+    val B = 257L; val P = 1000003L
+    val c3 = B * B * B % P; val c2 = B * B % P
+    // 1-based boundary positions: cut AFTER code point i
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 3 // 0-based index of the window's last code point (1-based i+1 >= 4)
+    while (i < n - 1) { // the composed form requires i < len (1-based)
+      val h = (cps(i - 3) * c3 + cps(i - 2) * c2 + cps(i - 1) * B + cps(i)) % P
+      if (h % mask == 0) bounds += (i + 1)
+      i += 1
+    }
+    val out = new Array[Any](bounds.length + 1)
+    var from = 0 // 0-based start of the current chunk
+    var k = 0
+    while (k < bounds.length) {
+      out(k) = UTF8String.fromString(new String(cps, from, bounds(k) - from))
+      from = bounds(k)
+      k += 1
+    }
+    out(k) = UTF8String.fromString(new String(cps, from, n - from))
+    new GenericArrayData(out)
   }
 }

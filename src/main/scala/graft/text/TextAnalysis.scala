@@ -1549,33 +1549,22 @@ object TextAnalysis {
     * dedup globally by exact content; per doc the share of chunks
     * also present elsewhere in the corpus.
     *
-    * Plan: boundary detection is a stateless higher-order projection
-    * (filter over the position sequence — no shuffle); the global
-    * chunk census is ONE groupBy on the chunk string (the
-    * hash-partitioned dedup shape); the per-doc rollup rides the
-    * doc_id key back. At 100 TB the census would group on a chunk
-    * HASH instead of the literal string — same plan shape, smaller
-    * shuffle payload. */
+    * Plan: boundary detection + chunk split is ONE native O(n)
+    * generated-code pass per row (graft_cdc_chunks — the round-7
+    * composed filter/transform form was quadratic in practice:
+    * CollapseProject inlined the O(n) boundary filter into the
+    * extraction lambda, re-running it per chunk; at sf0.1 that blew
+    * the census broadcast's 300 s timeout); the global chunk census
+    * is ONE groupBy on the chunk string (the hash-partitioned dedup
+    * shape); the per-doc rollup rides the doc_id key back. At 100 TB
+    * the census would group on a chunk HASH instead of the literal
+    * string — same plan shape, smaller shuffle payload. */
   def cdcChunks(documents: DataFrame, mask: Int = 16): DataFrame = {
-    val B = 257L; val P = 1000003L
-    val c3 = B * B * B % P; val c2 = B * B % P
-    val h = s"((ascii(substring(text, i - 3, 1)) * ${c3}L" +
-      s" + ascii(substring(text, i - 2, 1)) * ${c2}L" +
-      s" + ascii(substring(text, i - 1, 1)) * ${B}L" +
-      s" + ascii(substring(text, i, 1))) % ${P}L)"
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val chunked = documents
       .filter(length(col("text")) > 0)
-      .withColumn("bounds", expr(
-        s"CASE WHEN length(text) >= 4 THEN " +
-          s"filter(sequence(4, length(text)), i -> $h % $mask = 0 AND i < length(text)) " +
-          "ELSE array() END"))
-      .withColumn("starts", expr("concat(array(1), transform(bounds, b -> b + 1))"))
-      .withColumn("ends", expr("concat(bounds, array(length(text)))"))
-      .withColumn("chunks", expr(
-        "transform(sequence(1, size(starts))," +
-          " k -> substring(text, starts[k - 1], ends[k - 1] - starts[k - 1] + 1))"))
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        explode(col("chunks")).as("chunk"))
+        explode(expr(s"graft_cdc_chunks(text, $mask)")).as("chunk"))
     val census = chunked.groupBy(col("chunk"))
       .agg(count(lit(1)).as("global_cnt"))
     chunked.join(census, Seq("chunk"))
