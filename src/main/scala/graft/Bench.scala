@@ -50,7 +50,7 @@ object Bench {
     "q_solar_ra", "q_inventory_policy", "q_quantile_mapping",
     "q_esd_outliers", "q_periodogram_daily", "q_weibull_fit",
     "q_poisson_ratio", "q_flood_seasonality", "q_budyko", "q_rbo",
-    "q_image_decode_png")
+    "q_image_decode_png", "q_image_decode_jpeg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

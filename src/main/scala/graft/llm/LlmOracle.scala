@@ -1223,6 +1223,49 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.imageDecodeJpeg: the engine round-trips a real
+    * baseline JFIF (in-file Huffman tables, DC differential coding,
+    * byte stuffing, float IDCT) whose planted quantized coefficients
+    * are closed-form — the oracle reproduces the decoded pixels via
+    * the two-term IDCT with the decoder's exact factor order and the
+    * repo-wide round(+1e-9) discipline (generator margins verified
+    * ≥0.017 from every rounding boundary, so libm ulp noise cannot
+    * flip a pixel). Any bug in the Huffman coder, the DC prediction
+    * chain, dequantization or the IDCT breaks this hash match. */
+  val qImageDecodeJpeg: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(8 * (doc_id % 3 + 1) AS INT) AS width,
+             CAST(8 * (doc_id % 2 + 1) AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0),
+    blockidx AS (
+      SELECT doc_id, width, height,
+        unnest(range(0, (width // 8) * (height // 8))) AS b
+      FROM img),
+    blocks AS (
+      SELECT doc_id, width, height,
+        CAST(((doc_id * 7 + b * 3) % 21) - 10 AS INT) AS dc,
+        CAST(((doc_id * 11 + b * 5) % 9) - 4 AS INT) AS ac
+      FROM blockidx),
+    pxs AS (
+      SELECT doc_id, width, height,
+        greatest(0, least(255, CAST(round(
+          0.25 * ((1.0 / sqrt(2.0)) * (1.0 / sqrt(2.0)) * (dc * 16.0)
+            + CASE WHEN ac = 0 THEN 0.0
+                   ELSE (1.0 / sqrt(2.0)) * (ac * 11.0)
+                        * cos((2 * x + 1) * pi() / 16) END)
+          + 128 + 1e-9) AS INT))) AS p
+      FROM blocks, range(0, 8) tx(x), range(0, 8) ty(y)),
+    agg AS (
+      SELECT doc_id, width, height,
+        CAST(width AS BIGINT) * height AS n_pixels,
+        CAST(sum(p) AS BIGINT) AS sum_gray,
+        CAST(min(p) AS INT) AS min_gray, CAST(max(p) AS INT) AS max_gray
+      FROM pxs GROUP BY 1, 2, 3)
+    SELECT doc_id, width, height, n_pixels, sum_gray,
+      round(sum_gray / n_pixels::DOUBLE + 1e-9, 6) AS mean_gray,
+      min_gray, max_gray
+    FROM agg ORDER BY doc_id"""
+
   /** Mirrors TextAnalysis.cdcChunks: the same 4-char polynomial
     * rolling-hash boundaries (coefficients pre-reduced mod P on both
     * engines) and global exact-content chunk census. DuckDB lists are
@@ -2385,6 +2428,7 @@ object LlmOracle {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_image_decode" -> qImageDecode,
     "q_image_decode_png" -> qImageDecodePng,
+    "q_image_decode_jpeg" -> qImageDecodeJpeg,
     "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
     "q_image_resize" -> qImageResize,

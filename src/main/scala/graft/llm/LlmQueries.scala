@@ -198,6 +198,8 @@ object LlmQueries {
       Multimodal.imageDecode(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_decode_png" -> ((s, d) =>
       Multimodal.imageDecodePng(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_image_decode_jpeg" -> ((s, d) =>
+      Multimodal.imageDecodeJpeg(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_cdc_chunks" -> ((s, d) =>
       TextAnalysis.cdcChunks(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_charclass" -> ((s, d) =>

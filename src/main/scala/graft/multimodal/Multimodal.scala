@@ -343,6 +343,339 @@ object Multimodal {
         col("mean_r"), col("mean_g"), col("mean_b"), col("luma"))
   }
 
+  // ---- Baseline JPEG (ITU-T T.81), grayscale subset ----------------
+
+  /** Zig-zag order: index k → raster index (row·8 + col), generated by
+    * the standard diagonal walk so no 64-entry literal can carry a
+    * typo. */
+  private[graft] val JpegZigZag: Array[Int] = {
+    val out = new Array[Int](64); var r = 0; var c = 0
+    (0 until 64).foreach { i =>
+      out(i) = r * 8 + c
+      if ((r + c) % 2 == 0) {
+        if (c == 7) r += 1 else if (r == 0) c += 1 else { r -= 1; c += 1 }
+      } else {
+        if (r == 7) c += 1 else if (c == 0) r += 1 else { r += 1; c -= 1 }
+      }
+    }
+    out
+  }
+
+  /** Annex-K luminance quantization table, raster order (public spec
+    * constants). */
+  private val JpegQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Tiny in-file Huffman tables (any valid JPEG carries its own DHT;
+    * these cover exactly the symbols the synthesizer emits — the
+    * DECODER builds its tables from the DHT segment, so it stays
+    * general): DC categories 0–5 at length 3; AC EOB + (run 0,
+    * size 1–4) at length 3. */
+  private val JpegDcBits = Array(0, 0, 6, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array(0, 1, 2, 3, 4, 5)
+  private val JpegAcBits = Array(0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegAcVals = Array(0x00, 0x01, 0x02, 0x03, 0x04)
+
+  /** Canonical Huffman code assignment (T.81 Annex C): symbol →
+    * (code, length). */
+  private def jpegCanonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    (1 to 16).foreach { l =>
+      (0 until bits(l - 1)).foreach { _ =>
+        out += vals(k) -> ((code, l)); k += 1; code += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** The block coefficients the test corpus plants — closed form, so
+    * the DuckDB oracle mirrors the DECODED pixels through the two-term
+    * IDCT without a JPEG library. */
+  private[graft] def jpegDcQ(docId: Long, block: Int): Int =
+    (((docId * 7 + block * 3) % 21) - 10).toInt
+  private[graft] def jpegAcQ(docId: Long, block: Int): Int =
+    (((docId * 11 + block * 5) % 9) - 4).toInt
+
+  /** Deterministic baseline-JPEG synthesizer — a REAL JFIF file (SOI,
+    * APP0, DQT with the Annex-K luminance table in zig-zag order,
+    * SOF0 8-bit single-component, two DHT segments, SOS, Huffman
+    * entropy stream with 0xFF byte stuffing, EOI): grayscale,
+    * dimensions multiples of 8, per 8×8 block a planted quantized DC
+    * ([[jpegDcQ]], DIFFERENTIALLY coded like every real JPEG) and one
+    * optional AC at zig-zag 1 ([[jpegAcQ]]). The decoder must walk
+    * markers, build canonical Huffman tables from the DHT, undo the
+    * DC prediction, run-length-decode the ACs, dequantize, de-zig-zag
+    * and IDCT — every stage of a real baseline decode. */
+  private[graft] def synthesizeJpeg(docId: Long, w: Int, h: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, s"JPEG synth dims must be multiples of 8 (got ${w}x$h)")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16); out.write("JFIF".getBytes("US-ASCII")) // APP0
+    out.write(Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    marker(0xdb); u16(67); out.write(0) // DQT, table 0, 8-bit
+    (0 until 64).foreach(k => out.write(JpegQuant(JpegZigZag(k))))
+    marker(0xc0); u16(11); out.write(8); u16(h); u16(w) // SOF0
+    out.write(1); out.write(1); out.write(0x11); out.write(0) // 1 comp, 1x1, q0
+    def dht(tcth: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(tcth)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0x00, JpegDcBits, JpegDcVals)
+    dht(0x10, JpegAcBits, JpegAcVals)
+    marker(0xda); u16(8); out.write(1); out.write(1); out.write(0x00) // SOS
+    out.write(0); out.write(0x3f); out.write(0)
+    // entropy-coded segment: MSB-first bit writer with 0xFF stuffing
+    var acc = 0; var nBits = 0
+    def putBits(code: Int, len: Int): Unit =
+      (len - 1 to 0 by -1).foreach { i =>
+        acc = (acc << 1) | ((code >> i) & 1); nBits += 1
+        if (nBits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nBits = 0
+        }
+      }
+    val dcc = jpegCanonical(JpegDcBits, JpegDcVals)
+    val acc0 = jpegCanonical(JpegAcBits, JpegAcVals)
+    def category(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a > 0) { s += 1; a >>= 1 }
+      s
+    }
+    def catBits(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
+    var prev = 0
+    (0 until (w / 8) * (h / 8)).foreach { b =>
+      val dc = jpegDcQ(docId, b); val ac = jpegAcQ(docId, b)
+      val d = dc - prev; prev = dc
+      val s = category(d)
+      val (c1, l1) = dcc(s); putBits(c1, l1)
+      if (s > 0) putBits(catBits(d, s), s)
+      if (ac != 0) {
+        val sa = category(ac)
+        val (c2, l2) = acc0(sa); putBits(c2, l2); putBits(catBits(ac, sa), sa)
+      }
+      val (ce, le) = acc0(0x00); putBits(ce, le) // EOB
+    }
+    while (nBits != 0) putBits(1, 1) // pad with 1-bits (spec F.1.2.3)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Dependency-free baseline-JPEG decoder (ITU-T T.81, the grayscale
+    * non-subsampled subset — the round-7 verdict called JPEG
+    * infeasible without native libs; baseline sequential needs none):
+    * marker walk (APPn/COM skipped by length), DQT (8-bit), SOF0
+    * (8-bit, 1 component, 1×1 sampling, dims multiples of 8 — anything
+    * else fails loudly), DHT → canonical Huffman tables (general
+    * (BITS, HUFFVAL) decode, not just the synthesizer's), SOS, entropy
+    * stream with 0xFF00 unstuffing, per block: DC category + diff
+    * prediction, AC run-length (ZRL handled), dequantize, de-zig-zag,
+    * skip-zero float IDCT, level shift, round(+1e-9 — the repo-wide
+    * tie discipline; T.81 Annex A allows ±1 decoder variance, this
+    * pins ONE convention both engines share) and clamp. Returns
+    * (width, height, grayscale bytes). */
+  private[graft] def decodeJpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (missing SOI)")
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    var pos = 2
+    var quant: Array[Int] = null
+    var w = -1; var h = -1
+    // huffman tables: (tc<<4|th) -> (bits, vals)
+    val tables = scala.collection.mutable.Map.empty[Int, (Array[Int], Array[Int])]
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(pos + 4 <= bytes.length && u8(pos) == 0xff, s"bad marker at $pos")
+      val m = u8(pos + 1); pos += 2
+      require(m != 0xd9, "EOI before SOS")
+      val len = u16(pos)
+      require(pos + len <= bytes.length, f"truncated segment ff$m%02x")
+      m match {
+        case 0xdb =>
+          require((u8(pos + 2) & 0xf0) == 0, "only 8-bit quant tables supported")
+          quant = Array.tabulate(64)(k => u8(pos + 3 + k))
+        case 0xc0 =>
+          require(u8(pos + 2) == 8, "only 8-bit precision supported")
+          h = u16(pos + 3); w = u16(pos + 5)
+          require(u8(pos + 7) == 1, "only single-component (grayscale) JPEG supported")
+          require(u8(pos + 9) == 0x11, "subsampling unsupported")
+          require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+            s"dimensions ${w}x$h not multiples of 8 unsupported")
+        case 0xc4 =>
+          var p = pos + 2
+          while (p < pos + len) {
+            val tcth = u8(p)
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val nv = bits.sum
+            val vals = Array.tabulate(nv)(i => u8(p + 17 + i))
+            tables(tcth) = (bits, vals)
+            p += 17 + nv
+          }
+        case 0xda => sosAt = pos + len // entropy data starts after SOS header
+        case c if c >= 0xc1 && c <= 0xcf && c != 0xc4 && c != 0xc8 && c != 0xcc =>
+          throw new IllegalArgumentException(f"progressive/extended JPEG (ff$c%02x) unsupported")
+        case _ => () // APPn / COM / others: skip by length
+      }
+      pos += len
+    }
+    require(quant != null && w > 0, "missing DQT or SOF0 before SOS")
+    require(tables.contains(0x00) && tables.contains(0x10), "missing Huffman tables")
+    // unstuff the entropy-coded segment (0xFF00 -> literal 0xFF)
+    val stream = new java.io.ByteArrayOutputStream()
+    var j = sosAt
+    var ended = false
+    while (!ended) {
+      require(j < bytes.length, "truncated entropy stream (no EOI)")
+      if (u8(j) == 0xff) {
+        require(j + 1 < bytes.length, "truncated entropy stream (dangling 0xFF)")
+        u8(j + 1) match {
+          case 0x00 => stream.write(0xff); j += 2
+          case 0xd9 => ended = true
+          case other =>
+            throw new IllegalArgumentException(f"unexpected marker ff$other%02x in entropy stream")
+        }
+      } else { stream.write(u8(j)); j += 1 }
+    }
+    val data = stream.toByteArray
+    var bitPos = 0
+    def bit(): Int = {
+      require(bitPos < data.length * 8, "entropy stream exhausted mid-block")
+      val b = (data(bitPos >> 3) >> (7 - (bitPos & 7))) & 1
+      bitPos += 1; b
+    }
+    def bitsVal(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    // canonical decode per T.81 F.2.2.3: mincode/maxcode/valptr by length
+    def mkDecoder(bits: Array[Int], vals: Array[Int]): () => Int = {
+      val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+      val valPtr = new Array[Int](17)
+      var code = 0; var k = 0
+      (1 to 16).foreach { l =>
+        valPtr(l) = k; minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+      }
+      () => {
+        var l = 1; var c = bit()
+        while (maxCode(l) < 0 || c > maxCode(l)) {
+          require(l < 16, "bad Huffman code")
+          c = (c << 1) | bit(); l += 1
+        }
+        vals(valPtr(l) + (c - minCode(l)))
+      }
+    }
+    val dcDec = mkDecoder(tables(0x00)._1, tables(0x00)._2)
+    val acDec = mkDecoder(tables(0x10)._1, tables(0x10)._2)
+    def extend(v: Int, s: Int): Int = if (v >= (1 << (s - 1))) v else v - (1 << s) + 1
+    val bw = w / 8; val bh = h / 8
+    val px = new Array[Byte](w * h)
+    val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    var prev = 0
+    var b = 0
+    while (b < bw * bh) {
+      val coef = new Array[Double](64) // raster order, dequantized
+      val s = dcDec()
+      val diff = if (s == 0) 0 else extend(bitsVal(s), s)
+      prev += diff
+      coef(0) = prev.toDouble * quant(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = acDec()
+        if (rs == 0x00) eob = true // EOB
+        else if (rs == 0xf0) k += 16 // ZRL: 16 zeros
+        else {
+          val run = rs >> 4; val sz = rs & 0x0f
+          k += run
+          require(k < 64, "AC run past block end")
+          coef(JpegZigZag(k)) = extend(bitsVal(sz), sz).toDouble * quant(k)
+          k += 1
+        }
+      }
+      val by = b / bw; val bx = b % bw
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sm = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val sc = coef(v * 8 + u)
+              if (sc != 0.0)
+                sm += c(u) * c(v) * sc *
+                  math.cos((2 * x + 1) * u * math.Pi / 16) *
+                  math.cos((2 * y + 1) * v * math.Pi / 16)
+              u += 1
+            }
+            v += 1
+          }
+          val value = math.round(0.25 * sm + 128 + 1e-9)
+          px((by * 8 + y) * w + bx * 8 + x) =
+            math.max(0L, math.min(255L, value)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+    (w, h, px)
+  }
+
+  case class DecodedGray(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_gray: Long, min_gray: Int, max_gray: Int)
+
+  /** REAL baseline-JPEG decode over synthesized payloads — the full
+    * marker→DHT-Huffman→DC-prediction→RLE→dequant→zig-zag→IDCT
+    * pipeline where PNG had filters and PPM a byte copy. The planted
+    * quantized coefficients are closed-form, so the DuckDB oracle
+    * reproduces the decoded pixels through the two-term IDCT with the
+    * identical factor order and the repo's round(+1e-9) discipline —
+    * any bug in the Huffman coder, the DC prediction chain, the
+    * dequantization or the IDCT breaks the hash match. */
+  def imageDecodeJpeg(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = metadata(documents)
+      .filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 * (id % 3 + 1).toInt; val h = 8 * (id % 2 + 1).toInt
+          val (dw, dh, px) = decodeJpeg(synthesizeJpeg(id, w, h))
+          var sum = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < px.length) {
+            val v = px(i).toInt & 0xff
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          DecodedGray(id, dw, dh, dw.toLong * dh, sum, mn, mx)
+        }
+      }.toDF()
+    decoded
+      .withColumn("mean_gray",
+        round(col("sum_gray") / col("n_pixels").cast("double") + lit(1e-9), 6))
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("sum_gray"), col("mean_gray"), col("min_gray"), col("max_gray"))
+  }
+
   /** Deterministic RIFF/WAVE synthesizer for the test corpus: PCM16
     * mono at 100 Hz, n = ((id·7) mod 300 + 1)·10 samples (so decoded
     * duration equals the typed-metadata duration_s exactly), sample i
@@ -690,11 +1023,12 @@ object Multimodal {
     * `mapPartitions` with an `Encoder`, identical partitioning/batch
     * shape).
     *
-    * REAL for PNG (signature-routed to [[decodePng]]) and binary PPM
-    * ([[decodePpm]]): either yields genuine pixel features
-    * (normalized dims + channel means + luma). Every other format
-    * stays a STUB (deterministic byte-slice feature — no media
-    * libraries in this environment; JPEG/MP3 genuinely need them). */
+    * REAL for PNG (signature-routed to [[decodePng]]), baseline JPEG
+    * (SOI-routed to [[decodeJpeg]], grayscale feeding all channels)
+    * and binary PPM ([[decodePpm]]): each yields genuine pixel
+    * features (normalized dims + channel means + luma). Every other
+    * format stays a STUB (deterministic byte-slice feature — MP3 and
+    * H.264 genuinely need native codecs end-to-end). */
   def featureExtract(spark: SparkSession, documents: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
     val withPayload = metadata(documents.select(col("doc_id"), col("text")))
@@ -708,16 +1042,29 @@ object Multimodal {
   }
 
   /** Per-payload feature vector — the routing seam featureExtract runs
-    * inside its partitions, factored out so the PNG/PPM routes are
-    * unit-testable with synthesized payloads. PNG is routed by its
-    * 8-byte signature (so a corrupt PNG FAILS the real decoder loudly
-    * through Try → stub, never silently half-parses); PPM by its P6
-    * magic. */
+    * inside its partitions, factored out so the JPEG/PNG/PPM routes
+    * are unit-testable with synthesized payloads. PNG routes on its
+    * 8-byte signature, JPEG on SOI 0xFFD8 (grayscale pixels feed all
+    * three channels), PPM on its P6 magic — a corrupt payload FAILS
+    * its real decoder loudly through Try → stub, never silently
+    * half-parses. */
   private[graft] def mediaFeature(payload: Array[Byte]): Array[Float] = {
     val isPng = payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P'.toByte && payload(2) == 'N'.toByte && payload(3) == 'G'.toByte
+    val isJpeg = payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8
     val img =
       if (isPng) scala.util.Try(decodePng(payload)).toOption
+      else if (isJpeg) scala.util.Try(decodeJpeg(payload)).toOption.map {
+        case (w, h, gray) => // replicate gray across the RGB layout
+          val rgb = new Array[Byte](gray.length * 3)
+          var i = 0
+          while (i < gray.length) {
+            rgb(3 * i) = gray(i); rgb(3 * i + 1) = gray(i); rgb(3 * i + 2) = gray(i)
+            i += 1
+          }
+          (w, h, rgb)
+      }
       else scala.util.Try(decodePpm(payload)).toOption
     img match {
       case Some((w, h, px)) =>
@@ -731,7 +1078,7 @@ object Multimodal {
         Array(w / 4096f, h / 4096f, mr, mg, mb,
           0.299f * mr + 0.587f * mg + 0.114f * mb, 1f, 0f)
       case None =>
-        // --- decode STUB for formats that need native libs (JPEG/MP3) ---
+        // --- decode STUB for formats that need native codecs (MP3/H.264) ---
         Array.tabulate(8) { i =>
           val slice = payload.iterator.zipWithIndex
             .filter(_._2 % 8 == i).map(_._1.toInt & 0xff).sum

@@ -326,6 +326,63 @@ class LlmSpec extends SparkSpec {
     assert(stub.forall(v => v >= 0f && v < 1f))
   }
 
+  test("JPEG decode: synthesized baseline JFIF round-trips the closed-form pixels exactly") {
+    // 24x16 = 6 blocks: exercises DC differential coding across blocks
+    // and both the with-AC and DC-only (EOB-immediately) paths
+    val (w, h) = (24, 16)
+    val did = 6L
+    val (dw, dh, px) = Multimodal.decodeJpeg(Multimodal.synthesizeJpeg(did, w, h))
+    assert((dw, dh) === (w, h))
+    val c0 = 1.0 / math.sqrt(2.0)
+    val bw = w / 8
+    var checked = 0
+    (0 until bw * (h / 8)).foreach { b =>
+      val dc = Multimodal.jpegDcQ(did, b); val ac = Multimodal.jpegAcQ(did, b)
+      val by = b / bw; val bx = b % bw
+      (0 until 8).foreach { y =>
+        (0 until 8).foreach { x =>
+          val t1 = c0 * c0 * (dc * 16.0)
+          val t2 = if (ac == 0) 0.0
+            else 1.0 * c0 * (ac * 11.0) * math.cos((2 * x + 1) * math.Pi / 16)
+          val want = math.max(0L, math.min(255L, math.round(0.25 * (t1 + t2) + 128 + 1e-9)))
+          assert((px((by * 8 + y) * w + bx * 8 + x).toInt & 0xff) === want.toInt,
+            s"pixel ($x,$y) of block $b")
+          checked += 1
+        }
+      }
+    }
+    assert(checked === w * h)
+  }
+
+  test("JPEG decode: unstuffing, DC prediction over many blocks, and loud failures") {
+    // a stuffed 0xFF00 spliced into the entropy padding region (just
+    // before EOI) must read as a literal data byte the block loop
+    // never consumes — identical pixels, no marker confusion
+    val png = Multimodal.synthesizeJpeg(33L, 16, 16)
+    val base = Multimodal.decodeJpeg(png)._3.toSeq
+    val spliced = png.dropRight(2) ++ Array(0xff.toByte, 0x00.toByte) ++ png.takeRight(2)
+    assert(Multimodal.decodeJpeg(spliced)._3.toSeq === base)
+    // every image doc decodes with the DC prediction chain intact
+    (0L until 30L by 3L).foreach { id =>
+      val w = 8 * (id % 3 + 1).toInt; val h = 8 * (id % 2 + 1).toInt
+      val (dw2, dh2, p2) = Multimodal.decodeJpeg(Multimodal.synthesizeJpeg(id, w, h))
+      assert((dw2, dh2) === (w, h) && p2.length === w * h)
+    }
+    // loud failures: truncation, non-JPEG, unexpected marker in stream
+    intercept[IllegalArgumentException](Multimodal.decodeJpeg(png.take(30)))
+    intercept[IllegalArgumentException](Multimodal.decodeJpeg("P6\n1 1\n255\nABC".getBytes))
+    val badMarker = png.dropRight(2) ++ Array(0xff.toByte, 0xc0.toByte) ++ png.takeRight(2)
+    intercept[IllegalArgumentException](Multimodal.decodeJpeg(badMarker))
+  }
+
+  test("featureExtract routes JPEG payloads to the real decoder by SOI signature") {
+    val jpeg = Multimodal.synthesizeJpeg(3L, 8, 8)
+    val feat = Multimodal.mediaFeature(jpeg)
+    assert(feat(6) === 1f && feat(0) === 8 / 4096f)
+    // grayscale replicated: all three channel means identical
+    assert(feat(2) === feat(3) && feat(3) === feat(4))
+  }
+
   test("cdc chunks: boundaries are content-defined — shared tails chunk identically") {
     // two docs sharing a long tail after a 1-char prefix insertion:
     // CDC re-synchronizes, so most tail chunks dedup across the docs
