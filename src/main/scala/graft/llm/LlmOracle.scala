@@ -1681,6 +1681,25 @@ object LlmOracle {
       round(206.835 - 1.015 * wps - 84.6 * spw + 1e-9, 4) AS flesch
     FROM r ORDER BY doc_id"""
 
+  /** Mirrors Sources.bucketedRoundtrip: the engine routes events
+    * through a bucketed+sorted catalog table and an exchange-free
+    * keyed join; the oracle computes the identical integer-exact
+    * checksums straight off parquet (value cents via trunc — Spark's
+    * double→long cast truncates toward zero where a plain DuckDB CAST
+    * would round). */
+  val qIngestBucketed: String = """
+    WITH a AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1),
+    b AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_even_events
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1)
+    SELECT user_id, n_events, sum_ids, value_cents, n_even_events
+    FROM a JOIN b USING (user_id)
+    ORDER BY user_id"""
+
   /** CSV round-trip: same checksum-from-parquet trick as
     * [[qIngestJsonl]] — the payload adds a comma to the gauntlet. */
   val qIngestCsv: String = s"""
@@ -2367,6 +2386,7 @@ object LlmOracle {
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
     "q_ingest_orc" -> qIngestOrc,
+    "q_ingest_bucketed" -> qIngestBucketed,
     "q_readability" -> qReadability,
     "q_rbo" -> qRbo,
     "q_token_burstiness" -> qTokenBurstiness,

@@ -179,6 +179,8 @@ object LlmQueries {
       graft.sources.Sources.csvRoundtrip(s, d).orderBy(col("source"))),
     "q_ingest_orc" -> ((s, d) =>
       graft.sources.Sources.orcRoundtrip(s, d).orderBy(col("source"))),
+    "q_ingest_bucketed" -> ((s, d) =>
+      graft.sources.Sources.bucketedRoundtrip(s, d).orderBy(col("user_id"))),
     "q_readability" -> ((s, d) =>
       TextAnalysis.readability(docs(s, d)).orderBy(col("doc_id"))),
     "q_rbo" -> ((s, d) => TextAnalysis.rboTokens(docs(s, d))),

@@ -103,6 +103,37 @@ object Sources {
       s"graft_${fmt}_${spark.sparkContext.applicationId}_" +
         Integer.toHexString(sfDir.hashCode)).getPath
 
+  /** Bucketed-table ingest round-trip — the storage-side co-location
+    * contract: events write as a bucketed+sorted parquet table (8
+    * buckets on user_id) through [[writeBucketed]], read back via the
+    * catalog, and the user_id-keyed aggregates + join consume the
+    * bucketing so NO exchange appears in the plan (SourcesSpec pins
+    * the shuffle-free plan on the registered query): bucketing
+    * pre-pays the shuffle once at write time, and at 100 TB every
+    * downstream keyed join/agg on the bucket column reuses it.
+    * Output checksums are integer-exact (counts, id sums, truncated
+    * value cents — order-independent), so the oracle computes them
+    * straight off the parquet the table was written from. */
+  def bucketedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val wh = roundtripTmp(spark, "bucket", sfDir)
+    val sfx = Integer.toHexString(sfDir.hashCode)
+    val ta = s"graft_ev_bucket_a_$sfx"; val tb = s"graft_ev_bucket_b_$sfx"
+    writeBucketed(ev, ta, "user_id", nBuckets = 8, basePath = wh)
+    writeBucketed(ev.filter(col("event_id") % 2 === 0), tb, "user_id",
+      nBuckets = 8, basePath = wh)
+    val a = spark.table(ta).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_ids"),
+        sum((col("value") * 100).cast("long")).as("value_cents"))
+    val b = spark.table(tb).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_even_events"))
+    a.join(b, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("sum_ids"),
+        col("value_cents"), col("n_even_events"))
+  }
+
   def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val payload = concat(

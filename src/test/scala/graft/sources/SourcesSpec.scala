@@ -52,6 +52,21 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_ingest_bucketed: the registered query's plan is exchange-free and row-exact") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so only the bucketing can make it shuffle-free
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = Sources.bucketedRoundtrip(spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed ingest query should be shuffle-free:\n$plan")
+      val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      assert(q.count() ===
+        ev.filter(col("event_id") % 2 === 0).select("user_id").distinct().count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     val fact = events.select(col("user_id"), col("event_id"), col("value"))
     val dim = events.groupBy("user_id").agg(avg("value").as("user_avg"))
