@@ -1266,6 +1266,35 @@ object LlmOracle {
       min_gray, max_gray
     FROM agg ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.audioSpectrum: the DFT correlation sums run in
+    * fixed point (samples exact ints, cos/sin quantized to 1e-6 via
+    * floor(x·1e6 + 0.5) on the identical double — both engines build
+    * the identical angle expression), so c_sum/s_sum are exact
+    * integers regardless of summation order; the ENGINE computes them
+    * from genuinely decoded RIFF bytes, this oracle from the
+    * generator's closed form. */
+  val qAudioSpectrum: String = """
+    WITH aud AS (
+      SELECT doc_id, CAST(((doc_id * 7) % 300 + 1) * 10 AS INT) AS n
+      FROM documents WHERE doc_id % 3 = 1),
+    idx AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud),
+    t AS (
+      SELECT doc_id, n, i, k,
+        CAST((doc_id * 131 + i * 17) % 4001 - 2000 AS BIGINT) AS s
+      FROM idx, range(1, 5) tk(k)),
+    sums AS (
+      SELECT doc_id, CAST(k AS INT) AS bin,
+        CAST(sum(s * CAST(floor(cos(2 * pi() * k * i / n) * 1000000 + 0.5)
+          AS BIGINT)) AS BIGINT) AS c_sum,
+        CAST(sum(s * CAST(floor(sin(2 * pi() * k * i / n) * 1000000 + 0.5)
+          AS BIGINT)) AS BIGINT) AS s_sum
+      FROM t GROUP BY 1, 2)
+    SELECT doc_id, bin, c_sum, s_sum,
+      round(sqrt(CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+        + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE)) / 1000000.0
+        + 1e-9, 4) AS amp
+    FROM sums ORDER BY doc_id, bin"""
+
   /** Mirrors TextAnalysis.cdcChunks: the same 4-char polynomial
     * rolling-hash boundaries (coefficients pre-reduced mod P on both
     * engines) and global exact-content chunk census. DuckDB lists are
@@ -2449,6 +2478,7 @@ object LlmOracle {
     "q_image_decode" -> qImageDecode,
     "q_image_decode_png" -> qImageDecodePng,
     "q_image_decode_jpeg" -> qImageDecodeJpeg,
+    "q_audio_spectrum" -> qAudioSpectrum,
     "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
     "q_image_resize" -> qImageResize,

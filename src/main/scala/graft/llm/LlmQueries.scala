@@ -211,6 +211,8 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("cell_y"), col("cell_x"))),
     "q_audio_decode" -> ((s, d) =>
       Multimodal.audioDecode(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_audio_spectrum" -> ((s, d) =>
+      Multimodal.audioSpectrum(s, docs(s, d)).orderBy(col("doc_id"), col("bin"))),
     "q_video_decode" -> ((s, d) =>
       Multimodal.videoDecode(s, docs(s, d)).orderBy(col("doc_id"))))
 }

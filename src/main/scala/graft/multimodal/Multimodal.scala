@@ -798,6 +798,55 @@ object Multimodal {
         col("zero_crossings"), col("zcr"))
   }
 
+  case class SpectrumBin(doc_id: Long, bin: Int, c_sum: Long, s_sum: Long)
+
+  /** REAL audio feature extraction past the sample stats: per audio
+    * doc the DFT correlation of the DECODED waveform against the
+    * first `bins` harmonics of the clip — the spectral-energy
+    * signature an audio-quality filter keys on (a pipeline drops
+    * clips whose energy collapses into one bin: tones, hum, DC). The
+    * per-bin sums run in FIXED POINT (cos/sin quantized to 1e-6 via
+    * floor(x+0.5), samples exact ints), so c_sum/s_sum are exact
+    * integers — order-independent, which is what lets the DuckDB
+    * oracle reproduce them from the generator's closed form while the
+    * ENGINE computes them from the genuinely decoded RIFF bytes: a
+    * decoder bug breaks the hash match. `amp` is the 1e-6-descaled
+    * bin magnitude from the exact sums.
+    *
+    * Plan: stateless partition-local decode+fold (the mapInPandas
+    * batch shape), O(bins) rows per doc out; amp is a plan
+    * projection. */
+  def audioSpectrum(spark: SparkSession, documents: DataFrame,
+      bins: Int = 4): DataFrame = {
+    import spark.implicits._
+    val sums = metadata(documents)
+      .filter(col("modality") === "audio")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val (_, xs) = decodeWav(synthesizeWav(id))
+          val n = xs.length
+          (1 to bins).map { k =>
+            var c = 0L; var s = 0L
+            var i = 0
+            while (i < n) {
+              val ang = 2.0 * math.Pi * k * i / n
+              c += xs(i) * math.floor(math.cos(ang) * 1000000 + 0.5).toLong
+              s += xs(i) * math.floor(math.sin(ang) * 1000000 + 0.5).toLong
+              i += 1
+            }
+            SpectrumBin(id, k, c, s)
+          }
+        }
+      }.toDF()
+    sums
+      .withColumn("amp", round(
+        sqrt(col("c_sum").cast("double") * col("c_sum").cast("double")
+          + col("s_sum").cast("double") * col("s_sum").cast("double"))
+          / lit(1000000.0) + lit(1e-9), 4))
+      .select(col("doc_id"), col("bin"), col("c_sum"), col("s_sum"), col("amp"))
+  }
+
   /** Deterministic YUV4MPEG2 synthesizer for the test corpus: C444 at
     * F25:1, W = id mod 6 + 2, H = id mod 4 + 2, id mod 5 + 2 frames;
     * byte p of frame f's plane payload = (id·29 + f·101 + p·13) mod

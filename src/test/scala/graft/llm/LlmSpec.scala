@@ -375,6 +375,30 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeJpeg(badMarker))
   }
 
+  test("audio spectrum: fixed-point DFT sums match a driver-side fold of the closed form") {
+    val out = Multimodal.audioSpectrum(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getAs[Long]("c_sum"), r.getAs[Long]("s_sum"), r.getAs[Double]("amp"))).toMap
+    // audio docs are doc_id % 3 == 1; 4 bins each
+    assert(out.keys.map(_._1).toSet === docs.collect().map(_.getAs[Long]("doc_id"))
+      .filter(_ % 3 == 1).toSet)
+    assert(out.keys.groupBy(_._1).values.forall(_.size === 4))
+    val id = out.keys.head._1
+    val n = (((id * 7) % 300 + 1) * 10).toInt
+    (1 to 4).foreach { k =>
+      var c = 0L; var s = 0L
+      (0 until n).foreach { i =>
+        val smp = ((id * 131 + i * 17) % 4001 - 2000).toInt
+        val ang = 2.0 * math.Pi * k * i / n
+        c += smp * math.floor(math.cos(ang) * 1000000 + 0.5).toLong
+        s += smp * math.floor(math.sin(ang) * 1000000 + 0.5).toLong
+      }
+      val (gc, gs, amp) = out((id, k))
+      assert(gc === c && gs === s, s"bin $k of doc $id")
+      assert(amp >= 0.0)
+    }
+  }
+
   test("featureExtract routes JPEG payloads to the real decoder by SOI signature") {
     val jpeg = Multimodal.synthesizeJpeg(3L, 8, 8)
     val feat = Multimodal.mediaFeature(jpeg)
