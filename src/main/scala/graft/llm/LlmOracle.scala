@@ -1295,6 +1295,33 @@ object LlmOracle {
         + 1e-9, 4) AS amp
     FROM sums ORDER BY doc_id, bin"""
 
+  /** Mirrors Multimodal.videoScenes: per-consecutive-frame Y-plane
+    * sum of absolute differences from the y4m generator's closed form
+    * (the Y plane is the first w·h bytes of each C444 frame payload);
+    * the engine folds genuinely demuxed planes — exact integer SADs,
+    * so order never matters. */
+  val qVideoScenes: String = """
+    WITH vid AS (
+      SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS w,
+             CAST(doc_id % 4 + 2 AS INT) AS h,
+             CAST(doc_id % 5 + 2 AS INT) AS nf
+      FROM documents WHERE doc_id % 3 = 2),
+    fr AS (SELECT doc_id, w, h, unnest(range(1, nf)) AS f FROM vid),
+    pxi AS (SELECT doc_id, w, h, f, unnest(range(0, w * h)) AS p FROM fr),
+    d AS (
+      SELECT doc_id, w, h, f,
+        abs(CAST((doc_id * 29 + f * 101 + p * 13) % 256 AS BIGINT)
+          - CAST((doc_id * 29 + (f - 1) * 101 + p * 13) % 256 AS BIGINT)) AS ad
+      FROM pxi),
+    s AS (
+      SELECT doc_id, w, h, CAST(f AS INT) AS frame_idx,
+        CAST(sum(ad) AS BIGINT) AS sum_abs_diff
+      FROM d GROUP BY 1, 2, 3, 4)
+    SELECT doc_id, frame_idx, sum_abs_diff,
+      round(sum_abs_diff / (w * h)::DOUBLE + 1e-9, 6) AS mad,
+      round(sum_abs_diff / (w * h)::DOUBLE + 1e-9, 6) > 122.0 AS is_cut
+    FROM s ORDER BY doc_id, frame_idx"""
+
   /** Mirrors TextAnalysis.cdcChunks: the same 4-char polynomial
     * rolling-hash boundaries (coefficients pre-reduced mod P on both
     * engines) and global exact-content chunk census. DuckDB lists are
@@ -2479,6 +2506,7 @@ object LlmOracle {
     "q_image_decode_png" -> qImageDecodePng,
     "q_image_decode_jpeg" -> qImageDecodeJpeg,
     "q_audio_spectrum" -> qAudioSpectrum,
+    "q_video_scenes" -> qVideoScenes,
     "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
     "q_image_resize" -> qImageResize,

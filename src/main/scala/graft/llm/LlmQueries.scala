@@ -214,5 +214,8 @@ object LlmQueries {
     "q_audio_spectrum" -> ((s, d) =>
       Multimodal.audioSpectrum(s, docs(s, d)).orderBy(col("doc_id"), col("bin"))),
     "q_video_decode" -> ((s, d) =>
-      Multimodal.videoDecode(s, docs(s, d)).orderBy(col("doc_id"))))
+      Multimodal.videoDecode(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_video_scenes" -> ((s, d) =>
+      Multimodal.videoScenes(s, docs(s, d))
+        .orderBy(col("doc_id"), col("frame_idx"))))
 }

@@ -960,6 +960,48 @@ object Multimodal {
         col("fps"), col("mean_y"), col("frame_mad"))
   }
 
+  case class SceneFrame(doc_id: Long, frame_idx: Int, sum_abs_diff: Long,
+      n_px: Int)
+
+  /** Scene-cut detection over the real y4m demux — the video-curation
+    * step a training pipeline runs before frame sampling (one
+    * representative frame per SHOT beats every-N-seconds when shots
+    * vary in length): per consecutive frame pair the Y-plane mean
+    * absolute difference, a cut where it exceeds `threshold`. The
+    * per-frame SAD is an exact integer folded from genuinely demuxed
+    * planes, so the oracle reproduces it from the generator's closed
+    * form — a demux bug breaks the hash match.
+    *
+    * Plan: stateless partition-local demux+fold, O(#frames) rows per
+    * doc; mad/is_cut are plan projections. */
+  def videoScenes(spark: SparkSession, documents: DataFrame,
+      threshold: Double = 122.0): DataFrame = {
+    import spark.implicits._
+    val frames = metadata(documents)
+      .filter(col("modality") === "video")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val (w, h, _, _, ys) = decodeY4m(synthesizeY4m(id))
+          (1 until ys.length).map { f =>
+            val cur = ys(f); val prevF = ys(f - 1)
+            var sad = 0L; var p = 0
+            while (p < cur.length) {
+              sad += math.abs((cur(p) & 0xff) - (prevF(p) & 0xff))
+              p += 1
+            }
+            SceneFrame(id, f, sad, w * h)
+          }
+        }
+      }.toDF()
+    frames
+      .withColumn("mad", round(
+        col("sum_abs_diff") / col("n_px").cast("double") + lit(1e-9), 6))
+      .withColumn("is_cut", col("mad") > threshold)
+      .select(col("doc_id"), col("frame_idx"), col("sum_abs_diff"),
+        col("mad"), col("is_cut"))
+  }
+
   case class ResizedCell(doc_id: Long, cell_x: Int, cell_y: Int,
       r: Int, g: Int, b: Int)
 

@@ -399,6 +399,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("video scene cuts: demuxed Y-plane SADs match the closed form, cuts at the threshold") {
+    val out = Multimodal.videoScenes(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getAs[Long]("sum_abs_diff"), r.getAs[Double]("mad"),
+          r.getAs[Boolean]("is_cut"))).toMap
+    val vids = docs.collect().map(_.getAs[Long]("doc_id")).filter(_ % 3 == 2)
+    assert(out.keys.map(_._1).toSet === vids.toSet)
+    vids.foreach { id =>
+      val w = (id % 6 + 2).toInt; val h = (id % 4 + 2).toInt
+      val nf = (id % 5 + 2).toInt
+      (1 until nf).foreach { f =>
+        var sad = 0L
+        (0 until w * h).foreach { p =>
+          sad += math.abs(((id * 29 + f * 101 + p * 13) % 256)
+            - ((id * 29 + (f - 1) * 101 + p * 13) % 256))
+        }
+        val (gs, mad, cut) = out((id, f))
+        assert(gs === sad, s"SAD of frame $f, doc $id")
+        assert(cut === (mad > 122.0))
+      }
+    }
+  }
+
   test("featureExtract routes JPEG payloads to the real decoder by SOI signature") {
     val jpeg = Multimodal.synthesizeJpeg(3L, 8, 8)
     val feat = Multimodal.mediaFeature(jpeg)
