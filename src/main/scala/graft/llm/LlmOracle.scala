@@ -1322,6 +1322,49 @@ object LlmOracle {
       round(sum_abs_diff / (w * h)::DOUBLE + 1e-9, 6) > 122.0 AS is_cut
     FROM s ORDER BY doc_id, frame_idx"""
 
+  /** Mirrors Multimodal.imagePhash: the 4×4 average-hash from the
+    * pixel closed form through the identical integer arithmetic
+    * (luma via (299r+587g+114b)//1000, integer cell means, integer
+    * grid-mean threshold, MSB-first bit packing), then the all-pairs
+    * hamming count the engine's banded join must reproduce exactly
+    * (pigeonhole-complete at hamming ≤ 3). */
+  val qImagePhash: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 13 + 4 AS INT) AS w,
+        CAST(doc_id % 7 + 4 AS INT) AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM img),
+    gr AS (
+      SELECT doc_id,
+        CAST(((p // w) * 4 // h) * 4 + (p % w) * 4 // w AS INT) AS c,
+        (299 * ((doc_id * 31 + (p * 3 + 0) * 7) % 256)
+         + 587 * ((doc_id * 31 + (p * 3 + 1) * 7) % 256)
+         + 114 * ((doc_id * 31 + (p * 3 + 2) * 7) % 256)) // 1000 AS gray
+      FROM px),
+    cells AS (
+      SELECT doc_id, c, CAST(sum(gray) // count(*) AS BIGINT) AS cv
+      FROM gr GROUP BY 1, 2),
+    thr AS (
+      SELECT doc_id, CAST(sum(cv) // 16 AS BIGINT) AS t FROM cells GROUP BY 1),
+    hs AS (
+      SELECT doc_id, CAST(sum(CASE WHEN cv > t
+        THEN CAST(1 AS BIGINT) << (15 - c) ELSE 0 END) AS BIGINT) AS phash
+      FROM cells JOIN thr USING (doc_id) GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+    cnts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_dups
+      FROM (SELECT id_a AS doc_id FROM pairs
+            UNION ALL SELECT id_b AS doc_id FROM pairs)
+      GROUP BY 1)
+    SELECT h.doc_id, h.phash,
+      coalesce(c.n_near_dups, CAST(0 AS BIGINT)) AS n_near_dups
+    FROM hs h LEFT JOIN cnts c USING (doc_id)
+    ORDER BY h.doc_id"""
+
   /** Mirrors TextAnalysis.cdcChunks: the same 4-char polynomial
     * rolling-hash boundaries (coefficients pre-reduced mod P on both
     * engines) and global exact-content chunk census. DuckDB lists are
@@ -2507,6 +2550,7 @@ object LlmOracle {
     "q_image_decode_jpeg" -> qImageDecodeJpeg,
     "q_audio_spectrum" -> qAudioSpectrum,
     "q_video_scenes" -> qVideoScenes,
+    "q_image_phash" -> qImagePhash,
     "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
     "q_image_resize" -> qImageResize,

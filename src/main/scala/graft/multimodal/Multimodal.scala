@@ -960,6 +960,72 @@ object Multimodal {
         col("fps"), col("mean_y"), col("frame_mad"))
   }
 
+  case class ImageHash(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash image near-dup detection — the IMAGE leg of the
+    * dedup stack (a multimodal training corpus dedups images too, and
+    * byte-exact hashing misses re-encodes/brightness shifts): each
+    * image decodes (REAL decode path), box-filters to a 4×4 luma grid
+    * (integer means — the [[imageResize]] arithmetic), and hashes one
+    * bit per cell against the grid's integer mean (average hash).
+    * Near-dups are pairs within `maxHamming` bits; candidate
+    * generation is the [[graft.dedup.Dedup.simhashPairs]] pigeonhole
+    * banding — 4 bands × 4 bits, hamming ≤ 3 forces at least one
+    * equal band, so the banded equi-join is COMPLETE, never all-pairs.
+    * Output: per image its hash (exact integer — the oracle recomputes
+    * it from the pixel closed form through the identical integer
+    * arithmetic) and its near-dup neighbor count.
+    *
+    * Plan: stateless partition-local decode+hash; a 4-row band explode
+    * and keyed self-equi-join on (band, bucket); distinct'd pair frame
+    * rolls up to O(#images) counts. */
+  def imagePhash(spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashes = metadata(documents)
+      .filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 13 + 4).toInt; val h = (id % 7 + 4).toInt
+          val (dw, dh, px) = decodePpm(synthesizePpm(id, w, h))
+          val sums = new Array[Long](16); val cnts = new Array[Long](16)
+          var p = 0
+          while (p < dw * dh) {
+            val x = p % dw; val y = p / dw
+            val r = px(3 * p) & 0xff; val g = px(3 * p + 1) & 0xff
+            val b = px(3 * p + 2) & 0xff
+            val gray = (299L * r + 587L * g + 114L * b) / 1000L
+            val c = (y * 4 / dh) * 4 + (x * 4 / dw)
+            sums(c) += gray; cnts(c) += 1
+            p += 1
+          }
+          val cells = Array.tabulate(16)(c => sums(c) / cnts(c))
+          val t = cells.sum / 16
+          var hash = 0L; var j = 0
+          while (j < 16) { if (cells(j) > t) hash |= 1L << (15 - j); j += 1 }
+          ImageHash(id, hash)
+        }
+      }.toDF()
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(phash, b * 4) & 15)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("doc_id").as("id_a"), col("phash").as("h_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("id_b"), col("phash").as("h_b"),
+      col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+    val cnt = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_dups"))
+    hashes.join(cnt, Seq("doc_id"), "left")
+      .withColumn("n_near_dups", coalesce(col("n_near_dups"), lit(0L)))
+      .select(col("doc_id"), col("phash"), col("n_near_dups"))
+  }
+
   case class SceneFrame(doc_id: Long, frame_idx: Int, sum_abs_diff: Long,
       n_px: Int)
 

@@ -399,6 +399,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("image phash: hash matches a driver-side fold; banded neighbor counts equal all-pairs") {
+    val rows = Multimodal.imagePhash(spark, docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("phash"), r.getAs[Long]("n_near_dups"))).toMap
+    // driver-side recompute of one image's average hash from the closed form
+    val id = rows.keys.min
+    val w = (id % 13 + 4).toInt; val h = (id % 7 + 4).toInt
+    val sums = new Array[Long](16); val cnts = new Array[Long](16)
+    (0 until w * h).foreach { p =>
+      val x = p % w; val y = p / w
+      def ch(k: Int) = (id * 31 + (p * 3 + k) * 7) % 256
+      val gray = (299L * ch(0) + 587L * ch(1) + 114L * ch(2)) / 1000L
+      val c = (y * 4 / h) * 4 + (x * 4 / w)
+      sums(c) += gray; cnts(c) += 1
+    }
+    val cells = Array.tabulate(16)(c => sums(c) / cnts(c))
+    val t = cells.sum / 16
+    var hash = 0L
+    (0 until 16).foreach(j => if (cells(j) > t) hash |= 1L << (15 - j))
+    assert(rows(id)._1 === hash)
+    // the banded route must equal the exhaustive all-pairs count
+    val hs = rows.toSeq
+    hs.foreach { case (d, (ph, n)) =>
+      val exhaustive = hs.count { case (o, (oph, _)) =>
+        o != d && java.lang.Long.bitCount(ph ^ oph) <= 3 }
+      assert(n === exhaustive, s"neighbor count of doc $d")
+    }
+  }
+
   test("video scene cuts: demuxed Y-plane SADs match the closed form, cuts at the threshold") {
     val out = Multimodal.videoScenes(spark, docs).collect()
       .map(r => (r.getLong(0), r.getInt(1)) ->
