@@ -39,10 +39,10 @@ object Bench {
 
   /** Third bench tier: the round-7 additions (geometry chain,
     * stationarity family, the three real decoders, hydrology and
-    * supply-chain closers) plus round 8's PNG decode — fixed from
-    * round 8 on, reported as `value3` / `queries3` / `cold_queries3`
-    * (tiers 1-2 keep their composition for cross-round
-    * comparability). */
+    * supply-chain closers) plus round 8's PNG and JPEG decodes —
+    * fixed from round 8 on, reported as `value3` / `queries3` /
+    * `cold_queries3` (tiers 1-2 keep their composition for
+    * cross-round comparability). */
   val headline3: Seq[String] = Seq(
     "q_geom_wkt", "q_geom_wgs84", "q_kpss", "q_adf", "q_coint_eg",
     "q_gev_lmoments", "q_lowess", "q_msprt", "q_text_charclass",
