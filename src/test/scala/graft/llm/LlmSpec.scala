@@ -200,6 +200,16 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"pq recall $recall")
   }
 
+  test("PQ codebook training is deterministic: two runs return identical rows") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run() = Ann.pqTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    // the Lloyd loop folds each cell's members in vec_id order, so the
+    // trained codebook — and therefore the ADC ordering — replays
+    // bit-for-bit; this is what makes the recall floors non-flaky
+    assert(run() === run())
+  }
+
   test("IVFPQ composes cell routing with ADC: subset of flat-PQ work, sane recall") {
     val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val k = 5; val nQ = 10
