@@ -639,6 +639,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Incremental embedding near-dup screening — [[incrementalDedup]]'s
+    * vector twin: the NEW embedding shard (vec_id % mod == 0) probes
+    * the EXISTING index for exact cosine ≥ threshold matches; one row
+    * per increment vector with is_dup / best_match (argmax cosine,
+    * tie → lowest index id) / best_cosine, NULLs when clean.
+    *
+    * Reuses [[embeddingPairs]]' block-decomposed exact join (the
+    * O(n·B)-shuffle / no-CartesianProduct shape) and keeps only the
+    * cross-side pairs — at production scale, where the increment is
+    * ≪ the index, the same screen runs as one broadcast of the
+    * increment against a linear index scan; the block join is the
+    * shape that stays valid even when a backfill makes the
+    * "increment" corpus-sized. */
+  def embeddingIncremental(embeddings: DataFrame, threshold: Double = 0.4,
+      mod: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = embeddingPairs(embeddings, threshold)
+    val crossSide = pairs
+      .filter((col("id_a") % mod === 0) =!= (col("id_b") % mod === 0))
+      .select(
+        when(col("id_a") % mod === 0, col("id_a")).otherwise(col("id_b")).as("inc_id"),
+        when(col("id_a") % mod === 0, col("id_b")).otherwise(col("id_a")).as("idx_id"),
+        col("cosine"))
+    val w = Window.partitionBy(col("inc_id")).orderBy(col("cosine").desc, col("idx_id"))
+    val best = crossSide.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("inc_id").as("vec_id"), col("idx_id").as("best_match"),
+        col("cosine").as("best_cosine"))
+    embeddings.select(col("vec_id")).filter(col("vec_id") % mod === 0)
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("best_match").isNotNull)
+      .select(col("vec_id"), col("is_dup"), col("best_match"), col("best_cosine"))
+  }
+
   /** Banded hyperplane-LSH embedding near-dups — the sub-quadratic
     * scale path for production thresholds: `bands`×`rowsPerBand`
     * deterministic hyperplane sign bits; pairs sharing any band are

@@ -201,6 +201,28 @@ object LlmOracle {
       FROM n_t a JOIN n_t b ON a.vec_id < b.vec_id)
     WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
 
+  /** Mirrors Dedup.embeddingIncremental: exhaustive increment×index
+    * exact cosine (the engine's block join must equal this), argmax
+    * per increment vector on the 6-dp-rounded score. */
+  val qEmbedIncremental: String = s"""
+    WITH $normCte,
+    pairs AS (
+      SELECT a.vec_id AS inc_id, b.vec_id AS idx_id,
+        round($dotAB / (a.nrm * b.nrm) + 1e-9, 6) AS cosine
+      FROM n_t a JOIN n_t b
+        ON a.vec_id % 10 = 0 AND b.vec_id % 10 != 0),
+    kept AS (SELECT * FROM pairs WHERE cosine >= 0.4),
+    best AS (
+      SELECT inc_id AS vec_id, idx_id AS best_match, cosine AS best_cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY inc_id
+              ORDER BY cosine DESC, idx_id) AS rn FROM kept)
+      WHERE rn = 1)
+    SELECT v.vec_id, b.best_match IS NOT NULL AS is_dup,
+      b.best_match, b.best_cosine
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) v
+    LEFT JOIN best b USING (vec_id)
+    ORDER BY v.vec_id"""
+
   /** Mirrors Cluster.dbscan: brute ε-pairs (cos ≥ 0.4, rounded like
     * the engine), degree-threshold cores, recursive min-label closure
     * over core-core edges, min-cluster border attachment. */
@@ -2524,6 +2546,7 @@ object LlmOracle {
     "q_dedup_minhash_bands" -> qDedupMinhashBands,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_embed_incremental" -> qEmbedIncremental,
     "q_dedup_containment" -> qDedupContainment,
     "q_dbscan" -> qDbscan,
     "q_dedup_components" -> qDedupComponents,

@@ -42,6 +42,8 @@ object LlmQueries {
       Dedup.jaccardPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_incremental" -> ((s, d) =>
       Dedup.incrementalDedup(docs(s, d)).orderBy(col("doc_id"))),
+    "q_embed_incremental" -> ((s, d) =>
+      Dedup.embeddingIncremental(embs(s, d)).orderBy(col("vec_id"))),
     "q_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, d) =>

@@ -52,6 +52,27 @@ class LlmSpec extends SparkSpec {
     assert(exhaustive.nonEmpty)
   }
 
+  test("embedding incremental screen equals a driver-side exhaustive cross-side argmax") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Dedup.embeddingIncremental(embs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Boolean]("is_dup"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // exhaustive reference from the exact pair frame
+    val pairs = Dedup.embeddingPairs(embs)
+      .collect().map(p => (p.getLong(0), p.getLong(1), p.getDouble(2)))
+    val expected = pairs
+      .filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+      .map(p => if (p._1 % 10 == 0) (p._1, p._2, p._3) else (p._2, p._1, p._3))
+      .groupBy(_._1).map { case (inc, ms) =>
+        inc -> ms.minBy(m => (-m._3, m._2)) }
+    assert(out.size === embs.filter(col("vec_id") % 10 === 0).count())
+    expected.foreach { case (inc, (_, idx, cos)) =>
+      assert(out(inc) === ((true, Some(idx), Some(cos))), s"vec $inc") }
+    out.collect { case (v, (false, m, c)) =>
+      assert(m.isEmpty && c.isEmpty && !expected.contains(v), s"vec $v") }
+  }
+
   test("jaccard verify broadcast guard: shuffled-join fallback is hash-equal to the broadcast route") {
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val viaBroadcast = Dedup.jaccardPairs(corpus, 0.5)
