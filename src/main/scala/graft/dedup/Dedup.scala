@@ -272,7 +272,12 @@ object Dedup {
     * threshold, never all-pairs. Verification: two keyed joins attach
     * the sorted hash sets (no broadcast: the index side is the 100 TB
     * one), native merge intersection, per-increment argmax window over
-    * the verified (tiny) frame. */
+    * the verified (tiny) frame.
+    *
+    * @note like [[jaccardPairs]], the returned frame is eagerly
+    *       persisted (O(increment) rows) so the scratch hash frame can
+    *       be released; long-lived sessions should `unpersist()` it
+    *       once consumed. */
   def incrementalDedup(documents: DataFrame, threshold: Double = 0.5,
       mod: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
