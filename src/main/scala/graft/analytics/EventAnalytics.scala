@@ -129,14 +129,14 @@ object EventAnalytics {
     * trailing-zero mask) — log2() would be ln(x)/ln(2) on the JVM,
     * off-by-an-ulp even for exact powers of two. */
   private def hllRegisters(df: DataFrame, el: org.apache.spark.sql.Column,
-      key: org.apache.spark.sql.Column): DataFrame =
+      key: org.apache.spark.sql.Column*): DataFrame =
     df.withColumn("el_h", (el * lit(48271L)) % lit(2147483647L))
       .withColumn("bucket", col("el_h") % HllM)
       .withColumn("rest", expr(s"el_h div $HllM"))
       .withColumn("rho",
         when(col("rest") === 0, lit(26))
           .otherwise(expr("bit_count((rest & -rest) - 1) + 1")))
-      .groupBy(key, col("bucket")).agg(max(col("rho")).as("mj"))
+      .groupBy(key :+ col("bucket"): _*).agg(max(col("rho")).as("mj"))
 
   /** Estimate from a register frame, per `keys` group (empty = one
     * global row): 2^-mj as exact shift-then-divide (dyadic rationals,
@@ -171,6 +171,31 @@ object EventAnalytics {
         round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact") + lit(1e-9), 4))
       .select(col("event_type"), col("n_exact"), col("hll_estimate"), col("rel_err"))
       .orderBy(col("event_type"))
+  }
+
+  /** Tumbling-window HLL distinct users — the unique-visitors
+    * dashboard metric in its streaming-native shape: q_stream_window
+    * counts EVENTS per 6-hour window, this counts UNIQUES with the
+    * same deterministic 64-register sketch as [[hllDistinct]]. The
+    * per-(window, type, bucket) max-rho registers are map-combinable
+    * partials — the watermarked streaming twin carries 64 small
+    * integers per open window instead of a user set, and merging two
+    * partial windows is a register-wise max (the mergeability that
+    * makes sketches THE streaming cardinality tool). Batch here (the
+    * driver contract), exact count + relative error alongside. */
+  def windowHll(events: DataFrame, windowSeconds: Long = 21600L): DataFrame = {
+    val windowed = events.withColumn("window_start",
+      timestamp_seconds(floor(col("ts").cast("long") / windowSeconds) * windowSeconds))
+    val regs = hllRegisters(windowed, col("user_id"),
+      col("window_start"), col("event_type"))
+    val est = hllEstimate(regs, Seq("window_start", "event_type"), "hll_estimate")
+    val exact = windowed.groupBy(col("window_start"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("window_start", "event_type"))
+      .withColumn("rel_err",
+        round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact") + lit(1e-9), 4))
+      .select(col("window_start"), col("event_type"), col("n_exact"),
+        col("hll_estimate"), col("rel_err"))
   }
 
   /** Exact per-type value quantiles (p50/p90/p99) via the exact
@@ -2346,6 +2371,8 @@ object EventAnalytics {
     "q_histogram" -> ((s, d) => histogram(Tables.events(s, d))),
     "q_json_props" -> ((s, d) => jsonProps(Tables.events(s, d))),
     "q_distinct_hll" -> ((s, d) => hllDistinct(Tables.events(s, d))),
+    "q_window_hll" -> ((s, d) => windowHll(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))),
     "q_quantiles" -> ((s, d) => quantiles(Tables.events(s, d))),
     "q_cube" -> ((s, d) => cubeAgg(Tables.events(s, d))),
     "q_anomaly_zscore" -> ((s, d) => anomalyZscore(Tables.events(s, d))))
@@ -2437,6 +2464,47 @@ object EventOracle {
       round(abs(hll_estimate - n_exact) / n_exact + 1e-9, 4) AS rel_err
     FROM est JOIN exact USING (event_type)
     ORDER BY event_type"""
+
+  /** Mirrors EventAnalytics.windowHll: qDistinctHll's register
+    * arithmetic with the 6-hour tumbling window added to the group
+    * key (the qStreamWindow make_timestamp convention). */
+  val qWindowHll: String = """
+    WITH win AS (
+      SELECT make_timestamp((floor(epoch(ts) / 21600)::BIGINT * 21600) * 1000000)
+          AS window_start,
+        event_type, user_id
+      FROM events),
+    hashed AS (
+      SELECT window_start, event_type,
+        ((user_id * 48271) % 2147483647) % 64 AS bucket,
+        ((user_id * 48271) % 2147483647) // 64 AS rest
+      FROM win),
+    rhos AS (
+      SELECT window_start, event_type, bucket,
+        CASE WHEN rest = 0 THEN 26
+             ELSE bit_count((rest & -rest) - 1) + 1 END AS rho
+      FROM hashed),
+    per_bucket AS (
+      SELECT window_start, event_type, bucket, max(rho) AS mj
+      FROM rhos GROUP BY window_start, event_type, bucket),
+    raw AS (
+      SELECT window_start, event_type, 64 - count(*) AS v,
+        CAST(0.709 AS DOUBLE) * 64 * 64 /
+          (sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) + (64 - count(*))) AS e_raw
+      FROM per_bucket GROUP BY window_start, event_type),
+    est AS (
+      SELECT window_start, event_type,
+        round(CASE WHEN e_raw <= 2.5 * 64 AND v > 0
+                   THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+                   ELSE e_raw END + 1e-9, 4) AS hll_estimate
+      FROM raw),
+    exact AS (
+      SELECT window_start, event_type, count(DISTINCT user_id) AS n_exact
+      FROM win GROUP BY window_start, event_type)
+    SELECT window_start, event_type, n_exact, hll_estimate,
+      round(abs(hll_estimate - n_exact) / n_exact + 1e-9, 4) AS rel_err
+    FROM est JOIN exact USING (window_start, event_type)
+    ORDER BY window_start, event_type"""
 
   val qQuantiles: String = """
     SELECT event_type, count(*) AS n,
@@ -4129,6 +4197,7 @@ object EventOracle {
     "q_histogram" -> qHistogram,
     "q_json_props" -> qJsonProps,
     "q_distinct_hll" -> qDistinctHll,
+    "q_window_hll" -> qWindowHll,
     "q_quantiles" -> qQuantiles,
     "q_cube" -> qCube,
     "q_anomaly_zscore" -> qAnomalyZscore)

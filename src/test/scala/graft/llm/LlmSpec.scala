@@ -34,6 +34,27 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("windowed HLL: per-window estimates use the shared sketch and bound the error") {
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = graft.analytics.EventAnalytics.windowHll(events).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Double]("hll_estimate")
+      assert(exact > 0 && est > 0)
+      // 64 registers: ~13% std error; generous deterministic bound
+      assert(math.abs(est - exact) / exact <= 0.5,
+        s"window ${r.get(0)} type ${r.get(1)}: $est vs $exact")
+    }
+    // windows partition the day: per-type exact sums over windows >= the
+    // global distinct (a user active in two windows counts twice here)
+    val globals = graft.analytics.EventAnalytics.hllDistinct(events)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_exact")).toMap
+    val perType = out.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getAs[Long]("n_exact")).sum).toMap
+    globals.foreach { case (t, g) => assert(perType(t) >= g, s"type $t") }
+  }
+
   test("incremental dedup: the new shard probes the index, argmax match with deterministic ties") {
     // fixture: doc 0 is the only increment (doc_id % 10 == 0); doc 4 is
     // its verbatim copy (J = 1.0) and doc 1 differs by one word — the
