@@ -419,10 +419,22 @@ class Broker(db: WeatherDb) {
     * only under that coverage check, StationBases.py:1667-1669; a
     * window that misses the import would otherwise read 'done' while
     * the imported rows were never processed). A full-recompute
-    * fallback always covers everything, so it always marks. */
+    * fallback always covers everything, so coverage always holds then.
+    *
+    * Prerequisite-kind gating on top of coverage: the reference marks
+    * 'filled' done only when qc is already done (StationBases.py:
+    * 1664-1669) and 'corr' only when qc AND filled are
+    * (StationP.py:643-646) — an out-of-order broker call (lastImpCorr
+    * before lastImpQualityCheck) must leave its kind pending, because
+    * the stage just ran against a stale upstream frame. */
   private def markDone(kind: String, lo: Date, hi: Date, full: Boolean): Unit = {
     val window = TimestampPeriod(Some(lo.toLocalDate), Some(hi.toLocalDate))
-    if (full || window.contains(db.lastImpPeriodState))
+    val prereqsDone = kind match {
+      case "filled" => db.lastImpDone("qc")
+      case "corr"   => db.lastImpDone("qc") && db.lastImpDone("filled")
+      case _        => true
+    }
+    if (prereqsDone && (full || window.contains(db.lastImpPeriodState)))
       db.lastImpDone.put(kind, true)
   }
 

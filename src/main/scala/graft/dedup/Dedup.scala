@@ -23,6 +23,23 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession); df
   }
 
+  /** Size-guarded broadcast hint for the verify side of a candidate
+    * pair join (the scale seam every exact-verify dedup path shares):
+    * estimates the payload of a (doc_id, hashes) frame from its own
+    * stats (8 bytes per 64-bit hash + per-row overhead — one scalar
+    * agg over an already-persisted, candidate-bounded frame) and
+    * returns the hint to apply to each verify side. Under the budget
+    * → `broadcast`; past it the hint is identity and the verify runs
+    * as shuffled keyed joins — identical rows, identical arithmetic,
+    * an exchange instead of a driver-sized broadcast. */
+  private def verifyHint(hsC: DataFrame, budgetBytes: Long): DataFrame => DataFrame = {
+    val st = hsC.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("hashes"))), lit(0L)).as("nh")).head()
+    val estBytes = st.getAs[Long]("nh") * 8L + st.getAs[Long]("n") * 32L
+    if (estBytes <= budgetBytes) (df: DataFrame) => broadcast(df)
+    else (df: DataFrame) => df
+  }
+
   /** Exact dedup on normalized text: canonical doc (min id) + group
     * size per distinct content; `is_canonical` marks survivors. */
   def exact(documents: DataFrame): DataFrame =
@@ -228,17 +245,9 @@ object Dedup {
         // is bounded by actual near-dups + prefix collisions — tiny on
         // a healthy corpus, but a boilerplate-heavy 100 TB corpus can
         // push the candidate union past the executor broadcast limit.
-        // Estimate the payload from the frame's own stats (8 bytes per
-        // 64-bit hash + per-row overhead; one scalar agg over the
-        // already-persisted bounded frame) and drop the broadcast
-        // hints past the budget: the verify then runs as two shuffled
-        // hash joins keyed on doc id — identical rows, identical
-        // arithmetic, an exchange instead of a driver-sized broadcast.
-        val st = hsC.agg(count(lit(1)).as("n"),
-          coalesce(sum(size(col("hashes"))), lit(0L)).as("nh")).head()
-        val estBytes = st.getAs[Long]("nh") * 8L + st.getAs[Long]("n") * 32L
-        def hinted(df: DataFrame): DataFrame =
-          if (estBytes <= verifyBroadcastBytes) broadcast(df) else df
+        // [[verifyHint]] estimates the payload and drops the broadcast
+        // hints past the budget (shuffled keyed joins instead).
+        val hinted = verifyHint(hsC, verifyBroadcastBytes)
         // the result is O(actual near-dups) — tiny; materialize it
         // eagerly so the three scratch frames above can be released
         // instead of staying pinned for the session lifetime
@@ -359,8 +368,12 @@ object Dedup {
     * boilerplate shingles out of every prefix so no O(df²) join group
     * forms. Verify = native merge intersection over the candidate
     * docs' sorted hash arrays, semi-join-bounded exactly like
-    * [[jaccardPairs]]. */
-  def containmentPairs(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    * [[jaccardPairs]] — including the same [[verifyHint]] size guard:
+    * past `verifyBroadcastBytes` the verify joins run shuffled instead
+    * of broadcast (a boilerplate-heavy corpus at a low containment
+    * threshold is exactly the case that blows the candidate union up). */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.8,
+      verifyBroadcastBytes: Long = 64L << 20): DataFrame = {
     val hs = withShingles(documents).select(col("doc_id"), col("hashes")).persist()
     hs.count()
     val ex = hs.select(col("doc_id"), size(col("hashes")).as("sz"),
@@ -393,9 +406,10 @@ object Dedup {
       val hsC = hs.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), array_sort(col("hashes")).as("hashes")).persist()
       try {
+        val hinted = verifyHint(hsC, verifyBroadcastBytes)
         val result = cands
-          .join(broadcast(hsC.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
-          .join(broadcast(hsC.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
+          .join(hinted(hsC.select(col("doc_id").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
+          .join(hinted(hsC.select(col("doc_id").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
           .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
           .withColumn("containment", round(col("inter") /
             least(size(col("h_a")), size(col("h_b"))) + lit(1e-9), 6))
@@ -644,29 +658,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** CROSS-SIDE exact cosine pairs for the incremental screen: the
+    * increment side (vec_id % mod == 0) scored against the index side
+    * only — [[embeddingPairs]]' block decomposition restricted to
+    * inc-block × idx-block groups, so not one index×index (or
+    * increment×increment) dot product is ever computed. Each side
+    * blocks independently on floorMod(id, B); an increment vector
+    * replicates to its B (incBlk, ·) groups, an index vector to its B
+    * (·, idxBlk) groups — shuffle stays O(n·B) vector rows, per-task
+    * memory O(d·n/B) per side, compute exactly |inc|·|idx|·d (the
+    * cross-side share; the previous shape scored the full corpus and
+    * discarded ~81% of the work at a 10% increment). Same in-order
+    * dot product and rounding as [[embeddingPairs]], so the verified
+    * frame is bit-identical to filtering its output cross-side.
+    *
+    * `scored` (spec instrumentation only) counts dot products. */
+  private[graft] def embeddingCrossPairs(embeddings: DataFrame, threshold: Double,
+      mod: Int, nBlocks: Int = 16,
+      scored: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val B = nBlocks
+    val vecs = reg(embeddings).select(
+      col("vec_id").cast("long").as("id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("emb"),
+      expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val replicated = vecs.flatMap { case (id, emb, nrm) =>
+      val isInc = java.lang.Math.floorMod(id, mod.toLong) == 0L
+      val blk = java.lang.Math.floorMod(id, B.toLong).toInt
+      // group key = incBlk * B + idxBlk: an increment vector fans out
+      // across the idx dimension, an index vector across the inc one
+      (0 until B).iterator.map { other =>
+        val key = if (isInc) blk * B + other else other * B + blk
+        (key, isInc, id, emb, nrm)
+      }
+    }
+    val cut = threshold - 1e-4
+    val pairs = replicated.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val inc = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      val idx = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      it.foreach { case (_, isInc, id, emb, nrm) =>
+        if (isInc) inc += ((id, emb, nrm)) else idx += ((id, emb, nrm))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < inc.length) {
+        val (ia, ea, na) = inc(i)
+        var j = 0
+        while (j < idx.length) {
+          val (ib, eb, nb) = idx(j)
+          var acc = 0.0; var p = 0; val d = ea.length
+          while (p < d) { acc += ea(p) * eb(p); p += 1 }
+          scored.foreach(_.add(1L))
+          val cos = acc / (na * nb)
+          if (cos >= cut) out += ((ia, ib, cos))
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF("inc_id", "idx_id", "cos")
+    pairs
+      .withColumn("cosine", round(col("cos") + lit(1e-9), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("inc_id"), col("idx_id"), col("cosine"))
+  }
+
   /** Incremental embedding near-dup screening — [[incrementalDedup]]'s
     * vector twin: the NEW embedding shard (vec_id % mod == 0) probes
     * the EXISTING index for exact cosine ≥ threshold matches; one row
     * per increment vector with is_dup / best_match (argmax cosine,
     * tie → lowest index id) / best_cosine, NULLs when clean.
     *
-    * Reuses [[embeddingPairs]]' block-decomposed exact join (the
-    * O(n·B)-shuffle / no-CartesianProduct shape) and keeps only the
-    * cross-side pairs — at production scale, where the increment is
-    * ≪ the index, the same screen runs as one broadcast of the
-    * increment against a linear index scan; the block join is the
-    * shape that stays valid even when a backfill makes the
-    * "increment" corpus-sized. */
+    * Scoring is [[embeddingCrossPairs]] — the block-decomposed exact
+    * join restricted to increment×index groups BEFORE any dot product
+    * runs (round 8 scored the full corpus and filtered after; at a 10%
+    * increment that discarded ~81% of the flops). At production scale,
+    * where the increment is ≪ the index, the same screen degenerates
+    * to a broadcast of the increment against a linear index scan; the
+    * block join is the shape that stays valid even when a backfill
+    * makes the "increment" corpus-sized. */
   def embeddingIncremental(embeddings: DataFrame, threshold: Double = 0.4,
       mod: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = embeddingPairs(embeddings, threshold)
-    val crossSide = pairs
-      .filter((col("id_a") % mod === 0) =!= (col("id_b") % mod === 0))
-      .select(
-        when(col("id_a") % mod === 0, col("id_a")).otherwise(col("id_b")).as("inc_id"),
-        when(col("id_a") % mod === 0, col("id_b")).otherwise(col("id_a")).as("idx_id"),
-        col("cosine"))
+    val crossSide = embeddingCrossPairs(embeddings, threshold, mod)
     val w = Window.partitionBy(col("inc_id")).orderBy(col("cosine").desc, col("idx_id"))
     val best = crossSide.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

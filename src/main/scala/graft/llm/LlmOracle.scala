@@ -1369,22 +1369,25 @@ object LlmOracle {
       round(sum_abs_diff / (w * h)::DOUBLE + 1e-9, 6) > 122.0 AS is_cut
     FROM s ORDER BY doc_id, frame_idx"""
 
-  /** Mirrors Multimodal.imagePhash: the 4×4 average-hash from the
-    * pixel closed form through the identical integer arithmetic
+  /** Mirrors Multimodal.imagePhash: the 8×8 64-bit average-hash from
+    * the pixel closed form through the identical integer arithmetic
     * (luma via (299r+587g+114b)//1000, integer cell means, integer
-    * grid-mean threshold, MSB-first bit packing), then the all-pairs
-    * hamming count the engine's banded join must reproduce exactly
-    * (pigeonhole-complete at hamming ≤ 3). */
+    * grid-mean threshold, MSB-first bit packing — the top bit lands in
+    * the BIGINT sign, so the hash assembles from two 32-bit halves with
+    * an explicit two's-complement wrap), then the all-pairs hamming
+    * count the engine's banded join must reproduce exactly
+    * (pigeonhole-complete at hamming ≤ 3; DuckDB bit_count is two's
+    * complement, so negative hashes compare correctly). */
   val qImagePhash: String = """
     WITH img AS (
-      SELECT doc_id, CAST(doc_id % 13 + 4 AS INT) AS w,
-        CAST(doc_id % 7 + 4 AS INT) AS h
+      SELECT doc_id, CAST(doc_id % 13 + 8 AS INT) AS w,
+        CAST(doc_id % 7 + 8 AS INT) AS h
       FROM documents WHERE doc_id % 3 = 0),
     px AS (
       SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM img),
     gr AS (
       SELECT doc_id,
-        CAST(((p // w) * 4 // h) * 4 + (p % w) * 4 // w AS INT) AS c,
+        CAST(((p // w) * 8 // h) * 8 + (p % w) * 8 // w AS INT) AS c,
         (299 * ((doc_id * 31 + (p * 3 + 0) * 7) % 256)
          + 587 * ((doc_id * 31 + (p * 3 + 1) * 7) % 256)
          + 114 * ((doc_id * 31 + (p * 3 + 2) * 7) % 256)) // 1000 AS gray
@@ -1393,11 +1396,18 @@ object LlmOracle {
       SELECT doc_id, c, CAST(sum(gray) // count(*) AS BIGINT) AS cv
       FROM gr GROUP BY 1, 2),
     thr AS (
-      SELECT doc_id, CAST(sum(cv) // 16 AS BIGINT) AS t FROM cells GROUP BY 1),
-    hs AS (
-      SELECT doc_id, CAST(sum(CASE WHEN cv > t
-        THEN CAST(1 AS BIGINT) << (15 - c) ELSE 0 END) AS BIGINT) AS phash
+      SELECT doc_id, CAST(sum(cv) // 64 AS BIGINT) AS t FROM cells GROUP BY 1),
+    halves AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN cv > t AND c < 32
+          THEN CAST(1 AS BIGINT) << (31 - c) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(sum(CASE WHEN cv > t AND c >= 32
+          THEN CAST(1 AS BIGINT) << (63 - c) ELSE 0 END) AS BIGINT) AS lo
       FROM cells JOIN thr USING (doc_id) GROUP BY 1),
+    hs AS (
+      SELECT doc_id, CAST((hi - CASE WHEN hi >= 2147483648
+        THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS BIGINT) AS phash
+      FROM halves),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM hs a JOIN hs b ON a.doc_id < b.doc_id

@@ -205,7 +205,9 @@ object Multimodal {
       0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     val half = z.length / 2
     sig ++ pngChunk("IHDR", ihdr.toByteArray) ++
-      pngChunk("tEXt", "Software graft".getBytes("US-ASCII")) ++
+      // tEXt payload is keyword NUL text (PNG 1.2 §4.2.3.1: the
+      // separator is mandatory — pngcheck flags its absence)
+      pngChunk("tEXt", "Software\u0000graft".getBytes("US-ASCII")) ++
       pngChunk("IDAT", z.slice(0, half)) ++
       pngChunk("IDAT", z.slice(half, z.length)) ++
       pngChunk("IEND", Array.emptyByteArray)
@@ -965,12 +967,15 @@ object Multimodal {
   /** Perceptual-hash image near-dup detection — the IMAGE leg of the
     * dedup stack (a multimodal training corpus dedups images too, and
     * byte-exact hashing misses re-encodes/brightness shifts): each
-    * image decodes (REAL decode path), box-filters to a 4×4 luma grid
+    * image decodes (REAL decode path), box-filters to an 8×8 luma grid
     * (integer means — the [[imageResize]] arithmetic), and hashes one
-    * bit per cell against the grid's integer mean (average hash).
-    * Near-dups are pairs within `maxHamming` bits; candidate
-    * generation is the [[graft.dedup.Dedup.simhashPairs]] pigeonhole
-    * banding — 4 bands × 4 bits, hamming ≤ 3 forces at least one
+    * bit per cell against the grid's integer mean — the production
+    * 64-bit average hash (round 8's 4×4/16-bit variant had only 16
+    * buckets per band, so the band self-join degenerated to O(n²/16)
+    * pairs past ~10⁵ images). Near-dups are pairs within `maxHamming`
+    * bits; candidate generation is the
+    * [[graft.dedup.Dedup.simhashPairs]] pigeonhole banding — 4 bands
+    * × 16 bits (2¹⁶ buckets per band), hamming ≤ 3 forces at least one
     * equal band, so the banded equi-join is COMPLETE, never all-pairs.
     * Output: per image its hash (exact integer — the oracle recomputes
     * it from the pixel closed form through the identical integer
@@ -987,28 +992,32 @@ object Multimodal {
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val w = (id % 13 + 4).toInt; val h = (id % 7 + 4).toInt
+          // dims ≥ 8 so every 8×8 grid cell holds at least one pixel
+          // (y*8/h is onto 0..7 exactly when h ≥ 8)
+          val w = (id % 13 + 8).toInt; val h = (id % 7 + 8).toInt
           val (dw, dh, px) = decodePpm(synthesizePpm(id, w, h))
-          val sums = new Array[Long](16); val cnts = new Array[Long](16)
+          val sums = new Array[Long](64); val cnts = new Array[Long](64)
           var p = 0
           while (p < dw * dh) {
             val x = p % dw; val y = p / dw
             val r = px(3 * p) & 0xff; val g = px(3 * p + 1) & 0xff
             val b = px(3 * p + 2) & 0xff
             val gray = (299L * r + 587L * g + 114L * b) / 1000L
-            val c = (y * 4 / dh) * 4 + (x * 4 / dw)
+            val c = (y * 8 / dh) * 8 + (x * 8 / dw)
             sums(c) += gray; cnts(c) += 1
             p += 1
           }
-          val cells = Array.tabulate(16)(c => sums(c) / cnts(c))
-          val t = cells.sum / 16
+          val cells = Array.tabulate(64)(c => sums(c) / cnts(c))
+          val t = cells.sum / 64
           var hash = 0L; var j = 0
-          while (j < 16) { if (cells(j) > t) hash |= 1L << (15 - j); j += 1 }
+          while (j < 64) { if (cells(j) > t) hash |= 1L << (63 - j); j += 1 }
           ImageHash(id, hash)
         }
       }.toDF()
+    // 16-bit bands: & 65535 also strips the arithmetic-shift sign
+    // extension when the MSB cell (bit 63) is set
     val banded = hashes.select(col("doc_id"), col("phash"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(phash, b * 4) & 15)")))
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(phash, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("doc_id").as("id_a"), col("phash").as("h_a"),
       col("band"), col("bucket"))

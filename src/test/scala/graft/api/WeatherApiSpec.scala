@@ -229,6 +229,31 @@ class WeatherApiSpec extends SparkSpec {
     assert(s.isinMa && s.isinMetaP)
   }
 
+  test("last-import prerequisite gating: out-of-order broker calls leave kinds pending") {
+    // the reference marks 'filled' done only when qc already is
+    // (StationBases.py:1664-1669) and 'corr' only when qc AND filled
+    // are (StationP.py:643-646) — a corr call against a stale upstream
+    // must not read 'done'
+    val db2 = new WeatherDb(spark, "/root/testdata/sf0.001")
+    val s = db2.station(0L)
+    db2.markLastImport(TimestampPeriod.of("2024-01-20", "2024-01-25"))
+    val broker = db2.broker
+    val lo = java.sql.Date.valueOf("2024-01-20"); val hi = java.sql.Date.valueOf("2024-01-25")
+    // corr first: neither qc nor filled done -> corr stays pending
+    broker.lastImpCorr(db2.corr, db2.filled, lo, hi)
+    assert(!s.isLastImpDone("corr"))
+    // fillup before qc: filled stays pending too
+    broker.lastImpFillup(db2.filled, db2.qc, lo, hi)
+    assert(!s.isLastImpDone("filled"))
+    // in order, the chain completes
+    broker.lastImpQualityCheck(db2.qc, lo, hi)
+    assert(s.isLastImpDone("qc"))
+    broker.lastImpFillup(db2.filled, db2.qc, lo, hi)
+    assert(s.isLastImpDone("filled"))
+    broker.lastImpCorr(db2.corr, db2.filled, lo, hi)
+    assert(s.isLastImpDone("corr"))
+  }
+
   test("get_meta_explanation documents every meta column") {
     val exp = db.stations.getMetaExplanation()
     assert(exp.columns.toSeq === Seq("info", "explanation"))

@@ -108,6 +108,81 @@ class LlmSpec extends SparkSpec {
     assert(viaShuffle.nonEmpty)
   }
 
+  test("containment verify broadcast guard: shuffled fallback equals the broadcast route") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val cdocs = Seq(
+      (0L, small, "en"),
+      (1L, s"$small $filler", "en"),
+      (2L, "totally unrelated corpus text about something else entirely here", "en")
+    ).toDF("doc_id", "text", "lang")
+    def rows(budget: Long) = Dedup.containmentPairs(cdocs, 0.8, verifyBroadcastBytes = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    // budget 0 forces the candidate frame over the estimate, so the
+    // verify must take the shuffled keyed-join path — same rows,
+    // same containment values, bit-for-bit
+    val viaBroadcast = rows(64L << 20)
+    val viaShuffle = rows(0L)
+    assert(viaShuffle === viaBroadcast)
+    assert(viaShuffle.map(p => (p._1, p._2)) === Set((0L, 1L)))
+  }
+
+  test("embedding cross pairs score ONLY increment×index dot products") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val acc = spark.sparkContext.longAccumulator("scored")
+    val got = Dedup.embeddingCrossPairs(embs, 0.4, 10, scored = Some(acc))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val nInc = embs.filter(col("vec_id") % 10 === 0).count()
+    val nIdx = embs.count() - nInc
+    // the round-8 shape scored all n·(n−1)/2 pairs and filtered after;
+    // the cross-side block join computes exactly |inc|·|idx| products
+    assert(acc.value === nInc * nIdx,
+      s"scored ${acc.value}, cross-side share is ${nInc * nIdx}")
+    // and the verified frame equals filtering the full pair frame
+    val full = Dedup.embeddingPairs(embs, 0.4).collect()
+      .map(p => (p.getLong(0), p.getLong(1), p.getDouble(2)))
+      .filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+      .map(p => if (p._1 % 10 == 0) p else (p._2, p._1, p._3)).toSet
+    assert(got === full)
+    assert(got.nonEmpty)
+  }
+
+  test("phash banding canary: 16-bit bands keep candidate pairs near-linear at 50k images") {
+    // splitmix64 models a DIVERSE image corpus (the synthetic
+    // closed-form corpus repeats exactly by construction, which is
+    // real dups, not collision noise). Candidate mass of the banded
+    // self-join is Σ s(s−1)/2 over (band, bucket) groups — with 2¹⁶
+    // buckets per band it stays ≈ 4·n²/2¹⁷ ≈ 1.5·n at 50k, where the
+    // round-8 4-bit bands (16 buckets) gave ≈ n²/8 ≈ 6×10⁸.
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def candidatePairs(n: Int, bandBits: Int): Long = {
+      val m = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+      val mask = (1L << bandBits) - 1
+      var i = 0
+      while (i < n) {
+        val hsh = splitmix(i.toLong)
+        var b = 0
+        while (b < 4) {
+          val k = (b, (hsh >>> (b * bandBits)) & mask)
+          m.update(k, m.getOrElse(k, 0L) + 1L); b += 1
+        }
+        i += 1
+      }
+      m.valuesIterator.map(s => s * (s - 1) / 2).sum
+    }
+    val at50k = candidatePairs(50000, 16)
+    assert(at50k <= 4L * 50000, s"candidate pairs $at50k super-linear at 50k")
+    val old4bit = candidatePairs(50000, 4)
+    assert(at50k * 1000 < old4bit,
+      s"16-bit bands ($at50k) must dominate the 4-bit shape ($old4bit)")
+  }
+
   test("duplicated-span removal cuts cross-doc repeats, keeps unique docs whole") {
     val out = Dedup.dupSpans(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -469,24 +544,59 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("audio spectrum trig quantization: every possible angle sits far from a rounding flip") {
+    // the oracle parity of audioSpectrum's fixed-point c_sum/s_sum
+    // assumes floor(cos(ang)·1e6 + 0.5) agrees between JVM libm and
+    // DuckDB's. A flip needs cos(ang)·1e6 + 0.5 within ~3e-10 of an
+    // integer (1-ulp trig divergence × 1e6 + product rounding). The
+    // angle universe is CLOSED: n = ((id·7 % 300) + 1)·10 ∈
+    // {10..3000 step 10}, ang = 2π·k·i/n for k ∈ 1..4, i < n — audit
+    // ALL of it (≈1.8M angles), not just the gate SFs. Measured min
+    // margin ≈ 3.27e-6 (n=2390, k=2, i=2330) — 4 orders of magnitude
+    // of headroom; assert a floor 30× below the measurement and 300×
+    // above the error scale.
+    var minMargin = 1.0
+    var n = 10
+    while (n <= 3000) {
+      var k = 1
+      while (k <= 4) {
+        var i = 0
+        while (i < n) {
+          val ang = 2.0 * math.Pi * k * i / n
+          var t = 0
+          while (t < 2) {
+            val x = (if (t == 0) math.cos(ang) else math.sin(ang)) * 1000000 + 0.5
+            val d = math.abs(x - math.rint(x))
+            if (d < minMargin) minMargin = d
+            t += 1
+          }
+          i += 1
+        }
+        k += 1
+      }
+      n += 10
+    }
+    assert(minMargin > 1e-7, s"quantization margin $minMargin too small for libm parity")
+  }
+
   test("image phash: hash matches a driver-side fold; banded neighbor counts equal all-pairs") {
     val rows = Multimodal.imagePhash(spark, docs).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("phash"), r.getAs[Long]("n_near_dups"))).toMap
     // driver-side recompute of one image's average hash from the closed form
     val id = rows.keys.min
-    val w = (id % 13 + 4).toInt; val h = (id % 7 + 4).toInt
-    val sums = new Array[Long](16); val cnts = new Array[Long](16)
+    val w = (id % 13 + 8).toInt; val h = (id % 7 + 8).toInt
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
     (0 until w * h).foreach { p =>
       val x = p % w; val y = p / w
       def ch(k: Int) = (id * 31 + (p * 3 + k) * 7) % 256
       val gray = (299L * ch(0) + 587L * ch(1) + 114L * ch(2)) / 1000L
-      val c = (y * 4 / h) * 4 + (x * 4 / w)
+      val c = (y * 8 / h) * 8 + (x * 8 / w)
       sums(c) += gray; cnts(c) += 1
     }
-    val cells = Array.tabulate(16)(c => sums(c) / cnts(c))
-    val t = cells.sum / 16
+    val cells = Array.tabulate(64)(c => sums(c) / cnts(c))
+    val t = cells.sum / 64
     var hash = 0L
-    (0 until 16).foreach(j => if (cells(j) > t) hash |= 1L << (15 - j))
+    (0 until 64).foreach(j => if (cells(j) > t) hash |= 1L << (63 - j))
     assert(rows(id)._1 === hash)
     // the banded route must equal the exhaustive all-pairs count
     val hs = rows.toSeq
