@@ -326,6 +326,129 @@ object Dedup {
     } finally hs.unpersist()
   }
 
+  /** Persisted text-index artifact for [[incrementalDedupWithSnapshot]]
+    * — what makes the incremental screen truly incremental: a daily
+    * increment run must not re-shingle (or re-rank) the 100 TB index,
+    * so everything the probe needs is precomputed once and stored as
+    * parquet. `index` holds one row per index doc: its sorted shingle
+    * hash set (`sh`, the verify side), its size and its rare-first
+    * PPJoin prefix (`prefix`, lengths baked at `threshold`); `dfreq`
+    * is the index-corpus document-frequency table that fixes the
+    * global rank order increment prefixes must be cut under.
+    *
+    * Completeness note: the PPJoin prefix theorem needs only that BOTH
+    * sides cut prefixes under one common total order — here
+    * (df_index(h), h), with increment-only shingles taking df 0
+    * (rarest; they cannot exist index-side, so ranking them first is
+    * also the efficient choice). The candidate set may differ from the
+    * full-corpus-df run, but both are supersets of the true pairs, so
+    * the VERIFIED output is identical (spec-pinned). */
+  case class TextIndexSnapshot(index: DataFrame, dfreq: DataFrame, threshold: Double) {
+    /** Write the artifact (parquet dirs + the threshold the prefix
+      * lengths were cut at). */
+    def save(dir: String): Unit = {
+      index.write.mode("overwrite").parquet(s"$dir/index")
+      dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+      val spark = index.sparkSession
+      import spark.implicits._
+      Seq(threshold).toDF("threshold")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object TextIndexSnapshot {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): TextIndexSnapshot =
+      TextIndexSnapshot(
+        spark.read.parquet(s"$dir/index"),
+        spark.read.parquet(s"$dir/dfreq"),
+        spark.read.parquet(s"$dir/meta").head().getDouble(0))
+  }
+
+  /** Build the [[TextIndexSnapshot]] for an index corpus — the ONE
+    * pass over the 100 TB side (shingle, df-rank, prefix-cut, sort),
+    * amortized across every subsequent increment run.
+    *
+    * Plan: one shingle scan feeding a keyed df aggregate and a per-doc
+    * collect+sort; nothing all-pairs, nothing driver-side. */
+  def buildTextIndexSnapshot(indexDocs: DataFrame,
+      threshold: Double = 0.5): TextIndexSnapshot = {
+    val hs = withShingles(indexDocs)
+    val ex = hs.select(col("doc_id"), size(col("hashes")).as("sz"),
+      explode(col("hashes")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val prefix = ex.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
+      .select(col("doc_id"), col("sz"),
+        expr("transform(slice(array_sort(ranked), 1, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int)), r -> r.h)").as("prefix"))
+    val index = hs.select(col("doc_id"), array_sort(col("hashes")).as("sh"))
+      .join(prefix, Seq("doc_id"))
+      .select(col("doc_id"), col("sz"), col("sh"), col("prefix"))
+    TextIndexSnapshot(index, dfreq, threshold)
+  }
+
+  /** [[incrementalDedup]] against a precomputed [[TextIndexSnapshot]]
+    * — the production daily run: only the INCREMENT is shingled and
+    * ranked (under the snapshot's df order); the index side's prefixes
+    * and sorted hash sets come straight off parquet. Output schema and
+    * values equal [[incrementalDedup]] over the union corpus with the
+    * same side split (spec-pinned): candidates may differ (df orders
+    * differ) but both candidate sets are complete, and verification is
+    * exact.
+    *
+    * Plan: increment-only shingle scan; prefix equi-join on h with the
+    * PPJoin length filter; two keyed verify joins (no broadcast — the
+    * index side is the 100 TB one); per-increment argmax window. */
+  def incrementalDedupWithSnapshot(incrementDocs: DataFrame,
+      snapshot: TextIndexSnapshot): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val threshold = snapshot.threshold
+    val hsInc = withShingles(incrementDocs)
+      .select(col("doc_id"), col("hashes")).persist()
+    hsInc.count()
+    try {
+      val exI = hsInc.select(col("doc_id"), size(col("hashes")).as("sz"),
+        explode(col("hashes")).as("h"))
+      // rank under the SNAPSHOT df order; unseen shingles take df 0
+      val a = exI.join(snapshot.dfreq, Seq("h"), "left")
+        .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+        .groupBy(col("doc_id"), col("sz"))
+        .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
+        .select(col("doc_id").as("inc_id"), col("sz").as("sz_a"),
+          explode(expr("slice(array_sort(ranked), 1, " +
+            s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
+        .select(col("inc_id"), col("sz_a"), col("rh.h").as("h"))
+      val b = snapshot.index.select(col("doc_id").as("idx_id"),
+        col("sz").as("sz_b"), explode(col("prefix")).as("h"))
+      val cands = a.join(b, Seq("h"))
+        .filter(col("sz_b") >= ceil(col("sz_a") * threshold - lit(1e-9)) &&
+          col("sz_b") <= col("sz_a") / threshold + lit(1e-9))
+        .select(col("inc_id"), col("idx_id")).distinct()
+      val verified = cands
+        .join(hsInc.select(col("doc_id").as("inc_id"),
+          array_sort(col("hashes")).as("h_a")), Seq("inc_id"))
+        .join(snapshot.index.select(col("doc_id").as("idx_id"),
+          col("sh").as("h_b")), Seq("idx_id"))
+        .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
+        .withColumn("jaccard", round(col("inter") /
+          (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
+        .filter(col("jaccard") >= threshold)
+      val w = Window.partitionBy(col("inc_id")).orderBy(col("jaccard").desc, col("idx_id"))
+      val best = verified.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("inc_id").as("doc_id"), col("idx_id").as("best_match"),
+          col("jaccard").as("best_jaccard"))
+      val out = incrementDocs.select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .withColumn("is_dup", col("best_match").isNotNull)
+        .select(col("doc_id"), col("is_dup"), col("best_match"), col("best_jaccard"))
+        .persist()
+      out.count()
+      out
+    } finally hsInc.unpersist()
+  }
+
   /** Near-dup threshold sensitivity sweep — the tuning curve run
     * before ANY dedup deploy ("how much do we delete at τ?"): pair
     * and affected-doc counts at each candidate threshold, from ONE
@@ -673,27 +796,28 @@ object Dedup {
     * frame is bit-identical to filtering its output cross-side.
     *
     * `scored` (spec instrumentation only) counts dot products. */
-  private[graft] def embeddingCrossPairs(embeddings: DataFrame, threshold: Double,
-      mod: Int, nBlocks: Int = 16,
-      scored: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+  /** Normalized (id, double-vector, norm) rows for the exact-cosine
+    * operators — also the [[buildEmbeddingIndexSnapshot]] payload. */
+  private def prepVecs(embeddings: DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val B = nBlocks
-    val vecs = reg(embeddings).select(
+    reg(embeddings).select(
       col("vec_id").cast("long").as("id"),
       expr("transform(embedding, x -> cast(x AS double))").as("emb"),
       expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
       .as[(Long, Array[Double], Double)]
-    val replicated = vecs.flatMap { case (id, emb, nrm) =>
-      val isInc = java.lang.Math.floorMod(id, mod.toLong) == 0L
-      val blk = java.lang.Math.floorMod(id, B.toLong).toInt
-      // group key = incBlk * B + idxBlk: an increment vector fans out
-      // across the idx dimension, an index vector across the inc one
-      (0 until B).iterator.map { other =>
-        val key = if (isInc) blk * B + other else other * B + blk
-        (key, isInc, id, emb, nrm)
-      }
-    }
+  }
+
+  /** The grouped cross-side scorer behind both incremental embedding
+    * screens: `replicated` carries (groupKey, isIncrement, id, emb,
+    * norm) rows fanned out so every (incBlk, idxBlk) group holds both
+    * sides; each group scores inc×idx only. */
+  private def crossScore(
+      replicated: org.apache.spark.sql.Dataset[(Int, Boolean, Long, Array[Double], Double)],
+      threshold: Double,
+      scored: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
+    val spark = replicated.sparkSession
+    import spark.implicits._
     val cut = threshold - 1e-4
     val pairs = replicated.groupByKey(_._1).flatMapGroups { (_, it) =>
       val inc = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
@@ -725,6 +849,25 @@ object Dedup {
       .select(col("inc_id"), col("idx_id"), col("cosine"))
   }
 
+  private[graft] def embeddingCrossPairs(embeddings: DataFrame, threshold: Double,
+      mod: Int, nBlocks: Int = 16,
+      scored: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val B = nBlocks
+    val replicated = prepVecs(embeddings).flatMap { case (id, emb, nrm) =>
+      val isInc = java.lang.Math.floorMod(id, mod.toLong) == 0L
+      val blk = java.lang.Math.floorMod(id, B.toLong).toInt
+      // group key = incBlk * B + idxBlk: an increment vector fans out
+      // across the idx dimension, an index vector across the inc one
+      (0 until B).iterator.map { other =>
+        val key = if (isInc) blk * B + other else other * B + blk
+        (key, isInc, id, emb, nrm)
+      }
+    }
+    crossScore(replicated, threshold, scored)
+  }
+
   /** Incremental embedding near-dup screening — [[incrementalDedup]]'s
     * vector twin: the NEW embedding shard (vec_id % mod == 0) probes
     * the EXISTING index for exact cosine ≥ threshold matches; one row
@@ -749,6 +892,50 @@ object Dedup {
       .select(col("inc_id").as("vec_id"), col("idx_id").as("best_match"),
         col("cosine").as("best_cosine"))
     embeddings.select(col("vec_id")).filter(col("vec_id") % mod === 0)
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("best_match").isNotNull)
+      .select(col("vec_id"), col("is_dup"), col("best_match"), col("best_cosine"))
+  }
+
+  /** Persisted embedding-index artifact — [[TextIndexSnapshot]]'s
+    * vector twin: the index side's double vectors and L2 norms,
+    * precomputed once so a daily increment run never re-normalizes
+    * the 100 TB embedding index. Store with
+    * `df.write.parquet(dir)`, reload with `spark.read.parquet` —
+    * plain columns (id, emb, nrm), no custom format. Block assignment
+    * is floorMod(id, B) — a pure function, nothing to persist. */
+  def buildEmbeddingIndexSnapshot(indexEmbeddings: DataFrame): DataFrame =
+    prepVecs(indexEmbeddings).toDF("id", "emb", "nrm")
+
+  /** [[embeddingIncremental]] against a precomputed index artifact:
+    * only the INCREMENT is normalized; the index side streams straight
+    * off the snapshot parquet into its block groups. Same cross-side
+    * block decomposition ([[crossScore]]), same rounding — output
+    * equals [[embeddingIncremental]] over the union corpus with the
+    * same side split (spec-pinned). */
+  def embeddingIncrementalWithSnapshot(incrementEmbeddings: DataFrame,
+      snapshot: DataFrame, threshold: Double = 0.4,
+      nBlocks: Int = 16): DataFrame = {
+    val spark = incrementEmbeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = nBlocks
+    val incRep = prepVecs(incrementEmbeddings).flatMap { case (id, emb, nrm) =>
+      val blk = java.lang.Math.floorMod(id, B.toLong).toInt
+      (0 until B).iterator.map(other => (blk * B + other, true, id, emb, nrm))
+    }
+    val idxRep = snapshot.as[(Long, Array[Double], Double)].flatMap {
+      case (id, emb, nrm) =>
+        val blk = java.lang.Math.floorMod(id, B.toLong).toInt
+        (0 until B).iterator.map(other => (other * B + blk, false, id, emb, nrm))
+    }
+    val crossSide = crossScore(incRep.union(idxRep), threshold, None)
+    val w = Window.partitionBy(col("inc_id")).orderBy(col("cosine").desc, col("idx_id"))
+    val best = crossSide.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("inc_id").as("vec_id"), col("idx_id").as("best_match"),
+        col("cosine").as("best_cosine"))
+    incrementEmbeddings.select(col("vec_id"))
       .join(best, Seq("vec_id"), "left")
       .withColumn("is_dup", col("best_match").isNotNull)
       .select(col("vec_id"), col("is_dup"), col("best_match"), col("best_cosine"))

@@ -2557,6 +2557,11 @@ object LlmOracle {
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_embed_incremental" -> qEmbedIncremental,
+    // the snapshot-driven screens are value-identical to the
+    // incremental ones (exact verification; only candidate generation
+    // differs) — the oracles are reused verbatim
+    "q_dedup_snapshot" -> qDedupIncremental,
+    "q_embed_snapshot" -> qEmbedIncremental,
     "q_dedup_containment" -> qDedupContainment,
     "q_dbscan" -> qDbscan,
     "q_dedup_components" -> qDedupComponents,

@@ -44,6 +44,21 @@ object LlmQueries {
       Dedup.incrementalDedup(docs(s, d)).orderBy(col("doc_id"))),
     "q_embed_incremental" -> ((s, d) =>
       Dedup.embeddingIncremental(embs(s, d)).orderBy(col("vec_id"))),
+    // same screens driven off the persisted index artifacts — candidate
+    // orders differ (index-side vs full-corpus df) but verification is
+    // exact, so the oracle is the incremental one, reused verbatim
+    "q_dedup_snapshot" -> ((s, d) => {
+      val all = docs(s, d)
+      val snap = Dedup.buildTextIndexSnapshot(all.filter(col("doc_id") % 10 =!= 0), 0.5)
+      Dedup.incrementalDedupWithSnapshot(all.filter(col("doc_id") % 10 === 0), snap)
+        .orderBy(col("doc_id"))
+    }),
+    "q_embed_snapshot" -> ((s, d) => {
+      val all = embs(s, d)
+      val snap = Dedup.buildEmbeddingIndexSnapshot(all.filter(col("vec_id") % 10 =!= 0))
+      Dedup.embeddingIncrementalWithSnapshot(all.filter(col("vec_id") % 10 === 0), snap)
+        .orderBy(col("vec_id"))
+    }),
     "q_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, d) =>

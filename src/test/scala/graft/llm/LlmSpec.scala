@@ -73,6 +73,50 @@ class LlmSpec extends SparkSpec {
     assert(exhaustive.nonEmpty)
   }
 
+  test("text index snapshot: parquet round-trip screen equals the recomputed incremental screen") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("is_dup"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    // fixture: doc 0 is the increment, doc 4 its verbatim copy — the
+    // snapshot-driven screen must find it without ever shingling the
+    // index at screen time
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    Dedup.buildTextIndexSnapshot(docs.filter(col("doc_id") % 10 =!= 0), 0.5).save(dir)
+    val loaded = Dedup.TextIndexSnapshot.load(spark, dir)
+    assert(loaded.threshold === 0.5)
+    val got = rows(Dedup.incrementalDedupWithSnapshot(
+      docs.filter(col("doc_id") % 10 === 0), loaded))
+    assert(got === Set((0L, true, Some(4L), Some(1.0))))
+    // and on the real corpus: value-identical to the full recompute
+    // (candidate sets differ — index-side vs full-corpus df order —
+    // but both are complete and verification is exact)
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-snap2").toString
+    Dedup.buildTextIndexSnapshot(corpus.filter(col("doc_id") % 10 =!= 0), 0.5).save(dir2)
+    val fromSnap = rows(Dedup.incrementalDedupWithSnapshot(
+      corpus.filter(col("doc_id") % 10 === 0),
+      Dedup.TextIndexSnapshot.load(spark, dir2)))
+    val recomputed = rows(Dedup.incrementalDedup(corpus, 0.5))
+    assert(fromSnap === recomputed)
+  }
+
+  test("embedding index snapshot: persisted-artifact screen equals the recomputed one") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-esnap").toString + "/snap"
+    Dedup.buildEmbeddingIndexSnapshot(embs.filter(col("vec_id") % 10 =!= 0))
+      .write.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("is_dup"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val got = rows(Dedup.embeddingIncrementalWithSnapshot(
+      embs.filter(col("vec_id") % 10 === 0), spark.read.parquet(dir)))
+    val want = rows(Dedup.embeddingIncremental(embs))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("embedding incremental screen equals a driver-side exhaustive cross-side argmax") {
     val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Dedup.embeddingIncremental(embs).collect()
