@@ -52,6 +52,58 @@ object Streaming extends Serializable {
   def nearDupScreen(streamDocs: DataFrame, corpus: DataFrame): DataFrame =
     graft.dedup.Bloom.probe(streamDocs, graft.dedup.Bloom.build(corpus))
 
+  /** Streaming twin of the incremental text screen — the Bloom band
+    * screen's EXACT sibling: [[nearDupScreen]] answers "maybe dup"
+    * per row from an 8 KiB sketch; this one runs the full PPJoin
+    * probe of each micro-batch against the persisted
+    * [[graft.dedup.Dedup.TextIndexSnapshot]] and emits the verified
+    * is_dup / best_match / best_jaccard row per arriving doc
+    * (identical to the batch
+    * [[graft.dedup.Dedup.incrementalDedupWithSnapshot]] frame,
+    * spec-pinned). Per batch only the BATCH is shingled — prefixes cut
+    * under the snapshot's df order, candidate equi-join against the
+    * snapshot's prefix postings, keyed verify joins against its sorted
+    * hash sets: stream-static joins end to end, no per-key streaming
+    * state (the index lives in the artifact, the maintained result is
+    * O(screened docs)). foreachBatch is at-least-once, so a redelivered
+    * batchId is skipped rather than double-screened. */
+  class IncrementalScreen(snapshot: graft.dedup.Dedup.TextIndexSnapshot) {
+    @volatile private var resultFrame: Option[DataFrame] = None
+    @volatile private var lastBatchId: Long = -1L
+
+    /** All screened rows so far (doc_id, is_dup, best_match,
+      * best_jaccard) — one per arrived doc. */
+    def results: Option[DataFrame] = resultFrame
+
+    def attach(streamDocs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      streamDocs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          synchronized {
+            if (batchId > lastBatchId) { update(batch.toDF()); lastBatchId = batchId }
+          }
+        }
+        .start()
+
+    /** Screen one batch and fold it into the maintained result frame.
+      * localCheckpoint (eager) truncates the per-batch union lineage,
+      * as in [[ContinuousQc.update]]; superseded checkpoint blocks are
+      * released so a long-running stream pins O(1) frames. */
+    def update(batch: DataFrame): Unit = synchronized {
+      val b = batch.persist()
+      if (b.isEmpty) { b.unpersist(); return }
+      // returns eagerly persisted — materialized before b is released
+      val screened = graft.dedup.Dedup.incrementalDedupWithSnapshot(b, snapshot)
+      val next = resultFrame.map(_.unionByName(screened)).getOrElse(screened.toDF())
+        .localCheckpoint(true)
+      val old = resultFrame
+      resultFrame = Some(next)
+      old.foreach(graft.core.Checkpoints.release)
+      screened.unpersist()
+      b.unpersist()
+    }
+  }
+
   /** Stream-static enrichment: join each arriving event to the station
     * registry (a static dimension frame). The static side broadcasts —
     * per micro-batch the stream is enriched map-side with NO shuffle

@@ -94,6 +94,49 @@ class StreamingSpec extends SparkSpec {
     assert(out === batch)
   }
 
+  test("streaming incremental screen equals the batch snapshot screen and batch incrementalDedup") {
+    implicit val sc = spark.sqlContext
+    // index corpus: ids ≢ 0 mod 10 so the batch incrementalDedup twin
+    // (which splits by doc_id % 10) sees the identical side split
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve", "en"),
+      (3L, "curious corpus of entirely different prose lives here quietly", "en"))
+      .toDF("doc_id", "text", "lang")
+    val snap = graft.dedup.Dedup.buildTextIndexSnapshot(index, 0.5)
+    val screen = new Streaming.IncrementalScreen(snap)
+    val input = MemoryStream[(Long, String, String)]
+    val q = screen.attach(input.toDF().toDF("doc_id", "text", "lang"))
+    // two micro-batches: per-batch accumulation must equal one-shot
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"), // == doc 1
+      (20L, "completely unrelated words about catalyst plans and codegen", "en"))
+    q.processAllAvailable()
+    input.addData(
+      (30L, "one two three four five six seven eight nine ten eleven twelve", "en")) // == doc 2
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("is_dup"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val got = rows(screen.results.get)
+    assert(got.map(_._1) === Set(10L, 20L, 30L))
+    assert(got.contains((10L, true, Some(1L), Some(1.0))))
+    assert(got.contains((30L, true, Some(2L), Some(1.0))))
+    assert(got.contains((20L, false, None, None)))
+    // pinned equal to the batch snapshot screen over all arrived docs...
+    val arrived = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (20L, "completely unrelated words about catalyst plans and codegen", "en"),
+      (30L, "one two three four five six seven eight nine ten eleven twelve", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(got === rows(graft.dedup.Dedup.incrementalDedupWithSnapshot(arrived, snap)))
+    // ...and to the batch incrementalDedup over the union corpus (the
+    // stream ids are ≡ 0 mod 10, the index ids are not)
+    assert(got === rows(graft.dedup.Dedup.incrementalDedup(index.unionByName(arrived), 0.5)))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     implicit val sc = spark.sqlContext
     val vIn = MemoryStream[(Timestamp, Long, Double)]
