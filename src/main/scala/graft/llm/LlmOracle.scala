@@ -1270,6 +1270,40 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.imageDecodeGif: the engine round-trips a real
+    * GIF89a (64-entry global color table, two ancillary extensions,
+    * ≤32-byte sub-blocks, genuine variable-width LZW) whose palette
+    * indices and palette entries are both closed-form — the oracle
+    * reproduces the decoded channel statistics straight from the
+    * generator arithmetic, so any LZW, sub-block or palette bug
+    * breaks this hash match. */
+  val qImageDecodeGif: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 12 + 4 AS INT) AS width,
+             CAST(doc_id % 6 + 4 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT doc_id, width, height,
+        (doc_id * 31 + unnest(range(0, width * height)) * 7) % 64 AS j
+      FROM img),
+    ch AS (
+      SELECT doc_id, width, height,
+        CAST(width AS BIGINT) * height AS n_pixels,
+        CAST(sum(j * 37 % 256) AS BIGINT) AS sum_r,
+        CAST(sum(j * 59 % 256) AS BIGINT) AS sum_g,
+        CAST(sum(j * 83 % 256) AS BIGINT) AS sum_b
+      FROM px GROUP BY 1, 2, 3),
+    m AS (
+      SELECT doc_id, width, height, n_pixels,
+        round(sum_r / n_pixels::DOUBLE + 1e-9, 6) AS mean_r,
+        round(sum_g / n_pixels::DOUBLE + 1e-9, 6) AS mean_g,
+        round(sum_b / n_pixels::DOUBLE + 1e-9, 6) AS mean_b
+      FROM ch)
+    SELECT doc_id, width, height, n_pixels, mean_r, mean_g, mean_b,
+      round(0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b + 1e-9, 6)
+        AS luma
+    FROM m ORDER BY doc_id"""
+
   /** Mirrors Multimodal.imageDecodeJpeg: the engine round-trips a real
     * baseline JFIF (in-file Huffman tables, DC differential coding,
     * byte stuffing, float IDCT) whose planted quantized coefficients
@@ -2611,6 +2645,7 @@ object LlmOracle {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_image_decode" -> qImageDecode,
     "q_image_decode_png" -> qImageDecodePng,
+    "q_image_decode_gif" -> qImageDecodeGif,
     "q_image_decode_jpeg" -> qImageDecodeJpeg,
     "q_audio_spectrum" -> qAudioSpectrum,
     "q_video_scenes" -> qVideoScenes,

@@ -221,6 +221,8 @@ object LlmQueries {
       Multimodal.imageDecodePng(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_decode_jpeg" -> ((s, d) =>
       Multimodal.imageDecodeJpeg(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_image_decode_gif" -> ((s, d) =>
+      Multimodal.imageDecodeGif(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_phash" -> ((s, d) =>
       Multimodal.imagePhash(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_cdc_chunks" -> ((s, d) =>

@@ -345,6 +345,276 @@ object Multimodal {
         col("mean_r"), col("mean_g"), col("mean_b"), col("luma"))
   }
 
+  // ---- GIF (GIF89a, pure LZW — no native codec needed) -------------
+
+  /** GIF variable-code-width LZW encoder (GIF89a Appendix F):
+    * initial CLEAR, (prefixCode, byte)→code dictionary, code width
+    * grows when the just-assigned index overflows it (up to 12 bits),
+    * CLEAR-and-reset when the dictionary hits 4096, LSB-first bit
+    * packing. `indices` values must be < 2^minCode. */
+  private[graft] def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode; val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    var width = minCode + 1
+    def put(v: Int): Unit = {
+      acc |= v.toLong << nb; nb += width
+      while (nb >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+    }
+    val table = new java.util.HashMap[Int, Int]()
+    var next = eoi + 1
+    put(clear)
+    var prevCode = -1
+    var i = 0
+    while (i < indices.length) {
+      val px = indices(i).toInt & 0xff
+      require(px < clear, s"palette index $px exceeds $minCode-bit code space")
+      if (prevCode == -1) prevCode = px
+      else {
+        val key = (prevCode << 8) | px
+        val hit = table.getOrDefault(key, -1)
+        if (hit != -1) prevCode = hit
+        else {
+          put(prevCode)
+          if (next < 4096) {
+            table.put(key, next); next += 1
+            // the just-assigned index may now be referenced (KwKwK), so
+            // the NEXT emitted code needs width bits for it
+            if (next - 1 == (1 << width) && width < 12) width += 1
+            if (next == 4096) { // dictionary full: reset, like real encoders
+              put(clear); table.clear(); next = eoi + 1; width = minCode + 1
+            }
+          }
+          prevCode = px
+        }
+      }
+      i += 1
+    }
+    if (prevCode != -1) put(prevCode)
+    put(eoi)
+    if (nb > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF LZW decoder — prefix/suffix chain tables, KwKwK handling,
+    * mid-stream CLEAR support, the giflib width-growth convention
+    * (next-to-assign == 2^width → width+1, max 12). Fails loudly on
+    * out-of-range codes, truncation or a pixel-count mismatch. */
+  private[graft] def lzwDecode(data: Array[Byte], minCode: Int,
+      nExpected: Int): Array[Byte] = {
+    val clear = 1 << minCode; val eoi = clear + 1
+    require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](nExpected)
+    var outN = 0
+    var pos = 0; val totalBits = data.length * 8
+    var width = minCode + 1
+    var next = eoi + 1
+    var prev = -1
+    def read(w: Int): Int = {
+      require(pos + w <= totalBits, "truncated LZW stream")
+      var v = 0; var i = 0
+      while (i < w) {
+        v |= ((data((pos + i) >> 3) >> ((pos + i) & 7)) & 1) << i
+        i += 1
+      }
+      pos += w; v
+    }
+    def firstOf(code: Int): Byte = {
+      var cur = code
+      while (cur >= clear + 2) cur = prefix(cur)
+      cur.toByte
+    }
+    var c = read(width)
+    require(c == clear, "LZW stream must start with CLEAR")
+    var done = false
+    while (!done) {
+      if (c == clear) { next = eoi + 1; width = minCode + 1; prev = -1 }
+      else if (c == eoi) {
+        require(outN == nExpected, s"EOI after $outN of $nExpected pixels")
+        done = true
+      } else {
+        var sp = 0
+        var cur = c
+        if (c == next) { // KwKwK: seq(prev) + first(seq(prev))
+          require(prev != -1, "KwKwK code with no previous sequence")
+          stack(sp) = firstOf(prev); sp += 1; cur = prev
+        } else require(c < next && c != clear && c != eoi,
+          s"LZW code $c out of range (next=$next)")
+        if (prev == -1) require(cur < clear, "first code after CLEAR must be a root")
+        while (cur >= clear + 2) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        stack(sp) = cur.toByte; sp += 1
+        val first = cur.toByte
+        require(outN + sp <= nExpected, "LZW output exceeds the declared pixel count")
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (prev != -1 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first; next += 1
+        }
+        if (next == (1 << width) && width < 12) width += 1
+        prev = c
+      }
+      if (!done) c = read(width)
+    }
+    out
+  }
+
+  /** Deterministic GIF89a synthesizer — a REAL GIF file (header;
+    * logical screen descriptor; 64-entry global color table; a Graphic
+    * Control extension AND a Comment extension the parser must walk
+    * over; image descriptor; genuinely LZW-compressed pixel data split
+    * into ≤32-byte sub-blocks so sub-block concatenation is
+    * load-bearing; trailer). Palette index of pixel p =
+    * (docId·31 + p·7) mod 64; palette entry j = (37j, 59j, 83j) mod
+    * 256 — both closed-form for the DuckDB oracle. */
+  private[graft] def synthesizeGif(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(w); w16(h)
+    out.write(0xf5) // GCT present, 8-bit color resolution, 2^(5+1)=64 entries
+    out.write(0); out.write(0) // background index, aspect ratio
+    (0 until 64).foreach { j =>
+      out.write(j * 37 % 256); out.write(j * 59 % 256); out.write(j * 83 % 256)
+    }
+    // Graphic Control extension (no transparency) — ancillary
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0); w16(0); out.write(0); out.write(0)
+    // Comment extension — a second ancillary block shape (label-only)
+    out.write(0x21); out.write(0xfe)
+    val comment = "graft".getBytes("US-ASCII")
+    out.write(comment.length); out.write(comment); out.write(0)
+    // image descriptor: full-screen, no local color table, no interlace
+    out.write(0x2c); w16(0); w16(0); w16(w); w16(h); out.write(0)
+    out.write(6) // LZW minimum code size (64-entry palette)
+    val indices = Array.tabulate(w * h)(p => ((docId * 31 + p * 7) % 64).toByte)
+    val lzw = lzwEncode(indices, 6)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(32, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Dependency-free GIF decoder — the last mainstream image format
+    * feasible without native libs (pure LZW): parses the header and
+    * logical screen descriptor, loads the global color table, walks
+    * extension blocks generically (label + sub-blocks), decodes the
+    * single image's sub-blocked LZW stream and maps palette indices
+    * to RGB. Mainstream subset: global color table required, no local
+    * color table, no interlace — anything else fails loudly. Returns
+    * (width, height, rgb-interleaved bytes), the [[decodePpm]]
+    * contract, so every downstream feature path is shared. */
+  private[graft] def decodeGif(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 13, "truncated GIF header")
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF89a" || sig == "GIF87a", s"not a GIF (signature '$sig')")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val packed = bytes(10) & 0xff
+    require((packed & 0x80) != 0, "GIF without a global color table (unsupported)")
+    val gctSize = 2 << (packed & 7)
+    var pos = 13
+    require(pos + 3 * gctSize <= bytes.length, "truncated global color table")
+    val gct = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * gctSize)
+    pos += 3 * gctSize
+    var result: (Int, Int, Array[Byte]) = null
+    var end = false
+    while (!end) {
+      require(pos < bytes.length, "GIF ended without trailer")
+      (bytes(pos) & 0xff) match {
+        case 0x3b => end = true
+        case 0x21 => // extension: label byte, then sub-blocks until 0
+          pos += 2
+          var len = bytes(pos) & 0xff
+          while (len != 0) {
+            pos += 1 + len
+            require(pos < bytes.length, "truncated GIF extension")
+            len = bytes(pos) & 0xff
+          }
+          pos += 1
+        case 0x2c =>
+          require(result == null, "multi-image GIF (unsupported)")
+          val iw = u16(pos + 5); val ih = u16(pos + 7)
+          val ipacked = bytes(pos + 9) & 0xff
+          require((ipacked & 0x80) == 0, "local color table (unsupported)")
+          require((ipacked & 0x40) == 0, "interlaced GIF (unsupported)")
+          pos += 10
+          val minCode = bytes(pos) & 0xff; pos += 1
+          val lzwBuf = new java.io.ByteArrayOutputStream()
+          var len = bytes(pos) & 0xff
+          while (len != 0) {
+            require(pos + 1 + len < bytes.length, "truncated GIF image data")
+            lzwBuf.write(bytes, pos + 1, len)
+            pos += 1 + len
+            len = bytes(pos) & 0xff
+          }
+          pos += 1
+          val idx = lzwDecode(lzwBuf.toByteArray, minCode, iw * ih)
+          val rgb = new Array[Byte](3 * iw * ih)
+          var p = 0
+          while (p < iw * ih) {
+            val j = idx(p).toInt & 0xff
+            require(j < gctSize, s"palette index $j outside the $gctSize-entry table")
+            rgb(3 * p) = gct(3 * j); rgb(3 * p + 1) = gct(3 * j + 1)
+            rgb(3 * p + 2) = gct(3 * j + 2)
+            p += 1
+          }
+          result = (iw, ih, rgb)
+        case other => throw new IllegalArgumentException(
+          f"unknown GIF block 0x$other%02x at $pos")
+      }
+    }
+    require(result != null, "GIF contains no image")
+    result
+  }
+
+  /** REAL GIF decode over synthesized payloads — the q_image_decode
+    * pipeline through the full header→extensions→sub-block
+    * concatenation→LZW→palette path. Dims differ from the PPM/PNG/JPEG
+    * variants (width = id%12+4, height = id%6+4) so no two decode
+    * queries can accidentally share results; pixel stats are
+    * closed-form through the palette, so the oracle mirrors the
+    * decoded statistics exactly — an LZW or parser bug breaks the
+    * hash match. */
+  def imageDecodeGif(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = metadata(documents)
+      .filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 12 + 4).toInt; val h = (id % 6 + 4).toInt
+          val (dw, dh, px) = decodeGif(synthesizeGif(id, w, h))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val v = px(i).toInt & 0xff
+            (i % 3: @unchecked) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case 2 => sb += v
+            }
+            i += 1
+          }
+          DecodedImage(id, dw, dh, dw.toLong * dh, sr, sg, sb)
+        }
+      }.toDF()
+    def mean(c: String) =
+      round(col(c) / col("n_pixels").cast("double") + lit(1e-9), 6)
+    decoded
+      .withColumn("mean_r", mean("sum_r"))
+      .withColumn("mean_g", mean("sum_g"))
+      .withColumn("mean_b", mean("sum_b"))
+      .withColumn("luma", round(lit(0.299) * col("mean_r")
+        + lit(0.587) * col("mean_g") + lit(0.114) * col("mean_b")
+        + lit(1e-9), 6))
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("mean_r"), col("mean_g"), col("mean_b"), col("luma"))
+  }
+
   // ---- Baseline JPEG (ITU-T T.81), grayscale subset ----------------
 
   /** Zig-zag order: index k → raster index (row·8 + col), generated by
@@ -1208,19 +1478,22 @@ object Multimodal {
   }
 
   /** Per-payload feature vector — the routing seam featureExtract runs
-    * inside its partitions, factored out so the JPEG/PNG/PPM routes
-    * are unit-testable with synthesized payloads. PNG routes on its
-    * 8-byte signature, JPEG on SOI 0xFFD8 (grayscale pixels feed all
-    * three channels), PPM on its P6 magic — a corrupt payload FAILS
-    * its real decoder loudly through Try → stub, never silently
-    * half-parses. */
+    * inside its partitions, factored out so the JPEG/PNG/GIF/PPM
+    * routes are unit-testable with synthesized payloads. PNG routes on
+    * its 8-byte signature, JPEG on SOI 0xFFD8 (grayscale pixels feed
+    * all three channels), GIF on its "GIF8" magic, PPM on its P6
+    * magic — a corrupt payload FAILS its real decoder loudly through
+    * Try → stub, never silently half-parses. */
   private[graft] def mediaFeature(payload: Array[Byte]): Array[Float] = {
     val isPng = payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P'.toByte && payload(2) == 'N'.toByte && payload(3) == 'G'.toByte
     val isJpeg = payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
       (payload(1) & 0xff) == 0xd8
+    val isGif = payload.length >= 6 && payload(0) == 'G'.toByte &&
+      payload(1) == 'I'.toByte && payload(2) == 'F'.toByte && payload(3) == '8'.toByte
     val img =
       if (isPng) scala.util.Try(decodePng(payload)).toOption
+      else if (isGif) scala.util.Try(decodeGif(payload)).toOption
       else if (isJpeg) scala.util.Try(decodeJpeg(payload)).toOption.map {
         case (w, h, gray) => // replicate gray across the RGB layout
           val rgb = new Array[Byte](gray.length * 3)

@@ -515,6 +515,62 @@ class LlmSpec extends SparkSpec {
     assert(stub.forall(v => v >= 0f && v < 1f))
   }
 
+  test("GIF LZW codec: round-trips adversarial streams (KwKwK, width growth, dict-full reset)") {
+    val rng = new scala.util.Random(42)
+    def rt(minCode: Int, seq: Array[Byte]): Unit = {
+      val dec = Multimodal.lzwDecode(Multimodal.lzwEncode(seq, minCode), minCode, seq.length)
+      assert(dec.toSeq === seq.toSeq, s"minCode $minCode, n ${seq.length}")
+    }
+    // constant runs hit KwKwK immediately; aabb patterns keep hitting it
+    rt(2, Array.fill(200)(0.toByte))
+    rt(4, Array.tabulate(240)(i => (Seq(0, 0, 1, 1)(i % 4)).toByte))
+    for (mc <- Seq(2, 4, 6, 8)) {
+      val n = 1 << mc
+      rt(mc, Array.tabulate(300)(i => (i % n).toByte))
+      rt(mc, Array.fill(500)(rng.nextInt(n).toByte))
+    }
+    // the synthetic closed form at several dims
+    for (id <- 0L until 60L by 3L) {
+      val w = (id % 12 + 4).toInt; val h = (id % 6 + 4).toInt
+      rt(6, Array.tabulate(w * h)(p => ((id * 31 + p * 7) % 64).toByte))
+    }
+    // dictionary overflow: 12k random pixels over 4 colors crosses the
+    // 4096-entry cap -> the encoder's CLEAR-and-reset path is exercised;
+    // 9k over 256 colors walks the width all the way to 12 bits
+    rt(2, Array.fill(12000)(rng.nextInt(4).toByte))
+    rt(8, Array.fill(9000)(rng.nextInt(256).toByte))
+  }
+
+  test("GIF decode: synthesized GIF89a round-trips the closed-form palette pixels; corruption fails loudly") {
+    val (w, h) = (15, 9) // 135 px: LZW data spans multiple <=32B sub-blocks
+    val gif = Multimodal.synthesizeGif(9L, w, h)
+    val (dw, dh, px) = Multimodal.decodeGif(gif)
+    assert((dw, dh) === (w, h))
+    (0 until w * h).foreach { p =>
+      val j = ((9L * 31 + p * 7) % 64).toInt
+      assert((px(3 * p).toInt & 0xff) === j * 37 % 256, s"r of pixel $p")
+      assert((px(3 * p + 1).toInt & 0xff) === j * 59 % 256, s"g of pixel $p")
+      assert((px(3 * p + 2).toInt & 0xff) === j * 83 % 256, s"b of pixel $p")
+    }
+    // truncation mid-image and a bogus block marker fail loudly
+    intercept[IllegalArgumentException](Multimodal.decodeGif(gif.take(40)))
+    val bogus = gif.clone()
+    bogus(13 + 3 * 64) = 0x7f // first block after the GCT
+    intercept[IllegalArgumentException](Multimodal.decodeGif(bogus))
+    intercept[IllegalArgumentException](Multimodal.decodeGif("P6\n2 1\n255\nABCDEF".getBytes))
+    // featureExtract routes GIF by magic onto the real-decode layout
+    val feat = Multimodal.mediaFeature(gif)
+    assert(feat(6) === 1f && feat(7) === 0f)
+    assert(feat(0) === w / 4096f && feat(1) === h / 4096f)
+    val sums = new Array[Long](3)
+    (0 until w * h).foreach { p =>
+      val j = ((9L * 31 + p * 7) % 64).toInt
+      sums(0) += j * 37 % 256; sums(1) += j * 59 % 256; sums(2) += j * 83 % 256
+    }
+    assert(math.abs(feat(2) - sums(0) / (w * h).toFloat / 255f) < 1e-6f)
+    assert(math.abs(feat(3) - sums(1) / (w * h).toFloat / 255f) < 1e-6f)
+  }
+
   test("JPEG decode: synthesized baseline JFIF round-trips the closed-form pixels exactly") {
     // 24x16 = 6 blocks: exercises DC differential coding across blocks
     // and both the with-AC and DC-only (EOB-immediately) paths
