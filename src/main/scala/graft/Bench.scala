@@ -52,6 +52,19 @@ object Bench {
     "q_poisson_ratio", "q_flood_seasonality", "q_budyko", "q_rbo",
     "q_image_decode_png", "q_image_decode_jpeg")
 
+  /** Fourth bench tier: the remaining round-8 additions (bucketed
+    * ingest, windowed HLL, audio spectrum, video scenes, phash, the
+    * two incremental screens) plus round 9's snapshot screens and GIF
+    * decode — fixed from round 9 on, reported as `value4` / `queries4`
+    * / `cold_queries4` (tiers 1-3 keep their compositions for
+    * cross-round comparability; tier boundaries are versioned in
+    * PERF.md). */
+  val headline4: Seq[String] = Seq(
+    "q_ingest_bucketed", "q_window_hll", "q_audio_spectrum",
+    "q_video_scenes", "q_image_phash", "q_dedup_incremental",
+    "q_embed_incremental", "q_dedup_snapshot", "q_embed_snapshot",
+    "q_image_decode_gif")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,7 +115,7 @@ object Bench {
     }
     // session warmup: FS + parquet footer reads, not attributed to queries
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    val both = headline ++ headline2 ++ headline3
+    val both = headline ++ headline2 ++ headline3 ++ headline4
     val coldAll = both.map(n => n -> timed(n))
     // drop memoized kind frames: each warm pass must redo ALL of the
     // distributed work, with only the JVM (codegen/JIT) staying warm.
@@ -122,8 +135,10 @@ object Bench {
     }
     val (warm, warmRest) = warmAll.partition(kv => headline.contains(kv._1))
     val (cold, coldRest) = coldAll.partition(kv => headline.contains(kv._1))
-    val (warm2, warm3) = warmRest.partition(kv => headline2.contains(kv._1))
-    val (cold2, cold3) = coldRest.partition(kv => headline2.contains(kv._1))
+    val (warm2, warmRest3) = warmRest.partition(kv => headline2.contains(kv._1))
+    val (cold2, coldRest3) = coldRest.partition(kv => headline2.contains(kv._1))
+    val (warm3, warm4) = warmRest3.partition(kv => headline3.contains(kv._1))
+    val (cold3, cold4) = coldRest3.partition(kv => headline3.contains(kv._1))
     // same escaper contract as Verify's: backslash, quote, and ALL
     // control chars — a tab or CR inside an exception message must not
     // make the driver's json.load reject the whole bench line
@@ -148,8 +163,10 @@ object Bench {
     val coldTotal2 = cold2.collect { case (_, (v, None)) => v }.sum
     val total3 = warm3.collect { case (_, (v, None)) => v }.sum
     val coldTotal3 = cold3.collect { case (_, (v, None)) => v }.sum
+    val total4 = warm4.collect { case (_, (v, None)) => v }.sum
+    val coldTotal4 = cold4.collect { case (_, (v, None)) => v }.sum
     val allErrs = (warmAll ++ coldAll).collect { case (k, (_, Some(e))) => (k, e) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"value2":$total2,"queries2":${js(warm2)},"cold_value2":$coldTotal2,"cold_queries2":${js(cold2)},"value3":$total3,"queries3":${js(warm3)},"cold_value3":$coldTotal3,"cold_queries3":${js(cold3)},"errors":${errJs(warmAll)},"cold_errors":${errJs(coldAll)},"n_errors":${allErrs.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"value2":$total2,"queries2":${js(warm2)},"cold_value2":$coldTotal2,"cold_queries2":${js(cold2)},"value3":$total3,"queries3":${js(warm3)},"cold_value3":$coldTotal3,"cold_queries3":${js(cold3)},"value4":$total4,"queries4":${js(warm4)},"cold_value4":$coldTotal4,"cold_queries4":${js(cold4)},"errors":${errJs(warmAll)},"cold_errors":${errJs(coldAll)},"n_errors":${allErrs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

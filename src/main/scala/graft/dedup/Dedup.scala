@@ -283,6 +283,13 @@ object Dedup {
     * one), native merge intersection, per-increment argmax window over
     * the verified (tiny) frame.
     *
+    * This variant re-shingles and re-ranks the FULL corpus per run
+    * (both sides come from one frame); the truly-incremental
+    * production form is [[incrementalDedupWithSnapshot]], which reads
+    * the index side's prefixes, hash sets and df order off the
+    * persisted [[TextIndexSnapshot]] artifact and shingles only the
+    * increment — value-identical output, spec-pinned.
+    *
     * @note like [[jaccardPairs]], the returned frame is eagerly
     *       persisted (O(increment) rows) so the scratch hash frame can
     *       be released; long-lived sessions should `unpersist()` it

@@ -1304,6 +1304,46 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.gifFrames: the engine demuxes a real animated
+    * GIF89a (NETSCAPE looping extension, per-frame Graphic Control
+    * delays, per-frame LZW streams); delays, palette indices and
+    * palette entries are closed-form, so every column reproduces from
+    * the generator arithmetic. Frame 0's inter-frame diff is NULL on
+    * both engines (the f-1 term in the `jp` expression is garbage
+    * there and masked by the CASE). */
+  val qGifFrames: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 7 + 4 AS INT) AS w,
+             CAST(doc_id % 5 + 4 AS INT) AS h,
+             CAST(doc_id % 4 + 2 AS INT) AS nf
+      FROM documents WHERE doc_id % 3 = 0),
+    fr AS (
+      SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM img),
+    px AS (
+      SELECT doc_id, w, h, f, unnest(range(0, w * h)) AS p FROM fr),
+    jj AS (
+      SELECT doc_id, w, h, f,
+        (doc_id * 31 + f * 101 + p * 7) % 64 AS j,
+        (doc_id * 31 + (f - 1) * 101 + p * 7) % 64 AS jp
+      FROM px),
+    s AS (
+      SELECT doc_id, w, h, CAST(f AS INT) AS frame_idx,
+        CAST(sum(j * 37 % 256) AS BIGINT) AS sum_r,
+        CAST(sum(j * 59 % 256) AS BIGINT) AS sum_g,
+        CAST(sum(j * 83 % 256) AS BIGINT) AS sum_b,
+        CAST(sum(abs(j * 37 % 256 - jp * 37 % 256)
+               + abs(j * 59 % 256 - jp * 59 % 256)
+               + abs(j * 83 % 256 - jp * 83 % 256)) AS BIGINT) AS sad
+      FROM jj GROUP BY 1, 2, 3, 4)
+    SELECT doc_id, frame_idx,
+      CAST((doc_id + frame_idx) % 10 + 1 AS INT) AS delay_cs,
+      round(sum_r / (w * h)::DOUBLE + 1e-9, 6) AS mean_r,
+      round(sum_g / (w * h)::DOUBLE + 1e-9, 6) AS mean_g,
+      round(sum_b / (w * h)::DOUBLE + 1e-9, 6) AS mean_b,
+      CASE WHEN frame_idx > 0
+        THEN round(sad / (3.0 * w * h) + 1e-9, 6) END AS frame_mad
+    FROM s ORDER BY doc_id, frame_idx"""
+
   /** Mirrors Multimodal.imageDecodeJpeg: the engine round-trips a real
     * baseline JFIF (in-file Huffman tables, DC differential coding,
     * byte stuffing, float IDCT) whose planted quantized coefficients
@@ -2646,6 +2686,7 @@ object LlmOracle {
     "q_image_decode" -> qImageDecode,
     "q_image_decode_png" -> qImageDecodePng,
     "q_image_decode_gif" -> qImageDecodeGif,
+    "q_gif_frames" -> qGifFrames,
     "q_image_decode_jpeg" -> qImageDecodeJpeg,
     "q_audio_spectrum" -> qAudioSpectrum,
     "q_video_scenes" -> qVideoScenes,

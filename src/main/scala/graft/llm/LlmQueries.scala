@@ -223,6 +223,8 @@ object LlmQueries {
       Multimodal.imageDecodeJpeg(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_decode_gif" -> ((s, d) =>
       Multimodal.imageDecodeGif(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_gif_frames" -> ((s, d) =>
+      Multimodal.gifFrames(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "q_image_phash" -> ((s, d) =>
       Multimodal.imagePhash(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_cdc_chunks" -> ((s, d) =>

@@ -499,20 +499,22 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Dependency-free GIF decoder — the last mainstream image format
-    * feasible without native libs (pure LZW): parses the header and
-    * logical screen descriptor, loads the global color table, walks
-    * extension blocks generically (label + sub-blocks), decodes the
-    * single image's sub-blocked LZW stream and maps palette indices
-    * to RGB. Mainstream subset: global color table required, no local
-    * color table, no interlace — anything else fails loudly. Returns
-    * (width, height, rgb-interleaved bytes), the [[decodePpm]]
-    * contract, so every downstream feature path is shared. */
-  private[graft] def decodeGif(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+  /** Dependency-free GIF frame demuxer — parses the header and logical
+    * screen descriptor, loads the global color table, walks extension
+    * blocks (capturing each Graphic Control extension's delay for the
+    * frame it precedes, skipping Comment/Application/Plain-Text
+    * generically), decodes every image's sub-blocked LZW stream and
+    * maps palette indices to RGB. Mainstream subset: global color
+    * table required, full-logical-screen frames, no local color table,
+    * no interlace — anything else fails loudly (partial frames would
+    * need disposal-method compositing). Returns (width, height,
+    * frames) with one (delay_cs, rgb bytes) per frame. */
+  private[graft] def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Vector[(Int, Array[Byte])]) = {
     require(bytes.length >= 13, "truncated GIF header")
     val sig = new String(bytes, 0, 6, "US-ASCII")
     require(sig == "GIF89a" || sig == "GIF87a", s"not a GIF (signature '$sig')")
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val w = u16(6); val h = u16(8)
     val packed = bytes(10) & 0xff
     require((packed & 0x80) != 0, "GIF without a global color table (unsupported)")
     val gctSize = 2 << (packed & 7)
@@ -520,24 +522,34 @@ object Multimodal {
     require(pos + 3 * gctSize <= bytes.length, "truncated global color table")
     val gct = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * gctSize)
     pos += 3 * gctSize
-    var result: (Int, Int, Array[Byte]) = null
+    var frames = Vector.empty[(Int, Array[Byte])]
+    var pendingDelay = 0
     var end = false
     while (!end) {
       require(pos < bytes.length, "GIF ended without trailer")
       (bytes(pos) & 0xff) match {
         case 0x3b => end = true
         case 0x21 => // extension: label byte, then sub-blocks until 0
+          val label = bytes(pos + 1) & 0xff
           pos += 2
+          var first = true
           var len = bytes(pos) & 0xff
           while (len != 0) {
+            if (label == 0xf9 && first) { // Graphic Control: delay LE at +2
+              require(len == 4, s"GCE block size $len (spec says 4)")
+              pendingDelay = u16(pos + 2)
+            }
+            first = false
             pos += 1 + len
             require(pos < bytes.length, "truncated GIF extension")
             len = bytes(pos) & 0xff
           }
           pos += 1
         case 0x2c =>
-          require(result == null, "multi-image GIF (unsupported)")
+          val left = u16(pos + 1); val top = u16(pos + 3)
           val iw = u16(pos + 5); val ih = u16(pos + 7)
+          require(left == 0 && top == 0 && iw == w && ih == h,
+            "partial-screen GIF frame (disposal compositing unsupported)")
           val ipacked = bytes(pos + 9) & 0xff
           require((ipacked & 0x80) == 0, "local color table (unsupported)")
           require((ipacked & 0x40) == 0, "interlaced GIF (unsupported)")
@@ -562,13 +574,116 @@ object Multimodal {
             rgb(3 * p + 2) = gct(3 * j + 2)
             p += 1
           }
-          result = (iw, ih, rgb)
+          frames :+= (pendingDelay, rgb)
+          pendingDelay = 0
         case other => throw new IllegalArgumentException(
           f"unknown GIF block 0x$other%02x at $pos")
       }
     }
-    require(result != null, "GIF contains no image")
-    result
+    require(frames.nonEmpty, "GIF contains no image")
+    (w, h, frames)
+  }
+
+  /** Single-image GIF decode — the [[decodePpm]] (width, height, rgb)
+    * contract over [[decodeGifFrames]]; an animation here fails loudly
+    * (the still-image feature paths must not silently read frame 0). */
+  private[graft] def decodeGif(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, frames) = decodeGifFrames(bytes)
+    require(frames.size == 1, s"multi-frame GIF (${frames.size} frames) on the still-image path")
+    (w, h, frames.head._2)
+  }
+
+  /** Deterministic ANIMATED GIF89a synthesizer: NETSCAPE2.0 looping
+    * application extension (a third extension shape the parser must
+    * walk), then per frame a Graphic Control extension carrying a
+    * varying delay ((docId+f) mod 10 + 1 centiseconds) and a
+    * full-screen image. Frame f's palette index at pixel p =
+    * (docId·31 + f·101 + p·7) mod 64 (the video closed-form style);
+    * palette as [[synthesizeGif]]. */
+  private[graft] def synthesizeGifAnim(docId: Long): Array[Byte] = {
+    val w = (docId % 7 + 4).toInt; val h = (docId % 5 + 4).toInt
+    val nf = (docId % 4 + 2).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(w); w16(h)
+    out.write(0xf5); out.write(0); out.write(0)
+    (0 until 64).foreach { j =>
+      out.write(j * 37 % 256); out.write(j * 59 % 256); out.write(j * 83 % 256)
+    }
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); w16(0); out.write(0)
+    (0 until nf).foreach { f =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); w16(((docId + f) % 10 + 1).toInt); out.write(0); out.write(0)
+      out.write(0x2c); w16(0); w16(0); w16(w); w16(h); out.write(0)
+      out.write(6)
+      val indices = Array.tabulate(w * h)(p => ((docId * 31 + f * 101 + p * 7) % 64).toByte)
+      val lzw = lzwEncode(indices, 6)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(32, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  case class GifFrame(doc_id: Long, frame_idx: Int, delay_cs: Int,
+      width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long,
+      sum_abs_diff: Long)
+
+  /** Animated-GIF frame statistics over the real demux —
+    * [[videoScenes]]' GIF sibling (GIF is how short animations
+    * actually ship in a web crawl): per frame the decoded channel
+    * means and the GCE delay, plus the inter-frame mean absolute
+    * difference a frame-sampler keys on (drop near-static frames,
+    * keep scene changes). Delays, palette indices and palette entries
+    * are all closed-form, so the oracle reproduces every column —
+    * a demux, LZW, GCE-parse or palette bug breaks the hash match.
+    *
+    * Plan: stateless partition-local demux+fold, O(#frames) rows per
+    * doc; means and mad are plan projections. */
+  def gifFrames(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = metadata(documents)
+      .filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val (w, h, frames) = decodeGifFrames(synthesizeGifAnim(id))
+          frames.zipWithIndex.map { case ((delay, px), f) =>
+            var sr = 0L; var sg = 0L; var sb = 0L; var sad = 0L
+            var i = 0
+            while (i < px.length) {
+              val v = px(i).toInt & 0xff
+              (i % 3: @unchecked) match {
+                case 0 => sr += v
+                case 1 => sg += v
+                case 2 => sb += v
+              }
+              if (f > 0) sad += math.abs(v - (frames(f - 1)._2(i).toInt & 0xff))
+              i += 1
+            }
+            GifFrame(id, f, delay, w, h, sr, sg, sb, sad)
+          }
+        }
+      }.toDF()
+    def mean(c: String) = round(col(c)
+      / (col("width") * col("height")).cast("double") + lit(1e-9), 6)
+    decoded
+      .withColumn("mean_r", mean("sum_r"))
+      .withColumn("mean_g", mean("sum_g"))
+      .withColumn("mean_b", mean("sum_b"))
+      .withColumn("frame_mad", when(col("frame_idx") > 0,
+        round(col("sum_abs_diff")
+          / (lit(3.0) * col("width") * col("height")) + lit(1e-9), 6)))
+      .select(col("doc_id"), col("frame_idx"), col("delay_cs"),
+        col("mean_r"), col("mean_g"), col("mean_b"), col("frame_mad"))
   }
 
   /** REAL GIF decode over synthesized payloads — the q_image_decode

@@ -98,13 +98,48 @@ object ScaleCanary {
     println(s"[canary] default-cap guard on daily shape: $guardMsg")
 
     val dedupJson = dedupCanary(spark)
+    val phashJson = phashCanary(spark)
 
     val json = rows.mkString(
       "{\n" + s"""  "n_stations": 3, "n_days": $nDays, "seasonal_frame": "10x7300", "guard_on_daily": "$guardMsg",\n  "ops": {\n""",
-      ",\n", "\n  },\n" + dedupJson + "\n}\n")
+      ",\n", "\n  },\n" + dedupJson + ",\n" + phashJson + "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"[canary] wrote $out")
     spark.stop()
+  }
+
+  /** Image-phash banding canary (round 9): the actual 4×16-bit band
+    * self-join plan from Multimodal.imagePhash, run over a DIVERSE
+    * 64-bit hash corpus (xxhash64 of the id — the synthetic image
+    * closed form repeats hashes exactly, which is planted-dup
+    * structure, not collision noise). Candidate mass must grow
+    * ~4·n²/2¹⁷ — effectively near-linear at these sizes — where the
+    * round-8 4-bit bands (16 buckets per band) gave ~n²/8. */
+  private def phashCanary(spark: SparkSession): String = {
+    def leg(n: Long): (Long, Double) = {
+      val hashes = spark.range(n).select(col("id").as("doc_id"),
+        expr("xxhash64(id)").as("phash"))
+      val banded = hashes.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(phash, b * 16) & 65535)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val a = banded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      val b = banded.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
+      val t0 = System.nanoTime()
+      val cand = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().count()
+      (cand, (System.nanoTime() - t0) / 1e9)
+    }
+    val (c25, t25) = leg(25000L)
+    val (c50, t50) = leg(50000L)
+    val growth = c50.toDouble / math.max(c25, 1L)
+    println(f"[canary] phash 25k: cand=$c25 $t25%.1fs; 50k: cand=$c50 $t50%.1fs; growth=$growth%.2fx")
+    f"""  "phash": {
+       |    "corpus": "diverse 64-bit hashes (xxhash64 of id) through the exact 4x16-bit band self-join plan",
+       |    "bands_25k": {"n_images": 25000, "cand_pairs": $c25, "sec": $t25%.2f},
+       |    "bands_50k": {"n_images": 50000, "cand_pairs": $c50, "sec": $t50%.2f},
+       |    "cand_growth_2x_images": $growth%.3f,
+       |    "note": "expected mass 4*n^2/2^17 (~1.5n at 50k); the r8 16-bucket bands gave ~n^2/8"
+       |  }""".stripMargin
   }
 
   /** Boilerplate-heavy synthetic corpus — the dedup chain's worst case:

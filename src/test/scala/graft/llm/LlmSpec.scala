@@ -571,6 +571,26 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(feat(3) - sums(1) / (w * h).toFloat / 255f) < 1e-6f)
   }
 
+  test("animated GIF: frame demux round-trips pixels and GCE delays; still path rejects animations") {
+    val id = 9L
+    val w = (id % 7 + 4).toInt; val h = (id % 5 + 4).toInt
+    val nf = (id % 4 + 2).toInt
+    val gif = Multimodal.synthesizeGifAnim(id)
+    val (dw, dh, frames) = Multimodal.decodeGifFrames(gif)
+    assert((dw, dh) === (w, h))
+    assert(frames.size === nf)
+    frames.zipWithIndex.foreach { case ((delay, px), f) =>
+      assert(delay === ((id + f) % 10 + 1).toInt, s"delay of frame $f")
+      (0 until w * h).foreach { p =>
+        val j = ((id * 31 + f * 101 + p * 7) % 64).toInt
+        assert((px(3 * p).toInt & 0xff) === j * 37 % 256, s"r of frame $f pixel $p")
+      }
+    }
+    // an animation on the single-image path must fail loudly, never
+    // silently read frame 0
+    intercept[IllegalArgumentException](Multimodal.decodeGif(gif))
+  }
+
   test("JPEG decode: synthesized baseline JFIF round-trips the closed-form pixels exactly") {
     // 24x16 = 6 blocks: exercises DC differential coding across blocks
     // and both the with-AC and DC-only (EOB-immediately) paths
