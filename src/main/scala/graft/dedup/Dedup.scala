@@ -371,6 +371,27 @@ object Dedup {
         spark.read.parquet(s"$dir/meta").head().getDouble(0))
   }
 
+  /** Index rows (doc_id, sz, sorted hashes, rare-first prefix) for one
+    * corpus side under a FIXED df order — shared by the snapshot build
+    * (df from the same corpus) and [[appendToTextIndexSnapshot]] (the
+    * snapshot's frozen df; shingles unseen there take df 0). */
+  private def indexRows(docs: DataFrame, dfreq: DataFrame,
+      threshold: Double): DataFrame = {
+    val hs = withShingles(docs)
+    val ex = hs.select(col("doc_id"), size(col("hashes")).as("sz"),
+      explode(col("hashes")).as("h"))
+    val prefix = ex.join(dfreq, Seq("h"), "left")
+      .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
+      .select(col("doc_id"), col("sz"),
+        expr("transform(slice(array_sort(ranked), 1, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int)), r -> r.h)").as("prefix"))
+    hs.select(col("doc_id"), array_sort(col("hashes")).as("sh"))
+      .join(prefix, Seq("doc_id"))
+      .select(col("doc_id"), col("sz"), col("sh"), col("prefix"))
+  }
+
   /** Build the [[TextIndexSnapshot]] for an index corpus — the ONE
     * pass over the 100 TB side (shingle, df-rank, prefix-cut, sort),
     * amortized across every subsequent increment run.
@@ -380,20 +401,31 @@ object Dedup {
   def buildTextIndexSnapshot(indexDocs: DataFrame,
       threshold: Double = 0.5): TextIndexSnapshot = {
     val hs = withShingles(indexDocs)
-    val ex = hs.select(col("doc_id"), size(col("hashes")).as("sz"),
-      explode(col("hashes")).as("h"))
-    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    val prefix = ex.join(dfreq, Seq("h"))
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
-      .select(col("doc_id"), col("sz"),
-        expr("transform(slice(array_sort(ranked), 1, " +
-          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int)), r -> r.h)").as("prefix"))
-    val index = hs.select(col("doc_id"), array_sort(col("hashes")).as("sh"))
-      .join(prefix, Seq("doc_id"))
-      .select(col("doc_id"), col("sz"), col("sh"), col("prefix"))
-    TextIndexSnapshot(index, dfreq, threshold)
+    val dfreq = hs.select(col("doc_id"), explode(col("hashes")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    TextIndexSnapshot(indexRows(indexDocs, dfreq, threshold), dfreq, threshold)
   }
+
+  /** Fold freshly screened (and accepted) documents INTO the index
+    * artifact — the other half of the daily cycle: screen today's
+    * crawl against the snapshot, then append it so tomorrow's crawl is
+    * screened against today's too. The new docs' prefixes are cut
+    * under the snapshot's FROZEN df order (unseen shingles df 0):
+    * prefix completeness needs only that every index row and every
+    * future probe use one common total order, which freezing
+    * preserves — existing rows are untouched, no 100 TB re-rank. What
+    * decays is pruning efficiency as true df drifts from the frozen
+    * order (boilerplate that only emerges in later increments is not
+    * deprioritized), which is why production pipelines pair daily
+    * appends with a periodic full [[buildTextIndexSnapshot]] rebuild.
+    * Screening against the appended snapshot is spec-pinned
+    * value-identical to screening against a fresh rebuild (candidates
+    * differ, verification is exact). doc_ids must stay unique across
+    * appends (caller's contract, as in any index). */
+  def appendToTextIndexSnapshot(snapshot: TextIndexSnapshot,
+      newDocs: DataFrame): TextIndexSnapshot =
+    snapshot.copy(index = snapshot.index.unionByName(
+      indexRows(newDocs, snapshot.dfreq, snapshot.threshold)))
 
   /** [[incrementalDedup]] against a precomputed [[TextIndexSnapshot]]
     * — the production daily run: only the INCREMENT is shingled and

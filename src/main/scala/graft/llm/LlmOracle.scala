@@ -2635,6 +2635,7 @@ object LlmOracle {
     // incremental ones (exact verification; only candidate generation
     // differs) — the oracles are reused verbatim
     "q_dedup_snapshot" -> qDedupIncremental,
+    "q_dedup_snapshot_cycle" -> qDedupIncremental,
     "q_embed_snapshot" -> qEmbedIncremental,
     "q_dedup_containment" -> qDedupContainment,
     "q_dbscan" -> qDbscan,

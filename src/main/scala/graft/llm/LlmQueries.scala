@@ -59,6 +59,18 @@ object LlmQueries {
       Dedup.embeddingIncrementalWithSnapshot(all.filter(col("vec_id") % 10 === 0), snap)
         .orderBy(col("vec_id"))
     }),
+    // the full daily cycle: build on day-0 corpus, APPEND day 1 under
+    // the frozen df order, screen day 2 — the appended index equals
+    // the %10≠0 side, so the incremental oracle is reused verbatim
+    "q_dedup_snapshot_cycle" -> ((s, d) => {
+      val all = docs(s, d)
+      val snap = Dedup.appendToTextIndexSnapshot(
+        Dedup.buildTextIndexSnapshot(
+          all.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5), 0.5),
+        all.filter(col("doc_id") % 10 === 5))
+      Dedup.incrementalDedupWithSnapshot(all.filter(col("doc_id") % 10 === 0), snap)
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, d) =>

@@ -101,6 +101,36 @@ class LlmSpec extends SparkSpec {
     assert(fromSnap === recomputed)
   }
 
+  test("snapshot append: screening an appended index equals a fresh rebuild and sees the new docs") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("is_dup"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    // fixture: index {1,2,3}, day-1 append doc 4 (doc 0's verbatim
+    // copy), day-2 probe doc 0 — the appended index must surface the
+    // J=1.0 match that only exists in the appended shard
+    val base = Dedup.buildTextIndexSnapshot(
+      docs.filter(col("doc_id").isin(1L, 2L, 3L)), 0.5)
+    val appended = Dedup.appendToTextIndexSnapshot(
+      base, docs.filter(col("doc_id") === 4L))
+    val rebuilt = Dedup.buildTextIndexSnapshot(
+      docs.filter(col("doc_id") % 10 =!= 0), 0.5)
+    val probe = docs.filter(col("doc_id") === 0L)
+    val viaAppend = rows(Dedup.incrementalDedupWithSnapshot(probe, appended))
+    assert(viaAppend === rows(Dedup.incrementalDedupWithSnapshot(probe, rebuilt)))
+    assert(viaAppend.exists(r => r._1 == 0L && r._2 && r._3 == Some(4L) && r._4 == Some(1.0)))
+    // real corpus: the two-day cycle equals the one-shot index
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cyc = Dedup.appendToTextIndexSnapshot(
+      Dedup.buildTextIndexSnapshot(
+        corpus.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5), 0.5),
+      corpus.filter(col("doc_id") % 10 === 5))
+    val oneShot = Dedup.buildTextIndexSnapshot(corpus.filter(col("doc_id") % 10 =!= 0), 0.5)
+    val inc = corpus.filter(col("doc_id") % 10 === 0)
+    assert(rows(Dedup.incrementalDedupWithSnapshot(inc, cyc))
+      === rows(Dedup.incrementalDedupWithSnapshot(inc, oneShot)))
+  }
+
   test("embedding index snapshot: persisted-artifact screen equals the recomputed one") {
     val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-esnap").toString + "/snap"
