@@ -378,4 +378,57 @@ object Corpus {
         row_number().over(Window.orderBy(col("priority").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("n_chars").as("weight"), col("priority"))
   }
+
+  /** Canonical URL (anchored rewrites, at most one match each, so
+    * Spark's replace-all and DuckDB's replace-first agree): lowercase,
+    * scheme and leading www. stripped, tracking query dropped, one
+    * trailing slash removed — the variants crawls actually collide on. */
+  private def canonicalUrl(urlCol: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |  lower($urlCol), '^https?://', ''), '^www\\\\.', ''),
+       |  '\\\\?.*$$', ''), '/$$', '')""".stripMargin
+
+  /** URL-level exact dedup — the FIRST dedup of the classic web
+    * corpora (C4 and CCNet both dedup by URL before any content
+    * hashing, because a crawl re-fetches the same page under scheme /
+    * www. / tracking-query / trailing-slash / case variants):
+    * normalize to the canonical URL and keep the minimum doc_id per
+    * group. One row per DISTINCT canonical URL with its survivor and
+    * group size — `group_size > 1` rows are the crawl's re-fetches.
+    *
+    * Plan: stateless normalize scan + one hash groupBy keyed on the
+    * canonical URL (map-side partial) — the exact-dedup shape, no
+    * all-pairs work at any corpus size. */
+  def urlDedup(documents: DataFrame, urlCol: String = "url"): DataFrame =
+    documents
+      .withColumn("curl", expr(canonicalUrl(urlCol)))
+      .groupBy(col("curl"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+      .select(col("canonical_id"), col("curl").as("url"), col("group_size"))
+
+  /** Per-domain crawl mix — the curation report run before sampling a
+    * web corpus (domain concentration is a top training-data signal:
+    * one boilerplate-heavy host can dominate a naive sample): per
+    * normalized host the doc count, distinct canonical URLs, the
+    * within-domain duplicate share and the corpus share.
+    *
+    * Plan: normalize scan → one (host, curl) distinct-aggregate →
+    * host rollup; the corpus total joins in as a broadcast 1-row
+    * frame. */
+  def domainStats(documents: DataFrame, urlCol: String = "url"): DataFrame = {
+    val hosted = documents
+      .withColumn("curl", expr(canonicalUrl(urlCol)))
+      .withColumn("host", expr("regexp_extract(curl, '^([^/]+)', 1)"))
+    val total = hosted.agg(count(lit(1)).as("n_total"))
+    hosted.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("curl")).as("n_urls"))
+      .crossJoin(broadcast(total))
+      .withColumn("dup_share",
+        round(lit(1.0) - col("n_urls") / col("n_docs").cast("double") + lit(1e-9), 6))
+      .withColumn("doc_share",
+        round(col("n_docs") / col("n_total").cast("double") + lit(1e-9), 6))
+      .select(col("host"), col("n_docs"), col("n_urls"),
+        col("dup_share"), col("doc_share"))
+  }
 }

@@ -1304,6 +1304,49 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  /** Shared synthesized-URL expression for the web-curation oracles —
+    * mirrors LlmQueries.urlPayload exactly (DuckDB strings do not
+    * process backslash escapes, so the regexes below carry SINGLE
+    * backslashes where the Spark SQL literals carry doubled ones). */
+  private val urlExpr: String = """
+    'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN 'SITE' ELSE 'site' END
+      || CAST(doc_id % 5 AS VARCHAR) || '.example'
+      || CAST(doc_id % 3 AS VARCHAR) || '.com/page-'
+      || CAST(doc_id % 7 AS VARCHAR)
+      || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END"""
+
+  private val curlExpr: String = """
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url), '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/$', '')"""
+
+  /** Mirrors Corpus.urlDedup: canonical-URL exact dedup (the C4/CCNet
+    * first-dedup step) — anchored normalizations, min-id survivor per
+    * canonical group. */
+  val qDedupUrl: String = s"""
+    WITH u AS (SELECT doc_id, $urlExpr AS url FROM documents),
+    c AS (SELECT doc_id, $curlExpr AS curl FROM u)
+    SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, curl AS url,
+      CAST(count(*) AS BIGINT) AS group_size
+    FROM c GROUP BY curl ORDER BY canonical_id"""
+
+  /** Mirrors Corpus.domainStats: per normalized host the doc count,
+    * distinct canonical URLs, within-domain dup share and corpus
+    * share. */
+  val qUrlDomains: String = s"""
+    WITH u AS (SELECT doc_id, $urlExpr AS url FROM documents),
+    c AS (SELECT doc_id, $curlExpr AS curl FROM u),
+    h AS (SELECT doc_id, curl, regexp_extract(curl, '^([^/]+)', 1) AS host FROM c),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM h),
+    g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT curl) AS BIGINT) AS n_urls
+          FROM h GROUP BY host)
+    SELECT host, n_docs, n_urls,
+      round(1.0 - n_urls / n_docs::DOUBLE + 1e-9, 6) AS dup_share,
+      round(n_docs / n_total::DOUBLE + 1e-9, 6) AS doc_share
+    FROM g CROSS JOIN t ORDER BY host"""
+
   /** Mirrors Multimodal.gifFrames: the engine demuxes a real animated
     * GIF89a (NETSCAPE looping extension, per-frame Graphic Control
     * delays, per-frame LZW streams); delays, palette indices and
@@ -2688,6 +2731,8 @@ object LlmOracle {
     "q_image_decode_png" -> qImageDecodePng,
     "q_image_decode_gif" -> qImageDecodeGif,
     "q_gif_frames" -> qGifFrames,
+    "q_dedup_url" -> qDedupUrl,
+    "q_url_domains" -> qUrlDomains,
     "q_image_decode_jpeg" -> qImageDecodeJpeg,
     "q_audio_spectrum" -> qAudioSpectrum,
     "q_video_scenes" -> qVideoScenes,

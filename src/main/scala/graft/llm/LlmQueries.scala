@@ -32,7 +32,28 @@ object LlmQueries {
       concat(lit(" call +1-555-"), lpad((col("event_id") % 10000).cast("string"), 4, "0")))
       .otherwise(lit("")))
 
+  /** Deterministic per-doc URL built from real doc columns (the test
+    * corpus carries no URLs) — with the scheme/www./case/tracking-query/
+    * trailing-slash variants a crawl actually re-fetches pages under,
+    * so normalization is load-bearing; canonical groups are keyed on
+    * doc_id mod lcm(5,3,7)=105. Both engines synthesize it identically. */
+  private def urlPayload: org.apache.spark.sql.Column = concat(
+    lit("https://"),
+    when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0, lit("SITE")).otherwise(lit("site")),
+    (col("doc_id") % 5).cast("string"),
+    lit(".example"), (col("doc_id") % 3).cast("string"), lit(".com/page-"),
+    (col("doc_id") % 7).cast("string"),
+    when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0, lit("?utm_source=feed&ref=rss")).otherwise(lit("")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_url" -> ((s, d) =>
+      Corpus.urlDedup(docs(s, d).withColumn("url", urlPayload))
+        .orderBy(col("canonical_id"))),
+    "q_url_domains" -> ((s, d) =>
+      Corpus.domainStats(docs(s, d).withColumn("url", urlPayload))
+        .orderBy(col("host"))),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("canonical_id"))),
     "q_dedup_minhash_bands" -> ((s, d) =>
       Dedup.minhashBands(docs(s, d)).orderBy(col("id_a"), col("id_b"))),

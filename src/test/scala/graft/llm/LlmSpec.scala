@@ -73,6 +73,25 @@ class LlmSpec extends SparkSpec {
     assert(exhaustive.nonEmpty)
   }
 
+  test("url dedup collapses scheme/www/case/query/slash variants; domain stats report the mix") {
+    val d = Seq(
+      (0L, "HTTPS://WWW.Site1.Example.com/Page-1?utm_source=x&ref=y"),
+      (1L, "https://site1.example.com/page-1/"),
+      (2L, "http://site1.example.com/page-1"),
+      (3L, "https://site2.example.com/other")
+    ).toDF("doc_id", "url")
+    val groups = Corpus.urlDedup(d).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2))).toSet
+    assert(groups === Set(
+      ("site1.example.com/page-1", 0L, 3L),
+      ("site2.example.com/other", 3L, 1L)))
+    val dom = Corpus.domainStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(dom("site1.example.com") === ((3L, 1L, 0.666667, 0.75)))
+    assert(dom("site2.example.com") === ((1L, 1L, 0.0, 0.25)))
+  }
+
   test("text index snapshot: parquet round-trip screen equals the recomputed incremental screen") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getAs[Boolean]("is_dup"),
