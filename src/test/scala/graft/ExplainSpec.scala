@@ -35,6 +35,19 @@ class ExplainSpec extends SparkSpec {
       s"scan reads ${lineitem.requiredSchema.size} columns: ${lineitem.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("url dedup prunes the documents scan to the columns the synthesized URL needs") {
+    // the url payload is built from doc_id alone; the 16 KB text
+    // column must never reach the scan of a pure-URL dedup
+    Seq("q_dedup_url", "q_url_domains").foreach { q =>
+      val s = scans(q)
+      assert(s.nonEmpty, s"$q: no file scan found")
+      s.foreach { sc =>
+        assert(!sc.requiredSchema.fieldNames.contains("text"),
+          s"$q scan reads text: ${sc.requiredSchema.fieldNames.mkString(",")}")
+      }
+    }
+  }
+
   test("item-cf prunes the lineitem scan to the two key columns") {
     val s = scans("q_item_cf")
     val li = s.find(_.metadata.getOrElse("Location", "").contains("lineitem")).get

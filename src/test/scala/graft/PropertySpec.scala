@@ -37,6 +37,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GIF LZW round-trips arbitrary index streams at every code size") {
+    // 200 seeded-random cases across the full minCode range, with
+    // lengths crossing every width-growth boundary and (for small
+    // alphabets) the 4096-entry dictionary reset; plus skewed streams
+    // (run-length-heavy) that maximize KwKwK hits
+    (1 to 200).foreach { i =>
+      val minCode = 2 + rnd.nextInt(7) // 2..8
+      val n = 1 << minCode
+      val len = 1 + rnd.nextInt(6000)
+      val seq = new Array[Byte](len)
+      var j = 0
+      var cur = rnd.nextInt(n)
+      while (j < len) {
+        // 60% repeat the previous symbol → long runs → KwKwK pressure
+        if (rnd.nextInt(10) >= 6) cur = rnd.nextInt(n)
+        seq(j) = cur.toByte
+        j += 1
+      }
+      val dec = graft.multimodal.Multimodal.lzwDecode(
+        graft.multimodal.Multimodal.lzwEncode(seq, minCode), minCode, len)
+      assert(java.util.Arrays.equals(dec, seq), s"case $i (minCode $minCode, len $len)")
+    }
+  }
+
   test("char entropy is non-negative, bounded by log2(distinct), permutation-invariant") {
     (1 to 300).foreach { _ =>
       val s = (1 to 1 + rnd.nextInt(120)).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
