@@ -1349,11 +1349,15 @@ object LlmOracle {
 
   /** Mirrors Multimodal.gifFrames: the engine demuxes a real animated
     * GIF89a (NETSCAPE looping extension, per-frame Graphic Control
-    * delays, per-frame LZW streams); delays, palette indices and
-    * palette entries are closed-form, so every column reproduces from
-    * the generator arithmetic. Frame 0's inter-frame diff is NULL on
-    * both engines (the f-1 term in the `jp` expression is garbage
-    * there and masked by the CASE). */
+    * delays, per-frame LZW streams, INTERLACED odd frames whose
+    * de-permutation the position-sensitive inter-frame MAD verifies,
+    * and LOCAL color tables on (doc_id+f)%3==0 frames carrying the
+    * f-shifted palette — the shift below breaks the hash if the
+    * decoder reads the global table instead); delays, palette indices
+    * and palette entries are closed-form, so every column reproduces
+    * from the generator arithmetic. Frame 0's inter-frame diff is
+    * NULL on both engines (the f-1 term in the `jp` expression is
+    * garbage there and masked by the CASE). */
   val qGifFrames: String = """
     WITH img AS (
       SELECT doc_id, CAST(doc_id % 7 + 4 AS INT) AS w,
@@ -1366,8 +1370,10 @@ object LlmOracle {
       SELECT doc_id, w, h, f, unnest(range(0, w * h)) AS p FROM fr),
     jj AS (
       SELECT doc_id, w, h, f,
-        (doc_id * 31 + f * 101 + p * 7) % 64 AS j,
-        (doc_id * 31 + (f - 1) * 101 + p * 7) % 64 AS jp
+        (doc_id * 31 + f * 101 + p * 7) % 64
+          + CASE WHEN (doc_id + f) % 3 = 0 THEN f ELSE 0 END AS j,
+        (doc_id * 31 + (f - 1) * 101 + p * 7) % 64
+          + CASE WHEN (doc_id + f - 1) % 3 = 0 THEN f - 1 ELSE 0 END AS jp
       FROM px),
     s AS (
       SELECT doc_id, w, h, CAST(f AS INT) AS frame_idx,

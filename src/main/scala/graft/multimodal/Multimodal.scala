@@ -499,15 +499,31 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Interlaced-GIF row schedule (GIF89a appendix E): the four passes
+    * in stream order — rows 0,8,16…, then 4,12…, then 2,6,10…, then
+    * the odd rows. Returns, for each SEQUENTIAL stream row k, the
+    * actual raster row it carries. */
+  private[graft] def interlaceOrder(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) { out(k) = y; k += 1; y += step }
+    }
+    out
+  }
+
   /** Dependency-free GIF frame demuxer — parses the header and logical
     * screen descriptor, loads the global color table, walks extension
     * blocks (capturing each Graphic Control extension's delay for the
     * frame it precedes, skipping Comment/Application/Plain-Text
-    * generically), decodes every image's sub-blocked LZW stream and
-    * maps palette indices to RGB. Mainstream subset: global color
-    * table required, full-logical-screen frames, no local color table,
-    * no interlace — anything else fails loudly (partial frames would
-    * need disposal-method compositing). Returns (width, height,
+    * generically), decodes every image's sub-blocked LZW stream,
+    * honors a per-frame LOCAL color table when present (it overrides
+    * the global one for that frame only, GIF89a §21) and the
+    * INTERLACE flag (four-pass row de-permutation), and maps palette
+    * indices to RGB. Remaining subset bound: full-logical-screen
+    * frames only (partial frames would need disposal-method
+    * compositing) — that one fails loudly. Returns (width, height,
     * frames) with one (delay_cs, rgb bytes) per frame. */
   private[graft] def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Vector[(Int, Array[Byte])]) = {
     require(bytes.length >= 13, "truncated GIF header")
@@ -551,9 +567,17 @@ object Multimodal {
           require(left == 0 && top == 0 && iw == w && ih == h,
             "partial-screen GIF frame (disposal compositing unsupported)")
           val ipacked = bytes(pos + 9) & 0xff
-          require((ipacked & 0x80) == 0, "local color table (unsupported)")
-          require((ipacked & 0x40) == 0, "interlaced GIF (unsupported)")
+          val interlaced = (ipacked & 0x40) != 0
           pos += 10
+          // local color table overrides the global one for THIS frame
+          val (pal, palSize) =
+            if ((ipacked & 0x80) != 0) {
+              val n = 2 << (ipacked & 7)
+              require(pos + 3 * n <= bytes.length, "truncated local color table")
+              val lct = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+              pos += 3 * n
+              (lct, n)
+            } else (gct, gctSize)
           val minCode = bytes(pos) & 0xff; pos += 1
           val lzwBuf = new java.io.ByteArrayOutputStream()
           var len = bytes(pos) & 0xff
@@ -564,14 +588,27 @@ object Multimodal {
             len = bytes(pos) & 0xff
           }
           pos += 1
-          val idx = lzwDecode(lzwBuf.toByteArray, minCode, iw * ih)
+          val seq = lzwDecode(lzwBuf.toByteArray, minCode, iw * ih)
+          // de-interlace: sequential stream row k carries raster row order(k)
+          val idx =
+            if (!interlaced) seq
+            else {
+              val order = interlaceOrder(ih)
+              val out2 = new Array[Byte](seq.length)
+              var k = 0
+              while (k < ih) {
+                System.arraycopy(seq, k * iw, out2, order(k) * iw, iw)
+                k += 1
+              }
+              out2
+            }
           val rgb = new Array[Byte](3 * iw * ih)
           var p = 0
           while (p < iw * ih) {
             val j = idx(p).toInt & 0xff
-            require(j < gctSize, s"palette index $j outside the $gctSize-entry table")
-            rgb(3 * p) = gct(3 * j); rgb(3 * p + 1) = gct(3 * j + 1)
-            rgb(3 * p + 2) = gct(3 * j + 2)
+            require(j < palSize, s"palette index $j outside the $palSize-entry table")
+            rgb(3 * p) = pal(3 * j); rgb(3 * p + 1) = pal(3 * j + 1)
+            rgb(3 * p + 2) = pal(3 * j + 2)
             p += 1
           }
           frames :+= (pendingDelay, rgb)
@@ -597,30 +634,50 @@ object Multimodal {
     * application extension (a third extension shape the parser must
     * walk), then per frame a Graphic Control extension carrying a
     * varying delay ((docId+f) mod 10 + 1 centiseconds) and a
-    * full-screen image. Frame f's palette index at pixel p =
-    * (docId·31 + f·101 + p·7) mod 64 (the video closed-form style);
-    * palette as [[synthesizeGif]]. */
+    * full-screen image. Frame f's palette index at raster pixel p =
+    * (docId·31 + f·101 + p·7) mod 64 (the video closed-form style).
+    *
+    * Two mainstream features are planted load-bearing: ODD frames are
+    * INTERLACED (index stream emitted in the four-pass row order — a
+    * de-interlace bug scrambles rows, which the position-sensitive
+    * inter-frame MAD catches), and frames with (docId+f) mod 3 == 0
+    * carry a LOCAL color table whose entry j is the f-SHIFTED palette
+    * ((j+f)·37, (j+f)·59, (j+f)·83 mod 256) — decoding them through
+    * the global table instead produces wrong channels and breaks the
+    * oracle hash. */
   private[graft] def synthesizeGifAnim(docId: Long): Array[Byte] = {
     val w = (docId % 7 + 4).toInt; val h = (docId % 5 + 4).toInt
     val nf = (docId % 4 + 2).toInt
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def palette(shift: Int): Unit = (0 until 64).foreach { j =>
+      out.write((j + shift) * 37 % 256); out.write((j + shift) * 59 % 256)
+      out.write((j + shift) * 83 % 256)
+    }
     out.write("GIF89a".getBytes("US-ASCII"))
     w16(w); w16(h)
     out.write(0xf5); out.write(0); out.write(0)
-    (0 until 64).foreach { j =>
-      out.write(j * 37 % 256); out.write(j * 59 % 256); out.write(j * 83 % 256)
-    }
+    palette(0)
     // NETSCAPE2.0 application extension: loop forever
     out.write(0x21); out.write(0xff); out.write(11)
     out.write("NETSCAPE2.0".getBytes("US-ASCII"))
     out.write(3); out.write(1); w16(0); out.write(0)
     (0 until nf).foreach { f =>
+      val interlaced = f % 2 == 1
+      val hasLct = (docId + f) % 3 == 0
       out.write(0x21); out.write(0xf9); out.write(4)
       out.write(0); w16(((docId + f) % 10 + 1).toInt); out.write(0); out.write(0)
-      out.write(0x2c); w16(0); w16(0); w16(w); w16(h); out.write(0)
+      out.write(0x2c); w16(0); w16(0); w16(w); w16(h)
+      out.write((if (hasLct) 0x85 else 0) | (if (interlaced) 0x40 else 0))
+      if (hasLct) palette(f)
       out.write(6)
-      val indices = Array.tabulate(w * h)(p => ((docId * 31 + f * 101 + p * 7) % 64).toByte)
+      val raster = Array.tabulate(w * h)(p => ((docId * 31 + f * 101 + p * 7) % 64).toByte)
+      val indices =
+        if (!interlaced) raster
+        else {
+          val order = interlaceOrder(h)
+          Array.tabulate(w * h)(q => raster(order(q / w) * w + q % w))
+        }
       val lzw = lzwEncode(indices, 6)
       var off = 0
       while (off < lzw.length) {

@@ -620,21 +620,33 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(feat(3) - sums(1) / (w * h).toFloat / 255f) < 1e-6f)
   }
 
-  test("animated GIF: frame demux round-trips pixels and GCE delays; still path rejects animations") {
-    val id = 9L
+  test("animated GIF: frame demux round-trips pixels, delays, interlace and local color tables") {
+    // id 10: 4 frames — f=1,3 interlaced (h=4 exercises all four
+    // passes), f=2 carries a LOCAL color table with palette shift 2
+    // (decoding it through the global table would be wrong by a full
+    // palette rotation)
+    val id = 10L
     val w = (id % 7 + 4).toInt; val h = (id % 5 + 4).toInt
     val nf = (id % 4 + 2).toInt
+    assert(nf === 4)
     val gif = Multimodal.synthesizeGifAnim(id)
     val (dw, dh, frames) = Multimodal.decodeGifFrames(gif)
     assert((dw, dh) === (w, h))
     assert(frames.size === nf)
     frames.zipWithIndex.foreach { case ((delay, px), f) =>
       assert(delay === ((id + f) % 10 + 1).toInt, s"delay of frame $f")
+      val shift = if ((id + f) % 3 == 0) f else 0
       (0 until w * h).foreach { p =>
-        val j = ((id * 31 + f * 101 + p * 7) % 64).toInt
+        val j = ((id * 31 + f * 101 + p * 7) % 64).toInt + shift
         assert((px(3 * p).toInt & 0xff) === j * 37 % 256, s"r of frame $f pixel $p")
+        assert((px(3 * p + 2).toInt & 0xff) === j * 83 % 256, s"b of frame $f pixel $p")
       }
     }
+    // the de-interlace must be a genuine permutation: frame 1's raw
+    // stream order differs from raster order (row 1 content != row
+    // order(1)=... content for h=4: passes give order 0,2,1,3)
+    assert(Multimodal.interlaceOrder(4).toSeq === Seq(0, 2, 1, 3))
+    assert(Multimodal.interlaceOrder(9).toSeq === Seq(0, 8, 4, 2, 6, 1, 3, 5, 7))
     // an animation on the single-image path must fail loudly, never
     // silently read frame 0
     intercept[IllegalArgumentException](Multimodal.decodeGif(gif))
