@@ -383,7 +383,7 @@ object Corpus {
     * Spark's replace-all and DuckDB's replace-first agree): lowercase,
     * scheme and leading www. stripped, tracking query dropped, one
     * trailing slash removed — the variants crawls actually collide on. */
-  private def canonicalUrl(urlCol: String): String =
+  private[graft] def canonicalUrl(urlCol: String): String =
     s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
        |  lower($urlCol), '^https?://', ''), '^www\\\\.', ''),
        |  '\\\\?.*$$', ''), '/$$', '')""".stripMargin

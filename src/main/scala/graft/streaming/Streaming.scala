@@ -363,6 +363,22 @@ object Streaming extends Serializable {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("user_id", "ts"))
 
+  /** Streaming twin of q_dedup_url — crawl-ingest URL dedup: each
+    * arriving document normalizes to its canonical URL
+    * ([[graft.llm.Corpus.canonicalUrl]] — the same scheme / www. /
+    * tracking-query / trailing-slash / case collapse the batch dedup
+    * keys on) and the stream keeps the FIRST fetch per canonical URL
+    * still inside the watermark. State is one key per canonical URL
+    * within the lateness horizon — bounded by crawl-window volume,
+    * never corpus size (a crawl's re-fetch storms are temporally
+    * clustered, which is exactly what the watermark models; the
+    * cross-window exact pass stays the batch q_dedup_url). */
+  def urlIngestDedup(streamDocs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    streamDocs
+      .withColumn("curl", expr(graft.llm.Corpus.canonicalUrl("url")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("curl"))
+
   case class StationEvent(user_id: Long, ts: Timestamp, value: Double)
   case class GapState(lastTs: Long)
   case class GapAlert(station_id: Long, gap_start: Timestamp, gap_hours: Double)

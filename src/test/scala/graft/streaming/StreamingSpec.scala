@@ -94,6 +94,28 @@ class StreamingSpec extends SparkSpec {
     assert(out === batch)
   }
 
+  test("streaming url dedup keeps the first fetch per canonical url across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = Streaming.urlIngestDedup(in.toDF().toDF("ts", "doc_id", "url"))
+      .writeStream.format("memory").queryName("urldedup").outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    in.addData(
+      (t(0), 1L, "https://www.Site.com/a?utm_source=x"),
+      (t(2), 3L, "https://site.com/b"))
+    q.processAllAvailable()
+    // second batch: both are re-fetches of doc 1's canonical URL under
+    // different variants — state inside the watermark must drop them
+    in.addData(
+      (t(3), 4L, "http://site.com/a/"),
+      (t(4), 5L, "HTTPS://SITE.com/a"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("urldedup").select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(out === Set(1L, 3L))
+  }
+
   test("streaming incremental screen equals the batch snapshot screen and batch incrementalDedup") {
     implicit val sc = spark.sqlContext
     // index corpus: ids ≢ 0 mod 10 so the batch incrementalDedup twin
