@@ -1304,6 +1304,69 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.gifComposite: the engine composites a real
+    * partial-frame GIF (full-screen base, 3×3 patches, disposal 1/2)
+    * onto the logical screen; this oracle reproduces every canvas
+    * pixel from the closed form — the source of pixel (x,y) at display
+    * frame f is the LATEST covering frame m ≤ f, falling back to the
+    * background palette index 0 when m < f carried disposal 2 (its
+    * rect restores after it shows). A blit-offset, coverage or
+    * disposal bug breaks the hash via the per-position inter-frame
+    * MAD. */
+  val qGifComposite: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 6 + 6 AS INT) AS w,
+             CAST(doc_id % 4 + 6 AS INT) AS h,
+             CAST(doc_id % 3 + 2 AS INT) AS nf
+      FROM documents WHERE doc_id % 3 = 0),
+    fr AS (
+      SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM img),
+    xy AS (
+      SELECT doc_id, w, h, f, p % w AS x, p // w AS y
+      FROM (SELECT doc_id, w, h, f, unnest(range(0, w * h)) AS p FROM fr)),
+    cand AS (
+      SELECT a.doc_id, a.w, a.h, a.f, a.x, a.y, b.f AS f2
+      FROM xy a JOIN fr b ON a.doc_id = b.doc_id AND b.f <= a.f
+      WHERE b.f = 0 OR (
+        a.x >= (a.doc_id + b.f) % (a.w - 3)
+        AND a.x <= (a.doc_id + b.f) % (a.w - 3) + 2
+        AND a.y >= (a.doc_id + 2 * b.f) % (a.h - 3)
+        AND a.y <= (a.doc_id + 2 * b.f) % (a.h - 3) + 2)),
+    srcm AS (
+      SELECT doc_id, w, h, f, x, y, max(f2) AS m
+      FROM cand GROUP BY 1, 2, 3, 4, 5, 6),
+    val AS (
+      SELECT doc_id, w, h, f, x, y,
+        CASE WHEN m < f AND m >= 1 AND (doc_id + m) % 4 = 0 THEN 0
+             ELSE (doc_id * 31 + m * 101 + (CASE WHEN m = 0 THEN y * w + x
+               ELSE (y - (doc_id + 2 * m) % (h - 3)) * 3
+                    + (x - (doc_id + m) % (w - 3)) END) * 7) % 64
+        END AS j
+      FROM srcm),
+    rgbv AS (
+      SELECT doc_id, w, h, f, x, y,
+        j * 37 % 256 AS r, j * 59 % 256 AS g, j * 83 % 256 AS b
+      FROM val),
+    d AS (
+      SELECT doc_id, w, h, f, r, g, b,
+        lag(r) OVER wnd AS pr, lag(g) OVER wnd AS pg, lag(b) OVER wnd AS pb
+      FROM rgbv WINDOW wnd AS (PARTITION BY doc_id, x, y ORDER BY f)),
+    s AS (
+      SELECT doc_id, w, h, CAST(f AS INT) AS frame_idx,
+        CAST(sum(r) AS BIGINT) AS sum_r,
+        CAST(sum(g) AS BIGINT) AS sum_g,
+        CAST(sum(b) AS BIGINT) AS sum_b,
+        CAST(sum(abs(r - pr) + abs(g - pg) + abs(b - pb)) AS BIGINT) AS sad
+      FROM d GROUP BY 1, 2, 3, 4)
+    SELECT doc_id, frame_idx,
+      CAST((doc_id + frame_idx) % 10 + 1 AS INT) AS delay_cs,
+      round(sum_r / (w * h)::DOUBLE + 1e-9, 6) AS mean_r,
+      round(sum_g / (w * h)::DOUBLE + 1e-9, 6) AS mean_g,
+      round(sum_b / (w * h)::DOUBLE + 1e-9, 6) AS mean_b,
+      CASE WHEN frame_idx > 0
+        THEN round(sad / (3.0 * w * h) + 1e-9, 6) END AS frame_mad
+    FROM s ORDER BY doc_id, frame_idx"""
+
   /** Shared synthesized-URL expression for the web-curation oracles —
     * mirrors LlmQueries.urlPayload exactly (DuckDB strings do not
     * process backslash escapes, so the regexes below carry SINGLE
@@ -2737,6 +2800,7 @@ object LlmOracle {
     "q_image_decode_png" -> qImageDecodePng,
     "q_image_decode_gif" -> qImageDecodeGif,
     "q_gif_frames" -> qGifFrames,
+    "q_gif_composite" -> qGifComposite,
     "q_dedup_url" -> qDedupUrl,
     "q_url_domains" -> qUrlDomains,
     "q_image_decode_jpeg" -> qImageDecodeJpeg,

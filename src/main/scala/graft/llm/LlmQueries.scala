@@ -258,6 +258,8 @@ object LlmQueries {
       Multimodal.imageDecodeGif(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_gif_frames" -> ((s, d) =>
       Multimodal.gifFrames(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
+    "q_gif_composite" -> ((s, d) =>
+      Multimodal.gifComposite(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "q_image_phash" -> ((s, d) =>
       Multimodal.imagePhash(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_cdc_chunks" -> ((s, d) =>

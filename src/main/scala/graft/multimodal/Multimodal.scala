@@ -515,16 +515,21 @@ object Multimodal {
 
   /** Dependency-free GIF frame demuxer — parses the header and logical
     * screen descriptor, loads the global color table, walks extension
-    * blocks (capturing each Graphic Control extension's delay for the
-    * frame it precedes, skipping Comment/Application/Plain-Text
-    * generically), decodes every image's sub-blocked LZW stream,
-    * honors a per-frame LOCAL color table when present (it overrides
-    * the global one for that frame only, GIF89a §21) and the
-    * INTERLACE flag (four-pass row de-permutation), and maps palette
-    * indices to RGB. Remaining subset bound: full-logical-screen
-    * frames only (partial frames would need disposal-method
-    * compositing) — that one fails loudly. Returns (width, height,
-    * frames) with one (delay_cs, rgb bytes) per frame. */
+    * blocks (capturing each Graphic Control extension's delay AND
+    * disposal method for the frame it precedes, skipping
+    * Comment/Application/Plain-Text generically), decodes every
+    * image's sub-blocked LZW stream, honors a per-frame LOCAL color
+    * table when present (it overrides the global one for that frame
+    * only, GIF89a §21) and the INTERLACE flag (four-pass row
+    * de-permutation), and COMPOSITES partial frames onto the logical
+    * screen: each image blits at its (left, top) rect over the
+    * maintained canvas (initialized to the background color when the
+    * first frame is not full-screen), with disposal methods 0/1
+    * (leave in place) and 2 (restore the rect to the background
+    * color) applied after the frame is emitted. Disposal 3
+    * (restore-previous) fails loudly — the one remaining subset
+    * bound. Returns (width, height, frames) with one
+    * (delay_cs, rgb canvas snapshot) per frame. */
   private[graft] def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Vector[(Int, Array[Byte])]) = {
     require(bytes.length >= 13, "truncated GIF header")
     val sig = new String(bytes, 0, 6, "US-ASCII")
@@ -538,8 +543,26 @@ object Multimodal {
     require(pos + 3 * gctSize <= bytes.length, "truncated global color table")
     val gct = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * gctSize)
     pos += 3 * gctSize
+    val bgIndex = bytes(11) & 0xff
+    var canvas: Array[Byte] = null
+    def bgFill(cv: Array[Byte], x0: Int, y0: Int, rw: Int, rh: Int): Unit = {
+      require(bgIndex < gctSize,
+        s"background index $bgIndex outside the $gctSize-entry table")
+      var y = y0
+      while (y < y0 + rh) {
+        var x = x0
+        while (x < x0 + rw) {
+          val p = y * w + x
+          cv(3 * p) = gct(3 * bgIndex); cv(3 * p + 1) = gct(3 * bgIndex + 1)
+          cv(3 * p + 2) = gct(3 * bgIndex + 2)
+          x += 1
+        }
+        y += 1
+      }
+    }
     var frames = Vector.empty[(Int, Array[Byte])]
     var pendingDelay = 0
+    var pendingDisposal = 0
     var end = false
     while (!end) {
       require(pos < bytes.length, "GIF ended without trailer")
@@ -551,8 +574,9 @@ object Multimodal {
           var first = true
           var len = bytes(pos) & 0xff
           while (len != 0) {
-            if (label == 0xf9 && first) { // Graphic Control: delay LE at +2
+            if (label == 0xf9 && first) { // Graphic Control: packed, delay LE
               require(len == 4, s"GCE block size $len (spec says 4)")
+              pendingDisposal = (bytes(pos + 1) >> 2) & 7
               pendingDelay = u16(pos + 2)
             }
             first = false
@@ -564,8 +588,10 @@ object Multimodal {
         case 0x2c =>
           val left = u16(pos + 1); val top = u16(pos + 3)
           val iw = u16(pos + 5); val ih = u16(pos + 7)
-          require(left == 0 && top == 0 && iw == w && ih == h,
-            "partial-screen GIF frame (disposal compositing unsupported)")
+          require(left + iw <= w && top + ih <= h,
+            s"GIF frame rect ($left,$top,$iw,$ih) outside the $w x $h screen")
+          require(pendingDisposal <= 2,
+            s"GIF disposal method $pendingDisposal (restore-previous unsupported)")
           val ipacked = bytes(pos + 9) & 0xff
           val interlaced = (ipacked & 0x40) != 0
           pos += 10
@@ -602,17 +628,27 @@ object Multimodal {
               }
               out2
             }
-          val rgb = new Array[Byte](3 * iw * ih)
+          if (canvas == null) {
+            canvas = new Array[Byte](3 * w * h)
+            // a first frame that does not cover the screen exposes the
+            // background color everywhere else
+            if (!(left == 0 && top == 0 && iw == w && ih == h))
+              bgFill(canvas, 0, 0, w, h)
+          }
           var p = 0
           while (p < iw * ih) {
             val j = idx(p).toInt & 0xff
             require(j < palSize, s"palette index $j outside the $palSize-entry table")
-            rgb(3 * p) = pal(3 * j); rgb(3 * p + 1) = pal(3 * j + 1)
-            rgb(3 * p + 2) = pal(3 * j + 2)
+            val cp = (top + p / iw) * w + (left + p % iw)
+            canvas(3 * cp) = pal(3 * j); canvas(3 * cp + 1) = pal(3 * j + 1)
+            canvas(3 * cp + 2) = pal(3 * j + 2)
             p += 1
           }
-          frames :+= (pendingDelay, rgb)
+          frames :+= (pendingDelay, canvas.clone())
+          // disposal 2: the rect restores to background AFTER this frame
+          if (pendingDisposal == 2) bgFill(canvas, left, top, iw, ih)
           pendingDelay = 0
+          pendingDisposal = 0
         case other => throw new IllegalArgumentException(
           f"unknown GIF block 0x$other%02x at $pos")
       }
@@ -690,6 +726,52 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic partial-frame GIF89a animation — the disposal
+    * torture case: frame 0 is a full-screen base (disposal 1), every
+    * later frame is a 3×3 PATCH at left=(docId+f) mod (w−3),
+    * top=(docId+2f) mod (h−3), blitted over the maintained canvas;
+    * frames with (docId+f) mod 4 == 0 carry disposal 2, so their rect
+    * restores to the background color (index 0 → black) once the next
+    * frame shows. Patch pixel q of frame f =
+    * (docId·31 + f·101 + q·7) mod 64 through the [[synthesizeGif]]
+    * palette — every canvas pixel at every frame is closed-form
+    * (source = the latest covering frame, or background if that
+    * frame's disposal was 2), so the oracle reproduces the composited
+    * statistics without a GIF library. */
+  private[graft] def synthesizeGifComposite(docId: Long): Array[Byte] = {
+    val w = (docId % 6 + 6).toInt; val h = (docId % 4 + 6).toInt
+    val nf = (docId % 3 + 2).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(w); w16(h)
+    out.write(0xf5); out.write(0); out.write(0) // background index 0
+    (0 until 64).foreach { j =>
+      out.write(j * 37 % 256); out.write(j * 59 % 256); out.write(j * 83 % 256)
+    }
+    (0 until nf).foreach { f =>
+      val (left, top, iw, ih) =
+        if (f == 0) (0, 0, w, h)
+        else (((docId + f) % (w - 3)).toInt, ((docId + 2 * f) % (h - 3)).toInt, 3, 3)
+      val disposal = if (f > 0 && (docId + f) % 4 == 0) 2 else 1
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(disposal << 2); w16(((docId + f) % 10 + 1).toInt)
+      out.write(0); out.write(0)
+      out.write(0x2c); w16(left); w16(top); w16(iw); w16(ih); out.write(0)
+      out.write(6)
+      val indices = Array.tabulate(iw * ih)(q => ((docId * 31 + f * 101 + q * 7) % 64).toByte)
+      val lzw = lzwEncode(indices, 6)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(32, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   case class GifFrame(doc_id: Long, frame_idx: Int, delay_cs: Int,
       width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long,
       sum_abs_diff: Long)
@@ -705,14 +787,28 @@ object Multimodal {
     *
     * Plan: stateless partition-local demux+fold, O(#frames) rows per
     * doc; means and mad are plan projections. */
-  def gifFrames(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def gifFrames(spark: SparkSession, documents: DataFrame): DataFrame =
+    gifStats(spark, documents, composite = false)
+
+  /** Composited partial-frame GIF statistics — [[gifFrames]] over the
+    * [[synthesizeGifComposite]] disposal torture stream: per display
+    * frame the CANVAS channel means (a blit-offset or disposal bug
+    * moves pixels, which the per-position inter-frame MAD catches)
+    * plus delay. Same output shape and plan as gifFrames. */
+  def gifComposite(spark: SparkSession, documents: DataFrame): DataFrame =
+    gifStats(spark, documents, composite = true)
+
+  private def gifStats(spark: SparkSession, documents: DataFrame,
+      composite: Boolean): DataFrame = {
     import spark.implicits._
     val decoded = metadata(documents)
       .filter(col("modality") === "image")
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
-          val (w, h, frames) = decodeGifFrames(synthesizeGifAnim(id))
+          val payload =
+            if (composite) synthesizeGifComposite(id) else synthesizeGifAnim(id)
+          val (w, h, frames) = decodeGifFrames(payload)
           frames.zipWithIndex.map { case ((delay, px), f) =>
             var sr = 0L; var sg = 0L; var sb = 0L; var sad = 0L
             var i = 0

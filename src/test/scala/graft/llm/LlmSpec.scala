@@ -652,6 +652,65 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeGif(gif))
   }
 
+  test("GIF compositing: partial frames blit onto the canvas, disposal 2 restores to background") {
+    // id 7: 3 frames, w=7 h=9; frame 1 carries disposal 2 ((7+1)%4==0),
+    // so frame 2's canvas must show background where frame 1's patch
+    // was (minus anything frame 2 re-covers)
+    val id = 7L
+    val w = (id % 6 + 6).toInt; val h = (id % 4 + 6).toInt
+    val nf = (id % 3 + 2).toInt
+    assert(nf === 3)
+    val (dw, dh, frames) = Multimodal.decodeGifFrames(Multimodal.synthesizeGifComposite(id))
+    assert((dw, dh) === (w, h) && frames.size === nf)
+    // independent driver-side canvas model
+    val canvas = Array.fill(3 * w * h)(0.toByte)
+    def blit(f: Int): Unit = {
+      val (left, top, iw, ih) =
+        if (f == 0) (0, 0, w, h)
+        else (((id + f) % (w - 3)).toInt, ((id + 2 * f) % (h - 3)).toInt, 3, 3)
+      (0 until iw * ih).foreach { q =>
+        val j = ((id * 31 + f * 101 + q * 7) % 64).toInt
+        val cp = (top + q / iw) * w + (left + q % iw)
+        canvas(3 * cp) = (j * 37 % 256).toByte
+        canvas(3 * cp + 1) = (j * 59 % 256).toByte
+        canvas(3 * cp + 2) = (j * 83 % 256).toByte
+      }
+    }
+    def restore(f: Int): Unit = { // disposal 2: rect back to bg (idx 0 = black)
+      val left = ((id + f) % (w - 3)).toInt; val top = ((id + 2 * f) % (h - 3)).toInt
+      (0 until 9).foreach { q =>
+        val cp = (top + q / 3) * w + (left + q % 3)
+        canvas(3 * cp) = 0; canvas(3 * cp + 1) = 0; canvas(3 * cp + 2) = 0
+      }
+    }
+    (0 until nf).foreach { f =>
+      blit(f)
+      assert(java.util.Arrays.equals(frames(f)._2, canvas), s"canvas of frame $f")
+      if (f > 0 && (id + f) % 4 == 0) restore(f)
+    }
+    // the restore must be visible: frame 2 has at least one black pixel
+    // where frame 1 did not
+    val exposed = (0 until w * h).exists { p =>
+      frames(2)._2(3 * p) == 0 && frames(2)._2(3 * p + 1) == 0 &&
+        frames(2)._2(3 * p + 2) == 0 &&
+        !(frames(1)._2(3 * p) == 0 && frames(1)._2(3 * p + 1) == 0 &&
+          frames(1)._2(3 * p + 2) == 0)
+    }
+    assert(exposed, "disposal-2 restore left no visible background pixel")
+    // disposal 3 (restore-previous) fails loudly — patch frame 1's GCE
+    val bytes = Multimodal.synthesizeGifComposite(id)
+    var gce = -1; var seen = 0; var i = 0
+    while (gce < 0 && i < bytes.length - 1) {
+      if ((bytes(i) & 0xff) == 0x21 && (bytes(i + 1) & 0xff) == 0xf9) {
+        seen += 1; if (seen == 2) gce = i
+      }
+      i += 1
+    }
+    bytes(gce + 3) = (3 << 2).toByte
+    val e = intercept[IllegalArgumentException](Multimodal.decodeGifFrames(bytes))
+    assert(e.getMessage.contains("disposal"))
+  }
+
   test("JPEG decode: synthesized baseline JFIF round-trips the closed-form pixels exactly") {
     // 24x16 = 6 blocks: exercises DC differential coding across blocks
     // and both the with-AC and DC-only (EOB-immediately) paths
