@@ -1305,10 +1305,12 @@ object LlmOracle {
     FROM m ORDER BY doc_id"""
 
   /** Mirrors Multimodal.gifComposite: the engine composites a real
-    * partial-frame GIF (full-screen base, 3×3 patches, disposal 1/2)
-    * onto the logical screen; this oracle reproduces every canvas
-    * pixel from the closed form — the source of pixel (x,y) at display
-    * frame f is the LATEST covering frame m ≤ f, falling back to the
+    * partial-frame GIF (full-screen base, 3×3 patches, the full
+    * disposal set 1/2/3) onto the logical screen; this oracle
+    * reproduces every canvas pixel from the closed form — the source
+    * of pixel (x,y) at display frame f is the LATEST covering frame
+    * m ≤ f whose effect persists (a disposal-3 frame counts only
+    * while it displays, i.e. only when m == f), falling back to the
     * background palette index 0 when m < f carried disposal 2 (its
     * rect restores after it shows). A blit-offset, coverage or
     * disposal bug breaks the hash via the per-position inter-frame
@@ -1327,6 +1329,8 @@ object LlmOracle {
     cand AS (
       SELECT a.doc_id, a.w, a.h, a.f, a.x, a.y, b.f AS f2
       FROM xy a JOIN fr b ON a.doc_id = b.doc_id AND b.f <= a.f
+        -- a disposal-3 frame's pixels persist only while it displays
+        AND (b.f = a.f OR b.f = 0 OR (a.doc_id + b.f) % 4 <> 1)
       WHERE b.f = 0 OR (
         a.x >= (a.doc_id + b.f) % (a.w - 3)
         AND a.x <= (a.doc_id + b.f) % (a.w - 3) + 2

@@ -526,10 +526,11 @@ object Multimodal {
     * maintained canvas (initialized to the background color when the
     * first frame is not full-screen), with disposal methods 0/1
     * (leave in place) and 2 (restore the rect to the background
-    * color) applied after the frame is emitted. Disposal 3
-    * (restore-previous) fails loudly — the one remaining subset
-    * bound. Returns (width, height, frames) with one
-    * (delay_cs, rgb canvas snapshot) per frame. */
+    * color) and 3 (restore the rect to the pre-blit canvas) applied
+    * after the frame is emitted — the full GIF89a disposal set
+    * (values 4-7 are undefined by the spec and fail loudly). Returns
+    * (width, height, frames) with one (delay_cs, rgb canvas snapshot)
+    * per frame. */
   private[graft] def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Vector[(Int, Array[Byte])]) = {
     require(bytes.length >= 13, "truncated GIF header")
     val sig = new String(bytes, 0, 6, "US-ASCII")
@@ -590,8 +591,8 @@ object Multimodal {
           val iw = u16(pos + 5); val ih = u16(pos + 7)
           require(left + iw <= w && top + ih <= h,
             s"GIF frame rect ($left,$top,$iw,$ih) outside the $w x $h screen")
-          require(pendingDisposal <= 2,
-            s"GIF disposal method $pendingDisposal (restore-previous unsupported)")
+          require(pendingDisposal <= 3,
+            s"GIF disposal method $pendingDisposal (undefined by the spec)")
           val ipacked = bytes(pos + 9) & 0xff
           val interlaced = (ipacked & 0x40) != 0
           pos += 10
@@ -635,6 +636,19 @@ object Multimodal {
             if (!(left == 0 && top == 0 && iw == w && ih == h))
               bgFill(canvas, 0, 0, w, h)
           }
+          // disposal 3 restores the PRE-BLIT canvas rect once the
+          // frame has shown — snapshot it before drawing
+          val preBlit =
+            if (pendingDisposal == 3) {
+              val snap = new Array[Byte](3 * iw * ih)
+              var y = 0
+              while (y < ih) {
+                System.arraycopy(canvas, 3 * ((top + y) * w + left),
+                  snap, 3 * y * iw, 3 * iw)
+                y += 1
+              }
+              snap
+            } else null
           var p = 0
           while (p < iw * ih) {
             val j = idx(p).toInt & 0xff
@@ -645,8 +659,17 @@ object Multimodal {
             p += 1
           }
           frames :+= (pendingDelay, canvas.clone())
-          // disposal 2: the rect restores to background AFTER this frame
+          // disposal 2: the rect restores to background AFTER this
+          // frame; disposal 3: back to the pre-blit content
           if (pendingDisposal == 2) bgFill(canvas, left, top, iw, ih)
+          else if (pendingDisposal == 3) {
+            var y = 0
+            while (y < ih) {
+              System.arraycopy(preBlit, 3 * y * iw,
+                canvas, 3 * ((top + y) * w + left), 3 * iw)
+              y += 1
+            }
+          }
           pendingDelay = 0
           pendingDisposal = 0
         case other => throw new IllegalArgumentException(
@@ -730,9 +753,12 @@ object Multimodal {
     * torture case: frame 0 is a full-screen base (disposal 1), every
     * later frame is a 3×3 PATCH at left=(docId+f) mod (w−3),
     * top=(docId+2f) mod (h−3), blitted over the maintained canvas;
-    * frames with (docId+f) mod 4 == 0 carry disposal 2, so their rect
-    * restores to the background color (index 0 → black) once the next
-    * frame shows. Patch pixel q of frame f =
+    * frames with (docId+f) mod 4 == 0 carry disposal 2 (their rect
+    * restores to the background color — index 0 → black — once the
+    * next frame shows) and frames with (docId+f) mod 4 == 1 carry
+    * disposal 3 (their rect restores to the pre-blit content, i.e.
+    * their pixels are visible for exactly one display frame). Patch
+    * pixel q of frame f =
     * (docId·31 + f·101 + q·7) mod 64 through the [[synthesizeGif]]
     * palette — every canvas pixel at every frame is closed-form
     * (source = the latest covering frame, or background if that
@@ -753,7 +779,11 @@ object Multimodal {
       val (left, top, iw, ih) =
         if (f == 0) (0, 0, w, h)
         else (((docId + f) % (w - 3)).toInt, ((docId + 2 * f) % (h - 3)).toInt, 3, 3)
-      val disposal = if (f > 0 && (docId + f) % 4 == 0) 2 else 1
+      val disposal =
+        if (f == 0) 1
+        else if ((docId + f) % 4 == 0) 2
+        else if ((docId + f) % 4 == 1) 3
+        else 1
       out.write(0x21); out.write(0xf9); out.write(4)
       out.write(disposal << 2); w16(((docId + f) % 10 + 1).toInt)
       out.write(0); out.write(0)

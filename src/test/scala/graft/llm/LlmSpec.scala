@@ -652,53 +652,69 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeGif(gif))
   }
 
-  test("GIF compositing: partial frames blit onto the canvas, disposal 2 restores to background") {
-    // id 7: 3 frames, w=7 h=9; frame 1 carries disposal 2 ((7+1)%4==0),
-    // so frame 2's canvas must show background where frame 1's patch
-    // was (minus anything frame 2 re-covers)
-    val id = 7L
-    val w = (id % 6 + 6).toInt; val h = (id % 4 + 6).toInt
-    val nf = (id % 3 + 2).toInt
-    assert(nf === 3)
-    val (dw, dh, frames) = Multimodal.decodeGifFrames(Multimodal.synthesizeGifComposite(id))
-    assert((dw, dh) === (w, h) && frames.size === nf)
-    // independent driver-side canvas model
-    val canvas = Array.fill(3 * w * h)(0.toByte)
-    def blit(f: Int): Unit = {
-      val (left, top, iw, ih) =
-        if (f == 0) (0, 0, w, h)
-        else (((id + f) % (w - 3)).toInt, ((id + 2 * f) % (h - 3)).toInt, 3, 3)
-      (0 until iw * ih).foreach { q =>
-        val j = ((id * 31 + f * 101 + q * 7) % 64).toInt
-        val cp = (top + q / iw) * w + (left + q % iw)
-        canvas(3 * cp) = (j * 37 % 256).toByte
-        canvas(3 * cp + 1) = (j * 59 % 256).toByte
-        canvas(3 * cp + 2) = (j * 83 % 256).toByte
+  test("GIF compositing: partial frames blit, disposal 2 restores to bg, disposal 3 to previous") {
+    // independent driver-side canvas model covering the full disposal set
+    def model(id: Long): (Int, Int, Vector[Array[Byte]]) = {
+      val w = (id % 6 + 6).toInt; val h = (id % 4 + 6).toInt
+      val nf = (id % 3 + 2).toInt
+      val canvas = Array.fill(3 * w * h)(0.toByte)
+      var out = Vector.empty[Array[Byte]]
+      (0 until nf).foreach { f =>
+        val (left, top, iw, ih) =
+          if (f == 0) (0, 0, w, h)
+          else (((id + f) % (w - 3)).toInt, ((id + 2 * f) % (h - 3)).toInt, 3, 3)
+        val disposal =
+          if (f == 0) 1 else if ((id + f) % 4 == 0) 2
+          else if ((id + f) % 4 == 1) 3 else 1
+        val pre = canvas.clone()
+        (0 until iw * ih).foreach { q =>
+          val j = ((id * 31 + f * 101 + q * 7) % 64).toInt
+          val cp = (top + q / iw) * w + (left + q % iw)
+          canvas(3 * cp) = (j * 37 % 256).toByte
+          canvas(3 * cp + 1) = (j * 59 % 256).toByte
+          canvas(3 * cp + 2) = (j * 83 % 256).toByte
+        }
+        out :+= canvas.clone()
+        if (disposal == 2) (0 until iw * ih).foreach { q =>
+          val cp = (top + q / iw) * w + (left + q % iw)
+          canvas(3 * cp) = 0; canvas(3 * cp + 1) = 0; canvas(3 * cp + 2) = 0
+        }
+        else if (disposal == 3) (0 until iw * ih).foreach { q =>
+          val cp = (top + q / iw) * w + (left + q % iw)
+          canvas(3 * cp) = pre(3 * cp); canvas(3 * cp + 1) = pre(3 * cp + 1)
+          canvas(3 * cp + 2) = pre(3 * cp + 2)
+        }
+      }
+      (w, h, out)
+    }
+    // id 7: f1 disposal 2 (bg restore visible at f2); id 11: f1
+    // disposal 2, f2 disposal 3, f3 persistent — both restores visible
+    Seq(7L, 11L).foreach { id =>
+      val (w, h, want) = model(id)
+      val (dw, dh, frames) = Multimodal.decodeGifFrames(Multimodal.synthesizeGifComposite(id))
+      assert((dw, dh) === (w, h) && frames.size === want.size, s"id $id")
+      frames.zip(want).zipWithIndex.foreach { case (((_, got), exp), f) =>
+        assert(java.util.Arrays.equals(got, exp), s"canvas of id $id frame $f")
       }
     }
-    def restore(f: Int): Unit = { // disposal 2: rect back to bg (idx 0 = black)
-      val left = ((id + f) % (w - 3)).toInt; val top = ((id + 2 * f) % (h - 3)).toInt
-      (0 until 9).foreach { q =>
-        val cp = (top + q / 3) * w + (left + q % 3)
-        canvas(3 * cp) = 0; canvas(3 * cp + 1) = 0; canvas(3 * cp + 2) = 0
-      }
-    }
-    (0 until nf).foreach { f =>
-      blit(f)
-      assert(java.util.Arrays.equals(frames(f)._2, canvas), s"canvas of frame $f")
-      if (f > 0 && (id + f) % 4 == 0) restore(f)
-    }
-    // the restore must be visible: frame 2 has at least one black pixel
-    // where frame 1 did not
-    val exposed = (0 until w * h).exists { p =>
-      frames(2)._2(3 * p) == 0 && frames(2)._2(3 * p + 1) == 0 &&
-        frames(2)._2(3 * p + 2) == 0 &&
-        !(frames(1)._2(3 * p) == 0 && frames(1)._2(3 * p + 1) == 0 &&
-          frames(1)._2(3 * p + 2) == 0)
-    }
+    // semantic pins on id 7: frame 2 exposes background where frame 1 drew
+    val (_, _, f7) = model(7L)
+    val exposed = f7(2).indices.exists(i => f7(2)(i) == 0 && f7(1)(i) != 0)
     assert(exposed, "disposal-2 restore left no visible background pixel")
-    // disposal 3 (restore-previous) fails loudly — patch frame 1's GCE
-    val bytes = Multimodal.synthesizeGifComposite(id)
+    // ...and on id 11: frame 2 (disposal 3) pixels revert by frame 3 —
+    // some byte equals its frame-1 value again after differing at frame 2
+    val (w11, _, f11) = model(11L)
+    val rect3 = {
+      val left = ((11 + 3) % (w11 - 3)).toInt; val top = ((11 + 6) % (((11 % 4) + 6) - 3)).toInt
+      (x: Int, y: Int) => x >= left && x <= left + 2 && y >= top && y <= top + 2
+    }
+    val reverted = f11(3).indices.exists { i =>
+      val p = i / 3; val x = p % w11; val y = p / w11
+      !rect3(x, y) && f11(2)(i) != f11(1)(i) && f11(3)(i) == f11(1)(i)
+    }
+    assert(reverted, "disposal-3 restore not visible at the next frame")
+    // undefined disposal values (4-7) fail loudly — patch frame 1's GCE
+    val bytes = Multimodal.synthesizeGifComposite(7L)
     var gce = -1; var seen = 0; var i = 0
     while (gce < 0 && i < bytes.length - 1) {
       if ((bytes(i) & 0xff) == 0x21 && (bytes(i + 1) & 0xff) == 0xf9) {
@@ -706,7 +722,7 @@ class LlmSpec extends SparkSpec {
       }
       i += 1
     }
-    bytes(gce + 3) = (3 << 2).toByte
+    bytes(gce + 3) = (4 << 2).toByte
     val e = intercept[IllegalArgumentException](Multimodal.decodeGifFrames(bytes))
     assert(e.getMessage.contains("disposal"))
   }
