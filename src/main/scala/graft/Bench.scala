@@ -63,7 +63,8 @@ object Bench {
     "q_ingest_bucketed", "q_window_hll", "q_audio_spectrum",
     "q_video_scenes", "q_image_phash", "q_dedup_incremental",
     "q_embed_incremental", "q_dedup_snapshot", "q_embed_snapshot",
-    "q_image_decode_gif")
+    "q_image_decode_gif", "q_gif_frames", "q_gif_composite",
+    "q_dedup_snapshot_cycle", "q_dedup_url", "q_url_domains")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
