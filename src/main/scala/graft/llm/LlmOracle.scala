@@ -1306,15 +1306,19 @@ object LlmOracle {
 
   /** Mirrors Multimodal.gifComposite: the engine composites a real
     * partial-frame GIF (full-screen base, 3×3 patches, the full
-    * disposal set 1/2/3) onto the logical screen; this oracle
-    * reproduces every canvas pixel from the closed form — the source
-    * of pixel (x,y) at display frame f is the LATEST covering frame
-    * m ≤ f whose effect persists (a disposal-3 frame counts only
-    * while it displays, i.e. only when m == f), falling back to the
+    * disposal set 1/2/3, GCE TRANSPARENCY on (doc_id+f)%4==2 frames)
+    * onto the logical screen; this oracle reproduces every canvas
+    * pixel from the closed form — the source of pixel (x,y) at
+    * display frame f is the LATEST covering OPAQUE frame pixel m ≤ f
+    * whose effect persists (a disposal-3 frame counts only while it
+    * displays, i.e. only when m == f; a transparency frame's pixel at
+    * local offset (doc_id+f)%9 never covers), falling back to the
     * background palette index 0 when m < f carried disposal 2 (its
-    * rect restores after it shows). A blit-offset, coverage or
-    * disposal bug breaks the hash via the per-position inter-frame
-    * MAD. */
+    * rect restores after it shows). Opaque pixels of a transparency
+    * frame draw mod-63 indices (the engine synthesizer reserves 63 as
+    * the transparent index). A blit-offset, coverage, disposal or
+    * transparency bug breaks the hash via the per-position
+    * inter-frame MAD. */
   val qGifComposite: String = """
     WITH img AS (
       SELECT doc_id, CAST(doc_id % 6 + 6 AS INT) AS w,
@@ -1335,13 +1339,22 @@ object LlmOracle {
         a.x >= (a.doc_id + b.f) % (a.w - 3)
         AND a.x <= (a.doc_id + b.f) % (a.w - 3) + 2
         AND a.y >= (a.doc_id + 2 * b.f) % (a.h - 3)
-        AND a.y <= (a.doc_id + 2 * b.f) % (a.h - 3) + 2)),
+        AND a.y <= (a.doc_id + 2 * b.f) % (a.h - 3) + 2
+        -- a transparency frame's transparent pixel never covers
+        AND NOT ((a.doc_id + b.f) % 4 = 2
+          AND (a.y - (a.doc_id + 2 * b.f) % (a.h - 3)) * 3
+              + (a.x - (a.doc_id + b.f) % (a.w - 3))
+              = (a.doc_id + b.f) % 9))),
     srcm AS (
       SELECT doc_id, w, h, f, x, y, max(f2) AS m
       FROM cand GROUP BY 1, 2, 3, 4, 5, 6),
     val AS (
       SELECT doc_id, w, h, f, x, y,
         CASE WHEN m < f AND m >= 1 AND (doc_id + m) % 4 = 0 THEN 0
+             WHEN m >= 1 AND (doc_id + m) % 4 = 2 THEN
+               (doc_id * 31 + m * 101
+                + ((y - (doc_id + 2 * m) % (h - 3)) * 3
+                   + (x - (doc_id + m) % (w - 3))) * 7) % 63
              ELSE (doc_id * 31 + m * 101 + (CASE WHEN m = 0 THEN y * w + x
                ELSE (y - (doc_id + 2 * m) % (h - 3)) * 3
                     + (x - (doc_id + m) % (w - 3)) END) * 7) % 64

@@ -528,9 +528,17 @@ object Multimodal {
     * (leave in place) and 2 (restore the rect to the background
     * color) and 3 (restore the rect to the pre-blit canvas) applied
     * after the frame is emitted — the full GIF89a disposal set
-    * (values 4-7 are undefined by the spec and fail loudly). Returns
-    * (width, height, frames) with one (delay_cs, rgb canvas snapshot)
-    * per frame. */
+    * (values 4-7 are undefined by the spec and fail loudly). The GCE
+    * transparent-color flag (packed bit 0, GIF89a §23) is honored:
+    * pixels carrying the transparent index are skipped in the blit so
+    * the prior canvas shows through — the patch-over-static-background
+    * encoding real animated GIFs ship with. (The canvas is plain RGB:
+    * a disposal-2 restore paints the background COLOR, the documented
+    * model for renderers without an alpha plane.) Returns (width,
+    * height, frames) with one (delay_cs, rgb canvas snapshot) per
+    * frame; delay_cs is reported AS STORED — real renderers clamp
+    * delay 0 to ~10 cs, a rendering policy this demuxer does not
+    * apply. */
   private[graft] def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Vector[(Int, Array[Byte])]) = {
     require(bytes.length >= 13, "truncated GIF header")
     val sig = new String(bytes, 0, 6, "US-ASCII")
@@ -564,21 +572,30 @@ object Multimodal {
     var frames = Vector.empty[(Int, Array[Byte])]
     var pendingDelay = 0
     var pendingDisposal = 0
+    var pendingTransparent = -1 // palette index to SKIP, or -1
     var end = false
     while (!end) {
       require(pos < bytes.length, "GIF ended without trailer")
       (bytes(pos) & 0xff) match {
         case 0x3b => end = true
         case 0x21 => // extension: label byte, then sub-blocks until 0
+          require(pos + 2 < bytes.length, "truncated GIF extension")
           val label = bytes(pos + 1) & 0xff
           pos += 2
           var first = true
           var len = bytes(pos) & 0xff
           while (len != 0) {
+            require(pos + len < bytes.length, "truncated GIF extension")
             if (label == 0xf9 && first) { // Graphic Control: packed, delay LE
               require(len == 4, s"GCE block size $len (spec says 4)")
               pendingDisposal = (bytes(pos + 1) >> 2) & 7
               pendingDelay = u16(pos + 2)
+              // packed bit 0: transparent-color flag; when set, pixels
+              // carrying the transparent index do NOT overwrite the
+              // canvas (GIF89a §23) — the dominant animated-GIF
+              // optimization in a real crawl
+              pendingTransparent =
+                if ((bytes(pos + 1) & 1) != 0) bytes(pos + 4) & 0xff else -1
             }
             first = false
             pos += 1 + len
@@ -653,9 +670,11 @@ object Multimodal {
           while (p < iw * ih) {
             val j = idx(p).toInt & 0xff
             require(j < palSize, s"palette index $j outside the $palSize-entry table")
-            val cp = (top + p / iw) * w + (left + p % iw)
-            canvas(3 * cp) = pal(3 * j); canvas(3 * cp + 1) = pal(3 * j + 1)
-            canvas(3 * cp + 2) = pal(3 * j + 2)
+            if (j != pendingTransparent) { // transparent pixels show through
+              val cp = (top + p / iw) * w + (left + p % iw)
+              canvas(3 * cp) = pal(3 * j); canvas(3 * cp + 1) = pal(3 * j + 1)
+              canvas(3 * cp + 2) = pal(3 * j + 2)
+            }
             p += 1
           }
           frames :+= (pendingDelay, canvas.clone())
@@ -672,6 +691,7 @@ object Multimodal {
           }
           pendingDelay = 0
           pendingDisposal = 0
+          pendingTransparent = -1
         case other => throw new IllegalArgumentException(
           f"unknown GIF block 0x$other%02x at $pos")
       }
@@ -757,13 +777,17 @@ object Multimodal {
     * restores to the background color — index 0 → black — once the
     * next frame shows) and frames with (docId+f) mod 4 == 1 carry
     * disposal 3 (their rect restores to the pre-blit content, i.e.
-    * their pixels are visible for exactly one display frame). Patch
-    * pixel q of frame f =
-    * (docId·31 + f·101 + q·7) mod 64 through the [[synthesizeGif]]
+    * their pixels are visible for exactly one display frame); frames
+    * with (docId+f) mod 4 == 2 set the GCE TRANSPARENT-COLOR flag
+    * (index 63): their patch pixel at local offset (docId+f) mod 9 is
+    * transparent — the prior canvas shows through — and their opaque
+    * pixels draw mod-63 indices so none collides with the transparent
+    * one. Patch pixel q of frame f = (docId·31 + f·101 + q·7) mod 64
+    * (mod 63 on transparency frames) through the [[synthesizeGif]]
     * palette — every canvas pixel at every frame is closed-form
-    * (source = the latest covering frame, or background if that
-    * frame's disposal was 2), so the oracle reproduces the composited
-    * statistics without a GIF library. */
+    * (source = the latest covering OPAQUE frame pixel, or background
+    * if that frame's disposal was 2), so the oracle reproduces the
+    * composited statistics without a GIF library. */
   private[graft] def synthesizeGifComposite(docId: Long): Array[Byte] = {
     val w = (docId % 6 + 6).toInt; val h = (docId % 4 + 6).toInt
     val nf = (docId % 3 + 2).toInt
@@ -784,12 +808,25 @@ object Multimodal {
         else if ((docId + f) % 4 == 0) 2
         else if ((docId + f) % 4 == 1) 3
         else 1
+      // frames with (docId+f) mod 4 == 2 (disposal-1 patches) set the
+      // GCE transparent-color flag with index 63: their patch pixel at
+      // local offset (docId+f) mod 9 is transparent (prior canvas
+      // shows through) and their OPAQUE pixels draw (docId·31 + f·101
+      // + q·7) mod 63 — range 0..62, so no opaque pixel can collide
+      // with the transparent index
+      val hasTrans = f >= 1 && (docId + f) % 4 == 2
       out.write(0x21); out.write(0xf9); out.write(4)
-      out.write(disposal << 2); w16(((docId + f) % 10 + 1).toInt)
-      out.write(0); out.write(0)
+      out.write((disposal << 2) | (if (hasTrans) 1 else 0))
+      w16(((docId + f) % 10 + 1).toInt)
+      out.write(if (hasTrans) 63 else 0); out.write(0)
       out.write(0x2c); w16(left); w16(top); w16(iw); w16(ih); out.write(0)
       out.write(6)
-      val indices = Array.tabulate(iw * ih)(q => ((docId * 31 + f * 101 + q * 7) % 64).toByte)
+      val indices = Array.tabulate(iw * ih) { q =>
+        if (hasTrans) {
+          if (q == ((docId + f) % 9).toInt) 63.toByte
+          else ((docId * 31 + f * 101 + q * 7) % 63).toByte
+        } else ((docId * 31 + f * 101 + q * 7) % 64).toByte
+      }
       val lzw = lzwEncode(indices, 6)
       var off = 0
       while (off < lzw.length) {

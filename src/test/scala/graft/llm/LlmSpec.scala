@@ -653,7 +653,9 @@ class LlmSpec extends SparkSpec {
   }
 
   test("GIF compositing: partial frames blit, disposal 2 restores to bg, disposal 3 to previous") {
-    // independent driver-side canvas model covering the full disposal set
+    // independent driver-side canvas model covering the full disposal
+    // set AND the GCE transparency flag ((id+f)%4==2 patch frames skip
+    // their pixel at local offset (id+f)%9; opaque pixels draw mod 63)
     def model(id: Long): (Int, Int, Vector[Array[Byte]]) = {
       val w = (id % 6 + 6).toInt; val h = (id % 4 + 6).toInt
       val nf = (id % 3 + 2).toInt
@@ -666,13 +668,16 @@ class LlmSpec extends SparkSpec {
         val disposal =
           if (f == 0) 1 else if ((id + f) % 4 == 0) 2
           else if ((id + f) % 4 == 1) 3 else 1
+        val hasTrans = f >= 1 && (id + f) % 4 == 2
         val pre = canvas.clone()
         (0 until iw * ih).foreach { q =>
-          val j = ((id * 31 + f * 101 + q * 7) % 64).toInt
-          val cp = (top + q / iw) * w + (left + q % iw)
-          canvas(3 * cp) = (j * 37 % 256).toByte
-          canvas(3 * cp + 1) = (j * 59 % 256).toByte
-          canvas(3 * cp + 2) = (j * 83 % 256).toByte
+          if (!(hasTrans && q == ((id + f) % 9).toInt)) {
+            val j = ((id * 31 + f * 101 + q * 7) % (if (hasTrans) 63 else 64)).toInt
+            val cp = (top + q / iw) * w + (left + q % iw)
+            canvas(3 * cp) = (j * 37 % 256).toByte
+            canvas(3 * cp + 1) = (j * 59 % 256).toByte
+            canvas(3 * cp + 2) = (j * 83 % 256).toByte
+          }
         }
         out :+= canvas.clone()
         if (disposal == 2) (0 until iw * ih).foreach { q =>
@@ -688,14 +693,32 @@ class LlmSpec extends SparkSpec {
       (w, h, out)
     }
     // id 7: f1 disposal 2 (bg restore visible at f2); id 11: f1
-    // disposal 2, f2 disposal 3, f3 persistent — both restores visible
-    Seq(7L, 11L).foreach { id =>
+    // disposal 2, f2 disposal 3, f3 TRANSPARENCY; id 13: f1
+    // transparency over the frame-0 base
+    Seq(7L, 11L, 13L).foreach { id =>
       val (w, h, want) = model(id)
       val (dw, dh, frames) = Multimodal.decodeGifFrames(Multimodal.synthesizeGifComposite(id))
       assert((dw, dh) === (w, h) && frames.size === want.size, s"id $id")
       frames.zip(want).zipWithIndex.foreach { case (((_, got), exp), f) =>
         assert(java.util.Arrays.equals(got, exp), s"canvas of id $id frame $f")
       }
+    }
+    // transparency pin (load-bearing, not vacuous): at id 13 frame 1
+    // the transparent patch pixel (local offset (13+1)%9=5) must show
+    // the frame-0 canvas through, NOT the transparent index's palette
+    // color — an ignore-the-flag decoder paints j=63 there
+    locally {
+      val id = 13L
+      val w = (id % 6 + 6).toInt; val h = (id % 4 + 6).toInt
+      val left = ((id + 1) % (w - 3)).toInt; val top = ((id + 2) % (h - 3)).toInt
+      val q = ((id + 1) % 9).toInt
+      val cp = (top + q / 3) * w + (left + q % 3)
+      val (_, _, frames) = Multimodal.decodeGifFrames(Multimodal.synthesizeGifComposite(id))
+      val j0 = ((id * 31 + cp * 7) % 64).toInt // frame-0 pixel under the patch
+      assert((frames(1)._2(3 * cp).toInt & 0xff) === j0 * 37 % 256,
+        "transparent pixel must show the frame-0 canvas through")
+      assert(j0 * 37 % 256 !== 63 * 37 % 256,
+        "pin would be vacuous: underlying equals the transparent color")
     }
     // semantic pins on id 7: frame 2 exposes background where frame 1 drew
     val (_, _, f7) = model(7L)
@@ -725,6 +748,12 @@ class LlmSpec extends SparkSpec {
     bytes(gce + 3) = (4 << 2).toByte
     val e = intercept[IllegalArgumentException](Multimodal.decodeGifFrames(bytes))
     assert(e.getMessage.contains("disposal"))
+    // truncation INSIDE an extension payload fails loudly (contractual
+    // IllegalArgumentException), never ArrayIndexOutOfBounds
+    val full = Multimodal.synthesizeGifComposite(7L)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeGifFrames(full.take(13 + 3 * 64 + 4)))
+    assert(e2.getMessage.contains("truncated"))
   }
 
   test("JPEG decode: synthesized baseline JFIF round-trips the closed-form pixels exactly") {
