@@ -980,6 +980,121 @@ object Dedup {
       .select(col("vec_id"), col("is_dup"), col("best_match"), col("best_cosine"))
   }
 
+  /** Persisted LSH embedding-index artifact — the SUB-QUADRATIC twin
+    * of [[buildEmbeddingIndexSnapshot]]: alongside the (id, emb, nrm)
+    * vector frame it stores the banded hyperplane signatures
+    * (id, band, sig) so a daily increment probes the index with a hash
+    * EQUI-JOIN on (band, sig) instead of the exact screen's
+    * O(inc×idx) block-join flops. The hyperplane family
+    * (graft_hyperplane_bands) is a pure splitmix64 function of
+    * (band, row, dim) — appends are plain unions, with none of the
+    * text snapshot's frozen-df-order subtlety, and signatures computed
+    * from the raw float vectors equal those from the snapshot's
+    * widened doubles (float→double widening is exact). */
+  case class EmbeddingLshSnapshot(vectors: DataFrame, sigs: DataFrame,
+      bands: Int, rowsPerBand: Int) {
+    /** Write the artifact (vector + signature parquet dirs and the
+      * banding the signatures were cut with). */
+    def save(dir: String): Unit = {
+      vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+      sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+      val spark = vectors.sparkSession
+      import spark.implicits._
+      Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object EmbeddingLshSnapshot {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): EmbeddingLshSnapshot = {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      EmbeddingLshSnapshot(spark.read.parquet(s"$dir/vectors"),
+        spark.read.parquet(s"$dir/sigs"), meta.getInt(0), meta.getInt(1))
+    }
+  }
+
+  /** (id, band, sig) hyperplane band signatures for one corpus side. */
+  private def lshSigRows(embeddings: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    reg(embeddings).select(col("vec_id").cast("long").as("id"),
+        posexplode(expr(s"graft_hyperplane_bands(embedding, $bands, $rowsPerBand)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+
+  /** Build the [[EmbeddingLshSnapshot]] for an index corpus — one pass
+    * over the 100 TB embedding side (normalize + band-sign), amortized
+    * across every subsequent increment run. Same banding defaults as
+    * [[embeddingPairsLsh]] (recall ≈1.0 at cosine 0.9; ~0.85 at this
+    * corpus's weak-gap τ=0.4 — hence the screen's rows-only
+    * approximate contract). */
+  def buildEmbeddingLshSnapshot(indexEmbeddings: DataFrame,
+      bands: Int = 20, rowsPerBand: Int = 5): EmbeddingLshSnapshot =
+    EmbeddingLshSnapshot(buildEmbeddingIndexSnapshot(indexEmbeddings),
+      lshSigRows(indexEmbeddings, bands, rowsPerBand), bands, rowsPerBand)
+
+  /** Fold freshly screened vectors INTO the LSH index artifact — the
+    * embedding daily cycle. Unlike the text twin there is NO pruning
+    * decay: the hyperplane family is data-independent, so an appended
+    * snapshot is bit-identical to a fresh rebuild of the union
+    * (spec-pinned), and no periodic rebuild is ever required. vec_ids
+    * must stay unique across appends (caller's contract). */
+  def appendToEmbeddingLshSnapshot(snapshot: EmbeddingLshSnapshot,
+      newEmbeddings: DataFrame): EmbeddingLshSnapshot =
+    snapshot.copy(
+      vectors = snapshot.vectors.unionByName(buildEmbeddingIndexSnapshot(newEmbeddings)),
+      sigs = snapshot.sigs.unionByName(
+        lshSigRows(newEmbeddings, snapshot.bands, snapshot.rowsPerBand)))
+
+  /** Distinct (inc_id, idx_id) pairs sharing at least one band — the
+    * candidate set the LSH snapshot screen verifies; exposed for the
+    * recall audit's candidate-share metric. */
+  private[graft] def embeddingLshSnapshotCandidates(incrementEmbeddings: DataFrame,
+      snapshot: EmbeddingLshSnapshot): DataFrame =
+    lshSigRows(incrementEmbeddings, snapshot.bands, snapshot.rowsPerBand)
+      .select(col("id").as("inc_id"), col("band"), col("sig"))
+      .join(snapshot.sigs.select(col("id").as("idx_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("inc_id"), col("idx_id")).distinct()
+
+  /** [[embeddingIncrementalWithSnapshot]]'s sub-quadratic variant: the
+    * increment probes the persisted BAND SIGNATURES with a hash
+    * equi-join, and only colliding pairs pay an exact-cosine verify —
+    * candidate flops scale with collision mass, not inc×idx. Output
+    * schema equals the exact screen's; every flagged dup is REAL
+    * (verification is exact, precision 1 structurally) but a true dup
+    * whose pair collides in no band is missed — the recall ≥ 0.8
+    * rows-only contract RECALL_r*.json re-measures each round.
+    *
+    * Plan: increment-only signature scan; (band, sig) equi-join
+    * against the signature parquet; two keyed vector joins restricted
+    * to the candidates; per-increment argmax window. At 100 TB the
+    * index-side joins are the bucketing candidates (bucket vectors
+    * and sigs by id / (band, sig) at save time to make them
+    * exchange-free). */
+  def embeddingIncrementalWithLshSnapshot(incrementEmbeddings: DataFrame,
+      snapshot: EmbeddingLshSnapshot, threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = embeddingLshSnapshotCandidates(incrementEmbeddings, snapshot)
+    val incVecs = prepVecs(incrementEmbeddings).toDF("id", "emb", "nrm")
+    val scored = cand
+      .join(incVecs.select(col("id").as("inc_id"), col("emb").as("ea"),
+        col("nrm").as("na")), Seq("inc_id"))
+      .join(snapshot.vectors.select(col("id").as("idx_id"), col("emb").as("eb"),
+        col("nrm").as("nb")), Seq("idx_id"))
+      .withColumn("cosine",
+        round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")) + lit(1e-9), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("inc_id"), col("idx_id"), col("cosine"))
+    val w = Window.partitionBy(col("inc_id")).orderBy(col("cosine").desc, col("idx_id"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("inc_id").as("vec_id"), col("idx_id").as("best_match"),
+        col("cosine").as("best_cosine"))
+    incrementEmbeddings.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("best_match").isNotNull)
+      .select(col("vec_id"), col("is_dup"), col("best_match"), col("best_cosine"))
+  }
+
   /** Banded hyperplane-LSH embedding near-dups — the sub-quadratic
     * scale path for production thresholds: `bands`×`rowsPerBand`
     * deterministic hyperplane sign bits; pairs sharing any band are

@@ -47,6 +47,12 @@ object LlmQueries {
     when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
     when(col("doc_id") % 3 === 0, lit("?utm_source=feed&ref=rss")).otherwise(lit("")))
 
+  /** Deterministic scratch dir for the snapshot queries' artifact
+    * round-trips — per (sf dir, kind) so reruns overwrite in place
+    * instead of accumulating temp dirs. */
+  private def snapDir(sfDir: String, kind: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_snap_${Integer.toHexString(sfDir.hashCode)}/$kind"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_url" -> ((s, d) =>
       Corpus.urlDedup(docs(s, d).withColumn("url", urlPayload))
@@ -67,30 +73,50 @@ object LlmQueries {
       Dedup.embeddingIncremental(embs(s, d)).orderBy(col("vec_id"))),
     // same screens driven off the persisted index artifacts — candidate
     // orders differ (index-side vs full-corpus df) but verification is
-    // exact, so the oracle is the incremental one, reused verbatim
+    // exact, so the oracle is the incremental one, reused verbatim.
+    // Each registered query round-trips the artifact through parquet
+    // (save → load) so the benched+oracled path IS the artifact path,
+    // not an in-memory rebuild wearing its name.
     "q_dedup_snapshot" -> ((s, d) => {
       val all = docs(s, d)
-      val snap = Dedup.buildTextIndexSnapshot(all.filter(col("doc_id") % 10 =!= 0), 0.5)
-      Dedup.incrementalDedupWithSnapshot(all.filter(col("doc_id") % 10 === 0), snap)
-        .orderBy(col("doc_id"))
+      val dir = snapDir(d, "text")
+      Dedup.buildTextIndexSnapshot(all.filter(col("doc_id") % 10 =!= 0), 0.5).save(dir)
+      Dedup.incrementalDedupWithSnapshot(all.filter(col("doc_id") % 10 === 0),
+        Dedup.TextIndexSnapshot.load(s, dir)).orderBy(col("doc_id"))
     }),
     "q_embed_snapshot" -> ((s, d) => {
       val all = embs(s, d)
-      val snap = Dedup.buildEmbeddingIndexSnapshot(all.filter(col("vec_id") % 10 =!= 0))
-      Dedup.embeddingIncrementalWithSnapshot(all.filter(col("vec_id") % 10 === 0), snap)
-        .orderBy(col("vec_id"))
+      val dir = snapDir(d, "embed")
+      Dedup.buildEmbeddingIndexSnapshot(all.filter(col("vec_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(dir)
+      Dedup.embeddingIncrementalWithSnapshot(all.filter(col("vec_id") % 10 === 0),
+        s.read.parquet(dir)).orderBy(col("vec_id"))
     }),
-    // the full daily cycle: build on day-0 corpus, APPEND day 1 under
-    // the frozen df order, screen day 2 — the appended index equals
-    // the %10≠0 side, so the incremental oracle is reused verbatim
+    // the sub-quadratic twin: the increment probes the PERSISTED band
+    // signatures with a hash equi-join; flagged dups are exact-verified
+    // (precision 1) but recall is the banding's — rows-only contract,
+    // re-measured ≥ 0.8 each round in RECALL_r*.json
+    "q_embed_snapshot_lsh" -> ((s, d) => {
+      val all = embs(s, d)
+      val dir = snapDir(d, "embed_lsh")
+      Dedup.buildEmbeddingLshSnapshot(all.filter(col("vec_id") % 10 =!= 0)).save(dir)
+      Dedup.embeddingIncrementalWithLshSnapshot(all.filter(col("vec_id") % 10 === 0),
+        Dedup.EmbeddingLshSnapshot.load(s, dir)).orderBy(col("vec_id"))
+    }),
+    // the full daily cycle: build on day-0 corpus, save, APPEND day 1
+    // onto the LOADED artifact under the frozen df order, save again,
+    // screen day 2 off the re-loaded artifact — the appended index
+    // equals the %10≠0 side, so the incremental oracle is reused
+    // verbatim
     "q_dedup_snapshot_cycle" -> ((s, d) => {
       val all = docs(s, d)
-      val snap = Dedup.appendToTextIndexSnapshot(
-        Dedup.buildTextIndexSnapshot(
-          all.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5), 0.5),
-        all.filter(col("doc_id") % 10 === 5))
-      Dedup.incrementalDedupWithSnapshot(all.filter(col("doc_id") % 10 === 0), snap)
-        .orderBy(col("doc_id"))
+      val dir0 = snapDir(d, "cycle0"); val dir1 = snapDir(d, "cycle1")
+      Dedup.buildTextIndexSnapshot(
+        all.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5), 0.5).save(dir0)
+      Dedup.appendToTextIndexSnapshot(Dedup.TextIndexSnapshot.load(s, dir0),
+        all.filter(col("doc_id") % 10 === 5)).save(dir1)
+      Dedup.incrementalDedupWithSnapshot(all.filter(col("doc_id") % 10 === 0),
+        Dedup.TextIndexSnapshot.load(s, dir1)).orderBy(col("doc_id"))
     }),
     "q_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),

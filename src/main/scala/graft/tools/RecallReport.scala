@@ -5,10 +5,11 @@ import graft.similarity.Ann
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
 
-/** Driver-visible audit of every rows-only approximate path: the six
+/** Driver-visible audit of every rows-only approximate path: the seven
   * queries CORRECTNESS marks `no_oracle` (q_ann_lsh / q_ann_ivf /
   * q_ann_pq / q_ann_ivfpq / q_dedup_embedding_lsh /
-  * q_ccnet_buckets_approx) each get their recall/agreement measured
+  * q_embed_snapshot_lsh / q_ccnet_buckets_approx) each get their
+  * recall/agreement measured
   * against the exact reference ON THE GATE DATASET (sf0.01) and
   * written to RECALL_r07.json — the same contract LlmSpec asserts at
   * sf0.001, now auditable per round. `bound` is the declared LlmSpec
@@ -63,6 +64,27 @@ object RecallReport {
       if (lshPairs.isEmpty) 1.0
       else (lshPairs & exactPairs).size.toDouble / lshPairs.size
 
+    // LSH snapshot screen: dup-detection recall vs the exact snapshot
+    // screen on the same %10 side split (flagged dups are exact-
+    // verified, so precision is 1 structurally; recall is the banding's)
+    val incSide = embs.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+    val idxSide = embs.filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 0)
+    val lshSnap = Dedup.buildEmbeddingLshSnapshot(idxSide)
+    def dupIds(df: DataFrame): Set[Long] = df.filter("is_dup")
+      .select("vec_id").as[Long].collect().toSet
+    val exactDups = dupIds(Dedup.embeddingIncremental(embs))
+    val lshDups = dupIds(Dedup.embeddingIncrementalWithLshSnapshot(incSide, lshSnap))
+    val snapRecall =
+      if (exactDups.isEmpty) 1.0
+      else (lshDups & exactDups).size.toDouble / exactDups.size
+    val snapPrecision =
+      if (lshDups.isEmpty) 1.0
+      else (lshDups & exactDups).size.toDouble / lshDups.size
+    val nInc = incSide.count().toDouble
+    val nIdx = idxSide.count().toDouble
+    val snapShare = Dedup.embeddingLshSnapshotCandidates(incSide, lshSnap)
+      .count().toDouble / (nInc * nIdx)
+
     // ccnet approx: per-doc bucket agreement with the exact ntile route
     val docs = graft.core.Tables.documents(spark, sfDir)
     val exactB = TextAnalysis.ccnetBuckets(docs)
@@ -96,6 +118,10 @@ object RecallReport {
         0.8, "exact-tau0.4-pairs", Some(dedupShare)),
       ("q_dedup_embedding_lsh", "pair_precision", lshPrecision,
         1.0, "exact-tau0.4-pairs", None),
+      ("q_embed_snapshot_lsh", "dup_recall", snapRecall,
+        0.8, "exact-snapshot-screen", Some(snapShare)),
+      ("q_embed_snapshot_lsh", "dup_precision", snapPrecision,
+        1.0, "exact-snapshot-screen", None),
       ("q_ccnet_buckets_approx", "bucket_agreement", agree, 0.95, "exact-ntile", None))
 
     val json = rows.map { case (q, m, v, bound, ref, share) =>

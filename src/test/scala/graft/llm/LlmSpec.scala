@@ -166,6 +166,56 @@ class LlmSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("LSH embedding snapshot: artifact screen is an exact-verified subset of the exact screen; append equals rebuild") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idxSide = embs.filter(col("vec_id") % 10 =!= 0)
+    val incSide = embs.filter(col("vec_id") % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("is_dup"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    // parquet round-trip: the loaded artifact screens identically to
+    // the in-memory build
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshsnap").toString
+    Dedup.buildEmbeddingLshSnapshot(idxSide).save(dir)
+    val loaded = Dedup.EmbeddingLshSnapshot.load(spark, dir)
+    assert(loaded.bands === 20 && loaded.rowsPerBand === 5)
+    val got = rows(Dedup.embeddingIncrementalWithLshSnapshot(incSide, loaded))
+    assert(got === rows(Dedup.embeddingIncrementalWithLshSnapshot(
+      incSide, Dedup.buildEmbeddingLshSnapshot(idxSide))))
+    // every flagged dup is REAL: exact verification means the flagged
+    // set is a subset of the exact screen's, with identical cosines on
+    // the shared detections — and recall holds the declared 0.8 floor
+    val exact = rows(Dedup.embeddingIncrementalWithSnapshot(
+      incSide, Dedup.buildEmbeddingIndexSnapshot(idxSide)))
+    val exactByid = exact.map(r => r._1 -> r).toMap
+    val flagged = got.filter(_._2)
+    flagged.foreach { r =>
+      assert(exactByid(r._1)._2, s"vec ${r._1} flagged by LSH but not exact")
+    }
+    val exactDups = exact.count(_._2)
+    assert(exactDups > 0, "fixture has no dups; recall floor is vacuous")
+    assert(flagged.size.toDouble / exactDups >= 0.8,
+      s"LSH snapshot recall ${flagged.size}/$exactDups below the 0.8 floor")
+    // where LSH found the SAME best match, the cosine must be identical
+    flagged.foreach { r =>
+      val e = exactByid(r._1)
+      if (r._3 == e._3) assert(r._4 === e._4, s"cosine mismatch on vec ${r._1}")
+    }
+    // append ≡ rebuild (the hyperplane family is data-independent, so
+    // the appended artifact is VALUE-identical, not merely
+    // screen-equivalent): day-0 index + day-1 append vs one-shot build
+    val day0 = embs.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5)
+    val day1 = embs.filter(col("vec_id") % 10 === 5)
+    val appended = Dedup.appendToEmbeddingLshSnapshot(
+      Dedup.buildEmbeddingLshSnapshot(day0), day1)
+    val rebuilt = Dedup.buildEmbeddingLshSnapshot(idxSide)
+    assert(appended.sigs.orderBy("id", "band").collect().toSeq
+      === rebuilt.sigs.orderBy("id", "band").collect().toSeq)
+    assert(rows(Dedup.embeddingIncrementalWithLshSnapshot(incSide, appended))
+      === rows(Dedup.embeddingIncrementalWithLshSnapshot(incSide, rebuilt)))
+  }
+
   test("embedding incremental screen equals a driver-side exhaustive cross-side argmax") {
     val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Dedup.embeddingIncremental(embs).collect()
