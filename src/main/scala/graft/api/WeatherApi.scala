@@ -429,6 +429,13 @@ class Broker(db: WeatherDb) {
     * the stage just ran against a stale upstream frame. */
   private def markDone(kind: String, lo: Date, hi: Date, full: Boolean): Unit = {
     val window = TimestampPeriod(Some(lo.toLocalDate), Some(hi.toLocalDate))
+    // Divergence note: the reference keys the prerequisite set off each
+    // station type's _valid_kinds — StationBases.py:1664 marks 'filled'
+    // done when 'qc' is not a valid kind at all (e.g. StationPD has no
+    // qc stage). graft models only the P-style station, where qc IS
+    // valid, so the unconditional gate below is equivalent; if non-P
+    // station types are added, derive `prereqsDone` from a per-station
+    // valid-kinds set instead.
     val prereqsDone = kind match {
       case "filled" => db.lastImpDone("qc")
       case "corr"   => db.lastImpDone("qc") && db.lastImpDone("filled")

@@ -352,7 +352,10 @@ object Dedup {
     * the VERIFIED output is identical (spec-pinned). */
   case class TextIndexSnapshot(index: DataFrame, dfreq: DataFrame, threshold: Double) {
     /** Write the artifact (parquet dirs + the threshold the prefix
-      * lengths were cut at). */
+      * lengths were cut at), then release the builder's cache — once
+      * the artifact is on disk the in-memory copies are dead weight
+      * (unpersist on an unpersisted frame, e.g. an appended union, is
+      * a no-op). */
     def save(dir: String): Unit = {
       index.write.mode("overwrite").parquet(s"$dir/index")
       dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
@@ -360,6 +363,7 @@ object Dedup {
       import spark.implicits._
       Seq(threshold).toDF("threshold")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      index.unpersist(); dfreq.unpersist()
     }
   }
 
@@ -374,10 +378,12 @@ object Dedup {
   /** Index rows (doc_id, sz, sorted hashes, rare-first prefix) for one
     * corpus side under a FIXED df order — shared by the snapshot build
     * (df from the same corpus) and [[appendToTextIndexSnapshot]] (the
-    * snapshot's frozen df; shingles unseen there take df 0). */
-  private def indexRows(docs: DataFrame, dfreq: DataFrame,
+    * snapshot's frozen df; shingles unseen there take df 0). Takes the
+    * PRECOMPUTED shingle frame (doc_id, hashes) so the caller decides
+    * whether to persist it — it is read twice here (prefix aggregate +
+    * sorted-hashes join). */
+  private def indexRows(hs: DataFrame, dfreq: DataFrame,
       threshold: Double): DataFrame = {
-    val hs = withShingles(docs)
     val ex = hs.select(col("doc_id"), size(col("hashes")).as("sz"),
       explode(col("hashes")).as("h"))
     val prefix = ex.join(dfreq, Seq("h"), "left")
@@ -392,18 +398,28 @@ object Dedup {
       .select(col("doc_id"), col("sz"), col("sh"), col("prefix"))
   }
 
-  /** Build the [[TextIndexSnapshot]] for an index corpus — the ONE
-    * pass over the 100 TB side (shingle, df-rank, prefix-cut, sort),
-    * amortized across every subsequent increment run.
+  /** Build the [[TextIndexSnapshot]] for an index corpus — ONE
+    * shingle pass over the 100 TB side (shingle, df-rank, prefix-cut,
+    * sort), amortized across every subsequent increment run. The
+    * shingle frame is PERSISTED for the build (it feeds the df
+    * aggregate, the prefix aggregate and the sorted-hashes join — an
+    * unpersisted plan would re-shingle the corpus three times) and
+    * unpersisted once the snapshot frames are materialized; the
+    * builder is therefore EAGER, the artifact-write semantic.
     *
-    * Plan: one shingle scan feeding a keyed df aggregate and a per-doc
-    * collect+sort; nothing all-pairs, nothing driver-side. */
+    * Plan: one cached shingle scan feeding a keyed df aggregate and a
+    * per-doc collect+sort; nothing all-pairs, nothing driver-side. */
   def buildTextIndexSnapshot(indexDocs: DataFrame,
       threshold: Double = 0.5): TextIndexSnapshot = {
-    val hs = withShingles(indexDocs)
-    val dfreq = hs.select(col("doc_id"), explode(col("hashes")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    TextIndexSnapshot(indexRows(indexDocs, dfreq, threshold), dfreq, threshold)
+    val hs = withShingles(indexDocs).select(col("doc_id"), col("hashes")).persist()
+    try {
+      hs.count()
+      val dfreq = hs.select(col("doc_id"), explode(col("hashes")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("dfreq")).persist()
+      val index = indexRows(hs, dfreq, threshold).persist()
+      index.count(); dfreq.count()
+      TextIndexSnapshot(index, dfreq, threshold)
+    } finally hs.unpersist()
   }
 
   /** Fold freshly screened (and accepted) documents INTO the index
@@ -424,8 +440,12 @@ object Dedup {
     * appends (caller's contract, as in any index). */
   def appendToTextIndexSnapshot(snapshot: TextIndexSnapshot,
       newDocs: DataFrame): TextIndexSnapshot =
+    // the increment shingle frame stays lazy (read twice inside
+    // indexRows): a daily append is increment-sized, and the artifact
+    // save that follows materializes the plan once anyway
     snapshot.copy(index = snapshot.index.unionByName(
-      indexRows(newDocs, snapshot.dfreq, snapshot.threshold)))
+      indexRows(withShingles(newDocs).select(col("doc_id"), col("hashes")),
+        snapshot.dfreq, snapshot.threshold)))
 
   /** [[incrementalDedup]] against a precomputed [[TextIndexSnapshot]]
     * — the production daily run: only the INCREMENT is shingled and

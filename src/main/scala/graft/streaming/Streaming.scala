@@ -378,6 +378,7 @@ object Streaming extends Serializable {
       .withColumn("curl", expr(graft.llm.Corpus.canonicalUrl("url")))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("curl"))
+      .drop("curl") // internal dedup key — match the batch twin's clean contract
 
   case class StationEvent(user_id: Long, ts: Timestamp, value: Double)
   case class GapState(lastTs: Long)

@@ -114,6 +114,9 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("urldedup").select("doc_id")
       .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
     assert(out === Set(1L, 3L))
+    // clean contract like the batch twin: the internal canonical-url
+    // dedup key must not leak into the output schema
+    assert(spark.table("urldedup").columns.toSeq === Seq("ts", "doc_id", "url"))
   }
 
   test("streaming incremental screen equals the batch snapshot screen and batch incrementalDedup") {
