@@ -431,9 +431,19 @@ object Dedup {
     * future probe use one common total order, which freezing
     * preserves — existing rows are untouched, no 100 TB re-rank. What
     * decays is pruning efficiency as true df drifts from the frozen
-    * order (boilerplate that only emerges in later increments is not
-    * deprioritized), which is why production pipelines pair daily
-    * appends with a periodic full [[buildTextIndexSnapshot]] rebuild.
+    * order: boilerplate that only EMERGES in appended batches carries
+    * frozen df 0, ranks rarest, and lands in both the appended rows'
+    * prefixes and any same-boilerplate probe's — so those probe docs
+    * collide with ~every appended doc carrying it. CANARY_r10's
+    * index_drift leg measures the curve: candidates per probe doc grow
+    * ~linearly with the appended share carrying emerged boilerplate
+    * (1000 → 2490 per doc at 20% → 50% appended on the canary corpus)
+    * while a fresh rebuild of the same union prunes them to ~0.
+    * REBUILD TRIGGER: the daily screen already materializes its
+    * candidate count — track candidates-per-increment-doc and rebuild
+    * ([[buildTextIndexSnapshot]]) when it exceeds ~10× the
+    * post-rebuild baseline; verification cost is proportional to
+    * candidates, so that ratio IS the wasted-work factor.
     * Screening against the appended snapshot is spec-pinned
     * value-identical to screening against a fresh rebuild (candidates
     * differ, verification is exact). doc_ids must stay unique across
@@ -446,6 +456,33 @@ object Dedup {
     snapshot.copy(index = snapshot.index.unionByName(
       indexRows(withShingles(newDocs).select(col("doc_id"), col("hashes")),
         snapshot.dfreq, snapshot.threshold)))
+
+  /** Candidate (inc_id, idx_id) pairs of an increment's shingle frame
+    * against a snapshot — the PPJoin prefix probe factored out of
+    * [[incrementalDedupWithSnapshot]] so the drift gauge (canary) can
+    * measure candidate inflation without paying verification. Ranks
+    * the increment under the SNAPSHOT's df order (unseen shingles take
+    * df 0 → rarest); length-filtered, distinct. */
+  private[graft] def snapshotPrefixCandidates(hsInc: DataFrame,
+      snapshot: TextIndexSnapshot): DataFrame = {
+    val threshold = snapshot.threshold
+    val exI = hsInc.select(col("doc_id"), size(col("hashes")).as("sz"),
+      explode(col("hashes")).as("h"))
+    val a = exI.join(snapshot.dfreq, Seq("h"), "left")
+      .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
+      .select(col("doc_id").as("inc_id"), col("sz").as("sz_a"),
+        explode(expr("slice(array_sort(ranked), 1, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
+      .select(col("inc_id"), col("sz_a"), col("rh.h").as("h"))
+    val b = snapshot.index.select(col("doc_id").as("idx_id"),
+      col("sz").as("sz_b"), explode(col("prefix")).as("h"))
+    a.join(b, Seq("h"))
+      .filter(col("sz_b") >= ceil(col("sz_a") * threshold - lit(1e-9)) &&
+        col("sz_b") <= col("sz_a") / threshold + lit(1e-9))
+      .select(col("inc_id"), col("idx_id")).distinct()
+  }
 
   /** [[incrementalDedup]] against a precomputed [[TextIndexSnapshot]]
     * — the production daily run: only the INCREMENT is shingled and
@@ -467,23 +504,7 @@ object Dedup {
       .select(col("doc_id"), col("hashes")).persist()
     hsInc.count()
     try {
-      val exI = hsInc.select(col("doc_id"), size(col("hashes")).as("sz"),
-        explode(col("hashes")).as("h"))
-      // rank under the SNAPSHOT df order; unseen shingles take df 0
-      val a = exI.join(snapshot.dfreq, Seq("h"), "left")
-        .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
-        .groupBy(col("doc_id"), col("sz"))
-        .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
-        .select(col("doc_id").as("inc_id"), col("sz").as("sz_a"),
-          explode(expr("slice(array_sort(ranked), 1, " +
-            s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
-        .select(col("inc_id"), col("sz_a"), col("rh.h").as("h"))
-      val b = snapshot.index.select(col("doc_id").as("idx_id"),
-        col("sz").as("sz_b"), explode(col("prefix")).as("h"))
-      val cands = a.join(b, Seq("h"))
-        .filter(col("sz_b") >= ceil(col("sz_a") * threshold - lit(1e-9)) &&
-          col("sz_b") <= col("sz_a") / threshold + lit(1e-9))
-        .select(col("inc_id"), col("idx_id")).distinct()
+      val cands = snapshotPrefixCandidates(hsInc, snapshot)
       val verified = cands
         .join(hsInc.select(col("doc_id").as("inc_id"),
           array_sort(col("hashes")).as("h_a")), Seq("inc_id"))

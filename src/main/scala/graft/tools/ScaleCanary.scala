@@ -30,6 +30,9 @@ object ScaleCanary {
     if (args.contains("--dedup-only")) { // dev loop for the dedup legs
       println(dedupCanary(spark)); spark.stop(); return
     }
+    if (args.contains("--drift-only")) { // dev loop for the index-drift leg
+      println(indexDriftCanary(spark)); spark.stop(); return
+    }
 
     val nDays = 3650 // 10 years daily, ~120x the 30-day test feed
     val tall = tallDaily(spark, nStations = 3, nDays = nDays)
@@ -99,10 +102,11 @@ object ScaleCanary {
 
     val dedupJson = dedupCanary(spark)
     val phashJson = phashCanary(spark)
+    val driftJson = indexDriftCanary(spark)
 
     val json = rows.mkString(
       "{\n" + s"""  "n_stations": 3, "n_days": $nDays, "seasonal_frame": "10x7300", "guard_on_daily": "$guardMsg",\n  "ops": {\n""",
-      ",\n", "\n  },\n" + dedupJson + ",\n" + phashJson + "\n}\n")
+      ",\n", "\n  },\n" + dedupJson + ",\n" + phashJson + ",\n" + driftJson + "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"[canary] wrote $out")
     spark.stop()
@@ -147,19 +151,105 @@ object ScaleCanary {
     * every pair of docs shares pWords−2 shingles), followed by `uWords`
     * hash-derived unique words; every 100th doc pair (i, i+1) is a
     * planted near-dup differing in one trailing word (J ≈ 0.9).
-    * Deterministic — no RNG, reruns are bit-identical. */
+    * Deterministic — no RNG, reruns are bit-identical. `tpl` names the
+    * template vocabulary and `idOffset` shifts doc_ids + unique-word
+    * seeds, so batches with different (tpl, idOffset) model crawl days
+    * whose BOILERPLATE EMERGES LATER (the df-drift mechanism the index
+    * canary measures). */
   def boilerplateCorpus(spark: SparkSession, nDocs: Long,
-      pWords: Int = 12, uWords: Int = 48): DataFrame = {
-    val boiler = (0 until pWords).map(j => s"tpl$j").mkString(" ")
-    spark.range(nDocs).select(col("id").as("doc_id"),
+      pWords: Int = 12, uWords: Int = 48, tpl: String = "tpl",
+      idOffset: Long = 0L): DataFrame = {
+    val boiler = (0 until pWords).map(j => s"$tpl$j").mkString(" ")
+    val oid = s"(id + ${idOffset}L)"
+    spark.range(nDocs).select((col("id") + lit(idOffset)).as("doc_id"),
       concat(lit(boiler + " "), expr(
         s"""array_join(transform(sequence(0, ${uWords - 1}), j ->
-              CASE WHEN id % 100 = 1 AND j = ${uWords - 1}
-                   THEN concat('x', id)
+              CASE WHEN $oid % 100 = 1 AND j = ${uWords - 1}
+                   THEN concat('x', $oid)
                    ELSE concat('w', pmod(hash(
-                     id - CASE WHEN id % 100 = 1 THEN 1 ELSE 0 END, j), 50000))
+                     $oid - CASE WHEN $oid % 100 = 1 THEN 1 ELSE 0 END, j), 50000))
               END), ' ')""")).as("text"))
       .repartition(32, col("doc_id"))
+  }
+
+  /** Append-only text-index df-drift canary (round 10): measures WHEN
+    * the frozen df order's pruning decays enough to warrant a rebuild.
+    * Mechanism under test: boilerplate that only EMERGES in appended
+    * batches carries frozen df 0 → ranked rarest → lands in both the
+    * appended index rows' prefixes and (identically) the probe's, so a
+    * probe sharing that boilerplate collides with ~every appended doc;
+    * a fresh rebuild ranks the same shingles common and prunes them.
+    * Procedure: day-0 index (template A), then 4 appended batches each
+    * introducing its own NEW template; after each append, probe a
+    * batch-sized increment that shares the LATEST template against the
+    * appended snapshot vs a fresh rebuild of the same union and record
+    * the candidate-pair counts (verification cost is proportional, so
+    * the ratio IS the wasted-work factor). The resulting decay curve
+    * backs the documented rebuild trigger on
+    * Dedup.appendToTextIndexSnapshot. */
+  private def indexDriftCanary(spark: SparkSession): String = {
+    import graft.dedup.Dedup
+    val n0 = 20000L; val nb = 5000L; val nProbe = 500L
+    val day0 = boilerplateCorpus(spark, n0).persist()
+    day0.count()
+    val base = Dedup.buildTextIndexSnapshot(day0, 0.5)
+
+    // a probe whose template mix MATCHES the union corpus after k
+    // appends (day-0 share on template A, equal shares on each
+    // emerged template) — the daily crawl the screen actually sees
+    def mixedProbe(k: Int): DataFrame = {
+      val total = n0 + nb * k
+      val fromBase = nProbe * n0 / total
+      val perBatch = if (k == 0) 0L else (nProbe - fromBase) / k
+      val parts = boilerplateCorpus(spark, fromBase,
+        idOffset = 900000000L + k * 10000000L) +:
+        (1 to k).map(j => boilerplateCorpus(spark, perBatch, tpl = s"new${j}w",
+          idOffset = 900000000L + k * 10000000L + j * 1000000L))
+      parts.reduce(_ unionByName _)
+    }
+    def candPerDoc(probe: DataFrame, snap: Dedup.TextIndexSnapshot): (Double, Double) = {
+      val hs = Dedup.withShingles(probe)
+        .select(col("doc_id"), col("hashes")).persist()
+      val n = hs.count()
+      val t0 = System.nanoTime()
+      val cand = Dedup.snapshotPrefixCandidates(hs, snap).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      hs.unpersist()
+      (cand.toDouble / n, sec)
+    }
+
+    // day-0 baseline: the healthy post-(re)build candidates-per-probe-doc
+    val (base0, secBase) = candPerDoc(mixedProbe(0), base)
+    println(f"[canary] index-drift baseline (no appends): cand/doc=$base0%.2f ($secBase%.1fs)")
+
+    var appended = base
+    var union = day0
+    val legs = (1 to 4).map { k =>
+      val batch = boilerplateCorpus(spark, nb, tpl = s"new${k}w",
+        idOffset = k * 10000000L).persist()
+      batch.count()
+      appended = Dedup.appendToTextIndexSnapshot(appended, batch)
+      appended = appended.copy(index = appended.index.persist())
+      appended.index.count()
+      union = union.unionByName(batch).persist()
+      union.count()
+      val fresh = Dedup.buildTextIndexSnapshot(union, 0.5)
+      val probe = mixedProbe(k)
+      val (cApp, tApp) = candPerDoc(probe, appended)
+      val (cFresh, tFresh) = candPerDoc(probe, fresh)
+      fresh.index.unpersist(); fresh.dfreq.unpersist()
+      val inflation = cApp / math.max(cFresh, base0 max 1.0)
+      val share = nb * k * 100 / (n0 + nb * k)
+      println(f"[canary] index-drift after $k appends ($share%d%% appended): cand/doc app=$cApp%.1f ($tApp%.1fs) fresh=$cFresh%.1f ($tFresh%.1fs) inflation=$inflation%.0fx")
+      f"""      "appends_$k": {"appended_share_pct": $share, "cand_per_doc_appended": $cApp%.2f, "cand_per_doc_fresh": $cFresh%.2f, "inflation_vs_fresh": $inflation%.1f, "sec_appended": $tApp%.2f, "sec_fresh": $tFresh%.2f}"""
+    }
+    day0.unpersist()
+    legs.mkString(
+      s"""  "index_drift": {
+         |    "corpus": "day-0 ${n0} docs (template A) + 4 x ${nb}-doc appends each with NEW boilerplate; probe = ${nProbe} docs mixed to match the union's template shares",
+         |    "metric": "prefix-candidate pairs per probe doc, appended snapshot vs fresh rebuild on the identical union + probe",
+         |    "baseline_cand_per_doc": ${f"$base0%.2f"},
+         |""".stripMargin, ",\n", "\n  }")
   }
 
   /** Dedup-chain canary: the trend family got its canary in round 7;
