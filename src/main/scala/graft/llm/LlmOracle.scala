@@ -2824,6 +2824,9 @@ object LlmOracle {
     "q_audio_spectrum" -> qAudioSpectrum,
     "q_video_scenes" -> qVideoScenes,
     "q_image_phash" -> qImagePhash,
+    // MIH candidate generation is complete for hamming <= 3 like the
+    // banded one, so the verified output is identical
+    "q_image_phash_mih" -> qImagePhash,
     "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
     "q_image_resize" -> qImageResize,

@@ -288,6 +288,10 @@ object LlmQueries {
       Multimodal.gifComposite(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "q_image_phash" -> ((s, d) =>
       Multimodal.imagePhash(s, docs(s, d)).orderBy(col("doc_id"))),
+    // same complete hamming<=3 semantics via 2x32-bit multi-index
+    // hashing — output equals q_image_phash, oracle reused verbatim
+    "q_image_phash_mih" -> ((s, d) =>
+      Multimodal.imagePhashMih(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_cdc_chunks" -> ((s, d) =>
       TextAnalysis.cdcChunks(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_charclass" -> ((s, d) =>

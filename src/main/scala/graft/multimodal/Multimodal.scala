@@ -1591,8 +1591,28 @@ object Multimodal {
     * rolls up to O(#images) counts. */
   def imagePhash(spark: SparkSession, documents: DataFrame,
       maxHamming: Int = 3): DataFrame = {
+    val hashes = phashFrame(spark, documents)
+    // 16-bit bands: & 65535 also strips the arithmetic-shift sign
+    // extension when the MSB cell (bit 63) is set
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(phash, b * 16) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("doc_id").as("id_a"), col("phash").as("h_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("id_b"), col("phash").as("h_b"),
+      col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+    countNearDups(hashes, pairs)
+  }
+
+  /** (doc_id, phash) frame shared by [[imagePhash]] and
+    * [[imagePhashMih]] — the decode+hash scan. */
+  private def phashFrame(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    val hashes = metadata(documents)
+    metadata(documents)
       .filter(col("modality") === "image")
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
@@ -1619,25 +1639,62 @@ object Multimodal {
           ImageHash(id, hash)
         }
       }.toDF()
-    // 16-bit bands: & 65535 also strips the arithmetic-shift sign
-    // extension when the MSB cell (bit 63) is set
-    val banded = hashes.select(col("doc_id"), col("phash"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(phash, b * 16) & 65535)")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("doc_id").as("id_a"), col("phash").as("h_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col("doc_id").as("id_b"), col("phash").as("h_b"),
-      col("band"), col("bucket"))
-    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(h_a ^ h_b)").as("hamming")).distinct()
-      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def countNearDups(hashes: DataFrame, pairs: DataFrame): DataFrame = {
     val cnt = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_dups"))
     hashes.join(cnt, Seq("doc_id"), "left")
       .withColumn("n_near_dups", coalesce(col("n_near_dups"), lit(0L)))
       .select(col("doc_id"), col("phash"), col("n_near_dups"))
+  }
+
+  /** Multi-index-hashing near-dup pairs over a (doc_id, phash) frame —
+    * the candidate generator behind [[imagePhashMih]], factored so the
+    * spec can feed planted hash frames. Two 32-bit bands; the probe
+    * side expands each band value to itself + its 32 one-bit flips, so
+    * a pair within Hamming ≤ 3 collides by pigeonhole (≤ 3 diffs over
+    * 2 bands → some band differs in ≤ 1 bit, and x.exact = y.flip(i)
+    * iff y.exact = x.flip(i) — one join direction sees every pair).
+    * COMPLETE for maxHamming ≤ 3, like the 16-bit banding, but the
+    * random-collision floor drops from 4n²/2¹⁷ to 66n²/2³² — ~2¹¹×
+    * fewer background candidates, sub-birthday to ~10⁹ images. */
+  private[graft] def phashMihPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"2x32-bit MIH with 1-bit probes is complete only to hamming 3, got $maxHamming")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      posexplode(expr("transform(sequence(0, 1), b -> shiftright(phash, b * 32) & 4294967295)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
+    val exact = banded.select(col("doc_id").as("id_a"), col("phash").as("h_a"),
+      col("band"), col("v").as("key"))
+    val probes = banded.select(col("doc_id").as("id_b"), col("phash").as("h_b"),
+      col("band"), explode(expr(
+        "transform(sequence(-1, 31), i -> CASE WHEN i = -1 THEN v " +
+          "ELSE v ^ shiftleft(1L, i) END)")).as("key"))
+    exact.join(probes, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[imagePhash]]'s multi-index-hashing variant (Norouzi et al.,
+    * "Fast Search in Hamming Space with Multi-Index Hashing"): same
+    * decode+hash scan, same COMPLETE hamming ≤ 3 semantics and output
+    * (oracle reused verbatim), but candidates come from 2×32-bit bands
+    * probed at Hamming ≤ 1 ([[phashMihPairs]]) instead of 4×16-bit
+    * exact bands — the birthday floor drops ~2¹¹×, the scale path past
+    * ~10⁷ images where 4n²/2¹⁷ turns quadratic (CANARY_r10 measures
+    * both floors side by side at 100k/200k).
+    *
+    * Plan: the same shape as imagePhash — band explode (33 probe rows
+    * per band instead of 1) and a keyed self-equi-join on (band, key);
+    * the probe fan-out is a constant 66 rows per image, the join
+    * output is the collision mass. */
+  def imagePhashMih(spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = phashFrame(spark, documents)
+    countNearDups(hashes, phashMihPairs(hashes, maxHamming))
   }
 
   case class SceneFrame(doc_id: Long, frame_idx: Int, sum_abs_diff: Long,

@@ -33,6 +33,9 @@ object ScaleCanary {
     if (args.contains("--drift-only")) { // dev loop for the index-drift leg
       println(indexDriftCanary(spark)); spark.stop(); return
     }
+    if (args.contains("--phash-only")) { // dev loop for the phash legs
+      println(phashCanary(spark)); spark.stop(); return
+    }
 
     val nDays = 3650 // 10 years daily, ~120x the 30-day test feed
     val tall = tallDaily(spark, nStations = 3, nDays = nDays)
@@ -133,16 +136,47 @@ object ScaleCanary {
         .select(col("id_a"), col("id_b")).distinct().count()
       (cand, (System.nanoTime() - t0) / 1e9)
     }
+    // the MIH refinement's actual candidate plan (phashMihPairs before
+    // the hamming filter): 2x32-bit bands, 1-bit probe fan-out — the
+    // floor drops to 66*n^2/2^32, sub-birthday well past the 16-bit
+    // banding's ~10^7-image wall
+    def mihLeg(n: Long): (Long, Double) = {
+      val hashes = spark.range(n).select(col("id").as("doc_id"),
+        expr("xxhash64(id)").as("phash"))
+      val banded = hashes.select(col("doc_id"), col("phash"),
+        posexplode(expr("transform(sequence(0, 1), b -> shiftright(phash, b * 32) & 4294967295)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
+      val exact = banded.select(col("doc_id").as("id_a"), col("band"), col("v").as("key"))
+      val probes = banded.select(col("doc_id").as("id_b"), col("band"),
+        explode(expr("transform(sequence(-1, 31), i -> CASE WHEN i = -1 THEN v " +
+          "ELSE v ^ shiftleft(1L, i) END)")).as("key"))
+      val t0 = System.nanoTime()
+      // candidate mass BEFORE the hamming filter — the verify cost,
+      // comparable to the 16-bit legs above
+      val cand = exact.join(probes, Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().count()
+      (cand, (System.nanoTime() - t0) / 1e9)
+    }
     val (c25, t25) = leg(25000L)
     val (c50, t50) = leg(50000L)
     val growth = c50.toDouble / math.max(c25, 1L)
     println(f"[canary] phash 25k: cand=$c25 $t25%.1fs; 50k: cand=$c50 $t50%.1fs; growth=$growth%.2fx")
+    val (m100, tm100) = mihLeg(100000L)
+    val (m200, tm200) = mihLeg(200000L)
+    val (c100, tc100) = leg(100000L)
+    val (c200, tc200) = leg(200000L)
+    println(f"[canary] phash MIH 100k: cand=$m100 $tm100%.1fs (16-bit bands: $c100, $tc100%.1fs); 200k: cand=$m200 $tm200%.1fs (16-bit: $c200, $tc200%.1fs)")
     f"""  "phash": {
        |    "corpus": "diverse 64-bit hashes (xxhash64 of id) through the exact 4x16-bit band self-join plan",
        |    "bands_25k": {"n_images": 25000, "cand_pairs": $c25, "sec": $t25%.2f},
        |    "bands_50k": {"n_images": 50000, "cand_pairs": $c50, "sec": $t50%.2f},
        |    "cand_growth_2x_images": $growth%.3f,
-       |    "note": "expected mass 4*n^2/2^17 (~1.5n at 50k); the r8 16-bucket bands gave ~n^2/8"
+       |    "bands_100k": {"n_images": 100000, "cand_pairs": $c100, "sec": $tc100%.2f},
+       |    "bands_200k": {"n_images": 200000, "cand_pairs": $c200, "sec": $tc200%.2f},
+       |    "mih_100k": {"n_images": 100000, "cand_pairs": $m100, "sec": $tm100%.2f},
+       |    "mih_200k": {"n_images": 200000, "cand_pairs": $m200, "sec": $tm200%.2f},
+       |    "note": "16-bit banding floor 4*n^2/2^17 (~1.5n at 50k, quadratic past ~10^7 images); MIH floor 66*n^2/2^32 (~2^11x lower) - the q_image_phash_mih scale path"
        |  }""".stripMargin
   }
 

@@ -942,6 +942,39 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("phash MIH: 1-bit probes find every planted hamming<=3 pair; output equals the banded route") {
+    import spark.implicits._
+    // planted frame exercising every pigeonhole case: diffs split 2|1
+    // across the two 32-bit bands (found only via a flip probe), 0|3
+    // (exact low band, 3 flips high), 1|0, and a hamming-4 pair that
+    // must be filtered even though it collides
+    val h0 = 0x123456789abcdef0L
+    val planted = Seq(
+      1L -> h0,
+      2L -> (h0 ^ (1L << 2) ^ (1L << 40) ^ (1L << 50)), // 1 low | 2 high
+      3L -> (h0 ^ (1L << 33) ^ (1L << 44) ^ (1L << 60)), // 0 low | 3 high
+      4L -> (h0 ^ (1L << 7)), // 1 | 0
+      5L -> (h0 ^ (1L << 1) ^ (1L << 3) ^ (1L << 35) ^ (1L << 37)) // 2|2: ham 4
+    ).toDF("doc_id", "phash")
+    val pairs = Multimodal.phashMihPairs(planted, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "2|1 split needs the high-band flip probe")
+    assert(pairs.contains((1L, 3L)), "0|3 split needs the exact low band")
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 5L)), "hamming 4 must be filtered")
+    // a pair CAN collide (2 vs 3 share band 0 up to one bit) yet carry
+    // hamming 6 — the exact filter must drop it
+    assert(!pairs.contains((2L, 3L)))
+    // on the real corpus the MIH route must equal the banded one
+    // (both candidate generators are complete for hamming <= 3)
+    val mih = Multimodal.imagePhashMih(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("phash"), r.getAs[Long]("n_near_dups"))).toSet
+    val banded = Multimodal.imagePhash(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("phash"), r.getAs[Long]("n_near_dups"))).toSet
+    assert(mih === banded)
+    intercept[IllegalArgumentException](Multimodal.phashMihPairs(planted, 4))
+  }
+
   test("video scene cuts: demuxed Y-plane SADs match the closed form, cuts at the threshold") {
     val out = Multimodal.videoScenes(spark, docs).collect()
       .map(r => (r.getLong(0), r.getInt(1)) ->
