@@ -104,6 +104,52 @@ object Streaming extends Serializable {
     }
   }
 
+  /** Streaming twin of the LSH-screened embedding snapshot
+    * ([[graft.dedup.Dedup.embeddingIncrementalWithLshSnapshot]]) —
+    * [[IncrementalScreen]]'s vector sibling: each micro-batch of
+    * arriving embeddings probes the persisted band signatures with a
+    * stream-static (band, sig) equi-join, exact-verifies only the
+    * collisions, and folds the verified is_dup / best_match /
+    * best_cosine rows into the maintained result (identical to the
+    * batch screen per batch, spec-pinned). No per-key streaming state:
+    * the index lives in the artifact; the maintained frame is
+    * O(screened vectors) with localCheckpoint-truncated lineage.
+    * foreachBatch is at-least-once, so a redelivered batchId is
+    * skipped rather than double-screened. */
+  class EmbeddingLshScreen(snapshot: graft.dedup.Dedup.EmbeddingLshSnapshot) {
+    @volatile private var resultFrame: Option[DataFrame] = None
+    @volatile private var lastBatchId: Long = -1L
+
+    /** All screened rows so far (vec_id, is_dup, best_match,
+      * best_cosine) — one per arrived vector. */
+    def results: Option[DataFrame] = resultFrame
+
+    def attach(streamVecs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      streamVecs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          synchronized {
+            if (batchId > lastBatchId) { update(batch.toDF()); lastBatchId = batchId }
+          }
+        }
+        .start()
+
+    def update(batch: DataFrame): Unit = synchronized {
+      val b = batch.persist()
+      if (b.isEmpty) { b.unpersist(); return }
+      val screened =
+        graft.dedup.Dedup.embeddingIncrementalWithLshSnapshot(b, snapshot)
+      // localCheckpoint(eager) materializes the screen before b is
+      // released and truncates the per-batch union lineage
+      val next = resultFrame.map(_.unionByName(screened)).getOrElse(screened.toDF())
+        .localCheckpoint(true)
+      val old = resultFrame
+      resultFrame = Some(next)
+      old.foreach(graft.core.Checkpoints.release)
+      b.unpersist()
+    }
+  }
+
   /** Stream-static enrichment: join each arriving event to the station
     * registry (a static dimension frame). The static side broadcasts —
     * per micro-batch the stream is enriched map-side with NO shuffle

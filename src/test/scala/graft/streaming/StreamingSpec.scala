@@ -162,6 +162,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === rows(graft.dedup.Dedup.incrementalDedup(index.unionByName(arrived), 0.5)))
   }
 
+  test("streaming LSH embedding screen equals the batch artifact screen across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val index = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, Seq(-1f, 5f, 0.5f, -2f)),
+      (3L, Seq(0.25f, -3f, 2f, 1f))).toDF("vec_id", "embedding")
+    val snap = graft.dedup.Dedup.buildEmbeddingLshSnapshot(index)
+    val screen = new Streaming.EmbeddingLshScreen(snap)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = screen.attach(input.toDF().toDF("vec_id", "embedding"))
+    // two micro-batches: per-batch accumulation must equal one-shot
+    input.addData(
+      (10L, Seq(1f, 2f, 3f, 4f)), // verbatim copy of vec 1 → cosine 1.0
+      (20L, Seq(3f, -1f, -2f, 1.5f))) // cos ≤ 0.09 vs every index vec
+    q.processAllAvailable()
+    input.addData((30L, Seq(-1f, 5f, 0.5f, -2f))) // copy of vec 2
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("is_dup"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val got = rows(screen.results.get)
+    assert(got === Set(
+      (10L, true, Some(1L), Some(1.0)),
+      (20L, false, None, None),
+      (30L, true, Some(2L), Some(1.0))))
+    // pinned equal to the batch artifact screen over all arrived vectors
+    val arrived = Seq(
+      (10L, Seq(1f, 2f, 3f, 4f)), (20L, Seq(3f, -1f, -2f, 1.5f)),
+      (30L, Seq(-1f, 5f, 0.5f, -2f))).toDF("vec_id", "embedding")
+    assert(got === rows(
+      graft.dedup.Dedup.embeddingIncrementalWithLshSnapshot(arrived, snap)))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     implicit val sc = spark.sqlContext
     val vIn = MemoryStream[(Timestamp, Long, Double)]
