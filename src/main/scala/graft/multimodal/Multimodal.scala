@@ -1609,8 +1609,18 @@ object Multimodal {
   }
 
   /** (doc_id, phash) frame shared by [[imagePhash]] and
-    * [[imagePhashMih]] — the decode+hash scan. */
+    * [[imagePhashMih]] — the decode+hash scan, localCheckpoint'd
+    * (eager) because both consumers reference it twice in one plan
+    * (band join + final count join): without it the DECODE — the real
+    * cost at image-corpus scale, 16-byte rows after — runs twice.
+    * ContextCleaner releases the checkpoint blocks once the result
+    * frame is unreachable. */
   private def phashFrame(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    phashScan(spark, documents).localCheckpoint(true)
+  }
+
+  private def phashScan(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     metadata(documents)
       .filter(col("modality") === "image")

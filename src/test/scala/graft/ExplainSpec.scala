@@ -149,6 +149,39 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("round-10 screens: every join is keyed (equi), and the phash decode scan runs once") {
+    // the LSH snapshot screen and the MIH phash screen are candidate-
+    // generation paths — a keyless join anywhere in them would be the
+    // quadratic shape their banding exists to avoid (PlanGuard sweeps
+    // for Cartesian/BNLJ globally; this pins the stronger property
+    // that every join node carries equi keys)
+    Seq("q_embed_snapshot_lsh", "q_image_phash_mih").foreach { q =>
+      val joins = physical(q).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.nonEmpty, s"$q lost its candidate join")
+      joins.foreach { j =>
+        assert(j.leftKeys.nonEmpty,
+          s"$q has a keyless ${j.nodeName} — quadratic at corpus scale")
+      }
+    }
+    // the decode+hash subtree is localCheckpoint'd: the physical plan
+    // must NOT contain two decode scans (the hash frame feeds both the
+    // band join and the final count join)
+    Seq("q_image_phash", "q_image_phash_mih").foreach { q =>
+      val plan = physical(q)
+      val decodes = plan.collect {
+        case s if s.nodeName.contains("SerializeFromObject") => s
+      }
+      assert(decodes.isEmpty,
+        s"$q decode subtree survived into the plan ${decodes.size}x — the checkpoint is gone")
+      val rdds = plan.collect {
+        case s if s.nodeName.contains("ExistingRDD") || s.nodeName.contains("Scan ExistingRDD") => s
+      }
+      assert(rdds.nonEmpty, s"$q: no checkpointed hash frame in the plan")
+    }
+  }
+
   test("nearest-time join: both direction windows share ONE user exchange, no join node") {
     val plan = physical("q_nearest_time")
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
