@@ -142,6 +142,17 @@ object LlmQueries {
     "q_ann_pq" -> ((s, d) => Ann.pqTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
     "q_ann_ivfpq" -> ((s, d) =>
       Ann.ivfpqTopK(embs(s, d)).orderBy(col("query_id"), col("rank"))),
+    // the FAISS serve shape: codebook + centroids + compressed codes
+    // persisted once, queries pay only routing + the bounded ADC scan;
+    // deterministic build => output equals the inline q_ann_ivfpq
+    // (spec-pinned), same rows-only approximate contract
+    "q_ann_ivfpq_snapshot" -> ((s, d) => {
+      val all = embs(s, d)
+      val dir = snapDir(d, "ivfpq")
+      Ann.buildIvfPqIndex(all).save(dir)
+      Ann.ivfpqTopKWithIndex(all, Ann.PqIndex.load(s, dir))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
     "q_langid_confusion" -> ((s, d) =>
       TextAnalysis.langidConfusion(docs(s, d)).orderBy(col("lang"), col("predicted"))),

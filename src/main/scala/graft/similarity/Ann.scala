@@ -364,6 +364,132 @@ object Ann {
         round(col("l2_dist") + lit(1e-9), 6).as("l2_dist"))
   }
 
+  /** Persisted IVFPQ index artifact — the ANN leg of the snapshot
+    * family (text PPJoin index, embedding LSH bands, now the FAISS
+    * shape): everything the OFFLINE build pays for lives in parquet —
+    * the Lloyd-trained codebook (one broadcastable row), the coarse
+    * centroids, and the per-vector (cell, codes) rows (m bytes of code
+    * per vector instead of 4·D floats — the compressed corpus IS the
+    * index). A query run loads the artifact and pays only its own
+    * routing + the bounded ADC scan; the 100 TB corpus is never
+    * re-encoded. The refine stage reads full vectors from the
+    * embeddings TABLE keyed by the shortlist (FAISS's refine index
+    * stays beside, not inside, the compressed one). */
+  case class PqIndex(codes: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, ks: Int) {
+    def save(dir: String): Unit = {
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+      val spark = codes.sparkSession
+      import spark.implicits._
+      Seq((m, ks)).toDF("m", "ks")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object PqIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      PqIndex(spark.read.parquet(s"$dir/codes"),
+        spark.read.parquet(s"$dir/centroids"),
+        spark.read.parquet(s"$dir/codebook"), meta.getInt(0), meta.getInt(1))
+    }
+  }
+
+  /** Build the [[PqIndex]] for a corpus: train the per-subspace Lloyd
+    * codebook on the bounded sample, encode EVERY vector against the
+    * broadcast codebook (one map-side scan), assign each to its
+    * argmax-cosine coarse cell (one broadcast argmin join) — the three
+    * offline passes [[ivfpqTopK]] runs inline, persisted once. */
+  def buildIvfPqIndex(embeddings: DataFrame, nCells: Int = 16,
+      m: Int = 16, ks: Int = 16): PqIndex = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val n = withNorm(embeddings)
+    val cents = n.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val cb = trainCodebook(embeddings, m, ks)
+    val ds = s"(size(embedding) div $m)"
+    val distsToCells =
+      s"transform(cb[mi], cc -> ${l2sq(s"slice(embedding, mi * $ds + 1, $ds)", "cc")})"
+    val encoded = embeddings.crossJoin(broadcast(cb))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, $m - 1), mi ->
+              cast(array_position($distsToCells, array_min($distsToCells)) as int) - 1)"""))
+      .select(col("vec_id").as("nb_id"), col("codes"))
+    val scored = n
+      .select(col("vec_id").as("nb_id"), col("embedding").as("va"), col("nrm").as("na"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", expr(dot) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("nb_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1).select(col("nb_id"), col("cell"))
+    PqIndex(encoded.join(assigned, Seq("nb_id")),
+      cents, cb, m, ks)
+  }
+
+  /** [[ivfpqTopK]] served from a persisted [[PqIndex]]: queries route
+    * against the LOADED centroids, build their ADC tables against the
+    * LOADED codebook, equi-join the LOADED (cell, codes) rows on the
+    * probed cells, and refine the shortlist with exact L2 against the
+    * embeddings table. Training, encoding and assignment are all
+    * deterministic, so the output EQUALS the inline [[ivfpqTopK]] with
+    * the same parameters (spec-pinned) — the artifact only moves the
+    * offline cost out of the query path. Approximate by construction
+    * (rows-only, like its inline twin; recall re-measured per round).
+    *
+    * Plan: bounded query side broadcast everywhere; the only big-side
+    * work is the cell equi-join over the codes parquet (nProbe/nCells
+    * of it after partition-sized pruning at realistic cell counts) and
+    * the keyed refine join against the vector table. */
+  def ivfpqTopKWithIndex(embeddings: DataFrame, index: PqIndex,
+      k: Int = 5, nQueries: Int = 10, nProbe: Int = 4,
+      refine: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val m = index.m
+    val ds = s"(size(embedding) div $m)"
+    val n = withNorm(embeddings).filter(col("vec_id") < nQueries)
+    // query routing against the loaded coarse centroids
+    val scoredCells = n
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"), col("nrm").as("na"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("csim", expr(dot) / (col("na") * col("nb")))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = scoredCells.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nProbe).select(col("query_id"), col("cell"))
+    // per-query ADC table against the loaded codebook
+    val distsToCells =
+      s"transform(cb[mi], cc -> ${l2sq(s"slice(embedding, mi * $ds + 1, $ds)", "cc")})"
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(index.codebook))
+      .select(col("vec_id").as("query_id"), expr(
+        s"""transform(sequence(0, $m - 1), mi -> $distsToCells)""").as("dt"))
+    val scored = index.codes.join(probes, Seq("cell"))
+      .join(broadcast(queries), Seq("query_id"))
+      .filter(col("query_id") =!= col("nb_id"))
+      .withColumn("approx_dist", expr(
+        """aggregate(zip_with(codes, dt, (c, row) -> element_at(row, c + 1)),
+             cast(0.0 as double), (acc, x) -> acc + x)"""))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("approx_dist"), col("nb_id"))
+    val shortlist = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("nb_id"))
+    val full = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val exact = shortlist
+      .join(broadcast(embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("qv"))), Seq("query_id"))
+      .join(full.withColumnRenamed("vec_id", "nb_id"), Seq("nb_id"))
+      .withColumn("l2_dist", expr(
+        """aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)),
+             cast(0.0 as double), (acc, x) -> acc + x)"""))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("nb_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"),
+        round(col("l2_dist") + lit(1e-9), 6).as("l2_dist"))
+  }
+
   /** LSH-bucketed ANN, banded OR-composition (the standard
     * recall-tunable form): each vector gets `nBands` independent
     * signatures of `planesPerBand` hyperplane sign bits; a candidate

@@ -5,11 +5,11 @@ import graft.similarity.Ann
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
 
-/** Driver-visible audit of every rows-only approximate path: the seven
+/** Driver-visible audit of every rows-only approximate path: the eight
   * queries CORRECTNESS marks `no_oracle` (q_ann_lsh / q_ann_ivf /
-  * q_ann_pq / q_ann_ivfpq / q_dedup_embedding_lsh /
-  * q_embed_snapshot_lsh / q_ccnet_buckets_approx) each get their
-  * recall/agreement measured
+  * q_ann_pq / q_ann_ivfpq / q_ann_ivfpq_snapshot /
+  * q_dedup_embedding_lsh / q_embed_snapshot_lsh /
+  * q_ccnet_buckets_approx) each get their recall/agreement measured
   * against the exact reference ON THE GATE DATASET (sf0.01) and
   * written to RECALL_r07.json — the same contract LlmSpec asserts at
   * sf0.001, now auditable per round. `bound` is the declared LlmSpec
@@ -55,6 +55,11 @@ object RecallReport {
     } yield (q, id)).toSet
     val pq = pairSet(Ann.pqTopK(embs, k = k, nQueries = nQ), "query_id", "nb_id")
     val ivfpq = pairSet(Ann.ivfpqTopK(embs, k = k, nQueries = nQ), "query_id", "nb_id")
+    // the persisted-index serve path, measured THROUGH the artifact
+    val idxDir = java.nio.file.Files.createTempDirectory("recall-ivfpq").toString
+    Ann.buildIvfPqIndex(embs).save(idxDir)
+    val ivfpqSnap = pairSet(Ann.ivfpqTopKWithIndex(embs,
+      Ann.PqIndex.load(spark, idxDir), k = k, nQueries = nQ), "query_id", "nb_id")
 
     // banded dedup: candidate-pair recall AND precision vs the exact
     // tau=0.4 all-pairs join (the LSH route must be a pure subset)
@@ -114,6 +119,8 @@ object RecallReport {
       ("q_ann_ivf", "recall_at_k", recall(ivf, brute), 0.8, "brute-cosine", Some(ivfShare)),
       ("q_ann_pq", "recall_at_k", recall(pq, exactL2), 0.8, "exact-l2", Some(pqShare)),
       ("q_ann_ivfpq", "recall_at_k", recall(ivfpq, exactL2), 0.8, "exact-l2", Some(ivfShare)),
+      ("q_ann_ivfpq_snapshot", "recall_at_k", recall(ivfpqSnap, exactL2),
+        0.8, "exact-l2", Some(ivfShare)),
       ("q_dedup_embedding_lsh", "pair_recall", recall(lshPairs, exactPairs),
         0.8, "exact-tau0.4-pairs", Some(dedupShare)),
       ("q_dedup_embedding_lsh", "pair_precision", lshPrecision,

@@ -12,7 +12,8 @@ class ContractSpec extends SparkSpec {
   test("only the approximate queries lack an oracle") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
-      "q_dedup_embedding_lsh", "q_ccnet_buckets_approx", "q_embed_snapshot_lsh"),
+      "q_ann_ivfpq_snapshot", "q_dedup_embedding_lsh", "q_ccnet_buckets_approx",
+      "q_embed_snapshot_lsh"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

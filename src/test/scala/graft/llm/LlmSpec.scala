@@ -517,6 +517,25 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"ivfpq recall $recall")
   }
 
+  test("persisted IVFPQ index: the artifact serve path equals the inline composition") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    Ann.buildIvfPqIndex(embs).save(dir)
+    val loaded = Ann.PqIndex.load(spark, dir)
+    assert(loaded.m === 16 && loaded.ks === 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // training, encoding and assignment are deterministic, so serving
+    // from the parquet artifact replays the inline pipeline exactly
+    val got = rows(Ann.ivfpqTopKWithIndex(embs, loaded))
+    assert(got === rows(Ann.ivfpqTopK(embs)))
+    assert(got.nonEmpty)
+    // the artifact really is the compressed corpus: one (cell, codes)
+    // row per vector, codes m bytes wide
+    assert(loaded.codes.count() === embs.count())
+    assert(loaded.codes.selectExpr("max(size(codes))").head().getInt(0) === 16)
+  }
+
   test("multimodal metadata extracts byte length and magic prefix") {
     val out = Multimodal.metadata(docs).filter($"doc_id" === 0).collect().head
     assert(out.getAs[Int]("n_bytes") === 65)
