@@ -402,6 +402,32 @@ object Ann {
     * broadcast codebook (one map-side scan), assign each to its
     * argmax-cosine coarse cell (one broadcast argmin join) — the three
     * offline passes [[ivfpqTopK]] runs inline, persisted once. */
+  /** (nb_id, codes): every vector encoded against a broadcast codebook
+    * — one map-side scan, shared by build and append. */
+  private def encodeCodes(embeddings: DataFrame, codebook: DataFrame,
+      m: Int): DataFrame = {
+    val ds = s"(size(embedding) div $m)"
+    val distsToCells =
+      s"transform(cb[mi], cc -> ${l2sq(s"slice(embedding, mi * $ds + 1, $ds)", "cc")})"
+    embeddings.crossJoin(broadcast(codebook))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, $m - 1), mi ->
+              cast(array_position($distsToCells, array_min($distsToCells)) as int) - 1)"""))
+      .select(col("vec_id").as("nb_id"), col("codes"))
+  }
+
+  /** (nb_id, cell): argmax-cosine coarse-cell assignment against
+    * broadcast centroids — shared by build and append. */
+  private def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = withNorm(embeddings)
+      .select(col("vec_id").as("nb_id"), col("embedding").as("va"), col("nrm").as("na"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", expr(dot) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("nb_id")).orderBy(col("csim").desc, col("cell"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1).select(col("nb_id"), col("cell"))
+  }
+
   def buildIvfPqIndex(embeddings: DataFrame, nCells: Int = 16,
       m: Int = 16, ks: Int = 16): PqIndex = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
@@ -409,23 +435,50 @@ object Ann {
     val cents = n.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("vb"), col("nrm").as("nb"))
     val cb = trainCodebook(embeddings, m, ks)
+    PqIndex(encodeCodes(embeddings, cb, m).join(assignCells(embeddings, cents), Seq("nb_id")),
+      cents, cb, m, ks)
+  }
+
+  /** Fold new vectors INTO the PQ index artifact — the daily cycle's
+    * ANN leg: encode against the FROZEN codebook and assign against
+    * the frozen centroids (both pure map-side against broadcast
+    * frames — no retrain, the 100 TB corpus is never re-encoded),
+    * union the (cell, codes) rows. Unlike the LSH band snapshot
+    * (data-independent, decay-free) and like the text index's frozen
+    * df order, the frozen CODEBOOK decays as the appended
+    * distribution drifts from the training sample: quantization error
+    * — hence ADC ranking quality — degrades for drifted vectors.
+    * [[pqQuantizationError]] is the gauge; CANARY_r10's pq_drift leg
+    * measures the curve and the rebuild trigger: retrain
+    * ([[buildIvfPqIndex]]) when an appended batch's avg quantization
+    * error exceeds ~2× the day-0 baseline. vec_ids must stay unique
+    * across appends (caller's contract). */
+  def appendToIvfPqIndex(index: PqIndex, newEmbeddings: DataFrame): PqIndex = {
+    graft.functions.GraftFunctions.register(newEmbeddings.sparkSession)
+    index.copy(codes = index.codes.unionByName(
+      encodeCodes(newEmbeddings, index.codebook, index.m)
+        .join(assignCells(newEmbeddings, index.centroids), Seq("nb_id"))))
+  }
+
+  /** Index-health gauge: each vector's squared L2 to its NEAREST
+    * per-subspace centroids summed over subspaces (the ADC
+    * quantization error), averaged — one number an operator tracks
+    * per appended batch against the day-0 baseline to decide when the
+    * frozen codebook needs a retrain. One map-side scan against the
+    * broadcast codebook + a scalar aggregate. */
+  def pqQuantizationError(embeddings: DataFrame, index: PqIndex): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val m = index.m
     val ds = s"(size(embedding) div $m)"
     val distsToCells =
       s"transform(cb[mi], cc -> ${l2sq(s"slice(embedding, mi * $ds + 1, $ds)", "cc")})"
-    val encoded = embeddings.crossJoin(broadcast(cb))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, $m - 1), mi ->
-              cast(array_position($distsToCells, array_min($distsToCells)) as int) - 1)"""))
-      .select(col("vec_id").as("nb_id"), col("codes"))
-    val scored = n
-      .select(col("vec_id").as("nb_id"), col("embedding").as("va"), col("nrm").as("na"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", expr(dot) / (col("na") * col("nb")))
-    val w = Window.partitionBy(col("nb_id")).orderBy(col("csim").desc, col("cell"))
-    val assigned = scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1).select(col("nb_id"), col("cell"))
-    PqIndex(encoded.join(assigned, Seq("nb_id")),
-      cents, cb, m, ks)
+    embeddings.crossJoin(broadcast(index.codebook))
+      .select(expr(
+        s"""aggregate(transform(sequence(0, $m - 1), mi ->
+              array_min($distsToCells)), cast(0.0 as double),
+              (acc, x) -> acc + x)""").as("qerr"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("qerr")) + lit(1e-9), 6).as("avg_quant_error"))
   }
 
   /** [[ivfpqTopK]] served from a persisted [[PqIndex]]: queries route

@@ -36,6 +36,9 @@ object ScaleCanary {
     if (args.contains("--phash-only")) { // dev loop for the phash legs
       println(phashCanary(spark)); spark.stop(); return
     }
+    if (args.contains("--pqdrift-only")) { // dev loop for the pq-drift leg
+      println(pqDriftCanary(spark)); spark.stop(); return
+    }
 
     val nDays = 3650 // 10 years daily, ~120x the 30-day test feed
     val tall = tallDaily(spark, nStations = 3, nDays = nDays)
@@ -106,10 +109,11 @@ object ScaleCanary {
     val dedupJson = dedupCanary(spark)
     val phashJson = phashCanary(spark)
     val driftJson = indexDriftCanary(spark)
+    val pqJson = pqDriftCanary(spark)
 
     val json = rows.mkString(
       "{\n" + s"""  "n_stations": 3, "n_days": $nDays, "seasonal_frame": "10x7300", "guard_on_daily": "$guardMsg",\n  "ops": {\n""",
-      ",\n", "\n  },\n" + dedupJson + ",\n" + phashJson + ",\n" + driftJson + "\n}\n")
+      ",\n", "\n  },\n" + dedupJson + ",\n" + phashJson + ",\n" + driftJson + ",\n" + pqJson + "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"[canary] wrote $out")
     spark.stop()
@@ -283,6 +287,51 @@ object ScaleCanary {
          |    "corpus": "day-0 ${n0} docs (template A) + 4 x ${nb}-doc appends each with NEW boilerplate; probe = ${nProbe} docs mixed to match the union's template shares",
          |    "metric": "prefix-candidate pairs per probe doc, appended snapshot vs fresh rebuild on the identical union + probe",
          |    "baseline_cand_per_doc": ${f"$base0%.2f"},
+         |""".stripMargin, ",\n", "\n  }")
+  }
+
+  /** Frozen-codebook drift canary (round 10) — the PQ artifact's
+    * analogue of [[indexDriftCanary]]: appendToIvfPqIndex encodes new
+    * vectors against the day-0 codebook, so as the appended
+    * distribution drifts from the training sample, quantization error
+    * (and with it ADC ranking quality) degrades. Day-0 vectors are
+    * hash-uniform in [0,1)^64; batch k is the same generator shifted
+    * +k/2 per dimension. Per batch: avg quantization error under the
+    * FROZEN day-0 codebook vs under a codebook retrained on that
+    * batch's own distribution — the attainable floor. The ratio curve
+    * backs the documented retrain trigger (~2× the day-0 baseline) on
+    * Ann.appendToIvfPqIndex. */
+  private def pqDriftCanary(spark: SparkSession): String = {
+    import graft.similarity.Ann
+    def vecs(n: Long, shift: Double): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, 63), j -> " +
+          s"cast(pmod(hash(id, j), 1000) / 1000.0 + $shift AS float))").as("embedding"))
+        .repartition(32, col("vec_id"))
+    def qerr(df: DataFrame, idx: Ann.PqIndex): Double =
+      Ann.pqQuantizationError(df, idx).head().getDouble(1)
+    val day0 = vecs(4096, 0.0).persist()
+    day0.count()
+    val idx0 = Ann.buildIvfPqIndex(day0)
+    idx0.codebook.persist().count()
+    val base = qerr(day0, idx0)
+    println(f"[canary] pq-drift baseline qerr (day-0 under own codebook): $base%.4f")
+    val legs = (1 to 3).map { k =>
+      val batch = vecs(1000, k * 0.5).persist()
+      batch.count()
+      val frozen = qerr(batch, idx0)
+      val fresh = qerr(batch, Ann.buildIvfPqIndex(batch))
+      batch.unpersist()
+      val ratio = frozen / math.max(fresh, 1e-12)
+      println(f"[canary] pq-drift batch $k (shift ${k * 0.5}%.1f): qerr frozen=$frozen%.4f fresh=$fresh%.4f ratio=$ratio%.1fx")
+      f"""      "batch_$k": {"shift": ${k * 0.5}%.1f, "qerr_frozen": $frozen%.4f, "qerr_fresh": $fresh%.4f, "ratio": $ratio%.2f}"""
+    }
+    idx0.codebook.unpersist(); day0.unpersist()
+    legs.mkString(
+      s"""  "pq_drift": {
+         |    "corpus": "day-0 4096 hash-uniform vectors in [0,1)^64; batch k = same generator shifted +k/2 per dim",
+         |    "metric": "avg ADC quantization error under the frozen day-0 codebook vs retrained-on-batch (attainable floor)",
+         |    "baseline_qerr": ${f"$base%.4f"},
          |""".stripMargin, ",\n", "\n  }")
   }
 

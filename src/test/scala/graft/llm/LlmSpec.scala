@@ -536,6 +536,34 @@ class LlmSpec extends SparkSpec {
     assert(loaded.codes.selectExpr("max(size(codes))").head().getInt(0) === 16)
   }
 
+  test("PQ index append: frozen-codebook encode equals rebuild; serve finds appended-only dups") {
+    import spark.implicits._
+    def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame = ids.toDF("vec_id")
+      .select(col("vec_id"), expr("transform(sequence(0, 31), j -> " +
+        "cast(pmod(hash(vec_id, j), 1000) / 1000.0 AS float))").as("embedding"))
+    val day0 = vecs(0L until 256L)
+    // appended ids sit ABOVE the 4096-id train window, so a rebuild of
+    // the union trains on exactly day-0's sample and uses day-0's first-
+    // 16 centroids: append (frozen codebook) must equal it VALUE-wise
+    val plant = vecs(Seq(0L)).select(lit(5000L).as("vec_id"), col("embedding"))
+    val newV = vecs(5001L until 5050L).unionByName(plant)
+    val appended = Ann.appendToIvfPqIndex(Ann.buildIvfPqIndex(day0), newV)
+    val rebuilt = Ann.buildIvfPqIndex(day0.unionByName(newV))
+    assert(appended.codes.orderBy("nb_id").collect().toSeq
+      === rebuilt.codes.orderBy("nb_id").collect().toSeq)
+    // the appended shard is live: query 0's verbatim copy lives ONLY
+    // there and must come back rank 1 at L2 distance 0
+    val union = day0.unionByName(newV)
+    val got = Ann.ivfpqTopKWithIndex(union, appended).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.contains((0L, 1, 5000L, 0.0)),
+      s"planted appended dup not served: ${got.filter(_._1 == 0L).toSeq}")
+    // the drift gauge reads ~0 extra error for an in-distribution batch
+    val base = Ann.pqQuantizationError(day0, appended).head().getDouble(1)
+    val batch = Ann.pqQuantizationError(newV, appended).head().getDouble(1)
+    assert(batch < base * 2.0, s"in-distribution batch qerr $batch vs baseline $base")
+  }
+
   test("multimodal metadata extracts byte length and magic prefix") {
     val out = Multimodal.metadata(docs).filter($"doc_id" === 0).collect().head
     assert(out.getAs[Int]("n_bytes") === 65)
