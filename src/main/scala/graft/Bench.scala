@@ -72,7 +72,8 @@ object Bench {
     * keep their compositions for cross-round comparability; tier
     * boundaries are versioned in PERF.md). */
   val headline5: Seq[String] = Seq(
-    "q_embed_snapshot_lsh", "q_image_phash_mih", "q_ann_ivfpq_snapshot")
+    "q_embed_snapshot_lsh", "q_image_phash_mih", "q_ann_ivfpq_snapshot",
+    "q_dedup_components_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -484,6 +484,24 @@ object Dedup {
       .select(col("inc_id"), col("idx_id")).distinct()
   }
 
+  /** ALL exact-verified (inc_id, idx_id, jaccard) cross-side pairs of
+    * an increment's shingle frame against a snapshot — the complete
+    * pair set [[incrementalDedupWithSnapshot]] argmaxes over, exposed
+    * whole for consumers that need every edge (incremental component
+    * maintenance, [[mergeComponents]]) rather than the best match. */
+  private[graft] def snapshotVerifiedPairs(hsInc: DataFrame,
+      snapshot: TextIndexSnapshot): DataFrame =
+    snapshotPrefixCandidates(hsInc, snapshot)
+      .join(hsInc.select(col("doc_id").as("inc_id"),
+        array_sort(col("hashes")).as("h_a")), Seq("inc_id"))
+      .join(snapshot.index.select(col("doc_id").as("idx_id"),
+        col("sh").as("h_b")), Seq("idx_id"))
+      .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
+      .filter(col("jaccard") >= snapshot.threshold)
+      .select(col("inc_id"), col("idx_id"), col("jaccard"))
+
   /** [[incrementalDedup]] against a precomputed [[TextIndexSnapshot]]
     * — the production daily run: only the INCREMENT is shingled and
     * ranked (under the snapshot's df order); the index side's prefixes
@@ -504,16 +522,7 @@ object Dedup {
       .select(col("doc_id"), col("hashes")).persist()
     hsInc.count()
     try {
-      val cands = snapshotPrefixCandidates(hsInc, snapshot)
-      val verified = cands
-        .join(hsInc.select(col("doc_id").as("inc_id"),
-          array_sort(col("hashes")).as("h_a")), Seq("inc_id"))
-        .join(snapshot.index.select(col("doc_id").as("idx_id"),
-          col("sh").as("h_b")), Seq("idx_id"))
-        .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
-        .withColumn("jaccard", round(col("inter") /
-          (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
-        .filter(col("jaccard") >= threshold)
+      val verified = snapshotVerifiedPairs(hsInc, snapshot)
       val w = Window.partitionBy(col("inc_id")).orderBy(col("jaccard").desc, col("idx_id"))
       val best = verified.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -726,6 +735,53 @@ object Dedup {
           lit(1L).as("comp_size"))
       clustered.unionByName(singletons)
     } finally edges.unpersist()
+  }
+
+  /** Fold a day's NEW near-dup pairs into EXISTING component labels —
+    * the cluster-maintenance leg of the daily dedup cycle: production
+    * dedup clusters grow as crawls arrive, and recomputing components
+    * from the full pair history every day re-propagates the 100 TB
+    * past. Instead, the previous labels COMPRESS that history to one
+    * star edge per clustered doc (doc → its component representative;
+    * a label frame is a spanning contraction, so connectivity is
+    * preserved exactly), and the propagation reruns over star edges ∪
+    * the day's new pairs only — per-round shuffles size to the live
+    * subgraph, and stars make old components converge in one hop.
+    * Output equals [[componentsFromPairs]] over the FULL pair history
+    * (spec-pinned; the registered query's oracle is the batch
+    * components oracle, reused verbatim). */
+  def mergeComponents(prevLabels: DataFrame, newIds: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val starEdges = prevLabels.filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as("id_a"), col("comp").as("id_b"))
+    componentsFromPairs(
+      prevLabels.select(col("doc_id")).unionByName(newIds.select(col("doc_id"))),
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))))
+  }
+
+  /** The daily cluster-maintenance composition over the persisted
+    * artifact: day-0 labels + the increment's cross-side pairs
+    * (complete, via the snapshot's prefix probe — only the increment
+    * is shingled) + the increment's within-side pairs, merged by
+    * [[mergeComponents]]. Equals the one-shot [[components]] over the
+    * union corpus (same threshold), so the batch oracle verifies it
+    * row-for-row. */
+  def incrementalComponents(incrementDocs: DataFrame,
+      prevLabels: DataFrame, snapshot: TextIndexSnapshot): DataFrame = {
+    val hsInc = withShingles(incrementDocs)
+      .select(col("doc_id"), col("hashes")).persist()
+    hsInc.count()
+    try {
+      val cross = snapshotVerifiedPairs(hsInc, snapshot)
+        .select(col("inc_id").as("id_a"), col("idx_id").as("id_b"))
+      val within = jaccardPairs(incrementDocs, snapshot.threshold)
+      try {
+        val merged = mergeComponents(prevLabels,
+          incrementDocs.select(col("doc_id")),
+          cross.unionByName(within.select(col("id_a"), col("id_b"))))
+        merged
+      } finally within.unpersist()
+    } finally hsInc.unpersist()
   }
 
   /** Dedup reporting: distribution of near-dup cluster sizes from

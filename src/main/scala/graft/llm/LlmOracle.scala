@@ -2769,6 +2769,8 @@ object LlmOracle {
     "q_dedup_containment" -> qDedupContainment,
     "q_dbscan" -> qDbscan,
     "q_dedup_components" -> qDedupComponents,
+    // incremental maintenance equals the one-shot batch components
+    "q_dedup_components_incr" -> qDedupComponents,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_ann_topk" -> qAnnTopk,

@@ -124,6 +124,18 @@ object LlmQueries {
       Dedup.simhashPairs(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_dedup_components" -> ((s, d) =>
       Dedup.components(docs(s, d)).orderBy(col("doc_id"))),
+    // daily cluster maintenance: day-0 labels compress the pair
+    // history to star edges; the increment contributes its complete
+    // cross-side (snapshot probe) and within-side pairs — equals the
+    // one-shot components over the union, oracle reused verbatim
+    "q_dedup_components_incr" -> ((s, d) => {
+      val all = docs(s, d)
+      val idxSide = all.filter(col("doc_id") % 10 =!= 0)
+      val labels0 = Dedup.components(idxSide, 0.5)
+      val snap = Dedup.buildTextIndexSnapshot(idxSide, 0.5)
+      Dedup.incrementalComponents(all.filter(col("doc_id") % 10 === 0), labels0, snap)
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizes(docs(s, d)).orderBy(col("comp_size"))),
     "q_dedup_bloom" -> ((s, d) =>

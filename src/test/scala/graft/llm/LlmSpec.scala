@@ -536,6 +536,35 @@ class LlmSpec extends SparkSpec {
     assert(loaded.codes.selectExpr("max(size(codes))").head().getInt(0) === 16)
   }
 
+  test("incremental components: star-compressed labels + new pairs equal the full recompute") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("comp"), r.getAs[Long]("comp_size"))).toSet
+    // fixture: day-0 components {1,2} (a pair) and {3} (singleton);
+    // day-1 pair (4,5) is new-new, pair (6,2) BRIDGES into an existing
+    // component — the star edge must carry 2's old membership so
+    // {1,2,6} unifies under min-id 1
+    val ids0 = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs0 = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val labels0 = Dedup.componentsFromPairs(ids0, pairs0)
+    val newIds = Seq(4L, 5L, 6L).toDF("doc_id")
+    val newPairs = Seq((4L, 5L), (6L, 2L)).toDF("id_a", "id_b")
+    val merged = rows(Dedup.mergeComponents(labels0, newIds, newPairs))
+    val full = rows(Dedup.componentsFromPairs(
+      ids0.unionByName(newIds), pairs0.unionByName(newPairs)))
+    assert(merged === full)
+    assert(merged.contains((6L, 1L, 3L)), "bridge doc must join the OLD component under min-id")
+    assert(merged.contains((3L, 3L, 1L)), "old singleton must survive the merge")
+    // real corpus: the registered composition (snapshot cross pairs +
+    // within-increment pairs over day-0 labels) equals the one-shot
+    // batch components over the union — the oracle's exact claim
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idxSide = corpus.filter(col("doc_id") % 10 =!= 0)
+    val inc = Dedup.incrementalComponents(corpus.filter(col("doc_id") % 10 === 0),
+      Dedup.components(idxSide, 0.5), Dedup.buildTextIndexSnapshot(idxSide, 0.5))
+    assert(rows(inc) === rows(Dedup.components(corpus, 0.5)))
+  }
+
   test("PQ index append: frozen-codebook encode equals rebuild; serve finds appended-only dups") {
     import spark.implicits._
     def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame = ids.toDF("vec_id")
