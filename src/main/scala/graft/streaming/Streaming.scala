@@ -104,6 +104,70 @@ object Streaming extends Serializable {
     }
   }
 
+  /** The FULL continuous dedup pipeline — what a crawl ingest actually
+    * runs: per micro-batch of arriving documents, (1) probe the
+    * maintained text-index artifact for the batch's complete
+    * cross-side near-dup pairs (increment-only shingling), (2) find
+    * the batch's within-side pairs, (3) fold both into the maintained
+    * component labels ([[graft.dedup.Dedup.mergeComponents]] — the
+    * label history rides as star edges, never re-propagated), and
+    * (4) APPEND the batch to the index artifact so the next batch is
+    * screened against this one too
+    * ([[graft.dedup.Dedup.appendToTextIndexSnapshot]], frozen df
+    * order — pair the stream with the periodic rebuild the df-drift
+    * canary calibrates). The maintained `labels` frame after every
+    * batch EQUALS the one-shot [[graft.dedup.Dedup.components]] over
+    * all documents seen so far (spec-pinned across micro-batches):
+    * continuous ingest loses nothing vs the nightly batch job.
+    * foreachBatch at-least-once: redelivered batchIds are skipped. */
+  class ClusterMaintenance(initial: graft.dedup.Dedup.TextIndexSnapshot,
+      initialLabels: DataFrame) {
+    @volatile private var snapshot = initial
+    @volatile private var labelFrame: DataFrame = initialLabels.localCheckpoint(true)
+    @volatile private var lastBatchId: Long = -1L
+
+    /** Current (doc_id, comp, comp_size) labels over every doc seen. */
+    def labels: DataFrame = labelFrame
+    /** The maintained index artifact (day-0 build + all appends). */
+    def index: graft.dedup.Dedup.TextIndexSnapshot = snapshot
+
+    def attach(streamDocs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      streamDocs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          synchronized {
+            if (batchId > lastBatchId) { update(batch.toDF()); lastBatchId = batchId }
+          }
+        }
+        .start()
+
+    def update(batch: DataFrame): Unit = synchronized {
+      val b = batch.persist()
+      if (b.isEmpty) { b.unpersist(); return }
+      val next = graft.dedup.Dedup
+        .incrementalComponents(b, labelFrame, snapshot)
+        .localCheckpoint(true)
+      // append AFTER screening: a batch must not match itself through
+      // the index (its within-side pairs are already counted)
+      val appended = graft.dedup.Dedup.appendToTextIndexSnapshot(snapshot, b)
+      // the appended rows' lineage reads the batch frame, which is only
+      // valid during this trigger — checkpoint the index so the
+      // artifact is self-contained before the batch is released. This
+      // in-memory twin re-materializes the whole index per batch;
+      // production appends the new rows to the PARQUET artifact instead
+      // (TextIndexSnapshot.save/load, as q_dedup_snapshot_cycle runs),
+      // paying only the increment.
+      val compacted = appended.copy(index = appended.index.localCheckpoint(true))
+      val oldLabels = labelFrame
+      val oldIndex = snapshot.index
+      labelFrame = next
+      snapshot = compacted
+      graft.core.Checkpoints.release(oldLabels)
+      if (oldIndex ne initial.index) graft.core.Checkpoints.release(oldIndex)
+      b.unpersist()
+    }
+  }
+
   /** Streaming twin of the LSH-screened embedding snapshot
     * ([[graft.dedup.Dedup.embeddingIncrementalWithLshSnapshot]]) —
     * [[IncrementalScreen]]'s vector sibling: each micro-batch of

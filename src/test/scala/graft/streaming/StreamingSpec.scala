@@ -162,6 +162,47 @@ class StreamingSpec extends SparkSpec {
     assert(got === rows(graft.dedup.Dedup.incrementalDedup(index.unionByName(arrived), 0.5)))
   }
 
+  test("continuous cluster maintenance: labels equal one-shot components after every batch") {
+    implicit val sc = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("comp"), r.getAs[Long]("comp_size"))).toSet
+    // day-0 corpus: docs 1 and 2 are near-dups, 3 is clean
+    val day0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "curious corpus of entirely different prose lives here quietly"))
+      .toDF("doc_id", "text")
+    val maint = new Streaming.ClusterMaintenance(
+      graft.dedup.Dedup.buildTextIndexSnapshot(day0, 0.5),
+      graft.dedup.Dedup.components(day0, 0.5))
+    val input = MemoryStream[(Long, String)]
+    val q = maint.attach(input.toDF().toDF("doc_id", "text"))
+    // batch 1: doc 10 bridges INTO the {1,2} component; 20 is clean
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "completely unrelated words about catalyst plans and codegen"))
+    q.processAllAvailable()
+    val seen1 = day0.unionByName(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "completely unrelated words about catalyst plans and codegen"))
+      .toDF("doc_id", "text"))
+    assert(rows(maint.labels) === rows(graft.dedup.Dedup.components(seen1, 0.5)))
+    // batch 2: doc 30 matches doc 20 — a BATCH-1 doc, reachable only if
+    // batch 1 was appended to the maintained index artifact
+    input.addData((30L, "completely unrelated words about catalyst plans and code"))
+    q.processAllAvailable()
+    q.stop()
+    val seen2 = seen1.unionByName(
+      Seq((30L, "completely unrelated words about catalyst plans and code"))
+        .toDF("doc_id", "text"))
+    val got = rows(maint.labels)
+    assert(got === rows(graft.dedup.Dedup.components(seen2, 0.5)))
+    // the cross-batch unification is visible: {20, 30} share a component
+    val comp20 = got.find(_._1 == 20L).get._2
+    assert(got.find(_._1 == 30L).get._2 === comp20, "cross-batch pair missed")
+    assert(got.find(_._1 == 10L).get._2 === 1L, "bridge into day-0 component missed")
+  }
+
   test("streaming LSH embedding screen equals the batch artifact screen across micro-batches") {
     implicit val sc = spark.sqlContext
     val index = Seq(
