@@ -75,6 +75,14 @@ object Bench {
     "q_embed_snapshot_lsh", "q_image_phash_mih", "q_ann_ivfpq_snapshot",
     "q_dedup_components_incr")
 
+  /** Sixth bench tier: the late round-10 additions (BMP decode, μ-law
+    * audio decode, NFC normalization) — fixed before their first
+    * driver run, reported as `value6` / `queries6` / `cold_queries6`
+    * (tiers 1-5 keep their compositions for cross-round
+    * comparability; tier boundaries are versioned in PERF.md). */
+  val headline6: Seq[String] = Seq(
+    "q_image_decode_bmp", "q_audio_mulaw", "q_text_normalize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -125,7 +133,8 @@ object Bench {
     }
     // session warmup: FS + parquet footer reads, not attributed to queries
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    val both = headline ++ headline2 ++ headline3 ++ headline4 ++ headline5
+    val both = headline ++ headline2 ++ headline3 ++ headline4 ++
+      headline5 ++ headline6
     val coldAll = both.map(n => n -> timed(n))
     // drop memoized kind frames: each warm pass must redo ALL of the
     // distributed work, with only the JVM (codegen/JIT) staying warm.
@@ -149,8 +158,10 @@ object Bench {
     val (cold2, coldRest3) = coldRest.partition(kv => headline2.contains(kv._1))
     val (warm3, warmRest4) = warmRest3.partition(kv => headline3.contains(kv._1))
     val (cold3, coldRest4) = coldRest3.partition(kv => headline3.contains(kv._1))
-    val (warm4, warm5) = warmRest4.partition(kv => headline4.contains(kv._1))
-    val (cold4, cold5) = coldRest4.partition(kv => headline4.contains(kv._1))
+    val (warm4, warmRest5) = warmRest4.partition(kv => headline4.contains(kv._1))
+    val (cold4, coldRest5) = coldRest4.partition(kv => headline4.contains(kv._1))
+    val (warm5, warm6) = warmRest5.partition(kv => headline5.contains(kv._1))
+    val (cold5, cold6) = coldRest5.partition(kv => headline5.contains(kv._1))
     // same escaper contract as Verify's: backslash, quote, and ALL
     // control chars — a tab or CR inside an exception message must not
     // make the driver's json.load reject the whole bench line
@@ -179,8 +190,10 @@ object Bench {
     val coldTotal4 = cold4.collect { case (_, (v, None)) => v }.sum
     val total5 = warm5.collect { case (_, (v, None)) => v }.sum
     val coldTotal5 = cold5.collect { case (_, (v, None)) => v }.sum
+    val total6 = warm6.collect { case (_, (v, None)) => v }.sum
+    val coldTotal6 = cold6.collect { case (_, (v, None)) => v }.sum
     val allErrs = (warmAll ++ coldAll).collect { case (k, (_, Some(e))) => (k, e) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"value2":$total2,"queries2":${js(warm2)},"cold_value2":$coldTotal2,"cold_queries2":${js(cold2)},"value3":$total3,"queries3":${js(warm3)},"cold_value3":$coldTotal3,"cold_queries3":${js(cold3)},"value4":$total4,"queries4":${js(warm4)},"cold_value4":$coldTotal4,"cold_queries4":${js(cold4)},"value5":$total5,"queries5":${js(warm5)},"cold_value5":$coldTotal5,"cold_queries5":${js(cold5)},"errors":${errJs(warmAll)},"cold_errors":${errJs(coldAll)},"n_errors":${allErrs.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm-jvm-recomputed","sink":"noop","queries":${js(warm)},"cold_value":$coldTotal,"cold_queries":${js(cold)},"value2":$total2,"queries2":${js(warm2)},"cold_value2":$coldTotal2,"cold_queries2":${js(cold2)},"value3":$total3,"queries3":${js(warm3)},"cold_value3":$coldTotal3,"cold_queries3":${js(cold3)},"value4":$total4,"queries4":${js(warm4)},"cold_value4":$coldTotal4,"cold_queries4":${js(cold4)},"value5":$total5,"queries5":${js(warm5)},"cold_value5":$coldTotal5,"cold_queries5":${js(cold5)},"value6":$total6,"queries6":${js(warm6)},"cold_value6":$coldTotal6,"cold_queries6":${js(cold6)},"errors":${errJs(warmAll)},"cold_errors":${errJs(coldAll)},"n_errors":${allErrs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

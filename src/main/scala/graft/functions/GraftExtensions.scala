@@ -52,5 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CdcChunksText].getName, "graft_cdc_chunks"),
       (args: Seq[Expression]) => CdcChunksText(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "graft_interleave_bits"),
+      (args: Seq[Expression]) => InterleaveBits(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
   }
 }

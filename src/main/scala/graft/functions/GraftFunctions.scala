@@ -489,6 +489,45 @@ object InterleaveBits {
   def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) — the
+  * canonicalization step every corpus pipeline runs before hashing:
+  * two byte-level spellings of "é" (precomposed U+00E9 vs
+  * e + U+0301) must not defeat exact dedup or change token counts.
+  * Wraps the JDK's `java.text.Normalizer` in generated code; the
+  * DuckDB oracle mirrors with utf8proc's `nfc_normalize` — both
+  * implement the same Unicode standard, and the md5-of-normalized
+  * column in q_text_normalize pins byte-level agreement. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"nfc needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Referenced from generated code. Fast path: NFC-quick-check via
+    * Normalizer.isNormalized skips the allocation for the (dominant)
+    * already-normalized case. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object GraftFunctions {
   /** Register the graft SQL functions on a session (idempotent), so
     * expression strings can call graft_polyhash / graft_minhash_sig /
@@ -519,6 +558,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_cdc_chunks",
       (args: Seq[Expression]) => CdcChunksText(args.head,
         args(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      (args: Seq[Expression]) => NfcNormalize(args.head), "built-in")
   }
 }
 

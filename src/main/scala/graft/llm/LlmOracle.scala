@@ -1270,6 +1270,66 @@ object LlmOracle {
         AS luma
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.imageDecodeBmp: the engine round-trips a real
+    * Windows bitmap (24-bit BGR truecolor on even ids, 8-bit palette
+    * with a 64-entry BGRA table on odd ids; bottom-up rows except
+    * ids % 5 = 0 which are top-down; 4-byte row padding) whose
+    * TOP-DOWN RGB raster is closed-form — the oracle reproduces the
+    * decoded statistics from the generator arithmetic. The
+    * row-weighted mean makes the bottom-up flip and the stride
+    * position-sensitive: channel sums alone are permutation-invariant
+    * and would not catch a row-order or padding bug. */
+  val qImageDecodeBmp: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 9 + 4 AS INT) AS width,
+             CAST(doc_id % 8 + 4 AS INT) AS height,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 END AS INT) AS bpp
+      FROM documents WHERE doc_id % 3 = 0),
+    tc AS (
+      SELECT doc_id, width, height, bpp,
+        unnest(range(0, width * height * 3)) AS i
+      FROM img WHERE bpp = 24),
+    tcv AS (
+      SELECT doc_id, width, height, bpp, (i // 3) // width AS y, i % 3 AS c,
+        (doc_id * 37 + i * 11) % 256 AS v
+      FROM tc),
+    pl AS (
+      SELECT doc_id, width, height, bpp,
+        unnest(range(0, width * height)) AS p
+      FROM img WHERE bpp = 8),
+    plv0 AS (
+      SELECT doc_id, width, height, bpp, p, p // width AS y,
+        (doc_id * 37 + p * 11) % 64 AS j
+      FROM pl),
+    plv AS (
+      SELECT doc_id, width, height, bpp, y, c,
+        CASE c WHEN 0 THEN (doc_id * 3 + j * 7) % 256
+               WHEN 1 THEN (doc_id * 5 + j * 11) % 256
+               ELSE (doc_id * 7 + j * 13) % 256 END AS v
+      FROM plv0, (SELECT unnest(range(0, 3)) AS c)),
+    u AS (
+      SELECT * FROM tcv UNION ALL SELECT * FROM plv),
+    agg AS (
+      SELECT doc_id, width, height, bpp,
+        CAST(width AS BIGINT) * height AS n_pixels,
+        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+        CAST(sum((y + 1) * v) AS BIGINT) AS wsum
+      FROM u GROUP BY 1, 2, 3, 4),
+    m AS (
+      SELECT doc_id, width, height, bpp, n_pixels,
+        round(sum_r / n_pixels::DOUBLE + 1e-9, 6) AS mean_r,
+        round(sum_g / n_pixels::DOUBLE + 1e-9, 6) AS mean_g,
+        round(sum_b / n_pixels::DOUBLE + 1e-9, 6) AS mean_b,
+        round(wsum / (3.0 * n_pixels) + 1e-9, 6) AS row_wmean
+      FROM agg)
+    SELECT doc_id, width, height, bpp, n_pixels, mean_r, mean_g, mean_b,
+      round(0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b + 1e-9, 6)
+        AS luma,
+      row_wmean
+    FROM m ORDER BY doc_id"""
+
   /** Mirrors Multimodal.imageDecodeGif: the engine round-trips a real
     * GIF89a (64-entry global color table, two ancillary extensions,
     * ≤32-byte sub-blocks, genuine variable-width LZW) whose palette
@@ -1672,6 +1732,26 @@ object LlmOracle {
 
   /** Mirrors TextAnalysis.charClasses: count = len − len(strip) with
     * identical regex char-classes. */
+  /** Mirrors TextAnalysis.unicodeNormalize: decomposed sequences are
+    * planted the same way on both sides (e → e+U+0301, o → o+U+0308
+    * via chr(), so no literal-encoding ambiguity), then DuckDB's
+    * utf8proc nfc_normalize stands against the engine's
+    * java.text.Normalizer — md5 of the normalized text pins the two
+    * independent Unicode implementations to byte agreement. */
+  val qTextNormalize: String = """
+    WITH raw AS (
+      SELECT doc_id,
+        replace(replace(text, 'e', 'e' || chr(769)), 'o', 'o' || chr(776)) AS r
+      FROM documents),
+    n AS (
+      SELECT doc_id, r, nfc_normalize(r) AS nfc FROM raw)
+    SELECT doc_id,
+      CAST(length(r) AS BIGINT) AS len_raw,
+      CAST(length(nfc) AS BIGINT) AS len_nfc,
+      CAST(length(r) - length(nfc) AS BIGINT) AS n_composed,
+      md5(nfc) AS md5_nfc
+    FROM n ORDER BY doc_id"""
+
   val qTextCharclass: String = """
     WITH c AS (
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -1744,6 +1824,49 @@ object LlmOracle {
       FROM v GROUP BY 1)
     SELECT doc_id, CAST(100 AS INT) AS sample_rate, n_samples,
       round(n_samples / CAST(100 AS DOUBLE) + 1e-9, 6) AS duration_s,
+      round(sum_amp / n_samples::DOUBLE + 1e-9, 6) AS mean_amp,
+      round(sqrt(sum_sq / n_samples::DOUBLE) + 1e-9, 6) AS rms,
+      peak_abs, zero_crossings,
+      round(zero_crossings / (n_samples - 1)::DOUBLE + 1e-9, 6) AS zcr
+    FROM agg ORDER BY doc_id"""
+
+  /** Mirrors Multimodal.audioDecodeMulaw: the engine round-trips a
+    * G.711 μ-law WAV (fmt tag 7, 18-byte fmt chunk, mandatory fact
+    * chunk, odd-size pad) and expands each companded byte; the oracle
+    * reproduces the CCITT expansion — complement u = 255 − b, then
+    * ((u mod 16)·8 + 132)·2^((u÷16) mod 8) − 132 with sign from
+    * u ≥ 128 — from the generator's closed form, so a compander-table
+    * or chunk-walk bug breaks the hash match. */
+  val qAudioMulaw: String = """
+    WITH aud AS (
+      SELECT doc_id, ((doc_id * 13) % 240 + 4) * 5 AS n
+      FROM documents WHERE doc_id % 3 = 1),
+    sm AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud),
+    d AS (
+      SELECT doc_id, n, i,
+        255 - ((doc_id * 131 + i * 29) % 256) AS u,
+        255 - ((doc_id * 131 + (i - 1) * 29) % 256) AS up
+      FROM sm),
+    v AS (
+      SELECT doc_id, n, i,
+        CASE WHEN u >= 128 THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+             ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132 END AS s,
+        CASE WHEN i > 0 THEN
+          CASE WHEN up >= 128 THEN 132 - (((up % 16) * 8 + 132) * (1 << ((up // 16) % 8)))
+               ELSE (((up % 16) * 8 + 132) * (1 << ((up // 16) % 8))) - 132 END
+        END AS sp
+      FROM d),
+    agg AS (
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(sum(s) AS BIGINT) AS sum_amp,
+        CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        CAST(max(abs(s)) AS INT) AS peak_abs,
+        CAST(sum(CASE WHEN sp IS NOT NULL AND ((s >= 0) != (sp >= 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM v GROUP BY 1)
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n_samples,
+      round(n_samples / CAST(8000 AS DOUBLE) + 1e-9, 6) AS duration_s,
       round(sum_amp / n_samples::DOUBLE + 1e-9, 6) AS mean_amp,
       round(sqrt(sum_sq / n_samples::DOUBLE) + 1e-9, 6) AS rms,
       peak_abs, zero_crossings,
@@ -2818,6 +2941,7 @@ object LlmOracle {
     "q_image_decode" -> qImageDecode,
     "q_image_decode_png" -> qImageDecodePng,
     "q_image_decode_gif" -> qImageDecodeGif,
+    "q_image_decode_bmp" -> qImageDecodeBmp,
     "q_gif_frames" -> qGifFrames,
     "q_gif_composite" -> qGifComposite,
     "q_dedup_url" -> qDedupUrl,
@@ -2831,8 +2955,10 @@ object LlmOracle {
     "q_image_phash_mih" -> qImagePhash,
     "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
+    "q_text_normalize" -> qTextNormalize,
     "q_image_resize" -> qImageResize,
     "q_audio_decode" -> qAudioDecode,
+    "q_audio_mulaw" -> qAudioMulaw,
     "q_video_decode" -> qVideoDecode)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

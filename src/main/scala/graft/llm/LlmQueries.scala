@@ -305,6 +305,8 @@ object LlmQueries {
       Multimodal.imageDecodeJpeg(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_decode_gif" -> ((s, d) =>
       Multimodal.imageDecodeGif(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_image_decode_bmp" -> ((s, d) =>
+      Multimodal.imageDecodeBmp(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_gif_frames" -> ((s, d) =>
       Multimodal.gifFrames(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "q_gif_composite" -> ((s, d) =>
@@ -319,11 +321,15 @@ object LlmQueries {
       TextAnalysis.cdcChunks(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_charclass" -> ((s, d) =>
       TextAnalysis.charClasses(docs(s, d)).orderBy(col("doc_id"))),
+    "q_text_normalize" -> ((s, d) =>
+      TextAnalysis.unicodeNormalize(docs(s, d)).orderBy(col("doc_id"))),
     "q_image_resize" -> ((s, d) =>
       Multimodal.imageResize(s, docs(s, d))
         .orderBy(col("doc_id"), col("cell_y"), col("cell_x"))),
     "q_audio_decode" -> ((s, d) =>
       Multimodal.audioDecode(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_audio_mulaw" -> ((s, d) =>
+      Multimodal.audioDecodeMulaw(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_audio_spectrum" -> ((s, d) =>
       Multimodal.audioSpectrum(s, docs(s, d)).orderBy(col("doc_id"), col("bin"))),
     "q_video_decode" -> ((s, d) =>

@@ -345,6 +345,192 @@ object Multimodal {
         col("mean_r"), col("mean_g"), col("mean_b"), col("luma"))
   }
 
+  // ---- BMP (Windows DIB — the uncompressed workhorse) --------------
+
+  /** Deterministic BMP synthesizer — a REAL Windows bitmap
+    * (BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER) covering the two
+    * mainstream on-disk layouts: 24-bit BGR truecolor (even ids) and
+    * 8-bit palette with a 64-entry BGRA color table (odd ids), stored
+    * BOTTOM-UP except every fifth id which is top-down (negative
+    * height — the DIB spec's other legal orientation). Rows are
+    * padded to 4-byte boundaries; widths 4-12 exercise pad 0-3.
+    * The TOP-DOWN RGB raster follows a closed form (24-bit: channel
+    * byte i = (id·37 + i·11) mod 256; 8-bit: palette index of pixel p
+    * = (id·37 + p·11) mod 64 with palette entry k = ((id·3+k·7),
+    * (id·5+k·11), (id·7+k·13)) mod 256), so the DuckDB oracle mirrors
+    * the DECODED statistics without a BMP library. */
+  private[graft] def synthesizeBmp(docId: Long): Array[Byte] = {
+    val w = (docId % 9 + 4).toInt; val h = (docId % 8 + 4).toInt
+    val bpp = if (docId % 2 == 0) 24 else 8
+    val topDown = docId % 5 == 0
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    val stride = (w * bpp / 8 + 3) / 4 * 4
+    val nColors = if (bpp == 8) 64 else 0
+    val offset = 14 + 40 + 4 * nColors
+    val fileSize = offset + stride * h
+    out.write('B'); out.write('M')
+    w32(fileSize); w16(0); w16(0); w32(offset)
+    w32(40); w32(w); w32(if (topDown) -h else h)
+    w16(1); w16(bpp); w32(0) // planes, bit count, BI_RGB
+    w32(stride * h); w32(2835); w32(2835) // image size, 72-DPI ppm
+    w32(nColors); w32(0)
+    if (bpp == 8) {
+      var k = 0
+      while (k < 64) { // BGRA quads
+        out.write(((docId * 7 + k * 13) % 256).toInt)  // B
+        out.write(((docId * 5 + k * 11) % 256).toInt)  // G
+        out.write(((docId * 3 + k * 7) % 256).toInt)   // R
+        out.write(0)
+        k += 1
+      }
+    }
+    val ys = if (topDown) 0 until h else (h - 1) to 0 by -1
+    ys.foreach { y =>
+      var written = 0
+      var x = 0
+      while (x < w) {
+        if (bpp == 24) {
+          val p = (y * w + x) * 3
+          out.write(((docId * 37 + (p + 2) * 11) % 256).toInt) // B
+          out.write(((docId * 37 + (p + 1) * 11) % 256).toInt) // G
+          out.write(((docId * 37 + p * 11) % 256).toInt)       // R
+          written += 3
+        } else {
+          out.write(((docId * 37 + (y * w + x) * 11) % 64).toInt)
+          written += 1
+        }
+        x += 1
+      }
+      while (written < stride) { out.write(0); written += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Dependency-free BMP decoder — closes the mainstream still-image
+    * set (PPM, PNG, JPEG, GIF, BMP). Parses BITMAPFILEHEADER +
+    * BITMAPINFOHEADER for the uncompressed (BI_RGB) 24-bit truecolor
+    * and 8-bit palette layouts, honoring the format's three raster
+    * quirks — BGR(A) byte order, 4-byte row padding, and bottom-up
+    * vs top-down (sign of height) row order — and returns (width,
+    * height, top-down RGB bytes), the shared contract of
+    * [[decodePpm]]/[[decodePng]]. Anything else (RLE compression,
+    * 1/4/16/32-bit, BITMAPV4/5 headers) fails loudly. */
+  private[graft] def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP (bad magic)")
+    require(i32(2) == bytes.length,
+      s"BMP file-size field ${i32(2)} != payload ${bytes.length}")
+    val offset = i32(10)
+    require(i32(14) == 40, s"unsupported DIB header size ${i32(14)} (BITMAPINFOHEADER only)")
+    val w = i32(18); val hRaw = i32(22)
+    val topDown = hRaw < 0
+    val h = if (topDown) -hRaw else hRaw
+    require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$hRaw")
+    require(u16(26) == 1, s"bad plane count ${u16(26)}")
+    val bpp = u16(28)
+    require(bpp == 8 || bpp == 24, s"unsupported bit depth $bpp (8/24 only)")
+    require(i32(30) == 0, s"unsupported compression ${i32(30)} (BI_RGB only)")
+    val palette: Array[Int] =
+      if (bpp == 8) {
+        val n = { val c = i32(46); if (c == 0) 256 else c }
+        require(offset == 54 + 4 * n, s"palette BMP offset $offset != ${54 + 4 * n}")
+        Array.tabulate(n) { k =>
+          val o = 54 + 4 * k // BGRA quad → packed 0xRRGGBB
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+        }
+      } else {
+        require(offset == 54, s"truecolor BMP offset $offset != 54")
+        null
+      }
+    val stride = (w * bpp / 8 + 3) / 4 * 4
+    require(offset + stride.toLong * h <= bytes.length,
+      s"truncated BMP pixel data (need ${stride.toLong * h}, have ${bytes.length - offset})")
+    val out = new Array[Byte](w * h * 3)
+    var yy = 0
+    while (yy < h) {
+      val srcY = if (topDown) yy else h - 1 - yy
+      val ro = offset + srcY * stride
+      var x = 0
+      while (x < w) {
+        val o = (yy * w + x) * 3
+        if (bpp == 24) {
+          out(o) = bytes(ro + 3 * x + 2)     // R
+          out(o + 1) = bytes(ro + 3 * x + 1) // G
+          out(o + 2) = bytes(ro + 3 * x)     // B
+        } else {
+          val idx = bytes(ro + x) & 0xff
+          require(idx < palette.length, s"palette index $idx out of range")
+          val rgb = palette(idx)
+          out(o) = ((rgb >> 16) & 0xff).toByte
+          out(o + 1) = ((rgb >> 8) & 0xff).toByte
+          out(o + 2) = (rgb & 0xff).toByte
+        }
+        x += 1
+      }
+      yy += 1
+    }
+    (w, h, out)
+  }
+
+  case class DecodedBmp(doc_id: Long, width: Int, height: Int, bpp: Int,
+      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
+
+  /** REAL BMP decode over synthesized payloads — the q_image_decode
+    * pipeline through [[synthesizeBmp]] → bytes → [[decodeBmp]].
+    * Beyond the channel means the frame reports a ROW-WEIGHTED mean
+    * (Σ (y+1)·(r+g+b) / 3n): channel sums are permutation-invariant,
+    * so only a position-sensitive statistic makes the bottom-up flip
+    * and the 4-byte row padding load-bearing in the oracle hash — a
+    * decoder that forgets to flip or mis-steps the stride still gets
+    * the channel sums right and THIS column wrong.
+    *
+    * Plan: stateless partition-local decode (mapPartitions with a
+    * case-class Encoder — the mapInPandas batch shape), integer sums
+    * out, means as plan projections. */
+  def imageDecodeBmp(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = metadata(documents)
+      .filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (dw, dh, px) = decodeBmp(synthesizeBmp(id))
+          var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+          var p = 0
+          val n = dw * dh
+          while (p < n) {
+            val r = px(3 * p).toInt & 0xff
+            val g = px(3 * p + 1).toInt & 0xff
+            val b = px(3 * p + 2).toInt & 0xff
+            sr += r; sg += g; sb += b
+            ws += (p / dw + 1).toLong * (r + g + b)
+            p += 1
+          }
+          DecodedBmp(id, dw, dh, if (id % 2 == 0) 24 else 8,
+            n.toLong, sr, sg, sb, ws)
+        }
+      }.toDF()
+    def mean(c: String) =
+      round(col(c) / col("n_pixels").cast("double") + lit(1e-9), 6)
+    decoded
+      .withColumn("mean_r", mean("sum_r"))
+      .withColumn("mean_g", mean("sum_g"))
+      .withColumn("mean_b", mean("sum_b"))
+      .withColumn("luma", round(lit(0.299) * col("mean_r")
+        + lit(0.587) * col("mean_g") + lit(0.114) * col("mean_b")
+        + lit(1e-9), 6))
+      .withColumn("row_wmean",
+        round(col("wsum") / (lit(3.0) * col("n_pixels")) + lit(1e-9), 6))
+      .select(col("doc_id"), col("width"), col("height"), col("bpp"),
+        col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"),
+        col("luma"), col("row_wmean"))
+  }
+
   // ---- GIF (GIF89a, pure LZW — no native codec needed) -------------
 
   /** GIF variable-code-width LZW encoder (GIF89a Appendix F):
@@ -1405,6 +1591,135 @@ object Multimodal {
         col("zero_crossings"), col("zcr"))
   }
 
+  /** Deterministic G.711 μ-law WAV synthesizer — a REAL RIFF/WAVE
+    * stream in the OTHER mainstream PCM encoding (format tag 7,
+    * 8-bit companded samples at 8 kHz — the telephony standard).
+    * Spec-correct non-PCM layout: an 18-byte fmt chunk (cbSize = 0)
+    * and the MANDATORY `fact` chunk carrying dwSampleLength, which
+    * the decoder cross-checks against the data size — plus the RIFF
+    * odd-size pad byte whenever the sample count is odd. Byte i =
+    * (id·131 + i·29) mod 256 (closed form for the oracle); every
+    * μ-law code point 0x00-0xFF appears. */
+  private[graft] def synthesizeMulawWav(docId: Long): Array[Byte] = {
+    val n = (((docId * 13) % 240 + 4) * 5).toInt
+    val rate = 8000
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    val riffSize = 4 + (8 + 18) + (8 + 4) + (8 + n + (n & 1))
+    tag("RIFF"); w32(riffSize); tag("WAVE")
+    tag("fmt "); w32(18)
+    w16(7); w16(1); w32(rate); w32(rate); w16(1); w16(8); w16(0) // WAVE_FORMAT_MULAW, cbSize=0
+    tag("fact"); w32(4); w32(n) // dwSampleLength — mandatory for non-PCM
+    tag("data"); w32(n)
+    var i = 0
+    while (i < n) { out.write(((docId * 131 + i * 29) % 256).toInt); i += 1 }
+    if ((n & 1) == 1) out.write(0) // RIFF odd-chunk pad
+    out.toByteArray
+  }
+
+  /** G.711 μ-law expansion of one companded byte to 16-bit linear
+    * (the CCITT segment/mantissa layout with bias 0x84): complement,
+    * then ((mantissa·8 + 132) << segment) − 132, sign from bit 7.
+    * Max magnitude 32124 (bytes 0x00/0x80); 0xFF/0x7F decode to ±0. */
+  private[graft] def mulawToLinear(b: Byte): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Dependency-free μ-law RIFF/WAVE decoder — the non-PCM sibling of
+    * [[decodeWav]]. Walks the chunk list (odd-size padding honored),
+    * requires format tag 7 / mono / 8-bit, expands every companded
+    * byte through [[mulawToLinear]], and cross-checks the `fact`
+    * chunk's dwSampleLength against the data chunk — a stream whose
+    * fact disagrees is corrupt and fails loudly. Returns
+    * (sampleRate, 16-bit linear samples). */
+  private[graft] def decodeMulawWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE stream")
+    require(u32(4) == bytes.length - 8,
+      s"RIFF size field ${u32(4)} != payload ${bytes.length - 8}")
+    var pos = 12
+    var fmtCode = -1; var channels = -1; var rate = -1; var bits = -1
+    var factSamples = -1L
+    var samples: Array[Int] = null
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos); val size = u32(pos + 4).toInt; pos += 8
+      require(size >= 0 && pos + size <= bytes.length, s"truncated '$id' chunk")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"short fmt chunk ($size bytes)")
+          fmtCode = u16(pos); channels = u16(pos + 2)
+          rate = u32(pos + 4).toInt; bits = u16(pos + 14)
+        case "fact" =>
+          require(size >= 4, s"short fact chunk ($size bytes)")
+          factSamples = u32(pos)
+        case "data" =>
+          require(fmtCode == 7 && channels == 1 && bits == 8,
+            s"unsupported WAV layout fmt=$fmtCode ch=$channels bits=$bits (mu-law mono only)")
+          samples = Array.tabulate(size)(i => mulawToLinear(bytes(pos + i)))
+        case _ => () // LIST / … — skipped
+      }
+      pos += size + (size & 1) // odd chunks carry one pad byte
+    }
+    require(samples != null, "no data chunk in WAVE stream")
+    require(factSamples == samples.length,
+      s"fact chunk says $factSamples samples, data chunk has ${samples.length}")
+    (rate, samples)
+  }
+
+  /** REAL μ-law audio decode over synthesized fmt-7 RIFF/WAVE
+    * payloads — [[audioDecode]]'s pipeline through the companded
+    * telephony encoding: synthesize → chunk-walk → G.711 expand →
+    * integer sample statistics. The DuckDB oracle reproduces the
+    * expansion arithmetic ((mant·8+132)·2^seg − 132 on the
+    * complemented byte) from the generator's closed form, so a bug in
+    * the compander table, the fact cross-check, or the chunk walk
+    * breaks the hash match.
+    *
+    * Plan: stateless partition-local decode (mapPartitions with a
+    * case-class Encoder), integer sums out, means as projections. */
+  def audioDecodeMulaw(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = metadata(documents)
+      .filter(col("modality") === "audio")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (rate, xs) = decodeMulawWav(synthesizeMulawWav(id))
+          var sa = 0L; var sq = 0L; var peak = 0; var zc = 0L
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i)
+            sa += v; sq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((v >= 0) != (xs(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          DecodedAudio(id, rate, xs.length.toLong, sa, sq, peak, zc)
+        }
+      }.toDF()
+    decoded
+      .withColumn("duration_s",
+        round(col("n_samples") / col("sample_rate").cast("double") + lit(1e-9), 6))
+      .withColumn("mean_amp",
+        round(col("sum_amp") / col("n_samples").cast("double") + lit(1e-9), 6))
+      .withColumn("rms",
+        round(sqrt(col("sum_sq") / col("n_samples").cast("double")) + lit(1e-9), 6))
+      .withColumn("zcr",
+        round(col("zero_crossings") / (col("n_samples") - 1).cast("double")
+          + lit(1e-9), 6))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_s"), col("mean_amp"), col("rms"), col("peak_abs"),
+        col("zero_crossings"), col("zcr"))
+  }
+
   case class SpectrumBin(doc_id: Long, bin: Int, c_sum: Long, s_sum: Long)
 
   /** REAL audio feature extraction past the sample stats: per audio
@@ -1893,9 +2208,12 @@ object Multimodal {
       (payload(1) & 0xff) == 0xd8
     val isGif = payload.length >= 6 && payload(0) == 'G'.toByte &&
       payload(1) == 'I'.toByte && payload(2) == 'F'.toByte && payload(3) == '8'.toByte
+    val isBmp = payload.length >= 54 && payload(0) == 'B'.toByte &&
+      payload(1) == 'M'.toByte
     val img =
       if (isPng) scala.util.Try(decodePng(payload)).toOption
       else if (isGif) scala.util.Try(decodeGif(payload)).toOption
+      else if (isBmp) scala.util.Try(decodeBmp(payload)).toOption
       else if (isJpeg) scala.util.Try(decodeJpeg(payload)).toOption.map {
         case (w, h, gray) => // replicate gray across the RGB layout
           val rgb = new Array[Byte](gray.length * 3)

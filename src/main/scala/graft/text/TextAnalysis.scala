@@ -1617,4 +1617,37 @@ object TextAnalysis {
         col("upper_share"), col("digit_share"), col("space_share"),
         col("other_share"))
   }
+
+  /** Unicode NFC canonicalization report — the normalization step a
+    * corpus pipeline runs before hashing (two byte spellings of "é"
+    * must not defeat exact dedup or shift token counts). The corpus
+    * text is ASCII, so the query plants DECOMPOSED sequences
+    * deterministically (every 'e' → e + U+0301, every 'o' →
+    * o + U+0308) and runs the native `graft_nfc` expression
+    * (java.text.Normalizer under whole-stage codegen); the DuckDB
+    * oracle mirrors with utf8proc's nfc_normalize. Reported per doc:
+    * codepoint length before/after, the composed-mark count
+    * (= their difference), and md5 of the normalized text — the md5
+    * pins BYTE-level agreement of the two independent Unicode
+    * implementations, so a wrong composition anywhere breaks the
+    * hash match.
+    *
+    * Plan: a stateless projection over the documents scan — the
+    * normalizer runs inside codegen with an isNormalized fast path;
+    * no shuffle at all. */
+  def unicodeNormalize(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      // 'e' -> e + COMBINING ACUTE (U+0301); 'o' -> o + COMBINING
+      // DIAERESIS (U+0308) -- decomposed on purpose so the NFC
+      // composition itself is load-bearing in the oracle hash
+      .withColumn("raw", expr(
+        "replace(replace(text, 'e', 'e\u0301'), 'o', 'o\u0308')"))
+      .withColumn("nfc", expr("graft_nfc(raw)"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(col("nfc")).cast("long").as("len_nfc"),
+        (length(col("raw")) - length(col("nfc"))).cast("long").as("n_composed"),
+        md5(expr("encode(nfc, 'UTF-8')")).as("md5_nfc"))
+  }
 }

@@ -32,7 +32,7 @@ class ContractSpec extends SparkSpec {
 
   test("bench headline queries all exist") {
     val missing = (Bench.headline.toSet ++ Bench.headline2 ++ Bench.headline3 ++
-      Bench.headline4 ++ Bench.headline5) -- SparkEntry.queries.keySet
+      Bench.headline4 ++ Bench.headline5 ++ Bench.headline6) -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"headline names without queries: $missing")
     // a query in two tiers would be double-counted in the totals
     assert(Bench.headline.intersect(Bench.headline2).isEmpty)
@@ -41,6 +41,8 @@ class ContractSpec extends SparkSpec {
       .intersect(Bench.headline4).isEmpty)
     assert((Bench.headline ++ Bench.headline2 ++ Bench.headline3 ++ Bench.headline4)
       .intersect(Bench.headline5).isEmpty)
+    assert((Bench.headline ++ Bench.headline2 ++ Bench.headline3 ++ Bench.headline4
+      ++ Bench.headline5).intersect(Bench.headline6).isEmpty)
   }
 
   test("flagship entry returns rows on the smoke scale factor") {

@@ -60,6 +60,37 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(viaSql - expected) < 1e-12)
   }
 
+  test("nfc normalization composes decomposed sequences, is idempotent, passes nulls") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val decE = "e\u0301" // e + COMBINING ACUTE -- two codepoints
+    val preE = "\u00e9"  // precomposed e-acute -- one codepoint
+    val decO = "o\u0308" // o + COMBINING DIAERESIS
+    val preO = "\u00f6"  // precomposed o-diaeresis
+    assert(NfcNormalize.nfc(UTF8String.fromString(decE)).toString === preE)
+    // already-NFC input takes the fast path and returns the SAME object
+    val clean = UTF8String.fromString("plain ascii")
+    assert(NfcNormalize.nfc(clean) eq clean)
+    // composition + idempotence through the SQL surface (codegen path)
+    GraftFunctions.register(spark)
+    val df = Seq(decE, decO, s"Am${decE}lie ${decO}ko", preE, "abc")
+      .toDF("s")
+      .withColumn("n", expr("graft_nfc(s)"))
+      .withColumn("nn", expr("graft_nfc(graft_nfc(s))"))
+      .withColumn("len_s", length($"s"))
+      .withColumn("len_n", length($"n"))
+    assert(df.filter($"n" =!= $"nn").count() === 0, "NFC must be idempotent")
+    val byIn = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byIn(decE).getString(1) === preE)
+    assert(byIn(decE).getInt(3) === 2 && byIn(decE).getInt(4) === 1)
+    assert(byIn(decO).getString(1) === preO)
+    assert(byIn(s"Am${decE}lie ${decO}ko").getString(1) === s"Am${preE}lie ${preO}ko")
+    assert(byIn(preE).getString(1) === preE) // precomposed unchanged
+    assert(byIn("abc").getString(1) === "abc")
+    // null passthrough
+    val nul = Seq[String](null).toDF("s").select(expr("graft_nfc(s)")).head
+    assert(nul.isNullAt(0))
+  }
+
   test("extensions class injects every graft function without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }

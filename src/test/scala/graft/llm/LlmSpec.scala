@@ -674,6 +674,66 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodePng("P6\n2 1\n255\nABCDEF".getBytes))
   }
 
+  test("BMP decode: all four layout quadrants reproduce the closed form; corruption fails loudly") {
+    // ids cover 24-bit/8-bit × bottom-up/top-down and row pads 0-3:
+    // 0 = 24-bit top-down pad 0, 3 = 8-bit bottom-up pad 1,
+    // 5 = 8-bit top-down pad 3, 6 = 24-bit bottom-up pad 2,
+    // 12 = 24-bit bottom-up pad 3
+    for (id <- Seq(0L, 3L, 5L, 6L, 12L)) {
+      val (w, h, px) = Multimodal.decodeBmp(Multimodal.synthesizeBmp(id))
+      assert(w === (id % 9 + 4).toInt && h === (id % 8 + 4).toInt, s"id $id dims")
+      if (id % 2 == 0)
+        (0 until w * h * 3).foreach(i =>
+          assert((px(i) & 0xff) === ((id * 37 + i * 11) % 256).toInt, s"id $id byte $i"))
+      else
+        (0 until w * h).foreach { p =>
+          val j = ((id * 37 + p * 11) % 64).toInt
+          assert((px(3 * p) & 0xff) === ((id * 3 + j * 7) % 256).toInt, s"id $id px $p R")
+          assert((px(3 * p + 1) & 0xff) === ((id * 5 + j * 11) % 256).toInt, s"id $id px $p G")
+          assert((px(3 * p + 2) & 0xff) === ((id * 7 + j * 13) % 256).toInt, s"id $id px $p B")
+        }
+    }
+    // loud failures, never silent fallbacks
+    val good = Multimodal.synthesizeBmp(6L)
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(good.take(53))) // short header
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(good.dropRight(1))) // size field mismatch
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(badMagic))
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8 — unsupported, must refuse
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(rle))
+    val bpp16 = good.clone(); bpp16(28) = 16
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(bpp16))
+    // featureExtract routes BMP payloads by magic to the real decoder
+    val feat = Multimodal.mediaFeature(good)
+    assert(feat(6) === 1f && feat(7) === 0f)
+    assert(feat(0) === 10 / 4096f && feat(1) === 10 / 4096f) // id 6: 10x10
+  }
+
+  test("mu-law WAV decode: G.711 anchors, closed-form agreement, fact cross-check, odd pad") {
+    // canonical compander anchors (Sun g711.c convention)
+    assert(Multimodal.mulawToLinear(0x00.toByte) === -32124)
+    assert(Multimodal.mulawToLinear(0x80.toByte) === 32124)
+    assert(Multimodal.mulawToLinear(0xff.toByte) === 0)  // +0
+    assert(Multimodal.mulawToLinear(0x7f.toByte) === 0)  // -0
+    assert(Multimodal.mulawToLinear(0xf0.toByte) === 120) // seg 0, mant 15: 252-132
+    // n = ((7·13)%240+4)·5 = 475 — odd, so the RIFF pad byte is exercised
+    val wav = Multimodal.synthesizeMulawWav(7L)
+    assert(wav.length % 2 === 0, "odd data chunk must carry a pad byte")
+    val (rate, xs) = Multimodal.decodeMulawWav(wav)
+    assert(rate === 8000 && xs.length === 475)
+    xs.indices.foreach { i =>
+      val b = ((7L * 131 + i * 29) % 256).toByte
+      assert(xs(i) === Multimodal.mulawToLinear(b), s"sample $i")
+    }
+    // a fact chunk that disagrees with the data size is corrupt — loud
+    val bad = wav.clone(); bad(46) = (bad(46) ^ 1).toByte // fact payload at 12+8+18+8
+    val e = intercept[IllegalArgumentException](Multimodal.decodeMulawWav(bad))
+    assert(e.getMessage.contains("fact"))
+    // a PCM16 stream must be refused by the mu-law decoder (and vice versa)
+    intercept[IllegalArgumentException](Multimodal.decodeMulawWav(Multimodal.synthesizeWav(7L)))
+    intercept[IllegalArgumentException](Multimodal.decodeWav(wav))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
