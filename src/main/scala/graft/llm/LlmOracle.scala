@@ -1330,6 +1330,61 @@ object LlmOracle {
       row_wmean
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.imageDecodeTiff: the engine round-trips a
+    * real baseline TIFF (II little-endian on ids % 4 < 2, MM
+    * big-endian otherwise; grayscale/RGB by parity; RowsPerStrip 3 ⇒
+    * 2-3 strips; RGB BitsPerSample behind an offset) whose top-down
+    * raster is closed-form; the oracle reproduces the decoded
+    * statistics from the generator arithmetic — the row-weighted mean
+    * makes the strip walk position-sensitive, and gray replicates
+    * across the RGB channels exactly as the engine does. */
+  val qImageDecodeTiff: String = """
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 10 + 4 AS INT) AS width,
+             CAST(doc_id % 6 + 4 AS INT) AS height,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS photometric,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS spp
+      FROM documents WHERE doc_id % 3 = 0),
+    rgb AS (
+      SELECT doc_id, width, height, photometric,
+        unnest(range(0, width * height * 3)) AS i
+      FROM img WHERE spp = 3),
+    rgbv AS (
+      SELECT doc_id, width, height, photometric, (i // 3) // width AS y, i % 3 AS c,
+        (doc_id * 41 + i * 13) % 256 AS v
+      FROM rgb),
+    gr AS (
+      SELECT doc_id, width, height, photometric,
+        unnest(range(0, width * height)) AS p
+      FROM img WHERE spp = 1),
+    grv AS (
+      SELECT doc_id, width, height, photometric, p // width AS y, c,
+        (doc_id * 41 + p * 13) % 256 AS v
+      FROM gr, (SELECT unnest(range(0, 3)) AS c)),
+    u AS (SELECT * FROM rgbv UNION ALL SELECT * FROM grv),
+    agg AS (
+      SELECT doc_id, width, height, photometric,
+        CAST(width AS BIGINT) * height AS n_pixels,
+        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+        CAST(sum((y + 1) * v) AS BIGINT) AS wsum
+      FROM u GROUP BY 1, 2, 3, 4),
+    m AS (
+      SELECT doc_id, width, height, photometric,
+        CAST((height + 2) // 3 AS INT) AS n_strips, n_pixels,
+        round(sum_r / n_pixels::DOUBLE + 1e-9, 6) AS mean_r,
+        round(sum_g / n_pixels::DOUBLE + 1e-9, 6) AS mean_g,
+        round(sum_b / n_pixels::DOUBLE + 1e-9, 6) AS mean_b,
+        round(wsum / (3.0 * n_pixels) + 1e-9, 6) AS row_wmean
+      FROM agg)
+    SELECT doc_id, width, height, photometric, n_strips, n_pixels,
+      mean_r, mean_g, mean_b,
+      round(0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b + 1e-9, 6)
+        AS luma,
+      row_wmean
+    FROM m ORDER BY doc_id"""
+
   /** Mirrors Multimodal.imageDecodeGif: the engine round-trips a real
     * GIF89a (64-entry global color table, two ancillary extensions,
     * ≤32-byte sub-blocks, genuine variable-width LZW) whose palette
@@ -1856,6 +1911,49 @@ object LlmOracle {
           CASE WHEN up >= 128 THEN 132 - (((up % 16) * 8 + 132) * (1 << ((up // 16) % 8)))
                ELSE (((up % 16) * 8 + 132) * (1 << ((up // 16) % 8))) - 132 END
         END AS sp
+      FROM d),
+    agg AS (
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(sum(s) AS BIGINT) AS sum_amp,
+        CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        CAST(max(abs(s)) AS INT) AS peak_abs,
+        CAST(sum(CASE WHEN sp IS NOT NULL AND ((s >= 0) != (sp >= 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM v GROUP BY 1)
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n_samples,
+      round(n_samples / CAST(8000 AS DOUBLE) + 1e-9, 6) AS duration_s,
+      round(sum_amp / n_samples::DOUBLE + 1e-9, 6) AS mean_amp,
+      round(sqrt(sum_sq / n_samples::DOUBLE) + 1e-9, 6) AS rms,
+      peak_abs, zero_crossings,
+      round(zero_crossings / (n_samples - 1)::DOUBLE + 1e-9, 6) AS zcr
+    FROM agg ORDER BY doc_id"""
+
+  /** Mirrors Multimodal.audioDecodeAlaw: the E.711 A-law expansion —
+    * XOR 0x55, then segment-cased mantissa scaling (seg 0: 16m+8,
+    * seg 1: 16m+264, seg s≥2: (16m+264)·2^(s−1)), sign from bit 7 —
+    * reproduced from the generator's closed form. */
+  val qAudioAlaw: String = """
+    WITH aud AS (
+      SELECT doc_id, ((doc_id * 17) % 240 + 4) * 5 AS n
+      FROM documents WHERE doc_id % 3 = 1),
+    sm AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud),
+    d AS (
+      SELECT doc_id, n, i,
+        xor((doc_id * 151 + i * 31) % 256, 85) AS a,
+        CASE WHEN i > 0 THEN xor((doc_id * 151 + (i - 1) * 31) % 256, 85) END AS ap
+      FROM sm),
+    v AS (
+      SELECT doc_id, n, i,
+        CASE WHEN a >= 128 THEN 1 ELSE -1 END *
+          (CASE (a // 16) % 8 WHEN 0 THEN (a % 16) * 16 + 8
+                WHEN 1 THEN (a % 16) * 16 + 264
+                ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END) AS s,
+        CASE WHEN ap IS NULL THEN NULL ELSE
+          CASE WHEN ap >= 128 THEN 1 ELSE -1 END *
+            (CASE (ap // 16) % 8 WHEN 0 THEN (ap % 16) * 16 + 8
+                  WHEN 1 THEN (ap % 16) * 16 + 264
+                  ELSE ((ap % 16) * 16 + 264) * (1 << ((ap // 16) % 8 - 1)) END) END AS sp
       FROM d),
     agg AS (
       SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
@@ -2942,6 +3040,7 @@ object LlmOracle {
     "q_image_decode_png" -> qImageDecodePng,
     "q_image_decode_gif" -> qImageDecodeGif,
     "q_image_decode_bmp" -> qImageDecodeBmp,
+    "q_image_decode_tiff" -> qImageDecodeTiff,
     "q_gif_frames" -> qGifFrames,
     "q_gif_composite" -> qGifComposite,
     "q_dedup_url" -> qDedupUrl,
@@ -2959,6 +3058,7 @@ object LlmOracle {
     "q_image_resize" -> qImageResize,
     "q_audio_decode" -> qAudioDecode,
     "q_audio_mulaw" -> qAudioMulaw,
+    "q_audio_alaw" -> qAudioAlaw,
     "q_video_decode" -> qVideoDecode)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

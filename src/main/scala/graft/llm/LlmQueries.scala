@@ -307,6 +307,8 @@ object LlmQueries {
       Multimodal.imageDecodeGif(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_decode_bmp" -> ((s, d) =>
       Multimodal.imageDecodeBmp(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_image_decode_tiff" -> ((s, d) =>
+      Multimodal.imageDecodeTiff(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_gif_frames" -> ((s, d) =>
       Multimodal.gifFrames(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "q_gif_composite" -> ((s, d) =>
@@ -330,6 +332,8 @@ object LlmQueries {
       Multimodal.audioDecode(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_audio_mulaw" -> ((s, d) =>
       Multimodal.audioDecodeMulaw(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_audio_alaw" -> ((s, d) =>
+      Multimodal.audioDecodeAlaw(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_audio_spectrum" -> ((s, d) =>
       Multimodal.audioSpectrum(s, docs(s, d)).orderBy(col("doc_id"), col("bin"))),
     "q_video_decode" -> ((s, d) =>

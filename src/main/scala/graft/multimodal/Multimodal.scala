@@ -531,6 +531,217 @@ object Multimodal {
         col("luma"), col("row_wmean"))
   }
 
+  // ---- TIFF (baseline 6.0, uncompressed — both byte orders) --------
+
+  /** Deterministic TIFF synthesizer — a REAL baseline TIFF 6.0 file
+    * exercising the format's three classic parser traps: BOTH byte
+    * orders (`II` little-endian when id mod 4 < 2, `MM` big-endian
+    * otherwise — the only format in the set whose integers change
+    * endianness per file), inline-vs-offset IFD value encoding (a
+    * scalar SHORT lives left-justified inside the 4-byte value field;
+    * the RGB variant's BitsPerSample count-3 array and every strip
+    * offset/count array overflow it and move behind an offset), and
+    * MULTI-STRIP pixel layout (RowsPerStrip 3 ⇒ 2-3 strips per image
+    * whose offsets the decoder must walk in order). Grayscale
+    * (PhotometricInterpretation 1) on odd ids, RGB (2) on even; the
+    * top-down raster is closed-form byte i = (id·41 + i·13) mod 256
+    * so the DuckDB oracle mirrors the decoded statistics without a
+    * TIFF library. */
+  private[graft] def synthesizeTiff(docId: Long): Array[Byte] = {
+    val w = (docId % 10 + 4).toInt; val h = (docId % 6 + 4).toInt
+    val rgb = docId % 2 == 0
+    val little = docId % 4 < 2
+    val spp = if (rgb) 3 else 1
+    val rps = 3
+    val nStrips = (h + rps - 1) / rps
+    val raw = Array.tabulate(w * h * spp)(i => ((docId * 41 + i * 13) % 256).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Int): Unit =
+      if (little) { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      else { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+    val nEntries = 9
+    val posAfterIfd = 8 + 2 + nEntries * 12 + 4
+    val bpsOff = posAfterIfd // 3-SHORT BitsPerSample array (RGB only)
+    val extra = if (rgb) 6 else 0
+    val soArrOff = posAfterIfd + extra
+    val scArrOff = soArrOff + 4 * nStrips
+    val dataOff = scArrOff + 4 * nStrips
+    val stripLens = Array.tabulate(nStrips) { s =>
+      (math.min(h, (s + 1) * rps) - s * rps) * w * spp
+    }
+    val stripOffs = stripLens.scanLeft(dataOff)(_ + _).init
+    // IFD entry: tag, type, count, value field (inline left-justified
+    // SHORT, or a LONG/offset filling the field)
+    def entryShort(tag: Int, v: Int): Unit = { w16(tag); w16(3); w32(1); w16(v); w16(0) }
+    def entryLong(tag: Int, count: Int, v: Int): Unit = { w16(tag); w16(4); w32(count); w32(v) }
+    out.write(if (little) 'I' else 'M'); out.write(if (little) 'I' else 'M')
+    w16(42); w32(8) // magic + first-IFD offset
+    w16(nEntries)
+    entryShort(256, w)                                    // ImageWidth
+    entryShort(257, h)                                    // ImageLength
+    if (rgb) { w16(258); w16(3); w32(3); w32(bpsOff) }    // BitsPerSample via offset
+    else entryShort(258, 8)
+    entryShort(259, 1)                                    // Compression: none
+    entryShort(262, if (rgb) 2 else 1)                    // Photometric
+    entryLong(273, nStrips, soArrOff)                     // StripOffsets
+    entryShort(277, spp)                                  // SamplesPerPixel
+    entryShort(278, rps)                                  // RowsPerStrip
+    entryLong(279, nStrips, scArrOff)                     // StripByteCounts
+    w32(0) // no next IFD
+    if (rgb) { w16(8); w16(8); w16(8) }
+    stripOffs.foreach(w32)
+    stripLens.foreach(w32)
+    out.write(raw)
+    out.toByteArray
+  }
+
+  /** Dependency-free baseline-TIFF decoder: reads the byte-order
+    * mark, walks the IFD honoring inline-vs-offset value encoding,
+    * and reassembles the multi-strip raster (cross-checking every
+    * StripByteCount against the geometry). Supports the uncompressed
+    * 8-bit grayscale and RGB baseline (Compression 1); anything else
+    * — LZW/JPEG-in-TIFF, tiles, multi-IFD, other bit depths — fails
+    * loudly. Returns (width, height, photometric, nStrips, top-down
+    * RGB bytes with gray replicated across channels). */
+  private[graft] def decodeTiff(bytes: Array[Byte]): (Int, Int, Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8, "truncated TIFF header")
+    val little = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte
+    require(little || (bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte),
+      "not a TIFF (bad byte-order mark)")
+    def u16(o: Int): Int =
+      if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Int =
+      if (little) u16(o) | (u16(o + 2) << 16) else (u16(o) << 16) | u16(o + 2)
+    require(u16(2) == 42, s"bad TIFF magic ${u16(2)}")
+    val ifd = u32(4)
+    require(ifd + 2 <= bytes.length, "IFD offset out of range")
+    val n = u16(ifd)
+    require(ifd + 2 + 12 * n + 4 <= bytes.length, "truncated IFD")
+    val tags = scala.collection.mutable.Map[Int, Array[Int]]()
+    var k = 0
+    while (k < n) {
+      val o = ifd + 2 + 12 * k
+      val tag = u16(o); val typ = u16(o + 2); val cnt = u32(o + 4)
+      val tsz = typ match {
+        case 1 => 1
+        case 3 => 2
+        case 4 => 4
+        case t => throw new IllegalArgumentException(s"unsupported IFD type $t")
+      }
+      // values ≤ 4 bytes live INLINE, left-justified in the value
+      // field; larger arrays live behind an offset — the endianness
+      // applies inside either encoding
+      val vo = if (tsz * cnt <= 4) o + 8 else u32(o + 8)
+      require(vo + tsz * cnt <= bytes.length, s"tag $tag values out of range")
+      tags(tag) = Array.tabulate(cnt)(i => typ match {
+        case 1 => bytes(vo + i) & 0xff
+        case 3 => u16(vo + 2 * i)
+        case 4 => u32(vo + 4 * i)
+      })
+      k += 1
+    }
+    require(u32(ifd + 2 + 12 * n) == 0, "multi-IFD TIFF unsupported")
+    def one(tag: Int, what: String): Int = {
+      require(tags.contains(tag), s"missing required tag $tag ($what)")
+      tags(tag)(0)
+    }
+    val w = one(256, "ImageWidth"); val h = one(257, "ImageLength")
+    require(w > 0 && h > 0, s"bad TIFF dimensions ${w}x$h")
+    require(one(259, "Compression") == 1, "compressed TIFF unsupported (baseline only)")
+    val photo = one(262, "PhotometricInterpretation")
+    val spp = tags.get(277).map(_(0)).getOrElse(1)
+    require((photo == 1 && spp == 1) || (photo == 2 && spp == 3),
+      s"unsupported TIFF layout photometric=$photo spp=$spp")
+    val bps = tags(258)
+    require(bps.length == spp && bps.forall(_ == 8),
+      s"unsupported bit depth ${bps.mkString(",")} (8-bit only)")
+    val rps = tags.get(278).map(_(0)).getOrElse(h)
+    val nStrips = (h + rps - 1) / rps
+    val offs = tags.getOrElse(273, Array.emptyIntArray)
+    val cnts = tags.getOrElse(279, Array.emptyIntArray)
+    require(offs.length == nStrips && cnts.length == nStrips,
+      s"strip arrays (${offs.length}/${cnts.length}) != $nStrips strips")
+    val raw = new Array[Byte](w * h * spp)
+    var pos = 0
+    var s = 0
+    while (s < nStrips) {
+      val rows = math.min(h, (s + 1) * rps) - s * rps
+      require(cnts(s) == rows * w * spp,
+        s"strip $s byte count ${cnts(s)} != geometry ${rows * w * spp}")
+      require(offs(s) + cnts(s) <= bytes.length, s"strip $s out of range")
+      System.arraycopy(bytes, offs(s), raw, pos, cnts(s))
+      pos += cnts(s)
+      s += 1
+    }
+    val out = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      if (spp == 3) {
+        out(3 * p) = raw(3 * p); out(3 * p + 1) = raw(3 * p + 1)
+        out(3 * p + 2) = raw(3 * p + 2)
+      } else {
+        out(3 * p) = raw(p); out(3 * p + 1) = raw(p); out(3 * p + 2) = raw(p)
+      }
+      p += 1
+    }
+    (w, h, photo, nStrips, out)
+  }
+
+  case class DecodedTiff(doc_id: Long, width: Int, height: Int,
+      photometric: Int, n_strips: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
+
+  /** REAL TIFF decode over synthesized payloads — the q_image_decode
+    * pipeline through [[synthesizeTiff]] → bytes → [[decodeTiff]],
+    * with the row-weighted mean making the strip walk order
+    * position-sensitive in the oracle hash (a decoder that reads
+    * strips out of order or mis-sizes one keeps the channel sums and
+    * breaks this column).
+    *
+    * Plan: stateless partition-local decode (mapPartitions with a
+    * case-class Encoder), integer sums out, means as projections. */
+  def imageDecodeTiff(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = metadata(documents)
+      .filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (dw, dh, photo, nStrips, px) = decodeTiff(synthesizeTiff(id))
+          var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+          var p = 0
+          val n = dw * dh
+          while (p < n) {
+            val r = px(3 * p).toInt & 0xff
+            val g = px(3 * p + 1).toInt & 0xff
+            val b = px(3 * p + 2).toInt & 0xff
+            sr += r; sg += g; sb += b
+            ws += (p / dw + 1).toLong * (r + g + b)
+            p += 1
+          }
+          DecodedTiff(id, dw, dh, photo, nStrips, n.toLong, sr, sg, sb, ws)
+        }
+      }.toDF()
+    def mean(c: String) =
+      round(col(c) / col("n_pixels").cast("double") + lit(1e-9), 6)
+    decoded
+      .withColumn("mean_r", mean("sum_r"))
+      .withColumn("mean_g", mean("sum_g"))
+      .withColumn("mean_b", mean("sum_b"))
+      .withColumn("luma", round(lit(0.299) * col("mean_r")
+        + lit(0.587) * col("mean_g") + lit(0.114) * col("mean_b")
+        + lit(1e-9), 6))
+      .withColumn("row_wmean",
+        round(col("wsum") / (lit(3.0) * col("n_pixels")) + lit(1e-9), 6))
+      .select(col("doc_id"), col("width"), col("height"), col("photometric"),
+        col("n_strips"), col("n_pixels"), col("mean_r"), col("mean_g"),
+        col("mean_b"), col("luma"), col("row_wmean"))
+  }
+
   // ---- GIF (GIF89a, pure LZW — no native codec needed) -------------
 
   /** GIF variable-code-width LZW encoder (GIF89a Appendix F):
@@ -1600,8 +1811,23 @@ object Multimodal {
     * odd-size pad byte whenever the sample count is odd. Byte i =
     * (id·131 + i·29) mod 256 (closed form for the oracle); every
     * μ-law code point 0x00-0xFF appears. */
-  private[graft] def synthesizeMulawWav(docId: Long): Array[Byte] = {
-    val n = (((docId * 13) % 240 + 4) * 5).toInt
+  private[graft] def synthesizeMulawWav(docId: Long): Array[Byte] =
+    synthesizeCompandedWav((((docId * 13) % 240 + 4) * 5).toInt, 7,
+      i => ((docId * 131 + i * 29) % 256).toInt)
+
+  /** A-law sibling stream (format tag 6 — E.711's other compander,
+    * the European telephony standard). Same spec-correct non-PCM
+    * layout; distinct length and byte closed forms so the two G.711
+    * queries cannot accidentally share results. */
+  private[graft] def synthesizeAlawWav(docId: Long): Array[Byte] =
+    synthesizeCompandedWav((((docId * 17) % 240 + 4) * 5).toInt, 6,
+      i => ((docId * 151 + i * 31) % 256).toInt)
+
+  /** Shared G.711 WAV writer: 18-byte fmt chunk (cbSize = 0), the
+    * MANDATORY fact chunk (dwSampleLength), 8-bit mono at 8 kHz, and
+    * the RIFF odd-size pad byte. */
+  private def synthesizeCompandedWav(n: Int, fmtTag: Int,
+      byteAt: Int => Int): Array[Byte] = {
     val rate = 8000
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -1610,11 +1836,11 @@ object Multimodal {
     val riffSize = 4 + (8 + 18) + (8 + 4) + (8 + n + (n & 1))
     tag("RIFF"); w32(riffSize); tag("WAVE")
     tag("fmt "); w32(18)
-    w16(7); w16(1); w32(rate); w32(rate); w16(1); w16(8); w16(0) // WAVE_FORMAT_MULAW, cbSize=0
+    w16(fmtTag); w16(1); w32(rate); w32(rate); w16(1); w16(8); w16(0)
     tag("fact"); w32(4); w32(n) // dwSampleLength — mandatory for non-PCM
     tag("data"); w32(n)
     var i = 0
-    while (i < n) { out.write(((docId * 131 + i * 29) % 256).toInt); i += 1 }
+    while (i < n) { out.write(byteAt(i)); i += 1 }
     if ((n & 1) == 1) out.write(0) // RIFF odd-chunk pad
     out.toByteArray
   }
@@ -1629,6 +1855,21 @@ object Multimodal {
     if ((u & 0x80) != 0) 0x84 - t else t - 0x84
   }
 
+  /** G.711 A-law expansion (the E.711 European compander): XOR 0x55,
+    * then segment-dependent mantissa scaling — segment 0: 16m+8,
+    * segment 1: 16m+264, segment s≥2: (16m+264)·2^(s−1) — with the
+    * sign from bit 7. Max magnitude 32256 (bytes 0x2A/0xAA);
+    * 0x55/0xD5 decode to ∓8 (A-law has no true zero). */
+  private[graft] def alawToLinear(b: Byte): Int = {
+    val a = (b & 0xff) ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
   /** Dependency-free μ-law RIFF/WAVE decoder — the non-PCM sibling of
     * [[decodeWav]]. Walks the chunk list (odd-size padding honored),
     * requires format tag 7 / mono / 8-bit, expands every companded
@@ -1636,7 +1877,16 @@ object Multimodal {
     * chunk's dwSampleLength against the data chunk — a stream whose
     * fact disagrees is corrupt and fails loudly. Returns
     * (sampleRate, 16-bit linear samples). */
-  private[graft] def decodeMulawWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+  private[graft] def decodeMulawWav(bytes: Array[Byte]): (Int, Array[Int]) =
+    decodeCompandedWav(bytes, 7, "mu-law", mulawToLinear)
+
+  /** A-law sibling of [[decodeMulawWav]] — format tag 6, expansion
+    * through [[alawToLinear]], same fact cross-check. */
+  private[graft] def decodeAlawWav(bytes: Array[Byte]): (Int, Array[Int]) =
+    decodeCompandedWav(bytes, 6, "A-law", alawToLinear)
+
+  private def decodeCompandedWav(bytes: Array[Byte], wantFmt: Int,
+      fmtName: String, expand: Byte => Int): (Int, Array[Int]) = {
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
@@ -1661,9 +1911,9 @@ object Multimodal {
           require(size >= 4, s"short fact chunk ($size bytes)")
           factSamples = u32(pos)
         case "data" =>
-          require(fmtCode == 7 && channels == 1 && bits == 8,
-            s"unsupported WAV layout fmt=$fmtCode ch=$channels bits=$bits (mu-law mono only)")
-          samples = Array.tabulate(size)(i => mulawToLinear(bytes(pos + i)))
+          require(fmtCode == wantFmt && channels == 1 && bits == 8,
+            s"unsupported WAV layout fmt=$fmtCode ch=$channels bits=$bits ($fmtName mono only)")
+          samples = Array.tabulate(size)(i => expand(bytes(pos + i)))
         case _ => () // LIST / … — skipped
       }
       pos += size + (size & 1) // odd chunks carry one pad byte
@@ -1685,14 +1935,26 @@ object Multimodal {
     *
     * Plan: stateless partition-local decode (mapPartitions with a
     * case-class Encoder), integer sums out, means as projections. */
-  def audioDecodeMulaw(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def audioDecodeMulaw(spark: SparkSession, documents: DataFrame): DataFrame =
+    compandedAudioReport(spark, documents,
+      id => decodeMulawWav(synthesizeMulawWav(id)))
+
+  /** A-law twin of [[audioDecodeMulaw]] — format tag 6 through
+    * [[alawToLinear]]; the oracle mirrors the segment-cased E.711
+    * expansion closed-form. */
+  def audioDecodeAlaw(spark: SparkSession, documents: DataFrame): DataFrame =
+    compandedAudioReport(spark, documents,
+      id => decodeAlawWav(synthesizeAlawWav(id)))
+
+  private def compandedAudioReport(spark: SparkSession, documents: DataFrame,
+      decode: Long => (Int, Array[Int])): DataFrame = {
     import spark.implicits._
     val decoded = metadata(documents)
       .filter(col("modality") === "audio")
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val (rate, xs) = decodeMulawWav(synthesizeMulawWav(id))
+          val (rate, xs) = decode(id)
           var sa = 0L; var sq = 0L; var peak = 0; var zc = 0L
           var i = 0
           while (i < xs.length) {
@@ -2210,10 +2472,17 @@ object Multimodal {
       payload(1) == 'I'.toByte && payload(2) == 'F'.toByte && payload(3) == '8'.toByte
     val isBmp = payload.length >= 54 && payload(0) == 'B'.toByte &&
       payload(1) == 'M'.toByte
+    val isTiff = payload.length >= 8 &&
+      ((payload(0) == 'I'.toByte && payload(1) == 'I'.toByte &&
+        (payload(2) & 0xff) == 42 && payload(3) == 0) ||
+       (payload(0) == 'M'.toByte && payload(1) == 'M'.toByte &&
+        payload(2) == 0 && (payload(3) & 0xff) == 42))
     val img =
       if (isPng) scala.util.Try(decodePng(payload)).toOption
       else if (isGif) scala.util.Try(decodeGif(payload)).toOption
       else if (isBmp) scala.util.Try(decodeBmp(payload)).toOption
+      else if (isTiff) scala.util.Try(decodeTiff(payload)).toOption
+        .map { case (w, h, _, _, px) => (w, h, px) }
       else if (isJpeg) scala.util.Try(decodeJpeg(payload)).toOption.map {
         case (w, h, gray) => // replicate gray across the RGB layout
           val rgb = new Array[Byte](gray.length * 3)

@@ -734,6 +734,58 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeWav(wav))
   }
 
+  test("TIFF decode: II and MM byte orders, gray and RGB, strip walk all reproduce the closed form") {
+    // quadrants: 0 = RGB/II, 3 = gray/MM, 6 = RGB/MM, 9 = gray/II
+    for (id <- Seq(0L, 3L, 6L, 9L)) {
+      val (w, h, photo, nStrips, px) = Multimodal.decodeTiff(Multimodal.synthesizeTiff(id))
+      assert(w === (id % 10 + 4).toInt && h === (id % 6 + 4).toInt, s"id $id dims")
+      assert(photo === (if (id % 2 == 0) 2 else 1) && nStrips === (h + 2) / 3, s"id $id meta")
+      if (id % 2 == 0)
+        (0 until w * h * 3).foreach(i =>
+          assert((px(i) & 0xff) === ((id * 41 + i * 13) % 256).toInt, s"id $id byte $i"))
+      else
+        (0 until w * h).foreach { p =>
+          val v = ((id * 41 + p * 13) % 256).toInt
+          assert((px(3 * p) & 0xff) === v && (px(3 * p + 1) & 0xff) === v &&
+            (px(3 * p + 2) & 0xff) === v, s"id $id px $p")
+        }
+    }
+    // loud failures: bad magic, unsupported compression, truncation
+    val good = Multimodal.synthesizeTiff(0L) // II — entry values little-endian
+    val badMagic = good.clone(); badMagic(2) = 43
+    intercept[IllegalArgumentException](Multimodal.decodeTiff(badMagic))
+    // Compression is the 4th IFD entry (tags ascend); its inline SHORT
+    // value sits at ifd+2+12*3+8 = 54
+    val lzw = good.clone(); lzw(54) = 5
+    intercept[IllegalArgumentException](Multimodal.decodeTiff(lzw))
+    intercept[IllegalArgumentException](Multimodal.decodeTiff(good.take(60)))
+    intercept[IllegalArgumentException](Multimodal.decodeTiff("not a tiff".getBytes))
+    // featureExtract routes TIFF payloads by the endian-correct magic
+    val feat = Multimodal.mediaFeature(good)
+    assert(feat(6) === 1f && feat(7) === 0f)
+    assert(feat(0) === 4 / 4096f && feat(1) === 4 / 4096f) // id 0: 4x4
+  }
+
+  test("A-law WAV decode: E.711 anchors, closed-form agreement, cross-refusal with mu-law") {
+    // canonical compander anchors: no true zero, max magnitude 32256
+    assert(Multimodal.alawToLinear(0x55.toByte) === -8)
+    assert(Multimodal.alawToLinear(0xd5.toByte) === 8)
+    assert(Multimodal.alawToLinear(0x2a.toByte) === -32256)
+    assert(Multimodal.alawToLinear(0xaa.toByte) === 32256)
+    // n = ((7·17)%240+4)·5 = 615 — odd, pad byte exercised
+    val wav = Multimodal.synthesizeAlawWav(7L)
+    assert(wav.length % 2 === 0)
+    val (rate, xs) = Multimodal.decodeAlawWav(wav)
+    assert(rate === 8000 && xs.length === 615)
+    xs.indices.foreach { i =>
+      val b = ((7L * 151 + i * 31) % 256).toByte
+      assert(xs(i) === Multimodal.alawToLinear(b), s"sample $i")
+    }
+    // the two G.711 decoders must refuse each other's format tag
+    intercept[IllegalArgumentException](Multimodal.decodeAlawWav(Multimodal.synthesizeMulawWav(7L)))
+    intercept[IllegalArgumentException](Multimodal.decodeMulawWav(wav))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
