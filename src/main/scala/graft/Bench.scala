@@ -76,14 +76,14 @@ object Bench {
     "q_dedup_components_incr")
 
   /** Sixth bench tier: the late round-10 additions (BMP + baseline
-    * TIFF decode, the G.711 μ-law/A-law pair, NFC normalization) —
-    * fixed at five queries before their first driver run, reported
-    * as `value6` / `queries6` / `cold_queries6` (tiers 1-5 keep
-    * their compositions for cross-round comparability; tier
-    * boundaries are versioned in PERF.md). */
+    * TIFF decode, the G.711 μ-law/A-law pair, big-endian AIFF, NFC
+    * normalization) — fixed at six queries before their first driver
+    * run, reported as `value6` / `queries6` / `cold_queries6`
+    * (tiers 1-5 keep their compositions for cross-round
+    * comparability; tier boundaries are versioned in PERF.md). */
   val headline6: Seq[String] = Seq(
     "q_image_decode_bmp", "q_image_decode_tiff", "q_audio_mulaw",
-    "q_audio_alaw", "q_text_normalize")
+    "q_audio_alaw", "q_audio_aiff", "q_text_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

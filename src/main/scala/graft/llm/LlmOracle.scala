@@ -1971,6 +1971,39 @@ object LlmOracle {
       round(zero_crossings / (n_samples - 1)::DOUBLE + 1e-9, 6) AS zcr
     FROM agg ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.audioDecodeAiff: the engine round-trips a
+    * real big-endian Audio IFF stream (FORM/AIFF, odd-padded ANNO,
+    * COMM with the sample rate in an 80-bit IEEE extended float,
+    * SSND cross-checked against numSampleFrames); the oracle
+    * reproduces the sample closed form and pins the 11025 Hz rate the
+    * engine must recover from the extended-float field. */
+  val qAudioAiff: String = """
+    WITH aud AS (
+      SELECT doc_id, ((doc_id * 19) % 280 + 3) * 7 AS n
+      FROM documents WHERE doc_id % 3 = 1),
+    sm AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud),
+    v AS (
+      SELECT doc_id, n, i,
+        ((doc_id * 137 + i * 19) % 4001) - 2000 AS s,
+        CASE WHEN i > 0 THEN ((doc_id * 137 + (i - 1) * 19) % 4001) - 2000 END AS sp
+      FROM sm),
+    agg AS (
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(sum(s) AS BIGINT) AS sum_amp,
+        CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        CAST(max(abs(s)) AS INT) AS peak_abs,
+        CAST(sum(CASE WHEN sp IS NOT NULL AND ((s >= 0) != (sp >= 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM v GROUP BY 1)
+    SELECT doc_id, CAST(11025 AS INT) AS sample_rate, n_samples,
+      round(n_samples / CAST(11025 AS DOUBLE) + 1e-9, 6) AS duration_s,
+      round(sum_amp / n_samples::DOUBLE + 1e-9, 6) AS mean_amp,
+      round(sqrt(sum_sq / n_samples::DOUBLE) + 1e-9, 6) AS rms,
+      peak_abs, zero_crossings,
+      round(zero_crossings / (n_samples - 1)::DOUBLE + 1e-9, 6) AS zcr
+    FROM agg ORDER BY doc_id"""
+
   // Mirrors Multimodal.videoDecode: the engine round-trips each video
   // doc through a synthesized YUV4MPEG2 C444 clip (W = id%6+2, H =
   // id%4+2, id%5+2 frames at F25:1; plane byte p of frame f =
@@ -3059,6 +3092,7 @@ object LlmOracle {
     "q_audio_decode" -> qAudioDecode,
     "q_audio_mulaw" -> qAudioMulaw,
     "q_audio_alaw" -> qAudioAlaw,
+    "q_audio_aiff" -> qAudioAiff,
     "q_video_decode" -> qVideoDecode)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

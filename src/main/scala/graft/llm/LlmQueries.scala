@@ -334,6 +334,8 @@ object LlmQueries {
       Multimodal.audioDecodeMulaw(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_audio_alaw" -> ((s, d) =>
       Multimodal.audioDecodeAlaw(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_audio_aiff" -> ((s, d) =>
+      Multimodal.audioDecodeAiff(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_audio_spectrum" -> ((s, d) =>
       Multimodal.audioSpectrum(s, docs(s, d)).orderBy(col("doc_id"), col("bin"))),
     "q_video_decode" -> ((s, d) =>

@@ -1936,17 +1936,17 @@ object Multimodal {
     * Plan: stateless partition-local decode (mapPartitions with a
     * case-class Encoder), integer sums out, means as projections. */
   def audioDecodeMulaw(spark: SparkSession, documents: DataFrame): DataFrame =
-    compandedAudioReport(spark, documents,
+    audioStatsReport(spark, documents,
       id => decodeMulawWav(synthesizeMulawWav(id)))
 
   /** A-law twin of [[audioDecodeMulaw]] — format tag 6 through
     * [[alawToLinear]]; the oracle mirrors the segment-cased E.711
     * expansion closed-form. */
   def audioDecodeAlaw(spark: SparkSession, documents: DataFrame): DataFrame =
-    compandedAudioReport(spark, documents,
+    audioStatsReport(spark, documents,
       id => decodeAlawWav(synthesizeAlawWav(id)))
 
-  private def compandedAudioReport(spark: SparkSession, documents: DataFrame,
+  private def audioStatsReport(spark: SparkSession, documents: DataFrame,
       decode: Long => (Int, Array[Int])): DataFrame = {
     import spark.implicits._
     val decoded = metadata(documents)
@@ -1981,6 +1981,128 @@ object Multimodal {
         col("duration_s"), col("mean_amp"), col("rms"), col("peak_abs"),
         col("zero_crossings"), col("zcr"))
   }
+
+  /** 80-bit IEEE-754 extended-precision encode of a positive integer
+    * sample rate — the AIFF COMM chunk's one genuinely exotic field
+    * (sign 1 + exponent 15, bias 16383 + EXPLICIT-integer-bit 64-bit
+    * mantissa). Normalizes m into [2^63, 2^64). */
+  private[graft] def ext80Encode(rate: Long): Array[Byte] = {
+    require(rate > 0, s"bad sample rate $rate")
+    var e = 16383 + 63
+    var m = BigInt(rate)
+    val lo = BigInt(1) << 63
+    while (m < lo) { m <<= 1; e -= 1 }
+    while (m >= (lo << 1)) { m >>= 1; e += 1 }
+    val out = new Array[Byte](10)
+    out(0) = ((e >> 8) & 0x7f).toByte; out(1) = (e & 0xff).toByte
+    val mb = m.toByteArray.dropWhile(_ == 0) // strip BigInt sign byte
+    require(mb.length == 8)
+    System.arraycopy(mb, 0, out, 2, 8)
+    out
+  }
+
+  /** 80-bit extended-precision decode: value = m · 2^(e−16383−63)
+    * over the unsigned 64-bit mantissa. Requires a positive, whole,
+    * sane rate — a garbage COMM field fails loudly. */
+  private[graft] def ext80Decode(bytes: Array[Byte], off: Int): Long = {
+    val e = ((bytes(off) & 0x7f) << 8) | (bytes(off + 1) & 0xff)
+    require((bytes(off) & 0x80) == 0, "negative sample rate")
+    val m = BigInt(1, bytes.slice(off + 2, off + 10))
+    val v = m.toDouble * math.pow(2, e - 16383 - 63)
+    require(v.isWhole && v > 0 && v <= 1e7, s"implausible sample rate $v")
+    v.toLong
+  }
+
+  /** Deterministic AIFF synthesizer — a REAL Audio IFF file, the
+    * BIG-ENDIAN audio container (every integer, including the PCM16
+    * samples, is byte-swapped relative to WAV — the audio twin of
+    * TIFF's `MM` order): FORM/AIFF wrapper, an odd-length ANNO chunk
+    * with its pad byte ahead of COMM (the chunk walk is
+    * load-bearing), COMM with the sample rate as an 80-bit extended
+    * float (11025 Hz — deliberately not a power-of-two-friendly
+    * value), SSND with offset/blockSize 0. Sample i =
+    * ((id·137 + i·19) mod 4001) − 2000, closed-form for the oracle. */
+  private[graft] def synthesizeAiff(docId: Long): Array[Byte] = {
+    val n = (((docId * 19) % 280 + 3) * 7).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Int): Unit = { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    val anno = "graftAIFF".getBytes("US-ASCII") // 9 bytes — odd, pad required
+    val formSize = 4 + (8 + anno.length + 1) + (8 + 18) + (8 + 8 + 2 * n)
+    tag("FORM"); w32(formSize); tag("AIFF")
+    tag("ANNO"); w32(anno.length); out.write(anno); out.write(0) // pad
+    tag("COMM"); w32(18)
+    w16(1); w32(n); w16(16) // mono, sample frames, 16-bit
+    out.write(ext80Encode(11025L))
+    tag("SSND"); w32(8 + 2 * n); w32(0); w32(0) // offset, blockSize
+    var i = 0
+    while (i < n) {
+      w16((((docId * 137 + i * 19) % 4001) - 2000).toInt & 0xffff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Dependency-free AIFF decoder — [[decodeWav]]'s big-endian twin:
+    * walks the FORM chunk list (odd-size padding per the EA-IFF-85
+    * spec), parses COMM including the REAL 80-bit extended-float
+    * sample-rate field via [[ext80Decode]], cross-checks SSND's data
+    * size against COMM's numSampleFrames, and returns (sampleRate,
+    * big-endian-decoded 16-bit samples). PCM16 mono with zero
+    * offset/blockSize only; fails loudly otherwise. */
+  private[graft] def decodeAiff(bytes: Array[Byte]): (Int, Array[Short]) = {
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "FORM" && tag(8) == "AIFF",
+      "not an AIFF stream")
+    require(u32(4) == bytes.length - 8,
+      s"FORM size field ${u32(4)} != payload ${bytes.length - 8}")
+    var pos = 12
+    var channels = -1; var sampleFrames = -1L; var bits = -1; var rate = -1L
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos); val size = u32(pos + 4).toInt; pos += 8
+      require(size >= 0 && pos + size <= bytes.length, s"truncated '$id' chunk")
+      id match {
+        case "COMM" =>
+          require(size >= 18, s"short COMM chunk ($size bytes)")
+          channels = u16(pos); sampleFrames = u32(pos + 2); bits = u16(pos + 6)
+          rate = ext80Decode(bytes, pos + 8)
+        case "SSND" =>
+          require(channels == 1 && bits == 16,
+            s"unsupported AIFF layout ch=$channels bits=$bits (PCM16 mono only)")
+          require(u32(pos) == 0 && u32(pos + 4) == 0,
+            "nonzero SSND offset/blockSize unsupported")
+          val nd = size - 8
+          require(nd == 2 * sampleFrames,
+            s"SSND $nd data bytes != 2×$sampleFrames sample frames")
+          samples = Array.tabulate(sampleFrames.toInt)(i =>
+            ((bytes(pos + 8 + 2 * i) << 8) | (bytes(pos + 9 + 2 * i) & 0xff)).toShort)
+        case _ => () // ANNO / NAME / … — skipped with pad honored
+      }
+      pos += size + (size & 1)
+    }
+    require(samples != null, "no SSND chunk in AIFF stream")
+    (rate.toInt, samples)
+  }
+
+  /** REAL AIFF decode over synthesized payloads — the big-endian
+    * audio path. Every integer in the container (chunk sizes, COMM
+    * fields, the samples themselves) is big-endian, and the sample
+    * rate rides in the 80-bit extended float — so a byte-order or
+    * extended-float bug changes sample_rate/duration/stats and
+    * breaks the hash match against the closed-form oracle.
+    *
+    * Plan: stateless partition-local decode (mapPartitions with a
+    * case-class Encoder), integer sums out, means as projections. */
+  def audioDecodeAiff(spark: SparkSession, documents: DataFrame): DataFrame =
+    audioStatsReport(spark, documents, { id =>
+      val (rate, xs) = decodeAiff(synthesizeAiff(id))
+      (rate, xs.map(_.toInt))
+    })
 
   case class SpectrumBin(doc_id: Long, bin: Int, c_sum: Long, s_sum: Long)
 

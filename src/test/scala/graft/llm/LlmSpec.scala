@@ -786,6 +786,29 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeMulawWav(wav))
   }
 
+  test("AIFF decode: 80-bit extended-float rate, big-endian samples, chunk walk") {
+    // the extended-float codec round-trips the classic audio rates
+    for (r <- Seq(8000L, 11025L, 22050L, 44100L, 48000L, 96000L))
+      assert(Multimodal.ext80Decode(Multimodal.ext80Encode(r), 0) === r, s"rate $r")
+    // a garbage exponent must fail loudly, not return a junk rate
+    val junk = Multimodal.ext80Encode(11025L); junk(0) = 0x7f.toByte
+    intercept[IllegalArgumentException](Multimodal.ext80Decode(junk, 0))
+    val aiff = Multimodal.synthesizeAiff(7L)
+    val (rate, xs) = Multimodal.decodeAiff(aiff)
+    // n = ((7·19)%280+3)·7 = 952
+    assert(rate === 11025 && xs.length === 952)
+    xs.indices.foreach { i =>
+      assert(xs(i).toInt === (((7L * 137 + i * 19) % 4001) - 2000).toInt, s"sample $i")
+    }
+    // a WAV must be refused, and truncation dies on the FORM size check
+    intercept[IllegalArgumentException](Multimodal.decodeAiff(Multimodal.synthesizeWav(7L)))
+    intercept[IllegalArgumentException](Multimodal.decodeAiff(aiff.dropRight(3)))
+    // SSND/COMM disagreement is corrupt: patch numSampleFrames (COMM
+    // payload starts at 12 + (8+9+1) + 8 = 38; frames at 38+2)
+    val bad = aiff.clone(); bad(41) = (bad(41) ^ 1).toByte
+    intercept[IllegalArgumentException](Multimodal.decodeAiff(bad))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
