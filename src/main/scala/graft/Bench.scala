@@ -83,7 +83,8 @@ object Bench {
     * comparability; tier boundaries are versioned in PERF.md). */
   val headline6: Seq[String] = Seq(
     "q_image_decode_bmp", "q_image_decode_tiff", "q_audio_mulaw",
-    "q_audio_alaw", "q_audio_aiff", "q_text_normalize")
+    "q_audio_alaw", "q_audio_aiff", "q_text_normalize",
+    "q_feature_hash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

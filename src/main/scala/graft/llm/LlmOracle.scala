@@ -1807,6 +1807,33 @@ object LlmOracle {
       md5(nfc) AS md5_nfc
     FROM n ORDER BY doc_id"""
 
+  /** Mirrors TextAnalysis.featureHash: the same polyhash primitive
+    * feeds bucket = h mod 64 and sign = ±1 from (h div 64) mod 2;
+    * both engines fold the signed bucket vector then its norms. */
+  val qFeatureHash: String = s"""
+    WITH tk AS (
+      SELECT doc_id, unnest($toks) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok FROM tk WHERE len(tok) > 0),
+    hb AS (SELECT doc_id, ${ph("tok")} AS h FROM tf),
+    bx AS (
+      SELECT doc_id, h % 64 AS bucket,
+        CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM hb),
+    vb AS (
+      SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM bx GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets,
+        CAST(sum(abs(v)) AS BIGINT) AS l1,
+        round(sqrt(CAST(sum(v * v) AS DOUBLE)) + 1e-9, 6) AS l2,
+        CAST(max(abs(v)) AS BIGINT) AS max_abs
+      FROM vb GROUP BY 1)
+    SELECT doc_id, n_tokens, n_buckets, l1, l2, max_abs,
+      round(1.0 - l1 / n_tokens::DOUBLE + 1e-9, 6) AS cancel_share
+    FROM agg ORDER BY doc_id"""
+
   val qTextCharclass: String = """
     WITH c AS (
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -3088,6 +3115,7 @@ object LlmOracle {
     "q_cdc_chunks" -> qCdcChunks,
     "q_text_charclass" -> qTextCharclass,
     "q_text_normalize" -> qTextNormalize,
+    "q_feature_hash" -> qFeatureHash,
     "q_image_resize" -> qImageResize,
     "q_audio_decode" -> qAudioDecode,
     "q_audio_mulaw" -> qAudioMulaw,

@@ -325,6 +325,8 @@ object LlmQueries {
       TextAnalysis.charClasses(docs(s, d)).orderBy(col("doc_id"))),
     "q_text_normalize" -> ((s, d) =>
       TextAnalysis.unicodeNormalize(docs(s, d)).orderBy(col("doc_id"))),
+    "q_feature_hash" -> ((s, d) =>
+      TextAnalysis.featureHash(docs(s, d)).orderBy(col("doc_id"))),
     "q_image_resize" -> ((s, d) =>
       Multimodal.imageResize(s, docs(s, d))
         .orderBy(col("doc_id"), col("cell_y"), col("cell_x"))),

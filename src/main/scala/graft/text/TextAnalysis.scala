@@ -1650,4 +1650,43 @@ object TextAnalysis {
         (length(col("raw")) - length(col("nfc"))).cast("long").as("n_composed"),
         md5(expr("encode(nfc, 'UTF-8')")).as("md5_nfc"))
   }
+
+  /** Signed hashing-trick featurization (Weinberger et al. 2009) —
+    * the fixed-width featurizer a streaming quality classifier runs
+    * when the vocabulary is unbounded: token → polyhash → bucket
+    * h mod 64, with the NEXT hash bit ((h div 64) mod 2) providing a
+    * ±1 sign so colliding tokens cancel in expectation instead of
+    * biasing upward. Reported per doc: token count, live buckets,
+    * L1/L2 norms of the signed bucket vector, the heaviest bucket,
+    * and the cancellation share (1 − L1/n) — the number an operator
+    * reads to size the bucket count before training.
+    *
+    * Plan: explode → two map-side-combinable hash aggregates
+    * ((doc, bucket) then doc) — no joins, no windows; the native
+    * graft_polyhash keeps the hash inside whole-stage codegen. */
+  def featureHash(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val perBucket = documents
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", expr("graft_polyhash(tok)"))
+      .withColumn("bucket", col("h") % 64)
+      .withColumn("sgn",
+        when(expr("(h div 64) % 2") === 0, lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("v"), count(lit(1)).as("cnt"))
+    perBucket
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("n_buckets"),
+        sum(abs(col("v"))).as("l1"),
+        round(sqrt(sum(col("v") * col("v"))) + lit(1e-9), 6).as("l2"),
+        max(abs(col("v"))).as("max_abs"))
+      .withColumn("cancel_share",
+        round(lit(1.0) - col("l1") / col("n_tokens").cast("double")
+          + lit(1e-9), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_buckets"), col("l1"),
+        col("l2"), col("max_abs"), col("cancel_share"))
+  }
 }

@@ -1273,6 +1273,34 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("other_share") - 1.0 / 7) < 1e-6)
   }
 
+  test("feature hashing: signed bucket vector matches a brute-force recompute") {
+    val texts = Seq((0L, "the cat sat on the mat", "en", "web", 22L),
+      (1L, "spark spark spark", "en", "web", 17L),
+      (2L, "a b c d e f g h", "en", "web", 15L))
+    val df = texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.featureHash(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    texts.foreach { case (id, text, _, _, _) =>
+      val v = new Array[Long](64)
+      var n = 0L
+      text.toLowerCase.split(" ").filter(_.nonEmpty).foreach { tok =>
+        val h = graft.functions.PolyHash.hash(tok)
+        val sgn = if ((h / 64) % 2 == 0) 1L else -1L
+        v((h % 64).toInt) += sgn
+        n += 1
+      }
+      val r = out(id)
+      assert(r.getAs[Long]("n_tokens") === n, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_buckets") === v.count(_ != 0), s"doc $id n_buckets")
+      assert(r.getAs[Long]("l1") === v.map(math.abs).sum, s"doc $id l1")
+      assert(r.getAs[Long]("max_abs") === v.map(math.abs).max, s"doc $id max_abs")
+      val l2 = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(r.getAs[Double]("l2") - l2) < 1e-5, s"doc $id l2")
+      // three identical tokens land in ONE bucket with |v| = 3
+      if (id == 1L) assert(r.getAs[Long]("max_abs") === 3L)
+    }
+  }
+
   test("WAV decode: synthesized RIFF round-trips exactly; malformed input fails loudly") {
     val (rate, xs) = Multimodal.decodeWav(Multimodal.synthesizeWav(1L))
     assert(rate === 100)
