@@ -75,16 +75,18 @@ object Bench {
     "q_embed_snapshot_lsh", "q_image_phash_mih", "q_ann_ivfpq_snapshot",
     "q_dedup_components_incr")
 
-  /** Sixth bench tier: the late round-10 additions (BMP + baseline
-    * TIFF decode, the G.711 μ-law/A-law pair, big-endian AIFF, NFC
-    * normalization) — fixed at six queries before their first driver
-    * run, reported as `value6` / `queries6` / `cold_queries6`
-    * (tiers 1-5 keep their compositions for cross-round
-    * comparability; tier boundaries are versioned in PERF.md). */
+  /** Sixth bench tier: the late round-10 additions (BMP/TIFF/ICO
+    * image decode, the G.711 pair + big-endian AIFF + stateful IMA
+    * ADPCM audio decode, gzip JSONL ingest, NFC normalization,
+    * hashing-trick features) — fixed at ten queries before their
+    * first driver run, reported as `value6` / `queries6` /
+    * `cold_queries6` (tiers 1-5 keep their compositions for
+    * cross-round comparability; tier boundaries are versioned in
+    * PERF.md). */
   val headline6: Seq[String] = Seq(
-    "q_image_decode_bmp", "q_image_decode_tiff", "q_audio_mulaw",
-    "q_audio_alaw", "q_audio_aiff", "q_text_normalize",
-    "q_feature_hash")
+    "q_image_decode_bmp", "q_image_decode_tiff", "q_image_decode_ico",
+    "q_audio_mulaw", "q_audio_alaw", "q_audio_aiff", "q_audio_adpcm",
+    "q_ingest_gzip", "q_text_normalize", "q_feature_hash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

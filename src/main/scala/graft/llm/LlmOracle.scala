@@ -1385,6 +1385,50 @@ object LlmOracle {
       row_wmean
     FROM m ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.imageDecodeIco: two icons per doc (24-bit and
+    * 8-bit-palette DIBs inside the ICONDIR container); channel means
+    * run over OPAQUE pixels only, so the AND-mask parse — its 32-BIT
+    * row padding and bottom-up order — is load-bearing in the hash. */
+  val qImageDecodeIco: String = """
+    WITH icons AS (
+      SELECT doc_id, k,
+        CAST(CASE k WHEN 0 THEN doc_id % 6 + 4 ELSE doc_id % 4 + 3 END AS INT) AS s,
+        CAST(CASE k WHEN 0 THEN 24 ELSE 8 END AS INT) AS bpp
+      FROM documents, (SELECT unnest(range(0, 2)) AS k)
+      WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT doc_id, k, s, bpp, unnest(range(0, s * s)) AS p FROM icons),
+    op AS (
+      SELECT doc_id, k, s, bpp, p,
+        (doc_id * 29 + k * 13 + p * 7) % 5 = 0 AS transp,
+        CASE WHEN bpp = 8 THEN (doc_id * 43 + k * 97 + p * 19) % 64 END AS j
+      FROM px),
+    v AS (
+      SELECT doc_id, k, s, bpp, p, transp, c,
+        CASE WHEN bpp = 24 THEN (doc_id * 43 + k * 97 + (p * 3 + c) * 19) % 256
+             ELSE CASE c WHEN 0 THEN (doc_id * 3 + j * 5) % 256
+                         WHEN 1 THEN (doc_id * 5 + j * 7) % 256
+                         ELSE (doc_id * 7 + j * 9) % 256 END END AS val
+      FROM op, (SELECT unnest(range(0, 3)) AS c)),
+    agg AS (
+      SELECT doc_id, CAST(k AS INT) AS icon_idx, s AS size, bpp,
+        CAST(s AS BIGINT) * s AS n_pixels,
+        CAST(sum(CASE WHEN NOT transp AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opaque,
+        CAST(sum(CASE WHEN NOT transp AND c = 0 THEN val END) AS BIGINT) AS sum_r,
+        CAST(sum(CASE WHEN NOT transp AND c = 1 THEN val END) AS BIGINT) AS sum_g,
+        CAST(sum(CASE WHEN NOT transp AND c = 2 THEN val END) AS BIGINT) AS sum_b
+      FROM v GROUP BY 1, 2, 3, 4, 5),
+    m AS (
+      SELECT doc_id, icon_idx, size, bpp, n_pixels, n_opaque,
+        round(sum_r / n_opaque::DOUBLE + 1e-9, 6) AS mean_r,
+        round(sum_g / n_opaque::DOUBLE + 1e-9, 6) AS mean_g,
+        round(sum_b / n_opaque::DOUBLE + 1e-9, 6) AS mean_b
+      FROM agg)
+    SELECT doc_id, icon_idx, size, bpp, n_pixels, n_opaque,
+      mean_r, mean_g, mean_b,
+      round(0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b + 1e-9, 6) AS luma
+    FROM m ORDER BY doc_id, icon_idx"""
+
   /** Mirrors Multimodal.imageDecodeGif: the engine round-trips a real
     * GIF89a (64-entry global color table, two ancillary extensions,
     * ≤32-byte sub-blocks, genuine variable-width LZW) whose palette
@@ -2031,6 +2075,90 @@ object LlmOracle {
       round(zero_crossings / (n_samples - 1)::DOUBLE + 1e-9, 6) AS zcr
     FROM agg ORDER BY doc_id"""
 
+  private val AdpcmStepSql: String = Seq(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    .mkString("[", ",", "]")
+  private val AdpcmIdxSql: String =
+    Seq(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+      .mkString("[", ",", "]")
+
+  /** Mirrors Multimodal.audioDecodeAdpcm — the STATEFUL oracle: every
+    * sample depends on the whole nibble history since its block
+    * header, so no per-element expression can reproduce it. The CTE
+    * replays the identical IMA state machine (step table, shift-add
+    * diff, ±32768 clamp, index clamp 0-88) as a recursive fold seeded
+    * per block from the header (predictor, step index), accumulating
+    * sum/sumsq/peak/zero-crossings in the recursion state, then a
+    * window stitches sign continuity across block boundaries. */
+  val qAudioAdpcm: String = s"""
+    WITH RECURSIVE blk AS (
+      SELECT doc_id, b,
+        ((doc_id * 61 + b * 127) % 4001) - 2000 AS p0,
+        CAST((doc_id + b * 7) % 89 AS INT) AS i0
+      FROM documents, (SELECT unnest(range(0, 21)) AS b)
+      WHERE doc_id % 3 = 1 AND b < (doc_id * 23) % 20 + 2),
+    st AS (
+      SELECT doc_id, b, 0 AS i,
+        CAST(p0 AS BIGINT) AS pred, i0 AS idx,
+        CAST(p0 AS BIGINT) AS sum_amp,
+        CAST(p0 AS BIGINT) * p0 AS sum_sq,
+        CAST(abs(p0) AS INT) AS peak,
+        0::BIGINT AS zc,
+        CASE WHEN p0 >= 0 THEN 1 ELSE 0 END AS firstsign,
+        CASE WHEN p0 >= 0 THEN 1 ELSE 0 END AS prevsign
+      FROM blk
+      UNION ALL
+      SELECT doc_id, b, i + 1, pred2, idx2,
+        sum_amp + pred2, sum_sq + pred2 * pred2,
+        greatest(peak, CAST(abs(pred2) AS INT)),
+        zc + CASE WHEN (CASE WHEN pred2 >= 0 THEN 1 ELSE 0 END) != prevsign
+             THEN 1 ELSE 0 END,
+        firstsign,
+        CASE WHEN pred2 >= 0 THEN 1 ELSE 0 END
+      FROM (
+        SELECT *, least(32767::BIGINT, greatest(-32768::BIGINT,
+            pred + CASE WHEN nb4 >= 8 THEN -diff ELSE diff END)) AS pred2,
+          least(88, greatest(0, idx + ($AdpcmIdxSql)[nb4 + 1])) AS idx2
+        FROM (
+          SELECT *, stp // 8 + CASE WHEN nb4 % 2 = 1 THEN stp // 4 ELSE 0 END
+              + CASE WHEN (nb4 // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+              + CASE WHEN (nb4 // 4) % 2 = 1 THEN stp ELSE 0 END AS diff
+          FROM (
+            SELECT *, CAST((doc_id * 7 + (b * 16 + i) * 3) % 16 AS INT) AS nb4,
+              ($AdpcmStepSql)[idx + 1]::BIGINT AS stp
+            FROM st WHERE i < 16)))),
+    perblock AS (
+      SELECT doc_id, b, sum_amp, sum_sq, peak, zc, firstsign,
+        prevsign AS lastsign
+      FROM st WHERE i = 16),
+    stitched AS (
+      SELECT doc_id, b, sum_amp, sum_sq, peak, zc,
+        CASE WHEN lag(lastsign) OVER w IS NOT NULL
+                  AND firstsign != lag(lastsign) OVER w THEN 1 ELSE 0 END
+          AS boundary
+      FROM perblock WINDOW w AS (PARTITION BY doc_id ORDER BY b)),
+    agg AS (
+      SELECT doc_id,
+        CAST(count(*) * 17 AS BIGINT) AS n_samples,
+        CAST(sum(sum_amp) AS BIGINT) AS sum_amp,
+        CAST(sum(sum_sq) AS BIGINT) AS sum_sq,
+        CAST(max(peak) AS INT) AS peak_abs,
+        CAST(sum(zc) + sum(boundary) AS BIGINT) AS zero_crossings
+      FROM stitched GROUP BY doc_id)
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n_samples,
+      round(n_samples / CAST(8000 AS DOUBLE) + 1e-9, 6) AS duration_s,
+      round(sum_amp / n_samples::DOUBLE + 1e-9, 6) AS mean_amp,
+      round(sqrt(sum_sq / n_samples::DOUBLE) + 1e-9, 6) AS rms,
+      peak_abs, zero_crossings,
+      round(zero_crossings / (n_samples - 1)::DOUBLE + 1e-9, 6) AS zcr
+    FROM agg ORDER BY doc_id"""
+
   // Mirrors Multimodal.videoDecode: the engine round-trips each video
   // doc through a synthesized YUV4MPEG2 C444 clip (W = id%6+2, H =
   // id%4+2, id%5+2 frames at F25:1; plane byte p of frame f =
@@ -2238,6 +2366,20 @@ object LlmOracle {
     * payload DIRECTLY from parquet; the Spark side must reproduce the
     * same checksums after an actual JSONL write+read (Sources
     * .jsonlRoundtrip) — any escaping loss breaks the match. */
+  /** Mirrors Sources.jsonlGzRoundtrip — the gzip wire-format ingest;
+    * payload salt (48-char slice, 3× char count) differs from
+    * [[qIngestJsonl]] so the two ingest queries cannot share results. */
+  val qIngestGzip: String = s"""
+    WITH p AS (
+      SELECT *, '"' || substr(text, 1, 48) || chr(92) || chr(10) || lang ||
+        chr(9) || 'äπ中' || (n_chars * 3)::VARCHAR AS payload
+      FROM documents)
+    SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+      sum(n_chars)::BIGINT AS sum_chars,
+      sum(${ph("text")})::BIGINT AS text_sum,
+      sum(${ph("payload")})::BIGINT AS payload_sum
+    FROM p GROUP BY 1 ORDER BY source"""
+
   val qIngestJsonl: String = s"""
     WITH p AS (
       SELECT *, '"' || substr(text, 1, 40) || chr(92) || chr(10) || lang ||
@@ -3024,6 +3166,7 @@ object LlmOracle {
     "q_embed_pca" -> qEmbedPca,
     "q_dedup_cross_source" -> qDedupCrossSource,
     "q_ingest_jsonl" -> qIngestJsonl,
+    "q_ingest_gzip" -> qIngestGzip,
     "q_ingest_csv" -> qIngestCsv,
     "q_ingest_orc" -> qIngestOrc,
     "q_ingest_bucketed" -> qIngestBucketed,
@@ -3101,6 +3244,7 @@ object LlmOracle {
     "q_image_decode_gif" -> qImageDecodeGif,
     "q_image_decode_bmp" -> qImageDecodeBmp,
     "q_image_decode_tiff" -> qImageDecodeTiff,
+    "q_image_decode_ico" -> qImageDecodeIco,
     "q_gif_frames" -> qGifFrames,
     "q_gif_composite" -> qGifComposite,
     "q_dedup_url" -> qDedupUrl,
@@ -3121,6 +3265,7 @@ object LlmOracle {
     "q_audio_mulaw" -> qAudioMulaw,
     "q_audio_alaw" -> qAudioAlaw,
     "q_audio_aiff" -> qAudioAiff,
+    "q_audio_adpcm" -> qAudioAdpcm,
     "q_video_decode" -> qVideoDecode)
     // q_ann_lsh intentionally omitted: approximate → rows-only check
 }

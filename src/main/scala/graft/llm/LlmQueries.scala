@@ -274,6 +274,8 @@ object LlmQueries {
     "q_source_jsd" -> ((s, d) => TextAnalysis.sourceJsd(docs(s, d))),
     "q_dedup_cross_source" -> ((s, d) =>
       Corpus.crossSourceDup(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
+    "q_ingest_gzip" -> ((s, d) =>
+      graft.sources.Sources.jsonlGzRoundtrip(s, d).orderBy(col("source"))),
     "q_ingest_jsonl" -> ((s, d) =>
       graft.sources.Sources.jsonlRoundtrip(s, d).orderBy(col("source"))),
     "q_ingest_csv" -> ((s, d) =>
@@ -309,6 +311,9 @@ object LlmQueries {
       Multimodal.imageDecodeBmp(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_decode_tiff" -> ((s, d) =>
       Multimodal.imageDecodeTiff(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_image_decode_ico" -> ((s, d) =>
+      Multimodal.imageDecodeIco(s, docs(s, d))
+        .orderBy(col("doc_id"), col("icon_idx"))),
     "q_gif_frames" -> ((s, d) =>
       Multimodal.gifFrames(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "q_gif_composite" -> ((s, d) =>
@@ -338,6 +343,8 @@ object LlmQueries {
       Multimodal.audioDecodeAlaw(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_audio_aiff" -> ((s, d) =>
       Multimodal.audioDecodeAiff(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_audio_adpcm" -> ((s, d) =>
+      Multimodal.audioDecodeAdpcm(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_audio_spectrum" -> ((s, d) =>
       Multimodal.audioSpectrum(s, docs(s, d)).orderBy(col("doc_id"), col("bin"))),
     "q_video_decode" -> ((s, d) =>

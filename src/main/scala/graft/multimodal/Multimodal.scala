@@ -742,6 +742,226 @@ object Multimodal {
         col("mean_b"), col("luma"), col("row_wmean"))
   }
 
+  // ---- ICO (favicon container — BMP DIBs + AND transparency) -------
+
+  /** Deterministic ICO synthesizer — a REAL Windows icon file, the
+    * favicon format a web crawl collects per site: ICONDIR + two
+    * ICONDIRENTRYs + two BMP-style DIBs (24-bit and 8-bit-palette)
+    * with the container's two famous quirks made load-bearing — the
+    * DIB height field is DOUBLED (XOR color image + AND transparency
+    * mask share one header) and the 1-bit AND mask rows pad to 32
+    * BITS (not the color image's 32-bit byte stride). Pixel p of
+    * icon k is transparent iff (id·29 + k·13 + p·7) mod 5 = 0; color
+    * closed forms per variant mirror the BMP recipe with distinct
+    * multipliers. */
+  private[graft] def synthesizeIco(docId: Long): Array[Byte] = {
+    val dibs = (0 to 1).map(k => buildIcoDib(docId, k))
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    w16(0); w16(1); w16(2) // reserved, ICON type, count
+    var off = 6 + 16 * 2
+    (0 to 1).foreach { k =>
+      val s = icoSize(docId, k)
+      val bpp = if (k == 0) 24 else 8
+      out.write(s); out.write(s)
+      out.write(if (bpp == 8) 64 else 0) // colorCount
+      out.write(0); w16(1); w16(bpp)
+      w32(dibs(k).length); w32(off)
+      off += dibs(k).length
+    }
+    dibs.foreach(out.write)
+    out.toByteArray
+  }
+
+  private def icoSize(docId: Long, k: Int): Int =
+    if (k == 0) (docId % 6 + 4).toInt else (docId % 4 + 3).toInt
+
+  private def buildIcoDib(docId: Long, k: Int): Array[Byte] = {
+    val s = icoSize(docId, k)
+    val bpp = if (k == 0) 24 else 8
+    val xorStride = (s * bpp / 8 + 3) / 4 * 4
+    val andStride = (s + 31) / 32 * 4
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    w32(40); w32(s); w32(2 * s) // DOUBLED height: XOR + AND planes
+    w16(1); w16(bpp); w32(0)
+    w32(xorStride * s + andStride * s); w32(0); w32(0)
+    w32(if (bpp == 8) 64 else 0); w32(0)
+    if (bpp == 8) {
+      var j = 0
+      while (j < 64) { // BGRA quads
+        out.write(((docId * 7 + j * 9) % 256).toInt)
+        out.write(((docId * 5 + j * 7) % 256).toInt)
+        out.write(((docId * 3 + j * 5) % 256).toInt)
+        out.write(0)
+        j += 1
+      }
+    }
+    // XOR color image, bottom-up
+    ((s - 1) to 0 by -1).foreach { y =>
+      var written = 0
+      var x = 0
+      while (x < s) {
+        val p = y * s + x
+        if (bpp == 24) {
+          out.write(((docId * 43 + k * 97 + (p * 3 + 2) * 19) % 256).toInt) // B
+          out.write(((docId * 43 + k * 97 + (p * 3 + 1) * 19) % 256).toInt) // G
+          out.write(((docId * 43 + k * 97 + (p * 3) * 19) % 256).toInt)     // R
+          written += 3
+        } else {
+          out.write(((docId * 43 + k * 97 + p * 19) % 64).toInt)
+          written += 1
+        }
+        x += 1
+      }
+      while (written < xorStride) { out.write(0); written += 1 }
+    }
+    // AND transparency mask, bottom-up, 1 bit per pixel MSB-first
+    ((s - 1) to 0 by -1).foreach { y =>
+      val row = new Array[Byte](andStride)
+      var x = 0
+      while (x < s) {
+        if ((docId * 29 + k * 13 + (y * s + x) * 7) % 5 == 0)
+          row(x / 8) = (row(x / 8) | (0x80 >> (x % 8))).toByte
+        x += 1
+      }
+      out.write(row)
+    }
+    out.toByteArray
+  }
+
+  /** Dependency-free ICO decoder: parses the ICONDIR, walks every
+    * ICONDIRENTRY (cross-checking entry dims against each DIB), and
+    * decodes each DIB honoring the doubled-height convention, the
+    * BGRA palette, bottom-up rows, and the 32-BIT-padded AND mask.
+    * Returns per icon (size, bpp, top-down RGB, transparency mask).
+    * Anything but type-1 / BI_RGB / 8- or 24-bit fails loudly. */
+  private[graft] def decodeIco(bytes: Array[Byte]): Vector[(Int, Int, Array[Byte], Array[Boolean])] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = u16(o) | (u16(o + 2) << 16)
+    require(bytes.length >= 6 && u16(0) == 0 && u16(2) == 1,
+      "not an ICO (bad ICONDIR)")
+    val count = u16(4)
+    require(count > 0 && 6 + 16 * count <= bytes.length, "truncated ICONDIR")
+    (0 until count).toVector.map { kk =>
+      val e = 6 + 16 * kk
+      val ew = { val v = bytes(e) & 0xff; if (v == 0) 256 else v }
+      val eh = { val v = bytes(e + 1) & 0xff; if (v == 0) 256 else v }
+      val size = i32(e + 8); val off = i32(e + 12)
+      require(off >= 0 && size >= 40 && off + size <= bytes.length,
+        s"icon $kk data out of range")
+      require(i32(off) == 40, s"unsupported DIB header size ${i32(off)}")
+      val s = i32(off + 4)
+      require(i32(off + 8) == 2 * s,
+        s"ICO DIB height ${i32(off + 8)} != doubled width ${2 * s}")
+      require(ew == s && eh == s, s"ICONDIRENTRY dims ${ew}x$eh != DIB $s")
+      val bpp = u16(off + 14)
+      require(bpp == 8 || bpp == 24, s"unsupported ICO bit depth $bpp")
+      require(i32(off + 16) == 0, "compressed ICO DIB unsupported")
+      var pos = off + 40
+      val palette: Array[Int] =
+        if (bpp == 8) {
+          val n = { val c = i32(off + 32); if (c == 0) 256 else c }
+          val p = Array.tabulate(n) { j =>
+            ((bytes(pos + 4 * j + 2) & 0xff) << 16) |
+              ((bytes(pos + 4 * j + 1) & 0xff) << 8) | (bytes(pos + 4 * j) & 0xff)
+          }
+          pos += 4 * n
+          p
+        } else null
+      val xorStride = (s * bpp / 8 + 3) / 4 * 4
+      val andStride = (s + 31) / 32 * 4
+      require(pos + (xorStride + andStride) * s <= off + size, s"truncated icon $kk DIB")
+      val px = new Array[Byte](s * s * 3)
+      var yy = 0
+      while (yy < s) {
+        val ro = pos + (s - 1 - yy) * xorStride
+        var x = 0
+        while (x < s) {
+          val q = (yy * s + x) * 3
+          if (bpp == 24) {
+            px(q) = bytes(ro + 3 * x + 2); px(q + 1) = bytes(ro + 3 * x + 1)
+            px(q + 2) = bytes(ro + 3 * x)
+          } else {
+            val idx = bytes(ro + x) & 0xff
+            require(idx < palette.length, s"palette index $idx out of range")
+            val rgb = palette(idx)
+            px(q) = ((rgb >> 16) & 0xff).toByte
+            px(q + 1) = ((rgb >> 8) & 0xff).toByte
+            px(q + 2) = (rgb & 0xff).toByte
+          }
+          x += 1
+        }
+        yy += 1
+      }
+      val mo = pos + xorStride * s
+      val mask = new Array[Boolean](s * s)
+      yy = 0
+      while (yy < s) {
+        val ro = mo + (s - 1 - yy) * andStride
+        var x = 0
+        while (x < s) {
+          mask(yy * s + x) = (bytes(ro + x / 8) & (0x80 >> (x % 8))) != 0
+          x += 1
+        }
+        yy += 1
+      }
+      (s, bpp, px, mask)
+    }
+  }
+
+  case class DecodedIcon(doc_id: Long, icon_idx: Int, size: Int, bpp: Int,
+      n_pixels: Long, n_opaque: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL ICO decode over synthesized favicons — per icon the channel
+    * means over OPAQUE pixels only, so the 1-bit AND mask (its
+    * 32-bit row padding and bottom-up order included) is load-bearing
+    * in the oracle hash: a decoder that ignores transparency or
+    * mis-strides the mask shifts every mean. Two icons per doc make
+    * the directory walk itself part of the contract.
+    *
+    * Plan: stateless partition-local decode (mapPartitions with a
+    * case-class Encoder), one output row per icon. */
+  def imageDecodeIco(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = metadata(documents)
+      .filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          decodeIco(synthesizeIco(id)).zipWithIndex.map {
+            case ((s, bpp, px, mask), kk) =>
+              var sr = 0L; var sg = 0L; var sb = 0L; var nOp = 0L
+              var p = 0
+              while (p < s * s) {
+                if (!mask(p)) {
+                  nOp += 1
+                  sr += px(3 * p).toInt & 0xff
+                  sg += px(3 * p + 1).toInt & 0xff
+                  sb += px(3 * p + 2).toInt & 0xff
+                }
+                p += 1
+              }
+              DecodedIcon(id, kk, s, bpp, s.toLong * s, nOp, sr, sg, sb)
+          }
+        }
+      }.toDF()
+    def mean(c: String) =
+      round(col(c) / col("n_opaque").cast("double") + lit(1e-9), 6)
+    decoded
+      .withColumn("mean_r", mean("sum_r"))
+      .withColumn("mean_g", mean("sum_g"))
+      .withColumn("mean_b", mean("sum_b"))
+      .withColumn("luma", round(lit(0.299) * col("mean_r")
+        + lit(0.587) * col("mean_g") + lit(0.114) * col("mean_b")
+        + lit(1e-9), 6))
+      .select(col("doc_id"), col("icon_idx"), col("size"), col("bpp"),
+        col("n_pixels"), col("n_opaque"), col("mean_r"), col("mean_g"),
+        col("mean_b"), col("luma"))
+  }
+
   // ---- GIF (GIF89a, pure LZW — no native codec needed) -------------
 
   /** GIF variable-code-width LZW encoder (GIF89a Appendix F):
@@ -2103,6 +2323,180 @@ object Multimodal {
       val (rate, xs) = decodeAiff(synthesizeAiff(id))
       (rate, xs.map(_.toInt))
     })
+
+  // ---- IMA ADPCM (WAV format 0x11 — the stateful codec) ------------
+
+  /** IMA/DVI ADPCM step-size table (89 entries) and index-adjust
+    * table — the multimedia-standard constants (IMA ADPCM reference,
+    * also RFC 3551 §4.5.1's DVI4 lineage). */
+  private val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIdx: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  private val AdpcmBlockAlign = 12   // 4-byte header + 8 nibble bytes
+  private val AdpcmSampPerBlock = 17 // header sample + 16 nibbles
+
+  private def adpcmBlocks(docId: Long): Int = ((docId * 23) % 20 + 2).toInt
+  private def adpcmPred0(docId: Long, b: Int): Int =
+    (((docId * 61 + b * 127) % 4001) - 2000).toInt
+  private def adpcmIdx0(docId: Long, b: Int): Int = ((docId + b * 7) % 89).toInt
+  private def adpcmNib(docId: Long, g: Int): Int = ((docId * 7 + g * 3) % 16).toInt
+
+  /** Deterministic IMA-ADPCM WAV synthesizer — a REAL format-0x11
+    * stream, the first genuinely STATEFUL codec in the multimodal
+    * set: 4-bit nibbles whose meaning depends on the running
+    * (predictor, step-index) state. The layout is the spec's block
+    * structure — each 12-byte block opens with its own initial
+    * predictor (which IS the block's first output sample) and step
+    * index, making every block independently decodable: that header
+    * is the format's seek/splittability mechanism, exactly the
+    * property a distributed scan needs. fmt chunk is 20 bytes
+    * (cbSize 2, samplesPerBlock), fact carries the true sample
+    * count, nibbles pack LOW-first. */
+  private[graft] def synthesizeAdpcmWav(docId: Long): Array[Byte] = {
+    val nb = adpcmBlocks(docId)
+    val n = nb * AdpcmSampPerBlock
+    val rate = 8000
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    val dataLen = nb * AdpcmBlockAlign
+    val riffSize = 4 + (8 + 20) + (8 + 4) + (8 + dataLen) // dataLen even
+    tag("RIFF"); w32(riffSize); tag("WAVE")
+    tag("fmt "); w32(20)
+    w16(0x11); w16(1); w32(rate)
+    w32(rate * AdpcmBlockAlign / AdpcmSampPerBlock) // avg byte rate
+    w16(AdpcmBlockAlign); w16(4); w16(2); w16(AdpcmSampPerBlock)
+    tag("fact"); w32(4); w32(n)
+    tag("data"); w32(dataLen)
+    var b = 0
+    while (b < nb) {
+      w16(adpcmPred0(docId, b) & 0xffff)
+      out.write(adpcmIdx0(docId, b)); out.write(0)
+      var j = 0
+      while (j < AdpcmBlockAlign - 4) {
+        val lo = adpcmNib(docId, b * 16 + 2 * j)
+        val hi = adpcmNib(docId, b * 16 + 2 * j + 1)
+        out.write(lo | (hi << 4))
+        j += 1
+      }
+      b += 1
+    }
+    out.toByteArray
+  }
+
+  /** One IMA-ADPCM step: expand nibble `nib` against the running
+    * (predictor, stepIndex) state, returning the new packed state.
+    * diff = step/8 + bit-selected step/4 + step/2 + step (the
+    * spec's shift-add approximation of step·(mant/4 + 1/8)). */
+  private def adpcmStep(pred: Int, idx: Int, nib: Int): (Int, Int) = {
+    val step = AdpcmStep(idx)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    val p = if ((nib & 8) != 0) pred - diff else pred + diff
+    val pc = math.max(-32768, math.min(32767, p))
+    val ic = math.max(0, math.min(88, idx + AdpcmIdx(nib)))
+    (pc, ic)
+  }
+
+  /** Dependency-free IMA-ADPCM WAV decoder: chunk walk, format-0x11
+    * checks (mono, 4-bit, samplesPerBlock = (blockAlign−4)·2 + 1),
+    * then per block: header predictor emitted as the first sample,
+    * step-index seeded from the header (reserved byte must be 0,
+    * index ≤ 88), nibbles LOW-first through [[adpcmStep]]. The fact
+    * chunk cross-checks the decoded sample count. */
+  private[graft] def decodeAdpcmWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE stream")
+    require(u32(4) == bytes.length - 8,
+      s"RIFF size field ${u32(4)} != payload ${bytes.length - 8}")
+    var pos = 12
+    var fmtCode = -1; var channels = -1; var rate = -1; var bits = -1
+    var blockAlign = -1; var sampPerBlock = -1
+    var factSamples = -1L
+    var samples: scala.collection.mutable.ArrayBuffer[Int] = null
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos); val size = u32(pos + 4).toInt; pos += 8
+      require(size >= 0 && pos + size <= bytes.length, s"truncated '$id' chunk")
+      id match {
+        case "fmt " =>
+          require(size >= 20, s"short ADPCM fmt chunk ($size bytes)")
+          fmtCode = u16(pos); channels = u16(pos + 2)
+          rate = u32(pos + 4).toInt
+          blockAlign = u16(pos + 12); bits = u16(pos + 14)
+          sampPerBlock = u16(pos + 18)
+        case "fact" =>
+          require(size >= 4, s"short fact chunk ($size bytes)")
+          factSamples = u32(pos)
+        case "data" =>
+          require(fmtCode == 0x11 && channels == 1 && bits == 4,
+            s"unsupported WAV layout fmt=$fmtCode ch=$channels bits=$bits (IMA ADPCM mono only)")
+          require(sampPerBlock == (blockAlign - 4) * 2 + 1,
+            s"samplesPerBlock $sampPerBlock != (blockAlign-4)*2+1 for align $blockAlign")
+          require(size % blockAlign == 0,
+            s"data size $size not a multiple of blockAlign $blockAlign")
+          samples = new scala.collection.mutable.ArrayBuffer[Int](
+            size / blockAlign * sampPerBlock)
+          var bo = 0
+          while (bo < size) {
+            val o = pos + bo
+            var pred = (u16(o) << 16) >> 16 // sign-extend
+            var idx = bytes(o + 2) & 0xff
+            require(idx <= 88, s"block step index $idx > 88")
+            require(bytes(o + 3) == 0, "nonzero reserved byte in block header")
+            samples += pred
+            var j = 0
+            while (j < blockAlign - 4) {
+              val byte = bytes(o + 4 + j) & 0xff
+              val (p1, i1) = adpcmStep(pred, idx, byte & 0xf)
+              samples += p1
+              val (p2, i2) = adpcmStep(p1, i1, byte >> 4)
+              samples += p2
+              pred = p2; idx = i2
+              j += 1
+            }
+            bo += blockAlign
+          }
+        case _ => ()
+      }
+      pos += size + (size & 1)
+    }
+    require(samples != null, "no data chunk in WAVE stream")
+    require(factSamples == samples.length,
+      s"fact chunk says $factSamples samples, decoded ${samples.length}")
+    (rate, samples.toArray)
+  }
+
+  /** REAL IMA-ADPCM decode over synthesized format-0x11 payloads —
+    * the stateful-codec milestone: unlike PCM/G.711 where sample i
+    * is a pure function of byte i, every ADPCM sample depends on the
+    * whole nibble history since its block header, so the oracle
+    * cannot be a per-element expression — it replays the SAME state
+    * machine as a recursive-CTE fold seeded per block, then stitches
+    * block boundaries with a window. A one-step divergence anywhere
+    * in the predictor/step trajectory cascades into every later
+    * sample and breaks the hash match.
+    *
+    * Plan: stateless partition-local decode (block-independent by
+    * format design — the 100 TB story: ADPCM blocks are the codec's
+    * own split points), integer sums out, means as projections. */
+  def audioDecodeAdpcm(spark: SparkSession, documents: DataFrame): DataFrame =
+    audioStatsReport(spark, documents,
+      id => decodeAdpcmWav(synthesizeAdpcmWav(id)))
 
   case class SpectrumBin(doc_id: Long, bin: Int, c_sum: Long, s_sum: Long)
 

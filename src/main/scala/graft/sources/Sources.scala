@@ -153,6 +153,40 @@ object Sources {
         sum(expr("graft_polyhash(payload)")).as("payload_sum"))
   }
 
+  /** Gzip-compressed JSONL round-trip — the wire format crawl dumps
+    * actually arrive in (.jsonl.gz): a real distributed gzip write
+    * (one .json.gz part per task through the Hadoop codec) and a
+    * schema-pinned read-back that must decompress transparently; the
+    * per-source checksums (including polyhash of a hostile escaped
+    * payload) must equal the oracle's computed straight off parquet.
+    * The payload salt differs from [[jsonlRoundtrip]] (48-char slice,
+    * 3× char count) so the two ingest queries cannot accidentally
+    * share results.
+    *
+    * Scale note: gzip members are NOT splittable — one task per file
+    * on read. That is the real trade-off at 100 TB: the distributed
+    * writer shards into many parts (parallelism preserved across
+    * files, not within one), exactly how production .jsonl.gz corpora
+    * are laid out; a single giant .gz would serialize the scan. */
+  def jsonlGzRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val payload = concat(
+      lit("\""), substring(col("text"), 1, 48),
+      lit("\\"), lit("\n"), col("lang"), lit("\t"),
+      lit("äπ中"), (col("n_chars") * 3).cast("string"))
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .withColumn("payload", payload)
+    val tmp = roundtripTmp(spark, "jsonlgz", sfDir)
+    docs.write.mode("overwrite").option("compression", "gzip").json(tmp)
+    val back = spark.read.schema(docs.schema).json(tmp)
+    back.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(expr("graft_polyhash(text)")).as("text_sum"),
+        sum(expr("graft_polyhash(payload)")).as("payload_sum"))
+  }
+
   /** CSV round-trip fidelity — the quoting/escaping gauntlet for the
     * other interchange format pipelines actually receive: a hostile
     * payload (embedded quote, comma, newline, backslash, tab,

@@ -809,6 +809,115 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeAiff(bad))
   }
 
+  test("ICO decode: doubled-height DIBs, BGRA palette, 32-bit-padded AND mask") {
+    for (id <- Seq(0L, 3L, 6L, 9L)) {
+      val icons = Multimodal.decodeIco(Multimodal.synthesizeIco(id))
+      assert(icons.length === 2, s"id $id count")
+      icons.zipWithIndex.foreach { case ((s, bpp, px, mask), k) =>
+        assert(s === (if (k == 0) (id % 6 + 4) else (id % 4 + 3)).toInt, s"id $id icon $k size")
+        assert(bpp === (if (k == 0) 24 else 8), s"id $id icon $k bpp")
+        (0 until s * s).foreach { p =>
+          assert(mask(p) === ((id * 29 + k * 13 + p * 7) % 5 == 0), s"id $id icon $k mask $p")
+          if (k == 0)
+            (0 until 3).foreach(c => assert((px(3 * p + c) & 0xff) ===
+              ((id * 43 + k * 97 + (p * 3 + c) * 19) % 256).toInt, s"id $id px $p c$c"))
+          else {
+            val j = ((id * 43 + k * 97 + p * 19) % 64).toInt
+            assert((px(3 * p) & 0xff) === ((id * 3 + j * 5) % 256).toInt, s"id $id pal $p")
+            assert((px(3 * p + 2) & 0xff) === ((id * 7 + j * 9) % 256).toInt, s"id $id pal $p B")
+          }
+        }
+      }
+    }
+    // loud failures: wrong type, un-doubled height, truncation
+    val good = Multimodal.synthesizeIco(3L)
+    val badType = good.clone(); badType(2) = 2 // cursor, not icon
+    intercept[IllegalArgumentException](Multimodal.decodeIco(badType))
+    // first DIB height field at entryData(6+32)+8: halve it
+    val off0 = (good(6 + 12) & 0xff) | ((good(6 + 13) & 0xff) << 8)
+    val flat = good.clone()
+    val s0 = (3 % 6 + 4)
+    flat(off0 + 8) = s0.toByte // height = s, not 2s
+    intercept[IllegalArgumentException](Multimodal.decodeIco(flat))
+    intercept[IllegalArgumentException](Multimodal.decodeIco(good.take(20)))
+  }
+
+  test("gzip JSONL round-trip really compresses (part files are .json.gz)") {
+    val out = graft.sources.Sources.jsonlGzRoundtrip(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(f => f.getName.startsWith("graft_jsonlgz_")).maxBy(_.lastModified)
+    val parts = tmp.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")),
+      s"expected gzip parts, got ${parts.map(_.getName).take(3).mkString(",")}")
+    // and the bytes really are gzip members
+    val in = new java.io.FileInputStream(parts.head)
+    val two = new Array[Byte](2); in.read(two); in.close()
+    assert((two(0) & 0xff) === 0x1f && (two(1) & 0xff) === 0x8b)
+  }
+
+  test("IMA ADPCM decode: independent state-machine recompute, clamps, loud fails") {
+    // independent reference: same tables, functional fold over nibbles
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28,
+      31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+      598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878,
+      2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+      18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val idxAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    def ref(id: Long): Seq[Int] = {
+      val nb = ((id * 23) % 20 + 2).toInt
+      (0 until nb).flatMap { b =>
+        var pred = (((id * 61 + b * 127) % 4001) - 2000).toInt
+        var idx = ((id + b * 7) % 89).toInt
+        pred +: (0 until 16).map { i =>
+          val nib = ((id * 7 + (b * 16 + i) * 3) % 16).toInt
+          val st = step(idx)
+          var d = st >> 3
+          if ((nib & 1) != 0) d += st >> 2
+          if ((nib & 2) != 0) d += st >> 1
+          if ((nib & 4) != 0) d += st
+          pred = math.max(-32768, math.min(32767, if ((nib & 8) != 0) pred - d else pred + d))
+          idx = math.max(0, math.min(88, idx + idxAdj(nib)))
+          pred
+        }
+      }
+    }
+    for (id <- Seq(1L, 4L, 7L, 22L)) {
+      val (rate, xs) = Multimodal.decodeAdpcmWav(Multimodal.synthesizeAdpcmWav(id))
+      assert(rate === 8000)
+      assert(xs.toSeq === ref(id), s"id $id sample stream")
+    }
+    // clamp torture: pred0 32000, idx 88, all nibbles 0x7 -> pinned at 32767
+    val torture = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      out.write("RIFF".getBytes); w32(4 + 28 + 12 + 20); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); w32(20)
+      w16(0x11); w16(1); w32(8000); w32(5647); w16(12); w16(4); w16(2); w16(17)
+      out.write("fact".getBytes); w32(4); w32(17)
+      out.write("data".getBytes); w32(12)
+      w16(32000); out.write(88); out.write(0)
+      (0 until 8).foreach(_ => out.write(0x77))
+      out.toByteArray
+    }
+    val (_, tx) = Multimodal.decodeAdpcmWav(torture)
+    assert(tx.length === 17 && tx.head === 32000 && tx.tail.forall(_ === 32767))
+    // corruption fails loudly: nonzero reserved byte, step index > 88,
+    // fact mismatch, and a PCM stream refused outright
+    val good = Multimodal.synthesizeAdpcmWav(1L)
+    val dataOff = 12 + 28 + 12 + 8 // RIFF hdr + fmt + fact + data hdr
+    val rsv = good.clone(); rsv(dataOff + 3) = 1
+    intercept[IllegalArgumentException](Multimodal.decodeAdpcmWav(rsv))
+    val bigIdx = good.clone(); bigIdx(dataOff + 2) = 89.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeAdpcmWav(bigIdx))
+    val badFact = good.clone(); badFact(12 + 28 + 8) = (badFact(12 + 28 + 8) ^ 1).toByte
+    intercept[IllegalArgumentException](Multimodal.decodeAdpcmWav(badFact))
+    intercept[IllegalArgumentException](Multimodal.decodeAdpcmWav(Multimodal.synthesizeWav(1L)))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
