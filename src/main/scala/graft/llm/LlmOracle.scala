@@ -2380,6 +2380,25 @@ object LlmOracle {
       sum(${ph("payload")})::BIGINT AS payload_sum
     FROM p GROUP BY 1 ORDER BY source"""
 
+  /** Mirrors Warc.warcIngest — the oracle reconstructs the HTTP body
+    * closed-form from the documents table (including the embedded
+    * CRLFCRLF that defeats delimiter-based framing) and polyhashes
+    * it; record count and status follow the id arithmetic. */
+  val qIngestWarc: String = s"""
+    WITH b AS (
+      SELECT doc_id, source,
+        '<html>' || chr(13) || chr(10) || chr(13) || chr(10) ||
+        '<title>doc ' || doc_id || '</title>' || substr(text, 1, 60) ||
+        '</html>' AS body
+      FROM documents)
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INT) AS n_records,
+      CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+      source || '.example.com' AS host,
+      CAST(length(body) AS BIGINT) AS body_len,
+      CAST(${ph("body")} AS BIGINT) AS body_hash
+    FROM b ORDER BY doc_id"""
+
   val qIngestJsonl: String = s"""
     WITH p AS (
       SELECT *, '"' || substr(text, 1, 40) || chr(92) || chr(10) || lang ||
@@ -3167,6 +3186,7 @@ object LlmOracle {
     "q_dedup_cross_source" -> qDedupCrossSource,
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_gzip" -> qIngestGzip,
+    "q_ingest_warc" -> qIngestWarc,
     "q_ingest_csv" -> qIngestCsv,
     "q_ingest_orc" -> qIngestOrc,
     "q_ingest_bucketed" -> qIngestBucketed,

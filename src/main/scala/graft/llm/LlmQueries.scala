@@ -274,6 +274,8 @@ object LlmQueries {
     "q_source_jsd" -> ((s, d) => TextAnalysis.sourceJsd(docs(s, d))),
     "q_dedup_cross_source" -> ((s, d) =>
       Corpus.crossSourceDup(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
+    "q_ingest_warc" -> ((s, d) =>
+      graft.sources.Warc.warcIngest(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_ingest_gzip" -> ((s, d) =>
       graft.sources.Sources.jsonlGzRoundtrip(s, d).orderBy(col("source"))),
     "q_ingest_jsonl" -> ((s, d) =>

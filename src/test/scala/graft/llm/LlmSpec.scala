@@ -918,6 +918,35 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeAdpcmWav(Multimodal.synthesizeWav(1L)))
   }
 
+  test("WARC parse: Content-Length framing survives CRLFCRLF bodies; corruption fails loudly") {
+    import graft.sources.Warc
+    // even id: warcinfo + metadata + response; odd id: no metadata
+    val r6 = Warc.parseWarc(Warc.synthesizeWarc(6L, "the text body here", "src0"))
+    assert(r6.map(_._1) === Vector("warcinfo", "metadata", "response"))
+    val r3 = Warc.parseWarc(Warc.synthesizeWarc(3L, "another text", "src1"))
+    assert(r3.map(_._1) === Vector("warcinfo", "response"))
+    // the response body embeds CRLFCRLF and must come back intact
+    val (status, body) = Warc.parseHttp(r3.filter(_._1 == "response").head._3)
+    val bodyStr = new String(body, "UTF-8")
+    assert(status === 200 && bodyStr.contains("\r\n\r\n"))
+    assert(bodyStr === "<html>\r\n\r\n<title>doc 3</title>another text</html>")
+    // 404 arm on ids divisible by 7
+    val r7 = Warc.parseWarc(Warc.synthesizeWarc(7L, "x", "s"))
+    assert(Warc.parseHttp(r7.filter(_._1 == "response").head._3)._1 === 404)
+    // header names are case-insensitive per spec
+    val weird = ("WARC/1.0\r\nwarc-type: resource\r\ncontent-length: 2\r\n\r\nok\r\n\r\n")
+      .getBytes("US-ASCII")
+    assert(Warc.parseWarc(weird).head._1 === "resource")
+    // loud failures: bad version, truncated payload, broken trailer
+    intercept[IllegalArgumentException](
+      Warc.parseWarc("WARC/0.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes))
+    val good = Warc.synthesizeWarc(6L, "t", "s")
+    intercept[IllegalArgumentException](Warc.parseWarc(good.dropRight(2)))
+    val noTrailer = good.clone()
+    noTrailer(noTrailer.length - 1) = 'X'
+    intercept[IllegalArgumentException](Warc.parseWarc(noTrailer))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
