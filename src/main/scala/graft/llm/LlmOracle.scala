@@ -1878,6 +1878,34 @@ object LlmOracle {
       round(1.0 - l1 / n_tokens::DOUBLE + 1e-9, 6) AS cancel_share
     FROM agg ORDER BY doc_id"""
 
+  /** Mirrors TextAnalysis.htmlMetrics — the synthetic page is the
+    * same closed form on both sides; tag strip via the identical
+    * backslash-free pattern with DuckDB's 'g' flag matching Spark's
+    * replace-all default. */
+  val qHtmlMetrics: String = """
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id || '</title>' ||
+        '<script>var x = 1;</script></head>' ||
+        '<body><p>' || replace(substr(text, 1, 80), ' ', '</p><p>') || '</p>' ||
+        COALESCE((SELECT string_agg('<a href="/doc/' || (doc_id * 7 + j * 13) % 100 ||
+            '">link ' || j || '</a>', '' ORDER BY j)
+          FROM (SELECT unnest(range(0, CAST(doc_id % 4 + 1 AS INT))) AS j)), '') ||
+        '</body></html>' AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id, html,
+        regexp_replace(html, '<[^>]*>', '', 'g') AS stripped
+      FROM h)
+    SELECT doc_id,
+      CAST(length(html) - length(replace(html, '<', '')) AS BIGINT) AS n_tags,
+      CAST((length(html) - length(replace(html, '<a ', ''))) / 3 AS BIGINT) AS n_links,
+      regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+      CAST(length(stripped) AS BIGINT) AS text_len,
+      CAST(length(html) AS BIGINT) AS html_len,
+      round(length(stripped) / length(html)::DOUBLE + 1e-9, 6) AS text_share
+    FROM m ORDER BY doc_id"""
+
   val qTextCharclass: String = """
     WITH c AS (
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -2379,6 +2407,36 @@ object LlmOracle {
       sum(${ph("text")})::BIGINT AS text_sum,
       sum(${ph("payload")})::BIGINT AS payload_sum
     FROM p GROUP BY 1 ORDER BY source"""
+
+  /** Mirrors Robots.robotsFilter: the oracle constructs the wildcard
+    * group's expected rules closed-form (Disallow /doc/<d>, Allow
+    * /doc/<d><d2>) — if the engine's parser selects the googlebot or
+    * badbot group instead, every verdict flips and the hash breaks.
+    * Longest-match via max_by over matching rule lengths. */
+  val qRobotsFilter: String = """
+    WITH d AS (
+      SELECT doc_id, source, '/doc/' || doc_id AS path,
+        CAST(substr(source, 4) AS INT) AS n
+      FROM documents),
+    rules AS (SELECT DISTINCT source, n FROM d),
+    rx AS (
+      SELECT source, rule, typ FROM rules, LATERAL (
+        SELECT * FROM (VALUES
+          ('/doc/' || (n % 10), 'disallow'),
+          ('/doc/' || (n % 10) || ((n + 3) % 10), 'allow')) AS t(rule, typ))),
+    m AS (
+      SELECT d.doc_id, d.path, r.rule, r.typ,
+        CASE WHEN starts_with(d.path, r.rule) THEN length(r.rule) END AS mlen
+      FROM d JOIN rx r USING (source)),
+    best AS (
+      SELECT doc_id, path,
+        max_by(rule, mlen) AS best_rule,
+        max_by(typ, mlen) AS best_typ
+      FROM m GROUP BY 1, 2)
+    SELECT doc_id, path, best_rule,
+      CAST(CASE WHEN best_typ IS NULL OR best_typ = 'allow' THEN 1 ELSE 0 END
+        AS INT) AS allowed
+    FROM best ORDER BY doc_id"""
 
   /** Mirrors Warc.warcIngest — the oracle reconstructs the HTTP body
     * closed-form from the documents table (including the embedded
@@ -3187,6 +3245,7 @@ object LlmOracle {
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_gzip" -> qIngestGzip,
     "q_ingest_warc" -> qIngestWarc,
+    "q_robots_filter" -> qRobotsFilter,
     "q_ingest_csv" -> qIngestCsv,
     "q_ingest_orc" -> qIngestOrc,
     "q_ingest_bucketed" -> qIngestBucketed,
@@ -3280,6 +3339,7 @@ object LlmOracle {
     "q_text_charclass" -> qTextCharclass,
     "q_text_normalize" -> qTextNormalize,
     "q_feature_hash" -> qFeatureHash,
+    "q_html_metrics" -> qHtmlMetrics,
     "q_image_resize" -> qImageResize,
     "q_audio_decode" -> qAudioDecode,
     "q_audio_mulaw" -> qAudioMulaw,

@@ -274,6 +274,8 @@ object LlmQueries {
     "q_source_jsd" -> ((s, d) => TextAnalysis.sourceJsd(docs(s, d))),
     "q_dedup_cross_source" -> ((s, d) =>
       Corpus.crossSourceDup(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
+    "q_robots_filter" -> ((s, d) =>
+      Robots.robotsFilter(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_ingest_warc" -> ((s, d) =>
       graft.sources.Warc.warcIngest(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_ingest_gzip" -> ((s, d) =>
@@ -334,6 +336,8 @@ object LlmQueries {
       TextAnalysis.unicodeNormalize(docs(s, d)).orderBy(col("doc_id"))),
     "q_feature_hash" -> ((s, d) =>
       TextAnalysis.featureHash(docs(s, d)).orderBy(col("doc_id"))),
+    "q_html_metrics" -> ((s, d) =>
+      TextAnalysis.htmlMetrics(docs(s, d)).orderBy(col("doc_id"))),
     "q_image_resize" -> ((s, d) =>
       Multimodal.imageResize(s, docs(s, d))
         .orderBy(col("doc_id"), col("cell_y"), col("cell_x"))),

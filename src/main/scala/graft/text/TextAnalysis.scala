@@ -1651,6 +1651,41 @@ object TextAnalysis {
         md5(expr("encode(nfc, 'UTF-8')")).as("md5_nfc"))
   }
 
+  /** HTML boilerplate metrics — the jusText/trafilatura-style
+    * pre-extraction signals a crawl-curation pipeline computes per
+    * page BEFORE main-content extraction: tag count, anchor count
+    * (link density is the classic boilerplate discriminant), the
+    * <title>, and the text share after tag stripping. Each doc's
+    * synthetic page is a closed form over the corpus text (real tag
+    * soup: head/script to strip, id-dependent anchor runs,
+    * paragraph-per-token body), so the DuckDB oracle reproduces
+    * every metric; patterns avoid backslash classes entirely so the
+    * two regex dialects cannot diverge.
+    *
+    * Plan: a stateless projection over the documents scan — codegen
+    * string ops + one regexp_replace, no shuffle at all. */
+  def htmlMetrics(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("html", expr(
+        """concat('<html><head><title>Doc ', doc_id, '</title>',
+          |  '<script>var x = 1;</script></head>',
+          |  '<body><p>', replace(substring(text, 1, 80), ' ', '</p><p>'), '</p>',
+          |  array_join(transform(sequence(0, CAST(doc_id % 4 AS INT)),
+          |    j -> concat('<a href="/doc/', (doc_id * 7 + j * 13) % 100,
+          |                '">link ', j, '</a>')), ''),
+          |  '</body></html>')""".stripMargin))
+      .withColumn("stripped", expr("regexp_replace(html, '<[^>]*>', '')"))
+      .select(col("doc_id"),
+        (length(col("html")) - length(expr("replace(html, '<', '')")))
+          .cast("long").as("n_tags"),
+        ((length(col("html")) - length(expr("replace(html, '<a ', '')"))) / 3)
+          .cast("long").as("n_links"),
+        expr("regexp_extract(html, '<title>([^<]*)</title>', 1)").as("title"),
+        length(col("stripped")).cast("long").as("text_len"),
+        length(col("html")).cast("long").as("html_len"),
+        round(length(col("stripped")) / length(col("html")).cast("double")
+          + lit(1e-9), 6).as("text_share"))
+
   /** Signed hashing-trick featurization (Weinberger et al. 2009) —
     * the fixed-width featurizer a streaming quality classifier runs
     * when the vocabulary is unbounded: token → polyhash → bucket

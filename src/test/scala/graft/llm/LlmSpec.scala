@@ -947,6 +947,43 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Warc.parseWarc(noTrailer))
   }
 
+  test("robots.txt parse: wildcard group selection, comments, longest-match interplay") {
+    import graft.llm.Robots
+    // the parser must pick the `*` group only — not googlebot or badbot
+    val rules = Robots.parseRobots(Robots.synthesizeRobotsTxt(4))
+    assert(rules === Seq(("/doc/4", "disallow"), ("/doc/47", "allow")))
+    // RFC 9309 §2.2.1: consecutive User-agent lines form ONE group
+    val multi = Robots.parseRobots(
+      "User-agent: foo\nUser-agent: *\nDisallow: /x\n\nUser-agent: bar\nDisallow: /y\n")
+    assert(multi === Seq(("/x", "disallow")))
+    // comments, blank lines, unknown directives, empty Disallow all skipped
+    val noisy = Robots.parseRobots(
+      "# hi\nUser-agent: *\nCrawl-delay: 9\nDisallow:\nDisallow: /a # trailing\n")
+    assert(noisy === Seq(("/a", "disallow")))
+    // a group AFTER rules does not leak into the previous group
+    val after = Robots.parseRobots(
+      "User-agent: *\nDisallow: /a\nUser-agent: bot\nDisallow: /b\n")
+    assert(after === Seq(("/a", "disallow")))
+  }
+
+  test("html metrics: hand-counted tags, links and text share on a crafted doc") {
+    // doc 5: nl = 5 % 4 + 1 = 2 anchors; text "a b" -> body <p>a</p><p>b</p>
+    val df = Seq((5L, "a b", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.htmlMetrics(df).head
+    assert(r.getAs[String]("title") === "Doc 5")
+    // tags: html head title /title script /script /head body p /p p /p
+    //       2 anchors x (a + /a) + /body /html = 18
+    assert(r.getAs[Long]("n_tags") === 18L)
+    assert(r.getAs[Long]("n_links") === 2L)
+    // stripped text: "Doc 5" + "var x = 1;" + "a" + "b" + "link 0" + "link 1"
+    assert(r.getAs[Long]("text_len") === ("Doc 5" + "var x = 1;" + "ab"
+      + "link 0" + "link 1").length.toLong)
+    val share = r.getAs[Double]("text_share")
+    assert(share > 0 && share < 1 &&
+      math.abs(share - r.getAs[Long]("text_len").toDouble / r.getAs[Long]("html_len")) < 1e-5)
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
