@@ -198,4 +198,44 @@ class ExplainSpec extends SparkSpec {
     }
     assert(windows.size == 2, s"expected prior+following windows, got ${windows.size}")
   }
+
+  test("robots filter joins the tiny parsed-rules side by broadcast, never sort-merge") {
+    val plan = physical("q_robots_filter")
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size == 1, s"expected one broadcast join, got ${bhj.size}")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty,
+      "the ~40-row rules side must broadcast — a sort-merge here shuffles the 100 TB URL side")
+    // the documents scan must not read the 16 KB text column for a
+    // pure doc_id/source evaluation
+    val docScan = scans("q_robots_filter")
+      .find(_.metadata.getOrElse("Location", "").contains("documents")).get
+    assert(!docScan.requiredSchema.fieldNames.contains("text"),
+      s"robots filter reads text: ${docScan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("feature hashing: exploded token stream partial-aggregates before it shuffles") {
+    val plan = physical("q_feature_hash")
+    // source round-robin + (doc,bucket) agg shuffle + doc rollup
+    // shuffle + the driver-contract orderBy's range exchange — the
+    // two AGG shuffles move ≤64 partial rows per doc, never the raw
+    // exploded token stream
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 4, s"feature hash grew to ${shuffles.size} shuffles")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // two logical aggregates as partial+final pairs — the partial
+    // HashAggregate sits UNDER its exchange (same codegen stage as
+    // the Generate), which is what caps each shuffle's row count
+    assert(aggs.size >= 4, s"expected partial+final pairs, got ${aggs.size}")
+    val gen = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gen.size == 1, s"expected one explode, got ${gen.size}")
+  }
 }
