@@ -2438,6 +2438,39 @@ object LlmOracle {
         AS INT) AS allowed
     FROM best ORDER BY doc_id"""
 
+  /** Mirrors Sitemap.sitemapIngest — loc/lastmod closed-form; the
+    * oracle states the UNESCAPED loc, so the engine's XML entity
+    * round-trip (& → &amp; → &) is load-bearing on every row. */
+  val qIngestSitemap: String = """
+    SELECT doc_id, source,
+      'http://' || source || '.example.com/doc/' || doc_id ||
+        '?a=1&b=' || (doc_id % 5) AS loc,
+      '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+      CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_urls
+    FROM documents ORDER BY doc_id"""
+
+  /** Mirrors Zip.zipIngest — entry contents are closed-form over the
+    * documents table (100-char text slice, JSON meta, arithmetic
+    * binary entry); compressed sizes are deliberately absent from
+    * the contract (deflate-implementation-dependent). */
+  val qIngestZip: String = s"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 100) AS txt, lang,
+        CAST(doc_id % 50 + 10 AS INT) AS nbin
+      FROM documents),
+    b AS (
+      SELECT doc_id, txt, nbin,
+        length(txt) + length('{"id":' || doc_id || ',"lang":"' || lang || '"}')
+          + nbin AS total_usize,
+        (SELECT CAST(sum((doc_id * 19 + i * 23) % 256) AS BIGINT)
+         FROM (SELECT unnest(range(0, nbin)) AS i)) AS bin_sum
+      FROM d)
+    SELECT doc_id, CAST(3 AS INT) AS n_entries,
+      CAST(total_usize AS BIGINT) AS total_usize,
+      CAST(${ph("txt")} AS BIGINT) AS text_hash,
+      bin_sum
+    FROM b ORDER BY doc_id"""
+
   /** Mirrors Warc.warcIngest — the oracle reconstructs the HTTP body
     * closed-form from the documents table (including the embedded
     * CRLFCRLF that defeats delimiter-based framing) and polyhashes
@@ -3245,6 +3278,8 @@ object LlmOracle {
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_gzip" -> qIngestGzip,
     "q_ingest_warc" -> qIngestWarc,
+    "q_ingest_zip" -> qIngestZip,
+    "q_ingest_sitemap" -> qIngestSitemap,
     "q_robots_filter" -> qRobotsFilter,
     "q_ingest_csv" -> qIngestCsv,
     "q_ingest_orc" -> qIngestOrc,

@@ -81,6 +81,20 @@ object Robots {
     * sources and broadcasts; the per-doc work is a broadcast join +
     * prefix test + one keyed max — at 100 TB the robots side stays
     * tiny (one row per domain) while the URL side streams. */
+  /** The wide per-source rules frame the streaming crawl gate joins
+    * against: (source, disallow_rule, allow_rule) — one row per
+    * domain from the same parse as [[robotsFilter]]. */
+  def wideRules(spark: SparkSession, sources: Seq[String]): DataFrame = {
+    import spark.implicits._
+    sources.map { src =>
+      val n = src.stripPrefix("src").toInt
+      val rules = parseRobots(synthesizeRobotsTxt(n))
+      (src,
+        rules.collectFirst { case (r, "disallow") => r }.get,
+        rules.collectFirst { case (r, "allow") => r }.get)
+    }.toDF("source", "disallow_rule", "allow_rule")
+  }
+
   def robotsFilter(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     val sources = documents.select(col("source")).distinct()

@@ -490,6 +490,29 @@ object Streaming extends Serializable {
       .dropDuplicatesWithinWatermark(Seq("curl"))
       .drop("curl") // internal dedup key — match the batch twin's clean contract
 
+  /** Streaming twin of the robots gate (graft.llm.Robots.robotsFilter)
+    * chained ahead of URL dedup — the continuous crawl-frontier shape:
+    * each arriving URL joins the STATIC parsed-rules table (robots
+    * caches refresh by redeploy, not per batch — a stream-static
+    * broadcast join, no stream-side state), disallowed paths drop,
+    * and survivors dedup within the watermark. `rules` is the wide
+    * per-source frame (source, disallow_rule, allow_rule) from the
+    * batch parse; with one disallow + one longer allow per domain the
+    * RFC longest-match verdict reduces to a STATELESS projection —
+    * allowed unless the disallow prefix matches and the more-specific
+    * allow does not. The general multi-rule evaluation stays the
+    * batch `q_robots_filter`. */
+  def crawlGate(streamDocs: DataFrame, rules: DataFrame,
+      lateness: String = "1 hour"): DataFrame =
+    streamDocs
+      .withColumn("path", concat(lit("/doc/"), col("doc_id")))
+      .join(org.apache.spark.sql.functions.broadcast(rules), Seq("source"))
+      .filter(!col("path").startsWith(col("disallow_rule")) ||
+        col("path").startsWith(col("allow_rule")))
+      .drop("disallow_rule", "allow_rule")
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("path"))
+
   case class StationEvent(user_id: Long, ts: Timestamp, value: Double)
   case class GapState(lastTs: Long)
   case class GapAlert(station_id: Long, gap_start: Timestamp, gap_hours: Double)

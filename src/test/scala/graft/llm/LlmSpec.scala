@@ -984,6 +984,59 @@ class LlmSpec extends SparkSpec {
       math.abs(share - r.getAs[Long]("text_len").toDouble / r.getAs[Long]("html_len")) < 1e-5)
   }
 
+  test("ZIP parse: EOCD backward scan, deflate round-trip, CRC verification") {
+    import graft.sources.Zip
+    val ents = Zip.parseZip(Zip.synthesizeZip(9L, "the quick brown fox " * 10, "en"))
+    assert(ents.map(_._1) === Seq("doc.txt", "meta.json", "data.bin"))
+    assert(ents.map(_._3) === Seq(8, 0, 0)) // deflated, stored, stored
+    // the deflated entry round-trips to the exact 100-char slice
+    assert(new String(ents.head._2, "UTF-8") === ("the quick brown fox " * 10).take(100))
+    assert(new String(ents(1)._2, "UTF-8") === """{"id":9,"lang":"en"}""")
+    // binary entry follows its closed form
+    val bin = ents(2)._2
+    assert(bin.length === (9 % 50 + 10))
+    bin.indices.foreach(i =>
+      assert((bin(i) & 0xff) === ((9 * 19 + i * 23) % 256).toInt))
+    // corruption: a flipped payload byte dies on the CRC check
+    val good = Zip.synthesizeZip(9L, "some text here", "de")
+    val flip = good.clone()
+    flip(40) = (flip(40) ^ 0x55).toByte // inside doc.txt's deflate stream
+    intercept[Exception](Zip.parseZip(flip)) // CRC or inflate failure, never silent
+    // truncation kills the EOCD comment-length cross-check
+    intercept[IllegalArgumentException](Zip.parseZip(good.dropRight(1)))
+    intercept[IllegalArgumentException](Zip.parseZip("PKPKPK".getBytes))
+    // unknown compression method is refused (patch CD method field of entry 0)
+    val cdOff = {
+      def u32(b: Array[Byte], o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      var i = good.length - 22
+      while (u32(good, i) != 0x06054b50L) i -= 1
+      u32(good, i + 16).toInt
+    }
+    val lzma = good.clone(); lzma(cdOff + 10) = 14 // LZMA method id
+    intercept[IllegalArgumentException](Zip.parseZip(lzma))
+  }
+
+  test("sitemap round-trip: XML entity escaping and per-domain order are load-bearing") {
+    import graft.sources.Sitemap
+    val xml = Sitemap.buildSitemap("src7", Seq(30L, 3L, 12L))
+    // wire form is escaped; ids emit in sorted order
+    assert(xml.contains("?a=1&amp;b=3</loc>") && !xml.contains("?a=1&b="))
+    assert(xml.indexOf("/doc/3?") < xml.indexOf("/doc/12?") &&
+      xml.indexOf("/doc/12?") < xml.indexOf("/doc/30?"))
+    val parsed = Sitemap.parseSitemap(xml)
+    assert(parsed.map(_._1) === Seq(
+      "http://src7.example.com/doc/3?a=1&b=3",
+      "http://src7.example.com/doc/12?a=1&b=2",
+      "http://src7.example.com/doc/30?a=1&b=0"))
+    assert(parsed.map(_._2) === Seq("2024-01-04", "2024-01-13", "2024-01-03"))
+    // malformed blocks fail loudly
+    intercept[IllegalArgumentException](
+      Sitemap.parseSitemap("<urlset><url><loc>x</loc>"))
+    intercept[IllegalArgumentException](
+      Sitemap.parseSitemap("<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)

@@ -119,6 +119,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("urldedup").columns.toSeq === Seq("ts", "doc_id", "url"))
   }
 
+  test("streaming crawl gate matches the batch robots verdicts and dedups the frontier") {
+    implicit val sc = spark.sqlContext
+    // src4: Disallow /doc/4, Allow /doc/47 (wildcard group)
+    val rules = graft.llm.Robots.wideRules(spark, Seq("src4"))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = Streaming.crawlGate(in.toDF().toDF("ts", "doc_id", "source"), rules)
+      .writeStream.format("memory").queryName("crawlgate").outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    in.addData(
+      (t(0), 12L, "src4"),  // allowed: /doc/12 matches no rule
+      (t(1), 41L, "src4"),  // blocked: /doc/41 under Disallow /doc/4
+      (t(2), 47L, "src4"),  // allowed: the more-specific Allow /doc/47 wins
+      (t(3), 478L, "src4")) // allowed: same allow-prefix interplay
+    q.processAllAvailable()
+    in.addData((t(4), 12L, "src4")) // re-fetch of /doc/12 inside the watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("crawlgate").select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(out === Set(12L, 47L, 478L))
+    // the stream's verdicts equal the batch robots filter on the same docs
+    val batch = graft.llm.Robots.robotsFilter(spark,
+        Seq((12L, "src4"), (41L, "src4"), (47L, "src4"), (478L, "src4"))
+          .toDF("doc_id", "source"))
+      .filter($"allowed" === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch === Set(12L, 47L, 478L))
+  }
+
   test("streaming incremental screen equals the batch snapshot screen and batch incrementalDedup") {
     implicit val sc = spark.sqlContext
     // index corpus: ids ≢ 0 mod 10 so the batch incrementalDedup twin
