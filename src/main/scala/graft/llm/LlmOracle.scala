@@ -2438,6 +2438,25 @@ object LlmOracle {
         AS INT) AS allowed
     FROM best ORDER BY doc_id"""
 
+  /** Mirrors Pdf.pdfIngest — the extracted lines are closed-form over
+    * the documents table (the `doc (N)` line forces the PDF string
+    * escape round-trip); structure counts and MediaBox are the
+    * synthesized constants the xref-driven parse must recover. */
+  val qIngestPdf: String = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS sw FROM documents),
+    t AS (
+      SELECT doc_id,
+        'doc (' || doc_id || ')' || chr(10) ||
+        array_to_string(sw[2:5], ' ') || chr(10) ||
+        array_to_string(sw[6:9], ' ') AS txt
+      FROM d)
+    SELECT doc_id, CAST(6 AS INT) AS n_objects, CAST(1 AS INT) AS n_pages,
+      CAST(612 AS INT) AS media_w, CAST(792 AS INT) AS media_h,
+      CAST(3 AS INT) AS n_lines,
+      CAST(${ph("txt")} AS BIGINT) AS text_hash
+    FROM t ORDER BY doc_id"""
+
   /** Mirrors Sitemap.sitemapIngest — loc/lastmod closed-form; the
     * oracle states the UNESCAPED loc, so the engine's XML entity
     * round-trip (& → &amp; → &) is load-bearing on every row. */
@@ -3280,6 +3299,7 @@ object LlmOracle {
     "q_ingest_warc" -> qIngestWarc,
     "q_ingest_zip" -> qIngestZip,
     "q_ingest_sitemap" -> qIngestSitemap,
+    "q_ingest_pdf" -> qIngestPdf,
     "q_robots_filter" -> qRobotsFilter,
     "q_ingest_csv" -> qIngestCsv,
     "q_ingest_orc" -> qIngestOrc,

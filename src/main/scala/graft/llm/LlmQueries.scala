@@ -276,6 +276,8 @@ object LlmQueries {
       Corpus.crossSourceDup(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
     "q_robots_filter" -> ((s, d) =>
       Robots.robotsFilter(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_ingest_pdf" -> ((s, d) =>
+      graft.sources.Pdf.pdfIngest(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_ingest_sitemap" -> ((s, d) =>
       graft.sources.Sitemap.sitemapIngest(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_ingest_zip" -> ((s, d) =>

@@ -1037,6 +1037,29 @@ class LlmSpec extends SparkSpec {
       Sitemap.parseSitemap("<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"))
   }
 
+  test("PDF parse: xref offsets, FlateDecode, and string escapes are load-bearing") {
+    import graft.sources.Pdf
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val pdf = Pdf.synthesizePdf(42L, text)
+    val r = Pdf.parsePdf(pdf)
+    assert(r.n_objects === 6 && r.n_pages === 1)
+    assert(r.media_w === 612 && r.media_h === 792)
+    // the `doc (42)` line proves parens rode escaped and unescaped back
+    assert(r.lines === Seq("doc (42)",
+      "beta gamma delta epsilon", "zeta eta theta iota"))
+    // a corrupted xref offset must fail the object-header cross-check
+    val xref = new String(pdf, "ISO-8859-1").indexOf("xref")
+    val bad = pdf.clone()
+    bad(xref + 9 + 22 + 5) = '9' // a digit inside object 1's offset entry
+    intercept[IllegalArgumentException](Pdf.parsePdf(bad))
+    // truncation and non-PDF input fail loudly
+    intercept[IllegalArgumentException](Pdf.parsePdf(pdf.take(100)))
+    intercept[IllegalArgumentException](Pdf.parsePdf("%NOT a pdf".getBytes))
+    // escape handling: octal and named escapes round-trip
+    assert(Pdf.extractText("BT (a\\051b\\(c\\)d\\\\e) Tj ET") ===
+      Seq("a)b(c)d\\e"))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
