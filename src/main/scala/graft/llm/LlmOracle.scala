@@ -1429,6 +1429,22 @@ object LlmOracle {
       round(0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b + 1e-9, 6) AS luma
     FROM m ORDER BY doc_id, icon_idx"""
 
+  /** Mirrors Multimodal.imageExif: every field is closed-form id
+    * arithmetic; the engine must recover them through the JPEG
+    * segment walk + embedded-TIFF IFD chain (IFD0 → tag-34665
+    * sub-IFD, ASCII/SHORT/LONG/RATIONAL types, inline-vs-offset). */
+  val qImageExif: String = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 4 < 2 THEN 'II' ELSE 'MM' END AS byte_order,
+      CAST(doc_id % 8 + 1 AS INT) AS orientation,
+      CAST((doc_id % 6) * 200 + 100 AS INT) AS iso,
+      round(((doc_id % 40) * 5 + 180) / 10.0 + 1e-9, 2) AS focal_mm,
+      'graftcam' || (doc_id % 3) AS make,
+      'GX-' || (doc_id % 100) AS model,
+      '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        ' 10:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00' AS dt
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"""
+
   /** Mirrors Multimodal.imageDecodeGif: the engine round-trips a real
     * GIF89a (64-entry global color table, two ancillary extensions,
     * ≤32-byte sub-blocks, genuine variable-width LZW) whose palette
@@ -3379,6 +3395,7 @@ object LlmOracle {
     "q_image_decode_bmp" -> qImageDecodeBmp,
     "q_image_decode_tiff" -> qImageDecodeTiff,
     "q_image_decode_ico" -> qImageDecodeIco,
+    "q_image_exif" -> qImageExif,
     "q_gif_frames" -> qGifFrames,
     "q_gif_composite" -> qGifComposite,
     "q_dedup_url" -> qDedupUrl,

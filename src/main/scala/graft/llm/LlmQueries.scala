@@ -328,6 +328,8 @@ object LlmQueries {
       Multimodal.gifFrames(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "q_gif_composite" -> ((s, d) =>
       Multimodal.gifComposite(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
+    "q_image_exif" -> ((s, d) =>
+      Multimodal.imageExif(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_phash" -> ((s, d) =>
       Multimodal.imagePhash(s, docs(s, d)).orderBy(col("doc_id"))),
     // same complete hamming<=3 semantics via 2x32-bit multi-index

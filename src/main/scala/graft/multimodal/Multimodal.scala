@@ -962,6 +962,186 @@ object Multimodal {
         col("mean_b"), col("luma"))
   }
 
+  // ---- EXIF (JPEG APP1 → embedded TIFF IFD chain) ------------------
+
+  private def exifOrientation(docId: Long): Int = (docId % 8 + 1).toInt
+  private def exifIso(docId: Long): Int = ((docId % 6) * 200 + 100).toInt
+  private def exifFocalNum(docId: Long): Int = ((docId % 40) * 5 + 180).toInt
+  private def exifMake(docId: Long): String = s"graftcam${docId % 3}"
+  private def exifModel(docId: Long): String = s"GX-${docId % 100}"
+  private def exifDt(docId: Long): String =
+    f"2024:01:${docId % 28 + 1}%02d 10:${docId % 60}%02d:00"
+
+  /** Build the Exif TIFF body: IFD0 (Make/Model ASCII behind offsets,
+    * Orientation inline SHORT, the exactly-20-byte DateTime, and the
+    * Exif-sub-IFD pointer tag 34665) chaining to a second IFD with
+    * ISO (SHORT) and FocalLength as a RATIONAL — the 8-byte
+    * numerator/denominator pair that always lives behind an offset.
+    * Byte order follows the TIFF op's id convention (II on
+    * id mod 4 < 2, MM otherwise). */
+  private def buildTiffExif(docId: Long): Array[Byte] = {
+    val little = docId % 4 < 2
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Int): Unit =
+      if (little) { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      else { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+    val makeB = (exifMake(docId) + "\u0000").getBytes("US-ASCII")
+    val modelB = (exifModel(docId) + "\u0000").getBytes("US-ASCII")
+    val dtB = (exifDt(docId) + "\u0000").getBytes("US-ASCII")
+    require(dtB.length == 20) // EXIF DateTime is exactly 20 bytes
+    val ifd0Size = 2 + 5 * 12 + 4
+    val exifOff = 8 + ifd0Size
+    val ifd1Size = 2 + 2 * 12 + 4
+    val dataOff = exifOff + ifd1Size
+    val makeOff = dataOff
+    val modelOff = makeOff + makeB.length
+    val dtOff = modelOff + modelB.length
+    val focalOff = dtOff + dtB.length
+    def entryShort(tag: Int, v: Int): Unit = { w16(tag); w16(3); w32(1); w16(v); w16(0) }
+    def entryOff(tag: Int, typ: Int, cnt: Int, off: Int): Unit = {
+      w16(tag); w16(typ); w32(cnt); w32(off)
+    }
+    out.write(if (little) 'I' else 'M'); out.write(if (little) 'I' else 'M')
+    w16(42); w32(8)
+    w16(5)
+    entryOff(271, 2, makeB.length, makeOff)  // Make, ASCII
+    entryOff(272, 2, modelB.length, modelOff) // Model, ASCII
+    entryShort(274, exifOrientation(docId))   // Orientation
+    entryOff(306, 2, 20, dtOff)               // DateTime
+    entryOff(34665, 4, 1, exifOff)            // Exif sub-IFD pointer
+    w32(0)
+    w16(2)
+    entryShort(34855, exifIso(docId))         // ISOSpeedRatings
+    entryOff(37386, 5, 1, focalOff)           // FocalLength, RATIONAL
+    w32(0)
+    out.write(makeB); out.write(modelB); out.write(dtB)
+    w32(exifFocalNum(docId)); w32(10)
+    out.toByteArray
+  }
+
+  /** Deterministic JPEG-with-EXIF synthesizer: SOI, an APP0/JFIF
+    * segment the walker must skip, the APP1 Exif segment (big-endian
+    * JPEG segment length around a little-OR-big-endian TIFF body —
+    * two byte orders in one file), EOI. Metadata-only by design:
+    * real pipelines read EXIF without decoding pixels. */
+  private[graft] def synthesizeJpegExif(docId: Long): Array[Byte] = {
+    val tiff = buildTiffExif(docId)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0 JFIF
+    out.write(0); out.write(16)
+    out.write("JFIF\u0000".getBytes("US-ASCII")); out.write(new Array[Byte](9))
+    out.write(0xff); out.write(0xe1) // APP1 Exif
+    val app1Len = 2 + 6 + tiff.length
+    out.write((app1Len >> 8) & 0xff); out.write(app1Len & 0xff)
+    out.write("Exif\u0000\u0000".getBytes("US-ASCII"))
+    out.write(tiff)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  case class ExifMeta(doc_id: Long, byte_order: String, orientation: Int,
+      iso: Int, focal_num: Long, focal_den: Long, make: String,
+      model: String, dt: String)
+
+  /** Parse EXIF from a JPEG: walk the marker segments (big-endian
+    * lengths) to the APP1 `Exif\0\0` payload, then read the embedded
+    * TIFF — IFD0 plus the Exif sub-IFD via tag 34665 — honoring
+    * inline-vs-offset values, NUL-terminated ASCII, and the 8-byte
+    * RATIONAL. Fails loudly on missing APP1 or malformed IFDs. */
+  private[graft] def parseExif(bytes: Array[Byte]): ExifMeta = {
+    require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (no SOI)")
+    var pos = 2
+    var tiff: Array[Byte] = null
+    var done = false
+    while (!done && pos + 4 <= bytes.length) {
+      require((bytes(pos) & 0xff) == 0xff, s"bad JPEG marker at $pos")
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd9) done = true
+      else {
+        val segLen = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        require(pos + 2 + segLen <= bytes.length, "truncated JPEG segment")
+        if (marker == 0xe1 && segLen >= 8 &&
+            new String(bytes, pos + 4, 6, "US-ASCII") == "Exif\u0000\u0000")
+          tiff = java.util.Arrays.copyOfRange(bytes, pos + 10, pos + 2 + segLen)
+        pos += 2 + segLen
+      }
+    }
+    require(tiff != null, "no Exif APP1 segment")
+    val little = tiff(0) == 'I'.toByte && tiff(1) == 'I'.toByte
+    require(little || (tiff(0) == 'M'.toByte && tiff(1) == 'M'.toByte),
+      "bad TIFF byte-order mark in Exif")
+    def u16(o: Int): Int =
+      if (little) (tiff(o) & 0xff) | ((tiff(o + 1) & 0xff) << 8)
+      else ((tiff(o) & 0xff) << 8) | (tiff(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (little) (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+      else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
+    require(u16(2) == 42, "bad TIFF magic in Exif")
+    def readIfd(ifd: Int): Map[Int, Any] = {
+      val n = u16(ifd)
+      require(ifd + 2 + 12 * n + 4 <= tiff.length, "truncated Exif IFD")
+      (0 until n).map { k =>
+        val o = ifd + 2 + 12 * k
+        val tag = u16(o); val typ = u16(o + 2); val cnt = u32(o + 4).toInt
+        val tsz = typ match {
+          case 2 => 1
+          case 3 => 2
+          case 4 => 4
+          case 5 => 8
+          case t => throw new IllegalArgumentException(s"unsupported Exif type $t")
+        }
+        val vo = if (tsz * cnt <= 4) o + 8 else u32(o + 8).toInt
+        require(vo + tsz * cnt <= tiff.length, s"Exif tag $tag values out of range")
+        val v: Any = typ match {
+          case 2 =>
+            require(tiff(vo + cnt - 1) == 0, s"Exif ASCII tag $tag not NUL-terminated")
+            new String(tiff, vo, cnt - 1, "US-ASCII")
+          case 3 => u16(vo)
+          case 4 => u32(vo)
+          case 5 => (u32(vo), u32(vo + 4))
+        }
+        tag -> v
+      }.toMap
+    }
+    val ifd0 = readIfd(u32(4).toInt)
+    val sub = readIfd(ifd0(34665).asInstanceOf[Long].toInt)
+    val (fn, fd) = sub(37386).asInstanceOf[(Long, Long)]
+    ExifMeta(0L, if (little) "II" else "MM",
+      ifd0(274).asInstanceOf[Int], sub(34855).asInstanceOf[Int], fn, fd,
+      ifd0(271).asInstanceOf[String], ifd0(272).asInstanceOf[String],
+      ifd0(306).asInstanceOf[String])
+  }
+
+  /** REAL EXIF extraction over synthesized JPEG payloads — the
+    * metadata pass an image-curation pipeline runs BEFORE any pixel
+    * decode (orientation normalizes rotation, DateTime/Make/Model
+    * drive dedup and provenance, ISO/FocalLength feed quality
+    * filters). Two byte orders nest in one file: the JPEG segment
+    * lengths are always big-endian while the embedded TIFF follows
+    * the id's byte-order convention — a parser that conflates them
+    * breaks the hash.
+    *
+    * Plan: stateless partition-local parse (mapPartitions with a
+    * case-class Encoder), focal_mm as a plan projection. */
+  def imageExif(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    metadata(documents)
+      .filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id => parseExif(synthesizeJpegExif(id)).copy(doc_id = id) }
+      }.toDF()
+      .withColumn("focal_mm",
+        round(col("focal_num") / col("focal_den").cast("double") + lit(1e-9), 2))
+      .select(col("doc_id"), col("byte_order"), col("orientation"), col("iso"),
+        col("focal_mm"), col("make"), col("model"), col("dt"))
+  }
+
   // ---- GIF (GIF89a, pure LZW — no native codec needed) -------------
 
   /** GIF variable-code-width LZW encoder (GIF89a Appendix F):

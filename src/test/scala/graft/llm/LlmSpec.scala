@@ -1060,6 +1060,35 @@ class LlmSpec extends SparkSpec {
       Seq("a)b(c)d\\e"))
   }
 
+  test("EXIF parse: segment walk, nested byte orders, ASCII/RATIONAL types") {
+    // id 6: MM body inside big-endian JPEG lengths; id 9: II body
+    for (id <- Seq(6L, 9L, 0L, 3L)) {
+      val m = Multimodal.parseExif(Multimodal.synthesizeJpegExif(id))
+      assert(m.byte_order === (if (id % 4 < 2) "II" else "MM"), s"id $id order")
+      assert(m.orientation === (id % 8 + 1).toInt, s"id $id orientation")
+      assert(m.iso === ((id % 6) * 200 + 100).toInt, s"id $id iso")
+      assert(m.focal_num === ((id % 40) * 5 + 180) && m.focal_den === 10L)
+      assert(m.make === s"graftcam${id % 3}" && m.model === s"GX-${id % 100}")
+      assert(m.dt === f"2024:01:${id % 28 + 1}%02d 10:${id % 60}%02d:00")
+    }
+    // a JPEG without APP1 fails loudly, as does a truncated segment
+    val noExif = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    intercept[IllegalArgumentException](Multimodal.parseExif(noExif))
+    val good = Multimodal.synthesizeJpegExif(6L)
+    intercept[IllegalArgumentException](Multimodal.parseExif(good.dropRight(4)))
+    // an un-NUL-terminated ASCII tag is malformed per spec
+    val tiffStart = 2 + 18 + 4 + 6 // SOI + APP0 + APP1 hdr + Exif id
+    val bad = good.clone()
+    // Make value bytes live at tiffStart + makeOff; break the NUL by
+    // extending: flip the terminator of the dt string (offset known
+    // from the builder: dataOff + make + model lengths + 19)
+    val makeLen = "graftcam0".length + 1
+    val modelLen = "GX-6".length + 1
+    val dataOff = 8 + (2 + 5 * 12 + 4) + (2 + 2 * 12 + 4)
+    bad(tiffStart + dataOff + makeLen + modelLen + 19) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseExif(bad))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
