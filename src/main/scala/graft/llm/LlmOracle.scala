@@ -2484,6 +2484,28 @@ object LlmOracle {
       CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_urls
     FROM documents ORDER BY doc_id"""
 
+  /** Mirrors Tar.tarIngest — entry contents are closed-form (120-char
+    * text slice, key=value meta, arithmetic binary entry); the
+    * engine must recover them through the checksum-verified 512-byte
+    * header walk. */
+  val qIngestTar: String = s"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 120) AS txt, lang,
+        CAST(doc_id % 60 + 5 AS INT) AS nbin
+      FROM documents),
+    b AS (
+      SELECT doc_id, txt, nbin,
+        length(txt) + length('lang=' || lang || chr(10) || 'id=' || doc_id || chr(10))
+          + nbin AS total_size,
+        (SELECT CAST(sum((doc_id * 29 + i * 31) % 256) AS BIGINT)
+         FROM (SELECT unnest(range(0, nbin)) AS i)) AS bin_sum
+      FROM d)
+    SELECT doc_id, CAST(3 AS INT) AS n_entries,
+      CAST(total_size AS BIGINT) AS total_size,
+      CAST(${ph("txt")} AS BIGINT) AS text_hash,
+      bin_sum
+    FROM b ORDER BY doc_id"""
+
   /** Mirrors Zip.zipIngest — entry contents are closed-form over the
     * documents table (100-char text slice, JSON meta, arithmetic
     * binary entry); compressed sizes are deliberately absent from
@@ -3314,6 +3336,7 @@ object LlmOracle {
     "q_ingest_gzip" -> qIngestGzip,
     "q_ingest_warc" -> qIngestWarc,
     "q_ingest_zip" -> qIngestZip,
+    "q_ingest_tar" -> qIngestTar,
     "q_ingest_sitemap" -> qIngestSitemap,
     "q_ingest_pdf" -> qIngestPdf,
     "q_robots_filter" -> qRobotsFilter,

@@ -280,6 +280,8 @@ object LlmQueries {
       graft.sources.Pdf.pdfIngest(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_ingest_sitemap" -> ((s, d) =>
       graft.sources.Sitemap.sitemapIngest(s, docs(s, d)).orderBy(col("doc_id"))),
+    "q_ingest_tar" -> ((s, d) =>
+      graft.sources.Tar.tarIngest(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_ingest_zip" -> ((s, d) =>
       graft.sources.Zip.zipIngest(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_ingest_warc" -> ((s, d) =>

@@ -1089,6 +1089,24 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parseExif(bad))
   }
 
+  test("TAR parse: self-referential checksum, padding walk, terminator discipline") {
+    import graft.sources.Tar
+    val ents = Tar.parseTar(Tar.synthesizeTar(11L, "words in the archive body here", "fr"))
+    assert(ents.map(_._1) === Seq("data/doc.txt", "data/meta.cfg", "data/blob.bin"))
+    assert(new String(ents.head._2, "UTF-8") === "words in the archive body here")
+    assert(new String(ents(1)._2, "UTF-8") === "lang=fr\nid=11\n")
+    assert(ents(2)._2.length === (11 % 60 + 5))
+    // one flipped header byte dies on the checksum
+    val good = Tar.synthesizeTar(11L, "t", "en")
+    val flip = good.clone(); flip(265) = 'X'.toByte // uname byte
+    val e = intercept[IllegalArgumentException](Tar.parseTar(flip))
+    assert(e.getMessage.contains("checksum"))
+    // a single trailing zero block is a truncated archive
+    intercept[IllegalArgumentException](Tar.parseTar(good.dropRight(512)))
+    // non-archive input dies on the magic
+    intercept[IllegalArgumentException](Tar.parseTar(new Array[Byte](2048).map(_ => 'x'.toByte)))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
