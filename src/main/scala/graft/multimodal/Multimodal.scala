@@ -4,16 +4,22 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: images/audio/video ride along as opaque
-  * binary columns with typed metadata. Decode is REAL for one public
-  * format per modality — binary PPM images ([[decodePpm]]), RIFF/WAVE
-  * PCM16 audio ([[decodeWav]]) and YUV4MPEG2 (y4m) video
-  * ([[decodeY4m]]) — all dependency-free header+payload parsers over
-  * pure byte layouts (no media libraries in this environment, and none
-  * needed for these formats). The remaining STUB seams are clearly
-  * marked (pixel resampling in [[resize]], the non-PPM branch of
-  * [[featureExtract]]); everything around them (schema, batch shape,
-  * partition-local execution) is the real Spark plumbing a codec UDF
-  * would plug into.
+  * binary columns with typed metadata. Decode is REAL and
+  * dependency-free across the mainstream byte layouts of each
+  * modality — images: binary PPM ([[decodePpm]]), PNG ([[decodePng]],
+  * JDK Inflater + CRC32), baseline JPEG ([[decodeJpeg]]), full GIF89a
+  * ([[decodeGifFrames]], pure LZW with disposal/transparency), BMP
+  * ([[decodeBmp]]), baseline TIFF ([[decodeTiff]], both byte orders),
+  * ICO ([[decodeIco]]) and EXIF metadata ([[parseExif]]); audio:
+  * RIFF/WAVE PCM16 ([[decodeWav]]), G.711 μ-law/A-law
+  * ([[decodeMulawWav]]/[[decodeAlawWav]]), big-endian AIFF with the
+  * 80-bit extended-float rate ([[decodeAiff]]) and stateful IMA ADPCM
+  * ([[decodeAdpcmWav]]); video: YUV4MPEG2 ([[decodeY4m]]). The
+  * remaining STUB boundary is the entropy/DSP-codec class that
+  * genuinely needs native libraries (MP3, H.264) — declared and loud
+  * in [[featureExtract]]'s fallback; everything around it (schema,
+  * batch shape, partition-local execution) is the real Spark plumbing
+  * a codec UDF would plug into.
   */
 object Multimodal {
 
@@ -864,6 +870,8 @@ object Multimodal {
       val palette: Array[Int] =
         if (bpp == 8) {
           val n = { val c = i32(off + 32); if (c == 0) 256 else c }
+          require(n > 0 && pos + 4 * n <= off + size,
+            s"icon $kk color table ($n entries) exceeds its DIB")
           val p = Array.tabulate(n) { j =>
             ((bytes(pos + 4 * j + 2) & 0xff) << 16) |
               ((bytes(pos + 4 * j + 1) & 0xff) << 8) | (bytes(pos + 4 * j) & 0xff)

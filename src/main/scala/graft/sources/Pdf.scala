@@ -204,8 +204,18 @@ object Pdf {
 
   /** Full xref-driven parse of one PDF: header check, startxref,
     * xref entries, trailer /Root, catalog → pages → per page the
-    * MediaBox and the inflated /Contents text. */
-  private[graft] def parsePdf(bytes: Array[Byte]): PdfText = {
+    * MediaBox and the inflated /Contents text. Arbitrary truncation
+    * anywhere inside the token walk converts to the decoder's
+    * contractual IllegalArgumentException — never a raw index
+    * error. */
+  private[graft] def parsePdf(bytes: Array[Byte]): PdfText =
+    try parsePdfImpl(bytes)
+    catch {
+      case _: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException("truncated or malformed PDF")
+    }
+
+  private def parsePdfImpl(bytes: Array[Byte]): PdfText = {
     require(bytes.length > 8 && new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-",
       "not a PDF (bad header)")
     val whole = new String(bytes, "ISO-8859-1")

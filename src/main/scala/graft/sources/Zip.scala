@@ -105,17 +105,21 @@ object Zip {
     var pos = cdOff
     var k = 0
     while (k < nTotal) {
+      require(pos >= 0 && pos + 46 <= bytes.length, s"central directory truncated at $pos")
       require(u32(pos) == 0x02014b50L, s"bad central-directory signature at $pos")
       val method = u16(pos + 10)
       val crc = u32(pos + 16)
       val csize = u32(pos + 20).toInt; val usize = u32(pos + 24).toInt
       val nlen = u16(pos + 28); val elen = u16(pos + 30); val klen = u16(pos + 32)
       val off = u32(pos + 42).toInt
+      require(pos + 46 + nlen <= bytes.length, "central-directory name truncated")
       val name = new String(bytes, pos + 46, nlen, "US-ASCII")
       pos += 46 + nlen + elen + klen
+      require(off >= 0 && off + 30 <= bytes.length, s"$name: local header out of range")
       require(u32(off) == 0x04034b50L, s"bad local header signature for $name")
       require(u16(off + 8) == method, s"$name: LFH/CD method mismatch")
       val lnlen = u16(off + 26); val lelen = u16(off + 28)
+      require(off + 30 + lnlen <= bytes.length, s"$name: local header name truncated")
       require(new String(bytes, off + 30, lnlen, "US-ASCII") == name,
         s"LFH/CD name mismatch at $name")
       val dstart = off + 30 + lnlen + lelen

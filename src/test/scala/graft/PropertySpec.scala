@@ -118,4 +118,69 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("G.711 companders are total, bounded, and odd-symmetric over all 256 codes") {
+    import graft.multimodal.Multimodal
+    (0 until 256).foreach { b =>
+      val mu = Multimodal.mulawToLinear(b.toByte)
+      val al = Multimodal.alawToLinear(b.toByte)
+      assert(mu >= -32124 && mu <= 32124, s"mu-law $b out of range: $mu")
+      assert(al >= -32256 && al <= 32256, s"A-law $b out of range: $al")
+      // sign symmetry: flipping bit 7 negates (mu-law exactly; A-law
+      // has no zero so magnitudes match with sign flipped)
+      assert(Multimodal.mulawToLinear((b ^ 0x80).toByte) === -mu)
+      assert(Multimodal.alawToLinear((b ^ 0x80).toByte) === -al)
+    }
+    // the compander is monotone in the code: walking the negative
+    // half from 0x7F (silence) down to 0x00 (peak) never increases
+    val muNeg = (0 to 127).map(b => Multimodal.mulawToLinear((b ^ 0x7f).toByte))
+    assert(muNeg === muNeg.sorted.reverse, "mu-law negative branch not monotone")
+    assert(muNeg.head === 0 && muNeg.last === -32124)
+  }
+
+  test("80-bit extended float round-trips arbitrary positive rates") {
+    import graft.multimodal.Multimodal
+    (1 to 500).foreach { _ =>
+      val r = 1L + rnd.nextLong(9999999L)
+      assert(Multimodal.ext80Decode(Multimodal.ext80Encode(r), 0) === r, s"rate $r")
+    }
+  }
+
+  test("ZIP and TAR round-trip arbitrary doc contents byte-exactly") {
+    import graft.sources.{Zip, Tar}
+    (1 to 60).foreach { _ =>
+      val id = rnd.nextLong(100000L)
+      // random printable text incl. spaces (the entry slices take(N))
+      val text = (1 to (5 + rnd.nextInt(200)))
+        .map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val lang = Seq("en", "de", "zh", "es", "fr")(rnd.nextInt(5))
+      val zents = Zip.parseZip(Zip.synthesizeZip(id, text, lang))
+      assert(new String(zents.head._2, "UTF-8") === text.take(100), s"zip id $id")
+      val tents = Tar.parseTar(Tar.synthesizeTar(id, text, lang))
+      assert(new String(tents.head._2, "UTF-8") === text.take(120), s"tar id $id")
+      assert(new String(tents(1)._2, "UTF-8") === s"lang=$lang\nid=$id\n")
+    }
+  }
+
+  test("NFC normalization is idempotent and length-non-increasing on random BMP text") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    (1 to 300).foreach { _ =>
+      // mix ASCII, precomposed latin-1, and combining marks
+      val s = (1 to rnd.nextInt(60)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => (97 + rnd.nextInt(26)).toChar.toString
+          case 1 => (0xc0 + rnd.nextInt(0x40)).toChar.toString // latin-1 letters
+          case 2 => (0x300 + rnd.nextInt(0x20)).toChar.toString // combining marks
+          case _ => " "
+        }
+      }.mkString
+      val once = NfcNormalize.nfc(UTF8String.fromString(s)).toString
+      val twice = NfcNormalize.nfc(UTF8String.fromString(once)).toString
+      assert(once === twice, s"not idempotent on ${s.map(_.toInt.toHexString)}")
+      assert(once.codePointCount(0, once.length) <= s.codePointCount(0, s.length),
+        "NFC composition must not add codepoints")
+      assert(once === java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
 }
