@@ -88,8 +88,8 @@ object Bench {
     "q_audio_mulaw", "q_audio_alaw", "q_audio_aiff", "q_audio_adpcm",
     "q_ingest_gzip", "q_ingest_warc", "q_ingest_zip",
     "q_ingest_tar", "q_ingest_sitemap", "q_ingest_pdf",
-    "q_image_exif", "q_robots_filter", "q_text_normalize",
-    "q_feature_hash", "q_html_metrics")
+    "q_image_exif", "q_image_cross_format", "q_robots_filter",
+    "q_text_normalize", "q_feature_hash", "q_html_metrics")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

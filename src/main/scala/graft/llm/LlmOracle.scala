@@ -1429,6 +1429,27 @@ object LlmOracle {
       round(0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b + 1e-9, 6) AS luma
     FROM m ORDER BY doc_id, icon_idx"""
 
+  /** Mirrors Multimodal.imageCrossFormat: the oracle recomputes the
+    * raster's polynomial byte hash closed-form; the ENGINE only emits
+    * a row after requiring PNG/BMP/TIFF round-trips byte-equal, so
+    * formats_agree = 1 is enforced, not assumed. */
+  val qImageCrossFormat: String = s"""
+    WITH img AS (
+      SELECT doc_id, CAST(doc_id % 7 + 4 AS INT) AS width,
+             CAST(doc_id % 5 + 4 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0),
+    h AS (
+      SELECT doc_id, width, height,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(0, width * height * 3),
+            i -> (doc_id * 47 + i * 29) % 256)),
+          (acc, v) -> (acc * 31 + v) % $P) AS raster_hash
+      FROM img)
+    SELECT doc_id, width, height, CAST(3 AS INT) AS n_formats,
+      CAST(raster_hash AS BIGINT) AS raster_hash,
+      CAST(1 AS INT) AS formats_agree
+    FROM h ORDER BY doc_id"""
+
   /** Mirrors Multimodal.imageExif: every field is closed-form id
     * arithmetic; the engine must recover them through the JPEG
     * segment walk + embedded-TIFF IFD chain (IFD0 → tag-34665
@@ -3419,6 +3440,7 @@ object LlmOracle {
     "q_image_decode_tiff" -> qImageDecodeTiff,
     "q_image_decode_ico" -> qImageDecodeIco,
     "q_image_exif" -> qImageExif,
+    "q_image_cross_format" -> qImageCrossFormat,
     "q_gif_frames" -> qGifFrames,
     "q_gif_composite" -> qGifComposite,
     "q_dedup_url" -> qDedupUrl,

@@ -330,6 +330,8 @@ object LlmQueries {
       Multimodal.gifFrames(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "q_gif_composite" -> ((s, d) =>
       Multimodal.gifComposite(s, docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
+    "q_image_cross_format" -> ((s, d) =>
+      Multimodal.imageCrossFormat(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_exif" -> ((s, d) =>
       Multimodal.imageExif(s, docs(s, d)).orderBy(col("doc_id"))),
     "q_image_phash" -> ((s, d) =>

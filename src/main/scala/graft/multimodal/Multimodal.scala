@@ -167,10 +167,15 @@ object Multimodal {
     * is filtered with type (y mod 5), so the decoder's reconstruction
     * of ALL FIVE PNG filters (None/Sub/Up/Average/Paeth) is
     * load-bearing — any filter bug breaks the hash match. */
-  private[graft] def synthesizePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def synthesizePng(docId: Long, w: Int, h: Int): Array[Byte] =
+    encodePng(Array.tabulate(h * w * 3)(i => ((docId * 31 + i * 7) % 256).toByte), w, h)
+
+  /** The PNG encoder over an arbitrary top-down RGB raster — shared
+    * by [[synthesizePng]] and the cross-format consistency op. */
+  private[graft] def encodePng(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val bpp = 3
     val stride = w * bpp
-    val raw = Array.tabulate(h * stride)(i => ((docId * 31 + i * 7) % 256).toByte)
+    require(raw.length == h * stride, "raster size mismatch")
     // encoder side of the five PNG filters (spec 9.2), one type per row
     val filtered = new Array[Byte](h * (stride + 1))
     var y = 0
@@ -367,8 +372,35 @@ object Multimodal {
     * the DECODED statistics without a BMP library. */
   private[graft] def synthesizeBmp(docId: Long): Array[Byte] = {
     val w = (docId % 9 + 4).toInt; val h = (docId % 8 + 4).toInt
-    val bpp = if (docId % 2 == 0) 24 else 8
     val topDown = docId % 5 == 0
+    if (docId % 2 == 0)
+      encodeBmp24(
+        Array.tabulate(w * h * 3)(i => ((docId * 37 + i * 11) % 256).toByte),
+        w, h, topDown)
+    else
+      writeBmp(w, h, bpp = 8, topDown,
+        paletteAt = k => (((docId * 3 + k * 7) % 256).toInt,
+          ((docId * 5 + k * 11) % 256).toInt,
+          ((docId * 7 + k * 13) % 256).toInt),
+        byteAt = p => ((docId * 37 + p * 11) % 64).toInt)
+  }
+
+  /** The 24-bit BMP encoder over an arbitrary top-down RGB raster —
+    * shared by [[synthesizeBmp]] and the cross-format consistency
+    * op. */
+  private[graft] def encodeBmp24(raw: Array[Byte], w: Int, h: Int,
+      topDown: Boolean): Array[Byte] = {
+    require(raw.length == w * h * 3, "raster size mismatch")
+    writeBmp(w, h, bpp = 24, topDown, paletteAt = null,
+      byteAt = i => raw(i) & 0xff) // i indexes RGB channel bytes
+  }
+
+  /** Shared DIB writer: `byteAt` supplies top-down RGB channel bytes
+    * (bpp 24, index i over w·h·3) or palette indices (bpp 8, index p
+    * over w·h); `paletteAt` supplies (r,g,b) for the 64-entry table
+    * when bpp is 8. */
+  private def writeBmp(w: Int, h: Int, bpp: Int, topDown: Boolean,
+      paletteAt: Int => (Int, Int, Int), byteAt: Int => Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
@@ -385,10 +417,8 @@ object Multimodal {
     if (bpp == 8) {
       var k = 0
       while (k < 64) { // BGRA quads
-        out.write(((docId * 7 + k * 13) % 256).toInt)  // B
-        out.write(((docId * 5 + k * 11) % 256).toInt)  // G
-        out.write(((docId * 3 + k * 7) % 256).toInt)   // R
-        out.write(0)
+        val (r, g, b) = paletteAt(k)
+        out.write(b); out.write(g); out.write(r); out.write(0)
         k += 1
       }
     }
@@ -399,12 +429,12 @@ object Multimodal {
       while (x < w) {
         if (bpp == 24) {
           val p = (y * w + x) * 3
-          out.write(((docId * 37 + (p + 2) * 11) % 256).toInt) // B
-          out.write(((docId * 37 + (p + 1) * 11) % 256).toInt) // G
-          out.write(((docId * 37 + p * 11) % 256).toInt)       // R
+          out.write(byteAt(p + 2)) // B
+          out.write(byteAt(p + 1)) // G
+          out.write(byteAt(p))     // R
           written += 3
         } else {
-          out.write(((docId * 37 + (y * w + x) * 11) % 64).toInt)
+          out.write(byteAt(y * w + x))
           written += 1
         }
         x += 1
@@ -556,11 +586,21 @@ object Multimodal {
   private[graft] def synthesizeTiff(docId: Long): Array[Byte] = {
     val w = (docId % 10 + 4).toInt; val h = (docId % 6 + 4).toInt
     val rgb = docId % 2 == 0
-    val little = docId % 4 < 2
     val spp = if (rgb) 3 else 1
+    encodeTiff(
+      Array.tabulate(w * h * spp)(i => ((docId * 41 + i * 13) % 256).toByte),
+      w, h, rgb, little = docId % 4 < 2)
+  }
+
+  /** The baseline-TIFF encoder over an arbitrary top-down raster
+    * (RGB interleaved when `rgb`, grayscale otherwise) — shared by
+    * [[synthesizeTiff]] and the cross-format consistency op. */
+  private[graft] def encodeTiff(raw: Array[Byte], w: Int, h: Int,
+      rgb: Boolean, little: Boolean): Array[Byte] = {
+    val spp = if (rgb) 3 else 1
+    require(raw.length == w * h * spp, "raster size mismatch")
     val rps = 3
     val nStrips = (h + rps - 1) / rps
-    val raw = Array.tabulate(w * h * spp)(i => ((docId * 41 + i * 13) % 256).toByte)
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -746,6 +786,52 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"), col("photometric"),
         col("n_strips"), col("n_pixels"), col("mean_r"), col("mean_g"),
         col("mean_b"), col("luma"), col("row_wmean"))
+  }
+
+  // ---- cross-format consistency (PNG ≡ BMP ≡ TIFF on one raster) ---
+
+  case class CrossFormat(doc_id: Long, width: Int, height: Int,
+      n_formats: Int, raster_hash: Long, formats_agree: Int)
+
+  /** The decoder suite's INTEGRATION contract: one top-down RGB
+    * raster (byte i = (id·47 + i·29) mod 256) encodes through three
+    * independent real encoders — PNG (five scanline filters + zlib),
+    * 24-bit BMP (bottom-up or top-down by id parity, row padding),
+    * baseline TIFF (the id's byte order, multi-strip) — and decodes
+    * through the three independent parsers; the decoded rasters must
+    * be byte-identical to the source. The engine enforces equality
+    * with a loud require and certifies the bytes with a polynomial
+    * hash the oracle recomputes closed-form: any one of the six
+    * codec halves drifting either aborts the run or breaks the hash.
+    * This is what makes "the same image dedups regardless of its
+    * wire format" a tested property rather than a hope.
+    *
+    * Plan: stateless partition-local triple round-trip (mapPartitions
+    * with a case-class Encoder), no shuffle at all. */
+  def imageCrossFormat(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    metadata(documents)
+      .filter(col("modality") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 7 + 4).toInt; val h = (id % 5 + 4).toInt
+          val raw = Array.tabulate(w * h * 3)(i => ((id * 47 + i * 29) % 256).toByte)
+          val (pw, phh, png) = decodePng(encodePng(raw, w, h))
+          val (bw, bh, bmp) = decodeBmp(encodeBmp24(raw, w, h, topDown = id % 2 == 0))
+          val (tw, th, photo, _, tif) =
+            decodeTiff(encodeTiff(raw, w, h, rgb = true, little = id % 2 == 1))
+          require(pw == w && phh == h && bw == w && bh == h &&
+            tw == w && th == h && photo == 2, s"doc $id: dims drifted")
+          require(java.util.Arrays.equals(png, raw), s"doc $id: PNG round-trip drifted")
+          require(java.util.Arrays.equals(bmp, raw), s"doc $id: BMP round-trip drifted")
+          require(java.util.Arrays.equals(tif, raw), s"doc $id: TIFF round-trip drifted")
+          var acc = 0L
+          var i = 0
+          while (i < raw.length) { acc = (acc * 31 + (raw(i) & 0xff)) % 1000000007L; i += 1 }
+          CrossFormat(id, w, h, 3, acc, 1)
+        }
+      }.toDF()
   }
 
   // ---- ICO (favicon container — BMP DIBs + AND transparency) -------

@@ -1107,6 +1107,30 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Tar.parseTar(new Array[Byte](2048).map(_ => 'x'.toByte)))
   }
 
+  test("cross-format raster: PNG, BMP and TIFF round-trip one raster byte-identically") {
+    // direct exercise of the shared-raster encoders across parities
+    for (id <- Seq(0L, 3L, 6L, 9L)) {
+      val w = (id % 7 + 4).toInt; val h = (id % 5 + 4).toInt
+      val raw = Array.tabulate(w * h * 3)(i => ((id * 47 + i * 29) % 256).toByte)
+      val (_, _, png) = Multimodal.decodePng(Multimodal.encodePng(raw, w, h))
+      assert(png.toSeq === raw.toSeq, s"id $id png")
+      val (_, _, bmp) = Multimodal.decodeBmp(
+        Multimodal.encodeBmp24(raw, w, h, topDown = id % 2 == 0))
+      assert(bmp.toSeq === raw.toSeq, s"id $id bmp")
+      val (_, _, _, _, tif) = Multimodal.decodeTiff(
+        Multimodal.encodeTiff(raw, w, h, rgb = true, little = id % 2 == 1))
+      assert(tif.toSeq === raw.toSeq, s"id $id tiff")
+    }
+    // the refactor kept the id-closed-form synthesizers byte-stable:
+    // re-assert one decoded BMP and TIFF against their closed forms
+    val (bw, bh, bpx) = Multimodal.decodeBmp(Multimodal.synthesizeBmp(6L))
+    (0 until bw * bh * 3).foreach(i =>
+      assert((bpx(i) & 0xff) === ((6 * 37 + i * 11) % 256)))
+    val (tw2, th2, _, _, tpx) = Multimodal.decodeTiff(Multimodal.synthesizeTiff(6L))
+    (0 until tw2 * th2 * 3).foreach(i =>
+      assert((tpx(i) & 0xff) === ((6 * 41 + i * 13) % 256)))
+  }
+
   test("featureExtract routes PNG payloads to the real decoder by signature") {
     val png = Multimodal.synthesizePng(3L, 5, 4)
     val feat = Multimodal.mediaFeature(png)
