@@ -218,12 +218,6 @@ object Dedup {
     *       consumed, as [[components]] does. */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.5,
       verifyBroadcastBytes: Long = 64L << 20): DataFrame = {
-    // verify on the (distinct) shingle HASH sets: integer intersection
-    // is much cheaper than string-array intersection. Only the hash
-    // sets of CANDIDATE docs are broadcast (semi-join first): the
-    // candidate set is bounded by actual near-dups + sketch collisions,
-    // while the full per-doc hash frame is O(corpus tokens) and must
-    // never reach the driver.
     // the hash frame feeds candidate generation AND both verify sides —
     // its scan+hash projection sits BEFORE any exchange, so exchange
     // reuse cannot share it across branches; persist it eagerly
@@ -231,6 +225,24 @@ object Dedup {
     // ReusedExchange, so nothing else needs a cross-branch cache)
     val hs = withShingles(documents).select(col("doc_id"), col("hashes")).persist()
     hs.count()
+    try jaccardPairsFromHashes(hs, threshold, verifyBroadcastBytes)
+    finally hs.unpersist()
+  }
+
+  /** [[jaccardPairs]] over a PRECOMPUTED (doc_id, hashes) frame — the
+    * shared core, exposed so callers that already hold the (persisted)
+    * shingle frame ([[incrementalComponents]]' within-side pairs) never
+    * re-shingle the corpus. `hs` must be persisted and materialized by
+    * the caller; the returned frame is eagerly persisted like
+    * [[jaccardPairs]]'. */
+  private[graft] def jaccardPairsFromHashes(hs: DataFrame, threshold: Double,
+      verifyBroadcastBytes: Long = 64L << 20): DataFrame = {
+    // verify on the (distinct) shingle HASH sets: integer intersection
+    // is much cheaper than string-array intersection. Only the hash
+    // sets of CANDIDATE docs are broadcast (semi-join first): the
+    // candidate set is bounded by actual near-dups + sketch collisions,
+    // while the full per-doc hash frame is O(corpus tokens) and must
+    // never reach the driver.
     val cands = prefixCandidates(hs, threshold).persist()
     try {
       val candIds = cands.select(col("id_a").as("doc_id"))
@@ -263,7 +275,7 @@ object Dedup {
         result.count()
         result
       } finally hsC.unpersist()
-    } finally { cands.unpersist(); hs.unpersist() }
+    } finally cands.unpersist()
   }
 
   /** Incremental near-dup screening — the production shape a live
@@ -457,6 +469,27 @@ object Dedup {
       indexRows(withShingles(newDocs).select(col("doc_id"), col("hashes")),
         snapshot.dfreq, snapshot.threshold)))
 
+  /** [[appendToTextIndexSnapshot]] + save, restructured as an
+    * APPEND-ONLY artifact write: only the increment's index rows are
+    * written (parquet `append` into the artifact's index dir), so the
+    * daily index write is O(increment) — the in-memory-union + `save`
+    * composition rewrote the ENTIRE index (100 TB re-read + re-write
+    * per day). dfreq and meta are frozen by construction (appended
+    * prefixes are cut under the frozen df order — the same
+    * completeness argument as the in-memory append, which LlmSpec pins
+    * value-identical to a rebuild), so only index/ grows. Returns the
+    * re-loaded snapshot over the grown artifact — row-set identical to
+    * `appendToTextIndexSnapshot(load(dir), newDocs).save(...)`. */
+  def appendToTextIndexSnapshotInPlace(dir: String,
+      newDocs: DataFrame): TextIndexSnapshot = {
+    val spark = newDocs.sparkSession
+    val snap = TextIndexSnapshot.load(spark, dir)
+    indexRows(withShingles(newDocs).select(col("doc_id"), col("hashes")),
+      snap.dfreq, snap.threshold)
+      .write.mode("append").parquet(s"$dir/index")
+    TextIndexSnapshot.load(spark, dir)
+  }
+
   /** Candidate (inc_id, idx_id) pairs of an increment's shingle frame
     * against a snapshot — the PPJoin prefix probe factored out of
     * [[incrementalDedupWithSnapshot]] so the drift gauge (canary) can
@@ -501,6 +534,49 @@ object Dedup {
         (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
       .filter(col("jaccard") >= snapshot.threshold)
       .select(col("inc_id"), col("idx_id"), col("jaccard"))
+
+  /** EXACT within-index near-dup pairs derived from the snapshot
+    * artifact alone — [[jaccardPairs]] over the index corpus WITHOUT
+    * re-shingling it: the snapshot already holds every doc's rare-first
+    * PPJoin prefix (cut under the index corpus's own df order — the
+    * identical (dfreq, h) ranking [[prefixCandidates]] computes) and
+    * its sorted hash set, so candidate generation is a self-equi-join
+    * of the stored prefixes (same length filter) and verification the
+    * usual native merge intersection over the stored `sh` arrays.
+    * Candidates — and therefore the verified output — equal
+    * [[jaccardPairs]](indexDocs, threshold) row for row.
+    *
+    * This is what lets a day-0 replay (build snapshot + batch labels)
+    * pay the 100 TB shingle/df/prefix pass ONCE instead of twice. */
+  private[graft] def selfPairsFromSnapshot(snapshot: TextIndexSnapshot): DataFrame = {
+    val threshold = snapshot.threshold
+    val p = snapshot.index.select(col("doc_id"), col("sz"),
+      explode(col("prefix")).as("h"))
+    val a = p.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
+    val b = p.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
+    val cands = a.join(b, Seq("h")).filter(col("id_a") < col("id_b") &&
+        col("sz_b") >= ceil(col("sz_a") * threshold - lit(1e-9)) &&
+        col("sz_b") <= col("sz_a") / threshold + lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(snapshot.index.select(col("doc_id").as("id_a"), col("sh").as("h_a")), Seq("id_a"))
+      .join(snapshot.index.select(col("doc_id").as("id_b"), col("sh").as("h_b")), Seq("id_b"))
+      .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("h_a")) + size(col("h_b")) - col("inter")) + lit(1e-9), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[components]] of the INDEX corpus computed off its snapshot
+    * artifact — identical labels (the pair set equals
+    * [[jaccardPairs]]' by [[selfPairsFromSnapshot]]'s argument), but
+    * the corpus is never re-shingled: the day-0 leg of the incremental
+    * cluster-maintenance cycle shares the snapshot build's one pass. */
+  def componentsFromSnapshot(ids: DataFrame,
+      snapshot: TextIndexSnapshot): DataFrame =
+    componentsFromPairs(ids.select(col("doc_id")),
+      selfPairsFromSnapshot(snapshot).select(col("id_a"), col("id_b")))
 
   /** [[incrementalDedup]] against a precomputed [[TextIndexSnapshot]]
     * — the production daily run: only the INCREMENT is shingled and
@@ -679,9 +755,18 @@ object Dedup {
       // to the subgraph. Untouched ids rejoin as singletons at the end.
       // Both edge directions are present, so src alone covers all
       // touched nodes.
-      val touched = edges.select(col("src").as("doc_id")).distinct()
-      var labels = touched.select(col("doc_id"), col("doc_id").as("comp"))
-        .localCheckpoint(true)
+      // initial labels fold round 1's neighbor-min INTO the seed (one
+      // keyed aggregate over the edge frame instead of a separate
+      // identity round): label₀(v) = min(v, min over neighbors) — a
+      // strictly lower start on the same monotone lattice, so the
+      // fixpoint (the component minimum) is unchanged, and on
+      // clique-shaped duplicate graphs (the common near-dup cluster)
+      // it IS the fixpoint, making the loop one confirmation round.
+      // Both edge directions are present, so src covers all touched
+      // nodes and min(dst) over the group is the full neighbor min.
+      var labels = edges.groupBy(col("src").as("doc_id"))
+        .agg(least(min(col("dst")), col("src")).as("comp"))
+        .localCheckpoint(false) // materialized by the labelSum below
       // fixpoint detection without a join: labels only ever DECREASE
       // under min-propagation, so the exact (decimal, overflow-free)
       // label sum is strictly monotone until convergence — one cheap
@@ -709,7 +794,11 @@ object Dedup {
             Seq("comp"), "left")
           .select(col("doc_id"),
             least(col("comp"), coalesce(col("jumped"), col("comp"))).as("comp"))
-          .localCheckpoint(true)
+          // LAZY checkpoint: the labelSum aggregate right below is the
+          // round's one action — it materializes the checkpoint blocks
+          // and truncates lineage in the same job (the eager form paid
+          // a separate materialization job per round)
+          .localCheckpoint(false)
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
@@ -774,7 +863,9 @@ object Dedup {
     try {
       val cross = snapshotVerifiedPairs(hsInc, snapshot)
         .select(col("inc_id").as("id_a"), col("idx_id").as("id_b"))
-      val within = jaccardPairs(incrementDocs, snapshot.threshold)
+      // within-side pairs reuse the persisted increment hash frame —
+      // jaccardPairs(incrementDocs, …) would re-shingle the increment
+      val within = jaccardPairsFromHashes(hsInc, snapshot.threshold)
       try {
         val merged = mergeComponents(prevLabels,
           incrementDocs.select(col("doc_id")),

@@ -528,6 +528,245 @@ object NfcNormalize {
   }
 }
 
+/** Per-subspace squared-L2 distance table of a vector against a PQ
+  * codebook: out[mi][cell] = ||emb[mi·ds .. mi·ds+ds) − cb[mi][cell]||²
+  * with ds = len(emb) / m and m = len(cb) — one generated-code loop,
+  * bit-identical to the composed
+  * `transform(sequence(0,m−1), mi -> transform(cb[mi], cc -> l2sq))`
+  * form (same left-fold accumulation order per distance), which
+  * evaluates interpreted lambdas per element. The PQ encode/ADC path
+  * runs this m·ks·ds-op kernel once per corpus vector — the dominant
+  * per-row cost of the IVFPQ build. */
+case class PqDists(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  private def okEmb(t: DataType) = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def okCb(t: DataType) = t match {
+    case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes() =
+    if (okEmb(left.dataType) && okCb(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"pq_dists needs (array<float|double>, array<array<array<double>>>), " +
+        s"got ${left.dataType}, ${right.dataType}")
+
+  private def toD(a: ArrayData): Array[Double] = left.dataType match {
+    case ArrayType(FloatType, _) => DotProduct.widen(a.toFloatArray())
+    case _ => a.toDoubleArray()
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqDists.dists(toD(a.asInstanceOf[ArrayData]), b.asInstanceOf[ArrayData])
+
+  private def cvt(v: String): String = left.dataType match {
+    case ArrayType(FloatType, _) => s"graft.functions.DotProduct.widen($v.toFloatArray())"
+    case _ => s"$v.toDoubleArray()"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqDists.dists(${cvt(a)}, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqDists =
+    copy(left = l, right = r)
+}
+
+object PqDists {
+  /** Referenced from generated code. `cb` is the nested codebook
+    * ArrayData: m subspaces × ks cells × ds components. */
+  def dists(emb: Array[Double], cb: ArrayData): GenericArrayData = {
+    val m = cb.numElements()
+    val ds = emb.length / m
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val cells = cb.getArray(mi)
+      val ks = cells.numElements()
+      val row = new Array[Any](ks)
+      var c = 0
+      while (c < ks) {
+        val cent = cells.getArray(c).toDoubleArray()
+        var acc = 0.0
+        var i = 0
+        while (i < ds) {
+          val d = emb(mi * ds + i) - cent(i)
+          acc += d * d
+          i += 1
+        }
+        row(c) = acc
+        c += 1
+      }
+      out(mi) = new GenericArrayData(row)
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** First index of the minimum (array_position(d, array_min(d)) − 1
+    * semantics: strict `<` keeps the first occurrence). */
+  def argminRow(row: Array[Double]): Int = {
+    var best = row(0); var bi = 0; var i = 1
+    while (i < row.length) {
+      if (row(i) < best) { best = row(i); bi = i }
+      i += 1
+    }
+    bi
+  }
+}
+
+/** PQ code word of a vector against a codebook: out[mi] = argmin cell
+  * of the [[PqDists]] row — `cast(array_position(dists, array_min(
+  * dists)) as int) − 1` per subspace, in one generated-code loop. */
+case class PqEncode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = PqDists(left, right).checkInputDataTypes()
+
+  private def toD(a: ArrayData): Array[Double] = left.dataType match {
+    case ArrayType(FloatType, _) => DotProduct.widen(a.toFloatArray())
+    case _ => a.toDoubleArray()
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqEncode.encode(toD(a.asInstanceOf[ArrayData]), b.asInstanceOf[ArrayData])
+
+  private def cvt(v: String): String = left.dataType match {
+    case ArrayType(FloatType, _) => s"graft.functions.DotProduct.widen($v.toFloatArray())"
+    case _ => s"$v.toDoubleArray()"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqEncode.encode(${cvt(a)}, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+}
+
+object PqEncode {
+  /** Referenced from generated code. */
+  def encode(emb: Array[Double], cb: ArrayData): GenericArrayData = {
+    val m = cb.numElements()
+    val ds = emb.length / m
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val cells = cb.getArray(mi)
+      val ks = cells.numElements()
+      var best = Double.MaxValue; var bi = 0
+      var c = 0
+      while (c < ks) {
+        val cent = cells.getArray(c).toDoubleArray()
+        var acc = 0.0
+        var i = 0
+        while (i < ds) {
+          val d = emb(mi * ds + i) - cent(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < best) { best = acc; bi = c }
+        c += 1
+      }
+      out(mi) = bi
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Argmin cell of ONE subvector against one subspace's cell list
+  * (array_position(dists, array_min(dists)) − 1 over
+  * transform(cells, cc -> l2sq(sub, cc))) — the Lloyd assignment step
+  * of the PQ codebook training, one generated-code loop per row. */
+case class PqArgmin(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"pq_argmin needs (array<double>, array<array<double>>), got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqArgmin.argmin(a.asInstanceOf[ArrayData].toDoubleArray(),
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqArgmin.argmin($a.toDoubleArray(), $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqArgmin =
+    copy(left = l, right = r)
+}
+
+object PqArgmin {
+  /** Referenced from generated code. */
+  def argmin(sub: Array[Double], cells: ArrayData): Int = {
+    val ks = cells.numElements()
+    var best = Double.MaxValue; var bi = 0
+    var c = 0
+    while (c < ks) {
+      val cent = cells.getArray(c).toDoubleArray()
+      var acc = 0.0
+      var i = 0
+      while (i < sub.length) {
+        val d = sub(i) - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < best) { best = acc; bi = c }
+      c += 1
+    }
+    bi
+  }
+}
+
+/** Asymmetric-distance lookup sum: Σ_mi dt[mi][codes[mi]] — the ADC
+  * scoring kernel (`aggregate(zip_with(codes, dt, (c, row) ->
+  * element_at(row, c+1)), 0D, +)`), evaluated once per (query,
+  * candidate) pair in the PQ scan; one generated-code loop with the
+  * same left-fold accumulation order. */
+case class AdcSum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"adc needs (array<int>, array<array<double>>), got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    AdcSum.sum(a.asInstanceOf[ArrayData].toIntArray(), b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.AdcSum.sum($a.toIntArray(), $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcSum =
+    copy(left = l, right = r)
+}
+
+object AdcSum {
+  /** Referenced from generated code. */
+  def sum(codes: Array[Int], dt: ArrayData): Double = {
+    var acc = 0.0
+    var mi = 0
+    while (mi < codes.length) {
+      acc += dt.getArray(mi).getDouble(codes(mi))
+      mi += 1
+    }
+    acc
+  }
+}
+
 object GraftFunctions {
   /** Register the graft SQL functions on a session (idempotent), so
     * expression strings can call graft_polyhash / graft_minhash_sig /
@@ -560,6 +799,14 @@ object GraftFunctions {
         args(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       (args: Seq[Expression]) => NfcNormalize(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_dists",
+      (args: Seq[Expression]) => PqDists(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      (args: Seq[Expression]) => PqEncode(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_argmin",
+      (args: Seq[Expression]) => PqArgmin(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_adc",
+      (args: Seq[Expression]) => AdcSum(args.head, args(1)), "built-in")
   }
 }
 

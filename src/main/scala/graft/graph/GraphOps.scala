@@ -47,26 +47,38 @@ object GraphOps {
       val nodes = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
       val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // loop-invariant work is paid ONCE, not per iteration: the
+      // out-degree join rides the persisted edge frame (the previous
+      // shape re-aggregated outDeg from the edges and re-joined it
+      // EVERY round — 10 redundant keyed aggregates), and the
+      // dangling-node grid (id, n_nodes) is a static persisted frame
+      // instead of re-deriving id/n_nodes from the superseded rank
+      // checkpoint each round. Same arithmetic (pr / outdeg per edge,
+      // same per-round 10 dp rounding), so the fixpoint is unchanged.
+      val e2 = e.join(outDeg, Seq("src"))
+        .select(col("src"), col("dst"), col("outdeg")).persist()
       val nN = nodes.agg(count(lit(1)).as("n_nodes"))
-      var ranks = nodes.crossJoin(broadcast(nN))
-        .select(col("id"), col("n_nodes"),
-          round(lit(1.0) / col("n_nodes"), 10).as("pr"))
-        .localCheckpoint(true)
-      (1 to iterations).foreach { _ =>
-        val contrib = e.join(ranks.select(col("id").as("src"), col("pr")), Seq("src"))
-          .join(outDeg, Seq("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(sum(col("pr") / col("outdeg")).as("in_sum"))
-        val next = ranks.select(col("id"), col("n_nodes"))
-          .join(contrib, Seq("id"), "left")
-          .select(col("id"), col("n_nodes"),
-            round((lit(1.0) - lit(damping)) / col("n_nodes")
-              + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 10).as("pr"))
+      val grid = nodes.crossJoin(broadcast(nN))
+        .select(col("id"), col("n_nodes")).persist()
+      try {
+        var ranks = grid
+          .select(col("id"), round(lit(1.0) / col("n_nodes"), 10).as("pr"))
           .localCheckpoint(true)
-        graft.core.Checkpoints.release(ranks)
-        ranks = next
-      }
-      ranks.select(col("id"), round(col("pr") + lit(1e-9), 6).as("pagerank"))
+        (1 to iterations).foreach { _ =>
+          val contrib = e2.join(ranks.select(col("id").as("src"), col("pr")), Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("pr") / col("outdeg")).as("in_sum"))
+          val next = grid
+            .join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              round((lit(1.0) - lit(damping)) / col("n_nodes")
+                + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 10).as("pr"))
+            .localCheckpoint(true)
+          graft.core.Checkpoints.release(ranks)
+          ranks = next
+        }
+        ranks.select(col("id"), round(col("pr") + lit(1e-9), 6).as("pagerank"))
+      } finally { e2.unpersist(); grid.unpersist() }
     } finally e.unpersist()
   }
 

@@ -274,11 +274,14 @@ object Ann {
     var cbRows = train.filter(col("vec_id") < ks)
       .select(col("mi"), col("vec_id").cast("int").as("cell"), col("sub").as("cent"))
       .localCheckpoint(true)
-    val l2ToCents = s"transform(cb[mi], cc -> ${l2sq("sub", "cc")})"
     (1 to iters).foreach { _ =>
+      // native Lloyd assignment (graft.functions.PqArgmin) — identical
+      // first-argmin semantics and per-distance fold order as the
+      // composed array_position(array_min(transform(...))) form, one
+      // generated-code loop per training row instead of interpreted
+      // per-element lambdas
       val assigned = train.crossJoin(broadcast(asArray(cbRows)))
-        .withColumn("cell", expr(
-          s"cast(array_position($l2ToCents, array_min($l2ToCents)) as int) - 1"))
+        .withColumn("cell", expr("graft_pq_argmin(sub, cb[mi])"))
       val means = assigned
         .groupBy(col("mi"), col("cell"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("sub")))).as("subs"))
@@ -296,34 +299,26 @@ object Ann {
     asArray(cbRows)
   }
 
-  /** Squared L2 between an array expression and centroid cc. */
-  private def l2sq(arrExpr: String, cc: String): String =
-    s"""aggregate(zip_with($arrExpr, $cc,
-          (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
-        cast(0.0 as double), (acc, x) -> acc + x)"""
-
   private def pqCore(embeddings: DataFrame, k: Int, nQueries: Int,
       m: Int, ks: Int, refine: Int,
       route: Option[(DataFrame, DataFrame)]): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val ds = s"(size(embedding) div $m)"
     // codebook: array[m] of array[ks] of centroid (Lloyd-trained on the
-    // bounded sample; cell order is the sorted training init order)
+    // bounded sample; cell order is the sorted training init order).
+    // Encode and ADC-table kernels are the native generated-code forms
+    // (graft.functions.PqEncode / PqDists) — per-subspace fold order
+    // and first-argmin tie-breaks (ties → lowest cell id) identical to
+    // the composed transform/array_position(array_min(...)) chains
+    // they replace (spec-pinned), minus the interpreted per-element
+    // lambdas the m·ks·ds-op kernel paid per corpus vector.
     val cb = trainCodebook(embeddings, m, ks)
-    val subSlice = s"slice(embedding, mi * $ds + 1, $ds)"
-    val distsToCells = s"transform(cb[mi], cc -> ${l2sq(subSlice, "cc")})"
-    // per-vector code word: argmin centroid per subspace (ties → lowest
-    // cell id via array_position-of-min; both operands are the same
-    // deterministic expression, so the equality is exact)
     val encoded = embeddings.crossJoin(broadcast(cb))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, $m - 1), mi ->
-              cast(array_position($distsToCells, array_min($distsToCells)) as int) - 1)"""))
+      .withColumn("codes", expr("graft_pq_encode(embedding, cb)"))
     val cands = encoded.select(col("vec_id").as("nb_id"), col("codes"))
     // per-query ADC table: dt[mi][cell] = ||q_mi - c_{mi,cell}||^2
     val queries = encoded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), expr(
-        s"""transform(sequence(0, $m - 1), mi -> $distsToCells)""").as("dt"))
+      .select(col("vec_id").as("query_id"),
+        expr("graft_pq_dists(embedding, cb)").as("dt"))
     val pairs = route match {
       case Some((assigned, probes)) =>
         // IVFPQ candidate generation: codes join their cell, queries
@@ -337,9 +332,7 @@ object Ann {
         cands.join(broadcast(queries), col("query_id") =!= col("nb_id"))
     }
     val scored = pairs
-      .withColumn("approx_dist", expr(
-        """aggregate(zip_with(codes, dt, (c, row) -> element_at(row, c + 1)),
-             cast(0.0 as double), (acc, x) -> acc + x)"""))
+      .withColumn("approx_dist", expr("graft_adc(codes, dt)"))
     // compressed-domain shortlist (k·refine per query), then exact L2
     // re-rank of the shortlist only — the FAISS refine stage: full
     // vectors are touched for k·refine candidates per query, never for
@@ -406,16 +399,10 @@ object Ann {
   /** (nb_id, codes): every vector encoded against a broadcast codebook
     * — one map-side scan, shared by build and append. */
   private def encodeCodes(embeddings: DataFrame, codebook: DataFrame,
-      m: Int): DataFrame = {
-    val ds = s"(size(embedding) div $m)"
-    val distsToCells =
-      s"transform(cb[mi], cc -> ${l2sq(s"slice(embedding, mi * $ds + 1, $ds)", "cc")})"
+      m: Int): DataFrame =
     embeddings.crossJoin(broadcast(codebook))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, $m - 1), mi ->
-              cast(array_position($distsToCells, array_min($distsToCells)) as int) - 1)"""))
+      .withColumn("codes", expr("graft_pq_encode(embedding, cb)"))
       .select(col("vec_id").as("nb_id"), col("codes"))
-  }
 
   /** (nb_id, cell): argmax-cosine coarse-cell assignment against
     * broadcast centroids — shared by build and append. */
@@ -469,14 +456,10 @@ object Ann {
     * broadcast codebook + a scalar aggregate. */
   def pqQuantizationError(embeddings: DataFrame, index: PqIndex): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val m = index.m
-    val ds = s"(size(embedding) div $m)"
-    val distsToCells =
-      s"transform(cb[mi], cc -> ${l2sq(s"slice(embedding, mi * $ds + 1, $ds)", "cc")})"
     embeddings.crossJoin(broadcast(index.codebook))
       .select(expr(
-        s"""aggregate(transform(sequence(0, $m - 1), mi ->
-              array_min($distsToCells)), cast(0.0 as double),
+        """aggregate(transform(graft_pq_dists(embedding, cb),
+              row -> array_min(row)), cast(0.0 as double),
               (acc, x) -> acc + x)""").as("qerr"))
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(col("qerr")) + lit(1e-9), 6).as("avg_quant_error"))
@@ -500,8 +483,6 @@ object Ann {
       k: Int = 5, nQueries: Int = 10, nProbe: Int = 4,
       refine: Int = 12): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val m = index.m
-    val ds = s"(size(embedding) div $m)"
     val n = withNorm(embeddings).filter(col("vec_id") < nQueries)
     // query routing against the loaded coarse centroids; the exact
     // limit(nCells)/limit(1) bounds below are semantic no-ops (the
@@ -515,19 +496,16 @@ object Ann {
     val wc = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
     val probes = scoredCells.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nProbe).select(col("query_id"), col("cell"))
-    // per-query ADC table against the loaded codebook
-    val distsToCells =
-      s"transform(cb[mi], cc -> ${l2sq(s"slice(embedding, mi * $ds + 1, $ds)", "cc")})"
+    // per-query ADC table against the loaded codebook (native kernels,
+    // same fold order as the composed forms — see pqCore)
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .crossJoin(broadcast(index.codebook.limit(1)))
-      .select(col("vec_id").as("query_id"), expr(
-        s"""transform(sequence(0, $m - 1), mi -> $distsToCells)""").as("dt"))
+      .select(col("vec_id").as("query_id"),
+        expr("graft_pq_dists(embedding, cb)").as("dt"))
     val scored = index.codes.join(probes, Seq("cell"))
       .join(broadcast(queries), Seq("query_id"))
       .filter(col("query_id") =!= col("nb_id"))
-      .withColumn("approx_dist", expr(
-        """aggregate(zip_with(codes, dt, (c, row) -> element_at(row, c + 1)),
-             cast(0.0 as double), (acc, x) -> acc + x)"""))
+      .withColumn("approx_dist", expr("graft_adc(codes, dt)"))
     val wA = Window.partitionBy(col("query_id")).orderBy(col("approx_dist"), col("nb_id"))
     val shortlist = scored.withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= k * refine)
