@@ -1305,19 +1305,25 @@ object Queries {
     * distinct (order, part) pairs, cosine-normalized by each item's
     * basket count, top-5 neighbors per item (ties by id).
     *
-    * Plan: the pair enumeration is ONE self-equi-join on the order
-    * key — bounded by basket size (TPC-H baskets ≤ 7 lines), so pair
-    * volume is O(#lines·basket), never all-pairs; item counts join
-    * back on the part key and the per-item top-K collapses to a
-    * WindowGroupLimit. A pathological mega-basket at 100 TB would
-    * need a basket-size cap before the self-join — the standard guard
-    * in production CF — which composes as one HAVING on the first
-    * collapse. */
+    * Plan: baskets collapse with ONE map-side-partial collect_set
+    * keyed on the order (the previous distinct + self-equi-join paid
+    * two full-line-item exchanges — (ok, item) for the distinct, ok
+    * for the join — for the same pair set); pair enumeration is a
+    * partition-local double explode bounded by basket size (TPC-H
+    * baskets ≤ 7 lines), so pair volume is O(#lines·basket), never
+    * all-pairs; item counts aggregate off the same basket frame and
+    * the per-item top-K collapses to a WindowGroupLimit. A
+    * pathological mega-basket at 100 TB would need a basket-size cap
+    * before the explode — the standard guard in production CF — which
+    * composes as one HAVING on the basket collapse. */
   def qItemCf(spark: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
-    val cnt = op.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    val pairs = op.join(op.select(col("ok"), col("item").as("item_b")), Seq("ok"))
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .groupBy(col("ok")).agg(collect_set(col("item")).as("items"))
+    val cnt = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = baskets.select(explode(col("items")).as("item"), col("items"))
+      .select(col("item"), explode(col("items")).as("item_b"))
       .filter(col("item") =!= col("item_b"))
       .groupBy(col("item"), col("item_b")).agg(count(lit(1)).as("cooc"))
     val scored = pairs

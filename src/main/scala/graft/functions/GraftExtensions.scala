@@ -60,5 +60,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (args: Seq[Expression]) => NfcNormalize(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_dists"),
+      new ExpressionInfo(classOf[PqDists].getName, "graft_pq_dists"),
+      (args: Seq[Expression]) => PqDists(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (args: Seq[Expression]) => PqEncode(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_argmin"),
+      new ExpressionInfo(classOf[PqArgmin].getName, "graft_pq_argmin"),
+      (args: Seq[Expression]) => PqArgmin(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcSum].getName, "graft_adc"),
+      (args: Seq[Expression]) => AdcSum(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dtw_band"),
+      new ExpressionInfo(classOf[DtwBand].getName, "graft_dtw_band"),
+      (args: Seq[Expression]) => DtwBand(args.head, args(1),
+        args(2).eval().asInstanceOf[Number].intValue())))
   }
 }

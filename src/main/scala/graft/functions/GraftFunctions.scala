@@ -728,6 +728,71 @@ object PqArgmin {
   }
 }
 
+/** Sakoe–Chiba banded DTW distance between two double arrays — the
+  * O(n·band) dynamic program of [[graft.tsdb.Climate.dtwNeighbors]] in
+  * one generated-code loop. Bit-identical to the composed
+  * aggregate-over-sequence SQL form (the DuckDB oracle's mirror):
+  * same rolling band rows with the virtual row 0 = [D(0,0)=0], same
+  * 1e18 out-of-band sentinel, same per-cell
+  * `cost + least(diag, up, left)` arithmetic in the same j order —
+  * the composed form walks ~5 interpreted lambda trees per CELL. */
+case class DtwBand(left: Expression, right: Expression, band: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"dtw_band needs two array<double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DtwBand.dtw(a.asInstanceOf[ArrayData].toDoubleArray(),
+      b.asInstanceOf[ArrayData].toDoubleArray(), band)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DtwBand.dtw($a.toDoubleArray(), $b.toDoubleArray(), $band);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DtwBand =
+    copy(left = l, right = r)
+}
+
+object DtwBand {
+  private val Inf = 1e18
+  /** Referenced from generated code. 1-based i/j mirror the SQL form;
+    * `plo` is the previous band row's first j (0 = the virtual row). */
+  def dtw(xa: Array[Double], xb: Array[Double], band: Int): Double = {
+    val n = xa.length; val m = xb.length
+    if (n == 0 || m == 0) return Inf // dense co-gridded series are never empty
+    var prev = Array(0.0)
+    var plo = 0
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - band)
+      val hi = math.min(m, i + band)
+      val cur = new Array[Double](math.max(0, hi - lo + 1))
+      var leftCell = Inf // phantom D(i, lo-1): always out of band
+      var j = lo
+      while (j <= hi) {
+        val cost = java.lang.Math.abs(xa(i - 1) - xb(j - 1))
+        val diag = if (j - 1 >= plo && j - 1 <= plo + prev.length - 1)
+          prev(j - 1 - plo) else Inf
+        val up = if (j >= plo && j <= plo + prev.length - 1)
+          prev(j - plo) else Inf
+        val v = cost + math.min(diag, math.min(up, leftCell))
+        cur(j - lo) = v
+        leftCell = v
+        j += 1
+      }
+      prev = cur
+      plo = lo
+      i += 1
+    }
+    prev(prev.length - 1)
+  }
+}
+
 /** Asymmetric-distance lookup sum: Σ_mi dt[mi][codes[mi]] — the ADC
   * scoring kernel (`aggregate(zip_with(codes, dt, (c, row) ->
   * element_at(row, c+1)), 0D, +)`), evaluated once per (query,
@@ -807,6 +872,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => PqArgmin(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_adc",
       (args: Seq[Expression]) => AdcSum(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dtw_band",
+      (args: Seq[Expression]) => DtwBand(args.head, args(1),
+        args(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 

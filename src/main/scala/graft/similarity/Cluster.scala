@@ -148,13 +148,21 @@ object Cluster {
   def semDedup(embeddings: DataFrame, tau: Double = 0.4, k: Int = 8,
       iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // norms are precomputed per VECTOR (one self-dot + sqrt each),
+    // not per candidate pair: the cluster self-join scored each pair
+    // with three dot products (ea·eb plus both self-dots) — same
+    // sqrt/division arithmetic, now evaluated once per row before the
+    // join, so the O(Σ n_c²) verify pays one dot per pair
     val vecs = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      .withColumn("nrm", expr("sqrt(graft_dot(emb, emb))"))
     val assigned = kmeans(embeddings, k, iters).select(col("vec_id"), col("cluster"))
     val av = assigned.join(vecs, Seq("vec_id"))
-    val a = av.select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("ea"))
-    val b = av.select(col("cluster"), col("vec_id").as("id_b"), col("emb").as("eb"))
-    val cosE = "graft_dot(ea, eb) / (sqrt(graft_dot(ea, ea)) * sqrt(graft_dot(eb, eb)))"
+    val a = av.select(col("cluster"), col("vec_id").as("id_a"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = av.select(col("cluster"), col("vec_id").as("id_b"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    val cosE = "graft_dot(ea, eb) / (na * nb)"
     val dropped = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", expr(s"round($cosE + 1e-9, 6)"))
       .filter(col("cos") >= tau)

@@ -2248,34 +2248,14 @@ object Climate {
     // D(i-1, p) outside [plo, plo+size(prev)-1] is +∞. The inner fold
     // seeds with a phantom left-∞ cell (D(i, lo_i - 1) is always out
     // of band) that the closing slice drops.
-    val w = band
-    val dtwExpr =
-      s"""element_at(
-        aggregate(
-          sequence(1, size(xa)),
-          array(0.0D),
-          (prev, i) -> slice(
-            aggregate(
-              transform(
-                sequence(greatest(1, i - $w), least(size(xb), i + $w)),
-                j -> array(
-                  abs(element_at(xa, i) - element_at(xb, j)),
-                  if(j - 1 >= if(i = 1, 0, greatest(1, i - 1 - $w))
-                     and j - 1 <= if(i = 1, 0, greatest(1, i - 1 - $w))
-                       + size(prev) - 1,
-                    element_at(prev,
-                      j - if(i = 1, 0, greatest(1, i - 1 - $w))), 1e18D),
-                  if(j >= if(i = 1, 0, greatest(1, i - 1 - $w))
-                     and j <= if(i = 1, 0, greatest(1, i - 1 - $w))
-                       + size(prev) - 1,
-                    element_at(prev,
-                      j - if(i = 1, 0, greatest(1, i - 1 - $w)) + 1), 1e18D))),
-              array(1e18D),
-              (acc, trip) -> concat(acc, array(
-                element_at(trip, 1) + least(element_at(trip, 2),
-                  element_at(trip, 3), element_at(acc, -1))))),
-            2, least(size(xb), i + $w) - greatest(1, i - $w) + 1)),
-        -1)"""
+    // native O(n·band) DP (graft.functions.DtwBand): same rolling band
+    // rows, 1e18 out-of-band sentinel and cost + least(diag, up, left)
+    // cell arithmetic as the composed aggregate-over-sequence form the
+    // DuckDB oracle mirrors (FunctionsSpec pins the two bit-identical
+    // on random series) — the composed form walked ~5 interpreted
+    // lambda trees per DP cell
+    graft.functions.GraftFunctions.register(rawDaily.sparkSession)
+    val dtwExpr = s"graft_dtw_band(xa, xb, $band)"
     a.join(broadcast(knn.select(col("station_id"), col("nb_id"), col("rank"))),
         Seq("station_id"))
       .join(b, Seq("nb_id"))

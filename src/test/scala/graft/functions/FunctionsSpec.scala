@@ -94,4 +94,121 @@ class FunctionsSpec extends SparkSpec {
   test("extensions class injects every graft function without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  // --- native kernels ≡ the composed higher-order forms they replace ---
+  // The optimization contract: same arithmetic in the same fold order,
+  // so results are BIT-identical, not approximately equal.
+
+  private def randEmb(rng: scala.util.Random, d: Int): Seq[Double] =
+    Seq.fill(d)(math.rint(rng.nextDouble() * 1000) / 100)
+
+  test("native PQ dists/encode/adc equal the composed transform/aggregate forms") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(42)
+    val m = 4; val ks = 8; val d = 16; val ds = d / m
+    // duplicate cell 3 == cell 0 in every subspace: the argmin tie-break
+    // (first minimum wins) is exercised, matching array_position-of-min
+    val cbCells = Seq.tabulate(m) { _ =>
+      val base = Seq.fill(ks)(randEmb(rng, ds))
+      base.updated(3, base.head)
+    }
+    val embs = Seq.fill(20)(randEmb(rng, d)) ++
+      Seq(cbCells.flatMap(_.head)) // exact centroid hit → 0-distance ties
+    val df = embs.toDF("embedding")
+      .crossJoin(Seq(cbCells).toDF("cb"))
+    val l2sq = (arr: String, cc: String) =>
+      s"""aggregate(zip_with($arr, $cc,
+            (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+          cast(0.0 as double), (acc, x) -> acc + x)"""
+    val subSlice = s"slice(embedding, mi * $ds + 1, $ds)"
+    val distsToCells = s"transform(cb[mi], cc -> ${l2sq(subSlice, "cc")})"
+    val out = df
+      .withColumn("dt_native", expr("graft_pq_dists(embedding, cb)"))
+      .withColumn("dt_interp", expr(
+        s"transform(sequence(0, $m - 1), mi -> $distsToCells)"))
+      .withColumn("codes_native", expr("graft_pq_encode(embedding, cb)"))
+      .withColumn("codes_interp", expr(
+        s"""transform(sequence(0, $m - 1), mi ->
+              cast(array_position($distsToCells, array_min($distsToCells)) as int) - 1)"""))
+      .withColumn("adc_native", expr("graft_adc(codes_native, dt_native)"))
+      .withColumn("adc_interp", expr(
+        """aggregate(zip_with(codes_interp, dt_interp, (c, row) -> element_at(row, c + 1)),
+             cast(0.0 as double), (acc, x) -> acc + x)"""))
+    assert(out.filter(expr("dt_native != dt_interp")).count() === 0)
+    assert(out.filter(expr("codes_native != codes_interp")).count() === 0)
+    assert(out.filter($"adc_native" =!= $"adc_interp").count() === 0)
+    // cell 3 duplicates cell 0 in every subspace, so first-min-wins
+    // can never emit 3 — the tie-break really is array_position's
+    assert(out.filter(expr("array_contains(codes_native, 3)")).count() === 0)
+  }
+
+  test("native Lloyd argmin equals array_position(array_min(...)) incl. ties") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val ds = 5; val ks = 6
+    val cells = {
+      val base = Seq.fill(ks)(randEmb(rng, ds))
+      base.updated(4, base(1)) // duplicate: tie must resolve to index 1
+    }
+    val subs = Seq.fill(30)(randEmb(rng, ds)) ++ Seq(cells(1))
+    val l2 = """aggregate(zip_with(sub, cc, (a, b) -> (a - b) * (a - b)),
+                 cast(0.0 as double), (acc, x) -> acc + x)"""
+    val out = subs.toDF("sub").crossJoin(Seq(cells).toDF("cells"))
+      .withColumn("native", expr("graft_pq_argmin(sub, cells)"))
+      .withColumn("interp", expr(
+        s"cast(array_position(transform(cells, cc -> $l2), array_min(transform(cells, cc -> $l2))) as int) - 1"))
+    assert(out.filter($"native" =!= $"interp").count() === 0)
+    // the planted exact duplicate picked the FIRST of the two tied cells
+    assert(out.filter(expr(s"sub = cells[1]")).select("native")
+      .as[Int].collect().forall(_ === 1))
+  }
+
+  test("native banded DTW equals the composed aggregate-over-sequence DP") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(13)
+    val w = 7
+    // the composed form this kernel replaced in Climate.dtwNeighbors
+    // (and which the DuckDB oracle still mirrors), verbatim
+    val dtwExpr =
+      s"""element_at(
+        aggregate(
+          sequence(1, size(xa)),
+          array(0.0D),
+          (prev, i) -> slice(
+            aggregate(
+              transform(
+                sequence(greatest(1, i - $w), least(size(xb), i + $w)),
+                j -> array(
+                  abs(element_at(xa, i) - element_at(xb, j)),
+                  if(j - 1 >= if(i = 1, 0, greatest(1, i - 1 - $w))
+                     and j - 1 <= if(i = 1, 0, greatest(1, i - 1 - $w))
+                       + size(prev) - 1,
+                    element_at(prev,
+                      j - if(i = 1, 0, greatest(1, i - 1 - $w))), 1e18D),
+                  if(j >= if(i = 1, 0, greatest(1, i - 1 - $w))
+                     and j <= if(i = 1, 0, greatest(1, i - 1 - $w))
+                       + size(prev) - 1,
+                    element_at(prev,
+                      j - if(i = 1, 0, greatest(1, i - 1 - $w)) + 1), 1e18D))),
+              array(1e18D),
+              (acc, trip) -> concat(acc, array(
+                element_at(trip, 1) + least(element_at(trip, 2),
+                  element_at(trip, 3), element_at(acc, -1))))),
+            2, least(size(xb), i + $w) - greatest(1, i - $w) + 1)),
+        -1)"""
+    // equal lengths (the dtwNeighbors contract: co-gridded windows),
+    // including lengths ≤ band, == band+1, and ≫ band
+    val cases = Seq(1, 3, 7, 8, 15, 40, 90).map { n =>
+      (Seq.fill(n)(math.rint(rng.nextDouble() * 200 - 100) / 10),
+       Seq.fill(n)(math.rint(rng.nextDouble() * 200 - 100) / 10))
+    }
+    val out = cases.toDF("xa", "xb")
+      .withColumn("native", expr(s"graft_dtw_band(xa, xb, $w)"))
+      .withColumn("interp", expr(dtwExpr))
+    assert(out.filter($"native" =!= $"interp").count() === 0)
+    // sanity: identical series → zero distance
+    val self = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0))).toDF("xa", "xb")
+      .select(expr(s"graft_dtw_band(xa, xb, $w)")).head.getDouble(0)
+    assert(self === 0.0)
+  }
 }
