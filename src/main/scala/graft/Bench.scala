@@ -107,6 +107,17 @@ object Bench {
       // large shuffles. A cluster deployment at real scale runs with
       // AQE on (the library itself sets no session config).
       .config("spark.sql.adaptive.enabled", "false")
+      // Sort-based shuffle writer at every reducer count: the default
+      // bypass-merge writer opens one file PER REDUCE PARTITION per map
+      // task — M×R tiny shuffle files per exchange — which on this
+      // box's disk serializes every stage on file creation (thread
+      // dumps show most task threads inside FileOutputStream.open0,
+      // and per-task time inflates ~10× at local[32] vs local[8]). A
+      // real cluster never takes the bypass path (it requires ≤200
+      // reduce partitions), so forcing the sort writer also makes the
+      // measured shuffle path the at-scale one: one data+index file
+      // pair per map task instead of R files.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       // allow co-partitioned joins on a SUBSET of the join keys: the
       // engine's frames are all hash-partitioned by station_id, and its
       // (station_id, day) joins are correct under that partitioning —

@@ -15,6 +15,7 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false") // match Bench
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1") // match Bench
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     // dev knob: extra session confs as "k=v;k=v" (A/B a conf against
     // the Bench defaults without editing the contract session)

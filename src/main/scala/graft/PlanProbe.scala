@@ -18,6 +18,7 @@ object PlanProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false") // match Bench
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1") // match Bench
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

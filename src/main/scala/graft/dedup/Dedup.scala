@@ -164,7 +164,15 @@ object Dedup {
     val ex = hashFrame.select(col("doc_id"), size(col("hashes")).as("sz"),
       explode(col("hashes")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    ex.join(dfreq, Seq("h"))
+    // shuffled-hash, never broadcast: both sides are corpus-sized (ex
+    // is O(tokens), dfreq O(vocabulary) — neither fits a driver
+    // broadcast at scale, and the cached-frame size estimate otherwise
+    // tempts the planner into building a driver HashedRelation over
+    // the ENTIRE exploded corpus per action). The build side is the
+    // narrow (h, dfreq) vocabulary slice; its aggregate already leaves
+    // the data hash-partitioned on h, so the join adds one exchange
+    // (ex) instead of one driver broadcast build per evaluation.
+    ex.join(dfreq.hint("shuffle_hash"), Seq("h"))
       .groupBy(col("doc_id"), col("sz"))
       .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
       .select(col("doc_id"), col("sz"),
@@ -189,21 +197,30 @@ object Dedup {
     // 3.0000000000000004 would otherwise over-prune an
     // exact-threshold pair). Per-doc prefix extraction is a hash
     // aggregate + one local array sort of ≤ |doc| elements (cheaper
-    // than a sort-based window over the exploded frame, and the
-    // ex↔dfreq join reuses the same h-keyed exchange as the dfreq
-    // aggregate itself). The prefix frame feeds both sides of the
-    // self-join below as the IDENTICAL subplan — Spark's
-    // ReusedExchange computes it once per action, so no persist is
-    // needed (and none stays pinned).
+    // than a sort-based window over the exploded frame).
+    //
+    // Pair enumeration is a single h-keyed bucket collapse + a
+    // partition-local double explode (the q_item_cf collapse), NOT a
+    // self-join: a join would evaluate the whole ranked-prefix subtree
+    // once per side (ReusedExchange shares only the exchange, not the
+    // collect/sort/explode above it) and broadcast one side per
+    // action. Pair volume is identical — every (id_a < id_b) pair
+    // sharing a prefix hash, size-filtered — so the distinct output
+    // EQUALS the self-join's row-for-row. Bucket sizes are bounded by
+    // the rare-first ranking (a hash of document frequency k yields at
+    // most k prefix rows, and common shingles never enter prefixes).
     val p = rankedPrefix(hashFrame, threshold)
-    val a = p.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
-    val b = p.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
-    // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t —
-    // prunes size-mismatched collisions before the distinct/verify
-    a.join(b, Seq("h")).filter(col("id_a") < col("id_b") &&
-        col("sz_b") >= ceil(col("sz_a") * threshold - lit(1e-9)) &&
-        col("sz_b") <= col("sz_a") / threshold + lit(1e-9))
-      .select(col("id_a"), col("id_b")).distinct()
+    p.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t —
+      // prunes size-mismatched collisions before the distinct/verify
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("b.sz") >= ceil(col("a.sz") * threshold - lit(1e-9)) &&
+        col("b.sz") <= col("a.sz") / threshold + lit(1e-9))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
   }
 
   /** Near-duplicate pairs with exact word-3-shingle Jaccard ≥ threshold,

@@ -13,6 +13,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // one shuffle file per map task instead of one per reduce
+    // partition — file creation on this box's disk is the dominant
+    // cost of tiny-stage shuffles (same setting as the Bench session)
+    .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     .getOrCreate()
 
   override def afterAll(): Unit = {
