@@ -94,7 +94,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -124,7 +124,16 @@ object Bench {
       // with this flag EnsureRequirements recognizes it and the QC/fill
       // pipeline runs with a single big-frame shuffle end-to-end
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .getOrCreate()
+    // Shuffle/spill scratch on the RAM-backed tmpfs when one exists:
+    // thread dumps show map tasks serializing on the per-shuffle
+    // commit (index write + data-file rename under a key lock) —
+    // metadata ops a real cluster spreads over many executors' local
+    // disks land on ONE slow device here. Guarded: absent or
+    // read-only /dev/shm falls back to the default local dir.
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft_spark_local")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink, not count(): under count() Catalyst prunes every column
     // the count doesn't need — including whole Window nodes (an as-of

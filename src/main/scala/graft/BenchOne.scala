@@ -17,8 +17,12 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled", "false") // match Bench
       .config("spark.shuffle.sort.bypassMergeThreshold", "1") // match Bench
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val shm = new java.io.File("/dev/shm") // match Bench
+    if (shm.isDirectory && shm.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft_spark_local")
     // dev knob: extra session confs as "k=v;k=v" (A/B a conf against
-    // the Bench defaults without editing the contract session)
+    // the Bench defaults without editing the contract session) —
+    // applied last so it can override the defaults above
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2); builder.config(k, v)

@@ -11,7 +11,7 @@ object PlanProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,7 +20,10 @@ object PlanProbe {
       .config("spark.sql.adaptive.enabled", "false") // match Bench
       .config("spark.shuffle.sort.bypassMergeThreshold", "1") // match Bench
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .getOrCreate()
+    val shm = new java.io.File("/dev/shm") // match Bench
+    if (shm.isDirectory && shm.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft_spark_local")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

@@ -115,7 +115,7 @@ object Dedup {
   def minhashCalibration(documents: DataFrame): DataFrame = {
     val sigs = withShingles(documents)
       .withColumn("sig", expr(minhashSig("hashes")))
-      .select(col("doc_id"), col("sig"), array_sort(col("hashes")).as("sh"))
+      .select(col("doc_id"), col("sig"), sort_array(col("hashes")).as("sh"))
       .persist()
     try {
       val bands = sigs.select(col("doc_id"),
@@ -175,10 +175,12 @@ object Dedup {
     ex.join(dfreq.hint("shuffle_hash"), Seq("h"))
       .groupBy(col("doc_id"), col("sz"))
       .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
+      // native (dfreq, h) sort + cut (graft.functions.PrefixCut): the
+      // composed slice(array_sort(...)) form pays an interpreted
+      // lambda per comparison of every per-doc sort
       .select(col("doc_id"), col("sz"),
-        explode(expr("slice(array_sort(ranked), 1, " +
-          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
-      .select(col("doc_id"), col("sz"), col("rh.h").as("h"))
+        explode(expr("graft_prefix_cut(ranked, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("h"))
   }
 
   private[graft] def prefixCandidates(hashFrame: DataFrame, threshold: Double): DataFrame = {
@@ -268,7 +270,7 @@ object Dedup {
       // native merge intersection (SortedOverlap) instead of building
       // an array_intersect hash set per candidate pair
       val hsC = hs.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), array_sort(col("hashes")).as("hashes")).persist()
+        .select(col("doc_id"), sort_array(col("hashes")).as("hashes")).persist()
       try {
         // Broadcast guard (the one scale seam round 7 left open): hsC
         // is bounded by actual near-dups + prefix collisions — tiny on
@@ -338,7 +340,7 @@ object Dedup {
         .filter(col("sz_b") >= ceil(col("sz_a") * threshold - lit(1e-9)) &&
           col("sz_b") <= col("sz_a") / threshold + lit(1e-9))
         .select(col("inc_id"), col("idx_id")).distinct()
-      val sortedH = hs.select(col("doc_id"), array_sort(col("hashes")).as("sh"))
+      val sortedH = hs.select(col("doc_id"), sort_array(col("hashes")).as("sh"))
       val verified = cands
         .join(sortedH.select(col("doc_id").as("inc_id"), col("sh").as("h_a")), Seq("inc_id"))
         .join(sortedH.select(col("doc_id").as("idx_id"), col("sh").as("h_b")), Seq("idx_id"))
@@ -420,9 +422,9 @@ object Dedup {
       .groupBy(col("doc_id"), col("sz"))
       .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
       .select(col("doc_id"), col("sz"),
-        expr("transform(slice(array_sort(ranked), 1, " +
-          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int)), r -> r.h)").as("prefix"))
-    hs.select(col("doc_id"), array_sort(col("hashes")).as("sh"))
+        expr("graft_prefix_cut(ranked, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))").as("prefix"))
+    hs.select(col("doc_id"), sort_array(col("hashes")).as("sh"))
       .join(prefix, Seq("doc_id"))
       .select(col("doc_id"), col("sz"), col("sh"), col("prefix"))
   }
@@ -523,9 +525,8 @@ object Dedup {
       .groupBy(col("doc_id"), col("sz"))
       .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
       .select(col("doc_id").as("inc_id"), col("sz").as("sz_a"),
-        explode(expr("slice(array_sort(ranked), 1, " +
-          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
-      .select(col("inc_id"), col("sz_a"), col("rh.h").as("h"))
+        explode(expr("graft_prefix_cut(ranked, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("h"))
     val b = snapshot.index.select(col("doc_id").as("idx_id"),
       col("sz").as("sz_b"), explode(col("prefix")).as("h"))
     a.join(b, Seq("h"))
@@ -543,7 +544,7 @@ object Dedup {
       snapshot: TextIndexSnapshot): DataFrame =
     snapshotPrefixCandidates(hsInc, snapshot)
       .join(hsInc.select(col("doc_id").as("inc_id"),
-        array_sort(col("hashes")).as("h_a")), Seq("inc_id"))
+        sort_array(col("hashes")).as("h_a")), Seq("inc_id"))
       .join(snapshot.index.select(col("doc_id").as("idx_id"),
         col("sh").as("h_b")), Seq("idx_id"))
       .withColumn("inter", expr("graft_sorted_overlap(h_a, h_b)").cast("double"))
@@ -567,14 +568,22 @@ object Dedup {
     * pay the 100 TB shingle/df/prefix pass ONCE instead of twice. */
   private[graft] def selfPairsFromSnapshot(snapshot: TextIndexSnapshot): DataFrame = {
     val threshold = snapshot.threshold
+    // same h-keyed bucket collapse as [[prefixCandidates]] (one
+    // evaluation of the exploded-prefix frame + one exchange, vs a
+    // self-join that scans the artifact once per side); pair set
+    // identical: every (id_a < id_b) pair sharing a prefix hash,
+    // size-filtered
     val p = snapshot.index.select(col("doc_id"), col("sz"),
       explode(col("prefix")).as("h"))
-    val a = p.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
-    val b = p.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
-    val cands = a.join(b, Seq("h")).filter(col("id_a") < col("id_b") &&
-        col("sz_b") >= ceil(col("sz_a") * threshold - lit(1e-9)) &&
-        col("sz_b") <= col("sz_a") / threshold + lit(1e-9))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cands = p.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("b.sz") >= ceil(col("a.sz") * threshold - lit(1e-9)) &&
+        col("b.sz") <= col("a.sz") / threshold + lit(1e-9))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
     cands
       .join(snapshot.index.select(col("doc_id").as("id_a"), col("sh").as("h_a")), Seq("id_a"))
       .join(snapshot.index.select(col("doc_id").as("id_b"), col("sh").as("h_b")), Seq("id_b"))
@@ -689,9 +698,8 @@ object Dedup {
       .groupBy(col("doc_id"), col("sz"))
       .agg(collect_list(struct(col("dfreq"), col("h"))).as("ranked"))
       .select(col("doc_id"), col("sz"),
-        explode(expr("slice(array_sort(ranked), 1, " +
-          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("rh"))
-      .select(col("doc_id"), col("sz"), col("rh.h").as("h"))
+        explode(expr("graft_prefix_cut(ranked, " +
+          s"cast(sz - ceil($threshold * sz - 1e-9) + 1 AS int))")).as("h"))
     // full postings on the other side: the probe is valid whenever the
     // probing doc is the smaller of the pair, so keep sz_a <= sz_b and
     // canonicalize ids afterwards
@@ -709,7 +717,7 @@ object Dedup {
       val candIds = cands.select(col("id_a").as("doc_id"))
         .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
       val hsC = hs.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), array_sort(col("hashes")).as("hashes")).persist()
+        .select(col("doc_id"), sort_array(col("hashes")).as("hashes")).persist()
       try {
         val hinted = verifyHint(hsC, verifyBroadcastBytes)
         val result = cands

@@ -259,6 +259,71 @@ object SortedOverlap {
   }
 }
 
+/** Rare-first PPJoin prefix cut in one compiled pass:
+  * `graft_prefix_cut(ranked, n)` over an array<struct<dfreq:bigint,
+  * h:bigint>> sorts by (dfreq, h) ascending and returns the first
+  * min(n, size) `h` values — exactly
+  * `transform(slice(array_sort(ranked), 1, n), r -> r.h)`
+  * (array_sort's default struct comparator is field-by-field
+  * ascending; no null fields occur on this path). The composed form
+  * pays one interpreted lambda call PER COMPARISON of the per-doc
+  * sort — O(tokens·log tokens) interpreted ops per document on the
+  * dedup hot path; this is one JIT-compiled dual-key sort per row. */
+case class PrefixCut(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(StructType(Array(a, b)), _), IntegerType)
+        if a.dataType == LongType && b.dataType == LongType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"prefix_cut needs (array<struct<bigint,bigint>>, int), got $t")
+  }
+
+  override def nullSafeEval(a: Any, n: Any): Any =
+    PrefixCut.cut(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) =>
+      s"${ev.value} = graft.functions.PrefixCut.cut($a, $n);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PrefixCut =
+    copy(left = l, right = r)
+}
+
+object PrefixCut {
+  /** Referenced from generated code. Sorts (dfreq, h) pairs ascending
+    * by dfreq then h and returns the first min(n, size) h values —
+    * `slice` semantics for n past the end; n < 1 yields empty (the
+    * callers' length formula keeps n ≥ 1). */
+  def cut(arr: ArrayData, n: Int): GenericArrayData = {
+    val m = arr.numElements()
+    val dfreq = new Array[Long](m)
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 2)
+      dfreq(i) = row.getLong(0)
+      h(i) = row.getLong(1)
+      i += 1
+    }
+    // index sort under the (dfreq, h) key — n is small (per-doc token
+    // count), so the boxed index comparator is JIT-compiled and cheap
+    val idx = new Array[Integer](m)
+    i = 0; while (i < m) { idx(i) = i; i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        val c = java.lang.Long.compare(dfreq(x), dfreq(y))
+        if (c != 0) c else java.lang.Long.compare(h(x), h(y))
+      }
+    })
+    val k = math.min(math.max(n, 0), m)
+    val out = new Array[Any](k)
+    i = 0; while (i < k) { out(i) = h(idx(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Left-fold dot product of two numeric arrays (float or double
   * elements), accumulating in double in index order — bit-identical to
   * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, +)`
@@ -849,6 +914,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHashText(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_overlap",
       (args: Seq[Expression]) => SortedOverlap(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_prefix_cut",
+      (args: Seq[Expression]) => PrefixCut(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProduct(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",

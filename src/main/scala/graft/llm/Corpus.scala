@@ -40,6 +40,12 @@ object Corpus {
     val lang = TextAnalysis.langId(documents).select(col("doc_id"), col("predicted"))
     val quality = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
     val langOk = if (langs.isEmpty) lit(true) else col("predicted").isin(langs: _*)
+    // the gate frame (narrow per-doc metadata — the "decide with small
+    // rows" proxy) feeds three consumers: the passing-side shingle
+    // frame, the dedup singleton anti-join, and the final output join.
+    // Unpersisted, each consumer re-runs the langid + quality text
+    // scans (5 stopword filters + the quality features per doc, ×3);
+    // persist it once, release after the result is materialized.
     val gated = documents.select(col("doc_id"))
       .join(lang, Seq("doc_id"))
       .join(quality, Seq("doc_id"))
@@ -47,19 +53,28 @@ object Corpus {
         when(!langOk, lit("lang"))
           .when(col("quality_score") < minQuality, lit("quality"))
           .otherwise(lit(null).cast("string")))
-    val passing = documents.join(
-      gated.filter(col("gate_reason").isNull).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val comp = Dedup.components(passing, threshold)
-      .select(col("doc_id"), col("comp").as("canonical_id"), col("comp_size"))
-    gated.join(comp, Seq("doc_id"), "left")
-      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
-      .withColumn("drop_reason",
-        coalesce(col("gate_reason"),
-          when(!col("is_canonical"), lit("duplicate"))))
-      .withColumn("keep", col("drop_reason").isNull)
-      .select(col("doc_id"), col("predicted").as("lang"), col("quality_score"),
-        col("canonical_id"), col("comp_size"), col("keep"), col("drop_reason"))
+      .persist()
+    try {
+      val passing = documents.join(
+        gated.filter(col("gate_reason").isNull).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val comp = Dedup.components(passing, threshold)
+        .select(col("doc_id"), col("comp").as("canonical_id"), col("comp_size"))
+      // materialize the result eagerly (the jaccardPairs convention) so
+      // the gate cache can be released before returning; callers
+      // holding a long-lived session should unpersist() once consumed
+      val out = gated.join(comp, Seq("doc_id"), "left")
+        .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+        .withColumn("drop_reason",
+          coalesce(col("gate_reason"),
+            when(!col("is_canonical"), lit("duplicate"))))
+        .withColumn("keep", col("drop_reason").isNull)
+        .select(col("doc_id"), col("predicted").as("lang"), col("quality_score"),
+          col("canonical_id"), col("comp_size"), col("keep"), col("drop_reason"))
+        .persist()
+      out.count()
+      out
+    } finally gated.unpersist()
   }
 
   /** Benchmark-contamination scan — flags training docs sharing any

@@ -16,7 +16,7 @@ object StageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -25,13 +25,17 @@ object StageProbe {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1") // match Bench
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .getOrCreate()
+    val shm = new java.io.File("/dev/shm") // match Bench
+    if (shm.isDirectory && shm.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft_spark_local")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     case class St(name: String, submitted: Long, var completed: Long = 0L,
       var tasks: Int = 0, var taskTime: Long = 0L, var gcTime: Long = 0L)
     val stages = mutable.LinkedHashMap[Int, St]()
     val jobs = mutable.LinkedHashMap[Int, (Long, Long, String)]()
+    val jobStages = mutable.LinkedHashMap[Int, Seq[Int]]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
         stages.synchronized {
@@ -58,6 +62,7 @@ object StageProbe {
         jobs.synchronized {
           jobs(e.jobId) = (System.nanoTime(), 0L,
             Option(e.properties.getProperty("spark.job.description")).getOrElse(""))
+          jobStages(e.jobId) = e.stageIds.map(_.toInt)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized {
@@ -82,14 +87,18 @@ object StageProbe {
         val js = jobs.synchronized(jobs.toSeq)
         println(f"  jobs=${js.size} stages=${sts.size} " +
           f"tasks=${sts.map(_._2.tasks).sum}")
-        js.foreach { case (id, (s, e, d)) =>
-          val dur = if (e > 0) (e - s) / 1e9 else -1.0
-          println(f"  job $id%3d ${dur}%6.2f s  $d")
-        }
-        sts.toSeq.sortBy(-_._2.taskTime).take(15).foreach { case (id, st) =>
-          val wall = if (st.completed > 0) (st.completed - st.submitted) / 1e9 else -1.0
-          println(f"  stage $id%3d wall=$wall%6.2f s tasks=${st.tasks}%3d " +
-            f"taskTime=${st.taskTime}%6d ms gc=${st.gcTime}%5d ms  ${st.name}")
+        val stMap = sts.toMap
+        val jsMap = jobStages.synchronized(jobStages.toMap)
+        js.sortBy { case (_, (s, e, _)) => -(e - s) }.take(12).foreach {
+          case (id, (s, e, d)) =>
+            val dur = if (e > 0) (e - s) / 1e9 else -1.0
+            println(f"  job $id%3d ${dur}%6.2f s  $d")
+            jsMap.getOrElse(id, Nil).flatMap(sid => stMap.get(sid).map(sid -> _))
+              .sortBy(-_._2.taskTime).take(4).foreach { case (sid, st) =>
+                val wall = if (st.completed > 0) (st.completed - st.submitted) / 1e9 else -1.0
+                println(f"    stage $sid%3d wall=$wall%6.2f s tasks=${st.tasks}%3d " +
+                  f"taskTime=${st.taskTime}%6d ms gc=${st.gcTime}%5d ms  ${st.name}")
+              }
         }
       }
     }

@@ -211,4 +211,20 @@ class FunctionsSpec extends SparkSpec {
       .select(expr(s"graft_dtw_band(xa, xb, $w)")).head.getDouble(0)
     assert(self === 0.0)
   }
+
+  test("native prefix_cut equals slice(array_sort(ranked), 1, n).h") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    // random (dfreq, h) bags with duplicate dfreqs (tie-break on h
+    // must match array_sort's struct comparator), n across the full
+    // range: 0, mid, == size, > size
+    val cases = for (sz <- Seq(0, 1, 2, 5, 17, 120); n <- Seq(0, 1, 3, sz, sz + 4))
+      yield (Seq.fill(sz)((rng.nextInt(6).toLong, rng.nextLong())), n)
+    val df = cases.toDF("pairs", "n")
+      .selectExpr("transform(pairs, p -> struct(p._1 AS dfreq, p._2 AS h)) AS ranked", "n")
+      .withColumn("native", expr("graft_prefix_cut(ranked, n)"))
+      .withColumn("interp",
+        expr("transform(slice(array_sort(ranked), 1, n), r -> r.h)"))
+    assert(df.filter(expr("native != interp")).count() === 0)
+  }
 }
