@@ -239,11 +239,14 @@ object Dedup {
       verifyBroadcastBytes: Long = 64L << 20): DataFrame = {
     // the hash frame feeds candidate generation AND both verify sides —
     // its scan+hash projection sits BEFORE any exchange, so exchange
-    // reuse cannot share it across branches; persist it eagerly
-    // (everything downstream of an exchange IS shared per action via
-    // ReusedExchange, so nothing else needs a cross-branch cache)
+    // reuse cannot share it across branches; persist it (everything
+    // downstream of an exchange IS shared per action via
+    // ReusedExchange, so nothing else needs a cross-branch cache).
+    // LAZY persist: the first downstream action (the candidate/verify
+    // stats job inside jaccardPairsFromHashes) scans every partition
+    // and populates the cache in the same job — a separate eager
+    // count() here was one whole extra job per call
     val hs = withShingles(documents).select(col("doc_id"), col("hashes")).persist()
-    hs.count()
     try jaccardPairsFromHashes(hs, threshold, verifyBroadcastBytes)
     finally hs.unpersist()
   }

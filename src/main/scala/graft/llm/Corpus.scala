@@ -37,8 +37,6 @@ object Corpus {
     */
   def clean(documents: DataFrame, langs: Seq[String] = Seq("en"),
       minQuality: Double = 0.2, threshold: Double = 0.5): DataFrame = {
-    val lang = TextAnalysis.langId(documents).select(col("doc_id"), col("predicted"))
-    val quality = TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score"))
     val langOk = if (langs.isEmpty) lit(true) else col("predicted").isin(langs: _*)
     // the gate frame (narrow per-doc metadata — the "decide with small
     // rows" proxy) feeds three consumers: the passing-side shingle
@@ -46,9 +44,10 @@ object Corpus {
     // Unpersisted, each consumer re-runs the langid + quality text
     // scans (5 stopword filters + the quality features per doc, ×3);
     // persist it once, release after the result is materialized.
-    val gated = documents.select(col("doc_id"))
-      .join(lang, Seq("doc_id"))
-      .join(quality, Seq("doc_id"))
+    // langQualityGate computes both gate columns in ONE stateless
+    // projection (the previous shape joined the standalone langId and
+    // quality outputs back on doc_id: two more corpus scans + joins).
+    val gated = TextAnalysis.langQualityGate(documents)
       .withColumn("gate_reason",
         when(!langOk, lit("lang"))
           .when(col("quality_score") < minQuality, lit("quality"))

@@ -51,7 +51,7 @@ object LlmQueries {
     * round-trips — per (sf dir, kind) so reruns overwrite in place
     * instead of accumulating temp dirs. */
   private def snapDir(sfDir: String, kind: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_snap_${Integer.toHexString(sfDir.hashCode)}/$kind"
+    s"${graft.core.Scratch.root}/graft_snap_${Integer.toHexString(sfDir.hashCode)}/$kind"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_url" -> ((s, d) =>

@@ -99,7 +99,7 @@ object Sources {
     * hashCode collision across dirs can't alias paths within a run). */
   private def roundtripTmp(spark: SparkSession, fmt: String,
       sfDir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
+    new java.io.File(graft.core.Scratch.root,
       s"graft_${fmt}_${spark.sparkContext.applicationId}_" +
         Integer.toHexString(sfDir.hashCode)).getPath
 

@@ -43,6 +43,39 @@ object TextAnalysis {
     scored.withColumn("predicted", best)
   }
 
+  /** Fused per-doc (predicted, quality_score) gate frame — the langid
+    * prediction and the quality score in ONE stateless projection over
+    * the corpus. [[Corpus.clean]] previously derived the same two
+    * columns by joining [[langId]] and [[quality]] outputs back on
+    * doc_id: two extra corpus scans and two joins for values that are
+    * both pure row-wise functions of `text`. Values are identical to
+    * the standalone operators' (same expressions, same column
+    * names). */
+  private[graft] def langQualityGate(documents: DataFrame): DataFrame = {
+    val toks = tokens("text")
+    val scored = Profiles.foldLeft(documents.select(col("doc_id"), col("text"))) {
+      case (df, (l, words)) =>
+        df.withColumn(s"score_$l",
+          expr(s"size(filter($toks, t -> array_contains(${profArray(words)}, t)))"))
+    }
+    val maxScore = Profiles.map(p => col(s"score_${p._1}")).reduce(greatest(_, _))
+    val best = Profiles.reverse.foldLeft(lit("und").cast("string")) {
+      case (acc, (l, _)) =>
+        when(col(s"score_$l") >= maxScore && col(s"score_$l") > 0, lit(l)).otherwise(acc)
+    }
+    val punct = "cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS double)"
+    val stop = s"cast(size(filter($toks, t -> array_contains(${profArray(Profiles.head._2)}, t))) AS double)"
+    scored
+      .withColumn("predicted", best)
+      .withColumn("n_tokens", expr(s"size($toks)"))
+      .withColumn("punct_ratio", expr(s"round($punct / length(text) + 1e-9, 6)"))
+      .withColumn("stopword_ratio", expr(s"round($stop / size($toks) + 1e-9, 6)"))
+      .withColumn("quality_score",
+        expr("round(least(1.0D, n_tokens / 100.0D) * (1.0D - punct_ratio) * " +
+          "(0.5D + least(0.5D, stopword_ratio * 2.0D)) + 1e-9, 6)"))
+      .select(col("doc_id"), col("predicted"), col("quality_score"))
+  }
+
   /** Tokenizer-fit primitive: the first BPE iteration's merge table —
     * top-k adjacent character pairs within words, ranked by corpus
     * frequency (Sennrich et al. 2016: each merge round picks the
